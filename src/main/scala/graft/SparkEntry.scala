@@ -1,13 +1,106 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.analytics.Views
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 appears as a named entry in
+  * [[queries]]; where the semantics are ANSI-SQL-expressible the matching
+  * DuckDB oracle lives in [[oracleSql]] (column names aliased identically on
+  * both sides — the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's flagship MV `customer_order_summary`
+    * (init-risingwave.sql:84-94).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Views.customerOrderSummary(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    "q1_order_analytics"     -> (Views.orderAnalytics _),
+    "q2_customer_order_summary" -> (Views.customerOrderSummary _),
+    "q3_product_popularity"  -> (Views.productPopularity _),
+    "q4_items_per_order"     -> (Views.itemsPerOrder _),
+    "q5_stock_status"        -> (Views.stockStatus _),
+    "q6_customer_stats_by_nation" -> (Views.customerStatsByNation _),
+    "q7_revenue_per_nation"  -> (Views.revenuePerNation _),
+    "q8_pricing_summary"     -> (Views.pricingSummary _),
+    "q9_table_summary"       -> (Views.tableSummary _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_order_analytics" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_day,
+        |       o_orderstatus AS status,
+        |       count(*) AS order_count,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_order_value
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q2_customer_order_summary" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+        |       count(o.o_orderkey) AS total_orders,
+        |       coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS lifetime_value
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q3_product_popularity" ->
+      """SELECT p.p_partkey, p.p_name, p.p_brand,
+        |       count(l.l_orderkey) AS times_ordered,
+        |       coalesce(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_quantity_sold
+        |FROM part p LEFT JOIN lineitem l ON p.p_partkey = l.l_partkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY times_ordered DESC, p.p_partkey LIMIT 10""".stripMargin,
+    "q4_items_per_order" ->
+      """SELECT o.o_orderkey, o.o_orderstatus,
+        |       count(l.l_linenumber) AS item_count,
+        |       coalesce(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_quantity
+        |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2
+        |ORDER BY item_count DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "q5_stock_status" ->
+      """SELECT p_partkey, p_name, p_size,
+        |       CASE WHEN p_size = 0 THEN 'Out of Stock'
+        |            WHEN p_size < 10 THEN 'Low Stock'
+        |            ELSE 'In Stock' END AS stock_status
+        |FROM part""".stripMargin,
+    "q6_customer_stats_by_nation" ->
+      """SELECT n.n_name AS nation,
+        |       count(*) AS customer_count,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(c_acctbal) AS avg_balance,
+        |       min(c_acctbal) AS min_balance
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c_acctbal > 0
+        |GROUP BY 1 ORDER BY avg_balance DESC, nation""".stripMargin,
+    "q7_revenue_per_nation" ->
+      """SELECT n.n_name AS nation,
+        |       count(*) AS lineitem_count,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross_revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY gross_revenue DESC, nation""".stripMargin,
+    "q8_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q9_table_summary" ->
+      """SELECT 'customer' AS table_name, count(*) AS row_count, CAST(max(c_custkey) AS BIGINT) AS max_key FROM customer
+        |UNION ALL SELECT 'orders', count(*), CAST(max(o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'lineitem', count(*), CAST(max(l_orderkey) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'part', count(*), CAST(max(p_partkey) AS BIGINT) FROM part""".stripMargin,
+  )
 }
