@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.Views
+import graft.analytics.{MutationQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,13 @@ object SparkEntry {
     "q7_revenue_per_nation"  -> (Views.revenuePerNation _),
     "q8_pricing_summary"     -> (Views.pricingSummary _),
     "q9_table_summary"       -> (Views.tableSummary _),
+    "q10_merge_upsert"       -> (MutationQueries.mergeUpsert _),
+    "q11_delete_where"       -> (MutationQueries.deleteWhere _),
+    "q12_time_travel"        -> (MutationQueries.timeTravel _),
+    "q13_change_feed"        -> (MutationQueries.changeFeed _),
+    "q14_history"            -> (MutationQueries.history _),
+    "q15_latest_event_per_user" -> (MutationQueries.latestEventPerUser _),
+    "q16_version_diff"       -> (MutationQueries.versionDiff _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -102,5 +109,28 @@ object SparkEntry {
         |UNION ALL SELECT 'orders', count(*), CAST(max(o_orderkey) AS BIGINT) FROM orders
         |UNION ALL SELECT 'lineitem', count(*), CAST(max(l_orderkey) AS BIGINT) FROM lineitem
         |UNION ALL SELECT 'part', count(*), CAST(max(p_partkey) AS BIGINT) FROM part""".stripMargin,
+    "q10_merge_upsert" -> "SELECT * FROM orders",
+    "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+    "q12_time_travel" -> "SELECT * FROM orders",
+    "q13_change_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, -1.0, o_orderdate, o_orderpriority,
+        |       'update_preimage', 1 FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |       'update_postimage', 1 FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+    "q14_history" ->
+      """SELECT CAST(0 AS BIGINT) AS version, 'CREATE' AS operation,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS num_rows
+        |UNION ALL
+        |SELECT 1, 'MERGE', (SELECT count(*) FROM orders)""".stripMargin,
+    "q15_latest_event_per_user" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+    "q16_version_diff" -> "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'",
   )
 }

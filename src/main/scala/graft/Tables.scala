@@ -23,7 +23,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads via `spark.sql.legacy.parquet.nanosAsLong` (set in every
+    * session builder here). Normalize to a TimestampType column with
+    * integral division — `ts div 1000` — because a double-valued `/1000`
+    * would lose precision beyond 2^53 ns (~epoch 2024 is ~1.7e18 ns).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,92 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.table.GraftTable
+
+/** Oracle-checkable phrasings of the mutation surface (SURVEY §2.10): each
+  * query materializes a [[GraftTable]] in a fresh temp dir from the testdata
+  * `orders` table, applies a deterministic mutation sequence, and returns a
+  * final state that plain ANSI SQL over the original parquet reproduces —
+  * so the driver's DuckDB gate checks MERGE / DELETE / time travel / CDF /
+  * history byte-for-byte, the mechanized version of the reference's
+  * notebook verification cells (deltalake-query.ipynb cells 11-26, 38, 53).
+  */
+object MutationQueries {
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag-").toString
+
+  /** Base: half of orders (even keys) with a poisoned o_totalprice, so a
+    * subsequent merge of the full table updates every matched row and
+    * inserts every odd key. */
+  private def mergedOrdersTable(spark: SparkSession, dir: String, tag: String): GraftTable = {
+    val orders = Tables.orders(spark, dir)
+    val base = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", lit(-1.0))
+    val t = GraftTable.create(spark, freshDir(tag), base)
+    t.merge(orders, "o_orderkey")
+    t
+  }
+
+  /** MERGE upsert (M1/M2): update-all + insert-all on o_orderkey; final
+    * snapshot must equal the source table exactly. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
+    mergedOrdersTable(spark, dir, "merge").read()
+
+  /** DELETE by predicate (M3): left-anti rewrite. */
+  def deleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, freshDir("delete"), Tables.orders(spark, dir))
+    t.delete(col("o_orderstatus") === "F")
+    t.read()
+  }
+
+  /** Time travel (S4): read v0 after a destructive later commit. */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, freshDir("tt"), Tables.orders(spark, dir))
+    t.delete(col("o_totalprice") >= 0.0) // wipes essentially everything
+    t.readVersion(0)
+  }
+
+  /** Change Data Feed (S6/M8): the change rows of the mergeUpsert commit —
+    * insert per odd key, update pre/post images per even key. */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergedOrdersTable(spark, dir, "cdf")
+    t.readChanges(1).drop("_commit_timestamp")
+  }
+
+  /** History (S7): version / operation / numOutputRows, as
+    * `DeltaTable.history()` exposes via operationMetrics. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergedOrdersTable(spark, dir, "hist")
+    t.history().select(
+      col("version"),
+      col("operation"),
+      col("operationMetrics")("numOutputRows").as("num_rows"))
+  }
+
+  /** Batch CDC compaction (SURVEY §2.5): latest event per user via
+    * row_number — the idiomatic Spark equivalent of the reference's
+    * MERGE-maintained snapshot state. */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Version diff via anti-join (SURVEY J7/U3, notebook cell 53): keys
+    * deleted between v0 and the head after a DELETE commit. */
+  def versionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val t = GraftTable.create(spark, freshDir("diff"), Tables.orders(spark, dir))
+    t.delete(col("o_orderstatus") === "F")
+    t.readVersion(0).select("o_orderkey")
+      .join(t.read().select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+  }
+}

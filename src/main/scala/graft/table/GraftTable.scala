@@ -1,0 +1,376 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Versioned Parquet table with the Delta-capability surface the reference
+  * exercises, rebuilt Spark-natively: append / overwrite (M4/M5), MERGE
+  * upsert with optional change-detection (M1/M2,
+  * /root/reference/consumer/spark-streaming/spark_streaming.py:349-359 and
+  * spark_delta_handler.py:222-236), DELETE (M3, spark_streaming.py:381-386),
+  * UPDATE, time travel by version/timestamp (S4/S5, notebook cells 21-24),
+  * Change Data Feed (S6/M8, notebook cells 25-26), history (S7), VACUUM
+  * (S18), OPTIMIZE compaction (S19) and RESTORE (M12, README.md:145).
+  *
+  * Layout under `root/`:
+  *   - `_graft_log/<v>.json`  commit log (see [[CommitLog]])
+  *   - `data/v<v>/`           parquet written by commit v (immutable)
+  *   - `_changes/v<v>/`       CDF rows emitted by commit v
+  *
+  * A snapshot is the union of the `dataDirs` its commit references, so an
+  * APPEND adds one dir without touching existing bytes and a RESTORE is a
+  * metadata-only commit pointing at old dirs. MERGE/DELETE/UPDATE rewrite the
+  * snapshot (full-outer-join / anti-join rewrites) — same write amplification
+  * class as unpartitioned Delta, and every step is a plain distributed Spark
+  * job: no data ever funnels through the driver (the reference's collected
+  * delete-id list, spark_streaming.py:383, becomes a distributed anti-join).
+  *
+  * Single-writer per table, like the reference (one streaming query per
+  * table, spark_streaming.py:461-463); [[CommitLog.commit]] fails loudly on
+  * a version collision rather than corrupting.
+  */
+final class GraftTable private (
+    val spark: SparkSession,
+    val root: String) {
+
+  import GraftTable._
+
+  private val log = new CommitLog(root, hadoopConf(spark))
+  private def fs: FileSystem = new Path(root).getFileSystem(hadoopConf(spark))
+
+  // ---------------------------------------------------------------- reads
+
+  def version: Long = log.latest().map(_.version).getOrElse(-1L)
+
+  private def commitFor(v: Long): Commit =
+    log.commits().find(_.version == v).getOrElse(
+      throw new NoSuchElementException(s"$root has no version $v"))
+
+  private def readCommit(c: Commit): DataFrame = {
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val dirs = c.dataDirs.map(d => new Path(root, d))
+    val missing = dirs.filterNot(fs.exists)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"version ${c.version} of $root is no longer available (vacuumed dirs: ${missing.mkString(", ")})")
+    if (dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // Explicit schema (from the commit) rather than mergeSchema: no footer
+    // sampling job, stable column order, and dirs written before an additive
+    // schema change read back with nulls for the new columns.
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+  }
+
+  /** Current snapshot (SURVEY S3). */
+  def read(): DataFrame = readCommit(
+    log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root")))
+
+  /** Time travel by version (S4, `option("versionAsOf", n)`). */
+  def readVersion(v: Long): DataFrame = readCommit(commitFor(v))
+
+  /** Time travel by timestamp (S5): max version with commit ts <= tsMs,
+    * matching delta-rs's history walk (delta_handler.py:247-264). */
+  def readAsOf(tsMs: Long): DataFrame = {
+    val cs = log.commits().filter(_.tsMs <= tsMs)
+    if (cs.isEmpty)
+      throw new NoSuchElementException(s"$root has no version at or before ts $tsMs")
+    readCommit(cs.last)
+  }
+
+  /** Table history (S7) as a DataFrame: version, timestamp, operation and
+    * flattened operationMetrics — the columns the reference reads off
+    * `DeltaTable.history()` (spark_delta_handler.py:244-251). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val rows = log.commits().reverse.map { c =>
+      (c.version, new java.sql.Timestamp(c.tsMs), c.operation, c.metrics)
+    }
+    rows.toDF("version", "timestamp", "operation", "operationMetrics")
+  }
+
+  /** Change Data Feed scan (S6): every change row committed in
+    * [fromVersion, toVersion], with `_change_type` ∈ insert /
+    * update_preimage / update_postimage / delete, `_commit_version`,
+    * `_commit_timestamp` — the exact surface of
+    * `option("readChangeFeed", true)` (notebook cells 25-26, 62). */
+  def readChanges(fromVersion: Long = 0L, toVersion: Long = Long.MaxValue): DataFrame = {
+    val dirs = log.commits()
+      .filter(c => c.version >= fromVersion && c.version <= toVersion)
+      .map(c => new Path(root, changesDirName(c.version)))
+      .filter(fs.exists)
+    if (dirs.isEmpty)
+      throw new NoSuchElementException(s"$root has no change data in [$fromVersion, $toVersion]")
+    spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
+  }
+
+  // --------------------------------------------------------------- writes
+
+  private def dataDirName(v: Long): String = f"data/v$v%05d"
+  private def changesDirName(v: Long): String = f"_changes/v$v%05d"
+
+  /** Parquet-footer row count of a just-written dir — metadata-only, no scan. */
+  private def countDir(dir: String): Long =
+    spark.read.parquet(new Path(root, dir).toString).count()
+
+  private def writeData(df: DataFrame, v: Long): String = {
+    val dir = dataDirName(v)
+    df.write.mode("errorifexists").parquet(new Path(root, dir).toString)
+    dir
+  }
+
+  private def writeChanges(df: DataFrame, v: Long, tsMs: Long): Map[String, Long] = {
+    val dir = changesDirName(v)
+    df.withColumn("_commit_version", lit(v))
+      .withColumn("_commit_timestamp", timestamp_millis(lit(tsMs)))
+      .write.mode("errorifexists").parquet(new Path(root, dir).toString)
+    // Metrics come from the written CDF (footer counts + one tiny agg) so the
+    // expensive join/rewrite plans execute exactly once each.
+    spark.read.parquet(new Path(root, dir).toString)
+      .groupBy("_change_type").count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+  }
+
+  /** Append (M4): the audit-log write path (spark_streaming.py:292-303).
+    * Adds one data dir; previous dirs are referenced, never rewritten.
+    * Additive schema evolution (M6, `mergeSchema`): new columns extend the
+    * snapshot schema; old dirs read back with nulls for them. */
+  def append(df: DataFrame): Commit = this.synchronized {
+    val prev = log.latest()
+    val v = prev.map(_.version + 1).getOrElse(0L)
+    val tsMs = System.currentTimeMillis()
+    val prevSchema = prev.map(c => DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
+    val mergedSchema = prevSchema match {
+      case None => df.schema
+      case Some(ps) =>
+        StructType(ps.fields ++ df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+    }
+    val aligned = alignTo(df, mergedSchema)
+    val dir = writeData(aligned, v)
+    val added = countDir(dir)
+    val c = Commit(v, tsMs, if (prev.isEmpty) "CREATE" else "APPEND",
+      prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
+      Map("numOutputRows" -> added), mergedSchema.json)
+    log.commit(c); c
+  }
+
+  /** Overwrite (M5): table (re)creation path (spark_streaming.py:362-365). */
+  def overwrite(df: DataFrame): Commit = this.synchronized {
+    val v = version + 1
+    val tsMs = System.currentTimeMillis()
+    val dir = writeData(df, v)
+    val c = Commit(v, tsMs, if (v == 0) "CREATE" else "WRITE", Seq(dir),
+      Map("numOutputRows" -> countDir(dir)), df.schema.json)
+    log.commit(c); c
+  }
+
+  /** MERGE upsert (M1/M2): `whenMatchedUpdateAll.whenNotMatchedInsertAll`
+    * re-expressed as one full-outer join on the key — matched rows take the
+    * source image, unmatched-target rows persist, unmatched-source rows
+    * insert. With `changedOnly` (the reference's change-detection condition,
+    * spark_delta_handler.py:222-236) a matched row only counts as an update
+    * — and only emits CDF pre/post images — when some non-key column differs
+    * null-safely.
+    *
+    * Source must be unique per key (Delta MERGE errors otherwise too);
+    * upstream CDC batches are deduped to latest-per-key before calling this.
+    * Scale: both sides shuffle-partition on the key; a small source side is
+    * broadcast by AQE automatically. CDF and snapshot are two jobs over the
+    * same join (the join recomputes; caching 100 TB would be worse).
+    */
+  def merge(source: DataFrame, key: String, changedOnly: Boolean = true): Commit =
+    this.synchronized {
+      val prev = log.latest().getOrElse(throw new NoSuchElementException(
+        s"merge into non-existent table $root — create it first"))
+      val v = prev.version + 1
+      val tsMs = System.currentTimeMillis()
+      val targetSchema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      val mergedSchema = StructType(targetSchema.fields ++
+        source.schema.fields.filterNot(f => targetSchema.fieldNames.contains(f.name)))
+
+      val t = alignTo(readCommit(prev), mergedSchema).alias("t")
+      val s = alignTo(source, mergedSchema).alias("s")
+      val joined = t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
+
+      val sPresent = col(s"s.$key").isNotNull
+      val tPresent = col(s"t.$key").isNotNull
+      val dataCols = mergedSchema.fieldNames.filterNot(_ == key).toSeq
+      val changedCond = dataCols
+        .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val isUpdate = tPresent && sPresent && (if (changedOnly) changedCond else lit(true))
+
+      val outCols = mergedSchema.fieldNames.toSeq
+      val snapshot = joined.select(outCols.map(c =>
+        when(sPresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+      val dir = writeData(snapshot, v)
+
+      def image(side: String, changeType: String) =
+        struct(outCols.map(c => col(s"$side.$c").as(c)) :+ lit(changeType).as("_change_type"): _*)
+      // No `otherwise`: unmatched branches yield a null array, which explode
+      // drops — unchanged rows emit no CDF rows, in one pass over the join.
+      val changeRows = joined.select(explode(
+        when(!tPresent && sPresent, array(image("s", "insert")))
+          .when(isUpdate, array(image("t", "update_preimage"), image("s", "update_postimage")))
+      ).as("c")).select("c.*")
+      val cdfMetrics = writeChanges(changeRows, v, tsMs)
+
+      val c = Commit(v, tsMs, "MERGE", Seq(dir), Map(
+        "numTargetRowsInserted" -> cdfMetrics.getOrElse("insert", 0L),
+        "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
+        "numOutputRows" -> countDir(dir)), mergedSchema.json)
+      log.commit(c); c
+    }
+
+  /** DELETE by predicate (M3): left-anti rewrite of
+    * `delete(col("id").isin(ids))` / `DELETE FROM t WHERE …`
+    * (spark_streaming.py:381-386, spark_delta_handler.py:160-169). */
+  def delete(cond: Column): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    val v = prev.version + 1
+    val tsMs = System.currentTimeMillis()
+    val cur = readCommit(prev)
+    val hit = coalesce(cond, lit(false))
+    val dir = writeData(cur.filter(!hit), v)
+    val cdfMetrics = writeChanges(
+      cur.filter(hit).withColumn("_change_type", lit("delete")), v, tsMs)
+    val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
+      "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
+      "numOutputRows" -> countDir(dir)), prev.schemaJson)
+    log.commit(c); c
+  }
+
+  /** Keyed delete as a distributed anti-join — the scale-safe form of the
+    * reference's collect-ids-then-isin (spark_streaming.py:381-386). */
+  def deleteKeys(keys: DataFrame, key: String): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    val v = prev.version + 1
+    val tsMs = System.currentTimeMillis()
+    val cur = readCommit(prev)
+    val keyDf = keys.select(col(key)).distinct()
+    val dir = writeData(cur.join(keyDf, Seq(key), "left_anti"), v)
+    val cdfMetrics = writeChanges(
+      cur.join(keyDf, Seq(key), "left_semi").withColumn("_change_type", lit("delete")),
+      v, tsMs)
+    val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
+      "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
+      "numOutputRows" -> countDir(dir)), prev.schemaJson)
+    log.commit(c); c
+  }
+
+  /** UPDATE … SET assignments WHERE cond, as a projection rewrite. */
+  def update(cond: Column, assignments: Map[String, Column]): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    val v = prev.version + 1
+    val tsMs = System.currentTimeMillis()
+    val cur = readCommit(prev)
+    val hit = coalesce(cond, lit(false))
+    val updated = cur.columns.toSeq.map { c =>
+      assignments.get(c) match {
+        case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    val dir = writeData(cur.select(updated: _*), v)
+    val pre = cur.filter(hit).withColumn("_change_type", lit("update_preimage"))
+    val post = cur.filter(hit).select(updated: _*)
+      .withColumn("_change_type", lit("update_postimage"))
+    val cdfMetrics = writeChanges(pre.unionByName(post), v, tsMs)
+    val c = Commit(v, tsMs, "UPDATE", Seq(dir), Map(
+      "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
+      "numOutputRows" -> countDir(dir)), prev.schemaJson)
+    log.commit(c); c
+  }
+
+  /** OPTIMIZE bin-pack compaction (S19, spark_delta_handler.py:282-289):
+    * rewrite the snapshot into ~`targetFileBytes` files. Data unchanged —
+    * no CDF emitted, matching Delta. */
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    val v = prev.version + 1
+    val totalBytes = prev.dataDirs.map { d =>
+      fs.getContentSummary(new Path(root, d)).getLength
+    }.sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val dir = dataDirName(v)
+    readCommit(prev).repartition(numFiles)
+      .write.mode("errorifexists").parquet(new Path(root, dir).toString)
+    val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", Seq(dir),
+      Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson)
+    log.commit(c); c
+  }
+
+  /** RESTORE (M12): re-publish an old version as the new head. Metadata-only
+    * — the new commit references the old version's immutable dirs. */
+  def restore(v: Long): Commit = this.synchronized {
+    val old = commitFor(v)
+    val head = version + 1
+    val c = Commit(head, System.currentTimeMillis(), "RESTORE", old.dataDirs,
+      Map("restoredVersion" -> v), old.schemaJson)
+    log.commit(c); c
+  }
+
+  /** VACUUM (S18/M10, delta_handler.py:275-285; default retention 168 h,
+    * shared/config.py:109): delete data/CDF dirs only referenced by commits
+    * older than the cutoff, keeping everything the current head references.
+    * Returns the deleted dirs. */
+  def vacuum(retentionHours: Double = 168.0, nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    this.synchronized {
+      val cutoff = nowMs - (retentionHours * 3600 * 1000).toLong
+      val all = log.commits()
+      if (all.isEmpty) return Nil
+      val headVersion = all.last.version
+      val keep = all.filter(c => c.version == headVersion || c.tsMs >= cutoff)
+      val keepDirs = keep.flatMap(_.dataDirs).toSet
+      val expired = all.filter(c => c.version != headVersion && c.tsMs < cutoff)
+      val deleted = Seq.newBuilder[String]
+      expired.foreach { c =>
+        c.dataDirs.filterNot(keepDirs.contains).foreach { d =>
+          if (fs.delete(new Path(root, d), true)) deleted += d
+        }
+        fs.delete(new Path(root, changesDirName(c.version)), true)
+        log.remove(c.version)
+      }
+      deleted.result()
+    }
+}
+
+object GraftTable {
+
+  private def hadoopConf(spark: SparkSession) =
+    spark.sessionState.newHadoopConf()
+
+  /** Open an existing table (`DeltaTable.forPath` analogue). */
+  def forPath(spark: SparkSession, root: String): GraftTable = {
+    val t = new GraftTable(spark, root)
+    require(t.version >= 0, s"no graft table at $root")
+    t
+  }
+
+  def isTable(spark: SparkSession, root: String): Boolean =
+    new CommitLog(root, hadoopConf(spark)).exists
+
+  /** Create (S10/S12): first write wins the CREATE commit. */
+  def create(spark: SparkSession, root: String, df: DataFrame): GraftTable = {
+    val t = new GraftTable(spark, root)
+    require(t.version < 0, s"table already exists at $root")
+    t.overwrite(df)
+    t
+  }
+
+  /** Open-or-create: the streaming first-batch path (spark_streaming.py:362-365). */
+  def createIfNotExists(spark: SparkSession, root: String, df: => DataFrame): GraftTable =
+    if (isTable(spark, root)) forPath(spark, root) else create(spark, root, df)
+
+  /** Align `df` to `schema`: missing columns become typed nulls, column
+    * order follows `schema` (additive evolution, M6). */
+  private[table] def alignTo(df: DataFrame, schema: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.table
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Mechanizes the reference's operational verification (SURVEY §5): replay
+  * the test-cdc.sh-shaped DML sequence as table mutations and assert
+  * snapshot / history / time-travel / CDF states per version — the checks
+  * notebooks/deltalake-query.ipynb cells 11-12, 21-26, 53 do by eye. */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seedCustomers = Seq(
+    (1L, "John", "john@x.com", 100.0),
+    (2L, "Jane", "jane@x.com", 200.0),
+    (3L, "Bob", "bob@x.com", 300.0)
+  ).toDF("id", "name", "email", "balance")
+
+  test("create + read + history") {
+    val t = GraftTable.create(spark, tmpDir("gt-create"), seedCustomers)
+    assert(t.version === 0)
+    assert(t.read().count() === 3)
+    val h = t.history().collect()
+    assert(h.length === 1)
+    assert(h(0).getAs[String]("operation") === "CREATE")
+  }
+
+  test("append adds a dir without rewriting, row counts accumulate") {
+    val t = GraftTable.create(spark, tmpDir("gt-append"), seedCustomers)
+    t.append(Seq((4L, "Ann", "ann@x.com", 400.0)).toDF("id", "name", "email", "balance"))
+    assert(t.version === 1)
+    assert(t.read().count() === 4)
+    assert(t.readVersion(0).count() === 3)
+  }
+
+  test("merge: insert + update-all + change-detection, with CDF and metrics") {
+    val t = GraftTable.create(spark, tmpDir("gt-merge"), seedCustomers)
+    // UPDATE id=1 email (changed), id=2 identical (no-op under changedOnly),
+    // INSERT id=5 — the test-cdc.sh INSERT/UPDATE mix.
+    val batch = Seq(
+      (1L, "John", "john@new.com", 100.0),
+      (2L, "Jane", "jane@x.com", 200.0),
+      (5L, "Eve", "eve@x.com", 500.0)
+    ).toDF("id", "name", "email", "balance")
+    val c = t.merge(batch, "id")
+    assert(c.metrics("numTargetRowsInserted") === 1)
+    assert(c.metrics("numTargetRowsUpdated") === 1)
+
+    val snap = t.read().orderBy("id").collect()
+    assert(snap.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 5L))
+    assert(snap(0).getAs[String]("email") === "john@new.com")
+
+    val cdf = t.readChanges(1).orderBy("id", "_change_type").collect()
+    val types = cdf.map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSeq
+    assert(types === Seq(
+      (1L, "update_postimage"), (1L, "update_preimage"), (5L, "insert")))
+    assert(cdf.forall(_.getAs[Long]("_commit_version") === 1L))
+  }
+
+  test("merge without changedOnly updates identical rows too") {
+    val t = GraftTable.create(spark, tmpDir("gt-merge-all"), seedCustomers)
+    val c = t.merge(seedCustomers, "id", changedOnly = false)
+    assert(c.metrics("numTargetRowsUpdated") === 3)
+    assert(c.metrics("numTargetRowsInserted") === 0)
+    assert(t.read().count() === 3)
+  }
+
+  test("merge with additive schema evolution (mergeSchema, M6)") {
+    val t = GraftTable.create(spark, tmpDir("gt-evolve"), seedCustomers)
+    val withPhone = Seq((6L, "Zed", "z@x.com", 600.0, "555-0100"))
+      .toDF("id", "name", "email", "balance", "phone")
+    t.merge(withPhone, "id")
+    val snap = t.read()
+    assert(snap.columns.toSeq === Seq("id", "name", "email", "balance", "phone"))
+    val old = snap.filter($"id" === 1L).select("phone").head()
+    assert(old.isNullAt(0))
+    val neu = snap.filter($"id" === 6L).select("phone").head()
+    assert(neu.getString(0) === "555-0100")
+  }
+
+  test("delete by predicate and by keys (anti-join), with delete CDF") {
+    val t = GraftTable.create(spark, tmpDir("gt-del"), seedCustomers)
+    val c1 = t.delete($"id" === 2L)
+    assert(c1.metrics("numDeletedRows") === 1)
+    assert(t.read().count() === 2)
+    val c2 = t.deleteKeys(Seq(1L).toDF("id"), "id")
+    assert(c2.metrics("numDeletedRows") === 1)
+    assert(t.read().select("id").as[Long].collect().toSeq === Seq(3L))
+    val dels = t.readChanges(1, 2).filter($"_change_type" === "delete")
+    assert(dels.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("update rewrites matching rows and emits pre/post images") {
+    val t = GraftTable.create(spark, tmpDir("gt-upd"), seedCustomers)
+    val c = t.update($"balance" < 250.0, Map("balance" -> ($"balance" * 2)))
+    assert(c.metrics("numUpdatedRows") === 2)
+    val snap = t.read().orderBy("id").select("balance").as[Double].collect().toSeq
+    assert(snap === Seq(200.0, 400.0, 300.0))
+  }
+
+  test("time travel by version and by timestamp") {
+    val t = GraftTable.create(spark, tmpDir("gt-tt"), seedCustomers)
+    val ts0 = t.history().orderBy("version").select("timestamp")
+      .head().getTimestamp(0).getTime
+    Thread.sleep(5)
+    t.delete($"id" === 1L)
+    assert(t.readVersion(0).count() === 3)
+    assert(t.read().count() === 2)
+    assert(t.readAsOf(ts0).count() === 3)
+    assert(t.readAsOf(System.currentTimeMillis()).count() === 2)
+    intercept[NoSuchElementException](t.readAsOf(ts0 - 100000))
+  }
+
+  test("restore re-publishes an old version metadata-only") {
+    val t = GraftTable.create(spark, tmpDir("gt-restore"), seedCustomers)
+    t.delete($"id" =!= 1L)
+    assert(t.read().count() === 1)
+    t.restore(0)
+    assert(t.version === 2)
+    assert(t.read().count() === 3)
+  }
+
+  test("optimize compacts appends into one version, data unchanged") {
+    val t = GraftTable.create(spark, tmpDir("gt-opt"), seedCustomers)
+    (0 until 3).foreach { i =>
+      t.append(Seq((10L + i, s"u$i", s"u$i@x.com", 1.0)).toDF("id", "name", "email", "balance"))
+    }
+    val before = t.read().orderBy("id").collect()
+    val c = t.optimize()
+    assert(c.operation === "OPTIMIZE")
+    assert(t.read().orderBy("id").collect() === before)
+    assert(c.dataDirs.length === 1)
+  }
+
+  test("vacuum removes expired versions but keeps head + retained") {
+    val t = GraftTable.create(spark, tmpDir("gt-vac"), seedCustomers)
+    t.delete($"id" === 1L) // v1
+    t.delete($"id" === 2L) // v2 (head)
+    // Pretend v0/v1 are 200 h old by vacuuming "in the future".
+    val future = System.currentTimeMillis() + 200L * 3600 * 1000
+    val deleted = t.vacuum(retentionHours = 168.0, nowMs = future)
+    assert(deleted.nonEmpty)
+    assert(t.read().count() === 1) // head still readable
+    intercept[Exception](t.readVersion(0).count())
+  }
+
+  test("single-writer collision detection") {
+    val dir = tmpDir("gt-conflict")
+    val t1 = GraftTable.create(spark, dir, seedCustomers)
+    val t2 = GraftTable.forPath(spark, dir)
+    // Both handles see version 0; writing the same next version must fail
+    // for the second writer rather than corrupt.
+    t1.append(seedCustomers)
+    val log = new CommitLog(dir, spark.sessionState.newHadoopConf())
+    val stale = Commit(1L, 0L, "APPEND", Nil, Map.empty, seedCustomers.schema.json)
+    intercept[IllegalStateException](log.commit(stale))
+    assert(t2.version === 1)
+  }
+
+  test("empty-source merge commits cleanly (empty micro-batch)") {
+    val t = GraftTable.create(spark, tmpDir("gt-empty"), seedCustomers)
+    val c = t.merge(seedCustomers.filter(lit(false)), "id")
+    assert(c.metrics("numTargetRowsInserted") === 0)
+    assert(t.read().count() === 3)
+  }
+}
