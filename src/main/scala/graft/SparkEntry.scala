@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{MutationQueries, Views}
+import graft.analytics.{MutationQueries, ScalarQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,9 @@ object SparkEntry {
     "q14_history"            -> (MutationQueries.history _),
     "q15_latest_event_per_user" -> (MutationQueries.latestEventPerUser _),
     "q16_version_diff"       -> (MutationQueries.versionDiff _),
+    "q17_json_parse"         -> (ScalarQueries.jsonParse _),
+    "q18_scalar_surface"     -> (ScalarQueries.scalarSurface _),
+    "q19_event_stats"        -> (ScalarQueries.eventStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,5 +135,24 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
     "q16_version_diff" -> "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'",
+    "q17_json_parse" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+    "q18_scalar_surface" ->
+      """SELECT event_id,
+        |       concat_ws('-', event_type, user_id) AS event_key,
+        |       CASE WHEN event_type = 'signup' THEN 'INSERT'
+        |            WHEN event_type = 'purchase' THEN 'UPDATE'
+        |            WHEN event_type = 'error' THEN 'DELETE'
+        |            ELSE 'READ' END AS op_name,
+        |       date_trunc('hour', ts) AS ts_hour,
+        |       strftime(ts, '%Y-%m-%d') AS ts_day,
+        |       epoch_ms(ts) AS ts_ms,
+        |       coalesce("value", 0.0) AS value_filled
+        |FROM events""".stripMargin,
+    "q19_event_stats" ->
+      """SELECT event_type, count(*) AS event_count,
+        |       min(ts) AS first_seen, max(ts) AS last_seen,
+        |       count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
