@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.{Envelope, Parse}
+import graft.table.GraftTable
+
+/** Streaming CDC pipeline: source → Debezium parse → (a) versioned
+  * append-only audit log, (b) per-table current-state snapshots maintained
+  * by merge/delete inside `foreachBatch` — the exact shape of the
+  * reference's Spark job (`/root/reference/consumer/spark-streaming/
+  * spark_streaming.py:268-303` audit sink, `:306-414` snapshot sink).
+  *
+  * The source is a file-based stream of Debezium-envelope JSON lines in
+  * Kafka-record shape ([[Envelope.kafkaRecordSchema]]): no Kafka jar ships
+  * in this runtime, and `maxFilesPerTrigger` stands in for
+  * `maxOffsetsPerTrigger` (SURVEY §7.0). Production swap-back is the
+  * one-line `format("kafka").option("subscribe", …)` at [[source]].
+  *
+  * Scale notes: every batch operation is a distributed plan — the audit
+  * append is a blind columnar write; each snapshot merge shuffles batch and
+  * snapshot on the key (batch side is micro-batch-sized → AQE broadcasts
+  * it); delete keys flow through an anti-join, never the driver.
+  */
+object CdcPipeline {
+
+  final case class Config(
+      inputDir: String,
+      tableRoot: String,
+      checkpointRoot: String,
+      // Reference defaults: 10 s trigger, 10k records/batch
+      // (spark_streaming.py:35-36). AvailableNow drains-and-stops for tests
+      // and backfills.
+      triggerInterval: String = "10 seconds",
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Int = 1000,
+      tables: Seq[String] = Envelope.tableNames)
+
+  def auditTablePath(cfg: Config): String = s"${cfg.tableRoot}/cdc_events"
+  def snapshotPath(cfg: Config, table: String): String = s"${cfg.tableRoot}/$table"
+
+  /** The streaming source: Kafka-shaped records from JSON-line files
+    * (spark_streaming.py:187-198 minus the unavailable Kafka jar). */
+  def source(spark: SparkSession, cfg: Config): DataFrame =
+    spark.readStream
+      .schema(Envelope.kafkaRecordSchema)
+      .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
+      .json(cfg.inputDir)
+
+  private def trigger(cfg: Config): Trigger =
+    if (cfg.availableNow) Trigger.AvailableNow()
+    else Trigger.ProcessingTime(cfg.triggerInterval)
+
+  /** Audit-log stream (S8/ST6): parsed envelope rows appended forever to a
+    * versioned GraftTable, one commit per micro-batch. */
+  def startAuditStream(spark: SparkSession, cfg: Config): StreamingQuery =
+    Parse.parseDebezium(source(spark, cfg)).writeStream
+      .queryName("cdc_events_audit")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/cdc_events")
+      .trigger(trigger(cfg))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          GraftTable.createIfNotExists(spark, auditTablePath(cfg), batch.limit(0))
+            .append(batch)
+          (): Unit
+        }
+      }
+      .start()
+
+  /** Latest event per key within a batch, keyed on the JSON `id`: a batch
+    * can carry insert→update→delete chains for one row; only the final
+    * image may win. The reference applies upserts before deletes
+    * (spark_streaming.py:312-391), which mis-orders a delete→re-insert
+    * batch; resolving per-key by kafka_offset is strictly more faithful to
+    * the source of truth. */
+  private[pipeline] def latestPerKey(auditRows: DataFrame, table: String): DataFrame = {
+    val keyed = auditRows
+      .filter(col("source_table") === table)
+      .withColumn("__key",
+        coalesce(
+          get_json_object(col("after_data"), "$.id"),
+          get_json_object(col("before_data"), "$.id")).cast("long"))
+      .filter(col("__key").isNotNull)
+    val w = Window.partitionBy("__key").orderBy(desc("kafka_offset"))
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__key")
+  }
+
+  /** Apply one parsed micro-batch to one table's snapshot: winner rows with
+    * op c/u/r merge (M1), winner rows with op d anti-join delete (M3). */
+  private[pipeline] def applyBatchToSnapshot(
+      spark: SparkSession, cfg: Config, table: String, auditRows: DataFrame): Unit = {
+    val winners = latestPerKey(auditRows, table)
+    val upserts = Parse.typedSnapshotRows(winners, table)
+    val deletes = Parse.deleteKeyRows(winners, table)
+    val path = snapshotPath(cfg, table)
+    if (!upserts.isEmpty) {
+      GraftTable.createIfNotExists(spark, path, upserts.limit(0))
+        .merge(upserts, "id")
+    }
+    if (GraftTable.isTable(spark, path) && !deletes.isEmpty) {
+      GraftTable.forPath(spark, path).deleteKeys(deletes, "id")
+      (): Unit
+    }
+  }
+
+  /** Snapshot stream (S9/ST5): one foreachBatch query maintaining all
+    * configured tables, per-batch parse → split by table → merge/delete. */
+  def startSnapshotStream(spark: SparkSession, cfg: Config): StreamingQuery =
+    Parse.parseDebezium(source(spark, cfg)).writeStream
+      .queryName("table_snapshots")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/snapshots")
+      .trigger(trigger(cfg))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // Small micro-batch reused across N tables × (merge + delete)
+          // plans: cache it instead of re-parsing JSON 8×.
+          batch.persist()
+          try cfg.tables.foreach(t => applyBatchToSnapshot(spark, cfg, t, batch))
+          finally { batch.unpersist(); (): Unit }
+        }
+      }
+      .start()
+
+  /** Run both sinks (ST4): audit + snapshots, awaiting termination —
+    * `main()`'s shape at spark_streaming.py:417-478. */
+  def runOnce(spark: SparkSession, cfg: Config): Unit = {
+    val audit = startAuditStream(spark, cfg.copy(availableNow = true))
+    val snaps = startSnapshotStream(spark, cfg.copy(availableNow = true))
+    audit.awaitTermination()
+    snaps.awaitTermination()
+  }
+}

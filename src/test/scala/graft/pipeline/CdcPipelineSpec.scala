@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.cdc.CdcFixtures
+import graft.table.GraftTable
+
+/** End-to-end streaming replay of the reference's smoke sequence
+  * (scripts/test-cdc.sh:22-47): seed INSERTs, then UPDATE/INSERT/DELETE in
+  * a second batch, asserting audit log, snapshots, CDF and checkpointed
+  * resume — the driver-side equivalent of its eyeball-the-logs check. */
+class CdcPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeBatch(dir: String, name: String,
+      recs: Seq[(String, String, String, Int, Long, java.sql.Timestamp)]): Unit = {
+    val lines = recs.map { case (k, v, topic, part, off, ts) =>
+      val valueJson = Option(v) match {
+        case Some(s) => s
+        case None => "null"
+      }
+      s"""{"key":${escape(k)},"value":${if (valueJson == "null") "null" else escape(valueJson)},"topic":"$topic","partition":$part,"offset":$off,"timestamp":"${ts.toInstant}"}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def escape(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  test("streaming CDC: seed batch + DML batch → audit, snapshots, resume") {
+    val in = tmpDir("cdc-in")
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("cdc-tables"),
+      checkpointRoot = tmpDir("cdc-ckpt"),
+      availableNow = true,
+      tables = Seq("customers", "products"))
+
+    // Batch 1: the seed INSERTs (source-init.sql:78-104, abridged).
+    writeBatch(in, "batch1.json", Seq(
+      CdcFixtures.record("customers", "c", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 0),
+      CdcFixtures.record("customers", "c", 2,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 1),
+      CdcFixtures.record("products", "c", 1,
+        Some(CdcFixtures.productJson(1, "Laptop", 999.99, 10)), off = 2),
+      CdcFixtures.tombstone("customers", 1, off = 3)))
+    CdcPipeline.runOnce(spark, cfg)
+
+    val audit = GraftTable.forPath(spark, CdcPipeline.auditTablePath(cfg))
+    assert(audit.read().count() === 3) // tombstone dropped
+    val customers = GraftTable.forPath(spark, CdcPipeline.snapshotPath(cfg, "customers"))
+    assert(customers.read().count() === 2)
+    val products = GraftTable.forPath(spark, CdcPipeline.snapshotPath(cfg, "products"))
+    assert(products.read().select("name").as[String].collect().toSeq === Seq("Laptop"))
+
+    // Batch 2: test-cdc.sh DML — UPDATE customer email, UPDATE product
+    // stock, INSERT customer, DELETE customer 2. Checkpoint must resume
+    // from batch1 (no reprocessing: audit grows by exactly 4).
+    writeBatch(in, "batch2.json", Seq(
+      CdcFixtures.record("customers", "u", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john.doe@new.com")),
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 4),
+      CdcFixtures.record("products", "u", 1,
+        Some(CdcFixtures.productJson(1, "Laptop", 999.99, 50)),
+        Some(CdcFixtures.productJson(1, "Laptop", 999.99, 10)), off = 5),
+      CdcFixtures.record("customers", "c", 9,
+        Some(CdcFixtures.customerJson(9, "New", "User", "new@x.com")), off = 6),
+      CdcFixtures.record("customers", "d", 2, None,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 7)))
+    CdcPipeline.runOnce(spark, cfg)
+
+    assert(audit.read().count() === 7)
+    val snap = customers.read().orderBy("id").collect()
+    assert(snap.map(_.getAs[Long]("id")).toSeq === Seq(1L, 9L))
+    assert(snap(0).getAs[String]("email") === "john.doe@new.com")
+    assert(products.read().select("stock_quantity").as[Int].collect().toSeq === Seq(50))
+
+    // CDF across the customer snapshot versions records the full life cycle.
+    val changes = customers.readChanges(0)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(changes("insert") === 3)          // ids 1, 2, 9
+    assert(changes("update_postimage") === 1) // id 1 email change
+    assert(changes("delete") === 1)          // id 2
+  }
+
+  test("delete→re-insert inside one batch resolves to the re-insert") {
+    val in = tmpDir("cdc-in2")
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("cdc-tables2"),
+      checkpointRoot = tmpDir("cdc-ckpt2"),
+      availableNow = true,
+      tables = Seq("customers"))
+    writeBatch(in, "b1.json", Seq(
+      CdcFixtures.record("customers", "c", 1,
+        Some(CdcFixtures.customerJson(1, "A", "A", "a@x.com")), off = 0),
+      CdcFixtures.record("customers", "d", 1, None,
+        Some(CdcFixtures.customerJson(1, "A", "A", "a@x.com")), off = 1),
+      CdcFixtures.record("customers", "c", 1,
+        Some(CdcFixtures.customerJson(1, "A", "A", "a-back@x.com")), off = 2)))
+    CdcPipeline.runOnce(spark, cfg)
+    val customers = GraftTable.forPath(spark, CdcPipeline.snapshotPath(cfg, "customers"))
+    val rows = customers.read().collect()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[String]("email") === "a-back@x.com")
+  }
+}
