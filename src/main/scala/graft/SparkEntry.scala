@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{MutationQueries, ScalarQueries, Views}
+import graft.analytics.{CorpusQueries, MutationQueries, ScalarQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,18 @@ object SparkEntry {
     "q17_json_parse"         -> (ScalarQueries.jsonParse _),
     "q18_scalar_surface"     -> (ScalarQueries.scalarSurface _),
     "q19_event_stats"        -> (ScalarQueries.eventStats _),
+    "q20_token_stats"        -> (CorpusQueries.tokenStats _),
+    "q21_lang_id"            -> (CorpusQueries.langIdQuery _),
+    "q22_fingerprints"       -> (CorpusQueries.fingerprints _),
+    "q23_exact_dedup"        -> (CorpusQueries.exactDedup _),
+    "q24_tokenset_dedup"     -> (CorpusQueries.tokenSetDedup _),
+    "q25_minhash_neardup"    -> (CorpusQueries.minhashNearDups _),
+    "q26_simhash_neardup"    -> (CorpusQueries.simhashNearDups _),
+    "q27_ngram_jaccard"      -> (CorpusQueries.ngramJaccard _),
+    "q28_cosine_topk"        -> (CorpusQueries.cosineTopK _),
+    "q29_embedding_neardup"  -> (CorpusQueries.embeddingNearDups _),
+    "q30_embedding_neardup_lsh" -> (CorpusQueries.embeddingNearDupsLsh _),
+    "q31_cosine_topk_lsh"    -> (CorpusQueries.cosineTopKLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,5 +166,67 @@ object SparkEntry {
         |       min(ts) AS first_seen, max(ts) AS last_seen,
         |       count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS token_count,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_token_count,
+        |  CAST(length(text) AS BIGINT) AS char_count,
+        |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS punct_ratio,
+        |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |       t -> t IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS avg_word_len
+        |FROM documents""".stripMargin,
+    "q21_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('the','a','and','of','is'))) AS en,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('der','die','das','und','ist'))) AS de,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('el','la','los','que','es'))) AS es,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x IN ('le','la','les','et','est'))) AS fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN en = greatest(en, de, es, fr) AND en > 0 THEN 'en'
+        |       WHEN de = greatest(en, de, es, fr) AND de > 0 THEN 'de'
+        |       WHEN es = greatest(en, de, es, fr) AND es > 0 THEN 'es'
+        |       WHEN fr = greatest(en, de, es, fr) AND fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS predicted_lang
+        |FROM s""".stripMargin,
+    "q22_fingerprints" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS tokenset_fp,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(generate_series(1, length(text)),
+        |                     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+        |FROM documents""".stripMargin,
+    "q23_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q24_tokenset_dedup" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint,
+        |       min(doc_id) AS keeper_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q28_cosine_topk" ->
+      """SELECT e.vec_id,
+        |  list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |  / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |   * sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS score
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q29_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.5""".stripMargin,
   )
 }

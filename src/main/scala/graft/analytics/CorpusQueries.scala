@@ -1,0 +1,85 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextFunctions._
+
+/** Training-data corpus operators over `documents` / `embeddings` (builder
+  * prompt: dedup, similarity search, text analysis), wired as driver
+  * queries. SQL-expressible ones carry exact DuckDB oracles in
+  * [[graft.SparkEntry.oracleSql]]; hash-family ops (xxhash64-based minhash /
+  * simhash) are Spark-deterministic but not portable SQL, so they get
+  * rows-only driver checks plus brute-force oracles in the unit specs.
+  */
+object CorpusQueries {
+
+  /** Token counting + quality scoring (per-row, shuffle-free). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      // Counts cast to long: DuckDB len()/count() are BIGINT and the
+      // driver's hash compare is type-sensitive.
+      tokenCount(col("text")).cast("long").as("token_count"),
+      bpeTokenCount(col("text")).cast("long").as("bpe_token_count"),
+      charCount(col("text")).cast("long").as("char_count"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      avgWordLen(col("text")).as("avg_word_len"))
+
+  /** Language-ID heuristic (marker argmax). */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      langId(col("text")).as("predicted_lang"))
+
+  /** Content + token-set + rolling-hash fingerprints. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      contentHash(col("text")).as("content_hash"),
+      tokenSetFingerprint(col("text")).as("tokenset_fp"),
+      rollingHash(col("text")).as("rolling_hash"))
+
+  /** Exact dedup by content hash (hash-groupBy, map-side partial agg). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir))
+
+  /** Bag-of-words dedup — groups token-set permutations. */
+  def tokenSetDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.tokenSetDedup(Tables.documents(spark, dir))
+
+  /** MinHash+LSH near-dups (rows-only; spec-verified against brute force). */
+  def minhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(spark, dir), n = 3, k = 32,
+      bands = 8, threshold = 0.5)
+
+  /** SimHash fingerprints + near-dup pairs at Hamming ≤ 3 (rows-only). */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(spark, dir), maxDist = 3)
+
+  /** n-gram Jaccard near-dups over shared-shingle candidates (rows-only;
+    * spec-verified). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+
+  /** Exact embedding near-dup pairs (cosine ≥ 0.5) — DuckDB-checkable. */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsExact(Tables.embeddings(spark, dir), threshold = 0.5)
+
+  /** Sign-LSH bucketed near-dup — the 100 TB path (rows-only; recall vs
+    * exact is spec-verified). */
+  def embeddingNearDupsLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsLsh(Tables.embeddings(spark, dir), threshold = 0.5)
+
+  /** Brute-force cosine top-10 for query vector vec_id=0 (exact oracle). */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
+
+  /** LSH multi-probe top-10 (rows-only; recall spec-verified). */
+  def cosineTopKLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
+}

@@ -1,0 +1,228 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Corpus deduplication, structured for 100 TB: every algorithm is
+  * "candidate generation by key equality (shuffle on bucket key) → exact
+  * verification within candidates" — never an all-pairs comparison. The
+  * quadratic step is confined to rows sharing a bucket, which hashing keeps
+  * small; skewed buckets (stopword shingles) are capped by document
+  * frequency before the join.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: one hash-aggregate, map-side partial.
+    * Output: one row per distinct content, the minimal doc_id as keeper. */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextFunctions.contentHash(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Bag-of-words dedup: groups word-order permutations of the same token
+    * set — same single-shuffle shape as [[exactDedup]]. */
+  def tokenSetDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextFunctions.tokenSetFingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  // ----------------------------------------------------------- shingles
+
+  /** Distinct (doc_id, shingle) pairs. */
+  def docShingles(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard over shared-shingle candidate pairs. Shingles occurring
+    * in more than `maxDocFreq` documents are dropped before the self-join —
+    * they generate quadratic candidates while carrying no discriminative
+    * signal (the standard df-cap in large-scale dedup). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val sh = docShingles(docs, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val pruned = sh.join(rare, "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+
+    val a = pruned.select(col("shingle"), col("doc_id").as("a_id"))
+    val b = pruned.select(col("shingle"), col("doc_id").as("b_id"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("a_sz") + col("b_sz") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ------------------------------------------------------------ minhash
+
+  /** Deterministic universal-hash parameters (seeded, stable across runs).
+    * Constrained to 31 bits so `a * x + b` with 31-bit x stays well under
+    * 2^63 — ANSI mode (Spark 4 default) raises on long overflow. */
+  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)(((rnd.nextLong() & 0x7FFFFFFFL) | 1L, rnd.nextLong() & 0x7FFFFFFFL))
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+  private val Prime31 = 2147483647L // 2^31 - 1
+
+  /** MinHash signatures: shingle → explode → k permuted hashes → min per
+    * doc. One shuffle (the groupBy); signature width k columns folded into
+    * one array. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val params = hashParams(k, seed)
+    // 31-bit base hash: (31-bit a) * (31-bit x) + (31-bit b) < 2^63.
+    val base = docShingles(docs, n)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime31)))
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
+    }
+    base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: signature (length k) → `bands` buckets of `k/bands` rows
+    * each; docs colliding in any band become candidates. Band-bucket join is
+    * a plain shuffle on (band, hash-of-slice) — no pairwise work outside
+    * buckets. */
+  def minhashCandidates(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val banded = signatures.select(
+        col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            hash(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)).as("bucket"))): _*))
+          .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → minhash → band → bucket-join
+    * → exact-Jaccard verify of candidates only. */
+  def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    val cand = minhashCandidates(minhashSignatures(docs, n, k, seed), k, bands)
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("shingle"), col("doc_id").as("a_id"))
+    val b = sh.select(col("shingle"), col("doc_id").as("b_id"))
+    val common = cand.join(a, "a_id").join(b, Seq("shingle", "b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("a_sz") + col("b_sz") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash fingerprints: per distinct token, xxhash64; per bit,
+    * sum of ±1 across tokens; sign → bit. Two shuffles ((doc,bit) then doc);
+    * the 64× row blowup is narrow (3 small columns). */
+  def simhashFingerprints(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    toks.select(col("doc_id"),
+        explode(array((0 until 64).map(j =>
+          struct(lit(j).as("bit"),
+            when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1).as("v"))): _*))
+          .as("bv"))
+      .groupBy(col("doc_id"), col("bv.bit").as("bit"))
+      .agg(sum(col("bv.v")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dups: 4 bands of 16 bits generate candidates; verify by
+    * Hamming distance (bit_count of xor) ≤ maxDist. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(docs)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("chunk"))): _*)).as("bc"))
+      .select(col("doc_id"), col("simhash"), col("bc.band"), col("bc.chunk"))
+    val a = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("a_id"), col("simhash").as("a_fp"))
+    val b = banded.select(col("band"), col("chunk"),
+      col("doc_id").as("b_id"), col("simhash").as("b_fp"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // --------------------------------------------------------- embeddings
+
+  /** Exact dot product of two double-array columns: elementwise product,
+    * sequential left-to-right sum — bit-deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact all-pairs cosine near-dup — the verification baseline. Quadratic:
+    * only for modest partitions / oracle checks; the scale path is
+    * [[embeddingNearDupsLsh]]. */
+  def embeddingNearDupsExact(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).cast("array<double>").as("a_vec"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).cast("array<double>").as("b_vec"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** Deterministic Rademacher (±1) hyperplanes for sign-LSH. */
+  private[dedup] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-LSH bucketed near-dup: bucket = sign bits against `numPlanes`
+    * hyperplanes; exact cosine verify within buckets. Recall < 1 by design
+    * (near-threshold pairs may split buckets) — the standard scale/recall
+    * trade; raise recall by repeating with several seeds and unioning. */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double, numPlanes: Int = 12,
+      dim: Int = 64, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val vec = col(vecCol).cast("array<double>")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ + _)
+    val bucketed = emb.select(col(idCol).as("doc_id"), vec.as("vec"), bucket.as("bucket"))
+    val a = bucketed.select(col("bucket"), col("doc_id").as("a_id"), col("vec").as("a_vec"))
+    val b = bucketed.select(col("bucket"), col("doc_id").as("b_id"), col("vec").as("b_vec"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+}

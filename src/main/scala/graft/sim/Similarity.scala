@@ -1,0 +1,92 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup.{cosine, dot}
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Beyond-reference surface (builder prompt): ANN retrieval a training-data
+  * pipeline needs — brute-force cosine top-k as the exact baseline, and a
+  * sign-LSH bucketed variant as the scale path (probe only buckets near the
+  * query instead of scanning all 100 TB of vectors).
+  *
+  * All arithmetic is `zip_with` product + sequential `aggregate` sum over
+  * doubles — bit-deterministic, codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine against the vector of `queryId`. The query row
+    * is a broadcast nested-loop join of a 1-row side — no collect, no
+    * driver round-trip; the scan side streams once. Tie-break on id keeps
+    * the selected set engine-independent. */
+  def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("q_vec"))
+    emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", cosine(col("vec"), col("q_vec")))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Sign-LSH approximate top-k: vectors bucket by sign bits against
+    * `numPlanes` deterministic hyperplanes; only vectors whose bucket is
+    * within `maxHamming` bits of the query's bucket are scored (multi-probe
+    * — recall without a second index). At scale the bucket column is
+    * precomputed and partitioned on, so a query touches a few partitions
+    * instead of the full corpus. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, numPlanes: Int = 12,
+      dim: Int = 64, maxHamming: Int = 2, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = withLshBucket(emb, numPlanes, dim, seed, idCol, vecCol)
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("vec").as("q_vec"), col("bucket").as("q_bucket"))
+    bucketed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= maxHamming)
+      .withColumn("score", cosine(col("vec"), col("q_vec")))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Attach the sign-LSH bucket id (a `numPlanes`-bit long). */
+  def withLshBucket(emb: DataFrame, numPlanes: Int, dim: Int, seed: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val vec = col(vecCol).cast("array<double>")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    emb.select(col(idCol).as("vec_id"), vec.as("vec"), bucket.as("bucket"))
+  }
+
+  /** Deterministic Rademacher hyperplanes (seeded; stable across runs). */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Pairwise centroid assignment (IVF-style coarse quantizer): assign each
+    * vector to the nearest of `centroids` (broadcast small side); at scale
+    * this is the partitioning key that turns ANN into per-partition search. */
+  def assignToCentroids(emb: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id", centroidVecCol: String = "centroid"): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+    val c = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).cast("array<double>").as("c_vec"))
+    v.crossJoin(broadcast(c))
+      .withColumn("score", cosine(col("vec"), col("c_vec")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(desc("score"), col("centroid_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("score").as("centroid_score"))
+  }
+}
