@@ -55,6 +55,9 @@ object SparkEntry {
     "q29_embedding_neardup"  -> (CorpusQueries.embeddingNearDups _),
     "q30_embedding_neardup_lsh" -> (CorpusQueries.embeddingNearDupsLsh _),
     "q31_cosine_topk_lsh"    -> (CorpusQueries.cosineTopKLsh _),
+    "q32_hourly_events"      -> (graft.streaming.EventWindows.hourlyEventStats _),
+    "q33_media_features"     -> ((s, d) =>
+      graft.multimodal.Multimodal.mediaFeatureSummary(s, Tables.documents(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -228,5 +231,10 @@ object SparkEntry {
         |  AND list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.5""".stripMargin,
+    "q32_hourly_events" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS event_count,
+        |       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }
