@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: print executed plans of driver queries for pushdown / codegen
+  * inspection (`.explain("formatted")`). */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q8_pricing_summary")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

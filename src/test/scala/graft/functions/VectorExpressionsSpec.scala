@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (Seq(0.1, 0.2), Seq(0.3, 0.4))).toDF("a", "b")
+
+  test("DotProduct equals the interpreted HOF phrasing bit-for-bit") {
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(
+      GraftFunctions.dotProduct(col("a"), col("b")).as("fast"),
+      hof.as("slow")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+    assert(rows(0).getDouble(0) === 32.0)
+  }
+
+  test("null array yields null") {
+    val withNull = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    val r = withNull.select(GraftFunctions.dotProduct(col("a"), col("b"))).collect()
+    assert(r(0).isNullAt(0))
+  }
+
+  test("graft_dot is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1d, 2d), array(3d, 4d)) AS d").collect()
+    assert(r(0).getDouble(0) === 11.0)
+  }
+
+  test("the expression participates in whole-stage codegen") {
+    // LocalTableScan never enters a codegen stage; use a range-backed plan.
+    val plan = spark.range(8)
+      .select(GraftFunctions.dotProduct(
+        array(col("id").cast("double"), lit(1.0)),
+        array(lit(2.0), lit(3.0))).as("d"))
+      .queryExecution.executedPlan
+    // `*(n)` notation in toString marks a WholeStageCodegen stage; assert on
+    // the tree to be robust.
+    assert(plan.exists(_.getClass.getSimpleName == "WholeStageCodegenExec"),
+      s"no codegen stage in:\n$plan")
+  }
+}
