@@ -37,7 +37,10 @@ object CdcPipeline {
       triggerInterval: String = "10 seconds",
       availableNow: Boolean = false,
       maxFilesPerTrigger: Int = 1000,
-      tables: Seq[String] = Envelope.tableNames)
+      tables: Seq[String] = Envelope.tableNames,
+      // Refresh the reference's materialized views after each batch
+      // (init-risingwave.sql:73-109; SURVEY ST10).
+      maintainMvs: Boolean = false)
 
   def auditTablePath(cfg: Config): String = s"${cfg.tableRoot}/cdc_events"
   def snapshotPath(cfg: Config, table: String): String = s"${cfg.tableRoot}/$table"
@@ -120,8 +123,10 @@ object CdcPipeline {
           // Small micro-batch reused across N tables × (merge + delete)
           // plans: cache it instead of re-parsing JSON 8×.
           batch.persist()
-          try cfg.tables.foreach(t => applyBatchToSnapshot(spark, cfg, t, batch))
-          finally { batch.unpersist(); (): Unit }
+          try {
+            cfg.tables.foreach(t => applyBatchToSnapshot(spark, cfg, t, batch))
+            if (cfg.maintainMvs) MaterializedViews.refreshAll(spark, cfg)
+          } finally { batch.unpersist(); (): Unit }
         }
       }
       .start()

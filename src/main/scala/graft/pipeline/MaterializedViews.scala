@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.table.GraftTable
+
+/** The reference's three incrementally-maintained materialized views
+  * (`/root/reference/consumer/risingwave-connector/init-risingwave.sql:73-109`),
+  * maintained Spark-natively: after each CDC micro-batch updates the
+  * snapshot tables, each MV is recomputed from the snapshots and committed
+  * to its own versioned GraftTable — the "recompute-per-batch inside
+  * foreachBatch" strategy (SURVEY §2.1 ST10). Readers always see a complete
+  * consistent version; every refresh is a recorded commit (history works on
+  * MVs too).
+  *
+  * Scale: each refresh is one distributed agg/join over the snapshot —
+  * the same plan the batch query runs. True delta-incremental maintenance
+  * (applying only CDF rows) is the upgrade path; the CDF the mutation layer
+  * already emits ([[GraftTable.readChanges]]) carries exactly the rows an
+  * incremental maintainer would consume.
+  */
+object MaterializedViews {
+
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** MV `order_analytics` (init-risingwave.sql:73-81) over the orders
+    * snapshot. */
+  def orderAnalytics(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        to_date(date_trunc("day", col("order_date"))).as("order_day"),
+        col("status"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        moneySum(col("total_amount")).as("total_revenue"),
+        (moneySum(col("total_amount")) / count(col("total_amount"))).as("avg_order_value"))
+
+  /** MV `customer_order_summary` (init-risingwave.sql:84-94). */
+  def customerOrderSummary(customers: DataFrame, orders: DataFrame): DataFrame =
+    customers.alias("c")
+      .join(orders.alias("o"), col("c.id") === col("o.customer_id"), "left")
+      .groupBy(col("c.id").as("customer_id"), col("c.first_name"),
+        col("c.last_name"), col("c.email"))
+      .agg(
+        count(col("o.id")).as("total_orders"),
+        coalesce(moneySum(col("o.total_amount")), lit(0.0)).as("lifetime_value"))
+
+  /** MV `product_inventory` (init-risingwave.sql:97-109) with the
+    * stock_status CASE bucketing. */
+  def productInventory(products: DataFrame): DataFrame =
+    products.select(
+      col("id"), col("name"), col("category"), col("price"),
+      col("stock_quantity"),
+      when(col("stock_quantity") === 0, "Out of Stock")
+        .when(col("stock_quantity") < 10, "Low Stock")
+        .otherwise("In Stock").as("stock_status"))
+
+  def mvPath(cfg: CdcPipeline.Config, name: String): String =
+    s"${cfg.tableRoot}/mv_$name"
+
+  /** Refresh all MVs whose source snapshots exist. Called from the snapshot
+    * foreachBatch after merges/deletes land, so MV versions trail snapshot
+    * versions by at most one batch. */
+  def refreshAll(spark: SparkSession, cfg: CdcPipeline.Config): Unit = {
+    def snap(t: String): Option[DataFrame] = {
+      val p = CdcPipeline.snapshotPath(cfg, t)
+      if (GraftTable.isTable(spark, p)) Some(GraftTable.forPath(spark, p).read()) else None
+    }
+    def publish(name: String, df: DataFrame): Unit = {
+      val p = mvPath(cfg, name)
+      if (GraftTable.isTable(spark, p)) { GraftTable.forPath(spark, p).overwrite(df); () }
+      else { GraftTable.create(spark, p, df); () }
+    }
+    snap("orders").foreach(o => publish("order_analytics", orderAnalytics(o)))
+    for (c <- snap("customers"); o <- snap("orders"))
+      publish("customer_order_summary", customerOrderSummary(c, o))
+    snap("products").foreach(p => publish("product_inventory", productInventory(p)))
+  }
+}
