@@ -80,11 +80,15 @@ object Dedup {
     * doc. One shuffle (the groupBy); signature width k columns folded into
     * one array. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 32,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    signaturesFromShingles(docShingles(docs, n), k, seed)
+
+  /** Signatures from an existing (doc_id, shingle) set — lets callers share
+    * one shingle scan between signing and verification. */
+  def signaturesFromShingles(sh: DataFrame, k: Int, seed: Long): DataFrame = {
     val params = hashParams(k, seed)
     // 31-bit base hash: (31-bit a) * (31-bit x) + (31-bit b) < 2^63.
-    val base = docShingles(docs, n)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime31)))
+    val base = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime31)))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(MersennePrime))).as(s"m$i")
     }
@@ -116,8 +120,8 @@ object Dedup {
     * → exact-Jaccard verify of candidates only. */
   def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val cand = minhashCandidates(minhashSignatures(docs, n, k, seed), k, bands)
     val sh = docShingles(docs, n)
+    val cand = minhashCandidates(signaturesFromShingles(sh, k, seed), k, bands)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("shingle"), col("doc_id").as("a_id"))
     val b = sh.select(col("shingle"), col("doc_id").as("b_id"))
@@ -135,23 +139,22 @@ object Dedup {
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash fingerprints: per distinct token, xxhash64; per bit,
-    * sum of ±1 across tokens; sign → bit. Two shuffles ((doc,bit) then doc);
-    * the 64× row blowup is narrow (3 small columns). */
+    * sum of ±1 across tokens; sign → bit. One shuffle: the 64 per-bit sums
+    * are 64 aggregate columns over the token rows (map-side partial), not a
+    * 64× row explosion — at corpus scale that's a plain hash aggregate on
+    * doc_id. */
   def simhashFingerprints(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
       .withColumn("h", xxhash64(col("token")))
-    toks.select(col("doc_id"),
-        explode(array((0 until 64).map(j =>
-          struct(lit(j).as("bit"),
-            when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1).as("v"))): _*))
-          .as("bv"))
-      .groupBy(col("doc_id"), col("bv.bit").as("bit"))
-      .agg(sum(col("bv.v")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
-        .as("simhash"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dups: 4 bands of 16 bits generate candidates; verify by
