@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CorpusQueries, MutationQueries, ScalarQueries, Views}
+import graft.analytics.{CorpusQueries, MutationQueries, ScalarQueries, TemporalQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,7 @@ object SparkEntry {
     "q32_hourly_events"      -> (graft.streaming.EventWindows.hourlyEventStats _),
     "q33_media_features"     -> ((s, d) =>
       graft.multimodal.Multimodal.mediaFeatureSummary(s, Tables.documents(s, d))),
+    "q34_asof_join"          -> (TemporalQueries.asofOrderStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -236,5 +237,14 @@ object SparkEntry {
         |       count(*) AS event_count,
         |       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q34_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, count(*) AS day_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, r.o_orderdate AS matched_date,
+        |       r.day_orders, r.day_total
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
   )
 }

@@ -1,0 +1,32 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analytics.Views.moneySum
+import graft.operators.AsOfJoin
+
+/** Temporal operators as driver queries. */
+object TemporalQueries {
+
+  /** As-of join: each event picks up the user's latest order-day stats at
+    * or before the event time. Right side is pre-aggregated to one row per
+    * (customer, day) so the match is unique — the determinism requirement
+    * any ASOF engine shares. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  def asofOrderStats(spark: SparkSession, dir: String): DataFrame = {
+    val dayOrders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(
+        count(lit(1)).as("day_orders"),
+        moneySum(col("o_totalprice")).as("day_total"))
+    val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+    AsOfJoin.leftAsOf(ev, dayOrders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate")
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        col("o_orderdate").as("matched_date"),
+        col("day_orders"), col("day_total"))
+  }
+}
