@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CorpusQueries, MutationQueries, ScalarQueries, TemporalQueries, Views}
+import graft.analytics.{CorpusQueries, MutationQueries, OlapQueries, ScalarQueries, TemporalQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,9 @@ object SparkEntry {
     "q33_media_features"     -> ((s, d) =>
       graft.multimodal.Multimodal.mediaFeatureSummary(s, Tables.documents(s, d))),
     "q34_asof_join"          -> (TemporalQueries.asofOrderStats _),
+    "q35_revenue_rollup"     -> (OlapQueries.revenueRollup _),
+    "q36_event_sessions"     -> (OlapQueries.eventSessions _),
+    "q37_segment_stats"      -> (OlapQueries.segmentStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,5 +249,40 @@ object SparkEntry {
         |       r.day_orders, r.day_total
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts""".stripMargin,
+    "q35_revenue_rollup" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |       count(*) AS order_count,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY ROLLUP (r.r_name, n.n_name)""".stripMargin,
+    "q36_event_sessions" ->
+      """WITH g AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |                   OR epoch_ms(ts) - epoch_ms(prev_ts) > 30 * 60 * 1000
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT event_id, user_id, ts, "value",
+        |               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS session_events,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q37_segment_stats" ->
+      """SELECT c.c_mktsegment AS segment,
+        |       count(DISTINCT c.c_custkey) AS active_customers,
+        |       count(*) AS orders_total,
+        |       sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS orders_f,
+        |       sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS orders_o,
+        |       max(o.o_totalprice) AS max_order
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.analytics.Views.moneySum
+
+/** OLAP extras the engine exposes beyond the reference's own surface
+  * (SURVEY §2.4 engine note: distinct aggregates, rollup/cube and window
+  * analytics come free from Spark and are part of the library's contract). */
+object OlapQueries {
+
+  /** ROLLUP over the region→nation dimension chain: revenue subtotals at
+    * (region, nation), (region) and grand-total levels — one pass,
+    * partial-aggregated. Uses the full region/nation/customer/orders chain. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(r("r_name").as("region"), n("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        moneySum(o("o_totalprice")).as("revenue"))
+  }
+
+  /** Sessionization: per-user sessions split on >30 min inactivity gaps,
+    * via lag + cumulative-sum-of-boundaries — the pure window-function
+    * formulation that runs identically on any SQL engine (and matches the
+    * DuckDB oracle exactly, unlike the opaque session ids of
+    * `session_window`). Two window passes over one shuffle on user_id. */
+  def eventSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("session_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        moneySum(col("value")).as("session_value"))
+  }
+
+  /** Distinct + conditional aggregation surface: per market segment, exact
+    * distinct customers with orders, order counts by status bucket. */
+  def segmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(c("c_mktsegment").as("segment"))
+      .agg(
+        countDistinct(c("c_custkey")).as("active_customers"),
+        count(lit(1)).as("orders_total"),
+        sum(when(o("o_orderstatus") === "F", 1L).otherwise(0L)).as("orders_f"),
+        sum(when(o("o_orderstatus") === "O", 1L).otherwise(0L)).as("orders_o"),
+        max(o("o_totalprice")).as("max_order"))
+      .orderBy(col("segment"))
+  }
+}
