@@ -21,29 +21,45 @@ object MutationQueries {
   private def freshDir(tag: String): String =
     Files.createTempDirectory(s"graft-$tag-").toString
 
+  // The fixture tables are deterministic functions of (sf dir, recipe), and
+  // GraftTable versions are immutable — so queries sharing a recipe
+  // (q10/q13/q14 on the merged table, q11/q16 on the deleted table) reuse
+  // one materialization per JVM instead of rebuilding it per query.
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), GraftTable]()
+
+  private def cached(dir: String, tag: String)(build: => GraftTable): GraftTable =
+    fixtureCache.computeIfAbsent((dir, tag), _ => build)
+
   /** Base: half of orders (even keys) with a poisoned o_totalprice, so a
     * subsequent merge of the full table updates every matched row and
     * inserts every odd key. */
-  private def mergedOrdersTable(spark: SparkSession, dir: String, tag: String): GraftTable = {
-    val orders = Tables.orders(spark, dir)
-    val base = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-      .withColumn("o_totalprice", lit(-1.0))
-    val t = GraftTable.create(spark, freshDir(tag), base)
-    t.merge(orders, "o_orderkey")
-    t
-  }
+  private def mergedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "merged") {
+      val orders = Tables.orders(spark, dir)
+      val base = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("o_totalprice", lit(-1.0))
+      val t = GraftTable.create(spark, freshDir("merge"), base)
+      t.merge(orders, "o_orderkey")
+      t
+    }
+
+  /** Orders table with `o_orderstatus = 'F'` rows deleted at v1. */
+  private def deletedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "deleted") {
+      val t = GraftTable.create(spark, freshDir("delete"), Tables.orders(spark, dir))
+      t.delete(col("o_orderstatus") === "F")
+      t
+    }
 
   /** MERGE upsert (M1/M2): update-all + insert-all on o_orderkey; final
     * snapshot must equal the source table exactly. */
   def mergeUpsert(spark: SparkSession, dir: String): DataFrame =
-    mergedOrdersTable(spark, dir, "merge").read()
+    mergedOrdersTable(spark, dir).read()
 
   /** DELETE by predicate (M3): left-anti rewrite. */
-  def deleteWhere(spark: SparkSession, dir: String): DataFrame = {
-    val t = GraftTable.create(spark, freshDir("delete"), Tables.orders(spark, dir))
-    t.delete(col("o_orderstatus") === "F")
-    t.read()
-  }
+  def deleteWhere(spark: SparkSession, dir: String): DataFrame =
+    deletedOrdersTable(spark, dir).read()
 
   /** Time travel (S4): read v0 after a destructive later commit. */
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
@@ -55,14 +71,14 @@ object MutationQueries {
   /** Change Data Feed (S6/M8): the change rows of the mergeUpsert commit —
     * insert per odd key, update pre/post images per even key. */
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
-    val t = mergedOrdersTable(spark, dir, "cdf")
+    val t = mergedOrdersTable(spark, dir)
     t.readChanges(1).drop("_commit_timestamp")
   }
 
   /** History (S7): version / operation / numOutputRows, as
     * `DeltaTable.history()` exposes via operationMetrics. */
   def history(spark: SparkSession, dir: String): DataFrame = {
-    val t = mergedOrdersTable(spark, dir, "hist")
+    val t = mergedOrdersTable(spark, dir)
     t.history().select(
       col("version"),
       col("operation"),
@@ -84,8 +100,7 @@ object MutationQueries {
   /** Version diff via anti-join (SURVEY J7/U3, notebook cell 53): keys
     * deleted between v0 and the head after a DELETE commit. */
   def versionDiff(spark: SparkSession, dir: String): DataFrame = {
-    val t = GraftTable.create(spark, freshDir("diff"), Tables.orders(spark, dir))
-    t.delete(col("o_orderstatus") === "F")
+    val t = deletedOrdersTable(spark, dir)
     t.readVersion(0).select("o_orderkey")
       .join(t.read().select("o_orderkey"), Seq("o_orderkey"), "left_anti")
   }
