@@ -62,6 +62,7 @@ object SparkEntry {
     "q35_revenue_rollup"     -> (OlapQueries.revenueRollup _),
     "q36_event_sessions"     -> (OlapQueries.eventSessions _),
     "q37_segment_stats"      -> (OlapQueries.segmentStats _),
+    "q38_topk_per_key"       -> (OlapQueries.topOrdersPerCustomer _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,5 +285,12 @@ object SparkEntry {
         |       max(o.o_totalprice) AS max_order
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_topk_per_key" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
   )
 }

@@ -52,6 +52,18 @@ object OlapQueries {
         moneySum(col("value")).as("session_value"))
   }
 
+  /** Grouped top-k through the custom physical operator
+    * ([[org.apache.spark.sql.graftnative.TopKPerKeyExec]]): top 3 orders
+    * per customer by price — one exchange, bounded per-key heaps, no sort.
+    * The struct tiebreak makes the kept set unique, so the row_number
+    * phrasing is an exact oracle. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    org.apache.spark.sql.graftnative.GraftOps.topKPerKey(
+      o, Seq("o_custkey"),
+      struct(col("o_totalprice"), col("o_orderkey")), k = 3)
+  }
+
   /** Distinct + conditional aggregation surface: per market segment, exact
     * distinct customers with orders, order counts by status bucket. */
   def segmentStats(spark: SparkSession, dir: String): DataFrame = {

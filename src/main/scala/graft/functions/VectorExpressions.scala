@@ -29,9 +29,11 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` hook: set
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions` and plain SQL
-  * sees `graft_dot` without programmatic registration. */
+  * sees `graft_dot`, and the planner knows graft's physical operators
+  * (grouped top-k), without programmatic registration. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.GraftStrategies)
   }
 }
