@@ -63,6 +63,7 @@ object SparkEntry {
     "q36_event_sessions"     -> (OlapQueries.eventSessions _),
     "q37_segment_stats"      -> (OlapQueries.segmentStats _),
     "q38_topk_per_key"       -> (OlapQueries.topOrdersPerCustomer _),
+    "q39_decimal_pricing"    -> (OlapQueries.decimalPricing _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -292,5 +293,10 @@ object SparkEntry {
         |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
         |      FROM orders) t
         |WHERE rn <= 3""".stripMargin,
+    "q39_decimal_pricing" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue_dec,
+        |       CAST(avg(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_discount_dec
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -64,6 +64,21 @@ object OlapQueries {
       struct(col("o_totalprice"), col("o_orderkey")), k = 3)
   }
 
+  /** Decimal-typed aggregation (SURVEY §1.2: the reference's RisingWave /
+    * pre-created-table path stores DECIMAL(10,2)/(12,2); the engine exposes
+    * exact decimal arithmetic end to end, not just as an internal trick). */
+  def decimalPricing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+          .as("revenue_dec"),
+        avg(col("l_discount").cast(DecimalType(12, 2))).cast(DecimalType(18, 6))
+          .as("avg_discount_dec"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Distinct + conditional aggregation surface: per market segment, exact
     * distinct customers with orders, order counts by status bucket. */
   def segmentStats(spark: SparkSession, dir: String): DataFrame = {

@@ -37,22 +37,31 @@ object Dedup {
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
       .distinct()
 
-  /** Exact Jaccard over shared-shingle candidate pairs. Shingles occurring
-    * in more than `maxDocFreq` documents are dropped before the self-join —
-    * they generate quadratic candidates while carrying no discriminative
-    * signal (the standard df-cap in large-scale dedup). */
+  /** Exact Jaccard over shared-shingle candidate pairs. Candidate
+    * generation drops shingles occurring in more than `maxDocFreq`
+    * documents — they generate quadratic candidates while carrying no
+    * discriminative signal (the standard df-cap in large-scale dedup; it
+    * bounds recall, not precision). Verification then computes TRUE
+    * jaccard over the full shingle sets of the candidates only. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
     val sh = docShingles(docs, n)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val pruned = sh.join(rare, "shingle")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-
-    val a = pruned.select(col("shingle"), col("doc_id").as("a_id"))
-    val b = pruned.select(col("shingle"), col("doc_id").as("b_id"))
-    val common = a.join(b, Seq("shingle"))
+    val cand = pruned.select(col("shingle"), col("doc_id").as("a_id"))
+      .join(pruned.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact jaccard of candidate (a_id, b_id) pairs over full shingle sets. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("shingle"), col("doc_id").as("a_id"))
+    val b = sh.select(col("shingle"), col("doc_id").as("b_id"))
+    val common = cand.join(a, "a_id").join(b, Seq("shingle", "b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
@@ -122,18 +131,7 @@ object Dedup {
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val sh = docShingles(docs, n)
     val cand = minhashCandidates(signaturesFromShingles(sh, k, seed), k, bands)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("shingle"), col("doc_id").as("a_id"))
-    val b = sh.select(col("shingle"), col("doc_id").as("b_id"))
-    val common = cand.join(a, "a_id").join(b, Seq("shingle", "b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("a_sz") + col("b_sz") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+    verifyJaccard(cand, sh, threshold)
   }
 
   // ------------------------------------------------------------ simhash
