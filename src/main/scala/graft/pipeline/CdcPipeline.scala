@@ -139,4 +139,9 @@ object CdcPipeline {
     audit.awaitTermination()
     snaps.awaitTermination()
   }
+
+  /** Graceful shutdown (ST7, spark_streaming.py:429-444): stop every active
+    * query after its in-flight batch completes; safe from a signal hook. */
+  def stopAll(spark: SparkSession): Unit =
+    spark.streams.active.foreach(_.stop())
 }

@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.cdc.CdcFixtures
+import graft.table.GraftTable
+
+/** Streaming-semantics coverage beyond the happy path: ProcessingTime
+  * trigger + graceful stop (ST1/ST7), and maxFilesPerTrigger rate limiting
+  * (ST2 — the file-source analogue of maxOffsetsPerTrigger=10000,
+  * spark_streaming.py:36,195). */
+class StreamingSemanticsSpec extends SparkSpec {
+
+  private def writeRecord(dir: String, name: String, off: Long): Unit = {
+    val (k, v, topic, part, offset, ts) = CdcFixtures.record(
+      "customers", "c", off,
+      Some(CdcFixtures.customerJson(off, s"U$off", "X", s"u$off@x.com")), off = off)
+    val line =
+      s"""{"key":"${k.replace("\"", "\\\"")}","value":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}","topic":"$topic","partition":$part,"offset":$offset,"timestamp":"${ts.toInstant}"}"""
+    Files.write(Paths.get(dir, name), line.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  test("ProcessingTime trigger processes continuously until graceful stop") {
+    val in = tmpDir("st-in")
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("st-tables"),
+      checkpointRoot = tmpDir("st-ckpt"),
+      triggerInterval = "1 second",
+      tables = Seq("customers"))
+    writeRecord(in, "r0.json", 0)
+    val q = CdcPipeline.startAuditStream(spark, cfg)
+    try {
+      // wait for the first batch to land
+      val deadline = System.currentTimeMillis() + 60000
+      while (!GraftTable.isTable(spark, CdcPipeline.auditTablePath(cfg)) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      // feed one more file; the running trigger must pick it up
+      writeRecord(in, "r1.json", 1)
+      val t = GraftTable.forPath(spark, CdcPipeline.auditTablePath(cfg))
+      while (t.read().count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(t.read().count() === 2)
+    } finally {
+      CdcPipeline.stopAll(spark)
+    }
+    assert(spark.streams.active.isEmpty)
+  }
+
+  test("maxFilesPerTrigger throttles a backlog into multiple commits") {
+    val in = tmpDir("mft-in")
+    (0L until 4L).foreach(i => writeRecord(in, s"f$i.json", i))
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("mft-tables"),
+      checkpointRoot = tmpDir("mft-ckpt"),
+      availableNow = true,
+      maxFilesPerTrigger = 1,
+      tables = Seq("customers"))
+    val q = CdcPipeline.startAuditStream(spark, cfg)
+    q.awaitTermination()
+    val audit = GraftTable.forPath(spark, CdcPipeline.auditTablePath(cfg))
+    assert(audit.read().count() === 4)
+    // throttled into one-file micro-batches → at least 4 commits (v0..v3);
+    // exact batch slicing is a source implementation detail.
+    assert(audit.version >= 3)
+  }
+}
