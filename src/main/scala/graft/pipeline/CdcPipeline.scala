@@ -64,10 +64,13 @@ object CdcPipeline {
       .queryName("cdc_events_audit")
       .option("checkpointLocation", s"${cfg.checkpointRoot}/cdc_events")
       .trigger(trigger(cfg))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // appendOnce: a batch replayed after a crash between sink write
+          // and checkpoint commit is detected by its txn stamp and skipped
+          // — exactly-once audit rows (ST3/ST9).
           GraftTable.createIfNotExists(spark, auditTablePath(cfg), batch.limit(0))
-            .append(batch)
+            .appendOnce(batch, "cdc_events_audit", batchId)
           (): Unit
         }
       }

@@ -21,6 +21,11 @@ import org.json4s.jackson.JsonMethods
   *                  Delta's history operationMetrics surface the reference
   *                  inspects (notebooks/deltalake-query.ipynb cell 11).
   * @param schemaJson Spark StructType json of the snapshot schema.
+  * @param txnAppId / txnBatchId  idempotent-writer bookkeeping (Delta's
+  *                  `txn` action): a streaming sink stamps each commit with
+  *                  its query id + batch id, and a replayed batch is
+  *                  detected and skipped — upgrading the at-least-once
+  *                  checkpoint contract to exactly-once appends.
   */
 final case class Commit(
     version: Long,
@@ -28,7 +33,9 @@ final case class Commit(
     operation: String,
     dataDirs: Seq[String],
     metrics: Map[String, Long],
-    schemaJson: String)
+    schemaJson: String,
+    txnAppId: Option[String] = None,
+    txnBatchId: Option[Long] = None)
 
 /** Tiny single-writer commit log: one JSON file per version under
   * `<table>/_graft_log/`, written temp-file-then-rename so a version becomes
@@ -92,14 +99,16 @@ object CommitLog {
   val LogDirName = "_graft_log"
 
   def toJson(c: Commit): String = {
-    val j = JObject(
-      "version" -> JLong(c.version),
+    val base = List(
+      "version" -> (JLong(c.version): JValue),
       "tsMs" -> JLong(c.tsMs),
       "operation" -> JString(c.operation),
       "dataDirs" -> JArray(c.dataDirs.map(JString(_)).toList),
       "metrics" -> JObject(c.metrics.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
-      "schemaJson" -> JString(c.schemaJson))
-    JsonMethods.compact(JsonMethods.render(j))
+      "schemaJson" -> JString(c.schemaJson)) ++
+      c.txnAppId.map(v => "txnAppId" -> (JString(v): JValue)).toList ++
+      c.txnBatchId.map(v => "txnBatchId" -> (JLong(v): JValue)).toList
+    JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
 
   def fromJson(s: String): Commit = {
@@ -121,6 +130,13 @@ object CommitLog {
       }.toMap
       case _ => Map.empty[String, Long]
     }
-    Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics, str("schemaJson"))
+    val txnApp = j \ "txnAppId" match { case JString(v) => Some(v); case _ => None }
+    val txnBatch = j \ "txnBatchId" match {
+      case JLong(v) => Some(v)
+      case JInt(v) => Some(v.toLong)
+      case _ => None
+    }
+    Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
+      str("schemaJson"), txnApp, txnBatch)
   }
 }

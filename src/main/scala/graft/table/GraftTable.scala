@@ -137,24 +137,42 @@ final class GraftTable private (
     * Adds one data dir; previous dirs are referenced, never rewritten.
     * Additive schema evolution (M6, `mergeSchema`): new columns extend the
     * snapshot schema; old dirs read back with nulls for them. */
-  def append(df: DataFrame): Commit = this.synchronized {
-    val prev = log.latest()
-    val v = prev.map(_.version + 1).getOrElse(0L)
-    val tsMs = System.currentTimeMillis()
-    val prevSchema = prev.map(c => DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
-    val mergedSchema = prevSchema match {
-      case None => df.schema
-      case Some(ps) =>
-        StructType(ps.fields ++ df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+  def append(df: DataFrame): Commit = appendInternal(df, None)
+
+  /** Exactly-once streaming append (Delta's `txn` action): the commit is
+    * stamped with (txnAppId, txnBatchId); if this writer already committed
+    * this or a later batch — a crash-replay under the at-least-once
+    * checkpoint contract — the append is skipped and None returned. */
+  def appendOnce(df: DataFrame, txnAppId: String, txnBatchId: Long): Option[Commit] =
+    this.synchronized {
+      if (lastCommittedBatch(txnAppId).exists(_ >= txnBatchId)) None
+      else Some(appendInternal(df, Some((txnAppId, txnBatchId))))
     }
-    val aligned = alignTo(df, mergedSchema)
-    val dir = writeData(aligned, v)
-    val added = countDir(dir)
-    val c = Commit(v, tsMs, if (prev.isEmpty) "CREATE" else "APPEND",
-      prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
-      Map("numOutputRows" -> added), mergedSchema.json)
-    log.commit(c); c
-  }
+
+  /** Highest batch id committed by the given writer, if any. */
+  def lastCommittedBatch(txnAppId: String): Option[Long] =
+    log.commits().filter(_.txnAppId.contains(txnAppId)).flatMap(_.txnBatchId).maxOption
+
+  private def appendInternal(df: DataFrame, txn: Option[(String, Long)]): Commit =
+    this.synchronized {
+      val prev = log.latest()
+      val v = prev.map(_.version + 1).getOrElse(0L)
+      val tsMs = System.currentTimeMillis()
+      val prevSchema = prev.map(c => DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
+      val mergedSchema = prevSchema match {
+        case None => df.schema
+        case Some(ps) =>
+          StructType(ps.fields ++ df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+      }
+      val aligned = alignTo(df, mergedSchema)
+      val dir = writeData(aligned, v)
+      val added = countDir(dir)
+      val c = Commit(v, tsMs, if (prev.isEmpty) "CREATE" else "APPEND",
+        prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
+        Map("numOutputRows" -> added), mergedSchema.json,
+        txn.map(_._1), txn.map(_._2))
+      log.commit(c); c
+    }
 
   /** Overwrite (M5): table (re)creation path (spark_streaming.py:362-365). */
   def overwrite(df: DataFrame): Commit = this.synchronized {

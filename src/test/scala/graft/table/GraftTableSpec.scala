@@ -159,6 +159,22 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.version === 1)
   }
 
+  test("appendOnce skips replayed batches (exactly-once txn stamp)") {
+    val t = GraftTable.create(spark, tmpDir("gt-txn"), seedCustomers)
+    val batch = Seq((10L, "S", "s@x.com", 1.0)).toDF("id", "name", "email", "balance")
+    assert(t.appendOnce(batch, "writerA", 0L).isDefined)
+    assert(t.read().count() === 4)
+    // crash-replay of the same batch id: skipped
+    assert(t.appendOnce(batch, "writerA", 0L).isEmpty)
+    assert(t.read().count() === 4)
+    // an OLD batch id from this writer is also a replay
+    assert(t.appendOnce(batch, "writerA", -5L).isEmpty)
+    // a different writer is independent
+    assert(t.appendOnce(batch, "writerB", 0L).isDefined)
+    assert(t.read().count() === 5)
+    assert(t.lastCommittedBatch("writerA") === Some(0L))
+  }
+
   test("empty-source merge commits cleanly (empty micro-batch)") {
     val t = GraftTable.create(spark, tmpDir("gt-empty"), seedCustomers)
     val c = t.merge(seedCustomers.filter(lit(false)), "id")
