@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JVM/codegen/parquet-footer startup otherwise lands
+    // in whichever query happens to run first.
+    try {
+      spark.range(1000).select(org.apache.spark.sql.functions.sum("id")).collect()
+      SparkEntry.queries.head._2(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

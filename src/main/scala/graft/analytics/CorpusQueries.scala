@@ -62,9 +62,14 @@ object CorpusQueries {
     Dedup.simhashNearDups(Tables.documents(spark, dir), maxDist = 3)
 
   /** n-gram Jaccard near-dups over shared-shingle candidates (rows-only;
-    * spec-verified). */
+    * spec-verified). The synthetic corpus draws from a ~30-word vocabulary,
+    * so common trigrams appear in hundreds of documents and a loose df cap
+    * degenerates toward all-pairs; df ≤ 20 keeps candidates to genuinely
+    * discriminative shingles (reported jaccard stays exact — the cap only
+    * bounds recall). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5,
+      maxDocFreq = 20)
 
   /** Exact embedding near-dup pairs (cosine ≥ 0.5) — DuckDB-checkable. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =

@@ -30,12 +30,25 @@ object Dedup {
 
   // ----------------------------------------------------------- shingles
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, shingle) pairs. Distinctness is per document, so
+    * `array_distinct` BEFORE the explode does it row-locally — no shuffle
+    * (a cross-row `.distinct()` here cost a full exchange of the exploded
+    * rows for nothing). */
   def docShingles(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+      explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
+
+  /** Materialize a DataFrame to scratch parquet and read it back. The
+    * near-dup pipelines reference the shingle set from ~6 subtrees; without
+    * staging, Spark recomputes the explode + distinct (a full shuffle) once
+    * per reference. At corpus scale this is the standard staging-table
+    * step — one columnar write, then every consumer scans cheap parquet. */
+  private def stage(df: DataFrame, tag: String): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-").toString
+    df.write.mode("overwrite").parquet(p)
+    df.sparkSession.read.parquet(p)
+  }
 
   /** Exact Jaccard over shared-shingle candidate pairs. Candidate
     * generation drops shingles occurring in more than `maxDocFreq`
@@ -45,7 +58,7 @@ object Dedup {
     * jaccard over the full shingle sets of the candidates only. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
-    val sh = docShingles(docs, n)
+    val sh = stage(docShingles(docs, n), "jaccard")
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val pruned = sh.join(rare, "shingle")
@@ -129,7 +142,7 @@ object Dedup {
     * → exact-Jaccard verify of candidates only. */
   def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val sh = docShingles(docs, n)
+    val sh = stage(docShingles(docs, n), "minhash")
     val cand = minhashCandidates(signaturesFromShingles(sh, k, seed), k, bands)
     verifyJaccard(cand, sh, threshold)
   }

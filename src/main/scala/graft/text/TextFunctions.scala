@@ -92,12 +92,10 @@ object TextFunctions {
   def tokenSetFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Word n-gram shingles; documents shorter than n shingle to empty. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) >= n,
-      transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram shingles; documents shorter than n shingle to empty.
+    * Native single-pass expression
+    * ([[org.apache.spark.sql.graftnative.WordShingles]]) — the
+    * transform+slice phrasing is O(tokens²) per row and interpreted. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftnative.TextExpressions.wordShingles(text, n)
 }

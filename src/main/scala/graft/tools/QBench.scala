@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time individual driver queries in isolation. */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+    args.foreach { name =>
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"QBENCH $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}
