@@ -60,6 +60,66 @@ object MaterializedViews {
   def mvPath(cfg: CdcPipeline.Config, name: String): String =
     s"${cfg.tableRoot}/mv_$name"
 
+  /** Delta-INCREMENTAL maintenance of `order_analytics` from Change Data
+    * Feed rows — the RisingWave strategy proper, not a recompute: each CDF
+    * row contributes ±1 to its (day, status) group's count and ±amount to
+    * its sum (insert/update_postimage add, delete/update_preimage
+    * subtract), the per-batch deltas are merged into the MV state, and
+    * groups whose count reaches zero are deleted. Work per refresh is
+    * O(changed rows), independent of table size — at 100 TB the difference
+    * between touching a micro-batch and rescanning the world.
+    *
+    * avg_order_value is derived from (sum, count) at publish time — the
+    * standard trick that keeps every maintained aggregate additive.
+    */
+  def applyOrderChangesIncrementally(
+      spark: SparkSession,
+      mv: GraftTable,
+      changes: DataFrame): Unit = {
+    val signed = changes
+      .filter(col("_change_type").isin(
+        "insert", "delete", "update_preimage", "update_postimage"))
+      .withColumn("__sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+    val deltas = signed
+      .groupBy(
+        to_date(date_trunc("day", col("order_date"))).as("order_day"),
+        col("status"))
+      .agg(
+        sum(col("__sign")).as("d_count"),
+        sum(col("__sign") * col("total_amount").cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("d_revenue"))
+      .filter(col("d_count") =!= 0 || col("d_revenue") =!= 0)
+
+    val cur = mv.read()
+      .select(col("order_day"), col("status"),
+        col("order_count"), col("sum_revenue").cast(DecimalType(18, 2)).as("sum_revenue"))
+    val merged = cur.alias("m")
+      .join(deltas.alias("d"),
+        col("m.order_day") <=> col("d.order_day") && col("m.status") <=> col("d.status"),
+        "full_outer")
+      .select(
+        coalesce(col("m.order_day"), col("d.order_day")).as("order_day"),
+        coalesce(col("m.status"), col("d.status")).as("status"),
+        (coalesce(col("m.order_count"), lit(0L)) + coalesce(col("d.d_count"), lit(0L)))
+          .as("order_count"),
+        (coalesce(col("m.sum_revenue"), lit(0).cast(DecimalType(18, 2)))
+          + coalesce(col("d.d_revenue"), lit(0).cast(DecimalType(18, 2))))
+          .cast(DecimalType(18, 2)).as("sum_revenue"))
+      .filter(col("order_count") > 0)
+    mv.overwrite(merged)
+    ()
+  }
+
+  /** Publishable projection of the incremental MV state (adds the derived
+    * average). */
+  def incrementalOrderAnalyticsView(state: DataFrame): DataFrame =
+    state.select(
+      col("order_day"), col("status"), col("order_count"),
+      col("sum_revenue").cast(DoubleType).as("total_revenue"),
+      (col("sum_revenue").cast(DoubleType) / col("order_count")).as("avg_order_value"))
+
   /** Refresh all MVs whose source snapshots exist. Called from the snapshot
     * foreachBatch after merges/deletes land, so MV versions trail snapshot
     * versions by at most one batch. */

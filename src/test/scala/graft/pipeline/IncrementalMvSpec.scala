@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** Delta-incremental MV maintenance from CDF rows must equal a full
+  * recompute after every batch — the invariant RisingWave's incremental
+  * dataflows guarantee (init-risingwave.sql:73-81). */
+class IncrementalMvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private def ordersDf(rows: Seq[(Long, Timestamp, String, Double)]): DataFrame =
+    rows.toDF("id", "order_date", "status", "total_amount")
+
+  private def recompute(snapshot: DataFrame): Set[(String, String, Long, Double, Double)] =
+    MaterializedViews.orderAnalytics(snapshot)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+  private def incremental(state: GraftTable): Set[(String, String, Long, Double, Double)] =
+    MaterializedViews.incrementalOrderAnalyticsView(state.read())
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+
+  test("incremental CDF application equals recompute across batch kinds") {
+    val seed = ordersDf(Seq(
+      (1L, t("2024-01-01 10:00:00"), "pending", 100.0),
+      (2L, t("2024-01-01 11:00:00"), "pending", 50.0),
+      (3L, t("2024-01-02 09:00:00"), "shipped", 75.0)))
+
+    val snap = GraftTable.create(spark, tmpDir("imv-orders"), seed.limit(0))
+    val emptyState = seed.limit(0).select(
+      to_date(col("order_date")).as("order_day"),
+      col("status"),
+      lit(0L).as("order_count"),
+      lit(0).cast(DecimalType(18, 2)).as("sum_revenue"))
+    val mv = GraftTable.create(spark, tmpDir("imv-state"), emptyState)
+
+    def applyLatest(): Unit = {
+      val v = snap.version
+      MaterializedViews.applyOrderChangesIncrementally(
+        spark, mv, snap.readChanges(v, v))
+    }
+
+    // Batch 1: initial load (all inserts via merge)
+    snap.merge(seed, "id")
+    applyLatest()
+    assert(incremental(mv) === recompute(snap.read()))
+
+    // Batch 2: status change (update pre/post), amount change, one insert
+    snap.merge(ordersDf(Seq(
+      (1L, t("2024-01-01 10:00:00"), "shipped", 100.0), // status moves groups
+      (2L, t("2024-01-01 11:00:00"), "pending", 60.0),  // amount changes in place
+      (4L, t("2024-01-02 14:00:00"), "pending", 25.0))), "id")
+    applyLatest()
+    assert(incremental(mv) === recompute(snap.read()))
+
+    // Batch 3: delete one row (group count drops; day-1 'pending' shrinks)
+    snap.deleteKeys(Seq(2L).toDF("id"), "id")
+    applyLatest()
+    assert(incremental(mv) === recompute(snap.read()))
+
+    // Batch 4: delete the last 'shipped' of day-2 → group must vanish
+    snap.deleteKeys(Seq(3L).toDF("id"), "id")
+    applyLatest()
+    assert(incremental(mv) === recompute(snap.read()))
+    assert(!incremental(mv).exists { case (d, s, _, _, _) => d == "2024-01-02" && s == "shipped" })
+  }
+}
