@@ -40,7 +40,10 @@ object CdcPipeline {
       tables: Seq[String] = Envelope.tableNames,
       // Refresh the reference's materialized views after each batch
       // (init-risingwave.sql:73-109; SURVEY ST10).
-      maintainMvs: Boolean = false)
+      maintainMvs: Boolean = false,
+      // Compact the audit table once it accumulates this many append dirs
+      // (streaming small-files guard; see GraftTable.maybeCompact).
+      auditCompactAfterDirs: Int = 64)
 
   def auditTablePath(cfg: Config): String = s"${cfg.tableRoot}/cdc_events"
   def snapshotPath(cfg: Config, table: String): String = s"${cfg.tableRoot}/$table"
@@ -69,8 +72,9 @@ object CdcPipeline {
           // appendOnce: a batch replayed after a crash between sink write
           // and checkpoint commit is detected by its txn stamp and skipped
           // — exactly-once audit rows (ST3/ST9).
-          GraftTable.createIfNotExists(spark, auditTablePath(cfg), batch.limit(0))
-            .appendOnce(batch, "cdc_events_audit", batchId)
+          val audit = GraftTable.createIfNotExists(spark, auditTablePath(cfg), batch.limit(0))
+          audit.appendOnce(batch, "cdc_events_audit", batchId)
+          audit.maybeCompact(cfg.auditCompactAfterDirs)
           (): Unit
         }
       }

@@ -320,6 +320,17 @@ final class GraftTable private (
     log.commit(c); c
   }
 
+  /** Compact when the snapshot has accumulated more than `maxDataDirs`
+    * append dirs — the guard the streaming append sink calls per batch so a
+    * long-running stream doesn't degrade into the one-file-per-event
+    * pathology the reference exhibits on its delta-rs path
+    * (delta_handler.py:107-112; SURVEY §4 "small files"). */
+  def maybeCompact(maxDataDirs: Int, targetFileBytes: Long = 128L * 1024 * 1024): Option[Commit] =
+    log.latest() match {
+      case Some(c) if c.dataDirs.length > maxDataDirs => Some(optimize(targetFileBytes))
+      case _ => None
+    }
+
   /** RESTORE (M12): re-publish an old version as the new head. Metadata-only
     * — the new commit references the old version's immutable dirs. */
   def restore(v: Long): Commit = this.synchronized {

@@ -159,6 +159,18 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.version === 1)
   }
 
+  test("maybeCompact fires only past the dir threshold") {
+    val t = GraftTable.create(spark, tmpDir("gt-autocompact"), seedCustomers)
+    (0 until 4).foreach { i =>
+      t.append(Seq((20L + i, s"a$i", s"a$i@x.com", 1.0)).toDF("id", "name", "email", "balance"))
+    }
+    assert(t.maybeCompact(maxDataDirs = 10).isEmpty) // 5 dirs <= 10
+    val c = t.maybeCompact(maxDataDirs = 3)
+    assert(c.isDefined && c.get.operation === "OPTIMIZE")
+    assert(c.get.dataDirs.length === 1)
+    assert(t.read().count() === 7)
+  }
+
   test("appendOnce skips replayed batches (exactly-once txn stamp)") {
     val t = GraftTable.create(spark, tmpDir("gt-txn"), seedCustomers)
     val batch = Seq((10L, "S", "s@x.com", 1.0)).toDF("id", "name", "email", "balance")
