@@ -64,6 +64,7 @@ object SparkEntry {
     "q37_segment_stats"      -> (OlapQueries.segmentStats _),
     "q38_topk_per_key"       -> (OlapQueries.topOrdersPerCustomer _),
     "q39_decimal_pricing"    -> (OlapQueries.decimalPricing _),
+    "q40_range_join"         -> (TemporalQueries.eventsNearErrors _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,5 +299,10 @@ object SparkEntry {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue_dec,
         |       CAST(avg(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_discount_dec
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q40_range_join" ->
+      """SELECT a.event_id AS probe_id, b.event_id AS anchor_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.event_type = 'error'
+        | AND a.ts >= b.ts AND a.ts < b.ts + INTERVAL 1 HOUR""".stripMargin,
   )
 }
