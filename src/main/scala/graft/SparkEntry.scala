@@ -65,6 +65,7 @@ object SparkEntry {
     "q38_topk_per_key"       -> (OlapQueries.topOrdersPerCustomer _),
     "q39_decimal_pricing"    -> (OlapQueries.decimalPricing _),
     "q40_range_join"         -> (TemporalQueries.eventsNearErrors _),
+    "q41_quality_score"      -> (CorpusQueries.qualityScores _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -304,5 +305,20 @@ object SparkEntry {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id AND b.event_type = 'error'
         | AND a.ts >= b.ts AND a.ts < b.ts + INTERVAL 1 HOUR""".stripMargin,
+    "q41_quality_score" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS t,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         x -> x IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
+        |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stop_ratio
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (least(CAST(t AS DOUBLE) / 50.0, 1.0)
+        |   + (1.0 - least(punct_ratio * 4.0, 1.0))
+        |   + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality
+        |FROM b""".stripMargin,
   )
 }

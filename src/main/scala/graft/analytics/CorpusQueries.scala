@@ -30,6 +30,12 @@ object CorpusQueries {
       stopwordRatio(col("text")).as("stopword_ratio"),
       avgWordLen(col("text")).as("avg_word_len"))
 
+  /** Composite quality score (length / punctuation / stopword recipe). */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      qualityScore(col("text")).as("quality"))
+
   /** Language-ID heuristic (marker argmax). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

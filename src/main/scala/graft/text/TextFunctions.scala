@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens of trimmed text (empty tokens dropped). */
+  /** Whitespace tokens of trimmed text (empty tokens dropped). Native
+    * single-pass expression — a 1-gram shingle — instead of the interpreted
+    * split + filter-lambda chain. */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    org.apache.spark.sql.graftnative.TextExpressions.wordShingles(text, 1)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
