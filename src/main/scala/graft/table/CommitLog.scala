@@ -35,7 +35,8 @@ final case class Commit(
     metrics: Map[String, Long],
     schemaJson: String,
     txnAppId: Option[String] = None,
-    txnBatchId: Option[Long] = None)
+    txnBatchId: Option[Long] = None,
+    partitionCols: Seq[String] = Nil)
 
 /** Tiny single-writer commit log: one JSON file per version under
   * `<table>/_graft_log/`, written temp-file-then-rename so a version becomes
@@ -107,7 +108,10 @@ object CommitLog {
       "metrics" -> JObject(c.metrics.toList.map { case (k, v) => k -> (JLong(v): JValue) }),
       "schemaJson" -> JString(c.schemaJson)) ++
       c.txnAppId.map(v => "txnAppId" -> (JString(v): JValue)).toList ++
-      c.txnBatchId.map(v => "txnBatchId" -> (JLong(v): JValue)).toList
+      c.txnBatchId.map(v => "txnBatchId" -> (JLong(v): JValue)).toList ++
+      (if (c.partitionCols.nonEmpty)
+        List("partitionCols" -> (JArray(c.partitionCols.map(JString(_)).toList): JValue))
+      else Nil)
     JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
 
@@ -136,7 +140,11 @@ object CommitLog {
       case JInt(v) => Some(v.toLong)
       case _ => None
     }
+    val partCols = j \ "partitionCols" match {
+      case JArray(xs) => xs.collect { case JString(v) => v }
+      case _ => Nil
+    }
     Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
-      str("schemaJson"), txnApp, txnBatch)
+      str("schemaJson"), txnApp, txnBatch, partCols)
   }
 }

@@ -59,7 +59,15 @@ final class GraftTable private (
     // Explicit schema (from the commit) rather than mergeSchema: no footer
     // sampling job, stable column order, and dirs written before an additive
     // schema change read back with nulls for the new columns.
-    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+    else if (c.partitionCols.isEmpty)
+      spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+    else
+      // Hive-partitioned layout: partition values live in dir names under
+      // each version dir, so discovery needs a basePath per dir; the union
+      // keeps filter pushdown + partition pruning in every branch.
+      dirs.map(d => spark.read.option("basePath", d.toString)
+          .schema(schema).parquet(d.toString))
+        .reduce(_ unionByName _)
   }
 
   /** Current snapshot (SURVEY S3). */
@@ -113,9 +121,15 @@ final class GraftTable private (
   private def countDir(dir: String): Long =
     spark.read.parquet(new Path(root, dir).toString).count()
 
-  private def writeData(df: DataFrame, v: Long): String = {
+  private def partitionColsOfHead: Seq[String] =
+    log.latest().map(_.partitionCols).getOrElse(Nil)
+
+  private def writeData(df: DataFrame, v: Long,
+      partCols: Seq[String] = partitionColsOfHead): String = {
     val dir = dataDirName(v)
-    df.write.mode("errorifexists").parquet(new Path(root, dir).toString)
+    val w = df.write.mode("errorifexists")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      .parquet(new Path(root, dir).toString)
     dir
   }
 
@@ -170,17 +184,23 @@ final class GraftTable private (
       val c = Commit(v, tsMs, if (prev.isEmpty) "CREATE" else "APPEND",
         prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
         Map("numOutputRows" -> added), mergedSchema.json,
-        txn.map(_._1), txn.map(_._2))
+        txn.map(_._1), txn.map(_._2),
+        prev.map(_.partitionCols).getOrElse(Nil))
       log.commit(c); c
     }
 
   /** Overwrite (M5): table (re)creation path (spark_streaming.py:362-365). */
-  def overwrite(df: DataFrame): Commit = this.synchronized {
+  def overwrite(df: DataFrame): Commit = overwrite(df, partitionColsOfHead)
+
+  /** Overwrite with explicit hive-style partitioning (table creation path);
+    * later commits inherit the partition columns. */
+  def overwrite(df: DataFrame, partitionBy: Seq[String]): Commit = this.synchronized {
     val v = version + 1
     val tsMs = System.currentTimeMillis()
-    val dir = writeData(df, v)
+    val dir = writeData(df, v, partitionBy)
     val c = Commit(v, tsMs, if (v == 0) "CREATE" else "WRITE", Seq(dir),
-      Map("numOutputRows" -> countDir(dir)), df.schema.json)
+      Map("numOutputRows" -> countDir(dir)), df.schema.json,
+      partitionCols = partitionBy)
     log.commit(c); c
   }
 
@@ -238,7 +258,8 @@ final class GraftTable private (
       val c = Commit(v, tsMs, "MERGE", Seq(dir), Map(
         "numTargetRowsInserted" -> cdfMetrics.getOrElse("insert", 0L),
         "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
-        "numOutputRows" -> countDir(dir)), mergedSchema.json)
+        "numOutputRows" -> countDir(dir)), mergedSchema.json,
+        partitionCols = prev.partitionCols)
       log.commit(c); c
     }
 
@@ -256,7 +277,8 @@ final class GraftTable private (
       cur.filter(hit).withColumn("_change_type", lit("delete")), v, tsMs)
     val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
-      "numOutputRows" -> countDir(dir)), prev.schemaJson)
+      "numOutputRows" -> countDir(dir)), prev.schemaJson,
+      partitionCols = prev.partitionCols)
     log.commit(c); c
   }
 
@@ -274,7 +296,8 @@ final class GraftTable private (
       v, tsMs)
     val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
-      "numOutputRows" -> countDir(dir)), prev.schemaJson)
+      "numOutputRows" -> countDir(dir)), prev.schemaJson,
+      partitionCols = prev.partitionCols)
     log.commit(c); c
   }
 
@@ -298,7 +321,8 @@ final class GraftTable private (
     val cdfMetrics = writeChanges(pre.unionByName(post), v, tsMs)
     val c = Commit(v, tsMs, "UPDATE", Seq(dir), Map(
       "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
-      "numOutputRows" -> countDir(dir)), prev.schemaJson)
+      "numOutputRows" -> countDir(dir)), prev.schemaJson,
+      partitionCols = prev.partitionCols)
     log.commit(c); c
   }
 
@@ -312,11 +336,10 @@ final class GraftTable private (
       fs.getContentSummary(new Path(root, d)).getLength
     }.sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val dir = dataDirName(v)
-    readCommit(prev).repartition(numFiles)
-      .write.mode("errorifexists").parquet(new Path(root, dir).toString)
+    val dir = writeData(readCommit(prev).repartition(numFiles), v, prev.partitionCols)
     val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", Seq(dir),
-      Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson)
+      Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson,
+      partitionCols = prev.partitionCols)
     log.commit(c); c
   }
 
@@ -337,7 +360,8 @@ final class GraftTable private (
     val old = commitFor(v)
     val head = version + 1
     val c = Commit(head, System.currentTimeMillis(), "RESTORE", old.dataDirs,
-      Map("restoredVersion" -> v), old.schemaJson)
+      Map("restoredVersion" -> v), old.schemaJson,
+      partitionCols = old.partitionCols)
     log.commit(c); c
   }
 
@@ -381,11 +405,14 @@ object GraftTable {
   def isTable(spark: SparkSession, root: String): Boolean =
     new CommitLog(root, hadoopConf(spark)).exists
 
-  /** Create (S10/S12): first write wins the CREATE commit. */
-  def create(spark: SparkSession, root: String, df: DataFrame): GraftTable = {
+  /** Create (S10/S12): first write wins the CREATE commit. Optional
+    * hive-style partitioning: every later commit keeps it, and reads prune
+    * partitions on matching filters. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): GraftTable = {
     val t = new GraftTable(spark, root)
     require(t.version < 0, s"table already exists at $root")
-    t.overwrite(df)
+    t.overwrite(df, partitionBy)
     t
   }
 

@@ -159,6 +159,31 @@ class GraftTableSpec extends SparkSpec {
     assert(t2.version === 1)
   }
 
+  test("partitioned table: pruning in the scan, partitioning survives mutations") {
+    val orders = Seq(
+      (1L, "F", 10.0), (2L, "O", 20.0), (3L, "F", 30.0), (4L, "P", 40.0)
+    ).toDF("id", "status", "amount")
+    val t = GraftTable.create(spark, tmpDir("gt-part"), orders, partitionBy = Seq("status"))
+
+    val scan = t.read().filter($"status" === "F")
+    assert(scan.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(1L, 3L))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), s"no pruning:\n$plan")
+
+    // merge keeps the partition layout and the data correct
+    t.merge(Seq((5L, "F", 50.0), (2L, "O", 25.0)).toDF("id", "status", "amount"), "id")
+    assert(t.read().filter($"status" === "F").count() === 3)
+    assert(t.read().filter($"id" === 2L).select("amount").as[Double].head() === 25.0)
+    // append of a new partition value, then time travel across layouts
+    t.append(Seq((6L, "X", 60.0)).toDF("id", "status", "amount"))
+    assert(t.read().count() === 6)
+    assert(t.readVersion(0).count() === 4)
+    // delete an entire partition
+    t.delete($"status" === "O")
+    assert(t.read().select("status").distinct().as[String].collect().sorted.toSeq
+      === Seq("F", "P", "X"))
+  }
+
   test("maybeCompact fires only past the dir threshold") {
     val t = GraftTable.create(spark, tmpDir("gt-autocompact"), seedCustomers)
     (0 until 4).foreach { i =>
