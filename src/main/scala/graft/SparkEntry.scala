@@ -66,6 +66,7 @@ object SparkEntry {
     "q39_decimal_pricing"    -> (OlapQueries.decimalPricing _),
     "q40_range_join"         -> (TemporalQueries.eventsNearErrors _),
     "q41_quality_score"      -> (CorpusQueries.qualityScores _),
+    "q42_supplier_stats"     -> (OlapQueries.supplierStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -320,5 +321,13 @@ object SparkEntry {
         |   + (1.0 - least(punct_ratio * 4.0, 1.0))
         |   + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality
         |FROM b""".stripMargin,
+    "q42_supplier_stats" ->
+      """SELECT r.r_name AS region, count(*) AS supplier_count,
+        |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+        |       max(s.s_name) AS max_name
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

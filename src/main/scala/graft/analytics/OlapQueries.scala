@@ -64,6 +64,23 @@ object OlapQueries {
       struct(col("o_totalprice"), col("o_orderkey")), k = 3)
   }
 
+  /** Supplier dimension rollout: suppliers per region with balance totals —
+    * completes table coverage (supplier ⋈ nation ⋈ region, both dims
+    * broadcast). */
+  def supplierStats(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("region"))
+      .agg(
+        count(lit(1)).as("supplier_count"),
+        moneySum(col("s_acctbal")).as("total_balance"),
+        max(col("s_name")).as("max_name"))
+      .orderBy(col("region"))
+  }
+
   /** Decimal-typed aggregation (SURVEY §1.2: the reference's RisingWave /
     * pre-created-table path stores DECIMAL(10,2)/(12,2); the engine exposes
     * exact decimal arithmetic end to end, not just as an internal trick). */

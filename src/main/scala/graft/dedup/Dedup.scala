@@ -220,27 +220,17 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
   }
 
-  /** Deterministic Rademacher (±1) hyperplanes for sign-LSH. */
-  private[dedup] def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
-
   /** Sign-LSH bucketed near-dup: bucket = sign bits against `numPlanes`
-    * hyperplanes; exact cosine verify within buckets. Recall < 1 by design
-    * (near-threshold pairs may split buckets) — the standard scale/recall
-    * trade; raise recall by repeating with several seeds and unioning. */
+    * hyperplanes ([[graft.sim.Similarity.withLshBucket]]); exact cosine
+    * verify within buckets. Recall < 1 by design (near-threshold pairs may
+    * split buckets) — the standard scale/recall trade; raise recall by
+    * repeating with several seeds and unioning. */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double, numPlanes: Int = 12,
       dim: Int = 64, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val vec = col(vecCol).cast("array<double>")
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p)) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ + _)
-    val bucketed = emb.select(col(idCol).as("doc_id"), vec.as("vec"), bucket.as("bucket"))
-    val a = bucketed.select(col("bucket"), col("doc_id").as("a_id"), col("vec").as("a_vec"))
-    val b = bucketed.select(col("bucket"), col("doc_id").as("b_id"), col("vec").as("b_vec"))
+    val bucketed = graft.sim.Similarity.withLshBucket(emb, numPlanes, dim, seed, idCol, vecCol)
+    val a = bucketed.select(col("bucket"), col("vec_id").as("a_id"), col("vec").as("a_vec"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("b_id"), col("vec").as("b_vec"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", cosine(col("a_vec"), col("b_vec")))
