@@ -36,7 +36,12 @@ final case class Commit(
     schemaJson: String,
     txnAppId: Option[String] = None,
     txnBatchId: Option[Long] = None,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    /** Per-data-dir column stats for data skipping: dir → col → (min, max),
+      * numeric/timestamp columns encoded as doubles (timestamps epoch
+      * micros). The analogue of Delta's per-file stats, which the reference
+      * leaves at defaults (SURVEY §4). */
+    dirStats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
 /** Tiny single-writer commit log: one JSON file per version under
   * `<table>/_graft_log/`, written temp-file-then-rename so a version becomes
@@ -111,6 +116,13 @@ object CommitLog {
       c.txnBatchId.map(v => "txnBatchId" -> (JLong(v): JValue)).toList ++
       (if (c.partitionCols.nonEmpty)
         List("partitionCols" -> (JArray(c.partitionCols.map(JString(_)).toList): JValue))
+      else Nil) ++
+      (if (c.dirStats.nonEmpty)
+        List("dirStats" -> (JObject(c.dirStats.toList.map { case (dir, cols) =>
+          dir -> (JObject(cols.toList.map { case (col, (lo, hi)) =>
+            col -> (JArray(List(JDouble(lo), JDouble(hi))): JValue)
+          }): JValue)
+        }): JValue))
       else Nil)
     JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
@@ -144,7 +156,25 @@ object CommitLog {
       case JArray(xs) => xs.collect { case JString(v) => v }
       case _ => Nil
     }
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JLong(l) => l.toDouble
+      case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case other => other.values.toString.toDouble
+    }
+    val dirStats = j \ "dirStats" match {
+      case JObject(dirsF) => dirsF.map { case (dir, colsJ) =>
+        dir -> (colsJ match {
+          case JObject(colsF) => colsF.collect {
+            case (c, JArray(List(lo, hi))) => c -> (num(lo), num(hi))
+          }.toMap
+          case _ => Map.empty[String, (Double, Double)]
+        })
+      }.toMap
+      case _ => Map.empty[String, Map[String, (Double, Double)]]
+    }
     Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
-      str("schemaJson"), txnApp, txnBatch, partCols)
+      str("schemaJson"), txnApp, txnBatch, partCols, dirStats)
   }
 }

@@ -74,6 +74,25 @@ final class GraftTable private (
   def read(): DataFrame = readCommit(
     log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root")))
 
+  /** Data-skipping read: the current snapshot restricted to data dirs whose
+    * recorded [min, max] for `colName` intersects [lo, hi] (timestamps in
+    * epoch MICROS, numerics as doubles — the encoding of
+    * [[Commit.dirStats]]). Dirs without stats are conservatively kept, so
+    * the result is a SUPERSET of the matching rows: apply the precise
+    * predicate on top. For a long-running append table (the audit log) a
+    * time-bounded query then scans a handful of dirs instead of years of
+    * history — Delta-style file skipping at dir granularity. */
+  def readPruned(colName: String, lo: Double, hi: Double): DataFrame = {
+    val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    val keep = c.dataDirs.filter { d =>
+      c.dirStats.get(d).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    readCommit(c.copy(dataDirs = keep))
+  }
+
   /** Time travel by version (S4, `option("versionAsOf", n)`). */
   def readVersion(v: Long): DataFrame = readCommit(commitFor(v))
 
@@ -123,6 +142,30 @@ final class GraftTable private (
 
   private def partitionColsOfHead: Seq[String] =
     log.latest().map(_.partitionCols).getOrElse(Nil)
+
+  /** Min/max stats of a just-written dir for every numeric/timestamp
+    * column, one small agg job. (A production variant reads these from the
+    * parquet footers for free; the encoding and pruning logic are the
+    * same.) */
+  private def statsFor(dir: String): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
+    val df = spark.read.parquet(new Path(root, dir).toString)
+    val targets: Seq[(String, Column)] = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case _: NumericType => Some(f.name -> col(f.name).cast("double"))
+        case TimestampType | TimestampNTZType =>
+          Some(f.name -> unix_micros(col(f.name).cast("timestamp")).cast("double"))
+        case _ => None
+      }
+    }
+    if (targets.isEmpty) return Map.empty
+    val aggs = targets.flatMap { case (n, c) => Seq(min(c), max(c)) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    targets.zipWithIndex.flatMap { case ((n, _), i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+      else Some(n -> (row.getDouble(2 * i), row.getDouble(2 * i + 1)))
+    }.toMap
+  }
 
   private def writeData(df: DataFrame, v: Long,
       partCols: Seq[String] = partitionColsOfHead): String = {
@@ -185,7 +228,10 @@ final class GraftTable private (
         prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
         Map("numOutputRows" -> added), mergedSchema.json,
         txn.map(_._1), txn.map(_._2),
-        prev.map(_.partitionCols).getOrElse(Nil))
+        prev.map(_.partitionCols).getOrElse(Nil),
+        // Appends accumulate dirs, so each one records skipping stats and
+        // carries the earlier dirs' stats forward in the head commit.
+        prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> statsFor(dir)))
       log.commit(c); c
     }
 

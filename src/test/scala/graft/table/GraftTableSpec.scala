@@ -196,6 +196,24 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 7)
   }
 
+  test("readPruned skips dirs whose stats miss the range") {
+    val t = GraftTable.create(spark, tmpDir("gt-skip"),
+      Seq((1L, 10.0)).toDF("id", "v").limit(0))
+    t.append(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))   // v in [10, 20]
+    t.append(Seq((3L, 100.0), (4L, 200.0)).toDF("id", "v")) // v in [100, 200]
+    t.append(Seq((5L, 1000.0)).toDF("id", "v"))             // v in [1000, 1000]
+
+    // Range hits only the middle dir: pruning must drop the other two dirs
+    // entirely (the rows outside the range never reach the scan).
+    val pruned = t.readPruned("v", 50.0, 500.0)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    // Superset contract still needs the precise filter in general:
+    val exact = t.readPruned("v", 150.0, 500.0).filter($"v" >= 150.0)
+    assert(exact.collect().map(_.getLong(0)).toSeq === Seq(4L))
+    // Unknown column → conservative full read
+    assert(t.readPruned("nope", 0, 1).count() === 5)
+  }
+
   test("appendOnce skips replayed batches (exactly-once txn stamp)") {
     val t = GraftTable.create(spark, tmpDir("gt-txn"), seedCustomers)
     val batch = Seq((10L, "S", "s@x.com", 1.0)).toDF("id", "name", "email", "balance")
