@@ -67,6 +67,7 @@ object SparkEntry {
     "q40_range_join"         -> (TemporalQueries.eventsNearErrors _),
     "q41_quality_score"      -> (CorpusQueries.qualityScores _),
     "q42_supplier_stats"     -> (OlapQueries.supplierStats _),
+    "q43_sql_text_path"      -> (OlapQueries.sqlTextPath _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -329,5 +330,11 @@ object SparkEntry {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_sql_text_path" ->
+      """SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -64,6 +64,20 @@ object OlapQueries {
       struct(col("o_totalprice"), col("o_orderkey")), k = 3)
   }
 
+  /** The notebook's interactive workflow verbatim (SURVEY §3.3 entry point
+    * C): register temp views, submit SQL TEXT — exercising the parser →
+    * analyzer → optimizer path rather than the DataFrame DSL. */
+  def sqlTextPath(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM customer_v c JOIN orders_v o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2""".stripMargin)
+  }
+
   /** Supplier dimension rollout: suppliers per region with balance totals —
     * completes table coverage (supplier ⋈ nation ⋈ region, both dims
     * broadcast). */
