@@ -131,6 +131,40 @@ final class GraftTable private (
     spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
   }
 
+  // ----------------------------------------------------- streaming reads
+
+  /** Streaming source over this table's appended data (Delta's
+    * `spark.readStream.format("delta")` for the append-only case): new
+    * files under `data/` surface as micro-batches as commits land. Valid
+    * for APPEND-ONLY tables (the audit log) — a merge/overwrite rewrites
+    * the snapshot into new files, which an append-stream would re-emit.
+    * For mutating tables, stream [[streamChanges]] instead. */
+  def streamAppends(maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val head = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(new Path(root, "data/*").toString)
+  }
+
+  /** Streaming Change Data Feed (Delta's `readChangeFeed` streaming form):
+    * each commit's change rows (insert / update_pre/postimage / delete with
+    * `_commit_version`/`_commit_timestamp`) arrive as micro-batches —
+    * correct for mutating tables, and exactly the input an incremental MV
+    * maintainer consumes ([[graft.pipeline.MaterializedViews]]). */
+  def streamChanges(maxFilesPerTrigger: Int = 1000): DataFrame = {
+    val head = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(new Path(root, "_changes/*").toString)
+  }
+
   // --------------------------------------------------------------- writes
 
   private def dataDirName(v: Long): String = f"data/v$v%05d"

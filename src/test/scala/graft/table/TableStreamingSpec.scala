@@ -1,0 +1,57 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** GraftTables as streaming SOURCES: appends stream to downstream queries,
+  * and the Change Data Feed streams the per-commit change rows — the
+  * table-to-table pipeline surface (Delta's readStream / streaming CDF). */
+class TableStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamAppends delivers rows appended after the stream starts") {
+    val t = GraftTable.create(spark, tmpDir("ts-app"),
+      Seq((1L, "a")).toDF("id", "s"))
+    val q = t.streamAppends()
+      .writeStream.format("memory").queryName("appends_out")
+      .option("checkpointLocation", tmpDir("ts-app-ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("appends_out").count() === 1)
+      t.append(Seq((2L, "b"), (3L, "c")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("appends_out").as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("streamChanges delivers CDF rows of merges and deletes") {
+    val t = GraftTable.create(spark, tmpDir("ts-cdf"),
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    // commits BEFORE the stream starts are part of the feed too
+    t.merge(Seq((2L, 25.0), (3L, 30.0)).toDF("id", "v"), "id")
+    val q = t.streamChanges()
+      .writeStream.format("memory").queryName("cdf_out")
+      .option("checkpointLocation", tmpDir("ts-cdf-ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("cdf_out")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(first === Set(
+        (2L, "update_preimage", 1L), (2L, "update_postimage", 1L),
+        (3L, "insert", 1L)))
+      t.delete(col("id") === 1L)
+      q.processAllAvailable()
+      val afterDelete = spark.table("cdf_out")
+        .filter($"_change_type" === "delete").collect()
+      assert(afterDelete.length === 1)
+      assert(afterDelete(0).getAs[Long]("id") === 1L)
+      assert(afterDelete(0).getAs[Long]("_commit_version") === 2L)
+    } finally q.stop()
+  }
+}
