@@ -79,12 +79,16 @@ object TextFunctions {
 
   /** Polynomial rolling hash over characters, mod 1e9+7 — the classic
     * Rabin-Karp document fingerprint. Sequential fold in the expression
-    * layer; per-row, so still fully parallel across rows. */
+    * layer; per-row, so still fully parallel across rows. Guarded for empty
+    * text: `sequence(1, 0)` would generate a DESCENDING [1, 0] sequence,
+    * not an empty one. */
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-      lit(0L),
-      (acc, x) => pmod(acc * 31 + x, lit(1000000007L)))
+    when(length(text) > 0,
+      aggregate(
+        transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+        lit(0L),
+        (acc, x) => pmod(acc * 31 + x, lit(1000000007L))))
+      .otherwise(0L)
 
   /** Content hash for exact dedup. */
   def contentHash(text: Column): Column = md5(text)

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](text: String, c: org.apache.spark.sql.Column): T =
+    Seq(text).toDF("text").select(c.as("r")).head().getAs[T]("r")
+
+  test("token and char counts, including empty and whitespace-only text") {
+    assert(one[Int]("a bb  ccc", TextFunctions.tokenCount(col("text"))) === 3)
+    assert(one[Int]("", TextFunctions.tokenCount(col("text"))) === 0)
+    assert(one[Int]("   ", TextFunctions.tokenCount(col("text"))) === 0)
+    assert(one[Int]("a,b c!", TextFunctions.bpeTokenCount(col("text"))) === 5)
+  }
+
+  test("rollingHash: reference value, determinism, empty guard") {
+    // h("ab") = ((0*31 + 97) * 31 + 98) mod 1e9+7 = 3105
+    assert(one[Long]("ab", TextFunctions.rollingHash(col("text"))) === 3105L)
+    assert(one[Long]("", TextFunctions.rollingHash(col("text"))) === 0L)
+    assert(one[Long]("spark", TextFunctions.rollingHash(col("text"))) ===
+      one[Long]("spark", TextFunctions.rollingHash(col("text"))))
+    assert(one[Long]("spark", TextFunctions.rollingHash(col("text"))) !==
+      one[Long]("sparks", TextFunctions.rollingHash(col("text"))))
+  }
+
+  test("contentHash is md5; tokenSetFingerprint is order-insensitive") {
+    assert(one[String]("hello", TextFunctions.contentHash(col("text"))) ===
+      "5d41402abc4b2a76b9719d911017c592")
+    val a = one[String]("x y z", TextFunctions.tokenSetFingerprint(col("text")))
+    val b = one[String]("z x y x", TextFunctions.tokenSetFingerprint(col("text")))
+    assert(a === b)
+  }
+
+  test("langId picks marker language; unknown when no markers") {
+    assert(one[String]("the cat and the dog", TextFunctions.langId(col("text"))) === "en")
+    assert(one[String]("der hund und die katze", TextFunctions.langId(col("text"))) === "de")
+    assert(one[String]("zzz qqq", TextFunctions.langId(col("text"))) === "unknown")
+  }
+
+  test("shingles: boundaries at n-1, n, n+1 tokens") {
+    def sh(t: String) = Seq(t).toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("r"))
+      .head().getSeq[String](0).toList
+    assert(sh("a b") === Seq.empty)
+    assert(sh("a b c") === Seq("a b c"))
+    assert(sh("a b c d") === Seq("a b c", "b c d"))
+    assert(sh("") === Seq.empty)
+  }
+
+  test("qualityScore stays in [0,1] and rewards longer clean text") {
+    val short = one[Double]("hi", TextFunctions.qualityScore(col("text")))
+    val long = one[Double](
+      ("the quick brown fox and a dog " * 10).trim,
+      TextFunctions.qualityScore(col("text")))
+    assert(short >= 0.0 && short <= 1.0)
+    assert(long >= 0.0 && long <= 1.0)
+    assert(long > short)
+  }
+}
