@@ -112,6 +112,42 @@ object MaterializedViews {
     ()
   }
 
+  /** Continuous incremental maintenance: stream the orders snapshot's CDF
+    * ([[GraftTable.streamChanges]]) and fold every micro-batch of change
+    * rows into the MV state. Because the deltas are additive, a batch may
+    * span several commits (or split one) and the result is identical —
+    * ordering within the feed doesn't matter. This is the full RisingWave
+    * shape: CDC → snapshot → change stream → incrementally-maintained view,
+    * each stage a versioned table. */
+  def startIncrementalOrderAnalytics(
+      spark: SparkSession,
+      cfg: CdcPipeline.Config,
+      availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    val snap = GraftTable.forPath(spark, CdcPipeline.snapshotPath(cfg, "orders"))
+    val statePath = mvPath(cfg, "order_analytics_inc")
+    val trigger = if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(cfg.triggerInterval)
+    snap.streamChanges().writeStream
+      .queryName("mv_order_analytics_inc")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/mv_order_analytics_inc")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val emptyState = batch.sparkSession.createDataFrame(
+            batch.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("order_day", org.apache.spark.sql.types.DateType),
+              org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("order_count", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("sum_revenue", DecimalType(18, 2)))))
+          val mv = GraftTable.createIfNotExists(spark, statePath, emptyState)
+          applyOrderChangesIncrementally(spark, mv, batch)
+        }
+      }
+      .start()
+  }
+
   /** Publishable projection of the incremental MV state (adds the derived
     * average). */
   def incrementalOrderAnalyticsView(state: DataFrame): DataFrame =

@@ -76,4 +76,34 @@ class IncrementalMvSpec extends SparkSpec {
     assert(incremental(mv) === recompute(snap.read()))
     assert(!incremental(mv).exists { case (d, s, _, _, _) => d == "2024-01-02" && s == "shipped" })
   }
+
+  test("continuous incremental MV over the streaming CDF equals recompute") {
+    val cfg = CdcPipeline.Config(
+      inputDir = tmpDir("cimv-in"),
+      tableRoot = tmpDir("cimv-tables"),
+      checkpointRoot = tmpDir("cimv-ckpt"))
+    val snapPath = CdcPipeline.snapshotPath(cfg, "orders")
+    // build the snapshot through real mutations (each emits CDF)
+    val snap = GraftTable.create(spark, snapPath, ordersDf(Nil).limit(0))
+    snap.merge(ordersDf(Seq(
+      (1L, t("2024-02-01 08:00:00"), "pending", 10.0),
+      (2L, t("2024-02-01 09:00:00"), "pending", 20.0),
+      (3L, t("2024-02-02 10:00:00"), "shipped", 30.0))), "id")
+    snap.merge(ordersDf(Seq(
+      (2L, t("2024-02-01 09:00:00"), "shipped", 20.0),
+      (4L, t("2024-02-03 11:00:00"), "pending", 40.0))), "id")
+    snap.deleteKeys(Seq(1L).toDF("id"), "id")
+
+    val q = MaterializedViews.startIncrementalOrderAnalytics(spark, cfg, availableNow = true)
+    q.awaitTermination()
+    val state = GraftTable.forPath(spark,
+      MaterializedViews.mvPath(cfg, "order_analytics_inc"))
+    assert(incremental(state) === recompute(snap.read()))
+
+    // one more commit, resume the stream from its checkpoint
+    snap.merge(ordersDf(Seq((5L, t("2024-02-03 12:00:00"), "pending", 50.0))), "id")
+    val q2 = MaterializedViews.startIncrementalOrderAnalytics(spark, cfg, availableNow = true)
+    q2.awaitTermination()
+    assert(incremental(state) === recompute(snap.read()))
+  }
 }
