@@ -146,6 +146,27 @@ class GraftTableSpec extends SparkSpec {
     intercept[Exception](t.readVersion(0).count())
   }
 
+  test("time travel returns each version under its own schema") {
+    val t = GraftTable.create(spark, tmpDir("gt-schema-tt"), seedCustomers)
+    t.merge(Seq((7L, "N", "n@x.com", 7.0, "555"))
+      .toDF("id", "name", "email", "balance", "phone"), "id")
+    // head has the evolved schema; v0 still reads with its original one
+    assert(t.read().columns.toSeq === Seq("id", "name", "email", "balance", "phone"))
+    assert(t.readVersion(0).columns.toSeq === Seq("id", "name", "email", "balance"))
+    assert(t.readVersion(0).count() === 3)
+  }
+
+  test("vacuum keeps dirs the restored head references") {
+    val t = GraftTable.create(spark, tmpDir("gt-restore-vac"), seedCustomers)
+    t.delete($"id" =!= 1L) // v1
+    t.restore(0)           // v2 references v0's dirs
+    val future = System.currentTimeMillis() + 200L * 3600 * 1000
+    t.vacuum(retentionHours = 168.0, nowMs = future)
+    // head (the restore) must still read fully even though v0/v1 expired
+    assert(t.read().count() === 3)
+    intercept[Exception](t.readVersion(1).count())
+  }
+
   test("single-writer collision detection") {
     val dir = tmpDir("gt-conflict")
     val t1 = GraftTable.create(spark, dir, seedCustomers)
