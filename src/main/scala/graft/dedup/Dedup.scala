@@ -44,10 +44,24 @@ object Dedup {
     * staging, Spark recomputes the explode + distinct (a full shuffle) once
     * per reference. At corpus scale this is the standard staging-table
     * step — one columnar write, then every consumer scans cheap parquet. */
+  private val stagedDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedDirs.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        } catch { case _: Throwable => () }
+      }))
+  }
+
   private def stage(df: DataFrame, tag: String): DataFrame = {
-    val p = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-").toString
-    df.write.mode("overwrite").parquet(p)
-    df.sparkSession.read.parquet(p)
+    val p = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
+    stagedDirs.add(p)
+    df.write.mode("overwrite").parquet(p.toString)
+    df.sparkSession.read.parquet(p.toString)
   }
 
   /** Exact Jaccard over shared-shingle candidate pairs. Candidate

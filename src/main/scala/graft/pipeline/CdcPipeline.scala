@@ -41,9 +41,13 @@ object CdcPipeline {
       // Refresh the reference's materialized views after each batch
       // (init-risingwave.sql:73-109; SURVEY ST10).
       maintainMvs: Boolean = false,
-      // Compact the audit table once it accumulates this many append dirs
-      // (streaming small-files guard; see GraftTable.maybeCompact).
-      auditCompactAfterDirs: Int = 64)
+      // Optional small-files guard: compact the audit table once it
+      // accumulates this many append dirs (GraftTable.maybeCompact). OFF by
+      // default because compaction rewrites data files, which would make a
+      // downstream `streamAppends` consumer of the audit table re-ingest
+      // history — enable only when nothing streams the audit data dirs (use
+      // streamChanges-style consumers instead).
+      auditCompactAfterDirs: Option[Int] = None)
 
   def auditTablePath(cfg: Config): String = s"${cfg.tableRoot}/cdc_events"
   def snapshotPath(cfg: Config, table: String): String = s"${cfg.tableRoot}/$table"
@@ -74,7 +78,7 @@ object CdcPipeline {
           // — exactly-once audit rows (ST3/ST9).
           val audit = GraftTable.createIfNotExists(spark, auditTablePath(cfg), batch.limit(0))
           audit.appendOnce(batch, "cdc_events_audit", batchId)
-          audit.maybeCompact(cfg.auditCompactAfterDirs)
+          cfg.auditCompactAfterDirs.foreach(audit.maybeCompact(_))
           (): Unit
         }
       }
@@ -94,7 +98,11 @@ object CdcPipeline {
           get_json_object(col("after_data"), "$.id"),
           get_json_object(col("before_data"), "$.id")).cast("long"))
       .filter(col("__key").isNotNull)
-    val w = Window.partitionBy("__key").orderBy(desc("kafka_offset"))
+    // WAL LSN is the true source order; offsets only order within one Kafka
+    // partition, so they are a tiebreaker, not the primary sort.
+    val w = Window.partitionBy("__key")
+      .orderBy(desc("source_lsn"), desc("event_timestamp"),
+        desc("kafka_partition"), desc("kafka_offset"))
     keyed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__key")
@@ -105,12 +113,20 @@ object CdcPipeline {
   private[pipeline] def applyBatchToSnapshot(
       spark: SparkSession, cfg: Config, table: String, auditRows: DataFrame): Unit = {
     val winners = latestPerKey(auditRows, table)
+    // Pin processing time per batch: current_timestamp() re-evaluates per
+    // job, and the merge runs two jobs (snapshot + CDF) that must agree.
+    val batchTs = new java.sql.Timestamp(System.currentTimeMillis())
     val upserts = Parse.typedSnapshotRows(winners, table)
+      .withColumn("__processed_at", lit(batchTs))
     val deletes = Parse.deleteKeyRows(winners, table)
     val path = snapshotPath(cfg, table)
     if (!upserts.isEmpty) {
       GraftTable.createIfNotExists(spark, path, upserts.limit(0))
-        .merge(upserts, "id")
+        // Metadata columns churn every batch; excluding them from change
+        // detection keeps a re-delivered identical row a true no-op
+        // (spark_delta_handler.py:222-236 semantics).
+        .merge(upserts, "id",
+          compareIgnore = Seq("__cdc_operation", "__cdc_timestamp", "__processed_at"))
     }
     if (GraftTable.isTable(spark, path) && !deletes.isEmpty) {
       GraftTable.forPath(spark, path).deleteKeys(deletes, "id")

@@ -55,9 +55,19 @@ object StatefulSessions {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(acc) if t - acc.endMs <= gapMs =>
-                  open = Some(acc.copy(endMs = math.max(acc.endMs, t),
+                // Within gap of the open session on EITHER side — a late
+                // event may precede the session start (gap math must be
+                // two-sided, not signed), extending the window both ways.
+                case Some(acc) if t >= acc.startMs - gapMs && t <= acc.endMs + gapMs =>
+                  open = Some(acc.copy(
+                    startMs = math.min(acc.startMs, t),
+                    endMs = math.max(acc.endMs, t),
                     events = acc.events + 1, value = acc.value + e.value))
+                // Too late even for the gap before the open session: emit it
+                // as its own already-closed earlier session.
+                case Some(acc) if t < acc.startMs - gapMs =>
+                  closed += close(SessionAcc(t, t, 1L, e.value))
+                // Beyond the gap after: close the open session, start anew.
                 case Some(acc) =>
                   closed += close(acc)
                   open = Some(SessionAcc(t, t, 1L, e.value))

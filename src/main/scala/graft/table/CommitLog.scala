@@ -60,23 +60,33 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
   private val logDir = new Path(tableRoot, CommitLog.LogDirName)
   private def fs: FileSystem = logDir.getFileSystem(conf)
 
+  // Commit files are immutable once written, so parses are cached by file
+  // name forever; each commits() call does ONE cheap directory listing (so
+  // other handles' new commits are always visible) and parses only files it
+  // hasn't seen — O(new) parsing instead of O(#commits) per lookup, which
+  // matters once a streaming table has thousands of commits.
+  private val parsedByName =
+    scala.collection.concurrent.TrieMap.empty[String, Commit]
+
   def exists: Boolean = fs.exists(logDir)
 
   private def versionFile(v: Long): Path = new Path(logDir, f"$v%020d.json")
 
-  /** All commits, ascending by version. Driver-side; O(#commits). */
+  /** All commits, ascending by version. Driver-side. */
   def commits(): Seq[Commit] = {
     if (!exists) return Seq.empty
     fs.listStatus(logDir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
         !s.getPath.getName.startsWith("."))
       .map { s =>
-        val in = fs.open(s.getPath)
-        try {
-          val bytes = new Array[Byte](s.getLen.toInt)
-          in.readFully(0, bytes)
-          CommitLog.fromJson(new String(bytes, StandardCharsets.UTF_8))
-        } finally in.close()
+        parsedByName.getOrElseUpdate(s.getPath.getName, {
+          val in = fs.open(s.getPath)
+          try {
+            val bytes = new Array[Byte](s.getLen.toInt)
+            in.readFully(0, bytes)
+            CommitLog.fromJson(new String(bytes, StandardCharsets.UTF_8))
+          } finally in.close()
+        })
       }
       .sortBy(_.version)
   }
@@ -86,19 +96,28 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
   def commit(c: Commit): Unit = {
     fs.mkdirs(logDir)
     val target = versionFile(c.version)
-    if (fs.exists(target))
-      throw new IllegalStateException(
-        s"concurrent write detected: version ${c.version} already committed at $target")
-    val tmp = new Path(logDir, f".tmp-${c.version}-${System.nanoTime()}.json")
-    val out = fs.create(tmp, false)
+    // Exclusive create on the final name: two writers racing the same
+    // version cannot both win (local rename() would silently overwrite,
+    // so create-exclusive is the collision guard, not rename).
+    val out =
+      try fs.create(target, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"concurrent write detected: version ${c.version} already committed at $target", e)
+      }
     try out.write(CommitLog.toJson(c).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"commit rename failed for version ${c.version}")
+    parsedByName.put(versionFile(c.version).getName, c)
+    ()
   }
 
-  /** Drop the log entry for a vacuumed version (its data dirs are gone). */
-  def remove(version: Long): Unit = fs.delete(versionFile(version), false)
+  /** Drop the log entry for a version (administrative; vacuum keeps logs). */
+  def remove(version: Long): Unit = {
+    fs.delete(versionFile(version), false)
+    parsedByName.remove(versionFile(version).getName)
+    ()
+  }
 }
 
 object CommitLog {

@@ -298,7 +298,8 @@ final class GraftTable private (
     * broadcast by AQE automatically. CDF and snapshot are two jobs over the
     * same join (the join recomputes; caching 100 TB would be worse).
     */
-  def merge(source: DataFrame, key: String, changedOnly: Boolean = true): Commit =
+  def merge(source: DataFrame, key: String, changedOnly: Boolean = true,
+      compareIgnore: Seq[String] = Nil): Commit =
     this.synchronized {
       val prev = log.latest().getOrElse(throw new NoSuchElementException(
         s"merge into non-existent table $root — create it first"))
@@ -307,26 +308,42 @@ final class GraftTable private (
       val targetSchema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
       val mergedSchema = StructType(targetSchema.fields ++
         source.schema.fields.filterNot(f => targetSchema.fieldNames.contains(f.name)))
+      val sourceCols = source.columns.toSet
 
       val t = alignTo(readCommit(prev), mergedSchema).alias("t")
-      val s = alignTo(source, mergedSchema).alias("s")
+      // A null merge key can never match (equi-join) and would surface as an
+      // all-NULL row; it's corrupt input — drop it rather than corrupt state.
+      val s = alignTo(source.filter(col(key).isNotNull), mergedSchema).alias("s")
       val joined = t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
 
       val sPresent = col(s"s.$key").isNotNull
       val tPresent = col(s"t.$key").isNotNull
-      val dataCols = mergedSchema.fieldNames.filterNot(_ == key).toSeq
-      val changedCond = dataCols
+      // whenMatchedUpdateAll assigns only columns the SOURCE actually has:
+      // target-only columns keep their target value on matched rows.
+      def mergedVal(c: String) =
+        if (sourceCols.contains(c)) when(sPresent, col(s"s.$c")).otherwise(col(s"t.$c"))
+        else when(tPresent, col(s"t.$c")).otherwise(col(s"s.$c"))
+      // Change detection compares only source-assignable columns, minus any
+      // caller-declared volatile metadata (e.g. processing timestamps).
+      val compareCols = mergedSchema.fieldNames
+        .filter(c => c != key && sourceCols.contains(c) && !compareIgnore.contains(c)).toSeq
+      val changedCond = compareCols
         .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
         .reduceOption(_ || _).getOrElse(lit(false))
       val isUpdate = tPresent && sPresent && (if (changedOnly) changedCond else lit(true))
 
       val outCols = mergedSchema.fieldNames.toSeq
-      val snapshot = joined.select(outCols.map(c =>
-        when(sPresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+      val snapshot = joined.select(outCols.map(c => mergedVal(c).as(c)): _*)
       val dir = writeData(snapshot, v)
 
-      def image(side: String, changeType: String) =
-        struct(outCols.map(c => col(s"$side.$c").as(c)) :+ lit(changeType).as("_change_type"): _*)
+      def image(side: String, changeType: String) = {
+        // postimage = the merged row (source values + carried target-only
+        // columns), preimage = the pre-merge target row.
+        val cols =
+          if (side == "s") outCols.map(c => mergedVal(c).as(c))
+          else outCols.map(c => col(s"t.$c").as(c))
+        struct(cols :+ lit(changeType).as("_change_type"): _*)
+      }
       // No `otherwise`: unmatched branches yield a null array, which explode
       // drops — unchanged rows emit no CDF rows, in one pass over the join.
       val changeRows = joined.select(explode(
@@ -448,7 +465,10 @@ final class GraftTable private (
   /** VACUUM (S18/M10, delta_handler.py:275-285; default retention 168 h,
     * shared/config.py:109): delete data/CDF dirs only referenced by commits
     * older than the cutoff, keeping everything the current head references.
-    * Returns the deleted dirs. */
+    * Log ENTRIES are kept (like Delta): history stays complete, expired
+    * versions fail loudly on read, and `appendOnce`'s txn stamps survive so
+    * exactly-once replay detection keeps working after a vacuum. Returns
+    * the deleted dirs. */
   def vacuum(retentionHours: Double = 168.0, nowMs: Long = System.currentTimeMillis()): Seq[String] =
     this.synchronized {
       val cutoff = nowMs - (retentionHours * 3600 * 1000).toLong
@@ -464,7 +484,6 @@ final class GraftTable private (
           if (fs.delete(new Path(root, d), true)) deleted += d
         }
         fs.delete(new Path(root, changesDirName(c.version)), true)
-        log.remove(c.version)
       }
       deleted.result()
     }

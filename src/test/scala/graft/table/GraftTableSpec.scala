@@ -67,6 +67,35 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 3)
   }
 
+  test("merge keeps target-only columns on matched rows (updateAll scope)") {
+    val t = GraftTable.create(spark, tmpDir("gt-keepcols"), seedCustomers)
+    // Source lacks `balance` entirely: matched rows must keep their target
+    // balance, not have it nulled; and an otherwise-identical source row
+    // must not count as changed just because balance is absent.
+    val slim = Seq(
+      (1L, "John", "john@new.com"),
+      (2L, "Jane", "jane@x.com")
+    ).toDF("id", "name", "email")
+    val c = t.merge(slim, "id")
+    assert(c.metrics("numTargetRowsUpdated") === 1) // only the email change
+    val rows = t.read().orderBy("id").collect()
+    assert(rows(0).getAs[String]("email") === "john@new.com")
+    assert(rows(0).getAs[Double]("balance") === 100.0) // kept, not nulled
+    assert(rows(1).getAs[Double]("balance") === 200.0)
+  }
+
+  test("merge drops null-key source rows instead of corrupting") {
+    val t = GraftTable.create(spark, tmpDir("gt-nullkey"), seedCustomers)
+    val withNull = Seq(
+      (Some(9L), "Ok", "ok@x.com", 9.0),
+      (Option.empty[Long], "Bad", "bad@x.com", 0.0)
+    ).toDF("id", "name", "email", "balance")
+    t.merge(withNull, "id")
+    val snap = t.read().collect()
+    assert(snap.length === 4) // 3 seed + 1 valid insert; no all-NULL row
+    assert(!snap.exists(_.isNullAt(0)))
+  }
+
   test("merge with additive schema evolution (mergeSchema, M6)") {
     val t = GraftTable.create(spark, tmpDir("gt-evolve"), seedCustomers)
     val withPhone = Seq((6L, "Zed", "z@x.com", 600.0, "555-0100"))
