@@ -12,6 +12,36 @@ class StatefulSessionsSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  test("late event before the open session start does not merge into it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StatefulSessions.sessionize(
+      input.toDS().withWatermark("ts", "3 hours"), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(SessionEvent(1L, t("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // 2h earlier, inside the watermark: its own (immediately closed)
+      // session, NOT an extension of the 10:00 session.
+      input.addData(SessionEvent(1L, t("2024-01-01 08:00:00"), 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_out").as[ClosedSession].collect()
+      assert(closed.length === 1)
+      assert(closed(0).session_start === t("2024-01-01 08:00:00"))
+      assert(closed(0).session_events === 1L)
+      // the open 10:00 session is untouched (closes later via timeout)
+      input.addData(SessionEvent(2L, t("2024-01-01 20:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(2L, t("2024-01-01 21:00:00"), 0.0))
+      q.processAllAvailable()
+      val ten = spark.table("late_out").as[ClosedSession].collect()
+        .filter(s => s.user_id == 1L && s.session_start == t("2024-01-01 10:00:00"))
+      assert(ten.length === 1)
+      assert(ten(0).session_events === 1L && ten(0).session_value === 1.0)
+    } finally q.stop()
+  }
+
   test("sessions close on in-batch gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
