@@ -72,23 +72,63 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
 
   private def versionFile(v: Long): Path = new Path(logDir, f"$v%020d.json")
 
-  /** All commits, ascending by version. Driver-side. */
+  private def readFile(p: Path, len: Long): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](len.toInt)
+      in.readFully(0, bytes)
+      new String(bytes, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** All commits, ascending by version. Driver-side. A checkpoint file, if
+    * present, supplies every commit at or below its version in ONE read;
+    * only newer per-commit files are opened individually — so a cold open
+    * of a table with thousands of commits costs one file plus the tail
+    * (Delta's `_last_checkpoint` pattern). */
   def commits(): Seq[Commit] = {
     if (!exists) return Seq.empty
-    fs.listStatus(logDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
-        !s.getPath.getName.startsWith("."))
-      .map { s =>
-        parsedByName.getOrElseUpdate(s.getPath.getName, {
-          val in = fs.open(s.getPath)
-          try {
-            val bytes = new Array[Byte](s.getLen.toInt)
-            in.readFully(0, bytes)
-            CommitLog.fromJson(new String(bytes, StandardCharsets.UTF_8))
-          } finally in.close()
-        })
+    val entries = fs.listStatus(logDir).toSeq.filter(_.isFile)
+    val ckpt = entries
+      .filter(_.getPath.getName.startsWith(CommitLog.CheckpointPrefix))
+      .sortBy(_.getPath.getName).lastOption
+    val fromCkpt: Seq[Commit] = ckpt.map { s =>
+      parsedCheckpoints.getOrElseUpdate(s.getPath.getName,
+        CommitLog.manyFromJson(readFile(s.getPath, s.getLen)))
+    }.getOrElse(Seq.empty)
+    val ckptMax = fromCkpt.lastOption.map(_.version).getOrElse(-1L)
+    val tail = entries
+      .filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".json") && !n.startsWith(".") &&
+          !n.startsWith(CommitLog.CheckpointPrefix) &&
+          n.stripSuffix(".json").forall(_.isDigit) &&
+          n.stripSuffix(".json").toLong > ckptMax
       }
-      .sortBy(_.version)
+      .map { s =>
+        parsedByName.getOrElseUpdate(s.getPath.getName,
+          CommitLog.fromJson(readFile(s.getPath, s.getLen)))
+      }
+    (fromCkpt ++ tail).sortBy(_.version)
+  }
+
+  private val parsedCheckpoints =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Commit]]
+
+  /** Consolidate all commits up to the head into one checkpoint file.
+    * Per-commit files stay in place (readers mid-listing stay correct);
+    * they are simply no longer opened. Call every N commits. */
+  def checkpoint(): Unit = {
+    val all = commits()
+    if (all.isEmpty) return
+    val name = f"${CommitLog.CheckpointPrefix}${all.last.version}%020d.ckpt.json"
+    val target = new Path(logDir, name)
+    if (fs.exists(target)) return
+    val out = fs.create(target, false)
+    try out.write(CommitLog.manyToJson(all).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    parsedCheckpoints.put(name, all)
+    ()
   }
 
   def latest(): Option[Commit] = commits().lastOption
@@ -122,6 +162,16 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
 
 object CommitLog {
   val LogDirName = "_graft_log"
+  val CheckpointPrefix = "_ckpt-"
+
+  def manyToJson(cs: Seq[Commit]): String =
+    cs.map(toJson).mkString("[", ",", "]")
+
+  def manyFromJson(s: String): Seq[Commit] =
+    JsonMethods.parse(s) match {
+      case JArray(xs) => xs.map(fromJsonValue).sortBy(_.version)
+      case _ => Seq.empty
+    }
 
   def toJson(c: Commit): String = {
     val base = List(
@@ -146,8 +196,9 @@ object CommitLog {
     JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
 
-  def fromJson(s: String): Commit = {
-    val j = JsonMethods.parse(s)
+  def fromJson(s: String): Commit = fromJsonValue(JsonMethods.parse(s))
+
+  def fromJsonValue(j: JValue): Commit = {
     def str(f: String): String = j \ f match { case JString(v) => v; case other => other.values.toString }
     def lng(f: String): Long = j \ f match {
       case JLong(v) => v

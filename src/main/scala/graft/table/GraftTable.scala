@@ -440,6 +440,12 @@ final class GraftTable private (
     log.commit(c); c
   }
 
+  /** Consolidate the commit log into a single checkpoint file (Delta's
+    * `_last_checkpoint` pattern): cold opens then read one file plus any
+    * newer commits instead of listing/parsing the whole history. Cheap;
+    * call every N commits on long-running tables. */
+  def checkpointLog(): Unit = log.checkpoint()
+
   /** Compact when the snapshot has accumulated more than `maxDataDirs`
     * append dirs — the guard the streaming append sink calls per batch so a
     * long-running stream doesn't degrade into the one-file-per-event

@@ -196,6 +196,28 @@ class GraftTableSpec extends SparkSpec {
     intercept[Exception](t.readVersion(1).count())
   }
 
+  test("log checkpoint consolidates history and stays correct as commits continue") {
+    val dir = tmpDir("gt-ckpt")
+    val t = GraftTable.create(spark, dir, seedCustomers)
+    (0 until 3).foreach { i =>
+      t.append(Seq((30L + i, s"c$i", s"c$i@x.com", 1.0)).toDF("id", "name", "email", "balance"))
+    }
+    t.checkpointLog()
+    // fresh handle: must see all 4 versions through the checkpoint
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.version === 3)
+    assert(t2.history().count() === 4)
+    assert(t2.readVersion(1).count() === 4) // 3 seed + first append
+    // commits after the checkpoint are the parsed tail
+    t2.append(Seq((99L, "z", "z@x.com", 9.0)).toDF("id", "name", "email", "balance"))
+    val t3 = GraftTable.forPath(spark, dir)
+    assert(t3.version === 4)
+    assert(t3.read().count() === 7) // 3 seed + 4 appended
+    // a second checkpoint at the new head also works
+    t3.checkpointLog()
+    assert(GraftTable.forPath(spark, dir).history().count() === 5)
+  }
+
   test("single-writer collision detection") {
     val dir = tmpDir("gt-conflict")
     val t1 = GraftTable.create(spark, dir, seedCustomers)
