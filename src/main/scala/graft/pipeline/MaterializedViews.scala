@@ -112,6 +112,21 @@ object MaterializedViews {
     ()
   }
 
+  /** Delta-incremental maintenance of `product_inventory` — a projection
+    * MV, so the CDF maps directly: insert/update_postimage rows upsert
+    * their projected image, delete rows delete. O(changed rows); the
+    * preimages aren't needed at all. */
+  def applyProductChangesIncrementally(
+      spark: SparkSession,
+      mv: GraftTable,
+      changes: DataFrame): Unit = {
+    val projected = productInventory(
+      changes.filter(col("_change_type").isin("insert", "update_postimage")))
+    if (!projected.isEmpty) { mv.merge(projected, "id"); () }
+    val deletes = changes.filter(col("_change_type") === "delete").select("id")
+    if (!deletes.isEmpty) { mv.deleteKeys(deletes, "id"); () }
+  }
+
   /** Continuous incremental maintenance: stream the orders snapshot's CDF
     * ([[GraftTable.streamChanges]]) and fold every micro-batch of change
     * rows into the MV state. Because the deltas are additive, a batch may

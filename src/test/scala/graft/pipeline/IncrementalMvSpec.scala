@@ -77,6 +77,33 @@ class IncrementalMvSpec extends SparkSpec {
     assert(!incremental(mv).exists { case (d, s, _, _, _) => d == "2024-01-02" && s == "shipped" })
   }
 
+  test("incremental product_inventory (projection MV) equals recompute") {
+    val products = Seq(
+      (1L, "Laptop", "tech", 999.99, 10),
+      (2L, "Mouse", "tech", 19.99, 0)
+    ).toDF("id", "name", "category", "price", "stock_quantity")
+    val snap = GraftTable.create(spark, tmpDir("ipv-prod"), products.limit(0))
+    val mv = GraftTable.create(spark, tmpDir("ipv-mv"),
+      MaterializedViews.productInventory(products.limit(0)))
+
+    def applyLatest(): Unit = MaterializedViews.applyProductChangesIncrementally(
+      spark, mv, snap.readChanges(snap.version, snap.version))
+    def check(): Unit = {
+      val expect = MaterializedViews.productInventory(snap.read()).collect().toSet
+      assert(mv.read().collect().toSet === expect)
+    }
+
+    snap.merge(products, "id"); applyLatest(); check()
+    snap.merge(Seq((2L, "Mouse", "tech", 17.99, 25), (3L, "Desk", "office", 149.0, 5))
+      .toDF("id", "name", "category", "price", "stock_quantity"), "id")
+    applyLatest(); check()
+    snap.deleteKeys(Seq(1L).toDF("id"), "id"); applyLatest(); check()
+    // stock_status buckets reflect the updates
+    val statuses = mv.read().orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("stock_status")))
+    assert(statuses.toSeq === Seq((2L, "In Stock"), (3L, "Low Stock")))
+  }
+
   test("continuous incremental MV over the streaming CDF equals recompute") {
     val cfg = CdcPipeline.Config(
       inputDir = tmpDir("cimv-in"),
