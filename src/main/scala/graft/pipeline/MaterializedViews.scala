@@ -127,6 +127,81 @@ object MaterializedViews {
     if (!deletes.isEmpty) { mv.deleteKeys(deletes, "id"); () }
   }
 
+  /** Delta-incremental maintenance of `customer_order_summary` — the JOIN
+    * MV (customers ⟕ orders + per-customer counters). State rows carry the
+    * customer attributes, a `__known` flag, and additive counters:
+    *
+    *  - customer insert/update_postimage → merge attrs + `__known = true`;
+    *    [[GraftTable.merge]] assigns only source-present columns, so the
+    *    counters survive attribute updates untouched.
+    *  - customer delete → delete the state row.
+    *  - orders CDF → signed per-customer deltas joined to current counters,
+    *    merged back for AFFECTED customers only (O(changed keys)). Orders
+    *    for customers not seen yet accumulate in rows with `__known` null —
+    *    hidden from the published view until the customer row arrives, at
+    *    which point history is already summed (matching what a recompute
+    *    would produce).
+    *
+    * Known limit: deleting a customer drops its accumulated counters, so a
+    * LATER re-insert of the same key starts from zero while that customer's
+    * surviving orders would still count in a recompute — re-inserting a
+    * deleted dimension key needs a one-key backfill (or tombstone rows
+    * instead of physical deletes). The CDC source at hand re-emits a
+    * deleted-then-recreated row's orders as fresh events, so the paths
+    * agree there.
+    */
+  def applyCustomerOrderChangesIncrementally(
+      spark: SparkSession,
+      mv: GraftTable,
+      customerChanges: Option[DataFrame],
+      orderChanges: Option[DataFrame]): Unit = {
+    customerChanges.foreach { ch =>
+      val upserts = ch
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(col("id").as("customer_id"), col("first_name"),
+          col("last_name"), col("email"), lit(true).as("__known"))
+      if (!upserts.isEmpty) { mv.merge(upserts, "customer_id"); () }
+      val dels = ch.filter(col("_change_type") === "delete")
+        .select(col("id").as("customer_id"))
+      if (!dels.isEmpty) { mv.deleteKeys(dels, "customer_id"); () }
+    }
+    orderChanges.foreach { ch =>
+      val signed = ch
+        .filter(col("_change_type").isin(
+          "insert", "delete", "update_preimage", "update_postimage"))
+        .withColumn("__sign",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+      val deltas = signed.groupBy(col("customer_id"))
+        .agg(
+          sum(col("__sign")).as("d_orders"),
+          sum(col("__sign") * col("total_amount").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("d_value"))
+        .filter(col("d_orders") =!= 0 || col("d_value") =!= 0)
+      if (!deltas.isEmpty) {
+        val cur = mv.read().select(col("customer_id"),
+          col("total_orders"), col("lifetime_value").cast(DecimalType(18, 2)).as("lv"))
+        val updated = deltas.join(cur, Seq("customer_id"), "left")
+          .select(
+            col("customer_id"),
+            (coalesce(col("total_orders"), lit(0L)) + col("d_orders")).as("total_orders"),
+            (coalesce(col("lv"), lit(0).cast(DecimalType(18, 2))) + col("d_value"))
+              .cast(DecimalType(18, 2)).as("lifetime_value"))
+        mv.merge(updated, "customer_id")
+        ()
+      }
+    }
+  }
+
+  /** Publishable projection of the join-MV state: known customers only,
+    * null counters as zero, derived exactly like the batch MV. */
+  def customerOrderSummaryView(state: DataFrame): DataFrame =
+    state.filter(col("__known") === true)
+      .select(
+        col("customer_id"), col("first_name"), col("last_name"), col("email"),
+        coalesce(col("total_orders"), lit(0L)).as("total_orders"),
+        coalesce(col("lifetime_value").cast(DoubleType), lit(0.0)).as("lifetime_value"))
+
   /** Continuous incremental maintenance: stream the orders snapshot's CDF
     * ([[GraftTable.streamChanges]]) and fold every micro-batch of change
     * rows into the MV state. Because the deltas are additive, a batch may
