@@ -178,10 +178,59 @@ final class GraftTable private (
     log.latest().map(_.partitionCols).getOrElse(Nil)
 
   /** Min/max stats of a just-written dir for every numeric/timestamp
-    * column, one small agg job. (A production variant reads these from the
-    * parquet footers for free; the encoding and pruning logic are the
-    * same.) */
-  private def statsFor(dir: String): Map[String, (Double, Double)] = {
+    * column, harvested from the PARQUET FOOTERS the write already produced
+    * — no extra Spark job. Falls back to a small agg scan if footer reading
+    * surprises (exotic types, stats disabled). */
+  private def statsFor(dir: String): Map[String, (Double, Double)] =
+    try statsFromFooters(dir)
+    catch { case scala.util.control.NonFatal(_) => statsFromScan(dir) }
+
+  private def statsFromFooters(dir: String): Map[String, (Double, Double)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dirPath = new Path(root, dir)
+    val files = fs.listFiles(dirPath, true)
+    val acc = scala.collection.mutable.HashMap.empty[String, (Double, Double)]
+    var sawFile = false
+    while (files.hasNext) {
+      val st = files.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        sawFile = true
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(st.getPath, hadoopConf(spark)))
+        try {
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.foreach { cc =>
+              val name = cc.getPath.toDotString
+              val s = cc.getStatistics
+              if (s != null && s.hasNonNullValue) {
+                val mm: Option[(Double, Double)] = (s.genericGetMin, s.genericGetMax) match {
+                  case (lo: java.lang.Long, hi: java.lang.Long) =>
+                    Some((lo.toDouble, hi.toDouble))
+                  case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                    Some((lo.toDouble, hi.toDouble))
+                  case (lo: java.lang.Double, hi: java.lang.Double) =>
+                    Some((lo.toDouble, hi.toDouble))
+                  case (lo: java.lang.Float, hi: java.lang.Float) =>
+                    Some((lo.toDouble, hi.toDouble))
+                  case _ => None // strings/binary/etc: not tracked
+                }
+                mm.foreach { case (lo, hi) =>
+                  val cur = acc.get(name)
+                  acc(name) = (math.min(lo, cur.map(_._1).getOrElse(lo)),
+                    math.max(hi, cur.map(_._2).getOrElse(hi)))
+                }
+              }
+            }
+          }
+        } finally reader.close()
+      }
+    }
+    if (!sawFile) Map.empty else acc.toMap
+  }
+
+  private def statsFromScan(dir: String): Map[String, (Double, Double)] = {
     import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(new Path(root, dir).toString)
     val targets: Seq[(String, Column)] = df.schema.fields.toSeq.flatMap { f =>
