@@ -136,19 +136,29 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
   def commit(c: Commit): Unit = {
     fs.mkdirs(logDir)
     val target = versionFile(c.version)
-    // Exclusive create on the final name: two writers racing the same
-    // version cannot both win (local rename() would silently overwrite,
-    // so create-exclusive is the collision guard, not rename).
-    val out =
-      try fs.create(target, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"concurrent write detected: version ${c.version} already committed at $target", e)
-      }
-    try out.write(CommitLog.toJson(c).getBytes(StandardCharsets.UTF_8))
+    if (fs.exists(target))
+      throw new IllegalStateException(
+        s"concurrent write detected: version ${c.version} already committed at $target")
+    val json = CommitLog.toJson(c)
+    // Temp-then-rename so concurrent READERS never observe a half-written
+    // commit (rename is atomic); collision safety comes from the read-back
+    // below — if another writer's rename overwrote ours on a local FS
+    // (where rename() replaces silently), the content comparison fails and
+    // exactly one writer survives.
+    val tmp = new Path(logDir, f".tmp-${c.version}-${System.nanoTime()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    parsedByName.put(versionFile(c.version).getName, c)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent write detected: version ${c.version} already committed at $target")
+    }
+    val onDisk = readFile(target, fs.getFileStatus(target).getLen)
+    if (onDisk != json)
+      throw new IllegalStateException(
+        s"concurrent write detected: version ${c.version} at $target was won by another writer")
+    parsedByName.put(target.getName, c)
     ()
   }
 

@@ -133,6 +133,30 @@ final class GraftTable private (
 
   // ----------------------------------------------------- streaming reads
 
+  /** Absolute data-dir paths ADDED by commits in (fromVersion, toVersion] —
+    * the unit of progress for the version-aware streaming source
+    * ([[org.apache.spark.sql.graftnative.GraftTableSource]]). CREATE/APPEND
+    * contribute their new dir; OPTIMIZE contributes nothing (same rows,
+    * new files); rewriting operations break the append-only streaming
+    * contract and fail loudly. */
+  def appendedDirsBetween(fromVersionExclusive: Long, toVersionInclusive: Long): Seq[String] = {
+    val all = log.commits()
+    val byVersion = all.map(c => c.version -> c).toMap
+    all.filter(c => c.version > fromVersionExclusive && c.version <= toVersionInclusive)
+      .flatMap { c =>
+        c.operation match {
+          case "CREATE" | "APPEND" =>
+            val prevDirs = byVersion.get(c.version - 1).map(_.dataDirs.toSet).getOrElse(Set.empty[String])
+            c.dataDirs.filterNot(prevDirs.contains)
+          case "OPTIMIZE" => Nil
+          case op => throw new UnsupportedOperationException(
+            s"version-aware streaming requires an append-only table; version ${c.version} " +
+              s"of $root is $op — stream readChanges() (the CDF) for mutating tables")
+        }
+      }
+      .map(d => new Path(root, d).toString)
+  }
+
   /** Streaming source over this table's appended data (Delta's
     * `spark.readStream.format("delta")` for the append-only case): new
     * files under `data/` surface as micro-batches as commits land. Valid

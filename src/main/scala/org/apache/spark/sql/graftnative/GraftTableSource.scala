@@ -1,0 +1,97 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.table.GraftTable
+
+/** Version-aware streaming source over a [[GraftTable]]: offsets are commit
+  * versions, and each micro-batch emits exactly the rows ADDED by the
+  * commits in (start, end] — the Delta streaming-source model, replacing
+  * the glob-based file stream:
+  *
+  *  - APPEND commits emit their new data dir.
+  *  - OPTIMIZE commits emit NOTHING (same rows, new files) — compaction no
+  *    longer re-feeds downstream consumers, which the glob approach
+  *    couldn't avoid.
+  *  - Rewriting commits (MERGE/DELETE/UPDATE/WRITE/RESTORE) fail the query
+  *    with a clear message: stream `_changes` (the CDF) for mutating
+  *    tables.
+  *
+  * Usage: `spark.readStream.format("graft-table").option("path", root)`
+  * (or the provider class name). V1 `Source` API on purpose: `getBatch`
+  * can hand back a parquet relation over exactly the right dirs, reusing
+  * the vectorized reader — the same reason Delta's source is V1.
+  */
+class GraftTableSource(
+    sparkSession: SparkSession,
+    root: String) extends Source {
+
+  private val table = GraftTable.forPath(sparkSession, root)
+  private val initialSchema: StructType = table.read().schema
+
+  override def schema: StructType = initialSchema
+
+  override def getOffset: Option[Offset] = {
+    val v = table.version
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(-1L)
+    val to = versionOf(end)
+    val dirs = table.appendedDirsBetween(from, to)
+    if (dirs.isEmpty) {
+      // Even an empty batch must carry isStreaming=true.
+      org.apache.spark.sql.classic.Dataset.ofRows(
+        sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(initialSchema),
+          Seq.empty, isStreaming = true))
+    } else {
+      val classicSpark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val relation = DataSource(
+        sparkSession = classicSpark,
+        paths = dirs,
+        userSpecifiedSchema = Some(initialSchema),
+        className = "parquet").resolveRelation(checkFilesExist = false)
+      org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+        LogicalRelation(relation, isStreaming = true))
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
+class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-table source requires option 'path'"))
+    val t = GraftTable.forPath(sqlContext.sparkSession, root)
+    (shortName(), schema.getOrElse(t.read().schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftTableSource(sqlContext.sparkSession, parameters("path"))
+}

@@ -28,6 +28,39 @@ class TableStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("version-aware source streams appends, ignores compaction, rejects rewrites") {
+    val dir = tmpDir("ts-vsrc")
+    val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graftnative.GraftTableSourceProvider")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("vsrc_out")
+      .option("checkpointLocation", tmpDir("ts-vsrc-ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vsrc_out").count() === 1)
+      t.append(Seq((2L, "b")).toDF("id", "s"))
+      t.append(Seq((3L, "c")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("vsrc_out").count() === 3)
+      // compaction rewrites files but adds no rows: nothing re-emitted
+      t.optimize()
+      q.processAllAvailable()
+      assert(spark.table("vsrc_out").count() === 3)
+      // appends after compaction still flow
+      t.append(Seq((4L, "d")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("vsrc_out").as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      // a rewrite commit fails the stream with a clear contract error
+      t.delete(col("id") === 1L)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+  }
+
   test("streamChanges delivers CDF rows of merges and deletes") {
     val t = GraftTable.create(spark, tmpDir("ts-cdf"),
       Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
