@@ -133,6 +133,27 @@ final class GraftTable private (
 
   // ----------------------------------------------------- streaming reads
 
+  /** Absolute `_changes` dir paths of commits in (fromVersion, toVersion]
+    * that emitted CDF rows — the unit of progress for the CDF streaming
+    * source. Valid for every commit type (that is the point of streaming
+    * the change feed). */
+  def changeDirsBetween(fromVersionExclusive: Long, toVersionInclusive: Long): Seq[String] =
+    log.commits()
+      .filter(c => c.version > fromVersionExclusive && c.version <= toVersionInclusive)
+      .map(c => new Path(root, changesDirName(c.version)))
+      .filter(fs.exists)
+      .map(_.toString)
+
+  /** Schema of the change feed: table schema + the three CDF metadata
+    * columns. */
+  def changesSchema: StructType = {
+    val head = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+  }
+
   /** Absolute data-dir paths ADDED by commits in (fromVersion, toVersion] —
     * the unit of progress for the version-aware streaming source
     * ([[org.apache.spark.sql.graftnative.GraftTableSource]]). CREATE/APPEND

@@ -72,9 +72,57 @@ class GraftTableSource(
   override def stop(): Unit = ()
 }
 
+/** Version-offset streaming source over a table's Change Data Feed: each
+  * micro-batch is exactly the CDF rows emitted by the commits in
+  * (start, end] — valid for mutating tables (the streaming form of
+  * `option("readChangeFeed", true)`). */
+class GraftChangesSource(
+    sparkSession: SparkSession,
+    root: String) extends Source {
+
+  private val table = GraftTable.forPath(sparkSession, root)
+  private val cdfSchema: StructType = table.changesSchema
+
+  override def schema: StructType = cdfSchema
+
+  override def getOffset: Option[Offset] = {
+    val v = table.version
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val dirs = table.changeDirsBetween(start.map(versionOf).getOrElse(-1L), versionOf(end))
+    val classicSpark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (dirs.isEmpty) {
+      org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(cdfSchema),
+          Seq.empty, isStreaming = true))
+    } else {
+      val relation = DataSource(
+        sparkSession = classicSpark,
+        paths = dirs,
+        userSpecifiedSchema = Some(cdfSchema),
+        className = "parquet").resolveRelation(checkFilesExist = false)
+      org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+        LogicalRelation(relation, isStreaming = true))
+    }
+  }
+
+  override def stop(): Unit = ()
+}
+
 class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  private def readChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
 
   override def sourceSchema(
       sqlContext: SQLContext,
@@ -84,7 +132,9 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
     val root = parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-table source requires option 'path'"))
     val t = GraftTable.forPath(sqlContext.sparkSession, root)
-    (shortName(), schema.getOrElse(t.read().schema))
+    val s = schema.getOrElse(
+      if (readChangeFeed(parameters)) t.changesSchema else t.read().schema)
+    (shortName(), s)
   }
 
   override def createSource(
@@ -93,5 +143,8 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source =
-    new GraftTableSource(sqlContext.sparkSession, parameters("path"))
+    if (readChangeFeed(parameters))
+      new GraftChangesSource(sqlContext.sparkSession, parameters("path"))
+    else
+      new GraftTableSource(sqlContext.sparkSession, parameters("path"))
 }

@@ -61,6 +61,35 @@ class TableStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChangeFeed source streams per-commit CDF batches for mutating tables") {
+    val dir = tmpDir("ts-cdfsrc")
+    val t = GraftTable.create(spark, dir, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    t.merge(Seq((2L, 25.0), (3L, 30.0)).toDF("id", "v"), "id") // v1
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graftnative.GraftTableSourceProvider")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdfsrc_out")
+      .option("checkpointLocation", tmpDir("ts-cdfsrc-ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdfsrc_out").count() === 3) // pre/post + insert
+      // mutating commits keep flowing — deletes included, compaction silent
+      t.delete(col("id") === 1L) // v2
+      t.optimize()               // v3: no CDF
+      t.merge(Seq((4L, 40.0)).toDF("id", "v"), "id") // v4
+      q.processAllAvailable()
+      val byType = spark.table("cdfsrc_out")
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType("delete") === 1)
+      assert(byType("insert") === 2) // id 3 and id 4
+      val versions = spark.table("cdfsrc_out")
+        .select("_commit_version").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      assert(versions === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("streamChanges delivers CDF rows of merges and deletes") {
     val t = GraftTable.create(spark, tmpDir("ts-cdf"),
       Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
