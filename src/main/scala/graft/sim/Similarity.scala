@@ -72,6 +72,67 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Deterministic k-means training of IVF centroids: seeded initialization
+    * from existing vectors, then `iters` rounds of assign (broadcast
+    * centroids) + element-wise mean per cluster. Each iteration is one
+    * shuffle of (vec, centroid) plus a tiny aggregate — linear in data,
+    * independent of k beyond the broadcast. */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    val v = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+    // Seeded init: the k vectors with smallest murmur(vec_id) — spread
+    // pseudo-randomly but reproducibly, no driver-side randomness.
+    var centroids = v
+      .withColumn("__h", hash(col("vec_id")))
+      .orderBy("__h").limit(k)
+      .withColumn("centroid_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("__h")).cast("long") - 1)
+      .select(col("centroid_id"), col("vec").as("centroid"))
+    (0 until iters).foreach { _ =>
+      val assigned = assignToCentroids(v, centroids,
+        vecCol = "vec", centroidIdCol = "centroid_id", centroidVecCol = "centroid")
+        .join(v, "vec_id")
+      // element-wise mean: explode positions, average, rebuild ordered array
+      centroids = assigned
+        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos").agg(avg("x").as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          expr("transform(pm, p -> p.m)").as("centroid"))
+    }
+    centroids
+  }
+
+  /** IVF top-k: probe only the `nprobe` clusters nearest the query vector,
+    * exact-rank within them. With the corpus partitioned by centroid_id on
+    * disk, a query touches nprobe partitions instead of everything — the
+    * inverted-file ANN scale path. */
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int,
+      nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignToCentroids(emb, centroids,
+      idCol = idCol, vecCol = vecCol,
+      centroidIdCol = "centroid_id", centroidVecCol = "centroid")
+      .join(emb.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("vec")), "vec_id")
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("q_vec"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .withColumn("score", cosine(col("centroid").cast("array<double>"), col("q_vec")))
+      .orderBy(desc("score"), col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    assigned.join(broadcast(probed), "centroid_id")
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("score", cosine(col("vec"), col("q_vec")))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Pairwise centroid assignment (IVF-style coarse quantizer): assign each
     * vector to the nearest of `centroids` (broadcast small side); at scale
     * this is the partitioning key that turns ANN into per-partition search. */

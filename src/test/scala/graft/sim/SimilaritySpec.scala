@@ -42,6 +42,33 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).count(top5.contains) >= 3)
   }
 
+  test("trainCentroids recovers planted clusters; ivfTopK has high recall") {
+    val rnd = new scala.util.Random(5)
+    val anchors = Seq.fill(3)(Seq.fill(16)(rnd.nextGaussian().toFloat * 3f))
+    val clustered: Map[Long, Seq[Float]] = (0L until 90L).map { i =>
+      val a = anchors((i % 3).toInt)
+      i -> a.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+    }.toMap
+    val emb = clustered.toSeq.toDF("vec_id", "embedding")
+
+    val centroids = Similarity.trainCentroids(emb, k = 3, iters = 5)
+    assert(centroids.count() === 3)
+    // vectors from the same generative cluster land on the same centroid
+    val assigned = Similarity.assignToCentroids(emb, centroids)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    (0 until 3).foreach { g =>
+      val members = (0L until 90L).filter(_ % 3 == g).map(assigned)
+      assert(members.distinct.length === 1, s"cluster $g split: $members")
+    }
+
+    // IVF with nprobe=1 on well-separated clusters: exact top-5 recovered
+    val ivf = Similarity.ivfTopK(emb, centroids, queryId = 0L, k = 5, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0L, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf === brute)
+  }
+
   test("assignToCentroids picks the nearest centroid for every vector") {
     val centroids = Seq(
       (0L, Seq.fill(32)(1.0f)),
