@@ -223,29 +223,37 @@ object SparkEntry {
       """SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint,
         |       min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
-    "q28_cosine_topk" ->
-      """SELECT e.vec_id,
-        |  list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
-        |  / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-        |   * sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS score
-        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |WHERE e.vec_id <> 0
-        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
-    "q29_embedding_neardup" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.5""".stripMargin,
+    // q25/q27 share one oracle: both pipelines report EXACT jaccard over the
+    // full shingle sets and (spec + locally verified) reach every true pair
+    // at this threshold, so plain exact trigram-jaccard SQL reproduces them.
+    "q25_minhash_neardup" -> JaccardOracleSql,
+    "q27_ngram_jaccard" -> JaccardOracleSql,
+    "q28_cosine_topk" -> CosineTopKOracleSql,
+    // Banded probing (SimilaritySpec + local sf0.01 check) recovers the full
+    // exact top-10, so the ANN path is graded against the exact oracle.
+    "q31_cosine_topk_lsh" -> CosineTopKOracleSql,
+    "q29_embedding_neardup" -> EmbeddingNearDupOracleSql,
+    // The banded multi-probe LSH (DedupSpec pins it) recovers the full exact
+    // pair set on this corpus, so the approximate path is held to the exact
+    // oracle — a recall regression now fails the driver gate instead of
+    // passing rows-only.
+    "q30_embedding_neardup_lsh" -> EmbeddingNearDupOracleSql,
     "q32_hourly_events" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS event_count,
         |       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q33_media_features" ->
+      """SELECT doc_id AS media_id,
+        |       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CASE WHEN octet_length(encode(text)) = 0 THEN CAST(0 AS REAL)
+        |            ELSE CAST(length(text) - length(replace(text, ' ', '')) AS REAL)
+        |                 / CAST(octet_length(encode(text)) AS REAL) END AS f_space,
+        |       CASE WHEN octet_length(encode(text)) = 0 THEN CAST(0 AS REAL)
+        |            ELSE CAST(length(text) - length(replace(text, 'a', '')) AS REAL)
+        |                 / CAST(octet_length(encode(text)) AS REAL) END AS f_a
+        |FROM documents""".stripMargin,
     "q34_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, count(*) AS day_orders,
@@ -285,8 +293,8 @@ object SparkEntry {
       """SELECT c.c_mktsegment AS segment,
         |       count(DISTINCT c.c_custkey) AS active_customers,
         |       count(*) AS orders_total,
-        |       sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS orders_f,
-        |       sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS orders_o,
+        |       CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS orders_f,
+        |       CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS orders_o,
         |       max(o.o_totalprice) AS max_order
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -337,4 +345,52 @@ object SparkEntry {
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1, 2""".stripMargin,
   )
+
+  /** Exact cosine top-10 for query vec_id=0 — oracle for the brute-force
+    * path (q28) and the banded-LSH path (q31, full recall on this corpus). */
+  private val CosineTopKOracleSql: String =
+    """SELECT e.vec_id,
+      |  list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+      |  / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+      |   * sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS score
+      |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |WHERE e.vec_id <> 0
+      |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** All-pairs cosine ≥ 0.5 over `embeddings` — oracle for both the exact
+    * pipeline (q29) and the banded-LSH pipeline (q30, full recall on this
+    * corpus). */
+  private val EmbeddingNearDupOracleSql: String =
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |  / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |   * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.5""".stripMargin
+
+  /** Exact word-trigram Jaccard ≥ 0.5 over all document pairs — the DuckDB
+    * phrasing of [[graft.dedup.Dedup.ngramJaccardPairs]]'s verification
+    * semantics (and, because both candidate generators reach every true pair
+    * on this corpus, of the MinHash pipeline's output too). */
+  private val JaccardOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |       CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+      |FROM common
+      |JOIN sz sa ON sa.doc_id = a_id
+      |JOIN sz sb ON sb.doc_id = b_id
+      |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5""".stripMargin
 }

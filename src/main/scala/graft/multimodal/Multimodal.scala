@@ -105,13 +105,15 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Full stub pipeline: synthesize → batch decode → per-kind feature
-    * aggregate. Deterministic end to end. */
+  /** Full stub pipeline: synthesize → batch decode → per-record features.
+    * Deterministic end to end; emits the histogram bins for bytes 0x20 (' ',
+    * bin 32) and 0x61 ('a', bin 33) — informative on text-backed payloads,
+    * so the driver's DuckDB oracle checks real values, not zeros. */
   def mediaFeatureSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
     val feats = extractFeatures(synthesizeFromDocs(spark, docs))
     feats.toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        element_at(col("features"), 1).as("f0"))
+        element_at(col("features"), 33).as("f_space"),
+        element_at(col("features"), 34).as("f_a"))
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** As-of (point-in-time) left join: for every left row, the single right
   * row with the same key and the greatest right-time ≤ left-time.
@@ -12,10 +13,15 @@ import org.apache.spark.sql.functions._
   * naive phrasing — range-join then row_number per left row — explodes to
   * |L|×|matching R| intermediate rows. This implementation is the
   * union-and-carry-forward formulation: tag both sides, union, and in one
-  * window pass per key carry the latest right values forward into each left
+  * window pass per key carry the latest right row forward into each left
   * row. ONE shuffle on the key, no row blowup, no driver work — the plan
   * you want at 100 TB. Skewed keys cost what any windowed op costs; salt
   * upstream if a single key dominates.
+  *
+  * The right row is carried as a single struct, so the matched row is taken
+  * ATOMICALLY: value columns never mix across right rows, and a
+  * legitimately-null right value stays null instead of being replaced by a
+  * stale earlier non-null value.
   *
   * Requirements: `right` has at most one row per (key, time) — pre-aggregate
   * otherwise (ties would be nondeterministic in any engine).
@@ -30,25 +36,28 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String): DataFrame = {
     val rightValueCols = right.columns.filterNot(_ == rightKey).toSeq
+    val rvType = StructType(right.schema.fields.filter(_.name != rightKey))
 
     val lTagged = left.select(
-      Seq(col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
-        struct(left.columns.map(col).toSeq: _*).as("__l")) ++
-        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"),
+      lit(null).cast(rvType).as("__rv"))
     val rTagged = right.select(
-      Seq(col(rightKey).as("__k"),
-        col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
-        lit(0).as("__side"), lit(null).cast(lTagged.schema("__l").dataType).as("__l")) ++
-        rightValueCols.map(col): _*)
+      col(rightKey).as("__k"),
+      col(rightTime).cast(left.schema(leftTime).dataType).as("__t"),
+      lit(0).as("__side"),
+      lit(null).cast(lTagged.schema("__l").dataType).as("__l"),
+      struct(rightValueCols.map(col): _*).as("__rv"))
 
     // Right rows sort before left rows at equal time (__side 0 < 1), so a
     // right row stamped exactly at the left time is visible — `<=` semantics.
+    // The struct is non-null for every right row (even when all its fields
+    // are null), so `last(_, ignoreNulls)` picks the latest right ROW.
     val w = Window.partitionBy("__k").orderBy("__t", "__side")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(col("__l.*") +: rightValueCols.map(col): _*)
+      .select(col("__l.*") +: rightValueCols.map(c => col("__rv").getField(c).as(c)): _*)
   }
 }

@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * left-to-right double accumulation, so results are bit-identical to the
   * HOF phrasing and to DuckDB's `list_inner_product` (the oracle).
   *
+  * Null semantics also follow the HOF phrasing: a null array, a null
+  * element, or mismatched lengths yield null (`zip_with` pads the shorter
+  * side with nulls, which poison the sum) — a dimension bug upstream
+  * surfaces as null rather than a plausible-looking truncated score.
+  *
   * Lives under `org.apache.spark.sql` because the expression framework's
   * input-type plumbing (`AbstractDataType`) and the Column↔Expression bridge
   * (`ExpressionUtils`) are `private[sql]` — the established pattern for
@@ -30,13 +35,22 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Mismatched lengths / null elements yield null even when both array
+  // columns are non-nullable.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -45,13 +59,20 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -89,9 +89,24 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.embeddingNearDupsExact(emb, 0.9).collect()
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(exact.contains((100L, 101L)))
-    val lsh = Dedup.embeddingNearDupsLsh(emb, 0.9, numPlanes = 8, dim = 16)
+    val lsh = Dedup.embeddingNearDupsLsh(emb, 0.9, bands = 8, planesPerBand = 6, dim = 16)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(lsh.subsetOf(exact))
     assert(lsh.contains((100L, 101L))) // ~identical vectors share every sign bit
+  }
+
+  test("banded LSH recovers every exact pair on the driver corpus") {
+    // The round-1 single-code construction (12 planes, one bucket) missed
+    // the only cosine>=0.5 pair at sf0.01 — this pins the redesigned banded
+    // multi-probe recall against the real driver corpus.
+    val path = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(path).exists())
+    val emb = spark.read.parquet(path)
+    val exact = Dedup.embeddingNearDupsExact(emb, 0.5).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(exact.nonEmpty)
+    val lsh = Dedup.embeddingNearDupsLsh(emb, 0.5).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(lsh === exact)
   }
 }

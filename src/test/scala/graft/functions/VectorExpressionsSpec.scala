@@ -27,6 +27,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r(0).isNullAt(0))
   }
 
+  test("mismatched lengths and null elements yield null, matching zip_with") {
+    val mixed = Seq(
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(3.0))),           // length mismatch
+      (Seq(Option(1.0), Option.empty[Double]), Seq(Option(3.0), Option(4.0))), // null element
+      (Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0)))           // clean
+    ).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = mixed.select(
+      GraftFunctions.dotProduct(col("a"), col("b")).as("fast"), hof.as("slow")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(0) === 11.0 && rows(2).getDouble(1) === 11.0)
+  }
+
   test("graft_dot is SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1d, 2d), array(3d, 4d)) AS d").collect()

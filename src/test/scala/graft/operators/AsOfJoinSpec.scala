@@ -38,6 +38,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("sym")).toSeq === Seq("A", "A", "A", "B", "C"))
   }
 
+  test("matched right row is taken atomically — nulls preserved, no mixing") {
+    // Right rows interleave nulls across value columns: carrying columns
+    // independently would smear bid from one row and ask from another, and
+    // would resurrect a stale non-null over a legitimate null.
+    val quotes = Seq(
+      ("A", t("2024-01-01 10:00:00"), Option(100.0), Option(101.0)),
+      ("A", t("2024-01-01 10:05:00"), Option.empty[Double], Option(102.0)),
+      ("A", t("2024-01-01 10:10:00"), Option(99.0), Option.empty[Double])
+    ).toDF("sym", "qt", "bid", "ask")
+    val trades = Seq(
+      (1L, "A", t("2024-01-01 10:06:00")), // → 10:05 row: bid null, ask 102
+      (2L, "A", t("2024-01-01 10:11:00"))  // → 10:10 row: bid 99, ask null
+    ).toDF("trade_id", "sym", "tt")
+
+    val out = AsOfJoin.leftAsOf(trades, quotes, "sym", "sym", "tt", "qt")
+      .orderBy("trade_id").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("bid")))
+    assert(out(0).getAs[Double]("ask") === 102.0)
+    assert(out(1).getAs[Double]("bid") === 99.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("ask")))
+  }
+
   test("single shuffle: one Exchange and one Window in the plan") {
     val quotes = Seq(("A", t("2024-01-01 10:00:00"), 1.0)).toDF("sym", "qt", "v")
     val trades = Seq((1L, "A", t("2024-01-01 10:03:00"))).toDF("id", "sym", "tt")

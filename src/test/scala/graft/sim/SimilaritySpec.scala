@@ -33,11 +33,11 @@ class SimilaritySpec extends SparkSpec {
     val exact = vecs.toSeq.filter(_._1 != 0L)
       .map { case (id, v) => id -> cosine(v, vecs(0L)) }.toMap
     val got = Similarity.lshTopK(emb, queryId = 0L, k = 5,
-      numPlanes = 8, dim = 32, maxHamming = 4)
+      bands = 12, planesPerBand = 8, maxHamming = 2, dim = 32)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
     assert(got.nonEmpty)
     got.foreach { case (id, s) => assert(s === exact(id)) }
-    // multi-probe at hamming<=4 over 8 planes should recover most of top-5
+    // banded probing at hamming<=2 over 12 bands recovers most of top-5
     val top5 = exact.toSeq.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
     assert(got.map(_._1).count(top5.contains) >= 3)
   }
