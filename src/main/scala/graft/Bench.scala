@@ -1,9 +1,25 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line with per-query medians.
+  *
+  * Methodology:
+  *  - Each query executes through the `noop` sink, which consumes every row
+  *    of every output column — unlike `count()`, which let Catalyst prune
+  *    away the very projections some queries exist to measure (a
+  *    projection-only query "benched" at source-count speed).
+  *  - One untimed warm-up pass first: JIT/codegen/parquet-footer startup,
+  *    and — because the mutation fixtures are cached per JVM — the
+  *    GraftTable builds for q10-q16 land OUTSIDE the timed region, so those
+  *    numbers measure the versioned READ path, not fixture construction.
+  *  - Median of SPARK_GRAFT_BENCH_RUNS (default 3) timed runs per query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,16 +28,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: JVM/codegen/parquet-footer startup otherwise lands
-    // in whichever query happens to run first.
-    try {
-      spark.range(1000).select(org.apache.spark.sql.functions.sum("id")).collect()
-      SparkEntry.queries.head._2(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try execute(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try execute(fn(spark, sfDir)) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -29,4 +45,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Full pipeline execution: the noop sink (Spark 4 built-in) consumes
+    * every row, so nothing upstream can be pruned away. */
+  private def execute(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
 }

@@ -68,6 +68,7 @@ object SparkEntry {
     "q41_quality_score"      -> (CorpusQueries.qualityScores _),
     "q42_supplier_stats"     -> (OlapQueries.supplierStats _),
     "q43_sql_text_path"      -> (OlapQueries.sqlTextPath _),
+    "q44_ivf_topk"           -> (CorpusQueries.ivfTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

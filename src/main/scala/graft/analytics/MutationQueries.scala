@@ -61,12 +61,17 @@ object MutationQueries {
   def deleteWhere(spark: SparkSession, dir: String): DataFrame =
     deletedOrdersTable(spark, dir).read()
 
+  /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
+  private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "wiped") {
+      val t = GraftTable.create(spark, freshDir("tt"), Tables.orders(spark, dir))
+      t.delete(col("o_totalprice") >= 0.0) // wipes essentially everything
+      t
+    }
+
   /** Time travel (S4): read v0 after a destructive later commit. */
-  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val t = GraftTable.create(spark, freshDir("tt"), Tables.orders(spark, dir))
-    t.delete(col("o_totalprice") >= 0.0) // wipes essentially everything
-    t.readVersion(0)
-  }
+  def timeTravel(spark: SparkSession, dir: String): DataFrame =
+    wipedOrdersTable(spark, dir).readVersion(0)
 
   /** Change Data Feed (S6/M8): the change rows of the mergeUpsert commit —
     * insert per odd key, update pre/post images per even key. */

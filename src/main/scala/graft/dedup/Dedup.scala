@@ -64,6 +64,14 @@ object Dedup {
     df.sparkSession.read.parquet(p.toString)
   }
 
+  /** Per-document DISTINCT shingle sets as array rows (doc_id, shset) —
+    * computed row-locally, no shuffle. The verification-side companion of
+    * [[docShingles]]. */
+  def docShingleSets(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_distinct(TextFunctions.shingles(col(textCol), n)).as("shset"))
+
   /** Exact Jaccard over shared-shingle candidate pairs. Candidate
     * generation drops shingles occurring in more than `maxDocFreq`
     * documents — they generate quadratic candidates while carrying no
@@ -76,25 +84,30 @@ object Dedup {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
     val pruned = sh.join(rare, "shingle")
+    // groupBy instead of distinct: same single shuffle dedups the pairs.
     val cand = pruned.select(col("shingle"), col("doc_id").as("a_id"))
       .join(pruned.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    verifyJaccard(cand, sh, threshold)
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared_rare"))
+      .select("a_id", "b_id")
+    verifyJaccard(cand, docShingleSets(docs, n), threshold)
   }
 
-  /** Exact jaccard of candidate (a_id, b_id) pairs over full shingle sets. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("shingle"), col("doc_id").as("a_id"))
-    val b = sh.select(col("shingle"), col("doc_id").as("b_id"))
-    val common = cand.join(a, "a_id").join(b, Seq("shingle", "b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+  /** Exact jaccard of candidate (a_id, b_id) pairs over full shingle sets:
+    * two key joins against the per-doc ARRAY table, then a per-row
+    * `array_intersect` — linear in candidates. (The earlier exploded-row
+    * phrasing joined candidates against every (doc, shingle) row, a
+    * |cand|×|shingles per doc| row blowup — 58M intermediate rows on the
+    * bench corpus.) */
+  private def verifyJaccard(cand: DataFrame, shingleSets: DataFrame,
+      threshold: Double): DataFrame = {
+    cand
+      .join(shingleSets.select(col("doc_id").as("a_id"), col("shset").as("a_set")), "a_id")
+      .join(shingleSets.select(col("doc_id").as("b_id"), col("shset").as("b_set")), "b_id")
+      .withColumn("common", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("a_sz") + col("b_sz") - col("common")))
+        col("common").cast("double")
+          / (size(col("a_set")) + size(col("b_set")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -165,9 +178,9 @@ object Dedup {
     * → exact-Jaccard verify of candidates only. */
   def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    val sh = stage(docShingles(docs, n), "minhash")
-    val cand = minhashCandidates(signaturesFromShingles(sh, k, seed), k, bands)
-    verifyJaccard(cand, sh, threshold)
+    val cand = minhashCandidates(
+      signaturesFromShingles(docShingles(docs, n), k, seed), k, bands)
+    verifyJaccard(cand, docShingleSets(docs, n), threshold)
   }
 
   // ------------------------------------------------------------ simhash

@@ -47,18 +47,72 @@ object CdcPipeline {
       // downstream `streamAppends` consumer of the audit table re-ingest
       // history — enable only when nothing streams the audit data dirs (use
       // streamChanges-style consumers instead).
-      auditCompactAfterDirs: Option[Int] = None)
+      auditCompactAfterDirs: Option[Int] = None,
+      // ST12 (spark_streaming.py:37,194-196): "earliest" replays everything
+      // already in the input dir; "latest" starts from only-new files —
+      // files present when the query starts are skipped, the Kafka
+      // `startingOffsets=latest` contract mapped to the file source.
+      startingOffsets: String = "earliest",
+      // ST12: with false (the reference's setting), an input file deleted
+      // after listing but before read — Kafka's aged-out-offsets case — is
+      // skipped instead of failing the query.
+      failOnDataLoss: Boolean = true,
+      // ST13 (spark_streaming.py:168): infer the record schema from the
+      // files instead of declaring it. The parse stage aligns the inferred
+      // shape to the canonical envelope, so downstream stays typed.
+      inferSchema: Boolean = false)
 
   def auditTablePath(cfg: Config): String = s"${cfg.tableRoot}/cdc_events"
   def snapshotPath(cfg: Config, table: String): String = s"${cfg.tableRoot}/$table"
 
   /** The streaming source: Kafka-shaped records from JSON-line files
-    * (spark_streaming.py:187-198 minus the unavailable Kafka jar). */
-  def source(spark: SparkSession, cfg: Config): DataFrame =
-    spark.readStream
-      .schema(Envelope.kafkaRecordSchema)
+    * (spark_streaming.py:187-198 minus the unavailable Kafka jar), with the
+    * reference's source options mapped onto the file source:
+    * `startingOffsets` earliest/latest, `failOnDataLoss`, and streaming
+    * schema inference (ST12/ST13). */
+  def source(spark: SparkSession, cfg: Config): DataFrame = {
+    val reader = spark.readStream
       .option("maxFilesPerTrigger", cfg.maxFilesPerTrigger)
-      .json(cfg.inputDir)
+      // Kafka's failOnDataLoss=false → a listed-but-deleted input file is
+      // skipped, not fatal.
+      .option("ignoreMissingFiles", (!cfg.failOnDataLoss).toString)
+    val typed =
+      if (cfg.inferSchema) {
+        // The reference switches the global toggle on
+        // (spark.sql.streaming.schemaInference); scope it the same way.
+        spark.conf.set("spark.sql.streaming.schemaInference", "true")
+        reader.json(cfg.inputDir)
+      } else reader.schema(Envelope.kafkaRecordSchema).json(cfg.inputDir)
+    cfg.startingOffsets match {
+      case "latest" =>
+        // File sources replay the full directory on first start; "latest"
+        // means begin at the live edge. Snapshot the files present NOW and
+        // exclude them via the file-path metadata column — the set is
+        // start-time metadata (one listing), not data. Paths are normalized
+        // to scheme-less absolute form on both sides (URI spellings differ:
+        // file:/x vs file:///x).
+        val existing = listInputFiles(spark, cfg.inputDir)
+        if (existing.isEmpty) typed
+        else typed.filter(
+          !regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9.+-]+:/+", "/")
+            .isin(existing: _*))
+      case _ => typed
+    }
+  }
+
+  /** Current files under the input dir as scheme-less absolute paths. */
+  private def listInputFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    val it = fs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile) out += st.getPath.toUri.getPath
+    }
+    out.result()
+  }
 
   private def trigger(cfg: Config): Trigger =
     if (cfg.availableNow) Trigger.AvailableNow()

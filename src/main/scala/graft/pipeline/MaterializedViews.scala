@@ -75,7 +75,8 @@ object MaterializedViews {
   def applyOrderChangesIncrementally(
       spark: SparkSession,
       mv: GraftTable,
-      changes: DataFrame): Unit = {
+      changes: DataFrame,
+      txn: Option[(String, Long)] = None): Unit = {
     val signed = changes
       .filter(col("_change_type").isin(
         "insert", "delete", "update_preimage", "update_postimage"))
@@ -108,7 +109,13 @@ object MaterializedViews {
           + coalesce(col("d.d_revenue"), lit(0).cast(DecimalType(18, 2))))
           .cast(DecimalType(18, 2)).as("sum_revenue"))
       .filter(col("order_count") > 0)
-    mv.overwrite(merged)
+    // Stamped publish: deltas are NOT idempotent (a replayed batch would
+    // double-apply), so the streaming caller passes its (queryName, batchId)
+    // and a re-delivered batch is detected and skipped at commit time.
+    txn match {
+      case Some((appId, batchId)) => mv.overwriteOnce(merged, appId, batchId)
+      case None => mv.overwrite(merged)
+    }
     ()
   }
 
@@ -222,7 +229,7 @@ object MaterializedViews {
       .queryName("mv_order_analytics_inc")
       .option("checkpointLocation", s"${cfg.checkpointRoot}/mv_order_analytics_inc")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val emptyState = batch.sparkSession.createDataFrame(
             batch.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -232,7 +239,8 @@ object MaterializedViews {
               org.apache.spark.sql.types.StructField("order_count", org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("sum_revenue", DecimalType(18, 2)))))
           val mv = GraftTable.createIfNotExists(spark, statePath, emptyState)
-          applyOrderChangesIncrementally(spark, mv, batch)
+          applyOrderChangesIncrementally(spark, mv, batch,
+            txn = Some(("mv_order_analytics_inc", batchId)))
         }
       }
       .start()

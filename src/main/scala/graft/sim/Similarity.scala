@@ -79,31 +79,43 @@ object Similarity {
     * (1-(1-p^r)^b) instead of decaying with a single wide code; bucket
     * granularity within each band stays 2^planesPerBand, which is what
     * bounds per-bucket candidate blowup at corpus scale. Output: one row
-    * per (vector, band) — (vec_id, vec, band, bucket). */
+    * per (vector, band) — (vec_id, band, bucket).
+    *
+    * All bands are computed by ONE native expression
+    * ([[org.apache.spark.sql.graftnative.SignProjectionBuckets]]) over a
+    * constant plane matrix — per-plane `DotProduct(typedLit)` nodes at
+    * 128 planes overwhelmed codegen and cost seconds per scan. */
   def withLshBands(emb: DataFrame, bands: Int, planesPerBand: Int, dim: Int,
       seed: Long, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // Independent planes per band: distinct derived seeds, flattened
+    // band-major into one matrix.
+    val planesFlat: IndexedSeq[Double] = (0 until bands).flatMap { band =>
+      hyperplanes(planesPerBand, dim, seed + 7919L * (band + 1)).flatten
+    }.toIndexedSeq
     val vec = col(vecCol).cast("array<double>")
-    val bandCols = (0 until bands).map { band =>
-      // Independent planes per band: distinct derived seeds.
-      val planes = hyperplanes(planesPerBand, dim, seed + 7919L * (band + 1))
-      val bucket = planes.zipWithIndex.map { case (p, i) =>
-        when(dot(vec, typedLit(p)) >= 0, lit(1L << i)).otherwise(0L)
-      }.reduce(_ + _)
-      struct(lit(band).as("band"), bucket.as("bucket"))
-    }
-    emb.select(col(idCol).as("vec_id"), vec.as("vec"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("vec"), col("bb.band"), col("bb.bucket"))
+    emb.select(col(idCol).as("vec_id"),
+      posexplode(org.apache.spark.sql.graftnative.VectorExpressions
+        .signProjectionBuckets(vec, planesFlat, bands, planesPerBand))
+        .as(Seq("band", "bucket")))
   }
 
   /** Deterministic k-means training of IVF centroids: seeded initialization
     * from existing vectors, then `iters` rounds of assign (broadcast
     * centroids) + element-wise mean per cluster. Each iteration is one
     * shuffle of (vec, centroid) plus a tiny aggregate — linear in data,
-    * independent of k beyond the broadcast. */
+    * independent of k beyond the broadcast.
+    *
+    * The k×dim centroid table is COLLECTED to the driver after every
+    * iteration and re-emitted as a local relation: that severs the
+    * iterative lineage (the earlier plan-growing formulation re-executed
+    * iterations 0..i-1 inside iteration i — exponential at scale) and makes
+    * the next assign's broadcast a no-op-cheap local table. k×dim doubles
+    * is kilobytes; this is the one collect in the ANN path and it is
+    * size-bounded by construction. */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int = 5,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
     val v = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
     // Seeded init: the k vectors with smallest murmur(vec_id) — spread
     // pseudo-randomly but reproducibly, no driver-side randomness.
@@ -118,13 +130,17 @@ object Similarity {
         vecCol = "vec", centroidIdCol = "centroid_id", centroidVecCol = "centroid")
         .join(v, "vec_id")
       // element-wise mean: explode positions, average, rebuild ordered array
-      centroids = assigned
+      val updated = assigned
         .select(col("centroid_id"), posexplode(col("vec")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos").agg(avg("x").as("m"))
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
           expr("transform(pm, p -> p.m)").as("centroid"))
+      val local = updated.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+      centroids = local.toDF("centroid_id", "centroid")
     }
     centroids
   }
@@ -166,12 +182,15 @@ object Similarity {
     val v = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
     val c = centroids.select(col(centroidIdCol).as("centroid_id"),
       col(centroidVecCol).cast("array<double>").as("c_vec"))
+    // argmax as a hash aggregate (max_by over a lexicographic tie-break
+    // struct) — no per-partition sort, unlike the window phrasing.
     v.crossJoin(broadcast(c))
       .withColumn("score", cosine(col("vec"), col("c_vec")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(desc("score"), col("centroid_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("score").as("centroid_score"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("centroid_id"), col("score")),
+        struct(col("score"), (-col("centroid_id")).as("tie"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.score").as("centroid_score"))
   }
 }

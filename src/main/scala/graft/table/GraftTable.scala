@@ -368,12 +368,29 @@ final class GraftTable private (
 
   /** Overwrite with explicit hive-style partitioning (table creation path);
     * later commits inherit the partition columns. */
-  def overwrite(df: DataFrame, partitionBy: Seq[String]): Commit = this.synchronized {
+  def overwrite(df: DataFrame, partitionBy: Seq[String]): Commit =
+    overwriteInternal(df, partitionBy, None)
+
+  /** Exactly-once streaming overwrite — the MV-publish analogue of
+    * [[appendOnce]]: the commit carries (txnAppId, txnBatchId), and a
+    * replayed micro-batch (foreachBatch is at-least-once: a crash between
+    * the table commit and the streaming checkpoint commit re-delivers the
+    * batch) is detected by its stamp and skipped instead of double-applying
+    * state deltas. Returns None when skipped. */
+  def overwriteOnce(df: DataFrame, txnAppId: String, txnBatchId: Long): Option[Commit] =
+    this.synchronized {
+      if (lastCommittedBatch(txnAppId).exists(_ >= txnBatchId)) None
+      else Some(overwriteInternal(df, partitionColsOfHead, Some((txnAppId, txnBatchId))))
+    }
+
+  private def overwriteInternal(df: DataFrame, partitionBy: Seq[String],
+      txn: Option[(String, Long)]): Commit = this.synchronized {
     val v = version + 1
     val tsMs = System.currentTimeMillis()
     val dir = writeData(df, v, partitionBy)
     val c = Commit(v, tsMs, if (v == 0) "CREATE" else "WRITE", Seq(dir),
       Map("numOutputRows" -> countDir(dir)), df.schema.json,
+      txn.map(_._1), txn.map(_._2),
       partitionCols = partitionBy)
     log.commit(c); c
   }

@@ -1,11 +1,12 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Sequential-fold dot product of two double arrays as a native Catalyst
   * expression with whole-stage codegen.
@@ -81,9 +82,119 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All banded sign-LSH bucket codes of a vector in ONE codegen'd pass: the
+  * constant plane matrix (`bands`×`planesPerBand` rows of `dim` doubles,
+  * flattened band-major) lives in a plan reference object, and the generated
+  * code is a tight triple loop emitting `bands` bucket longs.
+  *
+  * Why not `bands × planesPerBand` separate `DotProduct(typedLit(plane))`
+  * nodes: at 128 planes that expression forest blew whole-stage codegen past
+  * JIT-able method sizes — the banded-LSH bucket computation alone cost ~9 s
+  * on 2 000 vectors, dominating the near-dup pipeline end to end. This
+  * expression computes identical bucket values (same sequential
+  * multiply-accumulate per plane, same `>= 0` sign convention) in one node.
+  *
+  * Null semantics follow [[DotProduct]]: null array, null element, or a
+  * vector whose length differs from `dim` yields null.
+  */
+case class SignProjectionBuckets(
+    child: Expression,
+    planes: IndexedSeq[Double],
+    bands: Int,
+    planesPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  private val dim = planes.length / (bands * planesPerBand)
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_buckets"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    var d = 0
+    while (d < dim) { if (v.isNullAt(d)) return null; d += 1 }
+    val out = new Array[Long](bands)
+    var idx = 0
+    var b = 0
+    while (b < bands) {
+      var bucket = 0L
+      var i = 0
+      while (i < planesPerBand) {
+        var acc = 0.0
+        val off = idx * dim
+        var j = 0
+        while (j < dim) { acc += v.getDouble(j) * planesArr(off + j); j += 1 }
+        if (acc >= 0.0) bucket |= (1L << i)
+        idx += 1
+        i += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val planesRef = ctx.addReferenceObj("planes", planesArr, "double[]")
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val off = ctx.freshName("off")
+      val bucket = ctx.freshName("bucket")
+      val bad = ctx.freshName("bad")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  boolean $bad = false;
+         |  for (int $d = 0; $d < $dim; $d++) {
+         |    if ($v.isNullAt($d)) { $bad = true; break; }
+         |  }
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    long[] $out = new long[$bands];
+         |    int $idx = 0;
+         |    for (int $b = 0; $b < $bands; $b++) {
+         |      long $bucket = 0L;
+         |      for (int $i = 0; $i < $planesPerBand; $i++) {
+         |        double $acc = 0.0;
+         |        int $off = $idx * $dim;
+         |        for (int $j = 0; $j < $dim; $j++) {
+         |          $acc += $v.getDouble($j) * $planesRef[$off + $j];
+         |        }
+         |        if ($acc >= 0.0) $bucket |= (1L << $i);
+         |        $idx++;
+         |      }
+         |      $out[$b] = $bucket;
+         |    }
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjectionBuckets =
+    copy(child = newChild)
+}
+
 /** Column↔Expression bridge for graft's native expressions. */
 object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def signProjectionBuckets(v: Column, planes: IndexedSeq[Double],
+      bands: Int, planesPerBand: Int): Column =
+    ExpressionUtils.column(
+      SignProjectionBuckets(ExpressionUtils.expression(v), planes, bands, planesPerBand))
 }

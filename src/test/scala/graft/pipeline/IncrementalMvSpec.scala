@@ -77,6 +77,37 @@ class IncrementalMvSpec extends SparkSpec {
     assert(!incremental(mv).exists { case (d, s, _, _, _) => d == "2024-01-02" && s == "shipped" })
   }
 
+  test("a replayed micro-batch is detected by its txn stamp and skipped") {
+    val seed = ordersDf(Seq(
+      (1L, t("2024-03-01 10:00:00"), "pending", 100.0),
+      (2L, t("2024-03-01 11:00:00"), "shipped", 50.0)))
+    val snap = GraftTable.create(spark, tmpDir("rmv-orders"), seed.limit(0))
+    val emptyState = seed.limit(0).select(
+      to_date(col("order_date")).as("order_day"),
+      col("status"),
+      lit(0L).as("order_count"),
+      lit(0).cast(DecimalType(18, 2)).as("sum_revenue"))
+    val mv = GraftTable.create(spark, tmpDir("rmv-state"), emptyState)
+
+    snap.merge(seed, "id")
+    val changes = snap.readChanges(1, 1)
+    MaterializedViews.applyOrderChangesIncrementally(
+      spark, mv, changes, txn = Some(("q", 0L)))
+    val after = incremental(mv)
+    assert(after === recompute(snap.read()))
+    // foreachBatch is at-least-once: the same batch arrives again after a
+    // crash between MV commit and checkpoint commit. Without the stamp the
+    // signed deltas double-apply; with it the publish is a no-op.
+    MaterializedViews.applyOrderChangesIncrementally(
+      spark, mv, changes, txn = Some(("q", 0L)))
+    assert(incremental(mv) === after)
+    // the NEXT batch id still applies
+    snap.merge(ordersDf(Seq((3L, t("2024-03-02 09:00:00"), "pending", 25.0))), "id")
+    MaterializedViews.applyOrderChangesIncrementally(
+      spark, mv, snap.readChanges(2, 2), txn = Some(("q", 1L)))
+    assert(incremental(mv) === recompute(snap.read()))
+  }
+
   test("incremental product_inventory (projection MV) equals recompute") {
     val products = Seq(
       (1L, "Laptop", "tech", 999.99, 10),

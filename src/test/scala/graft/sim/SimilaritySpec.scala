@@ -69,6 +69,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("IVF recall bound holds on the unclustered driver corpus") {
+    // Gaussian noise is IVF's worst case (no cluster structure to exploit);
+    // the q44 config (k=8, iters=3, nprobe=6) must still recover >= 8 of
+    // the exact top-10. On clustered data the planted-cluster test above
+    // shows the same operator exact at nprobe=1.
+    val path = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(path).exists())
+    val corpus = spark.read.parquet(path)
+    val brute = Similarity.bruteForceTopK(corpus, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val cents = Similarity.trainCentroids(corpus, k = 8, iters = 3)
+    val ivf = Similarity.ivfTopK(corpus, cents, 0L, 10, nprobe = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert((ivf & brute).size >= 8, s"recall ${(ivf & brute).size}/10")
+  }
+
   test("assignToCentroids picks the nearest centroid for every vector") {
     val centroids = Seq(
       (0L, Seq.fill(32)(1.0f)),
