@@ -69,6 +69,7 @@ object SparkEntry {
     "q42_supplier_stats"     -> (OlapQueries.supplierStats _),
     "q43_sql_text_path"      -> (OlapQueries.sqlTextPath _),
     "q44_ivf_topk"           -> (CorpusQueries.ivfTopK _),
+    "q45_partition_prune"    -> (MutationQueries.partitionPrune _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -345,6 +346,10 @@ object SparkEntry {
         |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1, 2""".stripMargin,
+    "q45_partition_prune" ->
+      """SELECT * FROM orders
+        |WHERE o_orderkey <= (SELECT CAST(max(o_orderkey) AS BIGINT) // 4 FROM orders)
+        |  AND o_orderstatus = 'F'""".stripMargin,
   )
 
   /** Exact cosine top-10 for query vec_id=0 — oracle for the brute-force

@@ -109,4 +109,37 @@ object MutationQueries {
     t.readVersion(0).select("o_orderkey")
       .join(t.read().select("o_orderkey"), Seq("o_orderkey"), "left_anti")
   }
+
+  /** Orders hive-partitioned by o_orderstatus, loaded as four KEY-RANGE
+    * appends so every data dir carries a disjoint o_orderkey interval in
+    * its [[graft.table.Commit.dirStats]] — the layout where both pruning
+    * layers bite: partition dirs prune on the status filter, dir stats
+    * skip appends outside the key range. */
+  private def partitionedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "partitioned") {
+      val orders = Tables.orders(spark, dir)
+      val q = quarterKey(spark, dir)
+      val t = GraftTable.create(spark, freshDir("part"),
+        orders.filter(col("o_orderkey") <= q),
+        partitionBy = Seq("o_orderstatus"))
+      t.append(orders.filter(col("o_orderkey") > q && col("o_orderkey") <= 2 * q))
+      t.append(orders.filter(col("o_orderkey") > 2 * q && col("o_orderkey") <= 3 * q))
+      t.append(orders.filter(col("o_orderkey") > 3 * q))
+      t
+    }
+
+  private def quarterKey(spark: SparkSession, dir: String): Long =
+    Tables.orders(spark, dir).agg(max("o_orderkey")).head().getLong(0) / 4
+
+  /** Partition pruning + dir-stats data skipping (SURVEY §4, ROADMAP):
+    * key-range predicate served by [[GraftTable.readPruned]] (scans 1 of 4
+    * append dirs — asserted in GraftTableSpec), status predicate served by
+    * hive-partition pruning inside the dirs; the residual filter keeps the
+    * result exact. */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val t = partitionedOrdersTable(spark, dir)
+    val q = quarterKey(spark, dir)
+    t.readPruned("o_orderkey", 0.0, q.toDouble)
+      .filter(col("o_orderkey") <= q && col("o_orderstatus") === "F")
+  }
 }

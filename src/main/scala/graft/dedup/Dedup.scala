@@ -40,28 +40,29 @@ object Dedup {
       explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
 
   /** Materialize a DataFrame to scratch parquet and read it back. The
-    * near-dup pipelines reference the shingle set from ~6 subtrees; without
-    * staging, Spark recomputes the explode + distinct (a full shuffle) once
-    * per reference. At corpus scale this is the standard staging-table
-    * step — one columnar write, then every consumer scans cheap parquet. */
-  private val stagedDirs = java.util.Collections.synchronizedList(
-    new java.util.ArrayList[java.nio.file.Path]())
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      stagedDirs.forEach { p =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-        } catch { case _: Throwable => () }
-      }))
-  }
-
+    * near-dup pipelines reference the shingle set from several subtrees;
+    * without staging, Spark recomputes the explode + distinct (a full
+    * shuffle) once per reference. At corpus scale this is the standard
+    * staging-table step — one columnar write, then every consumer scans
+    * cheap parquet.
+    *
+    * The scratch root lives on the SHARED filesystem (Hadoop FS API, like
+    * [[graft.table.CommitLog]]), not a driver-local java.nio temp dir —
+    * on a real cluster every executor must reach the staged files. Default
+    * is `_graft_scratch/` under the Spark warehouse dir; override with
+    * `spark.graft.scratch.dir` (e.g. an s3a:// or hdfs:// URI). Cleanup
+    * rides Hadoop's deleteOnExit. */
   private def stage(df: DataFrame, tag: String): DataFrame = {
-    val p = java.nio.file.Files.createTempDirectory(s"graft-stage-$tag-")
-    stagedDirs.add(p)
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(
+      spark.conf.getOption("spark.graft.scratch.dir")
+        .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch"))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(root,
+      s"$tag-${java.util.UUID.randomUUID().toString.take(12)}")
+    fs.deleteOnExit(p)
     df.write.mode("overwrite").parquet(p.toString)
-    df.sparkSession.read.parquet(p.toString)
+    spark.read.parquet(p.toString)
   }
 
   /** Per-document DISTINCT shingle sets as array rows (doc_id, shset) —

@@ -41,7 +41,12 @@ final case class Commit(
       * numeric/timestamp columns encoded as doubles (timestamps epoch
       * micros). The analogue of Delta's per-file stats, which the reference
       * leaves at defaults (SURVEY §4). */
-    dirStats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+    dirStats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+    /** Relative dir of the CDF rows this commit emitted, if any. Recorded
+      * (not derived from the version) because dir names carry a
+      * uniquifying suffix — concurrent writers must never contend on a
+      * version-named path before the commit log arbitrates the version. */
+    changesDir: Option[String] = None)
 
 /** Tiny single-writer commit log: one JSON file per version under
   * `<table>/_graft_log/`, written temp-file-then-rename so a version becomes
@@ -140,24 +145,41 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
       throw new IllegalStateException(
         s"concurrent write detected: version ${c.version} already committed at $target")
     val json = CommitLog.toJson(c)
-    // Temp-then-rename so concurrent READERS never observe a half-written
-    // commit (rename is atomic); collision safety comes from the read-back
-    // below — if another writer's rename overwrote ours on a local FS
-    // (where rename() replaces silently), the content comparison fails and
-    // exactly one writer survives.
+    // Temp-then-publish so concurrent READERS never observe a half-written
+    // commit. The PUBLISH step must be atomic fail-if-exists so exactly one
+    // of two racing writers wins the version:
+    //  - local FS: POSIX hard-link (link(2) fails EEXIST atomically) —
+    //    rename would REPLACE silently, and two writers could each pass a
+    //    read-back check before the other's rename landed, silently
+    //    dropping one commit from the lineage;
+    //  - HDFS: rename refuses to overwrite an existing target (atomic);
+    //  - object stores: rename + read-back is best-effort — front this log
+    //    with a conditional-put (if-none-match) for true multi-writer; the
+    //    single-file-per-version layout is already shaped for that.
     val tmp = new Path(logDir, f".tmp-${c.version}-${System.nanoTime()}.json")
     val out = fs.create(tmp, false)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
+    val scheme = Option(fs.getUri).map(_.getScheme).orNull
+    val won =
+      if (scheme == null || scheme == "file") {
+        import java.nio.file.{FileAlreadyExistsException, Files => JFiles, Paths => JPaths}
+        val r =
+          try { JFiles.createLink(JPaths.get(target.toUri.getPath), JPaths.get(tmp.toUri.getPath)); true }
+          catch {
+            case _: FileAlreadyExistsException => false
+            case _: java.nio.file.FileSystemException => false
+          }
+        fs.delete(tmp, false)
+        r
+      } else {
+        val renamed = fs.rename(tmp, target)
+        if (!renamed) fs.delete(tmp, false)
+        renamed && readFile(target, fs.getFileStatus(target).getLen) == json
+      }
+    if (!won)
       throw new IllegalStateException(
         s"concurrent write detected: version ${c.version} already committed at $target")
-    }
-    val onDisk = readFile(target, fs.getFileStatus(target).getLen)
-    if (onDisk != json)
-      throw new IllegalStateException(
-        s"concurrent write detected: version ${c.version} at $target was won by another writer")
     parsedByName.put(target.getName, c)
     ()
   }
@@ -202,7 +224,8 @@ object CommitLog {
             col -> (JArray(List(JDouble(lo), JDouble(hi))): JValue)
           }): JValue)
         }): JValue))
-      else Nil)
+      else Nil) ++
+      c.changesDir.map(v => "changesDir" -> (JString(v): JValue)).toList
     JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
 
@@ -254,7 +277,8 @@ object CommitLog {
       }.toMap
       case _ => Map.empty[String, Map[String, (Double, Double)]]
     }
+    val changesDir = j \ "changesDir" match { case JString(v) => Some(v); case _ => None }
     Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
-      str("schemaJson"), txnApp, txnBatch, partCols, dirStats)
+      str("schemaJson"), txnApp, txnBatch, partCols, dirStats, changesDir)
   }
 }

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (S18), OPTIMIZE compaction (S19) and RESTORE (M12, README.md:145).
   *
   * Layout under `root/`:
-  *   - `_graft_log/<v>.json`  commit log (see [[CommitLog]])
-  *   - `data/v<v>/`           parquet written by commit v (immutable)
-  *   - `_changes/v<v>/`       CDF rows emitted by commit v
+  *   - `_graft_log/<v>.json`   commit log (see [[CommitLog]])
+  *   - `data/v<v>-<sfx>/`      parquet written by commit v (immutable; the
+  *                             suffix keeps racing writers off shared paths)
+  *   - `_changes/v<v>-<sfx>/`  CDF rows emitted by commit v (recorded in
+  *                             the commit, never derived from the version)
   *
   * A snapshot is the union of the `dataDirs` its commit references, so an
   * APPEND adds one dir without touching existing bytes and a RESTORE is a
@@ -27,9 +29,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * job: no data ever funnels through the driver (the reference's collected
   * delete-id list, spark_streaming.py:383, becomes a distributed anti-join).
   *
-  * Single-writer per table, like the reference (one streaming query per
-  * table, spark_streaming.py:461-463); [[CommitLog.commit]] fails loudly on
-  * a version collision rather than corrupting.
+  * Concurrency: optimistic, Delta-style. Every commit is an atomic
+  * publish-at-version-N ([[CommitLog.commit]] fails on collision); APPENDS
+  * rebase-and-retry on a collision (they commute — both writers' rows
+  * land), while snapshot-rewriting operations (merge/delete/update/
+  * overwrite/optimize/restore) roll back their written dirs and abort with
+  * [[ConcurrentWriteException]] because they computed from a stale
+  * snapshot — the caller retries against the new head. The reference is
+  * single-writer per table (one streaming query per table,
+  * spark_streaming.py:461-463); this layer is safe beyond that.
   */
 final class GraftTable private (
     val spark: SparkSession,
@@ -124,7 +132,7 @@ final class GraftTable private (
   def readChanges(fromVersion: Long = 0L, toVersion: Long = Long.MaxValue): DataFrame = {
     val dirs = log.commits()
       .filter(c => c.version >= fromVersion && c.version <= toVersion)
-      .map(c => new Path(root, changesDirName(c.version)))
+      .map(c => new Path(root, changesDirOf(c)))
       .filter(fs.exists)
     if (dirs.isEmpty)
       throw new NoSuchElementException(s"$root has no change data in [$fromVersion, $toVersion]")
@@ -140,7 +148,7 @@ final class GraftTable private (
   def changeDirsBetween(fromVersionExclusive: Long, toVersionInclusive: Long): Seq[String] =
     log.commits()
       .filter(c => c.version > fromVersionExclusive && c.version <= toVersionInclusive)
-      .map(c => new Path(root, changesDirName(c.version)))
+      .map(c => new Path(root, changesDirOf(c)))
       .filter(fs.exists)
       .map(_.toString)
 
@@ -212,12 +220,40 @@ final class GraftTable private (
 
   // --------------------------------------------------------------- writes
 
-  private def dataDirName(v: Long): String = f"data/v$v%05d"
-  private def changesDirName(v: Long): String = f"_changes/v$v%05d"
+  // Dir names carry the ATTEMPTED version (human-readable layout) plus a
+  // uniquifying suffix: concurrent writers race toward the same next
+  // version, and the physical write must never contend on a shared path —
+  // only the commit log arbitrates who owns the version. The suffix costs
+  // nothing (commits record exact dir names; nothing derives names from
+  // versions).
+  private def uniqueSuffix(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+  private def dataDirName(v: Long): String = f"data/v$v%05d-${uniqueSuffix()}"
+  private def changesDirName(v: Long): String = f"_changes/v$v%05d-${uniqueSuffix()}"
 
-  /** Parquet-footer row count of a just-written dir — metadata-only, no scan. */
+  /** Row count of a just-written dir from its PARQUET FOOTERS — metadata
+    * the write already produced, read driver-side with no Spark job (one
+    * fewer job per commit on the streaming append path). Falls back to a
+    * scan count if footer reading surprises. */
   private def countDir(dir: String): Long =
-    spark.read.parquet(new Path(root, dir).toString).count()
+    try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val files = fs.listFiles(new Path(root, dir), true)
+      var total = 0L
+      while (files.hasNext) {
+        val st = files.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(st.getPath, hadoopConf(spark)))
+          try total += r.getRecordCount finally r.close()
+        }
+      }
+      total
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(new Path(root, dir).toString).count()
+    }
 
   private def partitionColsOfHead: Seq[String] =
     log.latest().map(_.partitionCols).getOrElse(Nil)
@@ -304,25 +340,33 @@ final class GraftTable private (
     dir
   }
 
-  private def writeChanges(df: DataFrame, v: Long, tsMs: Long): Map[String, Long] = {
+  /** Write one commit's CDF rows; returns (relative dir, per-change-type
+    * counts). */
+  private def writeChanges(df: DataFrame, v: Long, tsMs: Long): (String, Map[String, Long]) = {
     val dir = changesDirName(v)
     df.withColumn("_commit_version", lit(v))
       .withColumn("_commit_timestamp", timestamp_millis(lit(tsMs)))
       .write.mode("errorifexists").parquet(new Path(root, dir).toString)
     // Metrics come from the written CDF (footer counts + one tiny agg) so the
     // expensive join/rewrite plans execute exactly once each.
-    spark.read.parquet(new Path(root, dir).toString)
+    val metrics = spark.read.parquet(new Path(root, dir).toString)
       .groupBy("_change_type").count()
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toMap
+    (dir, metrics)
   }
+
+  /** Resolve a commit's CDF dir: recorded name, or the legacy
+    * version-derived name for logs written before dir names were recorded. */
+  private def changesDirOf(c: Commit): String =
+    c.changesDir.getOrElse(f"_changes/v${c.version}%05d")
 
   /** Append (M4): the audit-log write path (spark_streaming.py:292-303).
     * Adds one data dir; previous dirs are referenced, never rewritten.
     * Additive schema evolution (M6, `mergeSchema`): new columns extend the
     * snapshot schema; old dirs read back with nulls for them. */
-  def append(df: DataFrame): Commit = appendInternal(df, None)
+  def append(df: DataFrame): Commit = appendInternal(df, None).get
 
   /** Exactly-once streaming append (Delta's `txn` action): the commit is
     * stamped with (txnAppId, txnBatchId); if this writer already committed
@@ -331,36 +375,89 @@ final class GraftTable private (
   def appendOnce(df: DataFrame, txnAppId: String, txnBatchId: Long): Option[Commit] =
     this.synchronized {
       if (lastCommittedBatch(txnAppId).exists(_ >= txnBatchId)) None
-      else Some(appendInternal(df, Some((txnAppId, txnBatchId))))
+      else appendInternal(df, Some((txnAppId, txnBatchId)))
     }
 
   /** Highest batch id committed by the given writer, if any. */
   def lastCommittedBatch(txnAppId: String): Option[Long] =
     log.commits().filter(_.txnAppId.contains(txnAppId)).flatMap(_.txnBatchId).maxOption
 
-  private def appendInternal(df: DataFrame, txn: Option[(String, Long)]): Commit =
+  private val MaxCommitRetries = 5
+
+  /** Append with OPTIMISTIC-CONCURRENCY rebase: appends commute with any
+    * concurrent commit (they reference the previous snapshot's dirs, never
+    * its contents), so when another writer wins the version race the append
+    * is rebased — data dir renamed to the new version, schema re-merged
+    * against the new head, commit retried at head+1 — and both writers'
+    * rows land. Snapshot-REWRITING operations (merge/delete/...) abort
+    * instead ([[commitRewrite]]): they computed from a now-stale snapshot.
+    * Returns None iff a txn-stamped batch turns out to be already committed
+    * (possibly discovered mid-rebase). */
+  private def appendInternal(df: DataFrame, txn: Option[(String, Long)]): Option[Commit] =
     this.synchronized {
-      val prev = log.latest()
-      val v = prev.map(_.version + 1).getOrElse(0L)
       val tsMs = System.currentTimeMillis()
-      val prevSchema = prev.map(c => DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
-      val mergedSchema = prevSchema match {
-        case None => df.schema
-        case Some(ps) =>
-          StructType(ps.fields ++ df.schema.fields.filterNot(f => ps.fieldNames.contains(f.name)))
+      var prev = log.latest()
+      var v = prev.map(_.version + 1).getOrElse(0L)
+      def mergeSchemas(p: Option[Commit], s: StructType): StructType = p match {
+        case None => s
+        case Some(pc) =>
+          val ps = DataType.fromJson(pc.schemaJson).asInstanceOf[StructType]
+          StructType(ps.fields ++ s.fields.filterNot(f => ps.fieldNames.contains(f.name)))
       }
+      var mergedSchema = mergeSchemas(prev, df.schema)
       val aligned = alignTo(df, mergedSchema)
-      val dir = writeData(aligned, v)
+      var dir = writeData(aligned, v)
       val added = countDir(dir)
-      val c = Commit(v, tsMs, if (prev.isEmpty) "CREATE" else "APPEND",
-        prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
-        Map("numOutputRows" -> added), mergedSchema.json,
-        txn.map(_._1), txn.map(_._2),
-        prev.map(_.partitionCols).getOrElse(Nil),
-        // Appends accumulate dirs, so each one records skipping stats and
-        // carries the earlier dirs' stats forward in the head commit.
-        prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> statsFor(dir)))
-      log.commit(c); c
+      val stats = statsFor(dir)
+      var attempts = 0
+      while (true) {
+        val c = Commit(v, tsMs, if (prev.isEmpty) "CREATE" else "APPEND",
+          prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
+          Map("numOutputRows" -> added), mergedSchema.json,
+          txn.map(_._1), txn.map(_._2),
+          prev.map(_.partitionCols).getOrElse(Nil),
+          // Appends accumulate dirs, so each one records skipping stats and
+          // carries the earlier dirs' stats forward in the head commit.
+          prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> stats))
+        try { log.commit(c); return Some(c) }
+        catch {
+          case e: IllegalStateException =>
+            if (attempts >= MaxCommitRetries) {
+              fs.delete(new Path(root, dir), true)
+              throw new ConcurrentWriteException(
+                s"append to $root lost the version race $MaxCommitRetries times; giving up", e)
+            }
+            attempts += 1
+            prev = log.latest()
+            // Another writer may have landed OUR batch (replayed stamp).
+            if (txn.exists { case (app, b) => lastCommittedBatch(app).exists(_ >= b) }) {
+              fs.delete(new Path(root, dir), true)
+              return None
+            }
+            // Rebase: same written dir (names are version-independent),
+            // recompute version/schema/lineage against the new head.
+            v = prev.map(_.version + 1).getOrElse(0L)
+            mergedSchema = mergeSchemas(prev, aligned.schema)
+        }
+      }
+      scala.sys.error("unreachable")
+    }
+
+  /** Publish a snapshot-REWRITING commit (merge/delete/update/overwrite/
+    * optimize): these computed their output from the previous snapshot, so
+    * a concurrent commit means they read stale state — roll back the
+    * written dirs and abort with [[ConcurrentWriteException]]; the caller
+    * retries the whole operation against the new head. (Appends rebase
+    * instead — see [[appendInternal]].) */
+  private def commitRewrite(c: Commit, writtenDirs: Seq[String]): Commit =
+    try { log.commit(c); c }
+    catch {
+      case e: IllegalStateException =>
+        writtenDirs.foreach(d => fs.delete(new Path(root, d), true))
+        throw new ConcurrentWriteException(
+          s"version ${c.version} of $root was committed by another writer while this " +
+            s"${c.operation} was computing from the previous snapshot; rolled back — " +
+            "retry the operation against the new head", e)
     }
 
   /** Overwrite (M5): table (re)creation path (spark_streaming.py:362-365). */
@@ -392,7 +489,7 @@ final class GraftTable private (
       Map("numOutputRows" -> countDir(dir)), df.schema.json,
       txn.map(_._1), txn.map(_._2),
       partitionCols = partitionBy)
-    log.commit(c); c
+    commitRewrite(c, Seq(dir))
   }
 
   /** MERGE upsert (M1/M2): `whenMatchedUpdateAll.whenNotMatchedInsertAll`
@@ -461,14 +558,14 @@ final class GraftTable private (
         when(!tPresent && sPresent, array(image("s", "insert")))
           .when(isUpdate, array(image("t", "update_preimage"), image("s", "update_postimage")))
       ).as("c")).select("c.*")
-      val cdfMetrics = writeChanges(changeRows, v, tsMs)
+      val (chDir, cdfMetrics) = writeChanges(changeRows, v, tsMs)
 
       val c = Commit(v, tsMs, "MERGE", Seq(dir), Map(
         "numTargetRowsInserted" -> cdfMetrics.getOrElse("insert", 0L),
         "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
         "numOutputRows" -> countDir(dir)), mergedSchema.json,
-        partitionCols = prev.partitionCols)
-      log.commit(c); c
+        partitionCols = prev.partitionCols, changesDir = Some(chDir))
+      commitRewrite(c, Seq(dir, chDir))
     }
 
   /** DELETE by predicate (M3): left-anti rewrite of
@@ -481,13 +578,13 @@ final class GraftTable private (
     val cur = readCommit(prev)
     val hit = coalesce(cond, lit(false))
     val dir = writeData(cur.filter(!hit), v)
-    val cdfMetrics = writeChanges(
+    val (chDir, cdfMetrics) = writeChanges(
       cur.filter(hit).withColumn("_change_type", lit("delete")), v, tsMs)
     val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
-      partitionCols = prev.partitionCols)
-    log.commit(c); c
+      partitionCols = prev.partitionCols, changesDir = Some(chDir))
+    commitRewrite(c, Seq(dir, chDir))
   }
 
   /** Keyed delete as a distributed anti-join — the scale-safe form of the
@@ -499,14 +596,14 @@ final class GraftTable private (
     val cur = readCommit(prev)
     val keyDf = keys.select(col(key)).distinct()
     val dir = writeData(cur.join(keyDf, Seq(key), "left_anti"), v)
-    val cdfMetrics = writeChanges(
+    val (chDir, cdfMetrics) = writeChanges(
       cur.join(keyDf, Seq(key), "left_semi").withColumn("_change_type", lit("delete")),
       v, tsMs)
     val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
-      partitionCols = prev.partitionCols)
-    log.commit(c); c
+      partitionCols = prev.partitionCols, changesDir = Some(chDir))
+    commitRewrite(c, Seq(dir, chDir))
   }
 
   /** UPDATE … SET assignments WHERE cond, as a projection rewrite. */
@@ -526,12 +623,12 @@ final class GraftTable private (
     val pre = cur.filter(hit).withColumn("_change_type", lit("update_preimage"))
     val post = cur.filter(hit).select(updated: _*)
       .withColumn("_change_type", lit("update_postimage"))
-    val cdfMetrics = writeChanges(pre.unionByName(post), v, tsMs)
+    val (chDir, cdfMetrics) = writeChanges(pre.unionByName(post), v, tsMs)
     val c = Commit(v, tsMs, "UPDATE", Seq(dir), Map(
       "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
-      partitionCols = prev.partitionCols)
-    log.commit(c); c
+      partitionCols = prev.partitionCols, changesDir = Some(chDir))
+    commitRewrite(c, Seq(dir, chDir))
   }
 
   /** OPTIMIZE bin-pack compaction (S19, spark_delta_handler.py:282-289):
@@ -548,7 +645,7 @@ final class GraftTable private (
     val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", Seq(dir),
       Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson,
       partitionCols = prev.partitionCols)
-    log.commit(c); c
+    commitRewrite(c, Seq(dir))
   }
 
   /** Consolidate the commit log into a single checkpoint file (Delta's
@@ -569,14 +666,16 @@ final class GraftTable private (
     }
 
   /** RESTORE (M12): re-publish an old version as the new head. Metadata-only
-    * — the new commit references the old version's immutable dirs. */
+    * — the new commit references the old version's immutable dirs. Like a
+    * rewrite, a concurrent commit invalidates the restore-over-THAT-head
+    * intent, so it aborts rather than rebases. */
   def restore(v: Long): Commit = this.synchronized {
     val old = commitFor(v)
     val head = version + 1
     val c = Commit(head, System.currentTimeMillis(), "RESTORE", old.dataDirs,
       Map("restoredVersion" -> v), old.schemaJson,
       partitionCols = old.partitionCols)
-    log.commit(c); c
+    commitRewrite(c, Nil)
   }
 
   /** VACUUM (S18/M10, delta_handler.py:275-285; default retention 168 h,
@@ -600,11 +699,19 @@ final class GraftTable private (
         c.dataDirs.filterNot(keepDirs.contains).foreach { d =>
           if (fs.delete(new Path(root, d), true)) deleted += d
         }
-        fs.delete(new Path(root, changesDirName(c.version)), true)
+        fs.delete(new Path(root, changesDirOf(c)), true)
       }
       deleted.result()
     }
 }
+
+/** A concurrent writer won the version race against an operation that had
+  * computed its output from the now-stale snapshot. The operation's written
+  * dirs were rolled back; retry it against the new head. Appends never
+  * throw this under normal contention — they rebase
+  * ([[GraftTable]] appendInternal). */
+final class ConcurrentWriteException(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
 
 object GraftTable {
 
@@ -619,7 +726,11 @@ object GraftTable {
   }
 
   def isTable(spark: SparkSession, root: String): Boolean =
-    new CommitLog(root, hadoopConf(spark)).exists
+    // A table exists once its FIRST COMMIT is readable, not merely once the
+    // log dir was mkdir'd: commit() creates the dir before the commit file
+    // lands, and a concurrent isTable-then-forPath in that window must not
+    // see a "table" forPath would then refuse to open.
+    new CommitLog(root, hadoopConf(spark)).latest().isDefined
 
   /** Create (S10/S12): first write wins the CREATE commit. Optional
     * hive-style partitioning: every later commit keeps it, and reads prune

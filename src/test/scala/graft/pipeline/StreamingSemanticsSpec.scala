@@ -50,6 +50,54 @@ class StreamingSemanticsSpec extends SparkSpec {
     assert(spark.streams.active.isEmpty)
   }
 
+  test("startingOffsets=latest skips files present at query start (ST12)") {
+    val in = tmpDir("so-in")
+    // two files exist BEFORE the query starts — "latest" must not replay them
+    writeRecord(in, "old0.json", 0)
+    writeRecord(in, "old1.json", 1)
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("so-tables"),
+      checkpointRoot = tmpDir("so-ckpt"),
+      triggerInterval = "1 second",
+      tables = Seq("customers"),
+      startingOffsets = "latest")
+    val q = CdcPipeline.startAuditStream(spark, cfg)
+    try {
+      writeRecord(in, "new2.json", 2)
+      writeRecord(in, "new3.json", 3)
+      val deadline = System.currentTimeMillis() + 60000
+      while (!GraftTable.isTable(spark, CdcPipeline.auditTablePath(cfg)) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val t = GraftTable.forPath(spark, CdcPipeline.auditTablePath(cfg))
+      while (t.read().count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val offsets = t.read().select("kafka_offset").collect().map(_.getLong(0)).toSet
+      assert(offsets === Set(2L, 3L), s"expected only live-edge records, got $offsets")
+    } finally {
+      CdcPipeline.stopAll(spark)
+    }
+  }
+
+  test("streaming schema inference reads untyped files into the pipeline (ST13)") {
+    val in = tmpDir("si-in")
+    writeRecord(in, "r0.json", 0)
+    writeRecord(in, "r1.json", 1)
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("si-tables"),
+      checkpointRoot = tmpDir("si-ckpt"),
+      availableNow = true,
+      tables = Seq("customers"),
+      inferSchema = true)
+    val q = CdcPipeline.startAuditStream(spark, cfg)
+    q.awaitTermination()
+    val audit = GraftTable.forPath(spark, CdcPipeline.auditTablePath(cfg))
+    assert(audit.read().count() === 2)
+    // parse still lands typed envelope columns despite the inferred source
+    assert(audit.read().columns.contains("source_table"))
+  }
+
   test("maxFilesPerTrigger throttles a backlog into multiple commits") {
     val in = tmpDir("mft-in")
     (0L until 4L).foreach(i => writeRecord(in, s"f$i.json", i))

@@ -1,0 +1,100 @@
+package graft.table
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multi-writer optimistic concurrency: disjoint appends from independent
+  * table handles must ALL land (rebase-and-retry), while snapshot-rewriting
+  * operations that lose the version race must abort cleanly with
+  * [[ConcurrentWriteException]] and roll back their dirs. */
+class ConcurrencySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concurrent appends from independent handles all land") {
+    val root = tmpDir("cc-append")
+    GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
+    val writers = 4
+    val appendsPerWriter = 5
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val errs = java.util.Collections.synchronizedList(new java.util.ArrayList[Throwable]())
+    (0 until writers).foreach { w =>
+      pool.execute { () =>
+        try {
+          // One INDEPENDENT handle per writer — same-instance synchronization
+          // must not be what saves us.
+          val t = GraftTable.forPath(spark, root)
+          start.await()
+          (0 until appendsPerWriter).foreach { i =>
+            t.append(Seq(((w + 1) * 100L + i, s"w$w-$i")).toDF("id", "v")); ()
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"append writers failed: $errs")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.version === (writers * appendsPerWriter).toLong) // every append committed
+    assert(t.read().count() === (1 + writers * appendsPerWriter).toLong) // no lost rows
+    // ids are disjoint by construction and must all be present exactly once
+    assert(t.read().select("id").distinct().count() === t.read().count())
+  }
+
+  test("a rewrite that loses the race aborts with rollback; appends rebase over anything") {
+    val root = tmpDir("cc-rewrite")
+    val seed = (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x")
+    GraftTable.create(spark, root, seed)
+    val a = GraftTable.forPath(spark, root)
+    val b = GraftTable.forPath(spark, root)
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val outcomes = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    Seq(a, b).zipWithIndex.foreach { case (t, i) =>
+      pool.execute { () =>
+        start.await()
+        try { t.delete(col("id") === (50L + i)); outcomes.add("ok"); () }
+        catch {
+          case _: ConcurrentWriteException => outcomes.add("conflict"); ()
+          case e: Throwable => outcomes.add(s"unexpected: $e"); ()
+        }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    import scala.jdk.CollectionConverters._
+    val results = outcomes.asScala.toList
+    assert(results.forall(r => r == "ok" || r == "conflict"), s"got $results")
+    assert(results.contains("ok")) // at least one writer succeeded
+    // Table stays consistent either way: every surviving version readable,
+    // row count = 100 - (number of successful deletes).
+    val t = GraftTable.forPath(spark, root)
+    val okCount = results.count(_ == "ok")
+    assert(t.read().count() === (100 - okCount).toLong)
+    (0L to t.version).foreach(v => assert(t.readVersion(v).count() >= 0))
+    // An aborted rewrite must not leave orphan data dirs: every dir under
+    // data/ is referenced by some commit.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val onDisk = fs.listStatus(dataDir).map(_.getPath.getName).toSet
+    val referencedNames = new CommitLog(root, spark.sessionState.newHadoopConf())
+      .commits().flatMap(_.dataDirs).map(_.stripPrefix("data/")).toSet
+    assert(onDisk.subsetOf(referencedNames), s"orphan dirs: ${onDisk -- referencedNames}")
+  }
+
+  test("appendOnce replay detection survives a rebase race") {
+    val root = tmpDir("cc-once")
+    GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
+    val t = GraftTable.forPath(spark, root)
+    assert(t.appendOnce(Seq((1L, "b0")).toDF("id", "v"), "app", 0L).isDefined)
+    assert(t.appendOnce(Seq((1L, "b0")).toDF("id", "v"), "app", 0L).isEmpty) // replay skipped
+    assert(t.appendOnce(Seq((2L, "b1")).toDF("id", "v"), "app", 1L).isDefined)
+    assert(t.read().count() === 3)
+  }
+}

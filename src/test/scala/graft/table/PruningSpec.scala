@@ -1,0 +1,53 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Both pruning layers must be observable in what actually gets scanned:
+  * hive-partition pruning inside version dirs, and dir-granularity min/max
+  * data skipping via [[Commit.dirStats]] (readPruned). */
+class PruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(input_file_name()).distinct().count()
+
+  test("partition pruning + dir-stats skipping reduce scanned files") {
+    val root = tmpDir("prune")
+    def rows(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.0))
+        .toDF("id", "status", "x")
+    // 4 key-range appends, each hive-partitioned by status → 8 leaf dirs
+    val t = GraftTable.create(spark, root, rows(1, 100), partitionBy = Seq("status"))
+    t.append(rows(101, 200))
+    t.append(rows(201, 300))
+    t.append(rows(301, 400))
+
+    val totalFiles = scannedFiles(t.read())
+
+    // Hive-partition pruning: a status filter must scan only A-partitions.
+    val statusFiltered = scannedFiles(t.read().filter(col("status") === "A"))
+    assert(statusFiltered < totalFiles,
+      s"partition pruning did not reduce files: $statusFiltered vs $totalFiles")
+
+    // Dir-stats skipping: an id-range predicate through readPruned must
+    // drop whole append dirs before Spark ever lists them.
+    val pruned = t.readPruned("id", 0.0, 100.0)
+    val prunedFiles = scannedFiles(pruned)
+    assert(prunedFiles < totalFiles,
+      s"dir-stats skipping did not reduce files: $prunedFiles vs $totalFiles")
+    // and the result is still a superset of the exact rows
+    assert(pruned.filter(col("id") <= 100).count() === 100)
+
+    // Combined: range + partition filter touches the fewest files.
+    val both = scannedFiles(pruned.filter(col("status") === "A"))
+    assert(both <= statusFiltered && both <= prunedFiles)
+
+    // The filter itself reaches the parquet scan (pushdown, not post-filter).
+    val plan = t.read().filter(col("id") <= 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(id,100)"),
+      s"no pushed filter in plan:\n$plan")
+  }
+}
