@@ -70,6 +70,7 @@ object SparkEntry {
     "q43_sql_text_path"      -> (OlapQueries.sqlTextPath _),
     "q44_ivf_topk"           -> (CorpusQueries.ivfTopK _),
     "q45_partition_prune"    -> (MutationQueries.partitionPrune _),
+    "q46_zorder_scan"        -> (MutationQueries.zorderScan _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -350,6 +351,10 @@ object SparkEntry {
       """SELECT * FROM orders
         |WHERE o_orderkey <= (SELECT CAST(max(o_orderkey) AS BIGINT) // 4 FROM orders)
         |  AND o_orderstatus = 'F'""".stripMargin,
+    "q46_zorder_scan" ->
+      """SELECT * FROM orders
+        |WHERE o_custkey <= (SELECT CAST(max(o_custkey) AS BIGINT) // 2 FROM orders)
+        |  AND o_totalprice < 50000.0""".stripMargin,
   )
 
   /** Exact cosine top-10 for query vec_id=0 — oracle for the brute-force

@@ -142,4 +142,21 @@ object MutationQueries {
     t.readPruned("o_orderkey", 0.0, q.toDouble)
       .filter(col("o_orderkey") <= q && col("o_orderstatus") === "F")
   }
+
+  /** Orders rewritten by OPTIMIZE … ZORDER BY (o_custkey, o_totalprice):
+    * the Morton-curve layout makes parquet stats selective on both columns
+    * at once (file-level pruning pinned in ZOrderSpec); the query itself
+    * predicates on both dimensions and is plain-SQL checkable. */
+  private def zorderedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "zordered") {
+      val t = GraftTable.create(spark, freshDir("zorder"), Tables.orders(spark, dir))
+      t.optimize(targetFileBytes = 256 * 1024, zorderBy = Seq("o_custkey", "o_totalprice"))
+      t
+    }
+
+  def zorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = zorderedOrdersTable(spark, dir)
+    val half = Tables.orders(spark, dir).agg(max("o_custkey")).head().getLong(0) / 2
+    t.read().filter(col("o_custkey") <= half && col("o_totalprice") < 50000.0)
+  }
 }

@@ -72,52 +72,22 @@ object MaterializedViews {
     * avg_order_value is derived from (sum, count) at publish time — the
     * standard trick that keeps every maintained aggregate additive.
     */
+  /** The order_analytics maintenance spec, declaratively: two group keys,
+    * a signed count, one additive revenue sum (avg derived at publish). */
+  private val orderAnalyticsSpec = IncrementalAgg.Spec(
+    groupKeys = Seq(
+      "order_day" -> to_date(date_trunc("day", col("order_date"))),
+      "status" -> col("status")),
+    countCol = "order_count",
+    sums = Seq(IncrementalAgg.Sum("sum_revenue",
+      col("total_amount").cast(DecimalType(18, 2)), DecimalType(18, 2))))
+
   def applyOrderChangesIncrementally(
       spark: SparkSession,
       mv: GraftTable,
       changes: DataFrame,
-      txn: Option[(String, Long)] = None): Unit = {
-    val signed = changes
-      .filter(col("_change_type").isin(
-        "insert", "delete", "update_preimage", "update_postimage"))
-      .withColumn("__sign",
-        when(col("_change_type").isin("insert", "update_postimage"), 1L)
-          .otherwise(-1L))
-    val deltas = signed
-      .groupBy(
-        to_date(date_trunc("day", col("order_date"))).as("order_day"),
-        col("status"))
-      .agg(
-        sum(col("__sign")).as("d_count"),
-        sum(col("__sign") * col("total_amount").cast(DecimalType(18, 2)))
-          .cast(DecimalType(18, 2)).as("d_revenue"))
-      .filter(col("d_count") =!= 0 || col("d_revenue") =!= 0)
-
-    val cur = mv.read()
-      .select(col("order_day"), col("status"),
-        col("order_count"), col("sum_revenue").cast(DecimalType(18, 2)).as("sum_revenue"))
-    val merged = cur.alias("m")
-      .join(deltas.alias("d"),
-        col("m.order_day") <=> col("d.order_day") && col("m.status") <=> col("d.status"),
-        "full_outer")
-      .select(
-        coalesce(col("m.order_day"), col("d.order_day")).as("order_day"),
-        coalesce(col("m.status"), col("d.status")).as("status"),
-        (coalesce(col("m.order_count"), lit(0L)) + coalesce(col("d.d_count"), lit(0L)))
-          .as("order_count"),
-        (coalesce(col("m.sum_revenue"), lit(0).cast(DecimalType(18, 2)))
-          + coalesce(col("d.d_revenue"), lit(0).cast(DecimalType(18, 2))))
-          .cast(DecimalType(18, 2)).as("sum_revenue"))
-      .filter(col("order_count") > 0)
-    // Stamped publish: deltas are NOT idempotent (a replayed batch would
-    // double-apply), so the streaming caller passes its (queryName, batchId)
-    // and a re-delivered batch is detected and skipped at commit time.
-    txn match {
-      case Some((appId, batchId)) => mv.overwriteOnce(merged, appId, batchId)
-      case None => mv.overwrite(merged)
-    }
-    ()
-  }
+      txn: Option[(String, Long)] = None): Unit =
+    IncrementalAgg.applyChanges(mv, changes, orderAnalyticsSpec, txn)
 
   /** Delta-incremental maintenance of `product_inventory` — a projection
     * MV, so the CDF maps directly: insert/update_postimage rows upsert

@@ -633,19 +633,65 @@ final class GraftTable private (
 
   /** OPTIMIZE bin-pack compaction (S19, spark_delta_handler.py:282-289):
     * rewrite the snapshot into ~`targetFileBytes` files. Data unchanged —
-    * no CDF emitted, matching Delta. */
-  def optimize(targetFileBytes: Long = 128L * 1024 * 1024): Commit = this.synchronized {
+    * no CDF emitted, matching Delta.
+    *
+    * With `zorderBy`, rows are CLUSTERED on the Z-order (Morton) curve over
+    * the given numeric columns before the rewrite — Delta's `OPTIMIZE …
+    * ZORDER BY`: each output file then covers a small hyper-rectangle of
+    * the value space, so parquet min/max stats prune files for predicates
+    * on ANY of the z columns, not just a lead sort key. */
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Commit = this.synchronized {
     val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
     val v = prev.version + 1
     val totalBytes = prev.dataDirs.map { d =>
       fs.getContentSummary(new Path(root, d)).getLength
     }.sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val dir = writeData(readCommit(prev).repartition(numFiles), v, prev.partitionCols)
+    val snapshot = readCommit(prev)
+    val clustered =
+      if (zorderBy.isEmpty) snapshot.repartition(numFiles)
+      else zorderCluster(snapshot, zorderBy, numFiles)
+    val dir = writeData(clustered, v, prev.partitionCols)
     val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", Seq(dir),
       Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson,
-      partitionCols = prev.partitionCols)
+      partitionCols = prev.partitionCols,
+      dirStats = Map(dir -> statsFor(dir)))
     commitRewrite(c, Seq(dir))
+  }
+
+  private val ZorderBits = 8 // 256 quantile buckets per column
+
+  /** Range-partition + sort on an interleaved-bit Morton key. Per-column
+    * bucket ids come from approx quantiles (robust to skew; the cutpoint
+    * array is driver-side metadata, 255 doubles per column), the key is a
+    * pure column expression, and the layout job is one
+    * `repartitionByRange` — fully distributed. */
+  private def zorderCluster(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    val n = 1 << ZorderBits
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val withDoubles = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__zc_$c", col(c).cast("double")))
+    val cuts: Map[String, Seq[Double]] = cols.map { c =>
+      c -> withDoubles.stat.approxQuantile(s"__zc_$c", probs, 0.01).toSeq
+    }.toMap
+    // bucket = number of cutpoints strictly below the value (0..n-1);
+    // nulls sort into bucket 0. Materialized once per column so the bit
+    // extraction below reuses it instead of re-running the cutpoint scan
+    // per bit.
+    val withBuckets = cols.foldLeft(withDoubles)((d, c) =>
+      d.withColumn(s"__zb_$c",
+        size(filter(typedLit(cuts(c)), x => x < col(s"__zc_$c"))).cast("long")))
+    val k = cols.length
+    val z = (0 until ZorderBits).flatMap { b =>
+      cols.zipWithIndex.map { case (c, i) =>
+        shiftright(col(s"__zb_$c"), b).bitwiseAND(1) * lit(1L << (b * k + i))
+      }
+    }.reduce(_ + _)
+    withBuckets.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z" +: cols.flatMap(c => Seq(s"__zc_$c", s"__zb_$c")): _*)
   }
 
   /** Consolidate the commit log into a single checkpoint file (Delta's

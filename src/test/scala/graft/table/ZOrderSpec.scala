@@ -1,0 +1,41 @@
+package graft.table
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** OPTIMIZE … ZORDER BY must make parquet min/max stats selective on EVERY
+  * z column at once: after clustering, a narrow predicate on either
+  * dimension should read rows from only a subset of the files (row-group
+  * stats skip the rest), where a linear sort would only ever prune on its
+  * lead key. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+    df.select(input_file_name()).distinct().count()
+
+  test("zorder compaction prunes files on both dimensions") {
+    val root = tmpDir("zorder")
+    // two independent uniform dimensions, written in shuffled order so the
+    // incoming layout has no accidental locality
+    val rows = scala.util.Random.shuffle(
+      (for (a <- 0 until 128; b <- 0 until 128) yield (a.toLong, b.toLong))).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val t = GraftTable.create(spark, root, rows.toDF("id", "a", "b"))
+    // small target size → many files, so per-file stats have something to cut
+    t.optimize(targetFileBytes = 4 * 1024, zorderBy = Seq("a", "b"))
+
+    val snap = t.read()
+    val total = filesTouched(snap)
+    assume(total >= 8, s"need a multi-file layout to observe pruning, got $total")
+    val onA = filesTouched(snap.filter(col("a") < 16))
+    val onB = filesTouched(snap.filter(col("b") < 16))
+    assert(onA < total, s"no pruning on a: $onA of $total files")
+    assert(onB < total, s"no pruning on b: $onB of $total files")
+    // data unchanged by the rewrite
+    assert(snap.count() === 128L * 128L)
+    assert(snap.agg(sum("a"), sum("b")).head() ===
+      t.readVersion(0).agg(sum("a"), sum("b")).head())
+  }
+}
