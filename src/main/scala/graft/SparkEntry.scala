@@ -71,6 +71,7 @@ object SparkEntry {
     "q44_ivf_topk"           -> (CorpusQueries.ivfTopK _),
     "q45_partition_prune"    -> (MutationQueries.partitionPrune _),
     "q46_zorder_scan"        -> (MutationQueries.zorderScan _),
+    "q47_bpe_tokenize"       -> (CorpusQueries.bpeTokenize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

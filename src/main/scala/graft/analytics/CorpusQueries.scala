@@ -111,4 +111,17 @@ object CorpusQueries {
     val centroids = Similarity.trainCentroids(emb, k = 8, iters = 3)
     Similarity.ivfTopK(emb, centroids, queryId = 0L, k = 10, nprobe = 6)
   }
+
+  /** Real BPE tokenization (rows-only; BpeSpec pins encode vs a reference
+    * implementation): merge table trained from the corpus's own
+    * word-frequency dictionary, encode via the native
+    * [[org.apache.spark.sql.graftnative.BpeTokens]] expression. */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.text.Bpe.trainMerges(docs, col("text"), numMerges = 64)
+    docs.select(
+      col("doc_id"),
+      graft.text.Bpe.tokenCount(col("text"), merges).cast("long").as("bpe_tokens"),
+      tokenCount(col("text")).cast("long").as("words"))
+  }
 }
