@@ -143,26 +143,23 @@ object MaterializedViews {
       if (!dels.isEmpty) { mv.deleteKeys(dels, "customer_id"); () }
     }
     orderChanges.foreach { ch =>
-      val signed = ch
-        .filter(col("_change_type").isin(
-          "insert", "delete", "update_preimage", "update_postimage"))
-        .withColumn("__sign",
-          when(col("_change_type").isin("insert", "update_postimage"), 1L)
-            .otherwise(-1L))
-      val deltas = signed.groupBy(col("customer_id"))
-        .agg(
-          sum(col("__sign")).as("d_orders"),
-          sum(col("__sign") * col("total_amount").cast(DecimalType(18, 2)))
-            .cast(DecimalType(18, 2)).as("d_value"))
-        .filter(col("d_orders") =!= 0 || col("d_value") =!= 0)
+      // Signed per-customer deltas come from the shared library
+      // ([[IncrementalAgg.signedDeltas]]); the state fold stays a keyed
+      // MERGE (not a full overwrite) because join-MV state rows also carry
+      // customer attributes that must survive untouched.
+      val deltas = IncrementalAgg.signedDeltas(ch, IncrementalAgg.Spec(
+        groupKeys = Seq("customer_id" -> col("customer_id")),
+        countCol = "total_orders",
+        sums = Seq(IncrementalAgg.Sum("lifetime_value",
+          col("total_amount").cast(DecimalType(18, 2)), DecimalType(18, 2)))))
       if (!deltas.isEmpty) {
         val cur = mv.read().select(col("customer_id"),
           col("total_orders"), col("lifetime_value").cast(DecimalType(18, 2)).as("lv"))
         val updated = deltas.join(cur, Seq("customer_id"), "left")
           .select(
             col("customer_id"),
-            (coalesce(col("total_orders"), lit(0L)) + col("d_orders")).as("total_orders"),
-            (coalesce(col("lv"), lit(0).cast(DecimalType(18, 2))) + col("d_value"))
+            (coalesce(col("total_orders"), lit(0L)) + col("__d_count")).as("total_orders"),
+            (coalesce(col("lv"), lit(0).cast(DecimalType(18, 2))) + col("__d_lifetime_value"))
               .cast(DecimalType(18, 2)).as("lifetime_value"))
         mv.merge(updated, "customer_id")
         ()
@@ -180,22 +177,28 @@ object MaterializedViews {
         coalesce(col("lifetime_value").cast(DoubleType), lit(0.0)).as("lifetime_value"))
 
   /** Continuous incremental maintenance: stream the orders snapshot's CDF
-    * ([[GraftTable.streamChanges]]) and fold every micro-batch of change
-    * rows into the MV state. Because the deltas are additive, a batch may
-    * span several commits (or split one) and the result is identical —
-    * ordering within the feed doesn't matter. This is the full RisingWave
-    * shape: CDC → snapshot → change stream → incrementally-maintained view,
-    * each stage a versioned table. */
+    * through the VERSION-OFFSET source (`graft-table` with readChangeFeed —
+    * offsets are commit versions, so each micro-batch is exactly the change
+    * rows of a commit range, and compaction or dir-name details never leak
+    * into the stream) and fold every micro-batch into the MV state. Because
+    * the deltas are additive, a batch may span several commits (or split
+    * one) and the result is identical — ordering within the feed doesn't
+    * matter. This is the full RisingWave shape: CDC → snapshot → change
+    * stream → incrementally-maintained view, each stage a versioned table. */
   def startIncrementalOrderAnalytics(
       spark: SparkSession,
       cfg: CdcPipeline.Config,
       availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
-    val snap = GraftTable.forPath(spark, CdcPipeline.snapshotPath(cfg, "orders"))
+    val snapPath = CdcPipeline.snapshotPath(cfg, "orders")
     val statePath = mvPath(cfg, "order_analytics_inc")
     val trigger = if (availableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(cfg.triggerInterval)
-    snap.streamChanges().writeStream
+    spark.readStream.format("org.apache.spark.sql.graftnative.GraftTableSourceProvider")
+      .option("path", snapPath)
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
       .queryName("mv_order_analytics_inc")
       .option("checkpointLocation", s"${cfg.checkpointRoot}/mv_order_analytics_inc")
       .trigger(trigger)
