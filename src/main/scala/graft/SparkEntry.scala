@@ -72,6 +72,7 @@ object SparkEntry {
     "q45_partition_prune"    -> (MutationQueries.partitionPrune _),
     "q46_zorder_scan"        -> (MutationQueries.zorderScan _),
     "q47_bpe_tokenize"       -> (CorpusQueries.bpeTokenize _),
+    "q48_pq_topk"            -> (CorpusQueries.pqTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

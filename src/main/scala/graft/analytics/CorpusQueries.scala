@@ -112,6 +112,16 @@ object CorpusQueries {
     Similarity.ivfTopK(emb, centroids, queryId = 0L, k = 10, nprobe = 6)
   }
 
+  /** Product-quantized ANN top-10: trained per-subspace codebooks, coded
+    * shortlist via one ADC lookup expression, exact rerank (the ~16×
+    * bandwidth cut of billion-scale ANN; PqSpec pins the recall bound). */
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = graft.sim.Pq.train(emb, m = 8, k = 16, iters = 3, dim = 64)
+    val codes = graft.sim.Pq.encode(emb, model)
+    graft.sim.Pq.topK(emb, codes, model, queryId = 0L, k = 10, shortlist = 64)
+  }
+
   /** Real BPE tokenization (rows-only; BpeSpec pins encode vs a reference
     * implementation): merge table trained from the corpus's own
     * word-frequency dictionary, encode via the native

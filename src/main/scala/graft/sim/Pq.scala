@@ -1,0 +1,140 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.VectorExpressions
+
+import graft.dedup.Dedup.{cosine, dot}
+
+/** Product quantization for billion-scale ANN (ROADMAP: PQ-style
+  * sub-quantization). A dim-D vector becomes `m` small integer codes — one
+  * per D/m-dim subspace, indexing that subspace's k-centroid codebook — so
+  * the shortlist scan reads ~16× less than raw doubles; candidates are then
+  * re-ranked EXACTLY against the raw vectors (the standard ADC + rerank
+  * pipeline, which is what bounds the accuracy loss).
+  *
+  * Scale shape: training is k-means over ALL m subspaces in one DataFrame
+  * pipeline per iteration (subspace is just another grouping key);
+  * codebooks are m×k×(D/m) doubles — driver-resident metadata, collected
+  * per iteration exactly like [[Similarity.trainCentroids]]. Encode and ADC
+  * scoring are single codegen'd expressions
+  * ([[org.apache.spark.sql.graftnative.PqEncode]] /
+  * [[org.apache.spark.sql.graftnative.PqAdcScore]]); the query's lookup
+  * table is m×k doubles built driver-side from the (collected, bounded)
+  * query vector.
+  */
+object Pq {
+
+  /** Codebooks flattened subspace-major: centroid (s, c) occupies
+    * `[(s*k + c)*subDim, …+subDim)`. */
+  final case class Model(m: Int, k: Int, dim: Int, codebooks: IndexedSeq[Double]) {
+    val subDim: Int = dim / m
+  }
+
+  /** Train per-subspace codebooks: seeded init (k rows per subspace by
+    * murmur order), then `iters` rounds of assign + per-(subspace,
+    * centroid, position) means — all subspaces in each single pass. */
+  def train(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = dim / m
+    require(m * subDim == dim, s"dim $dim must divide into $m subspaces")
+    val vec = col(vecCol).cast("array<double>")
+    // (vec_id, sub, sv): every vector exploded into its m sub-vectors
+    val sub = emb.select(col(idCol).as("vec_id"),
+        posexplode(array((0 until m).map(s =>
+          slice(vec, s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+
+    // init: per subspace, the k sub-vectors of the k lowest-murmur vec_ids
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("sub").orderBy(hash(col("vec_id")), col("vec_id"))
+    var centroids = sub
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("sub"), (col("__rn") - 1).cast("long").as("cid"), col("sv").as("cv"))
+
+    (0 until iters).foreach { _ =>
+      val assigned = sub.alias("x")
+        .join(broadcast(centroids.alias("c")), col("x.sub") === col("c.sub"))
+        .select(col("x.vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"),
+          col("c.cid").as("cid"),
+          // nearest by L2: maximize 2·x·c − |c|² (|x|² is constant per row)
+          (dot(col("x.sv"), col("c.cv")) * 2 - dot(col("c.cv"), col("c.cv"))).as("fit"))
+        .groupBy("vec_id", "sub")
+        .agg(max_by(struct(col("cid"), col("sv")), struct(col("fit"), (-col("cid")).as("t"))).as("b"))
+        .select(col("sub"), col("b.cid").as("cid"), col("b.sv").as("sv"))
+      val updated = assigned
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cid", "pos").agg(avg("x").as("mean"))
+        .groupBy("sub", "cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("sub"), col("cid"), expr("transform(pm, p -> p.mean)").as("cv"))
+      // codebooks are m×k×subDim doubles — collect to sever lineage, same
+      // pattern as trainCentroids
+      val local = updated.collect().map(r =>
+        (r.getAs[Int]("sub"), r.getAs[Long]("cid"), r.getSeq[Double](2)))
+      centroids = local.toSeq.toDF("sub", "cid", "cv")
+    }
+
+    val rows: Map[(Int, Long), Seq[Double]] = centroids.collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("cid")) -> r.getSeq[Double](2).toSeq)
+      .toMap
+    val flat = (0 until m).flatMap { s =>
+      // a centroid can lose all members mid-training; back-fill from any
+      // surviving centroid of the same subspace
+      val fallback = rows.collectFirst { case ((ss, _), v) if ss == s => v }.get
+      (0L until k.toLong).flatMap(c => rows.getOrElse((s, c), fallback))
+    }
+    Model(m, k, dim, flat.toIndexedSeq)
+  }
+
+  /** Codes + exact norm per vector — the compact index table one would
+    * persist (and partition) at scale. */
+  def encode(emb: DataFrame, model: Model,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    emb.select(col(idCol).as("vec_id"),
+      VectorExpressions.pqEncode(vec, model.codebooks, model.m, model.k).as("codes"),
+      sqrt(dot(vec, vec)).as("norm"))
+  }
+
+  /** Approximate cosine top-k with exact rerank: ADC-score the coded table
+    * against the query's lookup table, take a `shortlist` (TakeOrdered —
+    * no full sort), then re-rank those ids exactly against the raw
+    * vectors. Collecting the single query vector (dim doubles) is bounded
+    * metadata, like the centroid tables. */
+  def topK(emb: DataFrame, codes: DataFrame, model: Model, queryId: Long, k: Int,
+      shortlist: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    val qRow: Row = emb.filter(col(idCol) === queryId).select(vec.as("q")).head()
+    val q: Seq[Double] = qRow.getSeq[Double](0).toSeq
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    // lut[s*k + c] = dot(q_s, codebook[s][c])
+    val lut = (0 until model.m).flatMap { s =>
+      (0 until model.k).map { c =>
+        val off = (s * model.k + c) * model.subDim
+        var acc = 0.0
+        var j = 0
+        while (j < model.subDim) {
+          acc += q(s * model.subDim + j) * model.codebooks(off + j)
+          j += 1
+        }
+        acc
+      }
+    }
+    val short = codes.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        (VectorExpressions.pqAdcScore(col("codes"), lut.toIndexedSeq, model.k)
+          / (col("norm") * qNorm)).as("adc"))
+      .orderBy(desc("adc"), col("vec_id"))
+      .limit(shortlist)
+    val v = emb.select(col(idCol).as("vec_id"), vec.as("vec"))
+    short.join(v, "vec_id")
+      .withColumn("score", cosine(col("vec"), typedLit(q)))
+      .select("vec_id", "score")
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+}
