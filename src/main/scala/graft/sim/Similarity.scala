@@ -72,6 +72,44 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
+  /** Probability that one hyperplane puts a pair at cosine `c` on the same
+    * side: 1 − θ/π. */
+  def planeAgreement(cosine: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+
+  /** Recall of the banded construction for a pair at cosine `c`:
+    * per band P = Σ_{h≤multiProbe} C(r,h)·(1−p)^h·p^(r−h), overall
+    * 1 − (1−P)^bands. */
+  def bandedRecall(cosine: Double, bands: Int, planesPerBand: Int,
+      multiProbe: Int = 1): Double = {
+    val p = planeAgreement(cosine)
+    def choose(n: Int, h: Int): Double =
+      (0 until h).map(i => (n - i).toDouble / (i + 1)).product
+    val perBand = (0 to multiProbe).map(h =>
+      choose(planesPerBand, h) * math.pow(1 - p, h) * math.pow(p, planesPerBand - h)).sum
+    1.0 - math.pow(1.0 - perBand, bands)
+  }
+
+  /** Choose (bands, planesPerBand) for a target recall at a similarity
+    * threshold, sized to the corpus (ROADMAP: adaptive LSH parameters).
+    * planesPerBand sets bucket granularity — 2^r buckets per band should
+    * keep expected bucket occupancy near `targetBucketSize` so per-bucket
+    * quadratic work stays bounded as N grows; bands then grows until the
+    * recall formula clears the target. (The driver queries pin 16×8 — a
+    * little finer-bucketed than this returns for the tiny test corpus,
+    * same recall class; at 10^9 vectors this returns r ≈ 26, which is the
+    * point: parameters must track N.) */
+  def lshParams(cosineThreshold: Double, targetRecall: Double, corpusSize: Long,
+      multiProbe: Int = 1, targetBucketSize: Int = 16, maxBands: Int = 1024): (Int, Int) = {
+    require(targetRecall > 0 && targetRecall < 1, "targetRecall must be in (0,1)")
+    val r = math.max(4, math.ceil(
+      math.log(math.max(2.0, corpusSize.toDouble / targetBucketSize)) / math.log(2)).toInt)
+    var bands = 1
+    while (bands < maxBands &&
+      bandedRecall(cosineThreshold, bands, r, multiProbe) < targetRecall) bands += 1
+    (bands, r)
+  }
+
   /** Banded sign-LSH: `bands` independent groups of `planesPerBand`
     * hyperplanes, one `planesPerBand`-bit bucket id per band — the MinHash
     * banding construction transplanted to cosine space. A pair is a

@@ -78,17 +78,15 @@ object TextFunctions {
   }
 
   /** Polynomial rolling hash over characters, mod 1e9+7 — the classic
-    * Rabin-Karp document fingerprint. Sequential fold in the expression
-    * layer; per-row, so still fully parallel across rows. Guarded for empty
-    * text: `sequence(1, 0)` would generate a DESCENDING [1, 0] sequence,
-    * not an empty one. */
+    * Rabin-Karp document fingerprint. One native codegen'd loop
+    * ([[org.apache.spark.sql.graftnative.RollingHash]]) — the
+    * aggregate(transform(sequence…)) phrasing allocated an index array and
+    * a substring per character; values identical. Null text hashes to 0,
+    * matching the previous guarded form. */
   def rollingHash(text: Column): Column =
-    when(length(text) > 0,
-      aggregate(
-        transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-        lit(0L),
-        (acc, x) => pmod(acc * 31 + x, lit(1000000007L))))
-      .otherwise(0L)
+    coalesce(
+      org.apache.spark.sql.graftnative.TextExpressions.rollingHash(text),
+      lit(0L))
 
   /** Content hash for exact dedup. */
   def contentHash(text: Column): Column = md5(text)

@@ -48,6 +48,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r(0).getDouble(0) === 11.0)
   }
 
+  test("graft_shingles and graft_rolling_hash are SQL-callable") {
+    GraftFunctions.register(spark)
+    val sh = spark.sql("SELECT graft_shingles('a b c d', 2) AS s").collect()
+    assert(sh(0).getSeq[String](0) === Seq("a b", "b c", "c d"))
+    val rh = spark.sql("SELECT graft_rolling_hash('ab') AS h").collect()
+    assert(rh(0).getLong(0) === ('a'.toLong * 31 + 'b'.toLong) % 1000000007L)
+  }
+
+  test("native rolling hash equals the interpreted fold") {
+    val texts = Seq("", "x", "hello world", "a" * 500).toDF("t")
+    val interpreted = when(length(col("t")) > 0,
+      aggregate(
+        transform(sequence(lit(1), length(col("t"))), i => ascii(col("t").substr(i, lit(1)))),
+        lit(0L),
+        (acc, x) => pmod(acc * 31 + x, lit(1000000007L))))
+      .otherwise(0L)
+    val rows = texts.select(
+      graft.text.TextFunctions.rollingHash(col("t")).as("fast"),
+      interpreted.as("slow")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("the expression participates in whole-stage codegen") {
     // LocalTableScan never enters a codegen stage; use a range-backed plan.
     val plan = spark.range(8)

@@ -85,6 +85,21 @@ class SimilaritySpec extends SparkSpec {
     assert((ivf & brute).size >= 8, s"recall ${(ivf & brute).size}/10")
   }
 
+  test("lshParams clears the recall target and tracks corpus size") {
+    // driver-corpus shape: threshold 0.5, 95% target, ~500 vectors
+    val (bands, r) = Similarity.lshParams(0.5, 0.95, corpusSize = 500)
+    assert(r >= 4)
+    assert(Similarity.bandedRecall(0.5, bands, r) >= 0.95)
+    // recall improves with similarity (sanity of the closed form)
+    assert(Similarity.bandedRecall(0.8, bands, r) >
+      Similarity.bandedRecall(0.5, bands, r))
+    // a 1000x corpus needs finer buckets (larger r), and the chosen bands
+    // still clear the target
+    val (bands2, r2) = Similarity.lshParams(0.5, 0.95, corpusSize = 500000)
+    assert(r2 > r)
+    assert(Similarity.bandedRecall(0.5, bands2, r2) >= 0.95)
+  }
+
   test("assignToCentroids picks the nearest centroid for every vector") {
     val centroids = Seq(
       (0L, Seq.fill(32)(1.0f)),
