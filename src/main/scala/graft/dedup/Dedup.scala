@@ -39,6 +39,18 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shingle"))
 
+  /** Distinct (doc_id, xxhash64(shingle)) pairs — the candidate-generation
+    * feed. Hashing BEFORE the explode means every downstream shuffle
+    * (df-cap, bucket joins, minhash signing) carries 8-byte keys instead of
+    * shingle strings. Safe for candidate generation: a collision can only
+    * ADD a candidate pair, which exact verification then rejects; the
+    * verification side keeps true string sets ([[docShingleSets]]). */
+  def docShingleHashes(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        transform(TextFunctions.shingles(col(textCol), n), x => xxhash64(x)))).as("h"))
+
   /** Materialize a DataFrame to scratch parquet and read it back. The
     * near-dup pipelines reference the shingle set from several subtrees;
     * without staging, Spark recomputes the explode + distinct (a full
@@ -81,13 +93,13 @@ object Dedup {
     * jaccard over the full shingle sets of the candidates only. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Int = 1000): DataFrame = {
-    val sh = stage(docShingles(docs, n), "jaccard")
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sh = stage(docShingleHashes(docs, n), "jaccard")
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
-    val pruned = sh.join(rare, "shingle")
+    val pruned = sh.join(rare, "h")
     // groupBy instead of distinct: same single shuffle dedups the pairs.
-    val cand = pruned.select(col("shingle"), col("doc_id").as("a_id"))
-      .join(pruned.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
+    val cand = pruned.select(col("h"), col("doc_id").as("a_id"))
+      .join(pruned.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared_rare"))
       .select("a_id", "b_id")
@@ -130,7 +142,7 @@ object Dedup {
     * one array. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 32,
       seed: Long = 42L): DataFrame =
-    signaturesFromShingles(docShingles(docs, n), k, seed)
+    signaturesFromHashes(docShingleHashes(docs, n), k, seed)
 
   /** Signatures from an existing (doc_id, shingle) set — lets callers share
     * one shingle scan between signing and verification.
@@ -143,13 +155,19 @@ object Dedup {
     * picking the identical global-min element — which correlated the bands
     * and demonstrably dropped a jaccard-0.93 pair that 16 independent bands
     * would miss with probability ~4e-10.) */
-  def signaturesFromShingles(sh: DataFrame, k: Int, seed: Long): DataFrame = {
+  def signaturesFromShingles(sh: DataFrame, k: Int, seed: Long): DataFrame =
+    signaturesFromHashes(
+      sh.select(col("doc_id"), xxhash64(col("shingle")).as("h")), k, seed)
+
+  /** Same, from a pre-hashed (doc_id, h = xxhash64(shingle)) feed —
+    * identical signature values (same base hash), string-free shuffles. */
+  def signaturesFromHashes(sh: DataFrame, k: Int, seed: Long): DataFrame = {
     val params = hashParams(k, seed)
     // 31-bit base hash: (31-bit a) * (31-bit x) + (31-bit b) < 2^63 — safe
     // under ANSI long arithmetic.
-    val base = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(Prime31)))
+    val base = sh.select(col("doc_id"), pmod(col("h"), lit(Prime31)).as("hh"))
     val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(Prime31))).as(s"m$i")
+      min(pmod(col("hh") * a + b, lit(Prime31))).as(s"m$i")
     }
     base.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("signature"))
@@ -180,7 +198,7 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     val cand = minhashCandidates(
-      signaturesFromShingles(docShingles(docs, n), k, seed), k, bands)
+      signaturesFromHashes(docShingleHashes(docs, n), k, seed), k, bands)
     verifyJaccard(cand, docShingleSets(docs, n), threshold)
   }
 
