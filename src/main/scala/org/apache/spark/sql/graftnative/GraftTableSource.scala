@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, Offset => OffsetV2}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -8,6 +9,41 @@ import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.table.GraftTable
+
+/** Version-range admission control shared by both graft streaming sources:
+  * `maxVersionsPerTrigger` caps how many COMMITS a micro-batch may span
+  * (Delta's `maxFilesPerTrigger` analogue at our offset granularity), so a
+  * backfill over a long table history proceeds in bounded batches instead
+  * of one giant first batch. */
+private[graftnative] trait VersionAdmission extends SupportsAdmissionControl {
+  protected def currentVersion: Long
+  protected def maxVersionsPerTrigger: Option[Int]
+
+  protected def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val head = currentVersion
+    if (head < 0) return null
+    val from = Option(startOffset)
+      .map(o => versionOf(o.asInstanceOf[Offset])).getOrElse(-1L)
+    val to = limit match {
+      case mf: ReadMaxFiles => math.min(head, from + mf.maxFiles())
+      case _ => head
+    }
+    if (to <= from) null else LongOffset(to)
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val head = currentVersion
+    if (head < 0) null else LongOffset(head)
+  }
+}
 
 /** Version-aware streaming source over a [[GraftTable]]: offsets are commit
   * versions, and each micro-batch emits exactly the rows ADDED by the
@@ -29,21 +65,19 @@ import graft.table.GraftTable
   */
 class GraftTableSource(
     sparkSession: SparkSession,
-    root: String) extends Source {
+    root: String,
+    protected val maxVersionsPerTrigger: Option[Int] = None)
+    extends Source with VersionAdmission {
 
   private val table = GraftTable.forPath(sparkSession, root)
   private val initialSchema: StructType = table.read().schema
 
   override def schema: StructType = initialSchema
+  override protected def currentVersion: Long = table.version
 
   override def getOffset: Option[Offset] = {
     val v = table.version
     if (v < 0) None else Some(LongOffset(v))
-  }
-
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong // SerializedOffset after restart
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -78,21 +112,19 @@ class GraftTableSource(
   * `option("readChangeFeed", true)`). */
 class GraftChangesSource(
     sparkSession: SparkSession,
-    root: String) extends Source {
+    root: String,
+    protected val maxVersionsPerTrigger: Option[Int] = None)
+    extends Source with VersionAdmission {
 
   private val table = GraftTable.forPath(sparkSession, root)
   private val cdfSchema: StructType = table.changesSchema
 
   override def schema: StructType = cdfSchema
+  override protected def currentVersion: Long = table.version
 
   override def getOffset: Option[Offset] = {
     val v = table.version
     if (v < 0) None else Some(LongOffset(v))
-  }
-
-  private def versionOf(o: Offset): Long = o match {
-    case LongOffset(v) => v
-    case other => other.json.trim.toLong
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -142,9 +174,11 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     if (readChangeFeed(parameters))
-      new GraftChangesSource(sqlContext.sparkSession, parameters("path"))
+      new GraftChangesSource(sqlContext.sparkSession, parameters("path"), maxVersions)
     else
-      new GraftTableSource(sqlContext.sparkSession, parameters("path"))
+      new GraftTableSource(sqlContext.sparkSession, parameters("path"), maxVersions)
+  }
 }

@@ -90,6 +90,34 @@ class TableStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger slices a backlog into per-commit-range batches") {
+    val dir = tmpDir("ts-throttle")
+    val t = GraftTable.create(spark, dir, Seq((0L, "s")).toDF("id", "s"))
+    (1L to 5L).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "s")))
+    // 6 commits of backlog; one commit per micro-batch
+    val batchSizes = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graftnative.GraftTableSourceProvider")
+      .option("path", dir)
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("ts-throttle-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batchSizes.asScala.filter(_ > 0)
+      assert(sizes.sum === 6)
+      // throttled: the backlog must NOT arrive as one batch
+      assert(sizes.length >= 6, s"expected one commit per batch, got $sizes")
+    } finally q.stop()
+  }
+
   test("streamChanges delivers CDF rows of merges and deletes") {
     val t = GraftTable.create(spark, tmpDir("ts-cdf"),
       Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
