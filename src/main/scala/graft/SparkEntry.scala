@@ -73,6 +73,10 @@ object SparkEntry {
     "q46_zorder_scan"        -> (MutationQueries.zorderScan _),
     "q47_bpe_tokenize"       -> (CorpusQueries.bpeTokenize _),
     "q48_pq_topk"            -> (CorpusQueries.pqTopK _),
+    "q49_window_suite"       -> (OlapQueries.windowSuite _),
+    "q50_segment_cube"       -> (OlapQueries.segmentPriorityCube _),
+    "q51_set_ops"            -> (OlapQueries.customerSetOps _),
+    "q52_string_funcs"       -> (OlapQueries.stringFunctions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -357,6 +361,47 @@ object SparkEntry {
       """SELECT * FROM orders
         |WHERE o_custkey <= (SELECT CAST(max(o_custkey) AS BIGINT) // 2 FROM orders)
         |  AND o_totalprice < 50000.0""".stripMargin,
+    "q49_window_suite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST(rank() OVER w AS INT) AS rnk,
+        |       CAST(dense_rank() OVER w AS INT) AS drnk,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_totalprice DESC, o_orderkey
+        |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |QUALIFY rnk <= 5""".stripMargin,
+    "q50_segment_cube" ->
+      """SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+        |       count(*) AS order_count,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY CUBE (segment, priority)""".stripMargin,
+    "q51_set_ops" ->
+      """SELECT 'both' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'f_only', o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+    "q52_string_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS name_upper,
+        |       lower(c_mktsegment) AS segment_lower,
+        |       substring(c_name, 1, 8) AS name_prefix,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |       reverse(c_name) AS name_rev,
+        |       regexp_replace(c_name, '#', '-', 'g') AS name_dashed,
+        |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
+        |       CAST(length(c_name) AS BIGINT) AS name_len
+        |FROM customer""".stripMargin,
   )
 
   /** Exact cosine top-10 for query vec_id=0 — oracle for the brute-force

@@ -12,6 +12,66 @@ import graft.analytics.Views.moneySum
   * analytics come free from Spark and are part of the library's contract). */
 object OlapQueries {
 
+  /** Ranking/offset/distribution window suite over per-customer order
+    * history: rank, dense_rank, ntile, lag/lead, and a running decimal sum
+    * in one window definition (unique total order via the price+key
+    * tiebreak, so every function is engine-independent). Top-5 rows per
+    * customer keep the output bounded. */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(wRun).cast("double").as("running_spend"))
+      .filter(col("rnk") <= 5)
+  }
+
+  /** CUBE over (segment, priority): all four grouping-set levels in one
+    * partial-aggregated pass — the full grouping-sets surface next to
+    * q35's ROLLUP. */
+  def segmentPriorityCube(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .cube(c("c_mktsegment").as("segment"), o("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        moneySum(o("o_totalprice")).as("revenue"))
+  }
+
+  /** INTERSECT / EXCEPT set algebra on customer key sets (completes §2.7
+    * beyond the reference's UNION ALL): customers with both open and
+    * finished orders, and customers with finished orders only. */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    f.intersect(open).select(lit("both").as("tag"), col("o_custkey"))
+      .unionByName(f.except(open).select(lit("f_only").as("tag"), col("o_custkey")))
+  }
+
+  /** String-function surface over customer names: case mapping, substring,
+    * padding, reverse, replace, edit distance — each a codegen'd built-in
+    * with an exact DuckDB twin. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("name_upper"),
+      lower(col("c_mktsegment")).as("segment_lower"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+      reverse(col("c_name")).as("name_rev"),
+      regexp_replace(col("c_name"), "#", "-").as("name_dashed"),
+      levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
+      length(col("c_name")).cast("long").as("name_len"))
+
   /** ROLLUP over the region→nation dimension chain: revenue subtotals at
     * (region, nation), (region) and grand-total levels — one pass,
     * partial-aggregated. Uses the full region/nation/customer/orders chain. */
