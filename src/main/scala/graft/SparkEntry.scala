@@ -77,6 +77,10 @@ object SparkEntry {
     "q50_segment_cube"       -> (OlapQueries.segmentPriorityCube _),
     "q51_set_ops"            -> (OlapQueries.customerSetOps _),
     "q52_string_funcs"       -> (OlapQueries.stringFunctions _),
+    "q53_percentiles"        -> (OlapQueries.pricePercentiles _),
+    "q54_datetime_suite"     -> (OlapQueries.datetimeSuite _),
+    "q55_outer_join_audit"   -> (OlapQueries.outerJoinAudit _),
+    "q56_semi_anti"          -> (OlapQueries.semiAntiJoins _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -402,6 +406,43 @@ object SparkEntry {
         |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS seg_dist,
         |       CAST(length(c_name) AS BIGINT) AS name_len
         |FROM customer""".stripMargin,
+    "q53_percentiles" ->
+      """SELECT o_orderstatus AS status,
+        |       quantile_cont(o_totalprice, 0.25) AS p25,
+        |       quantile_cont(o_totalprice, 0.5) AS p50,
+        |       quantile_cont(o_totalprice, 0.9) AS p90,
+        |       min(o_totalprice) AS lo,
+        |       max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q54_datetime_suite" ->
+      """SELECT event_id,
+        |       CAST(year(ts) AS INT) AS y,
+        |       CAST(month(ts) AS INT) AS mo,
+        |       CAST(day(ts) AS INT) AS d,
+        |       CAST(hour(ts) AS INT) AS h,
+        |       CAST(minute(ts) AS INT) AS mi,
+        |       CAST(quarter(ts) AS INT) AS q,
+        |       CAST(weekofyear(ts) AS INT) AS iso_week,
+        |       dayname(ts) AS weekday_name,
+        |       CAST(ts AS DATE) + 30 AS plus_30d,
+        |       last_day(CAST(ts AS DATE)) AS month_end,
+        |       CAST(datediff('day', CAST(ts AS DATE), DATE '1998-01-01') AS INT) AS days_to_1998
+        |FROM events""".stripMargin,
+    "q55_outer_join_audit" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS cust,
+        |       o.o_orderkey AS orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'customer_only'
+        |            WHEN c.c_custkey IS NULL THEN 'order_only'
+        |            ELSE 'matched' END AS tag
+        |FROM (SELECT c_custkey FROM customer) c
+        |FULL JOIN (SELECT o_orderkey, o_custkey FROM orders) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+    "q56_semi_anti" ->
+      """SELECT 'has_orders' AS tag, c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'no_orders', c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
   )
 
   /** Exact cosine top-10 for query vec_id=0 — oracle for the brute-force

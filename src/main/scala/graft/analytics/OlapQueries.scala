@@ -72,6 +72,66 @@ object OlapQueries {
       levenshtein(col("c_mktsegment"), lit("BUILDING")).as("seg_dist"),
       length(col("c_name")).cast("long").as("name_len"))
 
+  /** Exact percentiles (linear interpolation) per order status — the
+    * `percentile` exact aggregate, checked against DuckDB's
+    * `quantile_cont`. (The HLL/approx family exists too but is
+    * engine-specific by construction, so it stays spec-level.) */
+  def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+        percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+
+  /** Date/time function surface over event timestamps: calendar fields,
+    * date arithmetic, truncation — each with an exact DuckDB twin
+    * (dayofweek normalized to ISO Monday=1 on both sides). */
+  def datetimeSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      year(col("ts")).as("y"),
+      month(col("ts")).as("mo"),
+      dayofmonth(col("ts")).as("d"),
+      hour(col("ts")).as("h"),
+      minute(col("ts")).as("mi"),
+      quarter(col("ts")).as("q"),
+      weekofyear(col("ts")).as("iso_week"),
+      date_format(col("ts"), "EEEE").as("weekday_name"),
+      date_add(col("ts").cast("date"), 30).as("plus_30d"),
+      last_day(col("ts").cast("date")).as("month_end"),
+      datediff(lit(java.sql.Date.valueOf("1998-01-01")), col("ts").cast("date"))
+        .as("days_to_1998"))
+
+  /** Full-outer join audit: every (customer, order) pairing classified as
+    * matched / customer_only / order_only — the outer-join surface the
+    * reference's left joins don't reach. */
+  def outerJoinAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(
+        coalesce(c("c_custkey"), o("o_custkey")).as("cust"),
+        o("o_orderkey").as("orderkey"),
+        when(o("o_orderkey").isNull, "customer_only")
+          .when(c("c_custkey").isNull, "order_only")
+          .otherwise("matched").as("tag"))
+  }
+
+  /** Semi/anti joins as first-class operators (EXISTS / NOT EXISTS): which
+    * customers have orders, which never ordered. */
+  def semiAntiJoins(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(lit("has_orders").as("tag"), col("c_custkey"))
+      .unionByName(
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(lit("no_orders").as("tag"), col("c_custkey")))
+  }
+
   /** ROLLUP over the region→nation dimension chain: revenue subtotals at
     * (region, nation), (region) and grand-total levels — one pass,
     * partial-aggregated. Uses the full region/nation/customer/orders chain. */
