@@ -60,5 +60,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.GraftStrategies)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.TopKRewrite)
   }
 }

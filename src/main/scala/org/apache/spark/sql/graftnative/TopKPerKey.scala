@@ -119,6 +119,18 @@ object GraftOps {
         spark.experimental.extraStrategies :+ GraftStrategies
     }
 
+  /** Enable the [[TopKRewrite]] optimizer rule on an existing session (the
+    * `GraftSparkExtensions` hook injects it automatically): `row_number()
+    * ≤ k` window filters plan as heap-based [[TopKPerKeyExec]] instead of
+    * sort-the-world windows. */
+  def enableTopKRewrite(spark: SparkSession): Unit = {
+    ensureStrategy(spark)
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
+    }
+  }
+
   /** Top `k` rows per key group, ranked by `orderBy` (descending by
     * default; ties unresolved — pass a unique tiebreak, e.g.
     * `struct(score, id)`).
