@@ -22,6 +22,9 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // Same extension surface as Verify: bench numbers reflect the
+      // optimizer rule (row_number top-k → heap operator) users get.
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -9,6 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // Run the driver gate with the full extension surface active: the
+      // row_number-to-TopKPerKey optimizer rule and the injected SQL
+      // functions then face the same DuckDB oracles as everything else.
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -9,6 +9,7 @@ object PlanProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else Seq("q8_pricing_summary")
     val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -92,7 +92,17 @@ object TopKRewrite extends Rule[LogicalPlan] {
             grandchild
           case other => other
         }
-        Project(outer, TopKPerKeyNode(k, partitionSpec, so, source))
+        // ColumnPruning can't see through the custom node, so prune here:
+        // the heap only needs the columns the outer project, the keys, and
+        // the order expression read.
+        val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
+          outer.flatMap(_.references) ++
+            partitionSpec.flatMap(_.references) ++ so.child.references)
+        val pruned =
+          if (needed.size < source.output.size)
+            Project(source.output.filter(needed.contains), source)
+          else source
+        Project(outer, TopKPerKeyNode(k, partitionSpec, so, pruned))
       }
     case _ => None
   }
