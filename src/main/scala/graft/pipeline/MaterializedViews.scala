@@ -111,7 +111,13 @@ object MaterializedViews {
     *  - customer insert/update_postimage → merge attrs + `__known = true`;
     *    [[GraftTable.merge]] assigns only source-present columns, so the
     *    counters survive attribute updates untouched.
-    *  - customer delete → delete the state row.
+    *  - customer delete → TOMBSTONE, not a physical delete: `__known` flips
+    *    to false, hiding the row from the published view while its
+    *    accumulated counters survive. A later re-insert of the same key
+    *    flips `__known` back and the view shows exact counters again —
+    *    matching a recompute, whose join would still see the customer's
+    *    surviving orders. (A physical delete here was the one divergence
+    *    from recompute semantics this maintainer used to have.)
     *  - orders CDF → signed per-customer deltas joined to current counters,
     *    merged back for AFFECTED customers only (O(changed keys)). Orders
     *    for customers not seen yet accumulate in rows with `__known` null —
@@ -119,13 +125,9 @@ object MaterializedViews {
     *    which point history is already summed (matching what a recompute
     *    would produce).
     *
-    * Known limit: deleting a customer drops its accumulated counters, so a
-    * LATER re-insert of the same key starts from zero while that customer's
-    * surviving orders would still count in a recompute — re-inserting a
-    * deleted dimension key needs a one-key backfill (or tombstone rows
-    * instead of physical deletes). The CDC source at hand re-emits a
-    * deleted-then-recreated row's orders as fresh events, so the paths
-    * agree there.
+    * State growth: tombstoned/orphan rows are retained (bounded by distinct
+    * customer keys ever seen). A maintenance pass may physically drop rows
+    * with `__known = false` and zero counters — they carry no information.
     */
   def applyCustomerOrderChangesIncrementally(
       spark: SparkSession,
@@ -139,8 +141,8 @@ object MaterializedViews {
           col("last_name"), col("email"), lit(true).as("__known"))
       if (!upserts.isEmpty) { mv.merge(upserts, "customer_id"); () }
       val dels = ch.filter(col("_change_type") === "delete")
-        .select(col("id").as("customer_id"))
-      if (!dels.isEmpty) { mv.deleteKeys(dels, "customer_id"); () }
+        .select(col("id").as("customer_id"), lit(false).as("__known"))
+      if (!dels.isEmpty) { mv.merge(dels, "customer_id"); () }
     }
     orderChanges.foreach { ch =>
       // Signed per-customer deltas come from the shared library

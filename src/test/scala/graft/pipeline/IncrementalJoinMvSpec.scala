@@ -78,8 +78,21 @@ class IncrementalJoinMvSpec extends SparkSpec {
     cSnap.merge(customersDf(Seq((1L, "John", "Doe", "john@new.com"))), "id")
     applyCust(); check()
 
-    // customer delete removes the row entirely
+    // customer delete tombstones the state row (hidden from the view)
     cSnap.deleteKeys(Seq(2L).toDF("id"), "id")
     applyCust(); check()
+
+    // delete a customer WITH orders, then re-insert the same key: the
+    // tombstone keeps the counters, so the re-inserted customer shows its
+    // surviving order history exactly like a recompute would. (A physical
+    // delete would restart the counters from zero here.)
+    cSnap.deleteKeys(Seq(1L).toDF("id"), "id")
+    applyCust(); check()
+    cSnap.merge(customersDf(Seq((1L, "John", "Doe", "john@back.com"))), "id")
+    applyCust(); check()
+    // and its orders keep maintaining through the tombstone round-trip
+    oSnap.merge(ordersDf(Seq(
+      (13L, 1L, t("2024-02-01 10:00:00"), "pending", 25.0))), "id")
+    applyOrd(); check()
   }
 }
