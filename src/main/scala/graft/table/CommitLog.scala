@@ -145,38 +145,12 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
       throw new IllegalStateException(
         s"concurrent write detected: version ${c.version} already committed at $target")
     val json = CommitLog.toJson(c)
-    // Temp-then-publish so concurrent READERS never observe a half-written
-    // commit. The PUBLISH step must be atomic fail-if-exists so exactly one
-    // of two racing writers wins the version:
-    //  - local FS: POSIX hard-link (link(2) fails EEXIST atomically) —
-    //    rename would REPLACE silently, and two writers could each pass a
-    //    read-back check before the other's rename landed, silently
-    //    dropping one commit from the lineage;
-    //  - HDFS: rename refuses to overwrite an existing target (atomic);
-    //  - object stores: rename + read-back is best-effort — front this log
-    //    with a conditional-put (if-none-match) for true multi-writer; the
-    //    single-file-per-version layout is already shaped for that.
-    val tmp = new Path(logDir, f".tmp-${c.version}-${System.nanoTime()}.json")
-    val out = fs.create(tmp, false)
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val scheme = Option(fs.getUri).map(_.getScheme).orNull
-    val won =
-      if (scheme == null || scheme == "file") {
-        import java.nio.file.{FileAlreadyExistsException, Files => JFiles, Paths => JPaths}
-        val r =
-          try { JFiles.createLink(JPaths.get(target.toUri.getPath), JPaths.get(tmp.toUri.getPath)); true }
-          catch {
-            case _: FileAlreadyExistsException => false
-            case _: java.nio.file.FileSystemException => false
-          }
-        fs.delete(tmp, false)
-        r
-      } else {
-        val renamed = fs.rename(tmp, target)
-        if (!renamed) fs.delete(tmp, false)
-        renamed && readFile(target, fs.getFileStatus(target).getLen) == json
-      }
+    // The PUBLISH step must be atomic fail-if-exists so exactly one of two
+    // racing writers wins the version. The strategy depends on what the
+    // store can do atomically, so it sits behind the CommitPublisher seam,
+    // selected by filesystem scheme (overridable per deployment).
+    val scheme = Option(fs.getUri).map(_.getScheme).getOrElse("file")
+    val won = CommitLog.publisherFor(scheme).publish(fs, logDir, target, json)
     if (!won)
       throw new IllegalStateException(
         s"concurrent write detected: version ${c.version} already committed at $target")
@@ -192,9 +166,104 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
   }
 }
 
+/** Atomic fail-if-exists publish of a fully-written commit file — the one
+  * step of a commit whose atomicity depends on what the underlying store
+  * can do (ROADMAP round-2 #2). Returns true iff THIS writer created the
+  * target; false means another writer owns the version (caller retries at
+  * version+1 or aborts). Implementations must never replace an existing
+  * target and must never expose a half-written file to readers.
+  */
+trait CommitPublisher {
+  def publish(fs: FileSystem, logDir: Path, target: Path, json: String): Boolean
+}
+
+/** Local POSIX filesystems: write a temp file, then hard-link it to the
+  * target — link(2) fails EEXIST atomically. (A rename would REPLACE
+  * silently: two writers could each pass a read-back check before the
+  * other's rename landed, silently dropping one commit.) */
+object HardLinkPublisher extends CommitPublisher {
+  override def publish(fs: FileSystem, logDir: Path, target: Path, json: String): Boolean = {
+    import java.nio.file.{FileAlreadyExistsException, Files => JFiles, Paths => JPaths}
+    val tmp = CommitPublishers.writeTemp(fs, logDir, target, json)
+    val won =
+      try { JFiles.createLink(JPaths.get(target.toUri.getPath), JPaths.get(tmp.toUri.getPath)); true }
+      catch {
+        case _: FileAlreadyExistsException => false
+        case _: java.nio.file.FileSystemException => false
+      }
+    fs.delete(tmp, false)
+    won
+  }
+}
+
+/** HDFS-class filesystems, where rename refuses to overwrite an existing
+  * target atomically. A read-back guards stores where that refusal is
+  * advisory. */
+object RenamePublisher extends CommitPublisher {
+  override def publish(fs: FileSystem, logDir: Path, target: Path, json: String): Boolean = {
+    val tmp = CommitPublishers.writeTemp(fs, logDir, target, json)
+    val renamed = fs.rename(tmp, target)
+    if (!renamed) fs.delete(tmp, false)
+    renamed && CommitPublishers.readBack(fs, target) == json
+  }
+}
+
+/** Object stores, where rename is copy+delete (not atomic) but a
+  * conditional put is: subclasses implement [[putIfAbsent]] with the
+  * store's native primitive — S3 `If-None-Match: *`, GCS
+  * `if-generation-match: 0`, ABFS ETag `If-None-Match` — and the base
+  * class handles the commit contract. No temp file: the conditional put
+  * is all-or-nothing by contract, so readers never see a partial commit.
+  * Registered per scheme via [[CommitLog.registerPublisher]] (the store
+  * SDKs are deployment dependencies, so no adapter ships here). */
+abstract class ConditionalPutPublisher extends CommitPublisher {
+  /** Atomically create `target` with `bytes` iff it does not exist. */
+  protected def putIfAbsent(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean
+  final override def publish(fs: FileSystem, logDir: Path, target: Path, json: String): Boolean =
+    putIfAbsent(fs, target, json.getBytes(StandardCharsets.UTF_8))
+}
+
+object CommitPublishers {
+  private[table] def writeTemp(fs: FileSystem, logDir: Path, target: Path, json: String): Path = {
+    val tmp = new Path(logDir,
+      s".tmp-${target.getName.stripSuffix(".json")}-${System.nanoTime()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    tmp
+  }
+
+  private[table] def readBack(fs: FileSystem, target: Path): String = {
+    val len = fs.getFileStatus(target).getLen
+    val in = fs.open(target)
+    try {
+      val bytes = new Array[Byte](len.toInt)
+      in.readFully(0, bytes)
+      new String(bytes, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+}
+
 object CommitLog {
   val LogDirName = "_graft_log"
   val CheckpointPrefix = "_ckpt-"
+
+  // Scheme → publish strategy. Defaults cover local disk and HDFS-class
+  // rename semantics; object-store deployments register a
+  // ConditionalPutPublisher for their scheme (s3a/gs/abfs) at startup.
+  @volatile private var publishers: Map[String, CommitPublisher] = Map(
+    "file" -> HardLinkPublisher,
+    "hdfs" -> RenamePublisher,
+    "viewfs" -> RenamePublisher)
+
+  def registerPublisher(scheme: String, p: CommitPublisher): Unit =
+    synchronized { publishers = publishers + (scheme -> p) }
+
+  /** Unknown schemes fall back to rename+read-back — correct on
+    * HDFS-class stores, best-effort on overwriting-rename stores (which
+    * should register a conditional-put publisher instead). */
+  def publisherFor(scheme: String): CommitPublisher =
+    publishers.getOrElse(scheme, RenamePublisher)
 
   def manyToJson(cs: Seq[Commit]): String =
     cs.map(toJson).mkString("[", ",", "]")

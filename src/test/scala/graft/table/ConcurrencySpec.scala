@@ -97,4 +97,61 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.appendOnce(Seq((2L, "b1")).toDF("id", "v"), "app", 1L).isDefined)
     assert(t.read().count() === 3)
   }
+
+  /** Conditional-put double for object-store semantics: arbitration is the
+    * store's atomic if-none-match primitive (here a ConcurrentHashMap), and
+    * — like a real object store — an overwriting rename-based check could
+    * NOT have provided it. */
+  private class MapConditionalPut extends ConditionalPutPublisher {
+    val keys = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    override protected def putIfAbsent(
+        fs: org.apache.hadoop.fs.FileSystem,
+        target: org.apache.hadoop.fs.Path,
+        bytes: Array[Byte]): Boolean = {
+      if (keys.putIfAbsent(target.toString, true) != null) return false
+      val out = fs.create(target, false)
+      try out.write(bytes) finally out.close()
+      true
+    }
+  }
+
+  test("conditional-put publisher: exactly one of N racing writers wins the version") {
+    val root = tmpDir("cc-condput")
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new org.apache.hadoop.fs.Path(root, CommitLog.LogDirName)
+    val fs = logDir.getFileSystem(conf)
+    fs.mkdirs(logDir)
+    val target = new org.apache.hadoop.fs.Path(logDir, "00000000000000000007.json")
+    val pub = new MapConditionalPut
+    val n = 8
+    val ready = new CountDownLatch(n)
+    val go = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(n)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          ready.countDown(); go.await()
+          if (pub.publish(fs, logDir, target, s"""{"writer":$i}"""))
+            { wins.incrementAndGet(); () }
+        }
+      })
+    }
+    ready.await(); go.countDown()
+    pool.shutdown(); assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    assert(wins.get() === 1, "exactly one writer must win the conditional put")
+    // and the surviving file is one writer's complete payload
+    val content = CommitPublishers.readBack(fs, target)
+    assert(content.matches("""\{"writer":\d\}"""), content)
+  }
+
+  test("publisher registry: scheme selection and conditional-put registration") {
+    // unknown scheme falls back to rename+read-back
+    assert(CommitLog.publisherFor("s3a-unregistered") === RenamePublisher)
+    assert(CommitLog.publisherFor("file") === HardLinkPublisher)
+    assert(CommitLog.publisherFor("hdfs") === RenamePublisher)
+    val pub = new MapConditionalPut
+    CommitLog.registerPublisher("mem-test", pub)
+    assert(CommitLog.publisherFor("mem-test") === pub)
+  }
 }
