@@ -81,6 +81,8 @@ object SparkEntry {
     "q54_datetime_suite"     -> (OlapQueries.datetimeSuite _),
     "q55_outer_join_audit"   -> (OlapQueries.outerJoinAudit _),
     "q56_semi_anti"          -> (OlapQueries.semiAntiJoins _),
+    "q57_repetition_signals" -> (CorpusQueries.repetitionSignals _),
+    "q58_text_scrub"         -> (CorpusQueries.scrubText _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -443,6 +445,36 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'no_orders', c_custkey FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q57_repetition_signals" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(generate_series(1, len(toks) - 1),
+        |                   i -> toks[i] || ' ' || toks[i + 1]) AS grams
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |    / greatest(len(toks), 1) AS dup_token_ratio,
+        |  coalesce(
+        |    CAST(list_max(list_transform(list_distinct(grams),
+        |           x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
+        |      / greatest(len(grams), 1), 0.0) AS top_2gram_fraction
+        |FROM g""".stripMargin,
+    "q58_text_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      'https?://\S+|www\.\S+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents
+        |)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(clean_text) AS BIGINT) AS clean_chars
+        |FROM s""".stripMargin,
   )
 
   /** Exact cosine top-10 for query vec_id=0 — oracle for the brute-force

@@ -30,6 +30,21 @@ object CorpusQueries {
       stopwordRatio(col("text")).as("stopword_ratio"),
       avgWordLen(col("text")).as("avg_word_len"))
 
+  /** Gopher-style repetition signals: duplicate-token ratio and the mass
+    * of the most frequent word 2-gram. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      dupTokenRatio(col("text")).as("dup_token_ratio"),
+      top2GramFraction(col("text")).as("top_2gram_fraction"))
+
+  /** URL/email scrub + whitespace normalization (training-data hygiene). */
+  def scrubText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      scrubbed(col("text")).as("clean_text"),
+      length(scrubbed(col("text"))).cast("long").as("clean_chars"))
+
   /** Composite quality score (length / punctuation / stopword recipe). */
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -56,6 +56,35 @@ object TextFunctions {
     (lenOk + punctOk + stopOk) / 3.0
   }
 
+  /** Fraction of tokens that repeat an earlier token: 1 − distinct/total.
+    * The cheapest Gopher-style repetition signal — high values flag
+    * boilerplate and degenerate generations. */
+  def dupTokenRatio(text: Column): Column = {
+    val ts = tokens(text)
+    lit(1.0) - size(array_distinct(ts)).cast("double") / greatest(size(ts), lit(1))
+  }
+
+  /** Fraction of all word 2-grams occupied by the single most frequent
+    * 2-gram (the Gopher repetition rule). Documents with fewer than two
+    * tokens score 0. Per-row over the (short) gram array — the distinct ×
+    * filter scan is O(d·n) on ~100-token documents, still shuffle-free. */
+  def top2GramFraction(text: Column): Column = {
+    val g = shingles(text, 2)
+    val maxCount = array_max(transform(array_distinct(g),
+      x => size(filter(g, y => y === x))))
+    coalesce(maxCount.cast("double") / greatest(size(g), lit(1)), lit(0.0))
+  }
+
+  /** Training-data hygiene scrub: URLs → `<URL>`, email addresses →
+    * `<EMAIL>`, whitespace runs collapsed, ends trimmed. Pure
+    * regexp_replace chain — codegen'd, per-row, no shuffle. */
+  def scrubbed(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://\\S+|www\\.\\S+", "<URL>")
+    val noMail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    trim(regexp_replace(noMail, "\\s+", " "))
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),

@@ -60,4 +60,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(long >= 0.0 && long <= 1.0)
     assert(long > short)
   }
+
+  test("repetition signals: dup-token ratio and top-2-gram fraction") {
+    // "a b a b a": 5 tokens, 2 distinct → dup = 1 - 2/5 = 0.6;
+    // 2-grams = [a b, b a, a b, b a] → top fraction 2/4 = 0.5
+    assert(one[Double]("a b a b a", TextFunctions.dupTokenRatio(col("text"))) === 0.6)
+    assert(one[Double]("a b a b a", TextFunctions.top2GramFraction(col("text"))) === 0.5)
+    // all-distinct text: dup 0, every 2-gram unique → 1/3
+    assert(one[Double]("w x y z", TextFunctions.dupTokenRatio(col("text"))) === 0.0)
+    assert(one[Double]("w x y z", TextFunctions.top2GramFraction(col("text"))) === 1.0 / 3)
+    // degenerate repetition maxes both signals
+    assert(one[Double]("spam spam spam spam", TextFunctions.dupTokenRatio(col("text"))) === 0.75)
+    assert(one[Double]("spam spam spam spam", TextFunctions.top2GramFraction(col("text"))) === 1.0)
+    // fewer than two tokens: no grams, fraction 0
+    assert(one[Double]("solo", TextFunctions.top2GramFraction(col("text"))) === 0.0)
+  }
+
+  test("scrubbed: URLs and emails replaced, whitespace normalized") {
+    assert(one[String](
+      "see https://ex.com/a?b=1 or www.ex.org and mail bob.smith+x@ex-mail.co.uk now",
+      TextFunctions.scrubbed(col("text"))) ===
+      "see <URL> or <URL> and mail <EMAIL> now")
+    assert(one[String]("  spaced\tout\n\ntext  ", TextFunctions.scrubbed(col("text"))) ===
+      "spaced out text")
+    // text without PII passes through (modulo whitespace normalization)
+    assert(one[String]("plain words only", TextFunctions.scrubbed(col("text"))) ===
+      "plain words only")
+  }
 }
