@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CorpusQueries, MutationQueries, OlapQueries, ScalarQueries, TemporalQueries, Views}
+import graft.analytics.{CorpusQueries, MutationQueries, OlapQueries, SamplingQueries, ScalarQueries, TemporalQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,6 +83,9 @@ object SparkEntry {
     "q56_semi_anti"          -> (OlapQueries.semiAntiJoins _),
     "q57_repetition_signals" -> (CorpusQueries.repetitionSignals _),
     "q58_text_scrub"         -> (CorpusQueries.scrubText _),
+    "q59_hash_split"         -> ((s, d) => SamplingQueries.hashSplit(s, d)),
+    "q60_quota_sample"       -> ((s, d) => SamplingQueries.quotaSample(s, d)),
+    "q61_pack_sequences"     -> ((s, d) => SamplingQueries.packSequences(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -463,6 +466,46 @@ object SparkEntry {
         |           x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
         |      / greatest(len(grams), 1), 0.0) AS top_2gram_fraction
         |FROM g""".stripMargin,
+    "q59_hash_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+        |           * pow(16, 7 - i))) AS BIGINT) % 1000 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 900 THEN 'train'
+        |       WHEN bucket < 950 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+    "q60_quota_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    CAST(list_sum(list_transform(range(8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+        |           * pow(16, 7 - i))) AS BIGINT) AS hv
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY hv DESC, doc_id DESC) AS rn
+        |  FROM h
+        |)
+        |SELECT source, doc_id FROM r WHERE rn <= 5""".stripMargin,
+    "q61_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, token_count,
+        |  CAST(floor((SUM(token_count) OVER (PARTITION BY source ORDER BY doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              - token_count) / 512.0) AS BIGINT) AS bin_id
+        |FROM t""".stripMargin,
     "q58_text_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,

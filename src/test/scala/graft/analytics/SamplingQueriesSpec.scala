@@ -1,0 +1,50 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.GraftOps
+
+import graft.SparkSpec
+
+/** Dataset-construction operators must be deterministic (content-hash,
+  * not rand()) and respect their caps/budgets. */
+class SamplingQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("hashSplit is deterministic and roughly 90/5/5") {
+    val a = SamplingQueries.hashSplit(spark, sf).collect().map(r => (r.getLong(0), r.getString(2)))
+    val b = SamplingQueries.hashSplit(spark, sf).collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(a.toSet === b.toSet) // rerun-stable
+    val n = a.length.toDouble
+    val frac = a.groupBy(_._2).map { case (s, xs) => s -> xs.length / n }
+    assert(frac("train") > 0.8 && frac("train") < 0.97, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
+  }
+
+  test("quotaSample caps every source at k and rewrites to the heap operator") {
+    GraftOps.enableTopKRewrite(spark)
+    val q = SamplingQueries.quotaSample(spark, sf, k = 3)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val bySource = q.groupBy("source").count().collect()
+    assert(bySource.nonEmpty)
+    assert(bySource.forall(_.getLong(1) <= 3))
+    // deterministic: same sample both runs
+    assert(q.collect().toSet === SamplingQueries.quotaSample(spark, sf, k = 3).collect().toSet)
+  }
+
+  test("packSequences: bins are contiguous per source and near the budget") {
+    val packed = SamplingQueries.packSequences(spark, sf, budget = 256)
+    val rows = packed.orderBy("source", "doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // bin ids never decrease within a source, and a bin's token mass stays
+    // under budget + its last document (next-fit invariant)
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      assert(xs.map(_._3).sameElements(xs.map(_._3).sorted))
+      xs.groupBy(_._3).foreach { case (_, bin) =>
+        val sums = bin.map(_._2)
+        assert(sums.init.sum < 256 || bin.length == 1,
+          s"bin overfilled before its last doc: ${sums.toSeq}")
+      }
+    }
+  }
+}
