@@ -130,12 +130,12 @@ object Dedup {
   /** Deterministic universal-hash parameters (seeded, stable across runs).
     * Constrained to 31 bits so `a * x + b` with 31-bit x stays well under
     * 2^63 — ANSI mode (Spark 4 default) raises on long overflow. */
-  private def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def hashParams(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(k)(((rnd.nextLong() & 0x7FFFFFFFL) | 1L, rnd.nextLong() & 0x7FFFFFFFL))
   }
 
-  private val Prime31 = 2147483647L // 2^31 - 1
+  private[graft] val Prime31 = 2147483647L // 2^31 - 1
 
   /** MinHash signatures: shingle → explode → k permuted hashes → min per
     * doc. One shuffle (the groupBy); signature width k columns folded into
