@@ -84,6 +84,8 @@ object SparkEntry {
     "q57_repetition_signals" -> (CorpusQueries.repetitionSignals _),
     "q58_text_scrub"         -> (CorpusQueries.scrubText _),
     "q59_hash_split"         -> ((s, d) => SamplingQueries.hashSplit(s, d)),
+    "q62_event_pivot"        -> (OlapQueries.eventPivot _),
+    "q63_order_unpivot"      -> (OlapQueries.orderMeasuresLong _),
     "q60_quota_sample"       -> ((s, d) => SamplingQueries.quotaSample(s, d)),
     "q61_pack_sequences"     -> ((s, d) => SamplingQueries.packSequences(s, d)),
   )
@@ -466,6 +468,24 @@ object SparkEntry {
         |           x -> len(list_filter(grams, y -> y = x)))) AS DOUBLE)
         |      / greatest(len(grams), 1), 0.0) AS top_2gram_fraction
         |FROM g""".stripMargin,
+    "q62_event_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q63_order_unpivot" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus,
+        |    CAST(count(*) AS DOUBLE) AS order_count,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_orderstatus
+        |)
+        |SELECT o_orderstatus, 'order_count' AS measure, order_count AS value FROM a
+        |UNION ALL
+        |SELECT o_orderstatus, 'total_price' AS measure, total_price AS value FROM a""".stripMargin,
     "q59_hash_split" ->
       """WITH h AS (
         |  SELECT doc_id,

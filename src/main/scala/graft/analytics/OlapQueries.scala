@@ -132,6 +132,34 @@ object OlapQueries {
           .select(lit("no_orders").as("tag"), col("c_custkey")))
   }
 
+  /** PIVOT: per-user event counts spread into one column per event type.
+    * The value list is EXPLICIT, so the plan is a single hash aggregate
+    * (Spark's inferred-values pivot needs an extra distinct pass — at
+    * 100 TB that's a full scan just to learn the column names). Absent
+    * combinations surface as 0, matching conditional-count semantics. */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** UNPIVOT (melt): per-status order measures rotated into long form —
+    * the inverse reshaping, per-row after one aggregate, no extra
+    * shuffle. */
+  def orderMeasuresLong(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).cast("double").as("order_count"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("order_count"), col("total_price")),
+        "measure", "value")
+
   /** ROLLUP over the region→nation dimension chain: revenue subtotals at
     * (region, nation), (region) and grand-total levels — one pass,
     * partial-aggregated. Uses the full region/nation/customer/orders chain. */

@@ -53,17 +53,29 @@ object SamplingQueries {
   /** Token-budget sequence packing (next-fit by running total): documents
     * are laid out per source in doc_id order and cut into bins of ~budget
     * tokens — the standard way pretraining batches pack short documents
-    * into fixed-length sequences. One window shuffle on (source); bin
-    * assignment is pure arithmetic over the running sum, so bins are
-    * reproducible regardless of cluster layout. */
-  def packSequences(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    * into fixed-length sequences. One window shuffle on the partition key;
+    * bin assignment is pure arithmetic over the running sum, so bins are
+    * reproducible regardless of cluster layout.
+    *
+    * Scale note: window parallelism equals the number of distinct partition
+    * keys. With few sources (this corpus has 20) a 100 TB run would bottleneck
+    * on 20 window partitions — pass `shards > 1` to sub-partition each source
+    * by a deterministic doc_id hash. Bins then never span shards (each shard
+    * packs independently; at worst `shards` under-filled bins per source),
+    * which is the standard parallelism/packing-efficiency trade. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 512,
+      shards: Int = 1): DataFrame = {
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("token_count"))
-      .withColumn("bin_id",
-        floor((sum("token_count").over(w) - col("token_count")) / (budget * 1.0))
-          .cast("long"))
+    val (keyed, partKeys) =
+      if (shards == 1) (base, Seq("source"))
+      else (base.withColumn("shard", md5Bucket32(col("doc_id")) % shards),
+        Seq("source", "shard"))
+    val w = Window.partitionBy(partKeys.map(col): _*).orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.withColumn("bin_id",
+      floor((sum("token_count").over(w) - col("token_count")) / (budget * 1.0))
+        .cast("long"))
   }
 }

@@ -32,6 +32,19 @@ class SamplingQueriesSpec extends SparkSpec {
     assert(q.collect().toSet === SamplingQueries.quotaSample(spark, sf, k = 3).collect().toSet)
   }
 
+  test("packSequences with shards keeps the invariant per (source, shard)") {
+    val packed = SamplingQueries.packSequences(spark, sf, budget = 256, shards = 4)
+    assert(packed.columns.contains("shard"))
+    val rows = packed.orderBy("source", "shard", "doc_id")
+      .collect().map(r => (r.getString(1) + "/" + r.getLong(3), r.getLong(2), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (_, xs) =>
+      assert(xs.map(_._3).sameElements(xs.map(_._3).sorted))
+      xs.groupBy(_._3).foreach { case (_, bin) =>
+        assert(bin.map(_._2).init.sum < 256 || bin.length == 1)
+      }
+    }
+  }
+
   test("packSequences: bins are contiguous per source and near the budget") {
     val packed = SamplingQueries.packSequences(spark, sf, budget = 256)
     val rows = packed.orderBy("source", "doc_id")
