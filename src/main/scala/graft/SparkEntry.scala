@@ -85,6 +85,7 @@ object SparkEntry {
     "q58_text_scrub"         -> (CorpusQueries.scrubText _),
     "q59_hash_split"         -> ((s, d) => SamplingQueries.hashSplit(s, d)),
     "q62_event_pivot"        -> (OlapQueries.eventPivot _),
+    "q64_ivfpq_topk"         -> (CorpusQueries.ivfPqTopK _),
     "q63_order_unpivot"      -> (OlapQueries.orderMeasuresLong _),
     "q60_quota_sample"       -> ((s, d) => SamplingQueries.quotaSample(s, d)),
     "q61_pack_sequences"     -> ((s, d) => SamplingQueries.packSequences(s, d)),

@@ -137,6 +137,20 @@ object CorpusQueries {
     graft.sim.Pq.topK(emb, codes, model, queryId = 0L, k = 10, shortlist = 64)
   }
 
+  /** Fused IVF+PQ ANN top-10 — the full production read path: coarse
+    * quantizer prunes to nprobe clusters, ADC over byte codes prunes to a
+    * shortlist, exact rerank touches only the shortlist (rows-only; PqSpec
+    * pins the recall bound vs the exact ranking). */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = Similarity.trainCentroids(emb, k = 8, iters = 3)
+    val assigned = Similarity.assignToCentroids(emb, centroids)
+    val model = graft.sim.Pq.train(emb, m = 8, k = 16, iters = 3, dim = 64)
+    val codes = graft.sim.Pq.encode(emb, model)
+    graft.sim.Pq.ivfPqTopK(emb, centroids, assigned, codes, model,
+      queryId = 0L, k = 10, nprobe = 6, shortlist = 64)
+  }
+
   /** Real BPE tokenization (rows-only; BpeSpec pins encode vs a reference
     * implementation): merge table trained from the corpus's own
     * word-frequency dictionary, encode via the native

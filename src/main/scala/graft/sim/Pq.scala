@@ -107,12 +107,48 @@ object Pq {
   def topK(emb: DataFrame, codes: DataFrame, model: Model, queryId: Long, k: Int,
       shortlist: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (q, qNorm) = queryVector(emb, queryId, idCol, vecCol)
+    shortlistAndRerank(emb, codes.filter(col("vec_id") =!= queryId),
+      model, q, qNorm, k, shortlist, idCol, vecCol)
+  }
+
+  /** Fused IVF+PQ probe (ROADMAP round-3 #4): the coarse quantizer narrows
+    * the scan to the `nprobe` clusters nearest the query, ADC narrows those
+    * to a shortlist over byte codes, and the exact rerank touches only the
+    * shortlist's raw vectors. At scale, with the code table partitioned by
+    * centroid_id, a query reads nprobe/k of the codes (each ~16× smaller
+    * than raw) plus `shortlist` raw vectors — the full production ANN read
+    * path. `assigned` is the (vec_id, centroid_id) table from
+    * [[Similarity.assignToCentroids]], persisted alongside the codes. */
+  def ivfPqTopK(emb: DataFrame, centroids: DataFrame, assigned: DataFrame,
+      codes: DataFrame, model: Model, queryId: Long, k: Int,
+      nprobe: Int = 2, shortlist: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (q, qNorm) = queryVector(emb, queryId, idCol, vecCol)
+    val probed = centroids
+      .withColumn("score", cosine(col("centroid").cast("array<double>"), typedLit(q)))
+      .orderBy(desc("score"), col("centroid_id"))
+      .limit(nprobe)
+      .select("centroid_id")
+    val probedCodes = codes
+      .join(assigned.select(col("vec_id"), col("centroid_id")), "vec_id")
+      .join(broadcast(probed), "centroid_id")
+      .filter(col("vec_id") =!= queryId)
+    shortlistAndRerank(emb, probedCodes, model, q, qNorm, k, shortlist, idCol, vecCol)
+  }
+
+  /** The (bounded) query-side metadata: raw vector + norm. */
+  private def queryVector(emb: DataFrame, queryId: Long,
+      idCol: String, vecCol: String): (Seq[Double], Double) = {
     val vec = col(vecCol).cast("array<double>")
     val qRow: Row = emb.filter(col(idCol) === queryId).select(vec.as("q")).head()
     val q: Seq[Double] = qRow.getSeq[Double](0).toSeq
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
-    // lut[s*k + c] = dot(q_s, codebook[s][c])
-    val lut = (0 until model.m).flatMap { s =>
+    (q, math.sqrt(q.map(x => x * x).sum))
+  }
+
+  /** lut[s*k + c] = dot(q_s, codebook[s][c]) — m×k doubles, driver-built. */
+  private def lutFor(q: Seq[Double], model: Model): IndexedSeq[Double] =
+    (0 until model.m).flatMap { s =>
       (0 until model.k).map { c =>
         val off = (s * model.k + c) * model.subDim
         var acc = 0.0
@@ -123,14 +159,21 @@ object Pq {
         }
         acc
       }
-    }
-    val short = codes.filter(col("vec_id") =!= queryId)
+    }.toIndexedSeq
+
+  /** ADC-score `codes` against the query LUT, keep a shortlist (TakeOrdered
+    * — no full sort), re-rank those ids exactly against the raw vectors. */
+  private def shortlistAndRerank(emb: DataFrame, codes: DataFrame, model: Model,
+      q: Seq[Double], qNorm: Double, k: Int, shortlist: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    val lut = lutFor(q, model)
+    val short = codes
       .select(col("vec_id"),
-        (VectorExpressions.pqAdcScore(col("codes"), lut.toIndexedSeq, model.k)
+        (VectorExpressions.pqAdcScore(col("codes"), lut, model.k)
           / (col("norm") * qNorm)).as("adc"))
       .orderBy(desc("adc"), col("vec_id"))
       .limit(shortlist)
-    val v = emb.select(col(idCol).as("vec_id"), vec.as("vec"))
+    val v = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
     short.join(v, "vec_id")
       .withColumn("score", cosine(col("vec"), typedLit(q)))
       .select("vec_id", "score")

