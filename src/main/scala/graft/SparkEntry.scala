@@ -248,6 +248,7 @@ object SparkEntry {
     // full shingle sets and (spec + locally verified) reach every true pair
     // at this threshold, so plain exact trigram-jaccard SQL reproduces them.
     "q25_minhash_neardup" -> JaccardOracleSql,
+    "q26_simhash_neardup" -> SimhashOracleSql,
     "q27_ngram_jaccard" -> JaccardOracleSql,
     "q28_cosine_topk" -> CosineTopKOracleSql,
     // Banded probing (SimilaritySpec + local sf0.01 check) recovers the full
@@ -588,4 +589,38 @@ object SparkEntry {
       |JOIN sz sa ON sa.doc_id = a_id
       |JOIN sz sb ON sb.doc_id = b_id
       |WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5""".stripMargin
+
+  /** q26 oracle, GENERATED: rebuilds the md5-based SimHash fingerprints
+    * bit-for-bit in DuckDB (two 32-bit halves per token from the same hex
+    * arithmetic the Spark side uses), then emits ALL pairs at Hamming ≤ 3 —
+    * banding is only an optimization on the Spark side, and by pigeonhole a
+    * pair within Hamming 3 of a 4×16-bit banding always shares a chunk, so
+    * the all-pairs phrasing is the same set. */
+  private val SimhashOracleSql: String = {
+    def half(off: Int): String =
+      "CAST(list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', " +
+        s"substring(md5(t), CAST(i + $off AS INT), 1)) - 1) * pow(16, 7 - i))) AS BIGINT)"
+    val bits = (0 until 64).map { j =>
+      val src = if (j < 32) "los" else "his"
+      val power =
+        if (j == 63) "(-9223372036854775807 - 1)" else s"CAST(${1L << j} AS BIGINT)"
+      s"CASE WHEN list_sum(list_transform($src, v -> CASE WHEN (v >> ${j % 32}) & 1 = 1 " +
+        s"THEN 1 ELSE -1 END)) > 0 THEN $power ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS ts
+       |  FROM documents
+       |), hashes AS (
+       |  SELECT doc_id,
+       |    list_transform(ts, t -> ${half(1)}) AS his,
+       |    list_transform(ts, t -> ${half(9)}) AS los
+       |  FROM toks
+       |), fp AS (
+       |  SELECT doc_id, $bits AS simhash FROM hashes
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
 }

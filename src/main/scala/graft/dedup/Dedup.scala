@@ -204,18 +204,27 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
 
-  /** 64-bit SimHash fingerprints: per distinct token, xxhash64; per bit,
-    * sum of ±1 across tokens; sign → bit. One shuffle: the 64 per-bit sums
-    * are 64 aggregate columns over the token rows (map-side partial), not a
-    * 64× row explosion — at corpus scale that's a plain hash aggregate on
-    * doc_id. */
+  /** 64-bit SimHash fingerprints: per distinct token, a 64-bit hash; per
+    * bit, sum of ±1 across tokens; sign → bit. One shuffle: the 64 per-bit
+    * sums are 64 aggregate columns over the token rows (map-side partial),
+    * not a 64× row explosion — at corpus scale that's a plain hash
+    * aggregate on doc_id.
+    *
+    * The token hash is the first 16 hex chars of md5, taken as two 32-bit
+    * halves (`conv` of 8 hex chars each — a full 16-char parse would
+    * overflow signed long). md5 instead of xxhash64 so the fingerprints
+    * are ENGINE-INDEPENDENT: the q26 DuckDB oracle rebuilds them
+    * bit-for-bit from the same hex arithmetic. */
   def simhashFingerprints(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j"))
+      .withColumn("hi", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(md5(col("token")), 9, 8), 16, 10).cast("long"))
+    val bitSums = (0 until 64).map { j =>
+      val src = if (j < 32) col("lo") else col("hi")
+      sum(when(shiftright(src, j % 32).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
     toks.groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
