@@ -66,14 +66,14 @@ object TextFunctions {
 
   /** Fraction of all word 2-grams occupied by the single most frequent
     * 2-gram (the Gopher repetition rule). Documents with fewer than two
-    * tokens score 0. Per-row over the (short) gram array — the distinct ×
-    * filter scan is O(d·n) on ~100-token documents, still shuffle-free. */
-  def top2GramFraction(text: Column): Column = {
-    val g = shingles(text, 2)
-    val maxCount = array_max(transform(array_distinct(g),
-      x => size(filter(g, y => y === x))))
-    coalesce(maxCount.cast("double") / greatest(size(g), lit(1)), lit(0.0))
-  }
+    * tokens score 0. One native linear pass with a per-row count map
+    * ([[org.apache.spark.sql.graftnative.TopGramFraction]]) — the
+    * distinct × filter HOF phrasing was O(d·n) interpreted per row and
+    * dominated the q57 bench. */
+  def top2GramFraction(text: Column): Column =
+    coalesce(
+      org.apache.spark.sql.graftnative.TextExpressions.topGramFraction(text, 2),
+      lit(0.0))
 
   /** Training-data hygiene scrub: URLs → `<URL>`, email addresses →
     * `<EMAIL>`, whitespace runs collapsed, ends trimmed. Pure
