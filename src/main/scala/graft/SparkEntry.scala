@@ -86,6 +86,8 @@ object SparkEntry {
     "q59_hash_split"         -> ((s, d) => SamplingQueries.hashSplit(s, d)),
     "q62_event_pivot"        -> (OlapQueries.eventPivot _),
     "q64_ivfpq_topk"         -> (CorpusQueries.ivfPqTopK _),
+    "q65_pack_payloads"      -> ((s, d) => SamplingQueries.packedPayloads(s, d)),
+    "q66_decontaminate"      -> ((s, d) => SamplingQueries.decontaminate(s, d)),
     "q63_order_unpivot"      -> (OlapQueries.orderMeasuresLong _),
     "q60_quota_sample"       -> ((s, d) => SamplingQueries.quotaSample(s, d)),
     "q61_pack_sequences"     -> ((s, d) => SamplingQueries.packSequences(s, d)),
@@ -488,6 +490,34 @@ object SparkEntry {
         |SELECT o_orderstatus, 'order_count' AS measure, order_count AS value FROM a
         |UNION ALL
         |SELECT o_orderstatus, 'total_price' AS measure, total_price AS value FROM a""".stripMargin,
+    "q65_pack_payloads" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, source, token_count, text,
+        |    CAST(floor((SUM(token_count) OVER (PARTITION BY source ORDER BY doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                - token_count) / 512.0) AS BIGINT) AS bin_id
+        |  FROM t
+        |)
+        |SELECT source, bin_id,
+        |  SUM(token_count) AS bin_tokens,
+        |  count(*) AS bin_docs,
+        |  string_agg(text, ' ' ORDER BY doc_id) AS payload
+        |FROM p GROUP BY source, bin_id""".stripMargin,
+    "q66_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+        |tr AS (SELECT doc_id, g FROM sh WHERE doc_id >= 10)
+        |SELECT tr.doc_id, count(DISTINCT tr.g) AS shared_ngrams
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY tr.doc_id""".stripMargin,
     "q59_hash_split" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -63,6 +63,26 @@ object SamplingQueries {
     * by a deterministic doc_id hash. Bins then never span shards (each shard
     * packs independently; at worst `shards` under-filled bins per source),
     * which is the standard parallelism/packing-efficiency trade. */
+  /** Materialize the packed sequences: concatenate each bin's documents in
+    * doc_id order into one training-ready payload. The groupBy is on
+    * (source, bin_id) — high cardinality, so it shuffles evenly; in-bin
+    * ordering is made deterministic by sorting the collected (doc_id, text)
+    * structs rather than trusting collect_list's arrival order (which is
+    * partition-dependent — on a cluster that would be a silent
+    * nondeterminism bug). */
+  def packedPayloads(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val packed = packSequences(spark, dir, budget)
+      .join(Tables.documents(spark, dir).select("doc_id", "text"), "doc_id")
+    packed.groupBy("source", "bin_id")
+      .agg(
+        sum("token_count").as("bin_tokens"),
+        count(lit(1)).as("bin_docs"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s("text")),
+          " ").as("payload"))
+  }
+
   def packSequences(spark: SparkSession, dir: String, budget: Int = 512,
       shards: Int = 1): DataFrame = {
     val base = Tables.documents(spark, dir)
@@ -77,5 +97,28 @@ object SamplingQueries {
     keyed.withColumn("bin_id",
       floor((sum("token_count").over(w) - col("token_count")) / (budget * 1.0))
         .cast("long"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `n`-gram with an evaluation set — the standard guard against test-set
+    * leakage into pretraining data. Shingles are hashed to 8-byte keys
+    * before the join (string-free shuffle), candidates come from shingle
+    * equality (never all-pairs), and the output is one row per contaminated
+    * doc with its overlap count. The eval set here is the corpus slice
+    * `doc_id < evalDocs` — in production it's the benchmark suite loaded as
+    * its own table; the plan is identical. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8,
+      evalDocs: Long = 10L): DataFrame = {
+    import graft.text.TextFunctions.shingles
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(array_distinct(shingles(col("text"), n))).as("g"))
+      .select(col(idAs), xxhash64(col("g")).as("gh"))
+    val evalSet = grams(docs.filter(col("doc_id") < evalDocs), "eval_id")
+    val train = grams(docs.filter(col("doc_id") >= evalDocs), "doc_id")
+    train.join(evalSet.select("gh").distinct(), "gh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("shared_ngrams"))
   }
 }

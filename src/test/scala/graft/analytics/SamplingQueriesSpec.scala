@@ -32,6 +32,31 @@ class SamplingQueriesSpec extends SparkSpec {
     assert(q.collect().toSet === SamplingQueries.quotaSample(spark, sf, k = 3).collect().toSet)
   }
 
+  test("packedPayloads: bin payload is the bin's docs in doc_id order") {
+    val payloads = SamplingQueries.packedPayloads(spark, sf, budget = 256)
+    val packed = SamplingQueries.packSequences(spark, sf, budget = 256)
+      .collect().map(r => (r.getString(1), r.getLong(3)) -> (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1)
+    payloads.collect().foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val members = packed(key).map(_._2)
+      assert(r.getLong(2) === members.map(_._2).sum, s"bin_tokens of $key")
+      assert(r.getLong(3) === members.length.toLong, s"bin_docs of $key")
+      assert(r.getString(4).nonEmpty)
+    }
+  }
+
+  test("decontaminate: flags only train docs overlapping the eval slice") {
+    val flagged = SamplingQueries.decontaminate(spark, sf, n = 8, evalDocs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // eval docs never flag themselves; counts are positive
+    assert(flagged.forall { case (id, c) => id >= 10L && c > 0L })
+    // determinism
+    val again = SamplingQueries.decontaminate(spark, sf, n = 8, evalDocs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSet === again.toSet)
+  }
+
   test("packSequences with shards keeps the invariant per (source, shard)") {
     val packed = SamplingQueries.packSequences(spark, sf, budget = 256, shards = 4)
     assert(packed.columns.contains("shard"))
