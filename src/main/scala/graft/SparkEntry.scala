@@ -87,6 +87,7 @@ object SparkEntry {
     "q62_event_pivot"        -> (OlapQueries.eventPivot _),
     "q64_ivfpq_topk"         -> (CorpusQueries.ivfPqTopK _),
     "q65_pack_payloads"      -> ((s, d) => SamplingQueries.packedPayloads(s, d)),
+    "q67_approx_stats"       -> (OlapQueries.approxStats _),
     "q66_decontaminate"      -> ((s, d) => SamplingQueries.decontaminate(s, d)),
     "q63_order_unpivot"      -> (OlapQueries.orderMeasuresLong _),
     "q60_quota_sample"       -> ((s, d) => SamplingQueries.quotaSample(s, d)),

@@ -132,6 +132,21 @@ object OlapQueries {
           .select(lit("no_orders").as("tag"), col("c_custkey")))
   }
 
+  /** Sketch-based approximate aggregates — the at-scale face of q37/q53:
+    * HyperLogLog++ distinct users and a quantile sketch per event type,
+    * one pass, fixed-size partial state per group (the exact distinct
+    * count shuffles every user id; at 100 TB the sketch mergers move
+    * kilobytes per group instead). Rows-only driver entry — sketches are
+    * engine-specific by nature; ApproxStatsSpec bounds the error against
+    * the exact answers. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"))
+
   /** PIVOT: per-user event counts spread into one column per event type.
     * The value list is EXPLICIT, so the plan is a single hash aggregate
     * (Spark's inferred-values pivot needs an extra distinct pass — at
