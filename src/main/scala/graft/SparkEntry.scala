@@ -88,6 +88,7 @@ object SparkEntry {
     "q64_ivfpq_topk"         -> (CorpusQueries.ivfPqTopK _),
     "q65_pack_payloads"      -> ((s, d) => SamplingQueries.packedPayloads(s, d)),
     "q67_approx_stats"       -> (OlapQueries.approxStats _),
+    "q68_salted_distinct"    -> (OlapQueries.saltedUserCounts _),
     "q66_decontaminate"      -> ((s, d) => SamplingQueries.decontaminate(s, d)),
     "q63_order_unpivot"      -> (OlapQueries.orderMeasuresLong _),
     "q60_quota_sample"       -> ((s, d) => SamplingQueries.quotaSample(s, d)),
@@ -491,6 +492,9 @@ object SparkEntry {
         |SELECT o_orderstatus, 'order_count' AS measure, order_count AS value FROM a
         |UNION ALL
         |SELECT o_orderstatus, 'total_price' AS measure, total_price AS value FROM a""".stripMargin,
+    "q68_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type""".stripMargin,
     "q65_pack_payloads" ->
       """WITH t AS (
         |  SELECT doc_id, source, text,

@@ -147,6 +147,16 @@ object OlapQueries {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"))
 
+  /** Skew-safe distinct users per event type via value-derived salting
+    * ([[graft.operators.SaltedAgg]]): 5 event types over the whole corpus
+    * is the classic low-cardinality-key distinct — salting fans each key
+    * into 16 exact sub-counts that sum to the true distinct count. Oracle
+    * = the plain count(DISTINCT …), proving the decomposition exact. */
+  def saltedUserCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.SaltedAgg.saltedCountDistinct(
+      Tables.events(spark, dir), Seq("event_type"), col("user_id"),
+      resultName = "distinct_users")
+
   /** PIVOT: per-user event counts spread into one column per event type.
     * The value list is EXPLICIT, so the plan is a single hash aggregate
     * (Spark's inferred-values pivot needs an extra distinct pass — at

@@ -21,6 +21,20 @@ final case class MediaFeatures(
     n_bytes: Long,
     features: Array[Float])
 
+/** Container-level metadata probed from the first bytes of a payload. */
+final case class MediaInfo(
+    format: String,
+    width: Option[Int],
+    height: Option[Int],
+    sample_rate: Option[Int])
+
+final case class ProbedMedia(
+    media_id: Long,
+    detected_format: Option[String],
+    width: Option[Int],
+    height: Option[Int],
+    sample_rate: Option[Int])
+
 /** Multimodal column plumbing: binary payload + typed metadata, partition
   * batching for decode, frame sampling — with the DECODE STEP STUBBED
   * (this runtime ships no image/audio codecs; see [[decodeStub]]). The
@@ -85,6 +99,66 @@ object Multimodal {
               s"cast(greatest(length(content) div $n, 1) as int))").as("frame_bytes"))): _*))
           .as("f"))
       .select(col("media_id"), col("f.frame_idx"), col("f.frame_bytes"))
+
+  /** REAL container-header parsing — NOT part of the decode stub: PNG
+    * IHDR, JPEG SOF0/1/2 markers, GIF logical-screen, and WAV fmt chunks
+    * are plain byte arithmetic needing no codec, so dimension/sample-rate
+    * extraction from opaque binary columns works in this runtime as-is.
+    * Returns None for unrecognized or truncated payloads (a corrupt file
+    * must not fail the pipeline — it surfaces as null metadata to filter
+    * on). This is the metadata-validation pass a multimodal pipeline runs
+    * BEFORE spending decode CPU: malformed/mislabeled payloads drop out
+    * on header bytes alone. */
+  def probeHeader(b: Array[Byte]): Option[MediaInfo] = {
+    def be16(i: Int) = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def be32(i: Int) = ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) |
+      ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+    def le16(i: Int) = ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+    def le32(i: Int) = ((b(i + 3) & 0xFF) << 24) | ((b(i + 2) & 0xFF) << 16) |
+      ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+    def has(sig: Seq[Int], at: Int = 0) =
+      b.length >= at + sig.length && sig.indices.forall(i => (b(at + i) & 0xFF) == sig(i))
+    try {
+      if (b == null || b.length < 12) None
+      // PNG: 8-byte signature, then len+'IHDR'+width(BE32)+height(BE32)
+      else if (has(Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)) &&
+          b.length >= 24 && has(Seq('I', 'H', 'D', 'R'), at = 12))
+        Some(MediaInfo("png", Some(be32(16)), Some(be32(20)), None))
+      // JPEG: FFD8, walk FF-marker segments to a SOF0/1/2 frame header
+      else if (has(Seq(0xFF, 0xD8))) {
+        var i = 2
+        var out: Option[MediaInfo] = None
+        while (out.isEmpty && i + 9 < b.length && (b(i) & 0xFF) == 0xFF) {
+          val marker = b(i + 1) & 0xFF
+          val segLen = be16(i + 2)
+          if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2)
+            out = Some(MediaInfo("jpeg", Some(be16(i + 7)), Some(be16(i + 5)), None))
+          else i += 2 + segLen
+        }
+        out
+      }
+      // GIF87a/89a: 6-byte signature then LE16 logical screen w, h
+      else if (has(Seq('G', 'I', 'F', '8')) && b.length >= 10)
+        Some(MediaInfo("gif", Some(le16(6)), Some(le16(8)), None))
+      // WAV: RIFF....WAVEfmt , sample rate LE32 at offset 24
+      else if (has(Seq('R', 'I', 'F', 'F')) && has(Seq('W', 'A', 'V', 'E'), at = 8) &&
+          b.length >= 28)
+        Some(MediaInfo("wav", None, None, Some(le32(24))))
+      else None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Header-probe pass over a media table: same mapPartitions batch shape
+    * as [[extractFeatures]], emitting detected format + dimensions /
+    * sample rate (nulls for unrecognized payloads). */
+  def probeMedia(media: Dataset[MediaRecord]): Dataset[ProbedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val info = probeHeader(r.content)
+      ProbedMedia(r.media_id, info.map(_.format),
+        info.flatMap(_.width), info.flatMap(_.height), info.flatMap(_.sample_rate))
+    })
+  }
 
   /** Deterministic synthetic media built from the documents table — fake
     * binary payloads with real schema/metadata so the plumbing is testable

@@ -54,4 +54,42 @@ class MultimodalSpec extends SparkSpec {
     assert("another document body".startsWith(joined))
     assert(joined.length === ("another document body".length / 3) * 3)
   }
+
+  test("probeHeader parses real PNG/JPEG/GIF/WAV headers, rejects garbage") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG, 640x480: signature + IHDR chunk
+    val png = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, /* 640 */ 0, 0, 0x01, 0xE0 /* 480 */) ++ new Array[Byte](8)
+    assert(Multimodal.probeHeader(png) ===
+      Some(MediaInfo("png", Some(640), Some(480), None)))
+    // JPEG, 200x100: SOI, APP0 segment (skipped), SOF0 (height 100, width 200)
+    val jpeg = bytes(0xFF, 0xD8,
+      0xFF, 0xE0, 0, 4, 0x4A, 0x46, // APP0, len 4
+      0xFF, 0xC0, 0, 11, 8, 0, 100, 0, 200, 3, 0, 0, 0)
+    assert(Multimodal.probeHeader(jpeg) ===
+      Some(MediaInfo("jpeg", Some(200), Some(100), None)))
+    // GIF89a, 12x34 little-endian
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a', 12, 0, 34, 0) ++ new Array[Byte](4)
+    assert(Multimodal.probeHeader(gif) ===
+      Some(MediaInfo("gif", Some(12), Some(34), None)))
+    // WAV, 44100 Hz
+    val wav = bytes('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 2, 0,
+      0x44, 0xAC, 0, 0 /* 44100 LE */) ++ new Array[Byte](4)
+    assert(Multimodal.probeHeader(wav) ===
+      Some(MediaInfo("wav", None, None, Some(44100))))
+    // garbage / truncated → None, never a throw
+    assert(Multimodal.probeHeader("not media".getBytes) === None)
+    assert(Multimodal.probeHeader(bytes(0xFF, 0xD8, 0xFF)) === None)
+    assert(Multimodal.probeHeader(Array.empty[Byte]) === None)
+  }
+
+  test("probeMedia maps the probe over a media table with null-safe output") {
+    val media = Multimodal.synthesizeFromDocs(spark, docs)
+    val probed = Multimodal.probeMedia(media).collect()
+    // synthesized payloads are UTF-8 text, so every probe is None-format
+    assert(probed.nonEmpty)
+    assert(probed.forall(_.detected_format.isEmpty))
+  }
 }
