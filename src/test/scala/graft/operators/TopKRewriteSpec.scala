@@ -63,6 +63,18 @@ class TopKRewriteSpec extends SparkSpec {
     assert(rn2.collect().length === 2) // rank-2 rows of a and b
   }
 
+  test("SQL phrasing (subquery + WHERE rn <= k) also rewrites") {
+    GraftOps.enableTopKRewrite(spark)
+    df.createOrReplaceTempView("topk_sql_src")
+    val q = spark.sql(
+      """SELECT k, id, v FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC, id DESC) AS rn
+        |  FROM topk_sql_src) WHERE rn <= 2""".stripMargin)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerKey"), s"no heap operator in:\n$physical")
+    assert(q.collect().toSet === topkIdiom(2).collect().toSet)
+  }
+
   test("nullable ascending order does not rewrite (null ranking differs)") {
     GraftOps.enableTopKRewrite(spark)
     val withNulls = Seq(("a", 1L, Some(2.0)), ("a", 2L, None), ("a", 3L, Some(1.0)))
