@@ -667,11 +667,29 @@ final class GraftTable private (
     * array is driver-side metadata, 255 doubles per column), the key is a
     * pure column expression, and the layout job is one
     * `repartitionByRange` — fully distributed. */
+  /** Order-preserving numeric surrogate for quantile bucketing. Numerics
+    * and timestamps cast directly; STRINGS pack their first 6 codepoints
+    * (capped at 255) big-endian into a long — monotone w.r.t. string order
+    * at 6-byte-prefix granularity, and ≤ 2^48 so the double cast is exact.
+    * Prefix granularity is all bucketing needs: columns whose values only
+    * diverge past 6 chars share buckets, which costs locality, not
+    * correctness. */
+  private def zorderSurrogate(c: String, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.StringType =>
+      (1 to 6).map(i =>
+        least(coalesce(ascii(substring(col(c), i, 1)), lit(0)), lit(255)).cast("long")
+          * lit(1L << ((6 - i) * 8)))
+        .reduce(_ + _).cast("double")
+    case _ => col(c).cast("double")
+  }
+
   private def zorderCluster(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
     val n = 1 << ZorderBits
     val probs = (1 until n).map(_.toDouble / n).toArray
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val withDoubles = cols.foldLeft(df)((d, c) =>
-      d.withColumn(s"__zc_$c", col(c).cast("double")))
+      d.withColumn(s"__zc_$c", zorderSurrogate(c, dtypes(c))))
     val cuts: Map[String, Seq[Double]] = cols.map { c =>
       c -> withDoubles.stat.approxQuantile(s"__zc_$c", probs, 0.01).toSeq
     }.toMap

@@ -38,4 +38,25 @@ class ZOrderSpec extends SparkSpec {
     assert(snap.agg(sum("a"), sum("b")).head() ===
       t.readVersion(0).agg(sum("a"), sum("b")).head())
   }
+
+  test("zorder on a string column clusters by prefix (parquet stats prune)") {
+    val root = tmpDir("zorder-str")
+    // 16 prefixes × 1024 rows, shuffled — string dimension plus a numeric one
+    val rows = scala.util.Random.shuffle(
+      (for (p <- 0 until 16; i <- 0 until 1024)
+        yield (f"cat$p%02d-item$i%04d", i.toLong)).toSeq).zipWithIndex
+      .map { case ((s, v), id) => (id.toLong, s, v) }
+    val t = GraftTable.create(spark, root, rows.toDF("id", "name", "v"))
+    t.optimize(targetFileBytes = 16 * 1024, zorderBy = Seq("name", "v"))
+
+    val snap = t.read()
+    val total = filesTouched(snap)
+    assume(total >= 8, s"need a multi-file layout, got $total")
+    // a single string prefix should live in a small subset of files
+    val onName = filesTouched(snap.filter(col("name").startsWith("cat03-")))
+    val onV = filesTouched(snap.filter(col("v") < 128))
+    assert(onName < total, s"no string pruning: $onName of $total files")
+    assert(onV < total, s"no numeric pruning: $onV of $total files")
+    assert(snap.count() === 16L * 1024L)
+  }
 }
