@@ -110,6 +110,14 @@ object Similarity {
     (bands, r)
   }
 
+  /** [[lshParams]] fed from table statistics (ROADMAP round-3 #2): the
+    * corpus size comes from the versioned table's parquet-footer row count
+    * — driver-side metadata, no scan — so LSH geometry tracks the table as
+    * it grows without anyone re-tuning constants. */
+  def lshParamsForTable(table: graft.table.GraftTable, cosineThreshold: Double,
+      targetRecall: Double, multiProbe: Int = 1): (Int, Int) =
+    lshParams(cosineThreshold, targetRecall, math.max(1L, table.rowCount), multiProbe)
+
   /** Banded sign-LSH: `bands` independent groups of `planesPerBand`
     * hyperplanes, one `planesPerBand`-bit bucket id per band — the MinHash
     * banding construction transplanted to cosine space. A pair is a

@@ -52,6 +52,13 @@ final class GraftTable private (
 
   def version: Long = log.latest().map(_.version).getOrElse(-1L)
 
+  /** Snapshot row count from parquet footers — metadata-only, no Spark
+    * job. This is the table statistic that sizes downstream algorithm
+    * parameters (e.g. LSH band counts via
+    * [[graft.sim.Similarity.lshParams]]) without a scan. */
+  def rowCount: Long =
+    log.latest().map(_.dataDirs.map(countDir).sum).getOrElse(0L)
+
   private def commitFor(v: Long): Commit =
     log.commits().find(_.version == v).getOrElse(
       throw new NoSuchElementException(s"$root has no version $v"))

@@ -100,6 +100,18 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.bandedRecall(0.5, bands2, r2) >= 0.95)
   }
 
+  test("lshParamsForTable sizes geometry from footer row counts, no scan") {
+    val root = tmpDir("lsh-params-table")
+    val t = graft.table.GraftTable.create(spark, root,
+      (0L until 64L).map(i => (i, s"d$i")).toDF("id", "v"))
+    assert(t.rowCount === 64L)
+    t.append((64L until 128L).map(i => (i, s"d$i")).toDF("id", "v"))
+    assert(t.rowCount === 128L) // appends accumulate in the metadata count
+    val (bands, r) = Similarity.lshParamsForTable(t, 0.5, 0.95)
+    assert(Similarity.bandedRecall(0.5, bands, r) >= 0.95)
+    assert((bands, r) === Similarity.lshParams(0.5, 0.95, corpusSize = 128))
+  }
+
   test("assignToCentroids picks the nearest centroid for every vector") {
     val centroids = Seq(
       (0L, Seq.fill(32)(1.0f)),
