@@ -508,7 +508,7 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT source, bin_id,
-        |  SUM(token_count) AS bin_tokens,
+        |  CAST(SUM(token_count) AS BIGINT) AS bin_tokens,
         |  count(*) AS bin_docs,
         |  string_agg(text, ' ' ORDER BY doc_id) AS payload
         |FROM p GROUP BY source, bin_id""".stripMargin,
