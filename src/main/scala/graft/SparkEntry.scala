@@ -258,6 +258,16 @@ object SparkEntry {
     // Banded probing (SimilaritySpec + local sf0.01 check) recovers the full
     // exact top-10, so the ANN path is graded against the exact oracle.
     "q31_cosine_topk_lsh" -> CosineTopKOracleSql,
+    // IVF / PQ / IVF+PQ all end in an EXACT rerank of their candidate set,
+    // and at AnnParams' probe geometry (nprobe=7, m=8×k=256 codebooks,
+    // shortlist=128 — swept in tools/AnnRecallProbe + tools/PqConfigProbe)
+    // the candidate set contains the full exact top-10 on every test
+    // corpus, so all three reproduce the brute-force ranking bit-for-bit
+    // and are held to the same exact oracle: a recall regression in the
+    // production ANN read path now fails the driver gate.
+    "q44_ivf_topk" -> CosineTopKOracleSql,
+    "q48_pq_topk" -> CosineTopKOracleSql,
+    "q64_ivfpq_topk" -> CosineTopKOracleSql,
     "q29_embedding_neardup" -> EmbeddingNearDupOracleSql,
     // The banded multi-probe LSH (DedupSpec pins it) recovers the full exact
     // pair set on this corpus, so the approximate path is held to the exact

@@ -113,6 +113,26 @@ object CorpusQueries {
   def cosineTopKLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir), queryId = 0L, k = 10)
 
+  /** The one set of ANN index/probe parameters every caller (driver
+    * queries, recall probes, specs) shares — re-stating these literals at a
+    * call site is how configs silently drift. Chosen by sweeping recall on
+    * the driver corpora (tools/AnnRecallProbe, tools/PqConfigProbe):
+    * gaussian noise is PQ's worst case, and the coarse m=8×k=16 codebook
+    * topped out at 9/10 recall; m=8×k=256 (still 8-byte codes — one byte
+    * per subspace) with a 128-vector shortlist and nprobe=7 holds 10/10 at
+    * sf0.001/0.01/0.1, which is what lets q44/q48/q64 be held to the SAME
+    * exact cosine oracle as the brute-force path. */
+  object AnnParams {
+    val kCoarse = 8
+    val coarseIters = 3
+    val nprobe = 7
+    val pqM = 8
+    val pqK = 256
+    val pqIters = 3
+    val dim = 64
+    val shortlist = 128
+  }
+
   /** ANN index structures (coarse-quantizer centroids, per-vector
     * assignments, PQ model + codes), trained ONCE per corpus dir and
     * memoized for the JVM's lifetime. In production these are built by an
@@ -121,55 +141,61 @@ object CorpusQueries {
     * index-build cost as query latency — the same fixture-vs-read split
     * the mutation queries make. Deterministic by construction, so caching
     * cannot change results. */
-  private case class AnnIndex(
+  case class AnnIndex(
       centroids: DataFrame, assigned: DataFrame,
       model: graft.sim.Pq.Model, codes: DataFrame)
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, AnnIndex]
-  private def annIndex(spark: SparkSession, dir: String): AnnIndex =
+  def annIndex(spark: SparkSession, dir: String): AnnIndex =
     annIndexCache.getOrElseUpdate(dir, {
+      import AnnParams._
       val emb = Tables.embeddings(spark, dir)
-      val centroids = Similarity.trainCentroids(emb, k = 8, iters = 3)
+      val centroids = Similarity.trainCentroids(emb, k = kCoarse, iters = coarseIters)
       val assigned = Similarity.assignToCentroids(emb, centroids)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val model = graft.sim.Pq.train(emb, m = 8, k = 16, iters = 3, dim = 64)
+      val model = graft.sim.Pq.train(emb, m = pqM, k = pqK, iters = pqIters, dim = dim)
       val codes = graft.sim.Pq.encode(emb, model)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       AnnIndex(centroids, assigned, model, codes)
     })
 
-  /** IVF ANN top-10: deterministic k-means coarse quantizer (k=8, 3 iters)
-    * then exact ranking inside the `nprobe` clusters nearest the query —
-    * the inverted-file scale path (partition the corpus by centroid_id and
-    * a query scans nprobe/k of the data). The driver corpus is UNclustered
-    * gaussian noise, the worst case for IVF: nprobe=6 of 8 recovers 9 of
-    * the exact top-10 while scanning 75% — so this stays a rows-only driver
-    * entry with the recall bound pinned in SimilaritySpec (on clustered
-    * data the same operator is exact at nprobe=1). */
+  /** IVF ANN top-10: deterministic k-means coarse quantizer then exact
+    * ranking inside the `nprobe` clusters nearest the query — the
+    * inverted-file scale path (partition the corpus by centroid_id and a
+    * query scans nprobe/k of the data). Held to the exact cosine oracle:
+    * at [[AnnParams.nprobe]] the probed clusters contain the full exact
+    * top-10 on every test corpus (gaussian noise — IVF's worst case; on
+    * clustered data the same operator is exact at much smaller nprobe),
+    * and the in-cluster ranking is exact, so the output equals the
+    * brute-force ranking bit-for-bit. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfTopK(emb, annIndex(spark, dir).centroids,
-      queryId = 0L, k = 10, nprobe = 6)
+    val idx = annIndex(spark, dir)
+    Similarity.ivfTopK(emb, idx.centroids, queryId = 0L, k = 10,
+      nprobe = AnnParams.nprobe, assigned = Some(idx.assigned))
   }
 
   /** Product-quantized ANN top-10: trained per-subspace codebooks, coded
     * shortlist via one ADC lookup expression, exact rerank (the ~16×
-    * bandwidth cut of billion-scale ANN; PqSpec pins the recall bound). */
+    * bandwidth cut of billion-scale ANN). Held to the exact cosine oracle:
+    * the ADC shortlist keeps every exact top-10 member at
+    * [[AnnParams]]'s geometry on every test corpus, and rerank is exact. */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val idx = annIndex(spark, dir)
-    graft.sim.Pq.topK(emb, idx.codes, idx.model, queryId = 0L, k = 10, shortlist = 64)
+    graft.sim.Pq.topK(emb, idx.codes, idx.model, queryId = 0L, k = 10,
+      shortlist = AnnParams.shortlist)
   }
 
   /** Fused IVF+PQ ANN top-10 — the full production read path: coarse
     * quantizer prunes to nprobe clusters, ADC over byte codes prunes to a
-    * shortlist, exact rerank touches only the shortlist (rows-only; PqSpec
-    * pins the recall bound vs the exact ranking). */
+    * shortlist, exact rerank touches only the shortlist. Held to the exact
+    * cosine oracle (same argument as [[ivfTopK]] × [[pqTopK]]). */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val idx = annIndex(spark, dir)
     graft.sim.Pq.ivfPqTopK(emb, idx.centroids, idx.assigned, idx.codes, idx.model,
-      queryId = 0L, k = 10, nprobe = 6, shortlist = 64)
+      queryId = 0L, k = 10, nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist)
   }
 
   /** Real BPE tokenization (rows-only; BpeSpec pins encode vs a reference

@@ -194,13 +194,18 @@ object Similarity {
   /** IVF top-k: probe only the `nprobe` clusters nearest the query vector,
     * exact-rank within them. With the corpus partitioned by centroid_id on
     * disk, a query touches nprobe partitions instead of everything — the
-    * inverted-file ANN scale path. */
+    * inverted-file ANN scale path. Pass `assigned` (the persisted
+    * (vec_id, centroid_id) table from [[assignToCentroids]]) to reuse a
+    * prebuilt index instead of re-deriving the assignment per query —
+    * that's what a real inverted file is. */
   def ivfTopK(emb: DataFrame, centroids: DataFrame, queryId: Long, k: Int,
       nprobe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = assignToCentroids(emb, centroids,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      assigned: Option[DataFrame] = None): DataFrame = {
+    val assignment = assigned.getOrElse(assignToCentroids(emb, centroids,
       idCol = idCol, vecCol = vecCol,
-      centroidIdCol = "centroid_id", centroidVecCol = "centroid")
+      centroidIdCol = "centroid_id", centroidVecCol = "centroid"))
+    val withVec = assignment.select("vec_id", "centroid_id")
       .join(emb.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("vec")), "vec_id")
     val q = emb.filter(col(idCol) === queryId)
@@ -210,7 +215,7 @@ object Similarity {
       .orderBy(desc("score"), col("centroid_id"))
       .limit(nprobe)
       .select("centroid_id")
-    assigned.join(broadcast(probed), "centroid_id")
+    withVec.join(broadcast(probed), "centroid_id")
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("score", cosine(col("vec"), col("q_vec")))

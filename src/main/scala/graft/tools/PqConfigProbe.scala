@@ -10,7 +10,7 @@ import graft.sim.{Pq, Similarity}
 object PqConfigProbe {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -27,7 +27,7 @@ object PqConfigProbe {
         val model = Pq.train(emb, m = m, k = k, iters = 3, dim = 64)
         val codes = Pq.encode(emb, model)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        for (shortlist <- Seq(64, 128)) {
+        for (shortlist <- Seq(64, 128, 256)) {
           val got = Pq.topK(emb, codes, model, 0L, 10, shortlist = shortlist)
             .collect().map(_.getLong(0)).toSet
           println(s"[pqcfg] $dir n=$n pq m=$m k=$k shortlist=$shortlist " +
