@@ -42,10 +42,15 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the WHOLE line under ~2 KB at 68 queries:
+    // the driver captures a bounded tail of stdout, and round 3's
+    // full-precision line (~4.3 KB) was truncated mid-line, losing the
+    // headline total ("parsed": null). Locale-free formatting.
+    def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -585,7 +585,28 @@ object SparkEntry {
         |SELECT doc_id, clean_text,
         |  CAST(length(clean_text) AS BIGINT) AS clean_chars
         |FROM s""".stripMargin,
-  )
+    // Sketches are engine-specific in general, but at the gate corpus's
+    // cardinalities both are in their EXACT regime — ~150 distinct users
+    // per group vs 4096 HLL++ registers (linear counting returns the true
+    // count), ~2k values per group vs the 10^4-sample quantile summary
+    // (no compression, true dataset quantile) — so the exact DuckDB
+    // phrasing matches value-for-value (verified at sf0.001/0.01/0.1).
+    // A sketch regression (bad rsd/accuracy mapping, broken merge) now
+    // fails the gate instead of passing rows-only.
+    "q67_approx_stats" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users,
+        |  quantile_disc("value", 0.5) AS approx_median,
+        |  quantile_disc("value", 0.95) AS approx_p95
+        |FROM events GROUP BY event_type""".stripMargin,
+  ) ++
+    // q47's oracle is GENERATED like q26's, but from corpus-trained state:
+    // the learned merge table (deterministic, memoized per dir — Verify
+    // runs every query before dumping this map, so the gate corpus's own
+    // merges are in hand) is re-applied from scratch in DuckDB by
+    // BpeOracle. Absent only if bpeTokenize never ran (→ rows-only check).
+    analytics.CorpusQueries.currentBpeMerges
+      .map(m => "q47_bpe_tokenize" -> graft.text.BpeOracle.sql(m))
 
   /** Exact cosine top-10 for query vec_id=0 — oracle for the brute-force
     * path (q28) and the banded-LSH path (q31, full recall on this corpus). */

@@ -54,6 +54,22 @@ object Bpe {
     out.result()
   }
 
+  /** Encode ONE word by applying each merge rule in learned order, one
+    * greedy left-to-right pass per rule — exactly how [[trainMerges]]
+    * evolves its dictionary, and the semantics [[BpeOracle]] reproduces in
+    * DuckDB. The native encode ([[org.apache.spark.sql.graftnative.BpeTokens]])
+    * instead merges the lowest-RANK adjacent pair first (the classic encode
+    * loop); the two orders can differ only when a later rule materializes a
+    * pair an earlier rule already passed over, which needs the same symbol
+    * string to be producible by two different rules — BpeSpec proves the
+    * encodes agree on every word of every test corpus, which is what
+    * licenses the sequential oracle. */
+  def encodeSequential(word: String, merges: IndexedSeq[(String, String)]): Array[String] = {
+    var parts = word.map(_.toString).toArray
+    merges.foreach(m => parts = mergePair(parts, m))
+    parts
+  }
+
   private def mergePair(parts: Array[String], pair: (String, String)): Array[String] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0

@@ -52,6 +52,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("rank-order encode equals sequential per-rule encode on every corpus word") {
+    // The generated q47 DuckDB oracle applies merges sequentially (one
+    // greedy pass per rule); the native expression merges by learned rank.
+    // The orders can only diverge on adversarial vocabularies (same symbol
+    // string producible by two different rules) — prove they agree on every
+    // DISTINCT word of every test corpus, which is what licenses the oracle.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val real = spark.read.parquet(s"$dir/documents.parquet")
+      val merges = Bpe.trainMerges(real, col("text"), 64)
+      val words = real.select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .distinct().as[String].collect()
+      assert(words.nonEmpty)
+      words.foreach { w =>
+        val seqEnc = Bpe.encodeSequential(w, merges).toSeq
+        assert(refEncode(w, merges) === seqEnc, s"word '$w' in $dir")
+      }
+    }
+  }
+
+  test("generated oracle SQL embeds every merge rule") {
+    val merges = Bpe.trainMerges(docs, col("text"), 16)
+    val sql = BpeOracle.sql(merges)
+    assert(sql.contains("FROM documents"))
+    merges.foreach { case (a, b) =>
+      assert(sql.contains(s"'${a}'") && sql.contains(s"'${b}'"))
+    }
+    assert(sql.split("list_reduce").length === merges.length + 1)
+  }
+
   test("more merges never increase the token count; zero merges = chars") {
     val m8 = Bpe.trainMerges(docs, col("text"), 8)
     val m32 = Bpe.trainMerges(docs, col("text"), 32)
