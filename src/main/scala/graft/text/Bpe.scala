@@ -19,11 +19,23 @@ object Bpe {
 
   /** Learn `numMerges` merge rules from the corpus. Deterministic: the most
     * frequent adjacent symbol pair wins each round, ties broken
-    * lexicographically. Stops early when no pair repeats. */
-  def trainMerges(docs: DataFrame, textCol: Column, numMerges: Int): IndexedSeq[(String, String)] = {
+    * lexicographically. Stops early when no pair repeats.
+    *
+    * The driver-side dictionary is BOUNDED regardless of corpus size:
+    * `minCount` floors out hapax noise and `maxVocab` caps the collect at
+    * the top-N types by frequency (deterministic tie-break on the word) —
+    * a TakeOrdered, not a full sort. Without the cap, Heap's-law type
+    * growth on noisy 100 TB text (10^8–10^9 types) would OOM the driver;
+    * with it, training sees the mass of the distribution (vocabulary
+    * learning never needed the tail) and driver memory is O(maxVocab). */
+  def trainMerges(docs: DataFrame, textCol: Column, numMerges: Int,
+      minCount: Long = 1, maxVocab: Int = 1 << 20): IndexedSeq[(String, String)] = {
     val wordCounts: Array[(Array[String], Long)] = docs
       .select(explode(TextFunctions.tokens(textCol)).as("w"))
       .groupBy("w").count()
+      .filter(col("count") >= minCount)
+      .orderBy(desc("count"), col("w"))
+      .limit(maxVocab)
       .collect()
       .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
 

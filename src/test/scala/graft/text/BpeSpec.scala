@@ -81,6 +81,22 @@ class BpeSpec extends SparkSpec {
     assert(sql.split("list_reduce").length === merges.length + 1)
   }
 
+  test("vocabulary collection is capped independent of corpus size") {
+    // 1 frequent word + unique hapax words per doc; with maxVocab=1 and a
+    // frequency floor, training must see ONLY the frequent word — merges
+    // come from "shared" and never mention hapax-only characters.
+    val noisy = (1L to 30L).map(i => (i, s"shared shared zq$i")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(noisy, col("text"), 16, minCount = 2, maxVocab = 1)
+    assert(merges.nonEmpty)
+    assert(merges.exists { case (a, b) => (a + b).contains("sh") })
+    merges.foreach { case (a, b) =>
+      assert(!(a + b).contains("z") && !(a + b).contains("q"),
+        s"hapax characters leaked into merge ($a,$b)")
+    }
+    // identical corpus twice -> identical capped training (determinism)
+    assert(merges === Bpe.trainMerges(noisy, col("text"), 16, minCount = 2, maxVocab = 1))
+  }
+
   test("more merges never increase the token count; zero merges = chars") {
     val m8 = Bpe.trainMerges(docs, col("text"), 8)
     val m32 = Bpe.trainMerges(docs, col("text"), 32)
