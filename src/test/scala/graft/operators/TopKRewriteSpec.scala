@@ -42,6 +42,16 @@ class TopKRewriteSpec extends SparkSpec {
       Set(("a", 4L), ("b", 6L), ("c", 7L)))
   }
 
+  test("q69's tf-idf top-terms plans through the heap operator") {
+    GraftOps.enableTopKRewrite(spark)
+    val q = graft.analytics.CorpusQueries.tfidfTopTerms(spark, "/root/testdata/sf0.001")
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerKey"), s"no heap operator in:\n$physical")
+    // 500 docs, ≤5 terms each; every doc with ≥1 token is represented
+    assert(q.select("doc_id").distinct().count() === 500)
+    assert(q.groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 5)
+  }
+
   test("no rewrite when rn stays in the output") {
     GraftOps.enableTopKRewrite(spark)
     val w = Window.partitionBy("k").orderBy(desc("v"), desc("id"))
