@@ -95,6 +95,8 @@ object SparkEntry {
     "q61_pack_sequences"     -> ((s, d) => SamplingQueries.packSequences(s, d)),
     "q69_tfidf_topterms"     -> (CorpusQueries.tfidfTopTerms _),
     "q70_unigram_lm"         -> (CorpusQueries.unigramLm _),
+    "q71_corpus_filter"      -> (CorpusQueries.corpusFilter _),
+    "q72_ivf_index_probe"    -> (CorpusQueries.ivfIndexProbe _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -270,6 +272,9 @@ object SparkEntry {
     "q44_ivf_topk" -> CosineTopKOracleSql,
     "q48_pq_topk" -> CosineTopKOracleSql,
     "q64_ivfpq_topk" -> CosineTopKOracleSql,
+    // the persisted-index probe (partition-pruned on-disk read path) has
+    // identical candidate semantics to q64 → same exact oracle
+    "q72_ivf_index_probe" -> CosineTopKOracleSql,
     "q29_embedding_neardup" -> EmbeddingNearDupOracleSql,
     // The banded multi-probe LSH (DedupSpec pins it) recovers the full exact
     // pair set on this corpus, so the approximate path is held to the exact
@@ -624,6 +629,41 @@ object SparkEntry {
         |    PARTITION BY doc_id ORDER BY score DESC, term DESC) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // Composition of the q20/q41/q57 signal expressions (each individually
+    // hash-proven) with mid-distribution thresholds; since both engines
+    // compute each signal bit-identically, the comparisons agree too.
+    "q71_corpus_filter" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         x -> x IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
+        |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stop_ratio
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, token_count,
+        |    (least(CAST(token_count AS DOUBLE) / 50.0, 1.0)
+        |     + (1.0 - least(punct_ratio * 4.0, 1.0))
+        |     + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality,
+        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS dup_token_ratio,
+        |    coalesce(
+        |      CAST(list_max(list_transform(
+        |             list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |               i -> toks[i] || ' ' || toks[i + 1])),
+        |             x -> len(list_filter(list_transform(generate_series(1, len(toks) - 1),
+        |               i -> toks[i] || ' ' || toks[i + 1]), y -> y = x)))) AS DOUBLE)
+        |        / greatest(len(toks) - 1, 1), 0.0) AS top_2gram_fraction
+        |  FROM b
+        |)
+        |SELECT doc_id, token_count, quality, dup_token_ratio, top_2gram_fraction
+        |FROM s
+        |WHERE token_count >= 20 AND token_count <= 5000
+        |  AND quality >= 0.5 AND dup_token_ratio <= 0.6
+        |  AND top_2gram_fraction <= 0.2""".stripMargin,
     // Exact integer frequency mass per doc; probabilities derived by the
     // same division chain as the Spark side (no float SUM, no log).
     "q70_unigram_lm" ->

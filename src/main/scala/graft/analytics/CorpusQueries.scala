@@ -270,6 +270,51 @@ object CorpusQueries {
           .as("min_token_prob"))
   }
 
+  /** The persisted-index ANN probe — the production on-disk read path: the
+    * PQ codes live in a parquet table hive-partitioned by coarse cell
+    * ([[graft.sim.IvfIndex]], built once per corpus as a fixture, like a
+    * real indexing job), and the query scans ONLY the nprobe partition
+    * directories nearest its vector (partition pruning asserted in
+    * IvfIndexSpec), ADC-shortlists inside them and reranks exactly. Same
+    * full-recall geometry as q64, so the same exact cosine oracle grades
+    * it. */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Array[(Long, Array[Double])])]
+  def ivfIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = annIndex(spark, dir)
+    val (path, localCents) = ivfIndexCache.getOrElseUpdate(dir, {
+      val p = java.nio.file.Files.createTempDirectory("graft-ivfidx-").toString + "/index"
+      graft.sim.IvfIndex.write(emb, idx.centroids, idx.model, p)
+      (p, graft.sim.IvfIndex.localCentroids(idx.centroids))
+    })
+    graft.sim.IvfIndex.probe(spark, path, emb, idx.model, localCents, idx.q0._1,
+      k = 10, nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist,
+      excludeId = Some(0L))
+  }
+
+  /** The full C4/Gopher-style quality-filter pass as ONE pipeline: compute
+    * every per-row signal (token count, composite quality, duplicate-token
+    * ratio, top-2-gram mass) in a single projection and keep only documents
+    * passing all gates. This is the production shape of corpus filtering —
+    * per-row, shuffle-free, one scan over 100 TB, with every signal an
+    * already-oracle-checked column function (q20/q41/q57); the composition
+    * is held to the composed DuckDB oracle. Thresholds sit mid-distribution
+    * on the test corpus so the filter genuinely discriminates. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("token_count"),
+        qualityScore(col("text")).as("quality"),
+        dupTokenRatio(col("text")).as("dup_token_ratio"),
+        top2GramFraction(col("text")).as("top_2gram_fraction"))
+      .filter(
+        col("token_count") >= 20 && col("token_count") <= 5000 &&
+          col("quality") >= 0.5 &&
+          col("dup_token_ratio") <= 0.6 &&
+          col("top_2gram_fraction") <= 0.2)
+
   /** BPE merge tables, trained ONCE per corpus dir and memoized — the
     * vocabulary-train/encode split every production tokenizer makes (and
     * the same fixture-vs-read split as [[annIndex]]: re-training inside

@@ -1,0 +1,71 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED form of the IVF+PQ index — what an indexing job writes
+  * next to a 100 TB corpus so queries never touch the raw table except to
+  * rerank a shortlist.
+  *
+  * Layout: one parquet table of (vec_id, codes, norm) hive-partitioned by
+  * `centroid_id`. A probe lists only the `nprobe` partition directories
+  * nearest the query (partition PRUNING, not filtering — the other
+  * (k − nprobe)/k of the index is never opened, which is the entire point
+  * of an inverted file), ADC-scores the ~16×-compressed codes inside them,
+  * and reranks the shortlist exactly against the raw vectors by id — a
+  * point-lookup join against the (id-clustered) corpus at scale.
+  *
+  * The in-memory [[Pq.ivfPqTopK]] is the same dataflow with a persisted
+  * DataFrame standing in for the directory layout; this is the on-disk
+  * production shape, and IvfIndexSpec asserts both that the plan's
+  * partition count is `nprobe` and that results match the exact ranking.
+  */
+object IvfIndex {
+
+  /** Build and persist the index: PQ-encode every vector and write the
+    * codes partitioned by coarse-quantizer cell. One shuffle-free pass
+    * over the corpus (the assignment join broadcasts k×dim centroids). */
+  def write(emb: DataFrame, centroids: DataFrame, model: Pq.Model, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val assigned = Similarity.assignToCentroids(emb, centroids,
+      idCol = idCol, vecCol = vecCol)
+      .select("vec_id", "centroid_id")
+    Pq.encode(emb, model, idCol, vecCol)
+      .join(assigned, "vec_id")
+      .write.mode("overwrite")
+      .partitionBy("centroid_id")
+      .parquet(path)
+  }
+
+  /** Probe the persisted index: prune to the `nprobe` nearest cells via an
+    * IN-list partition predicate (resolved against directory names at
+    * planning — no data read outside them), then ADC-shortlist + exact
+    * rerank. `centroids` is driver-resident index metadata (k×dim doubles),
+    * exactly like the PQ codebooks. */
+  def probe(spark: SparkSession, path: String, emb: DataFrame, model: Pq.Model,
+      centroids: Array[(Long, Array[Double])], query: Seq[Double], k: Int,
+      nprobe: Int, shortlist: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeId: Option[Long] = None): DataFrame = {
+    val qNorm = math.sqrt(query.map(x => x * x).sum)
+    def cos(c: Array[Double]): Double = {
+      var dot = 0.0; var nc = 0.0; var i = 0
+      while (i < c.length) { dot += c(i) * query(i); nc += c(i) * c(i); i += 1 }
+      dot / (math.sqrt(nc) * qNorm)
+    }
+    val probed = centroids
+      .sortBy { case (id, c) => (-cos(c), id) }
+      .take(nprobe).map(_._1)
+    val pruned = spark.read.parquet(path)
+      .filter(col("centroid_id").isin(probed: _*))
+    val codes = excludeId.fold(pruned)(id => pruned.filter(col("vec_id") =!= id))
+      .select("vec_id", "codes", "norm")
+    Pq.shortlistAndRerank(emb, codes, model, query, qNorm, k, shortlist, idCol, vecCol)
+  }
+
+  /** Collect the k×dim centroid table into the driver-resident metadata
+    * form [[probe]] wants (bounded: k rows). */
+  def localCentroids(centroids: DataFrame): Array[(Long, Array[Double])] =
+    centroids.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray))
+}

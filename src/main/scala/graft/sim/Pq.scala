@@ -168,7 +168,7 @@ object Pq {
 
   /** ADC-score `codes` against the query LUT, keep a shortlist (TakeOrdered
     * — no full sort), re-rank those ids exactly against the raw vectors. */
-  private def shortlistAndRerank(emb: DataFrame, codes: DataFrame, model: Model,
+  private[sim] def shortlistAndRerank(emb: DataFrame, codes: DataFrame, model: Model,
       q: Seq[Double], qNorm: Double, k: Int, shortlist: Int,
       idCol: String, vecCol: String): DataFrame = {
     val lut = lutFor(q, model)

@@ -1,0 +1,57 @@
+package graft.sim
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkSpec
+import graft.analytics.CorpusQueries.AnnParams
+
+/** The persisted IVF layout must (a) actually PRUNE — the probe's scan
+  * plans over exactly the nprobe partition directories, never listing the
+  * rest of the index — and (b) stay exact: with the swept AnnParams
+  * geometry the pruned+shortlisted+reranked result equals the brute-force
+  * ranking bit-for-bit. */
+class IvfIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("probe prunes to nprobe partitions and reproduces the exact ranking") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Similarity.trainCentroids(emb,
+      k = AnnParams.kCoarse, iters = AnnParams.coarseIters)
+    val model = Pq.train(emb, m = AnnParams.pqM, k = AnnParams.pqK,
+      iters = AnnParams.pqIters, dim = AnnParams.dim)
+    val path = tmpDir("ivf-index") + "/index"
+    IvfIndex.write(emb, centroids, model, path)
+
+    // one directory per coarse cell
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("centroid_id=")).map(_.getPath.getName)
+    assert(cellDirs.length === AnnParams.kCoarse)
+
+    val (q0, _) = Pq.queryVector(emb, 0L)
+    val probe = IvfIndex.probe(spark, path, emb, model,
+      IvfIndex.localCentroids(centroids), q0, k = 10,
+      nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist,
+      excludeId = Some(0L))
+
+    // the index scan's partition count is nprobe — pruning, not filtering
+    val scans = probe.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }.flatMap(_.collect { case s: FileSourceScanExec => s })
+    val indexScan = scans.find(_.metadata.get("Location").exists(_.contains("ivf-index")))
+      .getOrElse(fail(s"no index scan in:\n${probe.queryExecution.executedPlan}"))
+    assert(indexScan.partitionFilters.nonEmpty, "no partition filters on the index scan")
+    val selected = indexScan.selectedPartitions.partitionCount
+    assert(selected === AnnParams.nprobe,
+      s"expected ${AnnParams.nprobe} pruned partitions, scanned $selected")
+
+    // and the pruned probe is still the exact top-10
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().toSeq
+    val got = probe.collect().toSeq
+    assert(got === exact)
+  }
+}

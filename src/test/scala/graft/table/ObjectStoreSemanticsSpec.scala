@@ -105,6 +105,41 @@ class ObjectStoreSemanticsSpec extends SparkSpec {
     assert(FakeObjectStoreFileSystem.Publisher.wins.get() >= 7)
   }
 
+  test("streaming exactly-once appends + table-as-source over the no-rename store") {
+    val root = objectStoreRoot("os-stream")
+    GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "v"))
+
+    // MemoryStream → foreachBatch appendOnce: the CDC sink shape, with
+    // every commit publishing through the conditional-put seam
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", tmpDir("os-stream-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        GraftTable.forPath(spark, root).appendOnce(df, "os-app", batchId); ()
+      }.start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+
+    val t = GraftTable.forPath(spark, root)
+    assert(t.read().count() === 4)
+    // a replayed batch id is skipped (exactly-once survives restarts)
+    assert(t.appendOnce(Seq((9L, "dup")).toDF("id", "v"), "os-app", 0L).isEmpty)
+    assert(t.read().count() === 4)
+
+    // and the object-store table streams back OUT as a source
+    val out = t.streamAppends()
+      .writeStream.format("memory").queryName("os_stream_out")
+      .option("checkpointLocation", tmpDir("os-stream-out-ckpt"))
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      out.processAllAvailable()
+      assert(spark.table("os_stream_out").count() === 4)
+    } finally out.stop()
+  }
+
   test("racing rewrites on the no-rename store: conditional put arbitrates") {
     val root = objectStoreRoot("os-race")
     GraftTable.create(spark, root, (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "x"))
