@@ -85,16 +85,13 @@ object CorpusQueries {
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), maxDist = 3)
 
-  /** n-gram Jaccard near-dups over shared-shingle candidates, held to the
-    * exact-Jaccard oracle. The synthetic corpus draws from a ~30-word
-    * vocabulary, so common trigrams appear in hundreds of documents and a
-    * loose df cap degenerates toward all-pairs; df ≤ 10 keeps candidates to
-    * genuinely discriminative shingles while still reaching every true pair
-    * at every test SF (measured: cap 6 starts dropping pairs at sf0.1; the
-    * reported jaccard stays exact — the cap only bounds recall). */
+  /** n-gram Jaccard near-dups over prefix-filtered candidates, held to the
+    * exact-Jaccard oracle. Prefix filtering (rarity-ordered AllPairs) is
+    * LOSSLESS at the query threshold, so — unlike the earlier df-cap
+    * candidate generator, whose recall was a measured property of each
+    * corpus — full recall here is an algorithmic guarantee at every SF. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5,
-      maxDocFreq = 10)
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
 
   /** Exact embedding near-dup pairs (cosine ≥ 0.5) — DuckDB-checkable. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =

@@ -85,23 +85,37 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       array_distinct(TextFunctions.shingles(col(textCol), n)).as("shset"))
 
-  /** Exact Jaccard over shared-shingle candidate pairs. Candidate
-    * generation drops shingles occurring in more than `maxDocFreq`
-    * documents — they generate quadratic candidates while carrying no
-    * discriminative signal (the standard df-cap in large-scale dedup; it
-    * bounds recall, not precision). Verification then computes TRUE
-    * jaccard over the full shingle sets of the candidates only. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Int = 1000): DataFrame = {
+  /** Exact Jaccard over prefix-filtered candidate pairs (AllPairs/PPJoin
+    * candidate generation, Bayardo et al. WWW'07 / Xiao et al. WWW'08).
+    *
+    * Each document's shingles are ordered by global rarity (df asc, hash
+    * asc — one total order across all documents) and only the first
+    * |x| − ⌈t·|x|⌉ + 1 participate in the equality join: J(A,B) ≥ t forces
+    * |A∩B| ≥ ⌈t·|A|⌉, so the earliest common token under the shared order
+    * sits at position ≤ |A| − ⌈t·|A|⌉ + 1 in BOTH documents — the filter is
+    * LOSSLESS, unlike a document-frequency cap, which bounds recall. The
+    * quadratic join runs over rare prefix tokens only; verification then
+    * computes TRUE jaccard over the full shingle sets of the candidates.
+    *
+    * Additional length filter: |B| ≥ ⌈t·|A|⌉ is implied by J ≥ t, so
+    * candidate rows whose sizes already violate it are dropped before the
+    * pair-dedup shuffle. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val sh = stage(docShingleHashes(docs, n), "jaccard")
-    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-    val pruned = sh.join(rare, "h")
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, "h")
+      .withColumn("rn", row_number().over(w.orderBy("df", "h")))
+      .withColumn("sz", count(lit(1)).over(w))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select("h", "doc_id", "sz")
     // groupBy instead of distinct: same single shuffle dedups the pairs.
-    val cand = pruned.select(col("h"), col("doc_id").as("a_id"))
-      .join(pruned.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared_rare"))
+    val cand = prefix.select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
+      .join(prefix.select(col("h"), col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("h"))
+      .filter(col("a_id") < col("b_id") &&
+        col("b_sz") >= ceil(lit(threshold) * col("a_sz")) &&
+        col("a_sz") >= ceil(lit(threshold) * col("b_sz")))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared_prefix"))
       .select("a_id", "b_id")
     verifyJaccard(cand, docShingleSets(docs, n), threshold)
   }
