@@ -97,6 +97,7 @@ object SparkEntry {
     "q70_unigram_lm"         -> (CorpusQueries.unigramLm _),
     "q71_corpus_filter"      -> (CorpusQueries.corpusFilter _),
     "q72_ivf_index_probe"    -> (CorpusQueries.ivfIndexProbe _),
+    "q73_dup_clusters"       -> (CorpusQueries.dupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -275,6 +276,9 @@ object SparkEntry {
     // the persisted-index probe (partition-pruned on-disk read path) has
     // identical candidate semantics to q64 → same exact oracle
     "q72_ivf_index_probe" -> CosineTopKOracleSql,
+    // connected components over the q27 pair graph; oracle = transitive
+    // closure by recursive CTE over the same exact-jaccard pairs
+    "q73_dup_clusters" -> DupClustersOracleSql,
     "q29_embedding_neardup" -> EmbeddingNearDupOracleSql,
     // The banded multi-probe LSH (DedupSpec pins it) recovers the full exact
     // pair set on this corpus, so the approximate path is held to the exact
@@ -689,6 +693,27 @@ object SparkEntry {
     // BpeOracle. Absent only if bpeTokenize never ran (→ rows-only check).
     analytics.CorpusQueries.currentBpeMerges
       .map(m => "q47_bpe_tokenize" -> graft.text.BpeOracle.sql(m))
+
+  /** q73 oracle: connected components over the exact-jaccard pair graph by
+    * transitive closure (recursive CTE: every label reaches every node in
+    * its component; min reachable label = cluster id) — the declarative
+    * phrasing of the engine's min-label propagation. */
+  private def DupClustersOracleSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |$JaccardOracleSql
+       |), edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs
+       |), reach(node, lbl) AS (
+       |  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+       |), cl AS (
+       |  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+       |)
+       |SELECT doc_id, cluster_id,
+       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM cl""".stripMargin
 
   /** Exact cosine top-10 for query vec_id=0 — oracle for the brute-force
     * path (q28) and the banded-LSH path (q31, full recall on this corpus). */

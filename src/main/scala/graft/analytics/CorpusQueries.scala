@@ -93,6 +93,15 @@ object CorpusQueries {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), n = 3, threshold = 0.5)
 
+  /** Duplicate clusters: q27's exact-jaccard pair graph → connected
+    * components → (doc_id, cluster_id, cluster_size), singletons included.
+    * cluster_id = min doc_id in the component (deterministic keepers). */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.duplicateClusters(docs,
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5))
+  }
+
   /** Exact embedding near-dup pairs (cosine ≥ 0.5) — DuckDB-checkable. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsExact(Tables.embeddings(spark, dir), threshold = 0.5)

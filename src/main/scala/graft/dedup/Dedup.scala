@@ -336,4 +336,51 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
   }
+
+  // ------------------------------------------------- duplicate clusters
+
+  /** Connected components over a near-dup pair graph — the dedup endgame:
+    * pair lists become duplicate CLUSTERS with one deterministic keeper
+    * each. Iterative min-label propagation (the MapReduce-CC family,
+    * Rastogi et al., ICDE'13): every round each node adopts the smallest
+    * label among itself and its neighbors; one round = one join + one
+    * hash-aggregate shuffle. Rounds needed = graph diameter — near-dup
+    * components from bucket joins are cliques or short chains, so 2-3
+    * rounds in practice; `maxIters` caps adversarial chains. Labels are
+    * staged to parquet per round, severing the iterative lineage exactly
+    * like the k-means centroid path (the plan would otherwise grow by one
+    * join+agg layer per round and re-execute all prior rounds inside each
+    * next one).
+    *
+    * Output: (doc_id, cluster_id, cluster_size) for EVERY input document —
+    * singletons cluster with themselves; cluster_id = min doc_id in the
+    * component, so `doc_id == cluster_id` selects the keepers. */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIters: Int = 20): DataFrame = {
+    val edges = stage(
+      pairs.select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+        .union(pairs.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst"))),
+      "cc-edges")
+    var labels = stage(
+      docs.select(col(idCol).cast("long").as("node"), col(idCol).cast("long").as("lbl")),
+      "cc-labels")
+    var round = 0
+    var done = false
+    while (!done && round < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("src"), col("lbl")), "src")
+        .select(col("dst").as("node"), col("lbl"))
+      val updated = stage(
+        labels.union(neighborMin).groupBy("node").agg(min("lbl").as("lbl")),
+        "cc-labels")
+      done = updated
+        .join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = updated
+      round += 1
+    }
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("node").as(idCol), col("lbl").as("cluster_id"), col("cluster_size"))
+  }
 }

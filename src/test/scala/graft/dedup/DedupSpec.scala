@@ -109,4 +109,26 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(lsh === exact)
   }
+
+  test("duplicateClusters: components, keepers, singletons, chain diameter") {
+    val nodes = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 1-2-3 a chain (diameter 2 — needs >1 propagation round), 5-6 a pair,
+    // 4 and 7 singletons.
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(nodes, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))).toMap
+    assert(out === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((4L, 1L)), 5L -> ((5L, 2L)), 6L -> ((5L, 2L)), 7L -> ((7L, 1L))))
+  }
+
+  test("duplicateClusters over jaccard pairs groups dups, leaves singletons") {
+    val out = Dedup.duplicateClusters(docs,
+        Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out(1L) === 1L && out(2L) === 1L)
+    assert(out(3L) === out(4L)) // near-dup pair shares a cluster
+    assert(out(6L) === 6L)      // unrelated doc stays a singleton
+  }
 }
