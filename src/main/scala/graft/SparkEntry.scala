@@ -98,6 +98,7 @@ object SparkEntry {
     "q71_corpus_filter"      -> (CorpusQueries.corpusFilter _),
     "q72_ivf_index_probe"    -> (CorpusQueries.ivfIndexProbe _),
     "q73_dup_clusters"       -> (CorpusQueries.dupClusters _),
+    "q74_subquery_suite"     -> (OlapQueries.subquerySuite _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,6 +280,23 @@ object SparkEntry {
     // connected components over the q27 pair graph; oracle = transitive
     // closure by recursive CTE over the same exact-jaccard pairs
     "q73_dup_clusters" -> DupClustersOracleSql,
+    // the comparison is (price × n) > Σprice in exact DECIMAL arithmetic on
+    // both engines — an average-above test with no float division
+    "q74_subquery_suite" ->
+      """SELECT c.c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND CAST(o.o_totalprice AS DECIMAL(18,2)) *
+        |          (SELECT count(*) FROM orders o2
+        |            WHERE o2.o_custkey = o.o_custkey) >
+        |          (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |             FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |  ) AS above_avg_orders,
+        |  EXISTS (SELECT 1 FROM orders o
+        |           WHERE o.o_custkey = c.c_custkey
+        |             AND o.o_orderpriority = '1-URGENT') AS has_urgent
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
     "q29_embedding_neardup" -> EmbeddingNearDupOracleSql,
     // The banded multi-probe LSH (DedupSpec pins it) recovers the full exact
     // pair set on this corpus, so the approximate path is held to the exact

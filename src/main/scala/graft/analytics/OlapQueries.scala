@@ -251,6 +251,32 @@ object OlapQueries {
         |GROUP BY 1, 2""".stripMargin)
   }
 
+  /** Correlated-subquery surface through the SQL text path: EXISTS /
+    * NOT EXISTS (decorrelated by Catalyst to semi/anti joins) and a
+    * correlated scalar aggregate subquery (decorrelated to an outer join
+    * against the grouped subquery). One row per customer with an order:
+    * order count above the customer's own average price, plus whether any
+    * urgent order exists — the canonical decorrelation shapes. */
+  def subquerySuite(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("sq_customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("sq_orders_v")
+    spark.sql(
+      """SELECT c.c_custkey,
+        |       (SELECT count(*) FROM sq_orders_v o
+        |         WHERE o.o_custkey = c.c_custkey
+        |           AND CAST(o.o_totalprice AS DECIMAL(18,2)) *
+        |               (SELECT count(*) FROM sq_orders_v o2
+        |                 WHERE o2.o_custkey = o.o_custkey) >
+        |               (SELECT sum(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+        |                  FROM sq_orders_v o3 WHERE o3.o_custkey = o.o_custkey)
+        |       ) AS above_avg_orders,
+        |       EXISTS (SELECT 1 FROM sq_orders_v o
+        |                WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderpriority = '1-URGENT') AS has_urgent
+        |FROM sq_customer_v c
+        |WHERE EXISTS (SELECT 1 FROM sq_orders_v o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
+  }
+
   /** Supplier dimension rollout: suppliers per region with balance totals —
     * completes table coverage (supplier ⋈ nation ⋈ region, both dims
     * broadcast). */
