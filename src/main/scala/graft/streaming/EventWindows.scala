@@ -34,4 +34,27 @@ object EventWindows {
     * 1-hour windows align with date_trunc('hour') — the DuckDB oracle. */
   def hourlyEventStats(spark: SparkSession, dir: String): DataFrame =
     windowedEventStats(Tables.events(spark, dir))
+
+  /** Stream-stream interval join — the streaming face of the batch range
+    * join ([[graft.analytics.TemporalQueries.eventsNearErrors]]): each
+    * probe event pairs with anchor events of the same user whose timestamp
+    * lies in (probe.ts − maxLag, probe.ts]. BOTH sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can expire
+    * buffered rows once no future partner can match — without both, join
+    * state grows without bound at stream scale. Inputs need
+    * `user_id, ts, event_id` (+ `event_type` on the anchor side upstream).
+    * Works identically on batch frames (watermark is a no-op there). */
+  def intervalJoin(probes: DataFrame, anchors: DataFrame,
+      maxLag: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val p0 = probes.select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("probe_id"))
+    val a0 = anchors.select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("anchor_id"))
+    val p = if (p0.isStreaming) p0.withWatermark("p_ts", watermark) else p0
+    val a = if (a0.isStreaming) a0.withWatermark("a_ts", watermark) else a0
+    p.join(a,
+      p("user_id") === a("user_id") &&
+        a("a_ts") <= p("p_ts") &&
+        a("a_ts") > p("p_ts") - expr(s"INTERVAL $maxLag"))
+      .select(p("user_id"), col("probe_id"), col("anchor_id"),
+        col("p_ts"), col("a_ts"))
+  }
 }

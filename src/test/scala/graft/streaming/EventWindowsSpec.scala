@@ -68,4 +68,44 @@ class EventWindowsSpec extends SparkSpec {
       ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
       ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
   }
+
+  test("stream-stream interval join pairs probes with in-window anchors") {
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[JoinEv]
+    val anchors = MemoryStream[JoinEv]
+    val q = EventWindows.intervalJoin(probes.toDF(), anchors.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      anchors.addData(
+        JoinEv(7L, t("2024-01-01 10:00:00"), 100L),
+        JoinEv(8L, t("2024-01-01 10:00:00"), 101L))
+      // probe in-window (10:30, same user), out-of-window (11:30), and
+      // wrong-user (user 9) — arriving in a LATER batch than the anchors,
+      // which is exactly what the join state buffer exists for.
+      probes.addData(
+        JoinEv(7L, t("2024-01-01 10:30:00"), 200L),
+        JoinEv(7L, t("2024-01-01 11:30:00"), 201L),
+        JoinEv(9L, t("2024-01-01 10:30:00"), 202L))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("probe_id"),
+          r.getAs[Long]("anchor_id"))).toSet
+      assert(got === Set((7L, 200L, 100L)))
+    } finally q.stop()
+  }
+
+  test("interval join batch phrasing matches the q40 range-join semantics") {
+    val probes = Seq(
+      JoinEv(7L, t("2024-01-01 10:30:00"), 200L),
+      JoinEv(7L, t("2024-01-01 10:00:00"), 201L), // boundary: p_ts == a_ts → match
+      JoinEv(7L, t("2024-01-01 11:00:00"), 202L)  // boundary: p_ts == a_ts + 1h → no match
+    ).toDF()
+    val anchors = Seq(JoinEv(7L, t("2024-01-01 10:00:00"), 100L)).toDF()
+    val got = EventWindows.intervalJoin(probes, anchors).collect()
+      .map(r => r.getAs[Long]("probe_id")).toSet
+    assert(got === Set(200L, 201L))
+  }
 }
+
+final case class JoinEv(user_id: Long, ts: Timestamp, event_id: Long)
