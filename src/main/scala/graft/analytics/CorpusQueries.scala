@@ -127,7 +127,13 @@ object CorpusQueries {
     * topped out at 9/10 recall; m=8×k=256 (still 8-byte codes — one byte
     * per subspace) with a 128-vector shortlist and nprobe=7 holds 10/10 at
     * sf0.001/0.01/0.1, which is what lets q44/q48/q64 be held to the SAME
-    * exact cosine oracle as the brute-force path. */
+    * exact cosine oracle as the brute-force path.
+    *
+    * nprobe and shortlist here are the FLOORS of the adaptive geometry
+    * ([[AnnIndex.geometry]] / [[graft.sim.AnnGeometry]]): the queries
+    * derive their actual probe width from measured index statistics and
+    * clamp to these swept values, so recall can only meet or beat the
+    * sweep. */
   object AnnParams {
     val kCoarse = 8
     val coarseIters = 3
@@ -150,7 +156,22 @@ object CorpusQueries {
   case class AnnIndex(
       centroids: DataFrame, assigned: DataFrame,
       model: graft.sim.Pq.Model, codes: DataFrame,
-      q0: (Seq[Double], Double))
+      q0: (Seq[Double], Double),
+      clusterSizes: Seq[Long]) {
+    def n: Long = clusterSizes.sum
+
+    /** (nprobe, shortlist) derived from the measured cluster histogram and
+      * corpus count ([[graft.sim.AnnGeometry]]), clamped to the
+      * recall-swept [[AnnParams]] floors — recall is monotone in both
+      * knobs, so the clamp preserves the exact-oracle property while the
+      * geometry tracks index statistics instead of hand-tuned constants. */
+    def geometry(k: Int): (Int, Int) = {
+      val sl = graft.sim.AnnGeometry.shortlist(n, k, AnnParams.shortlist)
+      val np = graft.sim.AnnGeometry.nprobe(clusterSizes,
+        graft.sim.AnnGeometry.minCandidates(k, sl), AnnParams.nprobe)
+      (np, sl)
+    }
+  }
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, AnnIndex]
   def annIndex(spark: SparkSession, dir: String): AnnIndex =
@@ -163,10 +184,14 @@ object CorpusQueries {
       val model = graft.sim.Pq.train(emb, m = pqM, k = pqK, iters = pqIters, dim = dim)
       val codes = graft.sim.Pq.encode(emb, model)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // index statistics (k rows — bounded like the centroid table): the
+      // cluster-size histogram that sizes the adaptive probe geometry
+      val sizes = assigned.groupBy("centroid_id").agg(count(lit(1)).as("c"))
+        .collect().map(_.getAs[Long]("c")).toSeq
       // the driver queries all probe from vec_id=0; fetching its vector is
       // fixture work (a production query carries its vector with it)
       AnnIndex(centroids, assigned, model, codes,
-        graft.sim.Pq.queryVector(emb, 0L))
+        graft.sim.Pq.queryVector(emb, 0L), sizes)
     })
 
   /** IVF ANN top-10: deterministic k-means coarse quantizer then exact
@@ -182,7 +207,7 @@ object CorpusQueries {
     val emb = Tables.embeddings(spark, dir)
     val idx = annIndex(spark, dir)
     Similarity.ivfTopK(emb, idx.centroids, queryId = 0L, k = 10,
-      nprobe = AnnParams.nprobe, assigned = Some(idx.assigned))
+      nprobe = idx.geometry(10)._1, assigned = Some(idx.assigned))
   }
 
   /** Product-quantized ANN top-10: trained per-subspace codebooks, coded
@@ -194,7 +219,7 @@ object CorpusQueries {
     val emb = Tables.embeddings(spark, dir)
     val idx = annIndex(spark, dir)
     graft.sim.Pq.topK(emb, idx.codes, idx.model, queryId = 0L, k = 10,
-      shortlist = AnnParams.shortlist, query = Some(idx.q0))
+      shortlist = idx.geometry(10)._2, query = Some(idx.q0))
   }
 
   /** Fused IVF+PQ ANN top-10 — the full production read path: coarse
@@ -204,8 +229,9 @@ object CorpusQueries {
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val idx = annIndex(spark, dir)
+    val (np, sl) = idx.geometry(10)
     graft.sim.Pq.ivfPqTopK(emb, idx.centroids, idx.assigned, idx.codes, idx.model,
-      queryId = 0L, k = 10, nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist,
+      queryId = 0L, k = 10, nprobe = np, shortlist = sl,
       query = Some(idx.q0))
   }
 
@@ -294,8 +320,9 @@ object CorpusQueries {
       graft.sim.IvfIndex.write(emb, idx.centroids, idx.model, p)
       (p, graft.sim.IvfIndex.localCentroids(idx.centroids))
     })
+    val (np, sl) = idx.geometry(10)
     graft.sim.IvfIndex.probe(spark, path, emb, idx.model, localCents, idx.q0._1,
-      k = 10, nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist,
+      k = 10, nprobe = np, shortlist = sl,
       excludeId = Some(0L))
   }
 
