@@ -99,6 +99,7 @@ object SparkEntry {
     "q72_ivf_index_probe"    -> (CorpusQueries.ivfIndexProbe _),
     "q73_dup_clusters"       -> (CorpusQueries.dupClusters _),
     "q74_subquery_suite"     -> (OlapQueries.subquerySuite _),
+    "q75_source_mix"         -> ((s, d) => SamplingQueries.sourceMix(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -602,6 +603,26 @@ object SparkEntry {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |              - token_count) / 512.0) AS BIGINT) AS bin_id
         |FROM t""".stripMargin,
+    // weighted source mixing: same md5-prefix hash order as q60, same
+    // running-sum budget arithmetic as q61 — both already hash-proven
+    "q75_source_mix" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
+        |    CAST(list_sum(list_transform(range(8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+        |           * pow(16, 7 - i))) AS BIGINT) AS hv,
+        |    CAST(CAST(substring(source, 4) AS INT) % 4 + 1 AS BIGINT) AS weight
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, token_count, weight,
+        |    SUM(token_count) OVER (PARTITION BY source ORDER BY hv DESC, doc_id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT source, doc_id, weight, token_count FROM c
+        |WHERE cum - token_count < weight * 400""".stripMargin,
     "q58_text_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -99,6 +99,31 @@ object SamplingQueries {
         .cast("long"))
   }
 
+  /** Weighted source mixing to per-source token budgets — the data-mixture
+    * step that turns N per-source corpora into one training distribution
+    * (e.g. web×1, curated×4). Each source's budget is weight ×
+    * `tokensPerWeight` tokens, filled in content-hash order (a
+    * deterministic uniform draw, like [[quotaSample]]); a document is kept
+    * if it STARTS inside the budget (next-fit, the same running-sum
+    * arithmetic as [[packSequences]], so budgets overshoot by at most one
+    * document). Weights here derive from the source name (src<i> → i%4+1)
+    * to keep the driver query self-contained; production passes a weight
+    * table. One window shuffle on source; stable under re-runs and
+    * repartitioning. */
+  def sourceMix(spark: SparkSession, dir: String,
+      tokensPerWeight: Long = 400L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(desc("__h"), desc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("token_count"),
+        md5Bucket32(col("doc_id")).as("__h"),
+        (substring(col("source"), 4, 10).cast("int") % 4 + 1).cast("long").as("weight"))
+      .withColumn("cum", sum("token_count").over(w))
+      .filter(col("cum") - col("token_count") < col("weight") * tokensPerWeight)
+      .select("source", "doc_id", "weight", "token_count")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with an evaluation set — the standard guard against test-set
     * leakage into pretraining data. Shingles are hashed to 8-byte keys

@@ -46,6 +46,23 @@ class SamplingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("sourceMix fills each source's weighted budget, overshooting by at most one doc") {
+    val mix = SamplingQueries.sourceMix(spark, sf, tokensPerWeight = 200L).collect()
+    assert(mix.nonEmpty)
+    // deterministic re-run
+    assert(SamplingQueries.sourceMix(spark, sf, tokensPerWeight = 200L)
+      .collect().toSet === mix.toSet)
+    mix.groupBy(_.getString(0)).foreach { case (source, rows) =>
+      val weight = rows.head.getLong(2)
+      assert(weight === (source.drop(3).toInt % 4 + 1).toLong, source)
+      val budget = weight * 200L
+      val total = rows.map(_.getLong(3)).sum
+      val maxDoc = rows.map(_.getLong(3)).max
+      // every selected doc STARTS inside the budget → total < budget + last doc
+      assert(total < budget + maxDoc, s"$source total=$total budget=$budget")
+    }
+  }
+
   test("decontaminate: flags only train docs overlapping the eval slice") {
     val flagged = SamplingQueries.decontaminate(spark, sf, n = 8, evalDocs = 10L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
