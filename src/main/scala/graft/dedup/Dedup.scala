@@ -77,13 +77,29 @@ object Dedup {
     spark.read.parquet(p.toString)
   }
 
-  /** Per-document DISTINCT shingle sets as array rows (doc_id, shset) —
-    * computed row-locally, no shuffle. The verification-side companion of
-    * [[docShingles]]. */
+  /** [[stage]] only when the optimizer's size estimate says recomputation
+    * would cost real cluster work (`spark.graft.stage.threshold`, default
+    * 256 MB). Below it, the duplicated subtree executes concurrently on
+    * otherwise-idle cores while staging would ADD two job barriers and a
+    * parquet round-trip — measured ~1.5 s slower on the bench corpus. At
+    * 100 TB every dedup staging table crosses the threshold and the
+    * materialize-once plan wins by construction. */
+  private def stageIfLarge(df: DataFrame, tag: String): DataFrame = {
+    val threshold = df.sparkSession.conf.getOption("spark.graft.stage.threshold")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < threshold) df
+    else stage(df, tag)
+  }
+
+  /** Per-document DISTINCT shingle sets as SORTED array rows
+    * (doc_id, shset) — computed row-locally, no shuffle. The
+    * verification-side companion of [[docShingles]]; sorted (binary string
+    * order) so [[verifyJaccard]] can count intersections with one
+    * allocation-free merge pass instead of a per-row hash set. */
   def docShingleSets(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      array_distinct(TextFunctions.shingles(col(textCol), n)).as("shset"))
+      array_sort(array_distinct(TextFunctions.shingles(col(textCol), n))).as("shset"))
 
   /** Exact Jaccard over prefix-filtered candidate pairs (AllPairs/PPJoin
     * candidate generation, Bayardo et al. WWW'07 / Xiao et al. WWW'08).
@@ -102,13 +118,18 @@ object Dedup {
     * pair-dedup shuffle. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh = stage(docShingleHashes(docs, n), "jaccard")
+    val sh = stageIfLarge(docShingleHashes(docs, n), "jaccard")
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = sh.join(dfreq, "h")
+    // The prefix table is staged (size-gated) because the candidate
+    // self-join references it twice — at scale, without staging, each side
+    // re-executes the df aggregate, the join and both window passes (the
+    // executed plan literally contained the subtree twice; no exchange
+    // reuse across the two broadcast sides).
+    val prefix = stageIfLarge(sh.join(dfreq, "h")
       .withColumn("rn", row_number().over(w.orderBy("df", "h")))
       .withColumn("sz", count(lit(1)).over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("h", "doc_id", "sz")
+      .select("h", "doc_id", "sz"), "jacprefix")
     // groupBy instead of distinct: same single shuffle dedups the pairs.
     val cand = prefix.select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
       .join(prefix.select(col("h"), col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("h"))
@@ -121,17 +142,20 @@ object Dedup {
   }
 
   /** Exact jaccard of candidate (a_id, b_id) pairs over full shingle sets:
-    * two key joins against the per-doc ARRAY table, then a per-row
-    * `array_intersect` — linear in candidates. (The earlier exploded-row
-    * phrasing joined candidates against every (doc, shingle) row, a
-    * |cand|×|shingles per doc| row blowup — 58M intermediate rows on the
-    * bench corpus.) */
+    * two key joins against the per-doc SORTED-array table, then one
+    * allocation-free merge-count per row
+    * ([[org.apache.spark.sql.graftnative.SortedIntersectCount]]) — linear
+    * in candidates. (The earlier exploded-row phrasing joined candidates
+    * against every (doc, shingle) row — 58M intermediate rows on the bench
+    * corpus; the `array_intersect` phrasing after that built a hash set
+    * per candidate row, ~half the verify cost.) */
   private def verifyJaccard(cand: DataFrame, shingleSets: DataFrame,
       threshold: Double): DataFrame = {
     cand
       .join(shingleSets.select(col("doc_id").as("a_id"), col("shset").as("a_set")), "a_id")
       .join(shingleSets.select(col("doc_id").as("b_id"), col("shset").as("b_set")), "b_id")
-      .withColumn("common", size(array_intersect(col("a_set"), col("b_set"))))
+      .withColumn("common", org.apache.spark.sql.graftnative.TextExpressions
+        .sortedIntersectCount(col("a_set"), col("b_set")))
       .withColumn("jaccard",
         col("common").cast("double")
           / (size(col("a_set")) + size(col("b_set")) - col("common")))

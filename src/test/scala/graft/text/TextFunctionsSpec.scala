@@ -76,6 +76,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double]("solo", TextFunctions.top2GramFraction(col("text"))) === 0.0)
   }
 
+  test("sortedIntersectCount equals array_intersect size on sorted sets") {
+    import org.apache.spark.sql.graftnative.TextExpressions.sortedIntersectCount
+    val df = Seq(
+      (Seq("a", "b", "c", "e"), Seq("b", "c", "d")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("x"), Seq.empty[String]),
+      (Seq("p", "q"), Seq("p", "q")),
+      (Seq("aa", "ab"), Seq("ac", "ad"))).toDF("a", "b")
+    val got = df.select(
+      sortedIntersectCount(col("a"), col("b")).as("m"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+    // stays inside whole-stage codegen (the point of doGenCode) — force a
+    // non-local plan first (LocalTableScan folds projections eagerly)
+    val q = df.repartition(2).select(sortedIntersectCount(col("a"), col("b")))
+    q.collect() // finalize the adaptive plan
+    val plan = q.queryExecution.executedPlan.toString
+    // "*(n) Project" is the compact WholeStageCodegen marker
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project.*graft_sorted_intersect_count.*"), plan)
+  }
+
   test("scrubbed: URLs and emails replaced, whitespace normalized") {
     assert(one[String](
       "see https://ex.com/a?b=1 or www.ex.org and mail bob.smith+x@ex-mail.co.uk now",
