@@ -100,6 +100,7 @@ object SparkEntry {
     "q73_dup_clusters"       -> (CorpusQueries.dupClusters _),
     "q74_subquery_suite"     -> (OlapQueries.subquerySuite _),
     "q75_source_mix"         -> ((s, d) => SamplingQueries.sourceMix(s, d)),
+    "q76_decontaminate_bloom" -> ((s, d) => SamplingQueries.decontaminateBloom(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -552,17 +553,10 @@ object SparkEntry {
         |  count(*) AS bin_docs,
         |  string_agg(text, ' ' ORDER BY doc_id) AS payload
         |FROM p GROUP BY source, bin_id""".stripMargin,
-    "q66_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
-        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
-        |tr AS (SELECT doc_id, g FROM sh WHERE doc_id >= 10)
-        |SELECT tr.doc_id, count(DISTINCT tr.g) AS shared_ngrams
-        |FROM tr JOIN ev USING (g)
-        |GROUP BY tr.doc_id""".stripMargin,
+    "q66_decontaminate" -> DecontaminateOracleSql,
+    // bloom prefilter changes the scale shape, not the result — exact
+    // verification removes false positives, so the q66 oracle grades it
+    "q76_decontaminate_bloom" -> DecontaminateOracleSql,
     "q59_hash_split" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -732,6 +726,21 @@ object SparkEntry {
     // BpeOracle. Absent only if bpeTokenize never ran (→ rows-only check).
     analytics.CorpusQueries.currentBpeMerges
       .map(m => "q47_bpe_tokenize" -> graft.text.BpeOracle.sql(m))
+
+  /** q66/q76 oracle: exact 8-gram overlap counts between the train slice
+    * and the eval slice (q76's bloom prefilter cannot change the result —
+    * the exact join removes false positives). */
+  private val DecontaminateOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+      |tr AS (SELECT doc_id, g FROM sh WHERE doc_id >= 10)
+      |SELECT tr.doc_id, count(DISTINCT tr.g) AS shared_ngrams
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY tr.doc_id""".stripMargin
 
   /** q73 oracle: connected components over the exact-jaccard pair graph by
     * transitive closure (recursive CTE: every label reaches every node in

@@ -146,4 +146,34 @@ object SamplingQueries {
       .groupBy("doc_id")
       .agg(countDistinct(col("gh")).as("shared_ngrams"))
   }
+
+  /** [[decontaminate]] with a bloom prefilter on the train side — IDENTICAL
+    * output, different scale shape: the eval set's gram hashes fold into a
+    * serialized bloom filter (one tiny aggregate — eval suites are MBs, the
+    * training corpus is the 100 TB side), `might_contain` prunes train
+    * grams MAP-SIDE before any shuffle, and the exact semi-join over the
+    * few survivors removes bloom false positives. Without this, the join
+    * shuffles every train gram to find the ~0.01% contaminated ones; with
+    * it, the big side's shuffle volume is proportional to the
+    * contamination rate (+ fpp). `expectedEvalGrams` sizes the filter
+    * (~8 bits/item ≈ 2% fpp). */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 8,
+      evalDocs: Long = 10L, expectedEvalGrams: Long = 100000L): DataFrame = {
+    import graft.text.TextFunctions.shingles
+    import org.apache.spark.sql.graftnative.BloomOps
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(array_distinct(shingles(col("text"), n))).as("g"))
+      .select(col(idAs), xxhash64(col("g")).as("gh"))
+    val evalSet = grams(docs.filter(col("doc_id") < evalDocs), "eval_id")
+    val train = grams(docs.filter(col("doc_id") >= evalDocs), "doc_id")
+    val bf = evalSet.agg(
+      BloomOps.bloomFilterAgg(col("gh"), expectedEvalGrams).as("bf"))
+    train
+      .filter(BloomOps.mightContain(bf, col("gh")))
+      .join(evalSet.select("gh").distinct(), "gh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gh")).as("shared_ngrams"))
+  }
 }

@@ -74,6 +74,15 @@ class SamplingQueriesSpec extends SparkSpec {
     assert(flagged.toSet === again.toSet)
   }
 
+  test("decontaminateBloom: identical output to the exact path, prefilter in plan") {
+    val exact = SamplingQueries.decontaminate(spark, sf, n = 8, evalDocs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloom = SamplingQueries.decontaminateBloom(spark, sf, n = 8, evalDocs = 10L)
+    assert(bloom.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === exact)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
   test("packSequences with shards keeps the invariant per (source, shard)") {
     val packed = SamplingQueries.packSequences(spark, sf, budget = 256, shards = 4)
     assert(packed.columns.contains("shard"))
