@@ -101,6 +101,8 @@ object SparkEntry {
     "q74_subquery_suite"     -> (OlapQueries.subquerySuite _),
     "q75_source_mix"         -> ((s, d) => SamplingQueries.sourceMix(s, d)),
     "q76_decontaminate_bloom" -> ((s, d) => SamplingQueries.decontaminateBloom(s, d)),
+    "q77_grouping_sets"      -> (OlapQueries.groupingSets _),
+    "q78_hourly_gap_fill"    -> (OlapQueries.hourlyGapFill _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -282,6 +284,32 @@ object SparkEntry {
     // connected components over the q27 pair graph; oracle = transitive
     // closure by recursive CTE over the same exact-jaccard pairs
     "q73_dup_clusters" -> DupClustersOracleSql,
+    // DuckDB's GROUPING() bit order (leftmost key = MSB) matches Spark's
+    // grouping_id() — verified on both engines
+    "q77_grouping_sets" ->
+      """SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+        |       CAST(GROUPING(c.c_mktsegment, o.o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS order_count,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY GROUPING SETS ((c.c_mktsegment, o.o_orderpriority),
+        |                        (c.c_mktsegment), ())""".stripMargin,
+    "q78_hourly_gap_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY 1),
+        |h AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |  FROM b),
+        |c AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n,
+        |         CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h.user_id, h.hour,
+        |       coalesce(c.n, 0) AS events,
+        |       coalesce(c.v, 0.0) AS total_value
+        |FROM h LEFT JOIN c ON h.user_id = c.user_id AND h.hour = c.hour""".stripMargin,
     // the comparison is (price × n) > Σprice in exact DECIMAL arithmetic on
     // both engines — an average-above test with no float division
     "q74_subquery_suite" ->

@@ -277,6 +277,46 @@ object OlapQueries {
         |WHERE EXISTS (SELECT 1 FROM sq_orders_v o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS with grouping_id — the generalization under
+    * ROLLUP (q35) and CUBE (q50): exactly the requested aggregation levels,
+    * one Expand pass, with the grouping-bit vector distinguishing "NULL
+    * key" from "aggregated-out key" (the thing COALESCE-based rollup
+    * consumers get wrong). SQL text path like q43/q74. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("gs_customer_v")
+    Tables.orders(spark, dir).createOrReplaceTempView("gs_orders_v")
+    spark.sql(
+      """SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+        |       CAST(grouping_id(c.c_mktsegment, o.o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS order_count,
+        |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM gs_orders_v o JOIN gs_customer_v c ON o.o_custkey = c.c_custkey
+        |GROUP BY GROUPING SETS ((c.c_mktsegment, o.o_orderpriority),
+        |                        (c.c_mktsegment), ())""".stripMargin)
+  }
+
+  /** Hourly gap-fill (time-series resample): every user gets a contiguous
+    * hourly axis from their first to last event — `sequence()` + explode
+    * generates the axis per user (bounded by each user's own span, no
+    * global driver-side calendar), a left join overlays the measured
+    * buckets, and missing hours surface as explicit zero rows. The
+    * downstream shape every window/trend computation wants; per-user
+    * explode keeps it embarrassingly parallel at corpus scale. */
+  def hourlyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.groupBy("user_id").agg(
+      date_trunc("hour", min("ts")).as("h0"),
+      date_trunc("hour", max("ts")).as("h1"))
+    val axis = bounds.select(col("user_id"),
+      explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val measured = e.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("v"))
+    axis.join(measured, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("events"),
+        coalesce(col("v"), lit(0.0)).as("total_value"))
+  }
+
   /** Supplier dimension rollout: suppliers per region with balance totals —
     * completes table coverage (supplier ⋈ nation ⋈ region, both dims
     * broadcast). */
