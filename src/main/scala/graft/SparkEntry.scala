@@ -103,6 +103,7 @@ object SparkEntry {
     "q76_decontaminate_bloom" -> ((s, d) => SamplingQueries.decontaminateBloom(s, d)),
     "q77_grouping_sets"      -> (OlapQueries.groupingSets _),
     "q78_hourly_gap_fill"    -> (OlapQueries.hourlyGapFill _),
+    "q79_array_funcs"        -> (OlapQueries.arrayFunctions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,6 +285,23 @@ object SparkEntry {
     // connected components over the q27 pair graph; oracle = transitive
     // closure by recursive CTE over the same exact-jaccard pairs
     "q73_dup_clusters" -> DupClustersOracleSql,
+    // integer-exact list arithmetic on both engines; arrays leave the
+    // query as joined strings so the gate hashes scalars only
+    "q79_array_funcs" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |         array_agg(CAST(l_quantity AS BIGINT)
+        |                   ORDER BY l_linenumber, l_quantity) AS qts
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey,
+        |       CAST(len(qts) AS BIGINT) AS n_items,
+        |       CAST(list_sum(qts) AS BIGINT) AS qty_total,
+        |       CAST(list_max(qts) AS BIGINT) AS qty_max,
+        |       CAST(list_min(qts) AS BIGINT) AS qty_min,
+        |       CAST(len(list_filter(qts, x -> x > 25)) AS BIGINT) AS high_cnt,
+        |       CAST(list_sum(list_transform(qts, x -> x * x)) AS BIGINT) AS qty_sq_sum,
+        |       array_to_string(qts[1:3], ',') AS first3
+        |FROM a""".stripMargin,
     // DuckDB's GROUPING() bit order (leftmost key = MSB) matches Spark's
     // grouping_id() — verified on both engines
     "q77_grouping_sets" ->

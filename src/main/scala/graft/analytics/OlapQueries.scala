@@ -277,6 +277,32 @@ object OlapQueries {
         |WHERE EXISTS (SELECT 1 FROM sq_orders_v o WHERE o.o_custkey = c.c_custkey)""".stripMargin)
   }
 
+  /** Array higher-order-function surface: per-order quantity vectors
+    * ((line-number, qty) ordered — built with the sorted-struct idiom, no
+    * arrival-order nondeterminism; the qty tie-break matters because the
+    * testdata carries duplicate line numbers) driven through transform /
+    * aggregate / slice. All arithmetic integer-exact (quantities cast to
+    * BIGINT), so the DuckDB list-function oracle matches bit-for-bit; the
+    * array column itself leaves the query as a joined string (the gate
+    * hashes scalars). HOFs are codegen-free but row-local — no shuffle
+    * beyond the one collect_list aggregate. */
+  def arrayFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val qts = l.groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber"), col("l_quantity").cast("long").as("qty")))).as("s"))
+      .select(col("o_orderkey"), expr("transform(s, x -> x.qty)").as("qts"))
+    qts.select(
+      col("o_orderkey"),
+      size(col("qts")).cast("long").as("n_items"),
+      expr("aggregate(qts, 0L, (a, x) -> a + x)").as("qty_total"),
+      array_max(col("qts")).as("qty_max"),
+      array_min(col("qts")).as("qty_min"),
+      size(expr("filter(qts, x -> x > 25)")).cast("long").as("high_cnt"),
+      expr("aggregate(transform(qts, x -> x * x), 0L, (a, x) -> a + x)").as("qty_sq_sum"),
+      array_join(slice(col("qts"), 1, 3), ",").as("first3"))
+  }
+
   /** Explicit GROUPING SETS with grouping_id — the generalization under
     * ROLLUP (q35) and CUBE (q50): exactly the requested aggregation levels,
     * one Expand pass, with the grouping-bit vector distinguishing "NULL
