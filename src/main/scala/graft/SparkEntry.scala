@@ -104,6 +104,7 @@ object SparkEntry {
     "q77_grouping_sets"      -> (OlapQueries.groupingSets _),
     "q78_hourly_gap_fill"    -> (OlapQueries.hourlyGapFill _),
     "q79_array_funcs"        -> (OlapQueries.arrayFunctions _),
+    "q80_trailing_window"    -> (OlapQueries.trailingSpend _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -285,6 +286,16 @@ object SparkEntry {
     // connected components over the q27 pair graph; oracle = transitive
     // closure by recursive CTE over the same exact-jaccard pairs
     "q73_dup_clusters" -> DupClustersOracleSql,
+    // value-defined RANGE frame: peers at the same date share a frame on
+    // both engines, so the moving sums align row-for-row
+    "q80_trailing_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         AS spend_30d,
+        |       count(*) OVER w AS orders_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)""".stripMargin,
     // integer-exact list arithmetic on both engines; arrays leave the
     // query as joined strings so the gate hashes scalars only
     "q79_array_funcs" ->

@@ -343,6 +343,24 @@ object OlapQueries {
         coalesce(col("v"), lit(0.0)).as("total_value"))
   }
 
+  /** Event-time RANGE window frames — the moving-aggregate form ROWS
+    * frames can't express: each order's trailing-30-day spend/count per
+    * customer, where the frame is defined by the ORDER-BY VALUE (all peers
+    * at the same date share a frame) rather than row position. Exact
+    * decimal sum cast to double; one window exchange on the partition
+    * key. */
+  def trailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("tw_orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         AS spend_30d,
+        |       count(*) OVER w AS orders_30d
+        |FROM tw_orders_v
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
   /** Supplier dimension rollout: suppliers per region with balance totals —
     * completes table coverage (supplier ⋈ nation ⋈ region, both dims
     * broadcast). */
