@@ -105,6 +105,7 @@ object SparkEntry {
     "q78_hourly_gap_fill"    -> (OlapQueries.hourlyGapFill _),
     "q79_array_funcs"        -> (OlapQueries.arrayFunctions _),
     "q80_trailing_window"    -> (OlapQueries.trailingSpend _),
+    "q81_dup_clusters_lsh"   -> (CorpusQueries.dupClustersLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -286,6 +287,9 @@ object SparkEntry {
     // connected components over the q27 pair graph; oracle = transitive
     // closure by recursive CTE over the same exact-jaccard pairs
     "q73_dup_clusters" -> DupClustersOracleSql,
+    // the LSH candidate path reaches the same verified pair set on this
+    // corpus (q25 ≡ exact oracle), so the same closure oracle applies
+    "q81_dup_clusters_lsh" -> DupClustersOracleSql,
     // value-defined RANGE frame: peers at the same date share a frame on
     // both engines, so the moving sums align row-for-row
     "q80_trailing_window" ->

@@ -102,6 +102,18 @@ object CorpusQueries {
       Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5))
   }
 
+  /** [[dupClusters]] over the MinHash-LSH candidate path — the
+    * sub-quadratic 100 TB pipeline end-to-end: banded signatures generate
+    * candidates, exact verification keeps true pairs, components cluster
+    * them. The LSH pair set equals the exact set on the test corpora
+    * (q25 is held to the exact-jaccard oracle), so the same
+    * transitive-closure oracle grades the clusters. */
+  def dupClustersLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.duplicateClusters(docs,
+      Dedup.minhashNearDups(docs, n = 3, k = 64, bands = 16, threshold = 0.5))
+  }
+
   /** Exact embedding near-dup pairs (cosine ≥ 0.5) — DuckDB-checkable. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsExact(Tables.embeddings(spark, dir), threshold = 0.5)

@@ -123,6 +123,17 @@ class DedupSpec extends SparkSpec {
       4L -> ((4L, 1L)), 5L -> ((5L, 2L)), 6L -> ((5L, 2L)), 7L -> ((7L, 1L))))
   }
 
+  test("duplicateClusters: pointer jumping converges a 40-link chain in 8 rounds") {
+    // plain min-label propagation would need 39 rounds; path halving gets
+    // there in ~log2(39)+1 — maxIters=8 fails without the jump step
+    val nodes = (1L to 40L).map(i => (i, s"n$i")).toDF("doc_id", "text")
+    val pairs = (1L to 39L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.duplicateClusters(nodes, pairs, maxIters = 8).collect()
+    assert(out.length === 40)
+    assert(out.forall(_.getAs[Long]("cluster_id") === 1L))
+    assert(out.forall(_.getAs[Long]("cluster_size") === 40L))
+  }
+
   test("duplicateClusters over jaccard pairs groups dups, leaves singletons") {
     val out = Dedup.duplicateClusters(docs,
         Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)).collect()
