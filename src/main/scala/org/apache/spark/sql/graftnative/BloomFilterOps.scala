@@ -38,4 +38,21 @@ object BloomOps {
     ExpressionUtils.column(BloomFilterMightContain(
       ScalarSubquery(filterDf.queryExecution.analyzed),
       ExpressionUtils.expression(longCol)))
+
+  /** Materialize the serialized filter bytes (one driver action — bounded
+    * by the SMALL side's size, like a broadcast). For contexts where a
+    * scalar subquery can't ride the plan: streaming queries build the
+    * filter ONCE at start and embed it as a foldable literal. */
+  def buildFilterBytes(df: DataFrame, longCol: Column, estimatedItems: Long,
+      numBits: Long = -1L): Array[Byte] =
+    df.agg(bloomFilterAgg(longCol, estimatedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+  /** Membership test against pre-built filter bytes (foldable literal —
+    * deserialized once per task, streaming-safe). */
+  def mightContainBytes(filter: Array[Byte], longCol: Column): Column =
+    ExpressionUtils.column(BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(filter,
+        org.apache.spark.sql.types.BinaryType),
+      ExpressionUtils.expression(longCol)))
 }
