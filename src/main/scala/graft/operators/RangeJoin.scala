@@ -22,6 +22,30 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** [[pointInRange]] with `bucketMs` derived from the MEASURED interval
+    * widths — the knob follows the data the way ANN probe geometry follows
+    * index statistics, instead of being re-tuned by hand per dataset. The
+    * median width keeps the replication factor at ~2–3 for any unimodal
+    * width distribution; one small planning aggregate over the ranges side
+    * computes it (at extreme scale, run it over a deterministic sample —
+    * the knob only shapes the plan, never the result). */
+  def pointInRangeAuto(
+      points: DataFrame,
+      ranges: DataFrame,
+      pointKey: String,
+      rangeKey: String,
+      timeCol: String,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val width = ranges
+      .select(percentile_approx(
+        expr(s"unix_millis($endCol) - unix_millis($startCol)"),
+        lit(0.5), lit(10000)).as("w"))
+      .head().getLong(0)
+    pointInRange(points, ranges, pointKey, rangeKey, timeCol, startCol, endCol,
+      bucketMs = math.max(1L, width))
+  }
+
   def pointInRange(
       points: DataFrame,
       ranges: DataFrame,
