@@ -106,6 +106,7 @@ object SparkEntry {
     "q79_array_funcs"        -> (OlapQueries.arrayFunctions _),
     "q80_trailing_window"    -> (OlapQueries.trailingSpend _),
     "q81_dup_clusters_lsh"   -> (CorpusQueries.dupClustersLsh _),
+    "q82_salted_join"        -> (OlapQueries.saltedEnrich _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,6 +291,11 @@ object SparkEntry {
     // the LSH candidate path reaches the same verified pair set on this
     // corpus (q25 ≡ exact oracle), so the same closure oracle applies
     "q81_dup_clusters_lsh" -> DupClustersOracleSql,
+    // salting reshapes the shuffle, not the result — the oracle is the
+    // plain join
+    "q82_salted_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     // value-defined RANGE frame: peers at the same date share a frame on
     // both engines, so the moving sums align row-for-row
     "q80_trailing_window" ->

@@ -343,6 +343,22 @@ object OlapQueries {
         coalesce(col("v"), lit(0.0)).as("total_value"))
   }
 
+  /** Salted fact⋈dim enrichment — the explicit-skew-handling join as a
+    * driver query (q68 covers the salted DISTINCT aggregate; this is the
+    * join face): the event fact side is salted on its PK, the
+    * dimension side replicated ×8, so one pathologically hot user spreads
+    * over 8 tasks. Result identical to the plain join (the oracle IS the
+    * plain join) — salting only reshapes the shuffle. */
+  def saltedEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    graft.operators.SaltedJoin.innerSalted(e, dim, "user_id",
+        saltFactor = 8, saltSource = col("event_id"))
+      .select("event_id", "user_id", "event_type", "segment")
+  }
+
   /** Event-time RANGE window frames — the moving-aggregate form ROWS
     * frames can't express: each order's trailing-30-day spend/count per
     * customer, where the frame is defined by the ORDER-BY VALUE (all peers

@@ -50,4 +50,28 @@ class PruningSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(id,100)"),
       s"no pushed filter in plan:\n$plan")
   }
+
+  test("dynamic partition pruning fires on partitioned fact x filtered dim") {
+    // The cluster-scale join shape: a fact table partitioned on the join
+    // key and a dimension with a selective NON-key filter. Static pruning
+    // can't help (the key filter only exists at runtime); DPP inserts a
+    // subquery-driven partition filter into the fact scan so only the
+    // dimension-selected partitions are read.
+    val base = tmpDir("dpp")
+    (1L to 1000L).map(i => (i, s"s${i % 10}", i * 1.0))
+      .toDF("id", "status", "x")
+      .write.partitionBy("status").parquet(base + "/fact")
+    // dim must be a real scan: a local relation would constant-fold the
+    // selective filter away and the pruning rule would see no predicate
+    (0 until 10).map(i => (s"s$i", if (i == 3) "keep" else "drop"))
+      .toDF("d_status", "tag")
+      .write.parquet(base + "/dim")
+    val fact = spark.read.parquet(base + "/fact")
+    val dim = spark.read.parquet(base + "/dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, fact("status") === dim("d_status"))
+    assert(joined.count() === 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n${plan.take(3000)}")
+  }
 }
