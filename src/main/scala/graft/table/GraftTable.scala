@@ -767,13 +767,43 @@ final class GraftTable private (
       val expired = all.filter(c => c.version != headVersion && c.tsMs < cutoff)
       val deleted = Seq.newBuilder[String]
       expired.foreach { c =>
-        c.dataDirs.filterNot(keepDirs.contains).foreach { d =>
-          if (fs.delete(new Path(root, d), true)) deleted += d
-        }
+        // Never delete EXTERNAL (absolute) dir references — those are
+        // another table's files, present when this table is a shallow
+        // clone; only dirs this table wrote under its own root are ours
+        // to reclaim (same ownership rule as Delta's shallow clones).
+        c.dataDirs.filterNot(keepDirs.contains)
+          .filterNot(d => new Path(d).isAbsolute).foreach { d =>
+            if (fs.delete(new Path(root, d), true)) deleted += d
+          }
         fs.delete(new Path(root, changesDirOf(c)), true)
       }
       deleted.result()
     }
+
+  /** SHALLOW CLONE (Delta parity): start a NEW table at `targetRoot` whose
+    * first commit REFERENCES this table's data directories at version `v`
+    * — zero bytes copied, metadata only. The clone then evolves
+    * independently: its own commits write under its own root (rewrites
+    * naturally "thicken" it away from the source), and its VACUUM never
+    * touches the referenced source files. As with Delta shallow clones,
+    * the source's files must outlive the clone — VACUUM on the SOURCE is
+    * the documented hazard. */
+  def shallowClone(targetRoot: String, v: Long = -1L): GraftTable = {
+    val srcV = if (v < 0) version else v
+    val src = commitFor(srcV)
+    def abs(d: String): String = new Path(root, d).toString
+    val target = new GraftTable(spark, targetRoot)
+    require(target.version < 0, s"table already exists at $targetRoot")
+    target.log.commit(Commit(
+      0L, System.currentTimeMillis(), "CLONE",
+      src.dataDirs.map(abs),
+      Map("sourceVersion" -> srcV,
+        "numOutputRows" -> src.metrics.getOrElse("numOutputRows", -1L)),
+      src.schemaJson,
+      partitionCols = src.partitionCols,
+      dirStats = src.dirStats.map { case (d, s) => abs(d) -> s }))
+    target
+  }
 }
 
 /** A concurrent writer won the version race against an operation that had

@@ -308,4 +308,36 @@ class GraftTableSpec extends SparkSpec {
     assert(c.metrics("numTargetRowsInserted") === 0)
     assert(t.read().count() === 3)
   }
+
+  test("shallow clone: zero-copy read equality, independent evolution") {
+    val src = GraftTable.create(spark, tmpDir("gt-clone-src"), seedCustomers)
+    src.append(Seq((4L, "Ann", "ann@x.com", 400.0)).toDF("id", "name", "email", "balance"))
+    val cloneRoot = tmpDir("gt-clone-dst") + "/t"
+    val clone = src.shallowClone(cloneRoot)
+    // metadata-only: clone reads the source's files
+    assert(clone.read().collect().toSet === src.read().collect().toSet)
+    assert(clone.history().collect().map(_.getAs[String]("operation")).toSeq === Seq("CLONE"))
+    // no data copied under the clone root
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(cloneRoot, "data")))
+    // clone evolves independently of the source, both directions
+    clone.delete(col("id") === 1L)
+    clone.append(Seq((9L, "Zed", "z@x.com", 900.0)).toDF("id", "name", "email", "balance"))
+    assert(src.read().count() === 4)
+    assert(clone.read().count() === 4) // 4 - 1 deleted + 1 appended
+    src.append(Seq((5L, "Eve", "e@x.com", 500.0)).toDF("id", "name", "email", "balance"))
+    assert(clone.read().count() === 4)
+  }
+
+  test("shallow clone: clone vacuum never reclaims the source's files") {
+    val src = GraftTable.create(spark, tmpDir("gt-clvac-src"), seedCustomers)
+    val clone = src.shallowClone(tmpDir("gt-clvac-dst") + "/t")
+    // age the clone-commit out: append (new head), then vacuum with zero
+    // retention — v0's external dir references must survive
+    clone.delete(col("id") === 1L) // rewrite: clone's head no longer needs source dirs
+    val deleted = clone.vacuum(retentionHours = 0.0,
+      nowMs = System.currentTimeMillis() + 3600 * 1000)
+    assert(deleted.isEmpty, s"clone vacuum deleted: $deleted")
+    assert(src.read().count() === 3) // source intact
+  }
 }
