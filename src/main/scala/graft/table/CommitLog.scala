@@ -46,7 +46,11 @@ final case class Commit(
       * (not derived from the version) because dir names carry a
       * uniquifying suffix — concurrent writers must never contend on a
       * version-named path before the commit log arbitrates the version. */
-    changesDir: Option[String] = None)
+    changesDir: Option[String] = None,
+    /** Table properties carried forward by every commit (the Delta
+      * `metaData.configuration` analogue). CHECK constraints live here as
+      * `constraint.<name> -> <sql predicate>`. */
+    properties: Map[String, String] = Map.empty)
 
 /** Tiny single-writer commit log: one JSON file per version under
   * `<table>/_graft_log/`, written temp-file-then-rename so a version becomes
@@ -294,7 +298,12 @@ object CommitLog {
           }): JValue)
         }): JValue))
       else Nil) ++
-      c.changesDir.map(v => "changesDir" -> (JString(v): JValue)).toList
+      c.changesDir.map(v => "changesDir" -> (JString(v): JValue)).toList ++
+      (if (c.properties.nonEmpty)
+        List("properties" -> (JObject(c.properties.toList.map {
+          case (k, v) => k -> (JString(v): JValue)
+        }): JValue))
+      else Nil)
     JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
 
@@ -347,7 +356,11 @@ object CommitLog {
       case _ => Map.empty[String, Map[String, (Double, Double)]]
     }
     val changesDir = j \ "changesDir" match { case JString(v) => Some(v); case _ => None }
+    val properties = j \ "properties" match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
     Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
-      str("schemaJson"), txnApp, txnBatch, partCols, dirStats, changesDir)
+      str("schemaJson"), txnApp, txnBatch, partCols, dirStats, changesDir, properties)
   }
 }

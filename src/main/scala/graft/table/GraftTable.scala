@@ -265,6 +265,64 @@ final class GraftTable private (
   private def partitionColsOfHead: Seq[String] =
     log.latest().map(_.partitionCols).getOrElse(Nil)
 
+  // ----------------------------------------------------------- constraints
+
+  /** Registered CHECK constraints (name → SQL predicate). */
+  def constraints: Map[String, String] =
+    log.latest().map(_.properties.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }).getOrElse(Map.empty)
+
+  /** ALTER TABLE ADD CONSTRAINT … CHECK (Delta parity): the predicate is
+    * validated against the CURRENT snapshot, then recorded in the table
+    * properties — every subsequent append/overwrite/merge/update validates
+    * what it writes and ABORTS (no commit, dirs rolled back by the normal
+    * rewrite path) on violation. SQL semantics: a row violates only when
+    * the predicate is FALSE; NULL passes, as in standard CHECK. */
+  def addConstraint(name: String, predicateSql: String): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root"))
+    violations(readCommit(prev), Map(name -> predicateSql), "existing snapshot")
+    val c = prev.copy(
+      version = prev.version + 1, tsMs = System.currentTimeMillis(),
+      operation = "ADD CONSTRAINT",
+      metrics = Map.empty, changesDir = None,
+      txnAppId = None, txnBatchId = None,
+      properties = prev.properties + (ConstraintPrefix + name -> predicateSql))
+    log.commit(c); c
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
+  def dropConstraint(name: String): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root"))
+    val c = prev.copy(
+      version = prev.version + 1, tsMs = System.currentTimeMillis(),
+      operation = "DROP CONSTRAINT",
+      metrics = Map.empty, changesDir = None,
+      txnAppId = None, txnBatchId = None,
+      properties = prev.properties - (ConstraintPrefix + name))
+    log.commit(c); c
+  }
+
+  /** Throw if any registered constraint is FALSE for some row of `df`.
+    * No-op (zero extra jobs) when the table has no constraints. */
+  private def enforceConstraints(df: DataFrame, prev: Option[Commit], op: String): Unit = {
+    val cs = prev.map(_.properties).getOrElse(Map.empty).collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) => k.stripPrefix(ConstraintPrefix) -> v
+    }
+    if (cs.nonEmpty) violations(df, cs, op)
+  }
+
+  private def violations(df: DataFrame, cs: Map[String, String], what: String): Unit =
+    cs.foreach { case (name, p) =>
+      // violation = predicate strictly FALSE (NULL passes, per SQL CHECK)
+      if (!df.filter(!coalesce(expr(p), lit(true))).isEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint $name ($p) violated by $what")
+    }
+
   /** Min/max stats of a just-written dir for every numeric/timestamp
     * column, harvested from the PARQUET FOOTERS the write already produced
     * — no extra Spark job. Falls back to a small agg scan if footer reading
@@ -413,6 +471,7 @@ final class GraftTable private (
       }
       var mergedSchema = mergeSchemas(prev, df.schema)
       val aligned = alignTo(df, mergedSchema)
+      enforceConstraints(aligned, prev, "APPEND")
       var dir = writeData(aligned, v)
       val added = countDir(dir)
       val stats = statsFor(dir)
@@ -425,7 +484,8 @@ final class GraftTable private (
           prev.map(_.partitionCols).getOrElse(Nil),
           // Appends accumulate dirs, so each one records skipping stats and
           // carries the earlier dirs' stats forward in the head commit.
-          prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> stats))
+          prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> stats),
+          properties = prev.map(_.properties).getOrElse(Map.empty))
         try { log.commit(c); return Some(c) }
         catch {
           case e: IllegalStateException =>
@@ -489,13 +549,16 @@ final class GraftTable private (
 
   private def overwriteInternal(df: DataFrame, partitionBy: Seq[String],
       txn: Option[(String, Long)]): Commit = this.synchronized {
+    val prev = log.latest()
     val v = version + 1
     val tsMs = System.currentTimeMillis()
+    enforceConstraints(df, prev, "WRITE")
     val dir = writeData(df, v, partitionBy)
     val c = Commit(v, tsMs, if (v == 0) "CREATE" else "WRITE", Seq(dir),
       Map("numOutputRows" -> countDir(dir)), df.schema.json,
       txn.map(_._1), txn.map(_._2),
-      partitionCols = partitionBy)
+      partitionCols = partitionBy,
+      properties = prev.map(_.properties).getOrElse(Map.empty))
     commitRewrite(c, Seq(dir))
   }
 
@@ -549,6 +612,7 @@ final class GraftTable private (
 
       val outCols = mergedSchema.fieldNames.toSeq
       val snapshot = joined.select(outCols.map(c => mergedVal(c).as(c)): _*)
+      enforceConstraints(snapshot, Some(prev), "MERGE")
       val dir = writeData(snapshot, v)
 
       def image(side: String, changeType: String) = {
@@ -571,7 +635,8 @@ final class GraftTable private (
         "numTargetRowsInserted" -> cdfMetrics.getOrElse("insert", 0L),
         "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
         "numOutputRows" -> countDir(dir)), mergedSchema.json,
-        partitionCols = prev.partitionCols, changesDir = Some(chDir))
+        partitionCols = prev.partitionCols, changesDir = Some(chDir),
+        properties = prev.properties)
       commitRewrite(c, Seq(dir, chDir))
     }
 
@@ -590,7 +655,8 @@ final class GraftTable private (
     val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
-      partitionCols = prev.partitionCols, changesDir = Some(chDir))
+      partitionCols = prev.partitionCols, changesDir = Some(chDir),
+      properties = prev.properties)
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -609,7 +675,8 @@ final class GraftTable private (
     val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
-      partitionCols = prev.partitionCols, changesDir = Some(chDir))
+      partitionCols = prev.partitionCols, changesDir = Some(chDir),
+      properties = prev.properties)
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -626,6 +693,7 @@ final class GraftTable private (
         case None => col(c)
       }
     }
+    enforceConstraints(cur.select(updated: _*), Some(prev), "UPDATE")
     val dir = writeData(cur.select(updated: _*), v)
     val pre = cur.filter(hit).withColumn("_change_type", lit("update_preimage"))
     val post = cur.filter(hit).select(updated: _*)
@@ -634,7 +702,8 @@ final class GraftTable private (
     val c = Commit(v, tsMs, "UPDATE", Seq(dir), Map(
       "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
-      partitionCols = prev.partitionCols, changesDir = Some(chDir))
+      partitionCols = prev.partitionCols, changesDir = Some(chDir),
+      properties = prev.properties)
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -663,7 +732,8 @@ final class GraftTable private (
     val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", Seq(dir),
       Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson,
       partitionCols = prev.partitionCols,
-      dirStats = Map(dir -> statsFor(dir)))
+      dirStats = Map(dir -> statsFor(dir)),
+      properties = prev.properties)
     commitRewrite(c, Seq(dir))
   }
 
@@ -745,7 +815,8 @@ final class GraftTable private (
     val head = version + 1
     val c = Commit(head, System.currentTimeMillis(), "RESTORE", old.dataDirs,
       Map("restoredVersion" -> v), old.schemaJson,
-      partitionCols = old.partitionCols)
+      partitionCols = old.partitionCols,
+      properties = old.properties)
     commitRewrite(c, Nil)
   }
 
@@ -801,7 +872,8 @@ final class GraftTable private (
         "numOutputRows" -> src.metrics.getOrElse("numOutputRows", -1L)),
       src.schemaJson,
       partitionCols = src.partitionCols,
-      dirStats = src.dirStats.map { case (d, s) => abs(d) -> s }))
+      dirStats = src.dirStats.map { case (d, s) => abs(d) -> s },
+      properties = src.properties))
     target
   }
 }
@@ -815,6 +887,8 @@ final class ConcurrentWriteException(msg: String, cause: Throwable)
     extends RuntimeException(msg, cause)
 
 object GraftTable {
+
+  private[table] val ConstraintPrefix = "constraint."
 
   private def hadoopConf(spark: SparkSession) =
     spark.sessionState.newHadoopConf()

@@ -329,6 +329,46 @@ class GraftTableSpec extends SparkSpec {
     assert(clone.read().count() === 4)
   }
 
+  test("CHECK constraints: enforced across ops, carried by commits, droppable") {
+    val t = GraftTable.create(spark, tmpDir("gt-check"), seedCustomers)
+    t.addConstraint("positive_balance", "balance >= 0")
+    assert(t.constraints === Map("positive_balance" -> "balance >= 0"))
+
+    // violating append aborts, no commit
+    val v0 = t.version
+    intercept[IllegalArgumentException] {
+      t.append(Seq((7L, "Bad", "b@x.com", -5.0)).toDF("id", "name", "email", "balance"))
+    }
+    assert(t.version === v0)
+    // passing append lands; the constraint survives the new commit
+    t.append(Seq((8L, "Ok", "o@x.com", 10.0)).toDF("id", "name", "email", "balance"))
+    assert(t.constraints.nonEmpty)
+
+    // merge producing a violating row aborts
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((8L, "Ok", "o@x.com", -1.0)).toDF("id", "name", "email", "balance"), "id")
+    }
+    // update violating aborts; NULL predicate result passes (SQL CHECK)
+    intercept[IllegalArgumentException] {
+      t.update(col("id") === 8L, Map("balance" -> lit(-2.0)))
+    }
+    t.update(col("id") === 8L, Map("balance" -> lit(null).cast("double")))
+    assert(t.read().filter(col("id") === 8L).select("balance").head().isNullAt(0))
+
+    // adding a constraint the snapshot already violates is rejected
+    intercept[IllegalArgumentException] {
+      t.addConstraint("impossible", "balance > 1000000")
+    }
+    // drop → the formerly-violating write now lands
+    t.dropConstraint("positive_balance")
+    assert(t.constraints.isEmpty)
+    t.append(Seq((9L, "Neg", "n@x.com", -50.0)).toDF("id", "name", "email", "balance"))
+    assert(t.read().count() === 5)
+    // the history records the constraint lifecycle
+    val ops = t.history().collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops.contains("ADD CONSTRAINT") && ops.contains("DROP CONSTRAINT"))
+  }
+
   test("shallow clone: clone vacuum never reclaims the source's files") {
     val src = GraftTable.create(spark, tmpDir("gt-clvac-src"), seedCustomers)
     val clone = src.shallowClone(tmpDir("gt-clvac-dst") + "/t")
