@@ -107,6 +107,7 @@ object SparkEntry {
     "q80_trailing_window"    -> (OlapQueries.trailingSpend _),
     "q81_dup_clusters_lsh"   -> (CorpusQueries.dupClustersLsh _),
     "q82_salted_join"        -> (OlapQueries.saltedEnrich _),
+    "q83_mor_delete"         -> (MutationQueries.morDeleteWhere _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,6 +179,13 @@ object SparkEntry {
         |UNION ALL SELECT 'part', count(*), CAST(max(p_partkey) AS BIGINT) FROM part""".stripMargin,
     "q10_merge_upsert" -> "SELECT * FROM orders",
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+    // merge-on-read delete + post-delete append: non-F rows plus the
+    // appended F subset the tombstone coverage must not suppress
+    "q83_mor_delete" ->
+      """SELECT * FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT * FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0""".stripMargin,
     "q12_time_travel" -> "SELECT * FROM orders",
     "q13_change_feed" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,

@@ -61,6 +61,26 @@ object MutationQueries {
   def deleteWhere(spark: SparkSession, dir: String): DataFrame =
     deletedOrdersTable(spark, dir).read()
 
+  /** Orders table with the same rows deleted MERGE-ON-READ (tombstones,
+    * no data rewrite) plus a post-delete append the tombstones must not
+    * touch — the deletion-vector read path. */
+  private def morDeletedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "mor-deleted") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("mor"), orders)
+      t.deleteMergeOnRead(col("o_orderstatus") === "F")
+      // appended after the delete: 'F' rows that MUST survive (coverage)
+      t.append(orders.filter(col("o_orderstatus") === "F")
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0))
+      t
+    }
+
+  /** Merge-on-read DELETE read path (deletion-vector analogue): the
+    * snapshot equals predicate-delete output UNION the rows appended after
+    * the delete — tombstones subtract only from the dirs they covered. */
+  def morDeleteWhere(spark: SparkSession, dir: String): DataFrame =
+    morDeletedOrdersTable(spark, dir).read()
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

@@ -50,7 +50,12 @@ final case class Commit(
     /** Table properties carried forward by every commit (the Delta
       * `metaData.configuration` analogue). CHECK constraints live here as
       * `constraint.<name> -> <sql predicate>`. */
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    /** Merge-on-read tombstone dirs (deletion-vector analogue): parquet of
+      * DELETED rows that reads subtract by null-safe anti-join. Carried
+      * forward by appends; cleared by any snapshot rewrite, which
+      * materializes the subtraction. */
+    tombstoneDirs: Seq[String] = Nil)
 
 /** Tiny single-writer commit log: one JSON file per version under
   * `<table>/_graft_log/`, written temp-file-then-rename so a version becomes
@@ -303,6 +308,9 @@ object CommitLog {
         List("properties" -> (JObject(c.properties.toList.map {
           case (k, v) => k -> (JString(v): JValue)
         }): JValue))
+      else Nil) ++
+      (if (c.tombstoneDirs.nonEmpty)
+        List("tombstoneDirs" -> (JArray(c.tombstoneDirs.map(JString(_)).toList): JValue))
       else Nil)
     JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
@@ -360,7 +368,12 @@ object CommitLog {
       case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty[String, String]
     }
+    val tombstones = j \ "tombstoneDirs" match {
+      case JArray(xs) => xs.collect { case JString(v) => v }
+      case _ => Nil
+    }
     Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
-      str("schemaJson"), txnApp, txnBatch, partCols, dirStats, changesDir, properties)
+      str("schemaJson"), txnApp, txnBatch, partCols, dirStats, changesDir,
+      properties, tombstones)
   }
 }

@@ -57,7 +57,8 @@ final class GraftTable private (
     * parameters (e.g. LSH band counts via
     * [[graft.sim.Similarity.lshParams]]) without a scan. */
   def rowCount: Long =
-    log.latest().map(_.dataDirs.map(countDir).sum).getOrElse(0L)
+    log.latest().map(c =>
+      c.dataDirs.map(countDir).sum - c.tombstoneDirs.map(countDir).sum).getOrElse(0L)
 
   private def commitFor(v: Long): Commit =
     log.commits().find(_.version == v).getOrElse(
@@ -70,19 +71,55 @@ final class GraftTable private (
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"version ${c.version} of $root is no longer available (vacuumed dirs: ${missing.mkString(", ")})")
-    if (dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // Explicit schema (from the commit) rather than mergeSchema: no footer
-    // sampling job, stable column order, and dirs written before an additive
-    // schema change read back with nulls for the new columns.
-    else if (c.partitionCols.isEmpty)
-      spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
-    else
-      // Hive-partitioned layout: partition values live in dir names under
-      // each version dir, so discovery needs a basePath per dir; the union
-      // keeps filter pushdown + partition pruning in every branch.
-      dirs.map(d => spark.read.option("basePath", d.toString)
-          .schema(schema).parquet(d.toString))
-        .reduce(_ unionByName _)
+    def readDirs(ds: Seq[Path]): DataFrame =
+      if (ds.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // Explicit schema (from the commit) rather than mergeSchema: no footer
+      // sampling job, stable column order, and dirs written before an additive
+      // schema change read back with nulls for the new columns.
+      else if (c.partitionCols.isEmpty)
+        spark.read.schema(schema).parquet(ds.map(_.toString): _*)
+      else
+        // Hive-partitioned layout: partition values live in dir names under
+        // each version dir, so discovery needs a basePath per dir; the union
+        // keeps filter pushdown + partition pruning in every branch.
+        ds.map(d => spark.read.option("basePath", d.toString)
+            .schema(schema).parquet(d.toString))
+          .reduce(_ unionByName _)
+
+    if (c.tombstoneDirs.isEmpty) readDirs(dirs)
+    else {
+      // Merge-on-read: subtract tombstone rows by NULL-SAFE anti-join over
+      // every column. A duplicate of a predicate-deleted row necessarily
+      // matched the same predicate, so whole-row subtraction IS
+      // predicate-delete semantics — no row id, no key column, no hashing.
+      // Each tombstone applies only to the data dirs that existed when it
+      // was written (its recorded coverage prefix — appends only extend
+      // the dir list): a row appended AFTER the delete is never
+      // suppressed, even if value-identical. The read is a union of dir
+      // segments, each anti-joined against exactly the tombstones that
+      // cover it; rewrites clear all of this.
+      def antiJoin(base: DataFrame, tombs: Seq[String]): DataFrame = {
+        val ts = spark.read.schema(schema)
+          .parquet(tombs.map(d => new Path(root, d).toString): _*)
+          .toDF(schema.fieldNames.map("__ts_" + _): _*)
+        val cond = schema.fieldNames
+          .map(f => base(f) <=> ts("__ts_" + f))
+          .reduce(_ && _)
+        base.join(ts, cond, "left_anti")
+      }
+      val n = c.dataDirs.length
+      def coverOf(t: String): Int =
+        c.properties.get(TombstoneCoverPrefix + t).map(_.toInt).getOrElse(n)
+      val covers = c.tombstoneDirs.map(t => t -> coverOf(t))
+      val bounds = (covers.map(_._2) :+ n).distinct.sorted
+      val segments = (0 +: bounds.dropRight(1)).zip(bounds)
+      segments.map { case (a, b) =>
+        val seg = readDirs(dirs.slice(a, b))
+        val applicable = covers.collect { case (t, l) if l >= b => t }
+        if (applicable.isEmpty || a == b) seg else antiJoin(seg, applicable)
+      }.reduce(_ unionByName _)
+    }
   }
 
   /** Current snapshot (SURVEY S3). */
@@ -99,6 +136,10 @@ final class GraftTable private (
     * history — Delta-style file skipping at dir granularity. */
   def readPruned(colName: String, lo: Double, hi: Double): DataFrame = {
     val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    // Tombstone coverage is positional over dataDirs; dropping dirs would
+    // misalign it. Merge-on-read deletes are transient (any rewrite clears
+    // them), so just skip the skipping until then — still a superset read.
+    if (c.tombstoneDirs.nonEmpty) return readCommit(c)
     val keep = c.dataDirs.filter { d =>
       c.dirStats.get(d).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -485,7 +526,8 @@ final class GraftTable private (
           // Appends accumulate dirs, so each one records skipping stats and
           // carries the earlier dirs' stats forward in the head commit.
           prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> stats),
-          properties = prev.map(_.properties).getOrElse(Map.empty))
+          properties = prev.map(_.properties).getOrElse(Map.empty),
+          tombstoneDirs = prev.map(_.tombstoneDirs).getOrElse(Nil))
         try { log.commit(c); return Some(c) }
         catch {
           case e: IllegalStateException =>
@@ -558,7 +600,7 @@ final class GraftTable private (
       Map("numOutputRows" -> countDir(dir)), df.schema.json,
       txn.map(_._1), txn.map(_._2),
       partitionCols = partitionBy,
-      properties = prev.map(_.properties).getOrElse(Map.empty))
+      properties = rewriteProps(prev.map(_.properties).getOrElse(Map.empty)))
     commitRewrite(c, Seq(dir))
   }
 
@@ -636,7 +678,7 @@ final class GraftTable private (
         "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
         "numOutputRows" -> countDir(dir)), mergedSchema.json,
         partitionCols = prev.partitionCols, changesDir = Some(chDir),
-        properties = prev.properties)
+        properties = rewriteProps(prev.properties))
       commitRewrite(c, Seq(dir, chDir))
     }
 
@@ -656,7 +698,40 @@ final class GraftTable private (
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
-      properties = prev.properties)
+      properties = rewriteProps(prev.properties))
+    commitRewrite(c, Seq(dir, chDir))
+  }
+
+  /** DELETE without rewriting any data (merge-on-read — the
+    * deletion-vector class of modern lakehouse formats): only the DELETED
+    * rows are written, as a tombstone dir; reads subtract them (null-safe
+    * whole-row anti-join, scoped to the dirs that existed at delete time —
+    * see readCommit), and ANY later snapshot rewrite (merge / update /
+    * predicate [[delete]] / overwrite / optimize) materializes the
+    * subtraction and clears the tombstones. For a narrow-predicate delete
+    * on a huge table this writes kilobytes instead of rewriting the
+    * table; the read-side anti-join is broadcast-sized as long as
+    * tombstones are small, which is exactly when you choose this over
+    * [[delete]]. CDF delete rows are emitted as usual. */
+  def deleteMergeOnRead(cond: Column): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    val v = prev.version + 1
+    val tsMs = System.currentTimeMillis()
+    val cur = readCommit(prev) // earlier tombstones applied: no double-count
+    val hit = coalesce(cond, lit(false))
+    val dir = f"tombstones/v$v%05d-${uniqueSuffix()}"
+    cur.filter(hit).write.mode("errorifexists")
+      .parquet(new Path(root, dir).toString)
+    val (chDir, cdfMetrics) = writeChanges(
+      cur.filter(hit).withColumn("_change_type", lit("delete")), v, tsMs)
+    val c = Commit(v, tsMs, "DELETE", prev.dataDirs, Map(
+      "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
+      "mergeOnRead" -> 1L), prev.schemaJson,
+      partitionCols = prev.partitionCols, dirStats = prev.dirStats,
+      changesDir = Some(chDir),
+      properties = prev.properties +
+        (TombstoneCoverPrefix + dir -> prev.dataDirs.length.toString),
+      tombstoneDirs = prev.tombstoneDirs :+ dir)
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -676,7 +751,7 @@ final class GraftTable private (
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
-      properties = prev.properties)
+      properties = rewriteProps(prev.properties))
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -703,7 +778,7 @@ final class GraftTable private (
       "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
-      properties = prev.properties)
+      properties = rewriteProps(prev.properties))
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -733,7 +808,7 @@ final class GraftTable private (
       Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson,
       partitionCols = prev.partitionCols,
       dirStats = Map(dir -> statsFor(dir)),
-      properties = prev.properties)
+      properties = rewriteProps(prev.properties))
     commitRewrite(c, Seq(dir))
   }
 
@@ -816,7 +891,8 @@ final class GraftTable private (
     val c = Commit(head, System.currentTimeMillis(), "RESTORE", old.dataDirs,
       Map("restoredVersion" -> v), old.schemaJson,
       partitionCols = old.partitionCols,
-      properties = old.properties)
+      properties = old.properties,
+      tombstoneDirs = old.tombstoneDirs)
     commitRewrite(c, Nil)
   }
 
@@ -834,7 +910,7 @@ final class GraftTable private (
       if (all.isEmpty) return Nil
       val headVersion = all.last.version
       val keep = all.filter(c => c.version == headVersion || c.tsMs >= cutoff)
-      val keepDirs = keep.flatMap(_.dataDirs).toSet
+      val keepDirs = keep.flatMap(c => c.dataDirs ++ c.tombstoneDirs).toSet
       val expired = all.filter(c => c.version != headVersion && c.tsMs < cutoff)
       val deleted = Seq.newBuilder[String]
       expired.foreach { c =>
@@ -842,7 +918,7 @@ final class GraftTable private (
         // another table's files, present when this table is a shallow
         // clone; only dirs this table wrote under its own root are ours
         // to reclaim (same ownership rule as Delta's shallow clones).
-        c.dataDirs.filterNot(keepDirs.contains)
+        (c.dataDirs ++ c.tombstoneDirs).filterNot(keepDirs.contains)
           .filterNot(d => new Path(d).isAbsolute).foreach { d =>
             if (fs.delete(new Path(root, d), true)) deleted += d
           }
@@ -873,7 +949,12 @@ final class GraftTable private (
       src.schemaJson,
       partitionCols = src.partitionCols,
       dirStats = src.dirStats.map { case (d, s) => abs(d) -> s },
-      properties = src.properties))
+      properties = src.properties.map {
+        case (k, v) if k.startsWith(TombstoneCoverPrefix) =>
+          (TombstoneCoverPrefix + abs(k.stripPrefix(TombstoneCoverPrefix))) -> v
+        case kv => kv
+      },
+      tombstoneDirs = src.tombstoneDirs.map(abs)))
     target
   }
 }
@@ -889,6 +970,13 @@ final class ConcurrentWriteException(msg: String, cause: Throwable)
 object GraftTable {
 
   private[table] val ConstraintPrefix = "constraint."
+  private[table] val TombstoneCoverPrefix = "tombstone.cover."
+
+  /** Properties a snapshot REWRITE should carry: everything except
+    * tombstone-coverage bookkeeping, which dies with the tombstones the
+    * rewrite materializes. */
+  private[table] def rewriteProps(props: Map[String, String]): Map[String, String] =
+    props.filterNot(_._1.startsWith(TombstoneCoverPrefix))
 
   private def hadoopConf(spark: SparkSession) =
     spark.sessionState.newHadoopConf()

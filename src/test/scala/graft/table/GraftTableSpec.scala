@@ -309,6 +309,36 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 3)
   }
 
+  test("merge-on-read delete: no rewrite, scoped tombstones, rewrite materializes") {
+    val t = GraftTable.create(spark, tmpDir("gt-mor"), seedCustomers)
+    val c = t.deleteMergeOnRead(col("balance") < 150.0) // deletes id=1
+    // no data rewritten: still the single CREATE data dir, plus a tombstone
+    assert(c.dataDirs.size === 1 && c.tombstoneDirs.size === 1)
+    assert(t.read().collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    // time travel still sees the pre-delete snapshot
+    assert(t.readVersion(0).count() === 3)
+    // CDF carries the delete rows
+    val cdf = t.readChanges(c.version, c.version)
+    assert(cdf.filter(col("_change_type") === "delete").count() === 1)
+
+    // a row value-identical to a tombstoned one, appended AFTER the
+    // delete, is NOT suppressed (coverage scoping)
+    t.append(Seq((1L, "John", "john@x.com", 100.0)).toDF("id", "name", "email", "balance"))
+    assert(t.read().count() === 3)
+    assert(t.read().filter(col("id") === 1L).count() === 1)
+    assert(t.rowCount === 3)
+
+    // second MoR delete stacks; reads stay correct
+    t.deleteMergeOnRead(col("id") === 2L)
+    assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+
+    // any rewrite materializes: tombstones cleared, data equal
+    val afterOpt = t.optimize()
+    assert(afterOpt.tombstoneDirs.isEmpty)
+    assert(afterOpt.properties.keys.forall(!_.startsWith("tombstone.cover.")))
+    assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
   test("shallow clone: zero-copy read equality, independent evolution") {
     val src = GraftTable.create(spark, tmpDir("gt-clone-src"), seedCustomers)
     src.append(Seq((4L, "Ann", "ann@x.com", 400.0)).toDF("id", "name", "email", "balance"))
