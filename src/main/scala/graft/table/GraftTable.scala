@@ -735,6 +735,44 @@ final class GraftTable private (
     commitRewrite(c, Seq(dir, chDir))
   }
 
+  /** UPDATE without rewriting the snapshot (merge-on-read, composing the
+    * [[deleteMergeOnRead]] tombstone with an append IN ONE COMMIT):
+    * matched rows are tombstoned and their updated copies written as a new
+    * data dir. The tombstone's coverage stops at the pre-existing dirs, so
+    * the appended updates are never subtracted even when an assignment is
+    * a no-op (value-identical copy). Cost: deleted+updated rows written,
+    * instead of the whole table. Any later rewrite materializes. */
+  def updateMergeOnRead(cond: Column, assignments: Map[String, Column]): Commit =
+    this.synchronized {
+      val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+      val v = prev.version + 1
+      val tsMs = System.currentTimeMillis()
+      val cur = readCommit(prev)
+      val hit = coalesce(cond, lit(false))
+      val pre = cur.filter(hit)
+      val post = pre.select(cur.columns.toSeq.map { c =>
+        assignments.get(c).map(e => e.as(c)).getOrElse(col(c))
+      }: _*)
+      enforceConstraints(post, Some(prev), "UPDATE")
+      val tsDir = f"tombstones/v$v%05d-${uniqueSuffix()}"
+      pre.write.mode("errorifexists").parquet(new Path(root, tsDir).toString)
+      val dataDir = writeData(post, v, prev.partitionCols)
+      val (chDir, cdfMetrics) = writeChanges(
+        pre.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
+        v, tsMs)
+      val c = Commit(v, tsMs, "UPDATE", prev.dataDirs :+ dataDir, Map(
+        "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
+        "mergeOnRead" -> 1L), prev.schemaJson,
+        partitionCols = prev.partitionCols,
+        dirStats = prev.dirStats + (dataDir -> statsFor(dataDir)),
+        changesDir = Some(chDir),
+        properties = prev.properties +
+          (TombstoneCoverPrefix + tsDir -> prev.dataDirs.length.toString),
+        tombstoneDirs = prev.tombstoneDirs :+ tsDir)
+      commitRewrite(c, Seq(tsDir, dataDir, chDir))
+    }
+
   /** Keyed delete as a distributed anti-join — the scale-safe form of the
     * reference's collect-ids-then-isin (spark_streaming.py:381-386). */
   def deleteKeys(keys: DataFrame, key: String): Commit = this.synchronized {

@@ -339,6 +339,27 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
+  test("merge-on-read update: tombstone + appended copies, one commit") {
+    val t = GraftTable.create(spark, tmpDir("gt-moru"), seedCustomers)
+    val c = t.updateMergeOnRead(col("id") === 2L, Map("balance" -> lit(999.0)))
+    assert(c.dataDirs.size === 2 && c.tombstoneDirs.size === 1) // original + updates
+    val rows = t.read().collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows === Map(1L -> 100.0, 2L -> 999.0, 3L -> 300.0))
+    // CDF pre/post images
+    val cdf = t.readChanges(c.version, c.version)
+    assert(cdf.filter(col("_change_type") === "update_preimage").count() === 1)
+    assert(cdf.filter(col("_change_type") === "update_postimage").count() === 1)
+    // no-op assignment: value-identical copy must survive its own commit
+    t.updateMergeOnRead(col("id") === 1L, Map("balance" -> lit(100.0)))
+    assert(t.read().count() === 3)
+    assert(t.read().filter(col("id") === 1L).head().getDouble(3) === 100.0)
+    // rewrite materializes everything
+    val after = t.optimize()
+    assert(after.tombstoneDirs.isEmpty)
+    assert(t.read().collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap ===
+      Map(1L -> 100.0, 2L -> 999.0, 3L -> 300.0))
+  }
+
   test("shallow clone: zero-copy read equality, independent evolution") {
     val src = GraftTable.create(spark, tmpDir("gt-clone-src"), seedCustomers)
     src.append(Seq((4L, "Ann", "ann@x.com", 400.0)).toDF("id", "name", "email", "balance"))
