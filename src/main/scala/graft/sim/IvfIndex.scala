@@ -37,6 +37,27 @@ object IvfIndex {
       .parquet(path)
   }
 
+  /** Incrementally index NEW vectors into an existing layout — the
+    * steady-state indexing job (a full rebuild per ingest batch would scan
+    * the corpus): assign the batch to the EXISTING centroids, PQ-encode
+    * with the EXISTING codebooks, and append into the same
+    * centroid-partitioned layout (dynamic partition overwrite is not
+    * needed — append adds files inside each cell dir). Centroids/codebooks
+    * drift from the true k-means of the grown corpus; the standard
+    * practice this models is periodic re-training while incremental
+    * appends carry the interval. */
+  def append(newVecs: DataFrame, centroids: DataFrame, model: Pq.Model, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val assigned = Similarity.assignToCentroids(newVecs, centroids,
+      idCol = idCol, vecCol = vecCol)
+      .select("vec_id", "centroid_id")
+    Pq.encode(newVecs, model, idCol, vecCol)
+      .join(assigned, "vec_id")
+      .write.mode("append")
+      .partitionBy("centroid_id")
+      .parquet(path)
+  }
+
   /** Probe the persisted index: prune to the `nprobe` nearest cells via an
     * IN-list partition predicate (resolved against directory names at
     * planning — no data read outside them), then ADC-shortlist + exact

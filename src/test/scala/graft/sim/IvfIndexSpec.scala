@@ -54,4 +54,32 @@ class IvfIndexSpec extends SparkSpec {
     val got = probe.collect().toSeq
     assert(got === exact)
   }
+
+  test("incremental append indexes new vectors without a rebuild") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.functions._
+    val maxId = emb.agg(max("vec_id")).head().getLong(0)
+    val cut = maxId - 20
+    val base = emb.filter(col("vec_id") <= cut)
+    val late = emb.filter(col("vec_id") > cut)
+    // index built from the BASE corpus only
+    val centroids = Similarity.trainCentroids(base,
+      k = AnnParams.kCoarse, iters = AnnParams.coarseIters)
+    val model = Pq.train(base, m = AnnParams.pqM, k = AnnParams.pqK,
+      iters = AnnParams.pqIters, dim = AnnParams.dim)
+    val path = tmpDir("ivf-incr") + "/index"
+    IvfIndex.write(base, centroids, model, path)
+    // late batch appended with the EXISTING centroids/codebooks
+    IvfIndex.append(late, centroids, model, path)
+    // index covers the full corpus exactly once
+    assert(spark.read.parquet(path).count() === emb.count())
+    // probe over the grown index equals brute force on the full corpus
+    val (q0, _) = Pq.queryVector(emb, 0L)
+    val got = IvfIndex.probe(spark, path, emb, model,
+      IvfIndex.localCentroids(centroids), q0, k = 10,
+      nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist,
+      excludeId = Some(0L)).collect().toSeq
+    val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().toSeq
+    assert(got === exact)
+  }
 }
