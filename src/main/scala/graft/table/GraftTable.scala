@@ -919,6 +919,23 @@ final class GraftTable private (
       case _ => None
     }
 
+  /** Materialize merge-on-read state when tombstones have grown past
+    * `maxTombstoneRatio` of the live rows (footer counts — metadata-only
+    * check, no scan): every read pays the anti-join while tombstones live,
+    * so once they stop being "small relative to the table" the one-time
+    * rewrite is cheaper than the recurring read tax. The MoR write path's
+    * periodic-compaction companion, like [[maybeCompact]] for small
+    * files. */
+  def maybeMaterialize(maxTombstoneRatio: Double = 0.1,
+      targetFileBytes: Long = 128L * 1024 * 1024): Option[Commit] =
+    log.latest() match {
+      case Some(c) if c.tombstoneDirs.nonEmpty =>
+        val dead = c.tombstoneDirs.map(countDir).sum.toDouble
+        val live = math.max(1L, c.dataDirs.map(countDir).sum - dead.toLong).toDouble
+        if (dead / live > maxTombstoneRatio) Some(optimize(targetFileBytes)) else None
+      case _ => None
+    }
+
   /** RESTORE (M12): re-publish an old version as the new head. Metadata-only
     * — the new commit references the old version's immutable dirs. Like a
     * rewrite, a concurrent commit invalidates the restore-over-THAT-head

@@ -339,6 +339,16 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().collect().map(_.getLong(0)).toSet === Set(1L, 3L))
   }
 
+  test("maybeMaterialize fires only past the tombstone ratio") {
+    val t = GraftTable.create(spark, tmpDir("gt-morm"), seedCustomers)
+    t.deleteMergeOnRead(col("id") === 1L) // 1 dead / 2 live = 0.5
+    assert(t.maybeMaterialize(maxTombstoneRatio = 0.6).isEmpty)
+    assert(t.read().count() === 2) // untouched below threshold
+    val done = t.maybeMaterialize(maxTombstoneRatio = 0.4)
+    assert(done.isDefined && done.get.tombstoneDirs.isEmpty)
+    assert(t.read().count() === 2)
+  }
+
   test("merge-on-read update: tombstone + appended copies, one commit") {
     val t = GraftTable.create(spark, tmpDir("gt-moru"), seedCustomers)
     val c = t.updateMergeOnRead(col("id") === 2L, Map("balance" -> lit(999.0)))
