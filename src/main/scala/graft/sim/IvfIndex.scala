@@ -89,4 +89,38 @@ object IvfIndex {
   def localCentroids(centroids: DataFrame): Array[(Long, Array[Double])] =
     centroids.collect().map(r =>
       (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Index-quality statistics of a vector batch under the CURRENT coarse
+    * quantizer: mean best-centroid cosine (quantization quality — falls
+    * when the data distribution drifts away from the trained centroids)
+    * and the max/mean cell-load ratio (imbalance — rises when drifting
+    * data piles into few cells, which is what degrades probe pruning).
+    * One assignment pass over the batch; k-bounded aggregate. */
+  def assignmentStats(batch: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val assigned = Similarity.assignToCentroids(batch, centroids,
+      idCol = idCol, vecCol = vecCol)
+    val cells = assigned.groupBy("centroid_id")
+      .agg(count(lit(1)).as("n"), avg("centroid_score").as("s"))
+      .collect()
+    val total = cells.map(_.getAs[Long]("n")).sum.toDouble
+    val meanScore = cells.map(r => r.getAs[Double]("s") * r.getAs[Long]("n")).sum / total
+    val imbalance = cells.map(_.getAs[Long]("n")).max / (total / centroids.count())
+    (meanScore, imbalance)
+  }
+
+  /** Re-train trigger — the [[graft.table.GraftTable.maybeMaterialize]]
+    * pattern applied to index quality: periodic incremental [[append]]s
+    * keep the interval cheap, and this decides when the interval ends.
+    * Returns true when the new batch's mean quantization quality has
+    * dropped below `minQualityRatio` of the base corpus's, or its cell
+    * imbalance exceeds `maxImbalance` (a balanced quantizer loads cells
+    * near 1×). */
+  def needsRetrain(baseMeanScore: Double, batch: DataFrame, centroids: DataFrame,
+      minQualityRatio: Double = 0.9, maxImbalance: Double = 4.0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val (meanScore, imbalance) = assignmentStats(batch, centroids, idCol, vecCol)
+    meanScore < baseMeanScore * minQualityRatio || imbalance > maxImbalance
+  }
 }

@@ -82,4 +82,25 @@ class IvfIndexSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().toSeq
     assert(got === exact)
   }
+
+  test("needsRetrain: same-distribution batch passes, shifted batch triggers") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val centroids = Similarity.trainCentroids(emb,
+      k = AnnParams.kCoarse, iters = AnnParams.coarseIters)
+    val (baseScore, baseImb) = IvfIndex.assignmentStats(emb, centroids)
+    assert(baseScore > 0.0 && baseImb >= 1.0)
+    // a batch drawn from the same corpus: no drift signal
+    val sameDist = emb.filter(col("vec_id") % 5 === 0)
+    assert(!IvfIndex.needsRetrain(baseScore, sameDist, centroids))
+    // an adversarial batch far from every centroid (constant direction all
+    // centroids are near-orthogonal to on average): quality collapses and
+    // everything piles into one cell
+    val dim = emb.head().getAs[Seq[Float]]("embedding").length
+    val shifted = (10000L to 10099L)
+      .map(i => (i, Seq.tabulate(dim)(j => if (j == 0) 100f else 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    assert(IvfIndex.needsRetrain(baseScore, shifted, centroids))
+  }
 }
