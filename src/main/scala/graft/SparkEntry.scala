@@ -108,6 +108,7 @@ object SparkEntry {
     "q81_dup_clusters_lsh"   -> (CorpusQueries.dupClustersLsh _),
     "q82_salted_join"        -> (OlapQueries.saltedEnrich _),
     "q83_mor_delete"         -> (MutationQueries.morDeleteWhere _),
+    "q84_bigram_lm"          -> (CorpusQueries.bigramLm _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -776,6 +777,28 @@ object SparkEntry {
         |WHERE token_count >= 20 AND token_count <= 5000
         |  AND quality >= 0.5 AND dup_token_ratio <= 0.6
         |  AND top_2gram_fraction <= 0.2""".stripMargin,
+    // bigram companion of q70: BIGINT masses + single-division doubles
+    "q84_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS b
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+        |freq AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY b),
+        |terms AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''),
+        |ctx AS (SELECT term, CAST(count(*) AS BIGINT) AS ctx_cnt
+        |        FROM terms WHERE term <> '' GROUP BY term)
+        |SELECT bg.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(freq.cnt) AS BIGINT) AS bigram_mass,
+        |  CAST(sum(ctx.ctx_cnt) AS BIGINT) AS context_mass,
+        |  CAST(sum(freq.cnt) AS BIGINT) / CAST(CAST(sum(ctx.ctx_cnt) AS BIGINT) AS DOUBLE)
+        |    AS transition_score,
+        |  CAST(min(freq.cnt) AS DOUBLE) / count(*) AS rarest_ratio
+        |FROM bg JOIN freq USING (b) JOIN ctx ON bg.w1 = ctx.term
+        |GROUP BY bg.doc_id""".stripMargin,
     // Exact integer frequency mass per doc; probabilities derived by the
     // same division chain as the Spark side (no float SUM, no log).
     "q70_unigram_lm" ->

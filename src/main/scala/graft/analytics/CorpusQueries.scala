@@ -293,6 +293,43 @@ object CorpusQueries {
     * engines, no log). Rare-token mass is what filters boilerplate vs
     * gibberish; one corpus-frequency hash-agg, frequencies broadcast back
     * (vocabulary-bounded), then one per-doc agg. */
+  /** Bigram language-model scoring — [[unigramLm]]'s transition-level
+    * companion: how much corpus mass the document's WORD PAIRS carry.
+    * Gibberish with plausible unigrams (shuffled text, keyword stuffing)
+    * scores low here while scoring normal on q70. Same exactness recipe:
+    * all aggregates are BIGINT masses of corpus counts (bigram count and
+    * its left-context count), the two DOUBLE ratios are single divisions
+    * of those integers — no float summation, no log, so the DuckDB oracle
+    * matches bit-for-bit. Bigram vocabulary is Heap's-law bounded like the
+    * unigram table; the per-doc join broadcasts it. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bigrams = docs
+      .select(col("doc_id"),
+        explode(graft.text.TextFunctions.shingles(col("text"), 2)).as("bg"))
+    val freq = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    val ctx = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("ctx_cnt"))
+    val withCounts = bigrams
+      .join(broadcast(freq), "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(broadcast(ctx), col("w1") === col("term"))
+    withCounts
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("cnt")).as("bigram_mass"),
+        sum(col("ctx_cnt")).as("context_mass"),
+        min(col("cnt")).as("rarest_bigram_cnt"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("bigram_mass"), col("context_mass"),
+        (col("bigram_mass").cast("double") / col("context_mass"))
+          .as("transition_score"),
+        (col("rarest_bigram_cnt").cast("double") / col("n_bigrams"))
+          .as("rarest_ratio"))
+  }
+
   def unigramLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
