@@ -109,6 +109,7 @@ object SparkEntry {
     "q82_salted_join"        -> (OlapQueries.saltedEnrich _),
     "q83_mor_delete"         -> (MutationQueries.morDeleteWhere _),
     "q84_bigram_lm"          -> (CorpusQueries.bigramLm _),
+    "q85_embedding_stats"    -> (CorpusQueries.embeddingStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -777,6 +778,22 @@ object SparkEntry {
         |WHERE token_count >= 20 AND token_count <= 5000
         |  AND quality >= 0.5 AND dup_token_ratio <= 0.6
         |  AND top_2gram_fraction <= 0.2""".stripMargin,
+    // exact DECIMAL sums (order-independent), identical double derivation
+    // tree on both engines; DuckDB ordinality is 1-based → i-1
+    "q85_embedding_stats" ->
+      """WITH ex AS (
+        |  SELECT CAST(i - 1 AS INT) AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT) AS fx,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) * 1e18) AS BIGINT) AS fxx
+        |  FROM (SELECT embedding,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings))
+        |SELECT dim, count(*) AS n,
+        |       CAST(sum(fx) AS DOUBLE) / count(*) / 1e9 AS mean,
+        |       CAST(sum(fxx) AS DOUBLE) / count(*) / 1e18
+        |       - (CAST(sum(fx) AS DOUBLE) / count(*) / 1e9)
+        |       * (CAST(sum(fx) AS DOUBLE) / count(*) / 1e9) AS variance
+        |FROM ex GROUP BY 1""".stripMargin,
     // bigram companion of q70: BIGINT masses + single-division doubles
     "q84_bigram_lm" ->
       """WITH toks AS (

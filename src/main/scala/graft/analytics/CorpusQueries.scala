@@ -302,6 +302,34 @@ object CorpusQueries {
     * of those integers — no float summation, no log, so the DuckDB oracle
     * matches bit-for-bit. Bigram vocabulary is Heap's-law bounded like the
     * unigram table; the per-doc join broadcasts it. */
+  /** Per-dimension embedding feature-health stats — the drift/debugging
+    * scan every embedding pipeline runs (dead dimensions, scale blowups,
+    * distribution shift between snapshots): count, mean and variance per
+    * vector position, in 1e-9 / 1e-18 FIXED POINT — `floor(x·10⁹)` is one
+    * IEEE double multiply + floor, bit-identical across engines (a direct
+    * double→DECIMAL cast ties at the rounding boundary: measured one dim
+    * in 64 differing by 2e-13 between engines), and the integer sums are
+    * exact DECIMAL(38,0), order-independent under any partitioning. The
+    * mean/variance derivations are the same double expression tree on
+    * both engines. One posexplode + dim-keyed hash aggregate —
+    * embarrassingly parallel, map-side combinable. */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x") * lit(1e9)).cast(dec)).as("sx"),
+        sum(floor(col("x") * col("x") * lit(1e18)).cast(dec)).as("sxx"))
+      .select(
+        col("dim"), col("n"),
+        (col("sx").cast("double") / col("n") / lit(1e9)).as("mean"),
+        (col("sxx").cast("double") / col("n") / lit(1e18)
+          - (col("sx").cast("double") / col("n") / lit(1e9))
+          * (col("sx").cast("double") / col("n") / lit(1e9))).as("variance"))
+  }
+
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bigrams = docs
