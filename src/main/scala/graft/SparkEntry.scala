@@ -110,6 +110,7 @@ object SparkEntry {
     "q83_mor_delete"         -> (MutationQueries.morDeleteWhere _),
     "q84_bigram_lm"          -> (CorpusQueries.bigramLm _),
     "q85_embedding_stats"    -> (CorpusQueries.embeddingStats _),
+    "q86_clean_corpus"       -> (CorpusQueries.cleanCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -301,6 +302,9 @@ object SparkEntry {
     // the LSH candidate path reaches the same verified pair set on this
     // corpus (q25 ≡ exact oracle), so the same closure oracle applies
     "q81_dup_clusters_lsh" -> DupClustersOracleSql,
+    // filter ∩ keepers, composed from the q71 filter and the q73 closure:
+    // the fdocs CTE shadows the documents source inside the closure SQL
+    "q86_clean_corpus" -> CleanCorpusOracleSql,
     // salting reshapes the shuffle, not the result — the oracle is the
     // plain join
     "q82_salted_join" ->
@@ -746,38 +750,7 @@ object SparkEntry {
     // Composition of the q20/q41/q57 signal expressions (each individually
     // hash-proven) with mid-distribution thresholds; since both engines
     // compute each signal bit-identically, the comparisons agree too.
-    "q71_corpus_filter" ->
-      """WITH b AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(text), '\s+') AS toks,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
-        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
-        |      / greatest(length(text), 1) AS punct_ratio,
-        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
-        |         x -> x IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
-        |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stop_ratio
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, token_count,
-        |    (least(CAST(token_count AS DOUBLE) / 50.0, 1.0)
-        |     + (1.0 - least(punct_ratio * 4.0, 1.0))
-        |     + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality,
-        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
-        |      / greatest(len(toks), 1) AS dup_token_ratio,
-        |    coalesce(
-        |      CAST(list_max(list_transform(
-        |             list_distinct(list_transform(generate_series(1, len(toks) - 1),
-        |               i -> toks[i] || ' ' || toks[i + 1])),
-        |             x -> len(list_filter(list_transform(generate_series(1, len(toks) - 1),
-        |               i -> toks[i] || ' ' || toks[i + 1]), y -> y = x)))) AS DOUBLE)
-        |        / greatest(len(toks) - 1, 1), 0.0) AS top_2gram_fraction
-        |  FROM b
-        |)
-        |SELECT doc_id, token_count, quality, dup_token_ratio, top_2gram_fraction
-        |FROM s
-        |WHERE token_count >= 20 AND token_count <= 5000
-        |  AND quality >= 0.5 AND dup_token_ratio <= 0.6
-        |  AND top_2gram_fraction <= 0.2""".stripMargin,
+    "q71_corpus_filter" -> CorpusFilterOracleSql,
     // exact DECIMAL sums (order-independent), identical double derivation
     // tree on both engines; DuckDB ordinality is 1-based → i-1
     "q85_embedding_stats" ->
@@ -856,6 +829,57 @@ object SparkEntry {
       |SELECT tr.doc_id, count(DISTINCT tr.g) AS shared_ngrams
       |FROM tr JOIN ev USING (g)
       |GROUP BY tr.doc_id""".stripMargin
+
+  /** q71 oracle: the composed quality-filter scan (also the filter stage of
+    * the q86 clean-corpus composition). */
+  private val CorpusFilterOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
+      |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1) AS punct_ratio,
+      |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |         x -> x IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
+      |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stop_ratio
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, token_count,
+      |    (least(CAST(token_count AS DOUBLE) / 50.0, 1.0)
+      |     + (1.0 - least(punct_ratio * 4.0, 1.0))
+      |     + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality,
+      |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS dup_token_ratio,
+      |    coalesce(
+      |      CAST(list_max(list_transform(
+      |             list_distinct(list_transform(generate_series(1, len(toks) - 1),
+      |               i -> toks[i] || ' ' || toks[i + 1])),
+      |             x -> len(list_filter(list_transform(generate_series(1, len(toks) - 1),
+      |               i -> toks[i] || ' ' || toks[i + 1]), y -> y = x)))) AS DOUBLE)
+      |        / greatest(len(toks) - 1, 1), 0.0) AS top_2gram_fraction
+      |  FROM b
+      |)
+      |SELECT doc_id, token_count, quality, dup_token_ratio, top_2gram_fraction
+      |FROM s
+      |WHERE token_count >= 20 AND token_count <= 5000
+      |  AND quality >= 0.5 AND dup_token_ratio <= 0.6
+      |  AND top_2gram_fraction <= 0.2""".stripMargin
+
+  /** q86 oracle, COMPOSED from the q71 filter and the q73 closure: the
+    * closure's every `documents` reference is redirected to an `fdocs` CTE
+    * (the filter-surviving docs), and only keeper rows
+    * (doc_id = cluster_id) leave the query — exactly the Spark-side
+    * composition. */
+  private def CleanCorpusOracleSql: String = {
+    val closure = DupClustersOracleSql.replace("FROM documents", "FROM fdocs")
+    val injected = closure.replace(
+      "WITH RECURSIVE pairs AS (",
+      "WITH RECURSIVE fdocs AS (\n" +
+        "  SELECT d.doc_id, d.text FROM documents d\n" +
+        s"  JOIN (\n$CorpusFilterOracleSql\n) f ON d.doc_id = f.doc_id\n" +
+        "), pairs AS (")
+    s"SELECT * FROM (\n$injected\n) WHERE doc_id = cluster_id"
+  }
 
   /** q73 oracle: connected components over the exact-jaccard pair graph by
     * transitive closure (recursive CTE: every label reaches every node in

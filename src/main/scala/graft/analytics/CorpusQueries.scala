@@ -293,6 +293,20 @@ object CorpusQueries {
     * engines, no log). Rare-token mass is what filters boilerplate vs
     * gibberish; one corpus-frequency hash-agg, frequencies broadcast back
     * (vocabulary-bounded), then one per-doc agg. */
+  /** The clean-corpus materialization — the pipeline's flagship composite:
+    * quality-filter the corpus (q71's gates), cluster the survivors'
+    * near-dups (q27's lossless pairs → connected components) and keep ONE
+    * deterministic representative per cluster. The output IS the corpus a
+    * training run would read. Composition of individually-oracle-proven
+    * stages, graded end-to-end against the equally-composed DuckDB SQL. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val filtered = docs.join(corpusFilter(spark, dir).select("doc_id"), "doc_id")
+    Dedup.duplicateClusters(filtered,
+        Dedup.ngramJaccardPairs(filtered, n = 3, threshold = 0.5))
+      .filter(col("doc_id") === col("cluster_id"))
+  }
+
   /** Bigram language-model scoring — [[unigramLm]]'s transition-level
     * companion: how much corpus mass the document's WORD PAIRS carry.
     * Gibberish with plausible unigrams (shuffled text, keyword stuffing)
