@@ -714,26 +714,63 @@ final class GraftTable private (
     * tombstones are small, which is exactly when you choose this over
     * [[delete]]. CDF delete rows are emitted as usual. */
   def deleteMergeOnRead(cond: Column): Commit = this.synchronized {
-    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
-    val v = prev.version + 1
-    val tsMs = System.currentTimeMillis()
-    val cur = readCommit(prev) // earlier tombstones applied: no double-count
-    val hit = coalesce(cond, lit(false))
-    val dir = f"tombstones/v$v%05d-${uniqueSuffix()}"
-    cur.filter(hit).write.mode("errorifexists")
-      .parquet(new Path(root, dir).toString)
-    val (chDir, cdfMetrics) = writeChanges(
-      cur.filter(hit).withColumn("_change_type", lit("delete")), v, tsMs)
-    val c = Commit(v, tsMs, "DELETE", prev.dataDirs, Map(
-      "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
-      "mergeOnRead" -> 1L), prev.schemaJson,
-      partitionCols = prev.partitionCols, dirStats = prev.dirStats,
-      changesDir = Some(chDir),
-      properties = prev.properties +
-        (TombstoneCoverPrefix + dir -> prev.dataDirs.length.toString),
-      tombstoneDirs = prev.tombstoneDirs :+ dir)
-    commitRewrite(c, Seq(dir, chDir))
+    deleteMergeOnReadFrom(
+      log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")), cond)
   }
+
+  /** [[deleteMergeOnRead]] from an explicit snapshot — the REBASE seam.
+    * Unlike snapshot rewrites, a merge-on-read delete COMMUTES with
+    * concurrent appends: appended rows cannot be among the tombstoned ones
+    * (they did not exist in the computed snapshot) and the tombstone's
+    * coverage prefix pins it to exactly the dirs it was computed from —
+    * so when only APPENDs won the race, the delete rebases onto the new
+    * head (both writers land) instead of aborting. Any concurrent rewrite
+    * or schema change still aborts with [[ConcurrentWriteException]]. */
+  private[table] def deleteMergeOnReadFrom(snapshot: Commit, cond: Column): Commit =
+    this.synchronized {
+      val tsMs = System.currentTimeMillis()
+      val cur = readCommit(snapshot) // earlier tombstones applied: no double-count
+      val hit = coalesce(cond, lit(false))
+      val dir = f"tombstones/v${snapshot.version + 1}%05d-${uniqueSuffix()}"
+      cur.filter(hit).write.mode("errorifexists")
+        .parquet(new Path(root, dir).toString)
+      val (chDir, cdfMetrics) = writeChanges(
+        cur.filter(hit).withColumn("_change_type", lit("delete")),
+        snapshot.version + 1, tsMs)
+      def rollback(): Unit =
+        Seq(dir, chDir).foreach(d => fs.delete(new Path(root, d), true))
+      var attempts = 0
+      while (attempts <= MaxCommitRetries) {
+        val head = log.latest().getOrElse(snapshot)
+        val appendOnlyRace = head.version == snapshot.version ||
+          (head.schemaJson == snapshot.schemaJson &&
+            head.dataDirs.startsWith(snapshot.dataDirs) &&
+            log.commits().filter(_.version > snapshot.version)
+              .forall(_.operation == "APPEND"))
+        if (!appendOnlyRace) {
+          rollback()
+          throw new ConcurrentWriteException(
+            s"merge-on-read delete of $root computed from stale version " +
+              s"${snapshot.version}; a non-append commit intervened", null)
+        }
+        val c = Commit(head.version + 1, tsMs, "DELETE", head.dataDirs, Map(
+          "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
+          "mergeOnRead" -> 1L), snapshot.schemaJson,
+          partitionCols = head.partitionCols, dirStats = head.dirStats,
+          changesDir = Some(chDir),
+          properties = head.properties +
+            (TombstoneCoverPrefix + dir -> snapshot.dataDirs.length.toString),
+          tombstoneDirs = head.tombstoneDirs :+ dir)
+        try { log.commit(c); return c }
+        catch { case _: IllegalStateException => attempts += 1 }
+      }
+      rollback()
+      throw new ConcurrentWriteException(
+        s"merge-on-read delete of $root lost $MaxCommitRetries version races", null)
+    }
+
+  /** Current head commit (test seam for rebase scenarios). */
+  private[table] def headCommit: Option[Commit] = log.latest()
 
   /** UPDATE without rewriting the snapshot (merge-on-read, composing the
     * [[deleteMergeOnRead]] tombstone with an append IN ONE COMMIT):

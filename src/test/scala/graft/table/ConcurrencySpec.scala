@@ -145,6 +145,31 @@ class ConcurrencySpec extends SparkSpec {
     assert(content.matches("""\{"writer":\d\}"""), content)
   }
 
+  test("merge-on-read delete rebases over a concurrent append, aborts on rewrite") {
+    import org.apache.spark.sql.functions._
+    val seed = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("cc-mor"), seed)
+    val stale = t.headCommit.get
+    // another writer appends AFTER our snapshot was taken
+    t.append(Seq((2L, 999.0)).toDF("id", "x")) // same id, different row
+    // the delete computed from the stale snapshot must rebase: both land
+    val c = t.deleteMergeOnReadFrom(stale, col("id") === 2L)
+    assert(c.version === stale.version + 2)
+    val rows = t.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // the ORIGINAL id=2 row is deleted; the appended one survives (coverage)
+    assert(rows === Set((1L, 10.0), (3L, 30.0), (2L, 999.0)))
+
+    // a concurrent REWRITE is not append-only: the delete must abort
+    val stale2 = t.headCommit.get
+    t.update(col("id") === 1L, Map("x" -> lit(11.0)))
+    intercept[ConcurrentWriteException] {
+      t.deleteMergeOnReadFrom(stale2, col("id") === 3L)
+    }
+    // aborted cleanly: nothing deleted, update intact
+    assert(t.read().count() === 3)
+    assert(t.read().filter(col("id") === 1L).head().getDouble(1) === 11.0)
+  }
+
   test("publisher registry: scheme selection and conditional-put registration") {
     // unknown scheme falls back to rename+read-back
     assert(CommitLog.publisherFor("s3a-unregistered") === RenamePublisher)
