@@ -111,6 +111,7 @@ object SparkEntry {
     "q84_bigram_lm"          -> (CorpusQueries.bigramLm _),
     "q85_embedding_stats"    -> (CorpusQueries.embeddingStats _),
     "q86_clean_corpus"       -> (CorpusQueries.cleanCorpus _),
+    "q87_dedup_report"       -> (CorpusQueries.dedupReport _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -305,6 +306,14 @@ object SparkEntry {
     // filter ∩ keepers, composed from the q71 filter and the q73 closure:
     // the fdocs CTE shadows the documents source inside the closure SQL
     "q86_clean_corpus" -> CleanCorpusOracleSql,
+    // the closure aggregated into the published dedup summary
+    "q87_dedup_report" ->
+      s"""SELECT cluster_size,
+         |       count(DISTINCT cluster_id) AS n_clusters,
+         |       count(*) AS n_docs
+         |FROM (
+         |$DupClustersOracleSql
+         |) GROUP BY 1""".stripMargin,
     // salting reshapes the shuffle, not the result — the oracle is the
     // plain join
     "q82_salted_join" ->

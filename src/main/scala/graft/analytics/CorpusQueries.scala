@@ -293,6 +293,16 @@ object CorpusQueries {
     * engines, no log). Rare-token mass is what filters boilerplate vs
     * gibberish; one corpus-frequency hash-agg, frequencies broadcast back
     * (vocabulary-bounded), then one per-doc agg. */
+  /** The dedup report — the summary every dedup run publishes: how many
+    * clusters exist at each size and how many documents they hold
+    * (size 1 = unique docs; the tail is the duplication mass removed). */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(spark, dir)
+      .groupBy("cluster_size")
+      .agg(
+        countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+
   /** The clean-corpus materialization — the pipeline's flagship composite:
     * quality-filter the corpus (q71's gates), cluster the survivors'
     * near-dups (q27's lossless pairs → connected components) and keep ONE
