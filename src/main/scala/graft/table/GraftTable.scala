@@ -781,33 +781,65 @@ final class GraftTable private (
     * instead of the whole table. Any later rewrite materializes. */
   def updateMergeOnRead(cond: Column, assignments: Map[String, Column]): Commit =
     this.synchronized {
-      val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
-      val v = prev.version + 1
+      updateMergeOnReadFrom(
+        log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")),
+        cond, assignments)
+    }
+
+  /** [[updateMergeOnRead]] from an explicit snapshot — rebases over
+    * concurrent APPENDs exactly like [[deleteMergeOnReadFrom]] (the
+    * tombstone's coverage pins it to the computed-from dirs; the updated
+    * copies land as a fresh dir after any concurrently appended ones);
+    * non-append races and schema changes abort with rollback. */
+  private[table] def updateMergeOnReadFrom(snapshot: Commit, cond: Column,
+      assignments: Map[String, Column]): Commit =
+    this.synchronized {
       val tsMs = System.currentTimeMillis()
-      val cur = readCommit(prev)
+      val cur = readCommit(snapshot)
       val hit = coalesce(cond, lit(false))
       val pre = cur.filter(hit)
       val post = pre.select(cur.columns.toSeq.map { c =>
         assignments.get(c).map(e => e.as(c)).getOrElse(col(c))
       }: _*)
-      enforceConstraints(post, Some(prev), "UPDATE")
-      val tsDir = f"tombstones/v$v%05d-${uniqueSuffix()}"
+      enforceConstraints(post, Some(snapshot), "UPDATE")
+      val tsDir = f"tombstones/v${snapshot.version + 1}%05d-${uniqueSuffix()}"
       pre.write.mode("errorifexists").parquet(new Path(root, tsDir).toString)
-      val dataDir = writeData(post, v, prev.partitionCols)
+      val dataDir = writeData(post, snapshot.version + 1, snapshot.partitionCols)
       val (chDir, cdfMetrics) = writeChanges(
         pre.withColumn("_change_type", lit("update_preimage"))
           .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
-        v, tsMs)
-      val c = Commit(v, tsMs, "UPDATE", prev.dataDirs :+ dataDir, Map(
-        "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
-        "mergeOnRead" -> 1L), prev.schemaJson,
-        partitionCols = prev.partitionCols,
-        dirStats = prev.dirStats + (dataDir -> statsFor(dataDir)),
-        changesDir = Some(chDir),
-        properties = prev.properties +
-          (TombstoneCoverPrefix + tsDir -> prev.dataDirs.length.toString),
-        tombstoneDirs = prev.tombstoneDirs :+ tsDir)
-      commitRewrite(c, Seq(tsDir, dataDir, chDir))
+        snapshot.version + 1, tsMs)
+      def rollback(): Unit =
+        Seq(tsDir, dataDir, chDir).foreach(d => fs.delete(new Path(root, d), true))
+      var attempts = 0
+      while (attempts <= MaxCommitRetries) {
+        val head = log.latest().getOrElse(snapshot)
+        val appendOnlyRace = head.version == snapshot.version ||
+          (head.schemaJson == snapshot.schemaJson &&
+            head.dataDirs.startsWith(snapshot.dataDirs) &&
+            log.commits().filter(_.version > snapshot.version)
+              .forall(_.operation == "APPEND"))
+        if (!appendOnlyRace) {
+          rollback()
+          throw new ConcurrentWriteException(
+            s"merge-on-read update of $root computed from stale version " +
+              s"${snapshot.version}; a non-append commit intervened", null)
+        }
+        val c = Commit(head.version + 1, tsMs, "UPDATE", head.dataDirs :+ dataDir, Map(
+          "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
+          "mergeOnRead" -> 1L), snapshot.schemaJson,
+          partitionCols = head.partitionCols,
+          dirStats = head.dirStats + (dataDir -> statsFor(dataDir)),
+          changesDir = Some(chDir),
+          properties = head.properties +
+            (TombstoneCoverPrefix + tsDir -> snapshot.dataDirs.length.toString),
+          tombstoneDirs = head.tombstoneDirs :+ tsDir)
+        try { log.commit(c); return c }
+        catch { case _: IllegalStateException => attempts += 1 }
+      }
+      rollback()
+      throw new ConcurrentWriteException(
+        s"merge-on-read update of $root lost $MaxCommitRetries version races", null)
     }
 
   /** Keyed delete as a distributed anti-join — the scale-safe form of the

@@ -170,6 +170,18 @@ class ConcurrencySpec extends SparkSpec {
     assert(t.read().filter(col("id") === 1L).head().getDouble(1) === 11.0)
   }
 
+  test("merge-on-read update rebases over a concurrent append") {
+    import org.apache.spark.sql.functions._
+    val seed = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("cc-moru"), seed)
+    val stale = t.headCommit.get
+    t.append(Seq((3L, 30.0)).toDF("id", "x"))
+    val c = t.updateMergeOnReadFrom(stale, col("id") === 1L, Map("x" -> lit(11.0)))
+    assert(c.version === stale.version + 2)
+    val rows = t.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+  }
+
   test("publisher registry: scheme selection and conditional-put registration") {
     // unknown scheme falls back to rename+read-back
     assert(CommitLog.publisherFor("s3a-unregistered") === RenamePublisher)
