@@ -51,6 +51,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures a bounded TAIL of stdout. At 87 queries even the
+    // ms-precision map line can outgrow that window, chopping the head where
+    // "metric":"total" lives (r02-r04: "parsed": null). A tail capture always
+    // keeps the END of the stream, so re-emit the totals as their own tiny
+    // final line — parseable regardless of how much of the map line survives.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -112,6 +112,7 @@ object SparkEntry {
     "q85_embedding_stats"    -> (CorpusQueries.embeddingStats _),
     "q86_clean_corpus"       -> (CorpusQueries.cleanCorpus _),
     "q87_dedup_report"       -> (CorpusQueries.dedupReport _),
+    "q88_dv_delete"          -> (MutationQueries.dvDeleteWhere _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,6 +187,13 @@ object SparkEntry {
     // merge-on-read delete + post-delete append: non-F rows plus the
     // appended F subset the tombstone coverage must not suppress
     "q83_mor_delete" ->
+      """SELECT * FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT * FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0""".stripMargin,
+    // positional-DV delete: same snapshot semantics as q83, different
+    // physical subtraction (in-scan position filter, no join)
+    "q88_dv_delete" ->
       """SELECT * FROM orders WHERE o_orderstatus <> 'F'
         |UNION ALL
         |SELECT * FROM orders

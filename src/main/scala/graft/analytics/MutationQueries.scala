@@ -81,6 +81,27 @@ object MutationQueries {
   def morDeleteWhere(spark: SparkSession, dir: String): DataFrame =
     morDeletedOrdersTable(spark, dir).read()
 
+  private def dvDeletedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "dv-deleted") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("dv"), orders)
+      t.deletePositional(col("o_orderstatus") === "F")
+      // appended after the delete: 'F' rows that MUST survive (positions
+      // recorded against the pre-append files only)
+      t.append(orders.filter(col("o_orderstatus") === "F")
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0))
+      t
+    }
+
+  /** POSITIONAL deletion-vector DELETE read path (Delta DV parity,
+    * delta_handler.py:215-225's delete semantics without the rewrite):
+    * deleted rows are recorded as (file, row_index) pairs and the read
+    * subtracts them with an in-scan per-file position filter — NO join in
+    * the plan (asserted by DeletionVectorSpec), vs q83's value-tombstone
+    * anti-join. Same snapshot semantics, same oracle shape. */
+  def dvDeleteWhere(spark: SparkSession, dir: String): DataFrame =
+    dvDeletedOrdersTable(spark, dir).read()
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

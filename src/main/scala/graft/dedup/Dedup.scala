@@ -66,15 +66,9 @@ object Dedup {
     * rides Hadoop's deleteOnExit. */
   private def stage(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
-    val root = new org.apache.hadoop.fs.Path(
-      spark.conf.getOption("spark.graft.scratch.dir")
-        .getOrElse(spark.conf.get("spark.sql.warehouse.dir") + "/_graft_scratch"))
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val p = new org.apache.hadoop.fs.Path(root,
-      s"$tag-${java.util.UUID.randomUUID().toString.take(12)}")
-    fs.deleteOnExit(p)
-    df.write.mode("overwrite").parquet(p.toString)
-    spark.read.parquet(p.toString)
+    val p = graft.Scratch.dir(spark, tag)
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
   }
 
   /** [[stage]] only when the optimizer's size estimate says recomputation

@@ -37,11 +37,15 @@ object RangeJoin {
       timeCol: String,
       startCol: String,
       endCol: String): DataFrame = {
-    val width = ranges
+    val row = ranges
       .select(percentile_approx(
         expr(s"unix_millis($endCol) - unix_millis($startCol)"),
         lit(0.5), lit(10000)).as("w"))
-      .head().getLong(0)
+      .head()
+    // Empty ranges (or all-null bounds) → percentile_approx yields NULL;
+    // degrade to a 1-hour bucket instead of an NPE — the join is then
+    // trivially empty whatever the bucketing.
+    val width = if (row.isNullAt(0)) 3600000L else row.getLong(0)
     pointInRange(points, ranges, pointKey, rangeKey, timeCol, startCol, endCol,
       bucketMs = math.max(1L, width))
   }

@@ -51,11 +51,17 @@ final case class Commit(
       * `metaData.configuration` analogue). CHECK constraints live here as
       * `constraint.<name> -> <sql predicate>`. */
     properties: Map[String, String] = Map.empty,
-    /** Merge-on-read tombstone dirs (deletion-vector analogue): parquet of
-      * DELETED rows that reads subtract by null-safe anti-join. Carried
+    /** Merge-on-read tombstone dirs (value-matching deletion form): parquet
+      * of DELETED rows that reads subtract by null-safe anti-join. Carried
       * forward by appends; cleared by any snapshot rewrite, which
       * materializes the subtraction. */
-    tombstoneDirs: Seq[String] = Nil)
+    tombstoneDirs: Seq[String] = Nil,
+    /** POSITIONAL deletion-vector dirs (Delta deletion-vector parity):
+      * parquet of (file, pos) pairs naming deleted row positions —
+      * `_metadata.file_path` / `_metadata.row_index` of the deleted rows.
+      * Reads subtract them with a per-file position FILTER (no join).
+      * Carried forward by appends; cleared by any snapshot rewrite. */
+    dvDirs: Seq[String] = Nil)
 
 /** Tiny single-writer commit log: one JSON file per version under
   * `<table>/_graft_log/`, written temp-file-then-rename so a version becomes
@@ -311,6 +317,9 @@ object CommitLog {
       else Nil) ++
       (if (c.tombstoneDirs.nonEmpty)
         List("tombstoneDirs" -> (JArray(c.tombstoneDirs.map(JString(_)).toList): JValue))
+      else Nil) ++
+      (if (c.dvDirs.nonEmpty)
+        List("dvDirs" -> (JArray(c.dvDirs.map(JString(_)).toList): JValue))
       else Nil)
     JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
@@ -372,8 +381,12 @@ object CommitLog {
       case JArray(xs) => xs.collect { case JString(v) => v }
       case _ => Nil
     }
+    val dvs = j \ "dvDirs" match {
+      case JArray(xs) => xs.collect { case JString(v) => v }
+      case _ => Nil
+    }
     Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
       str("schemaJson"), txnApp, txnBatch, partCols, dirStats, changesDir,
-      properties, tombstones)
+      properties, tombstones, dvs)
   }
 }

@@ -58,34 +58,86 @@ final class GraftTable private (
     * [[graft.sim.Similarity.lshParams]]) without a scan. */
   def rowCount: Long =
     log.latest().map(c =>
-      c.dataDirs.map(countDir).sum - c.tombstoneDirs.map(countDir).sum).getOrElse(0L)
+      c.dataDirs.map(countDir).sum - c.tombstoneDirs.map(countDir).sum -
+        c.dvDirs.map(countDir).sum).getOrElse(0L)
 
   private def commitFor(v: Long): Commit =
     log.commits().find(_.version == v).getOrElse(
       throw new NoSuchElementException(s"$root has no version $v"))
 
-  private def readCommit(c: Commit): DataFrame = {
+  private def readCommit(c: Commit): DataFrame = readCommitInternal(c, withPos = false)
+
+  /** [[readCommit]] plus the hidden row-position lineage columns
+    * ([[DvFileCol]], [[DvPosCol]]) a positional delete records — sourced
+    * from the parquet scan's `_metadata.file_path` / `_metadata.row_index`,
+    * the same stable per-file row identity Delta deletion vectors use. */
+  private def readCommitWithPos(c: Commit): DataFrame =
+    readCommitInternal(c, withPos = true)
+
+  private def readCommitInternal(c: Commit, withPos: Boolean): DataFrame = {
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     val dirs = c.dataDirs.map(d => new Path(root, d))
     val missing = dirs.filterNot(fs.exists)
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"version ${c.version} of $root is no longer available (vacuumed dirs: ${missing.mkString(", ")})")
-    def readDirs(ds: Seq[Path]): DataFrame =
-      if (ds.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      // Explicit schema (from the commit) rather than mergeSchema: no footer
-      // sampling job, stable column order, and dirs written before an additive
-      // schema change read back with nulls for the new columns.
-      else if (c.partitionCols.isEmpty)
-        spark.read.schema(schema).parquet(ds.map(_.toString): _*)
-      else
-        // Hive-partitioned layout: partition values live in dir names under
-        // each version dir, so discovery needs a basePath per dir; the union
-        // keeps filter pushdown + partition pruning in every branch.
-        ds.map(d => spark.read.option("basePath", d.toString)
-            .schema(schema).parquet(d.toString))
-          .reduce(_ unionByName _)
+    // Positional deletion vectors subtract by (file, row_index) — a
+    // per-file position FILTER inside the scan's projection, NO join: the
+    // inline predicate broadcasts kilobytes of positions through the plan
+    // (Delta's DV read shape). Only a pathologically large DV (past
+    // `spark.graft.dv.inlineMaxEntries`) falls back to an anti-join.
+    val dvEntryCount = c.dvDirs.map(countDir).sum
+    val dvInline: Option[Map[String, Seq[Long]]] =
+      if (c.dvDirs.isEmpty || dvEntryCount > dvInlineMax) None
+      else Some(dvEntriesOf(c))
+    val needPos = withPos || c.dvDirs.nonEmpty
+    def readDirs(ds: Seq[Path]): DataFrame = {
+      val base =
+        if (ds.isEmpty) {
+          val df = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          if (needPos)
+            df.withColumn(DvFileCol, lit(null).cast("string"))
+              .withColumn(DvPosCol, lit(null).cast("long"))
+          else df
+        } else {
+          // Explicit schema (from the commit) rather than mergeSchema: no
+          // footer sampling job, stable column order, and dirs written before
+          // an additive schema change read back with nulls for new columns.
+          def one(reader: org.apache.spark.sql.DataFrameReader, path: Seq[String]): DataFrame = {
+            val df = reader.schema(schema).parquet(path: _*)
+            // _metadata is per-scan: derive the lineage columns before any
+            // union so they ride the row through the rest of the plan.
+            if (needPos)
+              df.withColumn(DvFileCol, col("_metadata.file_path"))
+                .withColumn(DvPosCol, col("_metadata.row_index"))
+            else df
+          }
+          if (c.partitionCols.isEmpty) one(spark.read, ds.map(_.toString))
+          else
+            // Hive-partitioned layout: partition values live in dir names
+            // under each version dir, so discovery needs a basePath per dir;
+            // the union keeps pushdown + partition pruning in every branch.
+            ds.map(d => one(spark.read.option("basePath", d.toString), Seq(d.toString)))
+              .reduce(_ unionByName _)
+        }
+      val subtracted =
+        if (c.dvDirs.isEmpty || ds.isEmpty) base
+        else dvInline match {
+          case Some(byFile) if byFile.isEmpty => base // delete matched no rows
+          case Some(byFile) =>
+            val dead = byFile.map { case (f, ps) =>
+              col(DvFileCol) === lit(f) && col(DvPosCol).isInCollection(ps)
+            }.reduce(_ || _)
+            base.filter(!coalesce(dead, lit(false)))
+          case None =>
+            val entries = spark.read
+              .parquet(c.dvDirs.map(d => new Path(root, d).toString): _*)
+              .select(col("file").as(DvFileCol), col("pos").as(DvPosCol))
+            base.join(entries, Seq(DvFileCol, DvPosCol), "left_anti")
+        }
+      if (needPos && !withPos) subtracted.drop(DvFileCol, DvPosCol) else subtracted
+    }
 
     if (c.tombstoneDirs.isEmpty) readDirs(dirs)
     else {
@@ -140,13 +192,61 @@ final class GraftTable private (
     // misalign it. Merge-on-read deletes are transient (any rewrite clears
     // them), so just skip the skipping until then — still a superset read.
     if (c.tombstoneDirs.nonEmpty) return readCommit(c)
-    val keep = c.dataDirs.filter { d =>
-      c.dirStats.get(d).flatMap(_.get(colName)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
+    // CHECK constraints are table-WIDE invariants (every committed row of
+    // every dir was validated against them), so a range constraint on this
+    // column stands in where a dir recorded no stats, and a query window
+    // the constraint contradicts prunes the whole scan at planning time —
+    // zero dirs listed, zero files read.
+    val cb = constraintBounds(c).get(colName)
+    val keep =
+      if (cb.exists { case (mn, mx) => mx < lo || mn > hi }) Nil
+      else c.dataDirs.filter { d =>
+        c.dirStats.get(d).flatMap(_.get(colName)).orElse(cb) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
       }
-    }
     readCommit(c.copy(dataDirs = keep))
+  }
+
+  /** Per-column [min, max] bounds implied by the table's CHECK constraints
+    * — simple numeric comparisons (`x > 0`, `100 >= x`, `x = 5`) and
+    * conjunctions of them, parsed with Catalyst; anything else contributes
+    * nothing (conservative). Strict bounds widen to closed ones: a
+    * SUPERSET range can only reduce skipping, never lose rows. */
+  private def constraintBounds(c: Commit): Map[String, (Double, Double)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    val Inf = Double.PositiveInfinity
+    def num(e: Expression): Option[Double] = e match {
+      case Literal(v: java.lang.Number, _) => Some(v.doubleValue())
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d.toDouble)
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, (Double, Double))] = e match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case GreaterThan(a: UnresolvedAttribute, v) => num(v).map(d => a.name -> (d, Inf)).toSeq
+      case GreaterThanOrEqual(a: UnresolvedAttribute, v) => num(v).map(d => a.name -> (d, Inf)).toSeq
+      case LessThan(a: UnresolvedAttribute, v) => num(v).map(d => a.name -> (-Inf, d)).toSeq
+      case LessThanOrEqual(a: UnresolvedAttribute, v) => num(v).map(d => a.name -> (-Inf, d)).toSeq
+      case EqualTo(a: UnresolvedAttribute, v) => num(v).map(d => a.name -> (d, d)).toSeq
+      // flipped literal-first forms
+      case GreaterThan(v, a: UnresolvedAttribute) => num(v).map(d => a.name -> (-Inf, d)).toSeq
+      case GreaterThanOrEqual(v, a: UnresolvedAttribute) => num(v).map(d => a.name -> (-Inf, d)).toSeq
+      case LessThan(v, a: UnresolvedAttribute) => num(v).map(d => a.name -> (d, Inf)).toSeq
+      case LessThanOrEqual(v, a: UnresolvedAttribute) => num(v).map(d => a.name -> (d, Inf)).toSeq
+      case EqualTo(v, a: UnresolvedAttribute) => num(v).map(d => a.name -> (d, d)).toSeq
+      case _ => Nil
+    }
+    c.properties.toSeq
+      .collect { case (k, p) if k.startsWith(ConstraintPrefix) =>
+        try walk(spark.sessionState.sqlParser.parseExpression(p))
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
+      .flatten
+      .groupMapReduce(_._1)(_._2) { case ((a1, b1), (a2, b2)) =>
+        (math.max(a1, a2), math.min(b1, b2)) // conjunction = intersection
+      }
   }
 
   /** Time travel by version (S4, `option("versionAsOf", n)`). */
@@ -178,13 +278,26 @@ final class GraftTable private (
     * `_commit_timestamp` — the exact surface of
     * `option("readChangeFeed", true)` (notebook cells 25-26, 62). */
   def readChanges(fromVersion: Long = 0L, toVersion: Long = Long.MaxValue): DataFrame = {
-    val dirs = log.commits()
+    val cs = log.commits()
       .filter(c => c.version >= fromVersion && c.version <= toVersion)
-      .map(c => new Path(root, changesDirOf(c)))
-      .filter(fs.exists)
-    if (dirs.isEmpty)
+    val withDirs = cs.map(c => c -> new Path(root, changesDirOf(c)))
+      .filter { case (_, d) => fs.exists(d) }
+    if (withDirs.isEmpty)
       throw new NoSuchElementException(s"$root has no change data in [$fromVersion, $toVersion]")
-    spark.read.option("mergeSchema", "true").parquet(dirs.map(_.toString): _*)
+    // Union schema computed from the COMMIT LOG (same field-name merge as
+    // append's schema evolution) + the three CDF metadata columns, instead
+    // of mergeSchema's footer-sampling Spark job — the log already knows
+    // every dir's schema, so a CDF read plans with zero extra jobs and a
+    // stable column order; dirs written before an additive change read
+    // back with nulls for the newer columns, exactly as mergeSchema did.
+    val merged = withDirs
+      .map { case (c, _) => DataType.fromJson(c.schemaJson).asInstanceOf[StructType] }
+      .reduce((a, b) =>
+        StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))))
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+    spark.read.schema(merged).parquet(withDirs.map(_._2.toString): _*)
   }
 
   // ----------------------------------------------------- streaming reads
@@ -278,6 +391,33 @@ final class GraftTable private (
     java.util.UUID.randomUUID().toString.take(8)
   private def dataDirName(v: Long): String = f"data/v$v%05d-${uniqueSuffix()}"
   private def changesDirName(v: Long): String = f"_changes/v$v%05d-${uniqueSuffix()}"
+  private def dvDirName(v: Long): String = f"dvs/v$v%05d-${uniqueSuffix()}"
+
+  /** Hidden lineage-column names for positional deletes. Prefixed so they
+    * can never collide with user schema columns. */
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+
+  /** Above this many recorded positions the DV read path switches from the
+    * inline per-file filter to an anti-join (an inline set that big would
+    * bloat the plan); a DV near this size should be materialized away via
+    * [[maybeMaterialize]] regardless. */
+  private def dvInlineMax: Long =
+    spark.conf.getOption("spark.graft.dv.inlineMaxEntries").map(_.toLong).getOrElse(1000000L)
+
+  // DV dirs are immutable once committed, so the driver-side (file →
+  // positions) form is cached per dvDirs-set — one small parquet read per
+  // distinct DV state, not per table read.
+  private val dvEntryCache =
+    scala.collection.concurrent.TrieMap.empty[Seq[String], Map[String, Seq[Long]]]
+  private def dvEntriesOf(c: Commit): Map[String, Seq[Long]] =
+    dvEntryCache.getOrElseUpdate(c.dvDirs, {
+      spark.read.parquet(c.dvDirs.map(d => new Path(root, d).toString): _*)
+        .select("file", "pos")
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq.sorted }
+    })
 
   /** Row count of a just-written dir from its PARQUET FOOTERS — metadata
     * the write already produced, read driver-side with no Spark job (one
@@ -490,6 +630,11 @@ final class GraftTable private (
 
   private val MaxCommitRetries = 5
 
+  /** Test seam: runs between an append's initial validate/write and its
+    * first commit attempt, so specs can deterministically interleave a
+    * concurrent commit and exercise the rebase path. No-op in production. */
+  private[table] var beforeCommitHook: () => Unit = () => ()
+
   /** Append with OPTIMISTIC-CONCURRENCY rebase: appends commute with any
     * concurrent commit (they reference the previous snapshot's dirs, never
     * its contents), so when another writer wins the version race the append
@@ -512,10 +657,15 @@ final class GraftTable private (
       }
       var mergedSchema = mergeSchemas(prev, df.schema)
       val aligned = alignTo(df, mergedSchema)
+      def constraintsOf(p: Option[Commit]): Map[String, String] =
+        p.map(_.properties).getOrElse(Map.empty)
+          .filter { case (k, _) => k.startsWith(ConstraintPrefix) }
+      var validatedConstraints = constraintsOf(prev)
       enforceConstraints(aligned, prev, "APPEND")
       var dir = writeData(aligned, v)
       val added = countDir(dir)
       val stats = statsFor(dir)
+      beforeCommitHook()
       var attempts = 0
       while (true) {
         val c = Commit(v, tsMs, if (prev.isEmpty) "CREATE" else "APPEND",
@@ -527,7 +677,8 @@ final class GraftTable private (
           // carries the earlier dirs' stats forward in the head commit.
           prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> stats),
           properties = prev.map(_.properties).getOrElse(Map.empty),
-          tombstoneDirs = prev.map(_.tombstoneDirs).getOrElse(Nil))
+          tombstoneDirs = prev.map(_.tombstoneDirs).getOrElse(Nil),
+          dvDirs = prev.map(_.dvDirs).getOrElse(Nil))
         try { log.commit(c); return Some(c) }
         catch {
           case e: IllegalStateException =>
@@ -547,6 +698,19 @@ final class GraftTable private (
             // recompute version/schema/lineage against the new head.
             v = prev.map(_.version + 1).getOrElse(0L)
             mergedSchema = mergeSchemas(prev, aligned.schema)
+            // A concurrent ADD CONSTRAINT is a metadata conflict appends do
+            // NOT commute with: the refreshed head may advertise checks the
+            // initial validation never ran, so re-validate whenever the
+            // constraint set changed (Delta aborts here; re-checking keeps
+            // the rebase while preserving the head's invariants).
+            val cs = constraintsOf(prev)
+            if (cs != validatedConstraints) {
+              try enforceConstraints(aligned, prev, "APPEND")
+              catch { case t: Throwable =>
+                fs.delete(new Path(root, dir), true); throw t
+              }
+              validatedConstraints = cs
+            }
         }
       }
       scala.sys.error("unreachable")
@@ -712,10 +876,21 @@ final class GraftTable private (
     * on a huge table this writes kilobytes instead of rewriting the
     * table; the read-side anti-join is broadcast-sized as long as
     * tombstones are small, which is exactly when you choose this over
-    * [[delete]]. CDF delete rows are emitted as usual. */
-  def deleteMergeOnRead(cond: Column): Commit = this.synchronized {
+    * [[delete]]. CDF delete rows are emitted as usual.
+    *
+    * ISOLATION: by default this is SNAPSHOT-PREDICATE semantics — the
+    * delete applies to the rows of the snapshot it computed from, and
+    * rebases over concurrent appends, whose rows survive even when they
+    * match the predicate (they did not exist in the snapshot). Delta's
+    * default WriteSerializable instead aborts when a concurrent append MAY
+    * match a DELETE/UPDATE predicate; pass `strict = true` for that
+    * behavior — the rebase then aborts with [[ConcurrentWriteException]]
+    * iff some concurrently appended row actually matches `cond` (an exact
+    * test, reading only the appended dirs). */
+  def deleteMergeOnRead(cond: Column, strict: Boolean = false): Commit = this.synchronized {
     deleteMergeOnReadFrom(
-      log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")), cond)
+      log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")),
+      cond, strict)
   }
 
   /** [[deleteMergeOnRead]] from an explicit snapshot — the REBASE seam.
@@ -725,8 +900,11 @@ final class GraftTable private (
     * coverage prefix pins it to exactly the dirs it was computed from —
     * so when only APPENDs won the race, the delete rebases onto the new
     * head (both writers land) instead of aborting. Any concurrent rewrite
-    * or schema change still aborts with [[ConcurrentWriteException]]. */
-  private[table] def deleteMergeOnReadFrom(snapshot: Commit, cond: Column): Commit =
+    * or schema change still aborts with [[ConcurrentWriteException]];
+    * `strict` additionally aborts when appended rows match the predicate
+    * (see [[deleteMergeOnRead]]). */
+  private[table] def deleteMergeOnReadFrom(snapshot: Commit, cond: Column,
+      strict: Boolean = false): Commit =
     this.synchronized {
       val tsMs = System.currentTimeMillis()
       val cur = readCommit(snapshot) // earlier tombstones applied: no double-count
@@ -734,11 +912,21 @@ final class GraftTable private (
       val dir = f"tombstones/v${snapshot.version + 1}%05d-${uniqueSuffix()}"
       cur.filter(hit).write.mode("errorifexists")
         .parquet(new Path(root, dir).toString)
-      val (chDir, cdfMetrics) = writeChanges(
-        cur.filter(hit).withColumn("_change_type", lit("delete")),
-        snapshot.version + 1, tsMs)
+      val deleteRows = cur.filter(hit).withColumn("_change_type", lit("delete"))
+      // CDF rows are stamped with the version they ACTUALLY commit at (the
+      // Delta contract): written inside the retry loop at the candidate
+      // head+1, and RE-written on a rebase over concurrent appends — the
+      // first stamp would otherwise claim a version that belongs to the
+      // append that won the race, corrupting readChanges consumers that
+      // key incremental state on _commit_version. Deterministic re-write:
+      // deleteRows reads only the snapshot's immutable dirs. Orphaned
+      // candidate dirs are unreferenced (unique suffix + recorded name)
+      // and deleted eagerly.
+      var chDir: String = null
+      var chVersion = -1L
+      var cdfMetrics = Map.empty[String, Long]
       def rollback(): Unit =
-        Seq(dir, chDir).foreach(d => fs.delete(new Path(root, d), true))
+        (Seq(dir) ++ Option(chDir)).foreach(d => fs.delete(new Path(root, d), true))
       var attempts = 0
       while (attempts <= MaxCommitRetries) {
         val head = log.latest().getOrElse(snapshot)
@@ -753,6 +941,17 @@ final class GraftTable private (
             s"merge-on-read delete of $root computed from stale version " +
               s"${snapshot.version}; a non-append commit intervened", null)
         }
+        if (strict && appendedMatches(snapshot, head, hit)) {
+          rollback()
+          throw new ConcurrentWriteException(
+            s"strict merge-on-read delete of $root: a concurrent append " +
+              s"after version ${snapshot.version} contains predicate-matching rows", null)
+        }
+        if (chVersion != head.version + 1) {
+          if (chDir != null) fs.delete(new Path(root, chDir), true)
+          val (d, m) = writeChanges(deleteRows, head.version + 1, tsMs)
+          chDir = d; cdfMetrics = m; chVersion = head.version + 1
+        }
         val c = Commit(head.version + 1, tsMs, "DELETE", head.dataDirs, Map(
           "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
           "mergeOnRead" -> 1L), snapshot.schemaJson,
@@ -760,7 +959,8 @@ final class GraftTable private (
           changesDir = Some(chDir),
           properties = head.properties +
             (TombstoneCoverPrefix + dir -> snapshot.dataDirs.length.toString),
-          tombstoneDirs = head.tombstoneDirs :+ dir)
+          tombstoneDirs = head.tombstoneDirs :+ dir,
+          dvDirs = head.dvDirs)
         try { log.commit(c); return c }
         catch { case _: IllegalStateException => attempts += 1 }
       }
@@ -769,8 +969,112 @@ final class GraftTable private (
         s"merge-on-read delete of $root lost $MaxCommitRetries version races", null)
     }
 
+  /** DELETE by ROW POSITION — Delta deletion-vector parity (the modern
+    * form of the reference's delete path,
+    * consumer/python-consumer/delta_handler.py:215-225, which rewrites
+    * files copy-on-write): only (file, row_index) pairs of the deleted
+    * rows are recorded, kilobytes for a point delete on a 100 TB table,
+    * and reads subtract them with a per-file position FILTER inside the
+    * scan — NO join in the read plan (compare [[deleteMergeOnRead]]'s
+    * value-tombstone anti-join, which this supersedes for point deletes;
+    * value tombstones remain for whole-row-semantics deletes). Any later
+    * snapshot rewrite materializes the subtraction and clears the DVs;
+    * [[maybeMaterialize]] counts DV positions toward the rewrite trigger.
+    *
+    * Same isolation as [[deleteMergeOnRead]]: rebases over concurrent
+    * appends (appended files cannot carry recorded positions), aborts on
+    * concurrent rewrites, `strict = true` aborts when appended rows match
+    * the predicate. CDF delete rows are stamped with the final commit
+    * version. */
+  def deletePositional(cond: Column, strict: Boolean = false): Commit = this.synchronized {
+    deletePositionalFrom(
+      log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")),
+      cond, strict)
+  }
+
+  private[table] def deletePositionalFrom(snapshot: Commit, cond: Column,
+      strict: Boolean = false): Commit =
+    this.synchronized {
+      val tsMs = System.currentTimeMillis()
+      // prior DVs AND tombstones applied: a position is never recorded twice
+      val cur = readCommitWithPos(snapshot)
+      val hit = coalesce(cond, lit(false))
+      val hits = cur.filter(hit)
+      val dvDir = dvDirName(snapshot.version + 1)
+      hits.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+        .write.mode("errorifexists").parquet(new Path(root, dvDir).toString)
+      val deleteRows = hits.drop(DvFileCol, DvPosCol)
+        .withColumn("_change_type", lit("delete"))
+      var chDir: String = null
+      var chVersion = -1L
+      var cdfMetrics = Map.empty[String, Long]
+      def rollback(): Unit =
+        (Seq(dvDir) ++ Option(chDir)).foreach(d => fs.delete(new Path(root, d), true))
+      var attempts = 0
+      while (attempts <= MaxCommitRetries) {
+        val head = log.latest().getOrElse(snapshot)
+        val appendOnlyRace = head.version == snapshot.version ||
+          (head.schemaJson == snapshot.schemaJson &&
+            head.dataDirs.startsWith(snapshot.dataDirs) &&
+            log.commits().filter(_.version > snapshot.version)
+              .forall(_.operation == "APPEND"))
+        if (!appendOnlyRace) {
+          rollback()
+          throw new ConcurrentWriteException(
+            s"positional delete of $root computed from stale version " +
+              s"${snapshot.version}; a non-append commit intervened", null)
+        }
+        if (strict && appendedMatches(snapshot, head, hit)) {
+          rollback()
+          throw new ConcurrentWriteException(
+            s"strict positional delete of $root: a concurrent append " +
+              s"after version ${snapshot.version} contains predicate-matching rows", null)
+        }
+        if (chVersion != head.version + 1) {
+          if (chDir != null) fs.delete(new Path(root, chDir), true)
+          val (d, m) = writeChanges(deleteRows, head.version + 1, tsMs)
+          chDir = d; cdfMetrics = m; chVersion = head.version + 1
+        }
+        val c = Commit(head.version + 1, tsMs, "DELETE", head.dataDirs, Map(
+          "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
+          "mergeOnRead" -> 1L, "positionalDelete" -> 1L), snapshot.schemaJson,
+          partitionCols = head.partitionCols, dirStats = head.dirStats,
+          changesDir = Some(chDir),
+          properties = head.properties,
+          tombstoneDirs = head.tombstoneDirs,
+          dvDirs = head.dvDirs :+ dvDir)
+        try { log.commit(c); return c }
+        catch { case _: IllegalStateException => attempts += 1 }
+      }
+      rollback()
+      throw new ConcurrentWriteException(
+        s"positional delete of $root lost $MaxCommitRetries version races", null)
+    }
+
   /** Current head commit (test seam for rebase scenarios). */
   private[table] def headCommit: Option[Commit] = log.latest()
+
+  /** Strict-isolation conflict test for merge-on-read rebases: true iff
+    * some row in the dirs appended AFTER `snapshot` (the suffix beyond its
+    * dir prefix — appendOnlyRace already guaranteed the prefix is intact)
+    * matches the operation's predicate. Exact where Delta's
+    * WriteSerializable check is conservative, and reads ONLY the appended
+    * dirs — at scale that's the concurrent batch, not the table. */
+  private def appendedMatches(snapshot: Commit, head: Commit, hit: Column): Boolean = {
+    val appended = head.dataDirs.drop(snapshot.dataDirs.length)
+    appended.nonEmpty && {
+      val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
+      val df =
+        if (head.partitionCols.isEmpty)
+          spark.read.schema(schema)
+            .parquet(appended.map(d => new Path(root, d).toString): _*)
+        else appended.map { d =>
+          val p = new Path(root, d).toString
+          spark.read.option("basePath", p).schema(schema).parquet(p)
+        }.reduce(_ unionByName _)
+      !df.filter(hit).isEmpty
+    }
+  }
 
   /** UPDATE without rewriting the snapshot (merge-on-read, composing the
     * [[deleteMergeOnRead]] tombstone with an append IN ONE COMMIT):
@@ -779,11 +1083,12 @@ final class GraftTable private (
     * the appended updates are never subtracted even when an assignment is
     * a no-op (value-identical copy). Cost: deleted+updated rows written,
     * instead of the whole table. Any later rewrite materializes. */
-  def updateMergeOnRead(cond: Column, assignments: Map[String, Column]): Commit =
+  def updateMergeOnRead(cond: Column, assignments: Map[String, Column],
+      strict: Boolean = false): Commit =
     this.synchronized {
       updateMergeOnReadFrom(
         log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")),
-        cond, assignments)
+        cond, assignments, strict)
     }
 
   /** [[updateMergeOnRead]] from an explicit snapshot — rebases over
@@ -792,7 +1097,7 @@ final class GraftTable private (
     * copies land as a fresh dir after any concurrently appended ones);
     * non-append races and schema changes abort with rollback. */
   private[table] def updateMergeOnReadFrom(snapshot: Commit, cond: Column,
-      assignments: Map[String, Column]): Commit =
+      assignments: Map[String, Column], strict: Boolean = false): Commit =
     this.synchronized {
       val tsMs = System.currentTimeMillis()
       val cur = readCommit(snapshot)
@@ -805,12 +1110,17 @@ final class GraftTable private (
       val tsDir = f"tombstones/v${snapshot.version + 1}%05d-${uniqueSuffix()}"
       pre.write.mode("errorifexists").parquet(new Path(root, tsDir).toString)
       val dataDir = writeData(post, snapshot.version + 1, snapshot.partitionCols)
-      val (chDir, cdfMetrics) = writeChanges(
-        pre.withColumn("_change_type", lit("update_preimage"))
-          .unionByName(post.withColumn("_change_type", lit("update_postimage"))),
-        snapshot.version + 1, tsMs)
+      // CDF stamped with the ACTUAL commit version — written inside the
+      // retry loop and re-written on rebase, same contract as
+      // [[deleteMergeOnReadFrom]] (see the comment there).
+      val changeRows = pre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+      var chDir: String = null
+      var chVersion = -1L
+      var cdfMetrics = Map.empty[String, Long]
       def rollback(): Unit =
-        Seq(tsDir, dataDir, chDir).foreach(d => fs.delete(new Path(root, d), true))
+        (Seq(tsDir, dataDir) ++ Option(chDir))
+          .foreach(d => fs.delete(new Path(root, d), true))
       var attempts = 0
       while (attempts <= MaxCommitRetries) {
         val head = log.latest().getOrElse(snapshot)
@@ -825,6 +1135,17 @@ final class GraftTable private (
             s"merge-on-read update of $root computed from stale version " +
               s"${snapshot.version}; a non-append commit intervened", null)
         }
+        if (strict && appendedMatches(snapshot, head, hit)) {
+          rollback()
+          throw new ConcurrentWriteException(
+            s"strict merge-on-read update of $root: a concurrent append " +
+              s"after version ${snapshot.version} contains predicate-matching rows", null)
+        }
+        if (chVersion != head.version + 1) {
+          if (chDir != null) fs.delete(new Path(root, chDir), true)
+          val (d, m) = writeChanges(changeRows, head.version + 1, tsMs)
+          chDir = d; cdfMetrics = m; chVersion = head.version + 1
+        }
         val c = Commit(head.version + 1, tsMs, "UPDATE", head.dataDirs :+ dataDir, Map(
           "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
           "mergeOnRead" -> 1L), snapshot.schemaJson,
@@ -833,7 +1154,8 @@ final class GraftTable private (
           changesDir = Some(chDir),
           properties = head.properties +
             (TombstoneCoverPrefix + tsDir -> snapshot.dataDirs.length.toString),
-          tombstoneDirs = head.tombstoneDirs :+ tsDir)
+          tombstoneDirs = head.tombstoneDirs :+ tsDir,
+          dvDirs = head.dvDirs)
         try { log.commit(c); return c }
         catch { case _: IllegalStateException => attempts += 1 }
       }
@@ -998,8 +1320,8 @@ final class GraftTable private (
   def maybeMaterialize(maxTombstoneRatio: Double = 0.1,
       targetFileBytes: Long = 128L * 1024 * 1024): Option[Commit] =
     log.latest() match {
-      case Some(c) if c.tombstoneDirs.nonEmpty =>
-        val dead = c.tombstoneDirs.map(countDir).sum.toDouble
+      case Some(c) if c.tombstoneDirs.nonEmpty || c.dvDirs.nonEmpty =>
+        val dead = (c.tombstoneDirs ++ c.dvDirs).map(countDir).sum.toDouble
         val live = math.max(1L, c.dataDirs.map(countDir).sum - dead.toLong).toDouble
         if (dead / live > maxTombstoneRatio) Some(optimize(targetFileBytes)) else None
       case _ => None
@@ -1016,7 +1338,8 @@ final class GraftTable private (
       Map("restoredVersion" -> v), old.schemaJson,
       partitionCols = old.partitionCols,
       properties = old.properties,
-      tombstoneDirs = old.tombstoneDirs)
+      tombstoneDirs = old.tombstoneDirs,
+      dvDirs = old.dvDirs)
     commitRewrite(c, Nil)
   }
 
@@ -1034,7 +1357,7 @@ final class GraftTable private (
       if (all.isEmpty) return Nil
       val headVersion = all.last.version
       val keep = all.filter(c => c.version == headVersion || c.tsMs >= cutoff)
-      val keepDirs = keep.flatMap(c => c.dataDirs ++ c.tombstoneDirs).toSet
+      val keepDirs = keep.flatMap(c => c.dataDirs ++ c.tombstoneDirs ++ c.dvDirs).toSet
       val expired = all.filter(c => c.version != headVersion && c.tsMs < cutoff)
       val deleted = Seq.newBuilder[String]
       expired.foreach { c =>
@@ -1042,7 +1365,7 @@ final class GraftTable private (
         // another table's files, present when this table is a shallow
         // clone; only dirs this table wrote under its own root are ours
         // to reclaim (same ownership rule as Delta's shallow clones).
-        (c.dataDirs ++ c.tombstoneDirs).filterNot(keepDirs.contains)
+        (c.dataDirs ++ c.tombstoneDirs ++ c.dvDirs).filterNot(keepDirs.contains)
           .filterNot(d => new Path(d).isAbsolute).foreach { d =>
             if (fs.delete(new Path(root, d), true)) deleted += d
           }
@@ -1078,7 +1401,11 @@ final class GraftTable private (
           (TombstoneCoverPrefix + abs(k.stripPrefix(TombstoneCoverPrefix))) -> v
         case kv => kv
       },
-      tombstoneDirs = src.tombstoneDirs.map(abs)))
+      tombstoneDirs = src.tombstoneDirs.map(abs),
+      // DV entries name files by the absolute path the scan reports, so
+      // they stay valid when the clone reads the SOURCE's files; the DV
+      // dirs themselves are referenced absolutely like the data dirs.
+      dvDirs = src.dvDirs.map(abs)))
     target
   }
 }

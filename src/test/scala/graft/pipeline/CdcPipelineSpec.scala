@@ -90,6 +90,50 @@ class CdcPipelineSpec extends SparkSpec {
     assert(changes("delete") === 1)          // id 2
   }
 
+  test("CDC pipeline over the no-rename object store (tables + checkpoint on s3fake)") {
+    // The deployment shape S14 promises: table roots AND the streaming
+    // checkpoint on an object store whose rename REPLACES silently — the
+    // audit append, snapshot merge, CDF and checkpointed resume must all
+    // ride the conditional-put commit seam, never rename arbitration.
+    spark.sparkContext.hadoopConfiguration.set("fs.s3fake.impl",
+      classOf[graft.table.FakeObjectStoreFileSystem].getName)
+    graft.table.CommitLog.registerPublisher("s3fake",
+      graft.table.FakeObjectStoreFileSystem.Publisher)
+    val in = tmpDir("cdc-s3-in")
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = "s3fake://" + tmpDir("cdc-s3-tables"),
+      checkpointRoot = "s3fake://" + tmpDir("cdc-s3-ckpt"),
+      availableNow = true,
+      tables = Seq("customers"))
+    writeBatch(in, "b1.json", Seq(
+      CdcFixtures.record("customers", "c", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 0),
+      CdcFixtures.record("customers", "c", 2,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 1)))
+    CdcPipeline.runOnce(spark, cfg)
+    val audit = GraftTable.forPath(spark, CdcPipeline.auditTablePath(cfg))
+    val customers = GraftTable.forPath(spark, CdcPipeline.snapshotPath(cfg, "customers"))
+    assert(audit.read().count() === 2)
+    assert(customers.read().count() === 2)
+    // second batch: checkpointed RESUME over the object store (no replay)
+    writeBatch(in, "b2.json", Seq(
+      CdcFixtures.record("customers", "u", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@new.com")),
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 2),
+      CdcFixtures.record("customers", "d", 2, None,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 3)))
+    CdcPipeline.runOnce(spark, cfg)
+    assert(audit.read().count() === 4)
+    val snap = customers.read().collect()
+    assert(snap.map(_.getAs[Long]("id")).toSeq === Seq(1L))
+    assert(snap(0).getAs[String]("email") === "john@new.com")
+    val changes = customers.readChanges(0)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(changes("insert") === 2 && changes("delete") === 1)
+  }
+
   test("delete→re-insert inside one batch resolves to the re-insert") {
     val in = tmpDir("cdc-in2")
     val cfg = CdcPipeline.Config(

@@ -83,6 +83,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("index written via Scratch lands on the object store and probes exactly") {
+    // The q72 production path: the served index is written under the
+    // graft.Scratch shared-FS root (spark.graft.scratch.dir), never a
+    // driver-local temp dir. Point that root at the no-rename s3fake://
+    // store and drive the SAME write+probe calls ivfIndexProbe makes —
+    // proving the layout needs nothing from the store beyond
+    // write/list/read, so executors on a real cluster can serve it.
+    spark.sparkContext.hadoopConfiguration.set("fs.s3fake.impl",
+      classOf[graft.table.FakeObjectStoreFileSystem].getName)
+    val prev = spark.conf.getOption("spark.graft.scratch.dir")
+    spark.conf.set("spark.graft.scratch.dir", "s3fake://" + tmpDir("ivf-s3-root"))
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val centroids = Similarity.trainCentroids(emb,
+        k = AnnParams.kCoarse, iters = AnnParams.coarseIters)
+      val model = Pq.train(emb, m = AnnParams.pqM, k = AnnParams.pqK,
+        iters = AnnParams.pqIters, dim = AnnParams.dim)
+      val path = graft.Scratch.dir(spark, "ivfidx", transient = false) + "/index"
+      assert(new org.apache.hadoop.fs.Path(path).toUri.getScheme === "s3fake",
+        s"scratch did not resolve to the store: $path")
+      IvfIndex.write(emb, centroids, model, path)
+      val (q0, _) = Pq.queryVector(emb, 0L)
+      val got = IvfIndex.probe(spark, path, emb, model,
+        IvfIndex.localCentroids(centroids), q0, k = 10,
+        nprobe = AnnParams.nprobe, shortlist = AnnParams.shortlist,
+        excludeId = Some(0L)).collect().toSeq
+      val exact = Similarity.bruteForceTopK(emb, 0L, 10).collect().toSeq
+      assert(got === exact)
+    } finally {
+      prev.fold(spark.conf.unset("spark.graft.scratch.dir"))(
+        spark.conf.set("spark.graft.scratch.dir", _))
+    }
+  }
+
   test("needsRetrain: same-distribution batch passes, shifted batch triggers") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -182,6 +182,96 @@ class ConcurrencySpec extends SparkSpec {
     assert(rows === Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("rebased merge-on-read CDF is stamped with the ACTUAL commit version") {
+    import org.apache.spark.sql.functions._
+    val seed = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("cc-cdfver"), seed)
+    val stale = t.headCommit.get
+    t.append(Seq((4L, 40.0)).toDF("id", "x")) // wins version stale+1
+    val c = t.deleteMergeOnReadFrom(stale, col("id") === 2L) // rebases to stale+2
+    assert(c.version === stale.version + 2)
+    // Delta contract: change rows carry the version they COMMITTED at —
+    // a stale stamp (stale+1) would attribute the delete to the append.
+    val ch = t.readChanges(c.version, c.version)
+      .select("_commit_version", "_change_type", "id").collect()
+    assert(ch.length === 1)
+    assert(ch.head.getLong(0) === c.version)
+    assert(ch.head.getString(1) === "delete")
+    // and the appended commit's own CDF (if any) is not polluted: reading
+    // the append version yields only its insert rows
+    val chAll = t.readChanges(0L, c.version)
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).toSet
+    assert(chAll.contains(c.version))
+    assert(!chAll.contains(stale.version + 1) ||
+      t.readChanges(stale.version + 1, stale.version + 1)
+        .filter(col("_change_type") === "delete").isEmpty)
+  }
+
+  test("rebased MoR update re-stamps pre/post CDF at the committed version") {
+    import org.apache.spark.sql.functions._
+    val seed = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("cc-cdfveru"), seed)
+    val stale = t.headCommit.get
+    t.append(Seq((3L, 30.0)).toDF("id", "x"))
+    val c = t.updateMergeOnReadFrom(stale, col("id") === 1L, Map("x" -> lit(11.0)))
+    val ch = t.readChanges(c.version, c.version)
+      .select("_commit_version", "_change_type").collect()
+    assert(ch.length === 2) // preimage + postimage
+    assert(ch.forall(_.getLong(0) === c.version))
+  }
+
+  test("append rebasing over a concurrent ADD CONSTRAINT re-validates") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("cc-constraint")
+    val t = GraftTable.create(spark, root, Seq((1L, 10.0)).toDF("id", "x"))
+    val other = GraftTable.forPath(spark, root)
+    // Violating rows validated against a head WITHOUT the constraint; the
+    // constraint lands before our commit → rebase must re-validate + abort.
+    t.beforeCommitHook = () => {
+      other.addConstraint("x_pos", "x > 0"); t.beforeCommitHook = () => ()
+    }
+    intercept[IllegalArgumentException] {
+      t.append(Seq((2L, -5.0)).toDF("id", "x"))
+    }
+    val t2 = GraftTable.forPath(spark, root)
+    assert(t2.read().count() === 1) // violating append did NOT land
+    assert(t2.constraints === Map("x_pos" -> "x > 0"))
+    // no orphan data dirs from the aborted rebase
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .map(_.getPath.getName).toSet
+    val referenced = new CommitLog(root, spark.sessionState.newHadoopConf())
+      .commits().flatMap(_.dataDirs).map(_.stripPrefix("data/")).toSet
+    assert(onDisk.subsetOf(referenced), s"orphans: ${onDisk -- referenced}")
+    // and a CONFORMING append racing the same way rebases and lands
+    t.beforeCommitHook = () => {
+      other.addConstraint("x_cap", "x < 1000"); t.beforeCommitHook = () => ()
+    }
+    t.append(Seq((3L, 30.0)).toDF("id", "x"))
+    assert(GraftTable.forPath(spark, root).read().count() === 2)
+  }
+
+  test("strict merge-on-read aborts iff a concurrent append matches the predicate") {
+    import org.apache.spark.sql.functions._
+    val seed = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("cc-strict"), seed)
+    // matching append → strict aborts (WriteSerializable-style)
+    val stale = t.headCommit.get
+    t.append(Seq((2L, 999.0)).toDF("id", "x"))
+    intercept[ConcurrentWriteException] {
+      t.deleteMergeOnReadFrom(stale, col("id") === 2L, strict = true)
+    }
+    assert(t.read().count() === 3) // nothing deleted, rollback clean
+    // NON-matching append → strict still rebases (no spurious abort)
+    val stale2 = t.headCommit.get
+    t.append(Seq((7L, 70.0)).toDF("id", "x"))
+    val c = t.deleteMergeOnReadFrom(stale2, col("id") === 1L, strict = true)
+    assert(c.version === stale2.version + 2)
+    val ids = t.read().select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 7L)) // id=1 deleted; both appends intact
+  }
+
   test("publisher registry: scheme selection and conditional-put registration") {
     // unknown scheme falls back to rename+read-back
     assert(CommitLog.publisherFor("s3a-unregistered") === RenamePublisher)

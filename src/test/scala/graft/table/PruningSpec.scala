@@ -51,6 +51,27 @@ class PruningSpec extends SparkSpec {
       s"no pushed filter in plan:\n$plan")
   }
 
+  test("CHECK constraints prune scans their range contradicts") {
+    val root = tmpDir("prune-constraint")
+    // v0 written BEFORE column x existed → its dir has no x stats and
+    // conservative skipping must keep it
+    val t = GraftTable.create(spark, root, (1L to 100L).toDF("id"))
+    t.append((101L to 200L).map(i => (i, 2000.0 + i)).toDF("id", "x"))
+    assert(scannedFiles(t.readPruned("x", 0.0, 100.0)) > 0,
+      "without a constraint the stats-less dir must be kept")
+    // the table-wide invariant the dir-stats can't know: every x >= 2000
+    t.addConstraint("x_range", "x >= 2000")
+    val t2 = GraftTable.forPath(spark, root)
+    // a window the constraint contradicts scans NOTHING — no dirs listed
+    val pruned = t2.readPruned("x", 0.0, 100.0)
+    assert(scannedFiles(pruned) === 0,
+      "constraint-implied skipping must prune every dir")
+    assert(pruned.count() === 0)
+    // a window inside the constraint range still reads a correct superset
+    assert(t2.readPruned("x", 2101.0, 2200.0)
+      .filter(col("x").between(2101.0, 2200.0)).count() === 100)
+  }
+
   test("dynamic partition pruning fires on partitioned fact x filtered dim") {
     // The cluster-scale join shape: a fact table partitioned on the join
     // key and a dimension with a selective NON-key filter. Static pruning
