@@ -1051,6 +1051,87 @@ final class GraftTable private (
         s"positional delete of $root lost $MaxCommitRetries version races", null)
     }
 
+  /** UPDATE by ROW POSITION — [[deletePositional]]'s update companion and
+    * the DV form of [[updateMergeOnRead]]: matched rows are marked deleted
+    * by position (kilobytes) and their updated copies appended as a new
+    * data dir, in ONE commit. The read plan stays join-free for the DV
+    * subtraction; the appended copies can never be position-marked (their
+    * files postdate every recorded position). Same isolation surface:
+    * rebases over appends, aborts on rewrites, optional `strict`. */
+  def updatePositional(cond: Column, assignments: Map[String, Column],
+      strict: Boolean = false): Commit =
+    this.synchronized {
+      updatePositionalFrom(
+        log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")),
+        cond, assignments, strict)
+    }
+
+  private[table] def updatePositionalFrom(snapshot: Commit, cond: Column,
+      assignments: Map[String, Column], strict: Boolean = false): Commit =
+    this.synchronized {
+      val tsMs = System.currentTimeMillis()
+      val cur = readCommitWithPos(snapshot)
+      val hit = coalesce(cond, lit(false))
+      val preWithPos = cur.filter(hit)
+      val pre = preWithPos.drop(DvFileCol, DvPosCol)
+      val post = pre.select(pre.columns.toSeq.map { c =>
+        assignments.get(c).map(e => e.as(c)).getOrElse(col(c))
+      }: _*)
+      enforceConstraints(post, Some(snapshot), "UPDATE")
+      val dvDir = dvDirName(snapshot.version + 1)
+      preWithPos.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+        .write.mode("errorifexists").parquet(new Path(root, dvDir).toString)
+      val dataDir = writeData(post, snapshot.version + 1, snapshot.partitionCols)
+      val changeRows = pre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+      var chDir: String = null
+      var chVersion = -1L
+      var cdfMetrics = Map.empty[String, Long]
+      def rollback(): Unit =
+        (Seq(dvDir, dataDir) ++ Option(chDir))
+          .foreach(d => fs.delete(new Path(root, d), true))
+      var attempts = 0
+      while (attempts <= MaxCommitRetries) {
+        val head = log.latest().getOrElse(snapshot)
+        val appendOnlyRace = head.version == snapshot.version ||
+          (head.schemaJson == snapshot.schemaJson &&
+            head.dataDirs.startsWith(snapshot.dataDirs) &&
+            log.commits().filter(_.version > snapshot.version)
+              .forall(_.operation == "APPEND"))
+        if (!appendOnlyRace) {
+          rollback()
+          throw new ConcurrentWriteException(
+            s"positional update of $root computed from stale version " +
+              s"${snapshot.version}; a non-append commit intervened", null)
+        }
+        if (strict && appendedMatches(snapshot, head, hit)) {
+          rollback()
+          throw new ConcurrentWriteException(
+            s"strict positional update of $root: a concurrent append " +
+              s"after version ${snapshot.version} contains predicate-matching rows", null)
+        }
+        if (chVersion != head.version + 1) {
+          if (chDir != null) fs.delete(new Path(root, chDir), true)
+          val (d, m) = writeChanges(changeRows, head.version + 1, tsMs)
+          chDir = d; cdfMetrics = m; chVersion = head.version + 1
+        }
+        val c = Commit(head.version + 1, tsMs, "UPDATE", head.dataDirs :+ dataDir, Map(
+          "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
+          "mergeOnRead" -> 1L, "positionalDelete" -> 1L), snapshot.schemaJson,
+          partitionCols = head.partitionCols,
+          dirStats = head.dirStats + (dataDir -> statsFor(dataDir)),
+          changesDir = Some(chDir),
+          properties = head.properties,
+          tombstoneDirs = head.tombstoneDirs,
+          dvDirs = head.dvDirs :+ dvDir)
+        try { log.commit(c); return c }
+        catch { case _: IllegalStateException => attempts += 1 }
+      }
+      rollback()
+      throw new ConcurrentWriteException(
+        s"positional update of $root lost $MaxCommitRetries version races", null)
+    }
+
   /** Current head commit (test seam for rebase scenarios). */
   private[table] def headCommit: Option[Commit] = log.latest()
 

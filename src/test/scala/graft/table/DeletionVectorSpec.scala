@@ -138,6 +138,51 @@ class DeletionVectorSpec extends SparkSpec {
       (11 to 55).count(_ % 2 == 0))
   }
 
+  test("positional update: DV + appended copies in one commit, no join, CDF pre/post") {
+    val seed = (1L to 30L).map(i => (i, i * 1.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("dv-upd"), seed)
+    val c = t.updatePositional(col("id") <= 5, Map("x" -> (col("x") + 1000.0)))
+    assert(c.metrics("numUpdatedRows") === 5)
+    val read = t.read()
+    assert(read.count() === 30)
+    assert(read.filter(col("id") <= 5 && col("x") < 1000.0).count() === 0)
+    assert(read.filter(col("x") > 1000.0).count() === 5)
+    assert(!planOf(read).contains("Join"), s"join in DV update read plan:\n${planOf(read)}")
+    val ch = t.readChanges(c.version, c.version)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch === Map("update_preimage" -> 5L, "update_postimage" -> 5L))
+    // updating an already-updated row marks the COPY's position next time
+    val c2 = t.updatePositional(col("id") === 1L, Map("x" -> lit(0.5)))
+    assert(c2.metrics("numUpdatedRows") === 1)
+    assert(t.read().filter(col("id") === 1L).head().getDouble(1) === 0.5)
+    assert(t.read().count() === 30)
+    // rewrite materializes everything
+    t.optimize()
+    assert(t.headCommit.get.dvDirs.isEmpty)
+    assert(t.read().count() === 30)
+  }
+
+  test("positional update rebases over a concurrent append; strict aborts on match") {
+    val seed = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("dv-updreb"), seed)
+    val stale = t.headCommit.get
+    t.append(Seq((3L, 30.0)).toDF("id", "x"))
+    val c = t.updatePositionalFrom(stale, col("id") === 1L, Map("x" -> lit(11.0)))
+    assert(c.version === stale.version + 2)
+    val rows = t.read().collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows === Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+    assert(t.readChanges(c.version, c.version)
+      .select("_commit_version").collect().forall(_.getLong(0) === c.version))
+    // strict: a matching concurrent append aborts
+    val stale2 = t.headCommit.get
+    t.append(Seq((2L, 999.0)).toDF("id", "x"))
+    intercept[ConcurrentWriteException] {
+      t.updatePositionalFrom(stale2, col("id") === 2L, Map("x" -> lit(0.0)), strict = true)
+    }
+    assert(t.read().count() === 4)
+  }
+
   test("vacuum keeps live DV dirs; restore revives the pre-delete snapshot") {
     val seed = (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x")
     val t = GraftTable.create(spark, tmpDir("dv-vac"), seed)
