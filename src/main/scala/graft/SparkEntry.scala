@@ -113,6 +113,7 @@ object SparkEntry {
     "q86_clean_corpus"       -> (CorpusQueries.cleanCorpus _),
     "q87_dedup_report"       -> (CorpusQueries.dedupReport _),
     "q88_dv_delete"          -> (MutationQueries.dvDeleteWhere _),
+    "q89_dv_update"          -> (MutationQueries.dvUpdateWhere _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,6 +199,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0""".stripMargin,
+    // positional-DV update: every row exactly once, assignment applied
+    "q89_dv_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 1.1
+        |            ELSE o_totalprice END AS o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
     "q12_time_travel" -> "SELECT * FROM orders",
     "q13_change_feed" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,

@@ -102,6 +102,22 @@ object MutationQueries {
   def dvDeleteWhere(spark: SparkSession, dir: String): DataFrame =
     dvDeletedOrdersTable(spark, dir).read()
 
+  private def dvUpdatedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "dv-updated") {
+      val t = GraftTable.create(spark, freshDir("dvu"), Tables.orders(spark, dir))
+      // IEEE double multiply — bit-identical in DuckDB's CASE oracle
+      t.updatePositional(col("o_orderstatus") === "P",
+        Map("o_totalprice" -> (col("o_totalprice") * 1.1)))
+      t
+    }
+
+  /** Positional-DV UPDATE read path: matched rows position-marked deleted
+    * and their updated copies appended IN ONE COMMIT — the snapshot shows
+    * every row exactly once with the assignment applied, and the read
+    * plan stays join-free (DeletionVectorSpec). */
+  def dvUpdateWhere(spark: SparkSession, dir: String): DataFrame =
+    dvUpdatedOrdersTable(spark, dir).read()
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

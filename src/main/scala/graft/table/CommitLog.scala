@@ -112,9 +112,13 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
     val ckpt = entries
       .filter(_.getPath.getName.startsWith(CommitLog.CheckpointPrefix))
       .sortBy(_.getPath.getName).lastOption
-    val fromCkpt: Seq[Commit] = ckpt.map { s =>
-      parsedCheckpoints.getOrElseUpdate(s.getPath.getName,
-        CommitLog.manyFromJson(readFile(s.getPath, s.getLen)))
+    // A checkpoint is an OPTIMIZATION: every per-commit file still exists,
+    // so an unreadable checkpoint (e.g. listed mid-publish on a store
+    // without atomic rename) is simply ignored for this read.
+    val fromCkpt: Seq[Commit] = ckpt.flatMap { s =>
+      try Some(parsedCheckpoints.getOrElseUpdate(s.getPath.getName,
+        CommitLog.manyFromJson(readFile(s.getPath, s.getLen))))
+      catch { case scala.util.control.NonFatal(_) => None }
     }.getOrElse(Seq.empty)
     val ckptMax = fromCkpt.lastOption.map(_.version).getOrElse(-1L)
     val tail = entries
@@ -144,9 +148,13 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
     val name = f"${CommitLog.CheckpointPrefix}${all.last.version}%020d.ckpt.json"
     val target = new Path(logDir, name)
     if (fs.exists(target)) return
-    val out = fs.create(target, false)
-    try out.write(CommitLog.manyToJson(all).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // Publish ATOMICALLY (temp + rename): concurrent readers list the log
+    // while checkpoints are written, and a partially-written checkpoint
+    // file must never be visible under its final name. Arbitration is not
+    // needed — two writers racing the same checkpoint produce identical
+    // content — and the dot-prefixed temp name is excluded from listings.
+    val tmp = CommitPublishers.writeTemp(fs, logDir, target, CommitLog.manyToJson(all))
+    if (!fs.rename(tmp, target)) fs.delete(tmp, false)
     parsedCheckpoints.put(name, all)
     ()
   }
@@ -170,6 +178,17 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
       throw new IllegalStateException(
         s"concurrent write detected: version ${c.version} already committed at $target")
     parsedByName.put(target.getName, c)
+    // Delta's `_last_checkpoint` cadence, automated: every N commits
+    // (default 10, `graft.log.checkpoint.interval` in the Hadoop conf —
+    // settable via `spark.hadoop.*`; 0 disables) consolidate the log so a
+    // cold open of a long-lived streaming table reads one checkpoint file
+    // plus a short tail instead of thousands of entries. Best-effort and
+    // idempotent: a failed or racing checkpoint never fails the commit
+    // that triggered it (checkpoint() returns if the target exists).
+    val interval = conf.getInt("graft.log.checkpoint.interval", 10)
+    if (interval > 0 && c.version > 0 && c.version % interval == 0)
+      try checkpoint()
+      catch { case scala.util.control.NonFatal(_) => () }
     ()
   }
 

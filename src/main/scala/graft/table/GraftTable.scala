@@ -126,9 +126,12 @@ final class GraftTable private (
         else dvInline match {
           case Some(byFile) if byFile.isEmpty => base // delete matched no rows
           case Some(byFile) =>
-            val dead = byFile.map { case (f, ps) =>
-              col(DvFileCol) === lit(f) && col(DvPosCol).isInCollection(ps)
-            }.reduce(_ || _)
+            // One hash lookup + binary search per row, codegen'd — cost
+            // independent of how many files carry deletions (vs an OR
+            // chain of per-file string equalities).
+            val dead = org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
+              col(DvFileCol), col(DvPosCol),
+              byFile.map { case (f, ps) => f -> ps.toArray })
             base.filter(!coalesce(dead, lit(false)))
           case None =>
             val entries = spark.read
@@ -930,11 +933,7 @@ final class GraftTable private (
       var attempts = 0
       while (attempts <= MaxCommitRetries) {
         val head = log.latest().getOrElse(snapshot)
-        val appendOnlyRace = head.version == snapshot.version ||
-          (head.schemaJson == snapshot.schemaJson &&
-            head.dataDirs.startsWith(snapshot.dataDirs) &&
-            log.commits().filter(_.version > snapshot.version)
-              .forall(_.operation == "APPEND"))
+        val appendOnlyRace = isAppendOnlyRace(snapshot, head)
         if (!appendOnlyRace) {
           rollback()
           throw new ConcurrentWriteException(
@@ -1013,11 +1012,7 @@ final class GraftTable private (
       var attempts = 0
       while (attempts <= MaxCommitRetries) {
         val head = log.latest().getOrElse(snapshot)
-        val appendOnlyRace = head.version == snapshot.version ||
-          (head.schemaJson == snapshot.schemaJson &&
-            head.dataDirs.startsWith(snapshot.dataDirs) &&
-            log.commits().filter(_.version > snapshot.version)
-              .forall(_.operation == "APPEND"))
+        val appendOnlyRace = isAppendOnlyRace(snapshot, head)
         if (!appendOnlyRace) {
           rollback()
           throw new ConcurrentWriteException(
@@ -1049,6 +1044,43 @@ final class GraftTable private (
       rollback()
       throw new ConcurrentWriteException(
         s"positional delete of $root lost $MaxCommitRetries version races", null)
+    }
+
+  /** Materialize ONLY the deletion vectors — Delta's `REORG TABLE …
+    * APPLY (PURGE)`: rewrite just the data dirs whose files carry
+    * recorded positions and drop the DVs; every untouched dir is
+    * referenced unchanged. On a 100 TB table a point-delete cleanup then
+    * pays for the affected dirs, not a full [[optimize]] rewrite. Falls
+    * back to a full optimize when value tombstones exist (their coverage
+    * is positional over the dir list and cannot survive a partial
+    * restructure). No-op (returns the head) when no DVs are present. */
+  def materializeDeletes(targetFileBytes: Long = 128L * 1024 * 1024): Commit =
+    this.synchronized {
+      val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+      if (prev.dvDirs.isEmpty) return prev
+      if (prev.tombstoneDirs.nonEmpty) return optimize(targetFileBytes)
+      val v = prev.version + 1
+      val tsMs = System.currentTimeMillis()
+      // A dir is touched iff some recorded file path lies under it — dir
+      // names carry a uniquifying suffix, so the substring match cannot
+      // cross dirs. DISTINCT file paths (bounded by the table's file
+      // count, not the position count) are collected, never the entries —
+      // a billion-position DV still yields a small file list.
+      val files = spark.read
+        .parquet(prev.dvDirs.map(d => new Path(root, d).toString): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSeq
+      val touched = prev.dataDirs.filter(d => files.exists(_.contains("/" + d + "/")))
+      val untouched = prev.dataDirs.filterNot(touched.contains)
+      val cleaned = readCommitInternal(prev.copy(dataDirs = touched), withPos = false)
+      val dir = writeData(cleaned, v, prev.partitionCols)
+      val c = Commit(v, tsMs, "OPTIMIZE", untouched :+ dir, Map(
+        "numRewrittenDirs" -> touched.size.toLong,
+        "numOutputRows" -> countDir(dir)), prev.schemaJson,
+        partitionCols = prev.partitionCols,
+        dirStats = prev.dirStats.view.filterKeys(untouched.contains).toMap +
+          (dir -> statsFor(dir)),
+        properties = rewriteProps(prev.properties))
+      commitRewrite(c, Seq(dir))
     }
 
   /** UPDATE by ROW POSITION — [[deletePositional]]'s update companion and
@@ -1093,11 +1125,7 @@ final class GraftTable private (
       var attempts = 0
       while (attempts <= MaxCommitRetries) {
         val head = log.latest().getOrElse(snapshot)
-        val appendOnlyRace = head.version == snapshot.version ||
-          (head.schemaJson == snapshot.schemaJson &&
-            head.dataDirs.startsWith(snapshot.dataDirs) &&
-            log.commits().filter(_.version > snapshot.version)
-              .forall(_.operation == "APPEND"))
+        val appendOnlyRace = isAppendOnlyRace(snapshot, head)
         if (!appendOnlyRace) {
           rollback()
           throw new ConcurrentWriteException(
@@ -1134,6 +1162,18 @@ final class GraftTable private (
 
   /** Current head commit (test seam for rebase scenarios). */
   private[table] def headCommit: Option[Commit] = log.latest()
+
+  /** True iff everything committed after `snapshot` is an APPEND that
+    * left its schema and dir prefix intact — the condition under which a
+    * merge-on-read or positional mutation may REBASE onto `head` instead
+    * of aborting (its tombstones/positions reference only the snapshot's
+    * immutable dirs, which appends never touch). */
+  private def isAppendOnlyRace(snapshot: Commit, head: Commit): Boolean =
+    head.version == snapshot.version ||
+      (head.schemaJson == snapshot.schemaJson &&
+        head.dataDirs.startsWith(snapshot.dataDirs) &&
+        log.commits().filter(_.version > snapshot.version)
+          .forall(_.operation == "APPEND"))
 
   /** Strict-isolation conflict test for merge-on-read rebases: true iff
     * some row in the dirs appended AFTER `snapshot` (the suffix beyond its
@@ -1205,11 +1245,7 @@ final class GraftTable private (
       var attempts = 0
       while (attempts <= MaxCommitRetries) {
         val head = log.latest().getOrElse(snapshot)
-        val appendOnlyRace = head.version == snapshot.version ||
-          (head.schemaJson == snapshot.schemaJson &&
-            head.dataDirs.startsWith(snapshot.dataDirs) &&
-            log.commits().filter(_.version > snapshot.version)
-              .forall(_.operation == "APPEND"))
+        val appendOnlyRace = isAppendOnlyRace(snapshot, head)
         if (!appendOnlyRace) {
           rollback()
           throw new ConcurrentWriteException(

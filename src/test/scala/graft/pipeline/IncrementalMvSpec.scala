@@ -77,6 +77,39 @@ class IncrementalMvSpec extends SparkSpec {
     assert(!incremental(mv).exists { case (d, s, _, _, _) => d == "2024-01-02" && s == "shipped" })
   }
 
+  test("incremental MV stays exact across positional-DV delete and update") {
+    // DV mutations emit the same CDF contract as rewrites, so the O(batch)
+    // maintainer must not notice the physical difference.
+    val seed = ordersDf(Seq(
+      (1L, t("2024-01-01 10:00:00"), "pending", 100.0),
+      (2L, t("2024-01-01 11:00:00"), "pending", 50.0),
+      (3L, t("2024-01-02 09:00:00"), "shipped", 75.0)))
+    val snap = GraftTable.create(spark, tmpDir("imv-dv-orders"), seed.limit(0))
+    val emptyState = seed.limit(0).select(
+      to_date(col("order_date")).as("order_day"),
+      col("status"),
+      lit(0L).as("order_count"),
+      lit(0).cast(DecimalType(18, 2)).as("sum_revenue"))
+    val mv = GraftTable.create(spark, tmpDir("imv-dv-state"), emptyState)
+    def applyLatest(): Unit = {
+      val v = snap.version
+      MaterializedViews.applyOrderChangesIncrementally(
+        spark, mv, snap.readChanges(v, v))
+    }
+    snap.merge(seed, "id") // initial load: CDF inserts
+    applyLatest()
+    assert(incremental(mv) === recompute(snap.read()))
+    // positional delete: CDF delete rows must shrink (and drop) groups
+    snap.deletePositional(col("status") === "shipped")
+    applyLatest()
+    assert(incremental(mv) === recompute(snap.read()))
+    assert(!incremental(mv).exists { case (_, s, _, _, _) => s == "shipped" })
+    // positional update: pre/post images must move revenue in place
+    snap.updatePositional(col("id") === 2L, Map("total_amount" -> lit(60.0)))
+    applyLatest()
+    assert(incremental(mv) === recompute(snap.read()))
+  }
+
   test("a replayed micro-batch is detected by its txn stamp and skipped") {
     val seed = ordersDf(Seq(
       (1L, t("2024-03-01 10:00:00"), "pending", 100.0),

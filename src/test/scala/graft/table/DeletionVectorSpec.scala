@@ -183,6 +183,28 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read().count() === 4)
   }
 
+  test("materializeDeletes rewrites ONLY the touched dirs (REORG/PURGE shape)") {
+    val t = GraftTable.create(spark, tmpDir("dv-purge"),
+      (1L to 25L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    t.append((26L to 50L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    t.append((51L to 75L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    val before = t.headCommit.get.dataDirs
+    assert(before.length === 3)
+    // positions land only in the SECOND dir's files
+    t.deletePositional(col("id").between(30L, 40L))
+    val c = t.materializeDeletes()
+    assert(c.metrics("numRewrittenDirs") === 1)
+    assert(t.headCommit.get.dvDirs.isEmpty)
+    // the two untouched dirs are referenced by their ORIGINAL names
+    val after = t.headCommit.get.dataDirs
+    assert(after.count(before.contains) === 2)
+    assert(after.length === 3) // 2 untouched + 1 rewritten
+    assert(t.read().count() === 64)
+    assert(t.read().filter(col("id").between(30L, 40L)).count() === 0)
+    // idempotent no-op without DVs
+    assert(t.materializeDeletes().version === c.version)
+  }
+
   test("vacuum keeps live DV dirs; restore revives the pre-delete snapshot") {
     val seed = (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x")
     val t = GraftTable.create(spark, tmpDir("dv-vac"), seed)

@@ -218,6 +218,25 @@ class GraftTableSpec extends SparkSpec {
     assert(GraftTable.forPath(spark, dir).history().count() === 5)
   }
 
+  test("commit log auto-checkpoints on the interval cadence") {
+    val dir = tmpDir("gt-autockpt")
+    val t = GraftTable.create(spark, dir, seedCustomers) // v0
+    (1 to 12).foreach { i =>
+      t.append(Seq((100L + i, s"a$i", s"a$i@x.com", 1.0)).toDF("id", "name", "email", "balance"))
+    }
+    // default interval 10 → versions 10 (and nothing later yet) checkpointed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ckpts = fs.listStatus(new org.apache.hadoop.fs.Path(dir, CommitLog.LogDirName))
+      .map(_.getPath.getName).filter(_.startsWith(CommitLog.CheckpointPrefix))
+    assert(ckpts.nonEmpty, "no auto checkpoint written after 12 commits")
+    // a cold open reads through the checkpoint + tail
+    val t2 = GraftTable.forPath(spark, dir)
+    assert(t2.version === 12)
+    assert(t2.read().count() === (seedCustomers.count() + 12))
+    assert(t2.history().count() === 13)
+  }
+
   test("single-writer collision detection") {
     val dir = tmpDir("gt-conflict")
     val t1 = GraftTable.create(spark, dir, seedCustomers)
