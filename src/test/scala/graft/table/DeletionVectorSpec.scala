@@ -205,6 +205,23 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.materializeDeletes().version === c.version)
   }
 
+  test("DVs compose with additive schema evolution") {
+    val t = GraftTable.create(spark, tmpDir("dv-evolve"),
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    t.deletePositional(col("id") <= 5)
+    // additive evolution AFTER positions were recorded
+    t.append((21L to 25L).map(i => (i, i * 1.0, s"tag$i")).toDF("id", "x", "y"))
+    val read = t.read()
+    assert(read.columns.toSeq === Seq("id", "x", "y"))
+    assert(read.count() === 20) // 15 survivors + 5 appended
+    assert(read.filter(col("id") <= 5).count() === 0)
+    assert(read.filter(col("y").isNull).count() === 15) // old files: null y
+    // positions can be recorded against post-evolution files too
+    t.deletePositional(col("y") === "tag21")
+    assert(t.read().count() === 19)
+    assert(!planOf(t.read()).contains("Join"))
+  }
+
   test("vacuum keeps live DV dirs; restore revives the pre-delete snapshot") {
     val seed = (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x")
     val t = GraftTable.create(spark, tmpDir("dv-vac"), seed)
