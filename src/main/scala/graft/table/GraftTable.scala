@@ -992,13 +992,32 @@ final class GraftTable private (
   }
 
   private[table] def deletePositionalFrom(snapshot: Commit, cond: Column,
-      strict: Boolean = false): Commit =
+      strict: Boolean = false, restarts: Int = 0): Commit = {
+    val hit = coalesce(cond, lit(false))
+    deletePositionalCore(snapshot, _.filter(hit), if (strict) Some(hit) else None, restarts)
+  }
+
+  /** Keyed positional delete — [[deleteKeys]] at deletion-vector cost: the
+    * rows to drop come from a distributed SEMI-join against an arbitrarily
+    * large key set (a predicate `isin` cannot express millions of keys),
+    * but only their positions are written. Deleting a million keys from a
+    * 100 TB table costs one semi-join and megabytes of positions, not a
+    * table rewrite. Same restart/abort isolation as [[deletePositional]]. */
+  def deleteKeysPositional(keys: DataFrame, key: String): Commit = this.synchronized {
+    val keyDf = keys.select(col(key)).distinct()
+    deletePositionalCore(
+      log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")),
+      cur => cur.join(keyDf, Seq(key), "left_semi"), strictHit = None)
+  }
+
+  private def deletePositionalCore(snapshot: Commit,
+      hitsOf: DataFrame => DataFrame, strictHit: Option[Column],
+      restarts: Int = 0): Commit =
     this.synchronized {
       val tsMs = System.currentTimeMillis()
       // prior DVs AND tombstones applied: a position is never recorded twice
       val cur = readCommitWithPos(snapshot)
-      val hit = coalesce(cond, lit(false))
-      val hits = cur.filter(hit)
+      val hits = hitsOf(cur)
       val dvDir = dvDirName(snapshot.version + 1)
       hits.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
         .write.mode("errorifexists").parquet(new Path(root, dvDir).toString)
@@ -1015,11 +1034,16 @@ final class GraftTable private (
         val appendOnlyRace = isAppendOnlyRace(snapshot, head)
         if (!appendOnlyRace) {
           rollback()
+          // Concurrent MoR/positional mutations commute up to
+          // recomputation — restart this delete from the new head
+          // (bounded); anything that rewrote files still aborts.
+          if (isMorOnlyRace(snapshot, head) && restarts < MaxCommitRetries)
+            return deletePositionalCore(head, hitsOf, strictHit, restarts + 1)
           throw new ConcurrentWriteException(
             s"positional delete of $root computed from stale version " +
               s"${snapshot.version}; a non-append commit intervened", null)
         }
-        if (strict && appendedMatches(snapshot, head, hit)) {
+        if (strictHit.exists(h => appendedMatches(snapshot, head, h))) {
           rollback()
           throw new ConcurrentWriteException(
             s"strict positional delete of $root: a concurrent append " +
@@ -1099,7 +1123,8 @@ final class GraftTable private (
     }
 
   private[table] def updatePositionalFrom(snapshot: Commit, cond: Column,
-      assignments: Map[String, Column], strict: Boolean = false): Commit =
+      assignments: Map[String, Column], strict: Boolean = false,
+      restarts: Int = 0): Commit =
     this.synchronized {
       val tsMs = System.currentTimeMillis()
       val cur = readCommitWithPos(snapshot)
@@ -1128,6 +1153,8 @@ final class GraftTable private (
         val appendOnlyRace = isAppendOnlyRace(snapshot, head)
         if (!appendOnlyRace) {
           rollback()
+          if (isMorOnlyRace(snapshot, head) && restarts < MaxCommitRetries)
+            return updatePositionalFrom(head, cond, assignments, strict, restarts + 1)
           throw new ConcurrentWriteException(
             s"positional update of $root computed from stale version " +
               s"${snapshot.version}; a non-append commit intervened", null)
@@ -1174,6 +1201,21 @@ final class GraftTable private (
         head.dataDirs.startsWith(snapshot.dataDirs) &&
         log.commits().filter(_.version > snapshot.version)
           .forall(_.operation == "APPEND"))
+
+  /** True iff everything committed after `snapshot` is an APPEND or a
+    * merge-on-read/positional mutation (all carry the `mergeOnRead`
+    * metric) under an unchanged schema — i.e. no commit REWROTE a file the
+    * snapshot referenced. A predicate-defined positional mutation can then
+    * RESTART from the new head instead of aborting: recomputation applies
+    * the interleaved tombstones/positions, so already-deleted rows drop
+    * out of both the new positions and the CDF and the two mutations
+    * commute (Delta's default aborts here; the predicate, not a
+    * precomputed row set, is this operation's identity). */
+  private def isMorOnlyRace(snapshot: Commit, head: Commit): Boolean =
+    head.schemaJson == snapshot.schemaJson &&
+      log.commits().filter(_.version > snapshot.version)
+        .forall(c => c.operation == "APPEND" ||
+          c.metrics.get("mergeOnRead").contains(1L))
 
   /** Strict-isolation conflict test for merge-on-read rebases: true iff
     * some row in the dirs appended AFTER `snapshot` (the suffix beyond its

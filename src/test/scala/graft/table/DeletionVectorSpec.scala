@@ -205,6 +205,47 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.materializeDeletes().version === c.version)
   }
 
+  test("concurrent positional mutations commute via restart; rewrites still abort") {
+    val t = GraftTable.create(spark, tmpDir("dv-race"),
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    val stale = t.headCommit.get
+    t.deletePositional(col("id") <= 10)
+    // overlapping delete computed from the PRE-delete snapshot: restarts
+    // against the new head and counts only the rows still live
+    val c = t.deletePositionalFrom(stale, col("id") <= 15)
+    assert(c.metrics("numDeletedRows") === 5) // 11..15 only
+    assert(t.read().count() === 5)
+    assert(t.rowCount === 5) // footer math: no double-subtraction
+    assert(t.readChanges(c.version, c.version).count() === 5)
+    // positional update racing a value-tombstone MoR delete also restarts
+    val stale2 = t.headCommit.get
+    t.deleteMergeOnRead(col("id") === 16L)
+    val c2 = t.updatePositionalFrom(stale2, col("id") >= 16L, Map("x" -> lit(0.0)))
+    assert(c2.metrics("numUpdatedRows") === 4) // 17..20 (16 already gone)
+    assert(t.read().filter(col("x") === 0.0).count() === 4)
+    // a REWRITE race still aborts
+    val stale3 = t.headCommit.get
+    t.optimize()
+    intercept[ConcurrentWriteException] {
+      t.deletePositionalFrom(stale3, col("id") === 18L)
+    }
+    assert(t.read().count() === 4)
+  }
+
+  test("keyed positional delete: semi-join hit set, positions-only write") {
+    val t = GraftTable.create(spark, tmpDir("dv-keys"),
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    val keys = Seq(3L, 7L, 50L, 99L, 999L).toDF("id") // 999 absent
+    val c = t.deleteKeysPositional(keys, "id")
+    assert(c.metrics("numDeletedRows") === 4)
+    assert(t.read().count() === 96)
+    assert(t.read().filter(col("id").isin(3L, 7L, 50L, 99L)).count() === 0)
+    assert(!planOf(t.read()).contains("Join")) // read side still join-free
+    // the delete wrote only positions: no new data dir
+    assert(t.headCommit.get.dataDirs.length === 1)
+    assert(t.headCommit.get.dvDirs.length === 1)
+  }
+
   test("DVs compose with additive schema evolution") {
     val t = GraftTable.create(spark, tmpDir("dv-evolve"),
       (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "x"))
