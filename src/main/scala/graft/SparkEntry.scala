@@ -114,6 +114,7 @@ object SparkEntry {
     "q87_dedup_report"       -> (CorpusQueries.dedupReport _),
     "q88_dv_delete"          -> (MutationQueries.dvDeleteWhere _),
     "q89_dv_update"          -> (MutationQueries.dvUpdateWhere _),
+    "q90_dv_purge"           -> (MutationQueries.dvPurgeRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,6 +196,13 @@ object SparkEntry {
     // positional-DV delete: same snapshot semantics as q83, different
     // physical subtraction (in-scan position filter, no join)
     "q88_dv_delete" ->
+      """SELECT * FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT * FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0""".stripMargin,
+    // purge lifecycle: delete → materialize (touched dirs only) → append;
+    // same oracle as q88 — the rewrite must preserve every surviving row
+    "q90_dv_purge" ->
       """SELECT * FROM orders WHERE o_orderstatus <> 'F'
         |UNION ALL
         |SELECT * FROM orders

@@ -118,6 +118,26 @@ object MutationQueries {
   def dvUpdateWhere(spark: SparkSession, dir: String): DataFrame =
     dvUpdatedOrdersTable(spark, dir).read()
 
+  private def dvPurgedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "dv-purged") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("dvp"), orders)
+      t.deletePositional(col("o_orderstatus") === "F")
+      // REORG/PURGE: the subtraction is materialized into rewritten dirs
+      // and the DVs dropped BEFORE the post-delete append
+      t.materializeDeletes()
+      t.append(orders.filter(col("o_orderstatus") === "F")
+        .filter(pmod(col("o_orderkey"), lit(100)) === 0))
+      t
+    }
+
+  /** The purge lifecycle end-to-end: positional delete → materializeDeletes
+    * (only touched dirs rewritten, DVs cleared) → append — the snapshot
+    * must equal the same oracle as the un-purged q88, proving the rewrite
+    * preserved every surviving row exactly. */
+  def dvPurgeRead(spark: SparkSession, dir: String): DataFrame =
+    dvPurgedOrdersTable(spark, dir).read()
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

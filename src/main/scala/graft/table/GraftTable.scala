@@ -1187,6 +1187,76 @@ final class GraftTable private (
         s"positional update of $root lost $MaxCommitRetries version races", null)
     }
 
+  // ------------------------------------------------- bloom point-lookup index
+
+  /** Per-data-dir BLOOM index over a LongType key column — the Delta
+    * bloom-filter-index analogue at dir granularity, for the needle query
+    * dir-stats ranges cannot help with (a key inside every dir's [min,
+    * max] still lives in exactly one dir). One sidecar file per data dir
+    * under `_bloom/<col>/`; [[readPointLookup]] consults them to skip
+    * whole dirs before Spark lists a single file. Dirs created after the
+    * build have no sidecar and are conservatively kept — rebuild after
+    * appends/OPTIMIZE as an offline maintenance job, like the index it
+    * is. `bitsPerItem` sizes the fpp (default ~20 bits → ~0.01%: a false
+    * positive only costs reading one extra dir). */
+  def buildBloomIndex(colName: String, bitsPerItem: Long = 20L): Unit = {
+    val c = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    c.dataDirs.foreach { d =>
+      val items = math.max(1L, countDir(d))
+      val bytes = org.apache.spark.sql.graftnative.BloomOps.buildFilterBytes(
+        readDirPlain(c, d), col(colName), items, items * bitsPerItem)
+      val target = bloomPath(colName, d)
+      fs.mkdirs(target.getParent)
+      val out = fs.create(target, true)
+      try out.write(bytes) finally out.close()
+      // a lookup before this (re)build may have cached "no sidecar"
+      bloomCache.remove((colName, d))
+      ()
+    }
+  }
+
+  /** Point-lookup read: the current snapshot restricted to data dirs whose
+    * bloom sidecar (if any) says `value` may be present. A SUPERSET of the
+    * matching rows (bloom false positives and un-indexed dirs are kept):
+    * apply the exact predicate on top, as with [[readPruned]]. */
+  def readPointLookup(colName: String, value: Long): DataFrame = {
+    val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    if (c.tombstoneDirs.nonEmpty) return readCommit(c) // positional coverage
+    val keep = c.dataDirs.filter { d =>
+      loadBloom(colName, d) match {
+        case Some(bf) => bf.mightContainLong(value)
+        case None => true
+      }
+    }
+    readCommit(c.copy(dataDirs = keep))
+  }
+
+  private def bloomPath(colName: String, dir: String): Path =
+    new Path(root, s"_bloom/$colName/${dir.replace('/', '_')}.bf")
+
+  // Sidecars are immutable once written (overwritten only by a rebuild);
+  // cache the deserialized filters per (col, dir).
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Option[org.apache.spark.util.sketch.BloomFilter]]
+  private def loadBloom(colName: String, dir: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    bloomCache.getOrElseUpdate((colName, dir), {
+      val p = bloomPath(colName, dir)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    })
+
+  /** One dir of a commit as a plain DataFrame (for index builds). */
+  private def readDirPlain(c: Commit, d: String): DataFrame = {
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val p = new Path(root, d).toString
+    if (c.partitionCols.isEmpty) spark.read.schema(schema).parquet(p)
+    else spark.read.option("basePath", p).schema(schema).parquet(p)
+  }
+
   /** Current head commit (test seam for rebase scenarios). */
   private[table] def headCommit: Option[Commit] = log.latest()
 

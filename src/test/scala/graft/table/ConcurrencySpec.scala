@@ -272,6 +272,38 @@ class ConcurrencySpec extends SparkSpec {
     assert(ids === Set(2L, 7L)) // id=1 deleted; both appends intact
   }
 
+  test("racing positional deletes from independent handles BOTH land (commute)") {
+    val root = tmpDir("cc-dvrace")
+    GraftTable.create(spark, root, (1L to 40L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    val a = GraftTable.forPath(spark, root)
+    val b = GraftTable.forPath(spark, root)
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val errs = java.util.Collections.synchronizedList(new java.util.ArrayList[Throwable]())
+    // overlapping predicates: ids 5..10 matched by both
+    pool.execute { () =>
+      start.await()
+      try { a.deletePositional(col("id") <= 10); () }
+      catch { case e: Throwable => errs.add(e); () }
+    }
+    pool.execute { () =>
+      start.await()
+      try { b.deletePositional(col("id").between(5L, 15L)); () }
+      catch { case e: Throwable => errs.add(e); () }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"racing positional deletes failed: $errs")
+    val t = GraftTable.forPath(spark, root)
+    assert(t.read().count() === 25) // 1..15 deleted exactly once
+    assert(t.rowCount === 25)       // footer math: overlap not double-marked
+    val deletes = t.readChanges(0)
+      .filter(col("_change_type") === "delete").select("id").collect()
+      .map(_.getLong(0))
+    assert(deletes.length === 15 && deletes.toSet === (1L to 15L).toSet)
+  }
+
   test("publisher registry: scheme selection and conditional-put registration") {
     // unknown scheme falls back to rename+read-back
     assert(CommitLog.publisherFor("s3a-unregistered") === RenamePublisher)

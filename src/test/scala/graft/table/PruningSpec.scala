@@ -72,6 +72,30 @@ class PruningSpec extends SparkSpec {
       .filter(col("x").between(2101.0, 2200.0)).count() === 100)
   }
 
+  test("bloom point-lookup index prunes dirs range stats cannot") {
+    val root = tmpDir("bloom-idx")
+    // every dir spans ~the SAME [min, max] (ids interleaved mod 4), so
+    // dir-stats range skipping keeps all of them — the needle query only
+    // a bloom can answer at the metadata level
+    def rows(k: Long) = (1L to 4000L).filter(_ % 4 == k).map(i => (i, i * 1.0))
+      .toDF("id", "x")
+    val t = GraftTable.create(spark, root, rows(0))
+    t.append(rows(1)); t.append(rows(2)); t.append(rows(3))
+    t.buildBloomIndex("id")
+    val total = scannedFiles(t.read())
+    assert(scannedFiles(t.readPruned("id", 10.0, 10.0)) === total,
+      "ranges overlap: dir-stats must NOT be able to skip")
+    val hit = t.readPointLookup("id", 10L) // lives in the k=2 dir only
+    assert(scannedFiles(hit) < total, "bloom index did not skip any dir")
+    assert(hit.filter(col("id") === 10L).count() === 1)
+    // a key absent everywhere: every indexed dir skipped (fpp ~1e-4)
+    assert(t.readPointLookup("id", 999999L).filter(col("id") === 999999L).count() === 0)
+    // dirs appended AFTER the build are conservatively kept + correct
+    t.append(Seq((999999L, 1.0)).toDF("id", "x"))
+    val late = t.readPointLookup("id", 999999L)
+    assert(late.filter(col("id") === 999999L).count() === 1)
+  }
+
   test("dynamic partition pruning fires on partitioned fact x filtered dim") {
     // The cluster-scale join shape: a fact table partitioned on the join
     // key and a dimension with a selective NON-key filter. Static pruning

@@ -118,6 +118,27 @@ class TableStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamChanges delivers positional-DV delete and update CDF") {
+    val t = GraftTable.create(spark, tmpDir("ts-dvcdf"),
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"))
+    val q = t.streamChanges()
+      .writeStream.format("memory").queryName("dvcdf_out")
+      .option("checkpointLocation", tmpDir("ts-dvcdf-ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val cDel = t.deletePositional(col("id") === 2L)
+      val cUpd = t.updatePositional(col("id") === 1L, Map("v" -> lit(11.0)))
+      q.processAllAvailable()
+      val rows = spark.table("dvcdf_out")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        (2L, "delete", cDel.version),
+        (1L, "update_preimage", cUpd.version),
+        (1L, "update_postimage", cUpd.version)))
+    } finally q.stop()
+  }
+
   test("streamChanges delivers CDF rows of merges and deletes") {
     val t = GraftTable.create(spark, tmpDir("ts-cdf"),
       Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
