@@ -1201,10 +1201,17 @@ final class GraftTable private (
     * positive only costs reading one extra dir). */
   def buildBloomIndex(colName: String, bitsPerItem: Long = 20L): Unit = {
     val c = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    // BloomFilterAggregate validates against this session cap (default 64M
+    // bits = 8 MB); clamp so a huge dir degrades to a coarser filter
+    // instead of failing the build.
+    val maxBits = spark.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
     c.dataDirs.foreach { d =>
       val items = math.max(1L, countDir(d))
       val bytes = org.apache.spark.sql.graftnative.BloomOps.buildFilterBytes(
-        readDirPlain(c, d), col(colName), items, items * bitsPerItem)
+        readDirPlain(c, d), col(colName), items,
+        math.min(items * bitsPerItem, maxBits))
       val target = bloomPath(colName, d)
       fs.mkdirs(target.getParent)
       val out = fs.create(target, true)
