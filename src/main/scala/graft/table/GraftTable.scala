@@ -1209,8 +1209,13 @@ final class GraftTable private (
       .map(_.toLong).getOrElse(67108864L)
     c.dataDirs.foreach { d =>
       val items = math.max(1L, countDir(d))
+      // The indexed key is xxhash64(col) — one codegen'd hash per row, and
+      // the index works for ANY column type (string doc ids / URLs are the
+      // common needle at corpus scale), not just the LongType the bloom
+      // aggregate ingests. A hash collision is one more false positive —
+      // the exact predicate on top already owns that case.
       val bytes = org.apache.spark.sql.graftnative.BloomOps.buildFilterBytes(
-        readDirPlain(c, d), col(colName), items,
+        readDirPlain(c, d), xxhash64(col(colName)), items,
         math.min(items * bitsPerItem, maxBits))
       val target = bloomPath(colName, d)
       fs.mkdirs(target.getParent)
@@ -1225,13 +1230,18 @@ final class GraftTable private (
   /** Point-lookup read: the current snapshot restricted to data dirs whose
     * bloom sidecar (if any) says `value` may be present. A SUPERSET of the
     * matching rows (bloom false positives and un-indexed dirs are kept):
-    * apply the exact predicate on top, as with [[readPruned]]. */
-  def readPointLookup(colName: String, value: Long): DataFrame = {
+    * apply the exact predicate on top, as with [[readPruned]]. Any key
+    * type the `xxhash64` function accepts. */
+  def readPointLookup(colName: String, value: Any): DataFrame = {
     val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
     if (c.tombstoneDirs.nonEmpty) return readCommit(c) // positional coverage
+    // same hash the build applied, evaluated driver-side (no job)
+    val hashed = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
+      .eval(null).asInstanceOf[Long]
     val keep = c.dataDirs.filter { d =>
       loadBloom(colName, d) match {
-        case Some(bf) => bf.mightContainLong(value)
+        case Some(bf) => bf.mightContainLong(hashed)
         case None => true
       }
     }

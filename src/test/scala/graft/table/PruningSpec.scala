@@ -96,6 +96,21 @@ class PruningSpec extends SparkSpec {
     assert(late.filter(col("id") === 999999L).count() === 1)
   }
 
+  test("bloom index works for STRING keys (hashed)") {
+    val root = tmpDir("bloom-str")
+    def rows(k: Int) = (1 to 1000).filter(_ % 3 == k).map(i => (s"doc-$i", i * 1.0))
+      .toDF("doc_id", "score")
+    val t = GraftTable.create(spark, root, rows(0))
+    t.append(rows(1)); t.append(rows(2))
+    t.buildBloomIndex("doc_id")
+    val total = scannedFiles(t.read())
+    val hit = t.readPointLookup("doc_id", "doc-500") // 500 % 3 == 2
+    assert(scannedFiles(hit) < total)
+    assert(hit.filter(col("doc_id") === "doc-500").count() === 1)
+    assert(t.readPointLookup("doc_id", "doc-absent")
+      .filter(col("doc_id") === "doc-absent").count() === 0)
+  }
+
   test("dynamic partition pruning fires on partitioned fact x filtered dim") {
     // The cluster-scale join shape: a fact table partitioned on the join
     // key and a dimension with a selective NON-key filter. Static pruning
