@@ -115,6 +115,7 @@ object SparkEntry {
     "q88_dv_delete"          -> (MutationQueries.dvDeleteWhere _),
     "q89_dv_update"          -> (MutationQueries.dvUpdateWhere _),
     "q90_dv_purge"           -> (MutationQueries.dvPurgeRead _),
+    "q91_point_lookup"       -> (MutationQueries.pointLookup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,6 +201,8 @@ object SparkEntry {
         |UNION ALL
         |SELECT * FROM orders
         |WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0""".stripMargin,
+    // bloom-indexed point lookup: superset pruning + exact refine
+    "q91_point_lookup" -> "SELECT * FROM orders WHERE o_orderkey = 8",
     // purge lifecycle: delete → materialize (touched dirs only) → append;
     // same oracle as q88 — the rewrite must preserve every surviving row
     "q90_dv_purge" ->

@@ -138,6 +138,28 @@ object MutationQueries {
   def dvPurgeRead(spark: SparkSession, dir: String): DataFrame =
     dvPurgedOrdersTable(spark, dir).read()
 
+  private def bloomOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "bloom-orders") {
+      val orders = Tables.orders(spark, dir)
+      // four key-interleaved appends: every dir spans ~the same key range,
+      // so only the bloom (not min/max stats) can prune the lookup
+      val t = GraftTable.create(spark, freshDir("bl"),
+        orders.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+      (1 to 3).foreach(k =>
+        t.append(orders.filter(pmod(col("o_orderkey"), lit(4)) === k)))
+      t.buildBloomIndex("o_orderkey")
+      t
+    }
+
+  /** Bloom-indexed point lookup (the needle query of a 100 TB key-value
+    * read path): [[graft.table.GraftTable.readPointLookup]] prunes to the
+    * dirs whose sidecar admits the key, the exact predicate refines the
+    * superset. Held to the plain SELECT … WHERE key = k oracle. */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    bloomOrdersTable(spark, dir)
+      .readPointLookup("o_orderkey", 8L)
+      .filter(col("o_orderkey") === 8L)
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {
