@@ -116,6 +116,8 @@ object SparkEntry {
     "q89_dv_update"          -> (MutationQueries.dvUpdateWhere _),
     "q90_dv_purge"           -> (MutationQueries.dvPurgeRead _),
     "q91_point_lookup"       -> (MutationQueries.pointLookup _),
+    "q92_string_range_skip"  -> (MutationQueries.priorityRange _),
+    "q93_predicate_skip"     -> (MutationQueries.predicateSkip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,6 +205,12 @@ object SparkEntry {
         |WHERE o_orderstatus = 'F' AND o_orderkey % 100 = 0""".stripMargin,
     // bloom-indexed point lookup: superset pruning + exact refine
     "q91_point_lookup" -> "SELECT * FROM orders WHERE o_orderkey = 8",
+    // string-range dir skipping: same rows as the plain predicate
+    "q92_string_range_skip" ->
+      "SELECT * FROM orders WHERE o_orderpriority BETWEEN '2' AND '4'",
+    // predicate-driven skipping (where()): disjunction of bloom needles
+    "q93_predicate_skip" ->
+      "SELECT * FROM orders WHERE o_orderkey = 8 OR o_orderkey = 1",
     // purge lifecycle: delete → materialize (touched dirs only) → append;
     // same oracle as q88 — the rewrite must preserve every surviving row
     "q90_dv_purge" ->

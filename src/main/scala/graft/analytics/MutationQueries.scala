@@ -160,6 +160,35 @@ object MutationQueries {
       .readPointLookup("o_orderkey", 8L)
       .filter(col("o_orderkey") === 8L)
 
+  private def priorityOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "prio-orders") {
+      val orders = Tables.orders(spark, dir)
+      // one append per priority namespace → disjoint string ranges per dir
+      val t = GraftTable.create(spark, freshDir("pr"),
+        orders.filter(col("o_orderpriority").startsWith("1")))
+      Seq("2", "3", "4", "5").foreach(p =>
+        t.append(orders.filter(col("o_orderpriority").startsWith(p))))
+      t
+    }
+
+  /** STRING-range data skipping: footer string min/max (order-preserving
+    * prefix encoding in the dir-stats map) restrict the scan to the dirs
+    * whose priority namespace intersects the queried range; the exact
+    * predicate refines the superset. */
+  def priorityRange(spark: SparkSession, dir: String): DataFrame =
+    priorityOrdersTable(spark, dir)
+      .readPrunedString("o_orderpriority", "2", "4")
+      .filter(col("o_orderpriority").between("2", "4"))
+
+  /** Predicate-driven scan ([[graft.table.GraftTable.where]]): the caller
+    * writes ONE filter expression; the table extracts the pruning plan
+    * itself — here a disjunction of key needles over the bloom-indexed
+    * interleaved table (range stats can't skip any dir), each admitted by
+    * its sidecar, union of survivors scanned, exact predicate on top. */
+  def predicateSkip(spark: SparkSession, dir: String): DataFrame =
+    bloomOrdersTable(spark, dir)
+      .where(col("o_orderkey") === 8L || col("o_orderkey") === 1L)
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

@@ -458,6 +458,201 @@ final class GraftTable private (
         k.stripPrefix(ConstraintPrefix) -> v
     }).getOrElse(Map.empty)
 
+  /** [[readPruned]] for STRING columns: the bounds are byte-lexicographic
+    * strings, compared through the same order-preserving prefix encoding
+    * the footer harvest stored ([[GraftTable.stringPrefixValue]]). As with
+    * the numeric form, the result is a SUPERSET — apply the exact
+    * predicate on top. A domain/prefix query (`doc_id` between "b" and
+    * "bz") then skips every dir whose id range lies elsewhere. */
+  def readPrunedString(colName: String, lo: String, hi: String): DataFrame =
+    readPruned(colName,
+      GraftTable.stringPrefixValue(lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      GraftTable.stringPrefixValue(hi.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** Predicate-driven data-skipping scan — the production read path. Walks
+    * `predicate`'s Catalyst tree and decides PER DIR whether it could hold
+    * a matching row, consulting every skipping source the table maintains:
+    * dir-stats min/max (numerics, epoch-micros timestamps, and strings via
+    * the order-preserving prefix encoding), CHECK-constraint bounds as a
+    * stand-in where a dir recorded no stats, and bloom sidecars for
+    * equality/IN points. AND/OR recurse (a dir survives an OR iff either
+    * branch might match it); any shape the walker doesn't recognize is
+    * conservatively kept. The exact predicate is applied on top, so the
+    * result EQUALS `read().filter(predicate)` — callers stop choosing
+    * between [[readPruned]]/[[readPrunedString]]/[[readPointLookup]] by
+    * hand, exactly as Delta's data skipping is transparent to the query. */
+  def where(predicate: Column): DataFrame =
+    whereSuperset(predicate).filter(predicate)
+
+  /** The pruned-but-unfiltered scan behind [[where]] (test seam: what
+    * files would Spark list). Same SUPERSET contract as [[readPruned]]. */
+  private[table] def whereSuperset(predicate: Column): DataFrame = {
+    val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    // Value-tombstone coverage is positional over dataDirs (see readPruned);
+    // skip the skipping, keep the semantics.
+    if (c.tombstoneDirs.nonEmpty) return readCommit(c)
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    // The Column DSL yields UNRESOLVED function trees ("=", "and", …), not
+    // Catalyst comparison nodes. Analyze the predicate against an empty
+    // relation with the table's schema: the analyzer resolves functions to
+    // EqualTo/And/…, type-coerces both sides (inserting the Casts that
+    // make `id = '1500'` mean what Spark will execute), and we then fold
+    // literal-side casts and strip value-preserving numeric casts off
+    // attributes. Analysis failure (e.g. `_metadata` references the dummy
+    // relation lacks) degrades to an unpruned scan, never an error here —
+    // the real filter below reports it with full context.
+    val cond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      try {
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+          .filter(predicate).queryExecution.analyzed.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              normalizeForPruning(f.condition)
+          }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val keep = cond match {
+      case Some(e) =>
+        val cb = constraintBounds(c)
+        c.dataDirs.filter(d => dirMayMatch(e, c, d, schema, cb))
+      case None => c.dataDirs
+    }
+    readCommit(c.copy(dataDirs = keep))
+  }
+
+  /** Post-analysis cleanup that makes the condition tree matchable:
+    * literal-side casts evaluate to typed literals (the analyzer wrapped
+    * them, constant folding hasn't run yet), and numeric→numeric widening
+    * casts come OFF attributes — the double stats encoding of a value is
+    * identical across int/long/float/double/decimal, so pruning through
+    * the cast is exact. Casts that change the VALUE's encoding (date→
+    * timestamp is a ×86400e6 unit change, string→anything) stay, and an
+    * attribute under a kept cast simply never prunes (conservative). */
+  private def normalizeForPruning(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, Literal}
+    import org.apache.spark.sql.types.NumericType
+    e.transformUp {
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+        try Literal(c.eval(null), c.dataType)
+        catch { case scala.util.control.NonFatal(_) => c }
+      case c: Cast if c.child.isInstanceOf[Attribute] &&
+          c.child.dataType.isInstanceOf[NumericType] &&
+          c.dataType.isInstanceOf[NumericType] => c.child
+    }
+  }
+
+  /** Could dir `d` contain a row satisfying `e`? Three-valued pruning
+    * collapsed to Boolean: `false` only when the dir PROVABLY holds no
+    * matching row; every unknown is `true`. Strict comparisons are widened
+    * to closed intervals — required for correctness under the 6-byte
+    * string prefix encoding (distinct strings can share an encoding) and
+    * harmless for numerics (one boundary dir kept, not lost). */
+  private def dirMayMatch(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      c: Commit,
+      d: String,
+      schema: StructType,
+      cb: Map[String, (Double, Double)]): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    def stats(n: String): Option[(Double, Double)] =
+      c.dirStats.get(d).flatMap(_.get(n)).orElse(cb.get(n))
+    // literal → the dir-stats encoding (numerics as doubles, timestamps
+    // already epoch micros / dates epoch days in Catalyst internal form,
+    // strings through the prefix map); None = can't reason, keep the dir.
+    // The literal's representation must match what the stats recorded for
+    // the DECLARED column type — Spark happily compares `ts < "2024-06-01"`
+    // by casting, but a string-prefix encoding checked against micros
+    // stats would prune wrongly, so a type mismatch contributes nothing.
+    def enc(n: String, v: Any): Option[Double] = {
+      import org.apache.spark.sql.types._
+      val colType = schema.find(_.name == n).map(_.dataType)
+      (colType, v) match {
+        case (_, null) => None
+        case (Some(StringType), s: org.apache.spark.unsafe.types.UTF8String) =>
+          Some(GraftTable.stringPrefixValue(s.getBytes))
+        case (Some(_: NumericType | DateType | TimestampType | TimestampNTZType),
+            num: java.lang.Number) => Some(num.doubleValue())
+        case (Some(_: NumericType), dec: Decimal) => Some(dec.toDouble)
+        case _ => None
+      }
+    }
+    def attrName(a: Expression): Option[String] = a match {
+      case u: UnresolvedAttribute => Some(u.name) // pre-analysis callers
+      case att: Attribute => Some(att.name)       // analyzed tree (where())
+      case _ => None
+    }
+    // may a value of column `n` within the dir's [mn, mx] land in [qlo, qhi]?
+    def overlaps(n: String, qlo: Double, qhi: Double): Boolean =
+      stats(n).forall { case (mn, mx) => mx >= qlo && mn <= qhi }
+    // equality point: range stats AND the bloom sidecar (when indexed).
+    // The literal is cast to the column's declared type before hashing —
+    // the sidecar hashed the COLUMN's type, and xxhash64(8: Int) !=
+    // xxhash64(8L), so an uncast Int needle against a Long key would
+    // wrongly prune every dir.
+    def point(n: String, lit: Literal): Boolean = {
+      val rangeOk = enc(n, lit.value).forall { p => overlaps(n, p, p) }
+      def bloomOk = loadBloom(n, d) match {
+        case None => true
+        case Some(bf) =>
+          schema.find(_.name == n).forall { f =>
+            try {
+              val casted = Cast(lit, f.dataType,
+                Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+              if (casted == null) true
+              else bf.mightContainLong(
+                new XxHash64(Seq(Literal.create(casted, f.dataType)), 42L)
+                  .eval(null).asInstanceOf[Long])
+            } catch { case scala.util.control.NonFatal(_) => true }
+          }
+      }
+      rangeOk && bloomOk
+    }
+    def may(x: Expression): Boolean = x match {
+      case And(l, r) => may(l) && may(r)
+      case Or(l, r) => may(l) || may(r)
+      case EqualTo(a, lit: Literal) if attrName(a).isDefined => point(attrName(a).get, lit)
+      case EqualTo(lit: Literal, a) if attrName(a).isDefined => point(attrName(a).get, lit)
+      case EqualNullSafe(a, lit: Literal) if attrName(a).isDefined => point(attrName(a).get, lit)
+      case EqualNullSafe(lit: Literal, a) if attrName(a).isDefined => point(attrName(a).get, lit)
+      case In(a, vs) if attrName(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.isEmpty || vs.exists(v => point(attrName(a).get, v.asInstanceOf[Literal]))
+      case GreaterThan(a, Literal(v, _)) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        enc(n, v).forall(p => overlaps(n, p, Double.PositiveInfinity))
+      case GreaterThanOrEqual(a, Literal(v, _)) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        enc(n, v).forall(p => overlaps(n, p, Double.PositiveInfinity))
+      case LessThan(a, Literal(v, _)) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        enc(n, v).forall(p => overlaps(n, Double.NegativeInfinity, p))
+      case LessThanOrEqual(a, Literal(v, _)) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        enc(n, v).forall(p => overlaps(n, Double.NegativeInfinity, p))
+      // flipped literal-first forms: v OP a  ⇔  a flip(OP) v
+      case GreaterThan(Literal(v, _), a) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        enc(n, v).forall(p => overlaps(n, Double.NegativeInfinity, p))
+      case GreaterThanOrEqual(Literal(v, _), a) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        enc(n, v).forall(p => overlaps(n, Double.NegativeInfinity, p))
+      case LessThan(Literal(v, _), a) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        enc(n, v).forall(p => overlaps(n, p, Double.PositiveInfinity))
+      case LessThanOrEqual(Literal(v, _), a) if attrName(a).isDefined =>
+        val n = attrName(a).get
+        enc(n, v).forall(p => overlaps(n, p, Double.PositiveInfinity))
+      case StartsWith(a, Literal(s: org.apache.spark.unsafe.types.UTF8String, _))
+          if attrName(a).exists(n => schema.find(_.name == n)
+            .exists(_.dataType == org.apache.spark.sql.types.StringType)) =>
+        val b = s.getBytes
+        overlaps(attrName(a).get,
+          GraftTable.stringPrefixValue(b), GraftTable.stringPrefixHiValue(b))
+      case _ => true // IsNull / Not / UDF-ish / non-literal comparand: keep
+    }
+    may(e)
+  }
+
   /** ALTER TABLE ADD CONSTRAINT … CHECK (Delta parity): the predicate is
     * validated against the CURRENT snapshot, then recorded in the table
     * properties — every subsequent append/overwrite/merge/update validates
@@ -535,16 +730,53 @@ final class GraftTable private (
               val name = cc.getPath.toDotString
               val s = cc.getStatistics
               if (s != null && s.hasNonNullValue) {
+                import org.apache.parquet.schema.LogicalTypeAnnotation
+                val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+                // Physical int stats carry a LOGICAL meaning the query
+                // literal will use: DECIMAL stores the unscaled value
+                // (123.45 as 12345 at scale 2) and TIMESTAMP's unit may
+                // not be the micros the pruning contract promises. Scale
+                // here — then widen by one ULP per side, because the
+                // query side (Decimal.toDouble) rounds independently and
+                // a boundary row must never be pruned by FP disagreement.
+                val factor: Double = ann match {
+                  case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                    math.pow(10, -d.getScale)
+                  case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                    t.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000.0
+                      case LogicalTypeAnnotation.TimeUnit.NANOS => 0.001
+                      case _ => 1.0 // MICROS: the contract's unit
+                    }
+                  case _ => 1.0
+                }
+                def adj(lo: Double, hi: Double): (Double, Double) =
+                  if (factor == 1.0) (lo, hi)
+                  else (math.nextDown(lo * factor), math.nextUp(hi * factor))
+                val isString = ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
                 val mm: Option[(Double, Double)] = (s.genericGetMin, s.genericGetMax) match {
                   case (lo: java.lang.Long, hi: java.lang.Long) =>
-                    Some((lo.toDouble, hi.toDouble))
+                    Some(adj(lo.toDouble, hi.toDouble))
                   case (lo: java.lang.Integer, hi: java.lang.Integer) =>
-                    Some((lo.toDouble, hi.toDouble))
+                    Some(adj(lo.toDouble, hi.toDouble))
                   case (lo: java.lang.Double, hi: java.lang.Double) =>
                     Some((lo.toDouble, hi.toDouble))
                   case (lo: java.lang.Float, hi: java.lang.Float) =>
                     Some((lo.toDouble, hi.toDouble))
-                  case _ => None // strings/binary/etc: not tracked
+                  case (lo: org.apache.parquet.io.api.Binary, hi: org.apache.parquet.io.api.Binary)
+                      if isString =>
+                    // Strings ride the same Double stats map as an
+                    // ORDER-PRESERVING 6-byte prefix value (exact in a
+                    // 53-bit mantissa): s <= t byte-lexicographically ⇒
+                    // prefix(s) <= prefix(t), so range skipping on the
+                    // encoded bounds is conservative-correct. Parquet's
+                    // own truncated binary bounds stay valid bounds under
+                    // the monotone prefix map. The isString gate matters:
+                    // a binary-backed DECIMAL(>18) or INT96 here is NOT
+                    // in lexicographic row order — those stay untracked.
+                    Some((GraftTable.stringPrefixValue(lo.getBytes),
+                      GraftTable.stringPrefixValue(hi.getBytes)))
+                  case _ => None // other binary/etc: not tracked
                 }
                 mm.foreach { case (lo, hi) =>
                   val cur = acc.get(name)
@@ -767,6 +999,9 @@ final class GraftTable private (
       Map("numOutputRows" -> countDir(dir)), df.schema.json,
       txn.map(_._1), txn.map(_._2),
       partitionCols = partitionBy,
+      // Every commit that writes a dir records its skipping stats — a
+      // CREATE-then-append table would otherwise carry one forever-unprunable dir.
+      dirStats = Map(dir -> statsFor(dir)),
       properties = rewriteProps(prev.map(_.properties).getOrElse(Map.empty)))
     commitRewrite(c, Seq(dir))
   }
@@ -845,6 +1080,7 @@ final class GraftTable private (
         "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
         "numOutputRows" -> countDir(dir)), mergedSchema.json,
         partitionCols = prev.partitionCols, changesDir = Some(chDir),
+        dirStats = Map(dir -> statsFor(dir)),
         properties = rewriteProps(prev.properties))
       commitRewrite(c, Seq(dir, chDir))
     }
@@ -865,6 +1101,7 @@ final class GraftTable private (
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
+      dirStats = Map(dir -> statsFor(dir)),
       properties = rewriteProps(prev.properties))
     commitRewrite(c, Seq(dir, chDir))
   }
@@ -1426,6 +1663,7 @@ final class GraftTable private (
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
+      dirStats = Map(dir -> statsFor(dir)),
       properties = rewriteProps(prev.properties))
     commitRewrite(c, Seq(dir, chDir))
   }
@@ -1453,6 +1691,7 @@ final class GraftTable private (
       "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
+      dirStats = Map(dir -> statsFor(dir)),
       properties = rewriteProps(prev.properties))
     commitRewrite(c, Seq(dir, chDir))
   }
@@ -1668,6 +1907,35 @@ object GraftTable {
 
   private[table] val ConstraintPrefix = "constraint."
   private[table] val TombstoneCoverPrefix = "tombstone.cover."
+
+  /** Order-preserving encoding of a byte string's first 6 bytes into a
+    * Double (48 bits — exact in the 53-bit mantissa): unsigned
+    * byte-lexicographic order on strings maps to numeric order on the
+    * encodings, with absent bytes padding as 0 (the smallest byte). Lets
+    * STRING min/max ride [[Commit.dirStats]]'s numeric map unchanged. */
+  private[table] def stringPrefixValue(bytes: Array[Byte]): Double = {
+    var v = 0L
+    var i = 0
+    while (i < 6) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+      i += 1
+    }
+    v.toDouble
+  }
+
+  /** Upper bound of [[stringPrefixValue]] over all strings that START WITH
+    * `bytes`: absent bytes pad as 0xFF (the largest byte), so
+    * [prefixValue(p), prefixHiValue(p)] covers the encoding of every
+    * string with prefix p. */
+  private[table] def stringPrefixHiValue(bytes: Array[Byte]): Double = {
+    var v = 0L
+    var i = 0
+    while (i < 6) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0xffL)
+      i += 1
+    }
+    v.toDouble
+  }
 
   /** Properties a snapshot REWRITE should carry: everything except
     * tombstone-coverage bookkeeping, which dies with the tombstones the

@@ -96,6 +96,24 @@ class PruningSpec extends SparkSpec {
     assert(late.filter(col("id") === 999999L).count() === 1)
   }
 
+  test("string dir-stats skip dirs by lexicographic range") {
+    val root = tmpDir("prune-str")
+    def rows(prefix: String) = (1 to 500).map(i => (f"$prefix-$i%04d", i * 1.0))
+      .toDF("doc_id", "score")
+    val t = GraftTable.create(spark, root, rows("alpha"))
+    t.append(rows("bravo")); t.append(rows("charlie")); t.append(rows("delta"))
+    val total = scannedFiles(t.read())
+    // a prefix-range query over the 'b' namespace skips the other dirs
+    val pruned = t.readPrunedString("doc_id", "bravo", "bravo￿")
+    assert(scannedFiles(pruned) < total,
+      "string range stats did not skip any dir")
+    assert(pruned.filter(col("doc_id").startsWith("bravo")).count() === 500)
+    // superset semantics: boundary-crossing range stays correct
+    val cross = t.readPrunedString("doc_id", "bravo-0400", "charlie-0100")
+      .filter(col("doc_id").between("bravo-0400", "charlie-0100"))
+    assert(cross.count() === 201) // bravo 0400..0500 + charlie 0001..0100
+  }
+
   test("bloom index works for STRING keys (hashed)") {
     val root = tmpDir("bloom-str")
     def rows(k: Int) = (1 to 1000).filter(_ % 3 == k).map(i => (s"doc-$i", i * 1.0))
@@ -109,6 +127,103 @@ class PruningSpec extends SparkSpec {
     assert(hit.filter(col("doc_id") === "doc-500").count() === 1)
     assert(t.readPointLookup("doc_id", "doc-absent")
       .filter(col("doc_id") === "doc-absent").count() === 0)
+  }
+
+  test("where() prunes from the predicate tree across every skipping source") {
+    val root = tmpDir("where")
+    def rows(lo: Long, hi: Long, prefix: String) =
+      (lo to hi).map(i => (i, f"$prefix-$i%05d", i * 1.0)).toDF("id", "doc_id", "x")
+    val t = GraftTable.create(spark, root, rows(1, 1000, "alpha"))
+    t.append(rows(1001, 2000, "bravo"))
+    t.append(rows(2001, 3000, "charlie"))
+    t.append(rows(3001, 4000, "delta"))
+    val total = scannedFiles(t.read())
+
+    // numeric range: same skipping readPruned gives, no manual entry point
+    // (scan width measured on the pruned-but-unfiltered superset — the
+    // exact filter on top would hide which files Spark actually listed)
+    val rangeP = col("id").between(1200, 1300)
+    assert(scannedFiles(t.whereSuperset(rangeP)) < total,
+      "range predicate did not skip dirs")
+    assert(t.where(rangeP).count() === 101)
+
+    // OR recursion: both branch dirs kept, the other two skipped
+    val eitherP = col("id") === 1500L || col("id") === 3500L
+    assert(scannedFiles(t.whereSuperset(eitherP)) < total)
+    assert(t.where(eitherP).count() === 2)
+
+    // IN list over Int literals against the Long column (coercion path)
+    val inP = col("id").isin(10, 2010)
+    assert(scannedFiles(t.whereSuperset(inP)) < total)
+    assert(t.where(inP).count() === 2)
+
+    // string prefix: startsWith prunes to the one namespace dir
+    val preP = col("doc_id").startsWith("charlie")
+    assert(scannedFiles(t.whereSuperset(preP)) < total,
+      "startsWith did not skip dirs")
+    assert(t.where(preP).count() === 1000)
+
+    // string range through the same predicate surface (ids run 01001..02000)
+    val srP = col("doc_id") >= "bravo" && col("doc_id") < "bravo-01500"
+    assert(scannedFiles(t.whereSuperset(srP)) < total)
+    assert(t.where(srP).count() === 499)
+
+    // a shape the walker can't reason about: full scan, still exact
+    // ("charlie-NNNNN" is 13 chars, the other namespaces 11)
+    val opaqueP = length(col("doc_id")) === lit(11)
+    assert(scannedFiles(t.whereSuperset(opaqueP)) === total,
+      "opaque predicate must not prune")
+    assert(t.where(opaqueP).count() === 3000)
+
+    // long-vs-string comparison: the analyzer coerces BOTH sides to a
+    // common numeric type, so pruning sees the comparison Spark executes
+    assert(t.where(col("id") === "1500").count() === 1)
+
+    // semantics contract: where(p) == read().filter(p), any predicate
+    val p = (col("id") % 7 === 0) && col("x") > 2000.0
+    assert(t.where(p).count() === t.read().filter(p).count())
+  }
+
+  test("where() consults bloom sidecars for equality needles") {
+    val root = tmpDir("where-bloom")
+    // interleaved keys: every dir spans the same range, only bloom can skip
+    def rows(k: Long) = (1L to 4000L).filter(_ % 4 == k).map(i => (i, i * 1.0))
+      .toDF("id", "x")
+    val t = GraftTable.create(spark, root, rows(0))
+    t.append(rows(1)); t.append(rows(2)); t.append(rows(3))
+    t.buildBloomIndex("id")
+    val total = scannedFiles(t.read())
+    assert(scannedFiles(t.whereSuperset(col("id") === 10L)) < total,
+      "where() ignored the bloom sidecar")
+    assert(t.where(col("id") === 10L).count() === 1)
+    // Int literal against the Long-keyed sidecar: the coercion must land
+    // BEFORE hashing or every dir gets (wrongly) pruned
+    assert(t.where(col("id") === 10).count() === 1)
+    // disjunction of needles: union of admitted dirs
+    val twoP = col("id") === 10L || col("id") === 11L
+    assert(scannedFiles(t.whereSuperset(twoP)) < total)
+    assert(t.where(twoP).count() === 2)
+  }
+
+  test("decimal dir-stats are scaled to values, not unscaled ints") {
+    val root = tmpDir("prune-dec")
+    def rows(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, BigDecimal(i) / 100))
+      .toDF("id", "amount")
+      .select(col("id"), col("amount").cast("decimal(10,2)").as("amount"))
+    val t = GraftTable.create(spark, root, rows(1, 10000))      // 0.01..100.00
+    t.append(rows(20001, 30000))                                 // 200.01..300.00
+    val total = scannedFiles(t.read())
+    // the VALUE range 200..300 lives in dir 2 only; with unscaled footer
+    // stats (20001..30000) this window would wrongly keep/drop dirs
+    val hiP = col("amount") > lit(BigDecimal("200.00"))
+    assert(scannedFiles(t.whereSuperset(hiP)) < total,
+      "decimal stats did not skip the low dir")
+    assert(t.where(hiP).count() === 10000)
+    // boundary points survive the double rounding (ULP widening) — one in
+    // each dir's value range (0.01..100.00 and 200.01..300.00)
+    assert(t.where(col("amount") === lit(BigDecimal("55.55"))).count() === 1)
+    assert(t.where(col("amount") === lit(BigDecimal("250.00"))).count() === 1)
   }
 
   test("dynamic partition pruning fires on partitioned fact x filtered dim") {
