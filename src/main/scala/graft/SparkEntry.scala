@@ -118,6 +118,7 @@ object SparkEntry {
     "q91_point_lookup"       -> (MutationQueries.pointLookup _),
     "q92_string_range_skip"  -> (MutationQueries.priorityRange _),
     "q93_predicate_skip"     -> (MutationQueries.predicateSkip _),
+    "q94_null_skip"          -> (MutationQueries.nullSkip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,6 +212,10 @@ object SparkEntry {
     // predicate-driven skipping (where()): disjunction of bloom needles
     "q93_predicate_skip" ->
       "SELECT * FROM orders WHERE o_orderkey = 8 OR o_orderkey = 1",
+    // null-count skipping: the pre-evolution segment (even keys, written
+    // without o_clerk) is provably all-null and never scanned
+    "q94_null_skip" ->
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 1",
     // purge lifecycle: delete → materialize (touched dirs only) → append;
     // same oracle as q88 — the rewrite must preserve every surviving row
     "q90_dv_purge" ->

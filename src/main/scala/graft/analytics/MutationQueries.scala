@@ -189,6 +189,27 @@ object MutationQueries {
     bloomOrdersTable(spark, dir)
       .where(col("o_orderkey") === 8L || col("o_orderkey") === 1L)
 
+  private def evolvedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "evolved-orders") {
+      val orders = Tables.orders(spark, dir)
+      // segment 1 written BEFORE o_orderpriority existed; segment 2 brings
+      // it in (additive schema evolution) — segment 1 is all-null for it
+      val t = GraftTable.create(spark, freshDir("ev"),
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .drop("o_orderpriority"))
+      t.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      t
+    }
+
+  /** Null-count skipping over schema evolution: `WHERE o_orderpriority IS
+    * NOT NULL` prunes the pre-evolution segment from the scan entirely
+    * (the column isn't in its files — provably all-null after alignment),
+    * the exact predicate refines the rest. At corpus scale this is "new
+    * metadata column only in recent partitions" — the query never lists
+    * the years of history that predate it. */
+  def nullSkip(spark: SparkSession, dir: String): DataFrame =
+    evolvedOrdersTable(spark, dir).where(col("o_orderpriority").isNotNull)
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

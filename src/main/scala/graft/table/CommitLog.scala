@@ -61,7 +61,17 @@ final case class Commit(
       * `_metadata.file_path` / `_metadata.row_index` of the deleted rows.
       * Reads subtract them with a per-file position FILTER (no join).
       * Carried forward by appends; cleared by any snapshot rewrite. */
-    dvDirs: Seq[String] = Nil)
+    dvDirs: Seq[String] = Nil,
+    /** Per-data-dir null bookkeeping for IS [NOT] NULL skipping and
+      * all-null dir elimination: dir → col → null count, with the dir's
+      * ROW count under the reserved "" key. -1 = the footers didn't say
+      * (unknown). A column ABSENT from a recorded dir's map is not in the
+      * dir's files at all — all-null after schema alignment, the
+      * schema-evolution case (guard: partition columns live in paths, not
+      * footers, and nested types explode into leaf paths — callers only
+      * draw the absence inference for atomic non-partition columns). Dirs
+      * absent entirely (pre-feature commits) are unknown. */
+    dirNulls: Map[String, Map[String, Long]] = Map.empty)
 
 /** Tiny single-writer commit log: one JSON file per version under
   * `<table>/_graft_log/`, written temp-file-then-rename so a version becomes
@@ -339,6 +349,13 @@ object CommitLog {
       else Nil) ++
       (if (c.dvDirs.nonEmpty)
         List("dvDirs" -> (JArray(c.dvDirs.map(JString(_)).toList): JValue))
+      else Nil) ++
+      (if (c.dirNulls.nonEmpty)
+        List("dirNulls" -> (JObject(c.dirNulls.toList.map { case (dir, cols) =>
+          dir -> (JObject(cols.toList.map { case (col, n) =>
+            col -> (JLong(n): JValue)
+          }): JValue)
+        }): JValue))
       else Nil)
     JsonMethods.compact(JsonMethods.render(JObject(base)))
   }
@@ -404,8 +421,20 @@ object CommitLog {
       case JArray(xs) => xs.collect { case JString(v) => v }
       case _ => Nil
     }
+    val dirNulls = j \ "dirNulls" match {
+      case JObject(dirsF) => dirsF.map { case (dir, colsJ) =>
+        dir -> (colsJ match {
+          case JObject(colsF) => colsF.collect {
+            case (c, JLong(n)) => c -> n
+            case (c, JInt(n)) => c -> n.toLong
+          }.toMap
+          case _ => Map.empty[String, Long]
+        })
+      }.toMap
+      case _ => Map.empty[String, Map[String, Long]]
+    }
     Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
       str("schemaJson"), txnApp, txnBatch, partCols, dirStats, changesDir,
-      properties, tombstones, dvs)
+      properties, tombstones, dvs, dirNulls)
   }
 }

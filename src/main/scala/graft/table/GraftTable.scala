@@ -582,9 +582,32 @@ final class GraftTable private (
       case att: Attribute => Some(att.name)       // analyzed tree (where())
       case _ => None
     }
+    // Null bookkeeping ([[Commit.dirNulls]]): per-dir col → null count,
+    // "" → row count, -1 unknown; column ABSENT from a recorded dir's map
+    // = not in the dir's files = all-null after schema alignment (atomic
+    // non-partition columns only — partition values live in paths, nested
+    // types in leaf paths).
+    def knownNullCount(n: String): Option[Long] =
+      c.dirNulls.get(d).flatMap(_.get(n)).filter(_ >= 0)
+    def provablyAllNull(n: String): Boolean = c.dirNulls.get(d).exists { m =>
+      m.get(n) match {
+        case Some(cnt) => cnt >= 0 && m.get("").exists(r => r >= 0 && cnt == r)
+        case None =>
+          !c.partitionCols.contains(n) &&
+            schema.find(_.name == n).exists(f => f.dataType match {
+              case _: StructType => false
+              case _: org.apache.spark.sql.types.ArrayType => false
+              case _: org.apache.spark.sql.types.MapType => false
+              case _ => true
+            })
+      }
+    }
     // may a value of column `n` within the dir's [mn, mx] land in [qlo, qhi]?
+    // An all-null column has NO values: every comparison on it is null and
+    // the row never passes the filter, whatever the window.
     def overlaps(n: String, qlo: Double, qhi: Double): Boolean =
-      stats(n).forall { case (mn, mx) => mx >= qlo && mn <= qhi }
+      !provablyAllNull(n) &&
+        stats(n).forall { case (mn, mx) => mx >= qlo && mn <= qhi }
     // equality point: range stats AND the bloom sidecar (when indexed).
     // The literal is cast to the column's declared type before hashing —
     // the sidecar hashed the COLUMN's type, and xxhash64(8: Int) !=
@@ -648,7 +671,15 @@ final class GraftTable private (
         val b = s.getBytes
         overlaps(attrName(a).get,
           GraftTable.stringPrefixValue(b), GraftTable.stringPrefixHiValue(b))
-      case _ => true // IsNull / Not / UDF-ish / non-literal comparand: keep
+      // IS NULL prunes dirs the footers PROVE fully-populated; IS NOT NULL
+      // prunes dirs provably all-null — including dirs written before the
+      // column existed (schema evolution), the big-table win: the old
+      // segments never get listed.
+      case IsNull(a) if attrName(a).isDefined =>
+        !knownNullCount(attrName(a).get).contains(0L)
+      case IsNotNull(a) if attrName(a).isDefined =>
+        !provablyAllNull(attrName(a).get)
+      case _ => true // Not / UDF-ish / non-literal comparand: keep
     }
     may(e)
   }
@@ -702,21 +733,33 @@ final class GraftTable private (
           s"CHECK constraint $name ($p) violated by $what")
     }
 
+  /** Per-dir skipping metadata harvested in ONE footer pass: column
+    * min/max plus null bookkeeping ([[Commit.dirNulls]] encoding — col →
+    * null count, "" → row count, -1 unknown). */
+  private[table] case class DirMeta(
+      stats: Map[String, (Double, Double)], nulls: Map[String, Long])
+
   /** Min/max stats of a just-written dir for every numeric/timestamp
     * column, harvested from the PARQUET FOOTERS the write already produced
     * — no extra Spark job. Falls back to a small agg scan if footer reading
     * surprises (exotic types, stats disabled). */
   private def statsFor(dir: String): Map[String, (Double, Double)] =
-    try statsFromFooters(dir)
-    catch { case scala.util.control.NonFatal(_) => statsFromScan(dir) }
+    metaFor(dir).stats
 
-  private def statsFromFooters(dir: String): Map[String, (Double, Double)] = {
+  private def metaFor(dir: String): DirMeta =
+    try metaFromFooters(dir)
+    catch { case scala.util.control.NonFatal(_) =>
+      DirMeta(statsFromScan(dir), Map.empty) }
+
+  private def metaFromFooters(dir: String): DirMeta = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
     val dirPath = new Path(root, dir)
     val files = fs.listFiles(dirPath, true)
     val acc = scala.collection.mutable.HashMap.empty[String, (Double, Double)]
+    val nulls = scala.collection.mutable.HashMap.empty[String, Long]
+    var rowsTotal = 0L
     var sawFile = false
     while (files.hasNext) {
       val st = files.next()
@@ -726,9 +769,22 @@ final class GraftTable private (
           HadoopInputFile.fromPath(st.getPath, hadoopConf(spark)))
         try {
           reader.getFooter.getBlocks.asScala.foreach { block =>
+            rowsTotal += block.getRowCount
             block.getColumns.asScala.foreach { cc =>
               val name = cc.getPath.toDotString
               val s = cc.getStatistics
+              // Null accounting is independent of min/max: a chunk can be
+              // all-null (no min/max) and still report its null count. Any
+              // chunk that doesn't say poisons the column to -1 (unknown) —
+              // but the column stays RECORDED, because map presence is the
+              // signal that it exists in this dir's files at all.
+              val chunkNulls =
+                if (s != null && s.isNumNullsSet) s.getNumNulls else -1L
+              nulls(name) = nulls.get(name) match {
+                case None => chunkNulls
+                case Some(prev) =>
+                  if (prev >= 0 && chunkNulls >= 0) prev + chunkNulls else -1L
+              }
               if (s != null && s.hasNonNullValue) {
                 import org.apache.parquet.schema.LogicalTypeAnnotation
                 val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
@@ -789,7 +845,8 @@ final class GraftTable private (
         } finally reader.close()
       }
     }
-    if (!sawFile) Map.empty else acc.toMap
+    if (!sawFile) DirMeta(Map.empty, Map.empty)
+    else DirMeta(acc.toMap, nulls.toMap + ("" -> rowsTotal))
   }
 
   private def statsFromScan(dir: String): Map[String, (Double, Double)] = {
@@ -899,7 +956,7 @@ final class GraftTable private (
       enforceConstraints(aligned, prev, "APPEND")
       var dir = writeData(aligned, v)
       val added = countDir(dir)
-      val stats = statsFor(dir)
+      val meta = metaFor(dir)
       beforeCommitHook()
       var attempts = 0
       while (true) {
@@ -910,10 +967,11 @@ final class GraftTable private (
           prev.map(_.partitionCols).getOrElse(Nil),
           // Appends accumulate dirs, so each one records skipping stats and
           // carries the earlier dirs' stats forward in the head commit.
-          prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> stats),
+          prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> meta.stats),
           properties = prev.map(_.properties).getOrElse(Map.empty),
           tombstoneDirs = prev.map(_.tombstoneDirs).getOrElse(Nil),
-          dvDirs = prev.map(_.dvDirs).getOrElse(Nil))
+          dvDirs = prev.map(_.dvDirs).getOrElse(Nil),
+          dirNulls = prev.map(_.dirNulls).getOrElse(Map.empty) + (dir -> meta.nulls))
         try { log.commit(c); return Some(c) }
         catch {
           case e: IllegalStateException =>
@@ -995,14 +1053,16 @@ final class GraftTable private (
     val tsMs = System.currentTimeMillis()
     enforceConstraints(df, prev, "WRITE")
     val dir = writeData(df, v, partitionBy)
+    val meta = metaFor(dir)
     val c = Commit(v, tsMs, if (v == 0) "CREATE" else "WRITE", Seq(dir),
       Map("numOutputRows" -> countDir(dir)), df.schema.json,
       txn.map(_._1), txn.map(_._2),
       partitionCols = partitionBy,
       // Every commit that writes a dir records its skipping stats — a
       // CREATE-then-append table would otherwise carry one forever-unprunable dir.
-      dirStats = Map(dir -> statsFor(dir)),
-      properties = rewriteProps(prev.map(_.properties).getOrElse(Map.empty)))
+      dirStats = Map(dir -> meta.stats),
+      properties = rewriteProps(prev.map(_.properties).getOrElse(Map.empty)),
+      dirNulls = Map(dir -> meta.nulls))
     commitRewrite(c, Seq(dir))
   }
 
@@ -1075,13 +1135,15 @@ final class GraftTable private (
       ).as("c")).select("c.*")
       val (chDir, cdfMetrics) = writeChanges(changeRows, v, tsMs)
 
+      val mergeMeta = metaFor(dir)
       val c = Commit(v, tsMs, "MERGE", Seq(dir), Map(
         "numTargetRowsInserted" -> cdfMetrics.getOrElse("insert", 0L),
         "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
         "numOutputRows" -> countDir(dir)), mergedSchema.json,
         partitionCols = prev.partitionCols, changesDir = Some(chDir),
-        dirStats = Map(dir -> statsFor(dir)),
-        properties = rewriteProps(prev.properties))
+        dirStats = Map(dir -> mergeMeta.stats),
+        properties = rewriteProps(prev.properties),
+        dirNulls = Map(dir -> mergeMeta.nulls))
       commitRewrite(c, Seq(dir, chDir))
     }
 
@@ -1097,12 +1159,14 @@ final class GraftTable private (
     val dir = writeData(cur.filter(!hit), v)
     val (chDir, cdfMetrics) = writeChanges(
       cur.filter(hit).withColumn("_change_type", lit("delete")), v, tsMs)
+    val delMeta = metaFor(dir)
     val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
-      dirStats = Map(dir -> statsFor(dir)),
-      properties = rewriteProps(prev.properties))
+      dirStats = Map(dir -> delMeta.stats),
+      properties = rewriteProps(prev.properties),
+      dirNulls = Map(dir -> delMeta.nulls))
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -1196,7 +1260,7 @@ final class GraftTable private (
           properties = head.properties +
             (TombstoneCoverPrefix + dir -> snapshot.dataDirs.length.toString),
           tombstoneDirs = head.tombstoneDirs :+ dir,
-          dvDirs = head.dvDirs)
+          dvDirs = head.dvDirs, dirNulls = head.dirNulls)
         try { log.commit(c); return c }
         catch { case _: IllegalStateException => attempts += 1 }
       }
@@ -1298,7 +1362,7 @@ final class GraftTable private (
           changesDir = Some(chDir),
           properties = head.properties,
           tombstoneDirs = head.tombstoneDirs,
-          dvDirs = head.dvDirs :+ dvDir)
+          dvDirs = head.dvDirs :+ dvDir, dirNulls = head.dirNulls)
         try { log.commit(c); return c }
         catch { case _: IllegalStateException => attempts += 1 }
       }
@@ -1334,13 +1398,16 @@ final class GraftTable private (
       val untouched = prev.dataDirs.filterNot(touched.contains)
       val cleaned = readCommitInternal(prev.copy(dataDirs = touched), withPos = false)
       val dir = writeData(cleaned, v, prev.partitionCols)
+      val matMeta = metaFor(dir)
       val c = Commit(v, tsMs, "OPTIMIZE", untouched :+ dir, Map(
         "numRewrittenDirs" -> touched.size.toLong,
         "numOutputRows" -> countDir(dir)), prev.schemaJson,
         partitionCols = prev.partitionCols,
         dirStats = prev.dirStats.view.filterKeys(untouched.contains).toMap +
-          (dir -> statsFor(dir)),
-        properties = rewriteProps(prev.properties))
+          (dir -> matMeta.stats),
+        properties = rewriteProps(prev.properties),
+        dirNulls = prev.dirNulls.view.filterKeys(untouched.contains).toMap +
+          (dir -> matMeta.nulls))
       commitRewrite(c, Seq(dir))
     }
 
@@ -1376,6 +1443,7 @@ final class GraftTable private (
       preWithPos.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
         .write.mode("errorifexists").parquet(new Path(root, dvDir).toString)
       val dataDir = writeData(post, snapshot.version + 1, snapshot.partitionCols)
+      val puMeta = metaFor(dataDir)
       val changeRows = pre.withColumn("_change_type", lit("update_preimage"))
         .unionByName(post.withColumn("_change_type", lit("update_postimage")))
       var chDir: String = null
@@ -1411,11 +1479,12 @@ final class GraftTable private (
           "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
           "mergeOnRead" -> 1L, "positionalDelete" -> 1L), snapshot.schemaJson,
           partitionCols = head.partitionCols,
-          dirStats = head.dirStats + (dataDir -> statsFor(dataDir)),
+          dirStats = head.dirStats + (dataDir -> puMeta.stats),
           changesDir = Some(chDir),
           properties = head.properties,
           tombstoneDirs = head.tombstoneDirs,
-          dvDirs = head.dvDirs :+ dvDir)
+          dvDirs = head.dvDirs :+ dvDir,
+          dirNulls = head.dirNulls + (dataDir -> puMeta.nulls))
         try { log.commit(c); return c }
         catch { case _: IllegalStateException => attempts += 1 }
       }
@@ -1597,6 +1666,7 @@ final class GraftTable private (
       val tsDir = f"tombstones/v${snapshot.version + 1}%05d-${uniqueSuffix()}"
       pre.write.mode("errorifexists").parquet(new Path(root, tsDir).toString)
       val dataDir = writeData(post, snapshot.version + 1, snapshot.partitionCols)
+      val muMeta = metaFor(dataDir)
       // CDF stamped with the ACTUAL commit version — written inside the
       // retry loop and re-written on rebase, same contract as
       // [[deleteMergeOnReadFrom]] (see the comment there).
@@ -1633,12 +1703,13 @@ final class GraftTable private (
           "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
           "mergeOnRead" -> 1L), snapshot.schemaJson,
           partitionCols = head.partitionCols,
-          dirStats = head.dirStats + (dataDir -> statsFor(dataDir)),
+          dirStats = head.dirStats + (dataDir -> muMeta.stats),
           changesDir = Some(chDir),
           properties = head.properties +
             (TombstoneCoverPrefix + tsDir -> snapshot.dataDirs.length.toString),
           tombstoneDirs = head.tombstoneDirs :+ tsDir,
-          dvDirs = head.dvDirs)
+          dvDirs = head.dvDirs,
+          dirNulls = head.dirNulls + (dataDir -> muMeta.nulls))
         try { log.commit(c); return c }
         catch { case _: IllegalStateException => attempts += 1 }
       }
@@ -1659,12 +1730,14 @@ final class GraftTable private (
     val (chDir, cdfMetrics) = writeChanges(
       cur.join(keyDf, Seq(key), "left_semi").withColumn("_change_type", lit("delete")),
       v, tsMs)
+    val dkMeta = metaFor(dir)
     val c = Commit(v, tsMs, "DELETE", Seq(dir), Map(
       "numDeletedRows" -> cdfMetrics.getOrElse("delete", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
-      dirStats = Map(dir -> statsFor(dir)),
-      properties = rewriteProps(prev.properties))
+      dirStats = Map(dir -> dkMeta.stats),
+      properties = rewriteProps(prev.properties),
+      dirNulls = Map(dir -> dkMeta.nulls))
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -1687,12 +1760,14 @@ final class GraftTable private (
     val post = cur.filter(hit).select(updated: _*)
       .withColumn("_change_type", lit("update_postimage"))
     val (chDir, cdfMetrics) = writeChanges(pre.unionByName(post), v, tsMs)
+    val updMeta = metaFor(dir)
     val c = Commit(v, tsMs, "UPDATE", Seq(dir), Map(
       "numUpdatedRows" -> cdfMetrics.getOrElse("update_postimage", 0L),
       "numOutputRows" -> countDir(dir)), prev.schemaJson,
       partitionCols = prev.partitionCols, changesDir = Some(chDir),
-      dirStats = Map(dir -> statsFor(dir)),
-      properties = rewriteProps(prev.properties))
+      dirStats = Map(dir -> updMeta.stats),
+      properties = rewriteProps(prev.properties),
+      dirNulls = Map(dir -> updMeta.nulls))
     commitRewrite(c, Seq(dir, chDir))
   }
 
@@ -1718,11 +1793,13 @@ final class GraftTable private (
       if (zorderBy.isEmpty) snapshot.repartition(numFiles)
       else zorderCluster(snapshot, zorderBy, numFiles)
     val dir = writeData(clustered, v, prev.partitionCols)
+    val optMeta = metaFor(dir)
     val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", Seq(dir),
       Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson,
       partitionCols = prev.partitionCols,
-      dirStats = Map(dir -> statsFor(dir)),
-      properties = rewriteProps(prev.properties))
+      dirStats = Map(dir -> optMeta.stats),
+      properties = rewriteProps(prev.properties),
+      dirNulls = Map(dir -> optMeta.nulls))
     commitRewrite(c, Seq(dir))
   }
 
@@ -1822,9 +1899,10 @@ final class GraftTable private (
     val c = Commit(head, System.currentTimeMillis(), "RESTORE", old.dataDirs,
       Map("restoredVersion" -> v), old.schemaJson,
       partitionCols = old.partitionCols,
+      dirStats = old.dirStats,
       properties = old.properties,
       tombstoneDirs = old.tombstoneDirs,
-      dvDirs = old.dvDirs)
+      dvDirs = old.dvDirs, dirNulls = old.dirNulls)
     commitRewrite(c, Nil)
   }
 
@@ -1881,6 +1959,7 @@ final class GraftTable private (
       src.schemaJson,
       partitionCols = src.partitionCols,
       dirStats = src.dirStats.map { case (d, s) => abs(d) -> s },
+      dirNulls = src.dirNulls.map { case (d, s) => abs(d) -> s },
       properties = src.properties.map {
         case (k, v) if k.startsWith(TombstoneCoverPrefix) =>
           (TombstoneCoverPrefix + abs(k.stripPrefix(TombstoneCoverPrefix))) -> v

@@ -226,6 +226,50 @@ class PruningSpec extends SparkSpec {
     assert(t.where(col("amount") === lit(BigDecimal("250.00"))).count() === 1)
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL and all-null dirs") {
+    val root = tmpDir("prune-null")
+    // dir 0: no `extra` column at all (pre-evolution segment)
+    val t = GraftTable.create(spark, root, (1L to 1000L).toDF("id"))
+    // dir 1: extra fully populated; dir 2: extra partially null
+    t.append((1001L to 2000L).map(i => (i, s"v$i")).toDF("id", "extra"))
+    t.append((2001L to 3000L).map(i =>
+      (i, if (i % 2 == 0) s"v$i" else null)).toDF("id", "extra"))
+    val total = scannedFiles(t.read())
+
+    // IS NOT NULL skips the pre-evolution dir (all-null after alignment)
+    val nn = col("extra").isNotNull
+    assert(scannedFiles(t.whereSuperset(nn)) < total,
+      "IS NOT NULL did not skip the all-null dir")
+    assert(t.where(nn).count() === 1500) // 1000 full + 500 odd-null
+
+    // comparisons on the evolved column skip the all-null dir too — an
+    // all-null column can never satisfy any comparison
+    assert(scannedFiles(t.whereSuperset(col("extra") === "v1500")) < total)
+    assert(t.where(col("extra") === "v1500").count() === 1)
+
+    // IS NULL skips the fully-populated dir (null count proven zero),
+    // keeps the pre-evolution and partially-null dirs
+    val isN = col("extra").isNull
+    assert(scannedFiles(t.whereSuperset(isN)) < total,
+      "IS NULL did not skip the zero-null dir")
+    assert(t.where(isN).count() === 1500) // 1000 aligned + 500 odd
+
+    // id is never null anywhere: IS NULL scans NOTHING
+    assert(scannedFiles(t.whereSuperset(col("id").isNull)) === 0)
+    assert(t.where(col("id").isNull).count() === 0)
+  }
+
+  test("null skipping never misfires on partition columns") {
+    val root = tmpDir("prune-null-part")
+    // partition values live in paths, not footers — the absent-column
+    // inference must NOT conclude all-null for them
+    val t = GraftTable.create(spark, root,
+      (1L to 300L).map(i => (i, s"p${i % 3}")).toDF("id", "part"),
+      partitionBy = Seq("part"))
+    assert(t.where(col("part").isNotNull).count() === 300)
+    assert(t.where(col("part") === "p1").count() === 100)
+  }
+
   test("dynamic partition pruning fires on partitioned fact x filtered dim") {
     // The cluster-scale join shape: a fact table partitioned on the join
     // key and a dimension with a selective NON-key filter. Static pruning
