@@ -484,10 +484,21 @@ final class GraftTable private (
   def where(predicate: Column): DataFrame =
     whereSuperset(predicate).filter(predicate)
 
+  /** [[where]] against a time-travel snapshot: the same predicate-driven
+    * skipping over `versionAsOf = v` — a point-in-time audit query on a
+    * long table prunes exactly like a head read (each commit carries its
+    * own dirStats/dirNulls, so the historical snapshot has its own). */
+  def whereVersion(v: Long, predicate: Column): DataFrame =
+    whereSupersetOf(commitFor(v), predicate).filter(predicate)
+
   /** The pruned-but-unfiltered scan behind [[where]] (test seam: what
     * files would Spark list). Same SUPERSET contract as [[readPruned]]. */
-  private[table] def whereSuperset(predicate: Column): DataFrame = {
-    val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+  private[table] def whereSuperset(predicate: Column): DataFrame =
+    whereSupersetOf(
+      log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root")),
+      predicate)
+
+  private def whereSupersetOf(c: Commit, predicate: Column): DataFrame = {
     // Value-tombstone coverage is positional over dataDirs (see readPruned);
     // skip the skipping, keep the semantics.
     if (c.tombstoneDirs.nonEmpty) return readCommit(c)
@@ -589,7 +600,11 @@ final class GraftTable private (
     // types in leaf paths).
     def knownNullCount(n: String): Option[Long] =
       c.dirNulls.get(d).flatMap(_.get(n)).filter(_ >= 0)
-    def provablyAllNull(n: String): Boolean = c.dirNulls.get(d).exists { m =>
+    // The "" row-count key gate matters: a dir that fell back to the scan
+    // harvest records an EMPTY nulls map (no "" entry) — without the gate
+    // the absence inference would claim every column of that dir all-null.
+    def provablyAllNull(n: String): Boolean =
+      c.dirNulls.get(d).filter(_.contains("")).exists { m =>
       m.get(n) match {
         case Some(cnt) => cnt >= 0 && m.get("").exists(r => r >= 0 && cnt == r)
         case None =>
@@ -1501,11 +1516,16 @@ final class GraftTable private (
     * max] still lives in exactly one dir). One sidecar file per data dir
     * under `_bloom/<col>/`; [[readPointLookup]] consults them to skip
     * whole dirs before Spark lists a single file. Dirs created after the
-    * build have no sidecar and are conservatively kept — rebuild after
+    * build have no sidecar and are conservatively kept — re-run after
     * appends/OPTIMIZE as an offline maintenance job, like the index it
-    * is. `bitsPerItem` sizes the fpp (default ~20 bits → ~0.01%: a false
-    * positive only costs reading one extra dir). */
-  def buildBloomIndex(colName: String, bitsPerItem: Long = 20L): Unit = {
+    * is. The re-run is INCREMENTAL: data dirs are immutable, so an
+    * existing sidecar is never stale and only sidecar-less dirs are
+    * scanned — refreshing a 10,000-dir table after one append costs one
+    * dir, not 10,000 (`rebuild = true` forces everything, e.g. to apply
+    * a new `bitsPerItem`). `bitsPerItem` sizes the fpp (default ~20 bits
+    * → ~0.01%: a false positive only costs reading one extra dir). */
+  def buildBloomIndex(colName: String, bitsPerItem: Long = 20L,
+      rebuild: Boolean = false): Unit = {
     val c = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
     // BloomFilterAggregate validates against this session cap (default 64M
     // bits = 8 MB); clamp so a huge dir degrades to a coarser filter
@@ -1513,7 +1533,7 @@ final class GraftTable private (
     val maxBits = spark.conf
       .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
       .map(_.toLong).getOrElse(67108864L)
-    c.dataDirs.foreach { d =>
+    c.dataDirs.filter(d => rebuild || !fs.exists(bloomPath(colName, d))).foreach { d =>
       val items = math.max(1L, countDir(d))
       // The indexed key is xxhash64(col) — one codegen'd hash per row, and
       // the index works for ANY column type (string doc ids / URLs are the
@@ -1933,6 +1953,23 @@ final class GraftTable private (
             if (fs.delete(new Path(root, d), true)) deleted += d
           }
         fs.delete(new Path(root, changesDirOf(c)), true)
+      }
+      // Bloom sidecars of reclaimed (or otherwise unreferenced) dirs are
+      // dead weight — reap any whose encoded dir name no longer matches a
+      // retained dir. Sidecars are derived data: deleting one only costs
+      // a rebuild, never correctness (lookups keep sidecar-less dirs).
+      val bloomRoot = new Path(root, "_bloom")
+      if (fs.exists(bloomRoot)) {
+        val keepEncoded = keepDirs.map(_.replace('/', '_'))
+        fs.listStatus(bloomRoot).filter(_.isDirectory).foreach { colDir =>
+          fs.listStatus(colDir.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".bf"))
+            .filterNot(f => keepEncoded.contains(f.getPath.getName.stripSuffix(".bf")))
+            .foreach { f =>
+              if (fs.delete(f.getPath, false))
+                deleted += s"_bloom/${colDir.getPath.getName}/${f.getPath.getName}"
+            }
+        }
       }
       deleted.result()
     }

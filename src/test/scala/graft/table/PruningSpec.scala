@@ -182,6 +182,11 @@ class PruningSpec extends SparkSpec {
     // semantics contract: where(p) == read().filter(p), any predicate
     val p = (col("id") % 7 === 0) && col("x") > 2000.0
     assert(t.where(p).count() === t.read().filter(p).count())
+
+    // time travel composes with skipping: v1 = first two dirs only
+    assert(t.whereVersion(1L, col("id").between(1200, 1300)).count() === 101)
+    assert(t.whereVersion(1L, col("id") > 2500L).count() === 0)
+    assert(t.whereVersion(1L, lit(true)).count() === 2000)
   }
 
   test("where() consults bloom sidecars for equality needles") {
@@ -226,6 +231,41 @@ class PruningSpec extends SparkSpec {
     assert(t.where(col("amount") === lit(BigDecimal("250.00"))).count() === 1)
   }
 
+  test("bloom index refresh is incremental; vacuum reaps orphan sidecars") {
+    val root = tmpDir("bloom-lc")
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, root, rows(1, 1000))
+    t.append(rows(1001, 2000))
+    t.buildBloomIndex("id")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def sidecars() = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_bloom/id"))
+      .filter(_.getPath.getName.endsWith(".bf")).map(f => f.getPath.getName -> f.getModificationTime).toMap
+    val before = sidecars()
+    assert(before.size === 2)
+    // append a dir, refresh: existing sidecars untouched, one new one
+    t.append(rows(2001, 3000))
+    t.buildBloomIndex("id")
+    val after = sidecars()
+    assert(after.size === 3)
+    before.foreach { case (name, ts) =>
+      assert(after(name) === ts, s"sidecar $name was rebuilt, not reused")
+    }
+    assert(t.readPointLookup("id", 2500L).filter(col("id") === 2500L).count() === 1)
+    // OPTIMIZE rewrites the snapshot into a new dir; vacuum past retention
+    // reclaims the old dirs AND their sidecars
+    t.optimize()
+    val reclaimed = t.vacuum(retentionHours = 0.0,
+      nowMs = System.currentTimeMillis() + 1000)
+    assert(reclaimed.exists(_.startsWith("_bloom/id/")),
+      s"no sidecars reaped by vacuum: $reclaimed")
+    assert(sidecars().isEmpty, "orphan sidecars survived vacuum")
+    // the rewritten dir has no sidecar: conservative, still correct
+    assert(t.readPointLookup("id", 2500L).filter(col("id") === 2500L).count() === 1)
+    t.buildBloomIndex("id")
+    assert(sidecars().size === 1)
+  }
+
   test("null-count stats prune IS NULL / IS NOT NULL and all-null dirs") {
     val root = tmpDir("prune-null")
     // dir 0: no `extra` column at all (pre-evolution segment)
@@ -257,6 +297,22 @@ class PruningSpec extends SparkSpec {
     // id is never null anywhere: IS NULL scans NOTHING
     assert(scannedFiles(t.whereSuperset(col("id").isNull)) === 0)
     assert(t.where(col("id").isNull).count() === 0)
+  }
+
+  test("scan-fallback dirs (no row-count key) never trigger absence inference") {
+    val root = tmpDir("prune-null-fb")
+    val t = GraftTable.create(spark, root, (1L to 100L).toDF("id"))
+    t.append((101L to 200L).toDF("id"))
+    // simulate the footer-harvest fallback: a head whose dirNulls maps
+    // every dir to an EMPTY map (scan harvest has no null bookkeeping) —
+    // the all-null inference must not fire without the "" row-count key
+    val log = new CommitLog(root, spark.sparkContext.hadoopConfiguration)
+    val head = log.latest().get
+    log.commit(head.copy(version = head.version + 1,
+      dirNulls = head.dataDirs.map(_ -> Map.empty[String, Long]).toMap))
+    val t2 = GraftTable.forPath(spark, root)
+    assert(t2.where(col("id").isNotNull).count() === 200)
+    assert(t2.where(col("id") > 150L).count() === 50)
   }
 
   test("null skipping never misfires on partition columns") {
