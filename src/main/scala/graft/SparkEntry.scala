@@ -119,6 +119,7 @@ object SparkEntry {
     "q92_string_range_skip"  -> (MutationQueries.priorityRange _),
     "q93_predicate_skip"     -> (MutationQueries.predicateSkip _),
     "q94_null_skip"          -> (MutationQueries.nullSkip _),
+    "q95_sql_skip"           -> (MutationQueries.sqlSkip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -213,9 +214,11 @@ object SparkEntry {
     "q93_predicate_skip" ->
       "SELECT * FROM orders WHERE o_orderkey = 8 OR o_orderkey = 1",
     // null-count skipping: the pre-evolution segment (even keys, written
-    // without o_clerk) is provably all-null and never scanned
+    // without o_orderpriority) is provably all-null and never scanned
     "q94_null_skip" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 1",
+    // SQL-transparent skipping: same needle as q91, via a registered view
+    "q95_sql_skip" -> "SELECT * FROM orders WHERE o_orderkey = 8",
     // purge lifecycle: delete → materialize (touched dirs only) → append;
     // same oracle as q88 — the rewrite must preserve every surviving row
     "q90_dv_purge" ->

@@ -210,6 +210,16 @@ object MutationQueries {
   def nullSkip(spark: SparkSession, dir: String): DataFrame =
     evolvedOrdersTable(spark, dir).where(col("o_orderpriority").isNotNull)
 
+  /** Transparent SQL skipping: the view registered by
+    * [[graft.table.GraftTable.view]] routes a plain `spark.sql` needle
+    * query through the same bloom-sidecar pruning q91 exercises
+    * programmatically — the `GraftScanSkipping` optimizer rule swaps the
+    * scan's file listing, the user just writes SQL. */
+  def sqlSkip(spark: SparkSession, dir: String): DataFrame = {
+    bloomOrdersTable(spark, dir).view("graft_orders_kv")
+    spark.sql("SELECT * FROM graft_orders_kv WHERE o_orderkey = 8")
+  }
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

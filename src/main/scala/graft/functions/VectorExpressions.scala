@@ -61,5 +61,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.GraftStrategies)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.TopKRewrite)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.GraftScanSkipping)
   }
 }

@@ -484,6 +484,53 @@ final class GraftTable private (
   def where(predicate: Column): DataFrame =
     whereSuperset(predicate).filter(predicate)
 
+  /** Register the current snapshot as a TEMP VIEW whose plain-SQL queries
+    * get the same dir-level data skipping [[where]] performs — the
+    * injected optimizer rule (`GraftScanSkipping`, via
+    * `graft.functions.GraftSparkExtensions`) recognizes the view's scan
+    * relation, re-derives the kept-dir set from each query's own filter
+    * condition, and swaps in a pruned file listing before Spark lists a
+    * file. `SELECT * FROM v WHERE doc_id = 'x'` then consults range
+    * stats, string prefixes, constraint bounds, null counts and bloom
+    * sidecars exactly like the programmatic path — Delta's
+    * transparent-skipping UX (PrepareDeltaScan) on this engine's commit
+    * metadata. The view pins THIS version's snapshot (like any view over
+    * a read), so the skipping metadata is registered alongside it. */
+  def view(name: String): Unit = {
+    val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    read().createOrReplaceTempView(name)
+    SqlSkipping.register(qualifiedRootString, this, c)
+    org.apache.spark.sql.graftnative.GraftOps.enableScanSkipping(spark)
+  }
+
+  private def qualifiedRootString: String = {
+    val p = new Path(root)
+    p.getFileSystem(hadoopConf(spark)).makeQualified(p).toString
+  }
+
+  /** Dir-level pruning for the SQL rule: given the scan's root paths (all
+    * must be data dirs of `c` — else None, the relation isn't this
+    * snapshot's plain scan) and a query's analyzed/optimized filter
+    * condition, return the paths that may hold matching rows. Same
+    * conservative contract as [[whereSuperset]]. */
+  private[table] def prunePaths(
+      c: Commit,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      paths: Seq[Path]): Option[Seq[Path]] = {
+    if (c.tombstoneDirs.nonEmpty) return None // positional coverage (readPruned)
+    val fsys = new Path(root).getFileSystem(hadoopConf(spark))
+    val byQualified = c.dataDirs
+      .map(d => fsys.makeQualified(new Path(root, d)).toString -> d).toMap
+    val rel = paths.map(p => byQualified.get(fsys.makeQualified(p).toString))
+    if (rel.exists(_.isEmpty)) return None
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val cb = constraintBounds(c)
+    val normalized = normalizeForPruning(cond)
+    Some(paths.zip(rel.flatten).collect {
+      case (p, d) if dirMayMatch(normalized, c, d, schema, cb) => p
+    })
+  }
+
   /** [[where]] against a time-travel snapshot: the same predicate-driven
     * skipping over `versionAsOf = v` — a point-in-time audit query on a
     * long table prunes exactly like a head read (each commit carries its

@@ -1,0 +1,31 @@
+package graft.table
+
+/** Session-level registry behind [[GraftTable.view]]: qualified table root
+  * → (table, the snapshot commit the view was built from). The injected
+  * optimizer rule (`org.apache.spark.sql.graftnative.GraftScanSkipping`)
+  * consults it to map a scan relation's file paths back to the table
+  * whose commit metadata can prune them. Registration pins the COMMIT,
+  * not the head — the pruning metadata always matches the dirs the view's
+  * plan actually references, even after the table advances. */
+object SqlSkipping {
+  final case class Entry(table: GraftTable, commit: Commit)
+
+  private val byRoot =
+    scala.collection.concurrent.TrieMap.empty[String, Entry]
+
+  private[table] def register(qualifiedRoot: String, t: GraftTable, c: Commit): Unit =
+    byRoot.put(qualifiedRoot, Entry(t, c))
+
+  def lookup(qualifiedRoot: String): Option[Entry] = byRoot.get(qualifiedRoot)
+
+  /** Package-bridging seam for the optimizer rule (which lives in the
+    * Spark-internal package tree): prune `paths` for `entry` under the
+    * query's filter condition. None = not this snapshot's plain scan. */
+  def prune(
+      entry: Entry,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      paths: Seq[org.apache.hadoop.fs.Path]): Option[Seq[org.apache.hadoop.fs.Path]] =
+    entry.table.prunePaths(entry.commit, cond, paths)
+
+  def isEmpty: Boolean = byRoot.isEmpty
+}

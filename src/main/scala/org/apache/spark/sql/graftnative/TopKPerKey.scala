@@ -131,6 +131,16 @@ object GraftOps {
     }
   }
 
+  /** Enable [[GraftScanSkipping]] on an existing session (the
+    * `GraftSparkExtensions` hook injects it automatically;
+    * `GraftTable.view` calls this so registered views skip even on plain
+    * sessions). Idempotent, like the rule itself. */
+  def enableScanSkipping(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(GraftScanSkipping)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftScanSkipping
+    }
+
   /** Top `k` rows per key group, ranked by `orderBy` (descending by
     * default; ties unresolved — pass a unique tiebreak, e.g.
     * `struct(score, id)`).

@@ -1,0 +1,96 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plain SQL over a registered graft view must get the same dir-level
+  * skipping `where()` performs — proven by inspecting the OPTIMIZED
+  * plan's scan relation (how many dir paths survived), not row counts,
+  * since the filter on top hides pruning from the result. */
+class SqlSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Dir paths the optimized plan's parquet scan would list. */
+  private def scanDirs(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case r: HadoopFsRelation => r.location.rootPaths.size
+        case _ => 0
+      }
+    }.sum
+
+  test("SQL WHERE prunes dirs through the registered view") {
+    val root = tmpDir("sqlskip")
+    def rows(lo: Long, hi: Long, pfx: String) =
+      (lo to hi).map(i => (i, f"$pfx-$i%05d", i * 1.0)).toDF("id", "doc_id", "x")
+    val t = GraftTable.create(spark, root, rows(1, 1000, "alpha"))
+    t.append(rows(1001, 2000, "bravo"))
+    t.append(rows(2001, 3000, "charlie"))
+    t.append(rows(3001, 4000, "delta"))
+    t.view("skip_docs")
+
+    // numeric range: one dir survives in the scan's listing
+    val range = spark.sql(
+      "SELECT * FROM skip_docs WHERE id BETWEEN 1200 AND 1300")
+    assert(scanDirs(range) < 4, s"range not pruned: ${scanDirs(range)} dirs")
+    assert(range.count() === 101)
+
+    // string prefix via LIKE 'x%' (optimizer turns it into StartsWith)
+    val like = spark.sql(
+      "SELECT count(*) AS n FROM skip_docs WHERE doc_id LIKE 'charlie%'")
+    assert(scanDirs(like) < 4, "LIKE prefix not pruned")
+    assert(like.head().getLong(0) === 1000L)
+
+    // disjunction keeps both branch dirs, drops the others
+    val or = spark.sql(
+      "SELECT * FROM skip_docs WHERE id = 1500 OR id = 3500")
+    assert(scanDirs(or) === 2, s"OR kept ${scanDirs(or)} dirs")
+    assert(or.count() === 2)
+
+    // an opaque predicate scans everything and stays correct
+    val opaque = spark.sql(
+      "SELECT * FROM skip_docs WHERE length(doc_id) = 11")
+    assert(scanDirs(opaque) === 4, "opaque predicate must not prune")
+    assert(opaque.count() === 3000) // charlie ids are 13 chars
+
+    // aggregate over a pruned scan matches the unpruned answer
+    val agg = spark.sql(
+      "SELECT sum(x) AS s FROM skip_docs WHERE id BETWEEN 2001 AND 3000")
+    assert(scanDirs(agg) === 1)
+    assert(agg.head().getDouble(0) === (2001L to 3000L).map(_ * 1.0).sum)
+  }
+
+  test("SQL point lookups consult bloom sidecars through the view") {
+    val root = tmpDir("sqlskip-bloom")
+    def rows(k: Long) = (1L to 4000L).filter(_ % 4 == k).map(i => (i, i * 1.0))
+      .toDF("id", "x")
+    val t = GraftTable.create(spark, root, rows(0))
+    t.append(rows(1)); t.append(rows(2)); t.append(rows(3))
+    t.buildBloomIndex("id")
+    t.view("skip_kv")
+    // interleaved keys: range stats can't skip, only the bloom can
+    val needle = spark.sql("SELECT * FROM skip_kv WHERE id = 10")
+    assert(scanDirs(needle) < 4, "bloom sidecar not consulted from SQL")
+    assert(needle.count() === 1)
+  }
+
+  test("view pins its snapshot; later appends don't break registered pruning") {
+    val root = tmpDir("sqlskip-pin")
+    val t = GraftTable.create(spark, root, (1L to 1000L).toDF("id"))
+    t.append((1001L to 2000L).toDF("id"))
+    t.view("skip_pin")
+    t.append((2001L to 3000L).toDF("id")) // after registration
+    // the view still reads its 2-dir snapshot, pruned correctly
+    val q = spark.sql("SELECT * FROM skip_pin WHERE id <= 1000")
+    assert(scanDirs(q) === 1)
+    assert(q.count() === 1000)
+    assert(spark.sql("SELECT * FROM skip_pin").count() === 2000)
+    // re-registering picks up the new head
+    t.view("skip_pin")
+    assert(spark.sql("SELECT * FROM skip_pin").count() === 3000)
+    assert(scanDirs(spark.sql("SELECT * FROM skip_pin WHERE id > 2500")) === 1)
+  }
+}
