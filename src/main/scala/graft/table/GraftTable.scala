@@ -702,6 +702,13 @@ final class GraftTable private (
       case EqualNullSafe(lit: Literal, a) if attrName(a).isDefined => point(attrName(a).get, lit)
       case In(a, vs) if attrName(a).isDefined && vs.forall(_.isInstanceOf[Literal]) =>
         vs.isEmpty || vs.exists(v => point(attrName(a).get, v.asInstanceOf[Literal]))
+      // the optimizer converts IN lists past the conversion threshold
+      // (default 10) to InSet with INTERNAL values — a dir survives if any
+      // needle might be present; capped so a million-key set never stalls
+      // planning (beyond the cap: conservative full keep)
+      case InSet(a, hset) if attrName(a).isDefined && a.resolved =>
+        hset.size > 10000 || hset.isEmpty ||
+          hset.exists(v => point(attrName(a).get, Literal(v, a.dataType)))
       case GreaterThan(a, Literal(v, _)) if attrName(a).isDefined =>
         val n = attrName(a).get
         enc(n, v).forall(p => overlaps(n, p, Double.PositiveInfinity))

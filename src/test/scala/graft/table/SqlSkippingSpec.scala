@@ -75,6 +75,13 @@ class SqlSkippingSpec extends SparkSpec {
     val needle = spark.sql("SELECT * FROM skip_kv WHERE id = 10")
     assert(scanDirs(needle) < 4, "bloom sidecar not consulted from SQL")
     assert(needle.count() === 1)
+    // a 12-key IN list becomes InSet past the conversion threshold; all
+    // needles live in the k≡2 (mod 4) dir, so the others are skipped
+    val keys = (0 until 12).map(i => 2 + 4 * i) // 2, 6, …, 46
+    val inSet = spark.sql(
+      s"SELECT * FROM skip_kv WHERE id IN (${keys.mkString(",")})")
+    assert(scanDirs(inSet) < 4, "InSet needles not consulted")
+    assert(inSet.count() === 12)
   }
 
   test("view pins its snapshot; later appends don't break registered pruning") {
