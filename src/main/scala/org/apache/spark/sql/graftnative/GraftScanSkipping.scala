@@ -43,6 +43,26 @@ object GraftScanSkipping extends Rule[LogicalPlan] {
                   lr.copy(relation = rel.copy(location = idx)(rel.sparkSession)))
               case _ => f
             }
+          // Hive-partitioned graft reads are a UNION of single-dir
+          // relations (one basePath per version dir); pushdown copies the
+          // filter into every branch, so pruning here means keeping or
+          // emptying a WHOLE branch — the partition schema and listing
+          // semantics stay untouched (an empty listing just yields zero
+          // partitions), and Spark's own partition pruning still handles
+          // the partition-column predicates inside surviving branches.
+          case rel: HadoopFsRelation
+              if rel.partitionSchema.nonEmpty &&
+                rel.location.isInstanceOf[InMemoryFileIndex] &&
+                rel.location.rootPaths.size == 1 =>
+            prunedPaths(cond, rel.location.rootPaths) match {
+              case Some(kept) if kept.isEmpty =>
+                val idx = new InMemoryFileIndex(
+                  rel.sparkSession, Nil, rel.options,
+                  Some(rel.partitionSchema))
+                Filter(cond,
+                  lr.copy(relation = rel.copy(location = idx)(rel.sparkSession)))
+              case _ => f
+            }
           case _ => f
         }
     }

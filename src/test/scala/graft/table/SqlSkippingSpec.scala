@@ -84,6 +84,28 @@ class SqlSkippingSpec extends SparkSpec {
     assert(inSet.count() === 12)
   }
 
+  test("partitioned views skip whole version dirs from SQL") {
+    val root = tmpDir("sqlskip-part")
+    def rows(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, if (i % 2 == 0) "A" else "B", i * 1.0))
+        .toDF("id", "status", "x")
+    val t = GraftTable.create(spark, root, rows(1, 1000), partitionBy = Seq("status"))
+    t.append(rows(1001, 2000)); t.append(rows(2001, 3000)); t.append(rows(3001, 4000))
+    t.view("skip_part")
+    // partitioned reads are a union of one single-dir relation per
+    // version dir; a data-column range empties the non-matching branches
+    val full = scanDirs(spark.sql("SELECT * FROM skip_part WHERE x > 0"))
+    assert(full === 4)
+    val pruned = spark.sql("SELECT * FROM skip_part WHERE id <= 1000")
+    assert(scanDirs(pruned) === 1, s"kept ${scanDirs(pruned)} branches")
+    assert(pruned.count() === 1000)
+    // composes with Spark's own hive-partition pruning inside the branch
+    val both = spark.sql(
+      "SELECT * FROM skip_part WHERE id <= 1000 AND status = 'A'")
+    assert(scanDirs(both) === 1)
+    assert(both.count() === 500)
+  }
+
   test("view pins its snapshot; later appends don't break registered pruning") {
     val root = tmpDir("sqlskip-pin")
     val t = GraftTable.create(spark, root, (1L to 1000L).toDF("id"))
