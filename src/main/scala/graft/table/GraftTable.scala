@@ -498,9 +498,21 @@ final class GraftTable private (
     * a read), so the skipping metadata is registered alongside it. */
   def view(name: String): Unit = {
     val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
-    read().createOrReplaceTempView(name)
+    // The view's plan and the registered pruning metadata must pin the
+    // SAME commit — readCommit(c), not read(), or a commit racing in
+    // between leaves a view whose paths the registry can't match
+    // (silently unprunable until re-registered).
+    readCommit(c).createOrReplaceTempView(name)
     SqlSkipping.register(qualifiedRootString, this, c)
     org.apache.spark.sql.graftnative.GraftOps.enableScanSkipping(spark)
+  }
+
+  /** Drop a view registered by [[view]] and release its registry entry
+    * (the registry strongly holds the table — long-lived services that
+    * register many ephemeral tables should pair view/dropView). */
+  def dropView(name: String): Unit = {
+    spark.catalog.dropTempView(name)
+    SqlSkipping.unregister(qualifiedRootString)
   }
 
   private def qualifiedRootString: String = {
@@ -593,9 +605,14 @@ final class GraftTable private (
       case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
         try Literal(c.eval(null), c.dataType)
         catch { case scala.util.control.NonFatal(_) => c }
+      // Only LOSSLESS up-casts come off attributes (Spark's own
+      // UnwrapCastInBinaryComparison draws the same line): a narrowing
+      // cast like CAST(x AS INT) = 5 matches x ∈ [5, 6) — stripping it
+      // would prune on [5, 5] and lose rows.
       case c: Cast if c.child.isInstanceOf[Attribute] &&
           c.child.dataType.isInstanceOf[NumericType] &&
-          c.dataType.isInstanceOf[NumericType] => c.child
+          c.dataType.isInstanceOf[NumericType] &&
+          Cast.canUpCast(c.child.dataType, c.dataType) => c.child
     }
   }
 
@@ -1599,8 +1616,17 @@ final class GraftTable private (
         math.min(items * bitsPerItem, maxBits))
       val target = bloomPath(colName, d)
       fs.mkdirs(target.getParent)
-      val out = fs.create(target, true)
+      // Temp-then-rename (the commit log's publish discipline): the
+      // incremental refresh trusts any existing sidecar, so a crash
+      // mid-write must never leave a truncated one at the final name.
+      val tmp = new Path(target.getParent, target.getName + s".tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"could not publish bloom sidecar $target")
+      }
       // a lookup before this (re)build may have cached "no sidecar"
       bloomCache.remove((colName, d))
       ()
@@ -1640,9 +1666,20 @@ final class GraftTable private (
       val p = bloomPath(colName, dir)
       if (!fs.exists(p)) None
       else {
-        val in = fs.open(p)
-        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-        finally in.close()
+        try {
+          val in = fs.open(p)
+          try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+          finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            // An unreadable sidecar must degrade to "no index" (the dir
+            // is conservatively kept), and deleting it restores the
+            // self-healing path: the next incremental build sees it
+            // missing and rebuilds it.
+            try fs.delete(p, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            None
+        }
       }
     })
 

@@ -16,6 +16,13 @@ object SqlSkipping {
   private[table] def register(qualifiedRoot: String, t: GraftTable, c: Commit): Unit =
     byRoot.put(qualifiedRoot, Entry(t, c))
 
+  private[table] def unregister(qualifiedRoot: String): Unit =
+    byRoot.remove(qualifiedRoot)
+
+  /** Release every registration (e.g. between test suites or on session
+    * teardown) — entries strongly reference their tables. */
+  def clear(): Unit = byRoot.clear()
+
   def lookup(qualifiedRoot: String): Option[Entry] = byRoot.get(qualifiedRoot)
 
   /** Package-bridging seam for the optimizer rule (which lives in the

@@ -231,6 +231,44 @@ class PruningSpec extends SparkSpec {
     assert(t.where(col("amount") === lit(BigDecimal("250.00"))).count() === 1)
   }
 
+  test("narrowing casts on attributes never prune (only lossless up-casts strip)") {
+    val root = tmpDir("prune-cast")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, 5.5), (2L, 5.7), (3L, 5.9)).toDF("id", "x"))
+    t.append(Seq((4L, 9.1), (5L, 9.9)).toDF("id", "x"))
+    // CAST(x AS INT) = 5 matches x ∈ [5, 6): stats [5.5, 5.9] must be
+    // KEPT even though 5.5 > 5 — stripping the narrowing cast would
+    // prune on [5, 5] and lose all three rows
+    assert(t.where(col("x").cast("int") === 5).count() === 3)
+    // widening casts still prune: id as LONG literal window
+    assert(scannedFiles(t.whereSuperset(col("id").cast("long") <= 3L)) <
+      scannedFiles(t.read()))
+    assert(t.where(col("id").cast("long") <= 3L).count() === 3)
+  }
+
+  test("a corrupt bloom sidecar degrades to no-index and self-heals") {
+    val root = tmpDir("bloom-corrupt")
+    def rows(k: Long) = (1L to 1000L).filter(_ % 2 == k).map(i => (i, i * 1.0))
+      .toDF("id", "x")
+    val t = GraftTable.create(spark, root, rows(0))
+    t.append(rows(1))
+    t.buildBloomIndex("id")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // truncate one sidecar to garbage (a crash mid-write, pre-rename era)
+    val dir = new org.apache.hadoop.fs.Path(root, "_bloom/id")
+    val victim = fs.listStatus(dir).head.getPath
+    val out = fs.create(victim, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    // lookups keep the dir conservatively instead of throwing, and the
+    // unreadable sidecar is deleted so the next refresh rebuilds it
+    val t2 = GraftTable.forPath(spark, root) // fresh handle: empty bloom cache
+    assert(t2.readPointLookup("id", 500L).filter(col("id") === 500L).count() === 1)
+    assert(!fs.exists(victim), "corrupt sidecar not deleted on read")
+    t2.buildBloomIndex("id")
+    assert(fs.exists(victim), "incremental refresh did not rebuild it")
+  }
+
   test("bloom index refresh is incremental; vacuum reaps orphan sidecars") {
     val root = tmpDir("bloom-lc")
     def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
