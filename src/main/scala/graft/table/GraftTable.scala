@@ -550,6 +550,14 @@ final class GraftTable private (
   def whereVersion(v: Long, predicate: Column): DataFrame =
     whereSupersetOf(commitFor(v), predicate).filter(predicate)
 
+  /** [[whereVersion]] by timestamp ([[readAsOf]]'s resolution rule). */
+  def whereAsOf(tsMs: Long, predicate: Column): DataFrame = {
+    val cs = log.commits().filter(_.tsMs <= tsMs)
+    if (cs.isEmpty)
+      throw new NoSuchElementException(s"$root has no version at or before ts $tsMs")
+    whereSupersetOf(cs.last, predicate).filter(predicate)
+  }
+
   /** The pruned-but-unfiltered scan behind [[where]] (test seam: what
     * files would Spark list). Same SUPERSET contract as [[readPruned]]. */
   private[table] def whereSuperset(predicate: Column): DataFrame =

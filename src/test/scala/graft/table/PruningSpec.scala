@@ -187,6 +187,9 @@ class PruningSpec extends SparkSpec {
     assert(t.whereVersion(1L, col("id").between(1200, 1300)).count() === 101)
     assert(t.whereVersion(1L, col("id") > 2500L).count() === 0)
     assert(t.whereVersion(1L, lit(true)).count() === 2000)
+    // and by timestamp (readAsOf's resolution rule)
+    assert(t.whereAsOf(System.currentTimeMillis(),
+      col("id").between(1200, 1300)).count() === 101)
   }
 
   test("where() consults bloom sidecars for equality needles") {
