@@ -550,6 +550,32 @@ final class GraftTable private (
   def whereVersion(v: Long, predicate: Column): DataFrame =
     whereSupersetOf(commitFor(v), predicate).filter(predicate)
 
+  /** Skipping-metadata coverage report, one row per data dir of the
+    * current snapshot: how prunable is this table, and which maintenance
+    * job is missing where. `stats_cols` / `null_cols` count the columns
+    * with range / null bookkeeping, `rows` is the footer row count (-1
+    * where the scan-fallback harvest recorded none), `bloom_cols` lists
+    * the indexed columns whose sidecar covers the dir — the operator's
+    * answer to "why didn't that query skip". Metadata-only, no Spark job
+    * over table data. */
+  def skippingStats(): DataFrame = {
+    import spark.implicits._
+    val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+    val bloomCols: Seq[String] = {
+      val p = new Path(root, "_bloom")
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+    }
+    c.dataDirs.map { d =>
+      val nulls = c.dirNulls.getOrElse(d, Map.empty)
+      (d,
+        nulls.getOrElse("", -1L),
+        c.dirStats.get(d).map(_.size).getOrElse(0),
+        (nulls - "").size,
+        bloomCols.filter(col => fs.exists(bloomPath(col, d))))
+    }.toDF("dir", "rows", "stats_cols", "null_cols", "bloom_cols")
+  }
+
   /** [[whereVersion]] by timestamp ([[readAsOf]]'s resolution rule). */
   def whereAsOf(tsMs: Long, predicate: Column): DataFrame = {
     val cs = log.commits().filter(_.tsMs <= tsMs)

@@ -234,6 +234,21 @@ class PruningSpec extends SparkSpec {
     assert(t.where(col("amount") === lit(BigDecimal("250.00"))).count() === 1)
   }
 
+  test("skippingStats reports per-dir coverage") {
+    val root = tmpDir("skipstats")
+    val t = GraftTable.create(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    t.append((101L to 200L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    t.buildBloomIndex("id")
+    t.append((201L to 300L).map(i => (i, i * 1.0)).toDF("id", "x")) // no sidecar yet
+    val rows = t.skippingStats().orderBy("dir").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getLong(1) === 100L))         // rows per dir
+    assert(rows.forall(_.getInt(2) === 2))             // id + x range stats
+    assert(rows.forall(_.getInt(3) === 2))             // null bookkeeping
+    val bloomed = rows.map(_.getSeq[String](4).nonEmpty)
+    assert(bloomed.toSeq === Seq(true, true, false))   // third dir awaits refresh
+  }
+
   test("narrowing casts on attributes never prune (only lossless up-casts strip)") {
     val root = tmpDir("prune-cast")
     val t = GraftTable.create(spark, root,
