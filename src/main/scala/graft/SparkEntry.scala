@@ -120,6 +120,8 @@ object SparkEntry {
     "q93_predicate_skip"     -> (MutationQueries.predicateSkip _),
     "q94_null_skip"          -> (MutationQueries.nullSkip _),
     "q95_sql_skip"           -> (MutationQueries.sqlSkip _),
+    "q96_optimize_where"     -> (MutationQueries.optimizeWhereRead _),
+    "q97_replace_where"      -> (MutationQueries.replaceWhereRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +221,17 @@ object SparkEntry {
       "SELECT * FROM orders WHERE o_orderkey % 2 = 1",
     // SQL-transparent skipping: same needle as q91, via a registered view
     "q95_sql_skip" -> "SELECT * FROM orders WHERE o_orderkey = 8",
+    // OPTIMIZE WHERE lifecycle: selective compaction preserves every row
+    "q96_optimize_where" -> "SELECT * FROM orders",
+    // replaceWhere backfill: the middle key range carries the replacement
+    // images (status flagged, price doubled — exact in binary fp), the
+    // rest of the table is untouched
+    "q97_replace_where" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey BETWEEN 20000 AND 39999 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey BETWEEN 20000 AND 39999 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
     // purge lifecycle: delete → materialize (touched dirs only) → append;
     // same oracle as q88 — the rewrite must preserve every surviving row
     "q90_dv_purge" ->

@@ -220,6 +220,49 @@ object MutationQueries {
     spark.sql("SELECT * FROM graft_orders_kv WHERE o_orderkey = 8")
   }
 
+  private def optimizeWhereTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "optwhere-orders") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("ow"),
+        orders.filter(col("o_orderkey") < 20000))
+      t.append(orders.filter(col("o_orderkey").between(20000, 39999)))
+      t.append(orders.filter(col("o_orderkey") >= 40000))
+      // selective maintenance (OPTIMIZE … WHERE): only the low-key dir is
+      // rewritten; the other two stay byte-identical with stats intact
+      t.optimizeWhere(col("o_orderkey") < 20000)
+      t
+    }
+
+  /** The OPTIMIZE-WHERE lifecycle end-to-end: the compacted snapshot must
+    * still equal the plain full-table oracle — selective rewrite loses and
+    * invents nothing. */
+  def optimizeWhereRead(spark: SparkSession, dir: String): DataFrame =
+    optimizeWhereTable(spark, dir).read()
+
+  private def replaceWhereTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "replwhere-orders") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("rw"),
+        orders.filter(col("o_orderkey") < 20000))
+      t.append(orders.filter(col("o_orderkey").between(20000, 39999)))
+      t.append(orders.filter(col("o_orderkey") >= 40000))
+      // The backfill: re-deliver the middle key range with corrected
+      // prices and a flagged status. Only the middle dir is rewritten;
+      // the low/high dirs survive byte-identical with their stats.
+      t.replaceWhere(
+        orders.filter(col("o_orderkey").between(20000, 39999))
+          .withColumn("o_orderstatus", lit("R"))
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        col("o_orderkey").between(20000, 39999))
+      t
+    }
+
+  /** The replaceWhere lifecycle end-to-end: selective overwrite must equal
+    * the per-row CASE rewrite of the full table — rows outside the
+    * predicate untouched, rows inside carrying the replacement images. */
+  def replaceWhereRead(spark: SparkSession, dir: String): DataFrame =
+    replaceWhereTable(spark, dir).read()
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

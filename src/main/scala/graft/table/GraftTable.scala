@@ -595,6 +595,13 @@ final class GraftTable private (
     // Value-tombstone coverage is positional over dataDirs (see readPruned);
     // skip the skipping, keep the semantics.
     if (c.tombstoneDirs.nonEmpty) return readCommit(c)
+    readCommit(c.copy(dataDirs = dirsMayMatching(c, predicate)))
+  }
+
+  /** The data dirs of `c` that MAY hold rows matching `predicate` — the
+    * shared dir-selection core of [[where]]/[[whereVersion]] and
+    * selective maintenance ([[optimizeWhere]]). Superset semantics. */
+  private def dirsMayMatching(c: Commit, predicate: Column): Seq[String] = {
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     // The Column DSL yields UNRESOLVED function trees ("=", "and", …), not
     // Catalyst comparison nodes. Analyze the predicate against an empty
@@ -604,7 +611,7 @@ final class GraftTable private (
     // literal-side casts and strip value-preserving numeric casts off
     // attributes. Analysis failure (e.g. `_metadata` references the dummy
     // relation lacks) degrades to an unpruned scan, never an error here —
-    // the real filter below reports it with full context.
+    // the caller's real filter reports it with full context.
     val cond: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       try {
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
@@ -613,13 +620,12 @@ final class GraftTable private (
               normalizeForPruning(f.condition)
           }
       } catch { case scala.util.control.NonFatal(_) => None }
-    val keep = cond match {
+    cond match {
       case Some(e) =>
         val cb = constraintBounds(c)
         c.dataDirs.filter(d => dirMayMatch(e, c, d, schema, cb))
       case None => c.dataDirs
     }
-    readCommit(c.copy(dataDirs = keep))
   }
 
   /** Post-analysis cleanup that makes the condition tree matchable:
@@ -1945,6 +1951,95 @@ final class GraftTable private (
       dirStats = Map(dir -> optMeta.stats),
       properties = rewriteProps(prev.properties),
       dirNulls = Map(dir -> optMeta.nulls))
+    commitRewrite(c, Seq(dir))
+  }
+
+  /** Selective OPTIMIZE — Delta's `OPTIMIZE … WHERE`: compact (and
+    * optionally Z-order) ONLY the dirs whose skipping metadata admits
+    * `predicate`, leaving every other dir byte-untouched with its stats
+    * carried forward. This is how a 100 TB table is maintained in
+    * practice — "compact yesterday's small streaming appends" touches
+    * yesterday's dirs, not years of history. Dir selection is the same
+    * conservative superset [[where]] uses, which is exactly right here:
+    * compaction must rewrite whole dirs anyway, and rewriting a dir the
+    * predicate didn't really touch only costs IO, never rows. Requires a
+    * clean snapshot (run [[materializeDeletes]] first if merge-on-read
+    * state exists — a partial rewrite can't split tombstone coverage). */
+  def optimizeWhere(predicate: Column,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    require(prev.tombstoneDirs.isEmpty && prev.dvDirs.isEmpty,
+      s"optimizeWhere on $root requires a clean snapshot — run materializeDeletes() first")
+    val v = prev.version + 1
+    val touched = dirsMayMatching(prev, predicate)
+    if (touched.isEmpty) return prev // nothing to compact, no empty commit
+    val untouched = prev.dataDirs.filterNot(touched.contains)
+    val touchedBytes = touched.map { d =>
+      fs.getContentSummary(new Path(root, d)).getLength
+    }.sum
+    val numFiles = math.max(1, math.ceil(touchedBytes.toDouble / targetFileBytes).toInt)
+    val subset = readCommitInternal(prev.copy(dataDirs = touched), withPos = false)
+    val clustered =
+      if (zorderBy.isEmpty) subset.repartition(numFiles)
+      else zorderCluster(subset, zorderBy, numFiles)
+    val dir = writeData(clustered, v, prev.partitionCols)
+    val meta = metaFor(dir)
+    val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", untouched :+ dir,
+      Map("numRewrittenDirs" -> touched.size.toLong, "numFiles" -> numFiles.toLong,
+        "numBytes" -> touchedBytes), prev.schemaJson,
+      partitionCols = prev.partitionCols,
+      dirStats = prev.dirStats.view.filterKeys(untouched.contains).toMap +
+        (dir -> meta.stats),
+      properties = rewriteProps(prev.properties),
+      dirNulls = prev.dirNulls.view.filterKeys(untouched.contains).toMap +
+        (dir -> meta.nulls))
+    commitRewrite(c, Seq(dir))
+  }
+
+  /** Selective overwrite — Delta's `replaceWhere`: atomically replace
+    * exactly the rows matching `predicate` with `df`, after validating
+    * that every replacement row itself satisfies the predicate (Delta's
+    * rule — a backfill must not smuggle rows into ranges it didn't
+    * claim). This is the standard 100 TB backfill operation ("recompute
+    * last Tuesday"): dirs whose skipping metadata proves no row can match
+    * are carried byte-untouched with their stats; only the conservative
+    * touched superset is read, and its survivors (predicate-false or
+    * -null rows — SQL semantics: a NULL predicate does not match, so the
+    * row is kept) are rewritten alongside the replacement. Requires a
+    * clean snapshot (run [[materializeDeletes]] first), same rule as
+    * [[optimizeWhere]]. Reference anchor: the Delta overwrite path
+    * (consumer/python-consumer/delta_handler.py write modes) generalized
+    * to predicate scope. */
+  def replaceWhere(df: DataFrame, predicate: Column): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    require(prev.tombstoneDirs.isEmpty && prev.dvDirs.isEmpty,
+      s"replaceWhere on $root requires a clean snapshot — run materializeDeletes() first")
+    val v = prev.version + 1
+    val tsMs = System.currentTimeMillis()
+    val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+    val aligned = GraftTable.alignTo(df, schema)
+    val matches = coalesce(predicate, lit(false))
+    if (!aligned.filter(!matches).isEmpty)
+      throw new IllegalArgumentException(
+        s"replaceWhere on $root: replacement rows must all satisfy the predicate " +
+          s"($predicate) — rows outside the replaced region would silently widen the overwrite")
+    enforceConstraints(aligned, Some(prev), "REPLACEWHERE")
+    val touched = dirsMayMatching(prev, predicate)
+    val untouched = prev.dataDirs.filterNot(touched.contains)
+    val survivors = readCommitInternal(prev.copy(dataDirs = touched), withPos = false)
+      .filter(!matches)
+    val dir = writeData(survivors.unionByName(aligned), v, prev.partitionCols)
+    val meta = metaFor(dir)
+    val c = Commit(v, tsMs, "REPLACEWHERE", untouched :+ dir,
+      Map("numRewrittenDirs" -> touched.size.toLong,
+        "numOutputRows" -> countDir(dir)), prev.schemaJson,
+      partitionCols = prev.partitionCols,
+      dirStats = prev.dirStats.view.filterKeys(untouched.contains).toMap +
+        (dir -> meta.stats),
+      properties = rewriteProps(prev.properties),
+      dirNulls = prev.dirNulls.view.filterKeys(untouched.contains).toMap +
+        (dir -> meta.nulls))
     commitRewrite(c, Seq(dir))
   }
 

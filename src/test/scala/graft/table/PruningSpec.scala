@@ -234,6 +234,63 @@ class PruningSpec extends SparkSpec {
     assert(t.where(col("amount") === lit(BigDecimal("250.00"))).count() === 1)
   }
 
+  test("optimizeWhere compacts only the dirs the predicate touches") {
+    val root = tmpDir("optwhere")
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
+      .repartition(4) // several small files per dir — the compaction target
+    val t = GraftTable.create(spark, root, rows(1, 1000))
+    t.append(rows(1001, 2000))
+    t.append(rows(2001, 3000))
+    val beforeDirs = t.skippingStats().select("dir").collect().map(_.getString(0))
+    val c = t.optimizeWhere(col("id") <= 1000, targetFileBytes = Long.MaxValue)
+    // two untouched dirs + one rewritten
+    assert(c.dataDirs.size === 3)
+    assert(beforeDirs.count(c.dataDirs.contains) === 2, "untouched dirs must survive")
+    // data identical, rewritten region now a single file
+    assert(t.read().count() === 3000)
+    assert(scannedFiles(t.whereSuperset(col("id") <= 1000)) === 1)
+    // untouched dirs kept their stats: the far range still prunes to one dir
+    assert(scannedFiles(t.whereSuperset(col("id") > 2500L)) === 4)
+    // a predicate matching nothing is a no-op (no empty commit)
+    val v = t.version
+    t.optimizeWhere(col("id") < 0L)
+    assert(t.version === v)
+    // history before the compaction still reads
+    assert(t.readVersion(2).count() === 3000)
+  }
+
+  test("replaceWhere rewrites only the touched region and validates the replacement") {
+    val root = tmpDir("replwhere")
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
+      .repartition(2)
+    val t = GraftTable.create(spark, root, rows(1, 1000))
+    t.append(rows(1001, 2000))
+    t.append(rows(2001, 3000))
+    val beforeDirs = t.skippingStats().select("dir").collect().map(_.getString(0))
+    // backfill the middle range with negated x
+    val c = t.replaceWhere(
+      (1001L to 2000L).map(i => (i, -i * 1.0)).toDF("id", "x").repartition(2),
+      col("id").between(1001, 2000))
+    assert(c.dataDirs.size === 3)
+    assert(beforeDirs.count(c.dataDirs.contains) === 2, "untouched dirs must survive")
+    assert(t.read().count() === 3000)
+    assert(t.read().filter(col("x") < 0).count() === 1000)
+    assert(t.read().filter(col("id") === 1500L).select("x").head().getDouble(0) === -1500.0)
+    // untouched dirs kept their stats: a far-range predicate still prunes
+    // down to the single 2-file dir that can hold it
+    assert(scannedFiles(t.whereSuperset(col("id") <= 500L)) === 2)
+    // a shrinking replacement is a targeted delete-and-insert
+    t.replaceWhere(rows(2001, 2100), col("id") > 2000L)
+    assert(t.read().count() === 2100)
+    // replacement rows outside the claimed region are rejected
+    val e = intercept[IllegalArgumentException] {
+      t.replaceWhere(rows(1, 10), col("id") > 9999L)
+    }
+    assert(e.getMessage.contains("must all satisfy the predicate"))
+    // history before the overwrite still reads
+    assert(t.readVersion(2).filter(col("x") < 0).count() === 0)
+  }
+
   test("skippingStats reports per-dir coverage") {
     val root = tmpDir("skipstats")
     val t = GraftTable.create(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x"))
