@@ -122,6 +122,7 @@ object SparkEntry {
     "q95_sql_skip"           -> (MutationQueries.sqlSkip _),
     "q96_optimize_where"     -> (MutationQueries.optimizeWhereRead _),
     "q97_replace_where"      -> (MutationQueries.replaceWhereRead _),
+    "q98_metadata_count"     -> (MutationQueries.metadataCountSql _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -231,6 +232,14 @@ object SparkEntry {
         |  CASE WHEN o_orderkey BETWEEN 20000 AND 39999 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey BETWEEN 20000 AND 39999 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+    // metadata-only counts over the evolved table (q94's fixture): the
+    // pre-evolution segment (even keys, column dropped) counts 0 for
+    // o_orderpriority — the oracle recomputes the hard way
+    "q98_metadata_count" ->
+      """SELECT count(*) AS cnt,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS cnt_pri,
+        |  count(o_custkey) AS cnt_cust
         |FROM orders""".stripMargin,
     // purge lifecycle: delete → materialize (touched dirs only) → append;
     // same oracle as q88 — the rewrite must preserve every surviving row

@@ -220,6 +220,23 @@ object MutationQueries {
     spark.sql("SELECT * FROM graft_orders_kv WHERE o_orderkey = 8")
   }
 
+  /** Metadata-only aggregate (Delta's OptimizeMetadataOnlyDeltaQuery
+    * analogue): plain-SQL COUNT(*) / COUNT(col) over a registered view is
+    * answered from the commit's row/null bookkeeping — the optimized plan
+    * is a one-row LocalRelation, ZERO data files read (plan-asserted in
+    * SqlSkippingSpec). `count(o_orderpriority)` crosses the
+    * schema-evolution boundary: the pre-evolution segment contributes 0
+    * by the all-null absence inference, the rest from footer null counts.
+    * At 100 TB this is the difference between a catalog lookup and a
+    * full-corpus scan for the most common query there is. */
+  def metadataCountSql(spark: SparkSession, dir: String): DataFrame = {
+    evolvedOrdersTable(spark, dir).view("graft_orders_evolved")
+    spark.sql(
+      """SELECT count(*) AS cnt, count(o_orderpriority) AS cnt_pri,
+        |       count(o_custkey) AS cnt_cust
+        |FROM graft_orders_evolved""".stripMargin)
+  }
+
   private def optimizeWhereTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "optwhere-orders") {
       val orders = Tables.orders(spark, dir)

@@ -62,5 +62,6 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.GraftStrategies)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.TopKRewrite)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.GraftScanSkipping)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.GraftMetadataOnlyAggregate)
   }
 }

@@ -543,6 +543,65 @@ final class GraftTable private (
     })
   }
 
+  /** COUNT answers derivable from commit metadata ALONE — the data behind
+    * the metadata-only aggregate rewrite (Delta's
+    * OptimizeMetadataOnlyDeltaQuery analogue): `colName = None` is
+    * `COUNT(*)` over `dirs`, `Some(col)` is `COUNT(col)` (non-null rows,
+    * row count minus the footer null count). Returns None whenever the
+    * metadata cannot answer EXACTLY — a dir whose harvest recorded no row
+    * count, an unknown (-1) null count, a partition column (values live
+    * in paths, not footers) or nested type (null counts are per leaf), or
+    * any merge-on-read state (tombstones/DVs subtract rows the commit
+    * doesn't itemize) — so a rewrite built on a Some is always safe. */
+  private[table] def metadataCount(
+      c: Commit, dirs: Seq[String], colName: Option[String]): Option[Long] = {
+    if (c.tombstoneDirs.nonEmpty || c.dvDirs.nonEmpty) return None
+    if (!dirs.forall(c.dataDirs.contains)) return None
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    def rowCount(d: String): Option[Long] =
+      c.dirNulls.get(d).flatMap(_.get("")).filter(_ >= 0)
+    def answered(d: String): Option[Long] = colName match {
+      case None => rowCount(d)
+      case Some(n) if c.partitionCols.contains(n) => None
+      case Some(n) =>
+        rowCount(d).flatMap { r =>
+          c.dirNulls(d).get(n) match {
+            case Some(cnt) if cnt >= 0 => Some(r - cnt)
+            case Some(_) => None // -1: the footer didn't say
+            case None =>
+              // absent from the dir's files = all-null after schema
+              // alignment — valid only for atomic top-level columns
+              // (same inference rule as provablyAllNull in dirMayMatch)
+              schema.find(_.name == n).collect {
+                case f if (f.dataType match {
+                  case _: StructType => false
+                  case _: org.apache.spark.sql.types.ArrayType => false
+                  case _: org.apache.spark.sql.types.MapType => false
+                  case _ => true
+                }) => 0L
+              }
+          }
+        }
+    }
+    dirs.foldLeft(Option(0L)) { (acc, d) =>
+      for (a <- acc; v <- answered(d)) yield a + v
+    }
+  }
+
+  /** [[metadataCount]] keyed by a scan's root paths instead of relative
+    * dir names — the optimizer-rule entry point (via
+    * [[SqlSkipping.metadataCount]]). A path that isn't one of the
+    * snapshot's data dirs disqualifies the whole answer. */
+  private[table] def metadataCountForPaths(
+      c: Commit, colName: Option[String], paths: Seq[Path]): Option[Long] = {
+    val fsys = new Path(root).getFileSystem(hadoopConf(spark))
+    val byQualified = c.dataDirs
+      .map(d => fsys.makeQualified(new Path(root, d)).toString -> d).toMap
+    val rel = paths.map(p => byQualified.get(fsys.makeQualified(p).toString))
+    if (rel.exists(_.isEmpty)) None
+    else metadataCount(c, rel.flatten.distinct, colName)
+  }
+
   /** [[where]] against a time-travel snapshot: the same predicate-driven
     * skipping over `versionAsOf = v` — a point-in-time audit query on a
     * long table prunes exactly like a head read (each commit carries its

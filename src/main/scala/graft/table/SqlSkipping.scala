@@ -35,4 +35,16 @@ object SqlSkipping {
     entry.table.prunePaths(entry.commit, cond, paths)
 
   def isEmpty: Boolean = byRoot.isEmpty
+
+  /** Bridge for the metadata-only aggregate rule: the exact COUNT(*)
+    * (`colName = None`) or COUNT(col) over the rows under `paths`,
+    * answered purely from `entry`'s commit bookkeeping. None = the
+    * metadata can't answer exactly (foreign path, missing row count,
+    * unknown null count, partition/nested column, merge-on-read state) —
+    * the caller leaves the plan alone. */
+  def metadataCount(
+      entry: Entry,
+      colName: Option[String],
+      paths: Seq[org.apache.hadoop.fs.Path]): Option[Long] =
+    entry.table.metadataCountForPaths(entry.commit, colName, paths)
 }

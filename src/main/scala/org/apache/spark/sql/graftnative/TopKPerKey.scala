@@ -135,11 +135,18 @@ object GraftOps {
     * `GraftSparkExtensions` hook injects it automatically;
     * `GraftTable.view` calls this so registered views skip even on plain
     * sessions). Idempotent, like the rule itself. */
-  def enableScanSkipping(spark: SparkSession): Unit =
+  def enableScanSkipping(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(GraftScanSkipping)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GraftScanSkipping
     }
+    // Registered views also unlock metadata-only COUNT answers — same
+    // registry, same lifecycle, so the two rules travel together.
+    if (!spark.experimental.extraOptimizations.contains(GraftMetadataOnlyAggregate)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GraftMetadataOnlyAggregate
+    }
+  }
 
   /** Top `k` rows per key group, ranked by `orderBy` (descending by
     * default; ties unresolved — pass a unique tiebreak, e.g.

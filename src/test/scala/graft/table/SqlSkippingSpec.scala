@@ -106,6 +106,48 @@ class SqlSkippingSpec extends SparkSpec {
     assert(both.count() === 500)
   }
 
+  test("ungrouped COUNTs are answered from metadata — no scan in the plan") {
+    val root = tmpDir("metacount")
+    def rows(lo: Long, hi: Long) = (lo to hi)
+      .map(i => (i, if (i % 10 == 0) null else s"d-$i")).toDF("id", "tag")
+    val t = GraftTable.create(spark, root, rows(1, 1000))
+    t.append(rows(1001, 2000))
+    // additive evolution: only the third segment carries `extra`
+    t.append((2001L to 3000L).map(i => (i, s"d-$i", i * 1.0)).toDF("id", "tag", "extra"))
+    t.view("meta_docs")
+
+    def noScan(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case lr: LogicalRelation => lr }.isEmpty
+
+    val q = spark.sql(
+      "SELECT count(*) AS cnt, count(tag) AS t, count(extra) AS e FROM meta_docs")
+    assert(noScan(q), "metadata-answerable COUNT must plan as a LocalRelation")
+    val r = q.head()
+    assert(r.getLong(0) === 3000L)
+    assert(r.getLong(1) === 2800L) // 10% null tags in the first two segments
+    assert(r.getLong(2) === 1000L) // pre-evolution segments are all-null
+
+    // anything the metadata can't answer exactly still scans — and stays right
+    val filtered = spark.sql("SELECT count(*) AS n FROM meta_docs WHERE id > 100")
+    assert(!noScan(filtered), "a filtered count must scan")
+    assert(filtered.head().getLong(0) === 2900L)
+    val distinct = spark.sql("SELECT count(DISTINCT tag) AS n FROM meta_docs")
+    assert(!noScan(distinct), "count distinct must scan")
+    val mixed = spark.sql("SELECT count(*) AS a, sum(id) AS b FROM meta_docs")
+    assert(!noScan(mixed), "a mixed aggregate list must scan")
+    assert(mixed.head().getLong(0) === 3000L)
+    val grouped = spark.sql("SELECT tag, count(*) AS n FROM meta_docs GROUP BY tag")
+    assert(!noScan(grouped), "a grouped count must scan")
+
+    // merge-on-read state disqualifies the metadata answer: rows the
+    // commit doesn't itemize are subtracted at read time
+    val t2 = GraftTable.create(spark, tmpDir("metacount-dv"), rows(1, 1000))
+    t2.deletePositional(col("id") <= 100L)
+    t2.view("meta_docs_dv")
+    val dv = spark.sql("SELECT count(*) AS n FROM meta_docs_dv")
+    assert(dv.head().getLong(0) === 900L)
+  }
+
   test("view pins its snapshot; later appends don't break registered pruning") {
     val root = tmpDir("sqlskip-pin")
     val t = GraftTable.create(spark, root, (1L to 1000L).toDF("id"))
