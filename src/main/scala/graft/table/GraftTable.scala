@@ -1992,7 +1992,14 @@ final class GraftTable private (
     * on ANY of the z columns, not just a lead sort key. */
   def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Nil): Commit = this.synchronized {
-    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    optimizeFrom(log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root")), targetFileBytes, zorderBy)
+  }
+
+  /** [[optimize]] from an explicit snapshot (test seam for rebase
+    * scenarios — same contract as the merge-on-read `*From` variants). */
+  private[table] def optimizeFrom(prev: Commit, targetFileBytes: Long,
+      zorderBy: Seq[String]): Commit = {
     val v = prev.version + 1
     val totalBytes = prev.dataDirs.map { d =>
       fs.getContentSummary(new Path(root, d)).getLength
@@ -2004,13 +2011,8 @@ final class GraftTable private (
       else zorderCluster(snapshot, zorderBy, numFiles)
     val dir = writeData(clustered, v, prev.partitionCols)
     val optMeta = metaFor(dir)
-    val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", Seq(dir),
-      Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes), prev.schemaJson,
-      partitionCols = prev.partitionCols,
-      dirStats = Map(dir -> optMeta.stats),
-      properties = rewriteProps(prev.properties),
-      dirNulls = Map(dir -> optMeta.nulls))
-    commitRewrite(c, Seq(dir))
+    commitOptimizeRebased(prev, prev.dataDirs, dir, optMeta,
+      Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes))
   }
 
   /** Selective OPTIMIZE — Delta's `OPTIMIZE … WHERE`: compact (and
@@ -2027,13 +2029,20 @@ final class GraftTable private (
   def optimizeWhere(predicate: Column,
       targetFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Nil): Commit = this.synchronized {
-    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    optimizeWhereFrom(log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root")),
+      predicate, targetFileBytes, zorderBy)
+  }
+
+  /** [[optimizeWhere]] from an explicit snapshot (test seam for rebase
+    * scenarios). */
+  private[table] def optimizeWhereFrom(prev: Commit, predicate: Column,
+      targetFileBytes: Long, zorderBy: Seq[String]): Commit = {
     require(prev.tombstoneDirs.isEmpty && prev.dvDirs.isEmpty,
       s"optimizeWhere on $root requires a clean snapshot — run materializeDeletes() first")
     val v = prev.version + 1
     val touched = dirsMayMatching(prev, predicate)
     if (touched.isEmpty) return prev // nothing to compact, no empty commit
-    val untouched = prev.dataDirs.filterNot(touched.contains)
     val touchedBytes = touched.map { d =>
       fs.getContentSummary(new Path(root, d)).getLength
     }.sum
@@ -2044,16 +2053,52 @@ final class GraftTable private (
       else zorderCluster(subset, zorderBy, numFiles)
     val dir = writeData(clustered, v, prev.partitionCols)
     val meta = metaFor(dir)
-    val c = Commit(v, System.currentTimeMillis(), "OPTIMIZE", untouched :+ dir,
+    commitOptimizeRebased(prev, touched, dir, meta,
       Map("numRewrittenDirs" -> touched.size.toLong, "numFiles" -> numFiles.toLong,
-        "numBytes" -> touchedBytes), prev.schemaJson,
-      partitionCols = prev.partitionCols,
-      dirStats = prev.dirStats.view.filterKeys(untouched.contains).toMap +
-        (dir -> meta.stats),
-      properties = rewriteProps(prev.properties),
-      dirNulls = prev.dirNulls.view.filterKeys(untouched.contains).toMap +
-        (dir -> meta.nulls))
-    commitRewrite(c, Seq(dir))
+        "numBytes" -> touchedBytes))
+  }
+
+  /** Commit an OPTIMIZE-family rewrite with REBASE-over-append:
+    * compaction is semantics-preserving and rewrites a declared dir
+    * subset, so a concurrent APPEND (same schema — [[isAppendOnlyRace]]
+    * checks it — over a clean snapshot) can never conflict with it: the
+    * commit re-lands on the new head with the appended dirs carried
+    * forward untouched. Delta resolves the same disjoint-file case
+    * instead of failing the maintenance job — at 100 TB, ingestion never
+    * pauses for compaction and compaction never loses to ingestion. Any
+    * other intervening commit (schema change, another rewrite,
+    * merge-on-read state on either side) aborts with rollback, exactly
+    * like [[commitRewrite]]. */
+  private def commitOptimizeRebased(prev: Commit, rewritten: Seq[String],
+      dir: String, meta: DirMeta, metrics: Map[String, Long]): Commit = {
+    var attempts = 0
+    while (attempts <= MaxCommitRetries) {
+      val head = log.latest().getOrElse(prev)
+      val cleanAppendRace = head.version == prev.version ||
+        (isAppendOnlyRace(prev, head) &&
+          prev.tombstoneDirs.isEmpty && prev.dvDirs.isEmpty &&
+          head.tombstoneDirs.isEmpty && head.dvDirs.isEmpty)
+      if (!cleanAppendRace) {
+        fs.delete(new Path(root, dir), true)
+        throw new ConcurrentWriteException(
+          s"OPTIMIZE of $root computed from stale version ${prev.version}; a " +
+            "non-append commit intervened; rolled back — retry against the new head", null)
+      }
+      val untouched = head.dataDirs.filterNot(rewritten.contains)
+      val c = Commit(head.version + 1, System.currentTimeMillis(), "OPTIMIZE",
+        untouched :+ dir, metrics, head.schemaJson,
+        partitionCols = head.partitionCols,
+        dirStats = head.dirStats.view.filterKeys(untouched.contains).toMap +
+          (dir -> meta.stats),
+        properties = rewriteProps(head.properties),
+        dirNulls = head.dirNulls.view.filterKeys(untouched.contains).toMap +
+          (dir -> meta.nulls))
+      try { log.commit(c); return c }
+      catch { case _: IllegalStateException => attempts += 1 }
+    }
+    fs.delete(new Path(root, dir), true)
+    throw new ConcurrentWriteException(
+      s"OPTIMIZE of $root lost $MaxCommitRetries version races", null)
   }
 
   /** Selective overwrite — Delta's `replaceWhere`: atomically replace

@@ -272,6 +272,36 @@ class ConcurrencySpec extends SparkSpec {
     assert(ids === Set(2L, 7L)) // id=1 deleted; both appends intact
   }
 
+  test("OPTIMIZE rebases over a concurrent append; aborts on a rewrite") {
+    import org.apache.spark.sql.functions._
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("cc-opt"), rows(1, 100))
+    t.append(rows(101, 200))
+    val stale = t.headCommit.get
+    // ingestion continues while the compaction job reads the snapshot
+    t.append(rows(201, 300))
+    val c = t.optimizeFrom(stale, Long.MaxValue, Nil)
+    assert(c.version === stale.version + 2)
+    // compacted snapshot + the concurrently appended rows, nothing lost
+    assert(t.read().count() === 300)
+    assert(c.dataDirs.size === 2, "appended dir + one compacted dir")
+    assert(t.read().agg(sum("id")).head().getLong(0) === (1L to 300L).sum)
+
+    // selective compaction rebases the same way
+    val stale2 = t.headCommit.get
+    t.append(rows(301, 400))
+    val c2 = t.optimizeWhereFrom(stale2, col("id") <= 300L, Long.MaxValue, Nil)
+    assert(c2.version === stale2.version + 2)
+    assert(t.read().count() === 400)
+
+    // a concurrent REWRITE is not append-only: compaction must abort
+    val stale3 = t.headCommit.get
+    t.update(col("id") === 1L, Map("x" -> lit(-1.0)))
+    intercept[ConcurrentWriteException] { t.optimizeFrom(stale3, Long.MaxValue, Nil) }
+    assert(t.read().count() === 400)
+    assert(t.read().filter(col("id") === 1L).head().getDouble(1) === -1.0)
+  }
+
   test("racing positional deletes from independent handles BOTH land (commute)") {
     val root = tmpDir("cc-dvrace")
     GraftTable.create(spark, root, (1L to 40L).map(i => (i, i * 1.0)).toDF("id", "x"))
