@@ -123,6 +123,7 @@ object SparkEntry {
     "q96_optimize_where"     -> (MutationQueries.optimizeWhereRead _),
     "q97_replace_where"      -> (MutationQueries.replaceWhereRead _),
     "q98_metadata_count"     -> (MutationQueries.metadataCountSql _),
+    "q99_metadata_minmax"    -> (MutationQueries.metadataMinMaxSql _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,6 +241,12 @@ object SparkEntry {
       """SELECT count(*) AS cnt,
         |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS cnt_pri,
         |  count(o_custkey) AS cnt_cust
+        |FROM orders""".stripMargin,
+    // metadata-only extremes: exact int64/timestamp footer stats
+    "q99_metadata_minmax" ->
+      """SELECT count(*) AS cnt,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
     // purge lifecycle: delete → materialize (touched dirs only) → append;
     // same oracle as q88 — the rewrite must preserve every surviving row

@@ -237,6 +237,20 @@ object MutationQueries {
         |FROM graft_orders_evolved""".stripMargin)
   }
 
+  /** Metadata-only MIN/MAX (+ count) — the extremes of an int64 key and a
+    * timestamp column answered from exact footer-stat bookkeeping, zero
+    * files read (plan-asserted in SqlSkippingSpec). Inexact encodings
+    * (decimal/string/float) and merge-on-read state bail to a scan, so
+    * the rewrite is always safe. */
+  def metadataMinMaxSql(spark: SparkSession, dir: String): DataFrame = {
+    evolvedOrdersTable(spark, dir).view("graft_orders_evolved")
+    spark.sql(
+      """SELECT count(*) AS cnt,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM graft_orders_evolved""".stripMargin)
+  }
+
   private def optimizeWhereTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "optwhere-orders") {
       val orders = Tables.orders(spark, dir)

@@ -588,19 +588,86 @@ final class GraftTable private (
     }
   }
 
+  /** Exact MIN (`isMin`) or MAX of `colName` over `dirs` from commit
+    * metadata alone — the MIN/MAX arm of the metadata-only aggregate
+    * rewrite. Returns None unless the answer is PROVABLY exact:
+    *   - the column type's stats encoding is value-exact and invertible:
+    *     byte/short/int/date (int32 footer values), long and
+    *     timestamp[_ntz] (int64/micros) — decimals (±1 ULP widened),
+    *     strings (6-byte prefixes) and float/double (NaN footer
+    *     semantics) never qualify;
+    *   - every dir either has footer stats for the column or provably
+    *     holds no values of it (all-null / pre-evolution);
+    *   - the winning stat is integral and below 2^52, so no footer-side
+    *     unit conversion (which widens by one ULP and de-integralizes)
+    *     or double rounding can hide;
+    *   - no merge-on-read state (a deleted row could BE the extreme).
+    * Some(None) = provably no values at all (SQL answer: NULL). The
+    * value is returned in Catalyst internal form (Int days, Long
+    * micros…), ready for a LocalRelation row. */
+  private[table] def metadataExtreme(
+      c: Commit, dirs: Seq[String], colName: String, isMin: Boolean): Option[Option[Any]] = {
+    import org.apache.spark.sql.types._
+    if (c.tombstoneDirs.nonEmpty || c.dvDirs.nonEmpty) return None
+    if (!dirs.forall(c.dataDirs.contains)) return None
+    if (c.partitionCols.contains(colName)) return None // values live in paths
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val field = schema.find(_.name == colName).getOrElse(return None)
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => ()
+      case _ => return None
+    }
+    // Per dir: Some(Some(mm)) contributes a range, Some(None) provably
+    // contributes no values (min/max ignore nulls), None disqualifies.
+    val per: Seq[Option[Option[(Double, Double)]]] = dirs.map { d =>
+      c.dirStats.get(d).flatMap(_.get(colName)) match {
+        case Some(mm) => Some(Some(mm))
+        case None =>
+          val allNull = c.dirNulls.get(d).exists { m =>
+            m.get("").exists(_ >= 0) && (m.get(colName) match {
+              case Some(cnt) => cnt >= 0 && m("") == cnt
+              case None => true // recorded dir, column absent from files
+            })
+          }
+          if (allNull) Some(None) else None
+      }
+    }
+    if (per.exists(_.isEmpty)) return None
+    val ranges = per.flatten.flatten
+    if (ranges.isEmpty) return Some(None)
+    val v = if (isMin) ranges.map(_._1).min else ranges.map(_._2).max
+    if (v != math.rint(v) || math.abs(v) >= 4503599627370496.0 /* 2^52 */) return None
+    Some(Some(field.dataType match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt
+      case _ => v.toLong // Long / Timestamp(NTZ) epoch micros
+    }))
+  }
+
+  /** The snapshot-relative dir names behind a scan's root paths — None if
+    * any path isn't one of the snapshot's data dirs. */
+  private def relDirsOf(c: Commit, paths: Seq[Path]): Option[Seq[String]] = {
+    val fsys = new Path(root).getFileSystem(hadoopConf(spark))
+    val byQualified = c.dataDirs
+      .map(d => fsys.makeQualified(new Path(root, d)).toString -> d).toMap
+    val rel = paths.map(p => byQualified.get(fsys.makeQualified(p).toString))
+    if (rel.exists(_.isEmpty)) None else Some(rel.flatten.distinct)
+  }
+
   /** [[metadataCount]] keyed by a scan's root paths instead of relative
     * dir names — the optimizer-rule entry point (via
     * [[SqlSkipping.metadataCount]]). A path that isn't one of the
     * snapshot's data dirs disqualifies the whole answer. */
   private[table] def metadataCountForPaths(
-      c: Commit, colName: Option[String], paths: Seq[Path]): Option[Long] = {
-    val fsys = new Path(root).getFileSystem(hadoopConf(spark))
-    val byQualified = c.dataDirs
-      .map(d => fsys.makeQualified(new Path(root, d)).toString -> d).toMap
-    val rel = paths.map(p => byQualified.get(fsys.makeQualified(p).toString))
-    if (rel.exists(_.isEmpty)) None
-    else metadataCount(c, rel.flatten.distinct, colName)
-  }
+      c: Commit, colName: Option[String], paths: Seq[Path]): Option[Long] =
+    relDirsOf(c, paths).flatMap(metadataCount(c, _, colName))
+
+  /** [[metadataExtreme]] keyed by a scan's root paths. */
+  private[table] def metadataExtremeForPaths(
+      c: Commit, colName: String, isMin: Boolean, paths: Seq[Path]): Option[Option[Any]] =
+    relDirsOf(c, paths).flatMap(metadataExtreme(c, _, colName, isMin))
 
   /** [[where]] against a time-travel snapshot: the same predicate-driven
     * skipping over `versionAsOf = v` — a point-in-time audit query on a

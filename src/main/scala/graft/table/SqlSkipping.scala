@@ -47,4 +47,14 @@ object SqlSkipping {
       colName: Option[String],
       paths: Seq[org.apache.hadoop.fs.Path]): Option[Long] =
     entry.table.metadataCountForPaths(entry.commit, colName, paths)
+
+  /** Exact MIN/MAX of `colName` under `paths` from commit metadata, in
+    * Catalyst internal form. None = not provably exact (caller scans);
+    * Some(None) = provably no values (SQL NULL). */
+  def metadataExtreme(
+      entry: Entry,
+      colName: String,
+      isMin: Boolean,
+      paths: Seq[org.apache.hadoop.fs.Path]): Option[Option[Any]] =
+    entry.table.metadataExtremeForPaths(entry.commit, colName, isMin, paths)
 }

@@ -109,11 +109,11 @@ class SqlSkippingSpec extends SparkSpec {
   test("ungrouped COUNTs are answered from metadata — no scan in the plan") {
     val root = tmpDir("metacount")
     def rows(lo: Long, hi: Long) = (lo to hi)
-      .map(i => (i, if (i % 10 == 0) null else s"d-$i")).toDF("id", "tag")
+      .map(i => (i, if (i % 10 == 0) null else s"d-$i", i * 1.0)).toDF("id", "tag", "x")
     val t = GraftTable.create(spark, root, rows(1, 1000))
     t.append(rows(1001, 2000))
     // additive evolution: only the third segment carries `extra`
-    t.append((2001L to 3000L).map(i => (i, s"d-$i", i * 1.0)).toDF("id", "tag", "extra"))
+    t.append((2001L to 3000L).map(i => (i, s"d-$i", i * 1.0, i)).toDF("id", "tag", "x", "extra"))
     t.view("meta_docs")
 
     def noScan(df: DataFrame): Boolean =
@@ -126,6 +126,27 @@ class SqlSkippingSpec extends SparkSpec {
     assert(r.getLong(0) === 3000L)
     assert(r.getLong(1) === 2800L) // 10% null tags in the first two segments
     assert(r.getLong(2) === 1000L) // pre-evolution segments are all-null
+
+    // MIN/MAX from exact int64 footer stats — mixed with counts, still no scan
+    val mm = spark.sql(
+      "SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM meta_docs")
+    assert(noScan(mm), "long MIN/MAX must be answered from stats")
+    assert(mm.head().getLong(0) === 1L)
+    assert(mm.head().getLong(1) === 3000L)
+    // the evolved column: pre-evolution segments provably contribute no
+    // values, the stats of the one carrying segment answer
+    val em = spark.sql("SELECT min(extra) AS lo FROM meta_docs")
+    assert(noScan(em), "evolved-column MIN must be answered from stats")
+    assert(em.head().getLong(0) === 2001L)
+    // inexact encodings bail to a scan and stay correct: string stats are
+    // order-preserving prefixes (not values), float/double footers have
+    // NaN hazards
+    val sm = spark.sql("SELECT min(tag) AS lo FROM meta_docs")
+    assert(!noScan(sm), "string MIN must scan")
+    assert(sm.head().getString(0) === "d-1")
+    val dm = spark.sql("SELECT max(x) AS hi FROM meta_docs")
+    assert(!noScan(dm), "double MAX must scan")
+    assert(dm.head().getDouble(0) === 3000.0)
 
     // anything the metadata can't answer exactly still scans — and stays right
     val filtered = spark.sql("SELECT count(*) AS n FROM meta_docs WHERE id > 100")
