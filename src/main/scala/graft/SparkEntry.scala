@@ -124,6 +124,7 @@ object SparkEntry {
     "q97_replace_where"      -> (MutationQueries.replaceWhereRead _),
     "q98_metadata_count"     -> (MutationQueries.metadataCountSql _),
     "q99_metadata_minmax"    -> (MutationQueries.metadataMinMaxSql _),
+    "q100_convert"           -> (MutationQueries.convertRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,6 +243,8 @@ object SparkEntry {
         |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS cnt_pri,
         |  count(o_custkey) AS cnt_cust
         |FROM orders""".stripMargin,
+    // CONVERT TO GRAFT: the in-place upgrade serves the legacy rows
+    "q100_convert" -> "SELECT * FROM orders",
     // metadata-only extremes: exact int64/timestamp footer stats
     "q99_metadata_minmax" ->
       """SELECT count(*) AS cnt,

@@ -294,6 +294,21 @@ object MutationQueries {
   def replaceWhereRead(spark: SparkSession, dir: String): DataFrame =
     replaceWhereTable(spark, dir).read()
 
+  private def convertedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "converted-orders") {
+      // lay down the legacy layout — a plain parquet directory — then
+      // upgrade it IN PLACE: the bytes written here are the bytes the
+      // table serves (rename, not copy)
+      val src = freshDir("cv") + "/legacy"
+      Tables.orders(spark, dir).repartition(4).write.parquet(src)
+      GraftTable.convert(spark, src)
+    }
+
+  /** CONVERT TO GRAFT end-to-end: the in-place-upgraded table must serve
+    * exactly the legacy directory's rows. */
+  def convertRead(spark: SparkSession, dir: String): DataFrame =
+    convertedOrdersTable(spark, dir).read()
+
   /** Orders table destroyed at v1 (everything deleted) — read v0 back. */
   private def wipedOrdersTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "wiped") {

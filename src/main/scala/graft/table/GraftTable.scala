@@ -1318,6 +1318,56 @@ final class GraftTable private (
     commitRewrite(c, Seq(dir))
   }
 
+  /** [[GraftTable.convert]]'s body: move the root's loose parquet files
+    * into the deterministic v0 data dir and publish commit 0. Commits as
+    * operation CREATE (with a `numConvertedFiles` marker) so every
+    * downstream contract that special-cases table birth — version-aware
+    * streaming included — sees a normal table. */
+  private[table] def convertInPlace(): Commit = this.synchronized {
+    val rootPath = new Path(root)
+    require(fs.exists(rootPath), s"no directory at $root to convert")
+    val convertDir = "data/v00000-convert"
+    val entries = fs.listStatus(rootPath).toSeq
+    val loose = entries.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // hive-partitioned sources keep values in their paths — refuse rather
+    // than orphan them under a flat rename
+    entries.filter(_.isDirectory).filterNot(_.getPath.getName == "data").foreach { d =>
+      val it = fs.listFiles(d.getPath, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet"))
+          throw new IllegalArgumentException(
+            s"convert of $root: parquet under subdirectory ${d.getPath.getName}/ — " +
+              "partitioned layouts cannot be converted in place (values live in the " +
+              "paths); read the source and GraftTable.create instead")
+      }
+    }
+    val destDir = new Path(rootPath, convertDir)
+    val already = // crash-rerun: files an earlier attempt moved already
+      if (!fs.exists(destDir)) 0
+      else fs.listStatus(destDir).count(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(loose.nonEmpty || already > 0,
+      s"no parquet files directly under $root to convert")
+    // schema from the footers BEFORE any move (no row-reading Spark job)
+    val schemaJson = spark.read.parquet(
+      (loose.map(_.getPath.toString) ++
+        (if (already > 0) Seq(destDir.toString) else Nil)): _*).schema.json
+    fs.mkdirs(destDir)
+    loose.foreach { st =>
+      val dest = new Path(destDir, st.getPath.getName)
+      if (!fs.rename(st.getPath, dest))
+        throw new IllegalStateException(
+          s"convert of $root: rename of ${st.getPath} to $dest failed")
+    }
+    val meta = metaFor(convertDir)
+    val c = Commit(0L, System.currentTimeMillis(), "CREATE", Seq(convertDir),
+      Map("numConvertedFiles" -> (loose.size.toLong + already),
+        "numOutputRows" -> countDir(convertDir)), schemaJson,
+      dirStats = Map(convertDir -> meta.stats),
+      dirNulls = Map(convertDir -> meta.nulls))
+    log.commit(c); c
+  }
+
   /** MERGE upsert (M1/M2): `whenMatchedUpdateAll.whenNotMatchedInsertAll`
     * re-expressed as one full-outer join on the key — matched rows take the
     * source image, unmatched-target rows persist, unmatched-source rows
@@ -2475,6 +2525,26 @@ object GraftTable {
     val t = new GraftTable(spark, root)
     require(t.version < 0, s"table already exists at $root")
     t.overwrite(df, partitionBy)
+    t
+  }
+
+  /** CONVERT TO GRAFT (Delta's `CONVERT TO DELTA` analogue): upgrade a
+    * plain-parquet directory into a graft table IN PLACE — no data copy.
+    * The parquet files are RENAMED into the table's v0 data dir (a
+    * metadata operation on a real filesystem), footer skipping stats are
+    * harvested in the same pass every write uses, and commit 0
+    * publishes. Legacy data gets versioning, time travel, data skipping
+    * and the whole mutation surface the moment the commit lands —
+    * without rewriting a byte of a 100 TB corpus. The v0 dir name is
+    * DETERMINISTIC (`v00000-convert`) so a crash between renames and the
+    * commit converges on re-run: remaining files join the already-moved
+    * ones and one commit covers them all. Flat layouts only — a
+    * hive-partitioned source keeps values in its paths, which a flat
+    * rename would orphan; read+create those instead. */
+  def convert(spark: SparkSession, root: String): GraftTable = {
+    val t = new GraftTable(spark, root)
+    require(t.version < 0, s"table already exists at $root")
+    t.convertInPlace()
     t
   }
 

@@ -449,6 +449,41 @@ class GraftTableSpec extends SparkSpec {
     assert(ops.contains("ADD CONSTRAINT") && ops.contains("DROP CONSTRAINT"))
   }
 
+  test("convert upgrades a plain parquet dir in place: rename, stats, full surface") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("gt-convert") + "/legacy"
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
+    rows(1, 1000).repartition(3).write.parquet(root)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val legacyFiles = fs.listStatus(new Path(root))
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath.getName).toSet
+
+    val t = GraftTable.convert(spark, root)
+    assert(t.version === 0L)
+    assert(t.read().count() === 1000)
+    // the SAME files, moved not copied
+    val servedFiles = t.read().select(input_file_name()).distinct()
+      .collect().map(r => new Path(r.getString(0)).getName).toSet
+    assert(servedFiles === legacyFiles, "convert must rename the legacy files, not rewrite them")
+    // footer stats were harvested: the converted dir is immediately prunable
+    assert(t.skippingStats().select("rows").head().getLong(0) === 1000L)
+    // the full mutation surface works on the converted table
+    t.append(rows(1001, 2000))
+    assert(t.read().count() === 2000)
+    assert(t.readVersion(0).count() === 1000)
+    t.deletePositional(col("id") === 5L)
+    assert(t.read().count() === 1999)
+    // converting twice is refused
+    val e = intercept[IllegalArgumentException] { GraftTable.convert(spark, root) }
+    assert(e.getMessage.contains("already exists"))
+    // partitioned legacy layouts are refused, not corrupted
+    val proot = tmpDir("gt-convert-part") + "/legacy"
+    rows(1, 100).withColumn("p", col("id") % 2)
+      .write.partitionBy("p").parquet(proot)
+    val pe = intercept[IllegalArgumentException] { GraftTable.convert(spark, proot) }
+    assert(pe.getMessage.contains("partitioned layouts"))
+  }
+
   test("shallow clone: clone vacuum never reclaims the source's files") {
     val src = GraftTable.create(spark, tmpDir("gt-clvac-src"), seedCustomers)
     val clone = src.shallowClone(tmpDir("gt-clvac-dst") + "/t")
