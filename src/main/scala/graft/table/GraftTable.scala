@@ -258,18 +258,62 @@ final class GraftTable private (
   /** Time travel by timestamp (S5): max version with commit ts <= tsMs,
     * matching delta-rs's history walk (delta_handler.py:247-264). */
   def readAsOf(tsMs: Long): DataFrame = {
-    val cs = log.commits().filter(_.tsMs <= tsMs)
+    val cs = commitsAdjusted().filter(_.tsMs <= tsMs)
     if (cs.isEmpty)
       throw new NoSuchElementException(s"$root has no version at or before ts $tsMs")
     readCommit(cs.last)
   }
 
+  /** Commits with timestamps MONOTONICIZED by running max (Delta's
+    * adjusted-timestamp rule): concurrent writers' clocks — and rebases
+    * that stamp wall time before the version race settles — can record a
+    * commit whose recorded ts precedes its predecessor's, but "as of t"
+    * must always resolve to a version PREFIX. Each commit's effective ts
+    * is max(recorded, predecessor effective + 1 ms); [[readAsOf]],
+    * [[whereAsOf]] and [[history]] all see the same adjusted clock, so
+    * a timestamp read off history round-trips through time travel. */
+  private def commitsAdjusted(): Seq[Commit] = {
+    var last = Long.MinValue
+    log.commits().map { c =>
+      val eff = if (c.tsMs > last) c.tsMs else last + 1
+      last = eff
+      if (eff == c.tsMs) c else c.copy(tsMs = eff)
+    }
+  }
+
   /** Table history (S7) as a DataFrame: version, timestamp, operation and
     * flattened operationMetrics — the columns the reference reads off
     * `DeltaTable.history()` (spark_delta_handler.py:244-251). */
+  /** DESCRIBE DETAIL analogue: one row of table-level facts — location,
+    * head version/timestamp, dir/file/byte tallies, partition columns,
+    * properties, merge-on-read state. Commit metadata plus one listing
+    * pass over the head's dirs; zero data rows read. */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val c = commitsAdjusted().lastOption.getOrElse(
+      throw new NoSuchElementException(s"no commits at $root"))
+    val (nFiles, nBytes) = c.dataDirs.foldLeft((0L, 0L)) { case ((nf, nb), d) =>
+      val p = if (new Path(d).isAbsolute) new Path(d) else new Path(root, d)
+      if (!fs.exists(p)) (nf, nb)
+      else {
+        val s = fs.getContentSummary(p)
+        (nf + s.getFileCount, nb + s.getLength)
+      }
+    }
+    Seq((
+      "graft", root, c.version, new java.sql.Timestamp(c.tsMs),
+      c.dataDirs.size, nFiles, nBytes, c.partitionCols, c.properties,
+      c.tombstoneDirs.size, c.dvDirs.size))
+      .toDF("format", "location", "version", "lastModified", "numDirs",
+        "numFiles", "sizeInBytes", "partitionColumns", "properties",
+        "numTombstoneDirs", "numDvDirs")
+  }
+
   def history(): DataFrame = {
     import spark.implicits._
-    val rows = log.commits().reverse.map { c =>
+    // Adjusted timestamps (see commitsAdjusted): a timestamp read off
+    // history must round-trip through readAsOf to the same version.
+    val rows = commitsAdjusted().reverse.map { c =>
       (c.version, new java.sql.Timestamp(c.tsMs), c.operation, c.metrics)
     }
     rows.toDF("version", "timestamp", "operation", "operationMetrics")
@@ -704,7 +748,7 @@ final class GraftTable private (
 
   /** [[whereVersion]] by timestamp ([[readAsOf]]'s resolution rule). */
   def whereAsOf(tsMs: Long, predicate: Column): DataFrame = {
-    val cs = log.commits().filter(_.tsMs <= tsMs)
+    val cs = commitsAdjusted().filter(_.tsMs <= tsMs)
     if (cs.isEmpty)
       throw new NoSuchElementException(s"$root has no version at or before ts $tsMs")
     whereSupersetOf(cs.last, predicate).filter(predicate)
@@ -2374,7 +2418,8 @@ final class GraftTable private (
     * versions fail loudly on read, and `appendOnce`'s txn stamps survive so
     * exactly-once replay detection keeps working after a vacuum. Returns
     * the deleted dirs. */
-  def vacuum(retentionHours: Double = 168.0, nowMs: Long = System.currentTimeMillis()): Seq[String] =
+  def vacuum(retentionHours: Double = 168.0, nowMs: Long = System.currentTimeMillis(),
+      dryRun: Boolean = false): Seq[String] =
     this.synchronized {
       val cutoff = nowMs - (retentionHours * 3600 * 1000).toLong
       val all = log.commits()
@@ -2383,6 +2428,12 @@ final class GraftTable private (
       val keep = all.filter(c => c.version == headVersion || c.tsMs >= cutoff)
       val keepDirs = keep.flatMap(c => c.dataDirs ++ c.tombstoneDirs ++ c.dvDirs).toSet
       val expired = all.filter(c => c.version != headVersion && c.tsMs < cutoff)
+      if (dryRun) // VACUUM DRY RUN: report the reclaimable dirs, touch nothing
+        return expired.flatMap(c => c.dataDirs ++ c.tombstoneDirs ++ c.dvDirs)
+          .filterNot(keepDirs.contains)
+          .filterNot(d => new Path(d).isAbsolute)
+          .filter(d => fs.exists(new Path(root, d)))
+          .distinct
       val deleted = Seq.newBuilder[String]
       expired.foreach { c =>
         // Never delete EXTERNAL (absolute) dir references — those are

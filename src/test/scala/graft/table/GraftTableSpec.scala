@@ -449,6 +449,42 @@ class GraftTableSpec extends SparkSpec {
     assert(ops.contains("ADD CONSTRAINT") && ops.contains("DROP CONSTRAINT"))
   }
 
+  test("adjusted timestamps keep time travel a prefix; detail and dry-run vacuum") {
+    val root = tmpDir("gt-adjts")
+    val t = GraftTable.create(spark, root, (1L to 10L).toDF("id"))
+    t.append((11L to 20L).toDF("id"))
+    val log = new CommitLog(root, spark.sessionState.newHadoopConf())
+    val Seq(v0c, v1c) = log.commits()
+    // a writer with a skewed clock commits v2 (referencing only v0's
+    // dirs) stamped BEFORE v1's wall time
+    log.commit(v1c.copy(version = 2L, tsMs = v1c.tsMs - 60000,
+      dataDirs = v0c.dataDirs, dirStats = v0c.dirStats, dirNulls = v0c.dirNulls))
+    // unadjusted, "as of v1's ts" would resolve to v2 (raw ts is older);
+    // adjusted, v2's effective ts is v1.ts + 1, so v1 still wins
+    assert(t.readAsOf(v1c.tsMs).count() === 20)
+    // history shows the adjusted clock and round-trips through readAsOf
+    val hist = t.history().collect()
+    val ts2 = hist.find(_.getLong(0) == 2L).get.getTimestamp(1).getTime
+    assert(ts2 === v1c.tsMs + 1)
+    assert(t.readAsOf(ts2).count() === 10) // v2 references v0's dirs
+
+    // DESCRIBE DETAIL: one metadata row about the head
+    val d = t.detail().head()
+    assert(d.getAs[String]("format") === "graft")
+    assert(d.getAs[Long]("version") === 2L)
+    assert(d.getAs[Long]("numFiles") > 0L)
+    assert(d.getAs[scala.collection.Seq[String]]("partitionColumns").isEmpty)
+
+    // VACUUM DRY RUN reports exactly what the real run reclaims, touches nothing
+    val later = System.currentTimeMillis() + 3600 * 1000
+    val dry = t.vacuum(retentionHours = 0.0, nowMs = later, dryRun = true)
+    assert(dry.nonEmpty, "v1's unreferenced dir should be reclaimable")
+    assert(t.readVersion(1).count() === 20, "dry run must not delete anything")
+    val real = t.vacuum(retentionHours = 0.0, nowMs = later)
+    assert(real.toSet === dry.toSet)
+    assert(t.read().count() === 10) // head (v0's dirs) intact
+  }
+
   test("convert upgrades a plain parquet dir in place: rename, stats, full surface") {
     import org.apache.hadoop.fs.Path
     val root = tmpDir("gt-convert") + "/legacy"
