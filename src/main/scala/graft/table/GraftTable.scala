@@ -1166,12 +1166,42 @@ final class GraftTable private (
   }
 
   private def writeData(df: DataFrame, v: Long,
-      partCols: Seq[String] = partitionColsOfHead): String = {
+      partCols: Seq[String] = partitionColsOfHead,
+      rebalance: Boolean = true): String = {
     val dir = dataDirName(v)
-    val w = df.write.mode("errorifexists")
+    val out = if (rebalance) optimizeWriteOf(df, partCols) else df
+    val w = out.write.mode("errorifexists")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(new Path(root, dir).toString)
     dir
+  }
+
+  /** OPTIMIZE WRITE (Delta's `autoOptimize.optimizeWrite` analogue):
+    * when `spark.graft.optimizeWrite.targetBytes` is set (> 0), rebalance
+    * the frame BEFORE writing so each commit lands near-target-size files
+    * instead of one file per upstream task — the small-files problem
+    * killed at the source rather than mopped up by OPTIMIZE later (a
+    * 32-task streaming micro-batch of a few MB otherwise writes 32 tiny
+    * files EVERY trigger). File count comes from the optimizer's size
+    * estimate over the target (in-memory estimate ≥ parquet bytes, so the
+    * error side is a few more, smaller files — never giant ones), clamped
+    * to never INCREASE the partition count: when the data already has
+    * fewer, larger tasks than the target implies, the write stays as-is
+    * and no shuffle is added. Partitioned writes hash on the partition
+    * columns so each task owns whole hive partitions (one file per
+    * partition dir per task). Off unless the conf is set, and the
+    * OPTIMIZE/Z-order writers bypass it (`rebalance = false`): a frame
+    * they clustered must land exactly as clustered. */
+  private def optimizeWriteOf(df: DataFrame, partCols: Seq[String]): DataFrame = {
+    val target = spark.conf.getOption("spark.graft.optimizeWrite.targetBytes")
+      .map(_.toLong).getOrElse(0L)
+    if (target <= 0L) return df
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val current = df.rdd.getNumPartitions
+    val n = ((est / target) max BigInt(1) min BigInt(current)).toInt
+    if (n >= current) df
+    else if (partCols.nonEmpty) df.repartition(n, partCols.map(col): _*)
+    else df.repartition(n)
   }
 
   /** Write one commit's CDF rows; returns (relative dir, per-change-type
@@ -2170,7 +2200,7 @@ final class GraftTable private (
     val clustered =
       if (zorderBy.isEmpty) snapshot.repartition(numFiles)
       else zorderCluster(snapshot, zorderBy, numFiles)
-    val dir = writeData(clustered, v, prev.partitionCols)
+    val dir = writeData(clustered, v, prev.partitionCols, rebalance = false)
     val optMeta = metaFor(dir)
     commitOptimizeRebased(prev, prev.dataDirs, dir, optMeta,
       Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes))
@@ -2212,7 +2242,7 @@ final class GraftTable private (
     val clustered =
       if (zorderBy.isEmpty) subset.repartition(numFiles)
       else zorderCluster(subset, zorderBy, numFiles)
-    val dir = writeData(clustered, v, prev.partitionCols)
+    val dir = writeData(clustered, v, prev.partitionCols, rebalance = false)
     val meta = metaFor(dir)
     commitOptimizeRebased(prev, touched, dir, meta,
       Map("numRewrittenDirs" -> touched.size.toLong, "numFiles" -> numFiles.toLong,

@@ -485,6 +485,29 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 10) // head (v0's dirs) intact
   }
 
+  test("optimizeWrite coalesces small writes to the byte target at the source") {
+    import org.apache.hadoop.fs.Path
+    def filesOf(t: GraftTable): Int =
+      t.read().select(input_file_name()).distinct().count().toInt
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
+    try {
+      spark.conf.set("spark.graft.optimizeWrite.targetBytes", (512L * 1024 * 1024).toString)
+      // a 16-task micro-batch of a few KB lands as ONE file, not 16
+      val t = GraftTable.create(spark, tmpDir("gt-ow"), rows(1, 1000).repartition(16))
+      assert(filesOf(t) === 1, "tiny create must coalesce to one file")
+      t.append(rows(1001, 2000).repartition(16))
+      assert(filesOf(t) === 2, "each commit coalesces independently")
+      // partitioned: one file per hive partition, not per (task × partition)
+      val p = GraftTable.create(spark, tmpDir("gt-ow-part"),
+        rows(1, 1000).withColumn("p", pmod(col("id"), lit(2))).repartition(16),
+        partitionBy = Seq("p"))
+      assert(filesOf(p) <= 2, "partitioned write must land whole partitions per task")
+    } finally spark.conf.unset("spark.graft.optimizeWrite.targetBytes")
+    // with the conf unset, writes land exactly as the caller partitioned
+    val plain = GraftTable.create(spark, tmpDir("gt-ow-off"), rows(1, 1000).repartition(4))
+    assert(filesOf(plain) === 4)
+  }
+
   test("convert upgrades a plain parquet dir in place: rename, stats, full surface") {
     import org.apache.hadoop.fs.Path
     val root = tmpDir("gt-convert") + "/legacy"
