@@ -125,6 +125,7 @@ object SparkEntry {
     "q98_metadata_count"     -> (MutationQueries.metadataCountSql _),
     "q99_metadata_minmax"    -> (MutationQueries.metadataMinMaxSql _),
     "q100_convert"           -> (MutationQueries.convertRead _),
+    "q101_drop_column"       -> (MutationQueries.dropColumnRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,6 +246,9 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     // CONVERT TO GRAFT: the in-place upgrade serves the legacy rows
     "q100_convert" -> "SELECT * FROM orders",
+    // metadata-only DROP COLUMN: head = full table minus the column
+    "q101_drop_column" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
     // metadata-only extremes: exact int64/timestamp footer stats
     "q99_metadata_minmax" ->
       """SELECT count(*) AS cnt,

@@ -251,6 +251,23 @@ object MutationQueries {
         |FROM graft_orders_evolved""".stripMargin)
   }
 
+  private def droppedColTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "dropcol-orders") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("dc"),
+        orders.filter(col("o_orderkey") % 2 === 0))
+      t.append(orders.filter(col("o_orderkey") % 2 === 1))
+      // metadata-only DDL: the column disappears from the head schema
+      // without rewriting a file; v0/v1 still serve it via time travel
+      t.dropColumn("o_orderpriority")
+      t
+    }
+
+  /** Metadata-only DROP COLUMN end-to-end: the head read equals the
+    * full table minus the dropped column — zero files rewritten. */
+  def dropColumnRead(spark: SparkSession, dir: String): DataFrame =
+    droppedColTable(spark, dir).read()
+
   private def optimizeWhereTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "optwhere-orders") {
       val orders = Tables.orders(spark, dir)

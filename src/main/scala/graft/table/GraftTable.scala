@@ -540,8 +540,18 @@ final class GraftTable private (
     * transparent-skipping UX (PrepareDeltaScan) on this engine's commit
     * metadata. The view pins THIS version's snapshot (like any view over
     * a read), so the skipping metadata is registered alongside it. */
-  def view(name: String): Unit = {
-    val c = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+  def view(name: String): Unit = view(name, -1L)
+
+  /** [[view]] pinned to an explicit version — the SQL surface of time
+    * travel (`FOR VERSION AS OF` without v2-catalog support): a head view
+    * and any number of historical views of the same table coexist, each
+    * with its own snapshot's skipping metadata (including metadata-only
+    * COUNT/MIN/MAX answers against the historical stats). */
+  def view(name: String, versionAsOf: Long): Unit = {
+    val c =
+      if (versionAsOf < 0)
+        log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
+      else commitFor(versionAsOf)
     // The view's plan and the registered pruning metadata must pin the
     // SAME commit — readCommit(c), not read(), or a commit racing in
     // between leaves a view whose paths the registry can't match
@@ -996,6 +1006,69 @@ final class GraftTable private (
       metrics = Map.empty, changesDir = None,
       txnAppId = None, txnBatchId = None,
       properties = prev.properties + (ConstraintPrefix + name -> predicateSql))
+    log.commit(c); c
+  }
+
+  /** ALTER TABLE ADD COLUMN — METADATA-ONLY (no file rewrite): the new
+    * head's schema appends a nullable field; dirs written before it are
+    * recognized as all-null by schema alignment AND by the null-count
+    * absence inference, so reads, skipping and metadata-only COUNT all
+    * treat history correctly from the first commit. (Same effect as
+    * appending an evolved frame, as explicit DDL.) */
+  def addColumn(name: String, dataType: DataType): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root"))
+    val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name), s"column $name already exists at $root")
+    // A name a metadata-only DROP retired can never come back: reads
+    // project files BY NAME, so re-adding would resurrect the old bytes
+    // still sitting in pre-drop files (or crash the scan on a type
+    // change). Delta solves this with column-mapping physical ids; this
+    // engine's contract is the tombstoned name. Pick a fresh name.
+    require(!prev.properties.contains(DroppedColPrefix + name),
+      s"column $name of $root was dropped; its physical name is retired " +
+        "(old files still carry it) — use a new name")
+    val c = prev.copy(
+      version = prev.version + 1, tsMs = System.currentTimeMillis(),
+      operation = "ADD COLUMN",
+      metrics = Map.empty, changesDir = None,
+      txnAppId = None, txnBatchId = None,
+      schemaJson = schema.add(name, dataType, nullable = true).json)
+    log.commit(c); c
+  }
+
+  /** ALTER TABLE DROP COLUMN — METADATA-ONLY (no file rewrite): the new
+    * head's schema simply omits the field. Every read projects by the
+    * commit's schema, so the bytes stay in the files but no plan ever
+    * reads them — and time travel still serves the column at older
+    * versions. (Delta needs column mapping for this; here reads are
+    * always schema-projected, so a dropped physical column never leaks.)
+    * Refused for partition columns (their values live in the dir paths)
+    * and for columns a CHECK constraint mentions (the constraint would
+    * fail analysis on the next write — drop the constraint first). */
+  def dropColumn(name: String): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root"))
+    val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name), s"no column $name at $root")
+    require(schema.fields.length > 1, s"cannot drop the last column of $root")
+    require(!prev.partitionCols.contains(name),
+      s"cannot drop partition column $name of $root (values live in the dir layout)")
+    val mentioned = prev.properties.collect {
+      case (k, p) if k.startsWith(ConstraintPrefix) &&
+        s"\\b${java.util.regex.Pattern.quote(name)}\\b".r.findFirstIn(p).isDefined =>
+        k.stripPrefix(ConstraintPrefix)
+    }
+    require(mentioned.isEmpty,
+      s"cannot drop column $name of $root: CHECK constraint(s) ${mentioned.mkString(", ")} " +
+        "reference it — drop the constraint(s) first")
+    val c = prev.copy(
+      version = prev.version + 1, tsMs = System.currentTimeMillis(),
+      operation = "DROP COLUMN",
+      metrics = Map.empty, changesDir = None,
+      txnAppId = None, txnBatchId = None,
+      schemaJson = StructType(schema.fields.filterNot(_.name == name)).json,
+      properties = prev.properties + (DroppedColPrefix + name -> "1"))
     log.commit(c); c
   }
 
@@ -2545,6 +2618,7 @@ object GraftTable {
 
   private[table] val ConstraintPrefix = "constraint."
   private[table] val TombstoneCoverPrefix = "tombstone.cover."
+  private[table] val DroppedColPrefix = "graft.droppedCol."
 
   /** Order-preserving encoding of a byte string's first 6 bytes into a
     * Double (48 bits — exact in the 53-bit mantissa): unsigned

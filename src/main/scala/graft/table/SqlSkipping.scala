@@ -10,12 +10,19 @@ package graft.table
 object SqlSkipping {
   final case class Entry(table: GraftTable, commit: Commit)
 
+  // One entry per registered SNAPSHOT — a table can have several views
+  // alive at once (head + versionAsOf time-travel views); the rule
+  // disambiguates by which commit's dataDirs cover the scan's paths.
   private val byRoot =
-    scala.collection.concurrent.TrieMap.empty[String, Entry]
+    scala.collection.concurrent.TrieMap.empty[String, Map[Long, Entry]]
 
   private[table] def register(qualifiedRoot: String, t: GraftTable, c: Commit): Unit =
-    byRoot.put(qualifiedRoot, Entry(t, c))
+    byRoot.updateWith(qualifiedRoot) { cur =>
+      Some(cur.getOrElse(Map.empty) + (c.version -> Entry(t, c)))
+    }
 
+  /** Drop EVERY snapshot registration of the root (views are ephemeral
+    * session state; per-version bookkeeping isn't worth the API). */
   private[table] def unregister(qualifiedRoot: String): Unit =
     byRoot.remove(qualifiedRoot)
 
@@ -23,7 +30,8 @@ object SqlSkipping {
     * teardown) — entries strongly reference their tables. */
   def clear(): Unit = byRoot.clear()
 
-  def lookup(qualifiedRoot: String): Option[Entry] = byRoot.get(qualifiedRoot)
+  def lookup(qualifiedRoot: String): Seq[Entry] =
+    byRoot.get(qualifiedRoot).map(_.values.toSeq).getOrElse(Nil)
 
   /** Package-bridging seam for the optimizer rule (which lives in the
     * Spark-internal package tree): prune `paths` for `entry` under the

@@ -93,19 +93,22 @@ object GraftMetadataOnlyAggregate extends Rule[LogicalPlan] {
   private def answers(
       targets: Seq[Target], paths: Seq[Path]): Option[Seq[Any]] = {
     // Data dirs live two levels under the table root (<root>/data/v…) —
-    // same candidate derivation as GraftScanSkipping.
+    // same candidate derivation (and same multi-snapshot disambiguation)
+    // as GraftScanSkipping.
     val candidate = Option(paths.head.getParent).flatMap(p => Option(p.getParent))
-    candidate.map(_.toString).flatMap(SqlSkipping.lookup).flatMap { e =>
-      targets.foldLeft(Option(Vector.empty[Any])) { (acc, t) =>
-        for {
-          vs <- acc
-          v <- t match {
-            case CountOf(c) => SqlSkipping.metadataCount(e, c, paths)
-            case ExtremeOf(c, isMin) =>
-              SqlSkipping.metadataExtreme(e, c, isMin, paths).map(_.orNull)
-          }
-        } yield vs :+ (v: Any)
+    candidate.map(_.toString).map(SqlSkipping.lookup).getOrElse(Nil)
+      .iterator.map { e =>
+        targets.foldLeft(Option(Vector.empty[Any])) { (acc, t) =>
+          for {
+            vs <- acc
+            v <- t match {
+              case CountOf(c) => SqlSkipping.metadataCount(e, c, paths)
+              case ExtremeOf(c, isMin) =>
+                SqlSkipping.metadataExtreme(e, c, isMin, paths).map(_.orNull)
+            }
+          } yield vs :+ (v: Any)
+        }
       }
-    }
+      .collectFirst { case Some(vs) => vs }
   }
 }

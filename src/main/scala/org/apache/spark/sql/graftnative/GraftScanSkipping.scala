@@ -72,10 +72,12 @@ object GraftScanSkipping extends Rule[LogicalPlan] {
       cond: org.apache.spark.sql.catalyst.expressions.Expression,
       paths: Seq[Path]): Option[Seq[Path]] = {
     // All data dirs live two levels under the table root (<root>/data/v…),
-    // so the candidate root is the grand-parent of any scan path.
+    // so the candidate root is the grand-parent of any scan path. Several
+    // snapshots of the table may be registered (head + time-travel
+    // views); the one whose dataDirs cover these paths answers.
     val candidate = Option(paths.head.getParent).flatMap(p => Option(p.getParent))
-    candidate.map(_.toString).flatMap(SqlSkipping.lookup).flatMap { e =>
-      SqlSkipping.prune(e, cond, paths)
-    }
+    candidate.map(_.toString).map(SqlSkipping.lookup).getOrElse(Nil)
+      .iterator.map(e => SqlSkipping.prune(e, cond, paths))
+      .collectFirst { case Some(kept) => kept }
   }
 }

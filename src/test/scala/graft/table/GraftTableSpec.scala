@@ -485,6 +485,45 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().count() === 10) // head (v0's dirs) intact
   }
 
+  test("metadata-only ADD/DROP COLUMN: no rewrite, history intact, names retired") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val root = tmpDir("gt-ddl")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    def files(): Set[String] = t.read().inputFiles.toSet
+    val before = files()
+
+    t.addColumn("tag", StringType)
+    assert(files() === before, "ADD COLUMN must not rewrite files")
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "x", "tag"))
+    assert(t.read().filter(col("tag").isNull).count() === 2)
+    t.append(Seq((3L, 30.0, "c")).toDF("id", "x", "tag"))
+    assert(t.read().filter(col("tag").isNotNull).count() === 1)
+
+    t.dropColumn("x")
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "tag"))
+    assert(t.readVersion(0).schema.fieldNames.toSeq === Seq("id", "x"),
+      "time travel still serves the dropped column")
+    // the physical name is retired — re-adding would resurrect old bytes
+    val e = intercept[IllegalArgumentException] { t.addColumn("x", LongType) }
+    assert(e.getMessage.contains("retired"))
+    // guards: last column, partition columns, constrained columns
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmpDir("gt-ddl-last"), Seq(1L).toDF("only"))
+        .dropColumn("only")
+    }
+    val p = GraftTable.create(spark, tmpDir("gt-ddl-part"),
+      Seq((1L, "a")).toDF("id", "p"), partitionBy = Seq("p"))
+    intercept[IllegalArgumentException] { p.dropColumn("p") }
+    val c = GraftTable.create(spark, tmpDir("gt-ddl-con"),
+      Seq((1L, 5.0)).toDF("id", "bal"))
+    c.addConstraint("pos", "bal >= 0")
+    intercept[IllegalArgumentException] { c.dropColumn("bal") }
+    c.dropConstraint("pos")
+    c.dropColumn("bal") // now fine
+    assert(c.read().schema.fieldNames.toSeq === Seq("id"))
+  }
+
   test("optimizeWrite coalesces small writes to the byte target at the source") {
     import org.apache.hadoop.fs.Path
     def filesOf(t: GraftTable): Int =

@@ -169,6 +169,29 @@ class SqlSkippingSpec extends SparkSpec {
     assert(dv.head().getLong(0) === 900L)
   }
 
+  test("head and versioned views coexist, each pruning and counting from its own snapshot") {
+    val root = tmpDir("sqlskip-ver")
+    val t = GraftTable.create(spark, root, (1L to 1000L).toDF("id"))
+    t.append((1001L to 2000L).toDF("id"))
+    t.append((2001L to 3000L).toDF("id"))
+    t.view("ver_head")
+    t.view("ver_old", versionAsOf = 1)
+    def noScan(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect { case lr: LogicalRelation => lr }.isEmpty
+    // each view reads — and prunes — its own snapshot
+    assert(spark.sql("SELECT * FROM ver_head").count() === 3000)
+    assert(spark.sql("SELECT * FROM ver_old").count() === 2000)
+    val prunedOld = spark.sql("SELECT * FROM ver_old WHERE id <= 1000")
+    assert(scanDirs(prunedOld) === 1, "historical view must prune from its own stats")
+    assert(prunedOld.count() === 1000)
+    assert(scanDirs(spark.sql("SELECT * FROM ver_head WHERE id > 2500")) === 1)
+    // metadata-only counts answer per snapshot
+    val oldCnt = spark.sql("SELECT count(*) AS n FROM ver_old")
+    assert(noScan(oldCnt), "historical count should come from that commit's metadata")
+    assert(oldCnt.head().getLong(0) === 2000L)
+    assert(spark.sql("SELECT count(*) AS n FROM ver_head").head().getLong(0) === 3000L)
+  }
+
   test("view pins its snapshot; later appends don't break registered pruning") {
     val root = tmpDir("sqlskip-pin")
     val t = GraftTable.create(spark, root, (1L to 1000L).toDF("id"))
