@@ -828,8 +828,11 @@ final class GraftTable private (
       // Only LOSSLESS up-casts come off attributes (Spark's own
       // UnwrapCastInBinaryComparison draws the same line): a narrowing
       // cast like CAST(x AS INT) = 5 matches x ∈ [5, 6) — stripping it
-      // would prune on [5, 5] and lose rows.
-      case c: Cast if c.child.isInstanceOf[Attribute] &&
+      // would prune on [5, 5] and lose rows. Struct-field extractions
+      // count as attributes here: their footer stats live under the
+      // dotted leaf path.
+      case c: Cast if (c.child.isInstanceOf[Attribute] ||
+            c.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.GetStructField]) &&
           c.child.dataType.isInstanceOf[NumericType] &&
           c.dataType.isInstanceOf[NumericType] &&
           Cast.canUpCast(c.child.dataType, c.dataType) => c.child
@@ -861,7 +864,7 @@ final class GraftTable private (
     // stats would prune wrongly, so a type mismatch contributes nothing.
     def enc(n: String, v: Any): Option[Double] = {
       import org.apache.spark.sql.types._
-      val colType = schema.find(_.name == n).map(_.dataType)
+      val colType = GraftTable.leafType(schema, n)
       (colType, v) match {
         case (_, null) => None
         case (Some(StringType), s: org.apache.spark.unsafe.types.UTF8String) =>
@@ -875,6 +878,11 @@ final class GraftTable private (
     def attrName(a: Expression): Option[String] = a match {
       case u: UnresolvedAttribute => Some(u.name) // pre-analysis callers
       case att: Attribute => Some(att.name)       // analyzed tree (where())
+      // struct leaves: predicates on s.x skip by the DOTTED footer path
+      // (parquet column chunks are per leaf, so the harvest already
+      // recorded "s.x" stats — nested data prunes like flat data)
+      case g: GetStructField =>
+        attrName(g.child).map(p => s"$p.${g.extractFieldName}")
       case _ => None
     }
     // Null bookkeeping ([[Commit.dirNulls]]): per-dir col → null count,
@@ -917,13 +925,13 @@ final class GraftTable private (
       def bloomOk = loadBloom(n, d) match {
         case None => true
         case Some(bf) =>
-          schema.find(_.name == n).forall { f =>
+          GraftTable.leafType(schema, n).forall { dt =>
             try {
-              val casted = Cast(lit, f.dataType,
+              val casted = Cast(lit, dt,
                 Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
               if (casted == null) true
               else bf.mightContainLong(
-                new XxHash64(Seq(Literal.create(casted, f.dataType)), 42L)
+                new XxHash64(Seq(Literal.create(casted, dt)), 42L)
                   .eval(null).asInstanceOf[Long])
             } catch { case scala.util.control.NonFatal(_) => true }
           }
@@ -2706,6 +2714,21 @@ object GraftTable {
   /** Open-or-create: the streaming first-batch path (spark_streaming.py:362-365). */
   def createIfNotExists(spark: SparkSession, root: String, df: => DataFrame): GraftTable =
     if (isTable(spark, root)) forPath(spark, root) else create(spark, root, df)
+
+  /** The data type at a (possibly dotted) leaf path of `schema`: exact
+    * top-level names win (a column literally named "a.b" keeps working),
+    * then the path walks nested structs — the footer-stats key space. */
+  private[table] def leafType(schema: StructType, dotted: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    schema.find(_.name == dotted).map(_.dataType).orElse {
+      dotted.split('.').toSeq.foldLeft(
+        Option(schema: org.apache.spark.sql.types.DataType)) { (cur, p) =>
+        cur.flatMap {
+          case st: StructType => st.find(_.name == p).map(_.dataType)
+          case _ => None
+        }
+      }
+    }
 
   /** Align `df` to `schema`: missing columns become typed nulls, column
     * order follows `schema` (additive evolution, M6). */

@@ -291,6 +291,30 @@ class PruningSpec extends SparkSpec {
     assert(t.readVersion(2).filter(col("x") < 0).count() === 0)
   }
 
+  test("struct-leaf predicates prune dirs via dotted footer stats") {
+    val root = tmpDir("nested-skip")
+    def rows(lo: Long, hi: Long) =
+      (lo to hi).toDF("id").select(col("id"),
+        struct((col("id") * 10).as("score"),
+          concat(lit("u"), col("id")).as("name")).as("s"))
+        .repartition(2)
+    val t = GraftTable.create(spark, root, rows(1, 1000))
+    t.append(rows(1001, 2000))
+    t.append(rows(2001, 3000))
+    // parquet chunks are per LEAF, so "s.score" has real footer ranges:
+    // a nested predicate prunes exactly like a flat one
+    assert(scannedFiles(t.whereSuperset(col("s.score") <= 5000L)) === 2,
+      "nested range predicate should keep only the low dir")
+    assert(t.where(col("s.score") <= 5000L).count() === 500)
+    // point lookup + conjunction with a top-level column
+    assert(scannedFiles(t.whereSuperset(
+      col("s.score") === 15000L && col("id") > 0L)) === 2)
+    assert(t.where(col("s.score") === 15000L).count() === 1)
+    // where(p) ≡ read().filter(p) holds for nested string leaves too
+    assert(t.where(col("s.name") === "u1500").count() === 1)
+    assert(t.where(col("s.score").isNull).count() === 0)
+  }
+
   test("skippingStats reports per-dir coverage") {
     val root = tmpDir("skipstats")
     val t = GraftTable.create(spark, root, (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "x"))
