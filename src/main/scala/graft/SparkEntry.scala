@@ -126,6 +126,7 @@ object SparkEntry {
     "q99_metadata_minmax"    -> (MutationQueries.metadataMinMaxSql _),
     "q100_convert"           -> (MutationQueries.convertRead _),
     "q101_drop_column"       -> (MutationQueries.dropColumnRead _),
+    "q102_chunk_documents"   -> (CorpusQueries.chunkDocuments _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -249,6 +250,15 @@ object SparkEntry {
     // metadata-only DROP COLUMN: head = full table minus the column
     "q101_drop_column" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+    // RAG chunking: 500-char windows every 400 chars, offsets kept
+    "q102_chunk_documents" ->
+      """SELECT doc_id, chunk_start,
+        |       substr(text, CAST(chunk_start AS INT) + 1, 500) AS chunk
+        |FROM (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, greatest(length(text) - 1, 0), 400)) AS chunk_start
+        |  FROM documents
+        |)""".stripMargin,
     // metadata-only extremes: exact int64/timestamp footer stats
     "q99_metadata_minmax" ->
       """SELECT count(*) AS cnt,

@@ -513,4 +513,19 @@ object CorpusQueries {
       graft.text.Bpe.tokenCount(col("text"), merges).cast("long").as("bpe_tokens"),
       tokenCount(col("text")).cast("long").as("words"))
   }
+
+  /** RAG-style document chunking: fixed 500-char windows every 400 chars
+    * (100-char overlap so a fact straddling a boundary survives in one
+    * piece). Row-local explode + substring — a map-only pass with NO
+    * shuffle whose output partitioning follows the input, which is the
+    * whole story at 100 TB: chunking a corpus costs one scan. Offsets
+    * ride along so chunks join back to their source spans. */
+  def chunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          greatest(length(col("text")).cast("long") - 1, lit(0L)),
+          lit(400L))).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start"),
+        expr("substring(text, CAST(chunk_start AS INT) + 1, 500)").as("chunk"))
 }

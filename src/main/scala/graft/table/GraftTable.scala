@@ -1311,16 +1311,37 @@ final class GraftTable private (
     * Adds one data dir; previous dirs are referenced, never rewritten.
     * Additive schema evolution (M6, `mergeSchema`): new columns extend the
     * snapshot schema; old dirs read back with nulls for them. */
-  def append(df: DataFrame): Commit = appendInternal(df, None).get
+  def append(df: DataFrame): Commit = {
+    val c = appendInternal(df, None).get
+    autoCompact()
+    c
+  }
 
   /** Exactly-once streaming append (Delta's `txn` action): the commit is
     * stamped with (txnAppId, txnBatchId); if this writer already committed
     * this or a later batch — a crash-replay under the at-least-once
     * checkpoint contract — the append is skipped and None returned. */
-  def appendOnce(df: DataFrame, txnAppId: String, txnBatchId: Long): Option[Commit] =
-    this.synchronized {
+  def appendOnce(df: DataFrame, txnAppId: String, txnBatchId: Long): Option[Commit] = {
+    val c = this.synchronized {
       if (lastCommittedBatch(txnAppId).exists(_ >= txnBatchId)) None
       else appendInternal(df, Some((txnAppId, txnBatchId)))
+    }
+    if (c.isDefined) autoCompact()
+    c
+  }
+
+  /** Post-append auto-compaction (Delta's `autoCompact` analogue): when
+    * `spark.graft.autoCompact.maxDirs` is set, an append that leaves more
+    * than that many data dirs triggers [[maybeCompact]] in the same
+    * writer — a streaming sink stops accreting one dir per micro-batch
+    * without a separate maintenance job, and under optimize-write the
+    * files it folds are already near target size.
+    * Best-effort: losing a race to another writer never fails the append
+    * that triggered it. */
+  private def autoCompact(): Unit =
+    spark.conf.getOption("spark.graft.autoCompact.maxDirs").map(_.toInt).foreach { n =>
+      try { maybeCompact(n); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
 
   /** Highest batch id committed by the given writer, if any. */

@@ -547,6 +547,24 @@ class GraftTableSpec extends SparkSpec {
     assert(filesOf(plain) === 4)
   }
 
+  test("autoCompact folds accreted dirs after appends when configured") {
+    def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
+    try {
+      spark.conf.set("spark.graft.autoCompact.maxDirs", "3")
+      val t = GraftTable.create(spark, tmpDir("gt-ac"), rows(1, 100))
+      (1 to 5).foreach(k => t.append(rows(k * 100 + 1, k * 100 + 100)))
+      // without the hook this table would have 6 dirs
+      assert(t.headCommit.get.dataDirs.size <= 3,
+        s"autoCompact should bound dirs, got ${t.headCommit.get.dataDirs.size}")
+      assert(t.read().count() === 600)
+      assert(t.read().agg(sum("id")).head().getLong(0) === (1L to 600L).sum)
+    } finally spark.conf.unset("spark.graft.autoCompact.maxDirs")
+    // unset: appends accrete dirs as before
+    val plain = GraftTable.create(spark, tmpDir("gt-ac-off"), rows(1, 100))
+    plain.append(rows(101, 200)); plain.append(rows(201, 300))
+    assert(plain.headCommit.get.dataDirs.size === 3)
+  }
+
   test("convert upgrades a plain parquet dir in place: rename, stats, full surface") {
     import org.apache.hadoop.fs.Path
     val root = tmpDir("gt-convert") + "/legacy"
