@@ -1332,17 +1332,52 @@ final class GraftTable private (
 
   /** Post-append auto-compaction (Delta's `autoCompact` analogue): when
     * `spark.graft.autoCompact.maxDirs` is set, an append that leaves more
-    * than that many data dirs triggers [[maybeCompact]] in the same
+    * than that many data dirs triggers [[compactSmall]] in the same
     * writer — a streaming sink stops accreting one dir per micro-batch
-    * without a separate maintenance job, and under optimize-write the
-    * files it folds are already near target size.
+    * without a separate maintenance job, and ONLY the small tail is
+    * folded: mature target-size dirs are never rewritten by the hook.
     * Best-effort: losing a race to another writer never fails the append
     * that triggered it. */
   private def autoCompact(): Unit =
     spark.conf.getOption("spark.graft.autoCompact.maxDirs").map(_.toInt).foreach { n =>
-      try { maybeCompact(n); () }
+      try { compactSmall(maxDataDirs = n); () }
       catch { case scala.util.control.NonFatal(_) => () }
     }
+
+  /** BIN-PACKING compaction — Delta OPTIMIZE's actual production
+    * contract, vs [[optimize]]'s rewrite-the-world: fold ONLY the dirs
+    * whose bytes fall below `smallDirBytes` into target-size files,
+    * carrying every mature dir untouched with its stats. At 100 TB the
+    * small tail a streaming sink accretes is megabytes; rewriting it
+    * costs seconds while blanket OPTIMIZE would rewrite the table.
+    * No-ops (None) when fewer than two dirs qualify, when the dir count
+    * is within `maxDataDirs`, or when merge-on-read state exists (a
+    * partial rewrite can't split tombstone coverage — run
+    * [[materializeDeletes]] first). Commits rebase over concurrent
+    * appends like every OPTIMIZE. */
+  def compactSmall(targetFileBytes: Long = 128L * 1024 * 1024,
+      smallDirBytes: Long = -1L,
+      maxDataDirs: Int = 0): Option[Commit] = this.synchronized {
+    val prev = log.latest().getOrElse(return None)
+    if (prev.tombstoneDirs.nonEmpty || prev.dvDirs.nonEmpty) return None
+    if (prev.dataDirs.size <= maxDataDirs) return None
+    val threshold = if (smallDirBytes > 0) smallDirBytes else targetFileBytes
+    val sized = prev.dataDirs.map { d =>
+      d -> fs.getContentSummary(new Path(root, d)).getLength
+    }
+    val small = sized.filter(_._2 < threshold)
+    if (small.size < 2) return None
+    val smallDirs = small.map(_._1)
+    val smallBytes = small.map(_._2).sum
+    val numFiles = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
+    val subset = readCommitInternal(prev.copy(dataDirs = smallDirs), withPos = false)
+    val dir = writeData(subset.repartition(numFiles), prev.version + 1,
+      prev.partitionCols, rebalance = false)
+    val meta = metaFor(dir)
+    Some(commitOptimizeRebased(prev, smallDirs, dir, meta,
+      Map("numRewrittenDirs" -> smallDirs.size.toLong,
+        "numFiles" -> numFiles.toLong, "numBytes" -> smallBytes)))
+  }
 
   /** Highest batch id committed by the given writer, if any. */
   def lastCommittedBatch(txnAppId: String): Option[Long] =

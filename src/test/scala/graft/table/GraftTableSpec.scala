@@ -547,6 +547,32 @@ class GraftTableSpec extends SparkSpec {
     assert(filesOf(plain) === 4)
   }
 
+  test("compactSmall folds only the small tail; mature dirs survive untouched") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir("gt-binpack")
+    // one "mature" dir (big row count) + three tiny streaming-style appends
+    val t = GraftTable.create(spark, root, (1L to 50000L).map(i => (i, i * 1.0)).toDF("id", "x"))
+    (0 until 3).foreach { k =>
+      t.append(((50001L + k * 10) to (50010L + k * 10)).map(i => (i, i * 1.0)).toDF("id", "x"))
+    }
+    val bigDir = t.headCommit.get.dataDirs.head
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val bigMtimes = fs.listStatus(new Path(root, bigDir)).map(s => s.getPath.getName -> s.getModificationTime).toMap
+
+    val smallBytes = fs.getContentSummary(new Path(root, t.headCommit.get.dataDirs.last)).getLength
+    val c = t.compactSmall(smallDirBytes = smallBytes * 10).get
+    assert(c.dataDirs.size === 2, "big dir + one folded dir")
+    assert(c.dataDirs.contains(bigDir), "the mature dir must survive")
+    assert(fs.listStatus(new Path(root, bigDir)).map(s => s.getPath.getName -> s.getModificationTime).toMap
+      === bigMtimes, "the mature dir must be byte-untouched")
+    assert(t.read().count() === 50030)
+    // nothing left to fold → no empty commit
+    assert(t.compactSmall(smallDirBytes = smallBytes * 10).isEmpty)
+    // a single small dir is not worth a commit either
+    t.append(Seq((99999L, 1.0)).toDF("id", "x"))
+    assert(t.compactSmall(smallDirBytes = 10L).isEmpty)
+  }
+
   test("autoCompact folds accreted dirs after appends when configured") {
     def rows(lo: Long, hi: Long) = (lo to hi).map(i => (i, i * 1.0)).toDF("id", "x")
     try {
