@@ -1390,6 +1390,31 @@ final class GraftTable private (
     * concurrent commit and exercise the rebase path. No-op in production. */
   private[table] var beforeCommitHook: () => Unit = () => ()
 
+  /** Schema ENFORCEMENT (Delta's write contract): a frame column whose
+    * type cannot up-cast LOSSLESSLY to the table's declared type is
+    * rejected instead of silently coerced — `alignTo`'s cast would
+    * otherwise turn a long→int overflow or a malformed string→timestamp
+    * into nulls/garbage that no one asked for, at 100 TB silently and
+    * permanently. Additive new columns are untouched (evolution is
+    * `mergeSchemas`' job); `spark.graft.schema.allowLossyCasts=true`
+    * opts back into the old coercion for deliberate migrations. */
+  private def enforceCompatibleTypes(
+      incoming: StructType, table: StructType, op: String): Unit = {
+    if (spark.conf.getOption("spark.graft.schema.allowLossyCasts").contains("true")) return
+    val declared = table.fields.map(f => f.name -> f.dataType).toMap
+    val bad = incoming.fields.filter { f =>
+      declared.get(f.name).exists(t => t != f.dataType &&
+        !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f.dataType, t))
+    }
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"schema enforcement on $op to $root: column(s) " +
+          bad.map(f => s"${f.name} (${f.dataType.simpleString} -> " +
+            s"${declared(f.name).simpleString})").mkString(", ") +
+          " cannot cast losslessly to the table type — fix the writer, or set " +
+          "spark.graft.schema.allowLossyCasts=true to coerce anyway")
+  }
+
   /** Append with OPTIMISTIC-CONCURRENCY rebase: appends commute with any
     * concurrent commit (they reference the previous snapshot's dirs, never
     * its contents), so when another writer wins the version race the append
@@ -1411,6 +1436,7 @@ final class GraftTable private (
           StructType(ps.fields ++ s.fields.filterNot(f => ps.fieldNames.contains(f.name)))
       }
       var mergedSchema = mergeSchemas(prev, df.schema)
+      enforceCompatibleTypes(df.schema, mergedSchema, "append")
       val aligned = alignTo(df, mergedSchema)
       def constraintsOf(p: Option[Commit]): Map[String, String] =
         p.map(_.properties).getOrElse(Map.empty)
@@ -1603,6 +1629,7 @@ final class GraftTable private (
       val targetSchema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
       val mergedSchema = StructType(targetSchema.fields ++
         source.schema.fields.filterNot(f => targetSchema.fieldNames.contains(f.name)))
+      enforceCompatibleTypes(source.schema, mergedSchema, "merge")
       val sourceCols = source.columns.toSet
 
       val t = alignTo(readCommit(prev), mergedSchema).alias("t")
@@ -2450,6 +2477,7 @@ final class GraftTable private (
     val v = prev.version + 1
     val tsMs = System.currentTimeMillis()
     val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+    enforceCompatibleTypes(df.schema, schema, "replaceWhere")
     val aligned = GraftTable.alignTo(df, schema)
     val matches = coalesce(predicate, lit(false))
     if (!aligned.filter(!matches).isEmpty)

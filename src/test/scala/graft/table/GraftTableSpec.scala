@@ -547,6 +547,33 @@ class GraftTableSpec extends SparkSpec {
     assert(filesOf(plain) === 4)
   }
 
+  test("schema enforcement: lossy appends rejected, lossless widenings pass") {
+    val root = tmpDir("gt-enforce")
+    val t = GraftTable.create(spark, root, Seq((1L, 10.0, "a")).toDF("id", "x", "tag"))
+    // lossless: Int ids up-cast to the table's Long
+    t.append(Seq((2, 20.0, "b")).toDF("id", "x", "tag"))
+    assert(t.read().count() === 2)
+    // lossy: Double into Long, String into Double — rejected, not nulled
+    val e = intercept[IllegalArgumentException] {
+      t.append(Seq((3.5, 30.0, "c")).toDF("id", "x", "tag"))
+    }
+    assert(e.getMessage.contains("schema enforcement"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((4L, "not-a-number", "d")).toDF("id", "x", "tag"))
+    }
+    assert(t.read().count() === 2, "rejected appends must not commit")
+    // the documented escape hatch coerces deliberately
+    try {
+      spark.conf.set("spark.graft.schema.allowLossyCasts", "true")
+      t.append(Seq((5.9, 50.0, "e")).toDF("id", "x", "tag"))
+      assert(t.read().filter(col("id") === 5L).count() === 1)
+    } finally spark.conf.unset("spark.graft.schema.allowLossyCasts")
+    // merge enforces the same contract
+    intercept[IllegalArgumentException] {
+      t.merge(Seq(("oops", 1.0, "f")).toDF("id", "x", "tag"), "id")
+    }
+  }
+
   test("compactSmall folds only the small tail; mature dirs survive untouched") {
     import org.apache.hadoop.fs.Path
     val root = tmpDir("gt-binpack")
