@@ -127,6 +127,8 @@ object SparkEntry {
     "q100_convert"           -> (MutationQueries.convertRead _),
     "q101_drop_column"       -> (MutationQueries.dropColumnRead _),
     "q102_chunk_documents"   -> (CorpusQueries.chunkDocuments _),
+    "q103_generated_column"  -> (MutationQueries.generatedColumnRead _),
+    "q104_identity_column"   -> (MutationQueries.identityColumnSummary _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -250,6 +252,17 @@ object SparkEntry {
     // metadata-only DROP COLUMN: head = full table minus the column
     "q101_drop_column" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+    // GENERATED ALWAYS AS (year(o_orderdate)): writers omitted the column,
+    // the engine materialized it — snapshot = plain SQL over the source
+    "q103_generated_column" ->
+      "SELECT *, CAST(year(o_orderdate) AS INT) AS o_year FROM orders",
+    // IDENTITY invariants (ids are engine-assigned, unique, >= start; the
+    // values themselves are block-reserved, so the CHECKABLE projection is
+    // the invariant summary, not the ids)
+    "q104_identity_column" ->
+      """SELECT count(*) AS n_rows, count(*) AS n_ids,
+        |       CAST(0 AS BIGINT) AS below_start, CAST(0 AS BIGINT) AS null_ids
+        |FROM orders""".stripMargin,
     // RAG chunking: 500-char windows every 400 chars, offsets kept
     "q102_chunk_documents" ->
       """SELECT doc_id, chunk_start,

@@ -268,6 +268,50 @@ object MutationQueries {
   def dropColumnRead(spark: SparkSession, dir: String): DataFrame =
     droppedColTable(spark, dir).read()
 
+  /** Orders table with a CREATE-declared generated column
+    * `o_year = year(o_orderdate)` (GENERATED ALWAYS AS): created from the
+    * even keys and appended the odd keys, BOTH writes omitting the column
+    * — the engine materializes it, and a follow-up merge that rewrites
+    * every even row must recompute (not carry) the derived value. */
+  private def generatedOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "generated") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("gencol"),
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        Nil, Map("o_year" -> "year(o_orderdate)"), Map.empty)
+      t.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      t
+    }
+
+  /** Generated-column end-to-end: the snapshot equals plain SQL
+    * `year(o_orderdate)` over the source — writers never computed it. */
+  def generatedColumnRead(spark: SparkSession, dir: String): DataFrame =
+    generatedOrdersTable(spark, dir).read()
+
+  /** Orders table with a CREATE-declared IDENTITY column (start 1, step 1)
+    * assigned by the engine across a create + an append, none provided by
+    * the writer. Ids are unique and ascending but NOT gap-free (per-task
+    * block reservation), so the oracle-checkable projection is the
+    * uniqueness invariant itself. */
+  private def identityOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "identity") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("ident"),
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        Nil, Map.empty, Map("o_rid" -> (1L, 1L)))
+      t.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      t
+    }
+
+  /** Identity-column invariants as a deterministic summary: every row got
+    * an id, all ids distinct, none below the declared start. */
+  def identityColumnSummary(spark: SparkSession, dir: String): DataFrame =
+    identityOrdersTable(spark, dir).read().agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("o_rid")).as("n_ids"),
+      sum(when(col("o_rid") >= 1L, lit(0L)).otherwise(lit(1L))).as("below_start"),
+      sum(when(col("o_rid").isNull, lit(1L)).otherwise(lit(0L))).as("null_ids"))
+
   private def optimizeWhereTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "optwhere-orders") {
       val orders = Tables.orders(spark, dir)

@@ -1415,6 +1415,98 @@ final class GraftTable private (
           "spark.graft.schema.allowLossyCasts=true to coerce anyway")
   }
 
+  // ------------------------------------------- generated & identity columns
+
+  /** Declared generation expressions (col → SQL expr) of a property map. */
+  private def generatedSpecs(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(GeneratedColPrefix) =>
+      k.stripPrefix(GeneratedColPrefix) -> v
+    }
+
+  /** Declared identity columns (col → (start, step)). */
+  private def identitySpecs(props: Map[String, String]): Map[String, (Long, Long)] =
+    props.collect { case (k, v) if k.startsWith(IdentitySpecPrefix) =>
+      val Array(s, st) = v.split(',')
+      k.stripPrefix(IdentitySpecPrefix) -> (s.toLong, st.toLong)
+    }
+
+  /** Last value each identity column has allocated (the high watermark);
+    * `start - step` before the first allocation so the first id is
+    * exactly `start`. */
+  private def identityHwms(props: Map[String, String],
+      specs: Map[String, (Long, Long)]): Map[String, Long] =
+    specs.map { case (n, (start, step)) =>
+      n -> props.get(IdentityHwmPrefix + n).map(_.toLong).getOrElse(start - step)
+    }
+
+  /** GENERATED ALWAYS AS (expr) on the write path (Delta parity): a frame
+    * that OMITS the column gets it computed — zero extra jobs; a frame that
+    * PROVIDES it is validated (null-safe) against the expression and
+    * rejected on mismatch, so the declared invariant `col = expr(row)`
+    * holds for every committed row and data skipping on the materialized
+    * column is always consistent with the base columns. */
+  private def applyGenerated(df: DataFrame, props: Map[String, String],
+      op: String): DataFrame =
+    generatedSpecs(props).foldLeft(df) { case (d, (name, sql)) =>
+      if (!d.columns.contains(name)) d.withColumn(name, expr(sql))
+      else {
+        if (!d.filter(!(col(name) <=> expr(sql))).isEmpty)
+          throw new IllegalArgumentException(
+            s"generated column $name of $root: provided values disagree with " +
+              s"GENERATED ALWAYS AS ($sql) on $op — omit the column to have it computed")
+        d
+      }
+    }
+
+  /** GENERATED BY DEFAULT AS IDENTITY on the write path: rows that omit
+    * the column (or carry NULL) are assigned `hwm + step·(1 + task-unique
+    * counter)` via [[monotonically_increasing_id]] — each task owns a
+    * disjoint id block, so assignment is one pure column expression, no
+    * shuffle, no driver round-trip, exactly the per-task range-reservation
+    * scheme Delta uses. Ids are UNIQUE and ascend across commits; like
+    * Delta's, they are NOT gap-free (unclaimed block remainders are
+    * skipped). Caller-provided non-null values are kept verbatim (BY
+    * DEFAULT semantics — uniqueness against engine-assigned ids is then
+    * the caller's contract, as in Delta). */
+  private def fillIdentity(df: DataFrame, specs: Map[String, (Long, Long)],
+      hwm: Map[String, Long]): DataFrame =
+    specs.foldLeft(df) { case (d, (name, (_, step))) =>
+      val assign = lit(hwm(name)) + lit(step) * (monotonically_increasing_id() + lit(1L))
+      if (!d.columns.contains(name)) d.withColumn(name, assign)
+      else d.withColumn(name,
+        when(col(name).isNotNull, col(name).cast("long")).otherwise(assign))
+    }
+
+  /** High-watermark property updates for a just-written dir, read from the
+    * footer stats the write already harvested (no extra job). The stats map
+    * is Double-valued, exact for |id| < 2^52 — ids beyond that (never
+    * reachable from sane start/step: 32 partitions × 2^33 block stride per
+    * append) fall back to one max() scan for correctness. */
+  private def identityHwmUpdates(dirName: String, meta: DirMeta,
+      specs: Map[String, (Long, Long)], hwm: Map[String, Long]): Map[String, String] =
+    specs.keys.flatMap { n =>
+      val exactLimit = 1L << 52
+      val written: Option[Long] = meta.stats.get(n).map(_._2) match {
+        case Some(mx) if math.abs(mx) < exactLimit => Some(mx.toLong)
+        case Some(_) =>
+          Some(spark.read.parquet(new Path(root, dirName).toString)
+            .agg(max(col(n))).head().getLong(0))
+        case None => None // empty write (or no such column): hwm unchanged
+      }
+      written.map(w => IdentityHwmPrefix + n -> math.max(w, hwm(n)).toString)
+    }.toMap
+
+  /** Shared write-path preparation for every row-adding operation:
+    * generated columns computed/validated, identity columns filled.
+    * Returns the prepared frame plus the identity specs and the hwm base
+    * used (the commit must persist [[identityHwmUpdates]] against them). */
+  private def prepareWrite(df: DataFrame, props: Map[String, String], op: String)
+      : (DataFrame, Map[String, (Long, Long)], Map[String, Long]) = {
+    val specs = identitySpecs(props)
+    val hwm = identityHwms(props, specs)
+    (fillIdentity(applyGenerated(df, props, op), specs, hwm), specs, hwm)
+  }
+
   /** Append with OPTIMISTIC-CONCURRENCY rebase: appends commute with any
     * concurrent commit (they reference the previous snapshot's dirs, never
     * its contents), so when another writer wins the version race the append
@@ -1422,6 +1514,10 @@ final class GraftTable private (
     * against the new head, commit retried at head+1 — and both writers'
     * rows land. Snapshot-REWRITING operations (merge/delete/...) abort
     * instead ([[commitRewrite]]): they computed from a now-stale snapshot.
+    * IDENTITY caveat: id allocation does NOT commute — when the refreshed
+    * head's high watermark moved (a concurrent append allocated ids), the
+    * written dir is discarded and re-written with ids re-assigned above the
+    * new watermark, so engine-assigned ids stay unique under contention.
     * Returns None iff a txn-stamped batch turns out to be already committed
     * (possibly discovered mid-rebase). */
   private def appendInternal(df: DataFrame, txn: Option[(String, Long)]): Option[Commit] =
@@ -1435,17 +1531,25 @@ final class GraftTable private (
           val ps = DataType.fromJson(pc.schemaJson).asInstanceOf[StructType]
           StructType(ps.fields ++ s.fields.filterNot(f => ps.fieldNames.contains(f.name)))
       }
-      var mergedSchema = mergeSchemas(prev, df.schema)
-      enforceCompatibleTypes(df.schema, mergedSchema, "append")
-      val aligned = alignTo(df, mergedSchema)
+      val props0 = prev.map(_.properties).getOrElse(Map.empty)
+      // generated cols computed/validated; identity ids assigned above hwm.
+      // gdf (pre-identity) is kept: a rebase over a concurrent allocation
+      // re-fills ids from it against the moved watermark.
+      val gdf = applyGenerated(df, props0, "append")
+      val idSpecs = identitySpecs(props0)
+      var idHwm = identityHwms(props0, idSpecs)
+      val prepared = fillIdentity(gdf, idSpecs, idHwm)
+      var mergedSchema = mergeSchemas(prev, prepared.schema)
+      enforceCompatibleTypes(prepared.schema, mergedSchema, "append")
+      var aligned = alignTo(prepared, mergedSchema)
       def constraintsOf(p: Option[Commit]): Map[String, String] =
         p.map(_.properties).getOrElse(Map.empty)
           .filter { case (k, _) => k.startsWith(ConstraintPrefix) }
       var validatedConstraints = constraintsOf(prev)
       enforceConstraints(aligned, prev, "APPEND")
       var dir = writeData(aligned, v)
-      val added = countDir(dir)
-      val meta = metaFor(dir)
+      var added = countDir(dir)
+      var meta = metaFor(dir)
       beforeCommitHook()
       var attempts = 0
       while (true) {
@@ -1457,7 +1561,8 @@ final class GraftTable private (
           // Appends accumulate dirs, so each one records skipping stats and
           // carries the earlier dirs' stats forward in the head commit.
           prev.map(_.dirStats).getOrElse(Map.empty) + (dir -> meta.stats),
-          properties = prev.map(_.properties).getOrElse(Map.empty),
+          properties = prev.map(_.properties).getOrElse(Map.empty) ++
+            identityHwmUpdates(dir, meta, idSpecs, idHwm),
           tombstoneDirs = prev.map(_.tombstoneDirs).getOrElse(Nil),
           dvDirs = prev.map(_.dvDirs).getOrElse(Nil),
           dirNulls = prev.map(_.dirNulls).getOrElse(Map.empty) + (dir -> meta.nulls))
@@ -1480,6 +1585,19 @@ final class GraftTable private (
             // recompute version/schema/lineage against the new head.
             v = prev.map(_.version + 1).getOrElse(0L)
             mergedSchema = mergeSchemas(prev, aligned.schema)
+            // Identity allocation does NOT commute: if the refreshed head's
+            // watermark moved (a concurrent append assigned ids), our ids
+            // may collide — discard the dir and re-write with ids
+            // re-assigned above the new watermark.
+            val newHwm = identityHwms(prev.map(_.properties).getOrElse(Map.empty), idSpecs)
+            if (idSpecs.nonEmpty && newHwm != idHwm) {
+              fs.delete(new Path(root, dir), true)
+              idHwm = newHwm
+              aligned = alignTo(fillIdentity(gdf, idSpecs, idHwm), mergedSchema)
+              dir = writeData(aligned, v)
+              added = countDir(dir)
+              meta = metaFor(dir)
+            }
             // A concurrent ADD CONSTRAINT is a metadata conflict appends do
             // NOT commute with: the refreshed head may advertise checks the
             // initial validation never ran, so re-validate whenever the
@@ -1536,21 +1654,27 @@ final class GraftTable private (
     }
 
   private def overwriteInternal(df: DataFrame, partitionBy: Seq[String],
-      txn: Option[(String, Long)]): Commit = this.synchronized {
+      txn: Option[(String, Long)],
+      extraProps: Map[String, String] = Map.empty): Commit = this.synchronized {
     val prev = log.latest()
     val v = version + 1
     val tsMs = System.currentTimeMillis()
-    enforceConstraints(df, prev, "WRITE")
-    val dir = writeData(df, v, partitionBy)
+    // extraProps is the CREATE-time declaration channel (generated/identity
+    // column specs): folded in before preparation so the very first write
+    // already computes/assigns them.
+    val props0 = prev.map(_.properties).getOrElse(Map.empty) ++ extraProps
+    val (prepared, idSpecs, idHwm) = prepareWrite(df, props0, "overwrite")
+    enforceConstraints(prepared, prev, "WRITE")
+    val dir = writeData(prepared, v, partitionBy)
     val meta = metaFor(dir)
     val c = Commit(v, tsMs, if (v == 0) "CREATE" else "WRITE", Seq(dir),
-      Map("numOutputRows" -> countDir(dir)), df.schema.json,
+      Map("numOutputRows" -> countDir(dir)), prepared.schema.json,
       txn.map(_._1), txn.map(_._2),
       partitionCols = partitionBy,
       // Every commit that writes a dir records its skipping stats — a
       // CREATE-then-append table would otherwise carry one forever-unprunable dir.
       dirStats = Map(dir -> meta.stats),
-      properties = rewriteProps(prev.map(_.properties).getOrElse(Map.empty)),
+      properties = rewriteProps(props0) ++ identityHwmUpdates(dir, meta, idSpecs, idHwm),
       dirNulls = Map(dir -> meta.nulls))
     commitRewrite(c, Seq(dir))
   }
@@ -1655,7 +1779,20 @@ final class GraftTable private (
       val isUpdate = tPresent && sPresent && (if (changedOnly) changedCond else lit(true))
 
       val outCols = mergedSchema.fieldNames.toSeq
-      val snapshot = joined.select(outCols.map(c => mergedVal(c).as(c)): _*)
+      val snapshot0 = joined.select(outCols.map(c => mergedVal(c).as(c)): _*)
+      // Generated columns are pure functions of the row: recompute them on
+      // the POST-merge image (a source that updates a base column must not
+      // leave the target's stale derived value; inserts from a source that
+      // omits the column must not land null). Identity columns fill only
+      // the inserted rows' nulls; CDF insert postimages carry null for
+      // engine-assigned ids (the assignment happens in the snapshot job —
+      // documented divergence, sources that care provide ids).
+      val genSpecs = generatedSpecs(prev.properties)
+      val idSpecs = identitySpecs(prev.properties)
+      val idHwm = identityHwms(prev.properties, idSpecs)
+      val regenerated = genSpecs.foldLeft(snapshot0) { case (d, (n, e)) =>
+        d.withColumn(n, expr(e)) }
+      val snapshot = fillIdentity(regenerated, idSpecs, idHwm)
       enforceConstraints(snapshot, Some(prev), "MERGE")
       val dir = writeData(snapshot, v)
 
@@ -1669,10 +1806,15 @@ final class GraftTable private (
       }
       // No `otherwise`: unmatched branches yield a null array, which explode
       // drops — unchanged rows emit no CDF rows, in one pass over the join.
-      val changeRows = joined.select(explode(
+      // Generated columns recompute on each image too (pure row functions:
+      // exact for pre- AND post-images), keeping CDF consistent with the
+      // snapshot's regeneration.
+      val changeRows0 = joined.select(explode(
         when(!tPresent && sPresent, array(image("s", "insert")))
           .when(isUpdate, array(image("t", "update_preimage"), image("s", "update_postimage")))
       ).as("c")).select("c.*")
+      val changeRows = genSpecs.foldLeft(changeRows0) { case (d, (n, e)) =>
+        d.withColumn(n, expr(e)) }
       val (chDir, cdfMetrics) = writeChanges(changeRows, v, tsMs)
 
       val mergeMeta = metaFor(dir)
@@ -1682,7 +1824,8 @@ final class GraftTable private (
         "numOutputRows" -> countDir(dir)), mergedSchema.json,
         partitionCols = prev.partitionCols, changesDir = Some(chDir),
         dirStats = Map(dir -> mergeMeta.stats),
-        properties = rewriteProps(prev.properties),
+        properties = rewriteProps(prev.properties) ++
+          identityHwmUpdates(dir, mergeMeta, idSpecs, idHwm),
         dirNulls = Map(dir -> mergeMeta.nulls))
       commitRewrite(c, Seq(dir, chDir))
     }
@@ -2477,8 +2620,9 @@ final class GraftTable private (
     val v = prev.version + 1
     val tsMs = System.currentTimeMillis()
     val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
-    enforceCompatibleTypes(df.schema, schema, "replaceWhere")
-    val aligned = GraftTable.alignTo(df, schema)
+    val (prepared, idSpecs, idHwm) = prepareWrite(df, prev.properties, "replaceWhere")
+    enforceCompatibleTypes(prepared.schema, schema, "replaceWhere")
+    val aligned = GraftTable.alignTo(prepared, schema)
     val matches = coalesce(predicate, lit(false))
     if (!aligned.filter(!matches).isEmpty)
       throw new IllegalArgumentException(
@@ -2497,7 +2641,8 @@ final class GraftTable private (
       partitionCols = prev.partitionCols,
       dirStats = prev.dirStats.view.filterKeys(untouched.contains).toMap +
         (dir -> meta.stats),
-      properties = rewriteProps(prev.properties),
+      properties = rewriteProps(prev.properties) ++
+        identityHwmUpdates(dir, meta, idSpecs, idHwm),
       dirNulls = prev.dirNulls.view.filterKeys(untouched.contains).toMap +
         (dir -> meta.nulls))
     commitRewrite(c, Seq(dir))
@@ -2711,6 +2856,9 @@ object GraftTable {
   private[table] val ConstraintPrefix = "constraint."
   private[table] val TombstoneCoverPrefix = "tombstone.cover."
   private[table] val DroppedColPrefix = "graft.droppedCol."
+  private[table] val GeneratedColPrefix = "graft.generatedCol."
+  private[table] val IdentitySpecPrefix = "graft.identityCol."
+  private[table] val IdentityHwmPrefix = "graft.identityHwm."
 
   /** Order-preserving encoding of a byte string's first 6 bytes into a
     * Double (48 bits — exact in the 53-bit mantissa): unsigned
@@ -2768,10 +2916,47 @@ object GraftTable {
     * hive-style partitioning: every later commit keeps it, and reads prune
     * partitions on matching filters. */
   def create(spark: SparkSession, root: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): GraftTable = {
+      partitionBy: Seq[String] = Nil): GraftTable =
+    create(spark, root, df, partitionBy, Map.empty, Map.empty)
+
+  /** Create with GENERATED and/or IDENTITY column declarations (Delta
+    * parity: both are declared at table creation, never retrofitted).
+    *
+    *  - `generated`: col → SQL expression over the other columns
+    *    (GENERATED ALWAYS AS). Writers that omit the column get it
+    *    computed; writers that provide it are validated. The column is
+    *    MATERIALIZED, so footer min/max stats prune on it like any other —
+    *    the classic `event_date generated as date(ts)` partition/skipping
+    *    pattern at 100 TB costs writers nothing.
+    *  - `identity`: col → (start, step), step > 0 (GENERATED BY DEFAULT AS
+    *    IDENTITY). Engine-assigned ids are unique and ascend across
+    *    commits (per-task block reservation — no shuffle, no driver
+    *    sequence bottleneck); gaps are normal, exactly as in Delta.
+    *
+    * A generated column may be listed in `partitionBy` (it is computed
+    * before the write lays out partitions). */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String],
+      generated: Map[String, String],
+      identity: Map[String, (Long, Long)]): GraftTable = {
     val t = new GraftTable(spark, root)
     require(t.version < 0, s"table already exists at $root")
-    t.overwrite(df, partitionBy)
+    generated.keys.foreach(n => require(!identity.contains(n),
+      s"column $n cannot be both generated and identity"))
+    identity.foreach { case (n, (_, step)) =>
+      require(step > 0, s"identity column $n: step must be positive (got $step)")
+      // partition values live in dir paths, outside the footer stats the
+      // high-watermark update reads — refuse the combination
+      require(!partitionBy.contains(n),
+        s"identity column $n cannot be a partition column")
+      require(!df.columns.contains(n) ||
+        df.schema(n).dataType == org.apache.spark.sql.types.LongType,
+        s"identity column $n must be LONG, the frame provides ${df.schema(n).dataType}")
+    }
+    val declared =
+      generated.map { case (n, e) => GeneratedColPrefix + n -> e } ++
+        identity.map { case (n, (s, st)) => IdentitySpecPrefix + n -> s"$s,$st" }
+    t.overwriteInternal(df, partitionBy, None, declared.toMap)
     t
   }
 

@@ -574,6 +574,66 @@ class GraftTableSpec extends SparkSpec {
     }
   }
 
+  test("generated columns: computed when omitted, validated when provided, recomputed on merge") {
+    val root = tmpDir("gt-gen")
+    def rows(xs: (Long, String)*) = xs.toSeq.toDF("id", "day")
+      .withColumn("ts", to_timestamp(col("day"))).drop("day")
+    val t = GraftTable.create(spark, root, rows((1L, "2024-01-15"), (2L, "2024-03-02")),
+      Nil, Map("ev_month" -> "month(ts)"), Map.empty)
+    assert(t.read().filter(col("ev_month") === 1).count() === 1)
+    // omitted on append → engine computes
+    t.append(rows((3L, "2024-05-20")))
+    assert(t.read().filter(col("id") === 3L && col("ev_month") === 5).count() === 1)
+    // provided and consistent → accepted
+    t.append(rows((4L, "2024-07-01")).withColumn("ev_month", month(col("ts"))))
+    // provided but inconsistent → rejected before any commit
+    val e = intercept[IllegalArgumentException] {
+      t.append(rows((5L, "2024-08-01")).withColumn("ev_month", lit(99)))
+    }
+    assert(e.getMessage.contains("generated column"))
+    assert(t.read().count() === 4)
+    // merge that moves the base column must RECOMPUTE the derived value
+    t.merge(rows((1L, "2024-06-30")), "id")
+    assert(t.read().filter(col("id") === 1L).select("ev_month").head().getInt(0) === 6)
+    // and merge-INSERTED rows get the computed value too
+    t.merge(rows((9L, "2024-11-11")), "id")
+    assert(t.read().filter(col("id") === 9L).select("ev_month").head().getInt(0) === 11)
+  }
+
+  test("identity columns: unique ascending ids across appends; rebase over a concurrent allocation") {
+    val root = tmpDir("gt-ident")
+    val t = GraftTable.create(spark, root, Seq("a", "b", "c").toDF("tag"),
+      Nil, Map.empty, Map("rid" -> (100L, 2L)))
+    def ids(g: GraftTable): Seq[Long] =
+      g.read().select("rid").collect().toSeq.map(_.getLong(0))
+    val ids0 = ids(t)
+    assert(ids0.size === 3 && ids0.distinct.size === 3)
+    assert(ids0.forall(_ >= 100L), s"ids below start: $ids0")
+    // appended rows allocate strictly above the committed watermark
+    t.append(Seq("d", "e").toDF("tag"))
+    val ids1 = ids(t)
+    assert(ids1.distinct.size === 5)
+    assert((ids1.toSet -- ids0.toSet).forall(_ > ids0.max))
+    // caller-provided ids are kept verbatim (BY DEFAULT semantics)
+    t.append(Seq((424242L, "f")).toDF("rid", "tag"))
+    assert(ids(t).contains(424242L))
+    // NULL id cells are treated as omitted and filled
+    t.append(Seq(("g", Option.empty[Long])).toDF("tag", "rid"))
+    assert(ids(t).size === 7 && ids(t).distinct.size === 7)
+
+    // RACE: a concurrent append allocates between our write and commit —
+    // the rebase must re-assign above the moved watermark, never collide
+    val t2 = GraftTable.forPath(spark, root)
+    t.beforeCommitHook = () => {
+      t2.append(Seq("x", "y", "z").toDF("tag"))
+      t.beforeCommitHook = () => ()
+    }
+    t.append(Seq("h", "i").toDF("tag"))
+    val finalIds = ids(t)
+    assert(finalIds.size === 12, s"lost rows under race: $finalIds")
+    assert(finalIds.distinct.size === 12, s"identity collision under race: $finalIds")
+  }
+
   test("compactSmall folds only the small tail; mature dirs survive untouched") {
     import org.apache.hadoop.fs.Path
     val root = tmpDir("gt-binpack")
