@@ -129,6 +129,7 @@ object SparkEntry {
     "q102_chunk_documents"   -> (CorpusQueries.chunkDocuments _),
     "q103_generated_column"  -> (MutationQueries.generatedColumnRead _),
     "q104_identity_column"   -> (MutationQueries.identityColumnSummary _),
+    "q105_manifest_read"     -> (MutationQueries.manifestExternalRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -252,6 +253,9 @@ object SparkEntry {
     // metadata-only DROP COLUMN: head = full table minus the column
     "q101_drop_column" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+    // symlink manifest: an external engine reading only the listed parquet
+    // paths (no commit log) sees exactly the snapshot
+    "q105_manifest_read" -> "SELECT * FROM orders",
     // GENERATED ALWAYS AS (year(o_orderdate)): writers omitted the column,
     // the engine materialized it — snapshot = plain SQL over the source
     "q103_generated_column" ->

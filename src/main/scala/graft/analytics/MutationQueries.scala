@@ -312,6 +312,25 @@ object MutationQueries {
       sum(when(col("o_rid") >= 1L, lit(0L)).otherwise(lit(1L))).as("below_start"),
       sum(when(col("o_rid").isNull, lit(1L)).otherwise(lit(0L))).as("null_ids"))
 
+  /** GENERATE symlink_format_manifest end-to-end AS AN EXTERNAL ENGINE
+    * SEES IT: build a multi-commit table, publish the manifest, then read
+    * ONLY the listed paths as plain parquet (no commit-log knowledge) —
+    * the result must equal the source rows exactly. */
+  def manifestExternalRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(dir, "manifest") {
+      val orders = Tables.orders(spark, dir)
+      val g = GraftTable.create(spark, freshDir("manifest"),
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      g.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      g.generateManifest()
+      g
+    }
+    val manifest = new org.apache.hadoop.fs.Path(
+      t.root, "_symlink_format_manifest/manifest").toString
+    val paths = spark.read.textFile(manifest).collect().toSeq.filter(_.nonEmpty)
+    spark.read.parquet(paths: _*)
+  }
+
   private def optimizeWhereTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "optwhere-orders") {
       val orders = Tables.orders(spark, dir)

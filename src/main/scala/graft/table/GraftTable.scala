@@ -309,6 +309,50 @@ final class GraftTable private (
         "numTombstoneDirs", "numDvDirs")
   }
 
+  /** GENERATE symlink_format_manifest (Delta parity,
+    * `deltaTable.generate("symlink_format_manifest")`): writes
+    * `_symlink_format_manifest/manifest` — one absolute data-file URI per
+    * line for the HEAD snapshot — so external engines (Trino / Presto /
+    * Hive / DuckDB) query the table as plain parquet without understanding
+    * the commit log. Pure metadata: one listing pass, zero data rows read;
+    * atomic via temp+rename so concurrent readers never see a torn
+    * manifest. The manifest is a SNAPSHOT — regenerate after commits
+    * (Delta's manifests go stale identically unless auto-manifest is on).
+    * Refused while merge-on-read state is pending (tombstones / deletion
+    * vectors): a path listing cannot express row-level subtraction —
+    * materializeDeletes() first. Works on shallow clones (absolute source
+    * dirs are listed as-is). Returns the manifest path. */
+  def generateManifest(): Path = {
+    val c = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root"))
+    require(c.tombstoneDirs.isEmpty && c.dvDirs.isEmpty,
+      s"manifest of $root would resurrect deleted rows: the snapshot carries " +
+        "merge-on-read deletes — run materializeDeletes() first")
+    val files = c.dataDirs.flatMap { d =>
+      val p = if (new Path(d).isAbsolute) new Path(d) else new Path(root, d)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          if (f.getName.endsWith(".parquet")) out += fs.makeQualified(f).toString
+        }
+      }
+      out
+    }
+    val dir = new Path(root, "_symlink_format_manifest")
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".manifest.${System.nanoTime()}.tmp")
+    val os = fs.create(tmp, true)
+    try os.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally os.close()
+    val dest = new Path(dir, "manifest")
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(s"manifest publish at $dest failed")
+    dest
+  }
+
   def history(): DataFrame = {
     import spark.implicits._
     // Adjusted timestamps (see commitsAdjusted): a timestamp read off
@@ -2065,7 +2109,9 @@ final class GraftTable private (
   def materializeDeletes(targetFileBytes: Long = 128L * 1024 * 1024): Commit =
     this.synchronized {
       val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
-      if (prev.dvDirs.isEmpty) return prev
+      // already clean — nothing to materialize
+      if (prev.dvDirs.isEmpty && prev.tombstoneDirs.isEmpty) return prev
+      // value tombstones (with or without DVs): a full compaction folds both
       if (prev.tombstoneDirs.nonEmpty) return optimize(targetFileBytes)
       val v = prev.version + 1
       val tsMs = System.currentTimeMillis()

@@ -634,6 +634,31 @@ class GraftTableSpec extends SparkSpec {
     assert(finalIds.distinct.size === 12, s"identity collision under race: $finalIds")
   }
 
+  test("symlink manifest: external plain-parquet read equals the snapshot; MoR state refused") {
+    val root = tmpDir("gt-manifest")
+    val t = GraftTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    t.append(Seq((3L, "c")).toDF("id", "tag"))
+    val m = t.generateManifest()
+    def externalRead() = {
+      val paths = spark.read.textFile(m.toString).collect().toSeq.filter(_.nonEmpty)
+      spark.read.parquet(paths: _*)
+    }
+    assert(externalRead().select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 2L, 3L))
+    // manifests are snapshots: regenerate after OPTIMIZE, still equal
+    t.optimize()
+    t.generateManifest()
+    assert(externalRead().count() === 3)
+    // pending merge-on-read deletes cannot be expressed as a path listing
+    t.deleteMergeOnRead(col("id") === 2L)
+    val e = intercept[IllegalArgumentException] { t.generateManifest() }
+    assert(e.getMessage.contains("merge-on-read"))
+    // materializing the deletes makes it expressible again
+    t.materializeDeletes()
+    t.generateManifest()
+    assert(externalRead().count() === 2)
+  }
+
   test("compactSmall folds only the small tail; mature dirs survive untouched") {
     import org.apache.hadoop.fs.Path
     val root = tmpDir("gt-binpack")
