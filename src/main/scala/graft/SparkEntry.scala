@@ -130,6 +130,8 @@ object SparkEntry {
     "q103_generated_column"  -> (MutationQueries.generatedColumnRead _),
     "q104_identity_column"   -> (MutationQueries.identityColumnSummary _),
     "q105_manifest_read"     -> (MutationQueries.manifestExternalRead _),
+    "q106_rename_column"     -> (MutationQueries.renameColumnRead _),
+    "q107_reorg_readd"       -> (MutationQueries.reorgReaddRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,6 +258,15 @@ object SparkEntry {
     // symlink manifest: an external engine reading only the listed parquet
     // paths (no commit log) sees exactly the snapshot
     "q105_manifest_read" -> "SELECT * FROM orders",
+    // RENAME COLUMN (explicit rewrite): new name, old values
+    "q106_rename_column" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       o_orderpriority AS o_priority FROM orders""".stripMargin,
+    // DROP (metadata-only) → REORG (physical purge) → re-ADD same name:
+    // the column reads all-null, rows intact
+    "q107_reorg_readd" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority FROM orders""".stripMargin,
     // GENERATED ALWAYS AS (year(o_orderdate)): writers omitted the column,
     // the engine materialized it — snapshot = plain SQL over the source
     "q103_generated_column" ->

@@ -331,6 +331,27 @@ object MutationQueries {
     spark.read.parquet(paths: _*)
   }
 
+  /** RENAME COLUMN end-to-end: o_orderpriority → o_priority as one
+    * explicit rewrite; the head serves the new name with the old values. */
+  def renameColumnRead(spark: SparkSession, dir: String): DataFrame =
+    cached(dir, "renamed") {
+      val t = GraftTable.create(spark, freshDir("rename"), Tables.orders(spark, dir))
+      t.renameColumn("o_orderpriority", "o_priority")
+      t
+    }.read()
+
+  /** REORG + re-add cycle: metadata-only DROP leaves the bytes and
+    * retires the name; REORG physically purges them, which lifts the
+    * retirement — the SAME name is then re-added and reads all-null. */
+  def reorgReaddRead(spark: SparkSession, dir: String): DataFrame =
+    cached(dir, "reorg") {
+      val t = GraftTable.create(spark, freshDir("reorg"), Tables.orders(spark, dir))
+      t.dropColumn("o_orderpriority")
+      t.reorg()
+      t.addColumn("o_orderpriority", org.apache.spark.sql.types.StringType)
+      t
+    }.read()
+
   private def optimizeWhereTable(spark: SparkSession, dir: String): GraftTable =
     cached(dir, "optwhere-orders") {
       val orders = Tables.orders(spark, dir)

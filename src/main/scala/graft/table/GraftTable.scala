@@ -2559,6 +2559,93 @@ final class GraftTable private (
       Map("numFiles" -> numFiles.toLong, "numBytes" -> totalBytes))
   }
 
+  /** REORG TABLE … APPLY (PURGE) (Delta parity): physically rewrite the
+    * snapshot so metadata-retired state stops occupying bytes. A
+    * metadata-only DROP COLUMN leaves the column's data sitting in the
+    * old files (reads just never project it); merge-on-read tombstones
+    * and deletion vectors keep their subtract-on-read cost. One REORG
+    * materializes all of it away: the head's schema-projected rows are
+    * rewritten at the compaction file target and every retired physical
+    * name is PURGED — which also lifts the name retirement, so a dropped
+    * column's name can be re-added afterwards (the resurrection hazard
+    * [[addColumn]] guards against is gone with the bytes). At 100 TB this
+    * is the deliberate, scheduled cost you pay once to reclaim storage —
+    * never on the read path. */
+  def reorg(targetFileBytes: Long = 128L * 1024 * 1024): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root"))
+    val v = prev.version + 1
+    val tsMs = System.currentTimeMillis()
+    val totalBytes = prev.dataDirs.map { d =>
+      val p = if (new Path(d).isAbsolute) new Path(d) else new Path(root, d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // readCommit is already the purged view: schema-projected (dropped
+    // columns absent) and tombstone/DV-subtracted
+    val snapshot = readCommit(prev).repartition(numFiles)
+    val dir = writeData(snapshot, v, prev.partitionCols, rebalance = false)
+    val meta = metaFor(dir)
+    val c = Commit(v, tsMs, "REORG", Seq(dir),
+      Map("numFiles" -> numFiles.toLong, "numOutputRows" -> countDir(dir)),
+      prev.schemaJson,
+      partitionCols = prev.partitionCols,
+      dirStats = Map(dir -> meta.stats),
+      properties = rewriteProps(prev.properties)
+        .filterNot(_._1.startsWith(DroppedColPrefix)),
+      dirNulls = Map(dir -> meta.nulls))
+    commitRewrite(c, Seq(dir))
+  }
+
+  /** RENAME COLUMN — as an HONEST REWRITE: Delta needs column mapping
+    * (logical→physical ids) to rename metadata-only; this engine's reads
+    * are name-projected, so instead of carrying a mapping through every
+    * scan forever, a rename pays one explicit snapshot rewrite (the
+    * [[reorg]] cost model — scheduled, never amortized into reads).
+    * Because every live file is rewritten under the new name, no retired
+    * name bookkeeping is needed on either side of the rename. Refused for
+    * partition columns and for columns referenced by CHECK constraints or
+    * generated/identity declarations (their SQL/specs would dangle —
+    * drop those first). */
+  def renameColumn(from: String, to: String, targetFileBytes: Long = 128L * 1024 * 1024)
+      : Commit = this.synchronized {
+    val prev = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root"))
+    val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from), s"no column $from at $root")
+    require(!schema.fieldNames.contains(to), s"column $to already exists at $root")
+    require(!prev.partitionCols.contains(from),
+      s"cannot rename partition column $from of $root (values live in the dir layout)")
+    val word = s"\\b${java.util.regex.Pattern.quote(from)}\\b".r
+    val referencing = prev.properties.collect {
+      case (k, spec) if (k.startsWith(ConstraintPrefix) ||
+        k.startsWith(GeneratedColPrefix)) && word.findFirstIn(spec).isDefined => k
+      case (k, _) if (k.startsWith(GeneratedColPrefix) ||
+        k.startsWith(IdentitySpecPrefix)) &&
+        k.stripPrefix(GeneratedColPrefix).stripPrefix(IdentitySpecPrefix) == from => k
+    }
+    require(referencing.isEmpty,
+      s"cannot rename column $from of $root: referenced by ${referencing.mkString(", ")}")
+    val v = prev.version + 1
+    val tsMs = System.currentTimeMillis()
+    val totalBytes = prev.dataDirs.map { d =>
+      val p = if (new Path(d).isAbsolute) new Path(d) else new Path(root, d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val snapshot = readCommit(prev).withColumnRenamed(from, to).repartition(numFiles)
+    val dir = writeData(snapshot, v, prev.partitionCols, rebalance = false)
+    val meta = metaFor(dir)
+    val c = Commit(v, tsMs, "RENAME COLUMN", Seq(dir),
+      Map("numOutputRows" -> countDir(dir)), snapshot.schema.json,
+      partitionCols = prev.partitionCols,
+      dirStats = Map(dir -> meta.stats),
+      properties = rewriteProps(prev.properties)
+        .filterNot(_._1.startsWith(DroppedColPrefix)),
+      dirNulls = Map(dir -> meta.nulls))
+    commitRewrite(c, Seq(dir))
+  }
+
   /** Selective OPTIMIZE — Delta's `OPTIMIZE … WHERE`: compact (and
     * optionally Z-order) ONLY the dirs whose skipping metadata admits
     * `predicate`, leaving every other dir byte-untouched with its stats

@@ -659,6 +659,53 @@ class GraftTableSpec extends SparkSpec {
     assert(externalRead().count() === 2)
   }
 
+  test("reorg purges dropped-column bytes and lifts the name retirement") {
+    import org.apache.spark.sql.types.StringType
+    val root = tmpDir("gt-reorg")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "tag", "v"))
+    t.dropColumn("tag")
+    def physicalCols(): Set[String] = t.headCommit.get.dataDirs.flatMap { d =>
+      spark.read.parquet(new org.apache.hadoop.fs.Path(root, d).toString)
+        .schema.fieldNames
+    }.toSet
+    // metadata-only drop: the bytes still sit in the files, the name is retired
+    assert(physicalCols().contains("tag"))
+    intercept[IllegalArgumentException] { t.addColumn("tag", StringType) }
+    t.reorg()
+    // physical purge: bytes gone, rows intact, retirement lifted
+    assert(!physicalCols().contains("tag"))
+    assert(t.read().count() === 2)
+    t.addColumn("tag", StringType)
+    assert(t.read().filter(col("tag").isNull).count() === 2)
+    // reorg also folds merge-on-read state
+    t.deleteMergeOnRead(col("id") === 1L)
+    t.reorg()
+    assert(t.headCommit.get.tombstoneDirs.isEmpty && t.read().count() === 1)
+  }
+
+  test("renameColumn: one explicit rewrite, values preserved, guards hold") {
+    import org.apache.spark.sql.types.StringType
+    val root = tmpDir("gt-rename")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "tag", "v"))
+    t.renameColumn("tag", "label")
+    assert(t.read().columns.toSeq === Seq("id", "label", "v"))
+    assert(t.read().filter(col("id") === 1L).select("label").head().getString(0) === "x")
+    // the old name is immediately reusable (every live file was rewritten)
+    t.addColumn("tag", StringType)
+    assert(t.read().filter(col("tag").isNull).count() === 2)
+    // a CHECK constraint referencing the column blocks its rename
+    t.addConstraint("v_pos", "v > 0")
+    val e = intercept[IllegalArgumentException] { t.renameColumn("v", "value") }
+    assert(e.getMessage.contains("referenced by"))
+    t.dropConstraint("v_pos")
+    t.renameColumn("v", "value")
+    assert(t.read().columns.contains("value"))
+    // time travel still serves the pre-rename schema
+    assert(t.readVersion(0).columns.toSeq === Seq("id", "tag", "v"))
+  }
+
   test("compactSmall folds only the small tail; mature dirs survive untouched") {
     import org.apache.hadoop.fs.Path
     val root = tmpDir("gt-binpack")
