@@ -2974,6 +2974,25 @@ final class GraftTable private (
       dvDirs = src.dvDirs.map(abs)))
     target
   }
+
+  /** DEEP CLONE (Delta parity): start a NEW table at `targetRoot` holding
+    * its OWN copy of this table's snapshot at version `v` — fully
+    * independent of the source's lifecycle (source VACUUM is harmless,
+    * unlike [[shallowClone]]). The snapshot is written through the normal
+    * distributed write path (merge-on-read state materializes away in the
+    * copy), and table properties travel: constraints, generated/identity
+    * declarations AND the identity high watermark, so writers to the clone
+    * keep allocating above the source's ids — Delta's clone semantics. */
+  def deepClone(targetRoot: String, v: Long = -1L): GraftTable = {
+    val srcV = if (v < 0) version else v
+    val src = commitFor(srcV)
+    val target = new GraftTable(spark, targetRoot)
+    require(target.version < 0, s"table already exists at $targetRoot")
+    val snapshot = readCommit(src)
+    target.overwriteInternal(snapshot, src.partitionCols, None,
+      rewriteProps(src.properties))
+    target
+  }
 }
 
 /** A concurrent writer won the version race against an operation that had

@@ -706,6 +706,28 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readVersion(0).columns.toSeq === Seq("id", "tag", "v"))
   }
 
+  test("deep clone: independent copy; constraints and identity watermark travel") {
+    val root = tmpDir("gt-deep")
+    val t = GraftTable.create(spark, root, Seq("a", "b").toDF("tag"),
+      Nil, Map.empty, Map("rid" -> (1L, 1L)))
+    t.addConstraint("tag_nn", "tag IS NOT NULL")
+    val clone = t.deepClone(tmpDir("gt-deep-clone"))
+    assert(clone.read().count() === 2)
+    // the constraint traveled with the clone
+    intercept[IllegalArgumentException] {
+      clone.append(Seq(Option.empty[String]).toDF("tag"))
+    }
+    // the identity watermark traveled: clone appends allocate above it
+    val srcMax = t.read().agg(max("rid")).head().getLong(0)
+    clone.append(Seq("c").toDF("tag"))
+    val cloneIds = clone.read().select("rid").collect().map(_.getLong(0))
+    assert(cloneIds.distinct.length === 3)
+    assert(cloneIds.max > srcMax)
+    // fully independent lifecycles: source commits don't reach the clone
+    t.append(Seq("z").toDF("tag"))
+    assert(clone.read().count() === 3 && t.read().count() === 3)
+  }
+
   test("compactSmall folds only the small tail; mature dirs survive untouched") {
     import org.apache.hadoop.fs.Path
     val root = tmpDir("gt-binpack")
