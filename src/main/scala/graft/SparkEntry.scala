@@ -132,6 +132,7 @@ object SparkEntry {
     "q105_manifest_read"     -> (MutationQueries.manifestExternalRead _),
     "q106_rename_column"     -> (MutationQueries.renameColumnRead _),
     "q107_reorg_readd"       -> (MutationQueries.reorgReaddRead _),
+    "q108_time_travel_ts"    -> (MutationQueries.timeTravelByTimestamp _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -258,6 +259,9 @@ object SparkEntry {
     // symlink manifest: an external engine reading only the listed parquet
     // paths (no commit log) sees exactly the snapshot
     "q105_manifest_read" -> "SELECT * FROM orders",
+    // time travel BY TIMESTAMP: v0's history timestamp serves v0 exactly
+    // even after a later destructive commit
+    "q108_time_travel_ts" -> "SELECT * FROM orders",
     // RENAME COLUMN (explicit rewrite): new name, old values
     "q106_rename_column" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

@@ -418,6 +418,17 @@ object MutationQueries {
       t
     }
 
+  /** Time travel BY TIMESTAMP (S5): resolve v0's adjusted commit
+    * timestamp off history(), then read "as of" it — after a later
+    * destructive commit, the timestamp read must serve v0 exactly
+    * (history timestamps round-trip through readAsOf by contract). */
+  def timeTravelByTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    val t = wipedOrdersTable(spark, dir)
+    val ts0 = t.history().filter(col("version") === 0L)
+      .select("timestamp").head().getTimestamp(0).getTime
+    t.readAsOf(ts0)
+  }
+
   /** Time travel (S4): read v0 after a destructive later commit. */
   def timeTravel(spark: SparkSession, dir: String): DataFrame =
     wipedOrdersTable(spark, dir).readVersion(0)
