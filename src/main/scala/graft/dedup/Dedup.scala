@@ -281,8 +281,12 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the pair-dedup shuffle: hamming is a pure function of
+      // the pair, so filtering first is equivalent — and most band
+      // collisions (≥16 shared bits) are nowhere near maxDist, so the
+      // distinct now shuffles only the near-dups instead of every candidate
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   // --------------------------------------------------------- embeddings
