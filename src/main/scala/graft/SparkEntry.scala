@@ -133,6 +133,9 @@ object SparkEntry {
     "q106_rename_column"     -> (MutationQueries.renameColumnRead _),
     "q107_reorg_readd"       -> (MutationQueries.reorgReaddRead _),
     "q108_time_travel_ts"    -> (MutationQueries.timeTravelByTimestamp _),
+    "q109_substring_stats"   -> (CorpusQueries.substringDupStats _),
+    "q110_substring_scrub"   -> (CorpusQueries.substringScrub _),
+    "q111_semantic_dedup"    -> (CorpusQueries.semanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -936,6 +939,60 @@ object SparkEntry {
         |  CAST(min(freq.cnt) AS DOUBLE) / total.total_tokens AS min_token_prob
         |FROM t JOIN freq USING (term) CROSS JOIN total
         |GROUP BY t.doc_id, total.total_tokens""".stripMargin,
+
+    // substring-level (positional) dedup: global 8-token-window occurrence
+    // counts joined back to the window sites, profiled per document
+    "q109_substring_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |cnt AS (SELECT w, count(*) AS c FROM win GROUP BY w),
+        |per AS (
+        |  SELECT win.doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_windows,
+        |         CAST(sum(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+        |  FROM win JOIN cnt USING (w) GROUP BY win.doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(per.n_windows, CAST(0 AS BIGINT)) AS n_windows,
+        |       coalesce(per.dup_windows, CAST(0 AS BIGINT)) AS dup_windows,
+        |       CASE WHEN coalesce(per.n_windows, 0) = 0 THEN 0.0
+        |            ELSE CAST(per.dup_windows AS DOUBLE) / per.n_windows END AS dup_frac
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // duplicated-SPAN removal: first site per window wins (min over
+    // (doc_id, position)), every other site's [i, i+7] token span is
+    // spliced out, text rebuilt from the surviving positions
+    "q110_substring_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |tokpos AS (
+        |  SELECT doc_id, i AS p, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |win AS (
+        |  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |ranked AS (
+        |  SELECT doc_id, i,
+        |         count(*) OVER (PARTITION BY w) AS c,
+        |         row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+        |  FROM win),
+        |cover AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS p
+        |  FROM ranked WHERE c >= 2 AND rn > 1),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cover c WHERE c.doc_id = tp.doc_id AND c.p = tp.p)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        |         string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |       coalesce(a.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+        |       coalesce(a.cleaned_text, '') AS cleaned_text
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
   ) ++
     // q47's oracle is GENERATED like q26's, but from corpus-trained state:
     // the learned merge table (deterministic, memoized per dir — Verify
@@ -943,7 +1000,14 @@ object SparkEntry {
     // merges are in hand) is re-applied from scratch in DuckDB by
     // BpeOracle. Absent only if bpeTokenize never ran (→ rows-only check).
     analytics.CorpusQueries.currentBpeMerges
-      .map(m => "q47_bpe_tokenize" -> graft.text.BpeOracle.sql(m))
+      .map(m => "q47_bpe_tokenize" -> graft.text.BpeOracle.sql(m)) ++
+    // q111's oracle is GENERATED from the same trained centroids the ANN
+    // index uses: DuckDB re-derives assignment + within-cluster drop rule
+    // from the embedded k×dim literals (see SemDedupOracle's determinism
+    // argument). Absent only if semanticDedup never ran (→ rows-only).
+    analytics.CorpusQueries.currentAnnCentroids
+      .map(c => "q111_semantic_dedup" ->
+        graft.sim.SemDedupOracle.sql(c, analytics.CorpusQueries.SemDedupTau))
 
   /** q66/q76 oracle: exact 8-gram overlap counts between the train slice
     * and the eval slice (q76's bloom prefilter cannot change the result —

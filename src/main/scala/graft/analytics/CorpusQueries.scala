@@ -118,6 +118,40 @@ object CorpusQueries {
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupsExact(Tables.embeddings(spark, dir), threshold = 0.5)
 
+  /** q109: per-document duplicated-substring profile (8-token windows). */
+  def substringDupStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(Tables.documents(spark, dir), windowTokens = 8)
+
+  /** q110: duplicated-SPAN removal keeping the globally first occurrence —
+    * the ExactSubstr cleaning pass (Lee et al. ACL'22) document-level
+    * dedup cannot express. */
+  def substringScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringScrub(Tables.documents(spark, dir), windowTokens = 8)
+
+  /** Cosine threshold for q111's within-cluster drop rule — same 0.5 the
+    * pairwise near-dup family (q29/q30) uses, so the two surfaces agree on
+    * what "semantically duplicate" means. */
+  private[graft] val SemDedupTau = 0.5
+
+  /** q111: SemDeDup-style semantic deduplication (Abbas et al. 2023) —
+    * assign every embedding to its nearest coarse centroid (the SAME
+    * trained quantizer the ANN index uses, [[annIndex]]: one clustering
+    * pays for both retrieval and dedup), then inside each cluster drop any
+    * vector that has a lower-id member with cosine ≥ τ. The quadratic step
+    * is confined to a cluster — at 100 TB the corpus is hive-partitioned
+    * by centroid_id (exactly [[graft.sim.IvfIndex]]'s layout) and each
+    * partition dedups independently; nothing all-pairs ever runs.
+    * Deterministic: assignment ties break on centroid id (max_by lex
+    * struct), the drop rule is an EXISTS against ids — no iteration
+    * order anywhere. Output: the kept rows (vec_id, centroid_id). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idx = annIndex(spark, dir)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val m = idx.assigned.select("vec_id", "centroid_id").join(v, "vec_id")
+    Dedup.semanticDedupKeepers(m, tau = SemDedupTau)
+  }
+
   /** Sign-LSH bucketed near-dup — the 100 TB path (rows-only; recall vs
     * exact is spec-verified). */
   def embeddingNearDupsLsh(spark: SparkSession, dir: String): DataFrame =
@@ -186,7 +220,9 @@ object CorpusQueries {
   }
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, AnnIndex]
-  def annIndex(spark: SparkSession, dir: String): AnnIndex =
+  @volatile private var lastAnnDir: Option[String] = None
+  def annIndex(spark: SparkSession, dir: String): AnnIndex = {
+    lastAnnDir = Some(dir)
     annIndexCache.getOrElseUpdate(dir, {
       import AnnParams._
       val emb = Tables.embeddings(spark, dir)
@@ -205,6 +241,18 @@ object CorpusQueries {
       AnnIndex(centroids, assigned, model, codes,
         graft.sim.Pq.queryVector(emb, 0L), sizes)
     })
+  }
+
+  /** The trained coarse-quantizer centroids backing the most recent
+    * [[annIndex]] call — what [[graft.SparkEntry.oracleSql]] embeds into
+    * the generated q111 oracle ([[graft.sim.SemDedupOracle]] re-derives
+    * assignment + drop rule from scratch in DuckDB). k×dim doubles —
+    * kilobytes, the same size-bounded collect the training loop itself
+    * makes. (Verify runs every query before dumping the oracle map, so
+    * this is always the gate corpus's own centroids by then.) */
+  def currentAnnCentroids: Option[Seq[(Long, Seq[Double])]] =
+    lastAnnDir.flatMap(annIndexCache.get).map(_.centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toSeq)
 
   /** IVF ANN top-10: deterministic k-means coarse quantizer then exact
     * ranking inside the `nprobe` clusters nearest the query — the

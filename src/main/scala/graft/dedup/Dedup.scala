@@ -415,4 +415,131 @@ object Dedup {
     labels.join(sizes, "lbl")
       .select(col("node").as(idCol), col("lbl").as("cluster_id"), col("cluster_size"))
   }
+
+  // -------------------------------------------------- semantic (SemDeDup)
+
+  /** Within-cluster semantic-dedup drop rule (SemDeDup, Abbas et al. 2023):
+    * a member is dropped iff a LOWER-ID member of the same cluster has
+    * cosine ≥ `tau` — dropped-or-kept status of the lower-id member is
+    * irrelevant (the paper's one-pass rule; no iteration, so the output is
+    * order-free and deterministic). Input rows: (id, cluster, vec as
+    * array<double>); output: the kept (id, cluster) rows.
+    *
+    * The quadratic comparison is confined to a cluster by the equi-join on
+    * the cluster key — the same candidate-generation-by-key-equality shape
+    * as every other near-dup path here. At 100 TB the members table is the
+    * ANN index's own centroid-partitioned layout, so each partition dedups
+    * independently with zero extra shuffle. */
+  def semanticDedupKeepers(members: DataFrame, tau: Double,
+      idCol: String = "vec_id", clusterCol: String = "centroid_id",
+      vecCol: String = "vec"): DataFrame = {
+    val a = members.select(col(clusterCol), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = members.select(col(clusterCol), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    val dropped = a.join(b, clusterCol)
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("a_vec"), col("b_vec")) >= tau)
+      .select(col("b_id").as(idCol)).distinct()
+    members.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col(clusterCol))
+  }
+
+  // ------------------------------------- substring-level (positional) dedup
+
+  /** Every token-window SITE `(doc_id, i, window_text)` — positions are
+    * 1-based window starts over the whitespace-token sequence, windows in
+    * positional order straight from the linear [[TextFunctions.shingles]]
+    * sweep. Unlike [[docShingles]] this keeps duplicates *within* a
+    * document and the position of each occurrence: substring-level dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22) is positional — it finds and removes the duplicated
+    * SPANS, not whole near-duplicate documents. */
+  private def windowSites(docs: DataFrame, n: Int,
+      idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(TextFunctions.shingles(col(textCol), n)).as(Seq("i0", "w")))
+      .select(col(idCol), (col("i0") + 1).as("i"), col("w"))
+
+  /** Per-document duplicated-substring profile: of a document's
+    * `windowTokens`-token windows, how many occur at MORE THAN ONE site in
+    * the whole corpus (any document, including elsewhere in the same one).
+    *
+    * Plan shape at 100 TB: one hash-aggregate over window text for the
+    * global occurrence counts (map-side combinable), one shuffle join back
+    * to the sites keyed by the window, one per-document aggregate. Nothing
+    * is quadratic — a window repeated a million times contributes one count
+    * row, not a million² pairs. At scale the join key would be
+    * `xxhash64(w)` (8 bytes instead of the window string; a collision only
+    * misclassifies one window of one document, acceptable for a profiling
+    * stat) — kept as text here so the DuckDB oracle phrasing is identical. */
+  def substringDupStats(docs: DataFrame, windowTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val win = windowSites(docs, windowTokens, idCol, textCol)
+    val cnt = win.groupBy("w").agg(count(lit(1)).as("c"))
+    val per = win.join(cnt, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+    // left join back so documents too short to form a single window still
+    // appear (n_windows = 0) — the profile must cover the whole corpus
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("dup_windows").cast("double") / col("n_windows"))
+          .as("dup_frac"))
+  }
+
+  /** Remove duplicated SPANS from each document, keeping the globally first
+    * occurrence (ExactSubstr of Lee et al. ACL'22, the operator document-
+    * level dedup cannot express: boilerplate repeated across millions of
+    * otherwise-distinct pages survives MinHash but dies here).
+    *
+    * Semantics (deterministic): a window site is a duplicate iff its text
+    * occurs at ≥ 2 sites corpus-wide and the site is not the first under
+    * (doc_id, position) order; a token is removed iff covered by any
+    * duplicate site's `[i, i+W−1]` span. Output per document: original and
+    * kept token counts and the cleaned text with removed tokens spliced out.
+    *
+    * Plan shape at 100 TB: the first-site winner is a hash-aggregate
+    * `min(struct(doc_id, i))` per window — NOT a `row_number` window
+    * function, which would sort every partition globally by window text.
+    * Span coverage explodes each duplicate site into W positions before the
+    * distinct; spans overlap heavily in boilerplate-dense corpora, so the
+    * scale refinement is a per-document interval merge (sessionize the
+    * sites, subtract merged intervals) — same output, O(sites) state. The
+    * per-document rebuild is a grouped sort of that document's kept tokens
+    * only (collect_list bounded by document length, never cross-document). */
+  def substringScrub(docs: DataFrame, windowTokens: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val win = windowSites(docs, windowTokens, idCol, textCol)
+    val stats = win.groupBy("w").agg(
+      count(lit(1)).as("c"),
+      min(struct(col(idCol), col("i"))).as("first"))
+    val dupSites = win.join(stats, "w")
+      .filter(col("c") >= 2 &&
+        !(col(idCol) === col(s"first.$idCol") && col("i") === col("first.i")))
+      .select(col(idCol), col("i"))
+    val cover = dupSites
+      .select(col(idCol),
+        explode(sequence(col("i"), col("i") + lit(windowTokens - 1))).as("p"))
+      .distinct()
+    val toks = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+    val tokpos = toks
+      .select(col(idCol), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("tok"))
+    val kept = tokpos.join(cover, Seq(idCol, "p"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("kept_tokens"),
+        collect_list(struct(col("p"), col("tok"))).as("pt"))
+      .select(col(idCol), col("kept_tokens"),
+        concat_ws(" ", expr("transform(array_sort(pt), s -> s.tok)"))
+          .as("cleaned_text"))
+    toks.select(col(idCol), size(col("t")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }
