@@ -136,6 +136,7 @@ object SparkEntry {
     "q109_substring_stats"   -> (CorpusQueries.substringDupStats _),
     "q110_substring_scrub"   -> (CorpusQueries.substringScrub _),
     "q111_semantic_dedup"    -> (CorpusQueries.semanticDedup _),
+    "q112_corpus_shuffle"    -> ((s, d) => SamplingQueries.corpusShuffle(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -993,6 +994,19 @@ object SparkEntry {
         |       coalesce(a.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
         |       coalesce(a.cleaned_text, '') AS cleaned_text
         |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // deterministic seeded shuffle: md5 permutation key, first-nibble
+    // shard, within-shard order — engine-independent by construction
+    "q112_corpus_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         md5('graft-shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents)
+        |SELECT doc_id, skey,
+        |       CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS INT) AS shard,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY substr(skey, 1, 1) ORDER BY skey, doc_id) AS BIGINT) AS shard_pos
+        |FROM k""".stripMargin,
   ) ++
     // q47's oracle is GENERATED like q26's, but from corpus-trained state:
     // the learned merge table (deterministic, memoized per dir — Verify

@@ -176,4 +176,31 @@ object SamplingQueries {
       .groupBy("doc_id")
       .agg(countDistinct(col("gh")).as("shared_ngrams"))
   }
+
+  /** Deterministic seeded global shuffle + sharding — the LAST stage every
+    * training-data pipeline runs: examples must reach the trainer in an
+    * order uncorrelated with ingestion (a corpus sorted by source/crawl
+    * date trains measurably worse), yet bit-reproducible across re-runs,
+    * cluster sizes, and engines. Permutation key = md5 over a seed string
+    * and the doc id (content-hash arithmetic like [[hashSplit]] — never
+    * `rand()`); shard = the key's first hex nibble; order within a shard =
+    * key order. Changing the seed string is a fresh permutation.
+    *
+    * Scale shape: NO global sort and no global row_number — the shard
+    * window partitions by shard, so each of the (at 100 TB: ~100k, here 16)
+    * shards sorts independently and is written by its own task; the trainer
+    * reads shards in (shard, shard_pos) order. This is exactly how a
+    * petabyte corpus is shuffled in practice: hash-bucket then sort within
+    * bucket — a permutation delivered as #shards independent sorts. */
+  def corpusShuffle(spark: SparkSession, dir: String,
+      seed: String = "graft-shuffle-v1:"): DataFrame = {
+    val skey = md5(concat(lit(seed), col("doc_id").cast("string")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), skey.as("skey"))
+      .withColumn("shard",
+        expr("CAST(instr('0123456789abcdef', substring(skey, 1, 1)) - 1 AS INT)"))
+      .withColumn("shard_pos",
+        row_number().over(Window.partitionBy("shard").orderBy("skey", "doc_id"))
+          .cast("long"))
+  }
 }
