@@ -137,6 +137,7 @@ object SparkEntry {
     "q110_substring_scrub"   -> (CorpusQueries.substringScrub _),
     "q111_semantic_dedup"    -> (CorpusQueries.semanticDedup _),
     "q112_corpus_shuffle"    -> ((s, d) => SamplingQueries.corpusShuffle(s, d)),
+    "q113_restore"           -> (MutationQueries.restoreRead _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -266,6 +267,9 @@ object SparkEntry {
     // time travel BY TIMESTAMP: v0's history timestamp serves v0 exactly
     // even after a later destructive commit
     "q108_time_travel_ts" -> "SELECT * FROM orders",
+    // RESTORE: head serves the original rows after a delete AND a junk
+    // append are rolled back in one metadata-only commit
+    "q113_restore" -> "SELECT * FROM orders",
     // RENAME COLUMN (explicit rewrite): new name, old values
     "q106_rename_column" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,

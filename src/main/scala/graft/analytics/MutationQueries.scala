@@ -418,6 +418,26 @@ object MutationQueries {
       t
     }
 
+  /** Orders table wrecked twice (v1 delete, v2 junk append) then
+    * RESTORE'd to v0 at v3 — the head must serve the original rows
+    * again, metadata-only (restore re-publishes v0's dir list; no data
+    * is copied, so at 100 TB a bad deploy rolls back in one commit). */
+  private def restoredOrdersTable(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "restored") {
+      val orders = Tables.orders(spark, dir)
+      val t = GraftTable.create(spark, freshDir("restore"), orders)
+      t.delete(col("o_orderstatus") === "F")                      // v1
+      t.append(orders.limit(50).withColumn("o_totalprice",
+        col("o_totalprice") + 1e6))                               // v2 junk
+      t.restore(0)                                                // v3
+      t
+    }
+
+  /** RESTORE (M12): the head read after restore(0) equals the original
+    * table — both the delete and the junk append are rolled back. */
+  def restoreRead(spark: SparkSession, dir: String): DataFrame =
+    restoredOrdersTable(spark, dir).read()
+
   /** Time travel BY TIMESTAMP (S5): resolve v0's adjusted commit
     * timestamp off history(), then read "as of" it — after a later
     * destructive commit, the timestamp read must serve v0 exactly

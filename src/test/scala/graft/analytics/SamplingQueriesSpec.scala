@@ -96,6 +96,32 @@ class SamplingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("corpusShuffle is a seeded permutation: dense per-shard positions, seed-sensitive") {
+    val a = SamplingQueries.corpusShuffle(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    // every document appears exactly once
+    assert(a.map(_._1).distinct.length === a.length)
+    // shard ids are nibbles; positions within a shard are dense 1..n
+    assert(a.forall(x => x._2 >= 0 && x._2 < 16))
+    a.groupBy(_._2).foreach { case (shard, xs) =>
+      assert(xs.map(_._3).sorted.sameElements(1L to xs.length.toLong),
+        s"shard $shard positions not dense")
+    }
+    // bit-reproducible across runs; a different seed is a different permutation
+    val b = SamplingQueries.corpusShuffle(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(a.toSet === b.toSet)
+    val c = SamplingQueries.corpusShuffle(spark, sf, seed = "graft-shuffle-v2:")
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+    assert(a.toSet !== c.toSet)
+    // the permutation is uncorrelated with ingestion order: within the
+    // largest shard, walking docs in doc_id order must not walk positions
+    // monotonically (that would mean no shuffle happened)
+    val largest = a.groupBy(_._2).maxBy(_._2.length)._2
+    val posByDocId = largest.sortBy(_._1).map(_._3)
+    assert(posByDocId.length < 3 || !posByDocId.sameElements(posByDocId.sorted))
+  }
+
   test("packSequences: bins are contiguous per source and near the budget") {
     val packed = SamplingQueries.packSequences(spark, sf, budget = 256)
     val rows = packed.orderBy("source", "doc_id")
