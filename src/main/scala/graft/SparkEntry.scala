@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CorpusQueries, MutationQueries, OlapQueries, SamplingQueries, ScalarQueries, TemporalQueries, Views}
+import graft.analytics.{CorpusQueries, MutationQueries, OlapQueries, RetrievalQueries, SamplingQueries, ScalarQueries, TemporalQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -138,6 +138,10 @@ object SparkEntry {
     "q111_semantic_dedup"    -> (CorpusQueries.semanticDedup _),
     "q112_corpus_shuffle"    -> ((s, d) => SamplingQueries.corpusShuffle(s, d)),
     "q113_restore"           -> (MutationQueries.restoreRead _),
+    "q114_bm25_retrieval"    -> ((s, d) => RetrievalQueries.bm25Retrieval(s, d)),
+    "q115_inverted_index"    -> (RetrievalQueries.invertedIndex _),
+    "q116_lm_quality_filter" -> (CorpusQueries.lmQualityFilter _),
+    "q117_stratified_sample" -> (SamplingQueries.stratifiedSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1011,6 +1015,85 @@ object SparkEntry {
         |       CAST(row_number() OVER (
         |         PARTITION BY substr(skey, 1, 1) ORDER BY skey, doc_id) AS BIGINT) AS shard_pos
         |FROM k""".stripMargin,
+
+    // BM25: log-free idf, dl/avgdl expanded to dl·N/total_tokens, per-term
+    // contributions folded in fixed slot order — the whole score is one
+    // deterministic IEEE expression tree mirrored on both sides
+    "q114_bm25_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''
+        |), t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |  WHERE term IN ('join', 'vector', 'customer') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM t),
+        |s AS (
+        |  SELECT tf.doc_id, dl.dl, tf.term,
+        |    ((n.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |      * ((tf.tf * 2.2)
+        |         / (tf.tf + 1.2 * (0.25 + ((0.75 * dl.dl) * n.n_docs) / tot.total_tokens))) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN n CROSS JOIN tot)
+        |SELECT doc_id, dl,
+        |  coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0)
+        |  + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
+        |  + coalesce(max(CASE WHEN term = 'customer' THEN s END), 0.0) AS score
+        |FROM s GROUP BY doc_id, dl
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
+
+    // inverted index: postings sorted numerically then rendered, so the
+    // string is engine- and partitioning-independent
+    "q115_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> '')
+        |SELECT term,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS cf,
+        |  min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc,
+        |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        |FROM t WHERE term <> '' GROUP BY term""".stripMargin,
+
+    // q70's LM scores with mid-distribution floors; the scores are
+    // bit-identical across engines, so the comparisons agree exactly
+    "q116_lm_quality_filter" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''
+        |), t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+        |freq AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term),
+        |total AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM t),
+        |lm AS (
+        |  SELECT t.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(freq.cnt) AS BIGINT) AS freq_mass,
+        |    CAST(sum(freq.cnt) AS BIGINT) / CAST(total.total_tokens AS DOUBLE)
+        |      / count(*) AS avg_token_prob,
+        |    CAST(min(freq.cnt) AS DOUBLE) / total.total_tokens AS min_token_prob
+        |  FROM t JOIN freq USING (term) CROSS JOIN total
+        |  GROUP BY t.doc_id, total.total_tokens)
+        |SELECT * FROM lm
+        |WHERE avg_token_prob >= 0.03325 AND min_token_prob >= 0.030""".stripMargin,
+
+    // per-stratum rate sampling: same md5-nibble hash as q59, same
+    // source-name weight derivation as q75
+    "q117_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    CAST(list_sum(list_transform(range(8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+        |           * pow(16, 7 - i))) AS BIGINT) % 100 AS bucket,
+        |    CAST((CAST(substring(source, 4) AS INT) % 4 + 1) * 10 AS BIGINT) AS rate_pct
+        |  FROM documents)
+        |SELECT source, doc_id, bucket, rate_pct FROM h
+        |WHERE bucket < rate_pct""".stripMargin,
   ) ++
     // q47's oracle is GENERATED like q26's, but from corpus-trained state:
     // the learned merge table (deterministic, memoized per dir — Verify

@@ -473,6 +473,24 @@ object CorpusQueries {
           .as("min_token_prob"))
   }
 
+  /** Perplexity-style language-model quality filter — the [[unigramLm]]
+    * scores turned into a selection: keep documents whose average token
+    * probability clears a floor (boilerplate/gibberish scores low — their
+    * tokens carry little corpus mass) AND whose rarest token is not
+    * vanishingly rare (a single nonsense token tanks min_token_prob).
+    * This is the shape of KenLM-perplexity filtering in production corpus
+    * pipelines (CCNet and successors), with the engine's exactness twist:
+    * both signals are single divisions of BIGINT masses, bit-identical
+    * across engines, so the threshold comparisons agree exactly.
+    * Thresholds sit mid-distribution on the test corpora (measured
+    * p05–p50 band at sf0.001/0.01/0.1) so the gate genuinely
+    * discriminates. One corpus-frequency hash-agg + one per-doc agg,
+    * broadcast vocabulary — the same one-scan shape as [[corpusFilter]]. */
+  def lmQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    unigramLm(spark, dir).filter(
+      col("avg_token_prob") >= lit(0.03325) &&
+        col("min_token_prob") >= lit(0.030))
+
   /** The persisted-index ANN probe — the production on-disk read path: the
     * PQ codes live in a parquet table hive-partitioned by coarse cell
     * ([[graft.sim.IvfIndex]], built once per corpus as a fixture, like a

@@ -1,0 +1,106 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.TextFunctions._
+
+/** Sparse-retrieval surface over the `documents` corpus: BM25 ranked
+  * retrieval and the inverted index that backs it. Complements the dense
+  * (embedding/ANN) retrieval family in [[CorpusQueries]] — a training-data
+  * pipeline uses both (e.g. BM25 for quality-by-similarity-to-seed-corpus
+  * selection, dense ANN for semantic dedup).
+  *
+  * Exactness recipe (same as the q69/q70 TF-IDF/LM family): every factor
+  * in the score is an integer-derived double and the expression tree is
+  * written IDENTICALLY on the Spark and DuckDB sides, so each IEEE-rounded
+  * multiply/divide produces the same bits in both engines — no log()
+  * (libm-dependent last-ulp), no float SUM over a data-dependent order
+  * (the per-term contributions fold in fixed slot order).
+  */
+object RetrievalQueries {
+
+  /** Okapi defaults; LITERALS must match the oracle SQL digit-for-digit
+    * (2.2 = k1+1 is written as a literal for the same reason). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** Fixed driver query — three mid-frequency corpus terms. */
+  val DefaultQueryTerms: Seq[String] = Seq("join", "vector", "customer")
+
+  /** BM25 top-k document retrieval for a fixed bag-of-words query.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * with the log-free idf (N − df + ½)/(df + ½) and dl/avgdl expanded to
+    * the integer-ratio form dl·N/total_tokens (avgdl never materializes as
+    * a rounded intermediate).
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the tf
+    * aggregate (the scan's explode output drops to |q| rows per doc —
+    * predicate pushdown on the exploded column), df/N/total ride along as
+    * broadcast one-row or |q|-row aggregates, and the only per-doc shuffle
+    * keys are doc_id (tf, dl). The final top-k is a TakeOrdered (bounded
+    * heap, no global sort). At 100 TB this is one corpus scan + one
+    * doc-keyed shuffle — the classic "score and take k" plan.
+    *
+    * Per-term contributions are summed via fixed slots
+    * (coalesce(max(when term=t)), one per query term, folded left in query
+    * order) rather than a float SUM whose partial-aggregation order would
+    * be partition-dependent. */
+  def bm25Retrieval(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = DefaultQueryTerms, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("total_tokens")))
+
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val norm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + ((lit(0.75) * col("dl")) * col("n_docs")) / col("total_tokens")))
+    val scored = tf
+      .join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("s", idf * norm)
+    val score = queryTerms
+      .map(t => coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy("doc_id", "dl")
+      .agg(score.as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** Inverted-index build: per term, document frequency, collection
+    * frequency, the posting-list span, and the sorted posting list itself
+    * (rendered as a comma-joined string so the artifact is
+    * engine-portable). Postings are sorted NUMERICALLY before rendering —
+    * collect_set's arrival order is partition-dependent and must never
+    * leak into output.
+    *
+    * Scale shape: one explode + one term-keyed hash aggregate (map-side
+    * combinable). At 100 TB a single term's posting list outgrows a row —
+    * production shards the index by (term, doc_id range): add
+    * `md5Bucket32(doc_id) % nShards` to the group key (exactly
+    * [[SamplingQueries.md5Bucket32]]) and each shard stays row-sized while
+    * the union of shards is this same table. The driver corpus vocabulary
+    * is Heap's-law bounded, so the unsharded form is the honest query. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    terms.groupBy("term").agg(
+      countDistinct(col("doc_id")).as("df"),
+      count(lit(1)).as("cf"),
+      min(col("doc_id")).as("first_doc"),
+      max(col("doc_id")).as("last_doc"),
+      array_join(
+        transform(array_sort(collect_set(col("doc_id"))), _.cast("string")),
+        ",").as("postings"))
+  }
+}

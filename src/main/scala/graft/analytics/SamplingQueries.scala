@@ -124,6 +124,25 @@ object SamplingQueries {
       .select("source", "doc_id", "weight", "token_count")
   }
 
+  /** Stratified sampling with per-stratum rates: each source keeps a fixed
+    * percentage of its documents (here 10–40%, derived from the source name
+    * the same way [[sourceMix]] derives weights — production passes a rate
+    * table), selected by content-hash bucket so membership is per-row,
+    * shuffle-free, and stable under re-runs, repartitioning, and engine
+    * changes. This is the "downsample the over-represented sources"
+    * counterpart to [[quotaSample]]'s exact per-group count cap: a rate
+    * scales with the stratum, a quota doesn't. At 100 TB it's a pure
+    * map-side filter — no shuffle, no state, composable with any scan. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = ((substring(col("source"), 4, 10).cast("int") % 4 + 1) * 10)
+      .cast("long")
+    val bucket = md5Bucket32(col("doc_id")) % 100
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        bucket.as("bucket"), rate.as("rate_pct"))
+      .filter(col("bucket") < col("rate_pct"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with an evaluation set — the standard guard against test-set
     * leakage into pretraining data. Shingles are hashed to 8-byte keys
