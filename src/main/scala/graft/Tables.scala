@@ -24,18 +24,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads via `spark.sql.legacy.parquet.nanosAsLong` (set in every
-    * session builder here). Normalize to a TimestampType column with
-    * integral division — `ts div 1000` — because a double-valued `/1000`
-    * would lose precision beyond 2^53 ns (~epoch 2024 is ~1.7e18 ns).
-    */
+  /** `events.parquet` has stored `ts` as parquet TIMESTAMP(NANOS) (readable
+    * only via `spark.sql.legacy.parquet.nanosAsLong`, set in every session
+    * builder here) and, in newer generations, as TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark surfaces as TimestampNTZ. Normalize
+    * both to TimestampType so downstream instant functions (`unix_millis`,
+    * `to_utc_timestamp`, …) resolve: nanos via integral division — `ts div
+    * 1000`, because a double-valued `/1000` loses precision beyond 2^53 ns
+    * (~epoch 2024 is ~1.7e18 ns) — and NTZ via a cast, which under the
+    * engine-wide UTC session timezone maps each naive value to the same
+    * wall-clock instant the oracle reads. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }
