@@ -1018,7 +1018,10 @@ object SparkEntry {
 
     // BM25: log-free idf, dl/avgdl expanded to dl·N/total_tokens, per-term
     // contributions folded in fixed slot order — the whole score is one
-    // deterministic IEEE expression tree mirrored on both sides
+    // deterministic IEEE expression tree mirrored on both sides. Every
+    // numeric literal is CAST to DOUBLE: a bare 0.5 is DECIMAL in DuckDB
+    // (decimal-exact intermediates round differently at the last ulp than
+    // Spark's double literals — measured 8/20 one-ulp drift without casts)
     "q114_bm25_retrieval" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
@@ -1033,9 +1036,10 @@ object SparkEntry {
         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM t),
         |s AS (
         |  SELECT tf.doc_id, dl.dl, tf.term,
-        |    ((n.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |      * ((tf.tf * 2.2)
-        |         / (tf.tf + 1.2 * (0.25 + ((0.75 * dl.dl) * n.n_docs) / tot.total_tokens))) AS s
+        |    ((n.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+        |      * ((tf.tf * CAST(2.2 AS DOUBLE))
+        |         / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + ((CAST(0.75 AS DOUBLE) * dl.dl) * n.n_docs) / tot.total_tokens))) AS s
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
         |  CROSS JOIN n CROSS JOIN tot)
         |SELECT doc_id, dl,
