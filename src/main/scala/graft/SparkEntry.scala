@@ -142,6 +142,7 @@ object SparkEntry {
     "q115_inverted_index"    -> (RetrievalQueries.invertedIndex _),
     "q116_lm_quality_filter" -> (CorpusQueries.lmQualityFilter _),
     "q117_stratified_sample" -> (SamplingQueries.stratifiedSample _),
+    "q118_scd2_dimension"    -> (MutationQueries.scd2Snapshot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1098,6 +1099,48 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, doc_id, bucket, rate_pct FROM h
         |WHERE bucket < rate_pct""".stripMargin,
+
+    // SCD2: the oracle reconstructs the post-batch history table — closed
+    // versions for real changes and tombstones, opened versions for changes
+    // and inserts, untouched open rows for everything else (including the
+    // no-op branch: an "update" that changes nothing opens no version)
+    "q118_scd2_dimension" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_name, c_acctbal, c_mktsegment FROM customer),
+        |upd AS (
+        |  SELECT k, c_name,
+        |    CASE WHEN k % 5 = 0 THEN c_acctbal + CAST(100.0 AS DOUBLE)
+        |         ELSE c_acctbal END AS acctbal,
+        |    CASE WHEN k % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS mktsegment
+        |  FROM base WHERE k % 5 = 0 OR k % 7 = 0),
+        |changed AS (
+        |  SELECT b.k, b.c_name, b.c_acctbal, b.c_mktsegment, u.acctbal, u.mktsegment
+        |  FROM base b JOIN upd u ON b.k = u.k
+        |  WHERE b.c_acctbal IS DISTINCT FROM u.acctbal
+        |     OR b.c_mktsegment IS DISTINCT FROM u.mktsegment),
+        |deleted AS (
+        |  SELECT k, c_name, c_acctbal, c_mktsegment FROM base
+        |  WHERE k % 13 = 0 AND k % 5 <> 0 AND k % 7 <> 0)
+        |SELECT k AS c_custkey, c_name, c_acctbal AS acctbal,
+        |  c_mktsegment AS mktsegment,
+        |  TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+        |  TIMESTAMP '1996-01-01 00:00:00' AS valid_to, FALSE AS is_current
+        |FROM changed
+        |UNION ALL
+        |SELECT k, c_name, acctbal, mktsegment,
+        |  TIMESTAMP '1996-01-01 00:00:00', NULL, TRUE FROM changed
+        |UNION ALL
+        |SELECT k, c_name, c_acctbal, c_mktsegment,
+        |  TIMESTAMP '1995-01-01 00:00:00',
+        |  TIMESTAMP '1996-01-01 00:00:00', FALSE FROM deleted
+        |UNION ALL
+        |SELECT k + 1000000, c_name, c_acctbal, c_mktsegment,
+        |  TIMESTAMP '1996-01-01 00:00:00', NULL, TRUE
+        |FROM base WHERE k % 11 = 0
+        |UNION ALL
+        |SELECT k, c_name, c_acctbal, c_mktsegment,
+        |  TIMESTAMP '1995-01-01 00:00:00', NULL, TRUE FROM base
+        |WHERE k NOT IN (SELECT k FROM changed) AND k NOT IN (SELECT k FROM deleted)""".stripMargin,
   ) ++
     // q47's oracle is GENERATED like q26's, but from corpus-trained state:
     // the learned merge table (deterministic, memoized per dir — Verify

@@ -554,4 +554,40 @@ object MutationQueries {
     val half = halfCustKey(spark, dir)
     t.read().filter(col("o_custkey") <= half && col("o_totalprice") < 50000.0)
   }
+
+  /** SCD Type 2 dimension maintenance ([[graft.pipeline.Scd2]]): the
+    * customer dimension is loaded at t0, then one deterministic CDC batch
+    * applies at t1 — updates (acctbal bump on key%5=0, segment overwrite on
+    * key%7=0, which is a NO-OP when the segment already matches: no
+    * spurious version may open), inserts (key%11=0 re-keyed +1e6), and
+    * tombstones (key%13=0, disjoint from the update keys). The final
+    * history table — closed + open versions — is what the oracle
+    * reconstructs in plain SQL. */
+  def scd2Snapshot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Scd2
+    val c = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val k = col("c_custkey")
+    val dim0 = Scd2.init(c, to_timestamp(lit("1995-01-01 00:00:00")))
+    val upd = c.filter(k % 5 === 0 || k % 7 === 0)
+      .select(k.as("c_custkey"), col("c_name"),
+        when(k % 5 === 0, col("c_acctbal") + 100.0).otherwise(col("c_acctbal"))
+          .as("c_acctbal"),
+        when(k % 7 === 0, lit("MACHINERY")).otherwise(col("c_mktsegment"))
+          .as("c_mktsegment"))
+      .withColumn("is_del", lit(false))
+    val ins = c.filter(k % 11 === 0)
+      .select((k + 1000000L).as("c_custkey"), col("c_name"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .withColumn("is_del", lit(false))
+    val del = c.filter(k % 13 === 0 && k % 5 =!= 0 && k % 7 =!= 0)
+      .withColumn("is_del", lit(true))
+    val batch = upd.unionByName(ins).unionByName(del)
+    Scd2(dim0, batch, "c_custkey",
+        to_timestamp(lit("1996-01-01 00:00:00")), deleteCol = Some("is_del"))
+      .select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").as("acctbal"), col("c_mktsegment").as("mktsegment"),
+        col(Scd2.ValidFrom).as("valid_from"), col(Scd2.ValidTo).as("valid_to"),
+        col(Scd2.IsCurrent).as("is_current"))
+  }
 }

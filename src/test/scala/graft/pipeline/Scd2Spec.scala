@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SCD Type 2 semantics: version open/close per branch, no-op change
+  * suppression, tombstones, multi-batch chaining, compareIgnore. */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  private def dim0 = Scd2.init(
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal"),
+    ts("2020-01-01 00:00:00"))
+
+  test("init opens one current version per row") {
+    val d = dim0.collect()
+    assert(d.length == 3)
+    assert(d.forall(_.getAs[Boolean](Scd2.IsCurrent)))
+    assert(d.forall(_.isNullAt(d.head.fieldIndex(Scd2.ValidTo))))
+  }
+
+  test("update closes the old version and opens a new one; no-op opens nothing") {
+    val batch = Seq(
+      (1L, "a", 15.0, false), // real change
+      (2L, "b", 20.0, false), // identical attrs → no-op
+      (4L, "d", 40.0, false)  // insert
+    ).toDF("id", "name", "bal", "del")
+    val d1 = Scd2(dim0, batch, "id", ts("2021-01-01 00:00:00"), Some("del"))
+    assert(d1.count() == 5) // 3 original + closed(1) has become 2 rows + insert
+
+    val v1 = d1.filter(col("id") === 1).orderBy(Scd2.ValidFrom).collect()
+    assert(v1.length == 2)
+    assert(!v1(0).getAs[Boolean](Scd2.IsCurrent) && v1(0).getAs[Double]("bal") == 10.0)
+    assert(v1(0).getAs[java.sql.Timestamp](Scd2.ValidTo) != null)
+    assert(v1(1).getAs[Boolean](Scd2.IsCurrent) && v1(1).getAs[Double]("bal") == 15.0)
+
+    assert(d1.filter(col("id") === 2).count() == 1) // no spurious version
+    val ins = d1.filter(col("id") === 4).collect()
+    assert(ins.length == 1 && ins(0).getAs[Boolean](Scd2.IsCurrent))
+  }
+
+  test("tombstone closes without opening; history survives a later rebirth") {
+    val del = Seq((2L, "b", 20.0, true)).toDF("id", "name", "bal", "del")
+    val d1 = Scd2(dim0, del, "id", ts("2021-01-01 00:00:00"), Some("del"))
+    val r2 = d1.filter(col("id") === 2).collect()
+    assert(r2.length == 1 && !r2(0).getAs[Boolean](Scd2.IsCurrent))
+
+    // the key can come back later: a fresh open version, old one stays closed
+    val rebirth = Seq((2L, "b2", 25.0, false)).toDF("id", "name", "bal", "del")
+    val d2 = Scd2(d1, rebirth, "id", ts("2022-01-01 00:00:00"), Some("del"))
+    val rows = d2.filter(col("id") === 2).orderBy(Scd2.ValidFrom).collect()
+    assert(rows.length == 2)
+    assert(!rows(0).getAs[Boolean](Scd2.IsCurrent))
+    assert(rows(1).getAs[Boolean](Scd2.IsCurrent) && rows(1).getAs[String]("name") == "b2")
+  }
+
+  test("three chained batches accumulate one closed version per change") {
+    val b1 = Seq((1L, "a", 11.0)).toDF("id", "name", "bal")
+    val b2 = Seq((1L, "a", 12.0)).toDF("id", "name", "bal")
+    val d = Scd2(Scd2(dim0, b1, "id", ts("2021-01-01 00:00:00")),
+      b2, "id", ts("2022-01-01 00:00:00"))
+    val rows = d.filter(col("id") === 1).orderBy(Scd2.ValidFrom).collect()
+    assert(rows.map(_.getAs[Double]("bal")).toSeq == Seq(10.0, 11.0, 12.0))
+    assert(rows.map(_.getAs[Boolean](Scd2.IsCurrent)).toSeq == Seq(false, false, true))
+    // intervals chain: each closed version's valid_to equals the next's valid_from
+    assert(rows(0).getAs[java.sql.Timestamp](Scd2.ValidTo) ==
+      rows(1).getAs[java.sql.Timestamp](Scd2.ValidFrom))
+  }
+
+  test("compareIgnore suppresses versions from volatile columns") {
+    val d0 = Scd2.init(Seq((1L, "a", 10.0, "x")).toDF("id", "name", "bal", "etl_tag"),
+      ts("2020-01-01 00:00:00"))
+    val batch = Seq((1L, "a", 10.0, "y")).toDF("id", "name", "bal", "etl_tag")
+    val d1 = Scd2(d0, batch, "id", ts("2021-01-01 00:00:00"),
+      compareIgnore = Seq("etl_tag"))
+    assert(d1.count() == 1) // only etl_tag differs → no new version
+  }
+
+  test("change batch missing a dimension attribute is rejected") {
+    val bad = Seq((1L, "a")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      Scd2(dim0, bad, "id", ts("2021-01-01 00:00:00"))
+    }
+    assert(e.getMessage.contains("bal"))
+  }
+}
