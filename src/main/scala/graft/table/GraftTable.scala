@@ -367,13 +367,23 @@ final class GraftTable private (
     * [fromVersion, toVersion], with `_change_type` ∈ insert /
     * update_preimage / update_postimage / delete, `_commit_version`,
     * `_commit_timestamp` — the exact surface of
-    * `option("readChangeFeed", true)` (notebook cells 25-26, 62). */
+    * `option("readChangeFeed", true)` (notebook cells 25-26, 62).
+    *
+    * APPEND commits write no `_changes` dir — their change rows ARE the
+    * appended files, so (like Delta serving AddFile actions as inserts
+    * instead of duplicating the data) their inserts are synthesized here
+    * by reading each append's added dirs and stamping the three CDF
+    * columns. CREATE stays outside the feed (Delta parity: the initial
+    * snapshot is not a change). */
   def readChanges(fromVersion: Long = 0L, toVersion: Long = Long.MaxValue): DataFrame = {
     val cs = log.commits()
       .filter(c => c.version >= fromVersion && c.version <= toVersion)
     val withDirs = cs.map(c => c -> new Path(root, changesDirOf(c)))
       .filter { case (_, d) => fs.exists(d) }
-    if (withDirs.isEmpty)
+    val appends = cs.filter(c => c.operation == "APPEND")
+      .map(c => c -> appendedDirsBetween(c.version - 1, c.version))
+      .filter(_._2.nonEmpty)
+    if (withDirs.isEmpty && appends.isEmpty)
       throw new NoSuchElementException(s"$root has no change data in [$fromVersion, $toVersion]")
     // Union schema computed from the COMMIT LOG (same field-name merge as
     // append's schema evolution) + the three CDF metadata columns, instead
@@ -381,14 +391,33 @@ final class GraftTable private (
     // every dir's schema, so a CDF read plans with zero extra jobs and a
     // stable column order; dirs written before an additive change read
     // back with nulls for the newer columns, exactly as mergeSchema did.
-    val merged = withDirs
-      .map { case (c, _) => DataType.fromJson(c.schemaJson).asInstanceOf[StructType] }
+    val merged = (withDirs.map(_._1) ++ appends.map(_._1))
+      .map(c => DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
       .reduce((a, b) =>
         StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))))
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_commit_version", org.apache.spark.sql.types.LongType)
       .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
-    spark.read.schema(merged).parquet(withDirs.map(_._2.toString): _*)
+    val written =
+      if (withDirs.isEmpty) None
+      else Some(spark.read.schema(merged).parquet(withDirs.map(_._2.toString): _*))
+    // Synthesized append inserts: each append's added dirs read with its
+    // own committed schema, aligned to the union schema (nulls for later
+    // additive columns), CDF columns stamped as literals. Still zero
+    // extra jobs — one more relation per append commit in the plan.
+    val synthesized = appends.map { case (c, dirs) =>
+      val cSchema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      spark.read.schema(cSchema).parquet(dirs: _*)
+        .select(merged.fields.map { f =>
+          if (f.name == "_change_type") lit("insert").as(f.name)
+          else if (f.name == "_commit_version") lit(c.version).as(f.name)
+          else if (f.name == "_commit_timestamp")
+            lit(new java.sql.Timestamp(c.tsMs)).as(f.name)
+          else if (cSchema.fieldNames.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+    }
+    (written.toSeq ++ synthesized).reduce(_ unionByName _)
   }
 
   // ----------------------------------------------------- streaming reads

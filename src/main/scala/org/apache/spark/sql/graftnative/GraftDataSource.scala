@@ -1,0 +1,157 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.table.GraftTable
+
+/** `format("graft")` — the standard Spark DataSource surface over
+  * [[graft.table.GraftTable]], so ANY Spark user (or plain SQL via
+  * `CREATE TABLE t USING graft OPTIONS (path '…')`) reads and writes graft
+  * tables without touching the library API — the packaging Delta ships as
+  * its `format("delta")` (reference: consumer/spark-streaming's
+  * `.format("delta")` read/write calls throughout spark_streaming.py).
+  *
+  * Read options (Delta-parity names):
+  *  - `versionAsOf`        — time travel to a version
+  *  - `timestampAsOf`      — time travel to `yyyy-MM-dd HH:mm:ss` (UTC) or
+  *                           epoch millis
+  *  - `readChangeFeed`     — `true` → the CDF rows, with `startingVersion`
+  *                           / `endingVersion` bounds
+  *
+  * Write: `df.write.format("graft").mode(m).save(root)` maps SaveMode onto
+  * the table's commit surface — Append → APPEND commit (creates on first
+  * write), Overwrite → OVERWRITE commit, ErrorIfExists / Ignore per their
+  * contracts. `option("partitionBy", "a,b")` partitions a CREATE
+  * (the DSv1 seam drops `df.write.partitionBy`, so it rides an option).
+  *
+  * Scan path: [[GraftRelation.buildScan]] receives Spark's pushed-down
+  * predicates, rebuilds a Column condition, and routes HEAD reads through
+  * [[GraftTable.where]] — the dir-level data-skipping scan (range stats,
+  * string prefixes, constraint bounds, null counts, bloom sidecars). A
+  * `WHERE doc_id = 'x'` through the connector prunes directories before
+  * Spark lists a file, exactly like the programmatic path. Unsupported
+  * predicate shapes are simply not pushed (Spark re-applies every filter
+  * on top, so pushdown is a pruning hint, never a correctness dependency).
+  */
+class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") requires a path: .load(root) / OPTIONS (path '…')"))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = path(parameters)
+    val t = GraftTable.forPath(spark, root)
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
+    val timestampAsOf = parameters.get("timestampAsOf").map(parseTsMs)
+    require(Seq(cdf, versionAsOf.isDefined, timestampAsOf.isDefined)
+      .count(identity) <= 1,
+      "readChangeFeed / versionAsOf / timestampAsOf are mutually exclusive")
+    val df = (versionAsOf, timestampAsOf) match {
+      case _ if cdf =>
+        t.readChanges(
+          parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+          parameters.get("endingVersion").map(_.toLong).getOrElse(Long.MaxValue))
+      case (Some(v), _) => t.readVersion(v)
+      case (_, Some(ms)) => t.readAsOf(ms)
+      case _ => t.read()
+    }
+    // Data skipping consults the HEAD snapshot's stats, so only the plain
+    // head read routes through where(); versioned/CDF reads filter on top.
+    new GraftRelation(sqlContext, df, if (cdf || versionAsOf.isDefined ||
+      timestampAsOf.isDefined) None else Some(t))
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = path(parameters)
+    val partitionBy = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val exists = GraftTable.isTable(spark, root)
+    mode match {
+      case SaveMode.Append =>
+        if (exists) GraftTable.forPath(spark, root).append(data)
+        else GraftTable.create(spark, root, data, partitionBy)
+      case SaveMode.Overwrite =>
+        if (exists) GraftTable.forPath(spark, root).overwrite(data)
+        else GraftTable.create(spark, root, data, partitionBy)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft table already exists at $root (mode ErrorIfExists)")
+        else GraftTable.create(spark, root, data, partitionBy)
+      case SaveMode.Ignore =>
+        if (!exists) GraftTable.create(spark, root, data, partitionBy)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  private def parseTsMs(s: String): Long =
+    s.toLongOption.getOrElse {
+      val norm = if (s.contains(" ") || s.contains("T")) s.replace(' ', 'T')
+        else s + "T00:00:00"
+      java.time.LocalDateTime.parse(norm)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+}
+
+/** DSv1 relation whose scan delegates to the resolved snapshot DataFrame —
+  * projection and (for head reads) predicate-driven dir skipping included.
+  * `needConversion = false`: the scan hands back the query's own
+  * InternalRow RDD, so no external-type round-trip is paid. */
+class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
+    headTable: Option[GraftTable]) extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType = df.schema
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val cond = filters.flatMap(GraftRelation.translate)
+      .reduceOption(_ && _)
+    val base = (headTable, cond) match {
+      case (Some(t), Some(c)) => t.where(c) // dir-skipping scan
+      case (_, Some(c)) => df.filter(c)
+      case _ => df
+    }
+    val pruned =
+      if (requiredColumns.isEmpty) base.select() // count(*)-style scans
+      else base.select(requiredColumns.map(c => col(s"`$c`")).toSeq: _*)
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+object GraftRelation {
+  /** sources.Filter → Column; None = shape not translated (not pushed —
+    * Spark evaluates it on top, so this loses pruning, never rows). */
+  private[graftnative] def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(s"`$a`") === v)
+    case EqualNullSafe(a, v) => Some(col(s"`$a`") <=> v)
+    case GreaterThan(a, v) => Some(col(s"`$a`") > v)
+    case GreaterThanOrEqual(a, v) => Some(col(s"`$a`") >= v)
+    case LessThan(a, v) => Some(col(s"`$a`") < v)
+    case LessThanOrEqual(a, v) => Some(col(s"`$a`") <= v)
+    case In(a, vs) => Some(col(s"`$a`").isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(s"`$a`").isNull)
+    case IsNotNull(a) => Some(col(s"`$a`").isNotNull)
+    case StringStartsWith(a, v) => Some(col(s"`$a`").startsWith(v))
+    case StringEndsWith(a, v) => Some(col(s"`$a`").endsWith(v))
+    case StringContains(a, v) => Some(col(s"`$a`").contains(v))
+    case And(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc && rc
+    // OR must translate whole-or-nothing: pushing one branch alone would
+    // DROP rows of the other branch before Spark's re-application sees them
+    case Or(l, r) => for { lc <- translate(l); rc <- translate(r) } yield lc || rc
+    case Not(c) => translate(c).map(!_)
+    case _ => None
+  }
+}
