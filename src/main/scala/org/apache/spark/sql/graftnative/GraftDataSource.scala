@@ -2,8 +2,10 @@ package org.apache.spark.sql.graftnative
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.table.GraftTable
@@ -38,7 +40,7 @@ import graft.table.GraftTable
   * on top, so pushdown is a pruning hint, never a correctness dependency).
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -96,6 +98,30 @@ class GraftDataSource extends RelationProvider
     createRelation(sqlContext, parameters)
   }
 
+  /** `writeStream.format("graft")` — the streaming sink (Delta's
+    * `.writeStream.format("delta")`, reference spark_streaming.py's sink
+    * calls). Append mode lands one APPEND commit per micro-batch through
+    * the exactly-once txn-stamp path ([[GraftTable.appendOnce]]): a batch
+    * replayed after a crash between commit and checkpoint is recognized by
+    * its (appId, batchId) stamp and skipped. Complete mode overwrites the
+    * snapshot per batch the same way. The stamp's appId defaults to the
+    * query's checkpoint location (stable across restarts by construction);
+    * `option("txnAppId", …)` overrides. Update mode needs a merge key —
+    * that is foreachBatch + [[GraftTable.merge]] territory, refused here. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode != OutputMode.Update(),
+      "format(\"graft\") streaming sink supports Append and Complete modes; " +
+        "Update needs a merge key — use foreachBatch with GraftTable.merge")
+    val root = path(parameters)
+    val ciParams = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val appId = ciParams.getOrElse("txnappid",
+      ciParams.getOrElse("checkpointlocation", root))
+    new GraftSink(root, appId, partitionColumns,
+      outputMode == OutputMode.Complete())
+  }
+
   private def parseTsMs(s: String): Long =
     s.toLongOption.getOrElse {
       val norm = if (s.contains(" ") || s.contains("T")) s.replace(' ', 'T')
@@ -105,15 +131,48 @@ class GraftDataSource extends RelationProvider
     }
 }
 
+/** One commit per micro-batch, exactly-once via (appId, batchId) stamps. */
+class GraftSink(root: String, appId: String, partitionColumns: Seq[String],
+    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // `data` is the incremental-execution frame: its .write is refused, so
+    // re-wrap the executed plan's InternalRow RDD as a batch DataFrame —
+    // the standard sink technique (Delta's DeltaSink does exactly this).
+    val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val batch = spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    val t =
+      if (GraftTable.isTable(spark, root)) GraftTable.forPath(spark, root)
+      else GraftTable.create(spark, root, batch.limit(0), partitionColumns)
+    if (complete) t.overwriteOnce(batch, appId, batchId)
+    else t.appendOnce(batch, appId, batchId)
+    (): Unit
+  }
+
+  override def toString: String = s"GraftSink[$root]"
+}
+
 /** DSv1 relation whose scan delegates to the resolved snapshot DataFrame —
   * projection and (for head reads) predicate-driven dir skipping included.
   * `needConversion = false`: the scan hands back the query's own
   * InternalRow RDD, so no external-type round-trip is paid. */
 class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
-    headTable: Option[GraftTable]) extends BaseRelation with PrunedFilteredScan {
+    headTable: Option[GraftTable]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
 
   override def schema: StructType = df.schema
   override def needConversion: Boolean = false
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a `USING graft` relation —
+    * an APPEND / OVERWRITE commit on the head. Versioned and CDF
+    * relations are read-only views of history. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    val t = headTable.getOrElse(throw new UnsupportedOperationException(
+      "cannot INSERT into a time-travel or change-feed read"))
+    if (overwrite) t.overwrite(data) else t.append(data)
+    (): Unit
+  }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {

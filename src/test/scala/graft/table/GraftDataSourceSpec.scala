@@ -104,6 +104,37 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(q.orderBy("name").collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
   }
 
+  test("SQL INSERT INTO a USING graft relation lands an APPEND commit") {
+    val root = tmpDir("dsv1-insert")
+    freshRows.write.format("graft").save(root)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ds_ins USING graft OPTIONS (path '$root')")
+    spark.sql("INSERT INTO ds_ins VALUES (4, 'd', 40.0)")
+    assert(GraftTable.forPath(spark, root).read().count() == 4)
+    assert(GraftTable.forPath(spark, root).history()
+      .filter(col("operation") === "APPEND").count() == 1)
+  }
+
+  test("writeStream.format(\"graft\") appends one exactly-once commit per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("dsv1-sink")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "name").writeStream
+      .format("graft")
+      .option("checkpointLocation", tmpDir("dsv1-sink-ckpt"))
+      .start(root)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(root).count() == 2)
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val t = GraftTable.forPath(spark, root)
+      assert(t.read().count() == 3)
+      assert(t.history().filter(col("operation") === "APPEND").count() == 2)
+    } finally q.stop()
+  }
+
   test("partitionBy option partitions the created table") {
     val root = tmpDir("dsv1-part")
     freshRows.withColumn("grp", col("id") % 2)
