@@ -143,6 +143,7 @@ object SparkEntry {
     "q116_lm_quality_filter" -> (CorpusQueries.lmQualityFilter _),
     "q117_stratified_sample" -> (SamplingQueries.stratifiedSample _),
     "q118_scd2_dimension"    -> (MutationQueries.scd2Snapshot _),
+    "q119_pii_redact"        -> (CorpusQueries.piiRedaction _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1141,6 +1142,34 @@ object SparkEntry {
         |SELECT k, c_name, c_acctbal, c_mktsegment,
         |  TIMESTAMP '1995-01-01 00:00:00', NULL, TRUE FROM base
         |WHERE k NOT IN (SELECT k FROM changed) AND k NOT IN (SELECT k FROM deleted)""".stripMargin,
+
+    // PII redaction: the same RE2-safe patterns in the same order; DuckDB's
+    // regexp_replace needs the 'g' flag (Spark replaces all by default)
+    "q119_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1 555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.0.1 ssn 123-45-6789' AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d{3}-\d{2}-\d{4}', '<SSN>', 'g'),
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\+?\d{1,2} \d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip
+        |FROM aug""".stripMargin,
   ) ++
     // q47's oracle is GENERATED like q26's, but from corpus-trained state:
     // the learned merge table (deterministic, memoized per dir — Verify

@@ -486,6 +486,34 @@ object CorpusQueries {
     * p05–p50 band at sf0.001/0.01/0.1) so the gate genuinely
     * discriminates. One corpus-frequency hash-agg + one per-doc agg,
     * broadcast vocabulary — the same one-scan shape as [[corpusFilter]]. */
+  /** PII redaction audit over the corpus ([[graft.text.TextFunctions
+    * .piiRedacted]]): emails / phones / SSN-shaped ids / IPv4 → typed
+    * placeholders, with pre-redaction counts per category. The test corpus
+    * contains no PII by construction, so each document is AUGMENTED with a
+    * deterministic PII suffix derived from its doc_id — both engines build
+    * the identical string, so the redacted output and counts are exact,
+    * and the redaction genuinely fires on every row (not a vacuous pass).
+    * Scale shape: per-row regexp chain, codegen'd, shuffle-free — the
+    * same one-scan shape as [[scrubText]]. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val augmented = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0.1 ssn 123-45-6789"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), augmented.as("aug"))
+      .select(col("doc_id"),
+        TextFunctions.piiRedacted(col("aug")).as("redacted"),
+        TextFunctions.piiCount(col("aug"), "EMAIL").as("n_email"),
+        TextFunctions.piiCount(col("aug"), "PHONE").as("n_phone"),
+        TextFunctions.piiCount(col("aug"), "SSN").as("n_ssn"),
+        TextFunctions.piiCount(col("aug"), "IP").as("n_ip"))
+  }
+
   def lmQualityFilter(spark: SparkSession, dir: String): DataFrame =
     unigramLm(spark, dir).filter(
       col("avg_token_prob") >= lit(0.03325) &&

@@ -85,6 +85,33 @@ object TextFunctions {
     trim(regexp_replace(noMail, "\\s+", " "))
   }
 
+  /** PII redaction patterns, applied in [[piiRedacted]]'s fixed order.
+    * Deliberately RE2-safe (no lookaround/backreferences) so the exact
+    * same patterns run identically under Java regex here and RE2-family
+    * engines elsewhere — redacted output is engine-portable. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "PHONE" -> "\\+?\\d{1,2} \\d{3}-\\d{3}-\\d{4}",
+    "SSN" -> "\\d{3}-\\d{2}-\\d{4}",
+    "IP" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}")
+
+  /** PII scrub for training corpora: emails, phone numbers, SSN-shaped
+    * ids and IPv4 addresses → typed placeholders, in a fixed order (phone
+    * before SSN: the two digit shapes are disjoint by construction, but
+    * the order is part of the contract). Pure regexp_replace chain —
+    * codegen'd, per-row, shuffle-free, composes with [[scrubbed]]. */
+  def piiRedacted(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (tag, pat)) =>
+      regexp_replace(c, pat, s"<$tag>")
+    }
+
+  /** Occurrences of one [[PiiPatterns]] entry in `text` (pre-redaction
+    * audit counts). */
+  def piiCount(text: Column, tag: String): Column = {
+    val pat = PiiPatterns.toMap.apply(tag)
+    size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),

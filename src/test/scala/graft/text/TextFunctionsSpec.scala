@@ -108,4 +108,18 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String]("plain words only", TextFunctions.scrubbed(col("text"))) ===
       "plain words only")
   }
+
+  test("piiRedacted: typed placeholders per category, counts audit") {
+    val s = "mail a.b@ex.com call +1 555-123-4567 ssn 078-05-1120 host 192.168.0.1 done"
+    assert(one[String](s, TextFunctions.piiRedacted(col("text"))) ===
+      "mail <EMAIL> call <PHONE> ssn <SSN> host <IP> done")
+    assert(one[Long](s, TextFunctions.piiCount(col("text"), "EMAIL")) === 1L)
+    assert(one[Long](s, TextFunctions.piiCount(col("text"), "PHONE")) === 1L)
+    assert(one[Long](s, TextFunctions.piiCount(col("text"), "SSN")) === 1L)
+    assert(one[Long](s, TextFunctions.piiCount(col("text"), "IP")) === 1L)
+    // the phone's digit run must NOT be eaten by the SSN shape
+    assert(one[Long]("x +1 555-123-4567 y", TextFunctions.piiCount(col("text"), "SSN")) === 0L)
+    assert(one[String]("no pii here", TextFunctions.piiRedacted(col("text"))) ===
+      "no pii here")
+  }
 }
