@@ -144,7 +144,51 @@ object SparkEntry {
     "q117_stratified_sample" -> (SamplingQueries.stratifiedSample _),
     "q118_scd2_dimension"    -> (MutationQueries.scd2Snapshot _),
     "q119_pii_redact"        -> (CorpusQueries.piiRedaction _),
+    "q120_pit_enrich"        -> (MutationQueries.pitEnrichment _),
   )
+
+  /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
+    * the change batch, and the 5-way union producing the history table
+    * (closed + opened + tombstoned + inserted + untouched versions). */
+  private val Scd2Ctes: String =
+    """base AS (
+      |  SELECT c_custkey AS k, c_name, c_acctbal, c_mktsegment FROM customer),
+      |upd AS (
+      |  SELECT k, c_name,
+      |    CASE WHEN k % 5 = 0 THEN c_acctbal + CAST(100.0 AS DOUBLE)
+      |         ELSE c_acctbal END AS acctbal,
+      |    CASE WHEN k % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS mktsegment
+      |  FROM base WHERE k % 5 = 0 OR k % 7 = 0),
+      |changed AS (
+      |  SELECT b.k, b.c_name, b.c_acctbal, b.c_mktsegment, u.acctbal, u.mktsegment
+      |  FROM base b JOIN upd u ON b.k = u.k
+      |  WHERE b.c_acctbal IS DISTINCT FROM u.acctbal
+      |     OR b.c_mktsegment IS DISTINCT FROM u.mktsegment),
+      |deleted AS (
+      |  SELECT k, c_name, c_acctbal, c_mktsegment FROM base
+      |  WHERE k % 13 = 0 AND k % 5 <> 0 AND k % 7 <> 0)""".stripMargin
+
+  private val Scd2HistorySelect: String =
+    """SELECT k AS c_custkey, c_name, c_acctbal AS acctbal,
+      |  c_mktsegment AS mktsegment,
+      |  TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+      |  TIMESTAMP '1996-01-01 00:00:00' AS valid_to, FALSE AS is_current
+      |FROM changed
+      |UNION ALL
+      |SELECT k, c_name, acctbal, mktsegment,
+      |  TIMESTAMP '1996-01-01 00:00:00', NULL, TRUE FROM changed
+      |UNION ALL
+      |SELECT k, c_name, c_acctbal, c_mktsegment,
+      |  TIMESTAMP '1995-01-01 00:00:00',
+      |  TIMESTAMP '1996-01-01 00:00:00', FALSE FROM deleted
+      |UNION ALL
+      |SELECT k + 1000000, c_name, c_acctbal, c_mktsegment,
+      |  TIMESTAMP '1996-01-01 00:00:00', NULL, TRUE
+      |FROM base WHERE k % 11 = 0
+      |UNION ALL
+      |SELECT k, c_name, c_acctbal, c_mktsegment,
+      |  TIMESTAMP '1995-01-01 00:00:00', NULL, TRUE FROM base
+      |WHERE k NOT IN (SELECT k FROM changed) AND k NOT IN (SELECT k FROM deleted)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1105,43 +1149,19 @@ object SparkEntry {
     // versions for real changes and tombstones, opened versions for changes
     // and inserts, untouched open rows for everything else (including the
     // no-op branch: an "update" that changes nothing opens no version)
-    "q118_scd2_dimension" ->
-      """WITH base AS (
-        |  SELECT c_custkey AS k, c_name, c_acctbal, c_mktsegment FROM customer),
-        |upd AS (
-        |  SELECT k, c_name,
-        |    CASE WHEN k % 5 = 0 THEN c_acctbal + CAST(100.0 AS DOUBLE)
-        |         ELSE c_acctbal END AS acctbal,
-        |    CASE WHEN k % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS mktsegment
-        |  FROM base WHERE k % 5 = 0 OR k % 7 = 0),
-        |changed AS (
-        |  SELECT b.k, b.c_name, b.c_acctbal, b.c_mktsegment, u.acctbal, u.mktsegment
-        |  FROM base b JOIN upd u ON b.k = u.k
-        |  WHERE b.c_acctbal IS DISTINCT FROM u.acctbal
-        |     OR b.c_mktsegment IS DISTINCT FROM u.mktsegment),
-        |deleted AS (
-        |  SELECT k, c_name, c_acctbal, c_mktsegment FROM base
-        |  WHERE k % 13 = 0 AND k % 5 <> 0 AND k % 7 <> 0)
-        |SELECT k AS c_custkey, c_name, c_acctbal AS acctbal,
-        |  c_mktsegment AS mktsegment,
-        |  TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
-        |  TIMESTAMP '1996-01-01 00:00:00' AS valid_to, FALSE AS is_current
-        |FROM changed
-        |UNION ALL
-        |SELECT k, c_name, acctbal, mktsegment,
-        |  TIMESTAMP '1996-01-01 00:00:00', NULL, TRUE FROM changed
-        |UNION ALL
-        |SELECT k, c_name, c_acctbal, c_mktsegment,
-        |  TIMESTAMP '1995-01-01 00:00:00',
-        |  TIMESTAMP '1996-01-01 00:00:00', FALSE FROM deleted
-        |UNION ALL
-        |SELECT k + 1000000, c_name, c_acctbal, c_mktsegment,
-        |  TIMESTAMP '1996-01-01 00:00:00', NULL, TRUE
-        |FROM base WHERE k % 11 = 0
-        |UNION ALL
-        |SELECT k, c_name, c_acctbal, c_mktsegment,
-        |  TIMESTAMP '1995-01-01 00:00:00', NULL, TRUE FROM base
-        |WHERE k NOT IN (SELECT k FROM changed) AND k NOT IN (SELECT k FROM deleted)""".stripMargin,
+    "q118_scd2_dimension" -> s"WITH $Scd2Ctes\n$Scd2HistorySelect",
+
+    // point-in-time enrichment: the as-of + validity-filter plan must equal
+    // the plain inequality join over the same reconstructed history
+    "q120_pit_enrich" ->
+      s"""WITH $Scd2Ctes,
+         |hist AS (
+         |$Scd2HistorySelect)
+         |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice,
+         |  h.acctbal, h.mktsegment, h.valid_from
+         |FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
+         |  AND o.o_orderdate >= h.valid_from
+         |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin,
 
     // PII redaction: the same RE2-safe patterns in the same order; DuckDB's
     // regexp_replace needs the 'g' flag (Spark replaces all by default)

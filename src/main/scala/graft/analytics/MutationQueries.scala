@@ -590,4 +590,27 @@ object MutationQueries {
         col(Scd2.ValidFrom).as("valid_from"), col(Scd2.ValidTo).as("valid_to"),
         col(Scd2.IsCurrent).as("is_current"))
   }
+
+  /** Point-in-time enrichment — the query SCD2 history EXISTS for: each
+    * order joined to the customer-dimension VERSION that was valid on its
+    * order date ([[scd2Snapshot]]'s history ∘ [[graft.operators.AsOfJoin]]).
+    * The as-of join picks the latest version opened at or before the order
+    * date in ONE key-partitioned window pass (no |fact|×|versions| blowup),
+    * and the validity-end filter drops orders falling after a tombstone or
+    * before the initial load — inner PIT semantics, byte-reproducible by a
+    * plain inequality join in the oracle. */
+  def pitEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.AsOfJoin
+    val dim = scd2Snapshot(spark, dir)
+      .select("c_custkey", "valid_from", "acctbal", "mktsegment", "valid_to")
+    val facts = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    AsOfJoin.leftAsOf(facts, dim,
+        "o_custkey", "c_custkey", "o_orderdate", "valid_from")
+      .filter(col("valid_from").isNotNull &&
+        (col("valid_to").isNull || col("o_orderdate") < col("valid_to")))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("acctbal"), col("mktsegment"),
+        col("valid_from"))
+  }
 }
