@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftnative
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
@@ -40,7 +40,8 @@ import graft.table.GraftTable
   * on top, so pushdown is a pruning hint, never a correctness dependency).
   */
 class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -54,24 +55,30 @@ class GraftDataSource extends RelationProvider
     val root = path(parameters)
     val t = GraftTable.forPath(spark, root)
     val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val history = parameters.get("history").exists(_.toBoolean)
+    val detail = parameters.get("detail").exists(_.toBoolean)
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
     val timestampAsOf = parameters.get("timestampAsOf").map(parseTsMs)
-    require(Seq(cdf, versionAsOf.isDefined, timestampAsOf.isDefined)
-      .count(identity) <= 1,
-      "readChangeFeed / versionAsOf / timestampAsOf are mutually exclusive")
+    require(Seq(cdf, history, detail, versionAsOf.isDefined,
+      timestampAsOf.isDefined).count(identity) <= 1,
+      "readChangeFeed / history / detail / versionAsOf / timestampAsOf " +
+        "are mutually exclusive")
     val df = (versionAsOf, timestampAsOf) match {
       case _ if cdf =>
         t.readChanges(
           parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
           parameters.get("endingVersion").map(_.toLong).getOrElse(Long.MaxValue))
+      case _ if history => t.history()
+      case _ if detail => t.detail()
       case (Some(v), _) => t.readVersion(v)
       case (_, Some(ms)) => t.readAsOf(ms)
       case _ => t.read()
     }
     // Data skipping consults the HEAD snapshot's stats, so only the plain
-    // head read routes through where(); versioned/CDF reads filter on top.
-    new GraftRelation(sqlContext, df, if (cdf || versionAsOf.isDefined ||
-      timestampAsOf.isDefined) None else Some(t))
+    // head read routes through where(); versioned/CDF/metadata reads
+    // filter on top.
+    new GraftRelation(sqlContext, df, if (cdf || history || detail ||
+      versionAsOf.isDefined || timestampAsOf.isDefined) None else Some(t))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -121,6 +128,23 @@ class GraftDataSource extends RelationProvider
     new GraftSink(root, appId, partitionColumns,
       outputMode == OutputMode.Complete())
   }
+
+  // `readStream.format("graft")` — same short name for the streaming READ
+  // too (Delta parity): version-aware appends by default, the CDF stream
+  // with option("readChangeFeed", true). Delegates to the dedicated
+  // provider so both format strings share one Source implementation.
+  private val streamProvider = new GraftTableSourceProvider
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), streamProvider.sourceSchema(sqlContext, schema,
+      providerName, parameters)._2)
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    streamProvider.createSource(sqlContext, metadataPath, schema,
+      providerName, parameters)
 
   private def parseTsMs(s: String): Long =
     s.toLongOption.getOrElse {

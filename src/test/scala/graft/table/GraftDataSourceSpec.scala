@@ -135,6 +135,37 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("history and detail options serve table metadata") {
+    val root = tmpDir("dsv1-meta")
+    freshRows.write.format("graft").save(root)
+    Seq((4L, "d", 40.0)).toDF("id", "name", "bal")
+      .write.format("graft").mode(SaveMode.Append).save(root)
+    val h = spark.read.format("graft").option("history", "true").load(root)
+    assert(h.select("operation").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("APPEND", "CREATE"))
+    val d = spark.read.format("graft").option("detail", "true").load(root)
+    assert(d.count() == 1 && d.columns.contains("numFiles"))
+  }
+
+  test("readStream.format(\"graft\") streams appended versions into a graft sink") {
+    val src = tmpDir("dsv1-ssrc")
+    val dst = tmpDir("dsv1-sdst")
+    freshRows.write.format("graft").save(src)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("checkpointLocation", tmpDir("dsv1-s-ckpt"))
+      .start(dst)
+    try {
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(dst).count() == 3)
+      Seq((4L, "d", 40.0)).toDF("id", "name", "bal")
+        .write.format("graft").mode(SaveMode.Append).save(src)
+      q.processAllAvailable()
+      assert(spark.read.format("graft").load(dst).orderBy("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("partitionBy option partitions the created table") {
     val root = tmpDir("dsv1-part")
     freshRows.withColumn("grp", col("id") % 2)
