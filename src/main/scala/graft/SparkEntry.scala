@@ -145,6 +145,7 @@ object SparkEntry {
     "q118_scd2_dimension"    -> (MutationQueries.scd2Snapshot _),
     "q119_pii_redact"        -> (CorpusQueries.piiRedaction _),
     "q120_pit_enrich"        -> (MutationQueries.pitEnrichment _),
+    "q121_temperature_mix"   -> (SamplingQueries.temperatureMix _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1162,6 +1163,21 @@ object SparkEntry {
          |FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
          |  AND o.o_orderdate >= h.valid_from
          |  AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)""".stripMargin,
+
+    // temperature mixing: sqrt is correctly-rounded IEEE on both engines,
+    // and the normalizer is the (integer) max — no float sum over a
+    // data-dependent group order anywhere in the expression tree
+    "q121_temperature_mix" ->
+      """WITH agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT max(n_tokens) AS max_tokens FROM agg)
+        |SELECT source, n_docs, n_tokens,
+        |  sqrt(n_tokens) / sqrt(max_tokens) AS temp_weight,
+        |  (sqrt(n_tokens) / sqrt(max_tokens))
+        |    / (CAST(n_tokens AS DOUBLE) / max_tokens) AS boost
+        |FROM agg CROSS JOIN m""".stripMargin,
 
     // PII redaction: the same RE2-safe patterns in the same order; DuckDB's
     // regexp_replace needs the 'g' flag (Spark replaces all by default)

@@ -143,6 +143,33 @@ object SamplingQueries {
       .filter(col("bucket") < col("rate_pct"))
   }
 
+  /** Temperature-based source mixing (the multilingual-corpus α-sampling
+    * step, α = 1/2): per source, the token mass and the temperature weight
+    * `sqrt(n_i)/sqrt(n_max)` — low-resource sources are boosted relative
+    * to their raw share (`boost = temp_weight / (n_i/n_max)` ≥ 1, largest
+    * source pinned at 1). α = 1/2 is deliberate: `sqrt` is IEEE
+    * correctly-rounded, so every output is a chain of exact BIGINT masses
+    * through individually-rounded sqrt/divide steps — bit-identical across
+    * engines, with NO float sum over a data-dependent group order (the
+    * usual Σ nᵢ^α normalizer is re-expressed against the max). General α
+    * would need `pow` (libm, not bit-portable) — production passes its own
+    * exponent and normalizes downstream. One small hash-agg + a broadcast
+    * one-row max: map-side combinable, no shuffle beyond the group-by. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val agg = Tables.documents(spark, dir)
+      .select(col("source"), TextFunctions.tokenCount(col("text")).as("tc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+    val maxTok = agg.agg(max(col("n_tokens")).as("max_tokens"))
+    val tempWeight = sqrt(col("n_tokens")) / sqrt(col("max_tokens"))
+    agg.crossJoin(broadcast(maxTok))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        tempWeight.as("temp_weight"),
+        (tempWeight / (col("n_tokens").cast("double") / col("max_tokens")))
+          .as("boost"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with an evaluation set — the standard guard against test-set
     * leakage into pretraining data. Shingles are hashed to 8-byte keys
