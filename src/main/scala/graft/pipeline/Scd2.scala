@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.table.GraftTable
+
 /** Slowly-Changing-Dimension Type 2 maintenance — the standard shape a CDC
   * consumer gives a dimension table when history must be queryable ("what
   * was this customer's segment when the order shipped?"). The reference
@@ -60,6 +62,81 @@ object Scd2 {
   def apply(dim: DataFrame, changes: DataFrame, key: String,
       effectiveFrom: Column, deleteCol: Option[String] = None,
       compareIgnore: Seq[String] = Nil): DataFrame = {
+    val (joined, history, branches) =
+      plan(dim, changes, key, effectiveFrom, deleteCol, compareIgnore)
+    import branches._
+    // Unmatched branches fall through to null, which explode drops: a
+    // delete of a key that was never current emits nothing.
+    val out = when(isDelete, array(tClosed))
+      .when(isUpdate, array(tClosed, sOpen))
+      .when(tPresent && sPresent, array(tAsIs))
+      .when(tPresent, array(tAsIs))
+      .when(isInsert, array(sOpen))
+    val updated = joined.select(explode(out).as("r")).select("r.*")
+    history.unionByName(updated)
+  }
+
+  /** Only the rows [[apply]] would CHANGE OR ADD — closed versions, opened
+    * versions, inserts; nothing for carried-through keys. This is the
+    * incremental-maintenance form: merge the delta into a stored dimension
+    * keyed by (key, valid_from) instead of rewriting the table, so a batch
+    * costs O(changed rows), not O(history). */
+  def delta(dim: DataFrame, changes: DataFrame, key: String,
+      effectiveFrom: Column, deleteCol: Option[String] = None,
+      compareIgnore: Seq[String] = Nil): DataFrame = {
+    val (joined, _, branches) =
+      plan(dim, changes, key, effectiveFrom, deleteCol, compareIgnore)
+    import branches._
+    val out = when(isDelete, array(tClosed))
+      .when(isUpdate, array(tClosed, sOpen))
+      .when(isInsert, array(sOpen))
+    joined.select(explode(out).as("r")).select("r.*")
+  }
+
+  /** Surrogate merge key of a version row — (business key, valid_from
+    * micros) rendered as one string, the unit a stored SCD2 table upserts
+    * on: closing a version UPDATES its row, opening one INSERTS. */
+  val MergeKey = "_scd2_key"
+
+  private def mergeKeyCol(key: String): Column =
+    concat_ws("|", col(key).cast("string"),
+      unix_micros(col(ValidFrom)).cast("string"))
+
+  /** Create the stored form of an SCD2 dimension: [[init]] versions plus
+    * the [[MergeKey]] column every later [[maintain]] merge matches on. */
+  def initTable(spark: org.apache.spark.sql.SparkSession, root: String,
+      df: DataFrame, key: String, effectiveFrom: Column): GraftTable =
+    GraftTable.create(spark, root,
+      init(df, effectiveFrom).withColumn(MergeKey, mergeKeyCol(key)))
+
+  /** Apply one change batch to a STORED SCD2 dimension ([[initTable]]'s
+    * [[GraftTable]]) incrementally: [[delta]] rows merged on [[MergeKey]].
+    * A batch costs O(changed rows) — history is never rewritten. Replaying
+    * the same batch is a value-level no-op (`changedOnly` merge semantics +
+    * a deterministic event-time `effectiveFrom`), so at-least-once
+    * foreachBatch delivery composes without txn bookkeeping — the
+    * streaming CDC→dimension-history sink. */
+  def maintain(table: GraftTable, changes: DataFrame, key: String,
+      effectiveFrom: Column, deleteCol: Option[String] = None,
+      compareIgnore: Seq[String] = Nil): Unit = {
+    require(table.read().columns.contains(MergeKey),
+      s"SCD2 maintenance needs the $MergeKey column — create the table " +
+        "with Scd2.initTable")
+    val dim = table.read().drop(MergeKey)
+    val d = delta(dim, changes, key, effectiveFrom, deleteCol, compareIgnore)
+      .withColumn(MergeKey, mergeKeyCol(key))
+    table.merge(d, MergeKey)
+    (): Unit
+  }
+
+  /** Shared join plumbing of [[apply]]/[[delta]]. */
+  private case class Branches(tPresent: Column, sPresent: Column,
+      isUpdate: Column, isInsert: Column, isDelete: Column,
+      tAsIs: Column, tClosed: Column, sOpen: Column)
+
+  private def plan(dim: DataFrame, changes: DataFrame, key: String,
+      effectiveFrom: Column, deleteCol: Option[String],
+      compareIgnore: Seq[String]): (DataFrame, DataFrame, Branches) = {
     val attrCols = dim.columns.toSeq
       .filterNot(c => c == key || c == ValidFrom || c == ValidTo || c == IsCurrent)
     val missing = attrCols.filterNot(changes.columns.contains)
@@ -86,18 +163,14 @@ object Scd2 {
         attrCols.map(c => col(s"$side.$c").as(c)) ++
         Seq(vf.as(ValidFrom), vt.as(ValidTo), cur.as(IsCurrent)): _*)
 
-    val tAsIs = row("t", col(s"t.$ValidFrom"), col(s"t.$ValidTo"), col(s"t.$IsCurrent"))
-    val tClosed = row("t", col(s"t.$ValidFrom"), col("s.__eff"), lit(false))
-    val sOpen = row("s", col("s.__eff"), nullTs, lit(true))
-
-    // Unmatched branches fall through to null, which explode drops: a
-    // delete of a key that was never current emits nothing.
-    val out = when(tPresent && sPresent && col("s.__del"), array(tClosed))
-      .when(tPresent && sPresent && changed, array(tClosed, sOpen))
-      .when(tPresent && sPresent, array(tAsIs))
-      .when(tPresent, array(tAsIs))
-      .when(sPresent && !col("s.__del"), array(sOpen))
-    val updated = joined.select(explode(out).as("r")).select("r.*")
-    history.unionByName(updated)
+    (joined, history, Branches(
+      tPresent = tPresent,
+      sPresent = sPresent,
+      isUpdate = tPresent && sPresent && !col("s.__del") && changed,
+      isInsert = !tPresent && sPresent && !col("s.__del"),
+      isDelete = tPresent && sPresent && col("s.__del"),
+      tAsIs = row("t", col(s"t.$ValidFrom"), col(s"t.$ValidTo"), col(s"t.$IsCurrent")),
+      tClosed = row("t", col(s"t.$ValidFrom"), col("s.__eff"), lit(false)),
+      sOpen = row("s", col("s.__eff"), nullTs, lit(true))))
   }
 }

@@ -80,6 +80,70 @@ class Scd2Spec extends SparkSpec {
     assert(d1.count() == 1) // only etl_tag differs → no new version
   }
 
+  test("delta emits only changed/added version rows") {
+    val batch = Seq(
+      (1L, "a", 15.0, false), // update → closed + opened
+      (2L, "b", 20.0, false), // no-op → nothing
+      (4L, "d", 40.0, false), // insert → opened
+      (3L, "c", 30.0, true)   // delete → closed
+    ).toDF("id", "name", "bal", "del")
+    val d = Scd2.delta(dim0, batch, "id", ts("2021-01-01 00:00:00"), Some("del"))
+    assert(d.count() == 4) // 2 (update) + 1 (insert) + 1 (delete-close)
+    assert(d.filter(col("id") === 2).count() == 0)
+    // delta ∪ untouched rows ≡ full apply()
+    val full = Scd2(dim0, batch, "id", ts("2021-01-01 00:00:00"), Some("del"))
+    assert(full.count() == 5)
+  }
+
+  test("maintain merges deltas into a stored table; replay is a no-op") {
+    val root = tmpDir("scd2-maintain")
+    val t = Scd2.initTable(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal"),
+      "id", ts("2020-01-01 00:00:00"))
+    val batch = Seq((1L, "a", 15.0, false), (3L, "c", 30.0, false))
+      .toDF("id", "name", "bal", "del")
+    Scd2.maintain(t, batch, "id", ts("2021-01-01 00:00:00"), Some("del"))
+
+    def snapshot = t.read().drop(Scd2.MergeKey)
+    assert(snapshot.count() == 4) // closed v1 + opened v2 + untouched + insert
+    val v1 = snapshot.filter(col("id") === 1).orderBy(Scd2.ValidFrom).collect()
+    assert(!v1(0).getAs[Boolean](Scd2.IsCurrent) && v1(0).getAs[Double]("bal") == 10.0)
+    assert(v1(1).getAs[Boolean](Scd2.IsCurrent) && v1(1).getAs[Double]("bal") == 15.0)
+
+    // replayed batch (at-least-once delivery): value-level no-op
+    val versionBefore = t.version
+    Scd2.maintain(t, batch, "id", ts("2021-01-01 00:00:00"), Some("del"))
+    assert(snapshot.count() == 4)
+    assert(snapshot.filter(col(Scd2.IsCurrent)).count() == 3)
+
+    // a later real batch closes the re-opened version incrementally
+    val batch2 = Seq((1L, "a", 17.0, false)).toDF("id", "name", "bal", "del")
+    Scd2.maintain(t, batch2, "id", ts("2022-01-01 00:00:00"), Some("del"))
+    assert(snapshot.filter(col("id") === 1).count() == 3)
+    // incremental result ≡ batch-wise apply() chain
+    val replayed = Scd2(Scd2(Scd2.init(
+        Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal"),
+        ts("2020-01-01 00:00:00")),
+      batch, "id", ts("2021-01-01 00:00:00"), Some("del")),
+      batch2, "id", ts("2022-01-01 00:00:00"), Some("del"))
+    val a = snapshot.orderBy("id", Scd2.ValidFrom).collect().toSeq
+    val b = replayed.orderBy("id", Scd2.ValidFrom).collect().toSeq
+    assert(a == b)
+    assert(versionBefore >= 1)
+  }
+
+  test("maintain refuses a table created without the merge key") {
+    val root = tmpDir("scd2-nokey")
+    val t = graft.table.GraftTable.create(spark, root,
+      Scd2.init(Seq((1L, "a", 10.0)).toDF("id", "name", "bal"),
+        ts("2020-01-01 00:00:00")))
+    val e = intercept[IllegalArgumentException] {
+      Scd2.maintain(t, Seq((1L, "a", 11.0)).toDF("id", "name", "bal"),
+        "id", ts("2021-01-01 00:00:00"))
+    }
+    assert(e.getMessage.contains(Scd2.MergeKey))
+  }
+
   test("change batch missing a dimension attribute is rejected") {
     val bad = Seq((1L, "a")).toDF("id", "name")
     val e = intercept[IllegalArgumentException] {
