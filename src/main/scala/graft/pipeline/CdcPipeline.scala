@@ -208,6 +208,53 @@ object CdcPipeline {
       }
       .start()
 
+  def scd2Path(cfg: Config, table: String): String =
+    s"${cfg.tableRoot}/scd2_$table"
+
+  /** Apply one parsed micro-batch to one table's SCD2 HISTORY dimension:
+    * per-key winners become Scd2 change rows — after-images as upserts,
+    * before-images of deletes as tombstones — effective at their own CDC
+    * event time, merged incrementally ([[Scd2.maintain]]: O(changed rows),
+    * replay-idempotent). The history-preserving sibling of
+    * [[applyBatchToSnapshot]]: the snapshot answers "what is", this table
+    * answers "what was, when". */
+  private[pipeline] def applyBatchToScd2(
+      spark: SparkSession, cfg: Config, table: String, auditRows: DataFrame): Unit = {
+    val winners = latestPerKey(auditRows, table)
+    val upserts = Parse.typedSnapshotRows(winners, table)
+      .drop("__cdc_operation", "__processed_at")
+      .withColumn("__is_del", lit(false))
+    val deletes = Parse.typedDeleteRows(winners, table)
+      .withColumn("__is_del", lit(true))
+    val changes = upserts.unionByName(deletes)
+    if (!changes.isEmpty) {
+      val path = scd2Path(cfg, table)
+      val t =
+        if (GraftTable.isTable(spark, path)) GraftTable.forPath(spark, path)
+        else graft.pipeline.Scd2.initTable(spark, path,
+          changes.drop("__cdc_timestamp", "__is_del").limit(0),
+          "id", lit(null).cast("timestamp"))
+      graft.pipeline.Scd2.maintain(t, changes, "id", col("__cdc_timestamp"),
+        deleteCol = Some("__is_del"))
+    }
+  }
+
+  /** SCD2 dimension-history stream: one foreachBatch query maintaining the
+    * history table of every configured table. */
+  def startScd2Stream(spark: SparkSession, cfg: Config): StreamingQuery =
+    Parse.parseDebezium(source(spark, cfg)).writeStream
+      .queryName("scd2_dimensions")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/scd2")
+      .trigger(trigger(cfg))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.persist()
+          try cfg.tables.foreach(t => applyBatchToScd2(spark, cfg, t, batch))
+          finally { batch.unpersist(); (): Unit }
+        }
+      }
+      .start()
+
   /** Run both sinks (ST4): audit + snapshots, awaiting termination —
     * `main()`'s shape at spark_streaming.py:417-478. */
   def runOnce(spark: SparkSession, cfg: Config): Unit = {

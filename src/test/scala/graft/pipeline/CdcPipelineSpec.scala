@@ -134,6 +134,58 @@ class CdcPipelineSpec extends SparkSpec {
     assert(changes("insert") === 2 && changes("delete") === 1)
   }
 
+  test("SCD2 stream: history dimension accumulates versions at event time") {
+    val in = tmpDir("cdc-scd2-in")
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("cdc-scd2-tables"),
+      checkpointRoot = tmpDir("cdc-scd2-ckpt"),
+      availableNow = true,
+      tables = Seq("customers"))
+    val t1 = 1700000000000L
+    val t2 = 1700000100000L
+
+    writeBatch(in, "b1.json", Seq(
+      CdcFixtures.record("customers", "c", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")),
+        tsMs = t1, off = 0),
+      CdcFixtures.record("customers", "c", 2,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")),
+        tsMs = t1, off = 1)))
+    CdcPipeline.startScd2Stream(spark, cfg).awaitTermination()
+
+    val dim = GraftTable.forPath(spark, CdcPipeline.scd2Path(cfg, "customers"))
+    assert(dim.read().count() === 2)
+    assert(dim.read().filter(col(Scd2.IsCurrent)).count() === 2)
+
+    // batch 2: email update (close + open), insert, delete (close only) —
+    // checkpointed resume, no reprocessing of batch 1
+    writeBatch(in, "b2.json", Seq(
+      CdcFixtures.record("customers", "u", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john.doe@new.com")),
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")),
+        tsMs = t2, off = 2),
+      CdcFixtures.record("customers", "c", 9,
+        Some(CdcFixtures.customerJson(9, "New", "User", "new@x.com")),
+        tsMs = t2, off = 3),
+      CdcFixtures.record("customers", "d", 2, None,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")),
+        tsMs = t2, off = 4)))
+    CdcPipeline.startScd2Stream(spark, cfg).awaitTermination()
+
+    val rows = dim.read().orderBy("id", Scd2.ValidFrom).collect()
+    assert(rows.length === 4) // John v1+v2, Jane closed, New open
+    val john = rows.filter(_.getAs[Long]("id") == 1L)
+    assert(john.map(_.getAs[String]("email")).toSeq ===
+      Seq("john@x.com", "john.doe@new.com"))
+    assert(john.map(_.getAs[Boolean](Scd2.IsCurrent)).toSeq === Seq(false, true))
+    assert(john(0).getAs[java.sql.Timestamp](Scd2.ValidTo).getTime === t2)
+    assert(john(1).getAs[java.sql.Timestamp](Scd2.ValidFrom).getTime === t2)
+    val jane = rows.filter(_.getAs[Long]("id") == 2L)
+    assert(jane.length === 1 && !jane(0).getAs[Boolean](Scd2.IsCurrent))
+    assert(rows.count(_.getAs[Boolean](Scd2.IsCurrent)) === 2) // John v2, New
+  }
+
   test("delete→re-insert inside one batch resolves to the re-insert") {
     val in = tmpDir("cdc-in2")
     val cfg = CdcPipeline.Config(
