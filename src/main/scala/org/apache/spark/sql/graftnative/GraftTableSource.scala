@@ -19,6 +19,16 @@ private[graftnative] trait VersionAdmission extends SupportsAdmissionControl {
   protected def currentVersion: Long
   protected def maxVersionsPerTrigger: Option[Int]
 
+  /** Byte budget per micro-batch (Delta's `maxBytesPerTrigger`): versions
+    * are admitted until the NEXT one would exceed the budget; the first
+    * pending version is always admitted (a single over-budget commit must
+    * still make progress — Delta's rule). Sizes come from a driver-side
+    * listing of each candidate version's dirs, paid once per trigger. */
+  protected def maxBytesPerTrigger: Option[Long] = None
+
+  /** Bytes a single version would contribute to a batch (0 = none). */
+  protected def bytesOfVersion(v: Long): Long = 0L
+
   protected def versionOf(o: Offset): Long = o match {
     case LongOffset(v) => v
     case other => other.json.trim.toLong // SerializedOffset after restart
@@ -32,9 +42,22 @@ private[graftnative] trait VersionAdmission extends SupportsAdmissionControl {
     if (head < 0) return null
     val from = Option(startOffset)
       .map(o => versionOf(o.asInstanceOf[Offset])).getOrElse(-1L)
-    val to = limit match {
+    val versionCap = limit match {
       case mf: ReadMaxFiles => math.min(head, from + mf.maxFiles())
       case _ => head
+    }
+    val to = maxBytesPerTrigger match {
+      case Some(budget) if versionCap > from =>
+        var v = from + 1
+        var spent = bytesOfVersion(v) // first version always admitted
+        var continue = true
+        while (continue && v < versionCap) {
+          val next = bytesOfVersion(v + 1)
+          if (spent + next <= budget) { v += 1; spent += next }
+          else continue = false
+        }
+        v
+      case _ => versionCap
     }
     if (to <= from) null else LongOffset(to)
   }
@@ -66,7 +89,8 @@ private[graftnative] trait VersionAdmission extends SupportsAdmissionControl {
 class GraftTableSource(
     sparkSession: SparkSession,
     root: String,
-    protected val maxVersionsPerTrigger: Option[Int] = None)
+    protected val maxVersionsPerTrigger: Option[Int] = None,
+    protected override val maxBytesPerTrigger: Option[Long] = None)
     extends Source with VersionAdmission {
 
   private val table = GraftTable.forPath(sparkSession, root)
@@ -74,6 +98,9 @@ class GraftTableSource(
 
   override def schema: StructType = initialSchema
   override protected def currentVersion: Long = table.version
+
+  override protected def bytesOfVersion(v: Long): Long =
+    GraftTableSource.dirsBytes(sparkSession, table.appendedDirsBetween(v - 1, v))
 
   override def getOffset: Option[Offset] = {
     val v = table.version
@@ -113,7 +140,8 @@ class GraftTableSource(
 class GraftChangesSource(
     sparkSession: SparkSession,
     root: String,
-    protected val maxVersionsPerTrigger: Option[Int] = None)
+    protected val maxVersionsPerTrigger: Option[Int] = None,
+    protected override val maxBytesPerTrigger: Option[Long] = None)
     extends Source with VersionAdmission {
 
   private val table = GraftTable.forPath(sparkSession, root)
@@ -121,6 +149,9 @@ class GraftChangesSource(
 
   override def schema: StructType = cdfSchema
   override protected def currentVersion: Long = table.version
+
+  override protected def bytesOfVersion(v: Long): Long =
+    GraftTableSource.dirsBytes(sparkSession, table.changeDirsBetween(v - 1, v))
 
   override def getOffset: Option[Offset] = {
     val v = table.version
@@ -176,9 +207,26 @@ class GraftTableSourceProvider extends StreamSourceProvider with DataSourceRegis
       providerName: String,
       parameters: Map[String, String]): Source = {
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
     if (readChangeFeed(parameters))
-      new GraftChangesSource(sqlContext.sparkSession, parameters("path"), maxVersions)
+      new GraftChangesSource(sqlContext.sparkSession, parameters("path"),
+        maxVersions, maxBytes)
     else
-      new GraftTableSource(sqlContext.sparkSession, parameters("path"), maxVersions)
+      new GraftTableSource(sqlContext.sparkSession, parameters("path"),
+        maxVersions, maxBytes)
   }
+}
+
+object GraftTableSource {
+  /** Driver-side byte size of a version's dirs — one listing per dir per
+    * admission decision (the commit log records stats, not file bytes;
+    * at trigger cadence the RPC cost is noise). */
+  private[graftnative] def dirsBytes(spark: SparkSession, dirs: Seq[String]): Long =
+    dirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
 }

@@ -49,6 +49,24 @@ class IncrementalAggSpec extends SparkSpec {
     assert(!state.read().collect().exists(_.getString(0) == "c"))
   }
 
+  test("APPEND commits maintain the aggregate via synthesized CDF inserts") {
+    val rows = Seq((1L, "a", 10.0), (2L, "b", 5.0))
+      .toDF("id", "category", "amount")
+    val snap = GraftTable.create(spark, tmpDir("ia3-snap"), rows)
+    val state = GraftTable.create(spark, tmpDir("ia3-state"),
+      rows.limit(0).select(col("category"),
+        lit(0L).cast(LongType).as("n"), lit(0.0).as("total")))
+    // an append-only table's change feed now serves inserts, so the SAME
+    // incremental maintainer covers audit-log-style tables
+    snap.append(Seq((3L, "a", 2.0), (4L, "c", 9.0))
+      .toDF("id", "category", "amount"))
+    IncrementalAgg.applyChanges(state,
+      snap.readChanges(snap.version, snap.version), spec)
+    val got = state.read().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set(("a", 1L, 2.0), ("c", 1L, 9.0)))
+  }
+
   test("replayed batch with a txn stamp is a no-op") {
     val rows = Seq((1L, "a", 10.0)).toDF("id", "category", "amount")
     val snap = GraftTable.create(spark, tmpDir("ia2-snap"), rows.limit(0))

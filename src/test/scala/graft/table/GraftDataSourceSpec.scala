@@ -104,6 +104,16 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(q.orderBy("name").collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
   }
 
+  test("CTAS: CREATE TABLE … USING graft AS SELECT materializes a table") {
+    val root = tmpDir("dsv1-ctas")
+    spark.sql(s"CREATE TABLE ctas_graft USING graft OPTIONS (path '$root') " +
+      "AS SELECT id, id * 2 AS doubled FROM range(5)")
+    try {
+      assert(GraftTable.isTable(spark, root))
+      assert(spark.sql("SELECT sum(doubled) FROM ctas_graft").head().getLong(0) == 20L)
+    } finally spark.sql("DROP TABLE ctas_graft")
+  }
+
   test("SQL INSERT INTO a USING graft relation lands an APPEND commit") {
     val root = tmpDir("dsv1-insert")
     freshRows.write.format("graft").save(root)

@@ -118,6 +118,52 @@ class TableStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger bounds each batch's admitted bytes") {
+    val dir = tmpDir("ts-bytes")
+    val t = GraftTable.create(spark, dir, Seq((0L, "s")).toDF("id", "s"))
+    (1L to 4L).foreach(i => t.append(Seq((i, s"r$i")).toDF("id", "s")))
+    // each appended dir is a few hundred bytes; a 1-byte budget forces the
+    // always-admit-the-first-version rule per batch → one commit per batch
+    val batchSizes = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = spark.readStream
+      .format("graft")
+      .option("maxBytesPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ts-bytes-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val sizes = batchSizes.asScala.filter(_ > 0)
+      assert(sizes.sum === 5)
+      assert(sizes.length >= 5, s"expected one commit per batch, got $sizes")
+    } finally q.stop()
+
+    // a budget large enough for everything admits the backlog in one batch
+    val big = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q2 = spark.readStream
+      .format("graft")
+      .option("maxBytesPerTrigger", (64L * 1024 * 1024).toString)
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ts-bytes-ckpt2"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        big.add(df.count()); ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(big.asScala.filter(_ > 0).toSeq === Seq(5L))
+    } finally q2.stop()
+  }
+
   test("streamChanges delivers positional-DV delete and update CDF") {
     val t = GraftTable.create(spark, tmpDir("ts-dvcdf"),
       Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"))
