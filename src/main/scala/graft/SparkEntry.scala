@@ -146,6 +146,7 @@ object SparkEntry {
     "q119_pii_redact"        -> (CorpusQueries.piiRedaction _),
     "q120_pit_enrich"        -> (MutationQueries.pitEnrichment _),
     "q121_temperature_mix"   -> (SamplingQueries.temperatureMix _),
+    "q122_datacard"          -> (CorpusQueries.datacard _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1178,6 +1179,26 @@ object SparkEntry {
         |  (sqrt(n_tokens) / sqrt(max_tokens))
         |    / (CAST(n_tokens AS DOUBLE) / max_tokens) AS boost
         |FROM agg CROSS JOIN m""".stripMargin,
+
+    // datacard: BIGINT masses + one division; dup incidence = md5 identity
+    // over the whole corpus, attributed to each source
+    "q122_datacard" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tc,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    md5(text) AS h
+        |  FROM documents),
+        |dup AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 2)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tc) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(sum(tc) AS BIGINT) / CAST(CAST(count(*) AS BIGINT) AS DOUBLE)
+        |    AS avg_tokens_per_doc
+        |FROM d GROUP BY source""".stripMargin,
 
     // PII redaction: the same RE2-safe patterns in the same order; DuckDB's
     // regexp_replace needs the 'g' flag (Spark replaces all by default)

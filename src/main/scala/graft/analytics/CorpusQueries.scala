@@ -514,6 +514,33 @@ object CorpusQueries {
         TextFunctions.piiCount(col("aug"), "IP").as("n_ip"))
   }
 
+  /** Corpus datacard — the per-source summary every corpus release ships:
+    * document/token/char mass, exact-duplicate incidence (md5 identity
+    * across the WHOLE corpus, attributed per source), and mean document
+    * length. All counts are BIGINT and the single ratio is one division —
+    * exact across engines. One scan + one tiny hash-identity self-agg
+    * (map-side combinable); at 100 TB this is the cheap closing report of
+    * a pipeline run, not a second pipeline. */
+  def datacard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val docs = Tables.documents(spark, dir).select(
+      col("source"), col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("tc"),
+      length(col("text")).cast("long").as("nc"),
+      md5(col("text")).as("h"))
+    val dupHashes = docs.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    docs.join(broadcast(dupHashes.withColumn("is_dup", lit(1L))), Seq("h"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("avg_tokens_per_doc",
+        col("n_tokens").cast("double") / col("n_docs"))
+  }
+
   def lmQualityFilter(spark: SparkSession, dir: String): DataFrame =
     unigramLm(spark, dir).filter(
       col("avg_token_prob") >= lit(0.03325) &&
