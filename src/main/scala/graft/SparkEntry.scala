@@ -147,6 +147,7 @@ object SparkEntry {
     "q120_pit_enrich"        -> (MutationQueries.pitEnrichment _),
     "q121_temperature_mix"   -> (SamplingQueries.temperatureMix _),
     "q122_datacard"          -> (CorpusQueries.datacard _),
+    "q123_connector_read"    -> (MutationQueries.connectorRead _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -260,6 +261,7 @@ object SparkEntry {
         |UNION ALL SELECT 'lineitem', count(*), CAST(max(l_orderkey) AS BIGINT) FROM lineitem
         |UNION ALL SELECT 'part', count(*), CAST(max(p_partkey) AS BIGINT) FROM part""".stripMargin,
     "q10_merge_upsert" -> "SELECT * FROM orders",
+    "q123_connector_read" -> "SELECT * FROM orders",
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the
     // appended F subset the tombstone coverage must not suppress

@@ -591,6 +591,17 @@ object MutationQueries {
         col(Scd2.IsCurrent).as("is_current"))
   }
 
+  /** The `format("graft")` connector under the driver gate: the merged
+    * orders fixture read back through `spark.read.format("graft")` with
+    * `versionAsOf` pinned to the merge commit — the standard-packaging
+    * read path ([[org.apache.spark.sql.graftnative.GraftDataSource]])
+    * must serve exactly what the library read serves (q10's oracle). */
+  def connectorRead(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergedOrdersTable(spark, dir)
+    spark.read.format("graft")
+      .option("versionAsOf", t.version.toString).load(t.root)
+  }
+
   /** Point-in-time enrichment — the query SCD2 history EXISTS for: each
     * order joined to the customer-dimension VERSION that was valid on its
     * order date ([[scd2Snapshot]]'s history ∘ [[graft.operators.AsOfJoin]]).
