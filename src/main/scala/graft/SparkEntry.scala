@@ -148,6 +148,7 @@ object SparkEntry {
     "q121_temperature_mix"   -> (SamplingQueries.temperatureMix _),
     "q122_datacard"          -> (CorpusQueries.datacard _),
     "q123_connector_read"    -> (MutationQueries.connectorRead _),
+    "q124_column_profile"    -> (OlapQueries.columnProfile _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -262,6 +263,46 @@ object SparkEntry {
         |UNION ALL SELECT 'part', count(*), CAST(max(p_partkey) AS BIGINT) FROM part""".stripMargin,
     "q10_merge_upsert" -> "SELECT * FROM orders",
     "q123_connector_read" -> "SELECT * FROM orders",
+    // column profile: per-column stats as a 6-branch UNION; numeric bounds
+    // cast losslessly to double, timestamps via epoch micros
+    "q124_column_profile" ->
+      """SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_custkey) AS BIGINT),
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_totalprice) AS BIGINT),
+        |  CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderdate) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |  CAST(epoch_us(min(o_orderdate)) AS DOUBLE),
+        |  CAST(epoch_us(max(o_orderdate)) AS DOUBLE),
+        |  NULL, NULL FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        |  NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |  NULL, NULL, min(o_orderpriority), max(o_orderpriority) FROM orders""".stripMargin,
+
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the
     // appended F subset the tombstone coverage must not suppress

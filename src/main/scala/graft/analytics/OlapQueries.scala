@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -407,6 +407,40 @@ object OlapQueries {
         avg(col("l_discount").cast(DecimalType(12, 2))).cast(DecimalType(18, 6))
           .as("avg_discount_dec"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** ANALYZE-style column profile of the orders table — one scan emitting
+    * a row per column: row/null/exact-distinct counts plus type-appropriate
+    * min/max (numerics and epoch-micros timestamps in `min_num`/`max_num`,
+    * strings in `min_str`/`max_str`; the other pair rides NULL). All
+    * counts are BIGINT and numeric bounds cast losslessly to double
+    * (orderkeys < 2^53, micros < 2^53) — exact across engines. The data
+    * profiler every warehouse exposes (DESCRIBE EXTENDED/ANALYZE), phrased
+    * as a single multi-aggregate pass + an exploded per-column unpivot. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val n = count(lit(1))
+    def num(c: String, v: Column => Column = identity) = struct(
+      lit(c).as("col_name"), n.as("n_rows"),
+      (n - count(col(c))).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"),
+      v(min(col(c))).cast("double").as("min_num"),
+      v(max(col(c))).cast("double").as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    def str(c: String) = struct(
+      lit(c).as("col_name"), n.as("n_rows"),
+      (n - count(col(c))).as("n_nulls"),
+      countDistinct(col(c)).as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      min(col(c)).as("min_str"),
+      max(col(c)).as("max_str"))
+    o.agg(array(
+        num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+        num("o_orderdate", c => unix_micros(c.cast("timestamp"))),
+        str("o_orderstatus"), str("o_orderpriority")).as("cols"))
+      .select(explode(col("cols")).as("c")).select("c.*")
   }
 
   /** Distinct + conditional aggregation surface: per market segment, exact
