@@ -149,6 +149,7 @@ object SparkEntry {
     "q122_datacard"          -> (CorpusQueries.datacard _),
     "q123_connector_read"    -> (MutationQueries.connectorRead _),
     "q124_column_profile"    -> (OlapQueries.columnProfile _),
+    "q125_url_canon"         -> (CorpusQueries.urlCanonicalize _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -302,6 +303,44 @@ object SparkEntry {
         |  CAST(count(*) - count(o_orderpriority) AS BIGINT),
         |  CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         |  NULL, NULL, min(o_orderpriority), max(o_orderpriority) FROM orders""".stripMargin,
+
+    // URL canonicalization: generic regex/list-sort pipeline mirrored in
+    // DuckDB over the same synthesized messy URLs
+    "q125_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:443/p'
+        |      || CAST(doc_id % 13 AS VARCHAR) || '/?'
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN 'a=' || CAST(doc_id % 3 AS VARCHAR)
+        |             || '&b=' || CAST(doc_id % 5 AS VARCHAR)
+        |           ELSE 'b=' || CAST(doc_id % 5 AS VARCHAR)
+        |             || '&a=' || CAST(doc_id % 3 AS VARCHAR) END
+        |      || '#s' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS query
+        |  FROM u),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    scheme || '://'
+        |      || CASE WHEN (scheme = 'https' AND hostport LIKE '%:443')
+        |                OR (scheme = 'http' AND hostport LIKE '%:80')
+        |           THEN regexp_replace(hostport, ':[0-9]+$', '')
+        |           ELSE hostport END
+        |      || path
+        |      || CASE WHEN query <> ''
+        |           THEN '?' || array_to_string(list_sort(string_split(query, '&')), '&')
+        |           ELSE '' END AS canon
+        |  FROM c)
+        |SELECT doc_id, url, canon,
+        |  CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_same_canon
+        |FROM canon""".stripMargin,
+
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

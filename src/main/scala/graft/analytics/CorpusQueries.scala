@@ -514,6 +514,31 @@ object CorpusQueries {
         TextFunctions.piiCount(col("aug"), "IP").as("n_ip"))
   }
 
+  /** URL canonicalization over the corpus ([[graft.text.TextFunctions
+    * .canonicalUrl]]) — the normalization web pipelines run before
+    * URL-keyed dedup. The corpus has no URL column, so each document gets
+    * a deterministic MESSY url derived from its doc_id (uppercase
+    * scheme/host, explicit default port, param order flipped by parity,
+    * fragment) built identically on both engines; the canonical form and
+    * the per-canonical-group count — the dedup signal: parity-flipped
+    * param orders collapse into one group — are then exact. Per-row
+    * string work + one count window on the canonical key. */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextFunctions
+    val k = col("doc_id")
+    val qa = concat(lit("a="), (k % 3).cast("string"))
+    val qb = concat(lit("b="), (k % 5).cast("string"))
+    val q = when(k % 2 === 0, concat(qa, lit("&"), qb))
+      .otherwise(concat(qb, lit("&"), qa))
+    val url = concat(lit("HTTPS://Example"), (k % 7).cast("string"),
+      lit(".COM:443/p"), (k % 13).cast("string"), lit("/?"), q,
+      lit("#s"), k.cast("string"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+    Tables.documents(spark, dir)
+      .select(k, url.as("url"), TextFunctions.canonicalUrl(url).as("canon"))
+      .withColumn("n_same_canon", count(lit(1)).over(w))
+  }
+
   /** Corpus datacard — the per-source summary every corpus release ships:
     * document/token/char mass, exact-duplicate incidence (md5 identity
     * across the WHOLE corpus, attributed per source), and mean document

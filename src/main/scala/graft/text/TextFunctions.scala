@@ -112,6 +112,30 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
   }
 
+  /** URL canonicalization — the standard web-corpus normalization before
+    * URL-keyed dedup (w3lib/trafilatura shape): scheme and host lowercase,
+    * default ports stripped (`:80` http / `:443` https), query parameters
+    * sorted so param order can't split identical pages, fragment dropped.
+    * Pure string/array built-ins (regexp_extract, split, array_sort,
+    * array_join) — codegen'd, per-row, engine-portable (the same steps
+    * express 1:1 in any SQL dialect with list sort). Malformed URLs (no
+    * `://`) pass through unchanged. */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[^:]+://([^/?#]*)", 1))
+    val host = when(
+      (scheme === "https" && hostPort.endsWith(":443")) ||
+        (scheme === "http" && hostPort.endsWith(":80")),
+      regexp_replace(hostPort, ":[0-9]+$", "")).otherwise(hostPort)
+    val path = regexp_extract(url, "^[^:]+://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQuery = array_join(array_sort(split(query, "&")), "&")
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+      concat(scheme, lit("://"), host, path,
+        when(query =!= "", concat(lit("?"), sortedQuery)).otherwise(lit(""))))
+      .otherwise(url)
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),

@@ -109,6 +109,19 @@ class TextFunctionsSpec extends SparkSpec {
       "plain words only")
   }
 
+  test("canonicalUrl: case, default ports, param order, fragments") {
+    def canon(u: String) = one[String](u, TextFunctions.canonicalUrl(col("text")))
+    assert(canon("HTTPS://Ex.COM:443/P?b=2&a=1#frag") === "https://ex.com/P?a=1&b=2")
+    assert(canon("http://EX.com:80/x") === "http://ex.com/x")
+    // non-default port survives; path case survives; no query → no '?'
+    assert(canon("http://ex.com:8080/x#f") === "http://ex.com:8080/x")
+    assert(canon("https://ex.com/") === "https://ex.com/")
+    // :443 on plain http is NOT a default port — kept
+    assert(canon("http://ex.com:443/x") === "http://ex.com:443/x")
+    // malformed (no scheme) passes through untouched
+    assert(canon("not a url") === "not a url")
+  }
+
   test("piiRedacted: typed placeholders per category, counts audit") {
     val s = "mail a.b@ex.com call +1 555-123-4567 ssn 078-05-1120 host 192.168.0.1 done"
     assert(one[String](s, TextFunctions.piiRedacted(col("text"))) ===
