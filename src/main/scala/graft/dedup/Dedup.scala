@@ -109,7 +109,20 @@ object Dedup {
     *
     * Additional length filter: |B| ≥ ⌈t·|A|⌉ is implied by J ≥ t, so
     * candidate rows whose sizes already violate it are dropped before the
-    * pair-dedup shuffle. */
+    * pair-dedup shuffle.
+    *
+    * Positional filter (PPJoin's upgrade over plain AllPairs): each prefix
+    * row carries its token's POSITION `rn` under the shared order. A match
+    * of token h at positions (i, j) bounds the overlap — common tokens
+    * ordered before h sit before h in BOTH documents (one global order),
+    * so at most min(i−1, j−1) of them exist, and at most
+    * min(|A|−i, |B|−j) follow — giving
+    * overlap ≤ least(i, j) + least(|A|−i, |B|−j). J ≥ t needs overlap ≥
+    * ⌈t/(1+t)·(|A|+|B|)⌉; rows whose bound can't reach it are dropped
+    * BEFORE the pair-dedup shuffle. Lossless: for a qualifying pair, its
+    * FIRST matched token has no earlier common token (an earlier common
+    * token would itself sit in both prefixes and be matched), so that
+    * row's bound is exact-or-above and always survives. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val sh = stageIfLarge(docShingleHashes(docs, n), "jaccard")
@@ -123,13 +136,18 @@ object Dedup {
       .withColumn("rn", row_number().over(w.orderBy("df", "h")))
       .withColumn("sz", count(lit(1)).over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select("h", "doc_id", "sz"), "jacprefix")
+      .select("h", "doc_id", "sz", "rn"), "jacprefix")
     // groupBy instead of distinct: same single shuffle dedups the pairs.
-    val cand = prefix.select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
-      .join(prefix.select(col("h"), col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("h"))
+    val cand = prefix.select(col("h"), col("doc_id").as("a_id"),
+        col("sz").as("a_sz"), col("rn").as("a_rn"))
+      .join(prefix.select(col("h"), col("doc_id").as("b_id"),
+        col("sz").as("b_sz"), col("rn").as("b_rn")), Seq("h"))
       .filter(col("a_id") < col("b_id") &&
         col("b_sz") >= ceil(lit(threshold) * col("a_sz")) &&
-        col("a_sz") >= ceil(lit(threshold) * col("b_sz")))
+        col("a_sz") >= ceil(lit(threshold) * col("b_sz")) &&
+        least(col("a_rn"), col("b_rn")) +
+          least(col("a_sz") - col("a_rn"), col("b_sz") - col("b_rn")) >=
+          ceil(lit(threshold / (1.0 + threshold)) * (col("a_sz") + col("b_sz"))))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared_prefix"))
       .select("a_id", "b_id")
     verifyJaccard(cand, docShingleSets(docs, n), threshold)

@@ -59,6 +59,11 @@ object GraftFunctions {
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // Delta's SQL time-travel clause (VERSION AS OF / TIMESTAMP AS OF) for
+    // graft relations — a pre-analysis rewrite, because the stock analyzer
+    // resolves RelationTimeTravel only for DSv2 catalog tables.
+    ext.injectParser((session, parser) =>
+      new org.apache.spark.sql.graftnative.GraftSqlParser(session, parser))
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.GraftStrategies)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.TopKRewrite)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftnative.GraftScanSkipping)

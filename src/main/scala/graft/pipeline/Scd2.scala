@@ -154,6 +154,16 @@ object Scd2 {
     val joined = current.join(ch, col(s"t.$key") === col(s"s.$key"), "full_outer")
     val tPresent = col(s"t.$key").isNotNull
     val sPresent = col(s"s.$key").isNotNull
+    // Monotonicity guard: CDC event times are often millisecond-resolution,
+    // so consecutive batches can carry the SAME effectiveFrom for one key.
+    // Closing the current version at (or before) its own valid_from would
+    // emit a closed row and a new open row sharing (key, valid_from) — a
+    // non-unique [[MergeKey]] (nondeterministic upsert in [[maintain]])
+    // plus a zero/negative-length version. Clamp the effective instant to
+    // strictly after the current version's start (1 µs past it).
+    val eff = when(tPresent && col("s.__eff") <= col(s"t.$ValidFrom"),
+      col(s"t.$ValidFrom") + expr("INTERVAL 1 MICROSECOND"))
+      .otherwise(col("s.__eff"))
     val changed = attrCols.filterNot(compareIgnore.contains)
       .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
@@ -170,7 +180,7 @@ object Scd2 {
       isInsert = !tPresent && sPresent && !col("s.__del"),
       isDelete = tPresent && sPresent && col("s.__del"),
       tAsIs = row("t", col(s"t.$ValidFrom"), col(s"t.$ValidTo"), col(s"t.$IsCurrent")),
-      tClosed = row("t", col(s"t.$ValidFrom"), col("s.__eff"), lit(false)),
-      sOpen = row("s", col("s.__eff"), nullTs, lit(true))))
+      tClosed = row("t", col(s"t.$ValidFrom"), eff, lit(false)),
+      sOpen = row("s", eff, nullTs, lit(true))))
   }
 }

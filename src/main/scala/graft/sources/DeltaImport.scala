@@ -1,0 +1,336 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.table.GraftTable
+
+/** Read-only bridge to the open Delta Lake transaction-log format: parses
+  * `_delta_log/` actions (add / remove / metaData / protocol, plus cdc for
+  * the change feed) into a snapshot and reads it with Spark's ordinary
+  * vectorized parquet scan — so tables frozen by a Delta writer (the
+  * reference ships four of them under `deltalake/`, e.g.
+  * `deltalake/customers/_delta_log/00000000000000000000.json`, written by
+  * consumer/python-consumer/delta_handler.py and read back in
+  * notebook cells 20-26) open directly, with time travel and CDF, without
+  * the Delta library on the classpath.
+  *
+  * Why replay is mandatory (not a parquet glob): a Delta dir may hold
+  * files that are NOT part of the current snapshot — files removed by
+  * later commits but not yet vacuumed, and orphaned files from aborted
+  * writes. The reference's own `customers` table has both: its v1 MERGE
+  * removed v0's file (still on disk), and one part-file appears in no
+  * commit at all. Only add/remove replay yields the correct active set.
+  *
+  * Scale shape: replay is a driver-side fold over the log — exactly how
+  * Delta's own Snapshot works — and the data read is one parquet relation
+  * per partition-value group, so pruning/pushdown/codegen all apply.
+  * Classic parquet checkpoints (`N.checkpoint.parquet`, single- or
+  * multi-part, advertised by `_last_checkpoint`) are consumed so a
+  * long-history table costs one parquet read + the JSON tail, not a full
+  * JSON replay; the collected action list is file metadata only (the same
+  * driver-resident state every Delta reader holds).
+  */
+object DeltaImport {
+
+  /** One live data file of a snapshot (path relative to the table root;
+    * partition values as Delta stores them — strings, null for the Hive
+    * default partition). */
+  final case class AddFile(path: String, partitionValues: Map[String, String])
+
+  /** The resolved state of a Delta table at one version. */
+  final case class Snapshot(
+      tablePath: String,
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      configuration: Map[String, String],
+      files: Seq[AddFile])
+
+  private case class VersionActions(
+      version: Long,
+      timestampMs: Long,
+      operation: String,
+      metaData: Option[(StructType, Seq[String], Map[String, String])],
+      protocol: Option[Int], // minReaderVersion
+      adds: Seq[(AddFile, Boolean)], // (file, dataChange)
+      removes: Seq[(String, Boolean)], // (path, dataChange)
+      cdc: Seq[AddFile])
+
+  private implicit val formats: Formats = DefaultFormats
+
+  // ------------------------------------------------------------ log replay
+
+  private def logDir(tablePath: String) = new Path(tablePath, "_delta_log")
+
+  private def parseLine(line: String): JValue = JsonMethods.parse(line)
+
+  private def addOf(j: JValue): AddFile = AddFile(
+    (j \ "path").extract[String],
+    (j \ "partitionValues") match {
+      case JObject(fields) => fields.map {
+        case (k, JString(v)) => k -> v
+        case (k, _) => k -> null
+      }.toMap
+      case _ => Map.empty
+    })
+
+  private def actionsOf(version: Long, lines: Iterator[String]): VersionActions = {
+    var ts = 0L
+    var op = ""
+    var meta: Option[(StructType, Seq[String], Map[String, String])] = None
+    var protocol: Option[Int] = None
+    val adds = Seq.newBuilder[(AddFile, Boolean)]
+    val removes = Seq.newBuilder[(String, Boolean)]
+    val cdc = Seq.newBuilder[AddFile]
+    lines.filter(_.trim.nonEmpty).foreach { line =>
+      val j = parseLine(line)
+      (j \ "commitInfo") match {
+        case JNothing => ()
+        case ci =>
+          ts = (ci \ "timestamp").extractOrElse[Long](0L)
+          op = (ci \ "operation").extractOrElse[String]("")
+      }
+      (j \ "metaData") match {
+        case JNothing => ()
+        case m =>
+          val schema = DataType.fromJson((m \ "schemaString").extract[String])
+            .asInstanceOf[StructType]
+          val partCols = (m \ "partitionColumns").extract[Seq[String]]
+          val conf = (m \ "configuration").extractOrElse[Map[String, String]](Map.empty)
+          meta = Some((schema, partCols, conf))
+      }
+      (j \ "protocol" \ "minReaderVersion") match {
+        case JInt(v) => protocol = Some(v.toInt)
+        case _ => ()
+      }
+      (j \ "add") match {
+        case JNothing => ()
+        case a => adds += addOf(a) -> (a \ "dataChange").extractOrElse[Boolean](true)
+      }
+      (j \ "remove") match {
+        case JNothing => ()
+        case r => removes += (r \ "path").extract[String] ->
+          (r \ "dataChange").extractOrElse[Boolean](true)
+      }
+      (j \ "cdc") match {
+        case JNothing => ()
+        case c => cdc += addOf(c)
+      }
+    }
+    VersionActions(version, ts, op, meta, protocol,
+      adds.result(), removes.result(), cdc.result())
+  }
+
+  /** JSON commit files of the log ≥ `afterVersion` (exclusive), ascending. */
+  private def jsonVersions(spark: SparkSession, tablePath: String,
+      afterVersion: Long): Seq[(Long, Path)] = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir))
+      throw new IllegalArgumentException(s"$tablePath has no _delta_log — not a Delta table")
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)
+      }
+      .map(p => p.getName.stripSuffix(".json").toLong -> p)
+      .filter(_._1 > afterVersion)
+      .sortBy(_._1)
+  }
+
+  /** The classic checkpoint at or below `versionAsOf` advertised by
+    * `_last_checkpoint`, if usable: (version, its parquet parts). */
+  private def lastCheckpoint(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long]): Option[(Long, Seq[Path])] = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(dir, "_last_checkpoint")
+    if (!fs.exists(marker)) return None
+    val in = fs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val j = parseLine(txt)
+    val v = (j \ "version").extract[Long]
+    if (versionAsOf.exists(_ < v)) return None // travel predates the checkpoint
+    val parts = (j \ "parts") match {
+      case JInt(n) => (1 to n.toInt).map(i =>
+        new Path(dir, f"$v%020d.checkpoint.$i%010d.${n.toInt}%010d.parquet"))
+      case _ => Seq(new Path(dir, f"$v%020d.checkpoint.parquet"))
+    }
+    if (parts.forall(fs.exists)) Some(v -> parts) else None
+  }
+
+  /** Resolve the snapshot at `versionAsOf` (default: HEAD) by replaying the
+    * checkpoint (if any) plus the JSON commit tail. */
+  def snapshot(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Snapshot = {
+    val ckpt = lastCheckpoint(spark, tablePath, versionAsOf)
+    var files = Map.empty[String, AddFile]
+    var meta: Option[(StructType, Seq[String], Map[String, String])] = None
+    var minReader: Option[Int] = None
+    var version = -1L
+
+    ckpt.foreach { case (v, parts) =>
+      // Classic checkpoint: one row per action, struct columns. Tombstoned
+      // removes are VACUUM bookkeeping — only adds and metaData matter for
+      // the snapshot.
+      val rows = spark.read.parquet(parts.map(_.toString): _*)
+      val cols = rows.columns.toSet
+      if (cols.contains("add")) rows.select("add.path", "add.partitionValues")
+        .filter(col("path").isNotNull).collect().foreach { r =>
+          val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
+          files += r.getString(0) -> AddFile(r.getString(0), pv)
+        }
+      if (cols.contains("metaData")) {
+        val m = rows.select("metaData.schemaString", "metaData.partitionColumns",
+          "metaData.configuration").filter(col("schemaString").isNotNull).collect()
+        m.lastOption.foreach { r =>
+          meta = Some((DataType.fromJson(r.getString(0)).asInstanceOf[StructType],
+            r.getSeq[String](1),
+            Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty)))
+        }
+      }
+      if (cols.contains("protocol")) {
+        val p = rows.select("protocol.minReaderVersion")
+          .filter(col("minReaderVersion").isNotNull).collect()
+        p.lastOption.foreach(r => minReader = Some(r.getInt(0)))
+      }
+      version = v
+    }
+
+    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    jsonVersions(spark, tablePath, version)
+      .takeWhile { case (v, _) => versionAsOf.forall(v <= _) }
+      .foreach { case (v, p) =>
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toArray finally in.close()
+        val a = actionsOf(v, lines.iterator)
+        a.metaData.foreach(m => meta = Some(m))
+        a.protocol.foreach(r => minReader = Some(r))
+        a.adds.foreach { case (f, _) => files += f.path -> f }
+        a.removes.foreach { case (path, _) => files -= path }
+        version = v
+      }
+
+    if (version < 0) throw new IllegalArgumentException(
+      s"$tablePath: no Delta commits" +
+        versionAsOf.map(v => s" at or below version $v").getOrElse(""))
+    versionAsOf.foreach(v => require(version == v,
+      s"$tablePath has no version $v (latest at or below: $version)"))
+    val (schema, partCols, conf) = meta.getOrElse(throw new IllegalStateException(
+      s"$tablePath: no metaData action in the log — corrupt table"))
+    // Reader protocol gate: v1 = plain parquet; v2 adds column mapping
+    // (readable only when the mapping mode is absent/none); v3 = table
+    // features (deletion vectors…) — refused loudly rather than misread.
+    minReader.foreach { r =>
+      val mapping = conf.getOrElse("delta.columnMapping.mode", "none")
+      require(r <= 1 || (r == 2 && mapping == "none"),
+        s"$tablePath requires Delta reader protocol $r" +
+          (if (mapping != "none") s" with column mapping '$mapping'" else "") +
+          " — beyond this bridge (plain-parquet protocols only)")
+    }
+    Snapshot(tablePath, version, schema, partCols, conf, files.values.toSeq.sortBy(_.path))
+  }
+
+  // ------------------------------------------------------------- reads
+
+  /** Read a Delta table at HEAD or a pinned version — partition columns
+    * reconstructed from the log's partitionValues, Hive default partition
+    * as null. */
+  def read(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): DataFrame =
+    readSnapshot(spark, snapshot(spark, tablePath, versionAsOf))
+
+  private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
+    val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
+    if (s.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    val groups = s.files.groupBy(_.partitionValues).toSeq
+    groups.map { case (pv, fs) =>
+      val base = spark.read.schema(dataSchema)
+        .parquet(fs.map(f => new Path(s.tablePath, f.path).toString): _*)
+      s.partitionColumns.foldLeft(base) { (d, pc) =>
+        val f = s.schema(pc)
+        val raw = pv.get(pc).filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
+        d.withColumn(pc, lit(raw.orNull).cast(f.dataType))
+      }
+    }.reduce(_ unionByName _)
+      .select(s.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+  }
+
+  /** The table's Change Data Feed over versions [fromVersion, toVersion] —
+    * Delta semantics, aligned to graft's own CDF column names:
+    *  - commits with `cdc` actions serve their `_change_data` files (the
+    *    `_change_type` column is IN the file);
+    *  - data-changing commits without `cdc` serve added files as inserts
+    *    (Delta serves blind-append AddFiles the same way) and whole-file
+    *    removes as deletes;
+    * each stamped with `_commit_version` / `_commit_timestamp`. */
+  def readChanges(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val head = snapshot(spark, tablePath, None) // schema + protocol gate
+    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = jsonVersions(spark, tablePath, fromVersion - 1)
+      .takeWhile(_._1 <= toVersion)
+      .map { case (v, p) =>
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toArray finally in.close()
+        actionsOf(v, lines.iterator)
+      }
+    val cdfSchema = head.schema
+      .add("_change_type", StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+
+    def stamped(df: DataFrame, changeType: Option[String], a: VersionActions): DataFrame =
+      df.select(cdfSchema.fields.map { f =>
+        if (f.name == "_change_type")
+          changeType.map(lit(_)).getOrElse(col("_change_type")).as(f.name)
+        else if (f.name == "_commit_version") lit(a.version).as(f.name)
+        else if (f.name == "_commit_timestamp")
+          lit(new java.sql.Timestamp(a.timestampMs)).as(f.name)
+        else col(s"`${f.name}`")
+      }.toIndexedSeq: _*)
+
+    def filesDf(paths: Seq[AddFile], withChangeType: Boolean): DataFrame = {
+      val s0 = if (withChangeType) head.schema.add("_change_type", StringType) else head.schema
+      val dataSchema = StructType(s0.filterNot(f => head.partitionColumns.contains(f.name)))
+      val groups = paths.groupBy(_.partitionValues).toSeq
+      groups.map { case (pv, fls) =>
+        val base = spark.read.schema(dataSchema)
+          .parquet(fls.map(f => new Path(tablePath, f.path).toString): _*)
+        head.partitionColumns.foldLeft(base) { (d, pc) =>
+          val raw = pv.get(pc).filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
+          d.withColumn(pc, lit(raw.orNull).cast(head.schema(pc).dataType))
+        }
+      }.reduce(_ unionByName _)
+    }
+
+    val parts = versions.flatMap { a =>
+      if (a.cdc.nonEmpty) Seq(stamped(filesDf(a.cdc, withChangeType = true), None, a))
+      else {
+        val ins = a.adds.filter(_._2).map(_._1)
+        val del = a.removes.filter(_._2).map { case (p, _) => AddFile(p, Map.empty) }
+        (if (ins.nonEmpty) Seq(stamped(filesDf(ins, withChangeType = false), Some("insert"), a)) else Nil) ++
+          (if (del.nonEmpty) Seq(stamped(filesDf(del, withChangeType = false), Some("delete"), a)) else Nil)
+      }
+    }
+    if (parts.isEmpty) throw new NoSuchElementException(
+      s"$tablePath has no change data in [$fromVersion, $toVersion]")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Materialize a frozen Delta table as a graft table (the migration
+    * path: one CREATE commit holding the snapshot, history starts fresh). */
+  def importTable(spark: SparkSession, tablePath: String, destRoot: String,
+      versionAsOf: Option[Long] = None): GraftTable = {
+    val s = snapshot(spark, tablePath, versionAsOf)
+    GraftTable.create(spark, destRoot, readSnapshot(spark, s), s.partitionColumns)
+  }
+}

@@ -380,9 +380,7 @@ final class GraftTable private (
       .filter(c => c.version >= fromVersion && c.version <= toVersion)
     val withDirs = cs.map(c => c -> new Path(root, changesDirOf(c)))
       .filter { case (_, d) => fs.exists(d) }
-    val appends = cs.filter(c => c.operation == "APPEND")
-      .map(c => c -> appendedDirsBetween(c.version - 1, c.version))
-      .filter(_._2.nonEmpty)
+    val appends = appendCommitsBetween(fromVersion - 1, toVersion)
     if (withDirs.isEmpty && appends.isEmpty)
       throw new NoSuchElementException(s"$root has no change data in [$fromVersion, $toVersion]")
     // Union schema computed from the COMMIT LOG (same field-name merge as
@@ -467,6 +465,29 @@ final class GraftTable private (
       .map(d => new Path(root, d).toString)
   }
 
+  /** APPEND commits in (fromVersion, toVersion] paired with the absolute
+    * data dirs each one added — the input both CDF surfaces (batch
+    * [[readChanges]] and the streaming
+    * [[org.apache.spark.sql.graftnative.GraftChangesSource]]) use to
+    * synthesize insert rows: appends write no `_changes` dir, their change
+    * rows ARE the appended files. Unlike [[appendedDirsBetween]], mutating
+    * commits inside the range contribute nothing here instead of failing —
+    * they carry real `_changes` dirs of their own. */
+  def appendCommitsBetween(fromVersionExclusive: Long,
+      toVersionInclusive: Long): Seq[(Commit, Seq[String])] = {
+    val all = log.commits()
+    val byVersion = all.map(c => c.version -> c).toMap
+    all.filter(c => c.version > fromVersionExclusive &&
+        c.version <= toVersionInclusive && c.operation == "APPEND")
+      .map { c =>
+        val prevDirs = byVersion.get(c.version - 1)
+          .map(_.dataDirs.toSet).getOrElse(Set.empty[String])
+        c -> c.dataDirs.filterNot(prevDirs.contains)
+          .map(d => new Path(root, d).toString)
+      }
+      .filter(_._2.nonEmpty)
+  }
+
   /** Streaming source over this table's appended data (Delta's
     * `spark.readStream.format("delta")` for the append-only case): new
     * files under `data/` surface as micro-batches as commits land. Valid
@@ -527,17 +548,50 @@ final class GraftTable private (
 
   // DV dirs are immutable once committed, so the driver-side (file →
   // positions) form is cached per dvDirs-set — one small parquet read per
-  // distinct DV state, not per table read.
+  // distinct DV state, not per table read. The cache is BOUNDED by total
+  // cached positions (`spark.graft.dv.cacheMaxEntries`, default 4×
+  // [[dvInlineMax]]): a long-lived handle sees a new DV state per
+  // positional delete, and an unbounded map of up-to-1M-entry values is a
+  // slow driver leak. Eviction is LRU (access-ordered LinkedHashMap); the
+  // just-inserted state always stays (a single over-budget DV must still
+  // serve reads).
+  private def dvCacheMax: Long =
+    spark.conf.getOption("spark.graft.dv.cacheMaxEntries").map(_.toLong)
+      .getOrElse(4L * dvInlineMax)
   private val dvEntryCache =
-    scala.collection.concurrent.TrieMap.empty[Seq[String], Map[String, Seq[Long]]]
-  private def dvEntriesOf(c: Commit): Map[String, Seq[Long]] =
-    dvEntryCache.getOrElseUpdate(c.dvDirs, {
-      spark.read.parquet(c.dvDirs.map(d => new Path(root, d).toString): _*)
-        .select("file", "pos")
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq.sorted }
-    })
+    new java.util.LinkedHashMap[Seq[String], Map[String, Seq[Long]]](16, 0.75f, true)
+  private var dvCachedEntries = 0L
+  private def entryCount(m: Map[String, Seq[Long]]): Long =
+    m.valuesIterator.map(_.length.toLong).sum
+  /** (cached states, total cached positions) — for the bound's spec. */
+  private[table] def dvCacheStats: (Int, Long) =
+    dvEntryCache.synchronized((dvEntryCache.size, dvCachedEntries))
+  private def dvEntriesOf(c: Commit): Map[String, Seq[Long]] = {
+    dvEntryCache.synchronized {
+      val hit = dvEntryCache.get(c.dvDirs)
+      if (hit != null) return hit
+    }
+    // Built outside the lock (it runs a Spark job); a concurrent duplicate
+    // build is benign — last insert wins, totals stay consistent.
+    val built = spark.read.parquet(c.dvDirs.map(d => new Path(root, d).toString): _*)
+      .select("file", "pos")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).toSeq.sorted }
+    dvEntryCache.synchronized {
+      val prev = dvEntryCache.put(c.dvDirs, built)
+      dvCachedEntries += entryCount(built) - Option(prev).map(entryCount).getOrElse(0L)
+      val it = dvEntryCache.entrySet().iterator()
+      while (dvCachedEntries > dvCacheMax && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != c.dvDirs) {
+          dvCachedEntries -= entryCount(e.getValue)
+          it.remove()
+        }
+      }
+    }
+    built
+  }
 
   /** Row count of a just-written dir from its PARQUET FOOTERS — metadata
     * the write already produced, read driver-side with no Spark job (one
@@ -1078,16 +1132,17 @@ final class GraftTable private (
     * rewrite path) on violation. SQL semantics: a row violates only when
     * the predicate is FALSE; NULL passes, as in standard CHECK. */
   def addConstraint(name: String, predicateSql: String): Commit = this.synchronized {
-    val prev = log.latest().getOrElse(
-      throw new NoSuchElementException(s"no table at $root"))
-    violations(readCommit(prev), Map(name -> predicateSql), "existing snapshot")
-    val c = prev.copy(
-      version = prev.version + 1, tsMs = System.currentTimeMillis(),
-      operation = "ADD CONSTRAINT",
-      metrics = Map.empty, changesDir = None,
-      txnAppId = None, txnBatchId = None,
-      properties = prev.properties + (ConstraintPrefix + name -> predicateSql))
-    log.commit(c); c
+    commitMetadata { prev =>
+      // re-validated per attempt: a rebase over a concurrent data commit
+      // must check the NEW snapshot, not the one this call first saw
+      violations(readCommit(prev), Map(name -> predicateSql), "existing snapshot")
+      prev.copy(
+        version = prev.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "ADD CONSTRAINT",
+        metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        properties = prev.properties + (ConstraintPrefix + name -> predicateSql))
+    }
   }
 
   /** ALTER TABLE ADD COLUMN — METADATA-ONLY (no file rewrite): the new
@@ -1097,8 +1152,7 @@ final class GraftTable private (
     * treat history correctly from the first commit. (Same effect as
     * appending an evolved frame, as explicit DDL.) */
   def addColumn(name: String, dataType: DataType): Commit = this.synchronized {
-    val prev = log.latest().getOrElse(
-      throw new NoSuchElementException(s"no table at $root"))
+    commitMetadata { prev =>
     val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
     require(!schema.fieldNames.contains(name), s"column $name already exists at $root")
     // A name a metadata-only DROP retired can never come back: reads
@@ -1109,13 +1163,13 @@ final class GraftTable private (
     require(!prev.properties.contains(DroppedColPrefix + name),
       s"column $name of $root was dropped; its physical name is retired " +
         "(old files still carry it) — use a new name")
-    val c = prev.copy(
+    prev.copy(
       version = prev.version + 1, tsMs = System.currentTimeMillis(),
       operation = "ADD COLUMN",
       metrics = Map.empty, changesDir = None,
       txnAppId = None, txnBatchId = None,
       schemaJson = schema.add(name, dataType, nullable = true).json)
-    log.commit(c); c
+    }
   }
 
   /** ALTER TABLE DROP COLUMN — METADATA-ONLY (no file rewrite): the new
@@ -1128,8 +1182,7 @@ final class GraftTable private (
     * and for columns a CHECK constraint mentions (the constraint would
     * fail analysis on the next write — drop the constraint first). */
   def dropColumn(name: String): Commit = this.synchronized {
-    val prev = log.latest().getOrElse(
-      throw new NoSuchElementException(s"no table at $root"))
+    commitMetadata { prev =>
     val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
     require(schema.fieldNames.contains(name), s"no column $name at $root")
     require(schema.fields.length > 1, s"cannot drop the last column of $root")
@@ -1143,27 +1196,26 @@ final class GraftTable private (
     require(mentioned.isEmpty,
       s"cannot drop column $name of $root: CHECK constraint(s) ${mentioned.mkString(", ")} " +
         "reference it — drop the constraint(s) first")
-    val c = prev.copy(
+    prev.copy(
       version = prev.version + 1, tsMs = System.currentTimeMillis(),
       operation = "DROP COLUMN",
       metrics = Map.empty, changesDir = None,
       txnAppId = None, txnBatchId = None,
       schemaJson = StructType(schema.fields.filterNot(_.name == name)).json,
       properties = prev.properties + (DroppedColPrefix + name -> "1"))
-    log.commit(c); c
+    }
   }
 
   /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
   def dropConstraint(name: String): Commit = this.synchronized {
-    val prev = log.latest().getOrElse(
-      throw new NoSuchElementException(s"no table at $root"))
-    val c = prev.copy(
-      version = prev.version + 1, tsMs = System.currentTimeMillis(),
-      operation = "DROP CONSTRAINT",
-      metrics = Map.empty, changesDir = None,
-      txnAppId = None, txnBatchId = None,
-      properties = prev.properties - (ConstraintPrefix + name))
-    log.commit(c); c
+    commitMetadata { prev =>
+      prev.copy(
+        version = prev.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "DROP CONSTRAINT",
+        metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        properties = prev.properties - (ConstraintPrefix + name))
+    }
   }
 
   /** Throw if any registered constraint is FALSE for some row of `df`.
@@ -1688,6 +1740,28 @@ final class GraftTable private (
       }
       scala.sys.error("unreachable")
     }
+
+  /** Publish a METADATA-ONLY commit (constraint / column DDL) with
+    * optimistic retry: `derive` rebuilds the commit FROM the current head —
+    * re-running its own precondition checks — so losing the version race
+    * to any concurrent commit just re-derives against the new head.
+    * Metadata edits carry no data dirs and commute with data commits; what
+    * does NOT commute (e.g. a constraint racing an append that violates
+    * it) is re-checked by the re-derivation itself. Bounded attempts turn
+    * pathological contention into a clean [[ConcurrentWriteException]]
+    * instead of a livelock. */
+  private def commitMetadata(derive: Commit => Commit): Commit = {
+    var attempts = 0
+    while (attempts < 20) {
+      val prev = log.latest().getOrElse(
+        throw new NoSuchElementException(s"no table at $root"))
+      val c = derive(prev)
+      try { log.commit(c); return c }
+      catch { case _: IllegalStateException => attempts += 1 }
+    }
+    throw new ConcurrentWriteException(
+      s"metadata commit at $root lost the version race $attempts times", null)
+  }
 
   /** Publish a snapshot-REWRITING commit (merge/delete/update/overwrite/
     * optimize): these computed their output from the previous snapshot, so

@@ -32,7 +32,8 @@ import graft.table.GraftTable
   *
   * Scan path: [[GraftRelation.buildScan]] receives Spark's pushed-down
   * predicates, rebuilds a Column condition, and routes HEAD reads through
-  * [[GraftTable.where]] — the dir-level data-skipping scan (range stats,
+  * [[GraftTable.whereVersion]] pinned to the version captured at
+  * relation-creation time — the dir-level data-skipping scan (range stats,
   * string prefixes, constraint bounds, null counts, bloom sidecars). A
   * `WHERE doc_id = 'x'` through the connector prunes directories before
   * Spark lists a file, exactly like the programmatic path. Unsupported
@@ -63,22 +64,24 @@ class GraftDataSource extends RelationProvider
       timestampAsOf.isDefined).count(identity) <= 1,
       "readChangeFeed / history / detail / versionAsOf / timestampAsOf " +
         "are mutually exclusive")
-    val df = (versionAsOf, timestampAsOf) match {
+    (versionAsOf, timestampAsOf) match {
       case _ if cdf =>
-        t.readChanges(
+        new GraftRelation(sqlContext, t.readChanges(
           parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-          parameters.get("endingVersion").map(_.toLong).getOrElse(Long.MaxValue))
-      case _ if history => t.history()
-      case _ if detail => t.detail()
-      case (Some(v), _) => t.readVersion(v)
-      case (_, Some(ms)) => t.readAsOf(ms)
-      case _ => t.read()
+          parameters.get("endingVersion").map(_.toLong).getOrElse(Long.MaxValue)), None)
+      case _ if history => new GraftRelation(sqlContext, t.history(), None)
+      case _ if detail => new GraftRelation(sqlContext, t.detail(), None)
+      case (Some(v), _) => new GraftRelation(sqlContext, t.readVersion(v), None)
+      case (_, Some(ms)) => new GraftRelation(sqlContext, t.readAsOf(ms), None)
+      case _ =>
+        // Head reads pin the CURRENT version at relation-creation time and
+        // route every scan (pushed-filter or not) through that pinned
+        // snapshot — a commit landing between planning and scan cannot make
+        // one query mix versions. Data skipping still applies: the pushed
+        // condition goes through whereVersion's dir-pruning scan.
+        val v = t.version
+        new GraftRelation(sqlContext, t.readVersion(v), Some((t, v)))
     }
-    // Data skipping consults the HEAD snapshot's stats, so only the plain
-    // head read routes through where(); versioned/CDF/metadata reads
-    // filter on top.
-    new GraftRelation(sqlContext, df, if (cdf || history || detail ||
-      versionAsOf.isDefined || timestampAsOf.isDefined) None else Some(t))
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -111,10 +114,15 @@ class GraftDataSource extends RelationProvider
     * the exactly-once txn-stamp path ([[GraftTable.appendOnce]]): a batch
     * replayed after a crash between commit and checkpoint is recognized by
     * its (appId, batchId) stamp and skipped. Complete mode overwrites the
-    * snapshot per batch the same way. The stamp's appId defaults to the
-    * query's checkpoint location (stable across restarts by construction);
-    * `option("txnAppId", …)` overrides. Update mode needs a merge key —
-    * that is foreachBatch + [[GraftTable.merge]] territory, refused here. */
+    * snapshot per batch the same way. The stamp's appId is
+    * `option("txnAppId", …)` when given, else the writer-option checkpoint
+    * location, else the STREAMING QUERY ID read at addBatch time (what
+    * Delta's DeltaSink stamps) — never the shared table root, which two
+    * distinct queries writing one table (or one query restarted with a
+    * fresh checkpoint set only via the session conf) would share, colliding
+    * their (appId, batchId) stamps and silently skipping real batches.
+    * Update mode needs a merge key — that is foreachBatch +
+    * [[GraftTable.merge]] territory, refused here. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
@@ -123,9 +131,9 @@ class GraftDataSource extends RelationProvider
         "Update needs a merge key — use foreachBatch with GraftTable.merge")
     val root = path(parameters)
     val ciParams = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val appId = ciParams.getOrElse("txnappid",
-      ciParams.getOrElse("checkpointlocation", root))
-    new GraftSink(root, appId, partitionColumns,
+    val explicitAppId =
+      ciParams.get("txnappid").orElse(ciParams.get("checkpointlocation"))
+    new GraftSink(root, explicitAppId, partitionColumns,
       outputMode == OutputMode.Complete())
   }
 
@@ -155,15 +163,23 @@ class GraftDataSource extends RelationProvider
     }
 }
 
-/** One commit per micro-batch, exactly-once via (appId, batchId) stamps. */
-class GraftSink(root: String, appId: String, partitionColumns: Seq[String],
-    complete: Boolean) extends Sink {
+/** One commit per micro-batch, exactly-once via (appId, batchId) stamps.
+  * `explicitAppId` = txnAppId/checkpointLocation writer option when set;
+  * otherwise the appId is the streaming query id, read per-batch from the
+  * `StreamExecution.QUERY_ID_KEY` local property the stream runner sets on
+  * its thread (stable across restarts of the same checkpoint — it is
+  * persisted in checkpoint metadata — and distinct per query). */
+class GraftSink(root: String, explicitAppId: Option[String],
+    partitionColumns: Seq[String], complete: Boolean) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // `data` is the incremental-execution frame: its .write is refused, so
     // re-wrap the executed plan's InternalRow RDD as a batch DataFrame —
     // the standard sink technique (Delta's DeltaSink does exactly this).
     val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val appId = explicitAppId.orElse(Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming.runtime.StreamExecution.QUERY_ID_KEY)))
+      .getOrElse(root)
     val batch = spark.internalCreateDataFrame(
       data.queryExecution.toRdd, data.schema, isStreaming = false)
     val t =
@@ -182,7 +198,8 @@ class GraftSink(root: String, appId: String, partitionColumns: Seq[String],
   * `needConversion = false`: the scan hands back the query's own
   * InternalRow RDD, so no external-type round-trip is paid. */
 class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
-    headTable: Option[GraftTable]) extends BaseRelation
+    private[graftnative] val headTable: Option[(GraftTable, Long)])
+    extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
   override def schema: StructType = df.schema
@@ -192,7 +209,7 @@ class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
     * an APPEND / OVERWRITE commit on the head. Versioned and CDF
     * relations are read-only views of history. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    val t = headTable.getOrElse(throw new UnsupportedOperationException(
+    val (t, _) = headTable.getOrElse(throw new UnsupportedOperationException(
       "cannot INSERT into a time-travel or change-feed read"))
     if (overwrite) t.overwrite(data) else t.append(data)
     (): Unit
@@ -203,7 +220,10 @@ class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
     val cond = filters.flatMap(GraftRelation.translate)
       .reduceOption(_ && _)
     val base = (headTable, cond) match {
-      case (Some(t), Some(c)) => t.where(c) // dir-skipping scan
+      // dir-skipping scan, pinned to the version captured at relation
+      // creation so the pushed-filter path can never read a newer snapshot
+      // than the no-filter path within one query
+      case (Some((t, v)), Some(c)) => t.whereVersion(v, c)
       case (_, Some(c)) => df.filter(c)
       case _ => df
     }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession, functions}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, Offset => OffsetV2}
 import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
@@ -136,7 +136,14 @@ class GraftTableSource(
 /** Version-offset streaming source over a table's Change Data Feed: each
   * micro-batch is exactly the CDF rows emitted by the commits in
   * (start, end] — valid for mutating tables (the streaming form of
-  * `option("readChangeFeed", true)`). */
+  * `option("readChangeFeed", true)`).
+  *
+  * APPEND commits write no `_changes` dir; like the batch
+  * [[GraftTable.readChanges]] (and Delta's streaming CDF, which serves
+  * AddFile actions as inserts), their insert rows are synthesized here by
+  * reading each append's added dirs with that commit's schema, aligning to
+  * the CDF schema, and stamping the three CDF columns as literals — so
+  * batch and streaming CDF agree on every commit type. */
 class GraftChangesSource(
     sparkSession: SparkSession,
     root: String,
@@ -150,8 +157,11 @@ class GraftChangesSource(
   override def schema: StructType = cdfSchema
   override protected def currentVersion: Long = table.version
 
+  // Append dirs count toward the byte budget too: admission control must
+  // see the bytes a version will actually feed the batch.
   override protected def bytesOfVersion(v: Long): Long =
-    GraftTableSource.dirsBytes(sparkSession, table.changeDirsBetween(v - 1, v))
+    GraftTableSource.dirsBytes(sparkSession, table.changeDirsBetween(v - 1, v) ++
+      table.appendCommitsBetween(v - 1, v).flatMap(_._2))
 
   override def getOffset: Option[Offset] = {
     val v = table.version
@@ -159,22 +169,43 @@ class GraftChangesSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val dirs = table.changeDirsBetween(start.map(versionOf).getOrElse(-1L), versionOf(end))
+    val from = start.map(versionOf).getOrElse(-1L)
+    val to = versionOf(end)
     val classicSpark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (dirs.isEmpty) {
-      org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(cdfSchema),
-          Seq.empty, isStreaming = true))
-    } else {
+
+    def streamingParquet(paths: Seq[String], s: StructType): DataFrame = {
       val relation = DataSource(
         sparkSession = classicSpark,
-        paths = dirs,
-        userSpecifiedSchema = Some(cdfSchema),
+        paths = paths,
+        userSpecifiedSchema = Some(s),
         className = "parquet").resolveRelation(checkFilesExist = false)
       org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
         LogicalRelation(relation, isStreaming = true))
     }
+
+    val changeDirs = table.changeDirsBetween(from, to)
+    val written =
+      if (changeDirs.isEmpty) Nil else Seq(streamingParquet(changeDirs, cdfSchema))
+    // Synthesized append inserts — mirror of readChanges: the commit's own
+    // schema on disk, nulls for columns added later, literal CDF stamps.
+    val synthesized = table.appendCommitsBetween(from, to).map { case (c, dirs) =>
+      val cSchema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      streamingParquet(dirs, cSchema).select(cdfSchema.fields.map { f =>
+        if (f.name == "_change_type") functions.lit("insert").as(f.name)
+        else if (f.name == "_commit_version") functions.lit(c.version).as(f.name)
+        else if (f.name == "_commit_timestamp")
+          functions.lit(new java.sql.Timestamp(c.tsMs)).as(f.name)
+        else if (cSchema.fieldNames.contains(f.name)) functions.col(s"`${f.name}`")
+        else functions.lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    }
+    val parts = written ++ synthesized
+    if (parts.isEmpty) {
+      org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(cdfSchema),
+          Seq.empty, isStreaming = true))
+    } else parts.reduce(_ unionByName _)
   }
 
   override def stop(): Unit = ()

@@ -10,6 +10,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName(getClass.getSimpleName)
+    // Same extension surface as Verify/Bench (functions, planner strategy,
+    // optimizer rules, and the SQL time-travel parser — the parser can ONLY
+    // bind here: spark.sql.extensions is a static conf read at context
+    // creation). Specs therefore run what production sessions run.
+    .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -132,6 +132,33 @@ class Scd2Spec extends SparkSpec {
     assert(versionBefore >= 1)
   }
 
+  test("equal effectiveFrom per key clamps forward: merge keys stay unique") {
+    // Debezium ts_ms is millisecond-resolution — consecutive batches can
+    // carry the SAME effective instant for one key. The clamp must keep
+    // (key, valid_from) unique and version intervals strictly positive.
+    val root = tmpDir("scd2-tie")
+    val t0 = ts("2020-06-01 00:00:00")
+    val tab = Scd2.initTable(spark, root,
+      Seq((1L, 10.0)).toDF("id", "bal"), "id", t0)
+    Scd2.maintain(tab, Seq((1L, 20.0)).toDF("id", "bal"), "id", t0) // tie #1
+    Scd2.maintain(tab, Seq((1L, 30.0)).toDF("id", "bal"), "id", t0) // tie #2
+    val rows = tab.read().orderBy(Scd2.ValidFrom).collect()
+    assert(rows.length == 3, rows.mkString("\n"))
+    // merge keys (key|valid_from µs) all distinct — the upsert unit is unique
+    assert(rows.map(_.getAs[String](Scd2.MergeKey)).distinct.length == 3)
+    // exactly one open current version, holding the LAST value
+    val current = rows.filter(_.getAs[Boolean](Scd2.IsCurrent))
+    assert(current.length == 1 && current(0).getAs[Double]("bal") == 30.0)
+    // intervals chain strictly: each closed row ends exactly where the next
+    // starts (µs-resolution — compare full Timestamps, getTime is ms-only)
+    val vf = rows.map(_.getAs[java.sql.Timestamp](Scd2.ValidFrom))
+    assert(vf.distinct.length == 3 && vf.toSeq == vf.sortBy(_.toInstant).toSeq)
+    assert(rows.init.zip(rows.tail).forall { case (closed, next) =>
+      closed.getAs[java.sql.Timestamp](Scd2.ValidTo) ==
+        next.getAs[java.sql.Timestamp](Scd2.ValidFrom)
+    })
+  }
+
   test("maintain refuses a table created without the merge key") {
     val root = tmpDir("scd2-nokey")
     val t = graft.table.GraftTable.create(spark, root,

@@ -1,0 +1,217 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.SparkSpec
+
+/** [[DeltaImport]] — the read-only Delta-log bridge: add/remove replay,
+  * partition reconstruction, time travel, checkpoint consumption, the
+  * protocol gate, CDF, and (when present) the reference's own frozen
+  * tables as fixtures. */
+class DeltaImportSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write `df` as a single parquet file named `name` inside `table`. */
+  private def dataFile(table: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val stage = tmpDir("delta-stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val dest = Paths.get(table, name)
+    Files.createDirectories(dest.getParent)
+    Files.copy(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def commit(table: String, version: Long, lines: Seq[String]): Unit = {
+    val log = Paths.get(table, "_delta_log")
+    Files.createDirectories(log)
+    Files.write(log.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  private def schemaJson(s: StructType): String =
+    s.json.replace("\"", "\\\"")
+
+  private val idS = new StructType().add("id", LongType).add("s", StringType)
+
+  private def metaLine(s: StructType, partCols: Seq[String] = Nil,
+      conf: Map[String, String] = Map.empty): String = {
+    val pc = partCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    val cf = conf.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${schemaJson(s)}","partitionColumns":$pc,"configuration":$cf}}"""
+  }
+
+  test("add/remove replay serves the live file set; stale and orphan files excluded") {
+    val table = tmpDir("delta-replay")
+    dataFile(table, "a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    dataFile(table, "b.parquet", Seq((3L, "c")).toDF("id", "s"))
+    dataFile(table, "orphan.parquet", Seq((99L, "X")).toDF("id", "s")) // never committed
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    commit(table, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"MERGE"}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"dataChange":true}}""",
+      """{"remove":{"path":"a.parquet","dataChange":true}}"""))
+
+    val head = DeltaImport.read(spark, table)
+    assert(head.as[(Long, String)].collect().toSet === Set((3L, "c")))
+    // time travel to v0: the removed file is live there
+    val v0 = DeltaImport.read(spark, table, versionAsOf = Some(0L))
+    assert(v0.as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    val s = DeltaImport.snapshot(spark, table)
+    assert(s.version === 1L && s.files.map(_.path) === Seq("b.parquet"))
+    intercept[IllegalArgumentException] {
+      DeltaImport.snapshot(spark, table, versionAsOf = Some(7L))
+    }
+  }
+
+  test("partition columns are reconstructed from partitionValues") {
+    val table = tmpDir("delta-part")
+    val part = new StructType().add("id", LongType).add("s", StringType)
+      .add("p", LongType)
+    dataFile(table, "p=1/f1.parquet", Seq((1L, "a")).toDF("id", "s"))
+    dataFile(table, "p=2/f2.parquet", Seq((2L, "b")).toDF("id", "s"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(part, partCols = Seq("p")),
+      """{"add":{"path":"p=1/f1.parquet","partitionValues":{"p":"1"},"size":1,"dataChange":true}}""",
+      """{"add":{"path":"p=2/f2.parquet","partitionValues":{"p":"2"},"size":1,"dataChange":true}}"""))
+    val df = DeltaImport.read(spark, table)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "s", "p")) // declared order
+    assert(df.select("id", "p").as[(Long, Long)].collect().toSet ===
+      Set((1L, 1L), (2L, 2L)))
+  }
+
+  test("classic checkpoint is consumed; only the JSON tail replays after it") {
+    val table = tmpDir("delta-ckpt")
+    dataFile(table, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
+    dataFile(table, "b.parquet", Seq((2L, "b")).toDF("id", "s"))
+    // checkpoint at v1 holding the full state (file a + metaData + protocol);
+    // v0/v1 JSON deliberately ABSENT — only the checkpoint can serve them
+    val ckptRows = spark.range(1).select(
+      struct(lit("a.parquet").as("path"),
+        map().cast("map<string,string>").as("partitionValues")).as("add"),
+      struct(lit(idS.json).as("schemaString"),
+        array().cast("array<string>").as("partitionColumns"),
+        map().cast("map<string,string>").as("configuration")).as("metaData"),
+      struct(lit(1).as("minReaderVersion")).as("protocol"))
+    val stage = tmpDir("delta-ckpt-stage")
+    ckptRows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val partFile = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val log = Paths.get(table, "_delta_log")
+    Files.createDirectories(log)
+    Files.copy(Paths.get(partFile), log.resolve(f"${1L}%020d.checkpoint.parquet"))
+    Files.write(log.resolve("_last_checkpoint"), """{"version":1}""".getBytes)
+    commit(table, 2L, Seq(
+      """{"commitInfo":{"timestamp":3000,"operation":"WRITE"}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+
+    val s = DeltaImport.snapshot(spark, table)
+    assert(s.version === 2L)
+    assert(s.files.map(_.path).toSet === Set("a.parquet", "b.parquet"))
+    assert(DeltaImport.read(spark, table).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("protocol gate refuses reader features this bridge cannot honor") {
+    val table = tmpDir("delta-proto")
+    dataFile(table, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] { DeltaImport.read(spark, table) }
+    assert(e.getMessage.contains("reader protocol"))
+  }
+
+  test("CDF: cdc actions served as-is, blind adds as inserts, whole-file removes as deletes") {
+    val table = tmpDir("delta-cdf")
+    dataFile(table, "a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    dataFile(table, "_change_data/c1.parquet",
+      Seq((2L, "b", "update_preimage"), (2L, "b2", "update_postimage"))
+        .toDF("id", "s", "_change_type"))
+    dataFile(table, "a2.parquet", Seq((1L, "a"), (2L, "b2")).toDF("id", "s"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      metaLine(idS, conf = Map("delta.enableChangeDataFeed" -> "true")),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    commit(table, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"MERGE"}}""",
+      """{"add":{"path":"a2.parquet","partitionValues":{},"size":1,"dataChange":true}}""",
+      """{"remove":{"path":"a.parquet","dataChange":true}}""",
+      """{"cdc":{"path":"_change_data/c1.parquet","partitionValues":{},"size":1,"dataChange":false}}"""))
+
+    val cdf = DeltaImport.readChanges(spark, table, 0L, 1L)
+      .select("id", "s", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(cdf === Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (2L, "b", "update_preimage", 1L), (2L, "b2", "update_postimage", 1L)))
+  }
+
+  test("importTable materializes the snapshot as a graft table") {
+    val table = tmpDir("delta-imp")
+    dataFile(table, "a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    val dest = tmpDir("delta-imp-graft") + "/t"
+    val t = DeltaImport.importTable(spark, table, dest)
+    assert(t.read().as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
+  // ------------- the reference's own frozen tables, when present ---------
+
+  private val refBase = "/root/reference/deltalake"
+  private def refTable(name: String) = s"$refBase/$name"
+
+  test("reference customers: replay excludes the MERGE-removed and orphan files") {
+    assume(new java.io.File(refBase).isDirectory)
+    val s = DeltaImport.snapshot(spark, refTable("customers"))
+    assert(s.version === 1L)
+    assert(s.files.map(_.path) ===
+      Seq("part-00000-e7eef221-c8e3-4afa-982d-1b14cdfb9c20.c000.snappy.parquet"))
+    val head = DeltaImport.read(spark, refTable("customers"))
+    // declared schema (10 cols) prunes the stray _change_type column in the file
+    assert(head.schema.fieldNames.length === 10)
+    val emails = head.select("id", "email").as[(Long, String)].collect().toMap
+    assert(emails(1L) === "test.user@example.com" && emails.size === 5)
+    // v0 still serves the pre-MERGE image from the removed-but-present file
+    val v0 = DeltaImport.read(spark, refTable("customers"), Some(0L))
+    assert(v0.filter($"id" === 1L).select("email").head().getString(0) ===
+      "john.doe@example.com")
+  }
+
+  test("reference cdc_events: multi-commit streaming appends accumulate") {
+    assume(new java.io.File(refBase).isDirectory)
+    val s = DeltaImport.snapshot(spark, refTable("cdc_events"))
+    assert(s.version === 1L && s.files.length === 5)
+    val df = DeltaImport.read(spark, refTable("cdc_events"))
+    assert(df.count() === df.select("event_id").distinct().count())
+    assert(df.schema.fieldNames.contains("kafka_offset"))
+  }
+
+  test("reference customers CDF: WRITE inserts + MERGE cdc images") {
+    assume(new java.io.File(refBase).isDirectory)
+    val cdf = DeltaImport.readChanges(spark, refTable("customers"), 0L, 1L)
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") === 5)
+    assert(byType.getOrElse("update_preimage", 0L) +
+      byType.getOrElse("update_postimage", 0L) === 2)
+  }
+}

@@ -334,6 +334,111 @@ class ConcurrencySpec extends SparkSpec {
     assert(deletes.length === 15 && deletes.toSet === (1L to 15L).toSet)
   }
 
+  test("randomized interleaving: appends ∥ MoR deletes ∥ constraint — CDF stamps true, constraint holds at every head") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val root = tmpDir(s"cc-fuzz$seed")
+      GraftTable.create(spark, root,
+        (1L to 50L).map(i => (i, i * 1.0)).toDF("id", "x"))
+      val pool = Executors.newFixedThreadPool(4)
+      val start = new CountDownLatch(1)
+      val errs = java.util.Collections.synchronizedList(new java.util.ArrayList[Throwable]())
+      val delays = Array.fill(4)(rnd.nextInt(30)) // seeded stagger per role
+
+      // valid appender: fresh ids, x > 0 — must always land (rebase)
+      pool.execute { () =>
+        try {
+          val t = GraftTable.forPath(spark, root); start.await()
+          Thread.sleep(delays(0))
+          (0 until 4).foreach { i =>
+            t.append(Seq((1000L + i, 1.0 + i)).toDF("id", "x")); ()
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }
+      // INVALID appender: x = -1 rows — must land only BEFORE the
+      // constraint commit; a rebase over the constraint must re-check
+      pool.execute { () =>
+        try {
+          val t = GraftTable.forPath(spark, root); start.await()
+          Thread.sleep(delays(1))
+          (0 until 4).foreach { i =>
+            try { t.append(Seq((2000L + i, -1.0)).toDF("id", "x")); () }
+            catch { case e: IllegalArgumentException
+                if e.getMessage.contains("CHECK constraint") => () }
+            Thread.sleep(delays(1))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }
+      // MoR deleter: positional deletes rebase over appends; a loss against
+      // a true rewrite surfaces as ConcurrentWriteException (permitted)
+      pool.execute { () =>
+        try {
+          val t = GraftTable.forPath(spark, root); start.await()
+          Thread.sleep(delays(2))
+          Seq(7L, 3L).foreach { m =>
+            try { t.deletePositional(col("id") <= 50L && col("id") % 10 === m); () }
+            catch { case _: ConcurrentWriteException => () }
+            Thread.sleep(delays(2))
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      }
+      // constrainer: one CHECK lands mid-storm (valid for all seed rows;
+      // aborts cleanly if it races an in-flight invalid append's commit)
+      pool.execute { () =>
+        try {
+          val t = GraftTable.forPath(spark, root); start.await()
+          Thread.sleep(delays(3))
+          try { t.addConstraint("x_nonneg", "x >= 0.0 OR id < 2000"); () }
+          catch { case e: IllegalArgumentException
+              if e.getMessage.contains("CHECK constraint") =>
+            t.addConstraint("x_nonneg", "x >= 0.0 OR id < 3000"); () }
+        } catch { case e: Throwable => errs.add(e) }
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+      assert(errs.isEmpty, s"seed $seed writers failed: $errs")
+
+      val t = GraftTable.forPath(spark, root)
+      val commits = t.history().select("version", "operation").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+      // versions are contiguous — optimistic retries never skip or dup
+      assert(commits.map(_._1).toSeq === (0L until commits.length.toLong))
+
+      // CDF stamps are TRUE commit versions even after rebases: every
+      // stamped version names a real commit, and replaying the feed
+      // reproduces the head snapshot exactly
+      val cdf = t.readChanges(0L, t.version)
+      val stamped = cdf.select("_commit_version").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(stamped.subsetOf(commits.map(_._1).toSet), s"seed $seed: phantom versions ${stamped -- commits.map(_._1)}")
+      // CREATE's initial snapshot is not a change (Delta parity), so the
+      // replay seeds the v0 rows and then folds the feed over them
+      val replayed = cdf.select(col("id"),
+          when(col("_change_type") === "insert", 1)
+            .when(col("_change_type") === "delete", -1).otherwise(0).as("d"))
+        .unionByName(spark.range(1, 51).select(col("id"), lit(1).as("d")))
+        .groupBy("id").agg(sum("d").as("alive"))
+        .filter(col("alive") > 0).select("id")
+      val head = t.read().select("id")
+      assert(replayed.exceptAll(head).isEmpty && head.exceptAll(replayed).isEmpty,
+        s"seed $seed: CDF replay diverges from head")
+
+      // the REGISTERED constraint predicate holds at every version from its
+      // commit onward — including versions committed by racing writers
+      val cVersion = commits.collectFirst { case (v, op) if op == "ADD CONSTRAINT" => v }
+      assert(cVersion.isDefined, s"seed $seed: constraint never landed")
+      val registered = t.constraints
+      assert(registered.nonEmpty, s"seed $seed: no constraint registered")
+      (cVersion.get to t.version).foreach { v =>
+        registered.foreach { case (n, p) =>
+          assert(t.readVersion(v).filter(!coalesce(expr(p), lit(true))).isEmpty,
+            s"seed $seed: constraint $n ($p) violated at version $v")
+        }
+      }
+    }
+  }
+
   test("publisher registry: scheme selection and conditional-put registration") {
     // unknown scheme falls back to rename+read-back
     assert(CommitLog.publisherFor("s3a-unregistered") === RenamePublisher)

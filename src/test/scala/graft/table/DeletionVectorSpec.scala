@@ -70,6 +70,29 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.read().count() === 3)
   }
 
+  test("dvEntryCache stays bounded across many DV states (LRU eviction)") {
+    val seed = (1L to 400L).map(i => (i, i * 1.0)).toDF("id", "x")
+    val t = GraftTable.create(spark, tmpDir("dv-cachebound"), seed)
+    // tiny budget: at most ~40 cached positions total
+    spark.conf.set("spark.graft.dv.cacheMaxEntries", "40")
+    try {
+      // 12 distinct DV states, ~10 new positions each; every read caches
+      // the head state's full (accumulated) entry map
+      (0 until 12).foreach { i =>
+        t.deletePositional(col("id") >= i * 10 + 1 && col("id") <= i * 10 + 10)
+        assert(t.read().count() === 400 - (i + 1) * 10)
+      }
+      val (states, entries) = t.dvCacheStats
+      // the newest state alone may exceed the budget (always retained);
+      // everything older must have been evicted
+      assert(states <= 2, s"cache holds $states DV states")
+      assert(entries <= math.max(40L, 120L), s"cache holds $entries positions")
+      // correctness unaffected by eviction: evicted states rebuild on demand
+      assert(t.readVersion(3).count() === 370)
+      assert(t.read().count() === 280)
+    } finally spark.conf.unset("spark.graft.dv.cacheMaxEntries")
+  }
+
   test("strict positional delete aborts iff a concurrent append matches") {
     val seed = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
     val t = GraftTable.create(spark, tmpDir("dv-strict"), seed)

@@ -145,6 +145,31 @@ class GraftDataSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink stamp appId defaults to the query id — two queries never collide") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("dsv1-appid")
+    // checkpoint set ONLY via the session conf: the sink's writer options
+    // carry no checkpointLocation, so a table-root fallback would give BOTH
+    // queries the same appId and the second query's batch 0 would be
+    // silently skipped as a replay of the first's.
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      tmpDir("dsv1-appid-ckpts"))
+    try {
+      val in1 = MemoryStream[(Long, String)]
+      val q1 = in1.toDF().toDF("id", "name").writeStream.format("graft").start(root)
+      try { in1.addData((1L, "a")); q1.processAllAvailable() } finally q1.stop()
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = in2.toDF().toDF("id", "name").writeStream.format("graft").start(root)
+      try { in2.addData((2L, "b")); q2.processAllAvailable() } finally q2.stop()
+      assert(spark.read.format("graft").load(root).orderBy("id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // one APPEND commit per distinct (query, batch) — no skips, no dups
+      assert(GraftTable.forPath(spark, root).history()
+        .filter(col("operation") === "APPEND").count() == 2)
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
   test("history and detail options serve table metadata") {
     val root = tmpDir("dsv1-meta")
     freshRows.write.format("graft").save(root)

@@ -90,6 +90,36 @@ class TableStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChangeFeed source synthesizes inserts for APPEND commits (batch parity)") {
+    val dir = tmpDir("ts-cdfapp")
+    val t = GraftTable.create(spark, dir, Seq((1L, 10.0)).toDF("id", "v"))
+    t.merge(Seq((1L, 11.0)).toDF("id", "v"), "id")          // v1: real _changes dir
+    t.append(Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v"))   // v2: no _changes dir
+    val q = spark.readStream
+      .format("graft")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName("cdfapp_out")
+      .option("checkpointLocation", tmpDir("ts-cdfapp-ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // appends landing while the stream runs surface too
+      t.append(Seq((4L, 40.0)).toDF("id", "v"))             // v3
+      q.processAllAvailable()
+      val streamed = spark.table("cdfapp_out")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === Set(
+        (1L, "update_preimage", 1L), (1L, "update_postimage", 1L),
+        (2L, "insert", 2L), (3L, "insert", 2L), (4L, "insert", 3L)))
+      // batch and streaming CDF agree row-for-row over the same range
+      val batch = t.readChanges(1L, 3L)
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger slices a backlog into per-commit-range batches") {
     val dir = tmpDir("ts-throttle")
     val t = GraftTable.create(spark, dir, Seq((0L, "s")).toDF("id", "s"))
