@@ -246,6 +246,32 @@ object DeltaImport {
       versionAsOf: Option[Long] = None): DataFrame =
     readSnapshot(spark, snapshot(spark, tablePath, versionAsOf))
 
+  /** Delta's timestamp travel rule: the snapshot at the LATEST commit
+    * whose commitInfo timestamp is ≤ `tsMs` (fails when the table's first
+    * commit is later). Commit timestamps come from the same JSON replay
+    * the snapshot uses — no extra IO. */
+  def versionAsOfTimestamp(spark: SparkSession, tablePath: String, tsMs: Long): Long = {
+    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val eligible = jsonVersions(spark, tablePath, -1L).flatMap { case (v, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toArray finally in.close()
+      val a = actionsOf(v, lines.iterator)
+      if (a.timestampMs <= tsMs) Some(v) else None
+    }
+    // Checkpointed tables may have pruned old JSON; checkpoint versions
+    // are all ≤ the checkpoint's own creation, assumed in range when no
+    // JSON predates tsMs but a checkpoint exists.
+    eligible.lastOption
+      .orElse(lastCheckpoint(spark, tablePath, None).map(_._1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$tablePath has no commit at or before timestamp $tsMs"))
+  }
+
+  /** [[read]] pinned by timestamp (Delta's `timestampAsOf`). */
+  def readAsOf(spark: SparkSession, tablePath: String, tsMs: Long): DataFrame =
+    read(spark, tablePath, Some(versionAsOfTimestamp(spark, tablePath, tsMs)))
+
   private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
     val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
     if (s.files.isEmpty)

@@ -35,6 +35,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(delegate.parseQuery(sqlText))
 
+  // Parameterized SQL (spark.sql(text, args)) enters through this default
+  // method; without explicit delegation the interface default would skip
+  // the real parser's parameter machinery.
+  override def parsePlanWithParameters(sqlText: String,
+      parameterContext: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    rewrite(delegate.parsePlanWithParameters(sqlText, parameterContext))
+
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
       graftTableOf(u.multipartIdentifier) match {

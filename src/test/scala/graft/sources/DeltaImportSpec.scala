@@ -73,6 +73,59 @@ class DeltaImportSpec extends SparkSpec {
     }
   }
 
+  test("timestampAsOf picks the latest commit at or before the instant") {
+    val table = tmpDir("delta-tsasof")
+    dataFile(table, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
+    dataFile(table, "b.parquet", Seq((2L, "b")).toDF("id", "s"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    commit(table, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"WRITE"}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    assert(DeltaImport.versionAsOfTimestamp(spark, table, 1500L) === 0L)
+    assert(DeltaImport.versionAsOfTimestamp(spark, table, 2000L) === 1L)
+    intercept[IllegalArgumentException] {
+      DeltaImport.versionAsOfTimestamp(spark, table, 999L)
+    }
+    assert(DeltaImport.readAsOf(spark, table, 1500L).count() === 1)
+    assert(DeltaImport.readAsOf(spark, table, 9999L).count() === 2)
+  }
+
+  test("format(\"graft-delta\") serves snapshot, travel and CDF; writes refused") {
+    val table = tmpDir("delta-fmt")
+    dataFile(table, "a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    dataFile(table, "b.parquet", Seq((3L, "c")).toDF("id", "s"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    commit(table, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"APPEND"}}""",
+      """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+
+    assert(spark.read.format("graft-delta").load(table).count() === 3)
+    assert(spark.read.format("graft-delta").option("versionAsOf", "0")
+      .load(table).count() === 2)
+    assert(spark.read.format("graft-delta").option("timestampAsOf", "1000")
+      .load(table).count() === 2)
+    // SQL view + filter through the relation scan
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW delta_v USING `graft-delta` " +
+      s"OPTIONS (path '$table')")
+    assert(spark.sql("SELECT s FROM delta_v WHERE id = 3").head().getString(0) === "c")
+    // CDF: both blind-append commits serve as inserts
+    val cdf = spark.read.format("graft-delta").option("readChangeFeed", "true")
+      .load(table)
+    assert(cdf.filter(col("_change_type") === "insert").count() === 3)
+    // read-only by construction
+    intercept[Exception] {
+      Seq((9L, "z")).toDF("id", "s").write.format("graft-delta").save(table)
+    }
+  }
+
   test("partition columns are reconstructed from partitionValues") {
     val table = tmpDir("delta-part")
     val part = new StructType().add("id", LongType).add("s", StringType)

@@ -51,6 +51,13 @@ class SqlTimeTravelSpec extends SparkSpec {
     assert(s2.sql("SELECT count(*) FROM plain_view").head().getLong(0) === 1)
   }
 
+  test("parameterized SQL keeps working through the delegating parser") {
+    // spark.sql(text, args) enters parsePlanWithParameters — the parser
+    // must hand the parameter machinery through to the real parser
+    assert(s2.sql("SELECT ? + 1 AS x", Array(41)).head().getInt(0) === 42)
+    assert(s2.sql("SELECT :a || 'b' AS s", Map("a" -> "a")).head().getString(0) === "ab")
+  }
+
   test("catalog table USING graft time-travels through SQL") {
     import s2.implicits._
     val root = tmpDir("sqlttcat")
