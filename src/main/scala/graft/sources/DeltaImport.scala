@@ -289,6 +289,42 @@ object DeltaImport {
       .select(s.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
   }
 
+  /** The committed changes of one Delta version — the public slice of the
+    * action replay that incremental consumers (the streaming source, the
+    * CDF read) need. */
+  final case class VersionChanges(
+      version: Long,
+      timestampMs: Long,
+      operation: String,
+      adds: Seq[AddFile],          // dataChange=true adds only
+      removes: Seq[String],        // dataChange=true remove paths
+      cdc: Seq[AddFile])
+
+  /** Per-version changes in (fromVersion, toVersion], ascending — one JSON
+    * parse per commit file, cached nowhere (commit files are small and the
+    * caller decides retention). */
+  def changesBetween(spark: SparkSession, tablePath: String,
+      fromVersionExclusive: Long, toVersionInclusive: Long): Seq[VersionChanges] = {
+    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    jsonVersions(spark, tablePath, fromVersionExclusive)
+      .takeWhile(_._1 <= toVersionInclusive)
+      .map { case (v, p) =>
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toArray finally in.close()
+        val a = actionsOf(v, lines.iterator)
+        VersionChanges(v, a.timestampMs, a.operation,
+          a.adds.filter(_._2).map(_._1), a.removes.filter(_._2).map(_._1), a.cdc)
+      }
+  }
+
+  /** Latest version of the log (−1 when only a checkpoint exists and no
+    * JSON tail — checkpointed-only tables still answer via snapshot). */
+  def latestVersion(spark: SparkSession, tablePath: String): Long =
+    jsonVersions(spark, tablePath, -1L).lastOption.map(_._1)
+      .orElse(lastCheckpoint(spark, tablePath, None).map(_._1))
+      .getOrElse(-1L)
+
   /** The table's Change Data Feed over versions [fromVersion, toVersion] —
     * Delta semantics, aligned to graft's own CDF column names:
     *  - commits with `cdc` actions serve their `_change_data` files (the
@@ -300,21 +336,33 @@ object DeltaImport {
   def readChanges(spark: SparkSession, tablePath: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     val head = snapshot(spark, tablePath, None) // schema + protocol gate
-    val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    val versions = jsonVersions(spark, tablePath, fromVersion - 1)
-      .takeWhile(_._1 <= toVersion)
-      .map { case (v, p) =>
-        val in = fs.open(p)
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toArray finally in.close()
-        actionsOf(v, lines.iterator)
-      }
-    val cdfSchema = head.schema
-      .add("_change_type", StringType)
-      .add("_commit_version", org.apache.spark.sql.types.LongType)
-      .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+    val parts = changeFrames(spark, head,
+      changesBetween(spark, tablePath, fromVersion - 1, toVersion),
+      (paths, s) => spark.read.schema(s).parquet(paths: _*))
+    if (parts.isEmpty) throw new NoSuchElementException(
+      s"$tablePath has no change data in [$fromVersion, $toVersion]")
+    parts.reduce(_ unionByName _)
+  }
 
-    def stamped(df: DataFrame, changeType: Option[String], a: VersionActions): DataFrame =
+  /** Schema of the CDF frames: table schema + the three CDF columns. */
+  def cdfSchemaOf(s: Snapshot): StructType = s.schema
+    .add("_change_type", StringType)
+    .add("_commit_version", org.apache.spark.sql.types.LongType)
+    .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+
+  /** CDF DataFrames (one or two per version) for a change list — shared by
+    * the batch read and the streaming source
+    * ([[org.apache.spark.sql.graftnative.GraftDeltaTableSource]]).
+    * `mkParquet` builds the relation over explicit file paths with a
+    * declared schema: the batch read passes a plain parquet reader, the
+    * streaming source an isStreaming-flagged LogicalRelation (which only
+    * its package can construct). */
+  def changeFrames(spark: SparkSession, head: Snapshot,
+      versions: Seq[VersionChanges],
+      mkParquet: (Seq[String], StructType) => DataFrame): Seq[DataFrame] = {
+    val cdfSchema = cdfSchemaOf(head)
+
+    def stamped(df: DataFrame, changeType: Option[String], a: VersionChanges): DataFrame =
       df.select(cdfSchema.fields.map { f =>
         if (f.name == "_change_type")
           changeType.map(lit(_)).getOrElse(col("_change_type")).as(f.name)
@@ -329,8 +377,8 @@ object DeltaImport {
       val dataSchema = StructType(s0.filterNot(f => head.partitionColumns.contains(f.name)))
       val groups = paths.groupBy(_.partitionValues).toSeq
       groups.map { case (pv, fls) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(fls.map(f => new Path(tablePath, f.path).toString): _*)
+        val base = mkParquet(fls.map(f =>
+          new Path(head.tablePath, f.path).toString), dataSchema)
         head.partitionColumns.foldLeft(base) { (d, pc) =>
           val raw = pv.get(pc).filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
           d.withColumn(pc, lit(raw.orNull).cast(head.schema(pc).dataType))
@@ -338,19 +386,16 @@ object DeltaImport {
       }.reduce(_ unionByName _)
     }
 
-    val parts = versions.flatMap { a =>
+    versions.flatMap { a =>
       if (a.cdc.nonEmpty) Seq(stamped(filesDf(a.cdc, withChangeType = true), None, a))
       else {
-        val ins = a.adds.filter(_._2).map(_._1)
-        val del = a.removes.filter(_._2).map { case (p, _) => AddFile(p, Map.empty) }
-        (if (ins.nonEmpty) Seq(stamped(filesDf(ins, withChangeType = false), Some("insert"), a)) else Nil) ++
+        val del = a.removes.map(AddFile(_, Map.empty))
+        (if (a.adds.nonEmpty) Seq(stamped(filesDf(a.adds, withChangeType = false), Some("insert"), a)) else Nil) ++
           (if (del.nonEmpty) Seq(stamped(filesDf(del, withChangeType = false), Some("delete"), a)) else Nil)
       }
     }
-    if (parts.isEmpty) throw new NoSuchElementException(
-      s"$tablePath has no change data in [$fromVersion, $toVersion]")
-    parts.reduce(_ unionByName _)
   }
+
 
   /** Materialize a frozen Delta table as a graft table (the migration
     * path: one CREATE commit holding the snapshot, history starts fresh). */

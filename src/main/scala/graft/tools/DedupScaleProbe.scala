@@ -13,15 +13,19 @@ import org.apache.spark.sql.functions._
   * scale).
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  *        sbt "runMain graft.tools.DedupScaleProbe 10 q23_exact_dedup …"
+  *        sbt "runMain graft.tools.DedupScaleProbe 10 [exact] q23_exact_dedup …"
+  * (`exact` as the second arg makes document replicas byte-identical
+  * instead of near-dups — the hot-bucket case for signature paths.)
   */
 object DedupScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    val exactCopies = args.lift(1).contains("exact")
+    val rest = args.drop(if (exactCopies) 2 else 1).toSeq
     val queries =
-      if (args.length > 1) args.drop(1).toSeq
+      if (rest.nonEmpty) rest
       else Seq("q23_exact_dedup", "q24_tokenset_dedup", "q25_minhash_neardup",
         "q26_simhash_neardup", "q27_ngram_jaccard", "q73_dup_clusters",
         "q81_dup_clusters_lsh", "q110_substring_scrub", "q111_semantic_dedup",
@@ -39,12 +43,15 @@ object DedupScaleProbe {
     // Replica r of a doc keeps the text prefix and appends a distinct
     // tail: same shingle mass ⇒ same buckets, near-dup pairs across all
     // K replicas of one doc. IDs stay unique and deterministic.
+    val replicaText =
+      if (exactCopies) col("text")
+      else when(col("id") === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" replica marker "),
+          col("id").cast("string")))
     spark.range(k).crossJoin(docs)
       .select(
         (col("doc_id") + col("id") * nDocs * 10L).as("doc_id"),
-        when(col("id") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" replica marker "),
-            col("id").cast("string"))).as("text"),
+        replicaText.as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -1,9 +1,11 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.sources.DeltaImport
@@ -26,7 +28,8 @@ import graft.sources.DeltaImport
   * Filters are re-applied by Spark on top of the scan, so the relation
   * only uses them for the scan condition — correctness never depends on
   * pushdown (same contract as [[GraftRelation]]). */
-class GraftDeltaDataSource extends RelationProvider with DataSourceRegister {
+class GraftDeltaDataSource extends RelationProvider
+    with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
 
@@ -60,6 +63,103 @@ class GraftDeltaDataSource extends RelationProvider with DataSourceRegister {
       java.time.LocalDateTime.parse(norm)
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     }
+
+  // ---------------------------------- streaming: Delta table as a SOURCE
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-delta streaming source requires option 'path'"))
+    val head = DeltaImport.snapshot(sqlContext.sparkSession, path)
+    val s = schema.getOrElse(
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        DeltaImport.cdfSchemaOf(head)
+      else head.schema)
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new GraftDeltaTableSource(sqlContext.sparkSession, parameters("path"),
+      cdf = parameters.get("readChangeFeed").exists(_.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toInt))
+}
+
+/** Version-offset streaming source over a DELTA table's log (the streaming
+  * form of the bridge — Delta's own streaming-source model): each
+  * micro-batch serves exactly the commits in (start, end].
+  *
+  *  - plain mode: dataChange adds stream as rows; a commit carrying
+  *    dataChange removes or cdc actions is a REWRITE and fails the query
+  *    loudly (stream the CDF for mutating tables — Delta's contract);
+  *  - `readChangeFeed=true`: per-commit CDF batches, same synthesis rules
+  *    as the batch [[DeltaImport.readChanges]] (cdc actions as-is, blind
+  *    adds as inserts, whole-file removes as deletes). */
+class GraftDeltaTableSource(
+    sparkSession: SparkSession,
+    root: String,
+    cdf: Boolean,
+    protected val maxVersionsPerTrigger: Option[Int] = None)
+    extends Source with VersionAdmission {
+
+  private val head = DeltaImport.snapshot(sparkSession, root)
+  private val schema0: StructType =
+    if (cdf) DeltaImport.cdfSchemaOf(head) else head.schema
+
+  override def schema: StructType = schema0
+  override protected def currentVersion: Long =
+    DeltaImport.latestVersion(sparkSession, root)
+
+  override def getOffset: Option[Offset] = {
+    val v = currentVersion
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  /** Streaming parquet relation over explicit paths — the V1 source
+    * contract (isStreaming LogicalRelation; only this package can build
+    * one, hence the callback into [[DeltaImport.changeFrames]]). */
+  private def streamingParquet(paths: Seq[String], s: StructType): DataFrame = {
+    val classicSpark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val relation = org.apache.spark.sql.execution.datasources.DataSource(
+      sparkSession = classicSpark,
+      paths = paths,
+      userSpecifiedSchema = Some(s),
+      className = "parquet").resolveRelation(checkFilesExist = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(
+        relation, isStreaming = true))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(-1L)
+    val to = versionOf(end)
+    val changes = DeltaImport.changesBetween(sparkSession, root, from, to)
+    val frames =
+      if (cdf) DeltaImport.changeFrames(sparkSession, head, changes, streamingParquet)
+      else {
+        changes.foreach { c =>
+          if (c.removes.nonEmpty || c.cdc.nonEmpty)
+            throw new UnsupportedOperationException(
+              s"version ${c.version} of $root is ${c.operation} (a rewrite) — " +
+                "version-aware streaming requires an append-only Delta table; " +
+                "stream the CDF (readChangeFeed=true) for mutating tables")
+        }
+        val headCols = head.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq
+        DeltaImport.changeFrames(sparkSession, head,
+          changes.filter(_.adds.nonEmpty), streamingParquet)
+          .map(_.select(headCols: _*))
+      }
+    if (frames.isEmpty) {
+      org.apache.spark.sql.classic.Dataset.ofRows(
+        sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema0),
+          Seq.empty, isStreaming = true))
+    } else frames.reduce(_ unionByName _)
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** Read-only scan over the resolved Delta snapshot/CDF frame. */

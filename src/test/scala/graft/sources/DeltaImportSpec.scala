@@ -126,6 +126,58 @@ class DeltaImportSpec extends SparkSpec {
     }
   }
 
+  test("graft-delta streaming source: appends stream, rewrites refused, CDF mode serves all") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val table = tmpDir("delta-stream")
+    dataFile(table, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    val q = spark.readStream.format("graft-delta").option("path", table).load()
+      .writeStream.format("memory").queryName("delta_stream_out")
+      .option("checkpointLocation", tmpDir("delta-stream-ckpt"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("delta_stream_out").count() === 1)
+      // a new commit lands while the stream runs
+      dataFile(table, "b.parquet", Seq((2L, "b"), (3L, "c")).toDF("id", "s"))
+      commit(table, 1L, Seq(
+        """{"commitInfo":{"timestamp":2000,"operation":"WRITE"}}""",
+        """{"add":{"path":"b.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+      q.processAllAvailable()
+      assert(spark.table("delta_stream_out").as[(Long, String)].collect().toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // a rewriting commit fails the plain stream with the contract error
+      dataFile(table, "c.parquet", Seq((9L, "z")).toDF("id", "s"))
+      commit(table, 2L, Seq(
+        """{"commitInfo":{"timestamp":3000,"operation":"MERGE"}}""",
+        """{"add":{"path":"c.parquet","partitionValues":{},"size":1,"dataChange":true}}""",
+        """{"remove":{"path":"a.parquet","dataChange":true}}"""))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // CDF mode serves the full history incl. the rewrite
+    val q2 = spark.readStream.format("graft-delta").option("path", table)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("delta_cdf_out")
+      .option("checkpointLocation", tmpDir("delta-stream-ckpt2"))
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("delta_cdf_out")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        (1L, "insert", 0L), (2L, "insert", 1L), (3L, "insert", 1L),
+        (9L, "insert", 2L), (1L, "delete", 2L)))
+    } finally q2.stop()
+  }
+
   test("partition columns are reconstructed from partitionValues") {
     val table = tmpDir("delta-part")
     val part = new StructType().add("id", LongType).add("s", StringType)
