@@ -159,6 +159,7 @@ object SparkEntry {
     "q127_delta_time_travel" -> (DeltaBridgeQueries.deltaTimeTravel _),
     "q128_delta_cdf"         -> (DeltaBridgeQueries.deltaCdf _),
     "q129_scd2_stream"       -> (MutationQueries.scd2Stream _),
+    "q130_delta_export"      -> (DeltaBridgeQueries.deltaExportRoundtrip _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -388,6 +389,14 @@ object SparkEntry {
         |SELECT c_custkey, c_name, c_name || '@new.com',
         |  CAST(1700000100000 AS BIGINT), CAST(NULL AS BIGINT), TRUE
         |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+
+    // Write-side Delta bridge (q130): a partitioned graft history
+    // (create → append → delete) published as _delta_log commits in place
+    // and read back purely by Delta-log replay; the oracle recomputes the
+    // final snapshot from the source parquet.
+    "q130_delta_export" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

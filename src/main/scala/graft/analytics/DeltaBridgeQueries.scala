@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Scratch
+import graft.{Scratch, Tables}
 import graft.sources.DeltaImport
 
 /** Driver-gate queries for the read-only Delta-log bridge
@@ -67,4 +67,34 @@ object DeltaBridgeQueries {
     DeltaImport.readChanges(spark, copiedTable(spark), 0L, 1L)
       .select(col("id"), col("email"), col("__cdc_operation").as("cdc_op"),
         col("_change_type"), col("_commit_version"))
+
+  // ------------------------------------------------------------ write side
+
+  private val exported = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Orders history (partitioned create → append → delete) published as a
+    * Delta log IN PLACE by [[graft.sources.DeltaExport]]. Deterministic
+    * function of the sf dir; one materialization per JVM. */
+  private def exportedOrdersRoot(spark: SparkSession, dir: String): String =
+    exported.computeIfAbsent(dir, { _ =>
+      val root = Scratch.dir(spark, "delta-export")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, root,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) =!= 0), Seq("o_orderstatus"))
+      t.append(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0))
+      t.delete(col("o_orderstatus") === "F")
+      graft.sources.DeltaExport.exportLog(t)
+      root
+    })
+
+  /** q130: the write-side bridge under the oracle gate — a graft table's
+    * history exported as `_delta_log` commits and read BACK exclusively
+    * through the Delta-log replay path ([[DeltaImport]]), hive partition
+    * values round-tripped through Delta `partitionValues`. The oracle sees
+    * none of the machinery: it recomputes the final snapshot from the
+    * source parquet. */
+  def deltaExportRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    DeltaImport.read(spark, exportedOrdersRoot(spark, dir))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
 }

@@ -1,0 +1,415 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.table.{Commit, CommitLog, GraftTable}
+
+/** Write-side Delta bridge — the inverse of [[DeltaImport]]: publishes a
+  * Delta Lake transaction log (`_delta_log/`) INTO a graft table's root, so
+  * the same directory is simultaneously a graft table and an open-format
+  * Delta table (the dual-format idea Delta calls UniForm). Any Delta
+  * reader — the reference's own stack
+  * (consumer/python-consumer/delta_handler.py reads tables laid out exactly
+  * like this, `deltalake/customers/_delta_log/<v>.json`), Spark+delta,
+  * duckdb's delta extension — can then open the graft table in place,
+  * with version-for-version time travel.
+  *
+  * Mapping: graft commit v ⇒ Delta commit v (same version numbers). Each
+  * Delta commit carries the FILE-level diff of consecutive graft snapshots
+  * (graft tracks immutable dirs; Delta tracks files — a dir's parquet files
+  * become `add` actions, dirs dropped by a rewrite become `remove`s), a
+  * `metaData` action whenever schema / partitioning / properties change,
+  * `protocol` at v0, and `commitInfo` with the graft operation and metrics.
+  * Action shapes mirror the reference's Delta-written logs byte-for-byte in
+  * field structure (verified against
+  * deltalake/customers/_delta_log/00000000000000000000.json).
+  *
+  * Per-file `stats` (numRecords / minValues / maxValues / nullCount, typed
+  * JSON) are harvested from the parquet footers the write already produced
+  * — no data scan — so a Delta reader data-skips over exported tables just
+  * like over native ones.
+  *
+  * Honest limits (refused loudly, never silently wrong):
+  *  - Merge-on-read state (tombstone dirs / deletion vectors) has no
+  *    file-set representation; export halts at the version introducing it
+  *    and names the remedy (purge / compact — both produce clean commits).
+  *  - CDF `_changes` dirs are not exported as `cdc` actions: graft CDF
+  *    files carry `_commit_version`/`_commit_timestamp` columns in-file,
+  *    which Delta cdc files must not. `delta.enableChangeDataFeed` is
+  *    therefore never advertised.
+  *
+  * Scale: export is a driver-side metadata fold (one file listing per
+  * immutable data dir, footer reads for new files only) — the same cost
+  * class as a Delta writer's own commit path; no Spark job runs.
+  */
+object DeltaExport {
+
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Versions whose MoR state (tombstones / deletion vectors) cannot be
+    * expressed as a Delta file set. */
+  private def morBlocked(c: Commit): Boolean =
+    c.tombstoneDirs.nonEmpty || c.dvDirs.nonEmpty
+
+  /** Highest graft version exportable as a contiguous Delta log prefix. */
+  def exportableUpTo(table: GraftTable): Long = {
+    val cs = new CommitLog(table.root, table.spark.sessionState.newHadoopConf()).commits()
+    cs.takeWhile(!morBlocked(_)).lastOption.map(_.version).getOrElse(-1L)
+  }
+
+  /** Publish `_delta_log` commits for graft versions [0, upTo] (default:
+    * table head). Idempotent and incremental: already-published versions
+    * are skipped (content is deterministic per version), so calling after
+    * each graft commit appends exactly one Delta commit. Returns the
+    * highest Delta version published.
+    */
+  def exportLog(table: GraftTable, upTo: Option[Long] = None): Long = {
+    val spark = table.spark
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(table.root)
+    val fs = root.getFileSystem(conf)
+    val commits = new CommitLog(table.root, conf).commits()
+    require(commits.nonEmpty, s"${table.root}: empty table, nothing to export")
+    val target = upTo.getOrElse(commits.last.version)
+    commits.find(c => c.version <= target && morBlocked(c)).foreach { c =>
+      throw new IllegalStateException(
+        s"${table.root} version ${c.version} holds merge-on-read state " +
+          "(tombstones / deletion vectors) that a Delta file set cannot " +
+          "express — purge it first (purgeDeletionVectors() or any " +
+          s"snapshot-rewriting commit), or export upTo=${c.version - 1}")
+    }
+
+    val logDir = new Path(root, "_delta_log")
+    if (!fs.exists(logDir)) fs.mkdirs(logDir)
+
+    // Immutable dirs ⇒ one listing per dir across all versions.
+    val dirFiles = scala.collection.mutable.HashMap.empty[String, Seq[FileStatus]]
+    def filesOf(dir: String): Seq[FileStatus] =
+      dirFiles.getOrElseUpdate(dir, {
+        val it = fs.listFiles(new Path(root, dir), true)
+        val b = Seq.newBuilder[FileStatus]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
+        }
+        b.result().sortBy(_.getPath.toString)
+      })
+
+    def relPath(st: FileStatus): String = {
+      val full = st.getPath.toUri.getPath
+      val base = root.toUri.getPath.stripSuffix("/")
+      full.stripPrefix(base).stripPrefix("/")
+    }
+
+    var published = -1L
+    var prevPaths = Set.empty[String]
+    var prevMeta: Option[(String, Seq[String], Map[String, String])] = None
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      ("graft:" + root.toUri.getPath).getBytes(StandardCharsets.UTF_8)).toString
+
+    commits.takeWhile(_.version <= target).foreach { c =>
+      val out = new Path(logDir, f"${c.version}%020d.json")
+      if (fs.exists(out)) {
+        // Already published: replay the Delta commit's own add/remove
+        // actions instead of relisting graft dirs — a VACUUM may have
+        // deleted old dirs by now, and the published log is the record.
+        val (adds, removes) = publishedDiff(fs, out)
+        prevPaths = prevPaths ++ adds -- removes
+      } else {
+        val cur: Map[String, FileStatus] =
+          c.dataDirs.flatMap(d => filesOf(d).map(st => relPath(st) -> st)).toMap
+        val adds = (cur.keySet -- prevPaths).toSeq.sorted
+        val removes = (prevPaths -- cur.keySet).toSeq.sorted
+        val metaChanged = !prevMeta.contains((c.schemaJson, c.partitionCols, c.properties))
+        val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+        val lines = Seq.newBuilder[String]
+        lines += commitInfoJson(c)
+        if (c.version == 0L) lines += protocolJson(schema, c.properties)
+        if (metaChanged)
+          lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs)
+        val dataChange = c.operation != "OPTIMIZE"
+        adds.foreach { p =>
+          lines += addJson(p, cur(p), schema, c.partitionCols, dataChange, conf)
+        }
+        removes.foreach { p =>
+          lines += JsonMethods.compact(JObject("remove" -> JObject(
+            "path" -> JString(p),
+            "deletionTimestamp" -> JLong(c.tsMs),
+            "dataChange" -> JBool(dataChange))))
+        }
+        writeAtomic(fs, logDir, out, lines.result().mkString("", "\n", "\n"))
+        prevPaths = cur.keySet
+      }
+      published = c.version
+      prevMeta = Some((c.schemaJson, c.partitionCols, c.properties))
+    }
+    published
+  }
+
+  /** (added paths, removed paths) of an already-published Delta commit. */
+  private def publishedDiff(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): (Set[String], Set[String]) = {
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toArray finally in.close()
+    val adds = Set.newBuilder[String]
+    val removes = Set.newBuilder[String]
+    lines.filter(_.trim.nonEmpty).foreach { line =>
+      val j = JsonMethods.parse(line)
+      (j \ "add" \ "path") match { case JString(s) => adds += s; case _ => () }
+      (j \ "remove" \ "path") match { case JString(s) => removes += s; case _ => () }
+    }
+    (adds.result(), removes.result())
+  }
+
+  // ------------------------------------------------------------- actions
+
+  private def commitInfoJson(c: Commit): String = {
+    val metrics = JObject(c.metrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> (JString(v.toString): JValue) }: _*)
+    JsonMethods.compact(JObject("commitInfo" -> JObject(
+      "timestamp" -> JLong(c.tsMs),
+      "operation" -> JString(deltaOpName(c.operation)),
+      "operationParameters" -> JObject(),
+      "isolationLevel" -> JString("Serializable"),
+      "isBlindAppend" -> JBool(c.operation == "APPEND"),
+      "operationMetrics" -> metrics,
+      "engineInfo" -> JString("graft-delta-export/0.6"),
+      "txnId" -> JString(java.util.UUID.nameUUIDFromBytes(
+        s"graft-commit-${c.version}-${c.tsMs}".getBytes(StandardCharsets.UTF_8)).toString))))
+  }
+
+  /** Graft op → the operation string a Delta writer would record. */
+  private def deltaOpName(op: String): String = op match {
+    case "CREATE" => "WRITE"
+    case "APPEND" => "WRITE"
+    case other => other // MERGE / DELETE / UPDATE / OPTIMIZE / RESTORE / WRITE
+  }
+
+  private def protocolJson(schema: StructType, props: Map[String, String]): String = {
+    // TimestampNTZ in the schema is a Delta READER feature: legacy readers
+    // would misinterpret the column, so the protocol must say v3 +
+    // feature list (exactly what [[DeltaImport]]'s gate checks).
+    val ntz = hasNtz(schema)
+    val proto =
+      if (ntz) JObject(
+        "minReaderVersion" -> JInt(3),
+        "minWriterVersion" -> JInt(7),
+        "readerFeatures" -> JArray(List(JString("timestampNtz"))),
+        "writerFeatures" -> JArray(List(JString("timestampNtz"))))
+      else JObject(
+        "minReaderVersion" -> JInt(1),
+        // CHECK constraints are a writer-v3 concept; plain tables are v2.
+        "minWriterVersion" -> JInt(
+          if (props.keys.exists(_.startsWith("constraint."))) 3 else 2))
+    JsonMethods.compact(JObject("protocol" -> proto))
+  }
+
+  private def hasNtz(dt: DataType): Boolean = dt match {
+    case TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+    case a: ArrayType => hasNtz(a.elementType)
+    case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+    case _ => false
+  }
+
+  private def metaDataJson(tableId: String, c: Commit, firstTs: Long): String = {
+    // Graft CHECK constraints map onto Delta's reserved configuration keys
+    // (`delta.constraints.<name>`); other properties pass through verbatim.
+    val conf = c.properties.map {
+      case (k, v) if k.startsWith("constraint.") =>
+        s"delta.constraints.${k.stripPrefix("constraint.")}" -> v
+      case kv => kv
+    }
+    JsonMethods.compact(JObject("metaData" -> JObject(
+      "id" -> JString(tableId),
+      "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(c.schemaJson),
+      "partitionColumns" -> JArray(c.partitionCols.map(JString(_)).toList),
+      "configuration" -> JObject(conf.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }: _*),
+      "createdTime" -> JLong(firstTs))))
+  }
+
+  private def addJson(rel: String, st: FileStatus, schema: StructType,
+      partCols: Seq[String], dataChange: Boolean,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    // Hive-style partition dirs inside the data dir carry the values the
+    // files themselves omit (graft writes with partitionBy) — decode them
+    // into Delta's partitionValues, Hive default partition as JSON null.
+    val pv: Seq[(String, JValue)] = partCols.map { pc =>
+      val seg = rel.split('/').find(_.startsWith(pc + "="))
+      val raw = seg.map(s => ExternalCatalogUtils.unescapePathName(s.drop(pc.length + 1)))
+      pc -> raw.filter(_ != "__HIVE_DEFAULT_PARTITION__")
+        .map(JString(_): JValue).getOrElse(JNull)
+    }
+    val stats = fileStatsJson(st, schema, partCols, conf)
+    val fields = List(
+      "path" -> (JString(rel): JValue),
+      "partitionValues" -> (JObject(pv: _*): JValue),
+      "size" -> (JLong(st.getLen): JValue),
+      "modificationTime" -> (JLong(st.getModificationTime): JValue),
+      "dataChange" -> (JBool(dataChange): JValue)) ++
+      stats.map(s => "stats" -> (JString(s): JValue))
+    JsonMethods.compact(JObject("add" -> JObject(fields: _*)))
+  }
+
+  // ------------------------------------------------------- per-file stats
+
+  /** Value cap keeping pathological string bounds out of the log; an
+    * omitted column is always a valid (weaker) stats statement. */
+  private val MaxStatString = 256
+
+  /** Delta `stats` JSON for one parquet file, straight from its footer:
+    * `{"numRecords":N,"minValues":{..},"maxValues":{..},"nullCount":{..}}`
+    * with natively-typed values (numbers, strings, ISO-8601 timestamps,
+    * dates). Only top-level atomic non-partition columns are reported —
+    * exactly the set Delta's own writer defaults to. Returns None when the
+    * footer is unreadable (stats are optional in the format).
+    */
+  private def fileStatsJson(st: FileStatus, schema: StructType,
+      partCols: Seq[String], conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        val targets: Map[String, DataType] = schema.fields.iterator
+          .filterNot(f => partCols.contains(f.name))
+          .filter(f => isAtomic(f.dataType))
+          .map(f => f.name -> f.dataType).toMap
+        var rows = 0L
+        val mins = scala.collection.mutable.HashMap.empty[String, JValue]
+        val maxs = scala.collection.mutable.HashMap.empty[String, JValue]
+        val nulls = scala.collection.mutable.HashMap.empty[String, Long]
+        val poisoned = scala.collection.mutable.HashSet.empty[String]
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala.foreach { cc =>
+            val name = cc.getPath.toDotString
+            targets.get(name).foreach { dt =>
+              val s = cc.getStatistics
+              if (s == null || !s.isNumNullsSet || poisoned(name)) {
+                poisoned += name; nulls.remove(name)
+              } else nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
+              if (s != null && s.hasNonNullValue) {
+                val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+                (jValueOf(s.genericGetMin.asInstanceOf[AnyRef], dt, ann),
+                 jValueOf(s.genericGetMax.asInstanceOf[AnyRef], dt, ann)) match {
+                  case (Some(lo), Some(hi)) =>
+                    mins(name) = mins.get(name).map(m => jMin(m, lo)).getOrElse(lo)
+                    maxs(name) = maxs.get(name).map(m => jMax(m, hi)).getOrElse(hi)
+                  case _ => ()
+                }
+              }
+            }
+          }
+        }
+        // A column some chunk stayed silent about has no trustworthy
+        // bounds for this file; drop its min/max too.
+        val obj = JObject(
+          "numRecords" -> JLong(rows),
+          "minValues" -> JObject(mins.toSeq.sortBy(_._1): _*),
+          "maxValues" -> JObject(maxs.toSeq.sortBy(_._1): _*),
+          "nullCount" -> JObject(nulls.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (JLong(v): JValue) }: _*))
+        Some(JsonMethods.compact(obj))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def isAtomic(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType | BinaryType => false
+    case _ => true
+  }
+
+  private val IsoInstant = DateTimeFormatter.ISO_INSTANT
+
+  /** Footer statistic → typed Delta stats JSON value; None when the
+    * physical/logical combination has no order-faithful rendering (e.g.
+    * INT96 timestamps, >18-digit decimals). */
+  private def jValueOf(v: AnyRef, dt: DataType,
+      ann: org.apache.parquet.schema.LogicalTypeAnnotation): Option[JValue] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    (v, dt) match {
+      case (x: java.lang.Long, LongType) => Some(JLong(x))
+      case (x: java.lang.Integer, IntegerType | ShortType | ByteType) => Some(JInt(x.toInt))
+      case (x: java.lang.Integer, DateType) =>
+        Some(JString(java.time.LocalDate.ofEpochDay(x.toLong).toString))
+      case (x: java.lang.Double, DoubleType) =>
+        if (x.isNaN || x.isInfinite) None else Some(JDouble(x))
+      case (x: java.lang.Float, FloatType) =>
+        if (x.isNaN || x.isInfinite) None else Some(JDouble(x.toDouble))
+      case (x: java.lang.Boolean, BooleanType) => Some(JBool(x))
+      case (x: java.lang.Long, TimestampType | TimestampNTZType) =>
+        val micros = ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(x * 1000L)
+            case LogicalTypeAnnotation.TimeUnit.MICROS => Some(x.longValue)
+            case _ => None // nanos: not order-safe to round here
+          }
+          case _ => None
+        }
+        micros.map { us =>
+          val inst = Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L)
+          dt match {
+            case TimestampNTZType => JString(inst.toString.stripSuffix("Z"))
+            case _ => JString(IsoInstant.format(inst))
+          }
+        }
+      case (x: java.lang.Long, d: DecimalType) if d.precision <= 18 =>
+        Some(JDecimal(BigDecimal(BigInt(x.longValue), d.scale)))
+      case (x: java.lang.Integer, d: DecimalType) if d.precision <= 18 =>
+        Some(JDecimal(BigDecimal(BigInt(x.intValue), d.scale)))
+      case (b: org.apache.parquet.io.api.Binary, StringType)
+          if ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        val s = new String(b.getBytes, StandardCharsets.UTF_8)
+        if (s.length > MaxStatString) None else Some(JString(s))
+      case _ => None
+    }
+  }
+
+  // Multi-rowgroup files fold chunk bounds; ordering matches the stats'
+  // own comparison domain (numbers numerically, strings/dates/timestamps
+  // by their rendered form, which for ISO timestamps is chronological).
+  private def jMin(a: JValue, b: JValue): JValue =
+    if (jLe(a, b)) a else b
+  private def jMax(a: JValue, b: JValue): JValue =
+    if (jLe(a, b)) b else a
+  private def jLe(a: JValue, b: JValue): Boolean = (a, b) match {
+    case (JLong(x), JLong(y)) => x <= y
+    case (JInt(x), JInt(y)) => x <= y
+    case (JDouble(x), JDouble(y)) => x <= y
+    case (JDecimal(x), JDecimal(y)) => x <= y
+    case (JBool(x), JBool(y)) => x <= y
+    case (JString(x), JString(y)) => x <= y
+    case _ => true
+  }
+
+  /** Temp-file-then-rename publish, the same visibility contract as the
+    * graft commit log: a reader never sees a half-written Delta commit. */
+  private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      target: Path, content: String): Unit = {
+    val tmp = new Path(dir, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      // Lost a race with another exporter: content is deterministic per
+      // version, so the published file is equivalent — not an error.
+      if (!fs.exists(target)) throw new java.io.IOException(s"cannot publish $target")
+    }
+  }
+}

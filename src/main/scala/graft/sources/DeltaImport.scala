@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -39,8 +39,11 @@ object DeltaImport {
 
   /** One live data file of a snapshot (path relative to the table root;
     * partition values as Delta stores them — strings, null for the Hive
-    * default partition). */
-  final case class AddFile(path: String, partitionValues: Map[String, String])
+    * default partition; `stats` the add action's raw per-file statistics
+    * JSON when the writer recorded one — the input to file-level
+    * data skipping, [[DeltaSkipping]]). */
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+      stats: Option[String] = None)
 
   /** The resolved state of a Delta table at one version. */
   final case class Snapshot(
@@ -56,12 +59,52 @@ object DeltaImport {
       timestampMs: Long,
       operation: String,
       metaData: Option[(StructType, Seq[String], Map[String, String])],
-      protocol: Option[Int], // minReaderVersion
+      protocol: Option[(Int, Seq[String])], // (minReaderVersion, readerFeatures)
       adds: Seq[(AddFile, Boolean)], // (file, dataChange)
       removes: Seq[(String, Boolean)], // (path, dataChange)
       cdc: Seq[AddFile])
 
   private implicit val formats: Formats = DefaultFormats
+
+  /** Reader-protocol v3 features this bridge implements. `timestampNtz` is
+    * purely a schema capability (Spark reads TIMESTAMP_NTZ parquet
+    * natively); `columnMapping` is handled via physical-name resolution
+    * below. Everything else (deletionVectors, v2Checkpoint, …) is refused
+    * by the snapshot gate. */
+  private val SupportedReaderFeatures: Set[String] =
+    Set("timestampNtz", "columnMapping")
+
+  // --------------------------------------------------- column mapping
+  // Delta column mapping (modes `name` and `id`): parquet files carry
+  // PHYSICAL column names (`col-<uuid>`), and the logical schema annotates
+  // every field with `delta.columnMapping.physicalName` (delta-spark
+  // writes the annotation in both modes, so physical-name resolution
+  // covers both). Reads declare the physical schema to the parquet scan,
+  // then restore logical names with one positional struct cast — rename
+  // only, no data movement.
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(name = physicalName(f), dataType = toPhysical(f.dataType))))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = toPhysical(a.elementType))
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = toPhysical(m.keyType), valueType = toPhysical(m.valueType))
+    case other => other
+  }
+
+  /** partitionValues in a column-mapped log are keyed by PHYSICAL name. */
+  private def partitionValueOf(pv: Map[String, String], schema: StructType,
+      pc: String): Option[String] = {
+    val phys = schema.fields.find(_.name == pc).map(physicalName).getOrElse(pc)
+    pv.get(phys).orElse(pv.get(pc))
+  }
 
   // ------------------------------------------------------------ log replay
 
@@ -77,13 +120,14 @@ object DeltaImport {
         case (k, _) => k -> null
       }.toMap
       case _ => Map.empty
-    })
+    },
+    (j \ "stats") match { case JString(s) => Some(s); case _ => None })
 
   private def actionsOf(version: Long, lines: Iterator[String]): VersionActions = {
     var ts = 0L
     var op = ""
     var meta: Option[(StructType, Seq[String], Map[String, String])] = None
-    var protocol: Option[Int] = None
+    var protocol: Option[(Int, Seq[String])] = None
     val adds = Seq.newBuilder[(AddFile, Boolean)]
     val removes = Seq.newBuilder[(String, Boolean)]
     val cdc = Seq.newBuilder[AddFile]
@@ -105,7 +149,12 @@ object DeltaImport {
           meta = Some((schema, partCols, conf))
       }
       (j \ "protocol" \ "minReaderVersion") match {
-        case JInt(v) => protocol = Some(v.toInt)
+        case JInt(v) =>
+          val feats = (j \ "protocol" \ "readerFeatures") match {
+            case JArray(fs) => fs.collect { case JString(f) => f }
+            case _ => Nil
+          }
+          protocol = Some(v.toInt -> feats)
         case _ => ()
       }
       (j \ "add") match {
@@ -171,7 +220,7 @@ object DeltaImport {
     val ckpt = lastCheckpoint(spark, tablePath, versionAsOf)
     var files = Map.empty[String, AddFile]
     var meta: Option[(StructType, Seq[String], Map[String, String])] = None
-    var minReader: Option[Int] = None
+    var minReader: Option[(Int, Seq[String])] = None
     var version = -1L
 
     ckpt.foreach { case (v, parts) =>
@@ -180,11 +229,18 @@ object DeltaImport {
       // the snapshot.
       val rows = spark.read.parquet(parts.map(_.toString): _*)
       val cols = rows.columns.toSet
-      if (cols.contains("add")) rows.select("add.path", "add.partitionValues")
-        .filter(col("path").isNotNull).collect().foreach { r =>
-          val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
-          files += r.getString(0) -> AddFile(r.getString(0), pv)
-        }
+      if (cols.contains("add")) {
+        val addT = rows.schema("add").dataType.asInstanceOf[StructType]
+        val statsCol =
+          if (addT.fieldNames.contains("stats")) col("add.stats")
+          else lit(null).cast(StringType)
+        rows.select(col("add.path"), col("add.partitionValues"), statsCol.as("stats"))
+          .filter(col("path").isNotNull).collect().foreach { r =>
+            val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
+            val stats = if (r.isNullAt(2)) None else Some(r.getString(2))
+            files += r.getString(0) -> AddFile(r.getString(0), pv, stats)
+          }
+      }
       if (cols.contains("metaData")) {
         val m = rows.select("metaData.schemaString", "metaData.partitionColumns",
           "metaData.configuration").filter(col("schemaString").isNotNull).collect()
@@ -195,9 +251,18 @@ object DeltaImport {
         }
       }
       if (cols.contains("protocol")) {
-        val p = rows.select("protocol.minReaderVersion")
+        val hasFeats = rows.schema("protocol").dataType.asInstanceOf[StructType]
+          .fieldNames.contains("readerFeatures")
+        val p = (if (hasFeats)
+          rows.select(col("protocol.minReaderVersion"),
+            col("protocol.readerFeatures"))
+        else rows.select(col("protocol.minReaderVersion"),
+          lit(null).cast("array<string>").as("readerFeatures")))
           .filter(col("minReaderVersion").isNotNull).collect()
-        p.lastOption.foreach(r => minReader = Some(r.getInt(0)))
+        p.lastOption.foreach { r =>
+          val feats = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
+          minReader = Some(r.getInt(0) -> feats)
+        }
       }
       version = v
     }
@@ -224,15 +289,25 @@ object DeltaImport {
       s"$tablePath has no version $v (latest at or below: $version)"))
     val (schema, partCols, conf) = meta.getOrElse(throw new IllegalStateException(
       s"$tablePath: no metaData action in the log — corrupt table"))
-    // Reader protocol gate: v1 = plain parquet; v2 adds column mapping
-    // (readable only when the mapping mode is absent/none); v3 = table
-    // features (deletion vectors…) — refused loudly rather than misread.
-    minReader.foreach { r =>
-      val mapping = conf.getOrElse("delta.columnMapping.mode", "none")
-      require(r <= 1 || (r == 2 && mapping == "none"),
-        s"$tablePath requires Delta reader protocol $r" +
-          (if (mapping != "none") s" with column mapping '$mapping'" else "") +
-          " — beyond this bridge (plain-parquet protocols only)")
+    // Reader protocol gate, per the published Delta protocol's rules:
+    //  - v1: plain parquet, always readable;
+    //  - v2: column mapping — readable (mode none/name/id via the
+    //    physicalName metadata delta-spark writes in BOTH modes);
+    //  - v3: feature-listed — readable iff EVERY readerFeature is one this
+    //    bridge implements. Unknown features (deletionVectors,
+    //    v2Checkpoint, …) are refused loudly rather than misread.
+    minReader.foreach { case (r, feats) =>
+      if (r >= 3) {
+        val unsupported = feats.filterNot(SupportedReaderFeatures)
+        // An empty feature list on a v3+ protocol is malformed — refuse
+        // rather than guess what capability the writer meant to demand.
+        require(feats.nonEmpty && unsupported.isEmpty,
+          s"$tablePath requires Delta reader protocol $r" +
+            (if (unsupported.nonEmpty)
+              s" with features ${unsupported.mkString(", ")}" else "") +
+            " — beyond this bridge")
+      } else require(r <= 2,
+        s"$tablePath requires Delta reader protocol $r — beyond this bridge")
     }
     Snapshot(tablePath, version, schema, partCols, conf, files.values.toSeq.sortBy(_.path))
   }
@@ -272,21 +347,60 @@ object DeltaImport {
   def readAsOf(spark: SparkSession, tablePath: String, tsMs: Long): DataFrame =
     read(spark, tablePath, Some(versionAsOfTimestamp(spark, tablePath, tsMs)))
 
+  /** Read an already-resolved snapshot (the connector path: resolve once,
+    * scan many times against the SAME pinned version). */
+  def read(spark: SparkSession, s: Snapshot): DataFrame = readSnapshot(spark, s)
+
+  /** Predicate-driven FILE-level data skipping over a Delta snapshot —
+    * the bridge's form of Delta's own stats-based skipping: files whose
+    * `add.stats` min/max, null counts, or partitionValues PROVE no row
+    * can match are never listed or read; the exact predicate applies on
+    * top, so the result equals `read(...).filter(predicate)`
+    * ([[DeltaSkipping]] has the walker; superset semantics, every unknown
+    * keeps the file). On a 100 TB table a point/range query then reads
+    * k files, not the snapshot. */
+  def where(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      versionAsOf: Option[Long] = None): DataFrame =
+    whereSnapshot(spark, snapshot(spark, tablePath, versionAsOf), predicate)
+
+  /** [[where]] against a pre-resolved (pinned) snapshot. */
+  def whereSnapshot(spark: SparkSession, s: Snapshot,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    readSnapshot(spark,
+      s.copy(files = DeltaSkipping.prune(spark, s, predicate))).filter(predicate)
+
   private def readSnapshot(spark: SparkSession, s: Snapshot): DataFrame = {
     val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
     if (s.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     val groups = s.files.groupBy(_.partitionValues).toSeq
     groups.map { case (pv, fs) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(fs.map(f => new Path(s.tablePath, f.path).toString): _*)
+      val base = readLogical(dataSchema,
+        phys => spark.read.schema(phys)
+          .parquet(fs.map(f => new Path(s.tablePath, f.path).toString): _*))
       s.partitionColumns.foldLeft(base) { (d, pc) =>
         val f = s.schema(pc)
-        val raw = pv.get(pc).filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
+        val raw = partitionValueOf(pv, s.schema, pc)
+          .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
         d.withColumn(pc, lit(raw.orNull).cast(f.dataType))
       }
     }.reduce(_ unionByName _)
       .select(s.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+  }
+
+  /** Read files through the PHYSICAL rendering of `dataSchema`, then
+    * restore logical names (one positional struct cast per column — a
+    * rename, free at runtime). For unmapped tables physical == logical and
+    * this is an identity select. */
+  private def readLogical(dataSchema: StructType,
+      readPhys: StructType => DataFrame): DataFrame = {
+    val phys = toPhysical(dataSchema).asInstanceOf[StructType]
+    val df = readPhys(phys)
+    if (phys == dataSchema) df
+    else df.select(dataSchema.fields.map { f =>
+      col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** The committed changes of one Delta version — the public slice of the
@@ -373,14 +487,19 @@ object DeltaImport {
       }.toIndexedSeq: _*)
 
     def filesDf(paths: Seq[AddFile], withChangeType: Boolean): DataFrame = {
+      // `_change_type` is stored literally even in column-mapped tables
+      // (it is a CDF artifact, not a schema column), so it joins the
+      // schema AFTER the physical mapping of the table columns.
       val s0 = if (withChangeType) head.schema.add("_change_type", StringType) else head.schema
       val dataSchema = StructType(s0.filterNot(f => head.partitionColumns.contains(f.name)))
       val groups = paths.groupBy(_.partitionValues).toSeq
       groups.map { case (pv, fls) =>
-        val base = mkParquet(fls.map(f =>
-          new Path(head.tablePath, f.path).toString), dataSchema)
+        val base = readLogical(dataSchema,
+          phys => mkParquet(fls.map(f =>
+            new Path(head.tablePath, f.path).toString), phys))
         head.partitionColumns.foldLeft(base) { (d, pc) =>
-          val raw = pv.get(pc).filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
+          val raw = partitionValueOf(pv, head.schema, pc)
+            .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
           d.withColumn(pc, lit(raw.orNull).cast(head.schema(pc).dataType))
         }
       }.reduce(_ unionByName _)

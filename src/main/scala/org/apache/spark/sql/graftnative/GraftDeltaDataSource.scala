@@ -44,16 +44,20 @@ class GraftDeltaDataSource extends RelationProvider
     require(Seq(cdf, versionAsOf.isDefined, timestampAsOf.isDefined)
       .count(identity) <= 1,
       "readChangeFeed / versionAsOf / timestampAsOf are mutually exclusive")
-    val df =
-      if (cdf) DeltaImport.readChanges(spark, path,
+    if (cdf) {
+      val df = DeltaImport.readChanges(spark, path,
         parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
         parameters.get("endingVersion").map(_.toLong).getOrElse(Long.MaxValue))
-      else (versionAsOf, timestampAsOf) match {
-        case (Some(v), _) => DeltaImport.read(spark, path, Some(v))
-        case (_, Some(ms)) => DeltaImport.readAsOf(spark, path, ms)
-        case _ => DeltaImport.read(spark, path)
-      }
-    new GraftDeltaRelation(sqlContext, df)
+      new GraftDeltaRelation(sqlContext, df, None)
+    } else {
+      // Resolve the snapshot ONCE at relation creation: every scan —
+      // pruned or not — reads this pinned version, and the pushed filter
+      // drives per-file stats/partition skipping (DeltaSkipping).
+      val pinned = versionAsOf.orElse(timestampAsOf.map(ms =>
+        DeltaImport.versionAsOfTimestamp(spark, path, ms)))
+      val snap = DeltaImport.snapshot(spark, path, pinned)
+      new GraftDeltaRelation(sqlContext, DeltaImport.read(spark, snap), Some(snap))
+    }
   }
 
   private def parseTsMs(s: String): Long =
@@ -162,8 +166,13 @@ class GraftDeltaTableSource(
   override def stop(): Unit = ()
 }
 
-/** Read-only scan over the resolved Delta snapshot/CDF frame. */
-class GraftDeltaRelation(val sqlContext: SQLContext, df: DataFrame)
+/** Read-only scan over the resolved Delta snapshot/CDF frame. When the
+  * relation is a plain snapshot (`snap` present), pushed filters drive
+  * FILE-level data skipping over the pinned version's `add.stats` and
+  * partitionValues ([[graft.sources.DeltaSkipping]]); Spark re-applies the
+  * exact filters on top, so correctness never depends on the pruning. */
+class GraftDeltaRelation(val sqlContext: SQLContext, df: DataFrame,
+    snap: Option[graft.sources.DeltaImport.Snapshot])
     extends BaseRelation with PrunedFilteredScan {
 
   override def schema: StructType = df.schema
@@ -171,8 +180,13 @@ class GraftDeltaRelation(val sqlContext: SQLContext, df: DataFrame)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val base = filters.flatMap(GraftRelation.translate)
-      .reduceOption(_ && _).map(df.filter).getOrElse(df)
+    val cond = filters.flatMap(GraftRelation.translate).reduceOption(_ && _)
+    val base = (cond, snap) match {
+      case (Some(c), Some(s)) =>
+        DeltaImport.whereSnapshot(sqlContext.sparkSession, s, c)
+      case (Some(c), None) => df.filter(c)
+      case (None, _) => df
+    }
     val pruned =
       if (requiredColumns.isEmpty) base.select()
       else base.select(requiredColumns.map(c => col(s"`$c`")).toSeq: _*)

@@ -1,0 +1,188 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** [[DeltaExport]] — the write-side Delta bridge: graft commits published
+  * as `_delta_log` commits in place (dual-format), round-tripped through
+  * [[DeltaImport]], action shapes held to the reference's own Delta log
+  * layout, and the MoR gate. */
+class DeltaExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def logLines(root: String, v: Long): Seq[JValue] =
+    Files.readAllLines(Paths.get(root, "_delta_log", f"$v%020d.json")).asScala
+      .filter(_.trim.nonEmpty).map(JsonMethods.parse(_)).toSeq
+
+  private def jsonCommits(root: String): Seq[Long] =
+    Files.list(Paths.get(root, "_delta_log")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+
+  test("export round-trips through DeltaImport at head and every version") {
+    val root = tmpDir("dexp-rt")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "s", "n"), Nil)
+    t.append(Seq((3L, "c", 30)).toDF("id", "s", "n"))
+    t.delete(col("id") === 2L) // snapshot rewrite: removes + adds in one commit
+
+    val published = DeltaExport.exportLog(t)
+    assert(published === 2L)
+    assert(jsonCommits(root) === Seq(0L, 1L, 2L))
+
+    for (v <- 0L to 2L) {
+      val viaDelta = DeltaImport.read(spark, root, versionAsOf = Some(v))
+        .as[(Long, String, Int)].collect().toSet
+      val viaGraft = t.readVersion(v).as[(Long, String, Int)].collect().toSet
+      assert(viaDelta === viaGraft, s"version $v")
+    }
+    // head read without pinning
+    assert(DeltaImport.read(spark, root).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (3L, "c", 30)))
+  }
+
+  test("action shapes match the reference's Delta log layout, stats are typed") {
+    val root = tmpDir("dexp-shape")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "x"), Nil)
+    DeltaExport.exportLog(t)
+
+    val lines = logLines(root, 0L)
+    val keys = lines.map(_.asInstanceOf[JObject].obj.map(_._1)).map(_.head)
+    assert(keys.contains("commitInfo") && keys.contains("protocol") &&
+      keys.contains("metaData") && keys.contains("add"))
+
+    val proto = lines.find(l => (l \ "protocol") != JNothing).get \ "protocol"
+    assert((proto \ "minReaderVersion") === JInt(1))
+
+    val meta = lines.find(l => (l \ "metaData") != JNothing).get \ "metaData"
+    assert((meta \ "format" \ "provider") === JString("parquet"))
+    assert((meta \ "schemaString").isInstanceOf[JString])
+
+    val adds = lines.map(_ \ "add").filter(_ != JNothing)
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      assert((a \ "path").isInstanceOf[JString])
+      assert((a \ "dataChange") === JBool(true))
+      assert((a \ "size").isInstanceOf[JLong] || (a \ "size").isInstanceOf[JInt])
+      val stats = JsonMethods.parse((a \ "stats").asInstanceOf[JString].s)
+      assert((stats \ "numRecords") != JNothing)
+      // typed values: id is a number, s a string
+      val minId = stats \ "minValues" \ "id"
+      assert(minId.isInstanceOf[JLong] || minId.isInstanceOf[JInt], minId)
+      assert((stats \ "minValues" \ "s").isInstanceOf[JString])
+      assert((stats \ "nullCount" \ "x") != JNothing)
+    }
+    // numRecords over v0 files sums to the row count
+    val total = adds.map { a =>
+      (JsonMethods.parse((a \ "stats").asInstanceOf[JString].s) \ "numRecords") match {
+        case JLong(n) => n
+        case JInt(n) => n.toLong
+        case _ => 0L
+      }
+    }.sum
+    assert(total === 2L)
+  }
+
+  test("partitioned export carries partitionValues; import reconstructs them") {
+    val root = tmpDir("dexp-part")
+    val df = Seq((1L, "us", 10), (2L, "de", 20), (3L, "us", 30))
+      .toDF("id", "region", "n")
+    val t = GraftTable.create(spark, root, df, Seq("region"))
+    DeltaExport.exportLog(t)
+
+    val adds = logLines(root, 0L).map(_ \ "add").filter(_ != JNothing)
+    val pvs = adds.map(a => (a \ "partitionValues" \ "region")).collect {
+      case JString(v) => v
+    }.toSet
+    assert(pvs === Set("us", "de"))
+    // files live under hive dirs but partitionValues are the decoded values
+    assert(adds.forall(a => (a \ "path").asInstanceOf[JString].s.contains("region=")))
+
+    val back = DeltaImport.read(spark, root).select("id", "region", "n")
+      .as[(Long, String, Int)].collect().toSet
+    assert(back === Set((1L, "us", 10), (2L, "de", 20), (3L, "us", 30)))
+  }
+
+  test("incremental + idempotent: re-export skips, new commits append") {
+    val root = tmpDir("dexp-incr")
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "s"), Nil)
+    DeltaExport.exportLog(t)
+    val bytes0 = Files.readAllBytes(
+      Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    DeltaExport.exportLog(t) // no-op
+    assert(Files.readAllBytes(
+      Paths.get(root, "_delta_log", f"${0L}%020d.json")) === bytes0)
+
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    assert(DeltaExport.exportLog(t) === 1L)
+    assert(jsonCommits(root) === Seq(0L, 1L))
+    // the append commit is a pure add: no removes, dataChange=true
+    val v1 = logLines(root, 1L)
+    assert(v1.forall(l => (l \ "remove") === JNothing))
+    assert((v1.find(l => (l \ "commitInfo") != JNothing).get
+      \ "commitInfo" \ "isBlindAppend") === JBool(true))
+  }
+
+  test("export resumes after VACUUM: published commits replay from the Delta log") {
+    val root = tmpDir("dexp-vac")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
+    t.delete(col("id") === 1L) // v1 rewrite: v0's dir becomes unreferenced
+    DeltaExport.exportLog(t)
+    t.vacuum(retentionHours = 0.0, nowMs = System.currentTimeMillis() + 3600_000L)
+    t.append(Seq((3L, "c")).toDF("id", "s")) // v2, after old dirs are gone
+    assert(DeltaExport.exportLog(t) === 2L)
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (3L, "c")))
+  }
+
+  test("MoR state refuses export and names the remedy; purge unblocks") {
+    val root = tmpDir("dexp-mor")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), Nil)
+    t.deletePositional(col("id") === 2L) // deletion-vector commit
+    val e = intercept[IllegalStateException] { DeltaExport.exportLog(t) }
+    assert(e.getMessage.contains("merge-on-read"))
+    assert(DeltaExport.exportableUpTo(t) === 0L)
+    assert(DeltaExport.exportLog(t, upTo = Some(0L)) === 0L)
+
+    t.materializeDeletes() // snapshot rewrite clears the DV state
+    assert(DeltaExport.exportableUpTo(t) < t.version) // v1 still blocks the prefix
+  }
+
+  test("constraints map to delta.constraints.*; OPTIMIZE exports dataChange=false") {
+    val root = tmpDir("dexp-props")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
+    t.addConstraint("id_pos", "id > 0")
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    t.optimize()
+    DeltaExport.exportLog(t)
+
+    // the constraint commit re-emits metaData with the Delta-reserved key
+    val metas = (1L to t.version).flatMap(v =>
+      logLines(root, v).map(_ \ "metaData").filter(_ != JNothing))
+    assert(metas.exists(m =>
+      (m \ "configuration" \ "delta.constraints.id_pos") === JString("id > 0")))
+
+    val opt = logLines(root, t.version)
+    val optAdds = opt.map(_ \ "add").filter(_ != JNothing)
+    assert(optAdds.nonEmpty && optAdds.forall(a => (a \ "dataChange") === JBool(false)))
+    assert(opt.map(_ \ "remove").filter(_ != JNothing)
+      .forall(r => (r \ "dataChange") === JBool(false)))
+
+    // and the whole history still round-trips
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === t.read().as[(Long, String)].collect().toSet)
+  }
+}

@@ -240,6 +240,79 @@ class DeltaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("reader protocol"))
   }
 
+  test("column mapping: physical parquet names resolve to the logical schema") {
+    import org.apache.spark.sql.types.{IntegerType, MetadataBuilder, StructField}
+    val table = tmpDir("delta-colmap")
+    // physical file layout: col-1/col-2, nested col-n inside col-2's struct
+    val physDf = Seq((1L, "a", 10), (2L, "b", 20)).toDF("pid", "ps", "pn")
+      .select(col("pid").as("col-1"),
+        struct(col("ps").as("col-s"), col("pn").as("col-n")).as("col-2"))
+    dataFile(table, "a.parquet", physDf)
+
+    def mapped(name: String, phys: String, dt: org.apache.spark.sql.types.DataType) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", name.length.toLong).build())
+    val logical = StructType(Seq(
+      mapped("id", "col-1", LongType),
+      mapped("payload", "col-2", StructType(Seq(
+        mapped("s", "col-s", StringType),
+        mapped("n", "col-n", IntegerType))))))
+
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaLine(logical, conf = Map("delta.columnMapping.mode" -> "name")),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+
+    val df = DeltaImport.read(spark, table)
+    assert(df.columns.toSeq === Seq("id", "payload"))
+    val rows = df.select(col("id"), col("payload.s"), col("payload.n"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(rows === Set((1L, "a", 10), (2L, "b", 20)))
+  }
+
+  test("column mapping: partitionValues keyed by physical name; v3 feature accepted") {
+    import org.apache.spark.sql.types.{IntegerType, MetadataBuilder, StructField}
+    val table = tmpDir("delta-colmap-part")
+    dataFile(table, "a.parquet",
+      Seq((1, "x"), (2, "y")).toDF("n", "s").select(col("n").as("col-n"), col("s").as("col-s")))
+
+    def mapped(name: String, phys: String, dt: org.apache.spark.sql.types.DataType) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys).build())
+    val logical = StructType(Seq(
+      mapped("n", "col-n", IntegerType),
+      mapped("s", "col-s", StringType),
+      mapped("region", "col-r", StringType)))
+
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      metaLine(logical, partCols = Seq("region"),
+        conf = Map("delta.columnMapping.mode" -> "name")),
+      """{"add":{"path":"a.parquet","partitionValues":{"col-r":"us"},"size":1,"dataChange":true}}"""))
+
+    val rows = DeltaImport.read(spark, table).select("n", "s", "region")
+      .as[(Int, String, String)].collect().toSet
+    assert(rows === Set((1, "x", "us"), (2, "y", "us")))
+
+    // unknown v3 feature still refused
+    val bad = tmpDir("delta-colmap-bad")
+    dataFile(bad, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
+    commit(bad, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"]}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] { DeltaImport.read(spark, bad) }
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
   test("CDF: cdc actions served as-is, blind adds as inserts, whole-file removes as deletes") {
     val table = tmpDir("delta-cdf")
     dataFile(table, "a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
