@@ -16,14 +16,31 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT96 (Spark's legacy default) writes NO footer statistics —
+      // standard TIMESTAMP_MICROS restores min/max for timestamp columns,
+      // powering both graft dir-stats and exported Delta per-file stats.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Timestamp OUTPUTS dump as NTZ: TIMESTAMP_MICROS marks
+        // TimestampType isAdjustedToUTC=true, which the driver's
+        // comparator reads tz-AWARE while the DuckDB oracle side is
+        // naive. NTZ under the UTC session zone is the same wall-clock
+        // with the naive physical annotation INT96 used to read as —
+        // result bytes match every prior round.
+        val df = fn(spark, sfDir)
+        val ntz = df.schema.fields.foldLeft(df) { (d, f) =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            d.withColumn(f.name, org.apache.spark.sql.functions.col(s"`${f.name}`")
+              .cast(org.apache.spark.sql.types.TimestampNTZType))
+          else d
+        }
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -142,7 +142,7 @@ object DeltaExport {
         }
         removes.foreach { p =>
           lines += JsonMethods.compact(JObject("remove" -> JObject(
-            "path" -> JString(p),
+            "path" -> JString(encodePath(p)),
             "deletionTimestamp" -> JLong(c.tsMs),
             "dataChange" -> JBool(dataChange))))
         }
@@ -155,9 +155,13 @@ object DeltaExport {
     published
   }
 
-  /** (added paths, removed paths) of an already-published Delta commit. */
+  /** (added paths, removed paths) of an already-published Delta commit,
+    * decoded back to the raw (on-disk) domain the live diff runs in. */
   private def publishedDiff(fs: org.apache.hadoop.fs.FileSystem,
       p: Path): (Set[String], Set[String]) = {
+    def decode(s: String): String =
+      try Option(new java.net.URI(s).getPath).getOrElse(s)
+      catch { case scala.util.control.NonFatal(_) => s }
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toArray finally in.close()
@@ -165,11 +169,19 @@ object DeltaExport {
     val removes = Set.newBuilder[String]
     lines.filter(_.trim.nonEmpty).foreach { line =>
       val j = JsonMethods.parse(line)
-      (j \ "add" \ "path") match { case JString(s) => adds += s; case _ => () }
-      (j \ "remove" \ "path") match { case JString(s) => removes += s; case _ => () }
+      (j \ "add" \ "path") match { case JString(s) => adds += decode(s); case _ => () }
+      (j \ "remove" \ "path") match { case JString(s) => removes += decode(s); case _ => () }
     }
     (adds.result(), removes.result())
   }
+
+  /** `add.path`/`remove.path` are percent-encoded relative URIs per the
+    * Delta protocol (readers open them with `new Path(new URI(p))` —
+    * including [[DeltaImport.resolveFile]]); hive-escaped `%XX` in the
+    * on-disk dir names round-trips through `%25XX`. */
+  private def encodePath(rel: String): String =
+    try new java.net.URI(null, null, rel, null).getRawPath
+    catch { case scala.util.control.NonFatal(_) => rel }
 
   // ------------------------------------------------------------- actions
 
@@ -254,7 +266,7 @@ object DeltaExport {
     }
     val stats = fileStatsJson(st, schema, partCols, conf)
     val fields = List(
-      "path" -> (JString(rel): JValue),
+      "path" -> (JString(encodePath(rel)): JValue),
       "partitionValues" -> (JObject(pv: _*): JValue),
       "size" -> (JLong(st.getLen): JValue),
       "modificationTime" -> (JLong(st.getModificationTime): JValue),
@@ -293,16 +305,23 @@ object DeltaExport {
         val mins = scala.collection.mutable.HashMap.empty[String, JValue]
         val maxs = scala.collection.mutable.HashMap.empty[String, JValue]
         val nulls = scala.collection.mutable.HashMap.empty[String, Long]
-        val poisoned = scala.collection.mutable.HashSet.empty[String]
+        val nullPoison = scala.collection.mutable.HashSet.empty[String]
+        // min/max are per-FILE claims: any chunk whose values aren't
+        // provably covered (stats missing/unrenderable, and not provably
+        // all-null) invalidates the column's bounds for the whole file —
+        // bounds from the OTHER chunks would under-cover and make a
+        // reader prune rows away.
+        val mmPoison = scala.collection.mutable.HashSet.empty[String]
         reader.getFooter.getBlocks.asScala.foreach { block =>
           rows += block.getRowCount
           block.getColumns.asScala.foreach { cc =>
             val name = cc.getPath.toDotString
             targets.get(name).foreach { dt =>
               val s = cc.getStatistics
-              if (s == null || !s.isNumNullsSet || poisoned(name)) {
-                poisoned += name; nulls.remove(name)
-              } else nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
+              if (s == null || !s.isNumNullsSet) nullPoison += name
+              else nulls(name) = nulls.getOrElse(name, 0L) + s.getNumNulls
+              val allNullChunk = s != null && s.isNumNullsSet &&
+                s.getNumNulls == cc.getValueCount
               if (s != null && s.hasNonNullValue) {
                 val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
                 (jValueOf(s.genericGetMin.asInstanceOf[AnyRef], dt, ann),
@@ -310,14 +329,14 @@ object DeltaExport {
                   case (Some(lo), Some(hi)) =>
                     mins(name) = mins.get(name).map(m => jMin(m, lo)).getOrElse(lo)
                     maxs(name) = maxs.get(name).map(m => jMax(m, hi)).getOrElse(hi)
-                  case _ => ()
+                  case _ => mmPoison += name // unrenderable value: no claim
                 }
-              }
+              } else if (!allNullChunk) mmPoison += name // silent chunk
             }
           }
         }
-        // A column some chunk stayed silent about has no trustworthy
-        // bounds for this file; drop its min/max too.
+        nullPoison.foreach(nulls.remove)
+        mmPoison.foreach { n => mins.remove(n); maxs.remove(n) }
         val obj = JObject(
           "numRecords" -> JLong(rows),
           "minValues" -> JObject(mins.toSeq.sortBy(_._1): _*),
@@ -334,7 +353,20 @@ object DeltaExport {
     case _ => true
   }
 
-  private val IsoInstant = DateTimeFormatter.ISO_INSTANT
+  /** FIXED-WIDTH ISO rendering (always 6 fractional digits, 4-digit
+    * year): per-file bounds for multi-rowgroup files fold by comparing
+    * rendered strings, and only a fixed-width rendering makes that
+    * lexicographic order chronological ("…00Z" vs "…00.500Z" would sort
+    * wrongly under ISO_INSTANT's variable precision). Years outside
+    * 1..9999 (variable width) render as None — an omitted stat, never a
+    * wrong bound. */
+  private val TsFmt = DateTimeFormatter
+    .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS").withZone(java.time.ZoneOffset.UTC)
+
+  private def isoMicros(inst: Instant): Option[String] = {
+    val y = inst.atOffset(java.time.ZoneOffset.UTC).getYear
+    if (y < 1 || y > 9999) None else Some(TsFmt.format(inst))
+  }
 
   /** Footer statistic → typed Delta stats JSON value; None when the
     * physical/logical combination has no order-faithful rendering (e.g.
@@ -346,7 +378,10 @@ object DeltaExport {
       case (x: java.lang.Long, LongType) => Some(JLong(x))
       case (x: java.lang.Integer, IntegerType | ShortType | ByteType) => Some(JInt(x.toInt))
       case (x: java.lang.Integer, DateType) =>
-        Some(JString(java.time.LocalDate.ofEpochDay(x.toLong).toString))
+        val d = java.time.LocalDate.ofEpochDay(x.toLong)
+        // 4-digit years only: out-of-range years render variable-width
+        // (+10000-…), breaking the lexicographic fold below.
+        if (d.getYear < 1 || d.getYear > 9999) None else Some(JString(d.toString))
       case (x: java.lang.Double, DoubleType) =>
         if (x.isNaN || x.isInfinite) None else Some(JDouble(x))
       case (x: java.lang.Float, FloatType) =>
@@ -361,12 +396,14 @@ object DeltaExport {
           }
           case _ => None
         }
-        micros.map { us =>
+        micros.flatMap { us =>
           val inst = Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
             Math.floorMod(us, 1000000L) * 1000L)
-          dt match {
-            case TimestampNTZType => JString(inst.toString.stripSuffix("Z"))
-            case _ => JString(IsoInstant.format(inst))
+          isoMicros(inst).map { iso =>
+            dt match {
+              case TimestampNTZType => JString(iso)
+              case _ => JString(iso + "Z")
+            }
           }
         }
       case (x: java.lang.Long, d: DecimalType) if d.precision <= 18 =>
@@ -382,8 +419,11 @@ object DeltaExport {
   }
 
   // Multi-rowgroup files fold chunk bounds; ordering matches the stats'
-  // own comparison domain (numbers numerically, strings/dates/timestamps
-  // by their rendered form, which for ISO timestamps is chronological).
+  // own comparison domain: numbers numerically, strings in UTF-8 BINARY
+  // order (parquet's unsigned byte order — Java's UTF-16 String order
+  // disagrees for supplementary-plane characters), dates/timestamps by
+  // their FIXED-WIDTH rendering (chronological under lexicographic
+  // compare by construction, see [[isoMicros]]).
   private def jMin(a: JValue, b: JValue): JValue =
     if (jLe(a, b)) a else b
   private def jMax(a: JValue, b: JValue): JValue =
@@ -394,7 +434,9 @@ object DeltaExport {
     case (JDouble(x), JDouble(y)) => x <= y
     case (JDecimal(x), JDecimal(y)) => x <= y
     case (JBool(x), JBool(y)) => x <= y
-    case (JString(x), JString(y)) => x <= y
+    case (JString(x), JString(y)) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(y)) <= 0
     case _ => true
   }
 

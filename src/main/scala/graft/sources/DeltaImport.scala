@@ -61,7 +61,8 @@ object DeltaImport {
       metaData: Option[(StructType, Seq[String], Map[String, String])],
       protocol: Option[(Int, Seq[String])], // (minReaderVersion, readerFeatures)
       adds: Seq[(AddFile, Boolean)], // (file, dataChange)
-      removes: Seq[(String, Boolean)], // (path, dataChange)
+      removes: Seq[(AddFile, Boolean)], // (file, dataChange); partitionValues
+                                        // kept when extendedFileMetadata has them
       cdc: Seq[AddFile])
 
   private implicit val formats: Formats = DefaultFormats
@@ -110,6 +111,15 @@ object DeltaImport {
 
   private def logDir(tablePath: String) = new Path(tablePath, "_delta_log")
 
+  /** The Delta protocol stores `add.path` as a percent-encoded relative
+    * URI (delta-spark opens it with `new Path(new URI(path))`): decode
+    * before touching the filesystem, so `status=N%252FA/part-…` resolves
+    * to the on-disk `status=N%2FA/…`. Undecodable strings (legacy raw
+    * paths) pass through verbatim. */
+  private[sources] def resolveFile(tablePath: String, rel: String): Path =
+    try new Path(tablePath, new Path(new java.net.URI(rel)))
+    catch { case _: Exception => new Path(tablePath, rel) }
+
   private def parseLine(line: String): JValue = JsonMethods.parse(line)
 
   private def addOf(j: JValue): AddFile = AddFile(
@@ -129,7 +139,7 @@ object DeltaImport {
     var meta: Option[(StructType, Seq[String], Map[String, String])] = None
     var protocol: Option[(Int, Seq[String])] = None
     val adds = Seq.newBuilder[(AddFile, Boolean)]
-    val removes = Seq.newBuilder[(String, Boolean)]
+    val removes = Seq.newBuilder[(AddFile, Boolean)]
     val cdc = Seq.newBuilder[AddFile]
     lines.filter(_.trim.nonEmpty).foreach { line =>
       val j = parseLine(line)
@@ -163,7 +173,7 @@ object DeltaImport {
       }
       (j \ "remove") match {
         case JNothing => ()
-        case r => removes += (r \ "path").extract[String] ->
+        case r => removes += addOf(r) ->
           (r \ "dataChange").extractOrElse[Boolean](true)
       }
       (j \ "cdc") match {
@@ -271,6 +281,15 @@ object DeltaImport {
     jsonVersions(spark, tablePath, version)
       .takeWhile { case (v, _) => versionAsOf.forall(v <= _) }
       .foreach { case (v, p) =>
+        // Contiguity gate: the replay must cover EVERY version between
+        // its base (checkpoint or 0) and the target — a log whose older
+        // JSON was cleaned without a usable checkpoint would otherwise
+        // yield a silently partial file set (fewer rows, no error).
+        require(v == version + 1,
+          s"$tablePath: transaction log is not contiguous — expected " +
+            s"version ${version + 1}, found $v; commits below $v were " +
+            "cleaned and no checkpoint covers them, so this read " +
+            "cannot be reconstructed")
         val in = fs.open(p)
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().toArray finally in.close()
@@ -278,7 +297,7 @@ object DeltaImport {
         a.metaData.foreach(m => meta = Some(m))
         a.protocol.foreach(r => minReader = Some(r))
         a.adds.foreach { case (f, _) => files += f.path -> f }
-        a.removes.foreach { case (path, _) => files -= path }
+        a.removes.foreach { case (f, _) => files -= f.path }
         version = v
       }
 
@@ -322,25 +341,42 @@ object DeltaImport {
     readSnapshot(spark, snapshot(spark, tablePath, versionAsOf))
 
   /** Delta's timestamp travel rule: the snapshot at the LATEST commit
-    * whose commitInfo timestamp is ≤ `tsMs` (fails when the table's first
-    * commit is later). Commit timestamps come from the same JSON replay
-    * the snapshot uses — no extra IO. */
+    * whose commitInfo timestamp is ≤ `tsMs`. Only the commitInfo line of
+    * each JSON commit is inspected (no action materialization). When NO
+    * retained commit qualifies, the travel fails loudly — including on
+    * log-cleaned tables, where the honest answer is "the requested
+    * instant predates retained history", never a silently newer
+    * snapshot. */
   def versionAsOfTimestamp(spark: SparkSession, tablePath: String, tsMs: Long): Long = {
     val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    val eligible = jsonVersions(spark, tablePath, -1L).flatMap { case (v, p) =>
+    def tsOf(p: Path): Long = {
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toArray finally in.close()
-      val a = actionsOf(v, lines.iterator)
-      if (a.timestampMs <= tsMs) Some(v) else None
+      lines.iterator.filter(_.trim.nonEmpty).map(parseLine)
+        .map(j => j \ "commitInfo" \ "timestamp")
+        .collectFirst {
+          case JInt(t) => t.toLong
+          case JLong(t) => t
+        }.getOrElse(0L)
     }
-    // Checkpointed tables may have pruned old JSON; checkpoint versions
-    // are all ≤ the checkpoint's own creation, assumed in range when no
-    // JSON predates tsMs but a checkpoint exists.
-    eligible.lastOption
-      .orElse(lastCheckpoint(spark, tablePath, None).map(_._1))
-      .getOrElse(throw new IllegalArgumentException(
-        s"$tablePath has no commit at or before timestamp $tsMs"))
+    val stamped = jsonVersions(spark, tablePath, -1L)
+      .map { case (v, p) => v -> tsOf(p) }
+    val eligible = stamped.filter(_._2 <= tsMs).map(_._1)
+    eligible.lastOption.getOrElse {
+      val earliest = stamped.headOption
+      throw new IllegalArgumentException(earliest match {
+        case Some((v, t)) if v > 0 =>
+          s"$tablePath: timestamp $tsMs predates the retained history — " +
+            s"log cleanup removed commits before version $v (timestamp $t)"
+        case Some((_, t)) =>
+          s"$tablePath has no commit at or before timestamp $tsMs " +
+            s"(first commit at $t)"
+        case None =>
+          s"$tablePath has no JSON commits — timestamp travel needs " +
+            "commitInfo timestamps (checkpoint-only logs cannot answer it)"
+      })
+    }
   }
 
   /** [[read]] pinned by timestamp (Delta's `timestampAsOf`). */
@@ -378,7 +414,7 @@ object DeltaImport {
     groups.map { case (pv, fs) =>
       val base = readLogical(dataSchema,
         phys => spark.read.schema(phys)
-          .parquet(fs.map(f => new Path(s.tablePath, f.path).toString): _*))
+          .parquet(fs.map(f => resolveFile(s.tablePath, f.path).toString): _*))
       s.partitionColumns.foldLeft(base) { (d, pc) =>
         val f = s.schema(pc)
         val raw = partitionValueOf(pv, s.schema, pc)
@@ -411,7 +447,8 @@ object DeltaImport {
       timestampMs: Long,
       operation: String,
       adds: Seq[AddFile],          // dataChange=true adds only
-      removes: Seq[String],        // dataChange=true remove paths
+      removes: Seq[AddFile],       // dataChange=true removed files (with
+                                   // partitionValues when the action had them)
       cdc: Seq[AddFile])
 
   /** Per-version changes in (fromVersion, toVersion], ascending — one JSON
@@ -496,7 +533,7 @@ object DeltaImport {
       groups.map { case (pv, fls) =>
         val base = readLogical(dataSchema,
           phys => mkParquet(fls.map(f =>
-            new Path(head.tablePath, f.path).toString), phys))
+            resolveFile(head.tablePath, f.path).toString), phys))
         head.partitionColumns.foldLeft(base) { (d, pc) =>
           val raw = partitionValueOf(pv, head.schema, pc)
             .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
@@ -508,9 +545,8 @@ object DeltaImport {
     versions.flatMap { a =>
       if (a.cdc.nonEmpty) Seq(stamped(filesDf(a.cdc, withChangeType = true), None, a))
       else {
-        val del = a.removes.map(AddFile(_, Map.empty))
         (if (a.adds.nonEmpty) Seq(stamped(filesDf(a.adds, withChangeType = false), Some("insert"), a)) else Nil) ++
-          (if (del.nonEmpty) Seq(stamped(filesDf(del, withChangeType = false), Some("delete"), a)) else Nil)
+          (if (a.removes.nonEmpty) Seq(stamped(filesDf(a.removes, withChangeType = false), Some("delete"), a)) else Nil)
       }
     }
   }

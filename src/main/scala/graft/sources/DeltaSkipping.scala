@@ -209,19 +209,27 @@ object DeltaSkipping {
     }
     def isPartition(n: String): Boolean = s.partitionColumns.contains(n)
 
-    /** The file's single partition value in the ordered domain;
-      * Some(None) = Hive default (null) partition. */
-    def partOf(n: String): Option[Option[Ordered0]] =
+    /** The file's raw partition value: None = no entry recorded
+      * (unknown), Some(None) = the Hive default (null) partition,
+      * Some(Some(raw)) = a concrete value. The null/unparseable
+      * distinction matters: a TYPE partValue can't order (timestamp,
+      * boolean, …) must read as unknown, never as null — conflating them
+      * would make IsNotNull prune every file of such a table. */
+    def partRaw(n: String): Option[Option[String]] =
       f.partitionValues.get(n).map {
         case null | "__HIVE_DEFAULT_PARTITION__" => None
-        case v => fieldType(n).flatMap(partValue(v, _))
+        case v => Some(v)
       }
 
     /** Column bounds: partition value collapses to a point; data columns
       * read minValues/maxValues. None = unknown, keep. */
     def bounds(n: String): Option[(Ordered0, Ordered0)] =
       if (isPartition(n))
-        partOf(n).flatMap(_.map(v => (v, v)))
+        for {
+          raw <- partRaw(n).flatten
+          dt <- fieldType(n)
+          v <- partValue(raw, dt)
+        } yield (v, v)
       else for {
         st <- stats
         dt <- fieldType(n)
@@ -237,13 +245,13 @@ object DeltaSkipping {
       }
 
     def provablyAllNull(n: String): Boolean =
-      if (isPartition(n)) partOf(n).exists(_.isEmpty)
+      if (isPartition(n)) partRaw(n).exists(_.isEmpty)
       else (for {
         st <- stats; total <- st.numRecords; nc <- st.nulls.get(n)
       } yield total > 0 && nc == total).getOrElse(false)
 
     def provablyNoNull(n: String): Boolean =
-      if (isPartition(n)) partOf(n).exists(_.nonEmpty)
+      if (isPartition(n)) partRaw(n).exists(_.nonEmpty)
       else stats.exists(_.nulls.get(n).contains(0L))
 
     def cmp(a: Expression, v: Any, lo: Boolean): Boolean =

@@ -123,17 +123,8 @@ class GraftDeltaTableSource(
   /** Streaming parquet relation over explicit paths — the V1 source
     * contract (isStreaming LogicalRelation; only this package can build
     * one, hence the callback into [[DeltaImport.changeFrames]]). */
-  private def streamingParquet(paths: Seq[String], s: StructType): DataFrame = {
-    val classicSpark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val relation = org.apache.spark.sql.execution.datasources.DataSource(
-      sparkSession = classicSpark,
-      paths = paths,
-      userSpecifiedSchema = Some(s),
-      className = "parquet").resolveRelation(checkFilesExist = false)
-    org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(
-        relation, isStreaming = true))
-  }
+  private def streamingParquet(paths: Seq[String], s: StructType): DataFrame =
+    GraftTableSource.streamingParquet(sparkSession, paths, s)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(-1L)
@@ -154,13 +145,9 @@ class GraftDeltaTableSource(
           changes.filter(_.adds.nonEmpty), streamingParquet)
           .map(_.select(headCols: _*))
       }
-    if (frames.isEmpty) {
-      org.apache.spark.sql.classic.Dataset.ofRows(
-        sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema0),
-          Seq.empty, isStreaming = true))
-    } else frames.reduce(_ unionByName _)
+    if (frames.isEmpty)
+      GraftTableSource.emptyStreamingBatch(sparkSession, schema0)
+    else frames.reduce(_ unionByName _)
   }
 
   override def stop(): Unit = ()

@@ -66,8 +66,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private def evalTsMillis(e: Expression): Long = {
     val zone = session.sessionState.conf.sessionLocalTimeZone
     val cast = Cast(e, TimestampType, Some(zone))
-    val micros = cast.eval(null).asInstanceOf[Long]
-    Math.floorDiv(micros, 1000L)
+    cast.eval(null) match {
+      // Non-ANSI Cast yields null for a malformed timestamp string —
+      // surface it (null.asInstanceOf[Long] would silently read epoch 0).
+      case null => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF: cannot parse '${e.sql}' as a timestamp")
+      case micros: Long => Math.floorDiv(micros, 1000L)
+      case other => throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF: unexpected value $other for '${e.sql}'")
+    }
   }
 
   /** The graft table behind an identifier: a temp/global-temp view whose

@@ -111,23 +111,10 @@ class GraftTableSource(
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
     val dirs = table.appendedDirsBetween(from, to)
-    if (dirs.isEmpty) {
-      // Even an empty batch must carry isStreaming=true.
-      org.apache.spark.sql.classic.Dataset.ofRows(
-        sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(initialSchema),
-          Seq.empty, isStreaming = true))
-    } else {
-      val classicSpark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      val relation = DataSource(
-        sparkSession = classicSpark,
-        paths = dirs,
-        userSpecifiedSchema = Some(initialSchema),
-        className = "parquet").resolveRelation(checkFilesExist = false)
-      org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
-        LogicalRelation(relation, isStreaming = true))
-    }
+    if (dirs.isEmpty)
+      GraftTableSource.emptyStreamingBatch(sparkSession, initialSchema)
+    else
+      GraftTableSource.streamingParquet(sparkSession, dirs, initialSchema)
   }
 
   override def stop(): Unit = ()
@@ -171,17 +158,8 @@ class GraftChangesSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(-1L)
     val to = versionOf(end)
-    val classicSpark = sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-
-    def streamingParquet(paths: Seq[String], s: StructType): DataFrame = {
-      val relation = DataSource(
-        sparkSession = classicSpark,
-        paths = paths,
-        userSpecifiedSchema = Some(s),
-        className = "parquet").resolveRelation(checkFilesExist = false)
-      org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
-        LogicalRelation(relation, isStreaming = true))
-    }
+    def streamingParquet(paths: Seq[String], s: StructType): DataFrame =
+      GraftTableSource.streamingParquet(sparkSession, paths, s)
 
     val changeDirs = table.changeDirsBetween(from, to)
     val written =
@@ -200,12 +178,9 @@ class GraftChangesSource(
       }.toSeq: _*)
     }
     val parts = written ++ synthesized
-    if (parts.isEmpty) {
-      org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
-        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
-          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(cdfSchema),
-          Seq.empty, isStreaming = true))
-    } else parts.reduce(_ unionByName _)
+    if (parts.isEmpty)
+      GraftTableSource.emptyStreamingBatch(sparkSession, cdfSchema)
+    else parts.reduce(_ unionByName _)
   }
 
   override def stop(): Unit = ()
@@ -260,4 +235,28 @@ object GraftTableSource {
           .sessionState.newHadoopConf())
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     }.sum
+
+  /** Streaming (V1-source) parquet relation over explicit paths with a
+    * declared schema — the one construction every version-offset source
+    * in this package shares (graft appends, graft CDF, the Delta bridge). */
+  private[graftnative] def streamingParquet(spark: SparkSession,
+      paths: Seq[String], s: StructType): DataFrame = {
+    val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val relation = DataSource(
+      sparkSession = classicSpark,
+      paths = paths,
+      userSpecifiedSchema = Some(s),
+      className = "parquet").resolveRelation(checkFilesExist = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(classicSpark,
+      LogicalRelation(relation, isStreaming = true))
+  }
+
+  /** Empty micro-batch — must still carry isStreaming=true. */
+  private[graftnative] def emptyStreamingBatch(spark: SparkSession,
+      s: StructType): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(s),
+        Seq.empty, isStreaming = true))
 }

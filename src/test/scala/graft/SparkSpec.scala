@@ -18,6 +18,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // INT96 (Spark's legacy default) writes NO footer statistics —
+    // standard TIMESTAMP_MICROS restores min/max for timestamp columns,
+    // powering both graft dir-stats and exported Delta per-file stats.
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

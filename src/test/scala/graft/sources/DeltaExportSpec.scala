@@ -133,6 +133,50 @@ class DeltaExportSpec extends SparkSpec {
       \ "commitInfo" \ "isBlindAppend") === JBool(true))
   }
 
+  test("special characters in partition values round-trip (URI-encoded add paths)") {
+    val root = tmpDir("dexp-enc")
+    val df = Seq((1L, "N/A"), (2L, "a b"), (3L, "ok")).toDF("id", "status")
+    val t = GraftTable.create(spark, root, df, Seq("status"))
+    DeltaExport.exportLog(t)
+    // hive-escaped dirs (status=N%2FA) publish as percent-encoded URIs
+    // and decode back to the on-disk path on read
+    val back = DeltaImport.read(spark, root).select("id", "status")
+      .as[(Long, String)].collect().toSet
+    assert(back === Set((1L, "N/A"), (2L, "a b"), (3L, "ok")))
+    // re-export after an append still recognizes the published files
+    t.append(Seq((4L, "x/y")).toDF("id", "status"))
+    assert(DeltaExport.exportLog(t) === 1L)
+    val v1 = logLines(root, 1L)
+    assert(v1.forall(l => (l \ "remove") === JNothing)) // pure add, no spurious diff
+    assert(DeltaImport.read(spark, root).count() === 4L)
+  }
+
+  test("multi-rowgroup stats fold correctly; timestamps render fixed-width") {
+    val root = tmpDir("dexp-mrg")
+    // force several tiny row groups in one file via a tiny block size
+    val df = spark.range(0, 50000).select(col("id"),
+      expr("timestamp_micros(cast(id * 1e6 as long) + 500000 * cast(id % 2 as long))").as("ts"))
+    val t = GraftTable.create(spark, root,
+      df.coalesce(1), Nil)
+    DeltaExport.exportLog(t)
+    val adds = logLines(root, 0L).map(_ \ "add").filter(_ != JNothing)
+    adds.foreach { a =>
+      val stats = JsonMethods.parse((a \ "stats").asInstanceOf[JString].s)
+      (stats \ "minValues" \ "ts") match {
+        case JString(s) =>
+          // fixed-width micros rendering, lexicographically chronological
+          assert(s.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z"""), s)
+          assert(s === "1970-01-01T00:00:00.000000Z")
+        case other => fail(s"no ts min: $other")
+      }
+      (stats \ "minValues" \ "id") match {
+        case JInt(v) => assert(v === BigInt(0))
+        case JLong(v) => assert(v === 0L)
+        case other => fail(s"no id min: $other")
+      }
+    }
+  }
+
   test("export resumes after VACUUM: published commits replay from the Delta log") {
     val root = tmpDir("dexp-vac")
     val t = GraftTable.create(spark,

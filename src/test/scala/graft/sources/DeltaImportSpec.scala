@@ -240,6 +240,51 @@ class DeltaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("reader protocol"))
   }
 
+  test("timestamp travel refuses instants before retained history; no checkpoint fallback") {
+    val table = tmpDir("delta-ts-early")
+    dataFile(table, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":5000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.readAsOf(spark, table, 10L) // predates the first commit
+    }
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
+  test("a non-contiguous log (cleaned history, no covering checkpoint) fails loudly") {
+    val table = tmpDir("delta-gap")
+    dataFile(table, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
+    // only version 3 retained — versions 0-2 "cleaned", no checkpoint
+    commit(table, 3L, Seq(
+      """{"commitInfo":{"timestamp":4000,"operation":"WRITE"}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] { DeltaImport.read(spark, table) }
+    assert(e.getMessage.contains("not contiguous"))
+  }
+
+  test("CDF whole-file deletes keep the remove action's partitionValues") {
+    val table = tmpDir("delta-cdf-part")
+    val s2 = new StructType().add("id", LongType).add("region", StringType)
+    dataFile(table, "us.parquet", Seq(Tuple1(1L)).toDF("id"))
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${schemaJson(s2)}","partitionColumns":["region"],"configuration":{}}}""",
+      """{"add":{"path":"us.parquet","partitionValues":{"region":"us"},"size":1,"dataChange":true}}"""))
+    commit(table, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"DELETE"}}""",
+      """{"remove":{"path":"us.parquet","deletionTimestamp":2000,"dataChange":true,""" +
+        """"extendedFileMetadata":true,"partitionValues":{"region":"us"}}}"""))
+    val cdf = DeltaImport.readChanges(spark, table, 1L, 1L)
+      .select("id", "region", "_change_type").as[(Long, String, String)].collect().toSet
+    assert(cdf === Set((1L, "us", "delete"))) // region NOT null
+  }
+
   test("column mapping: physical parquet names resolve to the logical schema") {
     import org.apache.spark.sql.types.{IntegerType, MetadataBuilder, StructField}
     val table = tmpDir("delta-colmap")

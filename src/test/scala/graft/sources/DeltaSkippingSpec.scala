@@ -121,6 +121,28 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(rows === Set((1L, "us")))
   }
 
+  test("unorderable partition types never read as null: timestamp partition keeps files") {
+    import org.apache.spark.sql.types.TimestampType
+    val table = tmpDir("skip-tspart")
+    val s2 = new StructType().add("id", LongType).add("ts", TimestampType)
+    dataFile(table, "a.parquet", Seq(Tuple1(1L)).toDF("id"))
+    val meta = s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${s2.json.replace("\"", "\\\"")}","partitionColumns":["ts"],"configuration":{}}}"""
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta,
+      """{"add":{"path":"a.parquet","partitionValues":{"ts":"2024-01-01 00:00:00"},"size":1,"dataChange":true}}"""))
+    // partValue can't order a timestamp string — that must read as
+    // UNKNOWN (keep), never as the null partition: IsNotNull (pushed
+    // alongside every comparison) would otherwise prune every file.
+    assert(prunedPaths(table, col("ts").isNotNull) === Set("a.parquet"))
+    assert(prunedPaths(table, col("ts") >= "2020-01-01") === Set("a.parquet"))
+    assert(prunedPaths(table, col("ts").isNull) === Set.empty) // value present: exact
+    val n = DeltaImport.where(spark, table, col("ts").isNotNull).count()
+    assert(n === 1L)
+  }
+
   test("exported graft tables prune through their own stats via the connector") {
     val root = tmpDir("skip-exp")
     val t = GraftTable.create(spark, root,
