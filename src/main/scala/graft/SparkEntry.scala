@@ -160,6 +160,7 @@ object SparkEntry {
     "q128_delta_cdf"         -> (DeltaBridgeQueries.deltaCdf _),
     "q129_scd2_stream"       -> (MutationQueries.scd2Stream _),
     "q130_delta_export"      -> (DeltaBridgeQueries.deltaExportRoundtrip _),
+    "q131_delta_skip"        -> (DeltaBridgeQueries.deltaSkipRead _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -397,6 +398,11 @@ object SparkEntry {
     "q130_delta_export" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+    // File-level skipping over the exported log (q131): partition
+    // equality + stats range pruning; the oracle sees only the data.
+    "q131_delta_skip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 400000.0""".stripMargin,
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

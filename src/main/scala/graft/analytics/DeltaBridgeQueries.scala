@@ -97,4 +97,16 @@ object DeltaBridgeQueries {
     DeltaImport.read(spark, exportedOrdersRoot(spark, dir))
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
+
+  /** q131: FILE-level data skipping over the exported log — the selective
+    * read goes through [[graft.sources.DeltaSkipping]] (partition
+    * equality eliminates the other status partitions exactly; the
+    * o_totalprice range consults per-file min/max from the exported
+    * stats), with the exact predicate re-applied on top. The oracle
+    * recomputes from the source parquet with no skipping machinery. */
+  def deltaSkipRead(spark: SparkSession, dir: String): DataFrame =
+    DeltaImport.where(spark, exportedOrdersRoot(spark, dir),
+      col("o_orderstatus") === "O" && col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
 }

@@ -41,6 +41,14 @@ object CdcPipeline {
       // Refresh the reference's materialized views after each batch
       // (init-risingwave.sql:73-109; SURVEY ST10).
       maintainMvs: Boolean = false,
+      // Dual-format publication (UniForm-style): after each batch, keep a
+      // `_delta_log` mirror of every maintained table current
+      // ([[graft.sources.DeltaExport.exportLog]] — incremental, one Delta
+      // commit per graft commit), so any Delta reader follows the
+      // pipeline's output live. The pipeline's mutations are all
+      // snapshot-rewrites (merge/deleteKeys), which the exporter can
+      // always express.
+      deltaMirror: Boolean = false,
       // Optional small-files guard: compact the audit table once it
       // accumulates this many append dirs (GraftTable.maybeCompact). OFF by
       // default because compaction rewrites data files, which would make a
@@ -133,6 +141,7 @@ object CdcPipeline {
           val audit = GraftTable.createIfNotExists(spark, auditTablePath(cfg), batch.limit(0))
           audit.appendOnce(batch, "cdc_events_audit", batchId)
           cfg.auditCompactAfterDirs.foreach(audit.maybeCompact(_))
+          mirrorDelta(spark, cfg, auditTablePath(cfg))
           (): Unit
         }
       }
@@ -186,7 +195,16 @@ object CdcPipeline {
       GraftTable.forPath(spark, path).deleteKeys(deletes, "id")
       (): Unit
     }
+    mirrorDelta(spark, cfg, path)
   }
+
+  /** Bring the table's `_delta_log` mirror to the current head (no-op
+    * when [[Config.deltaMirror]] is off or the table doesn't exist yet). */
+  private def mirrorDelta(spark: SparkSession, cfg: Config, path: String): Unit =
+    if (cfg.deltaMirror && GraftTable.isTable(spark, path)) {
+      graft.sources.DeltaExport.exportLog(GraftTable.forPath(spark, path))
+      (): Unit
+    }
 
   /** Snapshot stream (S9/ST5): one foreachBatch query maintaining all
     * configured tables, per-batch parse → split by table → merge/delete. */
@@ -236,6 +254,7 @@ object CdcPipeline {
           "id", lit(null).cast("timestamp"))
       graft.pipeline.Scd2.maintain(t, changes, "id", col("__cdc_timestamp"),
         deleteCol = Some("__is_del"))
+      mirrorDelta(spark, cfg, path)
     }
   }
 

@@ -155,6 +155,92 @@ object DeltaExport {
     published
   }
 
+  /** Write a classic parquet checkpoint for ANY readable Delta log (an
+    * exported graft table or a foreign Delta table) at its latest —
+    * or a pinned — version, plus the `_last_checkpoint` marker. After
+    * this, a cold open costs one parquet read + the JSON tail instead of
+    * a full JSON replay, and log-cleaned histories below the checkpoint
+    * stay readable ([[DeltaImport.lastCheckpoint]] consumes exactly this
+    * layout). One row per action: every live `add` (partitionValues +
+    * stats carried), one `metaData`, one `protocol`. */
+  def writeCheckpoint(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Long = {
+    import org.apache.spark.sql.Row
+    val s = DeltaImport.snapshot(spark, tablePath, versionAsOf)
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType,
+        valueContainsNull = true)),
+      StructField("stats", StringType)))
+    val metaT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType,
+        valueContainsNull = true))))
+    val protoT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
+    val ckptT = StructType(Seq(
+      StructField("add", addT), StructField("metaData", metaT),
+      StructField("protocol", protoT)))
+
+    // The protocol rides VERBATIM from the snapshot — weakening a
+    // column-mapped or feature-gated table's demands here would invite a
+    // later writer to corrupt it. Absent (malformed log): the plain
+    // baseline, or timestampNtz when the schema demands it.
+    val proto = s.protocol.getOrElse(
+      if (hasNtz(s.schema))
+        DeltaImport.Protocol(3, 7, Seq("timestampNtz"), Seq("timestampNtz"))
+      else DeltaImport.Protocol(1, 2, Nil, Nil))
+    def featsOrNull(fs: Seq[String]) = if (fs.isEmpty) null else fs
+    val rows: Seq[Row] =
+      s.files.map(f => Row(Row(f.path, f.partitionValues, f.stats.orNull), null, null)) ++
+        Seq(Row(null, Row(s.tableId.getOrElse(java.util.UUID.nameUUIDFromBytes(
+          ("graft:" + new Path(tablePath).toUri.getPath)
+            .getBytes(StandardCharsets.UTF_8)).toString),
+          s.schema.json, s.partitionColumns, s.configuration), null)) ++
+        Seq(Row(null, null, Row(proto.minReaderVersion, proto.minWriterVersion,
+          featsOrNull(proto.readerFeatures), featsOrNull(proto.writerFeatures))))
+
+    // Stage through Spark's writer, then move the single part into the
+    // protocol-named location (same write-then-publish shape as commits).
+    val stage = new Path(logDir, s".ckpt-stage-${java.util.UUID.randomUUID()}")
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), ckptT)
+      .coalesce(1).write.parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(s"no part written under $stage"))
+    val target = new Path(logDir, f"${s.version}%020d.checkpoint.parquet")
+    if (fs.exists(target)) fs.delete(target, false) // deterministic content
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"cannot publish $target")
+    fs.delete(stage, true)
+    writeAtomicReplace(fs, logDir, new Path(logDir, "_last_checkpoint"),
+      s"""{"version":${s.version},"size":${rows.size}}""")
+    s.version
+  }
+
+  private def writeAtomicReplace(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, target: Path, content: String): Unit = {
+    val tmp = new Path(dir, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"cannot publish $target")
+    }
+  }
+
   /** (added paths, removed paths) of an already-published Delta commit,
     * decoded back to the raw (on-disk) domain the live diff runs in. */
   private def publishedDiff(fs: org.apache.hadoop.fs.FileSystem,

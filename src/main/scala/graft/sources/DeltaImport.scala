@@ -45,6 +45,12 @@ object DeltaImport {
   final case class AddFile(path: String, partitionValues: Map[String, String],
       stats: Option[String] = None)
 
+  /** The table's protocol action, carried VERBATIM so downstream
+    * republication (e.g. [[DeltaExport.writeCheckpoint]]) never weakens
+    * what the original writer demanded. */
+  final case class Protocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Seq[String], writerFeatures: Seq[String])
+
   /** The resolved state of a Delta table at one version. */
   final case class Snapshot(
       tablePath: String,
@@ -52,14 +58,17 @@ object DeltaImport {
       schema: StructType,
       partitionColumns: Seq[String],
       configuration: Map[String, String],
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      protocol: Option[Protocol] = None,
+      /** `metaData.id` as recorded — preserved on republication. */
+      tableId: Option[String] = None)
 
   private case class VersionActions(
       version: Long,
       timestampMs: Long,
       operation: String,
-      metaData: Option[(StructType, Seq[String], Map[String, String])],
-      protocol: Option[(Int, Seq[String])], // (minReaderVersion, readerFeatures)
+      metaData: Option[(StructType, Seq[String], Map[String, String], String)],
+      protocol: Option[Protocol],
       adds: Seq[(AddFile, Boolean)], // (file, dataChange)
       removes: Seq[(AddFile, Boolean)], // (file, dataChange); partitionValues
                                         // kept when extendedFileMetadata has them
@@ -136,8 +145,8 @@ object DeltaImport {
   private def actionsOf(version: Long, lines: Iterator[String]): VersionActions = {
     var ts = 0L
     var op = ""
-    var meta: Option[(StructType, Seq[String], Map[String, String])] = None
-    var protocol: Option[(Int, Seq[String])] = None
+    var meta: Option[(StructType, Seq[String], Map[String, String], String)] = None
+    var protocol: Option[Protocol] = None
     val adds = Seq.newBuilder[(AddFile, Boolean)]
     val removes = Seq.newBuilder[(AddFile, Boolean)]
     val cdc = Seq.newBuilder[AddFile]
@@ -156,15 +165,20 @@ object DeltaImport {
             .asInstanceOf[StructType]
           val partCols = (m \ "partitionColumns").extract[Seq[String]]
           val conf = (m \ "configuration").extractOrElse[Map[String, String]](Map.empty)
-          meta = Some((schema, partCols, conf))
+          meta = Some((schema, partCols, conf, (m \ "id").extractOrElse[String]("")))
       }
       (j \ "protocol" \ "minReaderVersion") match {
         case JInt(v) =>
-          val feats = (j \ "protocol" \ "readerFeatures") match {
+          def feats(name: String): Seq[String] = (j \ "protocol" \ name) match {
             case JArray(fs) => fs.collect { case JString(f) => f }
             case _ => Nil
           }
-          protocol = Some(v.toInt -> feats)
+          val mw = (j \ "protocol" \ "minWriterVersion") match {
+            case JInt(w) => w.toInt
+            case _ => 2
+          }
+          protocol = Some(Protocol(v.toInt, mw,
+            feats("readerFeatures"), feats("writerFeatures")))
         case _ => ()
       }
       (j \ "add") match {
@@ -229,8 +243,8 @@ object DeltaImport {
       versionAsOf: Option[Long] = None): Snapshot = {
     val ckpt = lastCheckpoint(spark, tablePath, versionAsOf)
     var files = Map.empty[String, AddFile]
-    var meta: Option[(StructType, Seq[String], Map[String, String])] = None
-    var minReader: Option[(Int, Seq[String])] = None
+    var meta: Option[(StructType, Seq[String], Map[String, String], String)] = None
+    var protocol: Option[Protocol] = None
     var version = -1L
 
     ckpt.foreach { case (v, parts) =>
@@ -252,26 +266,35 @@ object DeltaImport {
           }
       }
       if (cols.contains("metaData")) {
-        val m = rows.select("metaData.schemaString", "metaData.partitionColumns",
-          "metaData.configuration").filter(col("schemaString").isNotNull).collect()
+        val metaFields = rows.schema("metaData").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        val idCol = if (metaFields.contains("id")) col("metaData.id")
+          else lit(null).cast(StringType).as("id")
+        val m = rows.select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+          col("metaData.configuration"), idCol)
+          .filter(col("schemaString").isNotNull).collect()
         m.lastOption.foreach { r =>
           meta = Some((DataType.fromJson(r.getString(0)).asInstanceOf[StructType],
             r.getSeq[String](1),
-            Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty)))
+            Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty),
+            if (r.isNullAt(3)) "" else r.getString(3)))
         }
       }
       if (cols.contains("protocol")) {
-        val hasFeats = rows.schema("protocol").dataType.asInstanceOf[StructType]
-          .fieldNames.contains("readerFeatures")
-        val p = (if (hasFeats)
-          rows.select(col("protocol.minReaderVersion"),
-            col("protocol.readerFeatures"))
-        else rows.select(col("protocol.minReaderVersion"),
-          lit(null).cast("array<string>").as("readerFeatures")))
+        val protoFields = rows.schema("protocol").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        def opt(n: String, t: String) =
+          if (protoFields.contains(n)) col(s"protocol.$n")
+          else lit(null).cast(t).as(n)
+        val p = rows.select(col("protocol.minReaderVersion"),
+            opt("minWriterVersion", "int"),
+            opt("readerFeatures", "array<string>"),
+            opt("writerFeatures", "array<string>"))
           .filter(col("minReaderVersion").isNotNull).collect()
         p.lastOption.foreach { r =>
-          val feats = if (r.isNullAt(1)) Nil else r.getSeq[String](1)
-          minReader = Some(r.getInt(0) -> feats)
+          def seqAt(i: Int): Seq[String] = if (r.isNullAt(i)) Nil else r.getSeq[String](i)
+          protocol = Some(Protocol(r.getInt(0),
+            if (r.isNullAt(1)) 2 else r.getInt(1), seqAt(2), seqAt(3)))
         }
       }
       version = v
@@ -295,7 +318,7 @@ object DeltaImport {
           .getLines().toArray finally in.close()
         val a = actionsOf(v, lines.iterator)
         a.metaData.foreach(m => meta = Some(m))
-        a.protocol.foreach(r => minReader = Some(r))
+        a.protocol.foreach(r => protocol = Some(r))
         a.adds.foreach { case (f, _) => files += f.path -> f }
         a.removes.foreach { case (f, _) => files -= f.path }
         version = v
@@ -306,7 +329,7 @@ object DeltaImport {
         versionAsOf.map(v => s" at or below version $v").getOrElse(""))
     versionAsOf.foreach(v => require(version == v,
       s"$tablePath has no version $v (latest at or below: $version)"))
-    val (schema, partCols, conf) = meta.getOrElse(throw new IllegalStateException(
+    val (schema, partCols, conf, tableId) = meta.getOrElse(throw new IllegalStateException(
       s"$tablePath: no metaData action in the log — corrupt table"))
     // Reader protocol gate, per the published Delta protocol's rules:
     //  - v1: plain parquet, always readable;
@@ -315,7 +338,7 @@ object DeltaImport {
     //  - v3: feature-listed — readable iff EVERY readerFeature is one this
     //    bridge implements. Unknown features (deletionVectors,
     //    v2Checkpoint, …) are refused loudly rather than misread.
-    minReader.foreach { case (r, feats) =>
+    protocol.foreach { case Protocol(r, _, feats, _) =>
       if (r >= 3) {
         val unsupported = feats.filterNot(SupportedReaderFeatures)
         // An empty feature list on a v3+ protocol is malformed — refuse
@@ -328,7 +351,9 @@ object DeltaImport {
       } else require(r <= 2,
         s"$tablePath requires Delta reader protocol $r — beyond this bridge")
     }
-    Snapshot(tablePath, version, schema, partCols, conf, files.values.toSeq.sortBy(_.path))
+    Snapshot(tablePath, version, schema, partCols, conf,
+      files.values.toSeq.sortBy(_.path), protocol,
+      Option(tableId).filter(_.nonEmpty))
   }
 
   // ------------------------------------------------------------- reads

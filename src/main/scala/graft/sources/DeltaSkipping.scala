@@ -190,6 +190,17 @@ object DeltaSkipping {
     case StringType => Some(OStr(UTF8String.fromString(s)))
     case DateType =>
       try Some(OLong(LocalDate.parse(s).toEpochDay)) catch { case _: Exception => None }
+    case TimestampType | TimestampNTZType =>
+      // Delta renders timestamp partition values zone-less
+      // ("yyyy-MM-dd HH:mm:ss[.SSSSSS]"), interpreted in the session
+      // zone; this engine pins sessions to UTC (Verify/Bench/specs), so
+      // UTC parse matches the literal's internal micros. Unparseable →
+      // unknown (keep), never wrong.
+      try {
+        val inst = LocalDateTime.parse(s.replace(' ', 'T')).toInstant(ZoneOffset.UTC)
+        Some(OLong(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L)))
+      } catch { case _: Exception => None }
     case _ => None
   }
 

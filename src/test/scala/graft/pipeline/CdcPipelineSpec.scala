@@ -90,6 +90,49 @@ class CdcPipelineSpec extends SparkSpec {
     assert(changes("delete") === 1)          // id 2
   }
 
+  test("deltaMirror: every maintained table is live for a Delta reader after each batch") {
+    val in = tmpDir("cdc-mirror-in")
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("cdc-mirror-tables"),
+      checkpointRoot = tmpDir("cdc-mirror-ckpt"),
+      availableNow = true,
+      tables = Seq("customers"),
+      deltaMirror = true)
+
+    writeBatch(in, "batch1.json", Seq(
+      CdcFixtures.record("customers", "c", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 0),
+      CdcFixtures.record("customers", "c", 2,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 1)))
+    CdcPipeline.runOnce(spark, cfg)
+
+    // both the audit table and the snapshot opened PURELY via _delta_log
+    val auditPath = CdcPipeline.auditTablePath(cfg)
+    val snapPath = CdcPipeline.snapshotPath(cfg, "customers")
+    assert(graft.sources.DeltaImport.read(spark, auditPath).count() === 2)
+    assert(graft.sources.DeltaImport.read(spark, snapPath)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L))
+
+    // second batch: the mirror follows the merge/delete commits
+    writeBatch(in, "batch2.json", Seq(
+      CdcFixtures.record("customers", "u", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "j@new.com")),
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 2),
+      CdcFixtures.record("customers", "d", 2, None,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 3)))
+    CdcPipeline.runOnce(spark, cfg)
+
+    val viaDelta = graft.sources.DeltaImport.read(spark, snapPath)
+      .select("id", "email").as[(Long, String)].collect().toSet
+    assert(viaDelta === Set((1L, "j@new.com")))
+    // Delta version == graft version, so travel works on the mirror too
+    val t = GraftTable.forPath(spark, snapPath)
+    assert(graft.sources.DeltaImport.read(spark, snapPath,
+      versionAsOf = Some(0L)).count()
+      === t.readVersion(0L).count())
+  }
+
   test("CDC pipeline over the no-rename object store (tables + checkpoint on s3fake)") {
     // The deployment shape S14 promises: table roots AND the streaming
     // checkpoint on an object store whose rename REPLACES silently — the

@@ -204,6 +204,41 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.exportableUpTo(t) < t.version) // v1 still blocks the prefix
   }
 
+  test("writeCheckpoint: cold open survives log cleanup; protocol and id ride verbatim") {
+    val root = tmpDir("dexp-ckpt")
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "s"), Nil)
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    DeltaExport.exportLog(t)
+    val id0 = DeltaImport.snapshot(spark, root).tableId
+
+    assert(DeltaExport.writeCheckpoint(spark, root) === 2L)
+    assert(Files.exists(Paths.get(root, "_delta_log", f"${2L}%020d.checkpoint.parquet")))
+    assert(Files.exists(Paths.get(root, "_delta_log", "_last_checkpoint")))
+
+    // simulate Delta log cleanup: drop the JSON below the checkpoint
+    for (v <- 0L to 1L)
+      Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json"))
+    val s = DeltaImport.snapshot(spark, root)
+    assert(s.version === 2L)
+    assert(s.tableId === id0) // identity preserved through the checkpoint
+    assert(s.protocol.map(_.minReaderVersion) === Some(1))
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // stats survive the checkpoint round-trip → skipping still prunes
+    assert(s.files.forall(_.stats.nonEmpty))
+    assert(DeltaSkipping.prune(spark, s, col("id") === 3L).size === 1)
+
+    // time travel BELOW the checkpoint is now honestly unavailable
+    intercept[Exception] { DeltaImport.read(spark, root, versionAsOf = Some(0L)) }
+
+    // the tail keeps growing past the checkpoint (exportLog republishes
+    // the cleaned commits from the still-present graft dirs, then v3)
+    t.append(Seq((4L, "d")).toDF("id", "s"))
+    DeltaExport.exportLog(t)
+    assert(DeltaImport.read(spark, root).count() === 4L)
+  }
+
   test("constraints map to delta.constraints.*; OPTIMIZE exports dataChange=false") {
     val root = tmpDir("dexp-props")
     val t = GraftTable.create(spark, root,

@@ -133,12 +133,14 @@ class DeltaSkippingSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       meta,
       """{"add":{"path":"a.parquet","partitionValues":{"ts":"2024-01-01 00:00:00"},"size":1,"dataChange":true}}"""))
-    // partValue can't order a timestamp string — that must read as
-    // UNKNOWN (keep), never as the null partition: IsNotNull (pushed
-    // alongside every comparison) would otherwise prune every file.
+    // a concrete partition value must never read as the null partition:
+    // IsNotNull (pushed alongside every comparison) keeps the file
     assert(prunedPaths(table, col("ts").isNotNull) === Set("a.parquet"))
     assert(prunedPaths(table, col("ts") >= "2020-01-01") === Set("a.parquet"))
     assert(prunedPaths(table, col("ts").isNull) === Set.empty) // value present: exact
+    // timestamp partitions order exactly (UTC sessions): out-of-range prunes
+    assert(prunedPaths(table, col("ts") < "2020-01-01") === Set.empty)
+    assert(prunedPaths(table, col("ts") === "2024-01-01 00:00:00") === Set("a.parquet"))
     val n = DeltaImport.where(spark, table, col("ts").isNotNull).count()
     assert(n === 1L)
   }
