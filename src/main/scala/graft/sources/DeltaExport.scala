@@ -7,6 +7,7 @@ import java.time.format.DateTimeFormatter
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -110,59 +111,77 @@ object DeltaExport {
       full.stripPrefix(base).stripPrefix("/")
     }
 
-    var published = -1L
-    var prevPaths = Set.empty[String]
-    var prevMeta: Option[(String, Seq[String], Map[String, String])] = None
     val tableId = java.util.UUID.nameUUIDFromBytes(
       ("graft:" + root.toUri.getPath).getBytes(StandardCharsets.UTF_8)).toString
 
-    commits.takeWhile(_.version <= target).foreach { c =>
+    // Resume point: the published log's own latest state. Reading it back
+    // through [[DeltaImport.snapshot]] (checkpoint + JSON tail) makes the
+    // resume O(tail) once checkpoints exist, and survives BOTH Delta log
+    // cleanup below a checkpoint AND graft VACUUM of superseded dirs —
+    // already-published versions are never re-derived from data dirs that
+    // may no longer exist.
+    var published = DeltaImport.latestVersion(spark, table.root)
+    var prevPaths: Set[String] =
+      if (published < 0) Set.empty
+      else DeltaImport.snapshot(spark, table.root, Some(published))
+        .files.map(f => decodePath(f.path)).toSet
+    var prevMeta: Option[(String, Seq[String], Map[String, String])] =
+      commits.find(_.version == published)
+        .map(c => (c.schemaJson, c.partitionCols, c.properties))
+
+    commits.dropWhile(_.version <= published)
+      .takeWhile(_.version <= target).foreach { c =>
       val out = new Path(logDir, f"${c.version}%020d.json")
-      if (fs.exists(out)) {
-        // Already published: replay the Delta commit's own add/remove
-        // actions instead of relisting graft dirs — a VACUUM may have
-        // deleted old dirs by now, and the published log is the record.
-        val (adds, removes) = publishedDiff(fs, out)
-        prevPaths = prevPaths ++ adds -- removes
-      } else {
-        val cur: Map[String, FileStatus] =
-          c.dataDirs.flatMap(d => filesOf(d).map(st => relPath(st) -> st)).toMap
-        val adds = (cur.keySet -- prevPaths).toSeq.sorted
-        val removes = (prevPaths -- cur.keySet).toSeq.sorted
-        val metaChanged = !prevMeta.contains((c.schemaJson, c.partitionCols, c.properties))
-        val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-        val lines = Seq.newBuilder[String]
-        lines += commitInfoJson(c)
-        if (c.version == 0L) lines += protocolJson(schema, c.properties)
-        if (metaChanged)
-          lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs)
-        val dataChange = c.operation != "OPTIMIZE"
-        adds.foreach { p =>
-          lines += addJson(p, cur(p), schema, c.partitionCols, dataChange, conf)
-        }
-        removes.foreach { p =>
-          lines += JsonMethods.compact(JObject("remove" -> JObject(
-            "path" -> JString(encodePath(p)),
-            "deletionTimestamp" -> JLong(c.tsMs),
-            "dataChange" -> JBool(dataChange))))
-        }
-        writeAtomic(fs, logDir, out, lines.result().mkString("", "\n", "\n"))
-        prevPaths = cur.keySet
+      val cur: Map[String, FileStatus] =
+        c.dataDirs.flatMap(d => filesOf(d).map(st => relPath(st) -> st)).toMap
+      val adds = (cur.keySet -- prevPaths).toSeq.sorted
+      val removes = (prevPaths -- cur.keySet).toSeq.sorted
+      val metaChanged = !prevMeta.contains((c.schemaJson, c.partitionCols, c.properties))
+      val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(c)
+      if (c.version == 0L) lines += protocolJson(schema, c.properties)
+      if (metaChanged)
+        lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs)
+      val dataChange = c.operation != "OPTIMIZE"
+      adds.foreach { p =>
+        lines += addJson(p, cur(p), schema, c.partitionCols, dataChange, conf)
       }
+      removes.foreach { p =>
+        lines += JsonMethods.compact(JObject("remove" -> JObject(
+          "path" -> JString(encodePath(p)),
+          "deletionTimestamp" -> JLong(c.tsMs),
+          "dataChange" -> JBool(dataChange))))
+      }
+      writeAtomic(fs, logDir, out, lines.result().mkString("", "\n", "\n"))
+      prevPaths = cur.keySet
       published = c.version
       prevMeta = Some((c.schemaJson, c.partitionCols, c.properties))
     }
     published
   }
 
+  private def decodePath(s: String): String =
+    try Option(new java.net.URI(s).getPath).getOrElse(s)
+    catch { case scala.util.control.NonFatal(_) => s }
+
   /** Write a classic parquet checkpoint for ANY readable Delta log (an
     * exported graft table or a foreign Delta table) at its latest —
     * or a pinned — version, plus the `_last_checkpoint` marker. After
     * this, a cold open costs one parquet read + the JSON tail instead of
     * a full JSON replay, and log-cleaned histories below the checkpoint
-    * stay readable ([[DeltaImport.lastCheckpoint]] consumes exactly this
-    * layout). One row per action: every live `add` (partitionValues +
-    * stats carried), one `metaData`, one `protocol`. */
+    * stay readable.
+    *
+    * Protocol-complete per the published checkpoint spec, so foreign
+    * Delta readers (not just [[DeltaImport]]) can consume it:
+    *  - one `add` row per live file with the REQUIRED size /
+    *    modificationTime / dataChange(=false) fields plus stats;
+    *  - `metaData` with format/provider; `protocol` VERBATIM from the
+    *    snapshot (weakening a feature-gated table's demands would invite
+    *    a later writer to corrupt it);
+    *  - unexpired `remove` tombstones (VACUUM bookkeeping) and `txn`
+    *    appId watermarks (streaming exactly-once), reconstructed from the
+    *    retained JSON tail and carried over from the prior checkpoint. */
   def writeCheckpoint(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): Long = {
     import org.apache.spark.sql.Row
@@ -175,9 +194,15 @@ object DeltaExport {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType,
         valueContainsNull = true)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
       StructField("stats", StringType)))
     val metaT = StructType(Seq(
       StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType,
@@ -187,30 +212,69 @@ object DeltaExport {
       StructField("minWriterVersion", IntegerType),
       StructField("readerFeatures", ArrayType(StringType)),
       StructField("writerFeatures", ArrayType(StringType))))
+    val removeT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
     val ckptT = StructType(Seq(
       StructField("add", addT), StructField("metaData", metaT),
-      StructField("protocol", protoT)))
+      StructField("protocol", protoT), StructField("remove", removeT),
+      StructField("txn", txnT)))
 
-    // The protocol rides VERBATIM from the snapshot — weakening a
-    // column-mapped or feature-gated table's demands here would invite a
-    // later writer to corrupt it. Absent (malformed log): the plain
-    // baseline, or timestampNtz when the schema demands it.
+    // Tombstones + txn watermarks: prior checkpoint first (history the
+    // JSON cleanup may have eaten), then the retained JSON tail on top.
+    var tomb = Map.empty[String, Long] // path -> deletionTimestamp
+    var txns = Map.empty[String, Long] // appId -> version
+    DeltaImport.lastCheckpoint(spark, tablePath, Some(s.version)).foreach {
+      case (_, parts) =>
+        val prior = spark.read.parquet(parts.map(_.toString): _*)
+        val cols = prior.columns.toSet
+        if (cols.contains("remove"))
+          prior.select(col("remove.path"), col("remove.deletionTimestamp"))
+            .filter(col("path").isNotNull).collect()
+            .foreach(r => tomb += r.getString(0) ->
+              (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        if (cols.contains("txn"))
+          prior.select(col("txn.appId"), col("txn.version"))
+            .filter(col("appId").isNotNull).collect()
+            .foreach(r => txns += r.getString(0) ->
+              (if (r.isNullAt(1)) 0L else r.getLong(1)))
+    }
+    DeltaImport.changesBetween(spark, tablePath, -1L, s.version).foreach { vc =>
+      vc.allRemoves.foreach(r => tomb += r.path -> vc.timestampMs)
+      vc.txns.foreach { case (app, v) => txns += app -> v }
+    }
+    val live = s.files.map(_.path).toSet
+    val tombstones = tomb.filterNot { case (p, _) => live(p) }.toSeq.sortBy(_._1)
+
     val proto = s.protocol.getOrElse(
       if (hasNtz(s.schema))
         DeltaImport.Protocol(3, 7, Seq("timestampNtz"), Seq("timestampNtz"))
       else DeltaImport.Protocol(1, 2, Nil, Nil))
     def featsOrNull(fs: Seq[String]) = if (fs.isEmpty) null else fs
     val rows: Seq[Row] =
-      s.files.map(f => Row(Row(f.path, f.partitionValues, f.stats.orNull), null, null)) ++
+      s.files.map(f => Row(
+        Row(f.path, f.partitionValues, f.size, f.modificationTime,
+          false, f.stats.orNull), null, null, null, null)) ++
         Seq(Row(null, Row(s.tableId.getOrElse(java.util.UUID.nameUUIDFromBytes(
           ("graft:" + new Path(tablePath).toUri.getPath)
             .getBytes(StandardCharsets.UTF_8)).toString),
-          s.schema.json, s.partitionColumns, s.configuration), null)) ++
+          Row("parquet", Map.empty[String, String]),
+          s.schema.json, s.partitionColumns, s.configuration), null, null, null)) ++
         Seq(Row(null, null, Row(proto.minReaderVersion, proto.minWriterVersion,
-          featsOrNull(proto.readerFeatures), featsOrNull(proto.writerFeatures))))
+          featsOrNull(proto.readerFeatures), featsOrNull(proto.writerFeatures)),
+          null, null)) ++
+        tombstones.map { case (p, ts) => Row(null, null, null, Row(p, ts, false), null) } ++
+        txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          Row(null, null, null, null, Row(app, v)) }
 
     // Stage through Spark's writer, then move the single part into the
-    // protocol-named location (same write-then-publish shape as commits).
+    // protocol-named location with an OVERWRITE rename (FileContext) —
+    // no delete-then-rename window where `_last_checkpoint` advertises a
+    // missing file.
     val stage = new Path(logDir, s".ckpt-stage-${java.util.UUID.randomUUID()}")
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
@@ -220,46 +284,22 @@ object DeltaExport {
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new java.io.IOException(s"no part written under $stage"))
     val target = new Path(logDir, f"${s.version}%020d.checkpoint.parquet")
-    if (fs.exists(target)) fs.delete(target, false) // deterministic content
-    if (!fs.rename(part, target))
-      throw new java.io.IOException(s"cannot publish $target")
+    renameOverwrite(conf, part, target)
     fs.delete(stage, true)
-    writeAtomicReplace(fs, logDir, new Path(logDir, "_last_checkpoint"),
-      s"""{"version":${s.version},"size":${rows.size}}""")
+    val marker = new Path(logDir, s".lastckpt-${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(marker, false)
+    try out.write(s"""{"version":${s.version},"size":${rows.size}}"""
+      .getBytes(StandardCharsets.UTF_8)) finally out.close()
+    renameOverwrite(conf, marker, new Path(logDir, "_last_checkpoint"))
     s.version
   }
 
-  private def writeAtomicReplace(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path, target: Path, content: String): Unit = {
-    val tmp = new Path(dir, s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"cannot publish $target")
-    }
-  }
-
-  /** (added paths, removed paths) of an already-published Delta commit,
-    * decoded back to the raw (on-disk) domain the live diff runs in. */
-  private def publishedDiff(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): (Set[String], Set[String]) = {
-    def decode(s: String): String =
-      try Option(new java.net.URI(s).getPath).getOrElse(s)
-      catch { case scala.util.control.NonFatal(_) => s }
-    val in = fs.open(p)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().toArray finally in.close()
-    val adds = Set.newBuilder[String]
-    val removes = Set.newBuilder[String]
-    lines.filter(_.trim.nonEmpty).foreach { line =>
-      val j = JsonMethods.parse(line)
-      (j \ "add" \ "path") match { case JString(s) => adds += decode(s); case _ => () }
-      (j \ "remove" \ "path") match { case JString(s) => removes += decode(s); case _ => () }
-    }
-    (adds.result(), removes.result())
-  }
+  /** Atomic replace-rename via FileContext (plain FileSystem.rename
+    * refuses existing targets, and delete-then-rename leaves a window). */
+  private def renameOverwrite(conf: org.apache.hadoop.conf.Configuration,
+      src: Path, dst: Path): Unit =
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
   /** `add.path`/`remove.path` are percent-encoded relative URIs per the
     * Delta protocol (readers open them with `new Path(new URI(p))` —

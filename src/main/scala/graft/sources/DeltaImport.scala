@@ -43,7 +43,8 @@ object DeltaImport {
     * JSON when the writer recorded one — the input to file-level
     * data skipping, [[DeltaSkipping]]). */
   final case class AddFile(path: String, partitionValues: Map[String, String],
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      size: Long = 0L, modificationTime: Long = 0L)
 
   /** The table's protocol action, carried VERBATIM so downstream
     * republication (e.g. [[DeltaExport.writeCheckpoint]]) never weakens
@@ -72,7 +73,8 @@ object DeltaImport {
       adds: Seq[(AddFile, Boolean)], // (file, dataChange)
       removes: Seq[(AddFile, Boolean)], // (file, dataChange); partitionValues
                                         // kept when extendedFileMetadata has them
-      cdc: Seq[AddFile])
+      cdc: Seq[AddFile],
+      txns: Seq[(String, Long)]) // SetTransaction (appId, version)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -123,13 +125,23 @@ object DeltaImport {
   /** The Delta protocol stores `add.path` as a percent-encoded relative
     * URI (delta-spark opens it with `new Path(new URI(path))`): decode
     * before touching the filesystem, so `status=N%252FA/part-…` resolves
-    * to the on-disk `status=N%2FA/…`. Undecodable strings (legacy raw
-    * paths) pass through verbatim. */
+    * to the on-disk `status=N%2FA/…`. Undecodable strings (raw paths with
+    * characters illegal in a URI) pass through verbatim. A RAW path that
+    * happens to contain a legal %XX sequence is indistinguishable from an
+    * encoded one and decodes — the identical ambiguity delta-spark has,
+    * resolved the identical way (spec-conformant logs are always
+    * encoded; Spark-written part-file names contain no '%'). */
   private[sources] def resolveFile(tablePath: String, rel: String): Path =
     try new Path(tablePath, new Path(new java.net.URI(rel)))
     catch { case _: Exception => new Path(tablePath, rel) }
 
   private def parseLine(line: String): JValue = JsonMethods.parse(line)
+
+  private def longOf(j: JValue): Long = j match {
+    case JInt(v) => v.toLong
+    case JLong(v) => v
+    case _ => 0L
+  }
 
   private def addOf(j: JValue): AddFile = AddFile(
     (j \ "path").extract[String],
@@ -140,7 +152,8 @@ object DeltaImport {
       }.toMap
       case _ => Map.empty
     },
-    (j \ "stats") match { case JString(s) => Some(s); case _ => None })
+    (j \ "stats") match { case JString(s) => Some(s); case _ => None },
+    longOf(j \ "size"), longOf(j \ "modificationTime"))
 
   private def actionsOf(version: Long, lines: Iterator[String]): VersionActions = {
     var ts = 0L
@@ -150,6 +163,7 @@ object DeltaImport {
     val adds = Seq.newBuilder[(AddFile, Boolean)]
     val removes = Seq.newBuilder[(AddFile, Boolean)]
     val cdc = Seq.newBuilder[AddFile]
+    val txns = Seq.newBuilder[(String, Long)]
     lines.filter(_.trim.nonEmpty).foreach { line =>
       val j = parseLine(line)
       (j \ "commitInfo") match {
@@ -194,9 +208,13 @@ object DeltaImport {
         case JNothing => ()
         case c => cdc += addOf(c)
       }
+      (j \ "txn" \ "appId") match {
+        case JString(app) => txns += app -> longOf(j \ "txn" \ "version")
+        case _ => ()
+      }
     }
     VersionActions(version, ts, op, meta, protocol,
-      adds.result(), removes.result(), cdc.result())
+      adds.result(), removes.result(), cdc.result(), txns.result())
   }
 
   /** JSON commit files of the log ≥ `afterVersion` (exclusive), ascending. */
@@ -217,8 +235,10 @@ object DeltaImport {
   }
 
   /** The classic checkpoint at or below `versionAsOf` advertised by
-    * `_last_checkpoint`, if usable: (version, its parquet parts). */
-  private def lastCheckpoint(spark: SparkSession, tablePath: String,
+    * `_last_checkpoint`, if usable: (version, its parquet parts).
+    * `private[sources]`: [[DeltaExport.writeCheckpoint]] reads the prior
+    * checkpoint to carry tombstones/txn watermarks forward. */
+  private[sources] def lastCheckpoint(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long]): Option[(Long, Seq[Path])] = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -255,14 +275,18 @@ object DeltaImport {
       val cols = rows.columns.toSet
       if (cols.contains("add")) {
         val addT = rows.schema("add").dataType.asInstanceOf[StructType]
-        val statsCol =
-          if (addT.fieldNames.contains("stats")) col("add.stats")
-          else lit(null).cast(StringType)
-        rows.select(col("add.path"), col("add.partitionValues"), statsCol.as("stats"))
+        def opt(n: String, t: String) =
+          if (addT.fieldNames.contains(n)) col(s"add.$n")
+          else lit(null).cast(t).as(n)
+        rows.select(col("add.path"), col("add.partitionValues"),
+            opt("stats", "string"), opt("size", "bigint"),
+            opt("modificationTime", "bigint"))
           .filter(col("path").isNotNull).collect().foreach { r =>
             val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
             val stats = if (r.isNullAt(2)) None else Some(r.getString(2))
-            files += r.getString(0) -> AddFile(r.getString(0), pv, stats)
+            files += r.getString(0) -> AddFile(r.getString(0), pv, stats,
+              if (r.isNullAt(3)) 0L else r.getLong(3),
+              if (r.isNullAt(4)) 0L else r.getLong(4))
           }
       }
       if (cols.contains("metaData")) {
@@ -383,7 +407,12 @@ object DeltaImport {
         .collectFirst {
           case JInt(t) => t.toLong
           case JLong(t) => t
-        }.getOrElse(0L)
+        }
+        // commitInfo is OPTIONAL in the protocol; delta-spark's rule for
+        // such commits is the log file's modification time. Epoch 0 here
+        // would make any travel instant "eligible" — a silently newer
+        // snapshot, the exact bug the error path below exists to prevent.
+        .getOrElse(fs.getFileStatus(p).getModificationTime)
     }
     val stamped = jsonVersions(spark, tablePath, -1L)
       .map { case (v, p) => v -> tsOf(p) }
@@ -474,7 +503,12 @@ object DeltaImport {
       adds: Seq[AddFile],          // dataChange=true adds only
       removes: Seq[AddFile],       // dataChange=true removed files (with
                                    // partitionValues when the action had them)
-      cdc: Seq[AddFile])
+      cdc: Seq[AddFile],
+      /** ALL remove paths of the version (dataChange or not) — VACUUM
+        * bookkeeping that checkpoint tombstones must carry. */
+      allRemoves: Seq[AddFile] = Nil,
+      /** SetTransaction actions (appId → version) of the commit. */
+      txns: Seq[(String, Long)] = Nil)
 
   /** Per-version changes in (fromVersion, toVersion], ascending — one JSON
     * parse per commit file, cached nowhere (commit files are small and the
@@ -490,7 +524,8 @@ object DeltaImport {
           .getLines().toArray finally in.close()
         val a = actionsOf(v, lines.iterator)
         VersionChanges(v, a.timestampMs, a.operation,
-          a.adds.filter(_._2).map(_._1), a.removes.filter(_._2).map(_._1), a.cdc)
+          a.adds.filter(_._2).map(_._1), a.removes.filter(_._2).map(_._1), a.cdc,
+          a.removes.map(_._1), a.txns)
       }
   }
 

@@ -37,8 +37,10 @@ object DeltaSkipping {
   /** The files of `s` that MAY hold rows matching `predicate` —
     * superset semantics. */
   def prune(spark: SparkSession, s: Snapshot, predicate: Column): Seq[AddFile] = {
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
     analyzedCondition(spark, s.schema, predicate) match {
-      case Some(cond) => s.files.filter(f => fileMayMatch(cond, s, f))
+      case Some(cond) => s.files.filter(f => fileMayMatch(cond, s, f, zone))
       case None => s.files
     }
   }
@@ -183,32 +185,36 @@ object DeltaSkipping {
 
   /** Partition value string → the ordered domain (Delta stores partition
     * values as their string rendering). */
-  private def partValue(s: String, dt: DataType): Option[Ordered0] = dt match {
+  private def partValue(s: String, dt: DataType,
+      zone: java.time.ZoneId): Option[Ordered0] = dt match {
     case t if isIntegral(t) => s.toLongOption.map(OLong)
     case t if isFractional(t) =>
       try Some(ODec(BigDecimal(s))) catch { case _: Exception => None }
     case StringType => Some(OStr(UTF8String.fromString(s)))
     case DateType =>
       try Some(OLong(LocalDate.parse(s).toEpochDay)) catch { case _: Exception => None }
-    case TimestampType | TimestampNTZType =>
-      // Delta renders timestamp partition values zone-less
-      // ("yyyy-MM-dd HH:mm:ss[.SSSSSS]"), interpreted in the session
-      // zone; this engine pins sessions to UTC (Verify/Bench/specs), so
-      // UTC parse matches the literal's internal micros. Unparseable →
-      // unknown (keep), never wrong.
-      try {
-        val inst = LocalDateTime.parse(s.replace(' ', 'T')).toInstant(ZoneOffset.UTC)
-        Some(OLong(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
-          inst.getNano / 1000L)))
-      } catch { case _: Exception => None }
+    case TimestampType =>
+      // Delta renders TimestampType partition values as zone-less wall
+      // clock in the writing session's zone; reading in the CURRENT
+      // session's zone is Delta's own convention. TimestampNTZ is
+      // zone-free by definition.
+      parseWallClock(s, zone)
+    case TimestampNTZType => parseWallClock(s, ZoneOffset.UTC)
     case _ => None
   }
+
+  private def parseWallClock(s: String, zone: java.time.ZoneId): Option[Ordered0] =
+    try {
+      val inst = LocalDateTime.parse(s.replace(' ', 'T')).atZone(zone).toInstant
+      Some(OLong(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+        inst.getNano / 1000L)))
+    } catch { case _: Exception => None }
 
   // ------------------------------------------------------------ the walker
 
   private def fileMayMatch(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      s: Snapshot, f: AddFile): Boolean = {
+      s: Snapshot, f: AddFile, zone: java.time.ZoneId): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
 
     lazy val stats = f.stats.flatMap(parseStats)
@@ -239,7 +245,7 @@ object DeltaSkipping {
         for {
           raw <- partRaw(n).flatten
           dt <- fieldType(n)
-          v <- partValue(raw, dt)
+          v <- partValue(raw, dt, zone)
         } yield (v, v)
       else for {
         st <- stats

@@ -177,6 +177,23 @@ class DeltaExportSpec extends SparkSpec {
     }
   }
 
+  test("resume survives Delta log cleanup + VACUUM combined (checkpoint-seeded)") {
+    val root = tmpDir("dexp-clean-vac")
+    val t = GraftTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
+    t.delete(col("id") === 1L) // v1 rewrite: v0's dir becomes unreferenced
+    DeltaExport.exportLog(t)
+    DeltaExport.writeCheckpoint(spark, root)
+    // Delta metadata cleanup removes old JSON; graft VACUUM removes the
+    // superseded dir — the two lifecycle policies a long-lived mirrored
+    // table runs under simultaneously.
+    Files.delete(Paths.get(root, "_delta_log", f"${0L}%020d.json"))
+    t.vacuum(retentionHours = 0.0, nowMs = System.currentTimeMillis() + 3600_000L)
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    assert(DeltaExport.exportLog(t) === 2L) // resumes from the checkpoint state
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === Set((2L, "b"), (3L, "c")))
+  }
+
   test("export resumes after VACUUM: published commits replay from the Delta log") {
     val root = tmpDir("dexp-vac")
     val t = GraftTable.create(spark,
@@ -202,6 +219,52 @@ class DeltaExportSpec extends SparkSpec {
 
     t.materializeDeletes() // snapshot rewrite clears the DV state
     assert(DeltaExport.exportableUpTo(t) < t.version) // v1 still blocks the prefix
+  }
+
+  test("writeCheckpoint: protocol-complete rows — required add fields, tombstones, txn") {
+    val root = tmpDir("dexp-ckpt-proto")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
+    t.delete(col("id") === 1L) // rewrite: v0's file becomes a tombstone
+    DeltaExport.exportLog(t)
+    // a foreign writer's txn watermark in the log must survive checkpointing
+    val v1 = Paths.get(root, "_delta_log", f"${1L}%020d.json")
+    Files.write(v1, (new String(Files.readAllBytes(v1), "UTF-8") +
+      """{"txn":{"appId":"streamA","version":7}}""" + "\n").getBytes("UTF-8"))
+    // raw edit invalidates Hadoop's local checksum sidecar
+    Files.deleteIfExists(Paths.get(root, "_delta_log", f".${1L}%020d.json.crc"))
+    DeltaExport.writeCheckpoint(spark, root)
+
+    val ck = spark.read.parquet(
+      Paths.get(root, "_delta_log", f"${1L}%020d.checkpoint.parquet").toString)
+    val adds = ck.filter(col("add.path").isNotNull)
+      .select("add.path", "add.size", "add.modificationTime", "add.dataChange")
+      .collect()
+    assert(adds.nonEmpty)
+    adds.foreach { r =>
+      assert(r.getLong(1) > 0L, "size required")
+      assert(r.getLong(2) > 0L, "modificationTime required")
+      assert(!r.getBoolean(3), "checkpoint adds carry dataChange=false")
+    }
+    assert(ck.filter(col("metaData.format.provider") === "parquet").count() === 1)
+    val tombs = ck.filter(col("remove.path").isNotNull)
+      .select("remove.path", "remove.deletionTimestamp").collect()
+    // v0's rewritten file(s): one tombstone per part-file of the dir
+    assert(tombs.nonEmpty && tombs.forall(_.getLong(1) > 0L))
+    val txn = ck.filter(col("txn.appId").isNotNull)
+      .select("txn.appId", "txn.version").collect()
+    assert(txn.map(r => r.getString(0) -> r.getLong(1)).toSeq === Seq("streamA" -> 7L))
+
+    // a SECOND checkpoint (after cleanup of the old JSON) carries the
+    // tombstone and watermark forward from the prior checkpoint
+    t.append(Seq((9L, "z")).toDF("id", "s"))
+    DeltaExport.exportLog(t)
+    for (v <- 0L to 1L) Files.delete(Paths.get(root, "_delta_log", f"$v%020d.json"))
+    DeltaExport.writeCheckpoint(spark, root)
+    val ck2 = spark.read.parquet(
+      Paths.get(root, "_delta_log", f"${2L}%020d.checkpoint.parquet").toString)
+    assert(ck2.filter(col("remove.path").isNotNull).count() === tombs.length.toLong)
+    assert(ck2.filter(col("txn.appId") === "streamA").count() === 1)
   }
 
   test("writeCheckpoint: cold open survives log cleanup; protocol and id ride verbatim") {
@@ -232,10 +295,12 @@ class DeltaExportSpec extends SparkSpec {
     // time travel BELOW the checkpoint is now honestly unavailable
     intercept[Exception] { DeltaImport.read(spark, root, versionAsOf = Some(0L)) }
 
-    // the tail keeps growing past the checkpoint (exportLog republishes
-    // the cleaned commits from the still-present graft dirs, then v3)
+    // the tail keeps growing past the checkpoint: exportLog resumes from
+    // the published log's state (checkpoint + tail) and publishes ONLY v3
+    // — cleaned history is never re-derived from data dirs
     t.append(Seq((4L, "d")).toDF("id", "s"))
     DeltaExport.exportLog(t)
+    assert(!Files.exists(Paths.get(root, "_delta_log", f"${0L}%020d.json")))
     assert(DeltaImport.read(spark, root).count() === 4L)
   }
 

@@ -143,6 +143,20 @@ class DeltaSkippingSpec extends SparkSpec {
     assert(prunedPaths(table, col("ts") === "2024-01-01 00:00:00") === Set("a.parquet"))
     val n = DeltaImport.where(spark, table, col("ts").isNotNull).count()
     assert(n === 1L)
+
+    // under a non-UTC session the partition wall clock shifts WITH the
+    // session zone (Delta's convention: values render in the writer's
+    // session zone, parse in the reader's) — bounds stay consistent with
+    // how the partition column itself materializes, so results are exact
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val rows = DeltaImport.where(spark, table,
+        col("ts") === "2024-01-01 00:00:00").count()
+      assert(rows === 1L) // literal and partition parse in the SAME zone
+      assert(prunedPaths(table, col("ts") === "2024-01-01 00:00:00")
+        === Set("a.parquet"))
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
   }
 
   test("exported graft tables prune through their own stats via the connector") {
