@@ -200,15 +200,15 @@ object CdcPipeline {
 
   /** Bring the table's `_delta_log` mirror to the current head (no-op
     * when [[Config.deltaMirror]] is off or the table doesn't exist yet).
-    * A classic checkpoint lands every 10 mirror commits (Delta's own
-    * cadence): the per-batch resume then folds one parquet read + a
-    * ≤10-commit JSON tail, not the table's whole history — constant-time
-    * mirroring for streams that run for months. */
+    * A classic checkpoint lands whenever the tail since the last one
+    * reaches 10 commits (Delta's own cadence): the per-batch resume then
+    * folds one parquet read + a ≤10-commit JSON tail, not the table's
+    * whole history — constant-time mirroring for streams that run for
+    * months. */
   private def mirrorDelta(spark: SparkSession, cfg: Config, path: String): Unit =
     if (cfg.deltaMirror && GraftTable.isTable(spark, path)) {
-      val v = graft.sources.DeltaExport.exportLog(GraftTable.forPath(spark, path))
-      if (v >= 0 && v % 10 == 0)
-        graft.sources.DeltaExport.writeCheckpoint(spark, path)
+      graft.sources.DeltaExport.exportLog(GraftTable.forPath(spark, path))
+      graft.sources.DeltaExport.maintainCheckpoint(spark, path)
       (): Unit
     }
 

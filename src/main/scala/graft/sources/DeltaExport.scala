@@ -114,13 +114,20 @@ object DeltaExport {
     val tableId = java.util.UUID.nameUUIDFromBytes(
       ("graft:" + root.toUri.getPath).getBytes(StandardCharsets.UTF_8)).toString
 
+    var published = DeltaImport.latestVersion(spark, table.root)
+    // Nothing pending: answer from the listing alone — the per-batch
+    // mirror call on an untouched table must cost one log listing, not a
+    // snapshot resolution. Capped at `target`: the caller asked for that
+    // prefix, and it exists.
+    if (!commits.exists(c => c.version > published && c.version <= target))
+      return math.min(published, target)
+
     // Resume point: the published log's own latest state. Reading it back
     // through [[DeltaImport.snapshot]] (checkpoint + JSON tail) makes the
     // resume O(tail) once checkpoints exist, and survives BOTH Delta log
     // cleanup below a checkpoint AND graft VACUUM of superseded dirs —
     // already-published versions are never re-derived from data dirs that
     // may no longer exist.
-    var published = DeltaImport.latestVersion(spark, table.root)
     var prevPaths: Set[String] =
       if (published < 0) Set.empty
       else DeltaImport.snapshot(spark, table.root, Some(published))
@@ -225,11 +232,16 @@ object DeltaExport {
       StructField("txn", txnT)))
 
     // Tombstones + txn watermarks: prior checkpoint first (history the
-    // JSON cleanup may have eaten), then the retained JSON tail on top.
+    // JSON cleanup may have eaten), then ONLY the JSON tail after it —
+    // the prior checkpoint already folded everything below its version,
+    // so a mirror that checkpoints every N commits pays O(N) here, not
+    // O(table age).
     var tomb = Map.empty[String, Long] // path -> deletionTimestamp
     var txns = Map.empty[String, Long] // appId -> version
+    var priorVersion = -1L
     DeltaImport.lastCheckpoint(spark, tablePath, Some(s.version)).foreach {
-      case (_, parts) =>
+      case (pv, parts) =>
+        priorVersion = pv
         val prior = spark.read.parquet(parts.map(_.toString): _*)
         val cols = prior.columns.toSet
         if (cols.contains("remove"))
@@ -243,20 +255,41 @@ object DeltaExport {
             .foreach(r => txns += r.getString(0) ->
               (if (r.isNullAt(1)) 0L else r.getLong(1)))
     }
-    DeltaImport.changesBetween(spark, tablePath, -1L, s.version).foreach { vc =>
+    DeltaImport.changesBetween(spark, tablePath, priorVersion, s.version).foreach { vc =>
       vc.allRemoves.foreach(r => tomb += r.path -> vc.timestampMs)
       vc.txns.foreach { case (app, v) => txns += app -> v }
     }
+    // Tombstones expire after the deleted-file retention window (Delta's
+    // checkpoint convention — delta.deletedFileRetentionDuration, default
+    // 7 days): without expiry the carried-forward set grows monotonically
+    // for the life of the table.
+    val retentionMs = spark.conf
+      .getOption("spark.graft.delta.deletedFileRetentionMs")
+      .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
+    val horizon = System.currentTimeMillis() - retentionMs
     val live = s.files.map(_.path).toSet
-    val tombstones = tomb.filterNot { case (p, _) => live(p) }.toSeq.sortBy(_._1)
+    val tombstones = tomb
+      .filterNot { case (p, _) => live(p) }
+      .filter { case (_, ts) => ts >= horizon }
+      .toSeq.sortBy(_._1)
 
     val proto = s.protocol.getOrElse(
       if (hasNtz(s.schema))
         DeltaImport.Protocol(3, 7, Seq("timestampNtz"), Seq("timestampNtz"))
       else DeltaImport.Protocol(1, 2, Nil, Nil))
     def featsOrNull(fs: Seq[String]) = if (fs.isEmpty) null else fs
+    // size/modificationTime are REQUIRED add fields; entries that came in
+    // through a pre-upgrade checkpoint (which lacked the columns) carry
+    // the 0L defaults — backfill from a live stat rather than persist a
+    // wrong value foreign planners would trust.
+    def statted(f: DeltaImport.AddFile): DeltaImport.AddFile =
+      if (f.size > 0L) f
+      else try {
+        val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, f.path))
+        f.copy(size = st.getLen, modificationTime = st.getModificationTime)
+      } catch { case scala.util.control.NonFatal(_) => f }
     val rows: Seq[Row] =
-      s.files.map(f => Row(
+      s.files.map(statted).map(f => Row(
         Row(f.path, f.partitionValues, f.size, f.modificationTime,
           false, f.stats.orNull), null, null, null, null)) ++
         Seq(Row(null, Row(s.tableId.getOrElse(java.util.UUID.nameUUIDFromBytes(
@@ -271,35 +304,86 @@ object DeltaExport {
         txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, null, null, null, Row(app, v)) }
 
-    // Stage through Spark's writer, then move the single part into the
-    // protocol-named location with an OVERWRITE rename (FileContext) —
-    // no delete-then-rename window where `_last_checkpoint` advertises a
-    // missing file.
-    val stage = new Path(logDir, s".ckpt-stage-${java.util.UUID.randomUUID()}")
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), ckptT)
-      .coalesce(1).write.parquet(stage.toString)
-    val part = fs.listStatus(stage).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new java.io.IOException(s"no part written under $stage"))
+    // Publication order makes every window benign:
+    //  1. the checkpoint part lands first, write-once (an existing part at
+    //     this version is a previous valid checkpoint — kept, never
+    //     deleted, so no reader ever observes a named-but-missing part);
+    //  2. `_last_checkpoint` flips afterwards via temp + delete + rename.
+    //     The marker is a HINT by protocol: a reader catching the gap
+    //     (or a crash losing the marker entirely) falls back to the JSON
+    //     replay / the previous marker, both correct. Plain FileSystem
+    //     calls throughout — FileContext's OVERWRITE rename is itself
+    //     delete-then-rename on local/object stores and throws on schemes
+    //     without a registered AbstractFileSystem, a poor trade for a
+    //     hint file.
     val target = new Path(logDir, f"${s.version}%020d.checkpoint.parquet")
-    renameOverwrite(conf, part, target)
-    fs.delete(stage, true)
+    if (!fs.exists(target)) {
+      val stage = new Path(logDir, s".ckpt-stage-${java.util.UUID.randomUUID()}")
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), ckptT)
+        .coalesce(1).write.parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new java.io.IOException(s"no part written under $stage"))
+      if (!fs.rename(part, target) && !fs.exists(target))
+        throw new java.io.IOException(s"cannot publish $target")
+      fs.delete(stage, true)
+    }
     val marker = new Path(logDir, s".lastckpt-${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(marker, false)
     try out.write(s"""{"version":${s.version},"size":${rows.size}}"""
       .getBytes(StandardCharsets.UTF_8)) finally out.close()
-    renameOverwrite(conf, marker, new Path(logDir, "_last_checkpoint"))
+    val markerTarget = new Path(logDir, "_last_checkpoint")
+    if (fs.exists(markerTarget)) fs.delete(markerTarget, false)
+    if (!fs.rename(marker, markerTarget)) {
+      fs.delete(marker, false)
+      if (!fs.exists(markerTarget))
+        throw new java.io.IOException(s"cannot publish $markerTarget")
+    }
     s.version
   }
 
-  /** Atomic replace-rename via FileContext (plain FileSystem.rename
-    * refuses existing targets, and delete-then-rename leaves a window). */
-  private def renameOverwrite(conf: org.apache.hadoop.conf.Configuration,
-      src: Path, dst: Path): Unit =
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  /** Delta metadata cleanup (the log-retention counterpart of
+    * `delta.logRetentionDuration`, default 30 days): deletes JSON commit
+    * files STRICTLY BELOW the last checkpoint once older than the
+    * retention — the checkpoint serves every read at or above its
+    * version, so nothing readable is lost; time travel below the horizon
+    * becomes honestly unavailable (the same contract as Delta's own
+    * cleanup, and [[exportLog]]'s resume never relists cleaned history).
+    * Returns the number of files deleted. */
+  def cleanupLog(spark: SparkSession, tablePath: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis()): Int = {
+    val ckptV = DeltaImport.lastCheckpoint(spark, tablePath, None)
+      .map(_._1).getOrElse(return 0) // no checkpoint: everything is load-bearing
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val horizon = nowMs - retentionMs
+    fs.listStatus(logDir).toSeq.count { st =>
+      val n = st.getPath.getName
+      val isCommit = n.endsWith(".json") && n.stripSuffix(".json").forall(_.isDigit)
+      isCommit &&
+        n.stripSuffix(".json").toLong < ckptV &&
+        st.getModificationTime < horizon &&
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Checkpoint-when-due: writes a checkpoint iff the JSON tail since the
+    * last one has reached `every` commits (Delta's own cadence contract —
+    * version PARITY tests fail when an operation commits several graft
+    * versions per batch and the version number skips the multiple).
+    * Returns the checkpointed version, or None when not due. */
+  def maintainCheckpoint(spark: SparkSession, tablePath: String,
+      every: Int = 10): Option[Long] = {
+    val latest = DeltaImport.latestVersion(spark, tablePath)
+    if (latest < 0) return None
+    val last = DeltaImport.lastCheckpoint(spark, tablePath, None)
+      .map(_._1).getOrElse(-1L)
+    if (latest - last < every) None
+    else Some(writeCheckpoint(spark, tablePath))
+  }
 
   /** `add.path`/`remove.path` are percent-encoded relative URIs per the
     * Delta protocol (readers open them with `new Path(new URI(p))` —

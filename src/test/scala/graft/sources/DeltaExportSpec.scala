@@ -177,6 +177,54 @@ class DeltaExportSpec extends SparkSpec {
     }
   }
 
+  test("maintainCheckpoint cadence tracks the tail length, not version parity") {
+    val root = tmpDir("dexp-cadence")
+    val t = GraftTable.create(spark, root, Seq((0L, "x")).toDF("id", "s"), Nil)
+    for (i <- 1 to 11) t.append(Seq((i.toLong, "x")).toDF("id", "s"))
+    DeltaExport.exportLog(t) // versions 0..11
+    assert(DeltaExport.maintainCheckpoint(spark, root) === Some(11L))
+    assert(DeltaExport.maintainCheckpoint(spark, root) === None) // just done
+    // advance by 3 (an odd stride — parity-based cadence would miss):
+    for (i <- 12 to 14) t.append(Seq((i.toLong, "x")).toDF("id", "s"))
+    DeltaExport.exportLog(t)
+    assert(DeltaExport.maintainCheckpoint(spark, root) === None) // tail 3 < 10
+    assert(DeltaExport.maintainCheckpoint(spark, root, every = 3) === Some(14L))
+  }
+
+  test("cleanupLog drops only aged JSON below the checkpoint; cold open survives") {
+    val root = tmpDir("dexp-cleanup")
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "s"), Nil)
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    DeltaExport.exportLog(t)
+    assert(DeltaExport.cleanupLog(spark, root) === 0) // no checkpoint: keep all
+    DeltaExport.writeCheckpoint(spark, root) // at v2
+    // not yet aged: nothing deleted
+    assert(DeltaExport.cleanupLog(spark, root) === 0)
+    // aged past retention: v0/v1 go, v2 (checkpoint version) stays
+    val n = DeltaExport.cleanupLog(spark, root, retentionMs = 0L,
+      nowMs = System.currentTimeMillis() + 3600_000L)
+    assert(n === 2)
+    assert(Files.exists(Paths.get(root, "_delta_log", f"${2L}%020d.json")))
+    assert(DeltaImport.read(spark, root).count() === 3L) // checkpoint serves it
+    intercept[Exception] { DeltaImport.read(spark, root, versionAsOf = Some(0L)) }
+  }
+
+  test("checkpoint tombstones expire after the retention window") {
+    val root = tmpDir("dexp-retention")
+    val t = GraftTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
+    t.delete(col("id") === 1L)
+    DeltaExport.exportLog(t)
+    spark.conf.set("spark.graft.delta.deletedFileRetentionMs", "0")
+    try {
+      DeltaExport.writeCheckpoint(spark, root)
+      val ck = spark.read.parquet(
+        Paths.get(root, "_delta_log", f"${1L}%020d.checkpoint.parquet").toString)
+      assert(ck.filter(col("remove.path").isNotNull).count() === 0) // all expired
+      assert(DeltaImport.read(spark, root).count() === 1) // snapshot unaffected
+    } finally spark.conf.unset("spark.graft.delta.deletedFileRetentionMs")
+  }
+
   test("resume survives Delta log cleanup + VACUUM combined (checkpoint-seeded)") {
     val root = tmpDir("dexp-clean-vac")
     val t = GraftTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
