@@ -77,12 +77,21 @@ object Views {
   def productPopularity(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    p.join(l, p("p_partkey") === l("l_partkey"), "left")
-      .groupBy(p("p_partkey"), p("p_name"), p("p_brand"))
-      .agg(
-        count(l("l_orderkey")).as("times_ordered"),
-        coalesce(sum(l("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType), lit(0.0))
-          .as("total_quantity_sold"))
+    // Aggregate-below-join: lineitem reduces to one row per partkey
+    // BEFORE the join (map-side partial + one narrow shuffle), so the
+    // join sees |part| rows on both sides instead of the full fact table
+    // — at 100 TB the fact shuffles once at two-column width and the
+    // joined aggregate becomes broadcast-sized, where join-then-group
+    // shuffles every fact row at full width. `part` is unique on
+    // p_partkey, so the regrouping is exact (same counts, same decimal
+    // sums in the same per-key order class).
+    val la = l.groupBy(col("l_partkey"))
+      .agg(count(col("l_orderkey")).as("__n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("__q"))
+    p.join(la, p("p_partkey") === la("l_partkey"), "left")
+      .select(p("p_partkey"), p("p_name"), p("p_brand"),
+        coalesce(col("__n"), lit(0L)).as("times_ordered"),
+        coalesce(col("__q").cast(DoubleType), lit(0.0)).as("total_quantity_sold"))
       .orderBy(desc("times_ordered"), col("p_partkey"))
       .limit(10)
   }
@@ -93,12 +102,16 @@ object Views {
   def itemsPerOrder(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
-    o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
-      .groupBy(o("o_orderkey"), o("o_orderstatus"))
-      .agg(
-        count(l("l_linenumber")).as("item_count"),
-        coalesce(sum(l("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType), lit(0.0))
-          .as("total_quantity"))
+    // Same aggregate-below-join shape as [[productPopularity]]: orders is
+    // unique on o_orderkey, so grouping the fact first is exact and the
+    // join never carries more than one row per order per side.
+    val la = l.groupBy(col("l_orderkey"))
+      .agg(count(col("l_linenumber")).as("__n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("__q"))
+    o.join(la, o("o_orderkey") === la("l_orderkey"), "left")
+      .select(o("o_orderkey"), o("o_orderstatus"),
+        coalesce(col("__n"), lit(0L)).as("item_count"),
+        coalesce(col("__q").cast(DoubleType), lit(0.0)).as("total_quantity"))
       .orderBy(desc("item_count"), col("o_orderkey"))
       .limit(10)
   }
