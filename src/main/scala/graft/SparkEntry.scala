@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{CorpusQueries, DeltaBridgeQueries, MutationQueries, OlapQueries, RetrievalQueries, SamplingQueries, ScalarQueries, TemporalQueries, Views}
+import graft.analytics.{CorpusQueries, DeltaBridgeQueries, MutationQueries, OlapQueries, RetrievalQueries, SamplingQueries, ScalarQueries, SqlDmlQueries, TemporalQueries, Views}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -161,6 +161,10 @@ object SparkEntry {
     "q129_scd2_stream"       -> (MutationQueries.scd2Stream _),
     "q130_delta_export"      -> (DeltaBridgeQueries.deltaExportRoundtrip _),
     "q131_delta_skip"        -> (DeltaBridgeQueries.deltaSkipRead _),
+    "q132_sql_delete"        -> (SqlDmlQueries.sqlDelete _),
+    "q133_sql_update"        -> (SqlDmlQueries.sqlUpdate _),
+    "q134_sql_merge"         -> (SqlDmlQueries.sqlMerge _),
+    "q135_sql_restore"       -> (SqlDmlQueries.sqlRestore _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -403,6 +407,21 @@ object SparkEntry {
     "q131_delta_skip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 400000.0""".stripMargin,
+
+    // SQL DML surface (q132-q135): Delta's DELETE / UPDATE / MERGE /
+    // RESTORE statements through spark.sql over graft views; the oracles
+    // reproduce the final table states from the source parquet.
+    "q132_sql_delete" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
+    "q133_sql_update" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'X'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+    "q134_sql_merge" -> "SELECT * FROM orders",
+    "q135_sql_restore" -> "SELECT * FROM orders",
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

@@ -1,0 +1,97 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.table.GraftTable
+
+/** Driver queries exercising the SQL DML/utility surface end-to-end: each
+  * builds a [[GraftTable]] from the testdata `orders` parquet, mutates it
+  * through `spark.sql` ONLY (the injected
+  * [[org.apache.spark.sql.graftnative.GraftSqlParser]] routes the
+  * statements), and returns a final state plain ANSI SQL reproduces — so
+  * the DuckDB gate checks the SQL spellings of DELETE / UPDATE / MERGE /
+  * RESTORE exactly as q10/q11/q113 check their DataFrame-API forms.
+  * (Reference mutates through Python Delta APIs,
+  * spark_delta_handler.py:160-289; Delta SQL is the user-facing form.) */
+object SqlDmlQueries {
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag-").toString
+
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), GraftTable]()
+
+  private def cached(dir: String, tag: String)(build: => GraftTable): GraftTable =
+    fixtureCache.computeIfAbsent((dir, tag), _ => build)
+
+  /** Register a LIVE graft relation view (`USING graft`) — the form the
+    * SQL parser resolves DML targets through. ([[GraftTable.view]] pins a
+    * snapshot for skipping-enabled SELECTs; DML needs the live table.) */
+  private def graftView(spark: SparkSession, name: String, t: GraftTable): Unit =
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name " +
+      s"USING graft OPTIONS (path '${t.root}')")
+
+  /** q132: `DELETE FROM t WHERE o_orderstatus = 'F'` through SQL. */
+  def sqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(dir, "sqldel") {
+      val t0 = GraftTable.create(spark, freshDir("sqldel"), Tables.orders(spark, dir))
+      graftView(spark, "graft_sqldel_orders", t0)
+      spark.sql("DELETE FROM graft_sqldel_orders WHERE o_orderstatus = 'F'")
+      t0
+    }
+    t.read()
+  }
+
+  /** q133: `UPDATE t SET … WHERE …` through SQL — a constant restamp plus
+    * a computed reprice, both assignments in one pass. */
+  def sqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(dir, "sqlupd") {
+      val t0 = GraftTable.create(spark, freshDir("sqlupd"), Tables.orders(spark, dir))
+      graftView(spark, "graft_sqlupd_orders", t0)
+      spark.sql(
+        """UPDATE graft_sqlupd_orders
+          |SET o_orderstatus = 'X', o_totalprice = o_totalprice * 2
+          |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+      t0
+    }
+    t.read()
+  }
+
+  /** q134: `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *` through SQL — the q10 recipe (poisoned half-table
+    * upserted back to the full source) with SQL as the entry point. */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(dir, "sqlmrg") {
+      val orders = Tables.orders(spark, dir)
+      val base = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("o_totalprice", lit(-1.0))
+      val t0 = GraftTable.create(spark, freshDir("sqlmrg"), base)
+      graftView(spark, "graft_sqlmrg_target", t0)
+      orders.createOrReplaceTempView("graft_sqlmrg_source")
+      spark.sql(
+        """MERGE INTO graft_sqlmrg_target t USING graft_sqlmrg_source s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      t0
+    }
+    t.read()
+  }
+
+  /** q135: `DELETE` then `RESTORE TABLE … TO VERSION AS OF 0` through SQL
+    * — the q113 round-trip with SQL statements driving both steps. */
+  def sqlRestore(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(dir, "sqlrestore") {
+      val t0 = GraftTable.create(spark, freshDir("sqlrst"), Tables.orders(spark, dir))
+      graftView(spark, "graft_sqlrst_orders", t0)
+      spark.sql("DELETE FROM graft_sqlrst_orders WHERE o_orderstatus = 'F'")
+      spark.sql("RESTORE TABLE graft_sqlrst_orders TO VERSION AS OF 0")
+      t0
+    }
+    t.read()
+  }
+}

@@ -2,16 +2,18 @@ package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{DataType, StructType, TimestampType}
 
 import graft.table.GraftTable
 
-/** Delta's SQL time-travel syntax for graft relations:
+/** Delta's user-facing SQL surface for graft relations.
+  *
+  * Time travel:
   * {{{
   *   SELECT … FROM t VERSION AS OF 3
   *   SELECT … FROM t TIMESTAMP AS OF '2026-01-01 00:00:00'
@@ -22,15 +24,26 @@ import graft.table.GraftTable
   * "time travel is not supported". This delegating parser rewrites the
   * node BEFORE analysis whenever the identifier names a graft relation —
   * a `USING graft` temp view or catalog table — into the pinned-version
-  * read ([[GraftTable.readVersion]] / [[GraftTable.readAsOf]]). Anything
-  * else passes through untouched, so non-graft behavior is unchanged.
-  * (Reference exercises option-based travel, notebook cells 22-24; the
-  * SQL clause is Delta's user-facing form of the same read.) */
+  * read ([[GraftTable.readVersion]] / [[GraftTable.readAsOf]]).
+  *
+  * DML (`DELETE FROM` / `UPDATE` / `MERGE INTO`): the stock grammar parses
+  * these into v2-command nodes that fail analysis for v1 relations
+  * ("DELETE is only supported with v2 tables"); when the target is a graft
+  * relation they are rewritten to the eager [[GraftDeleteCommand]] /
+  * [[GraftUpdateCommand]] / [[GraftMergeCommand]] adapters over the
+  * transactional [[GraftTable]] operations (the same calls the reference
+  * makes through the Python Delta APIs, spark_delta_handler.py:160-236).
+  *
+  * Utility statements the stock grammar cannot parse at all (`OPTIMIZE` /
+  * `VACUUM` / `DESCRIBE HISTORY` / `RESTORE TABLE`) are recognized
+  * text-first; if the named table is graft's, the corresponding command
+  * runs, otherwise the text goes to the delegate untouched so non-graft
+  * behavior (including its parse errors) is unchanged. */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    utilityStatement(sqlText).getOrElse(rewrite(delegate.parsePlan(sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(delegate.parseQuery(sqlText))
@@ -40,7 +53,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // the real parser's parameter machinery.
   override def parsePlanWithParameters(sqlText: String,
       parameterContext: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    rewrite(delegate.parsePlanWithParameters(sqlText, parameterContext))
+    utilityStatement(sqlText).getOrElse(
+      rewrite(delegate.parsePlanWithParameters(sqlText, parameterContext)))
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
@@ -59,6 +73,149 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           SubqueryAlias(u.multipartIdentifier.last, df.queryExecution.logical)
         case None => tt // not graft's — stock resolution (and its errors) apply
       }
+
+    case d @ DeleteFromTable(target, cond) =>
+      dmlTargetOf(target) match {
+        case Some((t, quals)) => GraftDeleteCommand(t, GraftParsed(Option(cond)), quals)
+        case None => d
+      }
+
+    case u @ UpdateTable(target, assignments, cond) =>
+      dmlTargetOf(target) match {
+        case Some((t, quals)) =>
+          val assigns = assignments.map { a =>
+            a.key match {
+              case k: UnresolvedAttribute => (k.nameParts, a.value)
+              case other => throw new UnsupportedOperationException(
+                s"graft SQL UPDATE: unsupported assignment target ${other.sql}")
+            }
+          }
+          GraftUpdateCommand(t, GraftParsed(assigns), GraftParsed(cond), quals)
+        case None => u
+      }
+
+    case m: MergeIntoTable =>
+      dmlTargetOf(m.targetTable) match {
+        case Some((t, _)) =>
+          GraftMergeCommand(t, m.sourceTable, mergeKeyOf(m.mergeCondition),
+            mergeShapeOf(m))
+        case None => m
+      }
+
+    // Delta's CDF table-valued function:
+    //   SELECT * FROM table_changes('t', startV [, endV])
+    // Rewritten to GraftTable.readChanges when 't' names a graft relation;
+    // non-graft names fall through to stock resolution (which errors,
+    // since stock Spark has no such TVF — the right behavior).
+    case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+        if tvf.name.length == 1 && tvf.name.head.equalsIgnoreCase("table_changes") =>
+      tableChangesPlan(tvf)
+  }
+
+  private def tableChangesPlan(
+      tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def bad(msg: String) = throw new IllegalArgumentException(
+      s"table_changes(table, startVersion [, endVersion]): $msg")
+    def str(e: Expression): Option[String] = e match {
+      case Literal(v, _: org.apache.spark.sql.types.StringType) =>
+        Option(v).map(_.toString)
+      case _ => None
+    }
+    def lng(e: Expression): Long = e match {
+      case Literal(v: java.lang.Number, _) => v.longValue
+      case other => bad(s"version argument must be an integer literal, got ${other.sql}")
+    }
+    val args = tvf.functionArgs
+    if (args.size < 2 || args.size > 3) bad(s"expected 2-3 arguments, got ${args.size}")
+    val tname = str(args.head).getOrElse(
+      bad("first argument must be a table name string literal"))
+    val parts =
+      try delegate.parseMultipartIdentifier(tname)
+      catch { case scala.util.control.NonFatal(_) => Seq(tname) }
+    graftTableOf(parts) match {
+      case Some(t) =>
+        val df =
+          if (args.size == 3) t.readChanges(lng(args(1)), lng(args(2)))
+          else t.readChanges(lng(args(1)))
+        SubqueryAlias("table_changes", df.queryExecution.logical)
+      case None => tvf
+    }
+  }
+
+  /** The graft table and resolvable qualifiers (alias and/or table name)
+    * behind a DML target plan, if it is a graft relation. */
+  private def dmlTargetOf(p: LogicalPlan): Option[(GraftTable, Seq[String])] = p match {
+    case u: UnresolvedRelation =>
+      graftTableOf(u.multipartIdentifier).map((_, Seq(u.multipartIdentifier.last)))
+    case SubqueryAlias(id, u: UnresolvedRelation) =>
+      graftTableOf(u.multipartIdentifier)
+        .map((_, Seq(id.name, u.multipartIdentifier.last).distinct))
+    case _ => None
+  }
+
+  /** MERGE is admitted for a single-key equi-ON — the shape
+    * [[GraftTable.merge]]/[[GraftTable.deleteKeys]] implement exactly
+    * (and the only shape the reference's merges use,
+    * spark_delta_handler.py:197-236: `t.id = s.id`). */
+  private def mergeKeyOf(cond: Expression): String = cond match {
+    case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+        if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+      l.nameParts.last
+    case other => throw new UnsupportedOperationException(
+      "graft SQL MERGE requires ON <target>.<key> = <source>.<key> with the " +
+        s"same key column name on both sides, got: ${other.sql}")
+  }
+
+  private def mergeShapeOf(m: MergeIntoTable): GraftMergeShape = {
+    def bad(msg: String) = throw new UnsupportedOperationException(
+      "graft SQL MERGE supports WHEN MATCHED THEN UPDATE SET * + WHEN NOT " +
+        "MATCHED THEN INSERT *, WHEN NOT MATCHED THEN INSERT * alone, or " +
+        s"WHEN MATCHED THEN DELETE alone; $msg. For other row-level shapes " +
+        "use the DataFrame API (GraftTable.merge/update/delete).")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      bad("WHEN NOT MATCHED BY SOURCE is not supported")
+    (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+        GraftMergeShape.Upsert
+      case (Seq(), Seq(InsertStarAction(None))) => GraftMergeShape.InsertOnly
+      case (Seq(DeleteAction(None)), Seq()) => GraftMergeShape.DeleteMatched
+      case _ => bad("conditional or per-column actions are not supported")
+    }
+  }
+
+  // ----------------------------------------------- utility statements
+  // Recognized before delegation because the stock grammar has no rule
+  // for them. The lazy identifier groups expand minimally, so optional
+  // tail clauses (RETAIN / WHERE / ZORDER BY) bind correctly.
+
+  private val HistoryRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?\s*;?\s*$""".r
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+
+  private def utilityStatement(sqlText: String): Option[LogicalPlan] = {
+    def graft(ident: String): Option[GraftTable] =
+      try graftTableOf(delegate.parseMultipartIdentifier(ident.trim))
+      catch { case scala.util.control.NonFatal(_) => None }
+    sqlText match {
+      case HistoryRe(ident) => graft(ident).map(GraftHistoryCommand)
+      case VacuumRe(ident, hours) => graft(ident).map(t =>
+        GraftVacuumCommand(t, Option(hours).map(_.toDouble)))
+      case OptimizeRe(ident, where, zcols) => graft(ident).map { t =>
+        GraftOptimizeCommand(t,
+          GraftParsed(Option(where).map(w => delegate.parseExpression(w.trim))),
+          Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim.stripPrefix("`")
+            .stripSuffix("`")).filter(_.nonEmpty))
+      }
+      case RestoreRe(ident, v) => graft(ident).map(t =>
+        GraftRestoreCommand(t, v.toLong))
+      case _ => None
+    }
   }
 
   /** Evaluate the temporal-clause expression to epoch millis (literals and
