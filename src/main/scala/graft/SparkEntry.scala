@@ -165,6 +165,7 @@ object SparkEntry {
     "q133_sql_update"        -> (SqlDmlQueries.sqlUpdate _),
     "q134_sql_merge"         -> (SqlDmlQueries.sqlMerge _),
     "q135_sql_restore"       -> (SqlDmlQueries.sqlRestore _),
+    "q136_sql_merge_cdc"     -> (SqlDmlQueries.sqlMergeCdc _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -422,6 +423,23 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     "q134_sql_merge" -> "SELECT * FROM orders",
     "q135_sql_restore" -> "SELECT * FROM orders",
+    // q136: general MERGE (conditional DELETE / explicit UPDATE SET /
+    // guarded column-list INSERT / NOT MATCHED BY SOURCE UPDATE) — the
+    // final state reproduced with CASE + UNION ALL
+    "q136_sql_merge_cdc" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 'U'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderstatus = 'P' AND o_orderpriority <> '1-URGENT'
+        |       THEN '9-UNTOUCHED' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, 'N', 1.0, o_orderdate,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 97 = 0""".stripMargin,
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

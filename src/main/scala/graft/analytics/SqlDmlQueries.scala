@@ -82,6 +82,53 @@ object SqlDmlQueries {
     t.read()
   }
 
+  /** q136: GENERAL `MERGE INTO` through SQL — the full Delta clause
+    * surface in one statement: conditional matched DELETE, explicit
+    * matched UPDATE SET, guarded NOT MATCHED INSERT with a column list,
+    * and NOT MATCHED BY SOURCE UPDATE. One CDC-style source batch drives
+    * all four branches; the final state is reproducible in plain ANSI SQL
+    * (CASE + UNION ALL), so the DuckDB gate checks the row-level clause
+    * semantics end to end. */
+  def sqlMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(dir, "sqlmrgcdc") {
+      val orders = Tables.orders(spark, dir)
+      val t0 = GraftTable.create(spark, freshDir("sqlmrgcdc"), orders)
+      graftView(spark, "graft_sqlcdc_target", t0)
+      // One source batch with an op column: every 'F' order is a delete,
+      // every urgent non-'F' order re-prices (op 'u'), and a sampled set
+      // of synthetic new keys inserts (op 'c').
+      val deletes = orders.filter(col("o_orderstatus") === "F")
+        .withColumn("op", lit("d"))
+      val updates = orders.filter(col("o_orderstatus") =!= "F" &&
+          col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("u"))
+      val inserts = orders.filter(col("o_orderstatus") === "O" &&
+          pmod(col("o_orderkey"), lit(97)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_totalprice", lit(1.0))
+        .withColumn("op", lit("c"))
+      deletes.unionByName(updates).unionByName(inserts)
+        .createOrReplaceTempView("graft_sqlcdc_source")
+      spark.sql(
+        """MERGE INTO graft_sqlcdc_target t USING graft_sqlcdc_source s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.op = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE
+          |  SET o_orderstatus = 'U', o_totalprice = s.o_totalprice
+          |WHEN NOT MATCHED AND s.op = 'c' THEN INSERT
+          |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          |   o_orderpriority)
+          |  VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+          |   s.o_orderdate, s.o_orderpriority)
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P' THEN UPDATE
+          |  SET o_orderpriority = '9-UNTOUCHED'""".stripMargin)
+      t0
+    }
+    t.read()
+  }
+
   /** q135: `DELETE` then `RESTORE TABLE … TO VERSION AS OF 0` through SQL
     * — the q113 round-trip with SQL statements driving both steps. */
   def sqlRestore(spark: SparkSession, dir: String): DataFrame = {

@@ -39,6 +39,35 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * single-writer per table (one streaming query per table,
   * spark_streaming.py:461-463); this layer is safe beyond that.
   */
+/** One row-level clause of a general MERGE ([[GraftTable.mergeClauses]]) —
+  * Delta's `WHEN MATCHED [AND cond] THEN …` / `WHEN NOT MATCHED …` /
+  * `WHEN NOT MATCHED BY SOURCE …` family. Clause conditions and assignment
+  * values are arbitrary [[Column]]s over the two join sides (qualify with
+  * the target/source aliases passed to `mergeClauses`); within one branch,
+  * clauses are evaluated in order and the FIRST whose condition holds
+  * applies to the row (Delta's contract). */
+sealed trait MergeClause { def condition: Option[Column] }
+object MergeClause {
+  /** `UPDATE SET *` — every column the source carries takes the source
+    * value; target-only columns keep their value. Matched branch only. */
+  case class UpdateAll(condition: Option[Column] = None) extends MergeClause
+  /** `UPDATE SET c = expr, …` — explicit assignments (keys are target
+    * column names, case-insensitive); unassigned columns keep the target
+    * value. Matched and not-matched-by-source branches. */
+  case class Update(assignments: Map[String, Column],
+      condition: Option[Column] = None) extends MergeClause
+  /** `DELETE` — the target row leaves the snapshot. Matched and
+    * not-matched-by-source branches. */
+  case class Delete(condition: Option[Column] = None) extends MergeClause
+  /** `INSERT *` — source values for source columns, null for target-only
+    * columns. Not-matched branch only. */
+  case class InsertAll(condition: Option[Column] = None) extends MergeClause
+  /** `INSERT (c, …) VALUES (expr, …)` — explicit column list; unassigned
+    * columns insert null. Not-matched branch only. */
+  case class Insert(assignments: Map[String, Column],
+      condition: Option[Column] = None) extends MergeClause
+}
+
 final class GraftTable private (
     val spark: SparkSession,
     val root: String) {
@@ -257,11 +286,16 @@ final class GraftTable private (
 
   /** Time travel by timestamp (S5): max version with commit ts <= tsMs,
     * matching delta-rs's history walk (delta_handler.py:247-264). */
-  def readAsOf(tsMs: Long): DataFrame = {
+  def readAsOf(tsMs: Long): DataFrame = readVersion(versionAsOf(tsMs))
+
+  /** The version a timestamp resolves to (the [[readAsOf]] rule, on the
+    * monotonicized history clock) — RESTORE TO TIMESTAMP and the
+    * connector's `timestampAsOf` both route through this. */
+  def versionAsOf(tsMs: Long): Long = {
     val cs = commitsAdjusted().filter(_.tsMs <= tsMs)
     if (cs.isEmpty)
       throw new NoSuchElementException(s"$root has no version at or before ts $tsMs")
-    readCommit(cs.last)
+    cs.last.version
   }
 
   /** Commits with timestamps MONOTONICIZED by running max (Delta's
@@ -1206,6 +1240,49 @@ final class GraftTable private (
     }
   }
 
+  /** ALTER TABLE SET TBLPROPERTIES (metadata-only): user-namespace
+    * properties only — the engine-managed prefixes (constraints,
+    * generated/identity specs, dropped-column tombstones, txn stamps)
+    * have dedicated operations and are refused here so a stray SET
+    * cannot corrupt their invariants. */
+  def setProperties(props: Map[String, String]): Commit = this.synchronized {
+    val reserved = props.keys.filter(isEngineProperty)
+    require(reserved.isEmpty,
+      s"properties ${reserved.mkString(", ")} are engine-managed " +
+        "(use addConstraint/addColumn/… instead of SET TBLPROPERTIES)")
+    commitMetadata { prev =>
+      prev.copy(
+        version = prev.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "SET TBLPROPERTIES",
+        metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        properties = prev.properties ++ props)
+    }
+  }
+
+  /** ALTER TABLE UNSET TBLPROPERTIES (metadata-only; absent keys are a
+    * no-op, as Delta's IF EXISTS form). Engine-managed keys refused as
+    * in [[setProperties]]. */
+  def unsetProperties(keys: Seq[String]): Commit = this.synchronized {
+    val reserved = keys.filter(isEngineProperty)
+    require(reserved.isEmpty,
+      s"properties ${reserved.mkString(", ")} are engine-managed " +
+        "(use dropConstraint/… instead of UNSET TBLPROPERTIES)")
+    commitMetadata { prev =>
+      prev.copy(
+        version = prev.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "UNSET TBLPROPERTIES",
+        metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        properties = prev.properties -- keys)
+    }
+  }
+
+  private def isEngineProperty(k: String): Boolean =
+    k.startsWith(ConstraintPrefix) || k.startsWith(TombstoneCoverPrefix) ||
+      k.startsWith(DroppedColPrefix) || k.startsWith(GeneratedColPrefix) ||
+      k.startsWith(IdentitySpecPrefix) || k.startsWith(IdentityHwmPrefix)
+
   /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
   def dropConstraint(name: String): Commit = this.synchronized {
     commitMetadata { prev =>
@@ -1968,6 +2045,229 @@ final class GraftTable private (
       val c = Commit(v, tsMs, "MERGE", Seq(dir), Map(
         "numTargetRowsInserted" -> cdfMetrics.getOrElse("insert", 0L),
         "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
+        "numOutputRows" -> countDir(dir)), mergedSchema.json,
+        partitionCols = prev.partitionCols, changesDir = Some(chDir),
+        dirStats = Map(dir -> mergeMeta.stats),
+        properties = rewriteProps(prev.properties) ++
+          identityHwmUpdates(dir, mergeMeta, idSpecs, idHwm),
+        dirNulls = Map(dir -> mergeMeta.nulls))
+      commitRewrite(c, Seq(dir, chDir))
+    }
+
+  /** General MERGE (Delta's full row-level clause surface): ordered
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET …` / `UPDATE SET ALL` (star)
+    * / `DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT …/INSERT *`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …/DELETE`
+    * clauses over one full-outer join on `key`. Within each branch the
+    * FIRST clause whose condition holds applies; a row no clause claims
+    * is carried unchanged (target rows) or dropped (source rows) — all
+    * per-row CASE/WHEN on the single join, so the whole statement is one
+    * shuffle + one snapshot write regardless of clause count, and every
+    * expression stays inside whole-stage codegen.
+    *
+    * Clause conditions/values reference the join sides through
+    * `targetAlias`/`sourceAlias` (e.g. `col("t.v") > col("s.v")`).
+    * Unlike the canonical [[merge]] (reference M2), matched updates here
+    * emit CDF pre/post images for EVERY claimed row — Delta's general
+    * MERGE does no change detection unless the user writes the condition.
+    * Source must be unique per key (same contract as [[merge]]).
+    * Schema evolution applies only when a star clause is present
+    * (`UPDATE SET *` / `INSERT *`), matching Delta's autoMerge scoping.
+    */
+  def mergeClauses(source: DataFrame, key: String,
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      targetAlias: String = "t", sourceAlias: String = "s"): Commit =
+    mergeClausesOn(source, Seq(key), None, matched, notMatched,
+      notMatchedBySource, targetAlias, sourceAlias)
+
+  /** [[mergeClauses]] with a COMPOUND ON: several same-name equi keys
+    * plus an optional extra predicate (`ON t.k1 = s.k1 AND t.k2 = s.k2
+    * AND t.active`). The full condition lives in the outer join itself,
+    * so a key-matched pair failing the extra predicate surfaces as a
+    * target-only row AND a source-only row — Delta's semantics (the
+    * target row reaches NOT MATCHED BY SOURCE, the source row reaches
+    * NOT MATCHED) — while Catalyst still plans a hash/merge join on the
+    * equi keys with the extra predicate as the join's residual filter,
+    * never a cartesian. */
+  def mergeClausesOn(source: DataFrame, keys: Seq[String],
+      onExtra: Option[Column],
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeClause] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      targetAlias: String = "t", sourceAlias: String = "s"): Commit =
+    this.synchronized {
+      import MergeClause._
+      require(keys.nonEmpty, "MERGE needs at least one equi key")
+      matched.foreach {
+        case _: InsertAll | _: Insert => throw new IllegalArgumentException(
+          "MERGE: INSERT is not valid in the WHEN MATCHED branch")
+        case _ => ()
+      }
+      notMatched.foreach {
+        case _: InsertAll | _: Insert => ()
+        case other => throw new IllegalArgumentException(
+          s"MERGE: only INSERT is valid in the WHEN NOT MATCHED branch, got $other")
+      }
+      notMatchedBySource.foreach {
+        case _: Update | _: Delete => ()
+        case other => throw new IllegalArgumentException(
+          "MERGE: only UPDATE SET …/DELETE are valid in the WHEN NOT MATCHED " +
+            s"BY SOURCE branch (there is no source row to read), got $other")
+      }
+      require(targetAlias != sourceAlias,
+        s"MERGE target and source aliases must differ, both are '$targetAlias'")
+
+      val prev = log.latest().getOrElse(throw new NoSuchElementException(
+        s"merge into non-existent table $root — create it first"))
+      val v = prev.version + 1
+      val tsMs = System.currentTimeMillis()
+      val targetSchema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      val hasStar = (matched ++ notMatched).exists {
+        case _: UpdateAll | _: InsertAll => true; case _ => false
+      }
+      // Star clauses adopt new source columns (M6 additive evolution);
+      // explicit assignments bind to the existing target schema only.
+      val mergedSchema =
+        if (hasStar) StructType(targetSchema.fields ++
+          source.schema.fields.filterNot(f => targetSchema.fieldNames.contains(f.name)))
+        else targetSchema
+      if (hasStar) enforceCompatibleTypes(source.schema, mergedSchema, "merge")
+      val sourceCols = source.columns.toSet
+      val fieldOf = mergedSchema.fields.map(f => f.name -> f).toMap
+      // Assignment keys resolve case-insensitively against the schema.
+      def canon(n: String): String = fieldOf.getOrElse(n,
+        mergedSchema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE assignment target '$n' is not a column of the table " +
+              s"(columns: ${mergedSchema.fieldNames.mkString(", ")})"))).name
+      def canonical(cl: MergeClause): MergeClause = cl match {
+        case Update(as, c) => Update(as.map { case (k, ve) => canon(k) -> ve }, c)
+        case Insert(as, c) => Insert(as.map { case (k, ve) => canon(k) -> ve }, c)
+        case other => other
+      }
+      val (mCl, iCl, bCl) = (matched.map(canonical), notMatched.map(canonical),
+        notMatchedBySource.map(canonical))
+
+      // Side-presence markers survive the outer join where a null business
+      // key would lie about its side (a target row with a null key is
+      // present, merely unmatchable).
+      val tp = "__graft_t_present"; val sp = "__graft_s_present"
+      val t = alignTo(readCommit(prev), mergedSchema)
+        .withColumn(tp, lit(true)).alias(targetAlias)
+      // A null source key can never equi-match and Delta's NOT MATCHED
+      // branch still sees it (vacuously unmatched) — keep such rows.
+      val s = source.withColumn(sp, lit(true)).alias(sourceAlias)
+      val equi = keys.map(k =>
+        col(s"$targetAlias.$k") === col(s"$sourceAlias.$k")).reduce(_ && _)
+      val onCond = onExtra.map(equi && _).getOrElse(equi)
+      val joined = t.join(s, onCond, "full_outer")
+      val tPresent = col(s"$targetAlias.$tp").isNotNull
+      val sPresent = col(s"$sourceAlias.$sp").isNotNull
+
+      def condOf(cl: MergeClause): Column =
+        cl.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+      // First-true clause index per branch; -1 = no clause claims the row.
+      def firstIdx(cls: Seq[MergeClause]): Column =
+        cls.zipWithIndex.foldRight(lit(-1): Column) { case ((cl, i), els) =>
+          when(condOf(cl), lit(i)).otherwise(els)
+        }
+      val mIdx = firstIdx(mCl); val iIdx = firstIdx(iCl); val bIdx = firstIdx(bCl)
+
+      // The value column `c` takes under clause `cl` (post-image).
+      def clauseVal(cl: MergeClause, c: String): Column = {
+        val f = fieldOf(c)
+        cl match {
+          case _: UpdateAll =>
+            if (sourceCols.contains(c)) col(s"$sourceAlias.$c").cast(f.dataType)
+            else col(s"$targetAlias.$c")
+          case Update(as, _) => as.get(c).map(_.cast(f.dataType))
+            .getOrElse(col(s"$targetAlias.$c"))
+          case _: InsertAll =>
+            if (sourceCols.contains(c)) col(s"$sourceAlias.$c").cast(f.dataType)
+            else lit(null).cast(f.dataType)
+          case Insert(as, _) => as.get(c).map(_.cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType))
+          case _: Delete => lit(null).cast(f.dataType) // row never materializes
+        }
+      }
+      def branchVal(cls: Seq[MergeClause], idx: Column, default: Column,
+          c: String): Column =
+        cls.zipWithIndex.foldRight(default) { case ((cl, i), els) =>
+          cl match {
+            case _: Delete => els // deleted rows are filtered out below
+            case _ => when(idx === i, clauseVal(cl, c)).otherwise(els)
+          }
+        }
+      def outVal(c: String): Column =
+        when(tPresent && sPresent, branchVal(mCl, mIdx, col(s"$targetAlias.$c"), c))
+          .when(tPresent && !sPresent, branchVal(bCl, bIdx, col(s"$targetAlias.$c"), c))
+          .otherwise(branchVal(iCl, iIdx, lit(null).cast(fieldOf(c).dataType), c))
+          .as(c)
+      def deleteIdxs(cls: Seq[MergeClause]): Seq[Int] =
+        cls.zipWithIndex.collect { case (_: Delete, i) => i }
+      def isDeleted(cls: Seq[MergeClause], idx: Column): Column =
+        deleteIdxs(cls).map(idx === _).reduceOption(_ || _).getOrElse(lit(false))
+      val keep =
+        when(tPresent && sPresent, !isDeleted(mCl, mIdx))
+          .when(tPresent && !sPresent, !isDeleted(bCl, bIdx))
+          .otherwise(iIdx >= 0) // source-only rows exist only via INSERT
+
+      val outCols = mergedSchema.fieldNames.toSeq
+      val snapshot0 = joined.filter(keep).select(outCols.map(outVal): _*)
+      val genSpecs = generatedSpecs(prev.properties)
+      val idSpecs = identitySpecs(prev.properties)
+      val idHwm = identityHwms(prev.properties, idSpecs)
+      val regenerated = genSpecs.foldLeft(snapshot0) { case (d, (n, e)) =>
+        d.withColumn(n, expr(e)) }
+      val snapshot = fillIdentity(regenerated, idSpecs, idHwm)
+      enforceConstraints(snapshot, Some(prev), "MERGE")
+      val dir = writeData(snapshot, v)
+
+      // CDF: one pass over the same join; unmatched/unclaimed rows yield a
+      // null array which explode drops.
+      def img(cl: Option[MergeClause], side: String, ct: String): Column = {
+        val cols = cl match {
+          case Some(c) => outCols.map(n => clauseVal(c, n).as(n))
+          case None => outCols.map(n => col(s"$side.$n").as(n))
+        }
+        struct(cols :+ lit(ct).as("_change_type"): _*)
+      }
+      def branchChanges(cls: Seq[MergeClause], idx: Column,
+          guard: Column): Seq[(Column, Column)] =
+        cls.zipWithIndex.map { case (cl, i) =>
+          val hit = guard && idx === i
+          cl match {
+            case _: Delete => hit -> array(img(None, targetAlias, "delete"))
+            case _: Insert | _: InsertAll =>
+              hit -> array(img(Some(cl), sourceAlias, "insert"))
+            case _ => hit -> array(
+              img(None, targetAlias, "update_preimage"),
+              img(Some(cl), targetAlias, "update_postimage"))
+          }
+        }
+      val branches =
+        branchChanges(mCl, mIdx, tPresent && sPresent) ++
+          branchChanges(bCl, bIdx, tPresent && !sPresent) ++
+          branchChanges(iCl, iIdx, !tPresent && sPresent)
+      val changeArr = branches.foldRight(lit(null).cast(
+        org.apache.spark.sql.types.ArrayType(StructType(
+          mergedSchema.fields :+ org.apache.spark.sql.types.StructField(
+            "_change_type", org.apache.spark.sql.types.StringType)))): Column) {
+        case ((cond, arr), els) => when(cond, arr).otherwise(els)
+      }
+      val changeRows0 = joined.select(explode(changeArr).as("c")).select("c.*")
+      val changeRows = genSpecs.foldLeft(changeRows0) { case (d, (n, e)) =>
+        d.withColumn(n, expr(e)) }
+      val (chDir, cdfMetrics) = writeChanges(changeRows, v, tsMs)
+
+      val mergeMeta = metaFor(dir)
+      val c = Commit(v, tsMs, "MERGE", Seq(dir), Map(
+        "numTargetRowsInserted" -> cdfMetrics.getOrElse("insert", 0L),
+        "numTargetRowsUpdated" -> cdfMetrics.getOrElse("update_postimage", 0L),
+        "numTargetRowsDeleted" -> cdfMetrics.getOrElse("delete", 0L),
         "numOutputRows" -> countDir(dir)), mergedSchema.json,
         partitionCols = prev.partitionCols, changesDir = Some(chDir),
         dirStats = Map(dir -> mergeMeta.stats),

@@ -215,15 +215,37 @@ class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
     (): Unit
   }
 
+  // Head scans pin per EXECUTION, not per relation instance: a stored
+  // relation (temp-view plan, catalog relation cache) would otherwise
+  // serve its creation-time snapshot forever — `DELETE FROM t` followed
+  // by `SELECT * FROM t` reading the pre-delete rows. Keyed on the SQL
+  // execution id, every scan of one statement (self-joins, the pushed-
+  // filter and no-filter paths) shares one version — a commit landing
+  // mid-query still cannot mix versions — while the next statement
+  // re-reads the head. Entries are pruned once the map grows past a
+  // bound (executions are short-lived; re-pinning is harmless).
+  private val execVersion =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def pinnedVersion(t: GraftTable): Long = {
+    val execId = sqlContext.sparkContext
+      .getLocalProperty(org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY)
+    if (execId == null) t.version // lone scan outside an execution scope
+    else {
+      if (execVersion.size > 64) execVersion.clear()
+      execVersion.computeIfAbsent(execId, _ => java.lang.Long.valueOf(t.version))
+        .longValue
+    }
+  }
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val cond = filters.flatMap(GraftRelation.translate)
       .reduceOption(_ && _)
     val base = (headTable, cond) match {
-      // dir-skipping scan, pinned to the version captured at relation
-      // creation so the pushed-filter path can never read a newer snapshot
-      // than the no-filter path within one query
-      case (Some((t, v)), Some(c)) => t.whereVersion(v, c)
+      // dir-skipping scan on the execution-pinned snapshot
+      case (Some((t, _)), Some(c)) => t.whereVersion(pinnedVersion(t), c)
+      case (Some((t, _)), None) => t.readVersion(pinnedVersion(t))
       case (_, Some(c)) => df.filter(c)
       case _ => df
     }

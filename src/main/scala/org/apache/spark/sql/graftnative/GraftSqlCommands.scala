@@ -178,6 +178,72 @@ case class GraftMergeCommand(
   }
 }
 
+/** General `MERGE INTO` — the full Delta clause surface beyond the three
+  * canonical shapes of [[GraftMergeCommand]]: ordered conditional
+  * `WHEN MATCHED [AND c] THEN UPDATE SET …`/`UPDATE SET *`/`DELETE`,
+  * `WHEN NOT MATCHED [AND c] THEN INSERT …`/`INSERT *`, and
+  * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET …`/`DELETE`,
+  * mapped 1:1 onto [[GraftTable.mergeClauses]]. Clause conditions and
+  * values resolve against the join sides aliased with the statement's OWN
+  * target/source aliases, so `t.v > s.v` in the SQL binds exactly as
+  * written. Parsed actions ride in the [[GraftParsed]] envelope — they
+  * can only resolve at run time against the joined table read. */
+case class GraftMergeClausesCommand(
+    table: GraftTable,
+    sourcePlan: LogicalPlan,
+    keys: Seq[String],
+    onExtra: GraftParsed[Option[Expression]],
+    matched: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
+    notMatched: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
+    notMatchedBySource: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
+    targetAlias: String,
+    sourceAlias: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs(
+    "num_affected_rows", "num_updated_rows", "num_deleted_rows", "num_inserted_rows")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, MergeAction, UpdateAction, UpdateStarAction}
+    import graft.table.MergeClause
+    def colOf(e: Expression) = ExpressionUtils.column(e)
+    def assignMap(as: Seq[Assignment]): Map[String, org.apache.spark.sql.Column] =
+      as.map { a =>
+        val name = a.key match {
+          // Keys may carry the target alias/table qualifier; values keep
+          // their qualifiers (both join sides are in scope at run time).
+          case k: UnresolvedAttribute
+              if k.nameParts.length >= 2 &&
+                k.nameParts.head.equalsIgnoreCase(targetAlias) =>
+            k.nameParts.tail.mkString(".")
+          case k: UnresolvedAttribute => k.nameParts.mkString(".")
+          case other => throw new UnsupportedOperationException(
+            s"graft SQL MERGE: unsupported assignment target ${other.sql}")
+        }
+        name -> colOf(a.value)
+      }.toMap
+    def clause(a: MergeAction): MergeClause = a match {
+      case UpdateStarAction(c) => MergeClause.UpdateAll(c.map(colOf))
+      case UpdateAction(c, as, _) => MergeClause.Update(assignMap(as), c.map(colOf))
+      case DeleteAction(c) => MergeClause.Delete(c.map(colOf))
+      case InsertStarAction(c) => MergeClause.InsertAll(c.map(colOf))
+      case InsertAction(c, as) => MergeClause.Insert(assignMap(as), c.map(colOf))
+      case other => throw new UnsupportedOperationException(
+        s"graft SQL MERGE: unsupported action $other")
+    }
+    val src = GraftSqlCommands.sourceDf(session, sourcePlan)
+    val c = table.mergeClausesOn(src, keys, onExtra.value.map(colOf),
+      matched = matched.value.map(clause),
+      notMatched = notMatched.value.map(clause),
+      notMatchedBySource = notMatchedBySource.value.map(clause),
+      targetAlias = targetAlias, sourceAlias = sourceAlias)
+    val upd = c.metrics.getOrElse("numTargetRowsUpdated", 0L)
+    val del = c.metrics.getOrElse("numTargetRowsDeleted", 0L)
+    val ins = c.metrics.getOrElse("numTargetRowsInserted", 0L)
+    Seq(Row(upd + del + ins, upd, del, ins))
+  }
+}
+
 /** `OPTIMIZE t [WHERE pred] [ZORDER BY (c, …)]` — Delta's compaction
   * statement (S19, spark_delta_handler.py:282-289 runs the API form). */
 case class GraftOptimizeCommand(
@@ -199,18 +265,20 @@ case class GraftOptimizeCommand(
   }
 }
 
-/** `VACUUM t [RETAIN n HOURS]` (S18; default retention 168 h as the
-  * reference configures, docker-compose.yml spark-defaults). */
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` (S18; default retention 168 h
+  * as the reference configures, docker-compose.yml spark-defaults).
+  * DRY RUN lists what would be removed without deleting, as in Delta. */
 case class GraftVacuumCommand(
     table: GraftTable,
-    retainHours: Option[Double]) extends LeafRunnableCommand {
+    retainHours: Option[Double],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("num_deleted_dirs")
 
   override def run(session: SparkSession): Seq[Row] = {
     val removed = retainHours match {
-      case Some(h) => table.vacuum(retentionHours = h)
-      case None => table.vacuum()
+      case Some(h) => table.vacuum(retentionHours = h, dryRun = dryRun)
+      case None => table.vacuum(dryRun = dryRun)
     }
     Seq(Row(removed.size.toLong))
   }
@@ -230,15 +298,174 @@ case class GraftHistoryCommand(table: GraftTable) extends LeafRunnableCommand {
     table.history().collect().toSeq
 }
 
-/** `RESTORE TABLE t TO VERSION AS OF n` (M? — q113's operation as SQL). */
-case class GraftRestoreCommand(table: GraftTable, version: Long)
+/** `CREATE TABLE t [SHALLOW|DEEP] CLONE s [VERSION AS OF n] LOCATION p` —
+  * Delta's clone statement. Shallow clone shares the source's data files
+  * (zero copy, ownership-safe vacuum as the API form documents); deep
+  * clone rewrites them. The new table is registered in the session
+  * catalog as `USING graft` at the clone location, so SQL reads/DML on
+  * the cloned name work immediately. */
+case class GraftCloneCommand(
+    source: GraftTable,
+    targetName: Seq[String],
+    shallow: Boolean,
+    version: Option[Long],
+    location: Option[String],
+    orReplace: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("source_version")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val name = targetName.map(p => s"`$p`").mkString(".")
+    val loc = location.getOrElse {
+      val wh = session.sessionState.conf.warehousePath.stripSuffix("/")
+      s"$wh/${targetName.last}"
+    }
+    val v = version.getOrElse(-1L)
+    val cloned =
+      if (shallow) source.shallowClone(loc, v) else source.deepClone(loc, v)
+    if (orReplace) session.sql(s"DROP TABLE IF EXISTS $name")
+    session.sql(s"CREATE TABLE $name USING graft OPTIONS (path '${cloned.root}')")
+    Seq(Row(version.getOrElse(source.version)))
+  }
+}
+
+/** `CONVERT TO GRAFT parquet.`path`` — Delta's CONVERT TO DELTA for this
+  * format: adopt a directory of loose parquet files in place as version 0
+  * (no rewrite; q100's operation as SQL). */
+case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(GraftTable.convert(session, path).version))
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE t` — Delta's manifest
+  * statement (q105's operation as SQL): write the file listing engines
+  * without a log reader consume. */
+case class GraftGenerateManifestCommand(table: GraftTable)
     extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifest_path", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(table.generateManifest().toString))
+}
+
+/** `DESCRIBE DETAIL t` — Delta's one-row table-metadata statement, the
+  * SQL spelling of [[GraftTable.detail]] (format, location, file/byte
+  * counts, partition columns, properties). */
+case class GraftDetailCommand(table: GraftTable) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    DataTypeUtils.toAttributes(table.detail().schema)
+
+  override def run(session: SparkSession): Seq[Row] =
+    table.detail().collect().toSeq
+}
+
+/** `ALTER TABLE t ADD COLUMN[S] (c TYPE, …)` — the SQL spelling of the
+  * metadata-only [[GraftTable.addColumn]] (M6 additive evolution; q101's
+  * family as DDL). Top-level nullable columns only, like the API. */
+case class GraftAddColumnsCommand(
+    table: GraftTable,
+    columns: Seq[(String, org.apache.spark.sql.types.DataType)]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(columns.map { case (n, dt) => table.addColumn(n, dt).version }.last))
+}
+
+/** `ALTER TABLE t DROP COLUMN[S] c, …` — metadata-only
+  * [[GraftTable.dropColumn]]: bytes stay, no plan reads them, time travel
+  * still serves history (Delta needs column mapping for this). */
+case class GraftDropColumnsCommand(
+    table: GraftTable,
+    columns: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val present = table.read().schema.fieldNames.toSet
+    val todo = if (ifExists) columns.filter(present.contains) else columns
+    var v = table.version
+    todo.foreach(c => v = table.dropColumn(c).version)
+    Seq(Row(v))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN a TO b` — [[GraftTable.renameColumn]]
+  * (physical rewrite; see its scaladoc for why rename cannot be
+  * metadata-only without column mapping). */
+case class GraftRenameColumnCommand(
+    table: GraftTable,
+    from: String,
+    to: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(table.renameColumn(from, to).version))
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES (k = v, …)` /
+  * `UNSET TBLPROPERTIES [IF EXISTS] (k, …)` — user-namespace table
+  * properties as logged commits ([[GraftTable.setProperties]]). */
+case class GraftSetPropertiesCommand(
+    table: GraftTable,
+    props: Map[String, String],
+    unsetKeys: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(
+      if (unsetKeys.nonEmpty) table.unsetProperties(unsetKeys).version
+      else table.setProperties(props).version))
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` /
+  * `DROP CONSTRAINT [IF EXISTS] name` — [[GraftTable.addConstraint]]
+  * (validates the existing snapshot first, like Delta) and
+  * [[GraftTable.dropConstraint]]. */
+case class GraftConstraintCommand(
+    table: GraftTable,
+    name: String,
+    checkSql: Option[String], // Some = ADD, None = DROP
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] = checkSql match {
+    case Some(pred) => Seq(Row(table.addConstraint(name, pred).version))
+    case None =>
+      val known = table.constraints.contains(name)
+      if (!known && !ifExists) throw new NoSuchElementException(
+        s"table has no constraint '$name' (existing: " +
+          s"${table.constraints.keys.mkString(", ")})")
+      if (!known) Seq(Row(table.version))
+      else Seq(Row(table.dropConstraint(name).version))
+  }
+}
+
+/** `RESTORE TABLE t TO VERSION AS OF n` / `TO TIMESTAMP AS OF ts`
+  * (M12 — q113/q135's operation as SQL; the timestamp form resolves on
+  * the same monotonicized history clock as time-travel reads). */
+case class GraftRestoreCommand(table: GraftTable, version: Option[Long],
+    tsMs: Option[Long] = None) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs(
     "table_version", "restored_to_version")
 
   override def run(session: SparkSession): Seq[Row] = {
-    val c = table.restore(version)
-    Seq(Row(c.version, version))
+    val v = version.getOrElse(table.versionAsOf(tsMs.getOrElse(
+      throw new IllegalArgumentException(
+        "RESTORE needs VERSION AS OF or TIMESTAMP AS OF"))))
+    val c = table.restore(v)
+    Seq(Row(c.version, v))
   }
 }

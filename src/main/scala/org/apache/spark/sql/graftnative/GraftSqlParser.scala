@@ -2,9 +2,10 @@ package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{DataType, StructType, TimestampType}
@@ -96,10 +97,94 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
     case m: MergeIntoTable =>
       dmlTargetOf(m.targetTable) match {
-        case Some((t, _)) =>
-          GraftMergeCommand(t, m.sourceTable, mergeKeyOf(m.mergeCondition),
-            mergeShapeOf(m))
+        case Some((t, quals)) =>
+          val (keys, onExtra) = mergeOnOf(m.mergeCondition)
+          mergeShapeOf(m) match {
+            // The canonical reference shapes keep their tuned paths
+            // (change-detection upsert M2, anti-join insert, keyed
+            // delete) — single bare equi key only.
+            case Some(shape) if keys.length == 1 && onExtra.isEmpty =>
+              GraftMergeCommand(t, m.sourceTable, keys.head, shape)
+            // Everything else — conditional clauses, explicit assignment
+            // lists, NOT MATCHED BY SOURCE, multi-key or predicated ON —
+            // runs the general row-level merge with the statement's own
+            // aliases.
+            case _ => GraftMergeClausesCommand(t, m.sourceTable, keys,
+              GraftParsed(onExtra),
+              GraftParsed(m.matchedActions), GraftParsed(m.notMatchedActions),
+              GraftParsed(m.notMatchedBySourceActions),
+              targetAlias = quals.head, sourceAlias = sourceAliasOf(m.sourceTable))
+          }
         case None => m
+      }
+
+    // ALTER TABLE family: the stock grammar parses these into v2 nodes
+    // whose UnresolvedTable child fails analysis for temp views / v1
+    // tables; when the name is a graft relation they become the
+    // metadata-commit operations (addColumn/dropColumn/renameColumn/
+    // set-unset properties/constraints). Non-graft names keep stock
+    // behavior, including its errors.
+    case a @ logical.AddColumns(u: UnresolvedTable, cols) =>
+      graftTableOf(u.multipartIdentifier) match {
+        case Some(t) =>
+          val specs = cols.map { qc =>
+            if (qc.path.nonEmpty || qc.position.nonEmpty || qc.default.nonEmpty)
+              throw new UnsupportedOperationException(
+                "graft ADD COLUMN supports top-level columns without " +
+                  "position/default clauses")
+            qc.colName -> qc.dataType
+          }
+          GraftAddColumnsCommand(t, specs)
+        case None => a
+      }
+    case d @ logical.DropColumns(u: UnresolvedTable, cols, ifExists) =>
+      graftTableOf(u.multipartIdentifier) match {
+        case Some(t) =>
+          val names = cols.map { fn =>
+            fn.name match {
+              case Seq(one) => one
+              case other => throw new UnsupportedOperationException(
+                s"graft DROP COLUMN supports top-level columns, got ${other.mkString(".")}")
+            }
+          }
+          GraftDropColumnsCommand(t, names, ifExists)
+        case None => d
+      }
+    case r @ logical.RenameColumn(u: UnresolvedTable, column, newName) =>
+      graftTableOf(u.multipartIdentifier) match {
+        case Some(t) if column.name.length == 1 =>
+          GraftRenameColumnCommand(t, column.name.head, newName)
+        case Some(_) => throw new UnsupportedOperationException(
+          "graft RENAME COLUMN supports top-level columns")
+        case None => r
+      }
+    case sp @ logical.SetTableProperties(u: UnresolvedTable, props) =>
+      graftTableOf(u.multipartIdentifier) match {
+        case Some(t) => GraftSetPropertiesCommand(t, props, Nil)
+        case None => sp
+      }
+    case up @ logical.UnsetTableProperties(u: UnresolvedTable, keys, _) =>
+      graftTableOf(u.multipartIdentifier) match {
+        // absent keys are always a no-op removal, so IF EXISTS needs no
+        // special case
+        case Some(t) => GraftSetPropertiesCommand(t, Map.empty, keys)
+        case None => up
+      }
+    // AddCheckConstraint's child is `Filter(NOT pred, UnresolvedRelation)`
+    // (the violation probe the stock analyzer would run) — the table name
+    // sits in the inner relation, not an UnresolvedTable.
+    case ac: logical.AddCheckConstraint =>
+      val rel = ac.child.collectFirst { case u: UnresolvedRelation => u }
+      rel.flatMap(u => graftTableOf(u.multipartIdentifier)) match {
+        case Some(t) =>
+          GraftConstraintCommand(t, ac.checkConstraint.userProvidedName,
+            Some(ac.checkConstraint.condition), ifExists = false)
+        case None => ac
+      }
+    case dc @ logical.DropConstraint(u: UnresolvedTable, name, ifExists, _) =>
+      graftTableOf(u.multipartIdentifier) match {
+        case Some(t) => GraftConstraintCommand(t, name, None, ifExists)
+        case None => dc
       }
 
     // Delta's CDF table-valued function:
@@ -154,34 +239,54 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case _ => None
   }
 
-  /** MERGE is admitted for a single-key equi-ON — the shape
-    * [[GraftTable.merge]]/[[GraftTable.deleteKeys]] implement exactly
-    * (and the only shape the reference's merges use,
-    * spark_delta_handler.py:197-236: `t.id = s.id`). */
-  private def mergeKeyOf(cond: Expression): String = cond match {
-    case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
-        if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
-      l.nameParts.last
-    case other => throw new UnsupportedOperationException(
-      "graft SQL MERGE requires ON <target>.<key> = <source>.<key> with the " +
-        s"same key column name on both sides, got: ${other.sql}")
+  /** Decompose a MERGE ON condition: same-name `t.k = s.k` equi
+    * conjuncts become the join keys; every other conjunct becomes the
+    * extra match predicate ([[GraftTable.mergeClausesOn]] puts it in the
+    * outer-join condition, giving Delta's compound-ON semantics). At
+    * least one equi key is required — the join rewrite must never plan a
+    * cartesian. */
+  private def mergeOnOf(cond: Expression): (Seq[String], Option[Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.And
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val (eqs, rest) = conjuncts(cond).partition {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+        l.nameParts.last.equalsIgnoreCase(r.nameParts.last)
+      case _ => false
+    }
+    val keys = eqs.collect {
+      case EqualTo(l: UnresolvedAttribute, _) => l.nameParts.last
+    }.distinct
+    if (keys.isEmpty) throw new UnsupportedOperationException(
+      "graft SQL MERGE requires ON to contain at least one " +
+        "<target>.<key> = <source>.<key> equality (same column name on " +
+        s"both sides), got: ${cond.sql}")
+    (keys, rest.reduceOption(And))
   }
 
-  private def mergeShapeOf(m: MergeIntoTable): GraftMergeShape = {
-    def bad(msg: String) = throw new UnsupportedOperationException(
-      "graft SQL MERGE supports WHEN MATCHED THEN UPDATE SET * + WHEN NOT " +
-        "MATCHED THEN INSERT *, WHEN NOT MATCHED THEN INSERT * alone, or " +
-        s"WHEN MATCHED THEN DELETE alone; $msg. For other row-level shapes " +
-        "use the DataFrame API (GraftTable.merge/update/delete).")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      bad("WHEN NOT MATCHED BY SOURCE is not supported")
+  /** The tuned canonical shape, if the statement is exactly one of the
+    * three the reference uses; None routes to the general clause merge. */
+  private def mergeShapeOf(m: MergeIntoTable): Option[GraftMergeShape] = {
+    if (m.notMatchedBySourceActions.nonEmpty) return None
     (m.matchedActions, m.notMatchedActions) match {
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-        GraftMergeShape.Upsert
-      case (Seq(), Seq(InsertStarAction(None))) => GraftMergeShape.InsertOnly
-      case (Seq(DeleteAction(None)), Seq()) => GraftMergeShape.DeleteMatched
-      case _ => bad("conditional or per-column actions are not supported")
+        Some(GraftMergeShape.Upsert)
+      case (Seq(), Seq(InsertStarAction(None))) => Some(GraftMergeShape.InsertOnly)
+      case (Seq(DeleteAction(None)), Seq()) => Some(GraftMergeShape.DeleteMatched)
+      case _ => None
     }
+  }
+
+  /** The user-visible alias of the MERGE source — the name clause
+    * conditions/values qualify with. An anonymous subquery source gets a
+    * reserved alias (its columns are only reachable unqualified then,
+    * same as Delta). */
+  private def sourceAliasOf(p: LogicalPlan): String = p match {
+    case SubqueryAlias(id, _) => id.name
+    case u: UnresolvedRelation => u.multipartIdentifier.last
+    case _ => "__graft_src"
   }
 
   // ----------------------------------------------- utility statements
@@ -191,12 +296,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private val HistoryRe =
     """(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+(.+?)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(.+?)\s*;?\s*$""".r
+  private val ConvertRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val GenerateRe =
+    """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(.+?)\s*;?\s*$""".r
+  private val CloneRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\S+)\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+(\S+?)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
 
   private def utilityStatement(sqlText: String): Option[LogicalPlan] = {
     def graft(ident: String): Option[GraftTable] =
@@ -204,8 +320,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       catch { case scala.util.control.NonFatal(_) => None }
     sqlText match {
       case HistoryRe(ident) => graft(ident).map(GraftHistoryCommand)
-      case VacuumRe(ident, hours) => graft(ident).map(t =>
-        GraftVacuumCommand(t, Option(hours).map(_.toDouble)))
+      case DetailRe(ident) => graft(ident).map(GraftDetailCommand)
+      case ConvertRe(path) => Some(GraftConvertCommand(path.trim))
+      case GenerateRe(ident) => graft(ident).map(GraftGenerateManifestCommand)
+      case VacuumRe(ident, hours, dry) => graft(ident).map(t =>
+        GraftVacuumCommand(t, Option(hours).map(_.toDouble), dryRun = dry != null))
       case OptimizeRe(ident, where, zcols) => graft(ident).map { t =>
         GraftOptimizeCommand(t,
           GraftParsed(Option(where).map(w => delegate.parseExpression(w.trim))),
@@ -213,7 +332,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             .stripSuffix("`")).filter(_.nonEmpty))
       }
       case RestoreRe(ident, v) => graft(ident).map(t =>
-        GraftRestoreCommand(t, v.toLong))
+        GraftRestoreCommand(t, Some(v.toLong)))
+      case RestoreTsRe(ident, ts) => graft(ident).map(t =>
+        GraftRestoreCommand(t, None,
+          Some(evalTsMillis(delegate.parseExpression(ts.trim)))))
+      case CloneRe(orReplace, target, kind, src, ver, loc) => graft(src).map { t =>
+        GraftCloneCommand(t,
+          try delegate.parseMultipartIdentifier(target.trim)
+          catch { case scala.util.control.NonFatal(_) => Seq(target.trim) },
+          shallow = Option(kind).exists(_.equalsIgnoreCase("shallow")),
+          version = Option(ver).map(_.toLong),
+          location = Option(loc),
+          orReplace = orReplace != null)
+      }
       case _ => None
     }
   }

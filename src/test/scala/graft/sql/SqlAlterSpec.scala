@@ -1,0 +1,99 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** Delta's `ALTER TABLE` SQL family on graft relations — the SQL
+  * spellings of the metadata-commit operations (addColumn / dropColumn /
+  * renameColumn / set-unset properties / constraints), routed by the
+  * injected parser; stock Spark refuses all of these on temp views and
+  * v1 tables. */
+class SqlAlterSpec extends SparkSpec {
+
+  private lazy val s2 = spark
+
+  private def freshTable(tag: String, viewName: String): (GraftTable, String) = {
+    import s2.implicits._
+    val root = tmpDir(tag)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "s", "v").write.format("graft").save(root)
+    s2.sql(s"CREATE OR REPLACE TEMPORARY VIEW $viewName USING graft OPTIONS (path '$root')")
+    (GraftTable.forPath(s2, root), root)
+  }
+
+  test("ADD COLUMNS, DROP COLUMN, RENAME COLUMN TO") {
+    val (t, _) = freshTable("sqlalter", "alt_t")
+    s2.sql("ALTER TABLE alt_t ADD COLUMNS (note STRING, score DOUBLE)").collect()
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "s", "v", "note", "score"))
+    // new columns read null over pre-evolution files
+    assert(t.read().filter("note IS NULL").count() === 3)
+    s2.sql("ALTER TABLE alt_t DROP COLUMN score").collect()
+    assert(!t.read().schema.fieldNames.contains("score"))
+    // IF EXISTS tolerates the already-gone name
+    s2.sql("ALTER TABLE alt_t DROP COLUMN IF EXISTS score").collect()
+    s2.sql("ALTER TABLE alt_t RENAME COLUMN note TO remark").collect()
+    assert(t.read().schema.fieldNames.contains("remark"))
+    // time travel still serves the original shape
+    assert(t.readVersion(0).schema.fieldNames.toSeq === Seq("id", "s", "v"))
+    // history records each DDL as its own commit
+    val ops = t.history().collect().map(_.getAs[String]("operation")).toSeq
+    assert(ops.take(4) === Seq("RENAME COLUMN", "DROP COLUMN", "ADD COLUMN", "ADD COLUMN"))
+  }
+
+  test("SET/UNSET TBLPROPERTIES round-trip through DESCRIBE DETAIL") {
+    val (t, _) = freshTable("sqlprops", "prop_t")
+    // note: 'owner' is reserved by Spark's own grammar — user keys only
+    s2.sql("ALTER TABLE prop_t SET TBLPROPERTIES ('team' = 'data-eng', 'tier' = 'gold')")
+      .collect()
+    val props = s2.sql("DESCRIBE DETAIL prop_t").head()
+      .getAs[Map[String, String]]("properties")
+    assert(props("team") === "data-eng" && props("tier") === "gold")
+    s2.sql("ALTER TABLE prop_t UNSET TBLPROPERTIES ('tier')").collect()
+    val props2 = s2.sql("DESCRIBE DETAIL prop_t").head()
+      .getAs[Map[String, String]]("properties")
+    assert(props2.contains("team") && !props2.contains("tier"))
+    // IF EXISTS (and plain) unset of an absent key is a no-op
+    s2.sql("ALTER TABLE prop_t UNSET TBLPROPERTIES IF EXISTS ('nope')").collect()
+    // engine-managed namespaces are refused
+    val e = intercept[Exception] {
+      s2.sql("ALTER TABLE prop_t SET TBLPROPERTIES ('constraint.x' = '1=1')").collect()
+    }
+    assert(e.getMessage.contains("engine-managed"))
+  }
+
+  test("ADD CONSTRAINT validates and enforces; DROP CONSTRAINT releases") {
+    import s2.implicits._
+    val (t, _) = freshTable("sqlcons", "cons_t")
+    s2.sql("ALTER TABLE cons_t ADD CONSTRAINT v_pos CHECK (v > 0)").collect()
+    assert(t.constraints.keySet === Set("v_pos"))
+    // writes violating the constraint are refused
+    val bad = intercept[Exception] {
+      t.append(Seq((9L, "x", -1.0)).toDF("id", "s", "v"))
+    }
+    assert(bad.getMessage.toLowerCase.contains("constraint"))
+    // adding a constraint the existing snapshot violates is refused
+    val e = intercept[Exception] {
+      s2.sql("ALTER TABLE cons_t ADD CONSTRAINT v_big CHECK (v > 15)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("constraint") ||
+      e.getMessage.toLowerCase.contains("violat"))
+    s2.sql("ALTER TABLE cons_t DROP CONSTRAINT v_pos").collect()
+    assert(t.constraints.isEmpty)
+    t.append(Seq((9L, "x", -1.0)).toDF("id", "s", "v")) // now admitted
+    assert(t.read().count() === 4)
+    // DROP of an unknown name errors unless IF EXISTS
+    intercept[Exception] {
+      s2.sql("ALTER TABLE cons_t DROP CONSTRAINT nope").collect()
+    }
+    s2.sql("ALTER TABLE cons_t DROP CONSTRAINT IF EXISTS nope").collect()
+  }
+
+  test("non-graft relations keep stock ALTER behavior") {
+    import s2.implicits._
+    Seq((1L, "x")).toDF("id", "s").createOrReplaceTempView("plain_alter")
+    // stock Spark refuses ALTER on a temp view — that error must surface
+    intercept[Exception] {
+      s2.sql("ALTER TABLE plain_alter ADD COLUMNS (c INT)").collect()
+    }
+  }
+}

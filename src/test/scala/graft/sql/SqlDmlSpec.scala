@@ -9,9 +9,12 @@ import graft.table.GraftTable
   * ONLY — served by the injected
   * [[org.apache.spark.sql.graftnative.GraftSqlParser]]: `DELETE FROM`,
   * `UPDATE`, `MERGE INTO` (the canonical shapes), `OPTIMIZE`, `VACUUM`,
-  * `DESCRIBE HISTORY`, `RESTORE TABLE`. The reference performs the same
+  * `DESCRIBE HISTORY`, `DESCRIBE DETAIL`, `RESTORE TABLE`,
+  * `CREATE TABLE … CLONE`, `CONVERT TO GRAFT`, `GENERATE
+  * symlink_format_manifest`, and the `table_changes` TVF. The reference
+  * performs the same
   * mutations through Python Delta APIs (spark_delta_handler.py:160-289);
-  * these are their user-facing SQL spellings. */
+  * these are the user-facing SQL spellings of those calls. */
 class SqlDmlSpec extends SparkSpec {
 
   private lazy val s2 = spark
@@ -31,6 +34,9 @@ class SqlDmlSpec extends SparkSpec {
     val res = s2.sql("DELETE FROM del_t WHERE del_t.v > 25.0")
     assert(res.head().getLong(0) === 2) // num_affected_rows
     assert(t.read().select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // the registered view serves the POST-delete head (execution-pinned
+    // scan, not relation-creation-pinned): no stale reads after DML
+    assert(s2.sql("SELECT count(*) FROM del_t").head().getLong(0) === 2)
     // CDF recorded the SQL delete like the API delete (q13's contract)
     val ch = t.readChanges(1, t.version).filter(col("_change_type") === "delete")
     assert(ch.count() === 2)
@@ -105,18 +111,38 @@ class SqlDmlSpec extends SparkSpec {
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
     assert(t.read().count() === 5)
-    val e = intercept[UnsupportedOperationException] {
-      s2.sql(
-        """MERGE INTO mrg3_t t USING mrg3_src s ON t.id = s.id
-          |WHEN MATCHED THEN UPDATE SET t.s = s.s""".stripMargin)
-    }
-    assert(e.getMessage.contains("DataFrame API"))
+    // an ON with NO same-name equi key is refused (the join rewrite must
+    // never plan a cartesian); the message names the requirement
     val e2 = intercept[UnsupportedOperationException] {
       s2.sql(
-        """MERGE INTO mrg3_t t USING mrg3_src s ON t.id = s.id AND t.v > 0
+        """MERGE INTO mrg3_t t USING mrg3_src s ON t.v > s.v
           |WHEN MATCHED THEN DELETE""".stripMargin)
     }
-    assert(e2.getMessage.contains("MERGE requires ON"))
+    assert(e2.getMessage.contains("at least one"))
+  }
+
+  test("compound ON: extra predicate routes rows to Delta's branch semantics") {
+    import s2.implicits._
+    val (t, _) = freshTable("sqlmrg7", "mrg7_t")
+    // source key-matches ids 1-3; the ON predicate only admits v < 25,
+    // so id=3 (v=30) is key-matched yet UNMATCHED: its target row reaches
+    // NOT MATCHED BY SOURCE, its source row reaches NOT MATCHED
+    Seq((1L, "A"), (2L, "B"), (3L, "C"), (9L, "I")).toDF("id", "s")
+      .createOrReplaceTempView("mrg7_src")
+    val res = s2.sql(
+      """MERGE INTO mrg7_t t USING mrg7_src s
+        |ON t.id = s.id AND t.v < 25.0
+        |WHEN MATCHED THEN UPDATE SET s = s.s
+        |WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (s.id, s.s, -1.0)
+        |WHEN NOT MATCHED BY SOURCE AND t.id = 3 THEN DELETE
+        |""".stripMargin).head()
+    assert(res.getLong(1) === 2) // ids 1,2 updated
+    assert(res.getLong(2) === 1) // id 3 deleted via NMBS
+    assert(res.getLong(3) === 2) // id 3's source row + id 9 inserted
+    val byId = t.read().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(byId === Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", -1.0),
+      (4L, "d", 40.0), (9L, "I", -1.0)))
   }
 
   test("OPTIMIZE, with WHERE and ZORDER BY variants") {
@@ -139,12 +165,22 @@ class SqlDmlSpec extends SparkSpec {
     val hist = s2.sql("DESCRIBE HISTORY hist_t").collect()
     assert(hist.length === 2) // WRITE + DELETE, newest first
     assert(hist.head.getAs[String]("operation") === "DELETE")
+    val detail = s2.sql("DESCRIBE DETAIL hist_t").collect()
+    assert(detail.length === 1)
+    assert(detail.head.getAs[String]("format") === "graft")
     // restore back to v0 via SQL; the restored state is the full table
     s2.sql("RESTORE TABLE hist_t TO VERSION AS OF 0").collect()
     assert(t.read().count() === 4)
-    // vacuum with explicit retention 0 drops the unreachable delete dirs
+    // TIMESTAMP AS OF resolves on the history clock: restoring to v0's
+    // commit instant lands on v0's state (another full-table commit)
+    val ts0 = new java.sql.Timestamp(
+      t.history().orderBy("version").head().getAs[java.sql.Timestamp]("timestamp").getTime)
+    s2.sql(s"RESTORE TABLE hist_t TO TIMESTAMP AS OF '$ts0'").collect()
+    assert(t.read().count() === 4)
+    // DRY RUN reports without deleting; the real vacuum then removes
+    val wouldRemove = s2.sql("VACUUM hist_t RETAIN 0.0 HOURS DRY RUN").head().getLong(0)
     val removed = s2.sql("VACUUM hist_t RETAIN 0.0 HOURS").head().getLong(0)
-    assert(removed >= 0)
+    assert(removed === wouldRemove && removed >= 0)
     assert(t.read().count() === 4) // live state untouched
     assert(GraftTable.forPath(s2, root).read().count() === 4)
   }
@@ -179,6 +215,94 @@ class SqlDmlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
     assert(t.read().count() === 4)
+  }
+
+  test("general MERGE: conditional DELETE + UPDATE SET * + guarded INSERT (CDC apply)") {
+    import s2.implicits._
+    val (t, _) = freshTable("sqlmrg5", "mrg5_t")
+    Seq((2L, "B", 200.0, "u"), (3L, "x", 0.0, "d"), (7L, "g", 70.0, "c"),
+      (8L, "h", 80.0, "d")).toDF("id", "s", "v", "op")
+      .createOrReplaceTempView("mrg5_src")
+    val res = s2.sql(
+      """MERGE INTO mrg5_t t USING mrg5_src s ON t.id = s.id
+        |WHEN MATCHED AND s.op = 'd' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT (id, s, v) VALUES (s.id, s.s, s.v)
+        |""".stripMargin).head()
+    assert(res.getLong(1) === 1) // updated: id=2
+    assert(res.getLong(2) === 1) // deleted: id=3
+    assert(res.getLong(3) === 1) // inserted: id=7; id=8 claimed by no clause
+    val byId = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId === Map(1L -> "a", 2L -> "B", 4L -> "d", 7L -> "g"))
+  }
+
+  test("general MERGE: explicit SET mixing both sides; NOT MATCHED BY SOURCE") {
+    import s2.implicits._
+    val (t, _) = freshTable("sqlmrg6", "mrg6_t")
+    Seq((1L, 5.0), (2L, 7.0)).toDF("id", "bump")
+      .createOrReplaceTempView("mrg6_src")
+    // matched rows bump v; rows absent from the source are deleted
+    val res = s2.sql(
+      """MERGE INTO mrg6_t t USING mrg6_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = t.v + s.bump
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin).head()
+    assert(res.getLong(1) === 2 && res.getLong(2) === 2)
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(15.0, 27.0))
+    // no star clause: `bump` did not join the schema
+    assert(!t.read().schema.fieldNames.contains("bump"))
+    // CDF carries the pre/post pairs and the deletes
+    val counts = s2.sql("SELECT _change_type, count(*) c FROM table_changes('mrg6_t', " +
+      s"${t.version}, ${t.version}) GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("delete" -> 2L,
+      "update_preimage" -> 2L, "update_postimage" -> 2L))
+  }
+
+  test("CREATE TABLE … SHALLOW/DEEP CLONE registers a working catalog table") {
+    val (t, _) = freshTable("sqlclone", "clone_t")
+    s2.sql("DELETE FROM clone_t WHERE id = 4")
+    val shallowLoc = tmpDir("clone-shallow") + "/tbl"
+    s2.sql("DROP TABLE IF EXISTS clone_s")
+    s2.sql(s"CREATE TABLE clone_s SHALLOW CLONE clone_t LOCATION '$shallowLoc'")
+    val deepLoc = tmpDir("clone-deep") + "/tbl"
+    s2.sql("DROP TABLE IF EXISTS clone_d")
+    // deep clone pinned to v0 — pre-delete state
+    s2.sql(s"CREATE TABLE clone_d CLONE clone_t VERSION AS OF 0 LOCATION '$deepLoc'")
+    try {
+      assert(s2.sql("SELECT count(*) FROM clone_s").head().getLong(0) === 3)
+      assert(s2.sql("SELECT count(*) FROM clone_d").head().getLong(0) === 4)
+      // the cloned name takes DML without touching the source
+      s2.sql("DELETE FROM clone_d WHERE id = 1")
+      assert(s2.sql("SELECT count(*) FROM clone_d").head().getLong(0) === 3)
+      assert(t.read().count() === 3)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS clone_s")
+      s2.sql("DROP TABLE IF EXISTS clone_d")
+    }
+  }
+
+  test("CONVERT TO GRAFT adopts loose parquet; GENERATE writes the manifest") {
+    import s2.implicits._
+    // loose parquet dir (no _graft_log) — the conversion source
+    val raw = tmpDir("sqlconvert")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(raw)
+    val v = s2.sql(s"CONVERT TO GRAFT parquet.`$raw`").head().getLong(0)
+    assert(v === 0)
+    val t = GraftTable.forPath(s2, raw)
+    assert(t.read().count() === 3)
+    // and the converted table takes DML + manifest generation through SQL
+    s2.sql(s"CREATE OR REPLACE TEMPORARY VIEW conv_t USING graft OPTIONS (path '$raw')")
+    s2.sql("DELETE FROM conv_t WHERE id = 3")
+    assert(s2.sql("SELECT count(*) FROM conv_t").head().getLong(0) === 2)
+    val manifest = s2.sql("GENERATE symlink_format_manifest FOR TABLE conv_t")
+      .head().getString(0)
+    assert(new java.io.File(new java.net.URI(
+      if (manifest.startsWith("file:")) manifest else s"file:$manifest")).exists
+      || new java.io.File(manifest).exists)
   }
 
   test("non-graft tables keep stock DML behavior") {
