@@ -35,10 +35,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q73_dup_clusters,q27…
+    // times just the named queries (substring match). Unset = all (the
+    // driver's mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.contains)) }
+    selected.foreach { case (_, fn) =>
       try execute(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try execute(fn(spark, sfDir)) catch { case _: Throwable => () }

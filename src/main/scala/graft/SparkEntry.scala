@@ -166,6 +166,7 @@ object SparkEntry {
     "q134_sql_merge"         -> (SqlDmlQueries.sqlMerge _),
     "q135_sql_restore"       -> (SqlDmlQueries.sqlRestore _),
     "q136_sql_merge_cdc"     -> (SqlDmlQueries.sqlMergeCdc _),
+    "q137_copy_into"         -> (SqlDmlQueries.sqlCopyInto _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -440,6 +441,9 @@ object SparkEntry {
         |SELECT o_orderkey + 10000000, o_custkey, 'N', 1.0, o_orderdate,
         |  o_orderpriority
         |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 97 = 0""".stripMargin,
+    // q137: COPY INTO loads the source file exactly once (the statement
+    // runs twice in the fixture; a double-load would double the rows)
+    "q137_copy_into" -> "SELECT * FROM orders",
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

@@ -129,6 +129,24 @@ object SqlDmlQueries {
     t.read()
   }
 
+  /** q137: `COPY INTO` through SQL — idempotent bulk load of the source
+    * parquet into an empty table; the statement runs TWICE and the
+    * second run must be a no-op (the loaded-file ledger in the commit),
+    * so the oracle equality also proves the idempotency contract. */
+  def sqlCopyInto(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(dir, "sqlcopy") {
+      val t0 = GraftTable.create(spark, freshDir("sqlcopy"),
+        Tables.orders(spark, dir).limit(0))
+      graftView(spark, "graft_sqlcopy_orders", t0)
+      val stmt = s"COPY INTO graft_sqlcopy_orders FROM '$dir' " +
+        "FILEFORMAT = PARQUET PATTERN = 'orders.parquet'"
+      spark.sql(stmt).collect()
+      spark.sql(stmt).collect() // replay: must load nothing
+      t0
+    }
+    t.read()
+  }
+
   /** q135: `DELETE` then `RESTORE TABLE … TO VERSION AS OF 0` through SQL
     * — the q113 round-trip with SQL statements driving both steps. */
   def sqlRestore(spark: SparkSession, dir: String): DataFrame = {

@@ -62,6 +62,13 @@ final case class Commit(
       * Reads subtract them with a per-file position FILTER (no join).
       * Carried forward by appends; cleared by any snapshot rewrite. */
     dvDirs: Seq[String] = Nil,
+    /** Source files a COPY INTO loaded in THIS commit (absolute URIs).
+      * Recorded atomically with the data so idempotency cannot drift:
+      * the loaded-file set is the union over all commits, and a crash
+      * can never leave a file loaded-but-untracked or tracked-but-
+      * unloaded. One entry per ingested file — same metadata class as
+      * Delta's add actions, driver-side, never joined against data. */
+    copiedFiles: Seq[String] = Nil,
     /** Per-data-dir null bookkeeping for IS [NOT] NULL skipping and
       * all-null dir elimination: dir → col → null count, with the dir's
       * ROW count under the reserved "" key. -1 = the footers didn't say
@@ -350,6 +357,9 @@ object CommitLog {
       (if (c.dvDirs.nonEmpty)
         List("dvDirs" -> (JArray(c.dvDirs.map(JString(_)).toList): JValue))
       else Nil) ++
+      (if (c.copiedFiles.nonEmpty)
+        List("copiedFiles" -> (JArray(c.copiedFiles.map(JString(_)).toList): JValue))
+      else Nil) ++
       (if (c.dirNulls.nonEmpty)
         List("dirNulls" -> (JObject(c.dirNulls.toList.map { case (dir, cols) =>
           dir -> (JObject(cols.toList.map { case (col, n) =>
@@ -433,8 +443,12 @@ object CommitLog {
       }.toMap
       case _ => Map.empty[String, Map[String, Long]]
     }
+    val copied = j \ "copiedFiles" match {
+      case JArray(xs) => xs.collect { case JString(v) => v }
+      case _ => Nil
+    }
     Commit(lng("version"), lng("tsMs"), str("operation"), dirs, metrics,
       str("schemaJson"), txnApp, txnBatch, partCols, dirStats, changesDir,
-      properties, tombstones, dvs, dirNulls)
+      properties, tombstones, dvs, copied, dirNulls)
   }
 }

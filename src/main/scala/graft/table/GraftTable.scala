@@ -1519,6 +1519,51 @@ final class GraftTable private (
     c
   }
 
+  /** COPY INTO (Delta's idempotent bulk file load): append every file
+    * under `srcDir` matching `pattern` that has NOT been loaded before.
+    * The loaded-file ledger is the union of [[Commit.copiedFiles]] over
+    * the log — recorded atomically WITH the appended data, so a crash or
+    * replayed job can never load a file twice or lose one (re-running the
+    * same statement is a no-op, the Databricks COPY INTO contract).
+    * Returns None when nothing new matched.
+    *
+    * Scale shape: one driver-side glob listing of the source (the same
+    * cost any engine pays), a set-difference against log metadata, then a
+    * fully distributed read+append of only the fresh files. Hidden
+    * files (`_`/`.` prefixed) are skipped, as Spark's own readers do.
+    * `pattern` is a Hadoop glob relative to `srcDir` (e.g. `*.parquet`,
+    * or a partition-dir glob like `date=&#42;/part-*.parquet`). */
+  def copyInto(srcDir: String, pattern: String = "*",
+      format: String = "parquet"): Option[Commit] = this.synchronized {
+    require(log.latest().nonEmpty,
+      s"COPY INTO requires an existing table at $root — create it first " +
+        "(or CONVERT TO GRAFT the directory)")
+    val src = new Path(srcDir)
+    val sfs = src.getFileSystem(hadoopConf(spark))
+    val listed = Option(sfs.globStatus(new Path(src, pattern)))
+      .map(_.toSeq).getOrElse(Nil)
+      .filter(_.isFile)
+      .map(_.getPath.toUri.toString)
+      .filterNot { p =>
+        val n = new Path(p).getName
+        n.startsWith("_") || n.startsWith(".")
+      }
+    val loaded = log.commits().flatMap(_.copiedFiles).toSet
+    val fresh = listed.filterNot(loaded).sorted
+    if (fresh.isEmpty) return None
+    val df = format.toLowerCase match {
+      case "parquet" => spark.read.parquet(fresh: _*)
+      case "json" => spark.read.json(fresh: _*)
+      case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(fresh: _*)
+      case other => throw new IllegalArgumentException(
+        s"COPY INTO FILEFORMAT = $other not supported (PARQUET, JSON, CSV)")
+    }
+    val c = appendInternal(df, None, copiedFiles = fresh)
+    autoCompact()
+    c
+  }
+
   /** Exactly-once streaming append (Delta's `txn` action): the commit is
     * stamped with (txnAppId, txnBatchId); if this writer already committed
     * this or a later batch — a crash-replay under the at-least-once
@@ -1722,7 +1767,8 @@ final class GraftTable private (
     * new watermark, so engine-assigned ids stay unique under contention.
     * Returns None iff a txn-stamped batch turns out to be already committed
     * (possibly discovered mid-rebase). */
-  private def appendInternal(df: DataFrame, txn: Option[(String, Long)]): Option[Commit] =
+  private def appendInternal(df: DataFrame, txn: Option[(String, Long)],
+      copiedFiles: Seq[String] = Nil): Option[Commit] =
     this.synchronized {
       val tsMs = System.currentTimeMillis()
       var prev = log.latest()
@@ -1755,7 +1801,10 @@ final class GraftTable private (
       beforeCommitHook()
       var attempts = 0
       while (true) {
-        val c = Commit(v, tsMs, if (prev.isEmpty) "CREATE" else "APPEND",
+        val op =
+          if (copiedFiles.nonEmpty) "COPY INTO"
+          else if (prev.isEmpty) "CREATE" else "APPEND"
+        val c = Commit(v, tsMs, op,
           prev.map(_.dataDirs).getOrElse(Nil) :+ dir,
           Map("numOutputRows" -> added), mergedSchema.json,
           txn.map(_._1), txn.map(_._2),
@@ -1767,6 +1816,7 @@ final class GraftTable private (
             identityHwmUpdates(dir, meta, idSpecs, idHwm),
           tombstoneDirs = prev.map(_.tombstoneDirs).getOrElse(Nil),
           dvDirs = prev.map(_.dvDirs).getOrElse(Nil),
+          copiedFiles = copiedFiles,
           dirNulls = prev.map(_.dirNulls).getOrElse(Map.empty) + (dir -> meta.nulls))
         try { log.commit(c); return Some(c) }
         catch {

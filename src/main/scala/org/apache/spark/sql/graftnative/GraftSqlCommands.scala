@@ -366,6 +366,28 @@ case class GraftDetailCommand(table: GraftTable) extends LeafRunnableCommand {
     table.detail().collect().toSeq
 }
 
+/** `COPY INTO t FROM 'path' FILEFORMAT = PARQUET [PATTERN = 'glob']` —
+  * Delta's idempotent bulk load, the SQL spelling of
+  * [[GraftTable.copyInto]]: only files never loaded before are appended,
+  * the ledger rides in the commit itself, and re-running the statement
+  * is a no-op. */
+case class GraftCopyIntoCommand(
+    table: GraftTable,
+    srcDir: String,
+    format: String,
+    pattern: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs(
+    "num_affected_rows", "num_inserted_files")
+
+  override def run(session: SparkSession): Seq[Row] =
+    table.copyInto(srcDir, pattern.getOrElse("*"), format) match {
+      case Some(c) => Seq(Row(c.metrics.getOrElse("numOutputRows", 0L),
+        c.copiedFiles.size.toLong))
+      case None => Seq(Row(0L, 0L))
+    }
+}
+
 /** `ALTER TABLE t ADD COLUMN[S] (c TYPE, …)` — the SQL spelling of the
   * metadata-only [[GraftTable.addColumn]] (M6 additive evolution; q101's
   * family as DDL). Top-level nullable columns only, like the API. */
@@ -426,6 +448,26 @@ case class GraftSetPropertiesCommand(
     Seq(Row(
       if (unsetKeys.nonEmpty) table.unsetProperties(unsetKeys).version
       else table.setProperties(props).version))
+}
+
+/** `SHOW TBLPROPERTIES t [('key')]` — the user-visible property listing
+  * (same rows `DESCRIBE DETAIL` carries as a map). */
+case class GraftShowPropertiesCommand(
+    table: GraftTable,
+    key: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val props = table.detail().head().getAs[Map[String, String]]("properties")
+    key match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        s"Table graft.`${table.root}` does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
 }
 
 /** `ALTER TABLE t ADD CONSTRAINT name CHECK (pred)` /

@@ -173,6 +173,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // AddCheckConstraint's child is `Filter(NOT pred, UnresolvedRelation)`
     // (the violation probe the stock analyzer would run) — the table name
     // sits in the inner relation, not an UnresolvedTable.
+    // (child is UnresolvedTableOrView — SHOW accepts views too)
+    case sh @ logical.ShowTableProperties(
+        u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView, key, _) =>
+      graftTableOf(u.multipartIdentifier) match {
+        case Some(t) => GraftShowPropertiesCommand(t, key)
+        case None => sh
+      }
     case ac: logical.AddCheckConstraint =>
       val rel = ac.child.collectFirst { case u: UnresolvedRelation => u }
       rel.flatMap(u => graftTableOf(u.multipartIdentifier)) match {
@@ -310,6 +317,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val GenerateRe =
     """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(.+?)\s*;?\s*$""".r
+  private val CopyIntoRe =
+    ("""(?is)^\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
+      """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\S+)\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+(\S+?)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
@@ -331,6 +341,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim.stripPrefix("`")
             .stripSuffix("`")).filter(_.nonEmpty))
       }
+      case CopyIntoRe(ident, path, fmt, pat) => graft(ident).map(t =>
+        GraftCopyIntoCommand(t, path, fmt.toLowerCase, Option(pat)))
       case RestoreRe(ident, v) => graft(ident).map(t =>
         GraftRestoreCommand(t, Some(v.toLong)))
       case RestoreTsRe(ident, ts) => graft(ident).map(t =>

@@ -54,6 +54,11 @@ class SqlAlterSpec extends SparkSpec {
     assert(props2.contains("team") && !props2.contains("tier"))
     // IF EXISTS (and plain) unset of an absent key is a no-op
     s2.sql("ALTER TABLE prop_t UNSET TBLPROPERTIES IF EXISTS ('nope')").collect()
+    // SHOW TBLPROPERTIES lists them (and serves single-key lookups)
+    val shown = s2.sql("SHOW TBLPROPERTIES prop_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown("team") === "data-eng")
+    assert(s2.sql("SHOW TBLPROPERTIES prop_t ('team')").head().getString(1) === "data-eng")
     // engine-managed namespaces are refused
     val e = intercept[Exception] {
       s2.sql("ALTER TABLE prop_t SET TBLPROPERTIES ('constraint.x' = '1=1')").collect()

@@ -56,6 +56,20 @@ class SqlDmlSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSeq === Seq("a!", "b!", "c", "d"))
   }
 
+  test("DELETE and UPDATE accept IN-subquery conditions") {
+    import s2.implicits._
+    val (t, _) = freshTable("sqlsubq", "subq_t")
+    Seq(1L, 3L).toDF("kid").createOrReplaceTempView("subq_keys")
+    val res = s2.sql(
+      "DELETE FROM subq_t WHERE id IN (SELECT kid FROM subq_keys)")
+    assert(res.head().getLong(0) === 2)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
+    val upd = s2.sql(
+      "UPDATE subq_t SET v = 0.0 WHERE id NOT IN (SELECT kid FROM subq_keys)")
+    assert(upd.head().getLong(0) === 2)
+    assert(t.read().agg(sum("v")).head().getDouble(0) === 0.0)
+  }
+
   test("UPDATE rejects a SET target that is not a column") {
     val (_, _) = freshTable("sqlupdbad", "updbad_t")
     val e = intercept[Exception] {

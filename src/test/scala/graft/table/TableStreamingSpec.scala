@@ -28,6 +28,35 @@ class TableStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the table source and stops on its own") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("ts-avnow")
+    val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
+    t.append(Seq((2L, "b")).toDF("id", "s"))
+    val q = spark.readStream
+      .format("org.apache.spark.sql.graftnative.GraftTableSourceProvider")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("avnow_out")
+      .option("checkpointLocation", tmpDir("ts-avnow-ckpt"))
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    // AvailableNow's contract: process what exists, then terminate —
+    // batch-style backfill jobs over a streaming table (Delta parity).
+    assert(q.awaitTermination(120000))
+    assert(spark.table("avnow_out").count() === 2)
+    // a commit landing AFTER the drain is untouched until the next run
+    t.append(Seq((3L, "c")).toDF("id", "s"))
+    val q2 = spark.readStream
+      .format("org.apache.spark.sql.graftnative.GraftTableSourceProvider")
+      .option("path", dir).load()
+      .writeStream.format("memory").queryName("avnow_out2")
+      .option("checkpointLocation", tmpDir("ts-avnow-ckpt2"))
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q2.awaitTermination(120000))
+    assert(spark.table("avnow_out2").count() === 3)
+  }
+
   test("version-aware source streams appends, ignores compaction, rejects rewrites") {
     val dir = tmpDir("ts-vsrc")
     val t = GraftTable.create(spark, dir, Seq((1L, "a")).toDF("id", "s"))
