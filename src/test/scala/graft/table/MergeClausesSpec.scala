@@ -1,5 +1,7 @@
 package graft.table
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -156,6 +158,40 @@ class MergeClausesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.mergeClauses(src, "id", matched = Seq(Update(Map("nope" -> lit(1)))))
     }
+  }
+
+  test("compound ON plans a keyed join, never a cartesian") {
+    import spark.implicits._
+    val root = tmpDir("mc-plan")
+    val t = GraftTable.create(spark, root,
+      (1L to 5000L).map(i => (i, s"s$i", i * 1.0)).toDF("id", "s", "v"))
+    val src = (1L to 1000L).map(i => (i * 3, s"S$i", -1.0)).toDF("id", "s", "v")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      t.mergeClausesOn(src, Seq("id"), onExtra = Some(col("t.v") > col("s.v")),
+        matched = Seq(MergeClause.UpdateAll()),
+        notMatched = Seq(MergeClause.InsertAll()))
+      // listener delivery is async — poll until the snapshot-write plan shows
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (!plans.asScala.exists(_.contains("Join")) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val joined = plans.asScala.filter(_.contains("Join")).toSeq
+      assert(joined.nonEmpty, "no join plan captured")
+      // the extra ON predicate must ride a keyed join as its residual,
+      // never degrade the plan to a cartesian / nested-loop product
+      joined.foreach { p =>
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"general merge planned a product join:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("snapshot rewrite composes: time travel and history record the general merge") {
