@@ -167,6 +167,7 @@ object SparkEntry {
     "q135_sql_restore"       -> (SqlDmlQueries.sqlRestore _),
     "q136_sql_merge_cdc"     -> (SqlDmlQueries.sqlMergeCdc _),
     "q137_copy_into"         -> (SqlDmlQueries.sqlCopyInto _),
+    "q138_incremental_dedup" -> (CorpusQueries.incrementalDedup _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -444,6 +445,11 @@ object SparkEntry {
     // q137: COPY INTO loads the source file exactly once (the statement
     // runs twice in the fixture; a double-load would double the rows)
     "q137_copy_into" -> "SELECT * FROM orders",
+    // q138: exact-Jaccard pairs where at least one side is a BATCH doc
+    // (odd doc_id) — the incremental index path must lose nothing vs the
+    // one-shot recompute
+    "q138_incremental_dedup" -> (JaccardOracleSql +
+      "\n  AND (a_id % 2 = 1 OR b_id % 2 = 1)"),
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

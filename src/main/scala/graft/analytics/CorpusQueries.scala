@@ -81,6 +81,34 @@ object CorpusQueries {
     Dedup.minhashNearDups(Tables.documents(spark, dir), n = 3, k = 64,
       bands = 16, threshold = 0.5)
 
+  /** q138: INCREMENTAL MinHash dedup against a persisted index
+    * ([[Dedup]] geometry as q25, so the same full-recall argument holds).
+    * Even doc_ids play the already-ingested corpus (indexed once, cached
+    * per dir); odd doc_ids arrive as the new batch and dedup against the
+    * index + themselves WITHOUT recomputing corpus signatures. Oracle =
+    * exact Jaccard restricted to pairs naming at least one batch doc —
+    * equality proves the incremental path loses nothing vs one-shot. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val idx = incDedupCache.computeIfAbsent(dir, _ =>
+      graft.dedup.IncrementalDedup.create(spark,
+        graft.Scratch.dir(spark, "incdedup-index"), corpus,
+        graft.dedup.IncrementalDedup.Params(n = 3, k = 64, bands = 16)))
+    val pairs = graft.dedup.IncrementalDedup.addBatch(
+      idx, corpus, batch, threshold = 0.5, admit = false)
+    // normalize orientation to match the oracle's a_id < b_id phrasing
+    pairs.select(
+      least(col("a_id"), col("b_id")).as("a_id"),
+      greatest(col("a_id"), col("b_id")).as("b_id"),
+      col("jaccard"))
+  }
+
+  private val incDedupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.dedup.IncrementalDedup.MinHashIndex]()
+
   /** SimHash fingerprints + near-dup pairs at Hamming ≤ 3 (rows-only). */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(spark, dir), maxDist = 3)

@@ -78,7 +78,7 @@ object Dedup {
     * parquet round-trip — measured ~1.5 s slower on the bench corpus. At
     * 100 TB every dedup staging table crosses the threshold and the
     * materialize-once plan wins by construction. */
-  private def stageIfLarge(df: DataFrame, tag: String): DataFrame = {
+  private[dedup] def stageIfLarge(df: DataFrame, tag: String): DataFrame = {
     val threshold = df.sparkSession.conf.getOption("spark.graft.stage.threshold")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes < threshold) df
@@ -161,7 +161,7 @@ object Dedup {
     * against every (doc, shingle) row — 58M intermediate rows on the bench
     * corpus; the `array_intersect` phrasing after that built a hash set
     * per candidate row, ~half the verify cost.) */
-  private def verifyJaccard(cand: DataFrame, shingleSets: DataFrame,
+  private[dedup] def verifyJaccard(cand: DataFrame, shingleSets: DataFrame,
       threshold: Double): DataFrame = {
     cand
       .join(shingleSets.select(col("doc_id").as("a_id"), col("shset").as("a_set")), "a_id")
