@@ -1540,14 +1540,28 @@ final class GraftTable private (
         "(or CONVERT TO GRAFT the directory)")
     val src = new Path(srcDir)
     val sfs = src.getFileSystem(hadoopConf(spark))
+    def hidden(n: String): Boolean = n.startsWith("_") || n.startsWith(".")
+    // A matched DIRECTORY expands to the data files under it (recursive),
+    // as Delta's COPY INTO does for `FROM '/dir'`; hidden files and files
+    // under hidden dirs (checkpoints, logs) never load.
+    def expand(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+      if (st.isFile) Seq(st.getPath.toUri.toString)
+      else {
+        val it = sfs.listFiles(st.getPath, true)
+        val base = st.getPath.toUri.toString.stripSuffix("/")
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          val uri = f.getPath.toUri.toString
+          val rel = uri.stripPrefix(base).stripPrefix("/")
+          if (!rel.split('/').exists(hidden)) out += uri
+        }
+        out.result()
+      }
     val listed = Option(sfs.globStatus(new Path(src, pattern)))
       .map(_.toSeq).getOrElse(Nil)
-      .filter(_.isFile)
-      .map(_.getPath.toUri.toString)
-      .filterNot { p =>
-        val n = new Path(p).getName
-        n.startsWith("_") || n.startsWith(".")
-      }
+      .filterNot(st => hidden(st.getPath.getName))
+      .flatMap(expand)
     val loaded = log.commits().flatMap(_.copiedFiles).toSet
     val fresh = listed.filterNot(loaded).sorted
     if (fresh.isEmpty) return None

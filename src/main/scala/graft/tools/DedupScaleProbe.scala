@@ -31,6 +31,9 @@ object DedupScaleProbe {
         "q81_dup_clusters_lsh", "q110_substring_scrub", "q111_semantic_dedup",
         "q29_embedding_neardup", "q30_embedding_neardup_lsh")
     val spark = SparkSession.builder().master(s"local[$cpus]")
+      // same extension surface as Verify/Bench — the SQL-DML queries
+      // (q132+) route through the injected parser
+      .config("spark.sql.extensions", "graft.functions.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -60,7 +63,16 @@ object DedupScaleProbe {
       .select((col("vec_id") + col("id") * nVec * 10L).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    println(s"PROBE corpus x$k at $dir: ${nDocs * k} docs, ${nVec * k} vecs")
+    // orders too, so the mutation-family queries (q136 general merge …)
+    // probe at the same ×K
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val nOrd = ord.count()
+    spark.range(k).crossJoin(ord)
+      .select((col("o_orderkey") + col("id") * nOrd * 100L).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    println(s"PROBE corpus x$k at $dir: ${nDocs * k} docs, ${nVec * k} vecs, ${nOrd * k} orders")
 
     queries.foreach { name =>
       val t0 = System.nanoTime()

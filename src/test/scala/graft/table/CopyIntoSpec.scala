@@ -65,6 +65,22 @@ class CopyIntoSpec extends SparkSpec {
     assert(t.read().count() === 2)
   }
 
+  test("a matched directory expands to the data files under it") {
+    import spark.implicits._
+    val root = tmpDir("copyinto4") + "/tbl"
+    val src = tmpDir("copyinto4-src")
+    // a parquet DIRECTORY (part files + _SUCCESS) — FROM 'src' must load
+    // its data files and skip the hidden marker
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .repartition(2).write.mode("overwrite").parquet(s"$src/batch")
+    val t = GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "s"))
+    val c = t.copyInto(src) // default pattern * matches the batch dir
+    assert(c.nonEmpty && t.read().count() === 3)
+    assert(c.get.copiedFiles.forall(_.endsWith(".parquet")))
+    // idempotent across the expansion too
+    assert(t.copyInto(src).isEmpty)
+  }
+
   test("SQL spelling with PATTERN, through the injected parser") {
     import spark.implicits._
     val root = tmpDir("copyinto3") + "/tbl"
