@@ -95,7 +95,8 @@ object IncrementalDedup {
     * names. Batch doc_ids must be distinct from indexed ones (the caller's
     * id discipline, as with any keyed ingest). */
   def addBatch(index: MinHashIndex, corpusDocs: DataFrame, newDocs: DataFrame,
-      threshold: Double = 0.8, admit: Boolean = true): DataFrame = {
+      threshold: Double = 0.8, admit: Boolean = true,
+      txn: Option[(String, Long)] = None): DataFrame = {
     val spark = index.spark
     val p = index.params
     // Stage the batch signatures: referenced by banding, candidate join
@@ -133,9 +134,17 @@ object IncrementalDedup {
       touchedCorpus.unionByName(touchedBatch).dropDuplicates("doc_id"), p.n)
     val verified = Dedup.verifyJaccard(cand, shingleSets, threshold)
 
-    if (admit) {
-      index.signatures.append(sigs)
-      index.buckets.append(batchBands)
+    if (admit) txn match {
+      // Stamped admission (the streaming path): an at-least-once replay
+      // of the batch is detected per table and skipped — the index never
+      // accumulates duplicate signature/bucket rows across restarts, even
+      // after a crash BETWEEN the two appends.
+      case Some((app, b)) =>
+        index.signatures.appendOnce(sigs, s"$app-sigs", b)
+        index.buckets.appendOnce(batchBands, s"$app-buckets", b)
+      case None =>
+        index.signatures.append(sigs)
+        index.buckets.append(batchBands)
     }
     verified
   }
@@ -146,9 +155,10 @@ object IncrementalDedup {
     * text of every indexed doc — typically the graft table the pipeline
     * also appends accepted docs to, read LIVE (by-name function) so each
     * batch sees its predecessors. Checkpoint + at-least-once replays are
-    * safe: a replayed batch re-admits its signatures (duplicate bucket
-    * rows only widen candidate sets, never change verified pairs) and the
-    * dup feed is de-duplicatable on (a_id, b_id). */
+    * exactly-once end to end: all four appends (docs, signatures,
+    * buckets, dup feed) carry per-table txn stamps, so a replayed batch
+    * is detected and skipped per table — including after a crash between
+    * any two of them. */
   def startStream(index: MinHashIndex, corpusDocs: () => DataFrame,
       docsStream: DataFrame, dupsTable: GraftTable, threshold: Double = 0.8,
       checkpoint: String, admitDocsTo: Option[GraftTable] = None,
@@ -166,7 +176,8 @@ object IncrementalDedup {
         // individually idempotent via its txn stamp).
         admitDocsTo.foreach(_.appendOnce(batch,
           txnAppId = s"incdedup-docs-${index.root}", txnBatchId = batchId))
-        val pairs = addBatch(index, corpusDocs(), batch, threshold)
+        val pairs = addBatch(index, corpusDocs(), batch, threshold,
+          txn = Some((s"incdedup-${index.root}", batchId)))
         dupsTable.appendOnce(pairs.withColumn("batch_id", lit(batchId)),
           txnAppId = s"incdedup-${index.root}", txnBatchId = batchId)
         (): Unit

@@ -222,19 +222,25 @@ class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
   // execution id, every scan of one statement (self-joins, the pushed-
   // filter and no-filter paths) shares one version — a commit landing
   // mid-query still cannot mix versions — while the next statement
-  // re-reads the head. Entries are pruned once the map grows past a
-  // bound (executions are short-lived; re-pinning is harmless).
+  // re-reads the head. Eviction is LRU of the OLDEST entry (executions
+  // are short-lived, the eldest is long finished); a wholesale clear()
+  // could drop an IN-FLIGHT execution's pin and let its later scans
+  // re-pin to a newer head — the very version mixing this map prevents.
   private val execVersion =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size > 256
+      })
 
   private def pinnedVersion(t: GraftTable): Long = {
     val execId = sqlContext.sparkContext
       .getLocalProperty(org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY)
     if (execId == null) t.version // lone scan outside an execution scope
-    else {
-      if (execVersion.size > 64) execVersion.clear()
-      execVersion.computeIfAbsent(execId, _ => java.lang.Long.valueOf(t.version))
-        .longValue
+    else execVersion.synchronized {
+      val cur = execVersion.get(execId)
+      if (cur != null) cur.longValue
+      else { val v = t.version; execVersion.put(execId, v); v }
     }
   }
 

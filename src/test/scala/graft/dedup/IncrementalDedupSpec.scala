@@ -110,6 +110,22 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stamped admission is exactly-once: a replayed batch is skipped") {
+    val corpus = Seq(doc(1, "a")).toDF("doc_id", "text")
+    val idx = IncrementalDedup.create(spark, tmpDir("incdedup-replay"), corpus)
+    val batch = Seq(doc(10, "b")).toDF("doc_id", "text")
+    IncrementalDedup.addBatch(idx, corpus, batch, 0.8,
+      txn = Some(("replay-app", 7L)))
+    assert(idx.docCount === 2)
+    // the at-least-once replay (same app + batch id): both index tables
+    // detect the stamp and skip — no duplicate signature/bucket rows
+    IncrementalDedup.addBatch(idx, corpus, batch, 0.8,
+      txn = Some(("replay-app", 7L)))
+    assert(idx.docCount === 2)
+    assert(idx.buckets.read().count() ===
+      2 * idx.params.bands) // bands rows per doc, exactly once each
+  }
+
   test("admit = false probes without mutating the index") {
     val corpus = Seq(doc(1, "a")).toDF("doc_id", "text")
     val root = tmpDir("incdedup-probe")
