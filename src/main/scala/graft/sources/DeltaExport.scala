@@ -403,7 +403,7 @@ object DeltaExport {
       "operation" -> JString(deltaOpName(c.operation)),
       "operationParameters" -> JObject(),
       "isolationLevel" -> JString("Serializable"),
-      "isBlindAppend" -> JBool(c.operation == "APPEND"),
+      "isBlindAppend" -> JBool(c.operation == "APPEND" || c.operation == "COPY INTO"),
       "operationMetrics" -> metrics,
       "engineInfo" -> JString("graft-delta-export/0.6"),
       "txnId" -> JString(java.util.UUID.nameUUIDFromBytes(

@@ -50,6 +50,26 @@ class DeltaExportSpec extends SparkSpec {
       === Set((1L, "a", 10), (3L, "c", 30)))
   }
 
+  test("COPY INTO commits export as blind appends and round-trip") {
+    import spark.implicits._
+    val root = tmpDir("dexp-copy")
+    val src = tmpDir("dexp-copy-src")
+    Seq((10L, "x", 1), (11L, "y", 2)).toDF("id", "s", "n")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "a", 10)).toDF("id", "s", "n"), Nil)
+    assert(t.copyInto(src).nonEmpty)
+    DeltaExport.exportLog(t)
+    assert(DeltaImport.read(spark, root).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "a", 10), (10L, "x", 1), (11L, "y", 2)))
+    // the exported commitInfo marks the load a blind append, like a Delta
+    // writer's own COPY INTO
+    val log = new java.io.File(s"$root/_delta_log")
+      .listFiles().filter(_.getName.endsWith("1.json")).head
+    val text = new String(java.nio.file.Files.readAllBytes(log.toPath))
+    assert(text.contains("\"COPY INTO\"") && text.contains("\"isBlindAppend\":true"))
+  }
+
   test("action shapes match the reference's Delta log layout, stats are typed") {
     val root = tmpDir("dexp-shape")
     val t = GraftTable.create(spark,

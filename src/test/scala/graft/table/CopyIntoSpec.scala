@@ -81,6 +81,22 @@ class CopyIntoSpec extends SparkSpec {
     assert(t.copyInto(src).isEmpty)
   }
 
+  test("FILEFORMAT = JSON loads and schema-aligns") {
+    import spark.implicits._
+    val root = tmpDir("copyinto5") + "/tbl"
+    val src = tmpDir("copyinto5-src")
+    new java.io.File(src).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/rows.json"),
+      """{"id": 5, "s": "j1"}
+        |{"id": 6, "s": "j2"}""".stripMargin.getBytes("UTF-8"))
+    val t = GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "s"))
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW copyj_t USING graft OPTIONS (path '$root')")
+    val res = spark.sql(
+      s"COPY INTO copyj_t FROM '$src' FILEFORMAT = JSON PATTERN = '*.json'").head()
+    assert(res.getLong(0) === 2)
+    assert(t.read().count() === 3)
+  }
+
   test("SQL spelling with PATTERN, through the injected parser") {
     import spark.implicits._
     val root = tmpDir("copyinto3") + "/tbl"

@@ -160,6 +160,31 @@ class MergeClausesSpec extends SparkSpec {
     }
   }
 
+  test("partitioned table: general merge preserves layout and prunes reads") {
+    import spark.implicits._
+    val root = tmpDir("mc-part")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "us", 10.0), (2L, "eu", 20.0), (3L, "us", 30.0))
+        .toDF("id", "region", "v"),
+      partitionBy = Seq("region"))
+    val src = Seq((1L, "us", 100.0), (9L, "ap", 90.0)).toDF("id", "region", "v")
+    t.mergeClauses(src, "id",
+      matched = Seq(MergeClause.UpdateAll()),
+      notMatched = Seq(MergeClause.InsertAll()))
+    // hive layout survives: the new snapshot still partitions by region
+    // (including the INSERTED region) and partition-pruned reads work
+    assert(t.read().count() === 4)
+    val us = t.where(col("region") === "us").select("v")
+      .collect().map(_.getDouble(0)).sorted
+    assert(us.toSeq === Seq(30.0, 100.0))
+    assert(t.where(col("region") === "ap").count() === 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+    val latest = dataDirs.map(_.getPath).maxBy(_.getName)
+    assert(fs.listStatus(latest).map(_.getPath.getName).count(_.startsWith("region=")) === 3)
+  }
+
   test("compound ON plans a keyed join, never a cartesian") {
     import spark.implicits._
     val root = tmpDir("mc-plan")
