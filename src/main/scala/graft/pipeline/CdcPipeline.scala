@@ -181,19 +181,36 @@ object CdcPipeline {
     val batchTs = new java.sql.Timestamp(System.currentTimeMillis())
     val upserts = Parse.typedSnapshotRows(winners, table)
       .withColumn("__processed_at", lit(batchTs))
-    val deletes = Parse.deleteKeyRows(winners, table)
+    val deletes = Parse.typedDeleteRows(winners, table)
+      .withColumn("__cdc_operation", lit("DELETE"))
+      .withColumn("__processed_at", lit(batchTs))
     val path = snapshotPath(cfg, table)
-    if (!upserts.isEmpty) {
-      GraftTable.createIfNotExists(spark, path, upserts.limit(0))
-        // Metadata columns churn every batch; excluding them from change
-        // detection keeps a re-delivered identical row a true no-op
-        // (spark_delta_handler.py:222-236 semantics).
-        .merge(upserts, "id",
-          compareIgnore = Seq("__cdc_operation", "__cdc_timestamp", "__processed_at"))
-    }
-    if (GraftTable.isTable(spark, path) && !deletes.isEmpty) {
-      GraftTable.forPath(spark, path).deleteKeys(deletes, "id")
-      (): Unit
+    // SINGLE-PASS apply: upserts AND deletes ride ONE clause merge — one
+    // full-outer join, one snapshot write, one commit per micro-batch
+    // (previously merge + anti-join delete = two joins, two commits).
+    // Change detection is the matched-UPDATE clause's condition (Delta's
+    // own spelling of spark_delta_handler.py:222-236): a re-delivered
+    // identical row matches NO clause and carries untouched — a true
+    // no-op, no CDF row, not even metadata churn.
+    if (GraftTable.isTable(spark, path) || !upserts.isEmpty) {
+      val t = GraftTable.createIfNotExists(spark, path, upserts.limit(0))
+      val src = upserts.unionByName(
+        deletes.select(upserts.columns.map(col).toSeq: _*))
+      if (!src.isEmpty) {
+        val meta = Set("id", "__cdc_operation", "__cdc_timestamp", "__processed_at")
+        val changed = upserts.columns.filterNot(meta.contains).toSeq
+          .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        t.mergeClauses(src, "id",
+          matched = Seq(
+            graft.table.MergeClause.Delete(
+              Some(col("s.__cdc_operation") === "DELETE")),
+            graft.table.MergeClause.UpdateAll(Some(changed))),
+          notMatched = Seq(
+            graft.table.MergeClause.InsertAll(
+              Some(col("s.__cdc_operation") =!= "DELETE"))))
+        (): Unit
+      }
     }
     mirrorDelta(spark, cfg, path)
   }
