@@ -60,10 +60,22 @@ private[graftnative] object GraftSqlCommands {
 
   def sourceDf(session: SparkSession, plan: LogicalPlan) =
     ClassicDataset.ofRows(session.asInstanceOf[ClassicSparkSession], plan)
+
+  /** `spark.graft.sql.mergeOnRead`: route SQL DELETE/UPDATE through the
+    * no-rewrite merge-on-read paths (tombstones + updated copies) —
+    * Delta's deletion-vector write mode as a session switch. */
+  def mergeOnRead(session: SparkSession): Boolean =
+    session.conf.getOption("spark.graft.sql.mergeOnRead").exists(_.toBoolean)
 }
 
 /** `DELETE FROM t [WHERE cond]`. No condition deletes every row (Delta
-  * semantics), still as a logged, time-travelable commit. */
+  * semantics), still as a logged, time-travelable commit.
+  *
+  * With `spark.graft.sql.mergeOnRead = true` the statement routes through
+  * the merge-on-read path ([[GraftTable.deleteMergeOnRead]]): only the
+  * deleted rows are written as a tombstone, nothing rewrites — the right
+  * mode for a narrow predicate on a huge table (Delta's deletion-vector
+  * write mode, `delta.enableDeletionVectors`, as a session switch). */
 case class GraftDeleteCommand(
     table: GraftTable,
     condition: GraftParsed[Option[Expression]],
@@ -75,7 +87,9 @@ case class GraftDeleteCommand(
     val cond = condition.value
       .map(e => ExpressionUtils.column(GraftSqlCommands.stripQualifiers(e, qualifiers)))
       .getOrElse(lit(true))
-    val c = table.delete(cond)
+    val c =
+      if (GraftSqlCommands.mergeOnRead(session)) table.deleteMergeOnRead(cond)
+      else table.delete(cond)
     Seq(Row(c.metrics.getOrElse("numDeletedRows", 0L)))
   }
 }
@@ -115,7 +129,9 @@ case class GraftUpdateCommand(
     val cond = condition.value
       .map(e => ExpressionUtils.column(GraftSqlCommands.stripQualifiers(e, qualifiers)))
       .getOrElse(lit(true))
-    val c = table.update(cond, setMap)
+    val c =
+      if (GraftSqlCommands.mergeOnRead(session)) table.updateMergeOnRead(cond, setMap)
+      else table.update(cond, setMap)
     Seq(Row(c.metrics.getOrElse("numUpdatedRows", 0L)))
   }
 }

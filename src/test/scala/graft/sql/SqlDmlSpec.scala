@@ -70,6 +70,31 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.read().agg(sum("v")).head().getDouble(0) === 0.0)
   }
 
+  test("spark.graft.sql.mergeOnRead routes DELETE/UPDATE through the no-rewrite path") {
+    import s2.implicits._
+    val (t, _) = freshTable("sqlmor", "mor_t")
+    s2.conf.set("spark.graft.sql.mergeOnRead", "true")
+    try {
+      val del = s2.sql("DELETE FROM mor_t WHERE id = 4")
+      assert(del.head().getLong(0) === 1)
+      val upd = s2.sql("UPDATE mor_t SET v = 0.0 WHERE id = 1")
+      assert(upd.head().getLong(0) === 1)
+      // reads see the post-DML state …
+      assert(s2.sql("SELECT count(*) FROM mor_t").head().getLong(0) === 3)
+      assert(s2.sql("SELECT v FROM mor_t WHERE id = 1").head().getDouble(0) === 0.0)
+      // … but NO snapshot rewrite happened: merge-on-read state present
+      val hist = t.history().collect().map(_.getAs[String]("operation"))
+      assert(hist.take(2).toSeq === Seq("UPDATE", "DELETE"))
+      val d = t.detail().head()
+      assert(d.getAs[Int]("numTombstoneDirs") + d.getAs[Int]("numDvDirs") > 0)
+      // OPTIMIZE materializes the subtraction and clears it
+      s2.sql("OPTIMIZE mor_t").collect()
+      val d2 = t.detail().head()
+      assert(d2.getAs[Int]("numTombstoneDirs") + d2.getAs[Int]("numDvDirs") === 0)
+      assert(t.read().count() === 3)
+    } finally s2.conf.unset("spark.graft.sql.mergeOnRead")
+  }
+
   test("UPDATE rejects a SET target that is not a column") {
     val (_, _) = freshTable("sqlupdbad", "updbad_t")
     val e = intercept[Exception] {
