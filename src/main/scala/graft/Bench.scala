@@ -20,6 +20,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Contention guard: medians taken on a busy host are measurement
+    // noise, not engine performance (r5→r6 "regressions" were exactly
+    // this). The starting load average is recorded INTO the artifact so a
+    // number can always be judged against the host state it was taken on,
+    // and a clearly-contended run refuses to OVERWRITE an existing (likely
+    // cleaner) artifact — stdout still carries everything.
+    val hostCpus = Runtime.getRuntime.availableProcessors()
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val contended = loadStart >= 0 && loadStart / hostCpus > 0.5
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // Same extension surface as Verify: bench numbers reflect the
@@ -65,15 +75,22 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val host = s""""host_cpus":$hostCpus,"loadavg_start":${fmt(loadStart)},""" +
+      s""""loadavg_end":${fmt(loadEnd)},"contended":$contended"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val outPath = java.nio.file.Paths.get(outFile)
     try {
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""n":${results.size},"sf":"$sfDir","queries":$qs}"""
-      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (full + "\n").getBytes("UTF-8"))
+        s""""n":${results.size},"sf":"$sfDir",$host,"queries":$qs}"""
+      if (contended && java.nio.file.Files.exists(outPath))
+        System.err.println(s"[bench] host contended at start " +
+          s"(loadavg $loadStart / $hostCpus cpus): keeping existing $outFile")
+      else java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout lines below still carry everything
     results.foreach { case (k, v) => println(s"""{"q":"$k","sec":${fmt(v)}}""") }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir","queries_file":"$outFile"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfDir",$host,"queries_file":"$outFile"}""")
     spark.stop()
   }
 

@@ -67,19 +67,29 @@ object IncrementalDedup {
     * shingle scan runs exactly once). */
   def create(spark: SparkSession, root: String, docs: DataFrame,
       p: Params = Params()): MinHashIndex = {
-    val sigT = GraftTable.create(spark, s"$root/signatures", signaturesOf(docs, p))
-    sigT.setProperties(paramProps(p))
+    // Geometry rides IN the create commit — there is no window (crash
+    // between two commits) where the signatures table exists unstamped.
+    val sigT = GraftTable.createWithProperties(
+      spark, s"$root/signatures", signaturesOf(docs, p), paramProps(p))
     GraftTable.create(spark, s"$root/buckets", bandedOf(sigT.read(), p))
     new MinHashIndex(spark, root, p)
   }
 
-  /** Open an existing index; refuses a geometry mismatch. */
+  /** Open an existing index; refuses a geometry mismatch — and refuses an
+    * UNSTAMPED index outright: every geometry key must be present and
+    * equal, so a half-created or foreign table can never be silently
+    * opened with whatever Params the caller guessed. */
   def open(spark: SparkSession, root: String,
       p: Params = Params()): MinHashIndex = {
     val stored = GraftTable.forPath(spark, s"$root/signatures").detail()
       .head().getAs[Map[String, String]]("properties")
     val want = paramProps(p)
-    val clash = want.filter { case (k, v) => stored.get(k).exists(_ != v) }
+    val missing = want.keys.filterNot(stored.contains)
+    require(missing.isEmpty,
+      s"index at $root has no stored MinHash geometry " +
+        s"(missing: ${missing.mkString(", ")}) — not a dedup index, or " +
+        "created by a pre-stamp writer; rebuild it with create()")
+    val clash = want.filter { case (k, v) => stored(k) != v }
     require(clash.isEmpty,
       s"index at $root was built with different MinHash geometry: " +
         clash.keys.map(k => s"$k stored=${stored(k)} asked=${want(k)}").mkString(", "))
@@ -105,10 +115,19 @@ object IncrementalDedup {
     val batchBands = bandedOf(sigs, p)
 
     // vs-corpus candidates: batch bands ⋈ persisted buckets. The batch
-    // side is the small one — broadcast by Catalyst's sizing — so the
-    // index scan streams partition-local.
+    // side is the small one — EXPLICITLY broadcast under a size gate, so
+    // the (unboundedly growing) index scan streams partition-local with no
+    // exchange regardless of what Catalyst estimates for the corpus side.
+    // A batch too big to broadcast falls back to the plain equality join,
+    // which shuffle-partitions BOTH sides on (band, bucket) — the correct
+    // co-partitioned shape when neither side fits in memory.
+    val bandsBytes = batchBands.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bcastMax = BigInt(spark.conf.getOption("spark.graft.dedup.broadcastThreshold")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024))
+    val nb0 = batchBands.alias("nb")
+    val nbSide = if (bandsBytes <= bcastMax) broadcast(nb0) else nb0
     val idxBands = index.buckets.read()
-    val vsCorpus = batchBands.alias("nb")
+    val vsCorpus = nbSide
       .join(idxBands.alias("ob"),
         col("nb.band") === col("ob.band") && col("nb.bucket") === col("ob.bucket"))
       .select(col("ob.doc_id").as("a_id"), col("nb.doc_id").as("b_id"))
@@ -163,7 +182,9 @@ object IncrementalDedup {
       docsStream: DataFrame, dupsTable: GraftTable, threshold: Double = 0.8,
       checkpoint: String, admitDocsTo: Option[GraftTable] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maintainEvery: Int = 10,
+      vacuumRetainHours: Double = 168.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docsStream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -180,6 +201,22 @@ object IncrementalDedup {
           txn = Some((s"incdedup-${index.root}", batchId)))
         dupsTable.appendOnce(pairs.withColumn("batch_id", lit(batchId)),
           txnAppId = s"incdedup-${index.root}", txnBatchId = batchId)
+        // Index maintenance cadence (the Delta-checkpoint-cadence mirror
+        // for DATA): every batch appends one dir per index table, so a
+        // month-long stream would otherwise accrete thousands of small
+        // files and the candidate join's index-side scan would decay.
+        // Every `maintainEvery` batches the small tail folds (OPTIMIZE's
+        // compactSmall — mature dirs never rewritten) and superseded dirs
+        // past the retention vacuum away; both are best-effort and
+        // crash-safe (versioned commits like any other).
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0) {
+          Seq(index.signatures, index.buckets, dupsTable).foreach { t =>
+            try {
+              t.compactSmall()
+              t.vacuum(vacuumRetainHours)
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
         (): Unit
       }
       .start()

@@ -1558,24 +1558,43 @@ final class GraftTable private (
         }
         out.result()
       }
+    // Ledger identity is the CANONICAL URI: the same file arrives as
+    // `file:/x` from a wildcard glob but `file:///x` from a literal one
+    // (Hadoop preserves the empty authority) — a string-keyed ledger would
+    // reload it under the other spelling.
     val listed = Option(sfs.globStatus(new Path(src, pattern)))
       .map(_.toSeq).getOrElse(Nil)
       .filterNot(st => hidden(st.getPath.getName))
       .flatMap(expand)
-    val loaded = log.commits().flatMap(_.copiedFiles).toSet
-    val fresh = listed.filterNot(loaded).sorted
-    if (fresh.isEmpty) return None
-    val df = format.toLowerCase match {
-      case "parquet" => spark.read.parquet(fresh: _*)
-      case "json" => spark.read.json(fresh: _*)
-      case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
-        .csv(fresh: _*)
-      case other => throw new IllegalArgumentException(
-        s"COPY INTO FILEFORMAT = $other not supported (PARQUET, JSON, CSV)")
+      .map(GraftTable.canonFileUri)
+    // Cross-PROCESS race: another job may commit the same COPY INTO between
+    // our ledger read and our commit (the JVM lock only serializes this
+    // process). appendInternal's rebase detects the overlap and signals
+    // [[ConcurrentCopyRetry]]; we recompute the fresh set from the refreshed
+    // log and load only what is still unclaimed — converging on the
+    // never-load-twice contract under any interleaving.
+    var attempts = 0
+    while (attempts <= MaxCommitRetries) {
+      val loaded = log.commits().flatMap(_.copiedFiles)
+        .map(GraftTable.canonFileUri).toSet
+      val fresh = listed.filterNot(loaded).sorted
+      if (fresh.isEmpty) return None
+      val df = format.toLowerCase match {
+        case "parquet" => spark.read.parquet(fresh: _*)
+        case "json" => spark.read.json(fresh: _*)
+        case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(fresh: _*)
+        case other => throw new IllegalArgumentException(
+          s"COPY INTO FILEFORMAT = $other not supported (PARQUET, JSON, CSV)")
+      }
+      try {
+        val c = appendInternal(df, None, copiedFiles = fresh)
+        autoCompact()
+        return c
+      } catch { case _: ConcurrentCopyRetry => attempts += 1 }
     }
-    val c = appendInternal(df, None, copiedFiles = fresh)
-    autoCompact()
-    c
+    throw new ConcurrentWriteException(
+      s"COPY INTO $root kept losing the file-ledger race $MaxCommitRetries times; giving up")
   }
 
   /** Exactly-once streaming append (Delta's `txn` action): the commit is
@@ -1847,6 +1866,19 @@ final class GraftTable private (
               fs.delete(new Path(root, dir), true)
               return None
             }
+            // A concurrent COPY INTO may have claimed some of OUR source
+            // files in the ledger: committing as-is would double-load their
+            // rows (the written dir was read from the full fresh set, so a
+            // partial drop is not possible). Roll back and let copyInto
+            // recompute fresh files against the refreshed log.
+            if (copiedFiles.nonEmpty) {
+              val claimed = log.commits().flatMap(_.copiedFiles)
+                .map(GraftTable.canonFileUri).toSet
+              if (copiedFiles.map(GraftTable.canonFileUri).exists(claimed)) {
+                fs.delete(new Path(root, dir), true)
+                throw new ConcurrentCopyRetry
+              }
+            }
             // Rebase: same written dir (names are version-independent),
             // recompute version/schema/lineage against the new head.
             v = prev.map(_.version + 1).getOrElse(0L)
@@ -2039,10 +2071,14 @@ final class GraftTable private (
       val v = prev.version + 1
       val tsMs = System.currentTimeMillis()
       val targetSchema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      // Evolution dedups case-INSENSITIVELY (Delta's resolution): a source
+      // column differing only in case binds to the existing target field
+      // instead of appending a near-duplicate column to the schema.
       val mergedSchema = StructType(targetSchema.fields ++
-        source.schema.fields.filterNot(f => targetSchema.fieldNames.contains(f.name)))
+        source.schema.fields.filterNot(f =>
+          targetSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
       enforceCompatibleTypes(source.schema, mergedSchema, "merge")
-      val sourceCols = source.columns.toSet
+      val sourceCols = source.columns.map(_.toLowerCase).toSet
 
       val t = alignTo(readCommit(prev), mergedSchema).alias("t")
       // A null merge key can never match (equi-join) and would surface as an
@@ -2055,12 +2091,14 @@ final class GraftTable private (
       // whenMatchedUpdateAll assigns only columns the SOURCE actually has:
       // target-only columns keep their target value on matched rows.
       def mergedVal(c: String) =
-        if (sourceCols.contains(c)) when(sPresent, col(s"s.$c")).otherwise(col(s"t.$c"))
+        if (sourceCols.contains(c.toLowerCase))
+          when(sPresent, col(s"s.$c")).otherwise(col(s"t.$c"))
         else when(tPresent, col(s"t.$c")).otherwise(col(s"s.$c"))
       // Change detection compares only source-assignable columns, minus any
       // caller-declared volatile metadata (e.g. processing timestamps).
       val compareCols = mergedSchema.fieldNames
-        .filter(c => c != key && sourceCols.contains(c) && !compareIgnore.contains(c)).toSeq
+        .filter(c => c != key && sourceCols.contains(c.toLowerCase) &&
+          !compareIgnore.contains(c)).toSeq
       val changedCond = compareCols
         .map(c => !(col(s"t.$c") <=> col(s"s.$c")))
         .reduceOption(_ || _).getOrElse(lit(false))
@@ -2194,12 +2232,17 @@ final class GraftTable private (
       }
       // Star clauses adopt new source columns (M6 additive evolution);
       // explicit assignments bind to the existing target schema only.
+      // Dedup is case-INSENSITIVE — mirroring canon()'s assignment
+      // resolution below and Delta's — so a source column differing only
+      // in case binds to the existing target field rather than appending
+      // a second column to the evolved schema.
       val mergedSchema =
         if (hasStar) StructType(targetSchema.fields ++
-          source.schema.fields.filterNot(f => targetSchema.fieldNames.contains(f.name)))
+          source.schema.fields.filterNot(f =>
+            targetSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
         else targetSchema
       if (hasStar) enforceCompatibleTypes(source.schema, mergedSchema, "merge")
-      val sourceCols = source.columns.toSet
+      val sourceCols = source.columns.map(_.toLowerCase).toSet
       val fieldOf = mergedSchema.fields.map(f => f.name -> f).toMap
       // Assignment keys resolve case-insensitively against the schema.
       def canon(n: String): String = fieldOf.getOrElse(n,
@@ -2244,13 +2287,17 @@ final class GraftTable private (
       def clauseVal(cl: MergeClause, c: String): Column = {
         val f = fieldOf(c)
         cl match {
+          // Source-column presence checks are case-insensitive; the alias
+          // reference itself resolves case-insensitively in analysis.
           case _: UpdateAll =>
-            if (sourceCols.contains(c)) col(s"$sourceAlias.$c").cast(f.dataType)
+            if (sourceCols.contains(c.toLowerCase))
+              col(s"$sourceAlias.$c").cast(f.dataType)
             else col(s"$targetAlias.$c")
           case Update(as, _) => as.get(c).map(_.cast(f.dataType))
             .getOrElse(col(s"$targetAlias.$c"))
           case _: InsertAll =>
-            if (sourceCols.contains(c)) col(s"$sourceAlias.$c").cast(f.dataType)
+            if (sourceCols.contains(c.toLowerCase))
+              col(s"$sourceAlias.$c").cast(f.dataType)
             else lit(null).cast(f.dataType)
           case Insert(as, _) => as.get(c).map(_.cast(f.dataType))
             .getOrElse(lit(null).cast(f.dataType))
@@ -3467,10 +3514,26 @@ final class GraftTable private (
   * dirs were rolled back; retry it against the new head. Appends never
   * throw this under normal contention — they rebase
   * ([[GraftTable]] appendInternal). */
-final class ConcurrentWriteException(msg: String, cause: Throwable)
+final class ConcurrentWriteException(msg: String, cause: Throwable = null)
     extends RuntimeException(msg, cause)
 
+/** Internal signal: an append carrying a COPY INTO file ledger lost the
+  * version race to a commit that already loaded some of the same files.
+  * The written dir has been rolled back; [[GraftTable.copyInto]] recomputes
+  * the fresh set against the refreshed log and retries. */
+private[table] final class ConcurrentCopyRetry extends RuntimeException
+
 object GraftTable {
+
+  /** Canonical spelling of a data-file URI for COPY INTO ledger identity:
+    * Hadoop preserves `file:/x` vs `file:///x` (null vs empty authority)
+    * depending on how a listing was produced; the ledger compares
+    * (scheme, authority, path) so one file has exactly one key. */
+  private[table] def canonFileUri(u: String): String = {
+    val uri = new Path(u).toUri
+    if (uri.getScheme == null) uri.getPath
+    else s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
+  }
 
   private[table] val ConstraintPrefix = "constraint."
   private[table] val TombstoneCoverPrefix = "tombstone.cover."
@@ -3537,6 +3600,18 @@ object GraftTable {
   def create(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): GraftTable =
     create(spark, root, df, partitionBy, Map.empty, Map.empty)
+
+  /** Create with initial table PROPERTIES stamped atomically in commit 0 —
+    * no window where the table exists without them (an index whose
+    * geometry rides in properties must never be openable half-created). */
+  def createWithProperties(spark: SparkSession, root: String, df: DataFrame,
+      properties: Map[String, String],
+      partitionBy: Seq[String] = Nil): GraftTable = {
+    val t = new GraftTable(spark, root)
+    require(t.version < 0, s"table already exists at $root")
+    t.overwriteInternal(df, partitionBy, None, properties)
+    t
+  }
 
   /** Create with GENERATED and/or IDENTITY column declarations (Delta
     * parity: both are declared at table creation, never retrofitted).
@@ -3621,10 +3696,15 @@ object GraftTable {
   /** Align `df` to `schema`: missing columns become typed nulls, column
     * order follows `schema` (additive evolution, M6). */
   private[table] def alignTo(df: DataFrame, schema: StructType): DataFrame = {
-    val present = df.columns.toSet
+    // Case-INSENSITIVE presence (Spark's default resolution): a frame
+    // column differing only in case binds to the schema field — and takes
+    // the schema's canonical spelling — rather than reading as absent.
+    val present = df.columns.map(c => c.toLowerCase -> c).toMap
     df.select(schema.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      present.get(f.name.toLowerCase) match {
+        case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
   }
 }

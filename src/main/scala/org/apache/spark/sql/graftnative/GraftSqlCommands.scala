@@ -337,9 +337,19 @@ case class GraftCloneCommand(
       s"$wh/${targetName.last}"
     }
     val v = version.getOrElse(-1L)
+    // OR REPLACE must actually replace: a prior clone at the same location
+    // would make shallowClone/deepClone fail with "table already exists".
+    // Only a graft table root is ever deleted — an arbitrary non-table
+    // directory at the location keeps the clone's own existence error.
+    if (orReplace) {
+      session.sql(s"DROP TABLE IF EXISTS $name")
+      if (graft.table.GraftTable.isTable(session, loc)) {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        p.getFileSystem(session.sessionState.newHadoopConf()).delete(p, true)
+      }
+    }
     val cloned =
       if (shallow) source.shallowClone(loc, v) else source.deepClone(loc, v)
-    if (orReplace) session.sql(s"DROP TABLE IF EXISTS $name")
     session.sql(s"CREATE TABLE $name USING graft OPTIONS (path '${cloned.root}')")
     Seq(Row(version.getOrElse(source.version)))
   }

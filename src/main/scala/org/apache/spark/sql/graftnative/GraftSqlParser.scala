@@ -273,13 +273,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     (keys, rest.reduceOption(And))
   }
 
-  /** The tuned canonical shape, if the statement is exactly one of the
-    * three the reference uses; None routes to the general clause merge. */
+  /** The tuned canonical shape, if the statement is exactly one the
+    * reference uses; None routes to the general clause merge.
+    *
+    * The bare upsert (`UPDATE SET * / INSERT *`) deliberately does NOT
+    * short-circuit here: [[graft.table.GraftTable.merge]]'s tuned path
+    * drops null-key source rows and change-detects matched rows, while
+    * Delta inserts null-key rows (vacuously NOT MATCHED) and updates every
+    * matched row — semantics identical SQL must not silently flip when a
+    * clause condition is added. SQL MERGE therefore always runs the
+    * Delta-faithful clause path; the change-detection upsert stays
+    * available through the DataFrame API (the CDC pipeline's M2 path). */
   private def mergeShapeOf(m: MergeIntoTable): Option[GraftMergeShape] = {
     if (m.notMatchedBySourceActions.nonEmpty) return None
     (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-        Some(GraftMergeShape.Upsert)
       case (Seq(), Seq(InsertStarAction(None))) => Some(GraftMergeShape.InsertOnly)
       case (Seq(DeleteAction(None)), Seq()) => Some(GraftMergeShape.DeleteMatched)
       case _ => None

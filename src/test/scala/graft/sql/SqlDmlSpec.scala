@@ -118,6 +118,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(byId === Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d", 9L -> "i"))
   }
 
+  test("SQL MERGE upsert is Delta-faithful: unchanged matched rows count as updates, null-key sources insert") {
+    import s2.implicits._
+    val (t, _) = freshTable("sqlmrg7", "mrg7_t")
+    // Source row 1 is byte-identical to the target row (no change), and one
+    // source row has a NULL key. Delta updates EVERY matched row (no change
+    // detection through SQL) and routes null-key rows to NOT MATCHED
+    // (vacuously unmatched → insert). The tuned API merge() differs on both
+    // (change detection + null-key drop) — SQL must not take that path.
+    Seq((Option(1L), "a", 10.0), (Option.empty[Long], "n", 0.0))
+      .toDF("id", "s", "v").createOrReplaceTempView("mrg7_src")
+    val res = s2.sql(
+      """MERGE INTO mrg7_t t USING mrg7_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(res.getLong(1) === 1, "identical matched row still counts as updated")
+    assert(res.getLong(3) === 1, "null-key source row inserts")
+    assert(t.read().count() === 5)
+    assert(t.read().filter(col("id").isNull).count() === 1)
+  }
+
   test("MERGE INTO insert-only and delete-matched shapes") {
     import s2.implicits._
     val (t, _) = freshTable("sqlmrg2", "mrg2_t")
@@ -321,6 +341,26 @@ class SqlDmlSpec extends SparkSpec {
       s2.sql("DROP TABLE IF EXISTS clone_s")
       s2.sql("DROP TABLE IF EXISTS clone_d")
     }
+  }
+
+  test("CREATE OR REPLACE TABLE … CLONE actually replaces a prior clone at the same location") {
+    val (t, _) = freshTable("sqlclone2", "clone2_t")
+    val loc = tmpDir("clone2-loc") + "/tbl"
+    s2.sql("DROP TABLE IF EXISTS clone2_r")
+    s2.sql(s"CREATE TABLE clone2_r SHALLOW CLONE clone2_t LOCATION '$loc'")
+    try {
+      assert(s2.sql("SELECT count(*) FROM clone2_r").head().getLong(0) === 4)
+      // the source moves on; OR REPLACE at the SAME location must clear the
+      // stale clone's files (not die on "table already exists") and serve
+      // the new snapshot
+      s2.sql("DELETE FROM clone2_t WHERE id IN (3, 4)")
+      s2.sql(s"CREATE OR REPLACE TABLE clone2_r SHALLOW CLONE clone2_t LOCATION '$loc'")
+      assert(s2.sql("SELECT count(*) FROM clone2_r").head().getLong(0) === 2)
+      // replacing with a DEEP clone over the shallow one also works
+      s2.sql(s"CREATE OR REPLACE TABLE clone2_r DEEP CLONE clone2_t LOCATION '$loc'")
+      assert(s2.sql("SELECT count(*) FROM clone2_r").head().getLong(0) === 2)
+      assert(t.read().count() === 2) // source untouched by the replaces
+    } finally s2.sql("DROP TABLE IF EXISTS clone2_r")
   }
 
   test("CONVERT TO GRAFT adopts loose parquet; GENERATE writes the manifest") {

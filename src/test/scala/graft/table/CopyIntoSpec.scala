@@ -97,6 +97,61 @@ class CopyIntoSpec extends SparkSpec {
     assert(t.read().count() === 3)
   }
 
+  test("ledger identity survives URI-spelling differences across patterns") {
+    import spark.implicits._
+    val root = tmpDir("copyinto8") + "/tbl"
+    val src = tmpDir("copyinto8-src")
+    val t = GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "s"))
+    writeOneFile(src, "a.parquet", Seq((1L, "a")))
+    // A literal pattern lists the file as file:///…, a wildcard as file:/…
+    // (Hadoop keeps null vs empty authority distinct); the ledger must
+    // treat both spellings as the SAME file.
+    assert(t.copyInto(src, "a.parquet").nonEmpty)
+    assert(t.copyInto(src, "*.parquet").isEmpty)
+    assert(t.read().count() === 2)
+  }
+
+  test("cross-process race: a concurrent COPY INTO claiming a subset never double-loads") {
+    import spark.implicits._
+    val root = tmpDir("copyinto6") + "/tbl"
+    val src = tmpDir("copyinto6-src")
+    val t = GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "s"))
+    writeOneFile(src, "a.parquet", Seq((1L, "a")))
+    writeOneFile(src, "b.parquet", Seq((2L, "b")))
+    // "another process": a second instance over the same root (the JVM
+    // lock is per-instance, so this exercises the log-level race exactly).
+    val other = GraftTable.forPath(spark, root)
+    // After t computed fresh = {a, b} and wrote its dir, but BEFORE its
+    // commit publishes, the other process loads a.parquet.
+    t.beforeCommitHook = () => {
+      t.beforeCommitHook = () => ()
+      assert(other.copyInto(src, "a.parquet").nonEmpty)
+    }
+    val c = t.copyInto(src, "*.parquet")
+    // t must detect the ledger overlap, roll back, and load ONLY b.
+    assert(c.get.copiedFiles.map(p => new Path(p).getName) === Seq("b.parquet"))
+    assert(t.read().count() === 3)
+    assert(t.read().select("id").as[Long].collect().sorted === Array(0L, 1L, 2L))
+  }
+
+  test("cross-process race: a full concurrent replay makes the loser a no-op") {
+    import spark.implicits._
+    val root = tmpDir("copyinto7") + "/tbl"
+    val src = tmpDir("copyinto7-src")
+    val t = GraftTable.create(spark, root, Seq((0L, "seed")).toDF("id", "s"))
+    writeOneFile(src, "a.parquet", Seq((1L, "a")))
+    val other = GraftTable.forPath(spark, root)
+    t.beforeCommitHook = () => {
+      t.beforeCommitHook = () => ()
+      assert(other.copyInto(src, "*.parquet").nonEmpty)
+    }
+    // the other process claimed EVERY file first: the loser commits nothing
+    assert(t.copyInto(src, "*.parquet").isEmpty)
+    assert(t.read().count() === 2)
+    // and the log holds exactly one COPY INTO commit
+    assert(t.history().collect().count(_.getAs[String]("operation") === "COPY INTO") === 1)
+  }
+
   test("SQL spelling with PATTERN, through the injected parser") {
     import spark.implicits._
     val root = tmpDir("copyinto3") + "/tbl"

@@ -57,6 +57,29 @@ class MergeClausesSpec extends SparkSpec {
       "update_preimage" -> 1L, "update_postimage" -> 1L))
   }
 
+  test("star evolution dedups source columns case-insensitively") {
+    import spark.implicits._
+    val t = fresh("mc-case")
+    // Source spells the existing `v` column as `V` and brings one truly
+    // new column. Case-insensitive resolution (Delta's default) must bind
+    // V -> v — updating the existing field — and evolve ONLY `extra`;
+    // a case-sensitive dedup would append a second near-duplicate column,
+    // corrupting the snapshot schema.
+    val src = Seq((2L, "B!", 999.0, "e2")).toDF("id", "s", "V", "extra")
+    t.mergeClauses(src, "id",
+      matched = Seq(UpdateAll()),
+      notMatched = Seq(InsertAll()))
+    val fields = t.read().schema.fieldNames.toSeq
+    assert(fields.count(_.equalsIgnoreCase("v")) === 1,
+      s"schema grew a duplicate case variant: $fields")
+    assert(fields.contains("extra"))
+    val r2 = t.read().filter(col("id") === 2).head()
+    assert(r2.getAs[Double]("v") === 999.0)
+    assert(r2.getAs[String]("extra") === "e2")
+    // untouched rows keep their values; extra is null for them
+    assert(t.read().filter(col("id") === 1).head().getAs[Double]("v") === 10.0)
+  }
+
   test("clause order: first-true wins") {
     import spark.implicits._
     val t = fresh("mc-order")
