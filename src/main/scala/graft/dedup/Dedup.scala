@@ -487,14 +487,51 @@ object Dedup {
   def semanticDedupKeepers(members: DataFrame, tau: Double,
       idCol: String = "vec_id", clusterCol: String = "centroid_id",
       vecCol: String = "vec"): DataFrame = {
-    val a = members.select(col(clusterCol), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = members.select(col(clusterCol), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
-    val dropped = a.join(b, clusterCol)
-      .filter(col("a_id") < col("b_id"))
+    // EXACT-duplicate collapse first (lossless — the proven q30 pattern,
+    // [[embeddingNearDupsExact]]'s LSH sibling): byte-identical vectors
+    // multiply the within-cluster quadratic by k² per duplicate group, the
+    // normal case at ingest. Cosine depends only on the vectors, so the
+    // drop rule evaluates on one REPRESENTATIVE per distinct
+    // (cluster, vec) and expands back exactly:
+    //   member b of group B is dropped  ⟺  ∃ a in the cluster, a < b,
+    //     cos(vec_a, vec_B) ≥ τ
+    //   ⟺  bound(B) < b, where bound(B) = min over
+    //        { min(A) | group A ≠ B in the cluster, cos(vec_A, vec_B) ≥ τ }
+    //        ∪ { min(B) | cos(vec_B, vec_B) ≥ τ }
+    //   (∃ a∈A with a < b ⟺ min(A) < b; the self term covers lower-id
+    //   members of b's OWN group, with the self-cosine computed by the
+    //   same expression as the direct quadratic — including its ANSI
+    //   divide-by-zero error on zero vectors. The self term is guarded on
+    //   group size > 1 so a SINGLETON group evaluates no cosine at all,
+    //   exactly like the direct path, where a lone zero vector in its own
+    //   cluster joins into zero pairs).
+    val m = members.select(col(clusterCol).as("cl"), col(idCol).as("id"),
+      col(vecCol).as("vec"))
+    val groups = m.groupBy("cl", "vec")
+      .agg(min("id").as("rep_id"), collect_list("id").as("members"))
+    val a = groups.select(col("cl"), col("rep_id").as("a_rep"), col("vec").as("a_vec"))
+    val b = groups.select(col("cl"), col("rep_id").as("b_rep"), col("vec").as("b_vec"))
+    // Renamed output columns (n_*) break the groups→nbrMin lineage tie so
+    // the left join below is unambiguous to the self-join detector.
+    val nbrMin = a.join(b, "cl")
+      .filter(col("a_rep") =!= col("b_rep"))
       .filter(cosine(col("a_vec"), col("b_vec")) >= tau)
-      .select(col("b_id").as(idCol)).distinct()
-    members.join(dropped, Seq(idCol), "left_anti")
-      .select(col(idCol), col(clusterCol))
+      .groupBy(col("cl"), col("b_rep")).agg(min(col("a_rep")).as("nbr_min"))
+      .select(col("cl").as("n_cl"), col("b_rep").as("n_rep"), col("nbr_min"))
+    groups
+      .join(nbrMin,
+        col("cl") === col("n_cl") && col("rep_id") === col("n_rep"),
+        "left")
+      .select(col("cl"), col("members"),
+        // least() skips nulls: bound is null iff neither term applies.
+        // Nested when: the self-cosine only evaluates for groups of ≥ 2
+        // (codegen evaluates a When branch value only under its condition).
+        least(when(size(col("members")) > 1,
+            when(cosine(col("vec"), col("vec")) >= tau, col("rep_id"))),
+          col("nbr_min")).as("bound"))
+      .select(col("cl"), explode(col("members")).as("id"), col("bound"))
+      .filter(col("bound").isNull || col("id") <= col("bound"))
+      .select(col("id").as(idCol), col("cl").as(clusterCol))
   }
 
   // ------------------------------------- substring-level (positional) dedup

@@ -33,60 +33,95 @@ object Pq {
 
   /** Train per-subspace codebooks: seeded init (k rows per subspace by
     * murmur order), then `iters` rounds of assign + per-(subspace,
-    * centroid, position) means — all subspaces in each single pass. */
+    * centroid, position) means — all subspaces in each single pass.
+    *
+    * Sample-based past `trainCap` vectors, like
+    * [[Similarity.trainCentroids]]: per-iteration cost is
+    * n·m·k fit evaluations, so at corpus scale the codebooks train on the
+    * `trainCap` smallest-murmur vec_ids (deterministic, uniform, a
+    * superset of the murmur-seeded init) — ~256 training sub-vectors per
+    * code at the default geometry, comfortably past the k-means rule of
+    * thumb — while ENCODING still covers every vector, once. Corpora at
+    * or under the cap train on everything, exactly as before. */
   def train(emb: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 3, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Int = 65536): Model = {
     val spark = emb.sparkSession
-    import spark.implicits._
     val subDim = dim / m
     require(m * subDim == dim, s"dim $dim must divide into $m subspaces")
     val vec = col(vecCol).cast("array<double>")
-    // (vec_id, sub, sv): every vector exploded into its m sub-vectors
-    val sub = emb.select(col(idCol).as("vec_id"),
-        posexplode(array((0 until m).map(s =>
-          slice(vec, s * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+    val sample = emb.select(col(idCol), col(vecCol))
+      .withColumn("__h", hash(col(idCol)))
+      .orderBy(col("__h"), col(idCol)).limit(trainCap)
+      .drop("__h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    // init: codebook (s, c) = sub-vector s of the c-th lowest-murmur
+    // training vector — k×dim doubles, collected once (bounded metadata,
+    // like the centroid tables).
+    val initVecs = sample
+      .withColumn("__h", hash(col(idCol)))
+      .orderBy(col("__h"), col(idCol)).limit(k)
+      .select(vec.as("v")).collect().map(_.getSeq[Double](0))
+    require(initVecs.nonEmpty, "PQ training needs at least one vector")
+    // Mutable flat codebook; ABSENT centroids (lost all members during an
+    // iteration) hold +Inf sentinels: their distance to any sub-vector is
+    // +Inf, so the encoder can never assign to them — exactly the
+    // candidate set of a join against only the live centroid rows.
+    val cb = Array.fill(m * k * subDim)(Double.PositiveInfinity)
+    initVecs.zipWithIndex.foreach { case (v, c) =>
+      var s = 0
+      while (s < m) {
+        var j = 0
+        while (j < subDim) {
+          cb((s * k + c) * subDim + j) = v(s * subDim + j); j += 1
+        }
+        s += 1
+      }
+    }
 
-    // init: per subspace, the k sub-vectors of the k lowest-murmur vec_ids
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("sub").orderBy(hash(col("vec_id")), col("vec_id"))
-    var centroids = sub
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col("sub"), (col("__rn") - 1).cast("long").as("cid"), col("sv").as("cv"))
-
+    // Each iteration: ONE codegen'd encode pass over the sample (the same
+    // [[org.apache.spark.sql.graftnative.PqEncode]] kernel the index's
+    // encode step uses — identical L2 argmin and lowest-cid tie rule as
+    // the previous join formulation, without materializing the
+    // n·m·k assign join), then per-(subspace, centroid, position) means.
+    val subArr = array((0 until m).map(s => slice(vec, s * subDim + 1, subDim)): _*)
     (0 until iters).foreach { _ =>
-      val assigned = sub.alias("x")
-        .join(broadcast(centroids.alias("c")), col("x.sub") === col("c.sub"))
-        .select(col("x.vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"),
-          col("c.cid").as("cid"),
-          // nearest by L2: maximize 2·x·c − |c|² (|x|² is constant per row)
-          (dot(col("x.sv"), col("c.cv")) * 2 - dot(col("c.cv"), col("c.cv"))).as("fit"))
-        .groupBy("vec_id", "sub")
-        .agg(max_by(struct(col("cid"), col("sv")), struct(col("fit"), (-col("cid")).as("t"))).as("b"))
-        .select(col("sub"), col("b.cid").as("cid"), col("b.sv").as("sv"))
-      val updated = assigned
+      val enc = sample.select(
+        VectorExpressions.pqEncode(vec, cb.toIndexedSeq, m, k).as("codes"),
+        subArr.as("subs"))
+      val updated = enc
+        .select(posexplode(arrays_zip(col("codes"), col("subs"))).as(Seq("sub", "z")))
+        .select(col("sub"), col("z.codes").cast("long").as("cid"), col("z.subs").as("sv"))
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("sub", "cid", "pos").agg(avg("x").as("mean"))
         .groupBy("sub", "cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
         .select(col("sub"), col("cid"), expr("transform(pm, p -> p.mean)").as("cv"))
-      // codebooks are m×k×subDim doubles — collect to sever lineage, same
+      // k×dim doubles collected per iteration — severs lineage, same
       // pattern as trainCentroids
-      val local = updated.collect().map(r =>
-        (r.getAs[Int]("sub"), r.getAs[Long]("cid"), r.getSeq[Double](2)))
-      centroids = local.toSeq.toDF("sub", "cid", "cv")
+      java.util.Arrays.fill(cb, Double.PositiveInfinity)
+      updated.collect().foreach { r =>
+        val s = r.getAs[Int]("sub"); val c = r.getAs[Long]("cid").toInt
+        val v = r.getSeq[Double](2)
+        var j = 0
+        while (j < subDim) { cb((s * k + c) * subDim + j) = v(j); j += 1 }
+      }
     }
 
-    val rows: Map[(Int, Long), Seq[Double]] = centroids.collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Long]("cid")) -> r.getSeq[Double](2).toSeq)
-      .toMap
+    // Final model: dead slots back-fill from any surviving centroid of the
+    // same subspace (the sentinel must not leak into the shipped model).
     val flat = (0 until m).flatMap { s =>
-      // a centroid can lose all members mid-training; back-fill from any
-      // surviving centroid of the same subspace
-      val fallback = rows.collectFirst { case ((ss, _), v) if ss == s => v }.get
-      (0L until k.toLong).flatMap(c => rows.getOrElse((s, c), fallback))
+      val live = (0 until k).find(c => !cb((s * k + c) * subDim).isPosInfinity)
+        .getOrElse(throw new IllegalStateException(s"PQ subspace $s trained no centroid"))
+      (0 until k).flatMap { c =>
+        val off = (s * k + c) * subDim
+        val src = if (cb(off).isPosInfinity) (s * k + live) * subDim else off
+        (0 until subDim).map(j => cb(src + j))
+      }
     }
     Model(m, k, dim, flat.toIndexedSeq)
+    } finally sample.unpersist()
   }
 
   /** Codes + exact norm per vector — the compact index table one would

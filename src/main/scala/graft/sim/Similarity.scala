@@ -157,12 +157,28 @@ object Similarity {
     * iterations 0..i-1 inside iteration i — exponential at scale) and makes
     * the next assign's broadcast a no-op-cheap local table. k×dim doubles
     * is kilobytes; this is the one collect in the ANN path and it is
-    * size-bounded by construction. */
+    * size-bounded by construction.
+    *
+    * Training is SAMPLE-BASED past `trainCap` vectors (the standard
+    * coarse-quantizer practice: k-means needs a few hundred points per
+    * centroid, not the corpus — at 100 TB nobody iterates k-means over
+    * every vector). The sample is the `trainCap` smallest-murmur vec_ids:
+    * deterministic, uniform over the id space, and a SUPERSET of the
+    * seeded init (the k smallest), cached for the iteration loop. Corpora
+    * at or under the cap train on everything, exactly as before; the
+    * full-corpus ASSIGNMENT (the one per-row pass) happens at the caller,
+    * once, against the final centroids. */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int = 5,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Int = 65536): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val v = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+    val v0 = emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("vec"))
+    val v = v0.withColumn("__h", hash(col("vec_id")))
+      .orderBy(col("__h"), col("vec_id")).limit(trainCap)
+      .drop("__h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // Seeded init: the k vectors with smallest murmur(vec_id) — spread
     // pseudo-randomly but reproducibly, no driver-side randomness.
     var centroids = v
@@ -189,6 +205,7 @@ object Similarity {
       centroids = local.toDF("centroid_id", "centroid")
     }
     centroids
+    } finally v.unpersist()
   }
 
   /** IVF top-k: probe only the `nprobe` clusters nearest the query vector,

@@ -84,4 +84,51 @@ class SubstringDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L, 4L, 5L))
   }
+
+  test("semanticDedupKeepers exact-dup collapse matches the direct quadratic on dup-heavy input") {
+    // The collapsed path must be row-identical to the naive all-pairs rule;
+    // byte-exact duplicate groups are exactly what the collapse rewrites.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 12).map(_ => Seq.fill(4)(rnd.nextGaussian()))
+    val rows = (0 until 120).map { i =>
+      val v =
+        if (i % 3 == 0) base(i % base.size)                 // exact duplicate groups
+        else Seq.fill(4)(rnd.nextGaussian())
+      (i.toLong, (i % 5).toLong, v)
+    }
+    val members = rows.toDF("vec_id", "centroid_id", "vec")
+    def directKeepers(tau: Double): Set[(Long, Long)] = {
+      import org.apache.spark.sql.functions.col
+      val a = members.select(col("centroid_id"), col("vec_id").as("a_id"),
+        col("vec").as("a_vec"))
+      val b = members.select(col("centroid_id"), col("vec_id").as("b_id"),
+        col("vec").as("b_vec"))
+      val dropped = a.join(b, "centroid_id")
+        .filter(col("a_id") < col("b_id"))
+        .filter(Dedup.cosine(col("a_vec"), col("b_vec")) >= tau)
+        .select(col("b_id").as("vec_id")).distinct()
+      members.join(dropped, Seq("vec_id"), "left_anti")
+        .select("vec_id", "centroid_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    for (tau <- Seq(0.3, 0.7, 0.95)) {
+      val collapsed = Dedup.semanticDedupKeepers(members, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(collapsed === directKeepers(tau), s"diverged at tau=$tau")
+    }
+  }
+
+  test("semanticDedupKeepers: a lone zero vector in its own cluster evaluates no cosine") {
+    // ANSI parity with the direct quadratic: a singleton cluster never
+    // joins into a pair there, so its (possibly zero) vector never reaches
+    // the divide — the collapsed path's self-cosine term must be equally
+    // lazy instead of erroring the whole job on one degenerate row.
+    val members = Seq(
+      (1L, 0L, Seq(1.0, 0.0)), (2L, 0L, Seq(1.0, 0.0)),
+      (9L, 7L, Seq(0.0, 0.0))  // zero vector, alone in cluster 7
+    ).toDF("vec_id", "centroid_id", "vec")
+    val kept = Dedup.semanticDedupKeepers(members, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 9L))
+  }
 }
