@@ -168,6 +168,8 @@ object SparkEntry {
     "q136_sql_merge_cdc"     -> (SqlDmlQueries.sqlMergeCdc _),
     "q137_copy_into"         -> (SqlDmlQueries.sqlCopyInto _),
     "q138_incremental_dedup" -> (CorpusQueries.incrementalDedup _),
+    "q139_delta_import_orders" -> (DeltaBridgeQueries.deltaImportOrders _),
+    "q140_delta_import_events" -> (DeltaBridgeQueries.deltaImportEvents _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -450,6 +452,25 @@ object SparkEntry {
     // one-shot recompute
     "q138_incremental_dedup" -> (JaccardOracleSql +
       "\n  AND (a_id % 2 = 1 OR b_id % 2 = 1)"),
+
+    // Frozen `orders` fixture (q139): one WRITE commit adds exactly one
+    // part-file; a second part-file on disk is an ORPHAN no commit
+    // references — the oracle reads only the committed file, so a glob
+    // reader hash-mismatches. total_amount is DOUBLE (Debezium divergence).
+    "q139_delta_import_orders" ->
+      """SELECT id, customer_id, status, total_amount,
+        |  epoch_us(order_date) AS order_us, __cdc_operation AS cdc_op
+        |FROM read_parquet('/root/reference/deltalake/orders/part-00001-7dcc3039-551b-4248-9c8f-12876348a848-c000.snappy.parquet')""".stripMargin,
+    // Frozen `cdc_events` fixture (q140): two STREAMING UPDATE commits —
+    // the replay must serve the union of both commits' files.
+    "q140_delta_import_events" ->
+      """SELECT event_id, source_table, operation, kafka_partition,
+        |  kafka_offset, epoch_us(event_timestamp) AS event_us
+        |FROM read_parquet(['/root/reference/deltalake/cdc_events/part-00000-f8eff2af-26a6-43aa-a269-a663dd1199f9-c000.snappy.parquet',
+        |  '/root/reference/deltalake/cdc_events/part-00001-ddf7f102-59be-4768-bdcb-2c0929267074-c000.snappy.parquet',
+        |  '/root/reference/deltalake/cdc_events/part-00002-872a294b-e605-43f3-9ff5-e11afe61ca97-c000.snappy.parquet',
+        |  '/root/reference/deltalake/cdc_events/part-00003-21b7f84b-43d3-462f-9418-1675168b54fc-c000.snappy.parquet',
+        |  '/root/reference/deltalake/cdc_events/part-00000-57526890-f190-40a3-82eb-90b0993ccecd-c000.snappy.parquet'])""".stripMargin,
 
     "q11_delete_where" -> "SELECT * FROM orders WHERE o_orderstatus <> 'F'",
     // merge-on-read delete + post-delete append: non-F rows plus the

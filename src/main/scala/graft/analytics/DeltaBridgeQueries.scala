@@ -22,17 +22,22 @@ import graft.sources.DeltaImport
   */
 object DeltaBridgeQueries {
 
-  /** Source of the frozen Delta fixture; override with
+  /** Source of the frozen Delta `customers` fixture; override with
     * `spark.graft.delta.import.src` (any Hadoop-FS URI). */
   private val DefaultSrc = "/root/reference/deltalake/customers"
+  /** The other frozen fixtures the bridge is driver-exercised against:
+    * `orders` (Debezium's decimal→double divergence in the wild — SURVEY
+    * §1.2 — plus an orphan part-file replay must exclude) and
+    * `cdc_events` (multi-commit streaming appends). */
+  private val OrdersSrc = "/root/reference/deltalake/orders"
+  private val EventsSrc = "/root/reference/deltalake/cdc_events"
 
   private val copies = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Copy the frozen table (read-only source) into shared-FS scratch once
+  /** Copy a frozen table (read-only source) into shared-FS scratch once
     * per session — the import runs against the copy, proving the bridge
     * has no hidden dependence on the original location. */
-  private def copiedTable(spark: SparkSession): String = {
-    val src = spark.conf.getOption("spark.graft.delta.import.src").getOrElse(DefaultSrc)
+  private def copiedTableAt(spark: SparkSession, src: String): String =
     copies.computeIfAbsent(src, { _ =>
       val dst = new Path(Scratch.dir(spark, "delta-import"))
       val conf = spark.sessionState.newHadoopConf()
@@ -43,7 +48,10 @@ object DeltaBridgeQueries {
       FileUtil.copy(srcFs, srcPath, dstFs, dst, false, conf)
       dst.toString
     })
-  }
+
+  private def copiedTable(spark: SparkSession): String =
+    copiedTableAt(spark,
+      spark.conf.getOption("spark.graft.delta.import.src").getOrElse(DefaultSrc))
 
   private def projected(df: DataFrame): DataFrame =
     df.select(col("id"), col("first_name"), col("last_name"), col("email"),
@@ -67,6 +75,26 @@ object DeltaBridgeQueries {
     DeltaImport.readChanges(spark, copiedTable(spark), 0L, 1L)
       .select(col("id"), col("email"), col("__cdc_operation").as("cdc_op"),
         col("_change_type"), col("_commit_version"))
+
+  /** q139: the frozen `orders` table — the SURVEY §1.2 decimal/double
+    * divergence IN THE WILD (Debezium delivered `total_amount` as DOUBLE
+    * and the reference's Delta writer froze it that way), plus another
+    * adversarial dir: an orphan part-file no commit references, which only
+    * add/remove replay excludes. */
+  def deltaImportOrders(spark: SparkSession, dir: String): DataFrame =
+    DeltaImport.read(spark, copiedTableAt(spark, OrdersSrc))
+      .select(col("id"), col("customer_id"), col("status"), col("total_amount"),
+        unix_micros(col("order_date")).as("order_us"),
+        col("__cdc_operation").as("cdc_op"))
+
+  /** q140: the frozen `cdc_events` table — two STREAMING UPDATE commits
+    * whose file sets must accumulate across the replay (the raw-event
+    * audit trail the reference's consumer writes first). */
+  def deltaImportEvents(spark: SparkSession, dir: String): DataFrame =
+    DeltaImport.read(spark, copiedTableAt(spark, EventsSrc))
+      .select(col("event_id"), col("source_table"), col("operation"),
+        col("kafka_partition"), col("kafka_offset"),
+        unix_micros(col("event_timestamp")).as("event_us"))
 
   // ------------------------------------------------------------ write side
 

@@ -39,27 +39,40 @@ import graft.table.{Commit, CommitLog, GraftTable}
   * — no data scan — so a Delta reader data-skips over exported tables just
   * like over native ones.
   *
-  * Honest limits (refused loudly, never silently wrong):
-  *  - Merge-on-read state (tombstone dirs / deletion vectors) has no
-  *    file-set representation; export halts at the version introducing it
-  *    and names the remedy (purge / compact — both produce clean commits).
-  *  - CDF `_changes` dirs are not exported as `cdc` actions: graft CDF
-  *    files carry `_commit_version`/`_commit_timestamp` columns in-file,
-  *    which Delta cdc files must not. `delta.enableChangeDataFeed` is
-  *    therefore never advertised.
+  * Merge-on-read deletes export as REAL Delta deletion vectors
+  * ([[DeltaDeletionVectors]], reader 3 / writer 7 feature protocol,
+  * upgraded in place at the first DV commit): the affected files re-enter
+  * the log as remove+add carrying a `u`-storage descriptor whose bitmap
+  * holds graft's recorded positions. CDF exports as `cdc` actions:
+  * each commit's `_changes` rows are rewritten stamp-free (Delta derives
+  * `_commit_version`/`_commit_timestamp` from the commit) under
+  * `_change_data/`, and `delta.enableChangeDataFeed` is advertised — a
+  * Delta reader's load_cdf round-trips the graft change feed.
+  *
+  * Honest limit (refused loudly, never silently wrong): value-tombstone
+  * MoR state is a predicate over row VALUES — no Delta action encodes it;
+  * export halts at such versions and names the remedy (optimize / any
+  * snapshot-rewriting commit).
   *
   * Scale: export is a driver-side metadata fold (one file listing per
-  * immutable data dir, footer reads for new files only) — the same cost
-  * class as a Delta writer's own commit path; no Spark job runs.
+  * immutable data dir, footer reads for new files only) — the cost class
+  * of a Delta writer's own commit path. The exceptions are bounded and
+  * per-changed-version only: one small aggregate over the dv dirs of a
+  * DV-changing commit, and one rewrite job over the `_changes` rows of a
+  * CDF-carrying commit.
   */
 object DeltaExport {
 
   private implicit val formats: Formats = DefaultFormats
 
-  /** Versions whose MoR state (tombstones / deletion vectors) cannot be
-    * expressed as a Delta file set. */
+  /** Versions whose MoR state cannot be expressed in the Delta log.
+    * Positional deletion vectors EXPORT (as real Delta DVs, reader feature
+    * `deletionVectors`); value tombstones do not — their membership is a
+    * predicate over row VALUES, which no Delta action encodes — so only
+    * tombstone-carrying versions still halt (purge/compact materializes
+    * them into clean commits). */
   private def morBlocked(c: Commit): Boolean =
-    c.tombstoneDirs.nonEmpty || c.dvDirs.nonEmpty
+    c.tombstoneDirs.nonEmpty
 
   /** Highest graft version exportable as a contiguous Delta log prefix. */
   def exportableUpTo(table: GraftTable): Long = {
@@ -83,10 +96,10 @@ object DeltaExport {
     val target = upTo.getOrElse(commits.last.version)
     commits.find(c => c.version <= target && morBlocked(c)).foreach { c =>
       throw new IllegalStateException(
-        s"${table.root} version ${c.version} holds merge-on-read state " +
-          "(tombstones / deletion vectors) that a Delta file set cannot " +
-          "express — purge it first (purgeDeletionVectors() or any " +
-          s"snapshot-rewriting commit), or export upTo=${c.version - 1}")
+        s"${table.root} version ${c.version} holds value-tombstone " +
+          "merge-on-read state that no Delta action can express — " +
+          "materialize it first (optimize() or any snapshot-rewriting " +
+          s"commit), or export upTo=${c.version - 1}")
     }
 
     val logDir = new Path(root, "_delta_log")
@@ -127,41 +140,143 @@ object DeltaExport {
     // resume O(tail) once checkpoints exist, and survives BOTH Delta log
     // cleanup below a checkpoint AND graft VACUUM of superseded dirs —
     // already-published versions are never re-derived from data dirs that
-    // may no longer exist.
+    // may no longer exist. The snapshot also recovers each file's exported
+    // DV descriptor and whether the protocol already advertises the
+    // deletionVectors feature.
+    val resumeSnap =
+      if (published < 0) None
+      else Some(DeltaImport.snapshot(spark, table.root, Some(published)))
     var prevPaths: Set[String] =
-      if (published < 0) Set.empty
-      else DeltaImport.snapshot(spark, table.root, Some(published))
-        .files.map(f => decodePath(f.path)).toSet
+      resumeSnap.map(_.files.map(f => decodePath(f.path)).toSet).getOrElse(Set.empty)
+    var prevDv: Map[String, DeltaDeletionVectors.Descriptor] =
+      resumeSnap.map(_.files.flatMap(f =>
+        f.deletionVector.map(decodePath(f.path) -> _)).toMap).getOrElse(Map.empty)
+    var dvAdvertised = resumeSnap.exists(_.protocol.exists(
+      _.readerFeatures.contains("deletionVectors")))
+    var prevDvDirs: Seq[String] =
+      commits.find(_.version == published).map(_.dvDirs).getOrElse(Nil)
     var prevMeta: Option[(String, Seq[String], Map[String, String])] =
       commits.find(_.version == published)
         .map(c => (c.schemaJson, c.partitionCols, c.properties))
+
+    val rootPathStr = root.toUri.getPath.stripSuffix("/")
+    def relOfAbsolute(abs: String): String = {
+      val p = try Option(new java.net.URI(abs).getPath).getOrElse(abs)
+        catch { case scala.util.control.NonFatal(_) => abs }
+      p.stripPrefix(rootPathStr).stripPrefix("/")
+    }
+    // Graft's cumulative DV state at a commit, keyed by log-relative path:
+    // one small aggregate over the dv dirs (positions are the same
+    // driver-resident metadata class as Delta's own bitmaps).
+    def dvStateOf(c: Commit): Map[String, Seq[Long]] =
+      if (c.dvDirs.isEmpty) Map.empty
+      else spark.read.parquet(c.dvDirs.map(d => new Path(root, d).toString): _*)
+        .groupBy("file")
+        .agg(org.apache.spark.sql.functions.collect_list("pos").as("ps"))
+        .collect()
+        .map(r => relOfAbsolute(r.getString(0)) ->
+          r.getSeq[Long](1).distinct.sorted.toSeq)
+        .toMap
+    def filesNamedIn(dirs: Seq[String]): Set[String] =
+      spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
+        .select("file").distinct().collect()
+        .map(r => relOfAbsolute(r.getString(0))).toSet
 
     commits.dropWhile(_.version <= published)
       .takeWhile(_.version <= target).foreach { c =>
       val out = new Path(logDir, f"${c.version}%020d.json")
       val cur: Map[String, FileStatus] =
         c.dataDirs.flatMap(d => filesOf(d).map(st => relPath(st) -> st)).toMap
-      val adds = (cur.keySet -- prevPaths).toSeq.sorted
-      val removes = (prevPaths -- cur.keySet).toSeq.sorted
+
+      // Deletion-vector delta: when the commit's dv dirs changed, the
+      // affected files re-enter the log as remove+add carrying their NEW
+      // descriptor (Delta's own DV-update shape). Append-only growth (the
+      // normal MoR delete) touches only files named in the new dirs; a
+      // reset (purge / restore) recomputes every descriptor.
+      val (curDv, dvChanged): (Map[String, DeltaDeletionVectors.Descriptor], Set[String]) =
+        if (c.dvDirs == prevDvDirs)
+          (prevDv.filter { case (k, _) => cur.contains(k) }, Set.empty[String])
+        else {
+          val state = dvStateOf(c)
+          val grewOnly = prevDvDirs.forall(c.dvDirs.contains)
+          val candidates =
+            if (grewOnly) filesNamedIn(c.dvDirs.filterNot(prevDvDirs.contains))
+            else prevDv.keySet ++ state.keySet
+          val changed = candidates.filter(cur.contains)
+          val toWrite = changed.toSeq.sorted.flatMap(k =>
+            state.get(k).filter(_.nonEmpty).map(k -> _))
+          val descs =
+            if (toWrite.isEmpty) Map.empty[String, DeltaDeletionVectors.Descriptor]
+            else DeltaDeletionVectors.writeFile(toWrite, table.root,
+              s"v${c.version}", conf)
+          val next = (prevDv -- changed) ++ descs
+          (next.filter { case (k, _) => cur.contains(k) },
+            changed.filter(k => prevDv.get(k) != next.get(k)))
+        }
+
+      val newPaths = (cur.keySet -- prevPaths).toSeq.sorted
+      val adds = (newPaths ++ dvChanged.filterNot(newPaths.contains)).distinct.sorted
+      val removes = ((prevPaths -- cur.keySet) ++ dvChanged.filter(prevPaths)).toSeq.sorted
       val metaChanged = !prevMeta.contains((c.schemaJson, c.partitionCols, c.properties))
       val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson(c)
       if (c.version == 0L) lines += protocolJson(schema, c.properties)
+      // First DV descriptor in the log upgrades the protocol in place
+      // (Delta allows a protocol action in any commit): reader 3 / writer 7
+      // with the feature lists the gate on the other side checks.
+      if (curDv.nonEmpty && !dvAdvertised) {
+        lines += dvProtocolJson(schema, c.properties)
+        dvAdvertised = true
+      }
       if (metaChanged)
         lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs)
       val dataChange = c.operation != "OPTIMIZE"
       adds.foreach { p =>
-        lines += addJson(p, cur(p), schema, c.partitionCols, dataChange, conf)
+        lines += addJson(p, cur(p), schema, c.partitionCols, dataChange, conf,
+          curDv.get(p))
       }
       removes.foreach { p =>
-        lines += JsonMethods.compact(JObject("remove" -> JObject(
-          "path" -> JString(encodePath(p)),
-          "deletionTimestamp" -> JLong(c.tsMs),
-          "dataChange" -> JBool(dataChange))))
+        val dvField = prevDv.get(p).map(d => "deletionVector" -> dvJson(d)).toList
+        lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+          "path" -> (JString(encodePath(p)): JValue),
+          "deletionTimestamp" -> (JLong(c.tsMs): JValue),
+          "dataChange" -> (JBool(dataChange): JValue)) ++ dvField: _*)))
       }
+
+      // Change Data Feed: a commit with recorded CDF rows exports them as
+      // Delta `cdc` actions — stamp-free parquet under `_change_data/`
+      // (Delta derives `_commit_version`/`_commit_timestamp` from the
+      // commit itself), partitioned like the table. Append commits carry
+      // no cdc action; CDF readers derive their inserts from the adds,
+      // as Delta specifies for blind appends.
+      val changesRel = c.changesDir.getOrElse(f"_changes/v${c.version}%05d")
+      if (fs.exists(new Path(root, changesRel))) {
+        val cdcRel = f"_change_data/v${c.version}%020d"
+        val cdcPath = new Path(root, cdcRel)
+        if (!fs.exists(cdcPath)) {
+          val stage = new Path(root,
+            s".cdc-stage-${java.util.UUID.randomUUID()}")
+          val df = spark.read.parquet(new Path(root, changesRel).toString)
+            .drop("_commit_version", "_commit_timestamp")
+          val w = df.write.mode("overwrite")
+          (if (c.partitionCols.nonEmpty) w.partitionBy(c.partitionCols: _*) else w)
+            .parquet(stage.toString)
+          if (!fs.rename(stage, cdcPath)) {
+            fs.delete(stage, true)
+            if (!fs.exists(cdcPath))
+              throw new java.io.IOException(s"cannot publish $cdcPath")
+          }
+        }
+        filesOf(cdcRel).foreach { st =>
+          lines += cdcJson(relPath(st), st, c.partitionCols)
+        }
+      }
+
       writeAtomic(fs, logDir, out, lines.result().mkString("", "\n", "\n"))
       prevPaths = cur.keySet
+      prevDv = curDv
+      prevDvDirs = c.dvDirs
       published = c.version
       prevMeta = Some((c.schemaJson, c.partitionCols, c.properties))
     }
@@ -197,6 +312,12 @@ object DeltaExport {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(conf)
 
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType,
@@ -204,7 +325,8 @@ object DeltaExport {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", dvT)))
     val metaT = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -288,10 +410,13 @@ object DeltaExport {
         val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, f.path))
         f.copy(size = st.getLen, modificationTime = st.getModificationTime)
       } catch { case scala.util.control.NonFatal(_) => f }
+    def dvRow(f: DeltaImport.AddFile): Row = f.deletionVector.map(d =>
+      Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+        d.sizeInBytes, d.cardinality)).orNull
     val rows: Seq[Row] =
       s.files.map(statted).map(f => Row(
         Row(f.path, f.partitionValues, f.size, f.modificationTime,
-          false, f.stats.orNull), null, null, null, null)) ++
+          false, f.stats.orNull, dvRow(f)), null, null, null, null)) ++
         Seq(Row(null, Row(s.tableId.getOrElse(java.util.UUID.nameUUIDFromBytes(
           ("graft:" + new Path(tablePath).toUri.getPath)
             .getBytes(StandardCharsets.UTF_8)).toString),
@@ -430,9 +555,12 @@ object DeltaExport {
         "writerFeatures" -> JArray(List(JString("timestampNtz"))))
       else JObject(
         "minReaderVersion" -> JInt(1),
-        // CHECK constraints are a writer-v3 concept; plain tables are v2.
-        "minWriterVersion" -> JInt(
-          if (props.keys.exists(_.startsWith("constraint."))) 3 else 2))
+        // The change feed is advertised on every export
+        // (delta.enableChangeDataFeed) and is a writer-v4 capability;
+        // CHECK constraints alone would demand v3, plain tables v2 — v4
+        // covers all three, with reader version untouched (cdc actions
+        // are invisible to snapshot readers).
+        "minWriterVersion" -> JInt(4))
     JsonMethods.compact(JObject("protocol" -> proto))
   }
 
@@ -447,11 +575,15 @@ object DeltaExport {
   private def metaDataJson(tableId: String, c: Commit, firstTs: Long): String = {
     // Graft CHECK constraints map onto Delta's reserved configuration keys
     // (`delta.constraints.<name>`); other properties pass through verbatim.
+    // Every graft table maintains its change feed, so the mirror
+    // advertises delta.enableChangeDataFeed — Delta CDF readers (the
+    // reference's load_cdf, notebook cells 25-26) then serve changes from
+    // the exported cdc actions / derived appends.
     val conf = c.properties.map {
       case (k, v) if k.startsWith("constraint.") =>
         s"delta.constraints.${k.stripPrefix("constraint.")}" -> v
       case kv => kv
-    }
+    } + ("delta.enableChangeDataFeed" -> "true")
     JsonMethods.compact(JObject("metaData" -> JObject(
       "id" -> JString(tableId),
       "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
@@ -462,27 +594,66 @@ object DeltaExport {
       "createdTime" -> JLong(firstTs))))
   }
 
-  private def addJson(rel: String, st: FileStatus, schema: StructType,
-      partCols: Seq[String], dataChange: Boolean,
-      conf: org.apache.hadoop.conf.Configuration): String = {
-    // Hive-style partition dirs inside the data dir carry the values the
-    // files themselves omit (graft writes with partitionBy) — decode them
-    // into Delta's partitionValues, Hive default partition as JSON null.
+  /** Hive-style partition dirs inside a data/cdc dir carry the values the
+    * files themselves omit (graft writes with partitionBy) — decode them
+    * into Delta's partitionValues, Hive default partition as JSON null. */
+  private def partitionValuesOf(rel: String, partCols: Seq[String]): JObject = {
     val pv: Seq[(String, JValue)] = partCols.map { pc =>
       val seg = rel.split('/').find(_.startsWith(pc + "="))
       val raw = seg.map(s => ExternalCatalogUtils.unescapePathName(s.drop(pc.length + 1)))
       pc -> raw.filter(_ != "__HIVE_DEFAULT_PARTITION__")
         .map(JString(_): JValue).getOrElse(JNull)
     }
+    JObject(pv: _*)
+  }
+
+  private def addJson(rel: String, st: FileStatus, schema: StructType,
+      partCols: Seq[String], dataChange: Boolean,
+      conf: org.apache.hadoop.conf.Configuration,
+      dv: Option[DeltaDeletionVectors.Descriptor] = None): String = {
     val stats = fileStatsJson(st, schema, partCols, conf)
     val fields = List(
       "path" -> (JString(encodePath(rel)): JValue),
-      "partitionValues" -> (JObject(pv: _*): JValue),
+      "partitionValues" -> (partitionValuesOf(rel, partCols): JValue),
       "size" -> (JLong(st.getLen): JValue),
       "modificationTime" -> (JLong(st.getModificationTime): JValue),
       "dataChange" -> (JBool(dataChange): JValue)) ++
-      stats.map(s => "stats" -> (JString(s): JValue))
+      stats.map(s => "stats" -> (JString(s): JValue)) ++
+      dv.map(d => "deletionVector" -> (dvJson(d): JValue))
     JsonMethods.compact(JObject("add" -> JObject(fields: _*)))
+  }
+
+  /** A `cdc` action (`dataChange` is false by protocol — cdc files restate
+    * changes, they do not alter the snapshot). */
+  private def cdcJson(rel: String, st: FileStatus, partCols: Seq[String]): String =
+    JsonMethods.compact(JObject("cdc" -> JObject(
+      "path" -> JString(encodePath(rel)),
+      "partitionValues" -> partitionValuesOf(rel, partCols),
+      "size" -> JLong(st.getLen),
+      "dataChange" -> JBool(false))))
+
+  private def dvJson(d: DeltaDeletionVectors.Descriptor): JObject = JObject(
+    List("storageType" -> (JString(d.storageType): JValue),
+      "pathOrInlineDv" -> (JString(d.pathOrInlineDv): JValue)) ++
+      d.offset.map(o => "offset" -> (JInt(o): JValue)).toList ++
+      List("sizeInBytes" -> (JInt(d.sizeInBytes): JValue),
+        "cardinality" -> (JLong(d.cardinality): JValue)): _*)
+
+  /** Protocol upgrade emitted with the first exported DV descriptor:
+    * deletionVectors is reader-AND-writer feature-gated (reader 3 /
+    * writer 7), and a feature-listed protocol must restate the other
+    * capabilities in play. */
+  private def dvProtocolJson(schema: StructType, props: Map[String, String]): String = {
+    val ntz = hasNtz(schema)
+    val rf = Seq("deletionVectors") ++ (if (ntz) Seq("timestampNtz") else Nil)
+    val wf = Seq("deletionVectors", "changeDataFeed") ++
+      (if (ntz) Seq("timestampNtz") else Nil) ++
+      (if (props.keys.exists(_.startsWith("constraint."))) Seq("checkConstraints") else Nil)
+    JsonMethods.compact(JObject("protocol" -> JObject(
+      "minReaderVersion" -> JInt(3),
+      "minWriterVersion" -> JInt(7),
+      "readerFeatures" -> JArray(rf.map(JString(_)).toList),
+      "writerFeatures" -> JArray(wf.map(JString(_)).toList))))
   }
 
   // ------------------------------------------------------- per-file stats

@@ -44,7 +44,10 @@ object DeltaImport {
     * data skipping, [[DeltaSkipping]]). */
   final case class AddFile(path: String, partitionValues: Map[String, String],
       stats: Option[String] = None,
-      size: Long = 0L, modificationTime: Long = 0L)
+      size: Long = 0L, modificationTime: Long = 0L,
+      /** Reader feature `deletionVectors`: positions recorded deleted from
+        * this file without a rewrite ([[DeltaDeletionVectors]]). */
+      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None)
 
   /** The table's protocol action, carried VERBATIM so downstream
     * republication (e.g. [[DeltaExport.writeCheckpoint]]) never weakens
@@ -84,7 +87,7 @@ object DeltaImport {
     * below. Everything else (deletionVectors, v2Checkpoint, …) is refused
     * by the snapshot gate. */
   private val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "columnMapping")
+    Set("timestampNtz", "columnMapping", "deletionVectors")
 
   // --------------------------------------------------- column mapping
   // Delta column mapping (modes `name` and `id`): parquet files carry
@@ -153,7 +156,19 @@ object DeltaImport {
       case _ => Map.empty
     },
     (j \ "stats") match { case JString(s) => Some(s); case _ => None },
-    longOf(j \ "size"), longOf(j \ "modificationTime"))
+    longOf(j \ "size"), longOf(j \ "modificationTime"),
+    (j \ "deletionVector") match {
+      case JNothing => None
+      case d => Some(DeltaDeletionVectors.Descriptor(
+        (d \ "storageType").extract[String],
+        (d \ "pathOrInlineDv").extract[String],
+        (d \ "offset") match {
+          case JInt(v) => Some(v.toInt); case JLong(v) => Some(v.toInt)
+          case _ => None
+        },
+        longOf(d \ "sizeInBytes").toInt,
+        longOf(d \ "cardinality")))
+    })
 
   private def actionsOf(version: Long, lines: Iterator[String]): VersionActions = {
     var ts = 0L
@@ -278,15 +293,27 @@ object DeltaImport {
         def opt(n: String, t: String) =
           if (addT.fieldNames.contains(n)) col(s"add.$n")
           else lit(null).cast(t).as(n)
+        val dvT = "struct<storageType:string,pathOrInlineDv:string," +
+          "offset:int,sizeInBytes:int,cardinality:bigint>"
         rows.select(col("add.path"), col("add.partitionValues"),
             opt("stats", "string"), opt("size", "bigint"),
-            opt("modificationTime", "bigint"))
+            opt("modificationTime", "bigint"), opt("deletionVector", dvT))
           .filter(col("path").isNotNull).collect().foreach { r =>
             val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
             val stats = if (r.isNullAt(2)) None else Some(r.getString(2))
+            val dv =
+              if (r.isNullAt(5)) None
+              else {
+                val d = r.getStruct(5)
+                if (d.isNullAt(0)) None
+                else Some(DeltaDeletionVectors.Descriptor(d.getString(0), d.getString(1),
+                  if (d.isNullAt(2)) None else Some(d.getInt(2)),
+                  if (d.isNullAt(3)) 0 else d.getInt(3),
+                  if (d.isNullAt(4)) 0L else d.getLong(4)))
+              }
             files += r.getString(0) -> AddFile(r.getString(0), pv, stats,
               if (r.isNullAt(3)) 0L else r.getLong(3),
-              if (r.isNullAt(4)) 0L else r.getLong(4))
+              if (r.isNullAt(4)) 0L else r.getLong(4), dv)
           }
       }
       if (cols.contains("metaData")) {
@@ -343,8 +370,11 @@ object DeltaImport {
         val a = actionsOf(v, lines.iterator)
         a.metaData.foreach(m => meta = Some(m))
         a.protocol.foreach(r => protocol = Some(r))
-        a.adds.foreach { case (f, _) => files += f.path -> f }
+        // Removes expunge entries from PRIOR versions; a remove+add of the
+        // same path in ONE commit (Delta's DV-update shape) must leave the
+        // commit's own add standing — so removes apply first.
         a.removes.foreach { case (f, _) => files -= f.path }
+        a.adds.foreach { case (f, _) => files += f.path -> f }
         version = v
       }
 
@@ -464,11 +494,39 @@ object DeltaImport {
     val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
     if (s.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    // Deletion vectors (reader feature `deletionVectors`): decode each
+    // file's recorded positions driver-side (bitmap bytes — the metadata
+    // cost every Delta reader pays) and subtract them as a per-row
+    // (file, row_index) membership FILTER inside the scan, the engine's
+    // own DV read shape ([[org.apache.spark.sql.graftnative.DvExpressions]]
+    // — one hash lookup + binary search, codegen'd, no join).
+    val dvMap: Map[String, Array[Long]] = {
+      lazy val conf = spark.sessionState.newHadoopConf()
+      s.files.iterator.flatMap { f =>
+        f.deletionVector.filter(_.cardinality != 0L).toSeq.flatMap { d =>
+          val positions = DeltaDeletionVectors.readPositions(d, s.tablePath, conf)
+          val p = resolveFile(s.tablePath, f.path)
+          val q = p.getFileSystem(conf).makeQualified(p)
+          val uri = q.toUri
+          // every spelling `_metadata.file_path` may surface for this file
+          Seq(q.toString, uri.toString,
+            s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}",
+            uri.getPath).distinct.map(_ -> positions)
+        }
+      }.toMap
+    }
+    val FileC = "__graft_delta_dv_file"
+    val PosC = "__graft_delta_dv_pos"
+    val metaCols: Seq[(String, DataFrame => org.apache.spark.sql.Column)] =
+      if (dvMap.isEmpty) Nil
+      else Seq(FileC -> ((d: DataFrame) => d.col("_metadata.file_path")),
+        PosC -> ((d: DataFrame) => d.col("_metadata.row_index")))
     val groups = s.files.groupBy(_.partitionValues).toSeq
-    groups.map { case (pv, fs) =>
+    val joined = groups.map { case (pv, fs) =>
       val base = readLogical(dataSchema,
         phys => spark.read.schema(phys)
-          .parquet(fs.map(f => resolveFile(s.tablePath, f.path).toString): _*))
+          .parquet(fs.map(f => resolveFile(s.tablePath, f.path).toString): _*),
+        metaCols)
       s.partitionColumns.foldLeft(base) { (d, pc) =>
         val f = s.schema(pc)
         val raw = partitionValueOf(pv, s.schema, pc)
@@ -476,21 +534,29 @@ object DeltaImport {
         d.withColumn(pc, lit(raw.orNull).cast(f.dataType))
       }
     }.reduce(_ unionByName _)
-      .select(s.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+    val subtracted =
+      if (dvMap.isEmpty) joined
+      else joined.filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
+          col(FileC), col(PosC), dvMap), lit(false)))
+    subtracted.select(s.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
   }
 
   /** Read files through the PHYSICAL rendering of `dataSchema`, then
     * restore logical names (one positional struct cast per column — a
     * rename, free at runtime). For unmapped tables physical == logical and
-    * this is an identity select. */
+    * this is an identity select. `extraCols` (e.g. `_metadata`-derived DV
+    * lineage) are appended AFTER the logical restore so they survive it. */
   private def readLogical(dataSchema: StructType,
-      readPhys: StructType => DataFrame): DataFrame = {
+      readPhys: StructType => DataFrame,
+      extraCols: Seq[(String, DataFrame => org.apache.spark.sql.Column)] = Nil)
+      : DataFrame = {
     val phys = toPhysical(dataSchema).asInstanceOf[StructType]
     val df = readPhys(phys)
-    if (phys == dataSchema) df
-    else df.select(dataSchema.fields.map { f =>
+    if (phys == dataSchema && extraCols.isEmpty) df
+    else df.select((dataSchema.fields.map { f =>
       col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
+    } ++ extraCols.map { case (n, c) => c(df).as(n) }).toIndexedSeq: _*)
   }
 
   /** The committed changes of one Delta version — the public slice of the

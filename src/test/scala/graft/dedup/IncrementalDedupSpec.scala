@@ -74,6 +74,48 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(idx.signatures.readVersion(versions.min).count() === 2)
   }
 
+  test("open refuses an index with NO stored geometry (half-created / foreign table)") {
+    import graft.table.GraftTable
+    val root = tmpDir("incdedup-unstamped")
+    // a table that LOOKS like a signatures table but carries no stamp —
+    // e.g. written by something else, or a hypothetical pre-stamp writer
+    GraftTable.create(spark, s"$root/signatures",
+      Seq((1L, Array(1L, 2L))).toDF("doc_id", "signature"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.open(spark, root)
+    }
+    assert(e.getMessage.contains("no stored MinHash geometry"))
+  }
+
+  test("small batch broadcasts against the index: no shuffle of the persisted buckets") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = (1 to 50).map(i => doc(i, s"corpus doc number $i with shared words"))
+      .toDF("doc_id", "text")
+    val root = tmpDir("incdedup-bcast")
+    val idx = IncrementalDedup.create(spark, root, corpus)
+    val batch = Seq(doc(100, "corpus doc number 7 with shared words"))
+      .toDF("doc_id", "text")
+    val verified = IncrementalDedup.addBatch(idx, corpus, batch, 0.8, admit = false)
+    verified.collect()
+    def finalPlan(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val plan = finalPlan(verified.queryExecution.executedPlan)
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"batch bands were not broadcast:\n$plan")
+    // the persisted index must stream partition-local: no shuffle exchange
+    // may sit anywhere above the buckets table's file scan
+    val bucketShuffles = plan.collect {
+      case e: ShuffleExchangeExec
+          if e.collectLeaves().exists(_.toString.contains("/buckets")) => e
+    }
+    assert(bucketShuffles.isEmpty,
+      s"the index buckets scan was shuffled:\n${bucketShuffles.mkString("\n")}")
+  }
+
   test("streaming: batches grow the index; dup pairs land exactly-once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.table.GraftTable
@@ -107,6 +149,49 @@ class IncrementalDedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got.contains((10L, 20L)) && got.contains((1L, 20L)))
       assert(idx.docCount === 5)
+    } finally q.stop()
+  }
+
+  test("long-run maintenance: bucket/signature file growth is bounded across many batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.table.GraftTable
+    val corpusRoot = tmpDir("incdedup-mcorpus")
+    val corpusT = GraftTable.create(spark, corpusRoot,
+      Seq(doc(1, "seed")).toDF("doc_id", "text"))
+    val idx = IncrementalDedup.create(spark, tmpDir("incdedup-midx"),
+      corpusT.read())
+    val dups = GraftTable.create(spark, tmpDir("incdedup-mdups"),
+      Seq.empty[(Long, Long, Double, Long)].toDF("a_id", "b_id", "jaccard", "batch_id"))
+    implicit val sqlCtx: org.apache.spark.sql.classic.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.classic.SQLContext]
+    val input = MemoryStream[(Long, String)]
+    val nBatches = 24
+    val q = IncrementalDedup.startStream(idx,
+      () => corpusT.read(), input.toDF().toDF("doc_id", "text"), dups,
+      threshold = 0.8, checkpoint = tmpDir("incdedup-mckpt"),
+      admitDocsTo = Some(corpusT),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"),
+      maintainEvery = 6, vacuumRetainHours = 0.0)
+    try {
+      (1 to nBatches).foreach { b =>
+        input.addData(doc(100L + b, s"unique text $b"))
+        q.processAllAvailable()
+      }
+      assert(idx.docCount === 1L + nBatches)
+      // Without maintenance each batch leaves one more dir per table
+      // (≈ nBatches dirs); the cadence folds the tail and vacuums the
+      // superseded dirs, so live file counts stay bounded well below it.
+      val bucketDirs = idx.buckets.detail().head().getAs[Int]("numDirs")
+      val sigDirs = idx.signatures.detail().head().getAs[Int]("numDirs")
+      assert(bucketDirs < nBatches / 2,
+        s"bucket dirs not bounded: $bucketDirs after $nBatches batches")
+      assert(sigDirs < nBatches / 2,
+        s"signature dirs not bounded: $sigDirs after $nBatches batches")
+      // correctness survives the maintenance: every admitted doc still
+      // probes against the folded index
+      val probe = IncrementalDedup.addBatch(idx, corpusT.read(),
+        Seq(doc(999, s"unique text 5")).toDF("doc_id", "text"), 0.8, admit = false)
+      assert(probe.select("a_id").collect().map(_.getLong(0)).toSet === Set(105L))
     } finally q.stop()
   }
 

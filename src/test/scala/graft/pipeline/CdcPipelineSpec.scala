@@ -133,6 +133,39 @@ class CdcPipelineSpec extends SparkSpec {
       === t.readVersion(0L).count())
   }
 
+  test("deltaMirror advances past a merge-on-read delete (exported as a Delta DV)") {
+    val in = tmpDir("cdc-mor-in")
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("cdc-mor-tables"),
+      checkpointRoot = tmpDir("cdc-mor-ckpt"),
+      availableNow = true,
+      tables = Seq("customers"),
+      deltaMirror = true)
+    writeBatch(in, "batch1.json", Seq(
+      CdcFixtures.record("customers", "c", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 0),
+      CdcFixtures.record("customers", "c", 2,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 1)))
+    CdcPipeline.runOnce(spark, cfg)
+
+    // an out-of-band MoR delete lands between batches (operational cleanup)
+    val snapPath = CdcPipeline.snapshotPath(cfg, "customers")
+    val t = GraftTable.forPath(spark, snapPath)
+    t.deletePositional(col("id") === 2L)
+
+    // next batch: the mirror must keep advancing, not halt on the DV commit
+    writeBatch(in, "batch2.json", Seq(
+      CdcFixtures.record("customers", "c", 3,
+        Some(CdcFixtures.customerJson(3, "Ann", "Poe", "ann@x.com")), off = 2)))
+    CdcPipeline.runOnce(spark, cfg)
+
+    val viaDelta = graft.sources.DeltaImport.read(spark, snapPath)
+      .select("id").as[Long].collect().toSet
+    assert(viaDelta === Set(1L, 3L))
+    assert(viaDelta === t.read().select("id").as[Long].collect().toSet)
+  }
+
   test("CDC pipeline over the no-rename object store (tables + checkpoint on s3fake)") {
     // The deployment shape S14 promises: table roots AND the streaming
     // checkpoint on an object store whose rename REPLACES silently — the

@@ -275,18 +275,87 @@ class DeltaExportSpec extends SparkSpec {
       === Set((2L, "b"), (3L, "c")))
   }
 
-  test("MoR state refuses export and names the remedy; purge unblocks") {
+  test("value-tombstone MoR refuses export and names the remedy; DV versions flow") {
     val root = tmpDir("dexp-mor")
     val t = GraftTable.create(spark,
       root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), Nil)
-    t.deletePositional(col("id") === 2L) // deletion-vector commit
+    t.deleteMergeOnRead(col("id") === 2L) // VALUE tombstone commit
     val e = intercept[IllegalStateException] { DeltaExport.exportLog(t) }
-    assert(e.getMessage.contains("merge-on-read"))
+    assert(e.getMessage.contains("tombstone"))
     assert(DeltaExport.exportableUpTo(t) === 0L)
     assert(DeltaExport.exportLog(t, upTo = Some(0L)) === 0L)
+  }
 
-    t.materializeDeletes() // snapshot rewrite clears the DV state
-    assert(DeltaExport.exportableUpTo(t) < t.version) // v1 still blocks the prefix
+  test("positional deletes export as Delta deletion vectors and round-trip") {
+    val root = tmpDir("dexp-dv")
+    val t = GraftTable.create(spark,
+      root, (1L to 10L).map(i => (i, s"s$i")).toDF("id", "s"), Nil)
+    t.deletePositional(col("id") === 3L)          // v1: DV on the v0 file
+    t.deletePositional(col("id") === 7L)          // v2: DV grows (same file)
+    t.append(Seq((11L, "s11")).toDF("id", "s"))   // v3: plain append alongside DVs
+
+    val published = DeltaExport.exportLog(t)
+    assert(published === 3L)
+
+    // protocol upgraded IN PLACE at the first DV commit
+    val protos = logLines(root, 1L).map(_ \ "protocol").filter(_ != JNothing)
+    assert(protos.nonEmpty)
+    assert((protos.head \ "minReaderVersion") === JInt(3))
+    val rf = (protos.head \ "readerFeatures").asInstanceOf[JArray].arr
+    assert(rf.contains(JString("deletionVectors")))
+    // the DV-changed file re-enters the log as remove+add with a descriptor
+    val v1adds = logLines(root, 1L).map(_ \ "add").filter(_ != JNothing)
+    assert(v1adds.nonEmpty)
+    assert(v1adds.forall(a => (a \ "deletionVector" \ "storageType") === JString("u")))
+    assert(logLines(root, 1L).exists(l => (l \ "remove") != JNothing))
+
+    // Delta reads equal graft reads at EVERY version, including with DVs
+    for (v <- 0L to 3L) {
+      val viaDelta = DeltaImport.read(spark, root, versionAsOf = Some(v))
+        .as[(Long, String)].collect().toSet
+      val viaGraft = t.readVersion(v).as[(Long, String)].collect().toSet
+      assert(viaDelta === viaGraft, s"version $v")
+    }
+    assert(DeltaImport.read(spark, root).count() === 9L)
+
+    // a checkpoint carries the descriptors; cold read off it stays correct
+    DeltaExport.writeCheckpoint(spark, root)
+    assert(DeltaImport.snapshot(spark, root).files
+      .flatMap(_.deletionVector).map(_.cardinality).sum === 2L)
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === t.read().as[(Long, String)].collect().toSet)
+  }
+
+  test("CDF exports as cdc actions; a Delta reader round-trips the graft change feed") {
+    val root = tmpDir("dexp-cdf")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "v"), Nil)
+    t.append(Seq((3L, "c", 30.0)).toDF("id", "s", "v"))            // v1 blind append
+    t.merge(Seq((2L, "B", 200.0), (4L, "d", 40.0)).toDF("id", "s", "v"), "id") // v2
+    t.delete(col("id") === 1L)                                     // v3
+
+    DeltaExport.exportLog(t)
+    // metaData advertises the feed; mutation commits carry cdc actions
+    val meta = logLines(root, 0L).map(_ \ "metaData").find(_ != JNothing).get
+    assert((meta \ "configuration" \ "delta.enableChangeDataFeed") === JString("true"))
+    assert(logLines(root, 2L).exists(l => (l \ "cdc") != JNothing))
+    assert(logLines(root, 3L).exists(l => (l \ "cdc") != JNothing))
+    // cdc files are stamp-free (Delta derives the stamps from the commit)
+    val cdcPath = (logLines(root, 2L).map(_ \ "cdc").find(_ != JNothing).get \ "path")
+      .asInstanceOf[JString].s
+    val cdcCols = spark.read.parquet(s"$root/$cdcPath").columns.toSet
+    assert(cdcCols.contains("_change_type"))
+    assert(!cdcCols.contains("_commit_version") && !cdcCols.contains("_commit_timestamp"))
+
+    // the round trip: Delta CDF read == graft CDF read, row for row
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double, String, Long)] =
+      df.select(col("id"), col("s"), col("v"), col("_change_type"),
+          col("_commit_version"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getString(3), r.getLong(4))).toSet
+    val viaDelta = canon(DeltaImport.readChanges(spark, root, 1L, t.version))
+    val viaGraft = canon(t.readChanges(1L, t.version))
+    assert(viaDelta === viaGraft)
   }
 
   test("writeCheckpoint: protocol-complete rows — required add fields, tombstones, txn") {

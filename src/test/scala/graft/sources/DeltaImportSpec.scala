@@ -351,11 +351,11 @@ class DeltaImportSpec extends SparkSpec {
     commit(bad, 0L, Seq(
       """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"]}}""",
+        """"readerFeatures":["v2Checkpoint"]}}""",
       metaLine(idS),
       """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
     val e = intercept[IllegalArgumentException] { DeltaImport.read(spark, bad) }
-    assert(e.getMessage.contains("deletionVectors"))
+    assert(e.getMessage.contains("v2Checkpoint"))
   }
 
   test("CDF: cdc actions served as-is, blind adds as inserts, whole-file removes as deletes") {
