@@ -668,11 +668,57 @@ object DeltaImport {
       }.reduce(_ unionByName _)
     }
 
+    // One file's rows at an explicit POSITION set (a DV diff) — the same
+    // membership-filter read shape as the snapshot's DV subtraction, with
+    // the map keyed by a constant (single file per frame).
+    def positionsFrame(f: AddFile, positions: Array[Long]): DataFrame = {
+      val PosC = "__graft_delta_cdf_pos"
+      val dataSchema = StructType(head.schema.filterNot(x =>
+        head.partitionColumns.contains(x.name)))
+      val base = readLogical(dataSchema,
+        phys => mkParquet(Seq(resolveFile(head.tablePath, f.path).toString), phys),
+        Seq(PosC -> ((d: DataFrame) => d.col("_metadata.row_index"))))
+      val hit = org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
+        lit("f"), col(PosC), Map("f" -> positions.sorted))
+      val withParts = head.partitionColumns.foldLeft(
+        base.filter(org.apache.spark.sql.functions.coalesce(hit, lit(false)))
+          .drop(PosC)) { (d, pc) =>
+        val raw = partitionValueOf(f.partitionValues, head.schema, pc)
+          .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
+        d.withColumn(pc, lit(raw.orNull).cast(head.schema(pc).dataType))
+      }
+      withParts
+    }
+
+    lazy val hConf = spark.sessionState.newHadoopConf()
+    def dvPositions(f: AddFile): Array[Long] =
+      f.deletionVector.filter(_.cardinality != 0L)
+        .map(DeltaDeletionVectors.readPositions(_, head.tablePath, hConf))
+        .getOrElse(Array.empty[Long])
+
     versions.flatMap { a =>
       if (a.cdc.nonEmpty) Seq(stamped(filesDf(a.cdc, withChangeType = true), None, a))
       else {
-        (if (a.adds.nonEmpty) Seq(stamped(filesDf(a.adds, withChangeType = false), Some("insert"), a)) else Nil) ++
-          (if (a.removes.nonEmpty) Seq(stamped(filesDf(a.removes, withChangeType = false), Some("delete"), a)) else Nil)
+        // A path both removed and re-added in ONE commit is a DV update
+        // (delta-spark's CDF-less DELETE shape), not a whole-file change:
+        // the row-level delta is the position-set difference — new
+        // positions are deletes, vacated positions are restores (inserts).
+        val remByPath = a.removes.map(f => f.path -> f).toMap
+        val (dvPairs, realAdds) = a.adds.partition(f => remByPath.contains(f.path))
+        val realRemoves = a.removes.filterNot(r => a.adds.exists(_.path == r.path))
+        val diffFrames = dvPairs.flatMap { f =>
+          val oldPs = dvPositions(remByPath(f.path)).toSet
+          val newPs = dvPositions(f).toSet
+          val dels = (newPs -- oldPs).toArray
+          val restores = (oldPs -- newPs).toArray
+          (if (dels.nonEmpty)
+            Seq(stamped(positionsFrame(f, dels), Some("delete"), a)) else Nil) ++
+            (if (restores.nonEmpty)
+              Seq(stamped(positionsFrame(f, restores), Some("insert"), a)) else Nil)
+        }
+        (if (realAdds.nonEmpty) Seq(stamped(filesDf(realAdds, withChangeType = false), Some("insert"), a)) else Nil) ++
+          (if (realRemoves.nonEmpty) Seq(stamped(filesDf(realRemoves, withChangeType = false), Some("delete"), a)) else Nil) ++
+          diffFrames
       }
     }
   }

@@ -358,6 +358,60 @@ class DeltaImportSpec extends SparkSpec {
     assert(e.getMessage.contains("v2Checkpoint"))
   }
 
+  test("deletion vectors: protocol accepted, positions subtracted, CDF derives the DV diff") {
+    val table = tmpDir("delta-dv")
+    dataFile(table, "a.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s"))
+    val conf = spark.sessionState.newHadoopConf()
+    // two DV generations for the same file, written in the real format
+    val dv1 = DeltaDeletionVectors.writeFile(
+      Seq("a.parquet" -> Seq(1L)), table, "g1", conf)("a.parquet")
+    val dv2 = DeltaDeletionVectors.writeFile(
+      Seq("a.parquet" -> Seq(1L, 3L)), table, "g2", conf)("a.parquet")
+    def dvJson(d: DeltaDeletionVectors.Descriptor): String =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine(idS),
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    // v1: CDF-less DV DELETE — remove + re-add with the first DV
+    commit(table, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"DELETE"}}""",
+      """{"remove":{"path":"a.parquet","deletionTimestamp":2000,"dataChange":true}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true,"deletionVector":${dvJson(dv1)}}}"""))
+    // v2: DV grows (one more deleted position)
+    commit(table, 2L, Seq(
+      """{"commitInfo":{"timestamp":3000,"operation":"DELETE"}}""",
+      s"""{"remove":{"path":"a.parquet","deletionTimestamp":3000,"dataChange":true,"deletionVector":${dvJson(dv1)}}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true,"deletionVector":${dvJson(dv2)}}}"""))
+
+    // snapshot reads subtract the positions (row 1 then rows 1+3)
+    assert(DeltaImport.read(spark, table, Some(0L)).count() === 4)
+    assert(DeltaImport.read(spark, table, Some(1L))
+      .select("id").as[Long].collect().toSet === Set(1L, 3L, 4L))
+    assert(DeltaImport.read(spark, table)
+      .select("id").as[Long].collect().toSet === Set(1L, 3L))
+
+    // the change feed derives the per-version DV DIFF, not whole files
+    val ch = DeltaImport.readChanges(spark, table, 1L, 2L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ch === Set((2L, "delete", 1L), (4L, "delete", 2L)))
+
+    // a DV shrink (restore) surfaces the vacated rows as inserts
+    commit(table, 3L, Seq(
+      """{"commitInfo":{"timestamp":4000,"operation":"RESTORE"}}""",
+      s"""{"remove":{"path":"a.parquet","deletionTimestamp":4000,"dataChange":true,"deletionVector":${dvJson(dv2)}}}""",
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true,"deletionVector":${dvJson(dv1)}}}"""))
+    val ch3 = DeltaImport.readChanges(spark, table, 3L, 3L)
+      .select(col("id"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch3 === Set((4L, "insert")))
+  }
+
   test("CDF: cdc actions served as-is, blind adds as inserts, whole-file removes as deletes") {
     val table = tmpDir("delta-cdf")
     dataFile(table, "a.parquet", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
