@@ -170,6 +170,9 @@ object SparkEntry {
     "q138_incremental_dedup" -> (CorpusQueries.incrementalDedup _),
     "q139_delta_import_orders" -> (DeltaBridgeQueries.deltaImportOrders _),
     "q140_delta_import_events" -> (DeltaBridgeQueries.deltaImportEvents _),
+    "q141_delta_import_products" -> (DeltaBridgeQueries.deltaImportProducts _),
+    "q142_delta_import_items"  -> (DeltaBridgeQueries.deltaImportOrderItems _),
+    "q143_delta_cdf_roundtrip" -> (DeltaBridgeQueries.deltaCdfRoundtrip _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -461,6 +464,36 @@ object SparkEntry {
       """SELECT id, customer_id, status, total_amount,
         |  epoch_us(order_date) AS order_us, __cdc_operation AS cdc_op
         |FROM read_parquet('/root/reference/deltalake/orders/part-00001-7dcc3039-551b-4248-9c8f-12876348a848-c000.snappy.parquet')""".stripMargin,
+    // Frozen `products` fixture (q141): single WRITE commit, stats with
+    // out-of-range (year 57949) timestamps the reader must tolerate.
+    "q141_delta_import_products" ->
+      """SELECT id, name, price, stock_quantity, category,
+        |  __cdc_operation AS cdc_op, epoch_us(updated_at) AS updated_us
+        |FROM read_parquet('/root/reference/deltalake/products/part-00000-481bb3bb-2739-4a6a-9339-5ad6cd590034-c000.snappy.parquet')""".stripMargin,
+    // Frozen `order_items` fixture (q142): the log commits ONE of the two
+    // part-files on disk — the other is an orphan a glob reader would
+    // wrongly serve; the oracle reads only the committed file.
+    "q142_delta_import_items" ->
+      """SELECT id, order_id, product_id, quantity, unit_price,
+        |  __cdc_operation AS cdc_op, epoch_us(created_at) AS created_us
+        |FROM read_parquet('/root/reference/deltalake/order_items/part-00003-8c2d3cd2-6869-47ce-a580-19f8901b7282-c000.snappy.parquet')""".stripMargin,
+    // CDF round-trip (q143): the graft orders history (create %3<>0 →
+    // append %3=0 → delete F) mirrored as a Delta log and its change feed
+    // read back through the exported cdc actions / derived appends — the
+    // reference's load_cdf shape. The oracle recomputes each version's
+    // change rows from the source parquet.
+    "q143_delta_cdf_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  'insert', CAST(1 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  'delete', CAST(2 AS BIGINT)
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     // Frozen `cdc_events` fixture (q140): two STREAMING UPDATE commits —
     // the replay must serve the union of both commits' files.
     "q140_delta_import_events" ->

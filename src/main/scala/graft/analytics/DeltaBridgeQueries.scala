@@ -96,6 +96,41 @@ object DeltaBridgeQueries {
         col("kafka_partition"), col("kafka_offset"),
         unix_micros(col("event_timestamp")).as("event_us"))
 
+  /** q141: the frozen `products` table — single WRITE commit; its stats
+    * carry out-of-range (year 57949) timestamps the reader must tolerate.
+    * Completes bridge coverage of every Delta table the reference ships. */
+  def deltaImportProducts(spark: SparkSession, dir: String): DataFrame =
+    DeltaImport.read(spark,
+      copiedTableAt(spark, "/root/reference/deltalake/products"))
+      .select(col("id"), col("name"), col("price"), col("stock_quantity"),
+        col("category"), col("__cdc_operation").as("cdc_op"),
+        unix_micros(col("updated_at")).as("updated_us"))
+
+  /** q142: the frozen `order_items` table — its data dir holds TWO
+    * part-files but the log commits only one; the other is an orphan a
+    * glob reader would wrongly serve. */
+  def deltaImportOrderItems(spark: SparkSession, dir: String): DataFrame =
+    DeltaImport.read(spark,
+      copiedTableAt(spark, "/root/reference/deltalake/order_items"))
+      .select(col("id"), col("order_id"), col("product_id"), col("quantity"),
+        col("unit_price"), col("__cdc_operation").as("cdc_op"),
+        unix_micros(col("created_at")).as("created_us"))
+
+  /** q143: the CDF round-trip the reference's consumer runs (load_cdf,
+    * python-consumer/delta_handler.py, notebook cells 25-26) — a graft
+    * history (create → append → MoR delete) mirrored by [[DeltaExport]]
+    * and its change feed read BACK exclusively through the exported
+    * Delta log's cdc actions / derived appends. The oracle recomputes the
+    * three versions' change rows from the source parquet. */
+  def deltaCdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = exportedOrdersRoot(spark, dir)
+    DeltaImport.readChanges(spark, root, 0L, 2L)
+      .filter(col("_change_type").isin("insert", "delete"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+  }
+
   // ------------------------------------------------------------ write side
 
   private val exported = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -49,35 +49,35 @@ import graft.table.{Commit, CommitLog, GraftTable}
   * `_change_data/`, and `delta.enableChangeDataFeed` is advertised — a
   * Delta reader's load_cdf round-trips the graft change feed.
   *
-  * Honest limit (refused loudly, never silently wrong): value-tombstone
-  * MoR state is a predicate over row VALUES — no Delta action encodes it;
-  * export halts at such versions and names the remedy (optimize / any
-  * snapshot-rewriting commit).
+  * Value-tombstone MoR state is a predicate over row VALUES — no Delta
+  * action encodes it — so tombstone-carrying versions MATERIALIZE at
+  * mirror time: the covered dir prefix is rewritten once (tombstones +
+  * DVs applied) under a content-keyed `_delta_materialized/` dir the
+  * Delta commit adds in place of the covered files; appends past the
+  * covers stay incremental and reuse the materialization. The mirror
+  * never stalls, and the Delta snapshot equals the graft snapshot at
+  * every version.
   *
   * Scale: export is a driver-side metadata fold (one file listing per
   * immutable data dir, footer reads for new files only) — the cost class
   * of a Delta writer's own commit path. The exceptions are bounded and
   * per-changed-version only: one small aggregate over the dv dirs of a
-  * DV-changing commit, and one rewrite job over the `_changes` rows of a
-  * CDF-carrying commit.
+  * DV-changing commit, one rewrite job over the `_changes` rows of a
+  * CDF-carrying commit, and one covered-prefix rewrite per DISTINCT
+  * value-tombstone state (the same job graft's own optimize() remedy
+  * would run, executed lazily on the mirror side).
   */
 object DeltaExport {
 
   private implicit val formats: Formats = DefaultFormats
 
-  /** Versions whose MoR state cannot be expressed in the Delta log.
-    * Positional deletion vectors EXPORT (as real Delta DVs, reader feature
-    * `deletionVectors`); value tombstones do not — their membership is a
-    * predicate over row VALUES, which no Delta action encodes — so only
-    * tombstone-carrying versions still halt (purge/compact materializes
-    * them into clean commits). */
-  private def morBlocked(c: Commit): Boolean =
-    c.tombstoneDirs.nonEmpty
-
-  /** Highest graft version exportable as a contiguous Delta log prefix. */
+  /** Highest graft version exportable as a contiguous Delta log prefix —
+    * every version: positional deletes export as real Delta DVs, and
+    * value-tombstone MoR versions auto-materialize their covered prefix
+    * (see [[exportLog]]), so the mirror never stalls. */
   def exportableUpTo(table: GraftTable): Long = {
     val cs = new CommitLog(table.root, table.spark.sessionState.newHadoopConf()).commits()
-    cs.takeWhile(!morBlocked(_)).lastOption.map(_.version).getOrElse(-1L)
+    cs.lastOption.map(_.version).getOrElse(-1L)
   }
 
   /** Publish `_delta_log` commits for graft versions [0, upTo] (default:
@@ -94,13 +94,6 @@ object DeltaExport {
     val commits = new CommitLog(table.root, conf).commits()
     require(commits.nonEmpty, s"${table.root}: empty table, nothing to export")
     val target = upTo.getOrElse(commits.last.version)
-    commits.find(c => c.version <= target && morBlocked(c)).foreach { c =>
-      throw new IllegalStateException(
-        s"${table.root} version ${c.version} holds value-tombstone " +
-          "merge-on-read state that no Delta action can express — " +
-          "materialize it first (optimize() or any snapshot-rewriting " +
-          s"commit), or export upTo=${c.version - 1}")
-    }
 
     val logDir = new Path(root, "_delta_log")
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
@@ -153,6 +146,17 @@ object DeltaExport {
         f.deletionVector.map(decodePath(f.path) -> _)).toMap).getOrElse(Map.empty)
     var dvAdvertised = resumeSnap.exists(_.protocol.exists(
       _.readerFeatures.contains("deletionVectors")))
+    // Resuming over a log written by a pre-CDF exporter: its published
+    // metaData never advertised `delta.enableChangeDataFeed` (the key is
+    // injected at export, never present in graft commit properties, so
+    // the metaChanged comparison below can't catch it) and its protocol
+    // may predate cdc actions — re-emit both with the FIRST new commit,
+    // else new change data lands in a feed CDF readers silently ignore.
+    var cdfUpgrade = resumeSnap.exists(s =>
+      !s.configuration.get("delta.enableChangeDataFeed").contains("true"))
+    val resumeCdfCapable = resumeSnap.flatMap(_.protocol).exists(p =>
+      if (p.minWriterVersion >= 7) p.writerFeatures.contains("changeDataFeed")
+      else p.minWriterVersion >= 4)
     var prevDvDirs: Seq[String] =
       commits.find(_.version == published).map(_.dvDirs).getOrElse(Nil)
     var prevMeta: Option[(String, Seq[String], Map[String, String])] =
@@ -178,23 +182,69 @@ object DeltaExport {
           r.getSeq[Long](1).distinct.sorted.toSeq)
         .toMap
     def filesNamedIn(dirs: Seq[String]): Set[String] =
-      spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
+      if (dirs.isEmpty) Set.empty
+      else spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
         .select("file").distinct().collect()
         .map(r => relOfAbsolute(r.getString(0))).toSet
+
+    // Value-tombstone MoR state is a predicate over row VALUES — no Delta
+    // action encodes it. Rather than halt the mirror, the covered prefix
+    // (the dirs at least one tombstone applies to; appends past every
+    // cover are untouched) is MATERIALIZED: rewritten once, tombstones
+    // and DVs applied, under a content-keyed dir the Delta commit adds in
+    // place of the covered files. The key hashes exactly the inputs of
+    // the rewrite, so consecutive commits that only append (the common
+    // stream shape: tombstones persist until a rewrite clears them) REUSE
+    // the materialization and stay incremental — one rewrite per distinct
+    // MoR state, not per version.
+    def materializedPrefix(c: Commit, covered: Int): String = {
+      val keySrc = (c.dataDirs.take(covered) ++ c.tombstoneDirs ++ c.dvDirs ++
+        c.tombstoneDirs.map(t =>
+          c.properties.getOrElse(GraftTable.TombstoneCoverPrefix + t, "")))
+        .mkString("\n")
+      val key = java.util.UUID.nameUUIDFromBytes(
+        keySrc.getBytes(StandardCharsets.UTF_8)).toString
+      val rel = s"_delta_materialized/$key"
+      val dest = new Path(root, rel)
+      if (!fs.exists(dest)) {
+        val stage = new Path(root, s".mat-stage-${java.util.UUID.randomUUID()}")
+        val w = table.readMorPrefix(c.version, covered).write.mode("overwrite")
+        (if (c.partitionCols.nonEmpty) w.partitionBy(c.partitionCols: _*) else w)
+          .parquet(stage.toString)
+        if (!fs.rename(stage, dest)) {
+          fs.delete(stage, true)
+          // lost a race: the winner wrote the same deterministic content
+          if (!fs.exists(dest)) throw new java.io.IOException(s"cannot publish $dest")
+        }
+      }
+      rel
+    }
 
     commits.dropWhile(_.version <= published)
       .takeWhile(_.version <= target).foreach { c =>
       val out = new Path(logDir, f"${c.version}%020d.json")
       val cur: Map[String, FileStatus] =
-        c.dataDirs.flatMap(d => filesOf(d).map(st => relPath(st) -> st)).toMap
+        if (c.tombstoneDirs.isEmpty)
+          c.dataDirs.flatMap(d => filesOf(d).map(st => relPath(st) -> st)).toMap
+        else {
+          val full = c.dataDirs.length
+          val covered = math.min(full, c.tombstoneDirs.map(t =>
+            c.properties.get(GraftTable.TombstoneCoverPrefix + t)
+              .map(_.toInt).getOrElse(full)).max)
+          val matRel = materializedPrefix(c, covered)
+          (filesOf(matRel) ++ c.dataDirs.drop(covered).flatMap(filesOf))
+            .map(st => relPath(st) -> st).toMap
+        }
 
       // Deletion-vector delta: when the commit's dv dirs changed, the
       // affected files re-enter the log as remove+add carrying their NEW
       // descriptor (Delta's own DV-update shape). Append-only growth (the
       // normal MoR delete) touches only files named in the new dirs; a
-      // reset (purge / restore) recomputes every descriptor.
+      // reset (purge / restore) recomputes every descriptor. Files inside
+      // a materialized prefix are absent from `cur`, so their DV state
+      // (already folded into the rewrite) drops out here by construction.
       val (curDv, dvChanged): (Map[String, DeltaDeletionVectors.Descriptor], Set[String]) =
-        if (c.dvDirs == prevDvDirs)
+        if (c.dvDirs.toSet == prevDvDirs.toSet)
           (prevDv.filter { case (k, _) => cur.contains(k) }, Set.empty[String])
         else {
           val state = dvStateOf(c)
@@ -217,7 +267,8 @@ object DeltaExport {
       val newPaths = (cur.keySet -- prevPaths).toSeq.sorted
       val adds = (newPaths ++ dvChanged.filterNot(newPaths.contains)).distinct.sorted
       val removes = ((prevPaths -- cur.keySet) ++ dvChanged.filter(prevPaths)).toSeq.sorted
-      val metaChanged = !prevMeta.contains((c.schemaJson, c.partitionCols, c.properties))
+      val metaChanged = cdfUpgrade ||
+        !prevMeta.contains((c.schemaJson, c.partitionCols, c.properties))
       val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson(c)
@@ -228,7 +279,12 @@ object DeltaExport {
       if (curDv.nonEmpty && !dvAdvertised) {
         lines += dvProtocolJson(schema, c.properties)
         dvAdvertised = true
-      }
+      } else if (cdfUpgrade && !resumeCdfCapable)
+        // pre-CDF log whose protocol can't carry cdc actions: upgrade it
+        // (feature-listed when DVs are already advertised, legacy else)
+        lines += (if (dvAdvertised) dvProtocolJson(schema, c.properties)
+          else protocolJson(schema, c.properties))
+      cdfUpgrade = false
       if (metaChanged)
         lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs)
       val dataChange = c.operation != "OPTIMIZE"
@@ -542,25 +598,47 @@ object DeltaExport {
     case other => other // MERGE / DELETE / UPDATE / OPTIMIZE / RESTORE / WRITE
   }
 
+  /** Writer capabilities this export actually uses — ONE list feeding both
+    * protocol shapes, so a feature-listed (writer-7) protocol never omits
+    * a feature the log then exercises (spec-strict clients reject that):
+    * the change feed is always advertised and cdc actions written;
+    * constraints / generated / identity columns when the table declares
+    * them. */
+  private def writerFeaturesOf(schema: StructType,
+      props: Map[String, String]): Seq[String] =
+    Seq("changeDataFeed") ++
+      (if (hasNtz(schema)) Seq("timestampNtz") else Nil) ++
+      (if (props.keys.exists(_.startsWith(GraftTable.ConstraintPrefix)))
+        Seq("checkConstraints") else Nil) ++
+      (if (props.keys.exists(_.startsWith(GraftTable.GeneratedColPrefix)))
+        Seq("generatedColumns") else Nil) ++
+      (if (props.keys.exists(_.startsWith(GraftTable.IdentitySpecPrefix)))
+        Seq("identityColumns") else Nil)
+
   private def protocolJson(schema: StructType, props: Map[String, String]): String = {
     // TimestampNTZ in the schema is a Delta READER feature: legacy readers
     // would misinterpret the column, so the protocol must say v3 +
-    // feature list (exactly what [[DeltaImport]]'s gate checks).
+    // feature list (exactly what [[DeltaImport]]'s gate checks) — and a
+    // feature-listed protocol must restate EVERY writer capability in
+    // play ([[writerFeaturesOf]]).
     val ntz = hasNtz(schema)
     val proto =
       if (ntz) JObject(
         "minReaderVersion" -> JInt(3),
         "minWriterVersion" -> JInt(7),
         "readerFeatures" -> JArray(List(JString("timestampNtz"))),
-        "writerFeatures" -> JArray(List(JString("timestampNtz"))))
+        "writerFeatures" -> JArray(
+          writerFeaturesOf(schema, props).map(JString(_)).toList))
       else JObject(
         "minReaderVersion" -> JInt(1),
-        // The change feed is advertised on every export
-        // (delta.enableChangeDataFeed) and is a writer-v4 capability;
-        // CHECK constraints alone would demand v3, plain tables v2 — v4
-        // covers all three, with reader version untouched (cdc actions
-        // are invisible to snapshot readers).
-        "minWriterVersion" -> JInt(4))
+        // Legacy (non-feature-listed) writer version implying everything
+        // in use: the change feed is a writer-v4 capability (as are
+        // generated columns; CHECK constraints alone would demand v3,
+        // plain tables v2); identity columns demand v6. Reader version
+        // untouched — cdc actions are invisible to snapshot readers.
+        "minWriterVersion" -> JInt(
+          if (props.keys.exists(_.startsWith(GraftTable.IdentitySpecPrefix))) 6
+          else 4))
     JsonMethods.compact(JObject("protocol" -> proto))
   }
 
@@ -611,7 +689,10 @@ object DeltaExport {
       partCols: Seq[String], dataChange: Boolean,
       conf: org.apache.hadoop.conf.Configuration,
       dv: Option[DeltaDeletionVectors.Descriptor] = None): String = {
-    val stats = fileStatsJson(st, schema, partCols, conf)
+    // A DV'd file's footer stats cover PHYSICAL rows (deleted included):
+    // the protocol requires declaring them non-tight, else a metadata-only
+    // MIN/MAX answer could come from deleted rows.
+    val stats = fileStatsJson(st, schema, partCols, conf, tight = dv.isEmpty)
     val fields = List(
       "path" -> (JString(encodePath(rel)): JValue),
       "partitionValues" -> (partitionValuesOf(rel, partCols): JValue),
@@ -642,13 +723,12 @@ object DeltaExport {
   /** Protocol upgrade emitted with the first exported DV descriptor:
     * deletionVectors is reader-AND-writer feature-gated (reader 3 /
     * writer 7), and a feature-listed protocol must restate the other
-    * capabilities in play. */
+    * capabilities in play ([[writerFeaturesOf]] — the same list
+    * [[protocolJson]]'s feature-listed branch uses). */
   private def dvProtocolJson(schema: StructType, props: Map[String, String]): String = {
     val ntz = hasNtz(schema)
     val rf = Seq("deletionVectors") ++ (if (ntz) Seq("timestampNtz") else Nil)
-    val wf = Seq("deletionVectors", "changeDataFeed") ++
-      (if (ntz) Seq("timestampNtz") else Nil) ++
-      (if (props.keys.exists(_.startsWith("constraint."))) Seq("checkConstraints") else Nil)
+    val wf = Seq("deletionVectors") ++ writerFeaturesOf(schema, props)
     JsonMethods.compact(JObject("protocol" -> JObject(
       "minReaderVersion" -> JInt(3),
       "minWriterVersion" -> JInt(7),
@@ -670,7 +750,8 @@ object DeltaExport {
     * footer is unreadable (stats are optional in the format).
     */
   private def fileStatsJson(st: FileStatus, schema: StructType,
-      partCols: Seq[String], conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+      partCols: Seq[String], conf: org.apache.hadoop.conf.Configuration,
+      tight: Boolean = true): Option[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -718,12 +799,15 @@ object DeltaExport {
         }
         nullPoison.foreach(nulls.remove)
         mmPoison.foreach { n => mins.remove(n); maxs.remove(n) }
-        val obj = JObject(
-          "numRecords" -> JLong(rows),
-          "minValues" -> JObject(mins.toSeq.sortBy(_._1): _*),
-          "maxValues" -> JObject(maxs.toSeq.sortBy(_._1): _*),
-          "nullCount" -> JObject(nulls.toSeq.sortBy(_._1)
-            .map { case (k, v) => k -> (JLong(v): JValue) }: _*))
+        val obj = JObject(List[(String, JValue)](
+          "numRecords" -> JLong(rows)) ++
+          (if (tight) Nil else List[(String, JValue)](
+            "tightBounds" -> JBool(false))) ++
+          List[(String, JValue)](
+            "minValues" -> JObject(mins.toSeq.sortBy(_._1): _*),
+            "maxValues" -> JObject(maxs.toSeq.sortBy(_._1): _*),
+            "nullCount" -> JObject(nulls.toSeq.sortBy(_._1)
+              .map { case (k, v) => k -> (JLong(v): JValue) }: _*)): _*)
         Some(JsonMethods.compact(obj))
       } finally reader.close()
     } catch { case scala.util.control.NonFatal(_) => None }

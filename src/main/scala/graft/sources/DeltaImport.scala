@@ -505,13 +505,7 @@ object DeltaImport {
       s.files.iterator.flatMap { f =>
         f.deletionVector.filter(_.cardinality != 0L).toSeq.flatMap { d =>
           val positions = DeltaDeletionVectors.readPositions(d, s.tablePath, conf)
-          val p = resolveFile(s.tablePath, f.path)
-          val q = p.getFileSystem(conf).makeQualified(p)
-          val uri = q.toUri
-          // every spelling `_metadata.file_path` may surface for this file
-          Seq(q.toString, uri.toString,
-            s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}",
-            uri.getPath).distinct.map(_ -> positions)
+          pathSpellings(s.tablePath, f.path, conf).map(_ -> positions)
         }
       }.toMap
     }
@@ -521,25 +515,87 @@ object DeltaImport {
       if (dvMap.isEmpty) Nil
       else Seq(FileC -> ((d: DataFrame) => d.col("_metadata.file_path")),
         PosC -> ((d: DataFrame) => d.col("_metadata.row_index")))
-    val groups = s.files.groupBy(_.partitionValues).toSeq
-    val joined = groups.map { case (pv, fs) =>
-      val base = readLogical(dataSchema,
-        phys => spark.read.schema(phys)
-          .parquet(fs.map(f => resolveFile(s.tablePath, f.path).toString): _*),
-        metaCols)
-      s.partitionColumns.foldLeft(base) { (d, pc) =>
-        val f = s.schema(pc)
-        val raw = partitionValueOf(pv, s.schema, pc)
-          .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
-        d.withColumn(pc, lit(raw.orNull).cast(f.dataType))
-      }
-    }.reduce(_ unionByName _)
+    val joined = partitionedScan(spark, s.tablePath, s.schema, s.partitionColumns,
+      s.files, dataSchema,
+      (paths, phys) => spark.read.schema(phys).parquet(paths: _*), metaCols)
     val subtracted =
       if (dvMap.isEmpty) joined
       else joined.filter(!org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
           col(FileC), col(PosC), dvMap), lit(false)))
     subtracted.select(s.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+  }
+
+  /** Every spelling `_metadata.file_path` may surface for a log-relative
+    * file path — the key set for broadcast/driver-side maps keyed on it.
+    * Spark renders the column from the LISTED FileStatus path's URI, which
+    * percent-encodes characters illegal in a URI (a literal `%` in an
+    * on-disk hive-escaped dir name surfaces as `%25`) — hence the
+    * re-encoded rendering alongside the raw ones. */
+  private def pathSpellings(tablePath: String, rel: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = resolveFile(tablePath, rel)
+    val q = p.getFileSystem(conf).makeQualified(p)
+    val uri = q.toUri
+    val reencoded = try new java.net.URI(uri.getScheme,
+      Option(uri.getAuthority).orNull, uri.getPath, null, null).toString
+      catch { case scala.util.control.NonFatal(_) => uri.toString }
+    Seq(q.toString, uri.toString, reencoded,
+      s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}",
+      uri.getPath).distinct
+  }
+
+  /** Read `files` as ONE parquet relation. A partitioned Delta table with
+    * thousands of partition values must NOT become a thousands-leaf union
+    * plan (driver analysis blowup — the import-side scale-killer at
+    * 100×): partition columns, which live in the LOG's partitionValues
+    * rather than the files, are recovered through a BROADCAST
+    * file→values map joined on `_metadata.file_path` (the same mechanism
+    * the DV filter uses), then cast to their declared types. Unpartitioned
+    * tables skip the join entirely. */
+  private def partitionedScan(spark: SparkSession, tablePath: String,
+      schema: StructType, partitionColumns: Seq[String], files: Seq[AddFile],
+      dataSchema: StructType,
+      mkParquet: (Seq[String], StructType) => DataFrame,
+      extraCols: Seq[(String, DataFrame => org.apache.spark.sql.Column)])
+      : DataFrame = {
+    val paths = files.map(f => resolveFile(tablePath, f.path).toString)
+    if (partitionColumns.isEmpty)
+      return readLogical(dataSchema, phys => mkParquet(paths, phys), extraCols)
+    val PathC = "__graft_delta_pv_path"
+    def pvCol(i: Int) = s"__graft_delta_pv_$i"
+    val base = readLogical(dataSchema, phys => mkParquet(paths, phys),
+      extraCols :+ (PathC -> ((d: DataFrame) => d.col("_metadata.file_path"))))
+    val conf = spark.sessionState.newHadoopConf()
+    val mapSchema = StructType(StructField(PathC + "_k", StringType) +:
+      partitionColumns.indices.map(i => StructField(pvCol(i), StringType)))
+    val rows: Seq[org.apache.spark.sql.Row] = files.flatMap { f =>
+      val vals = partitionColumns.map { pc =>
+        partitionValueOf(f.partitionValues, schema, pc)
+          .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__").orNull
+      }
+      pathSpellings(tablePath, f.path, conf).map(sp =>
+        org.apache.spark.sql.Row.fromSeq(sp +: vals))
+    }
+    val pvDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), mapSchema)
+    val joined = base.join(org.apache.spark.sql.functions.broadcast(pvDf),
+      base(PathC) === pvDf(PathC + "_k"), "left")
+    partitionColumns.zipWithIndex.foldLeft(joined) { case (d, (pc, i)) =>
+      // A key miss must FAIL, never silently null a partition column —
+      // the guard rides the first recovered column (a matched row's key
+      // is non-null even when the VALUE is the null default partition).
+      val v = col(pvCol(i)).cast(schema(pc).dataType)
+      d.withColumn(pc,
+        if (i > 0) v
+        else org.apache.spark.sql.functions.when(col(PathC + "_k").isNull,
+          org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.concat(
+              lit("Delta partition-value recovery missed file "), col(PathC)))
+            .cast(schema(pc).dataType))
+          .otherwise(v))
+    }.drop((Seq(PathC, PathC + "_k") ++ partitionColumns.indices.map(pvCol)): _*)
   }
 
   /** Read files through the PHYSICAL rendering of `dataSchema`, then
@@ -652,37 +708,33 @@ object DeltaImport {
     def filesDf(paths: Seq[AddFile], withChangeType: Boolean): DataFrame = {
       // `_change_type` is stored literally even in column-mapped tables
       // (it is a CDF artifact, not a schema column), so it joins the
-      // schema AFTER the physical mapping of the table columns.
+      // schema AFTER the physical mapping of the table columns. One scan
+      // + broadcast partition-value recovery ([[partitionedScan]]), never
+      // a per-partition-group union.
       val s0 = if (withChangeType) head.schema.add("_change_type", StringType) else head.schema
       val dataSchema = StructType(s0.filterNot(f => head.partitionColumns.contains(f.name)))
-      val groups = paths.groupBy(_.partitionValues).toSeq
-      groups.map { case (pv, fls) =>
-        val base = readLogical(dataSchema,
-          phys => mkParquet(fls.map(f =>
-            resolveFile(head.tablePath, f.path).toString), phys))
-        head.partitionColumns.foldLeft(base) { (d, pc) =>
-          val raw = partitionValueOf(pv, head.schema, pc)
-            .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
-          d.withColumn(pc, lit(raw.orNull).cast(head.schema(pc).dataType))
-        }
-      }.reduce(_ unionByName _)
+      partitionedScan(spark, head.tablePath, head.schema, head.partitionColumns,
+        paths, dataSchema, mkParquet, Nil)
     }
 
-    // One file's rows at an explicit POSITION set (a DV diff) — the same
-    // membership-filter read shape as the snapshot's DV subtraction, with
-    // the map keyed by a constant (single file per frame).
-    def positionsFrame(f: AddFile, positions: Array[Long]): DataFrame = {
+    // One file's rows at an explicit POSITION set (a DV diff: keep = the
+    // listed positions) or its complement (a DV'd file's LIVE rows:
+    // keep = everything else) — the same membership-filter read shape as
+    // the snapshot's DV subtraction, with the map keyed by a constant
+    // (single file per frame).
+    def positionsFrame(f: AddFile, positions: Array[Long],
+        keep: Boolean = true): DataFrame = {
       val PosC = "__graft_delta_cdf_pos"
       val dataSchema = StructType(head.schema.filterNot(x =>
         head.partitionColumns.contains(x.name)))
       val base = readLogical(dataSchema,
         phys => mkParquet(Seq(resolveFile(head.tablePath, f.path).toString), phys),
         Seq(PosC -> ((d: DataFrame) => d.col("_metadata.row_index"))))
-      val hit = org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
-        lit("f"), col(PosC), Map("f" -> positions.sorted))
+      val hit = org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
+          lit("f"), col(PosC), Map("f" -> positions.sorted)), lit(false))
       val withParts = head.partitionColumns.foldLeft(
-        base.filter(org.apache.spark.sql.functions.coalesce(hit, lit(false)))
-          .drop(PosC)) { (d, pc) =>
+        base.filter(if (keep) hit else !hit).drop(PosC)) { (d, pc) =>
         val raw = partitionValueOf(f.partitionValues, head.schema, pc)
           .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
         d.withColumn(pc, lit(raw.orNull).cast(head.schema(pc).dataType))
@@ -716,9 +768,21 @@ object DeltaImport {
             (if (restores.nonEmpty)
               Seq(stamped(positionsFrame(f, restores), Some("insert"), a)) else Nil)
         }
-        (if (realAdds.nonEmpty) Seq(stamped(filesDf(realAdds, withChangeType = false), Some("insert"), a)) else Nil) ++
-          (if (realRemoves.nonEmpty) Seq(stamped(filesDf(realRemoves, withChangeType = false), Some("delete"), a)) else Nil) ++
-          diffFrames
+        // A whole-file add/remove CARRYING a DV with no same-commit
+        // counterpart (delta-spark's common shape: a DELETE fully drains
+        // a DV'd file → remove-with-DV, no re-add) contributes only its
+        // LIVE rows — serving the raw file would re-report rows the DV
+        // already deleted (or resurrect them as inserts).
+        def whole(fls: Seq[AddFile], changeType: String): Seq[DataFrame] = {
+          val withPs = fls.map(f => f -> dvPositions(f))
+          val (dvd, plain) = withPs.partition(_._2.nonEmpty)
+          (if (plain.nonEmpty)
+            Seq(stamped(filesDf(plain.map(_._1), withChangeType = false),
+              Some(changeType), a)) else Nil) ++
+            dvd.map { case (f, ps) =>
+              stamped(positionsFrame(f, ps, keep = false), Some(changeType), a) }
+        }
+        whole(realAdds, "insert") ++ whole(realRemoves, "delete") ++ diffFrames
       }
     }
   }

@@ -103,9 +103,18 @@ final class GraftTable private (
   private def readCommitWithPos(c: Commit): DataFrame =
     readCommitInternal(c, withPos = true)
 
-  private def readCommitInternal(c: Commit, withPos: Boolean): DataFrame = {
+  /** The snapshot at version `v` restricted to its first `n` data dirs,
+    * with every applicable value tombstone and deletion vector applied —
+    * the Delta export bridge ([[graft.sources.DeltaExport]]) materializes
+    * exactly the tombstone-covered prefix when mirroring a MoR version,
+    * leaving dirs beyond the covers (pure appends) untouched in the log. */
+  private[graft] def readMorPrefix(v: Long, n: Int): DataFrame =
+    readCommitInternal(commitFor(v), withPos = false, upToDirs = n)
+
+  private def readCommitInternal(c: Commit, withPos: Boolean,
+      upToDirs: Int = Int.MaxValue): DataFrame = {
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-    val dirs = c.dataDirs.map(d => new Path(root, d))
+    val dirs = c.dataDirs.take(upToDirs).map(d => new Path(root, d))
     val missing = dirs.filterNot(fs.exists)
     if (missing.nonEmpty)
       throw new IllegalStateException(
@@ -192,9 +201,13 @@ final class GraftTable private (
           .reduce(_ && _)
         base.join(ts, cond, "left_anti")
       }
-      val n = c.dataDirs.length
-      def coverOf(t: String): Int =
-        c.properties.get(TombstoneCoverPrefix + t).map(_.toInt).getOrElse(n)
+      // Coverage indexes clamp to the read window (`upToDirs`): a
+      // tombstone covering dirs [0, l) applies in full to any prefix
+      // read of at most l dirs — identical arithmetic when unrestricted.
+      val n = math.min(c.dataDirs.length, upToDirs)
+      def coverOf(t: String): Int = math.min(n,
+        c.properties.get(TombstoneCoverPrefix + t).map(_.toInt)
+          .getOrElse(c.dataDirs.length))
       val covers = c.tombstoneDirs.map(t => t -> coverOf(t))
       val bounds = (covers.map(_._2) :+ n).distinct.sorted
       val segments = (0 +: bounds.dropRight(1)).zip(bounds)
@@ -3535,11 +3548,13 @@ object GraftTable {
     else s"${uri.getScheme}://${Option(uri.getAuthority).getOrElse("")}${uri.getPath}"
   }
 
-  private[table] val ConstraintPrefix = "constraint."
-  private[table] val TombstoneCoverPrefix = "tombstone.cover."
+  // private[graft]: the Delta export bridge reads these to decide which
+  // writer features / materialization coverage a commit's properties imply.
+  private[graft] val ConstraintPrefix = "constraint."
+  private[graft] val TombstoneCoverPrefix = "tombstone.cover."
   private[table] val DroppedColPrefix = "graft.droppedCol."
-  private[table] val GeneratedColPrefix = "graft.generatedCol."
-  private[table] val IdentitySpecPrefix = "graft.identityCol."
+  private[graft] val GeneratedColPrefix = "graft.generatedCol."
+  private[graft] val IdentitySpecPrefix = "graft.identityCol."
   private[table] val IdentityHwmPrefix = "graft.identityHwm."
 
   /** Order-preserving encoding of a byte string's first 6 bytes into a

@@ -275,15 +275,105 @@ class DeltaExportSpec extends SparkSpec {
       === Set((2L, "b"), (3L, "c")))
   }
 
-  test("value-tombstone MoR refuses export and names the remedy; DV versions flow") {
+  test("value-tombstone MoR materializes at export; the mirror never stalls") {
     val root = tmpDir("dexp-mor")
     val t = GraftTable.create(spark,
       root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), Nil)
-    t.deleteMergeOnRead(col("id") === 2L) // VALUE tombstone commit
-    val e = intercept[IllegalStateException] { DeltaExport.exportLog(t) }
-    assert(e.getMessage.contains("tombstone"))
-    assert(DeltaExport.exportableUpTo(t) === 0L)
-    assert(DeltaExport.exportLog(t, upTo = Some(0L)) === 0L)
+    t.deleteMergeOnRead(col("id") === 2L)       // v1: VALUE tombstone commit
+    t.append(Seq((4L, "d")).toDF("id", "s"))    // v2: tombstones persist
+
+    assert(DeltaExport.exportableUpTo(t) === 2L)
+    assert(DeltaExport.exportLog(t) === 2L)
+
+    // Delta snapshot == graft snapshot at EVERY version, tombstones folded
+    for (v <- 0L to 2L) {
+      val viaDelta = DeltaImport.read(spark, root, versionAsOf = Some(v))
+        .as[(Long, String)].collect().toSet
+      val viaGraft = t.readVersion(v).as[(Long, String)].collect().toSet
+      assert(viaDelta === viaGraft, s"version $v")
+    }
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (3L, "c"), (4L, "d")))
+
+    // v1 swapped the covered files for a content-keyed materialization…
+    val v1adds = logLines(root, 1L).map(_ \ "add" \ "path")
+      .collect { case JString(p) => p }
+    assert(v1adds.nonEmpty && v1adds.forall(_.startsWith("_delta_materialized/")))
+    assert(logLines(root, 1L).exists(l => (l \ "remove") != JNothing))
+    // …and v2 (same tombstone state, pure append) REUSED it: only the
+    // appended dir's files enter the log — the mirror stays incremental.
+    val v2adds = logLines(root, 2L).map(_ \ "add" \ "path")
+      .collect { case JString(p) => p }
+    assert(v2adds.nonEmpty && v2adds.forall(!_.startsWith("_delta_materialized/")))
+    assert(!logLines(root, 2L).exists(l => (l \ "remove") != JNothing))
+
+    // a rewriting commit clears the MoR state; the mirror follows it out
+    t.optimize()
+    assert(DeltaExport.exportLog(t) === 3L)
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === t.read().as[(Long, String)].collect().toSet)
+  }
+
+  test("feature-listed protocols restate every capability; DV stats non-tight") {
+    val root = tmpDir("dexp-feat")
+    val t = GraftTable.create(spark,
+      root, (1L to 6L).map(i => (i, s"s$i")).toDF("id", "s"), Nil)
+    t.addConstraint("pos_id", "id > 0")
+    t.deletePositional(col("id") === 3L) // v2: DV → feature-listed protocol
+    DeltaExport.exportLog(t)
+
+    val proto = logLines(root, 2L).map(_ \ "protocol").filter(_ != JNothing).head
+    val wf = (proto \ "writerFeatures").asInstanceOf[JArray].arr
+      .collect { case JString(f) => f }.toSet
+    // the log writes cdc actions + delta.enableChangeDataFeed and the
+    // table declares a CHECK constraint: a writer-7 protocol omitting
+    // either is rejected by spec-strict clients
+    assert(Set("deletionVectors", "changeDataFeed", "checkConstraints")
+      .subsetOf(wf))
+
+    // the DV'd add re-enters with footer (PHYSICAL) stats declared
+    // non-tight, so metadata-only MIN/MAX never answers from deleted rows
+    val dvAdd = logLines(root, 2L).map(_ \ "add")
+      .find(a => a != JNothing && (a \ "deletionVector") != JNothing).get
+    val stats = (dvAdd \ "stats") match { case JString(s) => s; case _ => "" }
+    assert(stats.contains("\"tightBounds\":false"))
+    // plain adds stay tight (no field — absent reads as tight)
+    val v0add = logLines(root, 0L).map(_ \ "add").filter(_ != JNothing).head
+    val v0stats = (v0add \ "stats") match { case JString(s) => s; case _ => "" }
+    assert(!v0stats.contains("tightBounds"))
+  }
+
+  test("resume over a pre-CDF log upgrades metaData + protocol with the first new commit") {
+    val root = tmpDir("dexp-precdf")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
+    DeltaExport.exportLog(t)
+    // simulate a log written by the pre-CDF exporter: metaData without
+    // delta.enableChangeDataFeed, legacy writer-2 protocol
+    val v0 = Paths.get(root, "_delta_log", f"${0L}%020d.json")
+    val rewritten = Files.readAllLines(v0).asScala.map { l =>
+      l.replace(""""delta.enableChangeDataFeed":"true"""", """"graft.x":"y"""")
+        .replace(""""minWriterVersion":4""", """"minWriterVersion":2""")
+    }
+    Files.write(v0, rewritten.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // the Hadoop local FS keeps a checksum sidecar the nio rewrite bypasses
+    Files.deleteIfExists(v0.getParent.resolve(s".${v0.getFileName}.crc"))
+    assert(!(logLines(root, 0L).map(_ \ "metaData" \ "configuration")
+      .filter(_ != JNothing).head \ "delta.enableChangeDataFeed").isInstanceOf[JString])
+
+    t.delete(col("id") === 2L) // v1 records change data
+    assert(DeltaExport.exportLog(t) === 1L)
+    // the resumed export re-advertised the feed and upgraded the protocol
+    val v1meta = logLines(root, 1L).map(_ \ "metaData").filter(_ != JNothing)
+    assert(v1meta.nonEmpty)
+    assert((v1meta.head \ "configuration" \ "delta.enableChangeDataFeed")
+      === JString("true"))
+    val v1proto = logLines(root, 1L).map(_ \ "protocol").filter(_ != JNothing)
+    assert(v1proto.nonEmpty)
+    val mw = (v1proto.head \ "minWriterVersion") match {
+      case JInt(v) => v.toInt; case _ => 0
+    }
+    assert(mw >= 4)
   }
 
   test("positional deletes export as Delta deletion vectors and round-trip") {

@@ -196,6 +196,79 @@ class DeltaImportSpec extends SparkSpec {
       Set((1L, 1L), (2L, 2L)))
   }
 
+  test("partitioned import is ONE scan: 120 partition values, no union plan") {
+    val table = tmpDir("delta-manyparts")
+    // one physical part-file, registered 120 times under distinct
+    // partition dirs — the log's partitionValues carry the values
+    val stage = tmpDir("delta-manyparts-stage")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val src = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val n = 120
+    val adds = (0 until n).map { i =>
+      val rel = s"p=$i/f$i.parquet"
+      val dest = Paths.get(table, rel)
+      Files.createDirectories(dest.getParent)
+      Files.copy(Paths.get(src), dest)
+      s"""{"add":{"path":"$rel","partitionValues":{"p":"$i"},"size":1,"dataChange":true}}"""
+    }
+    val part = new StructType().add("id", LongType).add("s", StringType)
+      .add("p", LongType)
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(part, partCols = Seq("p"))) ++ adds)
+
+    val df = DeltaImport.read(spark, table)
+    // a thousands-value table must not become a thousands-leaf union:
+    // exactly one parquet scan node (partition values join in broadcast)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected a single parquet scan, plan:\n$plan")
+    assert(df.count() === 2L * n)
+    assert(df.select("p").distinct().count() === n.toLong)
+    assert(df.filter(col("p") === 7L).select("id", "s").as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+    // declared column order and types survive the recovery join
+    assert(df.schema.fieldNames.toSeq === Seq("id", "s", "p"))
+    assert(df.schema("p").dataType === LongType)
+  }
+
+  test("CDF: whole-file add/remove carrying a DV serves only LIVE rows") {
+    val table = tmpDir("delta-dv-drain")
+    dataFile(table, "a.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s"))
+    val conf = spark.sessionState.newHadoopConf()
+    val dv = DeltaDeletionVectors.writeFile(
+      Seq("a.parquet" -> Seq(1L, 3L)), table, "g1", conf)("a.parquet")
+    def dvJson(d: DeltaDeletionVectors.Descriptor): String =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    // v0: the file enters ALREADY carrying a DV (clone/convert shape) —
+    // CDF inserts must exclude the dead positions
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine(idS),
+      s"""{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true,"deletionVector":${dvJson(dv)}}}"""))
+    // v1: a DELETE drains the file — remove-with-DV, NO re-add
+    // (delta-spark's common whole-file-drain shape): the deletes are the
+    // file's LIVE rows, not the already-DV-deleted ones
+    commit(table, 1L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"DELETE"}}""",
+      s"""{"remove":{"path":"a.parquet","deletionTimestamp":2000,"dataChange":true,"deletionVector":${dvJson(dv)}}}"""))
+
+    val cdf = DeltaImport.readChanges(spark, table, 0L, 1L)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(cdf === Set(
+      (1L, "insert", 0L), (3L, "insert", 0L),   // positions 1,3 dead at v0
+      (1L, "delete", 1L), (3L, "delete", 1L)))  // drain deletes live rows only
+    // head after the drain is empty
+    assert(DeltaImport.read(spark, table).count() === 0L)
+  }
+
   test("classic checkpoint is consumed; only the JSON tail replays after it") {
     val table = tmpDir("delta-ckpt")
     dataFile(table, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
