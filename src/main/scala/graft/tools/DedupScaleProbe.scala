@@ -23,7 +23,11 @@ object DedupScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val exactCopies = args.lift(1).contains("exact")
-    val rest = args.drop(if (exactCopies) 2 else 1).toSeq
+    val rest0 = args.drop(if (exactCopies) 2 else 1).toSeq
+    // `conf:key=value` args set session confs before the timed queries —
+    // e.g. conf:spark.graft.dedup.broadcastThreshold=1 forces the
+    // incremental-dedup co-partitioned fallback path.
+    val (confArgs, rest) = rest0.partition(_.startsWith("conf:"))
     val queries =
       if (rest.nonEmpty) rest
       else Seq("q23_exact_dedup", "q24_tokenset_dedup", "q25_minhash_neardup",
@@ -39,6 +43,11 @@ object DedupScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    confArgs.foreach { a =>
+      val Array(ck, cv) = a.stripPrefix("conf:").split("=", 2)
+      spark.conf.set(ck, cv)
+      println(s"PROBE conf $ck=$cv")
+    }
 
     val dir = graft.Scratch.dir(spark, s"dedup-scale-x$k")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -59,9 +68,19 @@ object DedupScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nVec = emb.count()
+    // Near-dup mode perturbs each replica's vector by a tiny per-replica
+    // offset: cosine stays near-1 (the pairs remain semantic dups) but the
+    // vectors are UNEQUAL — the adversarial case for SemDeDup, whose
+    // exact-dup collapse cannot fire and the centroid-confined quadratic
+    // must carry the full duplicate mass. Exact mode keeps byte-identical
+    // vectors (the hot-bucket / collapse-friendly case).
+    val replicaVec =
+      if (exactCopies) col("embedding")
+      else transform(col("embedding"),
+        x => x + col("id").cast("float") * lit(1e-4f))
     spark.range(k).crossJoin(emb)
       .select((col("vec_id") + col("id") * nVec * 10L).as("vec_id"),
-        col("embedding"), col("label"))
+        replicaVec.as("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // orders too, so the mutation-family queries (q136 general merge …)
     // probe at the same ×K
