@@ -132,13 +132,27 @@ object Bench {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       sys.props("java.home"), "bin", "java").toString
-    // carry the module-opens / heap flags Spark needed in THIS JVM
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.filter(a =>
-        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+    // Carry the module-opens / heap / spark-property flags Spark needed in
+    // THIS JVM. `--add-opens X` may arrive as TWO argv tokens — keep the
+    // pair together or the child JVM rejects its own command line.
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val jvmArgs = Seq.newBuilder[String]
+    var i = 0
+    while (i < in.length) {
+      val a = in(i)
+      if (a == "--add-opens" || a == "--add-exports" ||
+          a == "--enable-native-access") {
+        jvmArgs += a
+        if (i + 1 < in.length) { jvmArgs += in(i + 1); i += 1 }
+      } else if (a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
           a.startsWith("--enable-native-access") ||
-          a.startsWith("-Xmx") || a.startsWith("-Xms") || a.startsWith("-XX"))
-    val cmd = (Seq(javaBin) ++ jvmArgs ++
+          a.startsWith("-Xmx") || a.startsWith("-Xms") ||
+          a.startsWith("-XX") || a.startsWith("-Dspark."))
+        jvmArgs += a
+      i += 1
+    }
+    val cmd = (Seq(javaBin) ++ jvmArgs.result() ++
       Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")

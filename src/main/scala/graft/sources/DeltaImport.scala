@@ -516,7 +516,7 @@ object DeltaImport {
       else Seq(FileC -> ((d: DataFrame) => d.col("_metadata.file_path")),
         PosC -> ((d: DataFrame) => d.col("_metadata.row_index")))
     val joined = partitionedScan(spark, s.tablePath, s.schema, s.partitionColumns,
-      s.files, dataSchema,
+      s.files.map(f => f -> Nil), dataSchema,
       (paths, phys) => spark.read.schema(phys).parquet(paths: _*), metaCols)
     val subtracted =
       if (dvMap.isEmpty) joined
@@ -545,35 +545,45 @@ object DeltaImport {
       uri.getPath).distinct
   }
 
-  /** Read `files` as ONE parquet relation. A partitioned Delta table with
-    * thousands of partition values must NOT become a thousands-leaf union
-    * plan (driver analysis blowup — the import-side scale-killer at
-    * 100×): partition columns, which live in the LOG's partitionValues
-    * rather than the files, are recovered through a BROADCAST
-    * file→values map joined on `_metadata.file_path` (the same mechanism
-    * the DV filter uses), then cast to their declared types. Unpartitioned
-    * tables skip the join entirely. */
+  /** Read `entries` (file + optional typed per-entry stamp values) as ONE
+    * parquet relation. A partitioned Delta table with thousands of
+    * partition values must NOT become a thousands-leaf union plan (driver
+    * analysis blowup — the import-side scale-killer at 100×): partition
+    * columns, which live in the LOG's partitionValues rather than the
+    * files, are recovered through a BROADCAST file→values map joined on
+    * `_metadata.file_path` (the same mechanism the DV filter uses), then
+    * cast to their declared types. `stamps` ride the same map — the CDF
+    * read stamps `_commit_version`/`_commit_timestamp` per FILE this way,
+    * one scan for a thousand-version feed instead of a frame per version
+    * (a file re-added across versions simply matches several map entries
+    * and is correctly reported once per version). Unpartitioned,
+    * stamp-free reads skip the join entirely. */
   private def partitionedScan(spark: SparkSession, tablePath: String,
-      schema: StructType, partitionColumns: Seq[String], files: Seq[AddFile],
+      schema: StructType, partitionColumns: Seq[String],
+      entries: Seq[(AddFile, Seq[Any])],
       dataSchema: StructType,
       mkParquet: (Seq[String], StructType) => DataFrame,
-      extraCols: Seq[(String, DataFrame => org.apache.spark.sql.Column)])
+      extraCols: Seq[(String, DataFrame => org.apache.spark.sql.Column)],
+      stamps: Seq[StructField] = Nil)
       : DataFrame = {
-    val paths = files.map(f => resolveFile(tablePath, f.path).toString)
-    if (partitionColumns.isEmpty)
+    val paths = entries.map(_._1)
+      .map(f => resolveFile(tablePath, f.path).toString).distinct
+    if (partitionColumns.isEmpty && stamps.isEmpty)
       return readLogical(dataSchema, phys => mkParquet(paths, phys), extraCols)
     val PathC = "__graft_delta_pv_path"
     def pvCol(i: Int) = s"__graft_delta_pv_$i"
     val base = readLogical(dataSchema, phys => mkParquet(paths, phys),
       extraCols :+ (PathC -> ((d: DataFrame) => d.col("_metadata.file_path"))))
     val conf = spark.sessionState.newHadoopConf()
-    val mapSchema = StructType(StructField(PathC + "_k", StringType) +:
-      partitionColumns.indices.map(i => StructField(pvCol(i), StringType)))
-    val rows: Seq[org.apache.spark.sql.Row] = files.flatMap { f =>
+    val mapSchema = StructType(
+      (StructField(PathC + "_k", StringType) +:
+        partitionColumns.indices.map(i => StructField(pvCol(i), StringType))) ++
+        stamps)
+    val rows: Seq[org.apache.spark.sql.Row] = entries.flatMap { case (f, sv) =>
       val vals = partitionColumns.map { pc =>
         partitionValueOf(f.partitionValues, schema, pc)
           .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__").orNull
-      }
+      } ++ sv
       pathSpellings(tablePath, f.path, conf).map(sp =>
         org.apache.spark.sql.Row.fromSeq(sp +: vals))
     }
@@ -582,20 +592,28 @@ object DeltaImport {
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), mapSchema)
     val joined = base.join(org.apache.spark.sql.functions.broadcast(pvDf),
       base(PathC) === pvDf(PathC + "_k"), "left")
-    partitionColumns.zipWithIndex.foldLeft(joined) { case (d, (pc, i)) =>
-      // A key miss must FAIL, never silently null a partition column —
-      // the guard rides the first recovered column (a matched row's key
-      // is non-null even when the VALUE is the null default partition).
-      val v = col(pvCol(i)).cast(schema(pc).dataType)
-      d.withColumn(pc,
-        if (i > 0) v
-        else org.apache.spark.sql.functions.when(col(PathC + "_k").isNull,
-          org.apache.spark.sql.functions.raise_error(
-            org.apache.spark.sql.functions.concat(
-              lit("Delta partition-value recovery missed file "), col(PathC)))
-            .cast(schema(pc).dataType))
-          .otherwise(v))
-    }.drop((Seq(PathC, PathC + "_k") ++ partitionColumns.indices.map(pvCol)): _*)
+    // A key miss must FAIL, never silently null a recovered column — the
+    // guard rides the first recovered value (a matched row's key is
+    // non-null even when the VALUE is the null default partition).
+    def guarded(c: org.apache.spark.sql.Column,
+        dt: DataType): org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.when(col(PathC + "_k").isNull,
+        org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.concat(
+            lit("Delta partition-value recovery missed file "), col(PathC)))
+          .cast(dt))
+        .otherwise(c)
+    val withParts = partitionColumns.zipWithIndex.foldLeft(joined) {
+      case (d, (pc, i)) =>
+        val v = col(pvCol(i)).cast(schema(pc).dataType)
+        d.withColumn(pc, if (i > 0) v else guarded(v, schema(pc).dataType))
+    }
+    val withStamps =
+      if (stamps.isEmpty || partitionColumns.nonEmpty) withParts
+      else withParts.withColumn(stamps.head.name,
+        guarded(col(s"`${stamps.head.name}`"), stamps.head.dataType))
+    withStamps
+      .drop((Seq(PathC, PathC + "_k") ++ partitionColumns.indices.map(pvCol)): _*)
   }
 
   /** Read files through the PHYSICAL rendering of `dataSchema`, then
@@ -705,16 +723,35 @@ object DeltaImport {
         else col(s"`${f.name}`")
       }.toIndexedSeq: _*)
 
-    def filesDf(paths: Seq[AddFile], withChangeType: Boolean): DataFrame = {
-      // `_change_type` is stored literally even in column-mapped tables
-      // (it is a CDF artifact, not a schema column), so it joins the
-      // schema AFTER the physical mapping of the table columns. One scan
-      // + broadcast partition-value recovery ([[partitionedScan]]), never
-      // a per-partition-group union.
+    // One scan per CATEGORY across ALL versions (cdc files / derived
+    // inserts / derived deletes), with `_commit_version`/`_commit_timestamp`
+    // recovered per file through [[partitionedScan]]'s broadcast stamp map
+    // — a thousand-version CDF read plans 3 scans, not a frame per
+    // version. `_change_type` is stored literally even in column-mapped
+    // tables (a CDF artifact, not a schema column), so it joins the schema
+    // AFTER the physical mapping of the table columns.
+    val VerC = "__graft_delta_cdf_ver"
+    val TsC = "__graft_delta_cdf_ts"
+    def batch(entries: Seq[(AddFile, VersionChanges)],
+        changeType: Option[String]): Option[DataFrame] = {
+      if (entries.isEmpty) return None
+      val withChangeType = changeType.isEmpty
       val s0 = if (withChangeType) head.schema.add("_change_type", StringType) else head.schema
       val dataSchema = StructType(s0.filterNot(f => head.partitionColumns.contains(f.name)))
-      partitionedScan(spark, head.tablePath, head.schema, head.partitionColumns,
-        paths, dataSchema, mkParquet, Nil)
+      val scan = partitionedScan(spark, head.tablePath, head.schema,
+        head.partitionColumns,
+        entries.map { case (f, a) => f -> Seq[Any](a.version,
+          new java.sql.Timestamp(a.timestampMs)) },
+        dataSchema, mkParquet, Nil,
+        stamps = Seq(StructField(VerC, org.apache.spark.sql.types.LongType),
+          StructField(TsC, org.apache.spark.sql.types.TimestampType)))
+      Some(scan.select(cdfSchema.fields.map { fld =>
+        if (fld.name == "_change_type")
+          changeType.map(lit(_)).getOrElse(col("_change_type")).as(fld.name)
+        else if (fld.name == "_commit_version") col(VerC).as(fld.name)
+        else if (fld.name == "_commit_timestamp") col(TsC).as(fld.name)
+        else col(s"`${fld.name}`")
+      }.toIndexedSeq: _*))
     }
 
     // One file's rows at an explicit POSITION set (a DV diff: keep = the
@@ -748,8 +785,12 @@ object DeltaImport {
         .map(DeltaDeletionVectors.readPositions(_, head.tablePath, hConf))
         .getOrElse(Array.empty[Long])
 
-    versions.flatMap { a =>
-      if (a.cdc.nonEmpty) Seq(stamped(filesDf(a.cdc, withChangeType = true), None, a))
+    val cdcEntries = Seq.newBuilder[(AddFile, VersionChanges)]
+    val insEntries = Seq.newBuilder[(AddFile, VersionChanges)]
+    val delEntries = Seq.newBuilder[(AddFile, VersionChanges)]
+    val perFile = Seq.newBuilder[DataFrame]
+    versions.foreach { a =>
+      if (a.cdc.nonEmpty) a.cdc.foreach(f => cdcEntries += ((f, a)))
       else {
         // A path both removed and re-added in ONE commit is a DV update
         // (delta-spark's CDF-less DELETE shape), not a whole-file change:
@@ -758,33 +799,37 @@ object DeltaImport {
         val remByPath = a.removes.map(f => f.path -> f).toMap
         val (dvPairs, realAdds) = a.adds.partition(f => remByPath.contains(f.path))
         val realRemoves = a.removes.filterNot(r => a.adds.exists(_.path == r.path))
-        val diffFrames = dvPairs.flatMap { f =>
+        dvPairs.foreach { f =>
           val oldPs = dvPositions(remByPath(f.path)).toSet
           val newPs = dvPositions(f).toSet
           val dels = (newPs -- oldPs).toArray
           val restores = (oldPs -- newPs).toArray
-          (if (dels.nonEmpty)
-            Seq(stamped(positionsFrame(f, dels), Some("delete"), a)) else Nil) ++
-            (if (restores.nonEmpty)
-              Seq(stamped(positionsFrame(f, restores), Some("insert"), a)) else Nil)
+          if (dels.nonEmpty)
+            perFile += stamped(positionsFrame(f, dels), Some("delete"), a)
+          if (restores.nonEmpty)
+            perFile += stamped(positionsFrame(f, restores), Some("insert"), a)
         }
         // A whole-file add/remove CARRYING a DV with no same-commit
         // counterpart (delta-spark's common shape: a DELETE fully drains
         // a DV'd file → remove-with-DV, no re-add) contributes only its
         // LIVE rows — serving the raw file would re-report rows the DV
         // already deleted (or resurrect them as inserts).
-        def whole(fls: Seq[AddFile], changeType: String): Seq[DataFrame] = {
-          val withPs = fls.map(f => f -> dvPositions(f))
-          val (dvd, plain) = withPs.partition(_._2.nonEmpty)
-          (if (plain.nonEmpty)
-            Seq(stamped(filesDf(plain.map(_._1), withChangeType = false),
-              Some(changeType), a)) else Nil) ++
-            dvd.map { case (f, ps) =>
-              stamped(positionsFrame(f, ps, keep = false), Some(changeType), a) }
+        def route(fls: Seq[AddFile],
+            into: scala.collection.mutable.Builder[(AddFile, VersionChanges), Seq[(AddFile, VersionChanges)]],
+            changeType: String): Unit = fls.foreach { f =>
+          val ps = dvPositions(f)
+          if (ps.isEmpty) into += ((f, a))
+          else perFile += stamped(positionsFrame(f, ps, keep = false),
+            Some(changeType), a)
         }
-        whole(realAdds, "insert") ++ whole(realRemoves, "delete") ++ diffFrames
+        route(realAdds, insEntries, "insert")
+        route(realRemoves, delEntries, "delete")
       }
     }
+    batch(cdcEntries.result(), None).toSeq ++
+      batch(insEntries.result(), Some("insert")) ++
+      batch(delEntries.result(), Some("delete")) ++
+      perFile.result()
   }
 
 

@@ -446,21 +446,54 @@ final class GraftTable private (
     val written =
       if (withDirs.isEmpty) None
       else Some(spark.read.schema(merged).parquet(withDirs.map(_._2.toString): _*))
-    // Synthesized append inserts: each append's added dirs read with its
-    // own committed schema, aligned to the union schema (nulls for later
-    // additive columns), CDF columns stamped as literals. Still zero
-    // extra jobs — one more relation per append commit in the plan.
-    val synthesized = appends.map { case (c, dirs) =>
-      val cSchema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
-      spark.read.schema(cSchema).parquet(dirs: _*)
-        .select(merged.fields.map { f =>
+    // Synthesized append inserts: ONE scan per DISTINCT schema (not per
+    // append commit — a month-long stream is tens of thousands of appends,
+    // and a relation per commit is a plan-size blowup), each commit's
+    // version/timestamp recovered by joining the scan's
+    // `_metadata.file_path` dir segment against a small broadcast
+    // dir→stamp map. Aligned to the union schema (nulls for later
+    // additive columns). Still zero extra jobs at planning time.
+    val synthesized = appends.groupBy(_._1.schemaJson).toSeq
+      .sortBy(_._2.head._1.version).flatMap { case (sj, cs) =>
+      val cSchema = DataType.fromJson(sj).asInstanceOf[StructType]
+      def aligned(df: DataFrame, ver: org.apache.spark.sql.Column,
+          ts: org.apache.spark.sql.Column): DataFrame =
+        df.select(merged.fields.map { f =>
           if (f.name == "_change_type") lit("insert").as(f.name)
-          else if (f.name == "_commit_version") lit(c.version).as(f.name)
-          else if (f.name == "_commit_timestamp")
-            lit(new java.sql.Timestamp(c.tsMs)).as(f.name)
-          else if (cSchema.fieldNames.contains(f.name)) col(f.name)
+          else if (f.name == "_commit_version") ver.as(f.name)
+          else if (f.name == "_commit_timestamp") ts.as(f.name)
+          else if (cSchema.fieldNames.contains(f.name)) col(s"`${f.name}`")
           else lit(null).cast(f.dataType).as(f.name)
-        }.toSeq: _*)
+        }.toIndexedSeq: _*)
+      val rootStr = new Path(root).toString
+      val rels = cs.flatMap { case (c, dirs) => dirs.map(d =>
+        (d.stripPrefix(rootStr).stripPrefix("/"), c.version, c.tsMs)) }
+      val DirPat = "^data/v[0-9]+-[0-9a-f]+$".r
+      if (rels.exists(r => DirPat.findFirstIn(r._1).isEmpty))
+        // unexpected dir shape (foreign layout): the safe per-commit form
+        cs.map { case (c, dirs) =>
+          aligned(spark.read.schema(cSchema).parquet(dirs: _*),
+            lit(c.version), lit(new java.sql.Timestamp(c.tsMs)))
+        }
+      else {
+        import spark.implicits._
+        val KeyC = "__graft_cdf_dir"
+        val stampDf = rels.map { case (rel, v, ts) =>
+          (rel, v, new java.sql.Timestamp(ts)) }
+          .toDF(KeyC + "_k", "__graft_cdf_ver", "__graft_cdf_ts")
+        val base = spark.read.schema(cSchema)
+          .parquet(cs.flatMap(_._2): _*)
+          .withColumn(KeyC, regexp_extract(
+            col("_metadata.file_path"), "(data/v[0-9]+-[0-9a-f]+)/", 1))
+        val joined = base.join(broadcast(stampDf),
+          base(KeyC) === stampDf(KeyC + "_k"), "left")
+        // a key miss must FAIL, never mis-stamp silently
+        val ver = when(col(KeyC + "_k").isNull,
+          raise_error(concat(lit("CDF dir-stamp recovery missed "),
+            col("_metadata.file_path"))).cast("long"))
+          .otherwise(col("__graft_cdf_ver"))
+        Seq(aligned(joined, ver, col("__graft_cdf_ts")))
+      }
     }
     (written.toSeq ++ synthesized).reduce(_ unionByName _)
   }

@@ -235,6 +235,40 @@ class DeltaImportSpec extends SparkSpec {
     assert(df.schema("p").dataType === LongType)
   }
 
+  test("CDF over many versions batches into per-category scans") {
+    val table = tmpDir("delta-cdf-many")
+    // 30 single-add commits + one whole-file-remove commit: the feed must
+    // plan ONE insert scan + ONE delete scan, never a frame per version
+    val stage = tmpDir("delta-cdf-many-stage")
+    Seq((1L, "x")).toDF("id", "s").coalesce(1).write.mode("overwrite").parquet(stage)
+    val src = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine(idS)))
+    (1 to 30).foreach { v =>
+      Files.copy(Paths.get(src), Paths.get(table, s"f$v.parquet"))
+      commit(table, v.toLong, Seq(
+        s"""{"commitInfo":{"timestamp":${1000 + v},"operation":"WRITE"}}""",
+        s"""{"add":{"path":"f$v.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    }
+    commit(table, 31L, Seq(
+      """{"commitInfo":{"timestamp":2000,"operation":"DELETE"}}""",
+      """{"remove":{"path":"f7.parquet","deletionTimestamp":2000,"dataChange":true}}"""))
+
+    val cdf = DeltaImport.readChanges(spark, table, 1L, 31L)
+    val scans = "FileScan parquet|Scan parquet".r
+      .findAllIn(cdf.queryExecution.executedPlan.toString).size
+    assert(scans === 2, "expected one insert scan + one delete scan")
+    val rows = cdf.select(col("_change_type"), col("_commit_version"))
+      .as[(String, Long)].collect()
+    assert(rows.count(_._1 == "insert") === 30)
+    assert(rows.filter(_._1 == "delete").map(_._2).toSeq === Seq(31L))
+    // per-version stamps survive the batching
+    assert(rows.filter(_._1 == "insert").map(_._2).toSet === (1L to 30L).toSet)
+  }
+
   test("CDF: whole-file add/remove carrying a DV serves only LIVE rows") {
     val table = tmpDir("delta-dv-drain")
     dataFile(table, "a.parquet",

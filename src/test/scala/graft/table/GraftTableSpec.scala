@@ -807,6 +807,23 @@ class GraftTableSpec extends SparkSpec {
     assert(pe.getMessage.contains("partitioned layouts"))
   }
 
+  test("CDF over many appends plans ONE scan per schema, stamps per commit") {
+    val t = GraftTable.create(spark, tmpDir("gt-cdf-many"),
+      Seq((0L, "v0")).toDF("id", "s"))
+    (1L to 25L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "s")))
+    val cdf = t.readChanges(1) // CREATE outside the feed; 25 synthesized
+    // a month-long stream is tens of thousands of appends: the feed must
+    // NOT plan a relation per commit
+    val scans = "FileScan parquet|Scan parquet".r
+      .findAllIn(cdf.queryExecution.executedPlan.toString).size
+    assert(scans === 1, "expected one batched scan for the appends")
+    val rows = cdf.select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows === (1L to 25L).map(i => (i, "insert", i)).toSet)
+    // every row carries a real (non-null) commit timestamp
+    assert(cdf.filter(col("_commit_timestamp").isNull).count() === 0L)
+  }
+
   test("shallow clone: clone vacuum never reclaims the source's files") {
     val src = GraftTable.create(spark, tmpDir("gt-clvac-src"), seedCustomers)
     val clone = src.shallowClone(tmpDir("gt-clvac-dst") + "/t")
