@@ -287,6 +287,15 @@ object DeltaExport {
       cdfUpgrade = false
       if (metaChanged)
         lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs)
+      // Exactly-once stamps export as Delta `txn` actions (SetTransaction):
+      // a Delta-side consumer sees the same appId→version watermark graft's
+      // own appendOnce checks, and writeCheckpoint carries it forward.
+      c.txnAppId.zip(c.txnBatchId).foreach { case (app, b) =>
+        lines += JsonMethods.compact(JObject("txn" -> JObject(
+          "appId" -> JString(app),
+          "version" -> JLong(b),
+          "lastUpdated" -> JLong(c.tsMs))))
+      }
       val dataChange = c.operation != "OPTIMIZE"
       adds.foreach { p =>
         lines += addJson(p, cur(p), schema, c.partitionCols, dataChange, conf,
@@ -486,8 +495,8 @@ object DeltaExport {
           Row(null, null, null, null, Row(app, v)) }
 
     // Publication order makes every window benign:
-    //  1. the checkpoint part lands first, write-once (an existing part at
-    //     this version is a previous valid checkpoint — kept, never
+    //  1. the checkpoint part(s) land first, write-once (an existing part
+    //     at this version is a previous valid checkpoint — kept, never
     //     deleted, so no reader ever observes a named-but-missing part);
     //  2. `_last_checkpoint` flips afterwards via temp + delete + rename.
     //     The marker is a HINT by protocol: a reader catching the gap
@@ -497,23 +506,56 @@ object DeltaExport {
     //     delete-then-rename on local/object stores and throws on schemes
     //     without a registered AbstractFileSystem, a poor trade for a
     //     hint file.
-    val target = new Path(logDir, f"${s.version}%020d.checkpoint.parquet")
-    if (!fs.exists(target)) {
+    //
+    // Past `spark.graft.delta.checkpointPartRows` actions (default 50k)
+    // the checkpoint is MULTI-PART (the classic `v.checkpoint.i.n.parquet`
+    // scheme `_last_checkpoint` advertises via "parts"): a single
+    // coalesce(1) part over a million-file snapshot is a driver-and-
+    // single-task bottleneck and a multi-GB object no reader can range-
+    // split. Parts split round-robin — the checkpoint is an unordered
+    // action set, any partition of it is valid.
+    val partRows = spark.conf
+      .getOption("spark.graft.delta.checkpointPartRows")
+      .map(_.toInt).getOrElse(50000)
+    val existing = fs.globStatus(
+      new Path(logDir, f"${s.version}%020d.checkpoint*.parquet"))
+    var partsWritten = 0
+    if (existing == null || existing.isEmpty) {
+      val want = math.max(1, math.ceil(rows.size.toDouble / partRows).toInt)
       val stage = new Path(logDir, s".ckpt-stage-${java.util.UUID.randomUUID()}")
-      spark.createDataFrame(
+      val df = spark.createDataFrame(
         new java.util.ArrayList[Row](scala.jdk.CollectionConverters
           .SeqHasAsJava(rows).asJava), ckptT)
-        .coalesce(1).write.parquet(stage.toString)
-      val part = fs.listStatus(stage).map(_.getPath)
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new java.io.IOException(s"no part written under $stage"))
-      if (!fs.rename(part, target) && !fs.exists(target))
-        throw new java.io.IOException(s"cannot publish $target")
+      (if (want == 1) df.coalesce(1) else df.repartition(want))
+        .write.parquet(stage.toString)
+      // empty round-robin partitions may write no file: the ACTUAL part
+      // count names the files and rides the marker
+      val staged = fs.listStatus(stage).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(staged.nonEmpty, s"no part written under $stage")
+      val n = staged.length
+      val targets =
+        if (n == 1) Seq(new Path(logDir, f"${s.version}%020d.checkpoint.parquet"))
+        else (1 to n).map(i => new Path(logDir,
+          f"${s.version}%020d.checkpoint.$i%010d.$n%010d.parquet"))
+      staged.zip(targets).foreach { case (part, target) =>
+        if (!fs.rename(part, target) && !fs.exists(target))
+          throw new java.io.IOException(s"cannot publish $target")
+      }
       fs.delete(stage, true)
+      partsWritten = n
+    } else {
+      // a previous/concurrent writer published this version — honor its
+      // layout in the marker below
+      val multi = existing.map(_.getPath.getName)
+        .filter(_.matches(f"${s.version}%020d\\.checkpoint\\.\\d+\\.\\d+\\.parquet"))
+      partsWritten = if (multi.isEmpty) 1
+        else multi.head.split('.').takeRight(2).head.toInt
     }
+    val partsField = if (partsWritten > 1) s""","parts":$partsWritten""" else ""
     val marker = new Path(logDir, s".lastckpt-${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(marker, false)
-    try out.write(s"""{"version":${s.version},"size":${rows.size}}"""
+    try out.write(s"""{"version":${s.version},"size":${rows.size}$partsField}"""
       .getBytes(StandardCharsets.UTF_8)) finally out.close()
     val markerTarget = new Path(logDir, "_last_checkpoint")
     if (fs.exists(markerTarget)) fs.delete(markerTarget, false)
@@ -549,6 +591,51 @@ object DeltaExport {
         st.getModificationTime < horizon &&
         fs.delete(st.getPath, false)
     }
+  }
+
+  /** Delta-side VACUUM of EXPORT-OWNED artifacts: deletes files under
+    * `_delta_materialized/` (tombstone-materialization rewrites) and
+    * `_change_data/` (exported cdc files) that are no longer part of the
+    * CURRENT snapshot and are older than the retention window — without
+    * this, a long-running mirror that takes value-tombstone deletes (each
+    * distinct MoR state leaves a superseded materialization behind) or
+    * maintains a change feed (cdc files accrete per commit) leaks disk
+    * forever. Graft's own data/tombstone/dv dirs are NEVER touched here
+    * ([[GraftTable.vacuum]] owns those); deleting an aged cdc file bounds
+    * CDF availability to the retention window, exactly Delta VACUUM's
+    * documented behavior. Returns the deleted paths. */
+  def vacuumExportArtifacts(spark: SparkSession, tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val live: Set[String] =
+      DeltaImport.snapshot(spark, tablePath).files.map(f => decodePath(f.path)).toSet
+    val horizon = nowMs - retentionMs
+    val rootPathStr = root.toUri.getPath.stripSuffix("/")
+    val deleted = Seq.newBuilder[String]
+    Seq("_delta_materialized", "_change_data").foreach { side =>
+      val dir = new Path(root, side)
+      if (fs.exists(dir)) {
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile) {
+            val rel = st.getPath.toUri.getPath
+              .stripPrefix(rootPathStr).stripPrefix("/")
+            if (!live(rel) && st.getModificationTime < horizon &&
+                fs.delete(st.getPath, false))
+              deleted += rel
+          }
+        }
+        // reap dirs the sweep emptied (ignore failures: non-empty stays)
+        fs.listStatus(dir).filter(_.isDirectory).foreach { d =>
+          if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+        }
+      }
+    }
+    deleted.result()
   }
 
   /** Checkpoint-when-due: writes a checkpoint iff the JSON tail since the

@@ -414,7 +414,11 @@ object DeltaImport {
 
   /** Read a Delta table at HEAD or a pinned version — partition columns
     * reconstructed from the log's partitionValues, Hive default partition
-    * as null. */
+    * as null. This is the FULL-SNAPSHOT read (one scan over every live
+    * file); selective reads go through [[where]] or the `graft-delta`
+    * relation's pushed filters, which prune files from LOG METADATA
+    * (partitionValues + per-file stats, [[DeltaSkipping]]) before the
+    * scan is built — the scale path on a 100 TB table. */
   def read(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): DataFrame =
     readSnapshot(spark, snapshot(spark, tablePath, versionAsOf))

@@ -314,6 +314,78 @@ class DeltaExportSpec extends SparkSpec {
       === t.read().as[(Long, String)].collect().toSet)
   }
 
+  test("txn-stamped commits export Delta SetTransaction actions") {
+    val root = tmpDir("dexp-txn")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a")).toDF("id", "s"), Nil)
+    assert(t.appendOnce(Seq((2L, "b")).toDF("id", "s"), "streamX", 7L).nonEmpty)
+    DeltaExport.exportLog(t)
+    val txns = logLines(root, 1L).map(_ \ "txn").filter(_ != JNothing)
+    assert(txns.nonEmpty)
+    assert((txns.head \ "appId") === JString("streamX"))
+    assert((txns.head \ "version") === JInt(7))
+    // the import side surfaces it (the checkpoint carries it forward)
+    val vc = DeltaImport.changesBetween(spark, root, 0L, 1L)
+    assert(vc.flatMap(_.txns) === Seq("streamX" -> 7L))
+  }
+
+  test("vacuumExportArtifacts reaps superseded materializations and aged cdc files") {
+    val root = tmpDir("dexp-vacart")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), Nil)
+    t.deleteMergeOnRead(col("id") === 2L) // v1: materializes at export
+    DeltaExport.exportLog(t)
+    val matFiles = Files.walk(Paths.get(root, "_delta_materialized"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(matFiles.nonEmpty)
+
+    t.optimize() // v2: rewrite supersedes the materialization
+    DeltaExport.exportLog(t)
+    val future = System.currentTimeMillis() + 3600_000L
+    val deleted = DeltaExport.vacuumExportArtifacts(spark, root,
+      retentionMs = 0L, nowMs = future)
+    assert(deleted.exists(_.startsWith("_delta_materialized/")))
+    assert(matFiles.forall(p => !Files.exists(p)))
+    // cdc files (the delete's change feed) aged out with the retention too
+    assert(!Files.exists(Paths.get(root, "_change_data")) ||
+      deleted.exists(_.startsWith("_change_data/")))
+    // the current snapshot is untouched on both sides of the bridge
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (3L, "c")))
+    assert(t.read().as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (3L, "c")))
+  }
+
+  test("multi-part checkpoint: parts named per the classic scheme, cold open works") {
+    val root = tmpDir("dexp-multickpt")
+    val t = GraftTable.create(spark,
+      root, Seq((1L, "a")).toDF("id", "s"), Nil)
+    (2L to 6L).foreach(i => t.append(Seq((i, s"s$i")).toDF("id", "s")))
+    DeltaExport.exportLog(t)
+    // 6 adds + metaData + protocol = 8 actions; 3 rows/part forces parts
+    spark.conf.set("spark.graft.delta.checkpointPartRows", "3")
+    try DeltaExport.writeCheckpoint(spark, root)
+    finally spark.conf.unset("spark.graft.delta.checkpointPartRows")
+
+    val marker = JsonMethods.parse(new String(Files.readAllBytes(
+      Paths.get(root, "_delta_log", "_last_checkpoint")), "UTF-8"))
+    val parts = (marker \ "parts") match { case JInt(n) => n.toInt; case _ => 1 }
+    assert(parts > 1, s"expected a multi-part checkpoint, marker: $marker")
+    val named = Files.list(Paths.get(root, "_delta_log")).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")).toSeq
+    assert(named.size === parts)
+
+    // cold open BELOW the JSON tail: delete every commit json at or below
+    // the checkpoint — the multi-part checkpoint alone must serve the read
+    (0L to 5L).foreach { v =>
+      Files.deleteIfExists(Paths.get(root, "_delta_log", f"$v%020d.json"))
+      Files.deleteIfExists(Paths.get(root, "_delta_log", f".$v%020d.json.crc"))
+    }
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === (1L to 6L).map(i => (i, if (i == 1) "a" else s"s$i")).toSet)
+  }
+
   test("feature-listed protocols restate every capability; DV stats non-tight") {
     val root = tmpDir("dexp-feat")
     val t = GraftTable.create(spark,
