@@ -635,6 +635,21 @@ object DeltaExport {
         }
       }
     }
+    // Abandoned staging dirs from crashed exporters (publication is
+    // stage-then-rename; a crash between the two leaves the stage behind).
+    // Age-gated like everything else — an exporter mid-publish is younger
+    // than any sane retention.
+    val logDir = new Path(root, "_delta_log")
+    def sweepStages(dir: Path, prefixes: Seq[String]): Unit =
+      if (fs.exists(dir)) fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.getModificationTime < horizon && prefixes.exists(n.startsWith)
+      }.foreach { st =>
+        if (fs.delete(st.getPath, true))
+          deleted += st.getPath.getName
+      }
+    sweepStages(root, Seq(".mat-stage-", ".cdc-stage-"))
+    sweepStages(logDir, Seq(".ckpt-stage-", ".lastckpt-"))
     deleted.result()
   }
 

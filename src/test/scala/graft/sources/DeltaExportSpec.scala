@@ -307,6 +307,12 @@ class DeltaExportSpec extends SparkSpec {
     assert(v2adds.nonEmpty && v2adds.forall(!_.startsWith("_delta_materialized/")))
     assert(!logLines(root, 2L).exists(l => (l \ "remove") != JNothing))
 
+    // the CDF of the materialized version serves the ROW-level delete
+    // (from the exported cdc action), not whole-file churn
+    val cdf = DeltaImport.readChanges(spark, root, 1L, 1L)
+      .select(col("id"), col("_change_type")).as[(Long, String)].collect().toSeq
+    assert(cdf === Seq((2L, "delete")))
+
     // a rewriting commit clears the MoR state; the mirror follows it out
     t.optimize()
     assert(DeltaExport.exportLog(t) === 3L)
@@ -341,9 +347,13 @@ class DeltaExportSpec extends SparkSpec {
 
     t.optimize() // v2: rewrite supersedes the materialization
     DeltaExport.exportLog(t)
+    // a crashed exporter's abandoned staging dir is reaped too
+    Files.createDirectories(Paths.get(root, ".mat-stage-deadbeef"))
     val future = System.currentTimeMillis() + 3600_000L
     val deleted = DeltaExport.vacuumExportArtifacts(spark, root,
       retentionMs = 0L, nowMs = future)
+    assert(deleted.contains(".mat-stage-deadbeef"))
+    assert(!Files.exists(Paths.get(root, ".mat-stage-deadbeef")))
     assert(deleted.exists(_.startsWith("_delta_materialized/")))
     assert(matFiles.forall(p => !Files.exists(p)))
     // cdc files (the delete's change feed) aged out with the retention too
