@@ -78,12 +78,14 @@ object Dedup {
     * parquet round-trip — measured ~1.5 s slower on the bench corpus. At
     * 100 TB every dedup staging table crosses the threshold and the
     * materialize-once plan wins by construction. */
-  private[dedup] def stageIfLarge(df: DataFrame, tag: String): DataFrame = {
-    val threshold = df.sparkSession.conf.getOption("spark.graft.stage.threshold")
+  private def stageThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.stage.threshold")
       .map(_.toLong).getOrElse(256L * 1024 * 1024)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < threshold) df
+
+  private[dedup] def stageIfLarge(df: DataFrame, tag: String): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      stageThreshold(df.sparkSession)) df
     else stage(df, tag)
-  }
 
   /** Per-document DISTINCT shingle sets as SORTED array rows
     * (doc_id, shset) — computed row-locally, no shuffle. The
@@ -125,8 +127,26 @@ object Dedup {
     * row's bound is exact-or-above and always survives. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh = stageIfLarge(docShingleHashes(docs, n), "jaccard")
-    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sh0 = docShingleHashes(docs, n)
+    val shLarge = sh0.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      stageThreshold(docs.sparkSession)
+    val sh = if (shLarge) stage(sh0, "jaccard") else sh0
+    // In the staged (at-scale) regime the document-frequency table is
+    // staged too: its true size is the distinct-shingle vocabulary, which
+    // the optimizer cannot estimate (aggregate stats fall back to the
+    // exploded child's size — always "huge"), so the planner would
+    // shuffle the full staged shingle table into this join no matter how
+    // small the vocabulary is. Staged parquet carries REAL stats: a
+    // vocabulary under the broadcast threshold turns the join into a
+    // broadcast hash join (no shuffle of the corpus-sized side — the
+    // common case for natural-language corpora), and a genuinely huge
+    // vocabulary costs one vocab-sized write before the same shuffle join
+    // it would have run anyway. Below the gate the whole pipeline is one
+    // DAG and ReuseExchange already shares the shingle shuffle between
+    // the aggregate and the join — staging there was measured ~2× SLOWER
+    // (barrier + round-trip, lost reuse).
+    val dfreq0 = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val dfreq = if (shLarge) stage(dfreq0, "jacdf") else dfreq0
     // The prefix table is staged (size-gated) because the candidate
     // self-join references it twice — at scale, without staging, each side
     // re-executes the df aggregate, the join and both window passes (the
