@@ -173,6 +173,7 @@ object SparkEntry {
     "q141_delta_import_products" -> (DeltaBridgeQueries.deltaImportProducts _),
     "q142_delta_import_items"  -> (DeltaBridgeQueries.deltaImportOrderItems _),
     "q143_delta_cdf_roundtrip" -> (DeltaBridgeQueries.deltaCdfRoundtrip _),
+    "q144_delta_part_import"   -> (DeltaBridgeQueries.deltaPartitionedImport _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -494,6 +495,13 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  'delete', CAST(2 AS BIGINT)
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    // 97-partition export/import round-trip (q144): partition values
+    // round-trip through Delta partitionValues and the single-scan
+    // broadcast recovery; the oracle recomputes the bucket arithmetic.
+    "q144_delta_part_import" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  o_orderkey % 97 AS o_bucket
+        |FROM orders""".stripMargin,
     // Frozen `cdc_events` fixture (q140): two STREAMING UPDATE commits —
     // the replay must serve the union of both commits' files.
     "q140_delta_import_events" ->

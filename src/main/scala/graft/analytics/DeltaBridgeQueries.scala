@@ -116,6 +116,26 @@ object DeltaBridgeQueries {
         col("unit_price"), col("__cdc_operation").as("cdc_op"),
         unix_micros(col("created_at")).as("created_us"))
 
+  /** q144: a 97-partition graft history exported and read back through
+    * the Delta log — the single-scan partition-value recovery (broadcast
+    * file→value map on `_metadata.file_path`) under the driver's hash
+    * gate at real partition-count, where a per-partition union plan would
+    * have 97 leaves. The oracle recomputes the bucket column directly. */
+  def deltaPartitionedImport(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#parts", { _ =>
+      val r = Scratch.dir(spark, "delta-export-parts")
+      val orders = Tables.orders(spark, dir)
+        .withColumn("o_bucket", pmod(col("o_orderkey"), lit(97L)))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_bucket")
+      val t = graft.table.GraftTable.create(spark, r, orders, Seq("o_bucket"))
+      graft.sources.DeltaExport.exportLog(t)
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_bucket"))
+  }
+
   /** q143: the CDF round-trip the reference's consumer runs (load_cdf,
     * python-consumer/delta_handler.py, notebook cells 25-26) — a graft
     * history (create → append → MoR delete) mirrored by [[DeltaExport]]
