@@ -30,7 +30,9 @@ import graft.table.GraftTable
   * Delta's own Snapshot works — and the data read is one parquet relation
   * per partition-value group, so pruning/pushdown/codegen all apply.
   * Classic parquet checkpoints (`N.checkpoint.parquet`, single- or
-  * multi-part, advertised by `_last_checkpoint`) are consumed so a
+  * multi-part, advertised by `_last_checkpoint`) AND V2 checkpoints
+  * (`N.checkpoint.<uuid>.{json,parquet}` manifests with `_sidecars/`
+  * file-action parquet, reader feature `v2Checkpoint`) are consumed so a
   * long-history table costs one parquet read + the JSON tail, not a full
   * JSON replay; the collected action list is file metadata only (the same
   * driver-resident state every Delta reader holds).
@@ -87,7 +89,7 @@ object DeltaImport {
     * below. Everything else (deletionVectors, v2Checkpoint, …) is refused
     * by the snapshot gate. */
   private val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "columnMapping", "deletionVectors")
+    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint")
 
   // --------------------------------------------------- column mapping
   // Delta column mapping (modes `name` and `id`): parquet files carry
@@ -272,6 +274,39 @@ object DeltaImport {
     if (parts.forall(fs.exists)) Some(v -> parts) else None
   }
 
+  /** The newest V2 checkpoint manifest at or below `versionAsOf`
+    * (`<v>.checkpoint.<uniqueStr>.{json,parquet}` — exactly ONE segment
+    * between `checkpoint` and the extension, which excludes both classic
+    * single-part and classic multi-part names). Several manifests at one
+    * version are protocol-equivalent; the lexicographically last is
+    * picked for determinism. */
+  private def v2CheckpointManifest(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long]): Option[(Long, Path)] = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return None
+    val V2 = """(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)""".r
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .flatMap { p =>
+        p.getName match {
+          case V2(v, _, _) => Some(v.toLong -> p)
+          case _ => None
+        }
+      }
+      .filter { case (v, _) => versionAsOf.forall(v <= _) }
+      .sortBy { case (v, p) => (v, p.getName) }
+      .lastOption
+  }
+
+  /** A sidecar action's path resolves against `_delta_log/_sidecars/`
+    * (absolute URIs pass through, per the spec). */
+  private def sidecarPath(tablePath: String, p: String): Path = {
+    val asPath = try new Path(new java.net.URI(p))
+      catch { case scala.util.control.NonFatal(_) => new Path(p) }
+    if (asPath.isAbsolute) asPath
+    else new Path(new Path(logDir(tablePath), "_sidecars"), asPath)
+  }
+
   /** Resolve the snapshot at `versionAsOf` (default: HEAD) by replaying the
     * checkpoint (if any) plus the JSON commit tail. */
   def snapshot(spark: SparkSession, tablePath: String,
@@ -282,11 +317,10 @@ object DeltaImport {
     var protocol: Option[Protocol] = None
     var version = -1L
 
-    ckpt.foreach { case (v, parts) =>
-      // Classic checkpoint: one row per action, struct columns. Tombstoned
-      // removes are VACUUM bookkeeping — only adds and metaData matter for
-      // the snapshot.
-      val rows = spark.read.parquet(parts.map(_.toString): _*)
+    // One checkpoint DataFrame's worth of actions folded into the state —
+    // shared by classic checkpoint parts, V2 checkpoint manifests, and V2
+    // sidecar files (all carry the same struct-per-action row shape).
+    def foldRows(rows: DataFrame): Unit = {
       val cols = rows.columns.toSet
       if (cols.contains("add")) {
         val addT = rows.schema("add").dataType.asInstanceOf[StructType]
@@ -348,10 +382,77 @@ object DeltaImport {
             if (r.isNullAt(1)) 2 else r.getInt(1), seqAt(2), seqAt(3)))
         }
       }
-      version = v
     }
 
     val fs = logDir(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+
+    ckpt match {
+      case Some((v, parts)) =>
+        // Classic checkpoint: one row per action, struct columns.
+        // Tombstoned removes are VACUUM bookkeeping — only adds and
+        // metaData matter for the snapshot.
+        foldRows(spark.read.parquet(parts.map(_.toString): _*))
+        version = v
+      case None =>
+        // V2 checkpoint (reader feature `v2Checkpoint`): a manifest
+        // `<v>.checkpoint.<uuid>.{json,parquet}` holding the non-file
+        // actions plus `sidecar` pointers into `_delta_log/_sidecars/`,
+        // where the file actions live (or file actions inline when no
+        // sidecars). Discovered by LISTING (the spec's rule — a
+        // kernel-written `_last_checkpoint` may name no classic parts).
+        v2CheckpointManifest(spark, tablePath, versionAsOf).foreach {
+          case (v, manifest) =>
+            val sidecars: Seq[Path] =
+              if (manifest.getName.endsWith(".json")) {
+                val in = fs.open(manifest)
+                val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+                  .getLines().toArray finally in.close()
+                val sc = Seq.newBuilder[Path]
+                lines.iterator.filter(_.trim.nonEmpty).map(parseLine).foreach { j =>
+                  (j \ "metaData") match {
+                    case JNothing => ()
+                    case m => meta = Some((
+                      DataType.fromJson((m \ "schemaString").extract[String])
+                        .asInstanceOf[StructType],
+                      (m \ "partitionColumns").extract[Seq[String]],
+                      (m \ "configuration").extractOrElse[Map[String, String]](Map.empty),
+                      (m \ "id").extractOrElse[String]("")))
+                  }
+                  (j \ "protocol" \ "minReaderVersion") match {
+                    case JInt(r) =>
+                      def feats(n: String) = (j \ "protocol" \ n) match {
+                        case JArray(xs) => xs.collect { case JString(f) => f }
+                        case _ => Nil
+                      }
+                      protocol = Some(Protocol(r.toInt,
+                        (j \ "protocol" \ "minWriterVersion") match {
+                          case JInt(w) => w.toInt; case _ => 2
+                        }, feats("readerFeatures"), feats("writerFeatures")))
+                    case _ => ()
+                  }
+                  (j \ "add") match {
+                    case JNothing => ()
+                    case a => val f = addOf(a); files += f.path -> f
+                  }
+                  (j \ "sidecar" \ "path") match {
+                    case JString(p) => sc += sidecarPath(tablePath, p)
+                    case _ => ()
+                  }
+                }
+                sc.result()
+              } else {
+                val rows = spark.read.parquet(manifest.toString)
+                foldRows(rows)
+                if (!rows.columns.contains("sidecar")) Nil
+                else rows.select(col("sidecar.path"))
+                  .filter(col("path").isNotNull).collect()
+                  .map(r => sidecarPath(tablePath, r.getString(0))).toSeq
+              }
+            if (sidecars.nonEmpty)
+              foldRows(spark.read.parquet(sidecars.map(_.toString): _*))
+            version = v
+        }
+    }
     jsonVersions(spark, tablePath, version)
       .takeWhile { case (v, _) => versionAsOf.forall(v <= _) }
       .foreach { case (v, p) =>

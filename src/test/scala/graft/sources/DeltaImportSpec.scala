@@ -196,6 +196,53 @@ class DeltaImportSpec extends SparkSpec {
       Set((1L, 1L), (2L, 2L)))
   }
 
+  test("v2 checkpoint: json manifest + parquet sidecars + json tail replay") {
+    val table = tmpDir("delta-v2ckpt")
+    dataFile(table, "a.parquet", Seq((1L, "a")).toDF("id", "s"))
+    dataFile(table, "b.parquet", Seq((2L, "b")).toDF("id", "s"))
+    dataFile(table, "c.parquet", Seq((3L, "c")).toDF("id", "s"))
+    val log = Paths.get(table, "_delta_log")
+    Files.createDirectories(log.resolve("_sidecars"))
+    // two sidecar parquet files, one add each (classic action-row shape)
+    def sidecar(name: String, addPath: String): Unit = {
+      val rows = spark.range(1).select(
+        struct(lit(addPath).as("path"),
+          map().cast("map<string,string>").as("partitionValues"),
+          lit(1L).as("size"), lit(0L).as("modificationTime"),
+          lit(true).as("dataChange")).as("add"))
+      val stage = tmpDir("delta-v2-sidecar-stage")
+      rows.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), log.resolve("_sidecars").resolve(name))
+    }
+    sidecar("sc1.parquet", "a.parquet")
+    sidecar("sc2.parquet", "b.parquet")
+    // v1 JSON manifest: protocol (feature-gated), metaData, sidecar actions.
+    // v0/v1 commit JSON deliberately ABSENT — only the v2 checkpoint can
+    // serve them; the v2 feature gate must accept.
+    Files.write(log.resolve(f"${1L}%020d.checkpoint.80a083e8-7026.json"), Seq(
+      """{"checkpointMetadata":{"version":1}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine(idS),
+      """{"sidecar":{"path":"sc1.parquet","sizeInBytes":1}}""",
+      """{"sidecar":{"path":"sc2.parquet","sizeInBytes":1}}""")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    // a JSON commit AFTER the checkpoint replays on top
+    commit(table, 2L, Seq(
+      """{"commitInfo":{"timestamp":3000,"operation":"WRITE"}}""",
+      """{"add":{"path":"c.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+
+    val s = DeltaImport.snapshot(spark, table)
+    assert(s.version === 2L)
+    assert(s.files.map(_.path).toSet === Set("a.parquet", "b.parquet", "c.parquet"))
+    assert(DeltaImport.read(spark, table).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // pinned read AT the checkpoint version (no tail)
+    assert(DeltaImport.read(spark, table, versionAsOf = Some(1L))
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+  }
+
   test("partitioned import is ONE scan: 120 partition values, no union plan") {
     val table = tmpDir("delta-manyparts")
     // one physical part-file, registered 120 times under distinct
@@ -458,11 +505,11 @@ class DeltaImportSpec extends SparkSpec {
     commit(bad, 0L, Seq(
       """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"]}}""",
+        """"readerFeatures":["typeWidening"]}}""",
       metaLine(idS),
       """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
     val e = intercept[IllegalArgumentException] { DeltaImport.read(spark, bad) }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
   }
 
   test("deletion vectors: protocol accepted, positions subtracted, CDF derives the DV diff") {
