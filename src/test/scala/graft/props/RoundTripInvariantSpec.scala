@@ -1,0 +1,87 @@
+package graft.props
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.sources.{DeltaExport, DeltaImport}
+import graft.table.GraftTable
+
+/** Seeded randomized invariants for the round's two strongest claims:
+  *  - the PPJoin prefix + positional candidate filters are LOSSLESS —
+  *    the filtered pipeline must equal an exhaustive all-pairs jaccard
+  *    over the same shingle definition, at any threshold;
+  *  - the Delta export bridge is a faithful mirror under ARBITRARY op
+  *    sequences (append / rewrite-delete / DV-delete / value-tombstone
+  *    MoR delete / merge / optimize): the exported log re-read through
+  *    [[DeltaImport]] equals the graft snapshot at EVERY version.
+  */
+class RoundTripInvariantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PPJoin prefix+positional filters are lossless vs exhaustive jaccard") {
+    val rnd = new Random(77)
+    for (trial <- 1 to 3) {
+      val vocabN = 8 + rnd.nextInt(8)
+      val vocab = (0 until vocabN).map(i => s"w$i")
+      val docs = (1L to 40L).map { i =>
+        val len = 5 + rnd.nextInt(30)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val t = Seq(0.6, 0.7, 0.8)(rnd.nextInt(3))
+
+      val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = t)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+      // exhaustive all-pairs over the SAME shingle definition — no
+      // prefix filter, no positional filter, no candidate generation
+      val sets = Dedup.docShingleSets(docs, 3)
+      val a = sets.select(col("doc_id").as("a_id"), col("shset").as("a_set"))
+      val b = sets.select(col("doc_id").as("b_id"), col("shset").as("b_set"))
+      val expected = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("common", org.apache.spark.sql.graftnative.TextExpressions
+          .sortedIntersectCount(col("a_set"), col("b_set")))
+        .withColumn("j", col("common").cast("double")
+          / (size(col("a_set")) + size(col("b_set")) - col("common")))
+        .filter(col("j") >= t)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+      assert(got === expected, s"trial $trial threshold $t")
+    }
+  }
+
+  test("Delta export mirrors random op sequences exactly, at every version") {
+    val rnd = new Random(99)
+    for (trial <- 1 to 3) {
+      val root = tmpDir(s"rt-inv-$trial")
+      var next = 100L
+      val t = GraftTable.create(spark, root,
+        (1L to 20L).map(i => (i, rnd.nextInt(10))).toDF("id", "v"))
+      (1 to 5).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 =>
+            t.append((next to next + 9L).map(i => (i, rnd.nextInt(10)))
+              .toDF("id", "v"))
+            next += 10
+          case 1 => t.delete(col("v") === rnd.nextInt(10))
+          case 2 => t.deletePositional(col("v") === rnd.nextInt(10))
+          case 3 => t.deleteMergeOnRead(col("v") === rnd.nextInt(10))
+          case 4 =>
+            val keys = (1L to next).filter(_ => rnd.nextInt(20) == 0).take(8)
+            if (keys.nonEmpty)
+              t.merge(keys.map(k => (k, 100 + rnd.nextInt(10))).toDF("id", "v"), "id")
+          case 5 => t.optimize()
+        }
+      }
+      DeltaExport.exportLog(t)
+      for (v <- 0L to t.version) {
+        val viaDelta = DeltaImport.read(spark, root, versionAsOf = Some(v))
+          .as[(Long, Int)].collect().toSet
+        val viaGraft = t.readVersion(v).as[(Long, Int)].collect().toSet
+        assert(viaDelta === viaGraft, s"trial $trial version $v")
+      }
+    }
+  }
+}
