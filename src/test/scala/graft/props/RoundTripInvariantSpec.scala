@@ -52,6 +52,69 @@ class RoundTripInvariantSpec extends SparkSpec {
     }
   }
 
+  test("CDF conservation: each version's feed transforms snapshot v-1 into v") {
+    val rnd = new Random(411)
+    for (trial <- 1 to 2) {
+      val root = tmpDir(s"cdf-inv-$trial")
+      var next = 100L
+      val t = GraftTable.create(spark, root,
+        (1L to 20L).map(i => (i, rnd.nextInt(10))).toDF("id", "v"))
+      (1 to 5).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 =>
+            t.append((next to next + 9L).map(i => (i, rnd.nextInt(10)))
+              .toDF("id", "v"))
+            next += 10
+          case 1 => t.delete(col("v") === rnd.nextInt(10))
+          case 2 => t.deletePositional(col("v") === rnd.nextInt(10))
+          case 3 =>
+            val keys = (1L to next).filter(_ => rnd.nextInt(20) == 0).take(8)
+            if (keys.nonEmpty)
+              t.merge(keys.map(k => (k, 100 + rnd.nextInt(10))).toDF("id", "v"), "id")
+          case 4 => t.optimize()
+          case 5 => t.deleteMergeOnRead(col("v") === rnd.nextInt(10))
+        }
+      }
+      DeltaExport.exportLog(t)
+
+      def multiset(rows: Seq[(Long, Int)]): Map[(Long, Int), Int] =
+        rows.groupBy(identity).view.mapValues(_.size).toMap
+      def applyChanges(prev: Map[(Long, Int), Int],
+          changes: Seq[((Long, Int), String)]): Map[(Long, Int), Int] =
+        changes.foldLeft(prev) { case (m, (row, ct)) =>
+          ct match {
+            case "insert" | "update_postimage" =>
+              m + (row -> (m.getOrElse(row, 0) + 1))
+            case "delete" | "update_preimage" =>
+              val n = m.getOrElse(row, 0) - 1
+              if (n <= 0) m - row else m + (row -> n)
+            case other => fail(s"unknown change type $other"); m
+          }
+        }
+      def graftChanges(v: Long): Seq[((Long, Int), String)] =
+        try t.readChanges(v, v)
+          .select(col("id"), col("v"), col("_change_type"))
+          .as[(Long, Int, String)].collect().toSeq
+          .map { case (i, x, ct) => ((i, x), ct) }
+        catch { case _: NoSuchElementException => Nil }
+      def deltaChanges(v: Long): Seq[((Long, Int), String)] =
+        try DeltaImport.readChanges(spark, root, v, v)
+          .select(col("id"), col("v"), col("_change_type"))
+          .as[(Long, Int, String)].collect().toSeq
+          .map { case (i, x, ct) => ((i, x), ct) }
+        catch { case _: NoSuchElementException => Nil }
+
+      for (v <- 1L to t.version) {
+        val prev = multiset(t.readVersion(v - 1).as[(Long, Int)].collect().toSeq)
+        val cur = multiset(t.readVersion(v).as[(Long, Int)].collect().toSeq)
+        assert(applyChanges(prev, graftChanges(v)) === cur,
+          s"trial $trial graft CDF does not conserve at version $v")
+        assert(applyChanges(prev, deltaChanges(v)) === cur,
+          s"trial $trial exported Delta CDF does not conserve at version $v")
+      }
+    }
+  }
+
   test("Delta export mirrors random op sequences exactly, at every version") {
     val rnd = new Random(99)
     for (trial <- 1 to 3) {
