@@ -752,6 +752,41 @@ object DeltaExport {
     case _ => false
   }
 
+  /** Generated / identity column declarations travel IN the Delta schema
+    * (field metadata `delta.generationExpression` /
+    * `delta.identity.{start,step,highWaterMark,allowExplicitInsert}` —
+    * where delta-spark itself stores them), matching the writer features
+    * [[writerFeaturesOf]] advertises: a Delta writer that honors the
+    * protocol then computes generated values and allocates identity ids
+    * exactly as graft does. */
+  private def decoratedSchemaJson(c: Commit): String = {
+    val gen = c.properties.collect {
+      case (k, v) if k.startsWith(GraftTable.GeneratedColPrefix) =>
+        k.stripPrefix(GraftTable.GeneratedColPrefix) -> v
+    }
+    val ident = c.properties.collect {
+      case (k, v) if k.startsWith(GraftTable.IdentitySpecPrefix) =>
+        k.stripPrefix(GraftTable.IdentitySpecPrefix) -> v
+    }
+    if (gen.isEmpty && ident.isEmpty) return c.schemaJson
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    StructType(schema.fields.map { f =>
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      gen.get(f.name).foreach(e =>
+        b.putString("delta.generationExpression", e))
+      ident.get(f.name).foreach { spec =>
+        val Array(start, step) = spec.split(',')
+        b.putLong("delta.identity.start", start.toLong)
+        b.putLong("delta.identity.step", step.toLong)
+        b.putBoolean("delta.identity.allowExplicitInsert", true)
+        c.properties.get(GraftTable.IdentityHwmPrefix + f.name).foreach(h =>
+          b.putLong("delta.identity.highWaterMark", h.toLong))
+      }
+      f.copy(metadata = b.build())
+    }).json
+  }
+
   private def metaDataJson(tableId: String, c: Commit, firstTs: Long): String = {
     // Graft CHECK constraints map onto Delta's reserved configuration keys
     // (`delta.constraints.<name>`); other properties pass through verbatim.
@@ -767,7 +802,7 @@ object DeltaExport {
     JsonMethods.compact(JObject("metaData" -> JObject(
       "id" -> JString(tableId),
       "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
-      "schemaString" -> JString(c.schemaJson),
+      "schemaString" -> JString(decoratedSchemaJson(c)),
       "partitionColumns" -> JArray(c.partitionCols.map(JString(_)).toList),
       "configuration" -> JObject(conf.toSeq.sortBy(_._1)
         .map { case (k, v) => k -> (JString(v): JValue) }: _*),

@@ -3588,7 +3588,7 @@ object GraftTable {
   private[table] val DroppedColPrefix = "graft.droppedCol."
   private[graft] val GeneratedColPrefix = "graft.generatedCol."
   private[graft] val IdentitySpecPrefix = "graft.identityCol."
-  private[table] val IdentityHwmPrefix = "graft.identityHwm."
+  private[graft] val IdentityHwmPrefix = "graft.identityHwm."
 
   /** Order-preserving encoding of a byte string's first 6 bytes into a
     * Double (48 bits — exact in the 53-bit mantissa): unsigned

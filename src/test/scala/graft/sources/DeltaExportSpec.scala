@@ -320,6 +320,32 @@ class DeltaExportSpec extends SparkSpec {
       === t.read().as[(Long, String)].collect().toSet)
   }
 
+  test("generated/identity declarations export into Delta schema metadata") {
+    val root = tmpDir("dexp-genid")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, 5.0)).toDF("id", "x"),
+      partitionBy = Nil,
+      generated = Map("x2" -> "x * 2"),
+      identity = Map("id" -> (1L, 1L)))
+    DeltaExport.exportLog(t)
+    val metaStr = (logLines(root, 0L).map(_ \ "metaData" \ "schemaString")
+      .collectFirst { case JString(s) => s }).get
+    val schema = org.apache.spark.sql.types.DataType.fromJson(metaStr)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val x2 = schema("x2").metadata
+    assert(x2.contains("delta.generationExpression"))
+    assert(x2.getString("delta.generationExpression") === "x * 2")
+    val id = schema("id").metadata
+    assert(id.getLong("delta.identity.start") === 1L)
+    assert(id.getLong("delta.identity.step") === 1L)
+    // the exported schema still round-trips through the bridge read
+    assert(DeltaImport.read(spark, root).columns.toSeq
+      === t.read().columns.toSeq)
+    // legacy protocol demands identity's writer version
+    val proto = logLines(root, 0L).map(_ \ "protocol").filter(_ != JNothing).head
+    assert((proto \ "minWriterVersion") === JInt(6))
+  }
+
   test("txn-stamped commits export Delta SetTransaction actions") {
     val root = tmpDir("dexp-txn")
     val t = GraftTable.create(spark,
