@@ -174,6 +174,7 @@ object SparkEntry {
     "q142_delta_import_items"  -> (DeltaBridgeQueries.deltaImportOrderItems _),
     "q143_delta_cdf_roundtrip" -> (DeltaBridgeQueries.deltaCdfRoundtrip _),
     "q144_delta_part_import"   -> (DeltaBridgeQueries.deltaPartitionedImport _),
+    "q145_hybrid_retrieval"  -> ((s, d) => RetrievalQueries.hybridRetrieval(s, d)),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1350,6 +1351,59 @@ object SparkEntry {
         |FROM s GROUP BY doc_id, dl
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    // RRF hybrid (q145): the q114 BM25 leg and the q28 dense-cosine leg,
+    // each cut to its top-50 under a total order (score DESC, doc_id) and
+    // ranked; rrf = 1/(60+rank) summed sparse-then-dense. Ranks are
+    // integers, each term one IEEE divide, the fuse a fixed-order two-term
+    // sum — bit-identical across engines by the same argument as the legs.
+    "q145_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE trim(text) <> ''
+        |), t AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+        |  WHERE term IN ('join', 'vector', 'customer') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM t),
+        |s AS (
+        |  SELECT tf.doc_id, dl.dl, tf.term,
+        |    ((n.n_docs - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+        |      * ((tf.tf * CAST(2.2 AS DOUBLE))
+        |         / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |            + ((CAST(0.75 AS DOUBLE) * dl.dl) * n.n_docs) / tot.total_tokens))) AS s
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |  CROSS JOIN n CROSS JOIN tot),
+        |bm AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'customer' THEN s END), 0.0) AS score
+        |  FROM s GROUP BY doc_id),
+        |sparse AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS sparse_rank
+        |  FROM (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id LIMIT 50)),
+        |dense0 AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |     * sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS score
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY score DESC, e.vec_id LIMIT 50),
+        |dense AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS dense_rank
+        |  FROM dense0)
+        |SELECT doc_id, sparse_rank, dense_rank,
+        |  coalesce(CAST(1 AS DOUBLE) / (60 + sparse_rank), CAST(0 AS DOUBLE))
+        |  + coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), CAST(0 AS DOUBLE)) AS rrf_score
+        |FROM sparse FULL JOIN dense USING (doc_id)
+        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

@@ -77,6 +77,52 @@ object RetrievalQueries {
       .limit(k)
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60). A
+    * LITERAL on both engine sides for the usual bit-identity reason. */
+  val RrfK = 60
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25, q114)
+    * and dense (exact cosine vs query vector 0, q28) rankings over the same
+    * corpus — rrf(d) = Σ_lists 1/(60 + rank_l(d)), the standard way a
+    * training-data pipeline combines "similar to seed corpus by words" with
+    * "similar by embedding" for data selection.
+    *
+    * Determinism: both input rankings are already bit-exact against their
+    * own oracles (q114/q28); ranks are INTEGERS (row_number with a doc_id
+    * tiebreak), so each RRF term is 1/(60+r) — one IEEE divide of integer
+    * operands — and the fuse is a fixed-order two-term sum. No float
+    * ordering anywhere.
+    *
+    * Scale shape: each leg is its own top-N (bounded-heap TakeOrdered —
+    * the corpus-sized work stays in the legs, which are the already-scale-
+    * shaped q114/q28 plans); ranking then runs over N=50-row frames
+    * (single-partition window over a k-sized set — constant work), and the
+    * fuse is a 50×50 outer join. At 100 TB the legs are index lookups
+    * (inverted index / ANN) feeding the same constant-size fuse. */
+  def hybridRetrieval(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = DefaultQueryTerms, queryVecId: Long = 0L,
+      n: Int = 50, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRank = Window.orderBy(desc("score"), asc("doc_id"))
+    val sparse = bm25Retrieval(spark, dir, queryTerms, n)
+      .select(col("doc_id"), col("score"))
+      .withColumn("sparse_rank", row_number().over(byRank))
+      .drop("score")
+    val dense = graft.sim.Similarity
+      .bruteForceTopK(Tables.embeddings(spark, dir), queryVecId, n)
+      .select(col("vec_id").as("doc_id"), col("score"))
+      .withColumn("dense_rank", row_number().over(byRank))
+      .drop("score")
+    val rrfTerm = (r: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (lit(RrfK) + r.cast("double")), lit(0.0))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", rrfTerm(col("sparse_rank")) + rrfTerm(col("dense_rank")))
+      .select(col("doc_id"), col("sparse_rank").cast("int").as("sparse_rank"),
+        col("dense_rank").cast("int").as("dense_rank"), col("rrf_score"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Inverted-index build: per term, document frequency, collection
     * frequency, the posting-list span, and the sorted posting list itself
     * (rendered as a comma-joined string so the artifact is

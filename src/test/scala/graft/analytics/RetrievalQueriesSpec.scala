@@ -40,6 +40,38 @@ class RetrievalQueriesSpec extends SparkSpec {
       "scores should discriminate, not tie everywhere")
   }
 
+  test("hybridRetrieval: RRF fuses the two legs' ranks exactly") {
+    val fused = RetrievalQueries.hybridRetrieval(spark, sf).collect()
+    assert(fused.length === 20)
+    // recompute leg ranks independently
+    def ranksOf(rows: Array[(Long, Double)]): Map[Long, Int] =
+      rows.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val sparse = ranksOf(RetrievalQueries.bm25Retrieval(spark, sf, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)))
+    val dense = ranksOf(graft.sim.Similarity
+      .bruteForceTopK(graft.Tables.embeddings(spark, sf), 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)))
+    val expected = (sparse.keySet ++ dense.keySet).toSeq.map { id =>
+      val s = sparse.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      val d = dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, s + d)
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(fused.map(_.getLong(0)).toSeq === expected.map(_._1))
+    fused.foreach { r =>
+      val id = r.getLong(0)
+      assert(Option(r.get(1)).map(_.asInstanceOf[Int]) === sparse.get(id))
+      assert(Option(r.get(2)).map(_.asInstanceOf[Int]) === dense.get(id))
+      assert(r.getDouble(3) === expected.find(_._1 == id).get._2)
+    }
+    // rrf is monotone-decreasing down the output
+    val scores = fused.map(_.getDouble(3))
+    assert(scores.sorted(Ordering[Double].reverse).sameElements(scores))
+    // deterministic re-run
+    val again = RetrievalQueries.hybridRetrieval(spark, sf).collect()
+    assert(fused.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("invertedIndex: df matches posting length, span matches endpoints") {
     val idx = RetrievalQueries.invertedIndex(spark, sf).collect()
     assert(idx.nonEmpty)
