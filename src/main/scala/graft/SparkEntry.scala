@@ -175,6 +175,8 @@ object SparkEntry {
     "q143_delta_cdf_roundtrip" -> (DeltaBridgeQueries.deltaCdfRoundtrip _),
     "q144_delta_part_import"   -> (DeltaBridgeQueries.deltaPartitionedImport _),
     "q145_hybrid_retrieval"  -> ((s, d) => RetrievalQueries.hybridRetrieval(s, d)),
+    "q146_source_overlap"    -> (CorpusQueries.sourceOverlap _),
+    "q147_ngram_novelty"     -> (CorpusQueries.ngramNovelty _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1404,6 +1406,58 @@ object SparkEntry {
         |  + coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), CAST(0 AS DOUBLE)) AS rrf_score
         |FROM sparse FULL JOIN dense USING (doc_id)
         |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // source containment matrix (q146): distinct (source, 3-gram) pairs,
+    // pairwise shared counts, jaccard + containment. Every count is an
+    // exact BIGINT; each ratio is one IEEE divide of integer-valued
+    // operands — bit-identical across engines.
+    "q146_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.sz AS sz_a, sb.sz AS sz_b, shared,
+        |  CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard,
+        |  CAST(shared AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+        |FROM shared
+        |JOIN sz sa ON sa.source = src_a
+        |JOIN sz sb ON sb.source = src_b""".stripMargin,
+
+    // n-gram novelty (q147): first carrier of each distinct 3-gram under
+    // the md5 content-hash order (same 32-bit spelling as q59); Spark's
+    // min(struct(h, doc_id)) is exactly ORDER BY h, doc_id LIMIT 1 per
+    // gram. Ratio is one IEEE divide of BIGINTs.
+    "q147_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+        |           * pow(16, 7 - i))) AS BIGINT) AS h
+        |  FROM (SELECT DISTINCT doc_id FROM sh)),
+        |w AS (
+        |  SELECT sh.doc_id, sh.shingle,
+        |    row_number() OVER (PARTITION BY sh.shingle ORDER BY h.h, sh.doc_id) AS rn
+        |  FROM sh JOIN h USING (doc_id)),
+        |novel AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS novel FROM w WHERE rn = 1 GROUP BY 1),
+        |dsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS distinct_shingles FROM sh GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n.novel, CAST(0 AS BIGINT)) AS novel,
+        |  d.distinct_shingles,
+        |  CAST(coalesce(n.novel, 0) AS DOUBLE) / d.distinct_shingles AS novelty_ratio
+        |FROM dsz d LEFT JOIN novel n USING (doc_id)""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

@@ -688,6 +688,80 @@ object CorpusQueries {
       tokenCount(col("text")).cast("long").as("words"))
   }
 
+  /** Corpus containment matrix: for every pair of sources, the shared
+    * distinct word-3-gram count, Jaccard, and containment (shared over
+    * the smaller side) — the curation diagnostic that answers "is srcA a
+    * re-crawl / subset / mirror of srcB" BEFORE spending dedup compute on
+    * the union. High containment with low Jaccard flags a subset
+    * relationship; high Jaccard flags a mirror.
+    *
+    * Scale shape: the corpus-sized work is ONE distinct over
+    * (source, shingle) — a single hash-partitioned shuffle — after which
+    * every row is a distinct (source, gram) pair, so the gram-equality
+    * self-join fans out at most sources²/2 rows PER DISTINCT GRAM
+    * (bounded by the source count, never by corpus size), and the
+    * per-pair aggregate is map-side combinable. Per-source sizes reuse
+    * the same distinct frame. All counts are exact BIGINTs; jaccard and
+    * containment are each ONE IEEE divide of integer-valued operands —
+    * bit-identical across engines (the usual oracle argument). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val sz = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(sz.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("sz", "sz_a")), Seq("src_a"))
+      .join(broadcast(sz.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("sz", "sz_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"), col("shared"),
+        (col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+          .as("jaccard"),
+        (col("shared").cast("double") / least(col("sz_a"), col("sz_b")))
+          .as("containment"))
+  }
+
+  /** Per-document n-gram novelty: how many distinct word-3-grams each
+    * document is the FIRST to contribute when the corpus is consumed in
+    * content-hash order (the same deterministic uniform draw every
+    * sampling op here uses) — the marginal-value curve behind
+    * "dedup-aware data valuation": a document whose grams all arrived
+    * earlier adds nothing; novelty/distinct ≈ 1 means fresh content.
+    * Unlike the pairwise dedup ops this is a corpus-global measure with
+    * NO pair blowup on heavy duplication.
+    *
+    * Scale shape: the first carrier of a gram is `min(struct(h, doc_id))`
+    * — a hash aggregate with map-side combine, the same no-global-sort
+    * winner-selection [[substringDupStats]] uses — never a corpus-wide
+    * window sort. Two shuffles total (distinct grams, then count per
+    * winner doc), both on bounded-width keys. Ratio is one IEEE divide
+    * of BIGINTs. Documents shorter than one shingle have no grams and
+    * carry no row, matching the oracle. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+      .withColumn("h", SamplingQueries.md5Bucket32(col("doc_id")))
+    val distinctPerDoc = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("distinct_shingles"))
+    val novelPerDoc = sh
+      .groupBy("shingle")
+      .agg(min(struct(col("h"), col("doc_id"))).as("w"))
+      .groupBy(col("w.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("novel"))
+    distinctPerDoc.join(novelPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("novel"), lit(0L)).as("novel"),
+        col("distinct_shingles"),
+        (coalesce(col("novel"), lit(0L)).cast("double") /
+          col("distinct_shingles")).as("novelty_ratio"))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO
