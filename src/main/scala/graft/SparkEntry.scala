@@ -177,6 +177,7 @@ object SparkEntry {
     "q145_hybrid_retrieval"  -> ((s, d) => RetrievalQueries.hybridRetrieval(s, d)),
     "q146_source_overlap"    -> (CorpusQueries.sourceOverlap _),
     "q147_ngram_novelty"     -> (CorpusQueries.ngramNovelty _),
+    "q148_mmr_rerank"        -> ((s, d) => RetrievalQueries.mmrRerank(s, d)),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1458,6 +1459,40 @@ object SparkEntry {
         |  d.distinct_shingles,
         |  CAST(coalesce(n.novel, 0) AS DOUBLE) / d.distinct_shingles AS novelty_ratio
         |FROM dsz d LEFT JOIN novel n USING (doc_id)""".stripMargin,
+
+    // MMR diversified rerank (q148): the same greedy the Spark side runs,
+    // replayed as a WITH RECURSIVE — each iteration's working table is the
+    // single row just picked (carrying the chosen ids + embeddings as
+    // lists), and ORDER BY mmr_score DESC, doc_id LIMIT 1 is the argmax
+    // with the same tiebreak. Every cosine is the q28 sequential-fold
+    // spelling; λ=0.7 and 0.3 are LITERALS on both sides (1.0 − 0.7 is a
+    // DIFFERENT double than 0.3); max over ≤9 sims is order-free.
+    "q148_mmr_rerank" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+        |    list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+        |    / (sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |     * sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))) AS rel
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY rel DESC, e.vec_id LIMIT 50
+        |), sel AS (
+        |  (SELECT CAST(1 AS INT) AS mmr_rank, doc_id, rel, rel AS mmr_score,
+        |          [doc_id] AS chosen_ids, [emb] AS chosen_embs
+        |   FROM cand ORDER BY rel DESC, doc_id LIMIT 1)
+        |  UNION ALL
+        |  (SELECT CAST(s.mmr_rank + 1 AS INT), c.doc_id, c.rel,
+        |     CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE)
+        |       * list_max(list_transform(s.chosen_embs,
+        |           e -> list_inner_product(e, c.emb)
+        |                / (sqrt(list_inner_product(e, e))
+        |                 * sqrt(list_inner_product(c.emb, c.emb))))) AS mmr_score,
+        |     list_append(s.chosen_ids, c.doc_id), list_append(s.chosen_embs, c.emb)
+        |   FROM sel s JOIN cand c ON NOT list_contains(s.chosen_ids, c.doc_id)
+        |   WHERE s.mmr_rank < 10
+        |   ORDER BY mmr_score DESC, c.doc_id LIMIT 1)
+        |)
+        |SELECT mmr_rank, doc_id, rel, mmr_score FROM sel""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

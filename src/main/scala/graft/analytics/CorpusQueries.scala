@@ -704,8 +704,11 @@ object CorpusQueries {
     * the same distinct frame. All counts are exact BIGINTs; jaccard and
     * containment are each ONE IEEE divide of integer-valued operands —
     * bit-identical across engines (the usual oracle argument). */
-  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlap(Tables.documents(spark, dir))
+
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("source"), explode(shingles(col("text"), 3)).as("shingle"))
       .distinct()
     val sz = sh.groupBy("source").agg(count(lit(1)).as("sz"))
@@ -742,8 +745,11 @@ object CorpusQueries {
     * winner doc), both on bounded-width keys. Ratio is one IEEE divide
     * of BIGINTs. Documents shorter than one shingle have no grams and
     * carry no row, matching the oracle. */
-  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir))
+
+  def ngramNovelty(docs: DataFrame): DataFrame = {
+    val sh = docs
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("shingle"))
       .distinct()
       .withColumn("h", SamplingQueries.md5Bucket32(col("doc_id")))

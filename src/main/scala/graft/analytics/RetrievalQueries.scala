@@ -123,6 +123,76 @@ object RetrievalQueries {
       .limit(k)
   }
 
+  /** MMR trade-off weight (Carbonell & Goldstein 1998's λ). LITERAL on
+    * both engine sides: 0.7·rel − 0.3·maxSim is one multiply each plus one
+    * subtract, bit-identical. */
+  val MmrLambda = 0.7
+  /** Written as its own literal, NOT computed as 1.0 − λ: IEEE 1.0 − 0.7 =
+    * 0.30000000000000004, a different double than the 0.3 the oracle
+    * spells. */
+  val MmrPenaltyWeight = 0.3
+
+  /** Maximal-marginal-relevance rerank of the dense top-`n`: greedily pick
+    * `k` documents maximizing λ·relevance − (1−λ)·max-cosine-to-already-
+    * selected — the standard diversified-retrieval pass that keeps a
+    * training-data selection from spending its budget on one dense cluster.
+    *
+    * Scale shape: the corpus-sized work is the top-`n` leg (the q28
+    * bounded-heap plan; an ANN lookup at 100 TB). The greedy loop runs on
+    * the driver over the COLLECTED candidate set — O(k·n) with n=50, a
+    * constant like the BPE merge table or a PQ codebook, independent of
+    * corpus size.
+    *
+    * Determinism: relevance comes from the already-bit-exact q28 leg;
+    * penalty cosines are sequential-fold dots over the same double-cast
+    * vectors (the identical IEEE op sequence as `list_inner_product`);
+    * `max` over ≤k−1 sims is order-free; λ-combine is two multiplies and a
+    * subtract of literal-weighted doubles; argmax ties break on doc_id.
+    * The DuckDB oracle replays the same greedy via WITH RECURSIVE. */
+  def mmrRerank(spark: SparkSession, dir: String, queryVecId: Long = 0L,
+      n: Int = 50, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").cast("array<double>").as("q_vec"))
+    val cands = emb.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel", graft.dedup.Dedup.cosine(col("vec"), col("q_vec")))
+      .orderBy(desc("rel"), col("vec_id"))
+      .limit(n)
+      .select("vec_id", "rel", "vec")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dotSeq(a, b) / (math.sqrt(dotSeq(a, a)) * math.sqrt(dotSeq(b, b)))
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      // score every remaining candidate; argmax with doc_id tiebreak
+      val scoredBest = remaining.values.map { case (id, rel, vec) =>
+        val score = if (chosen.isEmpty) rel
+          else MmrLambda * rel - MmrPenaltyWeight * chosen.map(cos(_, vec)).max
+        (id, rel, vec, score)
+      }.reduceLeft { (a, b) =>
+        if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a
+      }
+      selected += ((selected.length + 1, scoredBest._1, scoredBest._2, scoredBest._4))
+      chosen += scoredBest._3
+      remaining.remove(scoredBest._1)
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("mmr_rank", "doc_id", "rel", "mmr_score")
+  }
+
   /** Inverted-index build: per term, document frequency, collection
     * frequency, the posting-list span, and the sorted posting list itself
     * (rendered as a comma-joined string so the artifact is

@@ -72,6 +72,49 @@ class RetrievalQueriesSpec extends SparkSpec {
     assert(fused.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("mmrRerank: greedy-optimal at every step, diversity strictly binds") {
+    val out = RetrievalQueries.mmrRerank(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 10)
+    assert(out.map(_._1).toSeq === (1 to 10))
+    assert(out.map(_._2).distinct.length === 10)
+
+    // independent candidate set + cosine
+    val cands = graft.sim.Similarity
+      .bruteForceTopK(graft.Tables.embeddings(spark, sf), 0L, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def cos(a: Array[Double], b: Array[Double]) =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    // step 1 = pure argmax relevance
+    assert(out.head._2 === cands.toSeq.sortBy { case (id, s) => (-s, id) }.head._1)
+    assert(out.head._4 === cands(out.head._2))
+    // every later pick beats (or doc_id-ties under) all rejected candidates
+    // under the MMR objective against the selected-so-far set
+    for (step <- 2 to 10) {
+      val chosen = out.take(step - 1).map(x => vecs(x._2))
+      def mmr(id: Long) =
+        0.7 * cands(id) - 0.3 * chosen.map(c => cos(c, vecs(id))).max
+      val picked = out(step - 1)
+      assert(picked._4 === mmr(picked._2), s"step $step score")
+      (cands.keySet -- out.take(step - 1).map(_._2) - picked._2).foreach { other =>
+        val o = mmr(other)
+        assert(o < picked._4 || (o == picked._4 && other > picked._2),
+          s"step $step: candidate $other beats pick ${picked._2}")
+      }
+    }
+    // diversity actually re-ordered: MMR order differs from pure relevance
+    val pureTop10 = cands.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(10).map(_._1)
+    assert(out.map(_._2).toSeq !== pureTop10,
+      "MMR should diverge from the pure-relevance ranking on this corpus")
+  }
+
   test("invertedIndex: df matches posting length, span matches endpoints") {
     val idx = RetrievalQueries.invertedIndex(spark, sf).collect()
     assert(idx.nonEmpty)

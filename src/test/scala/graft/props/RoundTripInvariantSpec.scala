@@ -5,6 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+import graft.analytics.CorpusQueries
 import graft.dedup.Dedup
 import graft.sources.{DeltaExport, DeltaImport}
 import graft.table.GraftTable
@@ -144,6 +145,89 @@ class RoundTripInvariantSpec extends SparkSpec {
           .as[(Long, Int)].collect().toSet
         val viaGraft = t.readVersion(v).as[(Long, Int)].collect().toSet
         assert(viaDelta === viaGraft, s"trial $trial version $v")
+      }
+    }
+  }
+
+  test("source overlap + novelty match set algebra on random corpora") {
+    val rnd = new Random(4242)
+    def md5b32(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+    }
+    for (trial <- 1 to 3) {
+      val vocab = (0 until 6 + rnd.nextInt(6)).map(i => s"w$i")
+      // random docs, including sub-shingle-length ones (0-2 tokens)
+      var rows = (1L to 30L).map { i =>
+        val len = rnd.nextInt(20)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          s"src${rnd.nextInt(3)}")
+      }
+      // plant a MIRROR (clone of src0 under a new name) and a SUBSET
+      // (half of src1's docs) — the relationships the matrix must flag
+      val base = rows.filter(_._3 == "src0")
+      rows ++= base.zipWithIndex.map { case ((_, t, _), j) =>
+        (100L + j, t, "srcMirror")
+      }
+      val sub = rows.filter(_._3 == "src1")
+      rows ++= sub.take((sub.size + 1) / 2).zipWithIndex.map { case ((_, t, _), j) =>
+        (200L + j, t, "srcSub")
+      }
+      val docs = rows.toDF("doc_id", "text", "source")
+
+      def gramsOf(t: String): Set[String] = {
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.size < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val bySource = rows.groupBy(_._3)
+        .map { case (s, xs) => s -> xs.flatMap(x => gramsOf(x._2)).toSet }
+        .filter(_._2.nonEmpty)
+
+      // --- overlap matrix vs set algebra
+      val got = CorpusQueries.sourceOverlap(docs).collect().map { r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(4), r.getDouble(5), r.getDouble(6))
+      }.toMap
+      val expectedPairs = for {
+        a <- bySource.keys; b <- bySource.keys if a < b
+        inter = (bySource(a) & bySource(b)).size if inter > 0
+      } yield (a, b)
+      assert(got.keySet === expectedPairs.toSet, s"trial $trial pair set")
+      got.foreach { case ((a, b), (shared, jac, cont)) =>
+        val (sa, sb) = (bySource(a), bySource(b))
+        val inter = (sa & sb).size.toLong
+        assert(shared === inter, s"trial $trial $a-$b shared")
+        assert(jac === inter.toDouble / (sa.size + sb.size - inter))
+        assert(cont === inter.toDouble / math.min(sa.size, sb.size))
+      }
+      // the planted mirror is flagged at jaccard 1; the subset at containment 1
+      if (bySource.contains("src0") && bySource.contains("srcMirror")) {
+        val m = got(("src0", "srcMirror"))
+        assert(m._2 === 1.0 && m._3 === 1.0, s"trial $trial mirror")
+      }
+      if (bySource.contains("src1") && bySource.contains("srcSub")) {
+        val s = got(("src1", "srcSub"))
+        assert(s._3 === 1.0, s"trial $trial subset containment")
+      }
+
+      // --- novelty conservation + first-carrier correctness
+      val nov = CorpusQueries.ngramNovelty(docs).collect().map { r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))
+      }.toMap
+      val withGrams = rows.map(x => (x._1, gramsOf(x._2))).filter(_._2.nonEmpty)
+      assert(nov.keySet === withGrams.map(_._1).toSet, s"trial $trial doc set")
+      val allGrams = withGrams.flatMap(_._2).toSet
+      assert(nov.values.map(_._1).sum === allGrams.size.toLong,
+        s"trial $trial conservation")
+      val firstCarrier = allGrams.map { g =>
+        g -> withGrams.filter(_._2.contains(g)).map(_._1)
+          .minBy(id => (md5b32(id), id))
+      }.toMap
+      withGrams.foreach { case (id, grams) =>
+        assert(nov(id)._1 === grams.count(firstCarrier(_) == id).toLong,
+          s"trial $trial novel of $id")
+        assert(nov(id)._2 === grams.size.toLong)
       }
     }
   }
