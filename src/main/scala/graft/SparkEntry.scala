@@ -178,6 +178,9 @@ object SparkEntry {
     "q146_source_overlap"    -> (CorpusQueries.sourceOverlap _),
     "q147_ngram_novelty"     -> (CorpusQueries.ngramNovelty _),
     "q148_mmr_rerank"        -> ((s, d) => RetrievalQueries.mmrRerank(s, d)),
+    "q149_embedding_cov"     -> (CorpusQueries.embeddingCov _),
+    "q150_soft_dedup"        -> (CorpusQueries.softDedupWeights _),
+    "q151_vocab_coverage"    -> ((s, d) => CorpusQueries.vocabCoverage(s, d)),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1493,6 +1496,72 @@ object SparkEntry {
         |   ORDER BY mmr_score DESC, c.doc_id LIMIT 1)
         |)
         |SELECT mmr_rank, doc_id, rel, mmr_score FROM sel""".stripMargin,
+
+    // embedding covariance (q149): cross moments in 1e-12 fixed point
+    // (floor once per row-pair-product, exact integer sums — the q85
+    // device lifted to the d² cross terms), centered with the 1e-9
+    // first moments; every double derivation is the same expression
+    // tree on both engines. 1e-12 (not finer) keeps the sums < 2^53 so
+    // the int128→double cast is exact on both engines (DuckDB's
+    // HUGEINT→DOUBLE double-rounds above that).
+    "q149_embedding_cov" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS di, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+        |m AS (
+        |  SELECT di, count(*) AS mn,
+        |         sum(CAST(floor(x * 1e9) AS BIGINT)) AS sx
+        |  FROM ex GROUP BY 1),
+        |p AS (
+        |  SELECT a.di AS i, b.di AS j, count(*) AS n,
+        |         sum(CAST(floor(a.x * b.x * 1e12) AS HUGEINT)) AS sxy
+        |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2)
+        |SELECT p.i, p.j, p.n,
+        |  CAST(p.sxy AS DOUBLE) / 1e12 / p.n
+        |    - (CAST(ma.sx AS DOUBLE) / ma.mn / 1e9)
+        |    * (CAST(mb.sx AS DOUBLE) / mb.mn / 1e9) AS cov
+        |FROM p JOIN m ma ON ma.di = p.i JOIN m mb ON mb.di = p.j""".stripMargin,
+
+    // soft dedup (q150): per-source effective budgets under 1/cluster_size
+    // weights over the q73 closure; weights in 1e-9 fixed point so every
+    // sum is exact integer arithmetic on both engines. Token counts are
+    // the q20 whitespace spelling.
+    "q150_soft_dedup" ->
+      s"""WITH cl AS (
+         |$DupClustersOracleSql
+         |), tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tc
+         |  FROM documents),
+         |wt AS (
+         |  SELECT t.source, t.tc,
+         |    CAST(floor(1e9 / c.cluster_size) AS BIGINT) AS w
+         |  FROM tok t JOIN cl c ON t.doc_id = c.doc_id)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(tc) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1e9 AS eff_docs,
+         |  CAST(CAST(sum(w * tc) AS BIGINT) AS DOUBLE) / 1e9 AS eff_tokens
+         |FROM wt GROUP BY source""".stripMargin,
+
+    // vocab coverage (q151): unique (cnt DESC, token) ordering makes the
+    // running sum frame-identical on both engines; cum/total is
+    // exact-integer-into-double division.
+    "q151_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> ''),
+        |c AS (SELECT token, count(*) AS cnt FROM tk WHERE token <> '' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |top AS (
+        |  SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c QUALIFY rank <= 100)
+        |SELECT rank, token, cnt, CAST(cum AS DOUBLE) / total AS cum_frac
+        |FROM top, tot""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

@@ -768,6 +768,99 @@ object CorpusQueries {
           col("distinct_shingles")).as("novelty_ratio"))
   }
 
+  /** q149: corpus embedding covariance matrix — the whitening / PCA prep
+    * every embedding-space curation step (SemDeDup centroids, density
+    * pruning, drift monitoring) starts from. One native codegen'd
+    * expression emits each row's `d²` fixed-point cross products
+    * (`floor(x_i·x_j·10¹²)` — the q85 device, so the integer sums are
+    * order-independent and engine-portable; 10¹² keeps gate-scale sums
+    * under 2⁵³, making the final int→double conversion EXACT on any
+    * engine — DuckDB's int128→double is not correctly rounded above
+    * that, and the 128-bit accumulators still absorb 100× growth
+    * without overflow); a posexplode + (i,j)-keyed
+    * hash aggregate map-side-combines to at most `d²` groups per
+    * partition, so the shuffle is `partitions × d²` longs NO MATTER the
+    * corpus size — the one-pass 100 TB shape (the alternative, a
+    * d²-row-per-document shuffle, dies at scale). Centering uses the
+    * per-dimension first moments (a second `d`-group aggregate over the
+    * same scan, broadcast twice onto the d² pairs). */
+  def embeddingCov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftnative.VectorExpressions.outerProductFixed
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val pairs = vecs
+      .select(size(col("v")).as("d"),
+        posexplode(outerProductFixed(col("v"), 1e12)).as(Seq("pos", "f")))
+      .groupBy(
+        floor(col("pos") / col("d")).cast("int").as("i"),
+        pmod(col("pos"), col("d")).cast("int").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("f").cast(dec)).as("sxy"))
+    val moments = vecs
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("mn"),
+        sum(floor(col("x") * lit(1e9)).cast(dec)).as("sx"))
+    def mean(tag: String) =
+      (col(s"$tag.sx").cast("double") / col(s"$tag.mn") / lit(1e9))
+    pairs
+      .join(broadcast(moments.as("ma")), col("i") === col("ma.dim"))
+      .join(broadcast(moments.as("mb")), col("j") === col("mb.dim"))
+      .select(col("i"), col("j"), col("n"),
+        (col("sxy").cast("double") / lit(1e12) / col("n")
+          - mean("ma") * mean("mb")).as("cov"))
+  }
+
+  /** q150: soft dedup — instead of DROPPING duplicates, weight every
+    * document by 1/cluster_size (a duplicated document's mass is split
+    * across its copies, the SoftDeDup/D4 framing) and publish per-source
+    * raw vs effective token budgets — the number a data-mixing run
+    * actually feeds its sampler. Weights are fixed-point
+    * (`floor(10⁹/size)`) so the sums are exact integers on both engines.
+    * Reuses the materialized q73 cluster table (a report over clusters
+    * must never re-run the dedup pipeline). */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = materializedClusters(spark, dir, "all")(dupClusters(spark, dir))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("tc"))
+    tok
+      .join(clusters.select(col("doc_id"), col("cluster_size")), Seq("doc_id"), "left")
+      .withColumn("w",
+        coalesce(floor(lit(1e9) / col("cluster_size")).cast("long"),
+          lit(1000000000L)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("n_tokens"),
+        (sum(col("w")).cast("double") / lit(1e9)).as("eff_docs"),
+        (sum(col("w") * col("tc")).cast("double") / lit(1e9)).as("eff_tokens"))
+  }
+
+  /** q151: vocabulary coverage curve — cumulative corpus fraction covered
+    * by the top-k tokens, the curve that sizes a tokenizer's vocab (and
+    * flags boilerplate when it saturates too fast). The token-keyed
+    * aggregate map-side-combines to vocab-sized partials; the global sort
+    * is a TopK (orderBy+limit plans as TakeOrderedAndProject — no full
+    * sort), and the running sum windows over only those k rows. Both the
+    * top-k and the grand total consume the SAME groupBy shuffle
+    * (ReuseExchange — the explode runs once). */
+  def vocabCoverage(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum", sum(col("cnt")).over(ord))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .select(col("rank"), col("token"), col("cnt"),
+        (col("cum").cast("double") / col("total")).as("cum_frac"))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO

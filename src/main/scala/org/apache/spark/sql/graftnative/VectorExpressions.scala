@@ -345,6 +345,82 @@ case class PqAdcScore(child: Expression, lut: IndexedSeq[Double], k: Int)
     copy(child = newChild)
 }
 
+/** Flattened fixed-point outer product `floor(x_i·x_j·scale)` of a vector
+  * with itself — the per-row contribution to a corpus-wide second-moment
+  * (gram / covariance) matrix, row-major (`d·d` longs for a `d`-vector).
+  *
+  * Why fixed point: the downstream cross-moment sums must be
+  * order-independent (Spark partial-aggregates in partition order, DuckDB
+  * sums in file order), so the per-row contribution is floored to an
+  * integer once — one IEEE multiply + floor, bit-identical across engines —
+  * and everything after is exact integer arithmetic (same device as the
+  * per-dimension moments in q85). Why a native expression: the HOF phrasing
+  * (`flatten(transform(transform(...)))`) allocates two nested object
+  * arrays per row and runs interpreted; this emits one tight codegen'd
+  * double loop into a primitive long array.
+  *
+  * Null array / null element → null. */
+case class OuterProductFixed(child: Expression, scale: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_outer_product_fixed"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    var z = 0
+    while (z < d) { if (v.isNullAt(z)) return null; z += 1 }
+    val out = new Array[Long](d * d)
+    var i = 0
+    while (i < d) {
+      val xi = v.getDouble(i)
+      var j = 0
+      while (j < d) {
+        out(i * d + j) = math.floor(xi * v.getDouble(j) * scale).toLong
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val d = ctx.freshName("d")
+      val z = ctx.freshName("z")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xi = ctx.freshName("xi")
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $d = $v.numElements();
+         |boolean $bad = false;
+         |for (int $z = 0; $z < $d; $z++) {
+         |  if ($v.isNullAt($z)) { $bad = true; break; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$d * $d];
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    double $xi = $v.getDouble($i);
+         |    for (int $j = 0; $j < $d; $j++) {
+         |      $out[$i * $d + $j] = (long) Math.floor($xi * $v.getDouble($j) * $scale);
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OuterProductFixed =
+    copy(child = newChild)
+}
+
 /** Column↔Expression bridge for graft's native expressions. */
 object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
@@ -361,4 +437,7 @@ object VectorExpressions {
 
   def pqAdcScore(codes: Column, lut: IndexedSeq[Double], k: Int): Column =
     ExpressionUtils.column(PqAdcScore(ExpressionUtils.expression(codes), lut, k))
+
+  def outerProductFixed(v: Column, scale: Double): Column =
+    ExpressionUtils.column(OuterProductFixed(ExpressionUtils.expression(v), scale))
 }

@@ -82,4 +82,53 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(plan.exists(_.getClass.getSimpleName == "WholeStageCodegenExec"),
       s"no codegen stage in:\n$plan")
   }
+
+  test("outerProductFixed equals the interpreted HOF phrasing bit-for-bit") {
+    import org.apache.spark.sql.graftnative.VectorExpressions.outerProductFixed
+    val vecs = Seq(
+      Seq(1.0, -2.5, 0.0),
+      Seq(0.123456789, -0.987654321),
+      Seq(3.7)).toDF("v")
+    val hof = flatten(transform(col("v"), x =>
+      transform(col("v"), y => floor(x * y * lit(1e12)).cast("long"))))
+    val rows = vecs.select(
+      outerProductFixed(col("v"), 1e12).as("fast"), hof.as("slow")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // spot-check layout: row-major, d*d entries
+    assert(rows(0).getSeq[Long](0).length === 9)
+    assert(rows(0).getSeq[Long](0)(1) ===
+      math.floor(1.0 * -2.5 * 1e12).toLong) // (i=0, j=1)
+    assert(rows(0).getSeq[Long](0)(3) ===
+      math.floor(-2.5 * 1.0 * 1e12).toLong) // (i=1, j=0)
+  }
+
+  test("outerProductFixed: null array and null element yield null") {
+    import org.apache.spark.sql.graftnative.VectorExpressions.outerProductFixed
+    val df = Seq(
+      Option.empty[Seq[Option[Double]]],
+      Some(Seq(Some(1.0), None)),
+      Some(Seq(Some(2.0)))).toDF("v")
+    val r = df.select(outerProductFixed(col("v").cast("array<double>"), 1e12))
+      .collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).isNullAt(0))
+    assert(r(2).getSeq[Long](0) === Seq(math.floor(4.0 * 1e12).toLong))
+  }
+
+  test("outerProductFixed participates in whole-stage codegen and matches eval") {
+    import org.apache.spark.sql.graftnative.VectorExpressions.outerProductFixed
+    // range-backed plan enters codegen; compare against the interpreted
+    // nullSafeEval path via a LocalTableScan of the same values
+    val gen = spark.range(4)
+      .select(outerProductFixed(
+        array(col("id").cast("double") / 7.0, lit(-0.3)), 1e12).as("o"))
+    assert(gen.queryExecution.executedPlan.exists(
+      _.getClass.getSimpleName == "WholeStageCodegenExec"))
+    val interp = (0 until 4).map { id =>
+      val v = Array(id.toDouble / 7.0, -0.3)
+      (for (i <- 0 until 2; j <- 0 until 2)
+        yield math.floor(v(i) * v(j) * 1e12).toLong).toSeq
+    }
+    assert(gen.collect().map(_.getSeq[Long](0)).toSeq === interp)
+  }
 }
