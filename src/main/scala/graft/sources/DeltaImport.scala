@@ -818,16 +818,6 @@ object DeltaImport {
       mkParquet: (Seq[String], StructType) => DataFrame): Seq[DataFrame] = {
     val cdfSchema = cdfSchemaOf(head)
 
-    def stamped(df: DataFrame, changeType: Option[String], a: VersionChanges): DataFrame =
-      df.select(cdfSchema.fields.map { f =>
-        if (f.name == "_change_type")
-          changeType.map(lit(_)).getOrElse(col("_change_type")).as(f.name)
-        else if (f.name == "_commit_version") lit(a.version).as(f.name)
-        else if (f.name == "_commit_timestamp")
-          lit(new java.sql.Timestamp(a.timestampMs)).as(f.name)
-        else col(s"`${f.name}`")
-      }.toIndexedSeq: _*)
-
     // One scan per CATEGORY across ALL versions (cdc files / derived
     // inserts / derived deletes), with `_commit_version`/`_commit_timestamp`
     // recovered per file through [[partitionedScan]]'s broadcast stamp map
@@ -859,29 +849,54 @@ object DeltaImport {
       }.toIndexedSeq: _*))
     }
 
-    // One file's rows at an explicit POSITION set (a DV diff: keep = the
-    // listed positions) or its complement (a DV'd file's LIVE rows:
-    // keep = everything else) — the same membership-filter read shape as
-    // the snapshot's DV subtraction, with the map keyed by a constant
-    // (single file per frame).
-    def positionsFrame(f: AddFile, positions: Array[Long],
-        keep: Boolean = true): DataFrame = {
-      val PosC = "__graft_delta_cdf_pos"
+    // Row-level DV changes (DV diffs and DV'd files' live rows) batched
+    // into ONE scan across ALL versions — a month of delta-spark DELETEs
+    // produces hundreds of DV'd files in the range, and a frame per file
+    // is the same plan-growth disease the partitioned-import fix cured.
+    // Each (file, version, change-type) contributes one broadcast map
+    // entry carrying its stamps plus a synthetic entry id; the path join
+    // duplicates a file's rows once per entry (a file CAN legitimately
+    // appear twice in one commit — dels→delete and restores→insert), and
+    // a membership filter keyed by that entry id selects each duplicate's
+    // own position set (keep = the listed positions for diffs, keep = the
+    // complement for live-row reads).
+    final case class DvEntry(f: AddFile, a: VersionChanges,
+      changeType: String, positions: Array[Long], keep: Boolean)
+    val IdC = "__graft_delta_cdf_id"
+    val CtC = "__graft_delta_cdf_ct"
+    val KeepC = "__graft_delta_cdf_keep"
+    val PosC = "__graft_delta_cdf_pos"
+    def dvBatch(entries: Seq[DvEntry]): Option[DataFrame] = {
+      if (entries.isEmpty) return None
       val dataSchema = StructType(head.schema.filterNot(x =>
         head.partitionColumns.contains(x.name)))
-      val base = readLogical(dataSchema,
-        phys => mkParquet(Seq(resolveFile(head.tablePath, f.path).toString), phys),
-        Seq(PosC -> ((d: DataFrame) => d.col("_metadata.row_index"))))
+      val indexed = entries.zipWithIndex
+      val posMap: Map[String, Array[Long]] = indexed.map { case (e, i) =>
+        i.toString -> e.positions.sorted }.toMap
+      val scan = partitionedScan(spark, head.tablePath, head.schema,
+        head.partitionColumns,
+        indexed.map { case (e, i) => e.f -> Seq[Any](e.a.version,
+          new java.sql.Timestamp(e.a.timestampMs), i.toLong, e.changeType,
+          e.keep) },
+        dataSchema, mkParquet,
+        Seq(PosC -> ((d: DataFrame) => d.col("_metadata.row_index"))),
+        stamps = Seq(
+          StructField(VerC, org.apache.spark.sql.types.LongType),
+          StructField(TsC, org.apache.spark.sql.types.TimestampType),
+          StructField(IdC, org.apache.spark.sql.types.LongType),
+          StructField(CtC, StringType),
+          StructField(KeepC, org.apache.spark.sql.types.BooleanType)))
       val hit = org.apache.spark.sql.functions.coalesce(
         org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
-          lit("f"), col(PosC), Map("f" -> positions.sorted)), lit(false))
-      val withParts = head.partitionColumns.foldLeft(
-        base.filter(if (keep) hit else !hit).drop(PosC)) { (d, pc) =>
-        val raw = partitionValueOf(f.partitionValues, head.schema, pc)
-          .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
-        d.withColumn(pc, lit(raw.orNull).cast(head.schema(pc).dataType))
-      }
-      withParts
+          col(IdC).cast(StringType), col(PosC), posMap), lit(false))
+      val kept = scan.filter(
+        org.apache.spark.sql.functions.when(col(KeepC), hit).otherwise(!hit))
+      Some(kept.select(cdfSchema.fields.map { fld =>
+        if (fld.name == "_change_type") col(CtC).as(fld.name)
+        else if (fld.name == "_commit_version") col(VerC).as(fld.name)
+        else if (fld.name == "_commit_timestamp") col(TsC).as(fld.name)
+        else col(s"`${fld.name}`")
+      }.toIndexedSeq: _*))
     }
 
     lazy val hConf = spark.sessionState.newHadoopConf()
@@ -893,7 +908,7 @@ object DeltaImport {
     val cdcEntries = Seq.newBuilder[(AddFile, VersionChanges)]
     val insEntries = Seq.newBuilder[(AddFile, VersionChanges)]
     val delEntries = Seq.newBuilder[(AddFile, VersionChanges)]
-    val perFile = Seq.newBuilder[DataFrame]
+    val dvEntries = Seq.newBuilder[DvEntry]
     versions.foreach { a =>
       if (a.cdc.nonEmpty) a.cdc.foreach(f => cdcEntries += ((f, a)))
       else {
@@ -910,9 +925,9 @@ object DeltaImport {
           val dels = (newPs -- oldPs).toArray
           val restores = (oldPs -- newPs).toArray
           if (dels.nonEmpty)
-            perFile += stamped(positionsFrame(f, dels), Some("delete"), a)
+            dvEntries += DvEntry(f, a, "delete", dels, keep = true)
           if (restores.nonEmpty)
-            perFile += stamped(positionsFrame(f, restores), Some("insert"), a)
+            dvEntries += DvEntry(f, a, "insert", restores, keep = true)
         }
         // A whole-file add/remove CARRYING a DV with no same-commit
         // counterpart (delta-spark's common shape: a DELETE fully drains
@@ -924,8 +939,7 @@ object DeltaImport {
             changeType: String): Unit = fls.foreach { f =>
           val ps = dvPositions(f)
           if (ps.isEmpty) into += ((f, a))
-          else perFile += stamped(positionsFrame(f, ps, keep = false),
-            Some(changeType), a)
+          else dvEntries += DvEntry(f, a, changeType, ps, keep = false)
         }
         route(realAdds, insEntries, "insert")
         route(realRemoves, delEntries, "delete")
@@ -934,7 +948,7 @@ object DeltaImport {
     batch(cdcEntries.result(), None).toSeq ++
       batch(insEntries.result(), Some("insert")) ++
       batch(delEntries.result(), Some("delete")) ++
-      perFile.result()
+      dvBatch(dvEntries.result())
   }
 
 

@@ -316,6 +316,50 @@ class DeltaImportSpec extends SparkSpec {
     assert(rows.filter(_._1 == "insert").map(_._2).toSet === (1L to 30L).toSet)
   }
 
+  test("CDF over 120 DV'd files is one batched scan, not a frame per file") {
+    val table = tmpDir("delta-dv-many")
+    // a month of delta-spark CDF-less DELETEs on a mirrored table: every
+    // version removes+re-adds ONE file with a grown DV. The feed over the
+    // whole range must plan a bounded number of scans (the batched
+    // insert/delete/dv category scans), never a positionsFrame per file.
+    val stage = tmpDir("delta-dv-many-stage")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val src = Files.list(Paths.get(stage)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+    val n = 120
+    val conf = spark.sessionState.newHadoopConf()
+    (1 to n).foreach(i => Files.copy(Paths.get(src), Paths.get(table, s"f$i.parquet")))
+    // one real DV blob holding all 120 position sets (offset-addressed)
+    val dvs = DeltaDeletionVectors.writeFile(
+      (1 to n).map(i => s"f$i.parquet" -> Seq(1L)), table, "gmany", conf)
+    def dvJson(d: DeltaDeletionVectors.Descriptor): String =
+      s"""{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}",""" +
+        s""""offset":${d.offset.get},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    commit(table, 0L, Seq(
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine(idS)) ++ (1 to n).map(i =>
+      s"""{"add":{"path":"f$i.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
+    (1 to n).foreach { i =>
+      commit(table, i.toLong, Seq(
+        s"""{"commitInfo":{"timestamp":${1000 + i},"operation":"DELETE"}}""",
+        s"""{"remove":{"path":"f$i.parquet","deletionTimestamp":${1000 + i},"dataChange":true}}""",
+        s"""{"add":{"path":"f$i.parquet","partitionValues":{},"size":1,"dataChange":true,"deletionVector":${dvJson(dvs(s"f$i.parquet"))}}}"""))
+    }
+
+    val cdf = DeltaImport.readChanges(spark, table, 1L, n.toLong)
+    val scans = "FileScan parquet|Scan parquet".r
+      .findAllIn(cdf.queryExecution.executedPlan.toString).size
+    assert(scans <= 3,
+      s"expected the batched DV-delta scan (≤3 scan nodes), got $scans")
+    // each version reports exactly its own diff: position 1 = id 2
+    val rows = cdf.select(col("id"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, Long)].collect()
+    assert(rows.length === n)
+    assert(rows.toSet === (1 to n).map(i => (2L, "delete", i.toLong)).toSet)
+  }
+
   test("CDF: whole-file add/remove carrying a DV serves only LIVE rows") {
     val table = tmpDir("delta-dv-drain")
     dataFile(table, "a.parquet",
