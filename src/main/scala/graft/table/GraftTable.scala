@@ -111,9 +111,67 @@ final class GraftTable private (
   private[graft] def readMorPrefix(v: Long, n: Int): DataFrame =
     readCommitInternal(commitFor(v), withPos = false, upToDirs = n)
 
+  // ------------------------------------------------------- column mapping
+  // Every byte on disk carries PHYSICAL column names; everything above the
+  // read/write boundary speaks LOGICAL names. The two meet in exactly four
+  // shims: physSchemaOf (declared read schema), toLogicalDf (after a scan),
+  // toPhysicalDf (before a write), and the stats-key remap in metaFor.
+  // With no metadata-only rename ever issued, the map is empty and all
+  // four are identity — zero cost on the common path.
+
+  /** Logical→physical names of a property map (empty = identity). */
+  private def colMapOf(props: Map[String, String]): Map[String, String] =
+    props.iterator.collect {
+      case (k, v) if k.startsWith(GraftTable.ColMapPrefix) =>
+        k.stripPrefix(GraftTable.ColMapPrefix) -> v
+    }.toMap
+
+  /** Head-commit mapping — what [[writeData]]/[[writeChanges]] write with. */
+  private def colMapAtHead: Map[String, String] =
+    colMapOf(log.latest().map(_.properties).getOrElse(Map.empty))
+
+  /** `schema` with fields renamed to their physical names. */
+  private def physSchemaOf(schema: StructType,
+      cmap: Map[String, String]): StructType =
+    if (cmap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+
+  /** Rename a scanned frame's physical columns back to logical names. */
+  private def toLogicalDf(df: DataFrame, cmap: Map[String, String]): DataFrame =
+    cmap.foldLeft(df) { case (d, (lg, ph)) =>
+      if (lg == ph) d else d.withColumnRenamed(ph, lg) }
+
+  /** Rename a logical frame's columns to physical names for writing. A
+    * rename whose physical target ALSO exists as a distinct column (only
+    * reachable by overwriting with a schema that resurrects an old name)
+    * fails loudly rather than writing ambiguous files. */
+  private def toPhysicalDf(df: DataFrame, cmap: Map[String, String]): DataFrame = {
+    if (cmap.isEmpty) return df
+    val cols = df.columns.toSet
+    val live = cmap.filter { case (lg, ph) => lg != ph && cols.contains(lg) }
+    val clash = live.values.toSet.intersect(cols -- live.keys)
+    require(clash.isEmpty,
+      s"write to $root: column(s) ${clash.mkString(", ")} collide with the " +
+        "physical name of a renamed column — pick different names")
+    live.foldLeft(df) { case (d, (lg, ph)) => d.withColumnRenamed(lg, ph) }
+  }
+
+  /** Physical names currently claimed by live columns (the collision set
+    * for new logical names) plus those retired by metadata-only DROPs. */
+  private def claimedPhysNames(schema: StructType,
+      props: Map[String, String]): Set[String] = {
+    val cmap = colMapOf(props)
+    schema.fieldNames.map(n => cmap.getOrElse(n, n)).toSet ++
+      props.keys.filter(_.startsWith(DroppedColPrefix))
+        .map(_.stripPrefix(DroppedColPrefix))
+  }
+
   private def readCommitInternal(c: Commit, withPos: Boolean,
       upToDirs: Int = Int.MaxValue): DataFrame = {
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val cmap = colMapOf(c.properties)
+    val physSchema = physSchemaOf(schema, cmap)
     val dirs = c.dataDirs.take(upToDirs).map(d => new Path(root, d))
     val missing = dirs.filterNot(fs.exists)
     if (missing.nonEmpty)
@@ -143,13 +201,15 @@ final class GraftTable private (
           // footer sampling job, stable column order, and dirs written before
           // an additive schema change read back with nulls for new columns.
           def one(reader: org.apache.spark.sql.DataFrameReader, path: Seq[String]): DataFrame = {
-            val df = reader.schema(schema).parquet(path: _*)
+            val df0 = reader.schema(physSchema).parquet(path: _*)
             // _metadata is per-scan: derive the lineage columns before any
             // union so they ride the row through the rest of the plan.
-            if (needPos)
-              df.withColumn(DvFileCol, col("_metadata.file_path"))
-                .withColumn(DvPosCol, col("_metadata.row_index"))
-            else df
+            val df = toLogicalDf(
+              if (needPos)
+                df0.withColumn(DvFileCol, col("_metadata.file_path"))
+                  .withColumn(DvPosCol, col("_metadata.row_index"))
+              else df0, cmap)
+            df
           }
           if (c.partitionCols.isEmpty) one(spark.read, ds.map(_.toString))
           else
@@ -193,7 +253,9 @@ final class GraftTable private (
       // segments, each anti-joined against exactly the tombstones that
       // cover it; rewrites clear all of this.
       def antiJoin(base: DataFrame, tombs: Seq[String]): DataFrame = {
-        val ts = spark.read.schema(schema)
+        // Tombstone files carry physical names too (written through the
+        // same boundary); the positional toDF restores logical ts-names.
+        val ts = spark.read.schema(physSchema)
           .parquet(tombs.map(d => new Path(root, d).toString): _*)
           .toDF(schema.fieldNames.map("__ts_" + _): _*)
         val cond = schema.fieldNames
@@ -436,13 +498,22 @@ final class GraftTable private (
     // every dir's schema, so a CDF read plans with zero extra jobs and a
     // stable column order; dirs written before an additive change read
     // back with nulls for the newer columns, exactly as mergeSchema did.
+    // The merge runs in PHYSICAL name space (what the files carry): a
+    // metadata-only rename then collapses to ONE merged field — old and
+    // new logical names share their physical name — and the single rename
+    // back to the range head's logical names happens at the output
+    // boundary (Delta CDF's serve-latest-schema contract).
     val merged = (withDirs.map(_._1) ++ appends.map(_._1))
-      .map(c => DataType.fromJson(c.schemaJson).asInstanceOf[StructType])
+      .map(c => physSchemaOf(
+        DataType.fromJson(c.schemaJson).asInstanceOf[StructType],
+        colMapOf(c.properties)))
       .reduce((a, b) =>
         StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))))
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_commit_version", org.apache.spark.sql.types.LongType)
       .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
+    val rangeHeadMap = colMapOf(log.commits().takeWhile(_.version <= toVersion)
+      .lastOption.map(_.properties).getOrElse(Map.empty))
     val written =
       if (withDirs.isEmpty) None
       else Some(spark.read.schema(merged).parquet(withDirs.map(_._2.toString): _*))
@@ -455,7 +526,11 @@ final class GraftTable private (
     // additive columns). Still zero extra jobs at planning time.
     val synthesized = appends.groupBy(_._1.schemaJson).toSeq
       .sortBy(_._2.head._1.version).flatMap { case (sj, cs) =>
-      val cSchema = DataType.fromJson(sj).asInstanceOf[StructType]
+      // Physical projection of the group's schema (identical for every
+      // commit sharing a schemaJson: physical names are birth-stable).
+      val cSchema = physSchemaOf(
+        DataType.fromJson(sj).asInstanceOf[StructType],
+        colMapOf(cs.head._1.properties))
       def aligned(df: DataFrame, ver: org.apache.spark.sql.Column,
           ts: org.apache.spark.sql.Column): DataFrame =
         df.select(merged.fields.map { f =>
@@ -495,7 +570,8 @@ final class GraftTable private (
         Seq(aligned(joined, ver, col("__graft_cdf_ts")))
       }
     }
-    (written.toSeq ++ synthesized).reduce(_ unionByName _)
+    toLogicalDf((written.toSeq ++ synthesized).reduce(_ unionByName _),
+      rangeHeadMap)
   }
 
   // ----------------------------------------------------- streaming reads
@@ -577,10 +653,11 @@ final class GraftTable private (
   def streamAppends(maxFilesPerTrigger: Int = 1000): DataFrame = {
     val head = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
     val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
-    spark.readStream
-      .schema(schema)
+    val cmap = colMapOf(head.properties)
+    toLogicalDf(spark.readStream
+      .schema(physSchemaOf(schema, cmap))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(new Path(root, "data/*").toString)
+      .parquet(new Path(root, "data/*").toString), cmap)
   }
 
   /** Streaming Change Data Feed (Delta's `readChangeFeed` streaming form):
@@ -590,14 +667,16 @@ final class GraftTable private (
     * maintainer consumes ([[graft.pipeline.MaterializedViews]]). */
   def streamChanges(maxFilesPerTrigger: Int = 1000): DataFrame = {
     val head = log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root"))
-    val schema = DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    val cmap = colMapOf(head.properties)
+    val schema = physSchemaOf(
+      DataType.fromJson(head.schemaJson).asInstanceOf[StructType], cmap)
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_commit_version", org.apache.spark.sql.types.LongType)
       .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
-    spark.readStream
+    toLogicalDf(spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(new Path(root, "_changes/*").toString)
+      .parquet(new Path(root, "_changes/*").toString), cmap)
   }
 
   // --------------------------------------------------------------- writes
@@ -1238,11 +1317,12 @@ final class GraftTable private (
     // A name a metadata-only DROP retired can never come back: reads
     // project files BY NAME, so re-adding would resurrect the old bytes
     // still sitting in pre-drop files (or crash the scan on a type
-    // change). Delta solves this with column-mapping physical ids; this
-    // engine's contract is the tombstoned name. Pick a fresh name.
-    require(!prev.properties.contains(DroppedColPrefix + name),
-      s"column $name of $root was dropped; its physical name is retired " +
-        "(old files still carry it) — use a new name")
+    // change). The same holds for a name a metadata-only RENAME left
+    // behind as some live column's PHYSICAL name — a new column born
+    // under it would collide with that column's bytes in every file.
+    require(!claimedPhysNames(schema, prev.properties).contains(name),
+      s"column name $name of $root is retired or in use as a physical " +
+        "(on-disk) column name — old files still carry it; use a new name")
     prev.copy(
       version = prev.version + 1, tsMs = System.currentTimeMillis(),
       operation = "ADD COLUMN",
@@ -1282,7 +1362,12 @@ final class GraftTable private (
       metrics = Map.empty, changesDir = None,
       txnAppId = None, txnBatchId = None,
       schemaJson = StructType(schema.fields.filterNot(_.name == name)).json,
-      properties = prev.properties + (DroppedColPrefix + name -> "1"))
+      // The retired name is the PHYSICAL one (what old files still carry)
+      // — that is the name whose resurrection would leak old bytes.
+      properties = prev.properties -
+        (GraftTable.ColMapPrefix + name) +
+        (DroppedColPrefix +
+          colMapOf(prev.properties).getOrElse(name, name) -> "1"))
     }
   }
 
@@ -1327,7 +1412,8 @@ final class GraftTable private (
   private def isEngineProperty(k: String): Boolean =
     k.startsWith(ConstraintPrefix) || k.startsWith(TombstoneCoverPrefix) ||
       k.startsWith(DroppedColPrefix) || k.startsWith(GeneratedColPrefix) ||
-      k.startsWith(IdentitySpecPrefix) || k.startsWith(IdentityHwmPrefix)
+      k.startsWith(IdentitySpecPrefix) || k.startsWith(IdentityHwmPrefix) ||
+      k.startsWith(GraftTable.ColMapPrefix)
 
   /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
   def dropConstraint(name: String): Commit = this.synchronized {
@@ -1371,10 +1457,17 @@ final class GraftTable private (
   private def statsFor(dir: String): Map[String, (Double, Double)] =
     metaFor(dir).stats
 
-  private def metaFor(dir: String): DirMeta =
-    try metaFromFooters(dir)
-    catch { case scala.util.control.NonFatal(_) =>
-      DirMeta(statsFromScan(dir), Map.empty) }
+  private def metaFor(dir: String): DirMeta = {
+    val m = try metaFromFooters(dir)
+      catch { case scala.util.control.NonFatal(_) =>
+        DirMeta(statsFromScan(dir), Map.empty) }
+    // Footers speak physical names; skipping metadata is keyed logical.
+    val rev = colMapAtHead.collect { case (lg, ph) if lg != ph => ph -> lg }
+    if (rev.isEmpty) m
+    else DirMeta(
+      m.stats.map { case (k, v) => rev.getOrElse(k, k) -> v },
+      m.nulls.map { case (k, v) => rev.getOrElse(k, k) -> v })
+  }
 
   private def metaFromFooters(dir: String): DirMeta = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -1498,7 +1591,10 @@ final class GraftTable private (
       partCols: Seq[String] = partitionColsOfHead,
       rebalance: Boolean = true): String = {
     val dir = dataDirName(v)
-    val out = if (rebalance) optimizeWriteOf(df, partCols) else df
+    // On-disk bytes carry PHYSICAL names (partition columns are never
+    // renamed, so partitionBy below always sees its column).
+    val phys = toPhysicalDf(df, colMapAtHead)
+    val out = if (rebalance) optimizeWriteOf(phys, partCols) else phys
     val w = out.write.mode("errorifexists")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .parquet(new Path(root, dir).toString)
@@ -1537,7 +1633,10 @@ final class GraftTable private (
     * counts). */
   private def writeChanges(df: DataFrame, v: Long, tsMs: Long): (String, Map[String, Long]) = {
     val dir = changesDirName(v)
-    df.withColumn("_commit_version", lit(v))
+    // Table columns land under their physical names (same boundary rule as
+    // writeData); the CDF artifact columns (_change_type + stamps) are
+    // never mapped.
+    toPhysicalDf(df, colMapAtHead).withColumn("_commit_version", lit(v))
       .withColumn("_commit_timestamp", timestamp_millis(lit(tsMs)))
       .write.mode("errorifexists").parquet(new Path(root, dir).toString)
     // Metrics come from the written CDF (footer counts + one tiny agg) so the
@@ -1868,6 +1967,21 @@ final class GraftTable private (
       val prepared = fillIdentity(gdf, idSpecs, idHwm)
       var mergedSchema = mergeSchemas(prev, prepared.schema)
       enforceCompatibleTypes(prepared.schema, mergedSchema, "append")
+      // Schema evolution must not give birth to a column under a name that
+      // old files already carry (a DROP-retired name, or a live column's
+      // physical name after a metadata-only RENAME) — the bytes would
+      // resurrect. Rebases need no re-check: the claimed set only changes
+      // via rename/drop commits, which abort the append rebase anyway.
+      prev.foreach { pc =>
+        val ps = DataType.fromJson(pc.schemaJson).asInstanceOf[StructType]
+        val banned = mergedSchema.fieldNames
+          .filterNot(ps.fieldNames.contains)
+          .filter(claimedPhysNames(ps, pc.properties).contains)
+        require(banned.isEmpty,
+          s"append to $root: evolved column(s) ${banned.mkString(", ")} " +
+            "collide with retired or physical column names old files " +
+            "still carry — use different names")
+      }
       var aligned = alignTo(prepared, mergedSchema)
       def constraintsOf(p: Option[Commit]): Map[String, String] =
         p.map(_.properties).getOrElse(Map.empty)
@@ -2501,7 +2615,8 @@ final class GraftTable private (
       val cur = readCommit(snapshot) // earlier tombstones applied: no double-count
       val hit = coalesce(cond, lit(false))
       val dir = f"tombstones/v${snapshot.version + 1}%05d-${uniqueSuffix()}"
-      cur.filter(hit).write.mode("errorifexists")
+      toPhysicalDf(cur.filter(hit), colMapOf(snapshot.properties))
+        .write.mode("errorifexists")
         .parquet(new Path(root, dir).toString)
       val deleteRows = cur.filter(hit).withColumn("_change_type", lit("delete"))
       // CDF rows are stamped with the version they ACTUALLY commit at (the
@@ -2888,10 +3003,13 @@ final class GraftTable private (
 
   /** One dir of a commit as a plain DataFrame (for index builds). */
   private def readDirPlain(c: Commit, d: String): DataFrame = {
-    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    val cmap = colMapOf(c.properties)
+    val schema = physSchemaOf(
+      DataType.fromJson(c.schemaJson).asInstanceOf[StructType], cmap)
     val p = new Path(root, d).toString
-    if (c.partitionCols.isEmpty) spark.read.schema(schema).parquet(p)
-    else spark.read.option("basePath", p).schema(schema).parquet(p)
+    toLogicalDf(
+      if (c.partitionCols.isEmpty) spark.read.schema(schema).parquet(p)
+      else spark.read.option("basePath", p).schema(schema).parquet(p), cmap)
   }
 
   /** Current head commit (test seam for rebase scenarios). */
@@ -2933,7 +3051,9 @@ final class GraftTable private (
   private def appendedMatches(snapshot: Commit, head: Commit, hit: Column): Boolean = {
     val appended = head.dataDirs.drop(snapshot.dataDirs.length)
     appended.nonEmpty && {
-      val schema = DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType]
+      val cmap = colMapOf(snapshot.properties)
+      val schema = physSchemaOf(
+        DataType.fromJson(snapshot.schemaJson).asInstanceOf[StructType], cmap)
       val df =
         if (head.partitionCols.isEmpty)
           spark.read.schema(schema)
@@ -2942,7 +3062,7 @@ final class GraftTable private (
           val p = new Path(root, d).toString
           spark.read.option("basePath", p).schema(schema).parquet(p)
         }.reduce(_ unionByName _)
-      !df.filter(hit).isEmpty
+      !toLogicalDf(df, cmap).filter(hit).isEmpty
     }
   }
 
@@ -2978,7 +3098,8 @@ final class GraftTable private (
       }: _*)
       enforceConstraints(post, Some(snapshot), "UPDATE")
       val tsDir = f"tombstones/v${snapshot.version + 1}%05d-${uniqueSuffix()}"
-      pre.write.mode("errorifexists").parquet(new Path(root, tsDir).toString)
+      toPhysicalDf(pre, colMapOf(snapshot.properties))
+        .write.mode("errorifexists").parquet(new Path(root, tsDir).toString)
       val dataDir = writeData(post, snapshot.version + 1, snapshot.partitionCols)
       val muMeta = metaFor(dataDir)
       // CDF stamped with the ACTUAL commit version — written inside the
@@ -3204,6 +3325,65 @@ final class GraftTable private (
         .filterNot(_._1.startsWith(DroppedColPrefix)),
       dirNulls = Map(dir -> meta.nulls))
     commitRewrite(c, Seq(dir))
+  }
+
+  /** RENAME COLUMN — METADATA-ONLY (column mapping): the field keeps its
+    * on-disk (physical) name forever; only the LOGICAL name in the schema
+    * moves, recorded as a [[GraftTable.ColMapPrefix]] property. Reads
+    * project files by physical name and restore logical names at the scan
+    * boundary; writes do the inverse — so on a 100 TB table the rename
+    * costs one log entry where [[renameColumn]]'s honest rewrite costs a
+    * full snapshot pass. The Delta export bridge mirrors it as a
+    * metadata-only commit under `delta.columnMapping.mode=name`
+    * (delta.io PROTOCOL.md "Column Mapping" — the same stable-physical-
+    * name scheme). Same refusals as [[renameColumn]], plus: the new name
+    * must not collide with a name old files still carry (another live
+    * column's physical name, or a DROP-retired one). */
+  def renameColumnMetadataOnly(from: String, to: String): Commit = this.synchronized {
+    commitMetadata { prev =>
+      val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(from), s"no column $from at $root")
+      require(!schema.fieldNames.contains(to), s"column $to already exists at $root")
+      require(!prev.partitionCols.contains(from),
+        s"cannot rename partition column $from of $root (values live in the dir layout)")
+      val word = s"\\b${java.util.regex.Pattern.quote(from)}\\b".r
+      val referencing = prev.properties.collect {
+        case (k, spec) if (k.startsWith(ConstraintPrefix) ||
+          k.startsWith(GeneratedColPrefix)) && word.findFirstIn(spec).isDefined => k
+        case (k, _) if (k.startsWith(GeneratedColPrefix) ||
+          k.startsWith(IdentitySpecPrefix)) &&
+          k.stripPrefix(GeneratedColPrefix).stripPrefix(IdentitySpecPrefix) == from => k
+      }
+      require(referencing.isEmpty,
+        s"cannot rename column $from of $root: referenced by ${referencing.mkString(", ")}")
+      val physOfFrom = colMapOf(prev.properties).getOrElse(from, from)
+      // Renaming BACK to the column's own physical name is always safe
+      // (the mapping entry simply disappears); any other claimed name
+      // would collide with bytes old files still carry.
+      require(to == physOfFrom ||
+        !claimedPhysNames(schema, prev.properties).contains(to),
+        s"cannot rename $from to $to at $root: old files still carry a " +
+          s"column named $to (a physical or retired name)")
+      val renamed = StructType(schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      def rekey[A](m: Map[String, A]): Map[String, A] =
+        m.map { case (k, v) => (if (k == from) to else k) -> v }
+      prev.copy(
+        version = prev.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "RENAME COLUMN",
+        metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        schemaJson = renamed.json,
+        // Skipping metadata is keyed by LOGICAL names — it travels with
+        // the rename so pruning keeps working without re-derivation.
+        dirStats = prev.dirStats.map { case (d, m) => d -> rekey(m) },
+        dirNulls = prev.dirNulls.map { case (d, m) => d -> rekey(m) },
+        properties = {
+          val base = prev.properties - (GraftTable.ColMapPrefix + from)
+          if (to == physOfFrom) base
+          else base + (GraftTable.ColMapPrefix + to -> physOfFrom)
+        })
+    }
   }
 
   /** Selective OPTIMIZE — Delta's `OPTIMIZE … WHERE`: compact (and
@@ -3586,6 +3766,16 @@ object GraftTable {
   private[graft] val ConstraintPrefix = "constraint."
   private[graft] val TombstoneCoverPrefix = "tombstone.cover."
   private[table] val DroppedColPrefix = "graft.droppedCol."
+  /** Logical→physical column-name mapping entries
+    * (`graft.colmap.<logical> = <physical>`) — present only for columns a
+    * metadata-only RENAME has moved away from their on-disk (physical)
+    * name. Physical names are assigned at column birth and never change;
+    * absence of an entry means logical == physical (the common case).
+    * Same stable-physical-name scheme as Delta column mapping
+    * (delta.io PROTOCOL.md "Column Mapping"); the Delta export bridge
+    * translates these entries into `delta.columnMapping.physicalName`
+    * field metadata so a rename mirrors as a metadata-only commit. */
+  private[graft] val ColMapPrefix = "graft.colmap."
   private[graft] val GeneratedColPrefix = "graft.generatedCol."
   private[graft] val IdentitySpecPrefix = "graft.identityCol."
   private[graft] val IdentityHwmPrefix = "graft.identityHwm."

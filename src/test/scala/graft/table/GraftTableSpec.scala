@@ -706,6 +706,60 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readVersion(0).columns.toSeq === Seq("id", "tag", "v"))
   }
 
+  test("renameColumnMetadataOnly: no rewrite, reads/writes/CDF map names, guards hold") {
+    import org.apache.spark.sql.types.StringType
+    val root = tmpDir("gt-renamemo")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "tag", "v"))
+    val dirsBefore = t.headCommit.get.dataDirs
+    t.renameColumnMetadataOnly("tag", "label")
+    // metadata-only: the same data dirs, no rewrite
+    assert(t.headCommit.get.dataDirs === dirsBefore)
+    assert(t.read().columns.toSeq === Seq("id", "label", "v"))
+    assert(t.read().filter(col("id") === 1L).select("label").head().getString(0) === "x")
+    // time travel serves the pre-rename logical schema from the SAME files
+    assert(t.readVersion(0).columns.toSeq === Seq("id", "tag", "v"))
+    // appends after the rename land under the physical name and read back
+    t.append(Seq((3L, "z", 30.0)).toDF("id", "label", "v"))
+    assert(t.read().filter(col("id") === 3L).select("label").head().getString(0) === "z")
+    // ...and the on-disk name really is the physical one
+    val physCols = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(root, t.headCommit.get.dataDirs.last).toString)
+      .schema.fieldNames.toSeq
+    assert(physCols.contains("tag") && !physCols.contains("label"))
+    // predicate mutations + MoR see logical names
+    t.deleteMergeOnRead(col("label") === "y")
+    assert(t.read().select("label").as[String].collect().sorted.toSeq === Seq("x", "z"))
+    // CDF across the rename boundary serves the LATEST logical name
+    val cdf = t.readChanges(0L)
+    assert(cdf.columns.contains("label") && !cdf.columns.contains("tag"))
+    assert(cdf.filter(col("_change_type") === "delete")
+      .select("label").head().getString(0) === "y")
+    // skipping stats traveled with the rename (logical keys)
+    assert(t.headCommit.get.dirStats.values.exists(_.contains("v")))
+    // guards: the physical name is claimed — neither addColumn nor a
+    // second rename may take it
+    intercept[IllegalArgumentException] { t.addColumn("tag", StringType) }
+    intercept[IllegalArgumentException] { t.renameColumnMetadataOnly("v", "tag") }
+    // appends must not EVOLVE a column under the claimed physical name
+    intercept[IllegalArgumentException] {
+      t.append(Seq((4L, "w", 1.0, "boom")).toDF("id", "label", "v", "tag"))
+    }
+    // renaming BACK to the physical name is always legal (mapping clears)
+    t.renameColumnMetadataOnly("label", "tag")
+    assert(t.read().columns.toSeq === Seq("id", "tag", "v"))
+    assert(t.headCommit.get.properties.keys.forall(!_.startsWith("graft.colmap.")))
+    // rename-over-rename: a→b then b→c keeps pointing at the birth name
+    t.renameColumnMetadataOnly("tag", "t2")
+    t.renameColumnMetadataOnly("t2", "t3")
+    assert(t.read().select("t3").as[String].collect().sorted.toSeq === Seq("x", "z"))
+    // full rewrite folds the mapping state through writeData (physical
+    // names persist; logical view unchanged)
+    t.optimize()
+    assert(t.read().columns.toSeq === Seq("id", "t3", "v"))
+    assert(t.read().select("t3").as[String].collect().sorted.toSeq === Seq("x", "z"))
+  }
+
   test("deep clone: independent copy; constraints and identity watermark travel") {
     val root = tmpDir("gt-deep")
     val t = GraftTable.create(spark, root, Seq("a", "b").toDF("tag"),
