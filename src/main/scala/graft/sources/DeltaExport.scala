@@ -157,6 +157,26 @@ object DeltaExport {
     val resumeCdfCapable = resumeSnap.flatMap(_.protocol).exists(p =>
       if (p.minWriterVersion >= 7) p.writerFeatures.contains("changeDataFeed")
       else p.minWriterVersion >= 4)
+    // Column mapping (`delta.columnMapping.mode=name`): activated by the
+    // first graft metadata-only rename and STICKY thereafter (Delta has no
+    // un-map path) — once the published metaData carries physical names,
+    // every later metaData must too. Field ids are assigned once per
+    // physical name, monotonically, and recovered on resume from the
+    // published schema's own metadata (delta-spark's upgrade behavior).
+    var mappingOn = resumeSnap.exists(
+      _.configuration.get("delta.columnMapping.mode").contains("name"))
+    var mappingAdvertised = resumeSnap.flatMap(_.protocol).exists(p =>
+      p.readerFeatures.contains("columnMapping") ||
+        (p.minReaderVersion >= 2 && mappingOn))
+    var colIds: Map[String, Int] = resumeSnap.map(_.schema.fields.toSeq.flatMap {
+      f =>
+        if (f.metadata.contains("delta.columnMapping.id") &&
+            f.metadata.contains("delta.columnMapping.physicalName"))
+          Some(f.metadata.getString("delta.columnMapping.physicalName") ->
+            f.metadata.getLong("delta.columnMapping.id").toInt)
+        else None
+    }.toMap).getOrElse(Map.empty)
+    var maxColId: Int = (0 +: colIds.values.toSeq).max
     var prevDvDirs: Seq[String] =
       commits.find(_.version == published).map(_.dvDirs).getOrElse(Nil)
     var prevMeta: Option[(String, Seq[String], Map[String, String])] =
@@ -208,7 +228,15 @@ object DeltaExport {
       val dest = new Path(root, rel)
       if (!fs.exists(dest)) {
         val stage = new Path(root, s".mat-stage-${java.util.UUID.randomUUID()}")
-        val w = table.readMorPrefix(c.version, covered).write.mode("overwrite")
+        // Materialized files carry PHYSICAL names like every other data
+        // file (readMorPrefix returns logical; the rename is mapping-
+        // invariant — physical names are birth-stable — so the
+        // content-keyed dir stays deterministic across renames).
+        val mat = colMapOfProps(c.properties)
+          .filter { case (lg, ph) => lg != ph }
+          .foldLeft(table.readMorPrefix(c.version, covered)) {
+            case (d, (lg, ph)) => d.withColumnRenamed(lg, ph) }
+        val w = mat.write.mode("overwrite")
         (if (c.partitionCols.nonEmpty) w.partitionBy(c.partitionCols: _*) else w)
           .parquet(stage.toString)
         if (!fs.rename(stage, dest)) {
@@ -270,23 +298,48 @@ object DeltaExport {
       val metaChanged = cdfUpgrade ||
         !prevMeta.contains((c.schemaJson, c.partitionCols, c.properties))
       val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+      val cmap = colMapOfProps(c.properties)
+      if (cmap.nonEmpty) mappingOn = true
+      // What the parquet files actually carry: with mapping on, stats and
+      // footer matching run against PHYSICAL names (the Delta contract for
+      // column-mapped tables — stats keys are physical).
+      val physSchema =
+        if (cmap.isEmpty) schema
+        else StructType(schema.fields.map(f =>
+          f.copy(name = cmap.getOrElse(f.name, f.name))))
       val lines = Seq.newBuilder[String]
       lines += commitInfoJson(c)
-      if (c.version == 0L) lines += protocolJson(schema, c.properties)
-      // First DV descriptor in the log upgrades the protocol in place
-      // (Delta allows a protocol action in any commit): reader 3 / writer 7
-      // with the feature lists the gate on the other side checks.
-      if (curDv.nonEmpty && !dvAdvertised) {
-        lines += dvProtocolJson(schema, c.properties)
-        dvAdvertised = true
-      } else if (cdfUpgrade && !resumeCdfCapable)
-        // pre-CDF log whose protocol can't carry cdc actions: upgrade it
-        // (feature-listed when DVs are already advertised, legacy else)
-        lines += (if (dvAdvertised) dvProtocolJson(schema, c.properties)
+      // Protocol emission, unified: v0 always; the first DV descriptor,
+      // the first mapped metaData, and the resume-time CDF upgrade each
+      // raise the protocol IN PLACE (Delta allows a protocol action in any
+      // commit) — and a feature-listed protocol restates every gated
+      // capability in play, so the lists compose.
+      val wantDv = curDv.nonEmpty || dvAdvertised
+      val needProto = c.version == 0L ||
+        (curDv.nonEmpty && !dvAdvertised) ||
+        (mappingOn && !mappingAdvertised) ||
+        (cdfUpgrade && !resumeCdfCapable)
+      if (needProto) {
+        val gated = (if (wantDv) Seq("deletionVectors") else Nil) ++
+          (if (mappingOn) Seq("columnMapping") else Nil)
+        lines += (if (gated.nonEmpty) gatedProtocolJson(schema, c.properties, gated)
           else protocolJson(schema, c.properties))
+        dvAdvertised = wantDv
+        mappingAdvertised = mappingOn
+      }
       cdfUpgrade = false
-      if (metaChanged)
-        lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs)
+      if (metaChanged) {
+        val mappingMeta =
+          if (!mappingOn) None
+          else {
+            schema.fields.foreach { f =>
+              val ph = cmap.getOrElse(f.name, f.name)
+              if (!colIds.contains(ph)) { maxColId += 1; colIds += ph -> maxColId }
+            }
+            Some((cmap, colIds, maxColId))
+          }
+        lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs, mappingMeta)
+      }
       // Exactly-once stamps export as Delta `txn` actions (SetTransaction):
       // a Delta-side consumer sees the same appId→version watermark graft's
       // own appendOnce checks, and writeCheckpoint carries it forward.
@@ -298,7 +351,7 @@ object DeltaExport {
       }
       val dataChange = c.operation != "OPTIMIZE"
       adds.foreach { p =>
-        lines += addJson(p, cur(p), schema, c.partitionCols, dataChange, conf,
+        lines += addJson(p, cur(p), physSchema, c.partitionCols, dataChange, conf,
           curDv.get(p))
       }
       removes.foreach { p =>
@@ -478,10 +531,28 @@ object DeltaExport {
     def dvRow(f: DeltaImport.AddFile): Row = f.deletionVector.map(d =>
       Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
         d.sizeInBytes, d.cardinality)).orNull
+    val addRows: Seq[Row] = s.files.map(statted).map(f => Row(
+      Row(f.path, f.partitionValues, f.size, f.modificationTime,
+        false, f.stats.orNull, dvRow(f)), null, null, null, null))
+    val partRows = spark.conf
+      .getOption("spark.graft.delta.checkpointPartRows")
+      .map(_.toInt).getOrElse(50000)
+    // V2 checkpoint policy (opt-in via the session conf or the mirrored
+    // table's own `delta.checkpointPolicy=v2`): file actions land in
+    // parquet SIDECARS under `_delta_log/_sidecars/`, the non-file
+    // actions + sidecar pointers in a `<v>.checkpoint.<uuid>.json`
+    // manifest — the layout engines on `delta.checkpointPolicy=v2`
+    // produce and [[DeltaImport]] already reads (manifest + one batched
+    // sidecar scan). No `_last_checkpoint` marker is written: V2
+    // discovery is BY LISTING per the spec, and our own reader implements
+    // exactly that rule.
+    val policy = spark.conf.getOption("spark.graft.delta.checkpointPolicy")
+      .orElse(s.configuration.get("delta.checkpointPolicy"))
+    if (policy.contains("v2"))
+      return writeV2Checkpoint(spark, fs, logDir, s, ckptT, addRows, proto,
+        tombstones, txns, partRows)
     val rows: Seq[Row] =
-      s.files.map(statted).map(f => Row(
-        Row(f.path, f.partitionValues, f.size, f.modificationTime,
-          false, f.stats.orNull, dvRow(f)), null, null, null, null)) ++
+      addRows ++
         Seq(Row(null, Row(s.tableId.getOrElse(java.util.UUID.nameUUIDFromBytes(
           ("graft:" + new Path(tablePath).toUri.getPath)
             .getBytes(StandardCharsets.UTF_8)).toString),
@@ -514,9 +585,6 @@ object DeltaExport {
     // single-task bottleneck and a multi-GB object no reader can range-
     // split. Parts split round-robin — the checkpoint is an unordered
     // action set, any partition of it is valid.
-    val partRows = spark.conf
-      .getOption("spark.graft.delta.checkpointPartRows")
-      .map(_.toInt).getOrElse(50000)
     val existing = fs.globStatus(
       new Path(logDir, f"${s.version}%020d.checkpoint*.parquet"))
     var partsWritten = 0
@@ -567,6 +635,96 @@ object DeltaExport {
     s.version
   }
 
+  /** V2-checkpoint writer ([[writeCheckpoint]]'s `delta.checkpointPolicy
+    * =v2` branch): sidecar parquet files carry the add actions (split at
+    * `checkpointPartRows`, so a million-file snapshot is range-splittable
+    * exactly like classic multi-part), the JSON manifest carries
+    * protocol/metaData/txn/remove plus one `sidecar` pointer per file.
+    * Sidecar names are content-addressed by (table, version, index) so a
+    * re-run republishes identical names write-once; the manifest lands
+    * last via the same atomic rename every log write uses — a reader
+    * either sees a complete checkpoint or none. */
+  private def writeV2Checkpoint(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      s: DeltaImport.Snapshot, ckptT: StructType,
+      addRows: Seq[org.apache.spark.sql.Row],
+      proto: DeltaImport.Protocol, tombstones: Seq[(String, Long)],
+      txns: Map[String, Long], partRows: Int): Long = {
+    import org.apache.spark.sql.Row
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"graft-v2ckpt:${s.tablePath}:${s.version}"
+        .getBytes(StandardCharsets.UTF_8)).toString
+    val manifest = new Path(logDir, f"${s.version}%020d.checkpoint.$uuid.json")
+    if (fs.exists(manifest)) return s.version // already published (idempotent)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    if (!fs.mkdirs(sidecarDir) && !fs.exists(sidecarDir))
+      throw new java.io.IOException(s"cannot create $sidecarDir")
+    // Sidecars: the add rows in the same struct-per-action shape the
+    // classic parts use (the import's foldRows reads both identically —
+    // and reads ALL sidecars in ONE parquet scan).
+    val sidecarNames: Seq[String] =
+      if (addRows.isEmpty) Nil
+      else {
+        val want = math.max(1, math.ceil(addRows.size.toDouble / partRows).toInt)
+        val stage = new Path(logDir, s".ckpt-stage-${java.util.UUID.randomUUID()}")
+        val df = spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(addRows).asJava), ckptT)
+        (if (want == 1) df.coalesce(1) else df.repartition(want))
+          .write.parquet(stage.toString)
+        val staged = fs.listStatus(stage).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        require(staged.nonEmpty, s"no sidecar written under $stage")
+        val named = staged.zipWithIndex.map { case (part, i) =>
+          val name = f"$uuid-$i%05d.parquet"
+          val target = new Path(sidecarDir, name)
+          if (!fs.rename(part, target) && !fs.exists(target))
+            throw new java.io.IOException(s"cannot publish $target")
+          name
+        }
+        fs.delete(stage, true)
+        named.toSeq
+      }
+    def featsOrNone(fs0: Seq[String]): List[JField] =
+      if (fs0.isEmpty) Nil
+      else List("readerFeatures" ->
+        (JArray(proto.readerFeatures.map(JString(_)).toList): JValue),
+        "writerFeatures" ->
+          (JArray(proto.writerFeatures.map(JString(_)).toList): JValue))
+    val lines = Seq.newBuilder[String]
+    lines += JsonMethods.compact(JObject("protocol" -> JObject(List(
+      "minReaderVersion" -> (JInt(proto.minReaderVersion): JValue),
+      "minWriterVersion" -> (JInt(proto.minWriterVersion): JValue)) ++
+      featsOrNone(proto.readerFeatures ++ proto.writerFeatures): _*)))
+    lines += JsonMethods.compact(JObject("metaData" -> JObject(
+      "id" -> JString(s.tableId.getOrElse(java.util.UUID.nameUUIDFromBytes(
+        ("graft:" + new Path(s.tablePath).toUri.getPath)
+          .getBytes(StandardCharsets.UTF_8)).toString)),
+      "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
+      "schemaString" -> JString(s.schema.json),
+      "partitionColumns" -> JArray(s.partitionColumns.map(JString(_)).toList),
+      "configuration" -> JObject(s.configuration.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> (JString(v): JValue) }: _*))))
+    txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
+      lines += JsonMethods.compact(JObject("txn" -> JObject(
+        "appId" -> JString(app), "version" -> JLong(v))))
+    }
+    tombstones.foreach { case (p, ts) =>
+      lines += JsonMethods.compact(JObject("remove" -> JObject(
+        "path" -> JString(p), "deletionTimestamp" -> JLong(ts),
+        "dataChange" -> JBool(false))))
+    }
+    sidecarNames.foreach { name =>
+      val st = fs.getFileStatus(new Path(sidecarDir, name))
+      lines += JsonMethods.compact(JObject("sidecar" -> JObject(
+        "path" -> JString(name),
+        "sizeInBytes" -> JLong(st.getLen),
+        "modificationTime" -> JLong(st.getModificationTime))))
+    }
+    writeAtomic(fs, logDir, manifest, lines.result().mkString("", "\n", "\n"))
+    s.version
+  }
+
   /** Delta metadata cleanup (the log-retention counterpart of
     * `delta.logRetentionDuration`, default 30 days): deletes JSON commit
     * files STRICTLY BELOW the last checkpoint once older than the
@@ -578,8 +736,8 @@ object DeltaExport {
   def cleanupLog(spark: SparkSession, tablePath: String,
       retentionMs: Long = 30L * 24 * 3600 * 1000,
       nowMs: Long = System.currentTimeMillis()): Int = {
-    val ckptV = DeltaImport.lastCheckpoint(spark, tablePath, None)
-      .map(_._1).getOrElse(return 0) // no checkpoint: everything is load-bearing
+    val ckptV = DeltaImport.latestCheckpointVersion(spark, tablePath)
+      .getOrElse(return 0) // no checkpoint: everything is load-bearing
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     val horizon = nowMs - retentionMs
@@ -662,8 +820,8 @@ object DeltaExport {
       every: Int = 10): Option[Long] = {
     val latest = DeltaImport.latestVersion(spark, tablePath)
     if (latest < 0) return None
-    val last = DeltaImport.lastCheckpoint(spark, tablePath, None)
-      .map(_._1).getOrElse(-1L)
+    val last = DeltaImport.latestCheckpointVersion(spark, tablePath)
+      .getOrElse(-1L)
     if (latest - last < every) None
     else Some(writeCheckpoint(spark, tablePath))
   }
@@ -787,22 +945,47 @@ object DeltaExport {
     }).json
   }
 
-  private def metaDataJson(tableId: String, c: Commit, firstTs: Long): String = {
+  private def metaDataJson(tableId: String, c: Commit, firstTs: Long,
+      mapping: Option[(Map[String, String], Map[String, Int], Int)] = None)
+      : String = {
     // Graft CHECK constraints map onto Delta's reserved configuration keys
     // (`delta.constraints.<name>`); other properties pass through verbatim.
     // Every graft table maintains its change feed, so the mirror
     // advertises delta.enableChangeDataFeed — Delta CDF readers (the
     // reference's load_cdf, notebook cells 25-26) then serve changes from
     // the exported cdc actions / derived appends.
-    val conf = c.properties.map {
+    val conf0 = c.properties.map {
       case (k, v) if k.startsWith("constraint.") =>
         s"delta.constraints.${k.stripPrefix("constraint.")}" -> v
       case kv => kv
     } + ("delta.enableChangeDataFeed" -> "true")
+    // Column mapping travels as Delta-native schema metadata + config —
+    // the graft-namespace colmap entries are dropped from the mirror's
+    // configuration (physical names are already in the schemaString).
+    val conf = mapping match {
+      case None => conf0
+      case Some((_, _, maxId)) =>
+        conf0.filterNot(_._1.startsWith(GraftTable.ColMapPrefix)) +
+          ("delta.columnMapping.mode" -> "name") +
+          ("delta.columnMapping.maxColumnId" -> maxId.toString)
+    }
+    val schemaStr = mapping match {
+      case None => decoratedSchemaJson(c)
+      case Some((cmap, ids, _)) =>
+        val st = DataType.fromJson(decoratedSchemaJson(c)).asInstanceOf[StructType]
+        StructType(st.fields.map { f =>
+          val ph = cmap.getOrElse(f.name, f.name)
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", ids(ph).toLong)
+            .putString("delta.columnMapping.physicalName", ph)
+            .build())
+        }).json
+    }
     JsonMethods.compact(JObject("metaData" -> JObject(
       "id" -> JString(tableId),
       "format" -> JObject("provider" -> JString("parquet"), "options" -> JObject()),
-      "schemaString" -> JString(decoratedSchemaJson(c)),
+      "schemaString" -> JString(schemaStr),
       "partitionColumns" -> JArray(c.partitionCols.map(JString(_)).toList),
       "configuration" -> JObject(conf.toSeq.sortBy(_._1)
         .map { case (k, v) => k -> (JString(v): JValue) }: _*),
@@ -857,21 +1040,28 @@ object DeltaExport {
       List("sizeInBytes" -> (JInt(d.sizeInBytes): JValue),
         "cardinality" -> (JLong(d.cardinality): JValue)): _*)
 
-  /** Protocol upgrade emitted with the first exported DV descriptor:
-    * deletionVectors is reader-AND-writer feature-gated (reader 3 /
-    * writer 7), and a feature-listed protocol must restate the other
-    * capabilities in play ([[writerFeaturesOf]] — the same list
-    * [[protocolJson]]'s feature-listed branch uses). */
-  private def dvProtocolJson(schema: StructType, props: Map[String, String]): String = {
+  /** Feature-listed protocol (reader 3 / writer 7) for capabilities that
+    * are reader-AND-writer gated (`deletionVectors`, `columnMapping`):
+    * emitted at v0 or as an in-place upgrade with the first use, and —
+    * per spec — restating EVERY other capability in play
+    * ([[writerFeaturesOf]], the same list [[protocolJson]]'s
+    * feature-listed branch uses). */
+  private def gatedProtocolJson(schema: StructType, props: Map[String, String],
+      gated: Seq[String]): String = {
     val ntz = hasNtz(schema)
-    val rf = Seq("deletionVectors") ++ (if (ntz) Seq("timestampNtz") else Nil)
-    val wf = Seq("deletionVectors") ++ writerFeaturesOf(schema, props)
+    val rf = gated ++ (if (ntz) Seq("timestampNtz") else Nil)
+    val wf = gated ++ writerFeaturesOf(schema, props)
     JsonMethods.compact(JObject("protocol" -> JObject(
       "minReaderVersion" -> JInt(3),
       "minWriterVersion" -> JInt(7),
       "readerFeatures" -> JArray(rf.map(JString(_)).toList),
       "writerFeatures" -> JArray(wf.map(JString(_)).toList))))
   }
+
+  /** Logical→physical mapping entries of a graft commit's properties. */
+  private def colMapOfProps(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(GraftTable.ColMapPrefix) =>
+      k.stripPrefix(GraftTable.ColMapPrefix) -> v }
 
   // ------------------------------------------------------- per-file stats
 

@@ -280,7 +280,7 @@ object DeltaImport {
     * single-part and classic multi-part names). Several manifests at one
     * version are protocol-equivalent; the lexicographically last is
     * picked for determinism. */
-  private def v2CheckpointManifest(spark: SparkSession, tablePath: String,
+  private[sources] def v2CheckpointManifest(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long]): Option[(Long, Path)] = {
     val dir = logDir(tablePath)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -778,8 +778,17 @@ object DeltaImport {
     * JSON tail — checkpointed-only tables still answer via snapshot). */
   def latestVersion(spark: SparkSession, tablePath: String): Long =
     jsonVersions(spark, tablePath, -1L).lastOption.map(_._1)
-      .orElse(lastCheckpoint(spark, tablePath, None).map(_._1))
+      .orElse(latestCheckpointVersion(spark, tablePath))
       .getOrElse(-1L)
+
+  /** Newest checkpoint version of either flavor (classic marker-named, or
+    * a V2 manifest discovered by listing) — the base the export's
+    * cadence/cleanup logic measures its JSON tail against. */
+  private[sources] def latestCheckpointVersion(spark: SparkSession,
+      tablePath: String): Option[Long] =
+    (lastCheckpoint(spark, tablePath, None).map(_._1).toSeq ++
+      v2CheckpointManifest(spark, tablePath, None).map(_._1).toSeq)
+      .maxOption
 
   /** The table's Change Data Feed over versions [fromVersion, toVersion] —
     * Delta semantics, aligned to graft's own CDF column names:
