@@ -181,6 +181,7 @@ object SparkEntry {
     "q149_embedding_cov"     -> (CorpusQueries.embeddingCov _),
     "q150_soft_dedup"        -> (CorpusQueries.softDedupWeights _),
     "q151_vocab_coverage"    -> ((s, d) => CorpusQueries.vocabCoverage(s, d)),
+    "q152_dedup_funnel"      -> (CorpusQueries.dedupPipelineFunnel _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1562,6 +1563,105 @@ object SparkEntry {
         |  FROM c QUALIFY rank <= 100)
         |SELECT rank, token, cnt, CAST(cum AS DOUBLE) / total AS cum_frac
         |FROM top, tot""".stripMargin,
+
+    // dedup pipeline funnel (q152): the q23 → q110 → q73 → q71 chain as
+    // one CTE cascade, each stage reading the previous stage's survivors
+    // (the scrub feeds the clustering its CLEANED text — the stage
+    // interaction the per-operator oracles can't see). Counts are exact
+    // integers on both engines.
+    "q152_dedup_funnel" ->
+      """WITH RECURSIVE
+        |d1 AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+        |    ON d.doc_id = k.doc_id),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM d1),
+        |win AS (
+        |  SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS w
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |ranked AS (
+        |  SELECT doc_id, i,
+        |         count(*) OVER (PARTITION BY w) AS c,
+        |         row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+        |  FROM win),
+        |cover AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS p
+        |  FROM ranked WHERE c >= 2 AND rn > 1),
+        |tokpos AS (
+        |  SELECT doc_id, i AS p, t[i] AS tok
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok FROM tokpos tp
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cover c WHERE c.doc_id = tp.doc_id AND c.p = tp.p)),
+        |d2 AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+        |  FROM kept GROUP BY doc_id),
+        |toks2 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM d2),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks2)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM common
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM d2
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        |d3 AS (
+        |  SELECT d2.doc_id, d2.text FROM d2
+        |  JOIN cl ON d2.doc_id = cl.doc_id
+        |  WHERE cl.doc_id = cl.cluster_id),
+        |b4 AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS token_count,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         x -> x IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
+        |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stop_ratio
+        |  FROM d3),
+        |s4 AS (
+        |  SELECT doc_id, token_count,
+        |    (least(CAST(token_count AS DOUBLE) / 50.0, 1.0)
+        |     + (1.0 - least(punct_ratio * 4.0, 1.0))
+        |     + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality,
+        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS dup_token_ratio,
+        |    coalesce(
+        |      CAST(list_max(list_transform(
+        |             list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |               i -> toks[i] || ' ' || toks[i + 1])),
+        |             x -> len(list_filter(list_transform(generate_series(1, len(toks) - 1),
+        |               i -> toks[i] || ' ' || toks[i + 1]), y -> y = x)))) AS DOUBLE)
+        |        / greatest(len(toks) - 1, 1), 0.0) AS top_2gram_fraction
+        |  FROM b4),
+        |d4 AS (
+        |  SELECT doc_id FROM s4
+        |  WHERE token_count >= 20 AND token_count <= 5000
+        |    AND quality >= 0.5 AND dup_token_ratio <= 0.6
+        |    AND top_2gram_fraction <= 0.2)
+        |SELECT '1_exact' AS stage,
+        |       (SELECT count(*) FROM documents) AS docs_in,
+        |       (SELECT count(*) FROM d1) AS docs_out
+        |UNION ALL SELECT '2_scrub',
+        |       (SELECT count(*) FROM d1), (SELECT count(*) FROM d2)
+        |UNION ALL SELECT '3_cluster',
+        |       (SELECT count(*) FROM d2), (SELECT count(*) FROM d3)
+        |UNION ALL SELECT '4_quality',
+        |       (SELECT count(*) FROM d3), (SELECT count(*) FROM d4)""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

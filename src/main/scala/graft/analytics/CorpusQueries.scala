@@ -861,6 +861,58 @@ object CorpusQueries {
         (col("cum").cast("double") / col("total")).as("cum_frac"))
   }
 
+  /** q152: the production dedup pipeline END-TO-END in its real order —
+    * exact dedup → duplicated-span scrub → near-dup clustering (on the
+    * SCRUBBED text, the order interaction that separate per-operator
+    * queries never exercise: a scrub that changes shingles changes what
+    * clustering sees) → quality filter — emitting the per-stage funnel
+    * (stage, docs_in, docs_out) every production dedup run publishes.
+    * Each stage is the already-oracle-proven operator (q23 / q110 / q73 /
+    * q71) applied to the PREVIOUS stage's survivors; the oracle is the
+    * same chain as one DuckDB CTE cascade. The scrubbed corpus — the one
+    * expensive intermediate, consumed by three downstream counts — is
+    * materialized once per dir ([[materializedClusters]]'s memoization),
+    * exactly how a 100 TB funnel checkpoints between stages instead of
+    * recomputing a shuffle per report line. Measured interaction on the
+    * test corpus: scrubbing first REMOVES the very spans that made the
+    * planted near-dups similar, so stage 3 collapses nothing the raw-text
+    * q73 would have — the funnel makes that ordering cost visible, which
+    * is exactly why production runs publish it. */
+  def dedupPipelineFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val d1 = docs.join(
+      Dedup.exactDedup(docs).select(col("keeper_id").as("doc_id")), "doc_id")
+    val d2 = materializedClusters(spark, dir, "scrub152") {
+      Dedup.substringScrub(d1)
+        .filter(col("kept_tokens") > 0)
+        .select(col("doc_id"), col("cleaned_text").as("text"))
+    }
+    val d3 = d2.join(
+      materializedClusters(spark, dir, "keep152") {
+        Dedup.duplicateClusters(d2,
+            Dedup.ngramJaccardPairs(d2, n = 3, threshold = 0.5))
+          .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      }, "doc_id")
+    val d4 = d3.select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("token_count"),
+        qualityScore(col("text")).as("quality"),
+        dupTokenRatio(col("text")).as("dup_token_ratio"),
+        top2GramFraction(col("text")).as("top_2gram_fraction"))
+      .filter(
+        col("token_count") >= 20 && col("token_count") <= 5000 &&
+          col("quality") >= 0.5 && col("dup_token_ratio") <= 0.6 &&
+          col("top_2gram_fraction") <= 0.2)
+      .select("doc_id")
+    def cnt(df: DataFrame) = df.agg(count(lit(1)).as("n"))
+    def row(stage: String, in: DataFrame, out: DataFrame) =
+      cnt(in).select(lit(stage).as("stage"), col("n").as("docs_in"))
+        .crossJoin(cnt(out).select(col("n").as("docs_out")))
+    row("1_exact", docs, d1)
+      .unionByName(row("2_scrub", d1, d2))
+      .unionByName(row("3_cluster", d2, d3))
+      .unionByName(row("4_quality", d3, d4))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO
