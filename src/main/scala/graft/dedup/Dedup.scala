@@ -71,20 +71,42 @@ object Dedup {
     spark.read.parquet(p)
   }
 
-  /** [[stage]] only when the optimizer's size estimate says recomputation
-    * would cost real cluster work (`spark.graft.stage.threshold`, default
-    * 256 MB). Below it, the duplicated subtree executes concurrently on
-    * otherwise-idle cores while staging would ADD two job barriers and a
-    * parquet round-trip — measured ~1.5 s slower on the bench corpus. At
-    * 100 TB every dedup staging table crosses the threshold and the
-    * materialize-once plan wins by construction. */
+  /** [[stage]] only when recomputation would cost real cluster work
+    * (`spark.graft.stage.threshold`, default 8 MB of PHYSICAL leaf-scan
+    * bytes — see [[stagedBytesEstimate]]). The default is calibrated by
+    * two measured points bracketing the crossover: at sf0.1 (~1.2 MB
+    * physical) staging is ~2× SLOWER — the duplicated subtree executes
+    * concurrently on otherwise-idle cores while staging adds two job
+    * barriers and a parquet round-trip — and at the ×10 probe (~12 MB
+    * physical, tools/DedupScaleProbe) the staged regime is ~1.5× FASTER
+    * (146 → 97 s), because staged parquet carries real stats that turn
+    * the df join into a broadcast. (The previous 256 MB threshold was
+    * anchored to OPTIMIZER estimates, which overestimate the explode by
+    * orders of magnitude; against real bytes it would have kept the ×10
+    * corpus unstaged.) At 100 TB every dedup staging table is far past
+    * any sane threshold and the materialize-once plan wins by
+    * construction. */
   private def stageThreshold(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("spark.graft.stage.threshold")
-      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+      .map(_.toLong).getOrElse(8L * 1024 * 1024)
+
+  /** Physical size basis for the staging gates: the REAL bytes of the
+    * plan's leaf scans — exact for file relations (the listing's cached
+    * file statuses) and actual row bytes for local test frames — times a
+    * measured expansion ceiling for the staged shapes
+    * ([[graft.tools.ExpansionProbe]]: the staged shingle-hash parquet is
+    * ~1.25× the source corpus parquet at sf0.1; 2× is the conservative
+    * ceiling used here). Optimizer estimates over an explode are
+    * unreliable in BOTH directions — a mid-size corpus estimated just
+    * under the gate re-executes the shingle shuffle per consumer, a tiny
+    * one estimated huge pays the staging barrier for nothing. Leaf bytes
+    * are exact and free. */
+  private[graft] def stagedBytesEstimate(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum * 2
 
   private[dedup] def stageIfLarge(df: DataFrame, tag: String): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      stageThreshold(df.sparkSession)) df
+    if (stagedBytesEstimate(df) < stageThreshold(df.sparkSession)) df
     else stage(df, tag)
 
   /** Per-document DISTINCT shingle sets as SORTED array rows
@@ -128,7 +150,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val sh0 = docShingleHashes(docs, n)
-    val shLarge = sh0.queryExecution.optimizedPlan.stats.sizeInBytes >=
+    val shLarge = stagedBytesEstimate(sh0) >=
       stageThreshold(docs.sparkSession)
     val sh = if (shLarge) stage(sh0, "jaccard") else sh0
     // In the staged (at-scale) regime the document-frequency table is

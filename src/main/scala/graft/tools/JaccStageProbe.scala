@@ -57,6 +57,24 @@ object JaccStageProbe {
       .select("a_id", "b_id", "jaccard")
     time("e: +verify (full, unstaged sh)")(noop(out))
     time("full again")(noop(Dedup.ngramJaccardPairs(docs, 3, t)))
+
+    // Gate-flip check: the staging gate keys on REAL leaf-scan bytes × the
+    // measured expansion ceiling, so replicating the corpus k× moves the
+    // physical estimate k× — the flip lands where staged bytes actually
+    // cross the threshold, independent of what the optimizer guesses for
+    // the explode. Threshold pinned at 3× the single-copy estimate: k=1,2
+    // must stay unstaged, k=4,8 must stage.
+    val one = Dedup.stagedBytesEstimate(Dedup.docShingleHashes(docs, 3))
+    spark.conf.set("spark.graft.stage.threshold", (one * 3).toString)
+    Seq(1, 2, 4, 8).foreach { k =>
+      val rep = Seq.fill(k)(docs).reduce(_ unionByName _)
+      val est = Dedup.stagedBytesEstimate(Dedup.docShingleHashes(rep, 3))
+      val staged = est >= BigInt(spark.conf.get("spark.graft.stage.threshold"))
+      println(s"[gate] k=$k physicalEstimate=$est threshold=${one * 3} staged=$staged")
+      assert(staged == (k >= 4), s"gate flipped at the wrong size (k=$k)")
+    }
+    spark.conf.unset("spark.graft.stage.threshold")
+    println("[gate] flip at the intended physical size: OK")
     spark.stop()
   }
 }
