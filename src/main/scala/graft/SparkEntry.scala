@@ -174,6 +174,8 @@ object SparkEntry {
     "q142_delta_import_items"  -> (DeltaBridgeQueries.deltaImportOrderItems _),
     "q143_delta_cdf_roundtrip" -> (DeltaBridgeQueries.deltaCdfRoundtrip _),
     "q144_delta_part_import"   -> (DeltaBridgeQueries.deltaPartitionedImport _),
+    "q153_delta_mapped_rename" -> (DeltaBridgeQueries.deltaMappedRename _),
+    "q154_delta_v2_checkpoint" -> (DeltaBridgeQueries.deltaV2CheckpointRead _),
     "q145_hybrid_retrieval"  -> ((s, d) => RetrievalQueries.hybridRetrieval(s, d)),
     "q146_source_overlap"    -> (CorpusQueries.sourceOverlap _),
     "q147_ngram_novelty"     -> (CorpusQueries.ngramNovelty _),
@@ -510,6 +512,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  o_orderkey % 97 AS o_bucket
         |FROM orders""".stripMargin,
+    // Metadata-only rename under column mapping (q153): the mirror's
+    // mapped metaData serves the new logical name over unrewritten
+    // physical files; the oracle is a plain projection with the alias.
+    "q153_delta_mapped_rename" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderpriority AS o_priority
+        |FROM orders""".stripMargin,
+    // V2-checkpoint cold open (q154): every covered JSON commit deleted —
+    // the snapshot must come entirely from the manifest + sidecars.
+    "q154_delta_v2_checkpoint" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
     // Frozen `cdc_events` fixture (q140): two STREAMING UPDATE commits —
     // the replay must serve the union of both commits' files.
     "q140_delta_import_events" ->

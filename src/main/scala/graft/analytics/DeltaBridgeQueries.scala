@@ -192,4 +192,58 @@ object DeltaBridgeQueries {
       col("o_orderstatus") === "O" && col("o_totalprice") > 400000.0)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
+
+  /** q153: metadata-only RENAME under column mapping, end-to-end through
+    * the mirror — create (mirrored unmapped) → `renameColumnMetadataOnly`
+    * (mirrors as a METADATA-ONLY Delta commit that flips the log to
+    * `delta.columnMapping.mode=name`) → post-rename append (new files
+    * written under the PHYSICAL name, mirrored with physical stats keys)
+    * → read back exclusively through the Delta log's physical-name
+    * resolution. No data file is rewritten at the rename on either side.
+    * The oracle just projects the source with the new logical name. */
+  def deltaMappedRename(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#colmap", { _ =>
+      val r = Scratch.dir(spark, "delta-export-colmap")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, r,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      graft.sources.DeltaExport.exportLog(t)
+      t.renameColumnMetadataOnly("o_orderpriority", "o_priority")
+      t.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .withColumnRenamed("o_orderpriority", "o_priority"))
+      graft.sources.DeltaExport.exportLog(t)
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_priority"))
+  }
+
+  /** q154: V2-checkpoint cold open — a mirrored history checkpointed
+    * under `delta.checkpointPolicy=v2` (parquet sidecars + JSON manifest),
+    * then `cleanupLog` deletes every JSON commit the checkpoint covers:
+    * the read has NOTHING but the manifest + sidecars to answer from. The
+    * oracle recomputes the snapshot from the source parquet. */
+  def deltaV2CheckpointRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#v2ck", { _ =>
+      val r = Scratch.dir(spark, "delta-export-v2ck")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, r,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+      t.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1))
+      graft.sources.DeltaExport.exportLog(t)
+      val prev = spark.conf.getOption("spark.graft.delta.checkpointPolicy")
+      spark.conf.set("spark.graft.delta.checkpointPolicy", "v2")
+      try graft.sources.DeltaExport.writeCheckpoint(spark, r)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.graft.delta.checkpointPolicy", v)
+        case None => spark.conf.unset("spark.graft.delta.checkpointPolicy")
+      }
+      graft.sources.DeltaExport.cleanupLog(spark, r, retentionMs = 0L)
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+  }
 }

@@ -81,6 +81,17 @@ final class GraftTable private (
 
   def version: Long = log.latest().map(_.version).getOrElse(-1L)
 
+  /** True when logical↔physical column mapping is in play: a mapping
+    * entry exists (an earlier metadata-only rename) or the table opted in
+    * via the `graft.columnMapping.mode=name` property (settable through
+    * SET TBLPROPERTIES — Delta's own opt-in shape). SQL RENAME COLUMN
+    * routes on this: metadata-only when mapped, honest rewrite else. */
+  def columnMappingActive: Boolean = {
+    val props = log.latest().map(_.properties).getOrElse(Map.empty)
+    props.get("graft.columnMapping.mode").contains("name") ||
+      props.keys.exists(_.startsWith(GraftTable.ColMapPrefix))
+  }
+
   /** Snapshot row count from parquet footers — metadata-only, no Spark
     * job. This is the table statistic that sizes downstream algorithm
     * parameters (e.g. LSH band counts via

@@ -446,9 +446,14 @@ case class GraftDropColumnsCommand(
   }
 }
 
-/** `ALTER TABLE t RENAME COLUMN a TO b` — [[GraftTable.renameColumn]]
-  * (physical rewrite; see its scaladoc for why rename cannot be
-  * metadata-only without column mapping). */
+/** `ALTER TABLE t RENAME COLUMN a TO b` — Delta's routing rule: with
+  * column mapping in play (`graft.columnMapping.mode=name` set via
+  * SET TBLPROPERTIES, or a mapping already active from an earlier
+  * rename) the rename is METADATA-ONLY
+  * ([[GraftTable.renameColumnMetadataOnly]] — one log entry at any
+  * scale); otherwise the honest physical rewrite
+  * ([[GraftTable.renameColumn]], which keeps files free of name
+  * bookkeeping — see its scaladoc for the trade). */
 case class GraftRenameColumnCommand(
     table: GraftTable,
     from: String,
@@ -457,7 +462,9 @@ case class GraftRenameColumnCommand(
   override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
 
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(table.renameColumn(from, to).version))
+    Seq(Row(
+      (if (table.columnMappingActive) table.renameColumnMetadataOnly(from, to)
+       else table.renameColumn(from, to)).version))
 }
 
 /** `ALTER TABLE t SET TBLPROPERTIES (k = v, …)` /

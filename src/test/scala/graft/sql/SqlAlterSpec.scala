@@ -40,6 +40,27 @@ class SqlAlterSpec extends SparkSpec {
     assert(ops.take(4) === Seq("RENAME COLUMN", "DROP COLUMN", "ADD COLUMN", "ADD COLUMN"))
   }
 
+  test("RENAME COLUMN routes metadata-only once column mapping is opted in") {
+    val (t, _) = freshTable("sqlrenmo", "ren_t")
+    // Delta's opt-in shape: flip the mapping mode via SET TBLPROPERTIES —
+    // from then on SQL renames are metadata-only (no data rewrite)
+    s2.sql("ALTER TABLE ren_t SET TBLPROPERTIES ('graft.columnMapping.mode' = 'name')")
+      .collect()
+    val dirsBefore = t.detail().head().getAs[Long]("numFiles")
+    s2.sql("ALTER TABLE ren_t RENAME COLUMN s TO label").collect()
+    assert(t.read().schema.fieldNames.toSeq === Seq("id", "label", "v"))
+    assert(t.detail().head().getAs[Long]("numFiles") === dirsBefore)
+    assert(t.columnMappingActive)
+    // rows fully served under the new logical name
+    assert(t.read().filter("label = 'b'").count() === 1)
+    // an UN-opted table still takes the honest rewrite (numFiles changes
+    // are allowed there; just assert the route produced the rename)
+    val (t2, _) = freshTable("sqlrenrw", "ren_rw")
+    s2.sql("ALTER TABLE ren_rw RENAME COLUMN s TO label").collect()
+    assert(!t2.columnMappingActive)
+    assert(t2.read().schema.fieldNames.toSeq === Seq("id", "label", "v"))
+  }
+
   test("SET/UNSET TBLPROPERTIES round-trip through DESCRIBE DETAIL") {
     val (t, _) = freshTable("sqlprops", "prop_t")
     // note: 'owner' is reserved by Spark's own grammar — user keys only
