@@ -220,6 +220,15 @@ object DeltaSkipping {
     lazy val stats = f.stats.flatMap(parseStats)
     def fieldType(n: String): Option[DataType] =
       s.schema.fields.find(_.name == n).map(_.dataType)
+    // Column-mapped tables key stats and partitionValues by PHYSICAL
+    // names (the Delta contract); predicates speak logical names — the
+    // lookup resolves through the schema's physicalName metadata, else a
+    // renamed column's files would all conservatively survive.
+    def physName(n: String): String =
+      s.schema.fields.find(_.name == n)
+        .filter(_.metadata.contains("delta.columnMapping.physicalName"))
+        .map(_.metadata.getString("delta.columnMapping.physicalName"))
+        .getOrElse(n)
     def attrName(a: Expression): Option[String] = a match {
       case att: Attribute => Some(att.name)
       case _ => None // nested stats objects: out of scope, keep the file
@@ -233,7 +242,7 @@ object DeltaSkipping {
       * boolean, …) must read as unknown, never as null — conflating them
       * would make IsNotNull prune every file of such a table. */
     def partRaw(n: String): Option[Option[String]] =
-      f.partitionValues.get(n).map {
+      f.partitionValues.get(physName(n)).map {
         case null | "__HIVE_DEFAULT_PARTITION__" => None
         case v => Some(v)
       }
@@ -250,8 +259,8 @@ object DeltaSkipping {
       else for {
         st <- stats
         dt <- fieldType(n)
-        lo <- st.mins.get(n).flatMap(statValue(_, dt))
-        hi <- st.maxs.get(n).flatMap(statValue(_, dt))
+        lo <- st.mins.get(physName(n)).flatMap(statValue(_, dt))
+        hi <- st.maxs.get(physName(n)).flatMap(statValue(_, dt))
       } yield (lo, hi)
 
     /** Could a value of `n` land in [qlo, qhi] (open ends = None)?
@@ -264,12 +273,12 @@ object DeltaSkipping {
     def provablyAllNull(n: String): Boolean =
       if (isPartition(n)) partRaw(n).exists(_.isEmpty)
       else (for {
-        st <- stats; total <- st.numRecords; nc <- st.nulls.get(n)
+        st <- stats; total <- st.numRecords; nc <- st.nulls.get(physName(n))
       } yield total > 0 && nc == total).getOrElse(false)
 
     def provablyNoNull(n: String): Boolean =
       if (isPartition(n)) partRaw(n).exists(_.nonEmpty)
-      else stats.exists(_.nulls.get(n).contains(0L))
+      else stats.exists(_.nulls.get(physName(n)).contains(0L))
 
     def cmp(a: Expression, v: Any, lo: Boolean): Boolean =
       attrName(a) match {

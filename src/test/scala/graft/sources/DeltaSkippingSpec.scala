@@ -177,4 +177,26 @@ class DeltaSkippingSpec extends SparkSpec {
       .as[(Long, Long)].head()
     assert(viaSql === ((10L, (1990L to 1999L).map(_ % 10).sum)))
   }
+
+  test("column-mapped tables prune through PHYSICAL stats keys on renamed columns") {
+    val root = tmpDir("skip-colmap")
+    val t = GraftTable.create(spark, root,
+      spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v")), Nil)
+    t.renameColumnMetadataOnly("v", "value")
+    // post-rename append: files + stats carry the physical name "v"
+    t.append(spark.range(1000, 2000).select(col("id"), (col("id") * 2).as("value")))
+    DeltaExport.exportLog(t)
+
+    val s = DeltaImport.snapshot(spark, root)
+    assert(s.configuration.get("delta.columnMapping.mode") === Some("name"))
+    // a predicate on the LOGICAL name must reach the physical stats keys
+    // — without the mapping lookup every file conservatively survives
+    val kept = DeltaSkipping.prune(spark, s, col("value") < 100L)
+    assert(kept.size < s.files.size,
+      s"mapped-column pruning kept all ${s.files.size} files")
+    // and the pruned read is still exact
+    val rows = DeltaImport.where(spark, root, col("value") < 100L)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(rows === 50L)
+  }
 }
