@@ -165,6 +165,12 @@ object DeltaExport {
     // published schema's own metadata (delta-spark's upgrade behavior).
     var mappingOn = resumeSnap.exists(
       _.configuration.get("delta.columnMapping.mode").contains("name"))
+    // v2-checkpoint policy: a spec-strict reader requires the
+    // `v2Checkpoint` reader feature BEFORE it may honor v2 checkpoint
+    // files, so a table under the policy advertises it in the protocol
+    // (sticky once advertised, like every feature).
+    var v2Advertised = resumeSnap.flatMap(_.protocol).exists(
+      _.readerFeatures.contains("v2Checkpoint"))
     var mappingAdvertised = resumeSnap.flatMap(_.protocol).exists(p =>
       p.readerFeatures.contains("columnMapping") ||
         (p.minReaderVersion >= 2 && mappingOn))
@@ -315,17 +321,24 @@ object DeltaExport {
       // commit) — and a feature-listed protocol restates every gated
       // capability in play, so the lists compose.
       val wantDv = curDv.nonEmpty || dvAdvertised
+      val wantV2 = v2Advertised || spark.conf
+        .getOption("spark.graft.delta.checkpointPolicy")
+        .orElse(c.properties.get("delta.checkpointPolicy"))
+        .contains("v2")
       val needProto = c.version == 0L ||
         (curDv.nonEmpty && !dvAdvertised) ||
         (mappingOn && !mappingAdvertised) ||
+        (wantV2 && !v2Advertised) ||
         (cdfUpgrade && !resumeCdfCapable)
       if (needProto) {
         val gated = (if (wantDv) Seq("deletionVectors") else Nil) ++
-          (if (mappingOn) Seq("columnMapping") else Nil)
+          (if (mappingOn) Seq("columnMapping") else Nil) ++
+          (if (wantV2) Seq("v2Checkpoint") else Nil)
         lines += (if (gated.nonEmpty) gatedProtocolJson(schema, c.properties, gated)
           else protocolJson(schema, c.properties))
         dvAdvertised = wantDv
         mappingAdvertised = mappingOn
+        v2Advertised = wantV2
       }
       cdfUpgrade = false
       if (metaChanged) {

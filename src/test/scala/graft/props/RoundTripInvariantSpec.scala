@@ -121,30 +121,40 @@ class RoundTripInvariantSpec extends SparkSpec {
     for (trial <- 1 to 3) {
       val root = tmpDir(s"rt-inv-$trial")
       var next = 100L
+      var renames = 0
       val t = GraftTable.create(spark, root,
         (1L to 20L).map(i => (i, rnd.nextInt(10))).toDF("id", "v"))
-      (1 to 5).foreach { _ =>
-        rnd.nextInt(6) match {
+      // the value column's CURRENT logical name (metadata-only renames
+      // move it; every op below must speak the name of its moment)
+      def vcol: String = t.read().columns(1)
+      (1 to 7).foreach { _ =>
+        rnd.nextInt(7) match {
           case 0 =>
             t.append((next to next + 9L).map(i => (i, rnd.nextInt(10)))
-              .toDF("id", "v"))
+              .toDF("id", vcol))
             next += 10
-          case 1 => t.delete(col("v") === rnd.nextInt(10))
-          case 2 => t.deletePositional(col("v") === rnd.nextInt(10))
-          case 3 => t.deleteMergeOnRead(col("v") === rnd.nextInt(10))
+          case 1 => t.delete(col(vcol) === rnd.nextInt(10))
+          case 2 => t.deletePositional(col(vcol) === rnd.nextInt(10))
+          case 3 => t.deleteMergeOnRead(col(vcol) === rnd.nextInt(10))
           case 4 =>
             val keys = (1L to next).filter(_ => rnd.nextInt(20) == 0).take(8)
             if (keys.nonEmpty)
-              t.merge(keys.map(k => (k, 100 + rnd.nextInt(10))).toDF("id", "v"), "id")
+              t.merge(keys.map(k => (k, 100 + rnd.nextInt(10))).toDF("id", vcol), "id")
           case 5 => t.optimize()
+          case 6 =>
+            renames += 1
+            t.renameColumnMetadataOnly(vcol, s"v_$renames")
         }
       }
       DeltaExport.exportLog(t)
       for (v <- 0L to t.version) {
         val viaDelta = DeltaImport.read(spark, root, versionAsOf = Some(v))
-          .as[(Long, Int)].collect().toSet
-        val viaGraft = t.readVersion(v).as[(Long, Int)].collect().toSet
-        assert(viaDelta === viaGraft, s"trial $trial version $v")
+        val viaGraft = t.readVersion(v)
+        // per-version schema agrees (renames included), values match
+        assert(viaDelta.columns.toSeq === viaGraft.columns.toSeq,
+          s"trial $trial version $v schema")
+        assert(viaDelta.as[(Long, Int)].collect().toSet ===
+          viaGraft.as[(Long, Int)].collect().toSet, s"trial $trial version $v")
       }
     }
   }

@@ -733,13 +733,20 @@ class DeltaExportSpec extends SparkSpec {
     val t = GraftTable.create(spark, root,
       Seq((1L, "a"), (2L, "b")).toDF("id", "s"), Nil)
     t.append(Seq((3L, "c")).toDF("id", "s"))
+    // the policy as a TABLE property: the exported protocol must advertise
+    // the v2Checkpoint reader feature before checkpoint files appear
+    t.setProperties(Map("delta.checkpointPolicy" -> "v2"))
     t.append(Seq((4L, "d")).toDF("id", "s"))
     DeltaExport.exportLog(t)
+    val protos = (0L to t.version).flatMap(v =>
+      logLines(root, v).map(_ \ "protocol").filter(_ != JNothing))
+    assert(protos.exists(p =>
+      (p \ "readerFeatures").children.contains(JString("v2Checkpoint"))))
     val expected = t.read().as[(Long, String)].collect().toSet
     spark.conf.set("spark.graft.delta.checkpointPolicy", "v2")
     try {
       val v = DeltaExport.writeCheckpoint(spark, root)
-      assert(v === 2L)
+      assert(v === 3L)
       val logDir = Paths.get(root, "_delta_log")
       val names = Files.list(logDir).iterator().asScala
         .map(_.getFileName.toString).toSeq
@@ -758,13 +765,13 @@ class DeltaExportSpec extends SparkSpec {
       assert(sidecarFiles().size === sidecars.size)
       // cadence sees the v2 checkpoint (nothing due) and cleanup keys on it
       assert(DeltaExport.maintainCheckpoint(spark, root, every = 2) === None)
-      assert(DeltaExport.cleanupLog(spark, root, retentionMs = 0L) === 2)
+      assert(DeltaExport.cleanupLog(spark, root, retentionMs = 0L) === 3)
       // cold open: every JSON commit at/below the checkpoint is gone —
       // the snapshot must come from the manifest + ONE batched sidecar scan
       jsonCommits(root).foreach(v =>
         Files.deleteIfExists(logDir.resolve(f"$v%020d.json")))
       val snap = DeltaImport.snapshot(spark, root, None)
-      assert(snap.version === 2L)
+      assert(snap.version === 3L)
       assert(DeltaImport.read(spark, root)
         .as[(Long, String)].collect().toSet === expected)
     } finally spark.conf.unset("spark.graft.delta.checkpointPolicy")
