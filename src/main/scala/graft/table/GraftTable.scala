@@ -1043,13 +1043,17 @@ final class GraftTable private (
       if (!fs.exists(p)) Nil
       else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
     }
+    // on-disk bloom dirs carry physical names; report logical ones
+    val toLogical = colMapOf(c.properties)
+      .collect { case (lg, ph) if lg != ph => ph -> lg }
     c.dataDirs.map { d =>
       val nulls = c.dirNulls.getOrElse(d, Map.empty)
       (d,
         nulls.getOrElse("", -1L),
         c.dirStats.get(d).map(_.size).getOrElse(0),
         (nulls - "").size,
-        bloomCols.filter(col => fs.exists(bloomPath(col, d))))
+        bloomCols.filter(col => fs.exists(bloomPath(col, d)))
+          .map(n => toLogical.getOrElse(n, n)))
     }.toDF("dir", "rows", "stats_cols", "null_cols", "bloom_cols")
   }
 
@@ -2983,8 +2987,14 @@ final class GraftTable private (
     readCommit(c.copy(dataDirs = keep))
   }
 
-  private def bloomPath(colName: String, dir: String): Path =
-    new Path(root, s"_bloom/$colName/${dir.replace('/', '_')}.bf")
+  /** Sidecars are keyed by the PHYSICAL column name: the indexed hashes
+    * are of VALUES, which a metadata-only rename never touches — so the
+    * same sidecars keep serving lookups under the new logical name (a
+    * physical name passed directly maps to itself). */
+  private def bloomPath(colName: String, dir: String): Path = {
+    val phys = colMapAtHead.getOrElse(colName, colName)
+    new Path(root, s"_bloom/$phys/${dir.replace('/', '_')}.bf")
+  }
 
   // Sidecars are immutable once written (overwritten only by a rebuild);
   // cache the deserialized filters per (col, dir).

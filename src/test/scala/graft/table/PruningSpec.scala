@@ -96,6 +96,26 @@ class PruningSpec extends SparkSpec {
     assert(late.filter(col("id") === 999999L).count() === 1)
   }
 
+  test("bloom sidecars survive a metadata-only rename (keyed by physical name)") {
+    val root = tmpDir("bloom-ren")
+    def rows(k: Long) = (1L to 4000L).filter(_ % 4 == k).map(i => (i, i * 1.0))
+      .toDF("id", "x")
+    val t = GraftTable.create(spark, root, rows(0))
+    t.append(rows(1)); t.append(rows(2)); t.append(rows(3))
+    t.buildBloomIndex("id")
+    val bloomDirs = new java.io.File(s"$root/_bloom").list().toSeq
+    t.renameColumnMetadataOnly("id", "key")
+    // the indexed VALUES didn't move: the same sidecars serve the new
+    // logical name — an incremental build finds nothing to do
+    t.buildBloomIndex("key")
+    assert(new java.io.File(s"$root/_bloom").list().toSeq === bloomDirs,
+      "rename must not orphan or duplicate bloom sidecars")
+    val total = scannedFiles(t.read())
+    val hit = t.readPointLookup("key", 10L)
+    assert(scannedFiles(hit) < total, "bloom pruning lost across the rename")
+    assert(hit.filter(col("key") === 10L).count() === 1)
+  }
+
   test("string dir-stats skip dirs by lexicographic range") {
     val root = tmpDir("prune-str")
     def rows(prefix: String) = (1 to 500).map(i => (f"$prefix-$i%04d", i * 1.0))
