@@ -184,6 +184,8 @@ object SparkEntry {
     "q150_soft_dedup"        -> (CorpusQueries.softDedupWeights _),
     "q151_vocab_coverage"    -> ((s, d) => CorpusQueries.vocabCoverage(s, d)),
     "q152_dedup_funnel"      -> (CorpusQueries.dedupPipelineFunnel _),
+    "q155_boilerplate_scrub" -> (CorpusQueries.boilerplateScrub _),
+    "q156_dsir_weights"      -> ((s, d) => CorpusQueries.dsirWeights(s, d)),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1675,6 +1677,69 @@ object SparkEntry {
         |       (SELECT count(*) FROM d2), (SELECT count(*) FROM d3)
         |UNION ALL SELECT '4_quality',
         |       (SELECT count(*) FROM d3), (SELECT count(*) FROM d4)""".stripMargin,
+
+    // interdoc boilerplate scrub: NON-overlapping 8-token segments, a
+    // segment in >= 2 DISTINCT docs is removed from all of them; rebuild
+    // is an ordered string_agg, counts exact integers on both engines
+    "q155_boilerplate_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id, (i - 1) // 8 AS idx, array_to_string(t[i:i+7], ' ') AS seg
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t), 8)) AS i FROM toks
+        |        WHERE len(t) > 0)),
+        |boiler AS (
+        |  SELECT seg FROM (
+        |    SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        |  WHERE df >= 2),
+        |kept AS (
+        |  SELECT s.doc_id, s.idx, s.seg FROM segs s
+        |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.seg = s.seg)),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_segments,
+        |         string_agg(seg, ' ' ORDER BY idx) AS cleaned_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST((len(t.t) + 7) // 8 AS BIGINT) AS n_segments,
+        |       coalesce(a.kept_segments, CAST(0 AS BIGINT)) AS kept_segments,
+        |       coalesce(a.cleaned_text, '') AS cleaned_text
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // DSIR importance weights: fixed-point likelihood ratios (integer
+    // floor division — exact on both engines), BIGINT score mass, ONE
+    // final double division; top-quartile gate is an integer compare
+    "q156_dsir_weights" ->
+      """WITH terms AS (
+        |  SELECT doc_id, lang, term FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE trim(text) <> '')
+        |  WHERE term <> ''),
+        |tgt AS (SELECT term, count(*) AS tgt_cnt FROM terms WHERE lang = 'en' GROUP BY term),
+        |raw AS (SELECT term, count(*) AS raw_cnt FROM terms WHERE lang <> 'en' GROUP BY term),
+        |vocab AS (SELECT DISTINCT term FROM terms),
+        |ratio AS (
+        |  SELECT v.term,
+        |         CAST(((coalesce(t.tgt_cnt, 0) + 1) * 1000000)
+        |              // (coalesce(r.raw_cnt, 0) + 1) AS BIGINT) AS r
+        |  FROM vocab v LEFT JOIN tgt t USING (term) LEFT JOIN raw r USING (term)),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(r.r) AS BIGINT) AS score
+        |  FROM terms JOIN ratio r USING (term) GROUP BY doc_id),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang,
+        |         coalesce(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        |         coalesce(p.score, CAST(0 AS BIGINT)) AS score,
+        |         CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+        |              ELSE CAST(p.score AS DOUBLE) / (1000000 * p.n_tokens) END
+        |           AS importance
+        |  FROM documents d LEFT JOIN per p USING (doc_id)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY importance DESC, doc_id) AS rn,
+        |         count(*) OVER () AS n_docs FROM scored)
+        |SELECT doc_id, lang, n_tokens, score, importance,
+        |       rn <= (n_docs + 3) // 4 AS selected
+        |FROM ranked""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

@@ -913,6 +913,70 @@ object CorpusQueries {
       .unionByName(row("4_quality", d3, d4))
   }
 
+  /** q155: interdoc boilerplate scrub — the C4/CCNet frequency-based
+    * cleaning pass ([[graft.dedup.Dedup.boilerplateScrub]]): any 8-token
+    * segment shared by ≥ 2 distinct documents is removed from ALL of them.
+    * Complementary to q110's positional span scrub (which keeps a first
+    * occurrence); this is the cheap non-overlapping pass production
+    * pipelines run first. */
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateScrub(Tables.documents(spark, dir), segTokens = 8)
+
+  /** q156: DSIR-shaped importance weighting (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS'23): score
+    * every document by how much its unigram feature distribution looks
+    * like a TARGET corpus (here the `lang = 'en'` slice) versus the rest
+    * of the raw pool, then select the top importance quartile. DSIR's
+    * weight is Σ_t c_t · log(p_target(t)/p_raw(t)); `log` is libm and NOT
+    * bit-portable across engines, so the engine keeps the likelihood
+    * ratio itself in FIXED POINT — r_t = ⌊SCALE·(tgt_t+1)/(raw_t+1)⌋,
+    * integer division, exact in any engine — and scores Σ c_t · r_t as a
+    * BIGINT. Same add-one smoothing, same ordering intent, every compare
+    * exact; `importance` is the one final double division.
+    *
+    * Plan shape at 100 TB: two map-side-combinable hash aggregates build
+    * the target/raw vocabulary counts (vocabulary-sized, NOT corpus-
+    * sized), the per-term ratio table broadcasts to a single scoring scan,
+    * one per-doc aggregate. The top-quartile gate here is a global
+    * row_number (exact, oracle-matched); at scale the same gate is a
+    * one-pass approx-quantile threshold on `importance` — the scores
+    * themselves are identical either way. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir))
+
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Scale = 1000000L
+    val terms = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val tgt = terms.filter(col("lang") === "en")
+      .groupBy("term").agg(count(lit(1)).as("tgt_cnt"))
+    val raw = terms.filter(col("lang") =!= "en")
+      .groupBy("term").agg(count(lit(1)).as("raw_cnt"))
+    val ratio = tgt.join(raw, Seq("term"), "full")
+      .select(col("term"), expr(
+        s"CAST(((coalesce(tgt_cnt, 0L) + 1L) * ${Scale}L) DIV (coalesce(raw_cnt, 0L) + 1L) AS BIGINT)")
+        .as("r"))
+    val per = terms.join(broadcast(ratio), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("score"))
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("score").cast("double") / (lit(Scale) * col("n_tokens")))
+          .as("importance"))
+    val ord = Window.orderBy(col("importance").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(ord))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n_docs"))))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"),
+        col("importance"),
+        expr("rn <= (n_docs + 3) DIV 4").as("selected"))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO

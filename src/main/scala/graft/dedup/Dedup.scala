@@ -675,4 +675,54 @@ object Dedup {
         coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
+
+  /** Interdoc boilerplate removal — the C4/CCNet LINE-frequency cleaning
+    * class (Raffel et al. JMLR'20 §2.2 dedup of three-sentence spans;
+    * CCNet's per-shard duplicated-paragraph drop): a text unit repeated
+    * across ≥ `minDf` DISTINCT documents is boilerplate (nav bars, license
+    * headers, cookie banners) and is removed from EVERY document — unlike
+    * [[substringScrub]] there is no canonical "first occurrence" worth
+    * keeping. The corpus has no newlines, so the unit is a fixed
+    * `segTokens`-token NON-overlapping segment (a trailing short segment is
+    * a unit too); segmentation is stride-anchored, so a phrase repeated at
+    * different token offsets is [[substringScrub]]'s job — the two passes
+    * are complementary, which is why production pipelines run both.
+    *
+    * Plan shape at 100 TB, and why it is the CHEAP pass of the pair:
+    * non-overlapping segments mean |units| = n_tokens / segTokens — an
+    * 8th of [[substringScrub]]'s sliding-window row count. One hash
+    * aggregate (distinct doc per segment, map-side combinable) computes
+    * document frequency; the removal is a LEFT ANTI join of the segments
+    * against only the `df ≥ minDf` dictionary — boilerplate is a
+    * vanishing fraction of distinct segments, so that dictionary
+    * broadcasts (AQE picks the broadcast side from its real size) and the
+    * scrub costs one scan + one small-side join, no corpus-sized shuffle.
+    * The rebuild is a per-document grouped sort bounded by doc length. */
+  def boilerplateScrub(docs: DataFrame, segTokens: Int = 8, minDf: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
+    val segs = toks.filter(size(col("t")) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, CAST((size(t) + ${segTokens - 1}) DIV $segTokens AS INT) - 1),
+           |          i -> array_join(slice(t, i * $segTokens + 1, $segTokens), ' '))"""
+          .stripMargin)).as(Seq("idx", "seg")))
+    val boiler = segs.select(col(idCol), col("seg")).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= lit(minDf))
+      .select("seg")
+    val rebuilt = segs.join(boiler, Seq("seg"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("kept_segments"),
+        collect_list(struct(col("idx"), col("seg"))).as("pt"))
+      .select(col(idCol), col("kept_segments"),
+        concat_ws(" ", expr("transform(array_sort(pt), s -> s.seg)"))
+          .as("cleaned_text"))
+    toks.select(col(idCol),
+        expr(s"CAST((size(t) + ${segTokens - 1}) DIV $segTokens AS BIGINT)")
+          .as("n_segments"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_segments"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }
