@@ -186,6 +186,8 @@ object SparkEntry {
     "q152_dedup_funnel"      -> (CorpusQueries.dedupPipelineFunnel _),
     "q155_boilerplate_scrub" -> (CorpusQueries.boilerplateScrub _),
     "q156_dsir_weights"      -> ((s, d) => CorpusQueries.dsirWeights(s, d)),
+    "q157_knn_label_purity"  -> (CorpusQueries.knnLabelPurity _),
+    "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1740,6 +1742,58 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, score, importance,
         |       rn <= (n_docs + 3) // 4 AS selected
         |FROM ranked""".stripMargin,
+
+    // kNN label purity: neighbor rank breaks cosine ties on vec_id, the
+    // vote breaks count ties on the smaller label; cosines are the same
+    // IEEE sequence on both engines (q28/q29 contract) so ranks agree
+    "q157_knn_label_purity" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id, b.label AS b_label,
+        |    list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
+        |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT a_id, a_label, b_label FROM (
+        |    SELECT a_id, a_label, b_label,
+        |           row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |    FROM pairs) WHERE rn <= 10),
+        |votes AS (
+        |  SELECT a_id, a_label, b_label, count(*) AS c
+        |  FROM knn GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT a_id, a_label, b_label AS pred FROM (
+        |    SELECT a_id, a_label, b_label,
+        |           row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_label) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN pred = a_label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        |       CAST(sum(CASE WHEN pred = a_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
+        |FROM pred GROUP BY a_label""".stripMargin,
+
+    // quality-priority dedup over bag-of-words groups (members genuinely
+    // differ there): keeper = highest quality then smallest id; the
+    // quality formula is the exact q152-stage-4 arithmetic, so the winner
+    // pick is deterministic on both engines
+    "q158_priority_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint,
+        |    (least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 50.0, 1.0)
+        |     + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |                    / greatest(length(text), 1) * 4.0, 1.0))
+        |     + least(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |              x -> x IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
+        |             / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) * 5.0, 1.0)) / 3.0 AS q
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT fingerprint, doc_id, q,
+        |         row_number() OVER (PARTITION BY fingerprint ORDER BY q DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY fingerprint) AS dup_count
+        |  FROM s)
+        |SELECT fingerprint, doc_id AS keeper_id, q AS keeper_quality,
+        |       CAST(dup_count AS BIGINT) AS dup_count
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

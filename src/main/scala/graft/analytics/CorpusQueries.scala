@@ -977,6 +977,19 @@ object CorpusQueries {
         expr("rn <= (n_docs + 3) DIV 4").as("selected"))
   }
 
+  /** q157: kNN label purity ([[graft.sim.Similarity.knnLabelPurity]]) —
+    * per-label majority-vote accuracy over each vector's 10 nearest
+    * cosine neighbors; the embedding-space quality eval run before any
+    * training spend. */
+  def knnLabelPurity(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelPurity(Tables.embeddings(spark, dir), k = 10)
+
+  /** q158: exact dedup with the QUALITY-priority keeper policy
+    * ([[graft.dedup.Dedup.priorityDedup]]) — canonical copy = cleanest
+    * copy, not smallest id. */
+  def priorityDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.priorityDedup(Tables.documents(spark, dir))
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO

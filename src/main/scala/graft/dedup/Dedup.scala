@@ -22,6 +22,28 @@ object Dedup {
     docs.groupBy(TextFunctions.contentHash(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Token-set dedup with a QUALITY-priority keeper policy: within a
+    * bag-of-words duplicate group (where members genuinely DIFFER — word
+    * order, repetition, length; exact-hash duplicates are byte-identical
+    * so a quality policy would be vacuous there) the canonical copy is the
+    * highest-[[TextFunctions.qualityScore]] document, doc_id breaking score
+    * ties — the production policy when the same content arrives from
+    * sources of unequal cleanliness (keep the well-formatted crawl, drop
+    * the mangled mirror), where [[tokenSetDedup]]'s min-id keeper keeps
+    * whichever id sorted first. Same single hash-aggregate shape — the
+    * policy is a `min(struct(-q, id))` winner-pick, no window sort; the
+    * quality score is the exact cross-engine formula (fixed literal
+    * arithmetic over exact counts), so the keeper choice is
+    * bit-deterministic. */
+  def priorityDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(TextFunctions.tokenSetFingerprint(col(textCol)).as("fingerprint"),
+        col(idCol), TextFunctions.qualityScore(col(textCol)).as("q"))
+      .groupBy("fingerprint")
+      .agg(min(struct((-col("q")).as("nq"), col(idCol).as("id"))).as("m"),
+        count(lit(1)).as("dup_count"))
+      .select(col("fingerprint"), col("m.id").as("keeper_id"),
+        (-col("m.nq")).as("keeper_quality"), col("dup_count"))
+
   /** Bag-of-words dedup: groups word-order permutations of the same token
     * set — same single-shuffle shape as [[exactDedup]]. */
   def tokenSetDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -261,4 +261,50 @@ object Similarity {
       .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
         col("best.score").as("centroid_score"))
   }
+
+  /** kNN label purity — the standard embedding-space quality eval: each
+    * vector votes its k nearest neighbors' labels (cosine, self excluded);
+    * the majority label is the prediction, and per-label accuracy says how
+    * well the space separates the classes BEFORE any model is trained on
+    * it. Deterministic everywhere: neighbor rank breaks cosine ties on
+    * vec_id, the vote breaks count ties on the smaller label
+    * (`min(struct(-count, label))` hash-agg, the same winner-pick shape as
+    * the scrub/novelty family — no second window sort).
+    *
+    * Exactness: norms are computed once per vector; dot, sqrt, multiply,
+    * divide are the identical IEEE sequence as the DuckDB oracle's
+    * `list_inner_product` phrasing (q28/q29's proven contract), so ranks
+    * and votes agree bit-for-bit.
+    *
+    * Scale shape: the eval contract is exact kNN, quadratic by definition —
+    * at 100 TB it runs on a stratified eval SAMPLE (q117's sampler), while
+    * the same vote over [[ivfTopK]] candidates gives the approximate
+    * full-corpus variant; the per-a_id top-k is a bounded heap either way.
+    * The output is label-cardinality-sized, never corpus-sized. */
+  def knnLabelPurity(emb: DataFrame, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+    val a = v.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+      col("vec").as("a_vec"), col("norm").as("a_norm"))
+    val b = v.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("vec").as("b_vec"), col("norm").as("b_norm"))
+    val pairs = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+          .as("cosine"))
+    val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id"))
+    val votes = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("a_id", "a_label", "b_label").agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("a_id", "a_label")
+      .agg(min(struct((-col("c")).as("nc"), col("b_label").as("lbl"))).as("m"))
+      .select(col("a_id"), col("a_label"), col("m.lbl").as("pred"))
+    pred.groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("a_label"), 1L).otherwise(0L)).as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        (col("correct").cast("double") / col("n")).as("accuracy"))
+  }
 }
