@@ -188,6 +188,7 @@ object SparkEntry {
     "q156_dsir_weights"      -> ((s, d) => CorpusQueries.dsirWeights(s, d)),
     "q157_knn_label_purity"  -> (CorpusQueries.knnLabelPurity _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
+    "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1794,6 +1795,15 @@ object SparkEntry {
         |SELECT fingerprint, doc_id AS keeper_id, q AS keeper_quality,
         |       CAST(dup_count AS BIGINT) AS dup_count
         |FROM ranked WHERE rn = 1""".stripMargin,
+
+    // row tracking: the oracle states the stable-id CONTRACT — after
+    // appends + a positional delete + OPTIMIZE, survivor count, stable-id
+    // count and distinct-id count must all equal the delete's survivors
+    "q159_row_tracking" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(count(*) AS BIGINT) AS stable,
+        |       CAST(count(*) AS BIGINT) AS distinct_ids
+        |FROM documents WHERE doc_id % 97 <> 0""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

@@ -716,4 +716,48 @@ object MutationQueries {
         col("o_totalprice"), col("acctbal"), col("mktsegment"),
         col("valid_from"))
   }
+
+  // Row-tracked documents table: two appends, a positional delete, the
+  // PRE-OPTIMIZE id snapshot persisted to scratch parquet (distributed —
+  // never collected), then an OPTIMIZE that must not move a single id.
+  private val rowTrackCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (GraftTable, String)]()
+
+  private def rowTrackedDocs(spark: SparkSession, dir: String): (GraftTable, String) =
+    rowTrackCache.computeIfAbsent(dir, { _ =>
+      val docs = Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      val t = GraftTable.createWithProperties(spark, freshDir("rowtrack"),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        Map("graft.rowTracking" -> "true"))
+      t.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      t.deletePositional(pmod(col("doc_id"), lit(97)) === 0)
+      val prePath = freshDir("rowtrack-pre") + "/pre"
+      t.readWithRowIds()
+        .select(col("doc_id"), col("_graft_row_id").as("pre_id"))
+        .write.parquet(prePath)
+      t.optimize()
+      (t, prePath)
+    })
+
+  /** q159: row tracking (Delta `rowTracking` analogue) driver-checked —
+    * the stable-id contract asserted END TO END: after appends + a DV
+    * delete + an OPTIMIZE rewrite, every surviving document's row id must
+    * equal its pre-optimize id (`stable`), ids must stay unique
+    * (`distinct_ids`), and the row set must be exactly the delete's
+    * survivors (`docs`). The oracle states the contract: all three counts
+    * equal the survivor count — any id that moves, collides or vanishes
+    * breaks a column. The check itself is one distributed join of two
+    * id snapshots; nothing corpus-sized touches the driver. */
+  def rowTrackingStability(spark: SparkSession, dir: String): DataFrame = {
+    val (t, prePath) = rowTrackedDocs(spark, dir)
+    val pre = spark.read.parquet(prePath)
+    val post = t.readWithRowIds()
+      .select(col("doc_id"), col("_graft_row_id").as("post_id"))
+    post.join(pre, Seq("doc_id"), "full")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("pre_id") === col("post_id"), 1L).otherwise(0L)).as("stable"),
+        countDistinct(col("post_id")).as("distinct_ids"))
+  }
 }

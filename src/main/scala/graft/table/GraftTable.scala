@@ -179,10 +179,20 @@ final class GraftTable private (
   }
 
   private def readCommitInternal(c: Commit, withPos: Boolean,
-      upToDirs: Int = Int.MaxValue): DataFrame = {
+      upToDirs: Int = Int.MaxValue, withRowId: Boolean = false): DataFrame = {
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     val cmap = colMapOf(c.properties)
     val physSchema = physSchemaOf(schema, cmap)
+    // Row-id reads ALSO scan the hidden materialized id column: dirs
+    // written by a plain append lack it and read back null (explicit-
+    // schema semantics), which is exactly the "derive from metadata"
+    // signal the coalesce in [[readWithRowIdsOf]] keys on. Tombstone
+    // anti-joins keep matching on the LOGICAL schema only.
+    val scanSchema =
+      if (!withRowId) physSchema
+      else StructType(physSchema.fields :+
+        org.apache.spark.sql.types.StructField(
+          RowIdCol, org.apache.spark.sql.types.LongType))
     val dirs = c.dataDirs.take(upToDirs).map(d => new Path(root, d))
     val missing = dirs.filterNot(fs.exists)
     if (missing.nonEmpty)
@@ -197,12 +207,13 @@ final class GraftTable private (
     val dvInline: Option[Map[String, Seq[Long]]] =
       if (c.dvDirs.isEmpty || dvEntryCount > dvInlineMax) None
       else Some(dvEntriesOf(c))
-    val needPos = withPos || c.dvDirs.nonEmpty
+    val needPos = withPos || c.dvDirs.nonEmpty || withRowId
     def readDirs(ds: Seq[Path]): DataFrame = {
       val base =
         if (ds.isEmpty) {
-          val df = spark.createDataFrame(
+          val df0 = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          val df = if (withRowId) df0.withColumn(RowIdCol, lit(null).cast("long")) else df0
           if (needPos)
             df.withColumn(DvFileCol, lit(null).cast("string"))
               .withColumn(DvPosCol, lit(null).cast("long"))
@@ -212,7 +223,7 @@ final class GraftTable private (
           // footer sampling job, stable column order, and dirs written before
           // an additive schema change read back with nulls for new columns.
           def one(reader: org.apache.spark.sql.DataFrameReader, path: Seq[String]): DataFrame = {
-            val df0 = reader.schema(physSchema).parquet(path: _*)
+            val df0 = reader.schema(scanSchema).parquet(path: _*)
             // _metadata is per-scan: derive the lineage columns before any
             // union so they ride the row through the rest of the plan.
             val df = toLogicalDf(
@@ -295,6 +306,83 @@ final class GraftTable private (
   /** Current snapshot (SURVEY S3). */
   def read(): DataFrame = readCommit(
     log.latest().getOrElse(throw new NoSuchElementException(s"no commits at $root")))
+
+  /** Current snapshot with the stable [[RowIdCol]] id column appended —
+    * see the row-tracking contract at [[RowIdCol]]. Requires
+    * `graft.rowTracking=true`. The derivation adds one metadata-light
+    * job (per-file row counts, zero data columns projected) — only this
+    * explicit lineage read pays it, never a plain [[read]]. */
+  def readWithRowIds(): DataFrame = {
+    val c = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no commits at $root"))
+    readWithRowIdsOf(c)
+  }
+
+  private[table] def readWithRowIdsOf(c: Commit): DataFrame = {
+    require(rowTrackingOn(c),
+      s"row tracking is not enabled on $root — set $RowTrackingProp=true")
+    val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(RowIdCol),
+      s"$root has a data column named $RowIdCol — row tracking reserves it")
+    val df = readCommitInternal(c, withPos = true, withRowId = true)
+    val bases = rowIdFileBases(c)
+    df.withColumn(RowIdCol,
+        coalesce(col(RowIdCol),
+          element_at(typedLit(bases), col(DvFileCol)) + col(DvPosCol)))
+      .drop(DvFileCol, DvPosCol)
+  }
+
+  /** Per-dir row-id range bases: a pure fold over the immutable log —
+    * every dir is allocated `[base, base + rows)` at its FIRST appearance,
+    * using the exact footer row count the commit recorded. Ranges are
+    * never reused (rewritten dirs keep their consumed range), which is
+    * what makes fresh derived ids disjoint from every materialized id. */
+  private def dirRowIdBases(): Map[String, Long] = {
+    var high = 0L
+    val bases = scala.collection.mutable.HashMap.empty[String, Long]
+    log.commits().foreach { c =>
+      c.dataDirs.foreach { d =>
+        if (!bases.contains(d)) {
+          val rows = c.dirNulls.get(d).flatMap(_.get("")).filter(_ >= 0L)
+            .getOrElse(throw new IllegalStateException(
+              s"row tracking on $root needs the exact footer row count of " +
+                s"$d, which version ${c.version} did not record"))
+          bases(d) = high
+          high += rows
+        }
+      }
+    }
+    bases.toMap
+  }
+
+  /** `_metadata.file_path` → first row id of that file, for the commit's
+    * data dirs: dir base (from the log fold) + cumulative row counts of
+    * the dir's files in path order. Counts come from a zero-data-column
+    * scan so the keys are EXACTLY the strings the read's `_metadata`
+    * produces — no URI-rendering assumptions. Map size = file count
+    * (metadata class, same as the DV inline map). */
+  private def rowIdFileBases(c: Commit): Map[String, Long] = {
+    if (c.dataDirs.isEmpty) return Map.empty
+    val dirBases = dirRowIdBases()
+    val physSchema = physSchemaOf(
+      DataType.fromJson(c.schemaJson).asInstanceOf[StructType],
+      colMapOf(c.properties))
+    val counts = spark.read.schema(physSchema)
+      .option("recursiveFileLookup", "true")
+      .parquet(c.dataDirs.map(d => new Path(root, d).toString): _*)
+      .select(col("_metadata.file_path").as("f"))
+      .groupBy("f").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    counts.groupBy { case (f, _) =>
+        c.dataDirs.find(d => f.contains(s"/$d/")).getOrElse(
+          throw new IllegalStateException(
+            s"row tracking on $root cannot attribute $f to a data dir"))
+      }
+      .flatMap { case (d, files) =>
+        var base = dirBases(d)
+        files.sortBy(_._1).map { case (f, n) => val b = base; base += n; f -> b }
+      }
+  }
 
   /** Data-skipping read: the current snapshot restricted to data dirs whose
     * recorded [min, max] for `colName` intersects [lo, hi] (timestamps in
@@ -708,6 +796,33 @@ final class GraftTable private (
     * can never collide with user schema columns. */
   private val DvFileCol = "__graft_dv_file"
   private val DvPosCol = "__graft_dv_pos"
+
+  /** Row tracking (the Delta `rowTracking` table-feature analogue): with
+    * `graft.rowTracking=true`, every row carries a STABLE unique id that
+    * survives appends, deletes AND compaction — the handle an incremental
+    * downstream (CDC consumer, feature store, audit join) keys on across
+    * OPTIMIZE cycles. Two id sources meet in one `coalesce`:
+    *
+    *  - FRESH dirs derive ids from pure log metadata: each dir is
+    *    allocated a contiguous id range at its FIRST appearance
+    *    ([[dirRowIdBases]] — a driver-side fold over the immutable log
+    *    using the exact footer row counts every commit already records),
+    *    and a row's id is `dirBase + fileOffset + row_index`. Nothing is
+    *    written at append time — at 100 TB the append path cost is ZERO.
+    *  - OPTIMIZE-family rewrites MATERIALIZE the ids they read into a
+    *    hidden physical [[RowIdCol]] column of the rewritten files
+    *    (Delta's exact mechanism), because the rewritten layout no longer
+    *    matches any historical derivation.
+    *
+    * Uniqueness holds by construction: the fold allocates ranges
+    * monotonically over every dir EVER seen (including rewritten ones),
+    * so fresh ranges always sit above every id a materialized file can
+    * carry. DML rewrites (merge/update CoW) assign fresh ids to the rows
+    * they rewrite — Delta's row-tracking v1 semantics exactly. */
+  private[graft] val RowIdCol = "_graft_row_id"
+  private val RowTrackingProp = "graft.rowTracking"
+  private def rowTrackingOn(c: Commit): Boolean =
+    c.properties.get(RowTrackingProp).exists(_.equalsIgnoreCase("true"))
 
   /** Above this many recorded positions the DV read path switches from the
     * inline per-file filter to an anti-join (an inline set that big would
@@ -1473,9 +1588,13 @@ final class GraftTable private (
     metaFor(dir).stats
 
   private def metaFor(dir: String): DirMeta = {
-    val m = try metaFromFooters(dir)
+    val m0 = try metaFromFooters(dir)
       catch { case scala.util.control.NonFatal(_) =>
         DirMeta(statsFromScan(dir), Map.empty) }
+    // The hidden materialized row-id column is not part of the logical
+    // schema — keep it out of the skipping metadata (its footer row count
+    // under "" is unaffected).
+    val m = DirMeta(m0.stats - RowIdCol, m0.nulls - RowIdCol)
     // Footers speak physical names; skipping metadata is keyed logical.
     val rev = colMapAtHead.collect { case (lg, ph) if lg != ph => ph -> lg }
     if (rev.isEmpty) m
@@ -3251,7 +3370,11 @@ final class GraftTable private (
       fs.getContentSummary(new Path(root, d)).getLength
     }.sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val snapshot = readCommit(prev)
+    // A row-tracked compaction MATERIALIZES the ids it read into the
+    // rewritten files (see [[RowIdCol]]) — the one place ids must become
+    // physical, because the new layout matches no historical derivation.
+    val snapshot =
+      if (rowTrackingOn(prev)) readWithRowIdsOf(prev) else readCommit(prev)
     val clustered =
       if (zorderBy.isEmpty) snapshot.repartition(numFiles)
       else zorderCluster(snapshot, zorderBy, numFiles)
@@ -3284,8 +3407,10 @@ final class GraftTable private (
     }.sum
     val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // readCommit is already the purged view: schema-projected (dropped
-    // columns absent) and tombstone/DV-subtracted
-    val snapshot = readCommit(prev).repartition(numFiles)
+    // columns absent) and tombstone/DV-subtracted. Row ids survive the
+    // purge the same way they survive OPTIMIZE — materialized through.
+    val snapshot = (if (rowTrackingOn(prev)) readWithRowIdsOf(prev)
+      else readCommit(prev)).repartition(numFiles)
     val dir = writeData(snapshot, v, prev.partitionCols, rebalance = false)
     val meta = metaFor(dir)
     val c = Commit(v, tsMs, "REORG", Seq(dir),
@@ -3439,7 +3564,10 @@ final class GraftTable private (
       fs.getContentSummary(new Path(root, d)).getLength
     }.sum
     val numFiles = math.max(1, math.ceil(touchedBytes.toDouble / targetFileBytes).toInt)
-    val subset = readCommitInternal(prev.copy(dataDirs = touched), withPos = false)
+    val sub = prev.copy(dataDirs = touched)
+    val subset =
+      if (rowTrackingOn(prev)) readWithRowIdsOf(sub)
+      else readCommitInternal(sub, withPos = false)
     val clustered =
       if (zorderBy.isEmpty) subset.repartition(numFiles)
       else zorderCluster(subset, zorderBy, numFiles)
