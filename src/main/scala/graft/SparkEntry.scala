@@ -189,6 +189,8 @@ object SparkEntry {
     "q157_knn_label_purity"  -> (CorpusQueries.knnLabelPurity _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
+    "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
+    "q161_delta_row_tracking" -> (DeltaBridgeQueries.deltaRowTracking _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1796,6 +1798,15 @@ object SparkEntry {
         |       CAST(dup_count AS BIGINT) AS dup_count
         |FROM ranked WHERE rn = 1""".stripMargin,
 
+    // row tracking across the Delta mirror: a Delta-reader-shaped id
+    // derivation over the exported log must reproduce every graft row id
+    // (docs = matching = distinct over the survivors of the %97 delete)
+    "q161_delta_row_tracking" ->
+      """SELECT CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(count(*) AS BIGINT) AS matching,
+        |       CAST(count(*) AS BIGINT) AS distinct_ids
+        |FROM documents WHERE doc_id % 97 <> 0""".stripMargin,
+
     // row tracking: the oracle states the stable-id CONTRACT — after
     // appends + a positional delete + OPTIMIZE, survivor count, stable-id
     // count and distinct-id count must all equal the delete's survivors
@@ -1804,6 +1815,40 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS stable,
         |       CAST(count(*) AS BIGINT) AS distinct_ids
         |FROM documents WHERE doc_id % 97 <> 0""".stripMargin,
+
+    // dedup threshold sweep: one exact-jaccard pair table (the q25/q27
+    // chain at 0.5) scored against five thresholds; the jaccard double is
+    // the same BIGINT-ratio division on both engines, and the threshold
+    // literals parse to identical doubles, so the >= gates agree exactly
+    "q160_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pj AS (
+        |  SELECT a_id, b_id, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+        |  FROM common
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id),
+        |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        |hits AS (
+        |  SELECT th.threshold, pj.a_id, pj.b_id
+        |  FROM th JOIN pj ON pj.jaccard >= th.threshold),
+        |pc AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM hits GROUP BY 1),
+        |dc AS (SELECT threshold, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |       FROM (SELECT threshold, a_id AS doc_id FROM hits
+        |             UNION ALL SELECT threshold, b_id FROM hits) GROUP BY 1)
+        |SELECT th.threshold,
+        |       coalesce(pc.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+        |       coalesce(dc.n_docs, CAST(0 AS BIGINT)) AS n_docs
+        |FROM th LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

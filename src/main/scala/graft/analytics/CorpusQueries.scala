@@ -990,6 +990,37 @@ object CorpusQueries {
   def priorityDedup(spark: SparkSession, dir: String): DataFrame =
     Dedup.priorityDedup(Tables.documents(spark, dir))
 
+  /** q160: dedup threshold sweep — the tuning report every near-dup
+    * rollout publishes before picking its Jaccard cutoff: for each
+    * candidate threshold, how many pairs qualify and how many documents
+    * are touched by at least one qualifying pair. ONE pair computation
+    * (the q27 PPJoin at the loosest threshold, lossless for everything
+    * above it) feeds all thresholds; the 5× explode happens on the
+    * PAIR table — output-sized, never corpus-sized — so sweeping five
+    * thresholds costs the same shuffle as scoring one. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    dedupThresholdSweep(spark, Tables.documents(spark, dir))
+
+  def dedupThresholdSweep(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = thresholds.min)
+    val hits = pairs
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+    val pairCounts = hits.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val docCounts = hits
+      .select(col("threshold"), explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy("threshold").agg(countDistinct(col("doc_id")).as("n_docs"))
+    thresholds.toDF("threshold")
+      .join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO

@@ -246,4 +246,62 @@ object DeltaBridgeQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"))
   }
+
+  private val rowTracked = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.table.GraftTable)]()
+
+  /** q161: row tracking ACROSS THE MIRROR — the graft table's stable row
+    * ids ([[graft.table.GraftTable.readWithRowIds]]) recomputed by a
+    * Delta-reader-shaped derivation over the exported `_delta_log`
+    * (coalesce(materialized `_graft_row_id`, add's `baseRowId` +
+    * `_metadata.row_index`)), then compared id-for-id. The fixture mixes
+    * BOTH id sources: a DV delete + OPTIMIZE materializes the survivors'
+    * ids, a subsequent append rides the metadata-derived path. The
+    * Delta-side derivation is ONE scan over the live files with a
+    * broadcast file→base map (file-count-sized) — the same shape the
+    * snapshot read itself uses. Oracle: every surviving doc matches
+    * (counts all equal the survivor count). */
+  def deltaRowTracking(spark: SparkSession, dir: String): DataFrame = {
+    val (root, t) = rowTracked.computeIfAbsent(dir, { _ =>
+      val r = Scratch.dir(spark, "delta-export-rowtrack")
+      val docs = Tables.documents(spark, dir)
+        .select("doc_id", "source", "n_chars")
+      val tbl = graft.table.GraftTable.createWithProperties(spark, r,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        Map("graft.rowTracking" -> "true"))
+      tbl.deletePositional(pmod(col("doc_id"), lit(97)) === 0)
+      tbl.optimize() // materializes the even docs' ids
+      tbl.append(docs.filter(pmod(col("doc_id"), lit(2)) === 1 &&
+        pmod(col("doc_id"), lit(97)) =!= 0)) // derived-id path
+      graft.sources.DeltaExport.exportLog(tbl)
+      (r, tbl)
+    })
+    val snap = DeltaImport.snapshot(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(snap.schema.fields :+
+      org.apache.spark.sql.types.StructField("_graft_row_id",
+        org.apache.spark.sql.types.LongType))
+    val paths = snap.files.map(f => DeltaImport.resolveFile(root, f.path).toString)
+    val scan = spark.read.schema(schema).parquet(paths: _*)
+      .select(col("doc_id"), col("_graft_row_id"),
+        col("_metadata.file_path").as("fp"), col("_metadata.row_index").as("pos"))
+    // keys in the scan's own _metadata rendering: one tiny distinct pass
+    // maps each physical path to its add entry by relative-suffix match
+    val seen = scan.select("fp").distinct().collect().map(_.getString(0))
+    val baseByFp = seen.map { fp =>
+      val f = snap.files.find(a => fp.endsWith("/" + a.path)).getOrElse(
+        throw new IllegalStateException(s"no add entry for $fp"))
+      fp -> f.baseRowId.getOrElse(
+        throw new IllegalStateException(s"${f.path}: no baseRowId"))
+    }.toMap
+    val deltaIds = scan.select(col("doc_id"),
+      coalesce(col("_graft_row_id"),
+        element_at(typedLit(baseByFp), col("fp")) + col("pos")).as("delta_id"))
+    val graftIds = t.readWithRowIds()
+      .select(col("doc_id"), col("_graft_row_id").as("graft_id"))
+    deltaIds.join(graftIds, Seq("doc_id"), "full")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("delta_id") === col("graft_id"), 1L).otherwise(0L))
+          .as("matching"),
+        countDistinct(col("delta_id")).as("distinct_ids"))
+  }
 }

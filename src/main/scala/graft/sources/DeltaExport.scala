@@ -254,9 +254,74 @@ object DeltaExport {
       rel
     }
 
+    // ---- row tracking (tracked-from-birth tables): replicate the graft
+    // id fold so the mirror's baseRowIds equal graft's derived ids. Dir
+    // ranges advance by the RECORDED footer row counts (no file access —
+    // vacuumed history folds fine); per-file bases are computed only for
+    // dirs being exported now (their files exist), path-sorted exactly
+    // like graft's derivation. Re-adds (DV updates) preserve the original
+    // base/version, recovered from the resume snapshot when mid-log.
+    val rtActive = rowTrackingOn(commits.head.properties)
+    var rowHigh = 0L
+    val rtDirSeen = scala.collection.mutable.HashSet.empty[String]
+    val fileRowBase = scala.collection.mutable.HashMap.empty[String, Long]
+    val fileRowVer = scala.collection.mutable.HashMap.empty[String, Long]
+    var rtAdvertised = resumeSnap.flatMap(_.protocol)
+      .exists(_.writerFeatures.contains("rowTracking"))
+    if (rtActive) {
+      resumeSnap.foreach(_.files.foreach { f =>
+        val rel = decodePath(f.path)
+        f.baseRowId.foreach(fileRowBase(rel) = _)
+        f.defaultRowCommitVersion.foreach(fileRowVer(rel) = _)
+      })
+    }
+    def footerRows(st: FileStatus): Long = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }
+    def allocateRowIds(c: Commit, listFiles: Boolean): Unit =
+      c.dataDirs.foreach { d =>
+        if (!rtDirSeen.contains(d)) {
+          rtDirSeen += d
+          val rows = c.dirNulls.get(d).flatMap(_.get("")).filter(_ >= 0L)
+            .getOrElse(throw new IllegalStateException(
+              s"row-tracking export of ${table.root}: version ${c.version} " +
+                s"did not record the row count of $d"))
+          if (listFiles) {
+            var base = rowHigh
+            filesOf(d).foreach { st =>
+              val rel = relPath(st)
+              fileRowBase(rel) = base
+              fileRowVer(rel) = c.version
+              base += footerRows(st)
+            }
+            require(base - rowHigh == rows,
+              s"row-tracking export of ${table.root}: footer rows of $d " +
+                s"(${base - rowHigh}) differ from the recorded count ($rows)")
+          }
+          rowHigh += rows
+        }
+      }
+    if (rtActive)
+      commits.takeWhile(_.version <= published).foreach(allocateRowIds(_, listFiles = false))
+
     commits.dropWhile(_.version <= published)
       .takeWhile(_.version <= target).foreach { c =>
       val out = new Path(logDir, f"${c.version}%020d.json")
+      // Value-tombstone MoR materialization rewrites the covered prefix
+      // under export-owned dirs the graft id fold cannot see — the mirror
+      // would diverge from graft's ids. Positional (DV) deletes are fully
+      // supported; value-form MoR state must be materialized graft-side
+      // first (the same precondition optimizeWhere states).
+      if (rtActive) require(c.tombstoneDirs.isEmpty,
+        s"row-tracking export of ${table.root}: version ${c.version} carries " +
+          "value-tombstone MoR state — run materializeDeletes() before mirroring")
+      val rowHighBefore = rowHigh
+      if (rtActive) allocateRowIds(c, listFiles = true)
       val cur: Map[String, FileStatus] =
         if (c.tombstoneDirs.isEmpty)
           c.dataDirs.flatMap(d => filesOf(d).map(st => relPath(st) -> st)).toMap
@@ -329,6 +394,7 @@ object DeltaExport {
         (curDv.nonEmpty && !dvAdvertised) ||
         (mappingOn && !mappingAdvertised) ||
         (wantV2 && !v2Advertised) ||
+        (rtActive && !rtAdvertised) ||
         (cdfUpgrade && !resumeCdfCapable)
       if (needProto) {
         val gated = (if (wantDv) Seq("deletionVectors") else Nil) ++
@@ -339,6 +405,7 @@ object DeltaExport {
         dvAdvertised = wantDv
         mappingAdvertised = mappingOn
         v2Advertised = wantV2
+        rtAdvertised = rtAdvertised || rtActive
       }
       cdfUpgrade = false
       if (metaChanged) {
@@ -362,10 +429,21 @@ object DeltaExport {
           "version" -> JLong(b),
           "lastUpdated" -> JLong(c.tsMs))))
       }
+      // Row-tracking high-water mark: a domainMetadata action whenever new
+      // ids were allocated (always at v0 of a tracked table).
+      if (rtActive && (rowHigh > rowHighBefore || c.version == 0L)) {
+        lines += JsonMethods.compact(JObject("domainMetadata" -> JObject(
+          "domain" -> JString("delta.rowTracking"),
+          "configuration" ->
+            JString(s"""{"rowIdHighWaterMark":${rowHigh - 1}}"""),
+          "removed" -> JBool(false))))
+      }
       val dataChange = c.operation != "OPTIMIZE"
       adds.foreach { p =>
         lines += addJson(p, cur(p), physSchema, c.partitionCols, dataChange, conf,
-          curDv.get(p))
+          curDv.get(p),
+          if (rtActive) fileRowBase.get(p) else None,
+          if (rtActive) fileRowVer.get(p) else None)
       }
       removes.foreach { p =>
         val dvField = prevDv.get(p).map(d => "deletionVector" -> dvJson(d)).toList
@@ -457,7 +535,9 @@ object DeltaExport {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType),
-      StructField("deletionVector", dvT)))
+      StructField("deletionVector", dvT),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
     val metaT = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -479,10 +559,14 @@ object DeltaExport {
     val txnT = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
+    val domainT = StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))
     val ckptT = StructType(Seq(
       StructField("add", addT), StructField("metaData", metaT),
       StructField("protocol", protoT), StructField("remove", removeT),
-      StructField("txn", txnT)))
+      StructField("txn", txnT), StructField("domainMetadata", domainT)))
 
     // Tombstones + txn watermarks: prior checkpoint first (history the
     // JSON cleanup may have eaten), then ONLY the JSON tail after it —
@@ -546,7 +630,10 @@ object DeltaExport {
         d.sizeInBytes, d.cardinality)).orNull
     val addRows: Seq[Row] = s.files.map(statted).map(f => Row(
       Row(f.path, f.partitionValues, f.size, f.modificationTime,
-        false, f.stats.orNull, dvRow(f)), null, null, null, null))
+        false, f.stats.orNull, dvRow(f),
+        f.baseRowId.map(Long.box).orNull,
+        f.defaultRowCommitVersion.map(Long.box).orNull),
+      null, null, null, null, null))
     val partRows = spark.conf
       .getOption("spark.graft.delta.checkpointPartRows")
       .map(_.toInt).getOrElse(50000)
@@ -570,13 +657,17 @@ object DeltaExport {
           ("graft:" + new Path(tablePath).toUri.getPath)
             .getBytes(StandardCharsets.UTF_8)).toString),
           Row("parquet", Map.empty[String, String]),
-          s.schema.json, s.partitionColumns, s.configuration), null, null, null)) ++
+          s.schema.json, s.partitionColumns, s.configuration),
+          null, null, null, null)) ++
         Seq(Row(null, null, Row(proto.minReaderVersion, proto.minWriterVersion,
           featsOrNull(proto.readerFeatures), featsOrNull(proto.writerFeatures)),
-          null, null)) ++
-        tombstones.map { case (p, ts) => Row(null, null, null, Row(p, ts, false), null) } ++
+          null, null, null)) ++
+        tombstones.map { case (p, ts) =>
+          Row(null, null, null, Row(p, ts, false), null, null) } ++
         txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          Row(null, null, null, null, Row(app, v)) }
+          Row(null, null, null, null, Row(app, v), null) } ++
+        s.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
+          Row(null, null, null, null, null, Row(d, cfg, false)) }
 
     // Publication order makes every window benign:
     //  1. the checkpoint part(s) land first, write-once (an existing part
@@ -721,6 +812,11 @@ object DeltaExport {
     txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
       lines += JsonMethods.compact(JObject("txn" -> JObject(
         "appId" -> JString(app), "version" -> JLong(v))))
+    }
+    s.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, cfg) =>
+      lines += JsonMethods.compact(JObject("domainMetadata" -> JObject(
+        "domain" -> JString(d), "configuration" -> JString(cfg),
+        "removed" -> JBool(false))))
     }
     tombstones.foreach { case (p, ts) =>
       lines += JsonMethods.compact(JObject("remove" -> JObject(
@@ -886,7 +982,21 @@ object DeltaExport {
       (if (props.keys.exists(_.startsWith(GraftTable.GeneratedColPrefix)))
         Seq("generatedColumns") else Nil) ++
       (if (props.keys.exists(_.startsWith(GraftTable.IdentitySpecPrefix)))
-        Seq("identityColumns") else Nil)
+        Seq("identityColumns") else Nil) ++
+      // Row tracking is writer-gated (plus domainMetadata, which carries
+      // its high-water mark) — WRITER features only, never readerFeatures.
+      (if (rowTrackingOn(props)) Seq("rowTracking", "domainMetadata") else Nil)
+
+  /** The graft table declares row tracking ([[GraftTable.RowIdCol]]'s
+    * contract) — the mirror then carries Delta's own `rowTracking`
+    * feature: `baseRowId`/`defaultRowCommitVersion` on every add, the
+    * high-water mark as `delta.rowTracking` domain metadata, and the
+    * materialized-column names in the configuration. Bases replicate the
+    * graft fold EXACTLY (same dirs in first-appearance order, same footer
+    * row counts, same path-sorted file order), so a Delta reader computes
+    * the SAME id for every row that `readWithRowIds()` reports. */
+  private def rowTrackingOn(props: Map[String, String]): Boolean =
+    props.get("graft.rowTracking").exists(_.equalsIgnoreCase("true"))
 
   private def protocolJson(schema: StructType, props: Map[String, String]): String = {
     // TimestampNTZ in the schema is a Delta READER feature: legacy readers
@@ -896,12 +1006,19 @@ object DeltaExport {
     // play ([[writerFeaturesOf]]).
     val ntz = hasNtz(schema)
     val proto =
-      if (ntz) JObject(
-        "minReaderVersion" -> JInt(3),
-        "minWriterVersion" -> JInt(7),
-        "readerFeatures" -> JArray(List(JString("timestampNtz"))),
-        "writerFeatures" -> JArray(
-          writerFeaturesOf(schema, props).map(JString(_)).toList))
+      // Row tracking has no legacy writer version — it forces the
+      // feature-listed shape (writer 7). Reader stays at 1 unless NTZ
+      // demands 3: readerFeatures exists only on a v3 reader protocol,
+      // and writer-only features never appear in it.
+      if (ntz || rowTrackingOn(props)) JObject(
+        (List("minReaderVersion" -> (JInt(if (ntz) 3 else 1): JValue),
+          "minWriterVersion" -> (JInt(7): JValue)) ++
+          (if (ntz)
+            List("readerFeatures" ->
+              (JArray(List(JString("timestampNtz"))): JValue))
+          else Nil) ++
+          List("writerFeatures" -> (JArray(
+            writerFeaturesOf(schema, props).map(JString(_)).toList): JValue))): _*)
       else JObject(
         "minReaderVersion" -> JInt(1),
         // Legacy (non-feature-listed) writer version implying everything
@@ -967,11 +1084,25 @@ object DeltaExport {
     // advertises delta.enableChangeDataFeed — Delta CDF readers (the
     // reference's load_cdf, notebook cells 25-26) then serve changes from
     // the exported cdc actions / derived appends.
-    val conf0 = c.properties.map {
+    val confCdf = c.properties.map {
       case (k, v) if k.startsWith("constraint.") =>
         s"delta.constraints.${k.stripPrefix("constraint.")}" -> v
       case kv => kv
     } + ("delta.enableChangeDataFeed" -> "true")
+    // Row tracking: Delta's enable flag plus the materialized-column
+    // names. The row-id column IS graft's own hidden physical column, so
+    // a Delta reader resolves materialized ids from the very bytes graft
+    // wrote; the commit-version column is declared but never materialized
+    // — readers fall back to each add's defaultRowCommitVersion, the
+    // spec's own coalesce.
+    val conf0 =
+      if (!rowTrackingOn(c.properties)) confCdf
+      else confCdf +
+        ("delta.enableRowTracking" -> "true") +
+        ("delta.rowTracking.materializedRowIdColumnName" ->
+          GraftTable.RowIdCol) +
+        ("delta.rowTracking.materializedRowCommitVersionColumnName" ->
+          "_graft_row_commit_version")
     // Column mapping travels as Delta-native schema metadata + config —
     // the graft-namespace colmap entries are dropped from the mirror's
     // configuration (physical names are already in the schemaString).
@@ -1021,7 +1152,9 @@ object DeltaExport {
   private def addJson(rel: String, st: FileStatus, schema: StructType,
       partCols: Seq[String], dataChange: Boolean,
       conf: org.apache.hadoop.conf.Configuration,
-      dv: Option[DeltaDeletionVectors.Descriptor] = None): String = {
+      dv: Option[DeltaDeletionVectors.Descriptor] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None): String = {
     // A DV'd file's footer stats cover PHYSICAL rows (deleted included):
     // the protocol requires declaring them non-tight, else a metadata-only
     // MIN/MAX answer could come from deleted rows.
@@ -1033,7 +1166,10 @@ object DeltaExport {
       "modificationTime" -> (JLong(st.getModificationTime): JValue),
       "dataChange" -> (JBool(dataChange): JValue)) ++
       stats.map(s => "stats" -> (JString(s): JValue)) ++
-      dv.map(d => "deletionVector" -> (dvJson(d): JValue))
+      dv.map(d => "deletionVector" -> (dvJson(d): JValue)) ++
+      baseRowId.map(b => "baseRowId" -> (JLong(b): JValue)) ++
+      defaultRowCommitVersion.map(v =>
+        "defaultRowCommitVersion" -> (JLong(v): JValue))
     JsonMethods.compact(JObject("add" -> JObject(fields: _*)))
   }
 

@@ -49,7 +49,14 @@ object DeltaImport {
       size: Long = 0L, modificationTime: Long = 0L,
       /** Reader feature `deletionVectors`: positions recorded deleted from
         * this file without a rewrite ([[DeltaDeletionVectors]]). */
-      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None)
+      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None,
+      /** Writer feature `rowTracking`: first row id of this file (fresh
+        * rows derive id = baseRowId + row position; a materialized row-id
+        * column overrides). Preserved verbatim on re-adds. */
+      baseRowId: Option[Long] = None,
+      /** Commit version rows of this file default to when no materialized
+        * row-commit-version column overrides. */
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** The table's protocol action, carried VERBATIM so downstream
     * republication (e.g. [[DeltaExport.writeCheckpoint]]) never weakens
@@ -67,7 +74,12 @@ object DeltaImport {
       files: Seq[AddFile],
       protocol: Option[Protocol] = None,
       /** `metaData.id` as recorded — preserved on republication. */
-      tableId: Option[String] = None)
+      tableId: Option[String] = None,
+      /** Live `domainMetadata` state (domain → configuration JSON), e.g.
+        * `delta.rowTracking` carrying the row-id high-water mark. Replayed
+        * last-writer-wins, `removed` entries dropped; preserved through
+        * checkpoints. */
+      domainMetadata: Map[String, String] = Map.empty)
 
   private case class VersionActions(
       version: Long,
@@ -79,7 +91,8 @@ object DeltaImport {
       removes: Seq[(AddFile, Boolean)], // (file, dataChange); partitionValues
                                         // kept when extendedFileMetadata has them
       cdc: Seq[AddFile],
-      txns: Seq[(String, Long)]) // SetTransaction (appId, version)
+      txns: Seq[(String, Long)], // SetTransaction (appId, version)
+      domains: Seq[(String, String, Boolean)] = Nil) // (domain, config, removed)
 
   private implicit val formats: Formats = DefaultFormats
 
@@ -136,7 +149,7 @@ object DeltaImport {
     * encoded one and decodes — the identical ambiguity delta-spark has,
     * resolved the identical way (spec-conformant logs are always
     * encoded; Spark-written part-file names contain no '%'). */
-  private[sources] def resolveFile(tablePath: String, rel: String): Path =
+  private[graft] def resolveFile(tablePath: String, rel: String): Path =
     try new Path(tablePath, new Path(new java.net.URI(rel)))
     catch { case _: Exception => new Path(tablePath, rel) }
 
@@ -170,7 +183,15 @@ object DeltaImport {
         },
         longOf(d \ "sizeInBytes").toInt,
         longOf(d \ "cardinality")))
-    })
+    },
+    optLongOf(j \ "baseRowId"),
+    optLongOf(j \ "defaultRowCommitVersion"))
+
+  private def optLongOf(v: JValue): Option[Long] = v match {
+    case JInt(x) => Some(x.toLong)
+    case JLong(x) => Some(x)
+    case _ => None
+  }
 
   private def actionsOf(version: Long, lines: Iterator[String]): VersionActions = {
     var ts = 0L
@@ -181,6 +202,7 @@ object DeltaImport {
     val removes = Seq.newBuilder[(AddFile, Boolean)]
     val cdc = Seq.newBuilder[AddFile]
     val txns = Seq.newBuilder[(String, Long)]
+    val domains = Seq.newBuilder[(String, String, Boolean)]
     lines.filter(_.trim.nonEmpty).foreach { line =>
       val j = parseLine(line)
       (j \ "commitInfo") match {
@@ -229,9 +251,16 @@ object DeltaImport {
         case JString(app) => txns += app -> longOf(j \ "txn" \ "version")
         case _ => ()
       }
+      (j \ "domainMetadata" \ "domain") match {
+        case JString(d) => domains += ((d,
+          (j \ "domainMetadata" \ "configuration").extractOrElse[String]("{}"),
+          (j \ "domainMetadata" \ "removed").extractOrElse[Boolean](false)))
+        case _ => ()
+      }
     }
     VersionActions(version, ts, op, meta, protocol,
-      adds.result(), removes.result(), cdc.result(), txns.result())
+      adds.result(), removes.result(), cdc.result(), txns.result(),
+      domains.result())
   }
 
   /** JSON commit files of the log ≥ `afterVersion` (exclusive), ascending. */
@@ -315,6 +344,7 @@ object DeltaImport {
     var files = Map.empty[String, AddFile]
     var meta: Option[(StructType, Seq[String], Map[String, String], String)] = None
     var protocol: Option[Protocol] = None
+    var domains = Map.empty[String, String]
     var version = -1L
 
     // One checkpoint DataFrame's worth of actions folded into the state —
@@ -331,7 +361,8 @@ object DeltaImport {
           "offset:int,sizeInBytes:int,cardinality:bigint>"
         rows.select(col("add.path"), col("add.partitionValues"),
             opt("stats", "string"), opt("size", "bigint"),
-            opt("modificationTime", "bigint"), opt("deletionVector", dvT))
+            opt("modificationTime", "bigint"), opt("deletionVector", dvT),
+            opt("baseRowId", "bigint"), opt("defaultRowCommitVersion", "bigint"))
           .filter(col("path").isNotNull).collect().foreach { r =>
             val pv = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
             val stats = if (r.isNullAt(2)) None else Some(r.getString(2))
@@ -347,8 +378,17 @@ object DeltaImport {
               }
             files += r.getString(0) -> AddFile(r.getString(0), pv, stats,
               if (r.isNullAt(3)) 0L else r.getLong(3),
-              if (r.isNullAt(4)) 0L else r.getLong(4), dv)
+              if (r.isNullAt(4)) 0L else r.getLong(4), dv,
+              if (r.isNullAt(6)) None else Some(r.getLong(6)),
+              if (r.isNullAt(7)) None else Some(r.getLong(7)))
           }
+      }
+      if (cols.contains("domainMetadata")) {
+        rows.select(col("domainMetadata.domain"),
+            col("domainMetadata.configuration"))
+          .filter(col("domain").isNotNull).collect()
+          .foreach(r => domains += r.getString(0) ->
+            (if (r.isNullAt(1)) "{}" else r.getString(1)))
       }
       if (cols.contains("metaData")) {
         val metaFields = rows.schema("metaData").dataType
@@ -434,6 +474,13 @@ object DeltaImport {
                     case JNothing => ()
                     case a => val f = addOf(a); files += f.path -> f
                   }
+                  (j \ "domainMetadata" \ "domain") match {
+                    case JString(d) if !(j \ "domainMetadata" \ "removed")
+                        .extractOrElse[Boolean](false) =>
+                      domains += d -> (j \ "domainMetadata" \ "configuration")
+                        .extractOrElse[String]("{}")
+                    case _ => ()
+                  }
                   (j \ "sidecar" \ "path") match {
                     case JString(p) => sc += sidecarPath(tablePath, p)
                     case _ => ()
@@ -476,6 +523,9 @@ object DeltaImport {
         // commit's own add standing — so removes apply first.
         a.removes.foreach { case (f, _) => files -= f.path }
         a.adds.foreach { case (f, _) => files += f.path -> f }
+        a.domains.foreach { case (d, cfg, removed) =>
+          if (removed) domains -= d else domains += d -> cfg
+        }
         version = v
       }
 
@@ -508,7 +558,7 @@ object DeltaImport {
     }
     Snapshot(tablePath, version, schema, partCols, conf,
       files.values.toSeq.sortBy(_.path), protocol,
-      Option(tableId).filter(_.nonEmpty))
+      Option(tableId).filter(_.nonEmpty), domains)
   }
 
   // ------------------------------------------------------------- reads

@@ -819,7 +819,7 @@ final class GraftTable private (
     * so fresh ranges always sit above every id a materialized file can
     * carry. DML rewrites (merge/update CoW) assign fresh ids to the rows
     * they rewrite — Delta's row-tracking v1 semantics exactly. */
-  private[graft] val RowIdCol = "_graft_row_id"
+  private def RowIdCol: String = GraftTable.RowIdCol
   private val RowTrackingProp = "graft.rowTracking"
   private def rowTrackingOn(c: Commit): Boolean =
     c.properties.get(RowTrackingProp).exists(_.equalsIgnoreCase("true"))
@@ -3925,6 +3925,11 @@ object GraftTable {
     * translates these entries into `delta.columnMapping.physicalName`
     * field metadata so a rename mirrors as a metadata-only commit. */
   private[graft] val ColMapPrefix = "graft.colmap."
+
+  /** Hidden physical row-id column of row-tracked tables (see the
+    * row-tracking contract in the class scaladoc); also the Delta
+    * mirror's materialized row-id column name. */
+  private[graft] val RowIdCol = "_graft_row_id"
   private[graft] val GeneratedColPrefix = "graft.generatedCol."
   private[graft] val IdentitySpecPrefix = "graft.identityCol."
   private[graft] val IdentityHwmPrefix = "graft.identityHwm."

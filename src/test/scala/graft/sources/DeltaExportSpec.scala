@@ -812,4 +812,93 @@ class DeltaExportSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  /** Delta-reader-shaped row ids of a mirrored snapshot: per add,
+    * coalesce(materialized `_graft_row_id`, baseRowId + row position),
+    * minus any DV'd positions — the spec's own derivation rule. */
+  private def deltaRowIds(snap: DeltaImport.Snapshot): Map[Long, Long] =
+    snap.files.flatMap { f =>
+      val base = f.baseRowId.getOrElse(fail(s"${f.path}: no baseRowId"))
+      val dead = f.deletionVector.map(d =>
+        DeltaDeletionVectors.readPositions(d, snap.tablePath,
+          spark.sessionState.newHadoopConf()).toSet).getOrElse(Set.empty[Long])
+      val p = DeltaImport.resolveFile(snap.tablePath, f.path).toString
+      val df0 = spark.read.parquet(p)
+      val matCol =
+        if (df0.columns.contains("_graft_row_id")) col("_graft_row_id")
+        else lit(null).cast("long")
+      val rows = df0
+        .select(col("k"), col("_metadata.row_index").as("pos"), matCol.as("mat"))
+        .collect()
+      rows.filterNot(r => dead.contains(r.getAs[Long]("pos"))).map { r =>
+        val mat = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        r.getAs[Long]("k") -> mat.getOrElse(base + r.getAs[Long]("pos"))
+      }
+    }.toMap
+
+  test("row tracking exports: baseRowIds reproduce graft's derived ids") {
+    val root = tmpDir("dexp-rowtrack")
+    def rows(from: Long, n: Int) =
+      (from until from + n).map(i => (i, i * 1.5)).toDF("k", "x")
+    val t = GraftTable.createWithProperties(spark, root, rows(0, 20),
+      Map("graft.rowTracking" -> "true"))
+    t.append(rows(20, 20))
+    DeltaExport.exportLog(t)
+
+    val snap = DeltaImport.snapshot(spark, root)
+    val proto = snap.protocol.get
+    assert(proto.minWriterVersion === 7)
+    assert(proto.writerFeatures.contains("rowTracking"))
+    assert(proto.writerFeatures.contains("domainMetadata"))
+    assert(!proto.readerFeatures.contains("rowTracking"),
+      "writer-only features must not appear in readerFeatures")
+    assert(snap.configuration.get("delta.enableRowTracking").contains("true"))
+    assert(snap.configuration.get(
+      "delta.rowTracking.materializedRowIdColumnName").contains("_graft_row_id"))
+    snap.files.foreach { f =>
+      assert(f.baseRowId.isDefined && f.defaultRowCommitVersion.isDefined,
+        s"${f.path} lacks row-tracking fields")
+    }
+    // high-water mark rides domain metadata and bounds every id
+    val hwm = snap.domainMetadata.get("delta.rowTracking")
+      .map(c => (JsonMethods.parse(c) \ "rowIdHighWaterMark")
+        .asInstanceOf[org.json4s.JsonAST.JInt].num.toLong)
+    val graftIds = t.readWithRowIds()
+      .select(col("k"), col("_graft_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hwm.exists(_ >= graftIds.values.max))
+    // the headline: a Delta reader derives the SAME id for every row
+    assert(deltaRowIds(snap) === graftIds)
+  }
+
+  test("row tracking survives DV delete + OPTIMIZE + checkpoint cold open") {
+    val root = tmpDir("dexp-rowtrack-opt")
+    def rows(from: Long, n: Int) =
+      (from until from + n).map(i => (i, s"s$i")).toDF("k", "s")
+    val t = GraftTable.createWithProperties(spark, root, rows(0, 30),
+      Map("graft.rowTracking" -> "true"))
+    t.append(rows(30, 30))
+    t.deletePositional(col("k") % 5 === 0L)
+    DeltaExport.exportLog(t) // DV'd adds preserve their original bases
+    val graftPre = t.readWithRowIds()
+      .select(col("k"), col("_graft_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deltaRowIds(DeltaImport.snapshot(spark, root)) === graftPre)
+
+    t.optimize() // materializes ids into the rewritten files
+    DeltaExport.exportLog(t)
+    val graftIds = t.readWithRowIds()
+      .select(col("k"), col("_graft_row_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(graftIds === graftPre)
+    assert(deltaRowIds(DeltaImport.snapshot(spark, root)) === graftIds)
+
+    // checkpoint carries baseRowIds AND the domain high-water mark; a
+    // cold open (all covered JSON deleted) must lose neither
+    DeltaExport.writeCheckpoint(spark, root)
+    DeltaExport.cleanupLog(spark, root, retentionMs = 0L)
+    val cold = DeltaImport.snapshot(spark, root)
+    assert(cold.domainMetadata.contains("delta.rowTracking"))
+    assert(deltaRowIds(cold) === graftIds)
+  }
 }
