@@ -191,6 +191,8 @@ object SparkEntry {
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
     "q161_delta_row_tracking" -> (DeltaBridgeQueries.deltaRowTracking _),
+    "q162_tokenizer_parity"  -> (CorpusQueries.tokenizerParity _),
+    "q163_shard_manifest"    -> (CorpusQueries.shardManifest _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1849,6 +1851,35 @@ object SparkEntry {
         |       coalesce(pc.n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
         |       coalesce(dc.n_docs, CAST(0 AS BIGINT)) AS n_docs
         |FROM th LEFT JOIN pc USING (threshold) LEFT JOIN dc USING (threshold)""".stripMargin,
+
+    // tokenizer parity: BIGINT masses of the proven q20 counting
+    // expressions, two single final divisions
+    "q162_tokenizer_parity" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+        |  CAST(sum(length(text)) AS DOUBLE)
+        |    / sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS chars_per_bpe_token,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE)
+        |    / sum(len(regexp_split_to_array(trim(text), '\s+'))) AS fertility
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // shard manifest: the q112 permutation's shards with an
+    // order-canonical md5 fingerprint chain — engine-independent by
+    // construction (sorted by permutation key before hashing)
+    "q163_shard_manifest" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    md5('graft-shuffle-v1:' || CAST(doc_id AS VARCHAR)) AS skey,
+        |    md5(text) AS h,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM documents)
+        |SELECT CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(h, '' ORDER BY skey, doc_id)) AS fingerprint
+        |FROM k GROUP BY 1""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

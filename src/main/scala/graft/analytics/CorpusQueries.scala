@@ -1021,6 +1021,59 @@ object CorpusQueries {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
+  /** q162: tokenizer parity report — chars-per-BPE-token and fertility
+    * (BPE tokens per whitespace word) aggregated per language: the
+    * standard check that a tokenizer doesn't tax some languages with
+    * 2–3× the tokens per character (Petrov et al. 2023, "Language Model
+    * Tokenizers Introduce Unfairness") — which silently skews both
+    * training-mix budgets and per-language inference cost. All masses are
+    * exact BIGINT sums of the proven per-row counting expressions; the
+    * two ratios are single final divisions. One shuffle-free scan + one
+    * language-cardinality aggregate. */
+  def tokenizerParity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        charCount(col("text")).cast("long").as("chars"),
+        tokenCount(col("text")).cast("long").as("toks"),
+        bpeTokenCount(col("text")).cast("long").as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("chars")).as("total_chars"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("bpe")).as("total_bpe_tokens"))
+      .select(col("lang"), col("docs"), col("total_chars"),
+        col("total_tokens"), col("total_bpe_tokens"),
+        (col("total_chars").cast("double") / col("total_bpe_tokens"))
+          .as("chars_per_bpe_token"),
+        (col("total_bpe_tokens").cast("double") / col("total_tokens"))
+          .as("fertility"))
+
+  /** q163: training-shard manifest — the reproducibility artifact
+    * published with a training run: per shard of the q112 seeded
+    * permutation, document and token counts plus a CONTENT FINGERPRINT
+    * (md5 over the shard's per-doc content hashes in shard order). Two
+    * runs that disagree on any byte of any shard disagree on a
+    * fingerprint; a re-run that matches proves the exact same data went
+    * in. The fingerprint is order-canonical (sorted by permutation key,
+    * the shard's own read order), so it is partitioning- and
+    * engine-independent; per-shard state is one hash chain, never a
+    * corpus-sized collect. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("graft-shuffle-v1:"), col("doc_id").cast("string")))
+          .as("skey"),
+        md5(col("text")).as("h"),
+        tokenCount(col("text")).cast("long").as("toks"))
+      .withColumn("shard",
+        expr("CAST(instr('0123456789abcdef', substring(skey, 1, 1)) - 1 AS INT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(struct(skey, doc_id, h))), s -> s.h)")))
+          .as("fingerprint"))
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO
