@@ -193,6 +193,7 @@ object SparkEntry {
     "q161_delta_row_tracking" -> (DeltaBridgeQueries.deltaRowTracking _),
     "q162_tokenizer_parity"  -> (CorpusQueries.tokenizerParity _),
     "q163_shard_manifest"    -> (CorpusQueries.shardManifest _),
+    "q164_label_separation"  -> (CorpusQueries.labelSeparation _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1880,6 +1881,43 @@ object SparkEntry {
         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
         |  md5(string_agg(h, '' ORDER BY skey, doc_id)) AS fingerprint
         |FROM k GROUP BY 1""".stripMargin,
+
+    // label-centroid separation: centroid cosine is scale-invariant, so
+    // the 1/n factors cancel; centroids are quantized to 1e6 fixed point
+    // by exact truncating integer division (sign split out) so every
+    // value reaching a double is < 2^53 — int->double is then exact in
+    // both engines and the final sqrt/division are correctly-rounded
+    // IEEE ops, making the doubles bit-identical
+    "q164_label_separation" ->
+      """WITH ex AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+        |c0 AS (
+        |  SELECT label, dim, sum(CAST(floor(x * 1e9) AS BIGINT)) AS sx,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM ex GROUP BY 1, 2),
+        |c AS (
+        |  SELECT label, dim,
+        |         CAST((CASE WHEN sx < 0 THEN -1 ELSE 1 END)
+        |              * (abs(sx) // (nd * 1000)) AS BIGINT) AS cx
+        |  FROM c0),
+        |norm AS (SELECT label, CAST(sum(cx * cx) AS BIGINT) AS s2 FROM c GROUP BY 1),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         CAST(sum(a.cx * b.cx) AS BIGINT) AS sab
+        |  FROM c a JOIN c b USING (dim)
+        |  WHERE a.label < b.label GROUP BY 1, 2)
+        |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b,
+        |  CAST(sab AS DOUBLE)
+        |    / (sqrt(CAST(sa.s2 AS DOUBLE)) * sqrt(CAST(sb.s2 AS DOUBLE)))
+        |    AS centroid_cosine
+        |FROM p
+        |JOIN norm sa ON sa.label = p.label_a
+        |JOIN norm sb ON sb.label = p.label_b
+        |JOIN n na ON na.label = p.label_a
+        |JOIN n nb ON nb.label = p.label_b""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

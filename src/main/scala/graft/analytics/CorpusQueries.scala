@@ -1074,6 +1074,64 @@ object CorpusQueries {
           "transform(array_sort(collect_list(struct(skey, doc_id, h))), s -> s.h)")))
           .as("fingerprint"))
 
+  /** q164: label-centroid separation matrix — pairwise cosine between
+    * per-label mean embeddings: with [[knnLabelPurity]] (local structure)
+    * and [[embeddingCov]] (global geometry) this completes the
+    * embedding-space eval triad — two labels whose centroids sit at
+    * cosine ≈ 1 are classes the space cannot tell apart, the first thing
+    * to check before spending a training run on those labels.
+    *
+    * Exactness without a single cross-engine float sum: per-dim sums are
+    * fixed-point BIGINTs (`floor(x·1e9)`, the q149 idiom), then each
+    * CENTROID coordinate is quantized to 1e6 fixed point by exact
+    * truncating integer division (sign split out so Spark `div` and
+    * DuckDB `//` agree on negatives). That keeps every value that later
+    * touches a double below 2^53 — 64 dims × (1e6)² ≈ 1e14 ≪ 9·10^15 —
+    * so the int→double casts are EXACT in both engines (DECIMAL(38)→
+    * double of >2^53 integers is not correctly rounded in DuckDB) and
+    * the final sqrt/×/÷ are correctly-rounded IEEE ops: bit-identical.
+    * Scale shape: one explode pass, label×d centroid cells, labels²
+    * output — nothing corpus-sized past the first aggregate. */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame =
+    labelSeparation(Tables.embeddings(spark, dir))
+
+  def labelSeparation(emb: DataFrame): DataFrame = {
+    val ex = emb
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    // nd per (label,dim) == rows per label: every row carries all dims
+    val cent = ex.groupBy("label", "dim")
+      .agg(sum(floor(col("x") * lit(1e9)).cast("long")).as("sx"),
+        count(lit(1)).as("nd"))
+      .select(col("label"), col("dim"),
+        expr("(CASE WHEN sx < 0 THEN -1L ELSE 1L END) * (abs(sx) div (nd * 1000L))")
+          .as("cx"))
+    val norms = cent.groupBy("label")
+      .agg(sum(col("cx") * col("cx")).as("s2"))
+    val counts = emb
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    val pairs = cent.select(col("label").as("label_a"), col("dim"),
+        col("cx").as("cxa"))
+      .join(cent.select(col("label").as("label_b"), col("dim"),
+        col("cx").as("cxb")), Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("cxa") * col("cxb")).as("sab"))
+    pairs
+      .join(broadcast(norms.select(col("label").as("label_a"), col("s2").as("s2a"))),
+        Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"), col("s2").as("s2b"))),
+        Seq("label_b"))
+      .join(broadcast(counts.select(col("label").as("label_a"), col("n").as("n_a"))),
+        Seq("label_a"))
+      .join(broadcast(counts.select(col("label").as("label_b"), col("n").as("n_b"))),
+        Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (col("sab").cast("double")
+          / (sqrt(col("s2a").cast("double")) * sqrt(col("s2b").cast("double"))))
+          .as("centroid_cosine"))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO
