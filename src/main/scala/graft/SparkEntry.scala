@@ -194,6 +194,8 @@ object SparkEntry {
     "q162_tokenizer_parity"  -> (CorpusQueries.tokenizerParity _),
     "q163_shard_manifest"    -> (CorpusQueries.shardManifest _),
     "q164_label_separation"  -> (CorpusQueries.labelSeparation _),
+    "q165_prototypicality_prune" -> (CorpusQueries.prototypicalityPrune _),
+    "q166_hard_negatives"    -> (RetrievalQueries.hardNegatives _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1918,6 +1920,100 @@ object SparkEntry {
         |JOIN norm sb ON sb.label = p.label_b
         |JOIN n na ON na.label = p.label_a
         |JOIN n nb ON nb.label = p.label_b""".stripMargin,
+
+    // prototypicality pruning: 1e6 fixed-point centroids (q164 idiom)
+    // keep dot/norm masses < 2^53 so the per-row cosine is bit-identical
+    // and the quartile rank order is engine-independent
+    "q165_prototypicality_prune" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, CAST(i - 1 AS INT) AS dim,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS vx
+        |  FROM (SELECT vec_id, label, embedding,
+        |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+        |c0 AS (
+        |  SELECT label, dim, CAST(sum(vx) AS BIGINT) AS sx,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM ex GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT label, dim,
+        |         CAST((CASE WHEN sx < 0 THEN -1 ELSE 1 END)
+        |              * (abs(sx) // nd) AS BIGINT) AS cx
+        |  FROM c0),
+        |nc AS (SELECT label, CAST(sum(cx * cx) AS BIGINT) AS nc FROM cent GROUP BY 1),
+        |sc AS (
+        |  SELECT e.vec_id, e.label,
+        |         CAST(sum(e.vx * c.cx) AS BIGINT) AS dotc,
+        |         CAST(sum(e.vx * e.vx) AS BIGINT) AS nv
+        |  FROM ex e JOIN cent c USING (label, dim) GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT sc.vec_id, sc.label,
+        |         CAST(dotc AS DOUBLE)
+        |           / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc.nc AS DOUBLE)))
+        |           AS proto_cosine
+        |  FROM sc JOIN nc USING (label)),
+        |nn AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1),
+        |r AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY label ORDER BY proto_cosine ASC, vec_id) AS rn
+        |  FROM cosd),
+        |k AS (
+        |  SELECT r.label, r.vec_id, r.proto_cosine, nn.n
+        |  FROM r JOIN nn USING (label)
+        |  WHERE r.rn <= greatest(1, nn.n // 4))
+        |SELECT label, max(n) AS n, CAST(count(*) AS BIGINT) AS n_kept,
+        |  max(proto_cosine) AS border_cosine,
+        |  md5(string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id))
+        |    AS kept_fingerprint
+        |FROM k GROUP BY 1""".stripMargin,
+
+    // hard-negative mining: q114's BM25 formula with per-term
+    // contributions floored to 1e9 fixed point BEFORE the cross-term sum,
+    // so the score mass is a BIGINT (aggregation-order-free) and the rank
+    // is a pure integer sort
+    "q166_hard_negatives" ->
+      """WITH toks AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE trim(text) <> '')
+        |  WHERE term <> ''),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |anchors AS (
+        |  SELECT DISTINCT doc_id AS anchor_id, term FROM (
+        |    SELECT doc_id,
+        |           unnest(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 4))
+        |             AS term
+        |    FROM documents WHERE doc_id < 8)),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term IN (SELECT term FROM anchors)
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |totals AS (
+        |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM toks) AS total_tokens),
+        |contrib AS (
+        |  SELECT a.anchor_id, tf.doc_id,
+        |    CAST(floor(((n_docs - df + 0.5) / (df + 0.5))
+        |      * ((tf * 2.2)
+        |         / (tf + 1.2 * (0.25 + ((0.75 * dl) * n_docs) / total_tokens)))
+        |      * 1e9) AS BIGINT) AS sfp
+        |  FROM tf
+        |  JOIN anchors a USING (term)
+        |  JOIN dft USING (term)
+        |  JOIN dl USING (doc_id)
+        |  CROSS JOIN totals),
+        |scored AS (
+        |  SELECT anchor_id, doc_id, CAST(sum(sfp) AS BIGINT) AS score_fp
+        |  FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT anchor_id, doc_id, score_fp,
+        |    row_number()
+        |      OVER (PARTITION BY anchor_id ORDER BY score_fp DESC, doc_id) AS rank
+        |  FROM scored WHERE anchor_id <> doc_id)
+        |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, doc_id AS neg_id,
+        |  CAST(score_fp AS DOUBLE) / 1e9 AS score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // inverted index: postings sorted numerically then rendered, so the
     // string is engine- and partitioning-independent

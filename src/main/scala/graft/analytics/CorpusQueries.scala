@@ -1132,6 +1132,73 @@ object CorpusQueries {
           .as("centroid_cosine"))
   }
 
+  /** q165: prototypicality pruning (Sorscher et al. NeurIPS'22 "Beyond
+    * neural scaling laws"): rank each vector by cosine to its LABEL
+    * centroid and keep the hardest quartile — in the abundant-data
+    * regime, dropping the most prototypical (easiest) examples beats
+    * random pruning, so this is the data-selection pass run before a
+    * training mix is frozen. Output is one row per label: kept count,
+    * the decision-boundary cosine, and an order-canonical md5
+    * fingerprint of the kept ids (the artifact a re-run diffs against).
+    *
+    * Exactness: per-dim values quantize to 1e6 fixed point
+    * (`floor(x·1e6)` longs), the centroid is an exact truncating integer
+    * division of their per-label sums (sign split out so Spark `div`
+    * and DuckDB `//` agree), and dot/norms are BIGINT sums of products
+    * bounded by 64·(0.6e6)² ≈ 2e13 < 2^53 — so the int→double casts are
+    * exact and the one sqrt/divide per row is a correctly-rounded IEEE
+    * sequence: cosines, and therefore the rank order, are bit-identical
+    * across engines (ties break on vec_id).
+    *
+    * Scale shape: one explode pass; the centroid table is labels×d rows
+    * (broadcast); scoring is a second map-side pass against it. The
+    * per-label quartile RANK is the exact contract and serializes each
+    * label into one window task — fine at eval scale; at 100 TB the
+    * keep/drop decision is a THRESHOLD on a per-row cosine, so the
+    * production shape is: estimate each label's quartile border on a
+    * stratified sample (q117's sampler, the q157 precedent), then keep
+    * `proto_cosine < border` as a pure map filter over the full corpus —
+    * the scoring passes here are already that shape. */
+  def prototypicalityPrune(spark: SparkSession, dir: String): DataFrame =
+    prototypicalityPrune(Tables.embeddings(spark, dir))
+
+  def prototypicalityPrune(emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x") * lit(1e6)).cast("long").as("vx"))
+    val cent = ex.groupBy("label", "dim")
+      .agg(sum(col("vx")).as("sx"), count(lit(1)).as("nd"))
+      .select(col("label"), col("dim"),
+        expr("(CASE WHEN sx < 0 THEN -1L ELSE 1L END) * (abs(sx) div nd)")
+          .as("cx"))
+    val nc = cent.groupBy("label").agg(sum(col("cx") * col("cx")).as("nc"))
+    val scored = ex.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("vx") * col("cx")).as("dotc"),
+        sum(col("vx") * col("vx")).as("nv"))
+      .join(broadcast(nc), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        (col("dotc").cast("double")
+          / (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double"))))
+          .as("proto_cosine"))
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("proto_cosine").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq("label"))
+      .filter(col("rn") <= greatest(lit(1L), expr("n div 4")))
+      .groupBy("label")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_kept"),
+        max(col("proto_cosine")).as("border_cosine"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(vec_id)), v -> CAST(v AS STRING))")))
+          .as("kept_fingerprint"))
+      .select(col("label"), col("n"), col("n_kept"), col("border_cosine"),
+        col("kept_fingerprint"))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO

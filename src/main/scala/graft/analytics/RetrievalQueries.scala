@@ -219,4 +219,64 @@ object RetrievalQueries {
         transform(array_sort(collect_set(col("doc_id"))), _.cast("string")),
         ",").as("postings"))
   }
+
+  /** q166: hard-negative mining for retrieval training (the DPR/Contriever
+    * data-prep step): for each anchor document, the query is its first 4
+    * tokens, and the negatives are the top BM25-ranked OTHER documents —
+    * lexically close enough to fool a sparse retriever, which is exactly
+    * what makes them effective contrastive negatives. Output is one row
+    * per (anchor, rank): the negative's id and its BM25 score.
+    *
+    * Exactness: q114's BM25 formula verbatim per (anchor, doc, term), but
+    * the per-term contributions quantize to 1e9 fixed point BEFORE the
+    * cross-term sum (`floor(s·1e9)` longs) — floor of a bit-identical
+    * double is exact, so the BIGINT score mass is partial-aggregation-
+    * order-independent and the rank (score_fp desc, doc_id) is a pure
+    * integer sort. Scores stay ≤ ~6e4·1e9 ≈ 6e13 per term < 2^53, so the
+    * final cast back to double is exact too.
+    *
+    * Scale shape: anchors and their query terms are a constant-size
+    * broadcast; tf touches only matching terms (inverted-index lookup
+    * shape at 100 TB); the heavy stage is one hash aggregate over
+    * (anchor, doc) pairs bounded by anchors × docs-sharing-a-query-term,
+    * and the final top-k per anchor is a bounded heap per partition. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.documents(spark, dir))
+
+  def hardNegatives(docs: DataFrame, nAnchors: Long = 8L,
+      negK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val anchors = docs.filter(col("doc_id") < nAnchors)
+      .select(col("doc_id").as("anchor_id"),
+        explode(slice(tokens(col("text")), 1, 4)).as("term"))
+      .distinct()
+    val tf = toks.join(broadcast(anchors.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.agg(count(lit(1)).as("total_tokens")))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val norm = (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + ((lit(0.75) * col("dl")) * col("n_docs")) / col("total_tokens")))
+    val contrib = tf
+      .join(broadcast(anchors), Seq("term"))
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .select(col("anchor_id"), col("doc_id"),
+        floor(idf * norm * lit(1e9)).cast("long").as("sfp"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("score_fp").desc, col("doc_id").asc)
+    contrib.groupBy("anchor_id", "doc_id")
+      .agg(sum(col("sfp")).as("score_fp"))
+      .filter(col("anchor_id") =!= col("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= negK)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("doc_id").as("neg_id"),
+        (col("score_fp").cast("double") / lit(1e9)).as("score"))
+  }
 }
