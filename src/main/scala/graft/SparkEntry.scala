@@ -196,6 +196,8 @@ object SparkEntry {
     "q164_label_separation"  -> (CorpusQueries.labelSeparation _),
     "q165_prototypicality_prune" -> (CorpusQueries.prototypicalityPrune _),
     "q166_hard_negatives"    -> (RetrievalQueries.hardNegatives _),
+    "q167_delta_type_widening" -> (DeltaBridgeQueries.deltaTypeWidening _),
+    "q168_leakage_safe_split" -> (CorpusQueries.leakageSafeSplit _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -535,6 +537,15 @@ object SparkEntry {
     // the snapshot must come entirely from the manifest + sidecars.
     "q154_delta_v2_checkpoint" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+    // Metadata-only type widening (q167): pre-widen int files and
+    // post-widen long files serve as one long snapshot through the
+    // mirror; the oracle recomputes both halves with plain casts.
+    "q167_delta_type_widening" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 5000000000 AS okey, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin,
     // Frozen `cdc_events` fixture (q140): two STREAMING UPDATE commits —
     // the replay must serve the union of both commits' files.
     "q140_delta_import_events" ->
@@ -773,6 +784,23 @@ object SparkEntry {
     // filter ∩ keepers, composed from the q71 filter and the q73 closure:
     // the fdocs CTE shadows the documents source inside the closure SQL
     "q86_clean_corpus" -> CleanCorpusOracleSql,
+    // leakage-safe split: q59's exact bucket function on the CLUSTER id
+    // from the q73 closure — near-dups share a split by construction
+    "q168_leakage_safe_split" ->
+      s"""SELECT doc_id, cluster_id, cluster_size, bucket,
+         |  CASE WHEN bucket < 900 THEN 'train'
+         |       WHEN bucket < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, cluster_id, cluster_size,
+         |    CAST(list_sum(list_transform(range(8),
+         |      i -> (strpos('0123456789abcdef',
+         |              substring(md5(CAST(cluster_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+         |           * pow(16, 7 - i))) AS BIGINT) % 1000 AS bucket
+         |  FROM (
+         |$DupClustersOracleSql
+         |  )
+         |)""".stripMargin,
     // the closure aggregated into the published dedup summary
     "q87_dedup_report" ->
       s"""SELECT cluster_size,

@@ -401,6 +401,35 @@ object CorpusQueries {
         countDistinct(col("cluster_id")).as("n_clusters"),
         count(lit(1)).as("n_docs"))
 
+  /** q168: leakage-safe train/val/test split — the split is assigned by
+    * hashing the duplicate-CLUSTER id (q73's components; a singleton's
+    * cluster_id is its own doc_id), not the doc id: near-duplicates land
+    * in the SAME split by construction, so a held-out set can never be
+    * contaminated by a train-side twin — the classic eval-inflation bug
+    * a per-doc hash split (q59) silently commits on a duplicated corpus.
+    * Bucketing is q59's exact md5-bucket function applied to cluster_id,
+    * so the two splits differ ONLY in the leakage guarantee.
+    *
+    * Scale shape: the cluster table is the run's materialized q73
+    * artifact (never recomputed per consumer); the assignment is one
+    * doc_id-keyed join + a per-row hash — no new heavy stage, and the
+    * split stays stable under re-runs and repartitioning (the md5 bucket
+    * is a pure value function). */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakageSafeSplit(
+      materializedClusters(spark, dir, "all")(dupClusters(spark, dir)))
+
+  def leakageSafeSplit(clusters: DataFrame): DataFrame = {
+    val bucket = SamplingQueries.md5Bucket32(col("cluster_id")) % 1000
+    clusters
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "val")
+          .otherwise("test"))
+  }
+
   /** The clean-corpus materialization — the pipeline's flagship composite:
     * quality-filter the corpus (q71's gates), cluster the survivors'
     * near-dups (q27's lossless pairs → connected components) and keep ONE

@@ -247,6 +247,33 @@ object DeltaBridgeQueries {
         col("o_totalprice"))
   }
 
+  /** q167: metadata-only TYPE WIDENING end-to-end through the mirror —
+    * create with an int key (mirrored), `widenColumnType` to long (mirrors
+    * as a METADATA-ONLY Delta commit carrying `delta.typeChanges` + the
+    * `typeWidening` feature), then append keys past the int range and read
+    * back exclusively through the Delta log replay: the pre-widen int
+    * files and post-widen long files serve as ONE long-typed snapshot, no
+    * data file rewritten at the widen on either side. The oracle recomputes
+    * both halves from the source parquet with plain casts. */
+  def deltaTypeWidening(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#widen", { _ =>
+      val r = Scratch.dir(spark, "delta-export-widen")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, r,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey").cast("int").as("okey"),
+            col("o_totalprice")))
+      graft.sources.DeltaExport.exportLog(t)
+      t.widenColumnType("okey", org.apache.spark.sql.types.LongType)
+      t.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select((col("o_orderkey") + lit(5000000000L)).as("okey"),
+          col("o_totalprice")))
+      graft.sources.DeltaExport.exportLog(t)
+      r
+    })
+    DeltaImport.read(spark, root).select(col("okey"), col("o_totalprice"))
+  }
+
   private val rowTracked = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.table.GraftTable)]()
 

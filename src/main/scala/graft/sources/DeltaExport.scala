@@ -171,6 +171,11 @@ object DeltaExport {
     // (sticky once advertised, like every feature).
     var v2Advertised = resumeSnap.flatMap(_.protocol).exists(
       _.readerFeatures.contains("v2Checkpoint"))
+    // Type widening: activated by the first graft WIDEN COLUMN commit and
+    // sticky thereafter — files with narrow physical types persist
+    // indefinitely, so the reader feature can never be dropped.
+    var twAdvertised = resumeSnap.flatMap(_.protocol).exists(
+      _.readerFeatures.contains("typeWidening"))
     var mappingAdvertised = resumeSnap.flatMap(_.protocol).exists(p =>
       p.readerFeatures.contains("columnMapping") ||
         (p.minReaderVersion >= 2 && mappingOn))
@@ -390,21 +395,26 @@ object DeltaExport {
         .getOption("spark.graft.delta.checkpointPolicy")
         .orElse(c.properties.get("delta.checkpointPolicy"))
         .contains("v2")
+      val wantTw = twAdvertised ||
+        c.properties.keys.exists(_.startsWith(GraftTable.TypeChangePrefix))
       val needProto = c.version == 0L ||
         (curDv.nonEmpty && !dvAdvertised) ||
         (mappingOn && !mappingAdvertised) ||
         (wantV2 && !v2Advertised) ||
+        (wantTw && !twAdvertised) ||
         (rtActive && !rtAdvertised) ||
         (cdfUpgrade && !resumeCdfCapable)
       if (needProto) {
         val gated = (if (wantDv) Seq("deletionVectors") else Nil) ++
           (if (mappingOn) Seq("columnMapping") else Nil) ++
-          (if (wantV2) Seq("v2Checkpoint") else Nil)
+          (if (wantV2) Seq("v2Checkpoint") else Nil) ++
+          (if (wantTw) Seq("typeWidening") else Nil)
         lines += (if (gated.nonEmpty) gatedProtocolJson(schema, c.properties, gated)
           else protocolJson(schema, c.properties))
         dvAdvertised = wantDv
         mappingAdvertised = mappingOn
         v2Advertised = wantV2
+        twAdvertised = wantTw
         rtAdvertised = rtAdvertised || rtActive
       }
       cdfUpgrade = false
@@ -1056,13 +1066,24 @@ object DeltaExport {
       case (k, v) if k.startsWith(GraftTable.IdentitySpecPrefix) =>
         k.stripPrefix(GraftTable.IdentitySpecPrefix) -> v
     }
-    if (gen.isEmpty && ident.isEmpty) return c.schemaJson
+    // Type-widening history travels as `delta.typeChanges` FIELD metadata
+    // (PROTOCOL.md "Type Widening") — graft keys it by PHYSICAL name,
+    // exactly what the protocol's per-file reconciliation needs.
+    val tw = c.properties.collect {
+      case (k, v) if k.startsWith(GraftTable.TypeChangePrefix) =>
+        k.stripPrefix(GraftTable.TypeChangePrefix) -> v
+    }
+    if (gen.isEmpty && ident.isEmpty && tw.isEmpty) return c.schemaJson
+    val cmapTw = colMapOfProps(c.properties)
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     StructType(schema.fields.map { f =>
       val b = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
       gen.get(f.name).foreach(e =>
         b.putString("delta.generationExpression", e))
+      tw.get(cmapTw.getOrElse(f.name, f.name)).foreach(hist =>
+        b.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(
+          s"""{"delta.typeChanges":$hist}""")))
       ident.get(f.name).foreach { spec =>
         val Array(start, step) = spec.split(',')
         b.putLong("delta.identity.start", start.toLong)
@@ -1084,11 +1105,15 @@ object DeltaExport {
     // advertises delta.enableChangeDataFeed — Delta CDF readers (the
     // reference's load_cdf, notebook cells 25-26) then serve changes from
     // the exported cdc actions / derived appends.
-    val confCdf = c.properties.map {
-      case (k, v) if k.startsWith("constraint.") =>
-        s"delta.constraints.${k.stripPrefix("constraint.")}" -> v
-      case kv => kv
-    } + ("delta.enableChangeDataFeed" -> "true")
+    val confCdf = c.properties
+      // typeChange history lives in the schemaString's field metadata,
+      // never in the configuration (mirrors the colmap-entry drop below)
+      .filterNot(_._1.startsWith(GraftTable.TypeChangePrefix))
+      .map {
+        case (k, v) if k.startsWith("constraint.") =>
+          s"delta.constraints.${k.stripPrefix("constraint.")}" -> v
+        case kv => kv
+      } + ("delta.enableChangeDataFeed" -> "true")
     // Row tracking: Delta's enable flag plus the materialized-column
     // names. The row-id column IS graft's own hidden physical column, so
     // a Delta reader resolves materialized ids from the very bytes graft

@@ -102,7 +102,11 @@ object DeltaImport {
     * below. Everything else (deletionVectors, v2Checkpoint, …) is refused
     * by the snapshot gate. */
   private val SupportedReaderFeatures: Set[String] =
-    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint")
+    Set("timestampNtz", "columnMapping", "deletionVectors", "v2Checkpoint",
+      // files keep their pre-widen physical types; the scan reads them
+      // with the metaData schema and Spark 4's parquet readers widen
+      // natively (the same mechanism GraftTable.widenColumnType relies on)
+      "typeWidening")
 
   // --------------------------------------------------- column mapping
   // Delta column mapping (modes `name` and `id`): parquet files carry

@@ -602,17 +602,29 @@ final class GraftTable private (
     // new logical names share their physical name — and the single rename
     // back to the range head's logical names happens at the output
     // boundary (Delta CDF's serve-latest-schema contract).
-    val merged = (withDirs.map(_._1) ++ appends.map(_._1))
+    // The range head's schema joins the merge LAST: it contributes no new
+    // field order, but its types upgrade any field a WIDEN COLUMN commit
+    // (a pure-metadata commit, so absent from withDirs/appends) widened —
+    // without it, a range ending after a widen but before the next data
+    // commit would plan the narrow type.
+    val rangeHead = log.commits().takeWhile(_.version <= toVersion).lastOption
+    val merged = (withDirs.map(_._1) ++ appends.map(_._1) ++ rangeHead.toSeq)
       .map(c => physSchemaOf(
         DataType.fromJson(c.schemaJson).asInstanceOf[StructType],
         colMapOf(c.properties)))
-      .reduce((a, b) =>
-        StructType(a.fields ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))))
+      .reduce((a, b) => StructType(
+        // same-name fields keep a's position but take the WIDER type:
+        // files written after a metadata-only widen carry the wide
+        // physical type, and a narrow read schema cannot decode them
+        a.fields.map(f => b.fields.find(_.name == f.name) match {
+          case Some(g) if GraftTable.isWidening(f.dataType, g.dataType) =>
+            f.copy(dataType = g.dataType)
+          case _ => f
+        }) ++ b.fields.filterNot(f => a.fieldNames.contains(f.name))))
       .add("_change_type", org.apache.spark.sql.types.StringType)
       .add("_commit_version", org.apache.spark.sql.types.LongType)
       .add("_commit_timestamp", org.apache.spark.sql.types.TimestampType)
-    val rangeHeadMap = colMapOf(log.commits().takeWhile(_.version <= toVersion)
-      .lastOption.map(_.properties).getOrElse(Map.empty))
+    val rangeHeadMap = colMapOf(rangeHead.map(_.properties).getOrElse(Map.empty))
     val written =
       if (withDirs.isEmpty) None
       else Some(spark.read.schema(merged).parquet(withDirs.map(_._2.toString): _*))
@@ -3532,6 +3544,78 @@ final class GraftTable private (
     }
   }
 
+  /** Metadata-only column TYPE WIDENING — the Delta `typeWidening`
+    * analogue: the schema's type changes in ONE log entry and no data
+    * file is rewritten at any table size. Old files keep their narrow
+    * physical type; every read path already plans with the commit's
+    * schema, and Spark 4's parquet readers widen natively at scan time
+    * (int32 pages decode straight into long/double/decimal vectors — no
+    * post-scan cast operator). The change appends to the column's
+    * `graft.typeChange.<physical>` history, which the Delta export
+    * bridge mirrors as `delta.typeChanges` field metadata + the
+    * `typeWidening` reader/writer feature, so the mirror's type change
+    * is metadata-only too.
+    *
+    * Reference scope: the reference delegates ALTER TABLE to the Delta
+    * library (delta_handler.py's table DDL surface); this is that
+    * capability rebuilt on the graft commit log.
+    *
+    * Bloom sidecars on the widened column are DROPPED, not kept: the
+    * indexed keys are `xxhash64` of the column's typed values, and
+    * xxhash64(8: Int) != xxhash64(8L) — a kept sidecar would produce
+    * false NEGATIVES (wrong pruning) the moment reads serve the wide
+    * type. Rebuilding is the same offline maintenance as after appends. */
+  def widenColumnType(name: String, to: DataType): Commit = this.synchronized {
+    val committed = commitMetadata { prev =>
+      val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      require(schema.fieldNames.contains(name), s"no column $name at $root")
+      val from = schema(name).dataType
+      require(GraftTable.isWidening(from, to),
+        s"cannot widen $name of $root from ${from.simpleString} to " +
+          s"${to.simpleString}: not in the lossless widening set")
+      require(!prev.partitionCols.contains(name),
+        s"cannot widen partition column $name of $root (values live in the dir layout)")
+      // Constraint / generated-column expressions and identity specs are
+      // type-sensitive (overflow behavior, hash inputs, result types):
+      // widening a column they reference could silently change their
+      // semantics — same conservative guard as the metadata-only rename.
+      val word = s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+      val referencing = prev.properties.collect {
+        case (k, spec) if (k.startsWith(ConstraintPrefix) ||
+          k.startsWith(GeneratedColPrefix)) && word.findFirstIn(spec).isDefined => k
+        case (k, _) if (k.startsWith(GeneratedColPrefix) ||
+          k.startsWith(IdentitySpecPrefix)) &&
+          k.stripPrefix(GeneratedColPrefix).stripPrefix(IdentitySpecPrefix) == name => k
+      }
+      require(referencing.isEmpty,
+        s"cannot widen column $name of $root: referenced by ${referencing.mkString(", ")}")
+      val widened = StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f))
+      val phys = colMapOf(prev.properties).getOrElse(name, name)
+      val key = GraftTable.TypeChangePrefix + phys
+      val entry = s"""{"fromType":"${GraftTable.deltaTypeName(from)}",""" +
+        s""""toType":"${GraftTable.deltaTypeName(to)}",""" +
+        s""""tableVersion":${prev.version + 1}}"""
+      val hist = prev.properties.get(key)
+        .map(j => j.stripSuffix("]") + "," + entry + "]")
+        .getOrElse("[" + entry + "]")
+      prev.copy(
+        version = prev.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "WIDEN COLUMN",
+        metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        schemaJson = widened.json,
+        properties = prev.properties + (key -> hist))
+    }
+    val phys = colMapAtHead.getOrElse(name, name)
+    val bloomDir = new Path(root, s"_bloom/$phys")
+    if (fs.exists(bloomDir)) fs.delete(bloomDir, true)
+    bloomCache.keys.toSeq
+      .filter(k => colMapAtHead.getOrElse(k._1, k._1) == phys)
+      .foreach(bloomCache.remove)
+    committed
+  }
+
   /** Selective OPTIMIZE — Delta's `OPTIMIZE … WHERE`: compact (and
     * optionally Z-order) ONLY the dirs whose skipping metadata admits
     * `predicate`, leaving every other dir byte-untouched with its stats
@@ -3933,6 +4017,52 @@ object GraftTable {
   private[graft] val GeneratedColPrefix = "graft.generatedCol."
   private[graft] val IdentitySpecPrefix = "graft.identityCol."
   private[graft] val IdentityHwmPrefix = "graft.identityHwm."
+
+  /** Type-widening history entries (`graft.typeChange.<physical> =
+    * [{"fromType":..,"toType":..,"tableVersion":..}, ...]`) — appended by
+    * [[GraftTable.widenColumnType]], keyed by the PHYSICAL column name
+    * (like bloom sidecars, the history describes bytes on disk and must
+    * survive renames). The Delta export bridge translates these into
+    * `delta.typeChanges` field metadata + the `typeWidening` table
+    * feature (delta.io PROTOCOL.md "Type Widening"). */
+  private[graft] val TypeChangePrefix = "graft.typeChange."
+
+  /** Delta primitive-type name of a Spark type (PROTOCOL.md's spelling —
+    * notably `integer`, not Spark's `int`). */
+  private[graft] def deltaTypeName(dt: DataType): String = dt match {
+    case org.apache.spark.sql.types.IntegerType => "integer"
+    case d: org.apache.spark.sql.types.DecimalType =>
+      s"decimal(${d.precision},${d.scale})"
+    case other => other.typeName
+  }
+
+  /** Delta typeWidening's allowed conversion set (PROTOCOL.md "Type
+    * Widening"): every pair is value-preserving AND supported natively by
+    * Spark 4's parquet readers, so old files keep their narrow physical
+    * type and the scan widens — the whole point of a metadata-only type
+    * change. Decimal growth must not lose integer digits or scale;
+    * integer→decimal needs the full 10 (or 20 for long) integer digits.
+    * date→timestampNTZ is in the Delta set but excluded here (no NTZ
+    * write path to pair it with). */
+  private[graft] def isWidening(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          (t.precision - t.scale) >= (f.precision - f.scale) &&
+          t.precision > f.precision
+      case (ByteType | ShortType | IntegerType, t: DecimalType) =>
+        (t.precision - t.scale) >= 10
+      case (LongType, t: DecimalType) => (t.precision - t.scale) >= 20
+      case _ => false
+    }
+  }
 
   /** Order-preserving encoding of a byte string's first 6 bytes into a
     * Double (48 bits — exact in the 53-bit mantissa): unsigned

@@ -255,6 +255,21 @@ class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
       case (_, Some(c)) => df.filter(c)
       case _ => df
     }
+    // `needConversion = false` hands Spark the snapshot's InternalRows AS
+    // the relation's declared schema: if a type CHANGED under a stored
+    // relation (a widenColumnType after the temp view resolved), an int
+    // read of a long slot would silently truncate — fail loudly instead.
+    // Additive evolution stays fine (extra head columns are never
+    // required); drops already fail at the select below.
+    val stale = requiredColumns.filter(c =>
+      base.schema.fields.find(_.name == c)
+        .zip(schema.fields.find(_.name == c))
+        .exists { case (h, d) => h.dataType != d.dataType })
+    if (stale.nonEmpty)
+      throw new IllegalStateException(
+        s"column type changed under this relation (${stale.mkString(", ")}): " +
+          "the table was widened after the view/plan was resolved — " +
+          "re-create the temp view (or re-resolve the path read)")
     val pruned =
       if (requiredColumns.isEmpty) base.select() // count(*)-style scans
       else base.select(requiredColumns.map(c => col(s"`$c`")).toSeq: _*)

@@ -467,6 +467,22 @@ case class GraftRenameColumnCommand(
        else table.renameColumn(from, to)).version))
 }
 
+/** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — metadata-only type
+  * widening ([[GraftTable.widenColumnType]]): one log entry at any table
+  * size, old files keep their narrow physical type and scans widen
+  * natively (Delta's `typeWidening` routing — widening never rewrites). */
+case class GraftWidenColumnCommand(
+    table: GraftTable,
+    changes: Seq[(String, org.apache.spark.sql.types.DataType)])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(changes.map { case (c, dt) =>
+      table.widenColumnType(c, dt).version }.last))
+}
+
 /** `ALTER TABLE t SET TBLPROPERTIES (k = v, …)` /
   * `UNSET TBLPROPERTIES [IF EXISTS] (k, …)` — user-namespace table
   * properties as logged commits ([[GraftTable.setProperties]]). */

@@ -158,6 +158,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           "graft RENAME COLUMN supports top-level columns")
         case None => r
       }
+    // ALTER COLUMN … TYPE: only the pure type-change form routes to the
+    // metadata-only widen; any other spec (position/default/comment/
+    // nullability) keeps stock behavior and its errors.
+    case ac @ logical.AlterColumns(u: UnresolvedTable, specs) =>
+      graftTableOf(u.multipartIdentifier) match {
+        case Some(t) =>
+          val changes = specs.map { s =>
+            if (s.column.name.length != 1 || s.newDataType.isEmpty ||
+                s.newNullability.nonEmpty || s.newComment.nonEmpty ||
+                s.newPosition.nonEmpty || s.newDefaultExpression.nonEmpty)
+              throw new UnsupportedOperationException(
+                "graft ALTER COLUMN supports only `ALTER COLUMN c TYPE " +
+                  "<wider-type>` on top-level columns (metadata-only widening)")
+            s.column.name.head -> s.newDataType.get
+          }
+          GraftWidenColumnCommand(t, changes)
+        case None => ac
+      }
     case sp @ logical.SetTableProperties(u: UnresolvedTable, props) =>
       graftTableOf(u.multipartIdentifier) match {
         case Some(t) => GraftSetPropertiesCommand(t, props, Nil)

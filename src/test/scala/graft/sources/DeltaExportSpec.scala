@@ -728,6 +728,67 @@ class DeltaExportSpec extends SparkSpec {
       .select("tag2").as[String].collect().toSet === Set("b", "c"))
   }
 
+  test("widenColumnType mirrors as a metadata-only commit under typeWidening") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("dexp-widen")
+    val t = GraftTable.create(spark, root,
+      Seq((1, "a", 1.5f), (2, "b", 2.5f)).toDF("k", "s", "x"), Nil)
+    DeltaExport.exportLog(t)
+    val filesBefore = DeltaImport.snapshot(spark, root, None).files.map(_.path).toSet
+
+    t.widenColumnType("k", LongType)
+    assert(DeltaExport.exportLog(t) === 1L)
+    // metadata-only Delta commit: no add/remove actions — NO data rewrite
+    val lines = logLines(root, 1L)
+    assert(lines.forall(l =>
+      (l \ "add") == JNothing && (l \ "remove") == JNothing))
+    // the protocol upgrades in place to advertise typeWidening (both lists)
+    val proto = lines.map(_ \ "protocol").find(_ != JNothing).get
+    assert((proto \ "readerFeatures").children.contains(JString("typeWidening")))
+    assert((proto \ "writerFeatures").children.contains(JString("typeWidening")))
+
+    val snap = DeltaImport.snapshot(spark, root, None)
+    assert(snap.files.map(_.path).toSet === filesBefore)
+    // schemaString carries the WIDE type + the typeChanges field metadata
+    assert(snap.schema("k").dataType === LongType)
+    val changes = snap.schema("k").metadata.getMetadataArray("delta.typeChanges")
+    assert(changes.length === 1)
+    assert(changes(0).getString("fromType") === "integer")
+    assert(changes(0).getString("toType") === "long")
+    assert(changes(0).getLong("tableVersion") === 1L)
+    // graft-namespace history keys never leak into the mirror's config
+    assert(snap.configuration.keys.forall(!_.startsWith("graft.typeChange.")))
+
+    // post-widen long rows + pre-widen int files serve as ONE long feed
+    t.append(Seq((5000000000L, "c", 9.5f)).toDF("k", "s", "x"))
+    assert(DeltaExport.exportLog(t) === 2L)
+    assert(DeltaImport.read(spark, root)
+      .select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 5000000000L))
+
+    // a second widen appends to the history and round-trips too
+    t.widenColumnType("x", DoubleType)
+    DeltaExport.exportLog(t)
+    val snap2 = DeltaImport.snapshot(spark, root, None)
+    assert(snap2.schema("x").dataType === DoubleType)
+    assert(snap2.schema("x").metadata
+      .getMetadataArray("delta.typeChanges")(0).getString("fromType") === "float")
+    assert(DeltaImport.read(spark, root).filter(col("k") === 1L)
+      .select("x").head().getDouble(0) === 1.5)
+
+    // widen + RENAME compose: history stays keyed by the birth physical
+    // name while the mirror serves the new logical name
+    t.renameColumnMetadataOnly("k", "key")
+    t.widenColumnType("key", DecimalType(21, 0))
+    DeltaExport.exportLog(t)
+    val snap3 = DeltaImport.snapshot(spark, root, None)
+    val keyField = snap3.schema("key")
+    assert(keyField.metadata.getString("delta.columnMapping.physicalName") === "k")
+    assert(keyField.metadata.getMetadataArray("delta.typeChanges").length === 2)
+    assert(DeltaImport.read(spark, root)
+      .select(col("key").cast("long")).as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 5000000000L))
+  }
+
   test("v2 checkpoint policy: manifest + sidecars round-trip; cadence/cleanup see it") {
     val root = tmpDir("dexp-v2ck")
     val t = GraftTable.create(spark, root,

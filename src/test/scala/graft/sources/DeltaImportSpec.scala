@@ -549,11 +549,11 @@ class DeltaImportSpec extends SparkSpec {
     commit(bad, 0L, Seq(
       """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}""",
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["typeWidening"]}}""",
+        """"readerFeatures":["collations"]}}""",
       metaLine(idS),
       """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"dataChange":true}}"""))
     val e = intercept[IllegalArgumentException] { DeltaImport.read(spark, bad) }
-    assert(e.getMessage.contains("typeWidening"))
+    assert(e.getMessage.contains("collations"))
   }
 
   test("deletion vectors: protocol accepted, positions subtracted, CDF derives the DV diff") {

@@ -61,6 +61,44 @@ class SqlAlterSpec extends SparkSpec {
     assert(t2.read().schema.fieldNames.toSeq === Seq("id", "label", "v"))
   }
 
+  test("ALTER COLUMN … TYPE routes to the metadata-only widen") {
+    import s2.implicits._
+    val root = tmpDir("sqlwiden")
+    Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x")
+      .write.format("graft").save(root)
+    s2.sql(s"CREATE OR REPLACE TEMPORARY VIEW widen_t USING graft OPTIONS (path '$root')")
+    val t = GraftTable.forPath(s2, root)
+    val dirsBefore = t.detail().head().getAs[Long]("numFiles")
+    s2.sql("ALTER TABLE widen_t ALTER COLUMN k TYPE BIGINT").collect()
+    s2.sql("ALTER TABLE widen_t ALTER COLUMN x TYPE DOUBLE").collect()
+    // metadata-only: no rewrite, history records the widens
+    assert(t.detail().head().getAs[Long]("numFiles") === dirsBefore)
+    assert(t.read().schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(t.history().collect().map(_.getAs[String]("operation")).take(2)
+      .forall(_ == "WIDEN COLUMN"))
+    // narrowing and non-type specs keep failing loudly
+    intercept[Exception] {
+      s2.sql("ALTER TABLE widen_t ALTER COLUMN k TYPE INT").collect()
+    }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE widen_t ALTER COLUMN k COMMENT 'nope'").collect()
+    }
+    // the widened table serves wide values over mixed-width files
+    Seq((5000000000L, 3.5)).toDF("k", "x")
+      .write.format("graft").mode("append").save(root)
+    // a view resolved BEFORE the widen is stale: its int-typed relation
+    // would misread long slots — the scan fails loudly, never truncates
+    val stale = intercept[Exception] {
+      s2.sql("SELECT k FROM widen_t ORDER BY k").collect()
+    }
+    assert(stale.getMessage.contains("re-create"))
+    // re-resolving the view serves the wide values over mixed-width files
+    s2.sql(s"CREATE OR REPLACE TEMPORARY VIEW widen_t USING graft OPTIONS (path '$root')")
+    assert(s2.sql("SELECT k FROM widen_t ORDER BY k").as[Long].collect().toSeq
+      === Seq(1L, 2L, 5000000000L))
+  }
+
   test("SET/UNSET TBLPROPERTIES round-trip through DESCRIBE DETAIL") {
     val (t, _) = freshTable("sqlprops", "prop_t")
     // note: 'owner' is reserved by Spark's own grammar — user keys only

@@ -760,6 +760,101 @@ class GraftTableSpec extends SparkSpec {
     assert(t.read().select("t3").as[String].collect().sorted.toSeq === Seq("x", "z"))
   }
 
+  test("widenColumnType: metadata-only, mixed-width files read wide, guards hold") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("gt-widen")
+    val t = GraftTable.create(spark, root,
+      Seq((1, "a", 1.5f), (2, "b", 2.5f), (3, "d", 4.5f)).toDF("k", "tag", "x"))
+    // a PRE-widen mutation: its _changes dir carries the narrow int type
+    t.delete(col("k") === 3)
+    val dirsBefore = t.headCommit.get.dataDirs
+    t.widenColumnType("k", LongType)
+    t.widenColumnType("x", DoubleType)
+    // metadata-only: same data dirs, no rewrite
+    assert(t.headCommit.get.dataDirs === dirsBefore)
+    assert(t.read().schema("k").dataType === LongType)
+    // values beyond int range land in new (wide) files; old int files
+    // widen at scan — one frame over mixed physical widths
+    t.append(Seq((5000000000L, "c", 3.5)).toDF("k", "tag", "x"))
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 5000000000L))
+    assert(t.read().filter(col("k") === 1L).select("x").head().getDouble(0) === 1.5)
+    // time travel serves the pre-widen schema from the same files
+    assert(t.readVersion(0).schema("k").dataType === IntegerType)
+    // CDF spanning the boundary plans the WIDE type over mixed-width
+    // change files: the pre-widen delete's int rows and the post-widen
+    // insert's long rows come back in one long-typed feed
+    val cdf = t.readChanges(0L)
+    assert(cdf.schema("k").dataType === LongType)
+    assert(cdf.filter(col("_change_type") === "delete")
+      .select("k").as[Long].collect().toSeq === Seq(3L))
+    assert(cdf.filter(col("_change_type") === "insert")
+      .select("k").as[Long].collect().sorted.toSeq === Seq(5000000000L))
+    // history recorded under the physical name, one entry per widen
+    val hist = t.headCommit.get.properties("graft.typeChange.k")
+    assert(hist.contains(""""fromType":"integer"""") &&
+      hist.contains(""""toType":"long""""))
+    // MoR delete across mixed widths (value tombstones type-coerce)
+    t.deleteMergeOnRead(col("k") === 2L)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 5000000000L))
+    // second widen on the same column appends to the history
+    t.widenColumnType("k", DecimalType(21, 0))
+    val hist2 = t.headCommit.get.properties("graft.typeChange.k")
+    assert(hist2.contains(""""toType":"decimal(21,0)"""") &&
+      hist2.contains(""""toType":"long""""))
+    assert(t.read().select("k").as[java.math.BigDecimal].collect()
+      .map(_.longValueExact()).sorted.toSeq === Seq(1L, 5000000000L))
+    // guards: narrowing, unknown column, partition column, references
+    intercept[IllegalArgumentException] { t.widenColumnType("k", LongType) }
+    intercept[IllegalArgumentException] { t.widenColumnType("nope", LongType) }
+    t.addConstraint("x_pos", "x > 0")
+    intercept[IllegalArgumentException] { t.widenColumnType("x", DecimalType(38, 10)) }
+    t.dropConstraint("x_pos")
+    val pt = GraftTable.create(spark, tmpDir("gt-widen-part"),
+      Seq((1, "a")).toDF("k", "tag"), Seq("k"))
+    intercept[IllegalArgumentException] { pt.widenColumnType("k", LongType) }
+    // full rewrite materializes the wide type on disk
+    t.materializeDeletes()
+    t.optimize()
+    assert(t.read().select("k").as[java.math.BigDecimal].collect()
+      .map(_.longValueExact()).sorted.toSeq === Seq(1L, 5000000000L))
+  }
+
+  test("widenColumnType drops bloom sidecars (narrow-type hashes are stale)") {
+    import org.apache.spark.sql.types._
+    val root = tmpDir("gt-widen-bloom")
+    val t = GraftTable.create(spark, root,
+      (1 to 1000).map(i => (i, i * 1.0)).toDF("id", "v"))
+    t.append((1001 to 2000).map(i => (i, i * 1.0)).toDF("id", "v"))
+    t.buildBloomIndex("id")
+    assert(new java.io.File(s"$root/_bloom/id").exists())
+    t.widenColumnType("id", LongType)
+    // sidecars hashed xxhash64(int); a long needle would false-negative
+    assert(!new java.io.File(s"$root/_bloom/id").exists())
+    // un-indexed lookup stays correct (conservative: all dirs kept)
+    assert(t.readPointLookup("id", 1500L).filter(col("id") === 1500L).count() === 1)
+    // a rebuild under the wide type serves wide needles
+    t.buildBloomIndex("id")
+    assert(t.readPointLookup("id", 1500L).filter(col("id") === 1500L).count() === 1)
+  }
+
+  test("widen then rename: history keyed by birth-stable physical name") {
+    import org.apache.spark.sql.types._
+    val t = GraftTable.create(spark, tmpDir("gt-widen-ren"),
+      Seq((1, "a")).toDF("k", "tag"))
+    t.widenColumnType("k", LongType)
+    t.renameColumnMetadataOnly("k", "key")
+    assert(t.headCommit.get.properties.contains("graft.typeChange.k"))
+    t.widenColumnType("key", DecimalType(21, 0))
+    // both widens share the physical key — one history, two entries
+    val hist = t.headCommit.get.properties("graft.typeChange.k")
+    assert(hist.contains("long") && hist.contains("decimal(21,0)"))
+    assert(!t.headCommit.get.properties.contains("graft.typeChange.key"))
+    assert(t.read().select("key").as[java.math.BigDecimal].head()
+      .longValueExact() === 1L)
+  }
+
   test("deep clone: independent copy; constraints and identity watermark travel") {
     val root = tmpDir("gt-deep")
     val t = GraftTable.create(spark, root, Seq("a", "b").toDF("tag"),
