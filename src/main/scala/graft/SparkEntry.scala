@@ -198,6 +198,7 @@ object SparkEntry {
     "q166_hard_negatives"    -> (RetrievalQueries.hardNegatives _),
     "q167_delta_type_widening" -> (DeltaBridgeQueries.deltaTypeWidening _),
     "q168_leakage_safe_split" -> (CorpusQueries.leakageSafeSplit _),
+    "q169_delta_ict_travel"  -> (DeltaBridgeQueries.deltaIctTravel _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -537,6 +538,12 @@ object SparkEntry {
     // the snapshot must come entirely from the manifest + sidecars.
     "q154_delta_v2_checkpoint" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+    // In-commit-timestamp travel (q169): the read pins to the instant
+    // just below the append's ICT — an ICT-aware reader serves the
+    // pre-append snapshot regardless of file wall-clock metadata.
+    "q169_delta_ict_travel" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
     // Metadata-only type widening (q167): pre-widen int files and
     // post-widen long files serve as one long snapshot through the
     // mirror; the oracle recomputes both halves with plain casts.

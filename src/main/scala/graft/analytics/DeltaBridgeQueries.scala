@@ -274,6 +274,38 @@ object DeltaBridgeQueries {
     DeltaImport.read(spark, root).select(col("okey"), col("o_totalprice"))
   }
 
+  /** q169: in-commit timestamps end-to-end — ICT enabled AFTER creation
+    * (the harder protocol shape: enablement configs required), then a
+    * post-enablement append, and the read travels to the instant just
+    * below the append's own `inCommitTimestamp`: an ICT-aware reader must
+    * serve the pre-append snapshot no matter what the files' wall-clock
+    * metadata says (the whole point of ICT on object stores, where mtimes
+    * are rewrite-fragile). The oracle recomputes the pre-append half from
+    * the source parquet. */
+  def deltaIctTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#ict", { _ =>
+      val r = Scratch.dir(spark, "delta-export-ict")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, r,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .select(col("o_orderkey"), col("o_totalprice")))
+      t.setProperties(Map("delta.enableInCommitTimestamps" -> "true"))
+      t.append(orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      graft.sources.DeltaExport.exportLog(t)
+      r
+    })
+    // the append commit's own ICT, read from the mirror's log (v2)
+    val appendIct = spark.read
+      .textFile(s"$root/_delta_log/00000000000000000002.json")
+      .collect()
+      .flatMap(l => """"inCommitTimestamp":(\d+)""".r
+        .findFirstMatchIn(l).map(_.group(1).toLong))
+      .head
+    DeltaImport.readAsOf(spark, root, appendIct - 1)
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
   private val rowTracked = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.table.GraftTable)]()
 

@@ -176,6 +176,36 @@ object DeltaExport {
     // indefinitely, so the reader feature can never be dropped.
     var twAdvertised = resumeSnap.flatMap(_.protocol).exists(
       _.readerFeatures.contains("typeWidening"))
+    // In-commit timestamps (`delta.enableInCommitTimestamps`): graft's
+    // tsMs is already crash-safe COMMIT state (never file mtime), so the
+    // mirror can honor Delta's ICT contract exactly — the timestamp rides
+    // in commitInfo.inCommitTimestamp, strictly increasing. On resume the
+    // monotonicity floor recovers from the last published commitInfo
+    // (0 if the JSON was log-cleaned: a checkpoint-only resume re-anchors
+    // on tsMs, which graft's own adjusted-timestamp travel also does).
+    var ictAdvertised = resumeSnap.flatMap(_.protocol).exists(
+      _.writerFeatures.contains("inCommitTimestamp"))
+    var ictEnable: Option[(Long, Long)] = resumeSnap.flatMap(s =>
+      s.configuration.get("delta.inCommitTimestampEnablementVersion")
+        .zip(s.configuration.get("delta.inCommitTimestampEnablementTimestamp"))
+        .map { case (v, t) => (v.toLong, t.toLong) })
+    var lastIct: Long =
+      if (published < 0L) 0L
+      else {
+        val p = new Path(logDir, f"$published%020d.json")
+        if (!fs.exists(p)) 0L
+        else {
+          val in = fs.open(p)
+          val ls = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toArray finally in.close()
+          ls.iterator.filter(_.trim.nonEmpty)
+            .map(l => JsonMethods.parse(l) \ "commitInfo" \ "inCommitTimestamp")
+            .collectFirst {
+              case JInt(t) => t.toLong
+              case JLong(t) => t
+            }.getOrElse(0L)
+        }
+      }
     var mappingAdvertised = resumeSnap.flatMap(_.protocol).exists(p =>
       p.readerFeatures.contains("columnMapping") ||
         (p.minReaderVersion >= 2 && mappingOn))
@@ -383,8 +413,17 @@ object DeltaExport {
         if (cmap.isEmpty) schema
         else StructType(schema.fields.map(f =>
           f.copy(name = cmap.getOrElse(f.name, f.name))))
+      val ictOn = ictOnProps(c.properties)
+      val ict: Option[Long] =
+        if (!ictOn) None
+        else { val v = math.max(c.tsMs, lastIct + 1); lastIct = v; Some(v) }
+      // Enabled after creation ⇒ the protocol requires the enablement
+      // version/timestamp configs (readers must not trust pre-enablement
+      // commitInfo timestamps); enabled at v0 needs none.
+      if (ictOn && ictEnable.isEmpty && c.version > 0L)
+        ictEnable = Some((c.version, ict.get))
       val lines = Seq.newBuilder[String]
-      lines += commitInfoJson(c)
+      lines += commitInfoJson(c, ict)
       // Protocol emission, unified: v0 always; the first DV descriptor,
       // the first mapped metaData, and the resume-time CDF upgrade each
       // raise the protocol IN PLACE (Delta allows a protocol action in any
@@ -402,6 +441,7 @@ object DeltaExport {
         (mappingOn && !mappingAdvertised) ||
         (wantV2 && !v2Advertised) ||
         (wantTw && !twAdvertised) ||
+        (ictOn && !ictAdvertised) ||
         (rtActive && !rtAdvertised) ||
         (cdfUpgrade && !resumeCdfCapable)
       if (needProto) {
@@ -415,6 +455,7 @@ object DeltaExport {
         mappingAdvertised = mappingOn
         v2Advertised = wantV2
         twAdvertised = wantTw
+        ictAdvertised = ictAdvertised || ictOn
         rtAdvertised = rtAdvertised || rtActive
       }
       cdfUpgrade = false
@@ -428,7 +469,16 @@ object DeltaExport {
             }
             Some((cmap, colIds, maxColId))
           }
-        lines += metaDataJson(tableId, c, firstTs = commits.head.tsMs, mappingMeta)
+        // ICT enabled after creation: the enablement version/timestamp
+        // configs ride every metaData from then on (readers must not
+        // trust pre-enablement commitInfo timestamps).
+        val cMeta = ictEnable match {
+          case Some((v, t)) if ictOn => c.copy(properties = c.properties +
+            ("delta.inCommitTimestampEnablementVersion" -> v.toString) +
+            ("delta.inCommitTimestampEnablementTimestamp" -> t.toString))
+          case _ => c
+        }
+        lines += metaDataJson(tableId, cMeta, firstTs = commits.head.tsMs, mappingMeta)
       }
       // Exactly-once stamps export as Delta `txn` actions (SetTransaction):
       // a Delta-side consumer sees the same appId→version watermark graft's
@@ -955,19 +1005,25 @@ object DeltaExport {
 
   // ------------------------------------------------------------- actions
 
-  private def commitInfoJson(c: Commit): String = {
+  private def commitInfoJson(c: Commit, ict: Option[Long] = None): String = {
     val metrics = JObject(c.metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => k -> (JString(v.toString): JValue) }: _*)
     JsonMethods.compact(JObject("commitInfo" -> JObject(
-      "timestamp" -> JLong(c.tsMs),
-      "operation" -> JString(deltaOpName(c.operation)),
-      "operationParameters" -> JObject(),
-      "isolationLevel" -> JString("Serializable"),
-      "isBlindAppend" -> JBool(c.operation == "APPEND" || c.operation == "COPY INTO"),
-      "operationMetrics" -> metrics,
-      "engineInfo" -> JString("graft-delta-export/0.6"),
-      "txnId" -> JString(java.util.UUID.nameUUIDFromBytes(
-        s"graft-commit-${c.version}-${c.tsMs}".getBytes(StandardCharsets.UTF_8)).toString))))
+      List("timestamp" -> (JLong(c.tsMs): JValue)) ++
+      // the monotonic in-commit instant — what ICT-aware readers use for
+      // timestamp travel and CDF stamps instead of file/commit metadata
+      ict.map(t => "inCommitTimestamp" -> (JLong(t): JValue)).toList ++
+      List(
+        "operation" -> (JString(deltaOpName(c.operation)): JValue),
+        "operationParameters" -> (JObject(): JValue),
+        "isolationLevel" -> (JString("Serializable"): JValue),
+        "isBlindAppend" -> (JBool(c.operation == "APPEND" ||
+          c.operation == "COPY INTO"): JValue),
+        "operationMetrics" -> (metrics: JValue),
+        "engineInfo" -> (JString("graft-delta-export/0.6"): JValue),
+        "txnId" -> (JString(java.util.UUID.nameUUIDFromBytes(
+          s"graft-commit-${c.version}-${c.tsMs}"
+            .getBytes(StandardCharsets.UTF_8)).toString): JValue)): _*)))
   }
 
   /** Graft op → the operation string a Delta writer would record. */
@@ -995,7 +1051,10 @@ object DeltaExport {
         Seq("identityColumns") else Nil) ++
       // Row tracking is writer-gated (plus domainMetadata, which carries
       // its high-water mark) — WRITER features only, never readerFeatures.
-      (if (rowTrackingOn(props)) Seq("rowTracking", "domainMetadata") else Nil)
+      (if (rowTrackingOn(props)) Seq("rowTracking", "domainMetadata") else Nil) ++
+      // In-commit timestamps: writer-only too (legacy readers simply keep
+      // using file-timestamp rules; spec-aware ones read commitInfo).
+      (if (ictOnProps(props)) Seq("inCommitTimestamp") else Nil)
 
   /** The graft table declares row tracking ([[GraftTable.RowIdCol]]'s
     * contract) — the mirror then carries Delta's own `rowTracking`
@@ -1008,6 +1067,9 @@ object DeltaExport {
   private def rowTrackingOn(props: Map[String, String]): Boolean =
     props.get("graft.rowTracking").exists(_.equalsIgnoreCase("true"))
 
+  private def ictOnProps(props: Map[String, String]): Boolean =
+    props.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
+
   private def protocolJson(schema: StructType, props: Map[String, String]): String = {
     // TimestampNTZ in the schema is a Delta READER feature: legacy readers
     // would misinterpret the column, so the protocol must say v3 +
@@ -1016,11 +1078,11 @@ object DeltaExport {
     // play ([[writerFeaturesOf]]).
     val ntz = hasNtz(schema)
     val proto =
-      // Row tracking has no legacy writer version — it forces the
-      // feature-listed shape (writer 7). Reader stays at 1 unless NTZ
-      // demands 3: readerFeatures exists only on a v3 reader protocol,
-      // and writer-only features never appear in it.
-      if (ntz || rowTrackingOn(props)) JObject(
+      // Row tracking / in-commit timestamps have no legacy writer version
+      // — they force the feature-listed shape (writer 7). Reader stays at
+      // 1 unless NTZ demands 3: readerFeatures exists only on a v3 reader
+      // protocol, and writer-only features never appear in it.
+      if (ntz || rowTrackingOn(props) || ictOnProps(props)) JObject(
         (List("minReaderVersion" -> (JInt(if (ntz) 3 else 1): JValue),
           "minWriterVersion" -> (JInt(7): JValue)) ++
           (if (ntz)

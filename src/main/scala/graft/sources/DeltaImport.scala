@@ -212,7 +212,14 @@ object DeltaImport {
       (j \ "commitInfo") match {
         case JNothing => ()
         case ci =>
-          ts = (ci \ "timestamp").extractOrElse[Long](0L)
+          // in-commit timestamp wins when present (the ICT contract: an
+          // enabled table's authoritative instant is in the commit, not
+          // file metadata)
+          ts = (ci \ "inCommitTimestamp") match {
+            case JInt(t) => t.toLong
+            case JLong(t) => t
+            case _ => (ci \ "timestamp").extractOrElse[Long](0L)
+          }
           op = (ci \ "operation").extractOrElse[String]("")
       }
       (j \ "metaData") match {
@@ -592,10 +599,15 @@ object DeltaImport {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toArray finally in.close()
       lines.iterator.filter(_.trim.nonEmpty).map(parseLine)
-        .map(j => j \ "commitInfo" \ "timestamp")
+        // ICT-enabled commits travel by inCommitTimestamp (the spec's
+        // authoritative instant); others keep the commitInfo timestamp
+        .map(j => (j \ "commitInfo" \ "inCommitTimestamp",
+          j \ "commitInfo" \ "timestamp"))
         .collectFirst {
-          case JInt(t) => t.toLong
-          case JLong(t) => t
+          case (JInt(t), _) => t.toLong
+          case (JLong(t), _) => t
+          case (_, JInt(t)) => t.toLong
+          case (_, JLong(t)) => t
         }
         // commitInfo is OPTIONAL in the protocol; delta-spark's rule for
         // such commits is the log file's modification time. Epoch 0 here

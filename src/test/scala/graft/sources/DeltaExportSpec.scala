@@ -789,6 +789,37 @@ class DeltaExportSpec extends SparkSpec {
       Seq(1L, 2L, 5000000000L))
   }
 
+  test("in-commit timestamps: monotonic ICT in commitInfo; travel honors it") {
+    val root = tmpDir("dexp-ict")
+    val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "s"), Nil)
+    DeltaExport.exportLog(t) // v0: ICT not yet enabled
+    t.setProperties(Map("delta.enableInCommitTimestamps" -> "true")) // v1
+    t.append(Seq((2L, "b")).toDF("id", "s")) // v2
+    t.append(Seq((3L, "c")).toDF("id", "s")) // v3
+    DeltaExport.exportLog(t)
+    def ictOf(v: Long): Option[Long] = logLines(root, v)
+      .map(_ \ "commitInfo" \ "inCommitTimestamp")
+      .collectFirst { case JInt(x) => x.toLong }
+    // pre-enablement commit carries none; enabled commits strictly increase
+    assert(ictOf(0L).isEmpty)
+    val icts = (1L to 3L).map(v => ictOf(v).get)
+    assert(icts === icts.sorted && icts.distinct.length === 3)
+    // writer feature + post-creation enablement configs published
+    val snap = DeltaImport.snapshot(spark, root, None)
+    assert(snap.protocol.exists(_.writerFeatures.contains("inCommitTimestamp")))
+    assert(snap.configuration
+      .get("delta.inCommitTimestampEnablementVersion") === Some("1"))
+    assert(snap.configuration
+      .get("delta.inCommitTimestampEnablementTimestamp") === Some(icts(0).toString))
+    // timestamp travel resolves by ICT, not wall-clock commitInfo
+    assert(DeltaImport.versionAsOfTimestamp(spark, root, icts(2) - 1) === 2L)
+    assert(DeltaImport.readAsOf(spark, root, icts(2) - 1).count() === 2)
+    // resume continues the monotonic chain from the published log
+    t.append(Seq((4L, "d")).toDF("id", "s")) // v4
+    DeltaExport.exportLog(t)
+    assert(ictOf(4L).get > icts.last)
+  }
+
   test("v2 checkpoint policy: manifest + sidecars round-trip; cadence/cleanup see it") {
     val root = tmpDir("dexp-v2ck")
     val t = GraftTable.create(spark, root,
