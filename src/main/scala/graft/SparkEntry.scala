@@ -199,6 +199,7 @@ object SparkEntry {
     "q167_delta_type_widening" -> (DeltaBridgeQueries.deltaTypeWidening _),
     "q168_leakage_safe_split" -> (CorpusQueries.leakageSafeSplit _),
     "q169_delta_ict_travel"  -> (DeltaBridgeQueries.deltaIctTravel _),
+    "q170_eval_contamination" -> ((s, d) => SamplingQueries.evalContamination(s, d)),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -1146,6 +1147,26 @@ object SparkEntry {
         |  string_agg(text, ' ' ORDER BY doc_id) AS payload
         |FROM p GROUP BY source, bin_id""".stripMargin,
     "q66_decontaminate" -> DecontaminateOracleSql,
+    // eval-side contamination: per-eval-doc shared-gram fraction vs the
+    // train corpus; the flag is an integer cross-multiplication
+    "q170_eval_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks)),
+        |ev AS (SELECT doc_id AS eval_id, g FROM sh WHERE doc_id < 10),
+        |tr AS (SELECT DISTINCT g FROM sh WHERE doc_id >= 10),
+        |tot AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS total_ngrams
+        |        FROM ev GROUP BY 1),
+        |shr AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+        |        FROM ev JOIN tr USING (g) GROUP BY 1)
+        |SELECT t.eval_id, t.total_ngrams,
+        |  coalesce(s.shared_ngrams, CAST(0 AS BIGINT)) AS shared_ngrams,
+        |  CAST(coalesce(s.shared_ngrams, 0) AS DOUBLE) / t.total_ngrams
+        |    AS contamination,
+        |  coalesce(s.shared_ngrams, 0) * 5 >= t.total_ngrams AS contaminated
+        |FROM tot t LEFT JOIN shr s USING (eval_id)""".stripMargin,
     // bloom prefilter changes the scale shape, not the result — exact
     // verification removes false positives, so the q66 oracle grades it
     "q76_decontaminate_bloom" -> DecontaminateOracleSql,

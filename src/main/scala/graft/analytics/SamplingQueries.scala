@@ -193,6 +193,47 @@ object SamplingQueries {
       .agg(countDistinct(col("gh")).as("shared_ngrams"))
   }
 
+  /** q170: eval-side contamination report — [[decontaminate]] answers
+    * "which TRAIN docs leak eval content"; this answers the question an
+    * eval owner asks first: per EVAL document, what fraction of its
+    * distinct n-grams already exists anywhere in the training corpus, and
+    * is the example compromised (≥ 20%, the GPT-3-style dirtiness cut).
+    * A benchmark row at 0.9 can't measure generalization no matter how
+    * the training side is scrubbed — this report is what decides whether
+    * to drop the EVAL row instead.
+    *
+    * Exactness: counts are BIGINTs over hashed distinct grams; the flag
+    * is an integer cross-multiplication (shared·5 ≥ total — no float
+    * threshold), and the fraction is one final double division.
+    *
+    * Scale shape: mirrors q66 — grams hash to longs before any shuffle,
+    * the train side collapses to DISTINCT gram hashes (vocabulary-sized,
+    * Heap's-law bounded) and semi-joins against the eval explosion; the
+    * output is eval-suite-sized. The bloom prefilter variant (q76's
+    * mechanism) applies verbatim when the train side is the 100 TB one. */
+  def evalContamination(spark: SparkSession, dir: String, n: Int = 8,
+      evalDocs: Long = 10L): DataFrame = {
+    import graft.text.TextFunctions.shingles
+    val docs = Tables.documents(spark, dir)
+    def grams(df: DataFrame, idAs: String) = df.select(
+      col("doc_id").as(idAs),
+      explode(array_distinct(shingles(col("text"), n))).as("g"))
+      .select(col(idAs), xxhash64(col("g")).as("gh"))
+    val evalSet = grams(docs.filter(col("doc_id") < evalDocs), "eval_id")
+    val trainGrams = grams(docs.filter(col("doc_id") >= evalDocs), "doc_id")
+      .select("gh").distinct()
+    val shared = evalSet.join(trainGrams, Seq("gh"), "left_semi")
+      .groupBy("eval_id").agg(count(lit(1)).as("shared_ngrams"))
+    evalSet.groupBy("eval_id").agg(count(lit(1)).as("total_ngrams"))
+      .join(shared, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("total_ngrams"),
+        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"))
+      .withColumn("contamination",
+        col("shared_ngrams").cast("double") / col("total_ngrams"))
+      .withColumn("contaminated",
+        col("shared_ngrams") * lit(5L) >= col("total_ngrams"))
+  }
+
   /** [[decontaminate]] with a bloom prefilter on the train side — IDENTICAL
     * output, different scale shape: the eval set's gram hashes fold into a
     * serialized bloom filter (one tiny aggregate — eval suites are MBs, the
