@@ -200,6 +200,7 @@ object SparkEntry {
     "q168_leakage_safe_split" -> (CorpusQueries.leakageSafeSplit _),
     "q169_delta_ict_travel"  -> (DeltaBridgeQueries.deltaIctTravel _),
     "q170_eval_contamination" -> ((s, d) => SamplingQueries.evalContamination(s, d)),
+    "q171_quality_quantiles" -> (CorpusQueries.qualityQuantiles _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -990,6 +991,29 @@ object SparkEntry {
         |   + (1.0 - least(punct_ratio * 4.0, 1.0))
         |   + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality
         |FROM b""".stripMargin,
+    // per-source quantile normalization of the q41 score: ranks are
+    // integer positions over the bit-identical quality double (doc_id
+    // tiebreak), percent_rank = (rank-1)/(n-1) one exact division
+    "q171_quality_quantiles" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS t,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS punct_ratio,
+        |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         x -> x IN ('the','a','an','and','of','to','in'))) AS DOUBLE)
+        |      / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS stop_ratio
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    (least(CAST(t AS DOUBLE) / 50.0, 1.0)
+        |     + (1.0 - least(punct_ratio * 4.0, 1.0))
+        |     + least(stop_ratio * 5.0, 1.0)) / 3.0 AS quality
+        |  FROM b)
+        |SELECT doc_id, source, quality,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id)
+        |    AS source_pct
+        |FROM s""".stripMargin,
     "q42_supplier_stats" ->
       """SELECT r.r_name AS region, count(*) AS supplier_count,
         |       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,

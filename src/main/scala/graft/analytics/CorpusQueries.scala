@@ -51,6 +51,32 @@ object CorpusQueries {
       col("doc_id"),
       qualityScore(col("text")).as("quality"))
 
+  /** q171: per-source quality quantile normalization — each document's
+    * quality score re-expressed as its percentile WITHIN its source
+    * (percent_rank over (source, quality, doc_id)). Raw quality recipes
+    * are incomparable across heterogeneous sources (a clean-crawl 0.6 and
+    * a forum-dump 0.6 mean different things); mixing and filtering on the
+    * per-source percentile is the standard calibration before a global
+    * "keep top X%" gate. Ranks are INTEGER positions with a doc_id
+    * tiebreak over the oracle-proven bit-identical q41 score, and
+    * percent_rank = (rank−1)/(n−1) is one division of exact integers —
+    * deterministic end to end.
+    *
+    * Scale shape: the scoring pass is per-row; the per-source rank is a
+    * sort within each source partition — fine at report scale, and at
+    * 100 TB the calibration only needs quantile BOUNDARIES, estimated on
+    * a stratified sample (q117) and applied as a map-side bucket lookup
+    * (the q165 threshold pattern). */
+  def qualityQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("source_pct", percent_rank().over(w))
+  }
+
   /** Language-ID heuristic (marker argmax). */
   def langIdQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
