@@ -201,6 +201,7 @@ object SparkEntry {
     "q169_delta_ict_travel"  -> (DeltaBridgeQueries.deltaIctTravel _),
     "q170_eval_contamination" -> ((s, d) => SamplingQueries.evalContamination(s, d)),
     "q171_quality_quantiles" -> (CorpusQueries.qualityQuantiles _),
+    "q172_delta_log_compaction" -> (DeltaBridgeQueries.deltaLogCompaction _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -540,6 +541,12 @@ object SparkEntry {
     // the snapshot must come entirely from the manifest + sidecars.
     "q154_delta_v2_checkpoint" ->
       "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+    // Log-compaction cold read (q172): mid-range JSON commits compacted
+    // into one file and deleted — the snapshot reconstructs from
+    // v0 + compaction + tail; the oracle recomputes the survivors.
+    "q172_delta_log_compaction" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
     // In-commit-timestamp travel (q169): the read pins to the instant
     // just below the append's ICT — an ICT-aware reader serves the
     // pre-append snapshot regardless of file wall-clock metadata.

@@ -306,6 +306,40 @@ object DeltaBridgeQueries {
       .select(col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** q172: LOG COMPACTION cold read — an 8-commit mirrored history whose
+    * mid-range JSON commits are compacted into one
+    * `<x>.<y>.compacted.json` and then DELETED: the snapshot must
+    * reconstruct from v0 + the compacted file + the tail alone. This is
+    * the month-old-mirror shape — a snapshot replay that would cost one
+    * GET per commit on an object store costs one per compaction window.
+    * The oracle recomputes the final state (all rows minus the deleted
+    * status) from the source parquet. */
+  def deltaLogCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#logcompact", { _ =>
+      val r = Scratch.dir(spark, "delta-export-logcompact")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, r,
+        orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+      (1L to 6L).foreach(b => t.append(
+        orders.filter(pmod(col("o_orderkey"), lit(7)) === b)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))))
+      t.delete(col("o_orderstatus") === "F") // v7: removes + adds
+      graft.sources.DeltaExport.exportLog(t)
+      graft.sources.DeltaExport.writeLogCompaction(spark, r, 1L, 6L)
+      val fs = new org.apache.hadoop.fs.Path(r)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (1L to 6L).foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(r, f"_delta_log/$v%020d.json"), false))
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   private val rowTracked = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.table.GraftTable)]()
 

@@ -920,6 +920,85 @@ object DeltaExport {
     }
   }
 
+  /** Write a LOG COMPACTION file (`<from>.<to>.compacted.json`) — the
+    * reconciled actions of commits [fromV, toV] in one object, per the
+    * protocol's minor-compaction rule. Readers that replay a range
+    * starting at `fromV` read ONE file instead of toV−fromV+1; the JSON
+    * commits stay in place (compaction never licenses deletion — cleanup
+    * below a checkpoint remains [[cleanupLog]]'s job). Reconciliation is
+    * checkpoint-shaped, on the RAW lines so every field rides verbatim:
+    * latest metaData/protocol in range; latest txn per appId; latest
+    * domainMetadata per domain; live adds (a later add of a path
+    * supersedes both earlier adds AND earlier removes of it — replay
+    * order makes the add stand either way); removes kept unless a later
+    * add supersedes them (they must expunge checkpoint-base state; a
+    * remove of an in-range add survives as a harmless no-op tombstone).
+    * cdc actions are replay-invisible (CDF reads stay per-version) and
+    * are not carried. Returns the written path. */
+  def writeLogCompaction(spark: SparkSession, tablePath: String,
+      fromV: Long, toV: Long): Path = {
+    require(toV > fromV && fromV >= 0, s"bad compaction range [$fromV, $toV]")
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    var metaLine: Option[String] = None
+    var protoLine: Option[String] = None
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val domains = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val removes = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (fromV to toV).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(fs.exists(p),
+        s"$tablePath: cannot compact [$fromV, $toV] — version $v is missing")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toArray finally in.close()
+      // per-commit order: removes first, then adds (the replay rule)
+      val parsed = lines.filter(_.trim.nonEmpty)
+        .map(l => l -> JsonMethods.parse(l))
+      parsed.foreach { case (l, j) =>
+        (j \ "remove" \ "path") match {
+          case JString(path) =>
+            adds.remove(path)
+            removes(path) = l
+          case _ => ()
+        }
+      }
+      parsed.foreach { case (l, j) =>
+        if ((j \ "metaData") != JNothing) metaLine = Some(l)
+        if ((j \ "protocol") != JNothing) protoLine = Some(l)
+        (j \ "txn" \ "appId") match {
+          case JString(app) => txns(app) = l
+          case _ => ()
+        }
+        (j \ "domainMetadata" \ "domain") match {
+          case JString(d) => domains(d) = l
+          case _ => ()
+        }
+        (j \ "add" \ "path") match {
+          case JString(path) =>
+            adds(path) = l
+            removes.remove(path)
+          case _ => ()
+        }
+      }
+    }
+    val out = protoLine.toSeq ++ metaLine.toSeq ++ txns.values ++
+      domains.values ++ removes.values ++ adds.values
+    val target = new Path(logDir, f"$fromV%020d.$toV%020d.compacted.json")
+    val tmp = new Path(logDir,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val os = fs.create(tmp, true)
+    try os.write((out.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally os.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"could not publish log compaction $target")
+    }
+    target
+  }
+
   /** Delta-side VACUUM of EXPORT-OWNED artifacts: deletes files under
     * `_delta_materialized/` (tombstone-materialization rewrites) and
     * `_change_data/` (exported cdc files) that are no longer part of the

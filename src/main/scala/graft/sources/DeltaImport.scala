@@ -291,6 +291,23 @@ object DeltaImport {
       .sortBy(_._1)
   }
 
+  /** Log-compaction files in `_delta_log` (`<x>.<y>.compacted.json`),
+    * keyed by range start: x → (y, path). Listed, never advertised —
+    * the spec's discovery rule, same as v2 manifests. */
+  private def compactedRanges(spark: SparkSession,
+      tablePath: String): Map[Long, (Long, Path)] = {
+    val dir = logDir(tablePath)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return Map.empty
+    val Pat = "^([0-9]{20})\\.([0-9]{20})\\.compacted\\.json$".r
+    fs.listStatus(dir).toSeq.map(_.getPath).flatMap { p =>
+      p.getName match {
+        case Pat(x, y) => Some(x.toLong -> (y.toLong, p))
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** The classic checkpoint at or below `versionAsOf` advertised by
     * `_last_checkpoint`, if usable: (version, its parquet parts).
     * `private[sources]`: [[DeltaExport.writeCheckpoint]] reads the prior
@@ -511,34 +528,55 @@ object DeltaImport {
             version = v
         }
     }
-    jsonVersions(spark, tablePath, version)
-      .takeWhile { case (v, _) => versionAsOf.forall(v <= _) }
-      .foreach { case (v, p) =>
-        // Contiguity gate: the replay must cover EVERY version between
-        // its base (checkpoint or 0) and the target — a log whose older
-        // JSON was cleaned without a usable checkpoint would otherwise
-        // yield a silently partial file set (fewer rows, no error).
-        require(v == version + 1,
-          s"$tablePath: transaction log is not contiguous — expected " +
-            s"version ${version + 1}, found $v; commits below $v were " +
-            "cleaned and no checkpoint covers them, so this read " +
-            "cannot be reconstructed")
-        val in = fs.open(p)
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toArray finally in.close()
-        val a = actionsOf(v, lines.iterator)
-        a.metaData.foreach(m => meta = Some(m))
-        a.protocol.foreach(r => protocol = Some(r))
-        // Removes expunge entries from PRIOR versions; a remove+add of the
-        // same path in ONE commit (Delta's DV-update shape) must leave the
-        // commit's own add standing — so removes apply first.
-        a.removes.foreach { case (f, _) => files -= f.path }
-        a.adds.foreach { case (f, _) => files += f.path -> f }
-        a.domains.foreach { case (d, cfg, removed) =>
-          if (removed) domains -= d else domains += d -> cfg
-        }
-        version = v
+    def applyLines(v: Long, p: Path): Unit = {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toArray finally in.close()
+      val a = actionsOf(v, lines.iterator)
+      a.metaData.foreach(m => meta = Some(m))
+      a.protocol.foreach(r => protocol = Some(r))
+      // Removes expunge entries from PRIOR versions; a remove+add of the
+      // same path in ONE commit (Delta's DV-update shape) must leave the
+      // commit's own add standing — so removes apply first.
+      a.removes.foreach { case (f, _) => files -= f.path }
+      a.adds.foreach { case (f, _) => files += f.path -> f }
+      a.domains.foreach { case (d, cfg, removed) =>
+        if (removed) domains -= d else domains += d -> cfg
       }
+    }
+    val jsons = jsonVersions(spark, tablePath, version)
+      .takeWhile { case (v, _) => versionAsOf.forall(v <= _) }
+    val jsonByV = jsons.toMap
+    // Log compaction files (`<x>.<y>.compacted.json`): the reconciled
+    // actions of commits x..y in one file — a replay touching the range
+    // reads ONE object instead of y−x+1 (the spec's minor-compaction
+    // optimization; on an object store this is the difference between a
+    // month-old snapshot costing thousands of GETs and a handful).
+    val compactions = compactedRanges(spark, tablePath)
+      .filter { case (_, (y, _)) => versionAsOf.forall(y <= _) }
+    val head = (jsons.map(_._1) ++ compactions.values.map(_._1))
+      .foldLeft(version)(math.max)
+    while (version < head) {
+      compactions.get(version + 1) match {
+        case Some((y, cp)) =>
+          // one pseudo-commit: the writer already reconciled the range,
+          // so removes-then-adds replay is exact
+          applyLines(y, cp)
+          version = y
+        case None =>
+          // Contiguity gate: the replay must cover EVERY version between
+          // its base (checkpoint or 0) and the target — a log whose older
+          // JSON was cleaned without a usable checkpoint (or compaction)
+          // would otherwise yield a silently partial file set.
+          val p = jsonByV.getOrElse(version + 1,
+            throw new IllegalArgumentException(
+              s"$tablePath: transaction log is not contiguous — version " +
+                s"${version + 1} is missing and no checkpoint or log " +
+                "compaction covers it, so this read cannot be reconstructed"))
+          applyLines(version + 1, p)
+          version += 1
+      }
+    }
 
     if (version < 0) throw new IllegalArgumentException(
       s"$tablePath: no Delta commits" +

@@ -789,6 +789,46 @@ class DeltaExportSpec extends SparkSpec {
       Seq(1L, 2L, 5000000000L))
   }
 
+  test("log compaction: one file replays a range; covered-JSON loss survivable") {
+    val root = tmpDir("dexp-compact")
+    val t = GraftTable.create(spark, root,
+      (1L to 4L).map(i => (i, s"v$i")).toDF("id", "s"), Nil)
+    (5L to 10L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "s")))
+    t.delete(col("id") === 2L) // v7: rewrite — removes + adds inside range
+    t.append(Seq((11L, "v11")).toDF("id", "s")) // v8
+    DeltaExport.exportLog(t)
+    val expected = DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+
+    val cp = DeltaExport.writeLogCompaction(spark, root, 1L, 6L)
+    assert(cp.getName === "00000000000000000001.00000000000000000006.compacted.json")
+    // identical snapshot with the compaction present (reader prefers it)
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === expected)
+    // versionAsOf inside the compacted range falls back to per-JSON replay
+    assert(DeltaImport.read(spark, root, Some(3L)).count() === 7L)
+
+    // the compacted file alone can stand in for its covered JSONs: delete
+    // them and the snapshot still reconstructs (and time travel into the
+    // hole honestly fails)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 6L).foreach(v => fs.delete(
+      new org.apache.hadoop.fs.Path(root, f"_delta_log/$v%020d.json"), false))
+    assert(DeltaImport.read(spark, root).as[(Long, String)].collect().toSet
+      === expected)
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.read(spark, root, Some(3L))
+    }
+    assert(e.getMessage.contains("3"), s"honest failure expected: ${e.getMessage}")
+
+    // reconciliation: the compacted file carries no cdc/commitInfo lines
+    val clines = Files.readAllLines(Paths.get(cp.toUri.getPath)).asScala
+      .filter(_.trim.nonEmpty).map(JsonMethods.parse(_)).toSeq
+    assert(clines.nonEmpty)
+    assert(clines.forall(l => (l \ "commitInfo") == JNothing))
+    assert(clines.forall(l => (l \ "cdc") == JNothing))
+  }
+
   test("in-commit timestamps: monotonic ICT in commitInfo; travel honors it") {
     val root = tmpDir("dexp-ict")
     val t = GraftTable.create(spark, root, Seq((1L, "a")).toDF("id", "s"), Nil)
