@@ -202,6 +202,9 @@ object SparkEntry {
     "q170_eval_contamination" -> ((s, d) => SamplingQueries.evalContamination(s, d)),
     "q171_quality_quantiles" -> (CorpusQueries.qualityQuantiles _),
     "q172_delta_log_compaction" -> (DeltaBridgeQueries.deltaLogCompaction _),
+    "q173_delta_clustering"  -> (DeltaBridgeQueries.deltaClustering _),
+    "q174_source_divergence" -> (CorpusQueries.sourceDivergence _),
+    "q175_token_budget"      -> ((s, d) => SamplingQueries.tokenBudgetPlan(s, d)),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -547,6 +550,15 @@ object SparkEntry {
     "q172_delta_log_compaction" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
+    // Liquid clustering (q173): the declaration survives
+    // export→domainMetadata→import and a bare OPTIMIZE clusters on it;
+    // the pinned clustering_cols literal fails the hash if the domain
+    // metadata is dropped or mangled anywhere along the way.
+    "q173_delta_clustering" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS custs,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  'c_mktsegment,c_acctbal' AS clustering_cols
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
     // In-commit-timestamp travel (q169): the read pins to the instant
     // just below the append's ICT — an ICT-aware reader serves the
     // pre-append snapshot regardless of file wall-clock metadata.
@@ -2172,6 +2184,61 @@ object SparkEntry {
     // temperature mixing: sqrt is correctly-rounded IEEE on both engines,
     // and the normalizer is the (integer) max — no float sum over a
     // data-dependent group order anywhere in the expression tree
+    // Chi-square source divergence (q174): all fixed-point BIGINT terms
+    // (1e-9 scale, truncating integer division on non-negative operands,
+    // where DuckDB's floor `//` and Spark's trunc `DIV` agree); absent
+    // terms fold in via Σ_absent q = Σ_all q − Σ_present q.
+    "q174_source_divergence" ->
+      """WITH terms AS (
+        |  SELECT source, term FROM (
+        |    SELECT source,
+        |           unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents WHERE trim(text) <> '')
+        |  WHERE term <> ''),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n
+        |       FROM terms GROUP BY source, term),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM st GROUP BY source),
+        |ct AS (SELECT term, CAST(sum(n) AS BIGINT) AS c FROM st GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ctot FROM ct),
+        |qt AS (SELECT term, CAST((c * 1000000000) // ctot AS BIGINT) AS qfp
+        |       FROM ct CROSS JOIN tot),
+        |qs AS (SELECT CAST(sum(qfp) AS BIGINT) AS qsum FROM qt),
+        |pres AS (
+        |  SELECT p.source,
+        |    CAST(sum((p.pfp - qt.qfp) * (p.pfp - qt.qfp)
+        |             // greatest(qt.qfp, 1) - qt.qfp) AS BIGINT) AS present_sum
+        |  FROM (SELECT st.source, st.term,
+        |          CAST((st.n * 1000000000) // s.ns AS BIGINT) AS pfp
+        |        FROM st JOIN s USING (source)) p
+        |  JOIN qt USING (term)
+        |  GROUP BY p.source)
+        |SELECT pres.source, s.ns AS n_tokens,
+        |  pres.present_sum + qs.qsum AS divergence_fp,
+        |  CAST(pres.present_sum + qs.qsum AS DOUBLE) / 1000000000 AS divergence
+        |FROM pres JOIN s USING (source) CROSS JOIN qs""".stripMargin,
+
+    // Token-budget plan (q175): ⌊√available⌋ weights (IEEE sqrt is
+    // correctly rounded, so the floor is bit-portable), BIGINT shares via
+    // truncating division, supply-capped; epochs is the one double div.
+    "q175_token_budget" ->
+      """WITH avail AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      AS available_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, available_tokens,
+        |        CAST(floor(sqrt(CAST(available_tokens AS DOUBLE))) AS BIGINT)
+        |          AS weight
+        |      FROM avail),
+        |ws AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w)
+        |SELECT source, n_docs, available_tokens, weight,
+        |  least(available_tokens,
+        |        CAST((1000000 * weight) // wsum AS BIGINT)) AS allocated_tokens,
+        |  CAST(least(available_tokens,
+        |        CAST((1000000 * weight) // wsum AS BIGINT)) AS DOUBLE)
+        |    / available_tokens AS epochs
+        |FROM w CROSS JOIN ws""".stripMargin,
+
     "q121_temperature_mix" ->
       """WITH agg AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

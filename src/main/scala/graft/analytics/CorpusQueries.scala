@@ -1254,6 +1254,53 @@ object CorpusQueries {
         col("kept_fingerprint"))
   }
 
+  /** q174: per-source unigram-distribution divergence vs the corpus pool —
+    * the mixing diagnostic run before setting source weights: a source
+    * whose token distribution diverges hard from the pool is either a
+    * distinct register (upweight for diversity) or junk (inspect). The
+    * statistic is the chi-square divergence Σ_t (p_s(t) − q(t))²/q(t),
+    * chosen over KL because it needs NO logarithm: with 1e-9 fixed-point
+    * frequencies (p = ⌊n·S/N_s⌋, q = ⌊c·S/C⌋, truncating integer
+    * division) every term is exact BIGINT arithmetic and the cross-engine
+    * hash matches bit-for-bit (log is libm and not portable — the q156
+    * reasoning). Terms ABSENT from a source still contribute q to the
+    * full-vocabulary sum; rather than materialize the sources×vocab grid,
+    * the identity Σ_absent q = Σ_all q − Σ_present q folds them into one
+    * broadcast scalar — so the fan-out stays (source, present-term)-sized.
+    *
+    * Plan shape at 100 TB: one corpus scan → (source, term) hash-agg with
+    * map-side combine (the only corpus-sized shuffle); the corpus
+    * marginal is vocabulary-sized and broadcasts; the final agg is
+    * sources-sized. Overflow headroom: c·S ≤ 9.2e18 holds to ~9 B corpus
+    * tokens per the S=1e9 scale — beyond that, drop S or widen to
+    * DECIMAL(38,0) sums (same plan). */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val S = 1000000000L // 1e-9 fixed point
+    val docs = Tables.documents(spark, dir)
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+    val srcTotals = st.groupBy("source").agg(sum(col("n")).as("ns"))
+    val corpus = st.groupBy("term").agg(sum(col("n")).as("c"))
+    val ctot = corpus.agg(sum(col("c")).as("ctot"))
+    val qTab = corpus.crossJoin(broadcast(ctot))
+      .select(col("term"), expr(s"(c * ${S}L) DIV ctot").as("qfp"))
+    // Σ_all q — one vocabulary-sized aggregate, broadcast as a scalar
+    val qSum = qTab.agg(sum(col("qfp")).as("qsum"))
+    val present = st.join(broadcast(srcTotals), "source")
+      .select(col("source"), col("term"), expr(s"(n * ${S}L) DIV ns").as("pfp"))
+      .join(broadcast(qTab), "term")
+      .select(col("source"),
+        expr("(pfp - qfp) * (pfp - qfp) DIV greatest(qfp, 1L) - qfp").as("contrib"))
+    present.groupBy("source")
+      .agg(sum(col("contrib")).as("present_sum"))
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(qSum))
+      .select(col("source"), col("ns").as("n_tokens"),
+        (col("present_sum") + col("qsum")).as("divergence_fp"),
+        ((col("present_sum") + col("qsum")).cast("double") / S)
+          .as("divergence"))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO

@@ -340,6 +340,45 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q173: LIQUID CLUSTERING end-to-end through the mirror — declare
+    * clustering columns ([[graft.table.GraftTable.clusterBy]], one
+    * metadata commit at any table size), append, then a bare `optimize()`
+    * that re-clusters on the declaration. The mirror carries Delta's own
+    * shape: the `clustering` writer feature, the declaration as
+    * `delta.clustering` domain metadata (PHYSICAL column names), and
+    * `clusteringProvider` stamps on the OPTIMIZE-written adds — so a
+    * Delta reader sees a liquid-clustered table. The returned frame
+    * reads back EXCLUSIVELY through the log replay and pins the imported
+    * declaration into a column the oracle must equal: if the domain
+    * metadata were dropped or mangled anywhere along
+    * export→checkpoint→import, the hash check fails. */
+  def deltaClustering(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#cluster", { _ =>
+      val r = Scratch.dir(spark, "delta-export-cluster")
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val t = graft.table.GraftTable.create(spark, r,
+        cust.filter(pmod(col("c_custkey"), lit(2)) === 0))
+      t.clusterBy(Seq("c_mktsegment", "c_acctbal"))
+      t.append(cust.filter(pmod(col("c_custkey"), lit(2)) === 1))
+      t.optimize() // no explicit order: clusters on the declaration
+      graft.sources.DeltaExport.exportLog(t)
+      r
+    })
+    val snap = DeltaImport.snapshot(spark, root)
+    // physical == logical here (no renames) — the flat name-path arrays
+    // decode with one split-free pass over the configuration JSON
+    val declared = """\["([^"\]]+)"\]""".r
+      .findAllMatchIn(snap.domainMetadata.getOrElse("delta.clustering", "{}"))
+      .map(_.group(1)).mkString(",")
+    DeltaImport.read(spark, root)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("custs"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .withColumn("clustering_cols", lit(declared))
+  }
+
   private val rowTracked = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.table.GraftTable)]()
 

@@ -170,6 +170,42 @@ object SamplingQueries {
           .as("boost"))
   }
 
+  /** q175: token-budget allocation plan — the step AFTER q121's
+    * temperature diagnostic: given a training budget B, split it across
+    * sources with √-temperature weights and cap each source at its
+    * available supply. Every allocation is exact integer arithmetic so
+    * the plan is reproducible cross-engine: the weight is ⌊√A_s⌋ (IEEE
+    * sqrt is correctly rounded and A_s < 2⁵³ converts exactly, so the
+    * floor is bit-portable), the share is (B·w_s) DIV Σw — truncating
+    * BIGINT division — and `epochs` (how many passes over the source the
+    * allocation implies) is the one final double division. A source
+    * whose fair share exceeds its supply is capped at 1 epoch; the
+    * residual budget re-spends in production by re-running the same plan
+    * on the uncapped remainder (one more sources-sized pass, not done
+    * here — the driver gate wants the single-round plan).
+    *
+    * Plan shape at 100 TB: one corpus scan → sources-sized hash-agg with
+    * map-side combine; everything after is broadcast scalars. */
+  def tokenBudgetPlan(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import graft.text.TextFunctions
+    val avail = Tables.documents(spark, dir)
+      .select(col("source"), TextFunctions.tokenCount(col("text")).as("tc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("available_tokens"))
+      .select(col("source"), col("n_docs"), col("available_tokens"),
+        floor(sqrt(col("available_tokens").cast("double"))).cast("long")
+          .as("weight"))
+    val wSum = avail.agg(sum(col("weight")).as("wsum"))
+    avail.crossJoin(broadcast(wSum))
+      .select(col("source"), col("n_docs"), col("available_tokens"),
+        col("weight"),
+        least(col("available_tokens"),
+          expr(s"(${budget}L * weight) DIV wsum")).as("allocated_tokens"))
+      .withColumn("epochs",
+        col("allocated_tokens").cast("double") / col("available_tokens"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * `n`-gram with an evaluation set — the standard guard against test-set
     * leakage into pretraining data. Shingles are hashed to 8-byte keys

@@ -185,6 +185,12 @@ object DeltaExport {
     // on tsMs, which graft's own adjusted-timestamp travel also does).
     var ictAdvertised = resumeSnap.flatMap(_.protocol).exists(
       _.writerFeatures.contains("inCommitTimestamp"))
+    // Clustering: the declaration is STATE (domain metadata), re-emitted
+    // only when it changes; the feature advertisement is sticky.
+    var clusterAdvertised = resumeSnap.flatMap(_.protocol).exists(
+      _.writerFeatures.contains("clustering"))
+    var prevClusterCfg: Option[String] =
+      resumeSnap.flatMap(_.domainMetadata.get("delta.clustering"))
     var ictEnable: Option[(Long, Long)] = resumeSnap.flatMap(s =>
       s.configuration.get("delta.inCommitTimestampEnablementVersion")
         .zip(s.configuration.get("delta.inCommitTimestampEnablementTimestamp"))
@@ -443,6 +449,7 @@ object DeltaExport {
         (wantTw && !twAdvertised) ||
         (ictOn && !ictAdvertised) ||
         (rtActive && !rtAdvertised) ||
+        (clusterByOn(c.properties) && !clusterAdvertised) ||
         (cdfUpgrade && !resumeCdfCapable)
       if (needProto) {
         val gated = (if (wantDv) Seq("deletionVectors") else Nil) ++
@@ -457,6 +464,7 @@ object DeltaExport {
         twAdvertised = wantTw
         ictAdvertised = ictAdvertised || ictOn
         rtAdvertised = rtAdvertised || rtActive
+        clusterAdvertised = clusterAdvertised || clusterByOn(c.properties)
       }
       cdfUpgrade = false
       if (metaChanged) {
@@ -498,12 +506,34 @@ object DeltaExport {
             JString(s"""{"rowIdHighWaterMark":${rowHigh - 1}}"""),
           "removed" -> JBool(false))))
       }
+      // Clustering declaration: emitted when it changes (CLUSTER BY /
+      // CLUSTER BY NONE / a rename moving a clustered column's physical
+      // name — impossible by construction, physical names are birth-
+      // stable, but the compare is on the rendered config so it would
+      // still be correct). A removal is Delta's tombstone form.
+      val curClusterCfg = clusteringConfigOf(c.properties)
+      if (curClusterCfg != prevClusterCfg && (curClusterCfg.nonEmpty ||
+          prevClusterCfg.nonEmpty)) {
+        lines += JsonMethods.compact(JObject("domainMetadata" -> JObject(
+          "domain" -> JString("delta.clustering"),
+          "configuration" -> JString(curClusterCfg.getOrElse("{}")),
+          "removed" -> JBool(curClusterCfg.isEmpty))))
+        prevClusterCfg = curClusterCfg
+      }
       val dataChange = c.operation != "OPTIMIZE"
+      // OPTIMIZE on a clustered table is the clustering pass ([[GraftTable
+      // .optimize]] Z-orders on the declared columns) — its adds carry the
+      // provider stamp delta-spark writes on clustered files.
+      val clusterProvider =
+        if (c.operation == "OPTIMIZE" && clusterByOn(c.properties))
+          Some("liquidClustering")
+        else None
       adds.foreach { p =>
         lines += addJson(p, cur(p), physSchema, c.partitionCols, dataChange, conf,
           curDv.get(p),
           if (rtActive) fileRowBase.get(p) else None,
-          if (rtActive) fileRowVer.get(p) else None)
+          if (rtActive) fileRowVer.get(p) else None,
+          clusterProvider)
       }
       removes.foreach { p =>
         val dvField = prevDv.get(p).map(d => "deletionVector" -> dvJson(d)).toList
@@ -1133,7 +1163,11 @@ object DeltaExport {
       (if (rowTrackingOn(props)) Seq("rowTracking", "domainMetadata") else Nil) ++
       // In-commit timestamps: writer-only too (legacy readers simply keep
       // using file-timestamp rules; spec-aware ones read commitInfo).
-      (if (ictOnProps(props)) Seq("inCommitTimestamp") else Nil)
+      (if (ictOnProps(props)) Seq("inCommitTimestamp") else Nil) ++
+      // Liquid clustering: writer-only (the layout is invisible to
+      // readers); the declaration itself rides as `delta.clustering`
+      // domain metadata, hence domainMetadata joins the list.
+      (if (clusterByOn(props)) Seq("clustering", "domainMetadata") else Nil)
 
   /** The graft table declares row tracking ([[GraftTable.RowIdCol]]'s
     * contract) — the mirror then carries Delta's own `rowTracking`
@@ -1149,6 +1183,29 @@ object DeltaExport {
   private def ictOnProps(props: Map[String, String]): Boolean =
     props.get("delta.enableInCommitTimestamps").exists(_.equalsIgnoreCase("true"))
 
+  /** The graft table declares clustering columns ([[GraftTable.clusterBy]])
+    * — the mirror then carries Delta's own `clustering` writer feature,
+    * the declaration as `delta.clustering` domain metadata (PHYSICAL
+    * names, per PROTOCOL.md "Clustered Table"), and a
+    * `clusteringProvider` stamp on OPTIMIZE-written adds. */
+  private def clusterByOn(props: Map[String, String]): Boolean =
+    GraftTable.clusterColsOf(props).nonEmpty
+
+  /** `delta.clustering` domain-metadata configuration for a property map
+    * (None when unclustered): `{"clusteringColumns":[["phys"],…]}` —
+    * each column a name-path array of one (graft schemas are flat here),
+    * physical names so the declaration survives metadata-only renames. */
+  private def clusteringConfigOf(props: Map[String, String]): Option[String] = {
+    val cols = GraftTable.clusterColsOf(props)
+    if (cols.isEmpty) None
+    else {
+      val cmap = colMapOfProps(props)
+      Some(JsonMethods.compact(JObject("clusteringColumns" -> JArray(
+        cols.toList.map(c =>
+          JArray(List(JString(cmap.getOrElse(c, c)))): JValue)))))
+    }
+  }
+
   private def protocolJson(schema: StructType, props: Map[String, String]): String = {
     // TimestampNTZ in the schema is a Delta READER feature: legacy readers
     // would misinterpret the column, so the protocol must say v3 +
@@ -1157,11 +1214,12 @@ object DeltaExport {
     // play ([[writerFeaturesOf]]).
     val ntz = hasNtz(schema)
     val proto =
-      // Row tracking / in-commit timestamps have no legacy writer version
-      // — they force the feature-listed shape (writer 7). Reader stays at
-      // 1 unless NTZ demands 3: readerFeatures exists only on a v3 reader
-      // protocol, and writer-only features never appear in it.
-      if (ntz || rowTrackingOn(props) || ictOnProps(props)) JObject(
+      // Row tracking / in-commit timestamps / clustering have no legacy
+      // writer version — they force the feature-listed shape (writer 7).
+      // Reader stays at 1 unless NTZ demands 3: readerFeatures exists only
+      // on a v3 reader protocol, and writer-only features never appear in it.
+      if (ntz || rowTrackingOn(props) || ictOnProps(props) ||
+          clusterByOn(props)) JObject(
         (List("minReaderVersion" -> (JInt(if (ntz) 3 else 1): JValue),
           "minWriterVersion" -> (JInt(7): JValue)) ++
           (if (ntz)
@@ -1248,8 +1306,11 @@ object DeltaExport {
     // the exported cdc actions / derived appends.
     val confCdf = c.properties
       // typeChange history lives in the schemaString's field metadata,
-      // never in the configuration (mirrors the colmap-entry drop below)
+      // never in the configuration (mirrors the colmap-entry drop below);
+      // the clustering declaration's canonical Delta carrier is the
+      // `delta.clustering` domain metadata, so the graft key is dropped too
       .filterNot(_._1.startsWith(GraftTable.TypeChangePrefix))
+      .filterNot(_._1 == GraftTable.ClusterByProp)
       .map {
         case (k, v) if k.startsWith("constraint.") =>
           s"delta.constraints.${k.stripPrefix("constraint.")}" -> v
@@ -1320,7 +1381,8 @@ object DeltaExport {
       conf: org.apache.hadoop.conf.Configuration,
       dv: Option[DeltaDeletionVectors.Descriptor] = None,
       baseRowId: Option[Long] = None,
-      defaultRowCommitVersion: Option[Long] = None): String = {
+      defaultRowCommitVersion: Option[Long] = None,
+      clusteringProvider: Option[String] = None): String = {
     // A DV'd file's footer stats cover PHYSICAL rows (deleted included):
     // the protocol requires declaring them non-tight, else a metadata-only
     // MIN/MAX answer could come from deleted rows.
@@ -1335,7 +1397,9 @@ object DeltaExport {
       dv.map(d => "deletionVector" -> (dvJson(d): JValue)) ++
       baseRowId.map(b => "baseRowId" -> (JLong(b): JValue)) ++
       defaultRowCommitVersion.map(v =>
-        "defaultRowCommitVersion" -> (JLong(v): JValue))
+        "defaultRowCommitVersion" -> (JLong(v): JValue)) ++
+      clusteringProvider.map(cp =>
+        "clusteringProvider" -> (JString(cp): JValue))
     JsonMethods.compact(JObject("add" -> JObject(fields: _*)))
   }
 

@@ -1506,10 +1506,21 @@ final class GraftTable private (
       schemaJson = StructType(schema.fields.filterNot(_.name == name)).json,
       // The retired name is the PHYSICAL one (what old files still carry)
       // — that is the name whose resurrection would leak old bytes.
-      properties = prev.properties -
-        (GraftTable.ColMapPrefix + name) +
-        (DroppedColPrefix +
-          colMapOf(prev.properties).getOrElse(name, name) -> "1"))
+      properties = {
+        val base = prev.properties -
+          (GraftTable.ColMapPrefix + name) +
+          (DroppedColPrefix +
+            colMapOf(prev.properties).getOrElse(name, name) -> "1")
+        // A dropped clustering column leaves the declaration (Delta drops
+        // the column from clusteringColumns rather than refusing the DDL).
+        val cluster = GraftTable.clusterColsOf(prev.properties)
+        if (!cluster.contains(name)) base
+        else {
+          val rest = cluster.filterNot(_ == name)
+          if (rest.isEmpty) base - GraftTable.ClusterByProp
+          else base + (GraftTable.ClusterByProp -> rest.mkString(","))
+        }
+      })
     }
   }
 
@@ -1555,7 +1566,42 @@ final class GraftTable private (
     k.startsWith(ConstraintPrefix) || k.startsWith(TombstoneCoverPrefix) ||
       k.startsWith(DroppedColPrefix) || k.startsWith(GeneratedColPrefix) ||
       k.startsWith(IdentitySpecPrefix) || k.startsWith(IdentityHwmPrefix) ||
-      k.startsWith(GraftTable.ColMapPrefix)
+      k.startsWith(GraftTable.ColMapPrefix) || k == GraftTable.ClusterByProp
+
+  /** ALTER TABLE … CLUSTER BY — declare the table's clustering columns
+    * (Delta liquid-clustering analogue; reference scope: delta_handler.py
+    * delegates layout DDL to the Delta library). Metadata-only: existing
+    * files keep their layout; every subsequent [[optimize]] without an
+    * explicit `zorderBy` re-clusters on these columns, which is exactly
+    * Delta's incremental-clustering contract (declare once, OPTIMIZE
+    * applies). The Delta export bridge mirrors the declaration as
+    * `delta.clustering` domain metadata + the `clustering` writer
+    * feature, and stamps OPTIMIZE-written adds with a
+    * `clusteringProvider`. `CLUSTER BY NONE` = empty `cols`. */
+  def clusterBy(cols: Seq[String]): Commit = this.synchronized {
+    commitMetadata { prev =>
+      val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"cannot cluster $root by ${missing.mkString(", ")}: no such column")
+      val onPart = cols.filter(prev.partitionCols.contains)
+      require(onPart.isEmpty,
+        s"cannot cluster $root by partition column(s) ${onPart.mkString(", ")}")
+      prev.copy(
+        version = prev.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "CLUSTER BY",
+        metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        properties =
+          if (cols.isEmpty) prev.properties - GraftTable.ClusterByProp
+          else prev.properties +
+            (GraftTable.ClusterByProp -> cols.mkString(",")))
+    }
+  }
+
+  /** The table's declared clustering columns (empty when unclustered). */
+  def clusteringColumns: Seq[String] =
+    log.latest().map(c => GraftTable.clusterColsOf(c.properties)).getOrElse(Nil)
 
   /** ALTER TABLE DROP CONSTRAINT (metadata-only). */
   def dropConstraint(name: String): Commit = this.synchronized {
@@ -3369,8 +3415,14 @@ final class GraftTable private (
     * on ANY of the z columns, not just a lead sort key. */
   def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Seq[String] = Nil): Commit = this.synchronized {
-    optimizeFrom(log.latest().getOrElse(
-      throw new NoSuchElementException(s"no table at $root")), targetFileBytes, zorderBy)
+    val prev = log.latest().getOrElse(
+      throw new NoSuchElementException(s"no table at $root"))
+    // A clustered table ([[clusterBy]]) re-clusters on its declared
+    // columns whenever OPTIMIZE is not given an explicit order — Delta's
+    // liquid-clustering contract (OPTIMIZE on a clustered table clusters).
+    val order =
+      if (zorderBy.nonEmpty) zorderBy else GraftTable.clusterColsOf(prev.properties)
+    optimizeFrom(prev, targetFileBytes, order)
   }
 
   /** [[optimize]] from an explicit snapshot (test seam for rebase
@@ -3479,8 +3531,14 @@ final class GraftTable private (
       Map("numOutputRows" -> countDir(dir)), snapshot.schema.json,
       partitionCols = prev.partitionCols,
       dirStats = Map(dir -> meta.stats),
-      properties = rewriteProps(prev.properties)
-        .filterNot(_._1.startsWith(DroppedColPrefix)),
+      properties = {
+        val base = rewriteProps(prev.properties)
+          .filterNot(_._1.startsWith(DroppedColPrefix))
+        val cluster = GraftTable.clusterColsOf(prev.properties)
+        if (!cluster.contains(from)) base
+        else base + (GraftTable.ClusterByProp ->
+          cluster.map(c => if (c == from) to else c).mkString(","))
+      },
       dirNulls = Map(dir -> meta.nulls))
     commitRewrite(c, Seq(dir))
   }
@@ -3538,8 +3596,15 @@ final class GraftTable private (
         dirNulls = prev.dirNulls.map { case (d, m) => d -> rekey(m) },
         properties = {
           val base = prev.properties - (GraftTable.ColMapPrefix + from)
-          if (to == physOfFrom) base
-          else base + (GraftTable.ColMapPrefix + to -> physOfFrom)
+          val mapped =
+            if (to == physOfFrom) base
+            else base + (GraftTable.ColMapPrefix + to -> physOfFrom)
+          // Clustering declarations are logical-name-keyed, like the
+          // skipping metadata — they travel with the rename.
+          val cluster = GraftTable.clusterColsOf(prev.properties)
+          if (!cluster.contains(from)) mapped
+          else mapped + (GraftTable.ClusterByProp ->
+            cluster.map(c => if (c == from) to else c).mkString(","))
         })
     }
   }
@@ -4017,6 +4082,18 @@ object GraftTable {
   private[graft] val GeneratedColPrefix = "graft.generatedCol."
   private[graft] val IdentitySpecPrefix = "graft.identityCol."
   private[graft] val IdentityHwmPrefix = "graft.identityHwm."
+
+  /** Declared clustering columns (`graft.clusterBy = a,b` — LOGICAL
+    * names, rekeyed by renames like the skipping metadata). Set by
+    * [[GraftTable.clusterBy]]; mirrored by the Delta export bridge as
+    * `delta.clustering` domain metadata (delta.io PROTOCOL.md
+    * "Clustered Table") with physical names. */
+  private[graft] val ClusterByProp = "graft.clusterBy"
+
+  /** The clustering columns a property map declares (logical names). */
+  private[graft] def clusterColsOf(props: Map[String, String]): Seq[String] =
+    props.get(ClusterByProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   /** Type-widening history entries (`graft.typeChange.<physical> =
     * [{"fromType":..,"toType":..,"tableVersion":..}, ...]`) — appended by

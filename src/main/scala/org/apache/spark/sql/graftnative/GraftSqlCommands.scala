@@ -483,6 +483,19 @@ case class GraftWidenColumnCommand(
       table.widenColumnType(c, dt).version }.last))
 }
 
+/** `ALTER TABLE t CLUSTER BY (a, b)` / `CLUSTER BY NONE` — the liquid-
+  * clustering declaration as a metadata commit ([[GraftTable.clusterBy]]);
+  * subsequent bare `OPTIMIZE t` calls re-cluster on it. */
+case class GraftClusterByCommand(
+    table: GraftTable,
+    cols: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(table.clusterBy(cols).version))
+}
+
 /** `ALTER TABLE t SET TBLPROPERTIES (k = v, …)` /
   * `UNSET TBLPROPERTIES [IF EXISTS] (k, …)` — user-namespace table
   * properties as logged commits ([[GraftTable.setProperties]]). */

@@ -176,6 +176,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           GraftWidenColumnCommand(t, changes)
         case None => ac
       }
+    // ALTER TABLE … CLUSTER BY (cols) / CLUSTER BY NONE → the clustering
+    // declaration (a metadata commit; bare OPTIMIZE then clusters on it).
+    case cb @ logical.AlterTableClusterBy(u: UnresolvedTable, spec) =>
+      graftTableOf(u.multipartIdentifier) match {
+        case Some(t) =>
+          val cols = spec.map(_.columnNames.map { nr =>
+            if (nr.fieldNames.length != 1)
+              throw new UnsupportedOperationException(
+                "graft CLUSTER BY supports top-level columns")
+            nr.fieldNames.head
+          }.toSeq).getOrElse(Nil)
+          GraftClusterByCommand(t, cols)
+        case None => cb
+      }
     case sp @ logical.SetTableProperties(u: UnresolvedTable, props) =>
       graftTableOf(u.multipartIdentifier) match {
         case Some(t) => GraftSetPropertiesCommand(t, props, Nil)

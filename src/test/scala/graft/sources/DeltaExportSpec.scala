@@ -968,6 +968,59 @@ class DeltaExportSpec extends SparkSpec {
       }
     }.toMap
 
+  test("clustering declaration mirrors as delta.clustering domain metadata") {
+    val root = tmpDir("dexp-cluster")
+    val t = GraftTable.create(spark, root,
+      (0L until 40L).map(i => (i, s"seg${i % 4}", i * 1.5)).toDF("k", "seg", "x"),
+      Nil)
+    t.clusterBy(Seq("seg", "x"))
+    t.append((40L until 60L).map(i => (i, s"seg${i % 4}", i * 1.5))
+      .toDF("k", "seg", "x"))
+    t.optimize() // bare OPTIMIZE must cluster on the declaration
+    DeltaExport.exportLog(t)
+
+    val snap = DeltaImport.snapshot(spark, root)
+    val proto = snap.protocol.get
+    assert(proto.minWriterVersion === 7)
+    assert(proto.writerFeatures.contains("clustering"))
+    assert(proto.writerFeatures.contains("domainMetadata"))
+    assert(!proto.readerFeatures.contains("clustering"),
+      "clustering is writer-only")
+    // declaration: physical name-path arrays under delta.clustering
+    assert(snap.domainMetadata.get("delta.clustering")
+      .contains("""{"clusteringColumns":[["seg"],["x"]]}"""))
+    // the graft-namespace key never leaks into the mirror's configuration
+    assert(!snap.configuration.contains("graft.clusterBy"))
+    // OPTIMIZE-written adds carry the provider stamp; earlier adds do not
+    val optAdds = logLines(root, 3L).flatMap(j => (j \ "add") match {
+      case JNothing => Nil
+      case a => Seq((a \ "clusteringProvider"))
+    })
+    assert(optAdds.nonEmpty &&
+      optAdds.forall(_ == JString("liquidClustering")))
+    assert(logLines(root, 0L).forall(j =>
+      (j \ "add" \ "clusteringProvider") == JNothing))
+    // CLUSTER BY NONE removes the domain; the import folds the tombstone
+    t.clusterBy(Nil)
+    DeltaExport.exportLog(t)
+    val after = DeltaImport.snapshot(spark, root)
+    assert(!after.domainMetadata.contains("delta.clustering"))
+    // content round-trips through the replay at head
+    assert(DeltaImport.read(spark, root).count() === 60L)
+    // a clustered column rename (metadata-only) travels with the mapping
+    val t2root = tmpDir("dexp-cluster-rn")
+    val t2 = GraftTable.create(spark, t2root,
+      (0L until 10L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    t2.clusterBy(Seq("s"))
+    t2.renameColumnMetadataOnly("s", "label")
+    assert(t2.clusteringColumns === Seq("label"))
+    DeltaExport.exportLog(t2)
+    // physical name (birth-stable "s") is what the domain metadata carries
+    assert(DeltaImport.snapshot(spark, t2root).domainMetadata
+      .get("delta.clustering")
+      .contains("""{"clusteringColumns":[["s"]]}"""))
+  }
+
   test("row tracking exports: baseRowIds reproduce graft's derived ids") {
     val root = tmpDir("dexp-rowtrack")
     def rows(from: Long, n: Int) =

@@ -99,6 +99,18 @@ class SqlAlterSpec extends SparkSpec {
       === Seq(1L, 2L, 5000000000L))
   }
 
+  test("CLUSTER BY routes to the clustering declaration; NONE clears it") {
+    val (t, _) = freshTable("sqlcluster", "clu_t")
+    s2.sql("ALTER TABLE clu_t CLUSTER BY (s, v)").collect()
+    assert(t.clusteringColumns === Seq("s", "v"))
+    s2.sql("ALTER TABLE clu_t CLUSTER BY NONE").collect()
+    assert(t.clusteringColumns === Nil)
+    // unknown columns refuse with the table's own diagnostic
+    val e = intercept[IllegalArgumentException](
+      s2.sql("ALTER TABLE clu_t CLUSTER BY (nope)").collect())
+    assert(e.getMessage.contains("no such column"))
+  }
+
   test("SET/UNSET TBLPROPERTIES round-trip through DESCRIBE DETAIL") {
     val (t, _) = freshTable("sqlprops", "prop_t")
     // note: 'owner' is reserved by Spark's own grammar — user keys only

@@ -59,4 +59,43 @@ class ZOrderSpec extends SparkSpec {
     assert(onV < total, s"no numeric pruning: $onV of $total files")
     assert(snap.count() === 16L * 1024L)
   }
+
+  test("clusterBy: bare OPTIMIZE clusters on the declaration") {
+    val root = tmpDir("clusterby")
+    val rows = scala.util.Random.shuffle(
+      (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))).zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+    val t = GraftTable.create(spark, root, rows.toDF("id", "a", "b"))
+    t.clusterBy(Seq("a", "b"))
+    assert(t.clusteringColumns === Seq("a", "b"))
+    t.optimize(targetFileBytes = 4 * 1024) // no explicit order
+    val snap = t.read()
+    val total = filesTouched(snap)
+    assume(total >= 8, s"need a multi-file layout, got $total")
+    assert(filesTouched(snap.filter(col("a") < 8)) < total, "no pruning on a")
+    assert(filesTouched(snap.filter(col("b") < 8)) < total, "no pruning on b")
+    // an explicit zorderBy still overrides the declaration
+    t.optimize(targetFileBytes = 4 * 1024, zorderBy = Seq("id"))
+    assert(t.read().count() === 64L * 64L)
+  }
+
+  test("clusterBy: validation, rename rekey, drop removes the column") {
+    val root = tmpDir("clusterby-ddl")
+    import spark.implicits._
+    val t = GraftTable.create(spark, root,
+      (0L until 10L).map(i => (i, s"s$i", i * 2)).toDF("k", "s", "n"))
+    intercept[IllegalArgumentException](t.clusterBy(Seq("nope")))
+    t.clusterBy(Seq("s", "n"))
+    // engine-managed: a stray SET/UNSET cannot corrupt the declaration
+    intercept[IllegalArgumentException](
+      t.setProperties(Map("graft.clusterBy" -> "k")))
+    intercept[IllegalArgumentException](
+      t.unsetProperties(Seq("graft.clusterBy")))
+    t.renameColumnMetadataOnly("s", "label")
+    assert(t.clusteringColumns === Seq("label", "n"))
+    t.dropColumn("n")
+    assert(t.clusteringColumns === Seq("label"))
+    t.clusterBy(Nil) // CLUSTER BY NONE
+    assert(t.clusteringColumns === Nil)
+  }
 }
