@@ -1277,8 +1277,16 @@ object CorpusQueries {
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
     val S = 1000000000L // 1e-9 fixed point
     val docs = Tables.documents(spark, dir)
-    val st = docs.select(col("source"), explode(tokens(col("text"))).as("term"))
-      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+    // FOUR consumers derive from the (source, term, n) table (source
+    // totals, corpus marginal, its grand total, the present-term join) and
+    // Catalyst shares none of them (different parents → no ReuseExchange),
+    // so unstaged this subtree re-scans the corpus 4×. The calibrated
+    // staging gate materializes it once past real-bytes scale — it is
+    // vocabulary×sources-sized, the cheapest possible cut point.
+    val st = graft.dedup.Dedup.stageIfLarge(
+      docs.select(col("source"), explode(tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n")),
+      "srcdiv-st")
     val srcTotals = st.groupBy("source").agg(sum(col("n")).as("ns"))
     val corpus = st.groupBy("term").agg(sum(col("n")).as("c"))
     val ctot = corpus.agg(sum(col("c")).as("ctot"))

@@ -157,10 +157,15 @@ object SamplingQueries {
     * one-row max: map-side combinable, no shuffle beyond the group-by. */
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.TextFunctions
-    val agg = Tables.documents(spark, dir)
-      .select(col("source"), TextFunctions.tokenCount(col("text")).as("tc"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens"))
+    // agg feeds both the max scalar and the output projection — staged
+    // past the real-bytes gate so the corpus is scanned once (the staged
+    // table is sources-sized).
+    val agg = graft.dedup.Dedup.stageIfLarge(
+      Tables.documents(spark, dir)
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("tc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("n_tokens")),
+      "tempmix-agg")
     val maxTok = agg.agg(max(col("n_tokens")).as("max_tokens"))
     val tempWeight = sqrt(col("n_tokens")) / sqrt(col("max_tokens"))
     agg.crossJoin(broadcast(maxTok))
@@ -189,13 +194,18 @@ object SamplingQueries {
   def tokenBudgetPlan(spark: SparkSession, dir: String,
       budget: Long = 1000000L): DataFrame = {
     import graft.text.TextFunctions
-    val avail = Tables.documents(spark, dir)
-      .select(col("source"), TextFunctions.tokenCount(col("text")).as("tc"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("available_tokens"))
-      .select(col("source"), col("n_docs"), col("available_tokens"),
-        floor(sqrt(col("available_tokens").cast("double"))).cast("long")
-          .as("weight"))
+    // Two consumers (the weight-sum scalar and the final projection) —
+    // staged past the real-bytes gate so the corpus is scanned ONCE; the
+    // staged table is sources-sized.
+    val avail = graft.dedup.Dedup.stageIfLarge(
+      Tables.documents(spark, dir)
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("tc"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("available_tokens"))
+        .select(col("source"), col("n_docs"), col("available_tokens"),
+          floor(sqrt(col("available_tokens").cast("double"))).cast("long")
+            .as("weight")),
+      "budget-avail")
     val wSum = avail.agg(sum(col("weight")).as("wsum"))
     avail.crossJoin(broadcast(wSum))
       .select(col("source"), col("n_docs"), col("available_tokens"),

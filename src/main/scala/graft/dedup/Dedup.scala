@@ -127,7 +127,7 @@ object Dedup {
     df.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum * 2
 
-  private[dedup] def stageIfLarge(df: DataFrame, tag: String): DataFrame =
+  private[graft] def stageIfLarge(df: DataFrame, tag: String): DataFrame =
     if (stagedBytesEstimate(df) < stageThreshold(df.sparkSession)) df
     else stage(df, tag)
 

@@ -90,20 +90,29 @@ class GraftDataSource extends RelationProvider
     val root = path(parameters)
     val partitionBy = parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // Create-time clustering declaration (Delta's `.clusterBy(...)` writer
+    // call): one metadata commit right after the CREATE — the same DSv1
+    // option seam partitionBy rides.
+    val clusterBy = parameters.get("clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def created(t: GraftTable): GraftTable = {
+      if (clusterBy.nonEmpty) t.clusterBy(clusterBy)
+      t
+    }
     val exists = GraftTable.isTable(spark, root)
     mode match {
       case SaveMode.Append =>
         if (exists) GraftTable.forPath(spark, root).append(data)
-        else GraftTable.create(spark, root, data, partitionBy)
+        else created(GraftTable.create(spark, root, data, partitionBy))
       case SaveMode.Overwrite =>
         if (exists) GraftTable.forPath(spark, root).overwrite(data)
-        else GraftTable.create(spark, root, data, partitionBy)
+        else created(GraftTable.create(spark, root, data, partitionBy))
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"graft table already exists at $root (mode ErrorIfExists)")
-        else GraftTable.create(spark, root, data, partitionBy)
+        else created(GraftTable.create(spark, root, data, partitionBy))
       case SaveMode.Ignore =>
-        if (!exists) GraftTable.create(spark, root, data, partitionBy)
+        if (!exists) created(GraftTable.create(spark, root, data, partitionBy))
     }
     createRelation(sqlContext, parameters)
   }

@@ -210,4 +210,15 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.read.format("graft").load(root)
       .filter(col("grp") === 0L).count() == 1)
   }
+
+  test("clusterBy option declares clustering at create") {
+    val root = tmpDir("dsv1-cluster")
+    freshRows.write.format("graft").option("clusterBy", "name, bal").save(root)
+    val t = GraftTable.forPath(spark, root)
+    assert(t.clusteringColumns === Seq("name", "bal"))
+    // appends to the existing table leave the declaration untouched
+    freshRows.write.format("graft").mode("append").save(root)
+    assert(t.clusteringColumns === Seq("name", "bal"))
+    assert(t.read().count() === 6)
+  }
 }
