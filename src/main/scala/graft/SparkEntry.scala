@@ -205,6 +205,7 @@ object SparkEntry {
     "q173_delta_clustering"  -> (DeltaBridgeQueries.deltaClustering _),
     "q174_source_divergence" -> (CorpusQueries.sourceDivergence _),
     "q175_token_budget"      -> ((s, d) => SamplingQueries.tokenBudgetPlan(s, d)),
+    "q176_delta_fsck"        -> (DeltaBridgeQueries.deltaFsck _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -559,6 +560,19 @@ object SparkEntry {
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |  'c_mktsegment,c_acctbal' AS clustering_cols
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    // Mirror fsck (q176): the healthy-path consistency report over a
+    // DV-carrying, checkpointed export — pinned literally; any bridge
+    // change that writes dangling metadata breaks this hash. Damage
+    // classes are spec-gated (DeltaFsckSpec).
+    "q176_delta_fsck" ->
+      """SELECT * FROM (VALUES
+        |  ('snapshot_replay',      'ok', CAST(0 AS BIGINT)),
+        |  ('protocol_supported',   'ok', CAST(0 AS BIGINT)),
+        |  ('adds_resolvable',      'ok', CAST(0 AS BIGINT)),
+        |  ('add_size_match',       'ok', CAST(0 AS BIGINT)),
+        |  ('dv_files_resolvable',  'ok', CAST(0 AS BIGINT)),
+        |  ('last_checkpoint',      'ok', CAST(0 AS BIGINT))
+        |) AS t("check", status, n)""".stripMargin,
     // In-commit-timestamp travel (q169): the read pins to the instant
     // just below the append's ICT — an ICT-aware reader serves the
     // pre-append snapshot regardless of file wall-clock metadata.

@@ -379,6 +379,29 @@ object DeltaBridgeQueries {
       .withColumn("clustering_cols", lit(declared))
   }
 
+  /** q176: mirror fsck ([[graft.sources.DeltaFsck]]) — the operational
+    * consistency audit over a healthy exported mirror that exercises
+    * every metadata-cost check: live adds resolve with matching sizes, an
+    * on-disk deletion vector resolves, the checkpoint pointer is honored,
+    * the protocol gate passes. Deep (listing-cost) mode is spec-gated
+    * (DeltaFsckSpec damages fixtures per failure class); the driver row
+    * pins the healthy report — if any bridge change starts writing
+    * dangling metadata, this hash breaks. */
+  def deltaFsck(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#fsck", { _ =>
+      val r = Scratch.dir(spark, "delta-export-fsck")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, r,
+        orders.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")))
+      t.deletePositional(col("o_orderstatus") === "F") // on-disk DV
+      graft.sources.DeltaExport.exportLog(t)
+      graft.sources.DeltaExport.writeCheckpoint(spark, r)
+      r
+    })
+    graft.sources.DeltaFsck(spark, root, deep = false)
+  }
+
   private val rowTracked = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.table.GraftTable)]()
 

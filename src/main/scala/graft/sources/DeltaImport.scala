@@ -108,6 +108,9 @@ object DeltaImport {
       // natively (the same mechanism GraftTable.widenColumnType relies on)
       "typeWidening")
 
+  /** The reader-feature set above, for [[DeltaFsck]]'s protocol check. */
+  private[graft] def supportedReaderFeatures: Set[String] = SupportedReaderFeatures
+
   // --------------------------------------------------- column mapping
   // Delta column mapping (modes `name` and `id`): parquet files carry
   // PHYSICAL column names (`col-<uuid>`), and the logical schema annotates
