@@ -206,6 +206,7 @@ object SparkEntry {
     "q174_source_divergence" -> (CorpusQueries.sourceDivergence _),
     "q175_token_budget"      -> ((s, d) => SamplingQueries.tokenBudgetPlan(s, d)),
     "q176_delta_fsck"        -> (DeltaBridgeQueries.deltaFsck _),
+    "q177_convert_from_delta" -> (DeltaBridgeQueries.deltaConvertAdopt _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -560,6 +561,12 @@ object SparkEntry {
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |  'c_mktsegment,c_acctbal' AS clustering_cols
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    // CONVERT FROM DELTA (q177): in-place adoption of a pure Delta table
+    // whose DELETE left dead files on disk — v0 must hold exactly the
+    // live snapshot (a glob would resurrect the deleted rows).
+    "q177_convert_from_delta" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin,
     // Mirror fsck (q176): the healthy-path consistency report over a
     // DV-carrying, checkpointed export — pinned literally; any bridge
     // change that writes dangling metadata breaks this hash. Damage

@@ -402,6 +402,34 @@ object DeltaBridgeQueries {
     graft.sources.DeltaFsck(spark, root, deep = false)
   }
 
+  /** q177: CONVERT FROM DELTA — the in-place adoption migration path
+    * ([[graft.table.GraftTable.convertFromDelta]], SQL `CONVERT TO GRAFT
+    * delta.`path``): a pure Delta table directory (dead files from a
+    * DELETE's rewrite still on disk — the glob trap) becomes a graft
+    * table whose v0 holds exactly the live snapshot, no byte rewritten.
+    * The fixture retires its graft log after export so the adoption sees
+    * what a delta-spark user would hand over; the read-back then goes
+    * through the freshly created graft log. Oracle recomputes the
+    * survivors from the source parquet. */
+  def deltaConvertAdopt(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#adopt", { _ =>
+      val r = Scratch.dir(spark, "delta-adopt")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, r,
+        orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+      t.delete(col("o_orderstatus") === "F") // rewrite: dead files remain
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      spark.sql(s"CONVERT TO GRAFT delta.`$r`").collect()
+      r
+    })
+    graft.table.GraftTable.forPath(spark, root).read()
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   private val rowTracked = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.table.GraftTable)]()
 

@@ -2401,6 +2401,82 @@ final class GraftTable private (
     log.commit(c); c
   }
 
+  /** [[GraftTable.convertFromDelta]]'s body: adopt a DELTA table in place
+    * — its LIVE snapshot files (per `_delta_log` replay, never a glob:
+    * dead files a MERGE/DELETE removed stay behind) are RENAMED into the
+    * deterministic v0 data dir, partition subpaths preserved (values live
+    * in those paths), and commit 0 publishes with the Delta snapshot's
+    * schema, partition columns, and CHECK constraints
+    * (`delta.constraints.*` → graft constraints). No byte of data is
+    * rewritten at any table size. The `_delta_log` is left as a
+    * historical artifact but no longer tracks the files — adoption is
+    * one-way, exactly like Delta's own `CONVERT TO DELTA` of an Iceberg
+    * table. Crash-rerun converges: already-moved files are recognized at
+    * their destination and one commit covers them all.
+    *
+    * Refused (materialize first, graft-side semantics would silently
+    * diverge otherwise): deletion vectors (positions reference the
+    * original file identity — REORG/purge on the Delta side first) and
+    * column mapping (files carry physical names the adopted flat schema
+    * would misread — read through [[graft.sources.DeltaImport]] and
+    * `create` instead). */
+  private[table] def convertFromDeltaInPlace(): Commit = this.synchronized {
+    val snap = graft.sources.DeltaImport.snapshot(spark, root)
+    require(snap.files.forall(_.deletionVector.isEmpty),
+      s"convert of Delta table $root: live files carry deletion vectors — " +
+        "purge them on the Delta side first (the positions reference the " +
+        "original file identity)")
+    require(!snap.configuration.get("delta.columnMapping.mode").exists(_ != "none"),
+      s"convert of Delta table $root: column mapping is active — files carry " +
+        "physical column names; read through DeltaImport and create instead")
+    val convertDir = "data/v00000-convert-delta"
+    val rootPath = new Path(root)
+    val destRoot = new Path(rootPath, convertDir)
+    fs.mkdirs(destRoot)
+    val rootAbs = rootPath.toUri.getPath.stripSuffix("/")
+    var moved = 0L
+    var already = 0L
+    snap.files.foreach { f =>
+      val src = graft.sources.DeltaImport.resolveFile(root, f.path)
+      val rel = src.toUri.getPath.stripPrefix(rootAbs).stripPrefix("/")
+      // Graft data dirs are scanned as ONE parquet directory: partition
+      // (`key=value`) segments must survive as directories, every other
+      // intermediate segment would be invisible to the scan — flatten
+      // them into the (globally unique) file name instead. Deterministic,
+      // so a crashed adoption converges on re-run.
+      val segs = rel.split("/")
+      val partSegs = segs.dropRight(1).filter(s =>
+        s.contains("=") && snap.partitionColumns.contains(s.takeWhile(_ != '=')))
+      val flatName = segs.filterNot(partSegs.contains).mkString("__")
+      val dest = new Path(destRoot, (partSegs :+ flatName).mkString("/"))
+      if (fs.exists(dest)) already += 1
+      else {
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(src, dest)) throw new IllegalStateException(
+          s"convert of Delta table $root: rename of $src to $dest failed")
+        moved += 1
+      }
+    }
+    require(moved + already > 0, s"Delta table $root has no live files to adopt")
+    // The snapshot's schema, shorn of Delta-namespace field metadata (the
+    // types — NTZ included — are what graft reads plan with).
+    val cleanSchema = StructType(snap.schema.fields.map(_.copy(
+      metadata = org.apache.spark.sql.types.Metadata.empty)))
+    val constraintProps = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (ConstraintPrefix + k.stripPrefix("delta.constraints.")) -> v
+    }
+    val meta = metaFor(convertDir)
+    val c = Commit(0L, System.currentTimeMillis(), "CREATE", Seq(convertDir),
+      Map("numConvertedFiles" -> (moved + already),
+        "numOutputRows" -> countDir(convertDir)), cleanSchema.json,
+      partitionCols = snap.partitionColumns,
+      dirStats = Map(convertDir -> meta.stats),
+      properties = constraintProps.toMap,
+      dirNulls = Map(convertDir -> meta.nulls))
+    log.commit(c); c
+  }
+
   /** MERGE upsert (M1/M2): `whenMatchedUpdateAll.whenNotMatchedInsertAll`
     * re-expressed as one full-outer join on the key — matched rows take the
     * source image, unmatched-target rows persist, unmatched-source rows
@@ -4270,6 +4346,19 @@ object GraftTable {
     val t = new GraftTable(spark, root)
     require(t.version < 0, s"table already exists at $root")
     t.convertInPlace()
+    t
+  }
+
+  /** CONVERT FROM DELTA: adopt a Delta table in place — live snapshot
+    * files renamed (never copied) into the graft v0 data dir, schema /
+    * partitioning / CHECK constraints carried over; see
+    * [[GraftTable.convertFromDeltaInPlace]] for the exact contract and
+    * refusals. The migration dual of [[convert]]: a delta-spark user
+    * switches a 100 TB table to graft without rewriting a byte. */
+  def convertFromDelta(spark: SparkSession, root: String): GraftTable = {
+    val t = new GraftTable(spark, root)
+    require(t.version < 0, s"graft table already exists at $root")
+    t.convertFromDeltaInPlace()
     t
   }
 

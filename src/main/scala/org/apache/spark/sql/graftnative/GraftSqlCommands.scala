@@ -366,6 +366,17 @@ case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
     Seq(Row(GraftTable.convert(session, path).version))
 }
 
+/** `CONVERT TO GRAFT delta.`path`` — adopt a DELTA table in place: live
+  * snapshot files renamed into the graft v0 dir, schema / partitioning /
+  * constraints carried over ([[GraftTable.convertFromDelta]]). */
+case class GraftConvertFromDeltaCommand(path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("table_version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(GraftTable.convertFromDelta(session, path).version))
+}
+
 /** `GENERATE symlink_format_manifest FOR TABLE t` — Delta's manifest
   * statement (q105's operation as SQL): write the file listing engines
   * without a log reader consume. */

@@ -354,6 +354,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?(.+?)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(.+?)\s*;?\s*$""".r
   private val ConvertRe =
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+  private val ConvertDeltaRe =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val GenerateRe =
     """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(.+?)\s*;?\s*$""".r
   private val CopyIntoRe =
@@ -371,6 +373,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case HistoryRe(ident) => graft(ident).map(GraftHistoryCommand)
       case DetailRe(ident) => graft(ident).map(GraftDetailCommand)
       case ConvertRe(path) => Some(GraftConvertCommand(path.trim))
+      case ConvertDeltaRe(path) => Some(GraftConvertFromDeltaCommand(path.trim))
       case GenerateRe(ident) => graft(ident).map(GraftGenerateManifestCommand)
       case VacuumRe(ident, hours, dry) => graft(ident).map(t =>
         GraftVacuumCommand(t, Option(hours).map(_.toDouble), dryRun = dry != null))
