@@ -1984,16 +1984,13 @@ final class GraftTable private (
     }
     val small = sized.filter(_._2 < threshold)
     if (small.size < 2) return None
-    val smallDirs = small.map(_._1)
-    val smallBytes = small.map(_._2).sum
-    val numFiles = math.max(1, math.ceil(smallBytes.toDouble / targetFileBytes).toInt)
-    val subset = readCommitInternal(prev.copy(dataDirs = smallDirs), withPos = false)
-    val dir = writeData(subset.repartition(numFiles), prev.version + 1,
-      prev.partitionCols, rebalance = false)
-    val meta = metaFor(dir)
-    Some(commitOptimizeRebased(prev, smallDirs, dir, meta,
-      Map("numRewrittenDirs" -> smallDirs.size.toLong,
-        "numFiles" -> numFiles.toLong, "numBytes" -> smallBytes)))
+    // The shared subset-compaction body: row-tracked tables MATERIALIZE
+    // their ids through the rewrite (a fresh dir would otherwise derive
+    // new bases — silent id churn), and clustered tables
+    // ([[clusterBy]]) Z-order the folded dir on their declaration, so
+    // auto-compaction never un-clusters data.
+    Some(compactDirSubset(prev, small.map(_._1), targetFileBytes,
+      GraftTable.clusterColsOf(prev.properties)))
   }
 
   /** Highest batch id committed by the given writer, if any. */
@@ -3782,9 +3779,17 @@ final class GraftTable private (
       targetFileBytes: Long, zorderBy: Seq[String]): Commit = {
     require(prev.tombstoneDirs.isEmpty && prev.dvDirs.isEmpty,
       s"optimizeWhere on $root requires a clean snapshot — run materializeDeletes() first")
-    val v = prev.version + 1
     val touched = dirsMayMatching(prev, predicate)
     if (touched.isEmpty) return prev // nothing to compact, no empty commit
+    compactDirSubset(prev, touched, targetFileBytes, zorderBy)
+  }
+
+  /** Rewrite `touched` dirs into one compacted dir and commit with
+    * rebase-over-append — the shared body of [[optimizeWhere]] and
+    * [[compactSmallDirs]]. */
+  private def compactDirSubset(prev: Commit, touched: Seq[String],
+      targetFileBytes: Long, zorderBy: Seq[String]): Commit = {
+    val v = prev.version + 1
     val touchedBytes = touched.map { d =>
       fs.getContentSummary(new Path(root, d)).getLength
     }.sum
@@ -3802,6 +3807,7 @@ final class GraftTable private (
       Map("numRewrittenDirs" -> touched.size.toLong, "numFiles" -> numFiles.toLong,
         "numBytes" -> touchedBytes))
   }
+
 
   /** Commit an OPTIMIZE-family rewrite with REBASE-over-append:
     * compaction is semantics-preserving and rewrites a declared dir

@@ -85,6 +85,24 @@ class RowTrackingSpec extends SparkSpec {
     once.foreach { case (k, id) => assert(twice(k) === id) }
   }
 
+  test("ids survive compactSmall (the auto-compaction path materializes)") {
+    val root = tmpDir("rowtrack-compact")
+    val t = GraftTable.createWithProperties(spark, root, rows(0, 10),
+      Map("graft.rowTracking" -> "true"))
+    (1 to 4).foreach(i => t.append(rows(i * 10L, 10)))
+    val before = idsOf(t)
+    assert(before.size === 50)
+    val c = t.compactSmall(smallDirBytes = Long.MaxValue / 2)
+    assert(c.isDefined, "five small dirs must fold")
+    val after = idsOf(t)
+    assert(after === before, "compactSmall moved row ids")
+    // and a post-compaction append still derives fresh unique ids
+    t.append(rows(50, 10))
+    val grown = idsOf(t)
+    assert(grown.size === 60 && grown.values.toSet.size === 60)
+    before.foreach { case (k, id) => assert(grown(k) === id) }
+  }
+
   test("readWithRowIds refuses an untracked table") {
     val root = tmpDir("rowtrack-off")
     val t = GraftTable.create(spark, root, rows(0, 5))

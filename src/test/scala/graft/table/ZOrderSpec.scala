@@ -79,6 +79,27 @@ class ZOrderSpec extends SparkSpec {
     assert(t.read().count() === 64L * 64L)
   }
 
+  test("clusterBy: compactSmall re-clusters the folded dir on the declaration") {
+    val root = tmpDir("clusterby-compact")
+    val t = GraftTable.create(spark, root,
+      (0 until 512).map(i => (i.toLong, (i % 64).toLong)).toDF("id", "a"))
+    t.clusterBy(Seq("a"))
+    // accrete small shuffled appends (the streaming-sink shape)
+    (1 to 4).foreach { r =>
+      t.append(scala.util.Random.shuffle((0 until 512).toList)
+        .map(i => ((r * 1000 + i).toLong, (i % 64).toLong)).toDF("id", "a"))
+    }
+    val c = t.compactSmall(targetFileBytes = 4 * 1024,
+      smallDirBytes = Long.MaxValue / 2)
+    assert(c.isDefined)
+    val snap = t.read()
+    val total = filesTouched(snap)
+    assume(total >= 4, s"need a multi-file layout, got $total")
+    assert(filesTouched(snap.filter(col("a") < 8)) < total,
+      "compacted dir lost the clustering")
+    assert(snap.count() === 512L * 5)
+  }
+
   test("clusterBy: validation, rename rekey, drop removes the column") {
     val root = tmpDir("clusterby-ddl")
     import spark.implicits._
