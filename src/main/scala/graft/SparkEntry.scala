@@ -207,6 +207,9 @@ object SparkEntry {
     "q175_token_budget"      -> ((s, d) => SamplingQueries.tokenBudgetPlan(s, d)),
     "q176_delta_fsck"        -> (DeltaBridgeQueries.deltaFsck _),
     "q177_convert_from_delta" -> (DeltaBridgeQueries.deltaConvertAdopt _),
+    "q178_hopping_events"    -> (graft.streaming.EventWindows.hoppingEventStats _),
+    "q179_delta_cdf_mv"      -> (DeltaBridgeQueries.deltaCdfMv _),
+    "q180_chunk_dedup"       -> (CorpusQueries.chunkDedupReport _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -561,6 +564,14 @@ object SparkEntry {
         |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
         |  'c_mktsegment,c_acctbal' AS clustering_cols
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    // CDF-consumer MV (q179): per-status revenue maintained only from the
+    // mirror's change feed, two refreshes split mid-history; the deleted
+    // partition's group vanishes at signed count zero.
+    "q179_delta_cdf_mv" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus""".stripMargin,
     // CONVERT FROM DELTA (q177): in-place adoption of a pure Delta table
     // whose DELETE left dead files on disk — v0 must hold exactly the
     // live snapshot (a glob would resurrect the deleted rows).
@@ -697,6 +708,27 @@ object SparkEntry {
         |         unnest(generate_series(0, greatest(length(text) - 1, 0), 400)) AS chunk_start
         |  FROM documents
         |)""".stripMargin,
+    // Chunk-store hygiene (q180): duplicated-chunk fraction per doc over
+    // the q102 chunking; the oracle groups on chunk CONTENT where the
+    // engine groups on its 8-byte hash (the q66 device).
+    "q180_chunk_dedup" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, chunk_start,
+        |         substr(text, CAST(chunk_start AS INT) + 1, 500) AS chunk
+        |  FROM (
+        |    SELECT doc_id, text,
+        |           unnest(generate_series(0, greatest(length(text) - 1, 0), 400))
+        |             AS chunk_start
+        |    FROM documents)),
+        |dupkeys AS (
+        |  SELECT chunk FROM chunks GROUP BY chunk HAVING count(*) >= 2)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN d.chunk IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS dup_chunks,
+        |  CAST(sum(CASE WHEN d.chunk IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / count(*) AS dup_fraction
+        |FROM chunks c LEFT JOIN dupkeys d USING (chunk)
+        |GROUP BY c.doc_id""".stripMargin,
     // metadata-only extremes: exact int64/timestamp footer stats
     "q99_metadata_minmax" ->
       """SELECT count(*) AS cnt,
@@ -944,6 +976,22 @@ object SparkEntry {
         |       count(*) AS event_count,
         |       CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Hopping windows (q178): width 1 h, slide 30 min — every event lands
+    // in exactly two windows, derived by 30-minute epoch bucketing (Spark's
+    // window origin is the unix epoch, so the alignments agree); decimal
+    // value sums keep the total order-independent.
+    "q178_hopping_events" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type, "value" FROM events),
+        |w AS (
+        |  SELECT (us // 1800000000) * 1800000000 AS ws, event_type, "value" FROM e
+        |  UNION ALL
+        |  SELECT (us // 1800000000) * 1800000000 - 1800000000 AS ws,
+        |         event_type, "value" FROM e)
+        |SELECT ws AS window_start_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS event_count,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY ws, event_type""".stripMargin,
     "q33_media_features" ->
       """SELECT doc_id AS media_id,
         |       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,

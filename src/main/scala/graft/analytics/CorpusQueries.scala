@@ -1309,6 +1309,31 @@ object CorpusQueries {
           .as("divergence"))
   }
 
+  /** q180: chunk-store hygiene — duplicate-chunk incidence per document
+    * over the q102 chunking (500-char windows every 400): a RAG index
+    * serving duplicated chunks wastes retrieval slots on copies and
+    * skews nearest-neighbor lists, so the ingest pipeline reports each
+    * doc's duplicated-chunk fraction before indexing. A chunk is
+    * duplicated when its exact content occurs at more than one
+    * (doc, offset) site corpus-wide. Shape: the map-only chunk explode,
+    * ONE hash-agg over chunk content (hashed to 8-byte keys pre-shuffle —
+    * string-free, the q66 device), a broadcast-sized dup-key set joined
+    * back semi-style, then a per-doc aggregate. No pair join anywhere;
+    * the only corpus-sized shuffle is the content-hash group-by. The
+    * fraction is one exact integer pair cast at publish. */
+  def chunkDedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkDocuments(spark, dir)
+      .select(col("doc_id"), col("chunk_start"), xxhash64(col("chunk")).as("h"))
+    val dups = chunks.groupBy("h").agg(count(lit(1)).as("sites"))
+      .filter(col("sites") >= 2).select("h")
+    chunks.join(broadcast(dups.withColumn("dup", lit(1L))), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("dup"), lit(0L))).as("dup_chunks"))
+      .withColumn("dup_fraction",
+        col("dup_chunks").cast("double") / col("n_chunks"))
+  }
+
   /** RAG-style document chunking: fixed 500-char windows every 400 chars
     * (100-char overlap so a fact straddling a boundary survives in one
     * piece). Row-local explode + substring — a map-only pass with NO

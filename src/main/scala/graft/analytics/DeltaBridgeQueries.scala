@@ -430,6 +430,47 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  private val cdfMvRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q179: an incremental MV maintained EXCLUSIVELY from the mirror's CDF
+    * — the consumer shape the whole change-feed export exists for: a
+    * downstream system that reads `_delta_log` change data (never the
+    * base table) keeps a per-status revenue aggregate current. The
+    * orders-mirror history (partitioned create → append → partition
+    * delete) folds in TWO refreshes split mid-history — additivity means
+    * batch splits cannot change the result — and the deleted partition's
+    * group must vanish when its signed count reaches zero. Counts are
+    * ±1 sums; revenue is an exact DECIMAL sum (order-independent), cast
+    * to double once at publish. The oracle recomputes the surviving
+    * groups from the source parquet and never sees the machinery. */
+  def deltaCdfMv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.pipeline.IncrementalAgg
+    val root = exportedOrdersRoot(spark, dir)
+    val mvRoot = cdfMvRoots.computeIfAbsent(dir, { _ =>
+      val r = Scratch.dir(spark, "delta-cdf-mv")
+      val dec = DecimalType(18, 2)
+      val state = graft.table.GraftTable.create(spark, r,
+        spark.range(0).select(
+          lit("x").as("o_orderstatus"),
+          lit(0L).as("n_orders"),
+          lit(0).cast(dec).as("revenue")))
+      val spec = IncrementalAgg.Spec(
+        groupKeys = Seq("o_orderstatus" -> col("o_orderstatus")),
+        countCol = "n_orders",
+        sums = Seq(IncrementalAgg.Sum(
+          "revenue", col("o_totalprice").cast(dec), dec)))
+      IncrementalAgg.applyChanges(state,
+        DeltaImport.readChanges(spark, root, 0L, 1L), spec)
+      IncrementalAgg.applyChanges(state,
+        DeltaImport.readChanges(spark, root, 2L, 2L), spec)
+      r
+    })
+    graft.table.GraftTable.forPath(spark, mvRoot).read()
+      .select(col("o_orderstatus"), col("n_orders"),
+        col("revenue").cast("double").as("revenue"))
+  }
+
   private val rowTracked = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.table.GraftTable)]()
 

@@ -35,6 +35,28 @@ object EventWindows {
   def hourlyEventStats(spark: SparkSession, dir: String): DataFrame =
     windowedEventStats(Tables.events(spark, dir))
 
+  /** q178: HOPPING (sliding) windows — `window(ts, '1 hour' every
+    * '30 minutes')`, the other windowed-aggregation shape Structured
+    * Streaming serves (tumbling is q32, sessions q36). Each event lands
+    * in exactly width/slide = 2 windows; Spark's `window()` explodes
+    * per-row, so the plan is one scan + one hash-agg at 2× row fan-out —
+    * no self-join, no range join, identical shape streaming or batch.
+    * Output keys on epoch-micros of the window start: integer-exact on
+    * both engines (the DuckDB oracle derives the two starts per event by
+    * 30-minute epoch bucketing — Spark's window origin is the unix epoch,
+    * a multiple of every slide, so the alignments agree). */
+  def hoppingEventStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions
+          .window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("event_count"), col("total_value"))
+
   /** Stream-stream interval join — the streaming face of the batch range
     * join ([[graft.analytics.TemporalQueries.eventsNearErrors]]): each
     * probe event pairs with anchor events of the same user whose timestamp
