@@ -46,7 +46,15 @@ object EventWindows {
     * 30-minute epoch bucketing — Spark's window origin is the unix epoch,
     * a multiple of every slide, so the alignments agree). */
   def hoppingEventStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    hoppingEventStatsOf(Tables.events(spark, dir))
+
+  /** Input-generic hopping form — batch or stream (streams add the
+    * watermark so closed windows' state drops; each event holds state in
+    * exactly 2 concurrent windows, so memory is 2× the tumbling case,
+    * never unbounded). */
+  def hoppingEventStatsOf(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src
       .groupBy(org.apache.spark.sql.functions
           .window(col("ts"), "1 hour", "30 minutes"),
         col("event_type"))
@@ -56,6 +64,7 @@ object EventWindows {
       .select(
         unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("event_count"), col("total_value"))
+  }
 
   /** Stream-stream interval join — the streaming face of the batch range
     * join ([[graft.analytics.TemporalQueries.eventsNearErrors]]): each

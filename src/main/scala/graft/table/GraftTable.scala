@@ -2326,6 +2326,7 @@ final class GraftTable private (
       txn: Option[(String, Long)],
       extraProps: Map[String, String] = Map.empty): Commit = this.synchronized {
     val prev = log.latest()
+    if (prev.isDefined) requireNotAppendOnly("OVERWRITE") // creation is free
     val v = version + 1
     val tsMs = System.currentTimeMillis()
     // extraProps is the CREATE-time declaration channel (generated/identity
@@ -2491,6 +2492,7 @@ final class GraftTable private (
   def merge(source: DataFrame, key: String, changedOnly: Boolean = true,
       compareIgnore: Seq[String] = Nil): Commit =
     this.synchronized {
+      requireNotAppendOnly("MERGE")
       val prev = log.latest().getOrElse(throw new NoSuchElementException(
         s"merge into non-existent table $root — create it first"))
       val v = prev.version + 1
@@ -2627,6 +2629,10 @@ final class GraftTable private (
       targetAlias: String = "t", sourceAlias: String = "s"): Commit =
     this.synchronized {
       import MergeClause._
+      // Insert-only merges append rows and stay legal on an append-only
+      // table; any matched / not-matched-by-source clause mutates.
+      if (matched.nonEmpty || notMatchedBySource.nonEmpty)
+        requireNotAppendOnly("MERGE")
       require(keys.nonEmpty, "MERGE needs at least one equi key")
       matched.foreach {
         case _: InsertAll | _: Insert => throw new IllegalArgumentException(
@@ -2816,7 +2822,23 @@ final class GraftTable private (
   /** DELETE by predicate (M3): left-anti rewrite of
     * `delete(col("id").isin(ids))` / `DELETE FROM t WHERE …`
     * (spark_streaming.py:381-386, spark_delta_handler.py:160-169). */
+  /** Delta `delta.appendOnly=true` enforcement: an append-only table
+    * (audit logs, immutable event stores — the reference's audit table is
+    * exactly this shape) refuses every operation that removes or rewrites
+    * existing rows. Appends, schema evolution, OPTIMIZE (dataChange=false
+    * — the same bytes, re-packed) and metadata commits stay allowed,
+    * matching Delta's contract. Checked at the HEAD the operation will
+    * commit against, so flipping the property off first (one metadata
+    * commit) is the documented escape hatch. */
+  private def requireNotAppendOnly(op: String): Unit =
+    if (log.latest().exists(_.properties.get("delta.appendOnly")
+        .exists(_.equalsIgnoreCase("true"))))
+      throw new UnsupportedOperationException(
+        s"$op on $root: the table is append-only (delta.appendOnly=true); " +
+          "UNSET the property first to mutate existing rows")
+
   def delete(cond: Column): Commit = this.synchronized {
+    requireNotAppendOnly("DELETE")
     val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
     val v = prev.version + 1
     val tsMs = System.currentTimeMillis()
@@ -2954,6 +2976,7 @@ final class GraftTable private (
     * the predicate. CDF delete rows are stamped with the final commit
     * version. */
   def deletePositional(cond: Column, strict: Boolean = false): Commit = this.synchronized {
+    requireNotAppendOnly("DELETE")
     deletePositionalFrom(
       log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")),
       cond, strict)
@@ -3090,6 +3113,7 @@ final class GraftTable private (
   def updatePositional(cond: Column, assignments: Map[String, Column],
       strict: Boolean = false): Commit =
     this.synchronized {
+      requireNotAppendOnly("UPDATE")
       updatePositionalFrom(
         log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root")),
         cond, assignments, strict)
@@ -3449,6 +3473,7 @@ final class GraftTable private (
 
   /** UPDATE … SET assignments WHERE cond, as a projection rewrite. */
   def update(cond: Column, assignments: Map[String, Column]): Commit = this.synchronized {
+    requireNotAppendOnly("UPDATE")
     val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
     val v = prev.version + 1
     val tsMs = System.currentTimeMillis()
@@ -3867,6 +3892,7 @@ final class GraftTable private (
     * (consumer/python-consumer/delta_handler.py write modes) generalized
     * to predicate scope. */
   def replaceWhere(df: DataFrame, predicate: Column): Commit = this.synchronized {
+    requireNotAppendOnly("REPLACEWHERE")
     val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
     require(prev.tombstoneDirs.isEmpty && prev.dvDirs.isEmpty,
       s"replaceWhere on $root requires a clean snapshot — run materializeDeletes() first")
@@ -3992,6 +4018,7 @@ final class GraftTable private (
     * rewrite, a concurrent commit invalidates the restore-over-THAT-head
     * intent, so it aborts rather than rebases. */
   def restore(v: Long): Commit = this.synchronized {
+    requireNotAppendOnly("RESTORE")
     val old = commitFor(v)
     val head = version + 1
     val c = Commit(head, System.currentTimeMillis(), "RESTORE", old.dataDirs,

@@ -56,6 +56,31 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows: each event lands in exactly two windows, streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventWindows.hoppingEventStatsOf(input.toDF())
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Ev(t("2024-01-01 10:05:00"), "click", 1.5))
+      q.processAllAvailable()
+      val rows = spark.table("hop_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      def us(s: String) = t(s).getTime * 1000L
+      assert(rows === Set(
+        (us("2024-01-01 09:30:00"), "click", 1L, 1.5),
+        (us("2024-01-01 10:00:00"), "click", 1L, 1.5)))
+      // batch phrasing of the same row agrees exactly
+      val batch = EventWindows.hoppingEventStatsOf(
+        Seq(Ev(t("2024-01-01 10:05:00"), "click", 1.5)).toDF())
+        .collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("batch phrasing equals streaming phrasing on the same data") {
     val batch = Seq(
       Ev(t("2024-01-01 10:05:00"), "click", 1.0),

@@ -984,4 +984,40 @@ class GraftTableSpec extends SparkSpec {
     assert(deleted.isEmpty, s"clone vacuum deleted: $deleted")
     assert(src.read().count() === 3) // source intact
   }
+
+  test("delta.appendOnly refuses row mutation; appends and OPTIMIZE stay legal") {
+    import spark.implicits._
+    val root = tmpDir("append-only")
+    val t = GraftTable.createWithProperties(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      Map("delta.appendOnly" -> "true"))
+    // the allowed surface
+    t.append(Seq((3L, "c")).toDF("k", "s"))
+    t.optimize()
+    t.addColumn("note", org.apache.spark.sql.types.StringType)
+    assert(t.read().count() === 3)
+    // every row-mutating operation refuses with the property named
+    def refused(op: => Any): Unit = {
+      val e = intercept[UnsupportedOperationException](op)
+      assert(e.getMessage.contains("append-only"))
+    }
+    refused(t.delete(col("k") === 1L))
+    refused(t.deletePositional(col("k") === 1L))
+    refused(t.update(col("k") === 1L, Map("s" -> lit("x"))))
+    refused(t.merge(Seq((1L, "z", "n")).toDF("k", "s", "note"), "k"))
+    refused(t.mergeClauses(Seq((1L, "z", "n")).toDF("k", "s", "note"), "k",
+      matched = Seq(graft.table.MergeClause.UpdateAll())))
+    refused(t.overwrite(Seq((9L, "q", "n")).toDF("k", "s", "note")))
+    refused(t.replaceWhere(Seq((9L, "q", "n")).toDF("k", "s", "note"),
+      col("k") > 0L))
+    refused(t.restore(0L))
+    // insert-only MERGE appends rows — legal, as in Delta
+    t.mergeClauses(Seq((7L, "g", "n")).toDF("k", "s", "note"), "k",
+      notMatched = Seq(graft.table.MergeClause.InsertAll()))
+    assert(t.read().count() === 4)
+    // the documented escape hatch: unset, then mutate
+    t.unsetProperties(Seq("delta.appendOnly"))
+    t.delete(col("k") === 1L)
+    assert(t.read().count() === 3)
+  }
 }
