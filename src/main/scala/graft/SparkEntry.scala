@@ -210,6 +210,9 @@ object SparkEntry {
     "q178_hopping_events"    -> (graft.streaming.EventWindows.hoppingEventStats _),
     "q179_delta_cdf_mv"      -> (DeltaBridgeQueries.deltaCdfMv _),
     "q180_chunk_dedup"       -> (CorpusQueries.chunkDedupReport _),
+    "q181_run_collapse"      -> (CorpusQueries.runCollapseReport _),
+    "q182_centroid_assign"   -> ((s, d) => CorpusQueries.centroidAssign(s, d)),
+    "q183_quality_model"     -> (CorpusQueries.modelQualityFilter _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -729,6 +732,72 @@ object SparkEntry {
         |    / count(*) AS dup_fraction
         |FROM chunks c LEFT JOIN dupkeys d USING (chunk)
         |GROUP BY c.doc_id""".stripMargin,
+    // consecutive-run collapse dry-run: lag-window phrasing of the
+    // Spark side's indexed-lambda "differs from predecessor" filter
+    "q181_run_collapse" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source, tok, pos,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM t),
+        |d AS (
+        |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS nb,
+        |         CAST(sum(CASE WHEN prev IS NULL OR tok <> prev
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS na
+        |  FROM m GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(sum(nb) AS BIGINT) AS tokens_before,
+        |  CAST(sum(na) AS BIGINT) AS tokens_after,
+        |  CAST(sum(CASE WHEN na < nb THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_touched
+        |FROM d GROUP BY source""".stripMargin,
+    // nearest-centroid assignment: fixed-point dots are < 2^53, so the
+    // double-typed list_inner_product is exact; ties break to the
+    // smaller centroid id on both sides
+    "q182_centroid_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qx
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, qx AS qc FROM q ORDER BY vec_id LIMIT 8),
+        |dots AS (
+        |  SELECT q.vec_id, q.label, c.cid,
+        |         CAST(list_inner_product(q.qx, c.qc) AS BIGINT) AS dot
+        |  FROM q CROSS JOIN c),
+        |best AS (
+        |  SELECT vec_id, label, cid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY dot DESC, cid ASC) AS rn
+        |  FROM dots)
+        |SELECT cid AS cluster_id, label, CAST(count(*) AS BIGINT) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+    // linear quality model: all-BIGINT fixed-point score (operands
+    // non-negative, so DuckDB // and Spark div agree)
+    "q183_quality_model" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    least(len(regexp_split_to_array(trim(text), '\s+')), 400) * 1000
+        |    + (1200000 * len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','a','an','and','of','to','in')))
+        |       // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+        |    - (900000 * (length(text)
+        |         - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |       // greatest(length(text), 1))
+        |    + (40000 * length(regexp_replace(text, '\s+', '', 'g'))
+        |       // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+        |      AS score
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN score >= 310000 THEN 'keep' ELSE 'drop' END AS verdict,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score,
+        |  CAST(sum(score) AS BIGINT) AS sum_score
+        |FROM s GROUP BY 1, 2""".stripMargin,
     // metadata-only extremes: exact int64/timestamp footer stats
     "q99_metadata_minmax" ->
       """SELECT count(*) AS cnt,

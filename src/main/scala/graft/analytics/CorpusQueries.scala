@@ -1348,4 +1348,109 @@ object CorpusQueries {
           lit(400L))).as("chunk_start"))
       .select(col("doc_id"), col("chunk_start"),
         expr("substring(text, CAST(chunk_start AS INT) + 1, 500)").as("chunk"))
+
+  /** q181: consecutive-run collapse — the cleaning pass that squashes
+    * runs of an identical token ("batch batch batch" → "batch"), the
+    * classic artifact of degenerate generation and scraped marquee text.
+    * Reports per source how many tokens the collapse would remove and
+    * how many docs it touches, the dry-run a pipeline owner reads before
+    * enabling the scrub. Shape: the predicate "token differs from its
+    * predecessor" is a row-LOCAL indexed-lambda filter over the token
+    * array — no explode, no shuffle; the whole corpus costs one map pass
+    * and the only exchange is the sources-sized final group-by (partial
+    * aggregation collapses each task to #sources rows first). That is
+    * the 100 TB shape: cleaning cost == scan cost. */
+  def runCollapseReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"),
+        size(col("toks")).cast("long").as("nb"),
+        // filter's lambda index i is 0-based while element_at is
+        // 1-based, so element_at(toks, i) IS the predecessor of x.
+        expr("size(filter(toks, (x, i) -> i = 0 OR x != element_at(toks, i)))")
+          .cast("long").as("na"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum("nb").as("tokens_before"),
+        sum("na").as("tokens_after"),
+        sum(when(col("na") < col("nb"), 1L).otherwise(0L)).as("docs_touched"))
+
+  /** q182: nearest-centroid domain assignment — the "cluster the corpus,
+    * then balance the mix per cluster" step of cluster-based data
+    * selection; centroids here are the k lowest-id vectors (a fixed,
+    * reproducible seed set — a trained k-means codebook would ride the
+    * same literal slot, exactly like the IVF codebook in
+    * [[graft.sim.IvfIndex]]). Emits the (cluster, label) contingency
+    * table the mix designer reads.
+    *
+    * Shape: the k×d centroid matrix is collected (k rows — bounded by
+    * construction) and baked into ONE select as literals, so scoring is
+    * a map-only pass: zip_with product + aggregate sum per centroid,
+    * argmax via one lexicographic array_max, NO join and NO explode.
+    * The only shuffle is the ≤ k×labels-row contingency group-by. At
+    * 100 TB the plan is identical — k·d literals broadcast with the
+    * closure regardless of corpus size.
+    *
+    * Exactness: per-dim values quantize to 1e6 fixed point; dots are
+    * BIGINT sums bounded by 64·(1e6)² ≈ 6.4e13 < 2^53, so DuckDB's
+    * double-typed list_inner_product is exact too and the argmax (ties
+    * to the smaller centroid id via the negated-id struct field) is
+    * bit-identical across engines. */
+  def centroidAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
+        .as("qx"))
+    val cents: Seq[(Long, Seq[Long])] = emb
+      .orderBy("vec_id").limit(k).select("vec_id", "qx")
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val scored = cents.map { case (cid, qc) =>
+      struct(
+        aggregate(zip_with(col("qx"), typedlit(qc), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"),
+        lit(-cid).as("ncid"))
+    }
+    emb
+      .select(col("label"), array_max(array(scored: _*)).as("best"))
+      .select(col("label"), (-col("best.ncid")).as("cluster_id"))
+      .groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** q183: model-based quality filter — the classifier slot of the
+    * pipeline (the fastText/logistic quality gate run after the rule
+    * filters), with hand-fixed public weights standing in for learned
+    * ones; a trained model's weights would occupy the same literals.
+    * Scores every doc with a linear model over the standard features
+    * (length, stopword density, punctuation density, word length) and
+    * reports the keep/drop split per source with score bounds — the
+    * calibration table read before freezing a threshold.
+    *
+    * Exactness: every feature is an integer count and every ratio a
+    * fixed-point BIGINT integer division (all operands non-negative, so
+    * Spark `div` and DuckDB `//` agree), making the score itself a
+    * BIGINT: min/max/sum aggregate order-independently and the driver
+    * hash is stable. Shape: one map pass, one sources×2-row group-by —
+    * scoring at 100 TB costs the scan. */
+  def modelQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        expr(
+          """least(size(split(trim(text), '\\s+')), 400) * 1000
+            |+ (1200000L * size(filter(split(trim(text), '\\s+'),
+            |     t -> t IN ('the','a','an','and','of','to','in')))
+            |   div greatest(size(split(trim(text), '\\s+')), 1))
+            |- (900000L * (length(text)
+            |     - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '')))
+            |   div greatest(length(text), 1))
+            |+ (40000L * length(regexp_replace(text, '\\s+', ''))
+            |   div greatest(size(split(trim(text), '\\s+')), 1))""".stripMargin
+            .replace("\n", " ")).as("score"))
+      .select(col("source"), col("score"),
+        when(col("score") >= 310000L, lit("keep")).otherwise(lit("drop"))
+          .as("verdict"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n"),
+        min("score").as("min_score"),
+        max("score").as("max_score"),
+        sum("score").as("sum_score"))
 }

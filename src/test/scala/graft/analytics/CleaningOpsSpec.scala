@@ -1,0 +1,78 @@
+package graft.analytics
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Brute-force oracles for the round-9 cleaning/selection trio
+  * (q181–q183): each recomputed in plain Scala over collected sf0.001
+  * tables with the same integer arithmetic the distributed plans use, so
+  * equality is exact.
+  */
+class CleaningOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("runCollapseReport matches a per-doc Scala replay") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perSource = docs.groupBy(_._1).map { case (src, ds) =>
+      var nb = 0L; var na = 0L; var touched = 0L
+      ds.foreach { case (_, text) =>
+        val toks = text.split(" ", -1)
+        val kept = toks.zipWithIndex.count { case (t, i) =>
+          i == 0 || t != toks(i - 1) }
+        nb += toks.length; na += kept
+        if (kept < toks.length) touched += 1
+      }
+      src -> ((ds.length.toLong, nb, na, touched))
+    }
+    val got = CorpusQueries.runCollapseReport(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === perSource)
+    // the collapse actually fires on this corpus
+    assert(perSource.values.map(_._4).sum > 0)
+  }
+
+  test("centroidAssign matches a fixed-point Scala argmax") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).map(x => math.floor(x * 1e6).toLong).toArray))
+    val cents = emb.sortBy(_._1).take(8).map(c => (c._1, c._3))
+    val assigned = emb.map { case (_, label, q) =>
+      val best = cents.map { case (cid, qc) =>
+        var dot = 0L; var i = 0
+        while (i < q.length) { dot += q(i) * qc(i); i += 1 }
+        (dot, -cid)
+      }.max // lexicographic: max dot, tie to larger -cid == smaller cid
+      (-best._2, label)
+    }
+    val expect = assigned.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    val got = CorpusQueries.centroidAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // every one of the 8 seed vectors assigns to itself (dot with self is
+    // maximal for IT among unit-ish vectors... not guaranteed in general,
+    // so assert the weaker invariant: 8 distinct clusters appear)
+    assert(got.keys.map(_._1).toSet.size === 8)
+  }
+
+  test("modelQualityFilter splits and its integer score bounds agree") {
+    val rows: Array[Row] = CorpusQueries.modelQualityFilter(spark, sf).collect()
+    val verdicts = rows.map(_.getString(1)).toSet
+    assert(verdicts === Set("keep", "drop"))
+    rows.foreach { r =>
+      val (n, mn, mx, sum) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n > 0 && mn <= mx)
+      assert(sum >= mn * n && sum <= mx * n)
+      if (r.getString(1) == "keep") assert(mn >= 310000L)
+      else assert(mx < 310000L)
+    }
+  }
+}
