@@ -213,6 +213,7 @@ object SparkEntry {
     "q181_run_collapse"      -> (CorpusQueries.runCollapseReport _),
     "q182_centroid_assign"   -> ((s, d) => CorpusQueries.centroidAssign(s, d)),
     "q183_quality_model"     -> (CorpusQueries.modelQualityFilter _),
+    "q184_drop_feature"      -> (DeltaBridgeQueries.deltaDropFeature _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -798,6 +799,11 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // DROP FEATURE deletionVectors: survivors of the purged DV delete,
+    // with dv_dropped computed from the mirror's downgraded protocol
+    "q184_drop_feature" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(1 AS BIGINT) AS dv_dropped
+        |FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
     // metadata-only extremes: exact int64/timestamp footer stats
     "q99_metadata_minmax" ->
       """SELECT count(*) AS cnt,

@@ -528,4 +528,40 @@ object DeltaBridgeQueries {
           .as("matching"),
         countDistinct(col("delta_id")).as("distinct_ids"))
   }
+
+  /** q184: DROP FEATURE deletionVectors end-to-end — the downgrade path a
+    * mirror consumer needs when its reader can't (or no longer wants to)
+    * handle DVs. Lifecycle: DV'd deletes mirror with the feature
+    * advertised → REORG-style purge ([[graft.table.GraftTable
+    * .materializeDeletes]]) cleans the snapshot → `dropFeature` with
+    * TRUNCATE HISTORY cuts the DV-bearing history and the export maps the
+    * drop to a protocol DOWNGRADE action (delta-spark's own publication
+    * form). The query re-opens the mirror cold: rows must be exactly the
+    * survivors, and `dv_dropped` is computed FROM the mirror's latest
+    * protocol — 1 only if neither feature list still names
+    * deletionVectors, so the oracle's constant 1 fails if the downgrade
+    * never landed. Exports happen before each truncation point (the
+    * contiguous-replay guard in exportLog makes the wrong order loud). */
+  def deltaDropFeature(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#dropdv", { _ =>
+      val r = Scratch.dir(spark, "delta-export-dropdv")
+      val cust = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val t = graft.table.GraftTable.create(spark, r, cust)
+      t.deletePositional(pmod(col("c_custkey"), lit(3)) === 0)
+      graft.sources.DeltaExport.exportLog(t)
+      t.materializeDeletes()
+      graft.sources.DeltaExport.exportLog(t)
+      t.dropFeature("deletionVectors", truncateHistory = true)
+      graft.sources.DeltaExport.exportLog(t)
+      r
+    })
+    val proto = DeltaImport.snapshot(spark, root).protocol
+    val dvGone = proto.forall(p =>
+      !p.readerFeatures.contains("deletionVectors") &&
+        !p.writerFeatures.contains("deletionVectors"))
+    DeltaImport.read(spark, root)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        lit(if (dvGone) 1L else 0L).as("dv_dropped"))
+  }
 }

@@ -350,6 +350,18 @@ object DeltaExport {
     if (rtActive)
       commits.takeWhile(_.version <= published).foreach(allocateRowIds(_, listFiles = false))
 
+    // Replay must be CONTIGUOUS: a truncated graft log (DROP FEATURE …
+    // TRUNCATE HISTORY) whose cut removed commits the mirror never saw
+    // cannot be mirrored — the missing versions' file changes would be
+    // silently skipped. Export before truncating (the drop operation
+    // itself survives the cut, so the normal mirror cadence is safe).
+    commits.dropWhile(_.version <= published).headOption.foreach { first =>
+      require(first.version == (if (published < 0) 0L else published + 1),
+        s"${table.root}: commit log starts at v${first.version} but the " +
+          s"mirror is at v$published — history was truncated past the " +
+          "mirror; export before truncating (a Delta log cannot start " +
+          "mid-history without the removed versions)")
+    }
     commits.dropWhile(_.version <= published)
       .takeWhile(_.version <= target).foreach { c =>
       val out = new Path(logDir, f"${c.version}%020d.json")
@@ -435,7 +447,12 @@ object DeltaExport {
       // raise the protocol IN PLACE (Delta allows a protocol action in any
       // commit) — and a feature-listed protocol restates every gated
       // capability in play, so the lists compose.
-      val wantDv = curDv.nonEmpty || dvAdvertised
+      // DROP FEATURE maps to Delta's own publication form: a protocol
+      // DOWNGRADE action in the drop commit (delta-spark emits exactly
+      // this after its retention checks pass). The feature re-advertises
+      // if a later commit writes DVs again — re-adding is legal.
+      val dropDv = c.operation == "DROP FEATURE deletionVectors"
+      val wantDv = curDv.nonEmpty || (dvAdvertised && !dropDv)
       val wantV2 = v2Advertised || spark.conf
         .getOption("spark.graft.delta.checkpointPolicy")
         .orElse(c.properties.get("delta.checkpointPolicy"))
@@ -443,6 +460,7 @@ object DeltaExport {
       val wantTw = twAdvertised ||
         c.properties.keys.exists(_.startsWith(GraftTable.TypeChangePrefix))
       val needProto = c.version == 0L ||
+        (dropDv && dvAdvertised) ||
         (curDv.nonEmpty && !dvAdvertised) ||
         (mappingOn && !mappingAdvertised) ||
         (wantV2 && !v2Advertised) ||

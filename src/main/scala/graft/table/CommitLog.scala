@@ -215,6 +215,47 @@ final class CommitLog(tableRoot: String, conf: Configuration) {
     parsedByName.remove(versionFile(version).getName)
     ()
   }
+
+  /** TRUNCATE HISTORY: make `floor` the oldest readable version. Publishes
+    * a checkpoint holding ONLY commits ≥ floor (readers pick the newest
+    * checkpoint, so the tail-only one supersedes any full-history ones),
+    * then deletes the per-version files and checkpoints below it. Ordering
+    * is crash-safe: the new checkpoint lands before anything is removed,
+    * so a reader never sees a gap — either the old full view or the
+    * truncated one. Time travel below the floor then fails version lookup,
+    * which is the contract (Delta's DROP FEATURE … TRUNCATE HISTORY). */
+  def truncateTo(floor: Long): Unit = {
+    val all = commits()
+    if (all.isEmpty || all.head.version >= floor) return
+    val kept = all.filter(_.version >= floor)
+    require(kept.nonEmpty, s"truncateTo($floor) would empty the log (head ${all.last.version})")
+    val name = f"${CommitLog.CheckpointPrefix}${kept.last.version}%020d.ckpt.json"
+    val target = new Path(logDir, name)
+    // Unlike checkpoint(), the truncated content must win even if a
+    // same-version full checkpoint exists — write under a tiebreaking
+    // suffix ordering AFTER the plain name if taken.
+    val finalTarget =
+      if (!fs.exists(target)) target
+      else new Path(logDir, f"${CommitLog.CheckpointPrefix}${kept.last.version}%020d.t.ckpt.json")
+    val tmp = CommitPublishers.writeTemp(fs, logDir, finalTarget, CommitLog.manyToJson(kept))
+    if (!fs.rename(tmp, finalTarget)) { fs.delete(tmp, false); return }
+    parsedCheckpoints.put(finalTarget.getName, kept)
+    fs.listStatus(logDir).toSeq.filter(_.isFile).foreach { s =>
+      val n = s.getPath.getName
+      val isOldCkpt = n.startsWith(CommitLog.CheckpointPrefix) &&
+        n != finalTarget.getName && n <= target.getName
+      val isOldVersion = n.endsWith(".json") && !n.startsWith(".") &&
+        !n.startsWith(CommitLog.CheckpointPrefix) &&
+        n.stripSuffix(".json").forall(_.isDigit) &&
+        n.stripSuffix(".json").toLong < floor
+      if (isOldCkpt || isOldVersion) {
+        fs.delete(s.getPath, false)
+        parsedByName.remove(n)
+        parsedCheckpoints.remove(n)
+      }
+    }
+    ()
+  }
 }
 
 /** Atomic fail-if-exists publish of a fully-written commit file — the one

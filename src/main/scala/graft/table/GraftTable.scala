@@ -4086,6 +4086,61 @@ final class GraftTable private (
       deleted.result()
     }
 
+  /** ALTER TABLE … DROP FEATURE (Delta parity, delta.io PROTOCOL.md
+    * "Table Features" + delta-spark's ALTER TABLE DROP FEATURE): remove a
+    * table feature so downgraded readers/writers can use the table again.
+    * Supported: `deletionVectors`. Preconditions mirror Delta's:
+    *
+    *  - the CURRENT snapshot must carry no deletion vectors (run
+    *    [[materializeDeletes]] / REORG APPLY (PURGE) first);
+    *  - HISTORICAL versions that still carry DVs block the drop unless
+    *    `truncateHistory` — Delta makes you wait out the retention window
+    *    or truncate; an offline engine can't wait, so truncation is the
+    *    offered path.
+    *
+    * With `truncateHistory`: after the DROP FEATURE commit lands, every
+    * superseded data/tombstone/DV dir is reclaimed (the vacuum body, with
+    * the retention floor forced to "now") and the commit log is truncated
+    * to the drop commit — time travel below it then fails version lookup,
+    * exactly Delta's post-truncation behavior. The Delta mirror maps the
+    * commit to a protocol DOWNGRADE action ([[graft.sources.DeltaExport]]),
+    * which is how delta-spark itself publishes a drop. */
+  def dropFeature(feature: String, truncateHistory: Boolean = false): Commit =
+    this.synchronized {
+      require(feature == "deletionVectors",
+        s"DROP FEATURE $feature: only deletionVectors is droppable " +
+          "(columnMapping/typeWidening leave physical traces in data files)")
+      val all = log.commits()
+      val head = all.lastOption.getOrElse(
+        throw new NoSuchElementException(s"no table at $root"))
+      require(head.dvDirs.isEmpty,
+        s"DROP FEATURE deletionVectors on $root: the current snapshot " +
+          "still carries deletion vectors — run materializeDeletes() first")
+      val historical = all.filter(c => c.version != head.version && c.dvDirs.nonEmpty)
+      if (historical.nonEmpty && !truncateHistory)
+        throw new IllegalStateException(
+          s"DROP FEATURE deletionVectors on $root: ${historical.size} " +
+            "historical version(s) still carry deletion vectors; readers " +
+            "time-traveling there would need the feature. Re-run with " +
+            "truncateHistory=true (TRUNCATE HISTORY) to cut them off")
+      val c = commitMetadata { prev =>
+        prev.copy(
+          version = prev.version + 1, tsMs = System.currentTimeMillis(),
+          operation = s"DROP FEATURE $feature",
+          metrics = Map.empty, changesDir = None,
+          txnAppId = None, txnBatchId = None,
+          properties = prev.properties - "delta.enableDeletionVectors")
+      }
+      if (truncateHistory) {
+        // Reclaim everything the drop commit does not reference, then cut
+        // the log at the drop commit. nowMs is bumped so even commits
+        // stamped this millisecond count as expired.
+        vacuum(retentionHours = 0.0, nowMs = System.currentTimeMillis() + 1000L)
+        log.truncateTo(c.version)
+      }
+      c
+    }
+
   /** SHALLOW CLONE (Delta parity): start a NEW table at `targetRoot` whose
     * first commit REFERENCES this table's data directories at version `v`
     * — zero bytes copied, metadata only. The clone then evolves

@@ -284,6 +284,19 @@ case class GraftOptimizeCommand(
 /** `VACUUM t [RETAIN n HOURS] [DRY RUN]` (S18; default retention 168 h
   * as the reference configures, docker-compose.yml spark-defaults).
   * DRY RUN lists what would be removed without deleting, as in Delta. */
+/** ALTER TABLE … DROP FEATURE <name> [TRUNCATE HISTORY] — Delta's feature
+  * downgrade statement, routed to [[GraftTable.dropFeature]]. */
+case class GraftDropFeatureCommand(
+    table: GraftTable,
+    feature: String,
+    truncateHistory: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(table.dropFeature(feature, truncateHistory).version))
+}
+
 case class GraftVacuumCommand(
     table: GraftTable,
     retainHours: Option[Double],

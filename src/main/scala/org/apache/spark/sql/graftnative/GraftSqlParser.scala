@@ -361,6 +361,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
       """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
+  private val DropFeatureRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+FEATURE\s+(\w+)(\s+TRUNCATE\s+HISTORY)?\s*;?\s*$""".r
   private val CloneRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\S+)\s+(?:(SHALLOW|DEEP)\s+)?CLONE\s+(\S+?)""" +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
@@ -385,6 +387,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       case CopyIntoRe(ident, path, fmt, pat) => graft(ident).map(t =>
         GraftCopyIntoCommand(t, path, fmt.toLowerCase, Option(pat)))
+      case DropFeatureRe(ident, feature, trunc) => graft(ident).map(t =>
+        GraftDropFeatureCommand(t, feature, truncateHistory = trunc != null))
       case RestoreRe(ident, v) => graft(ident).map(t =>
         GraftRestoreCommand(t, Some(v.toLong)))
       case RestoreTsRe(ident, ts) => graft(ident).map(t =>
