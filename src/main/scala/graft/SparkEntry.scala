@@ -214,6 +214,8 @@ object SparkEntry {
     "q182_centroid_assign"   -> ((s, d) => CorpusQueries.centroidAssign(s, d)),
     "q183_quality_model"     -> (CorpusQueries.modelQualityFilter _),
     "q184_drop_feature"      -> (DeltaBridgeQueries.deltaDropFeature _),
+    "q185_kmeans_refine"     -> ((s, d) => CorpusQueries.kmeansRefine(s, d)),
+    "q186_column_defaults"   -> (SqlDmlQueries.sqlColumnDefaults _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -799,6 +801,50 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // column defaults: pre-declaration rows read NULL, post-declaration
+    // inserts that omit the column are filled with it
+    "q186_column_defaults" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       CAST(NULL AS VARCHAR) AS status
+        |FROM nation
+        |UNION ALL SELECT CAST(900 AS INTEGER), 'ATLANTIS',
+        |                 CAST(0 AS INTEGER), 'active'
+        |UNION ALL SELECT CAST(901 AS INTEGER), 'LEMURIA',
+        |                 CAST(1 AS INTEGER), 'active'""".stripMargin,
+    // one Lloyd round: assign to seeds, integer-mean centroids
+    // (sign-split truncating division), re-assign; ties to smaller cid
+    "q185_kmeans_refine" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qx
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, qx AS qc FROM q ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, qx, cid FROM (
+        |    SELECT q.vec_id, q.qx, c0.cid,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY CAST(list_inner_product(q.qx, c0.qc) AS BIGINT)
+        |               DESC, c0.cid ASC) AS rn
+        |    FROM q CROSS JOIN c0) WHERE rn = 1),
+        |x1 AS (
+        |  SELECT cid, generate_subscripts(qx, 1) AS dim, unnest(qx) AS x
+        |  FROM a1),
+        |c1 AS (
+        |  SELECT cid, list(cx ORDER BY dim) AS qc FROM (
+        |    SELECT cid, dim,
+        |      CAST((CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END)
+        |           * (abs(sum(x)) // count(*)) AS BIGINT) AS cx
+        |    FROM x1 GROUP BY 1, 2) GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, label, cid FROM (
+        |    SELECT q.vec_id, q.label, c1.cid,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY CAST(list_inner_product(q.qx, c1.qc) AS BIGINT)
+        |               DESC, c1.cid ASC) AS rn
+        |    FROM q CROSS JOIN c1) WHERE rn = 1)
+        |SELECT cid AS cluster_id, label, CAST(count(*) AS BIGINT) AS n
+        |FROM a2 GROUP BY 1, 2""".stripMargin,
     // DROP FEATURE deletionVectors: survivors of the purged DV delete,
     // with dv_dropped computed from the mirror's downgraded protocol
     "q184_drop_feature" ->

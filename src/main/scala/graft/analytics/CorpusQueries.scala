@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1397,21 +1397,69 @@ object CorpusQueries {
     * to the smaller centroid id via the negated-id struct field) is
     * bit-identical across engines. */
   def centroidAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
+    val emb = quantizedEmbeddings(spark, dir)
+    emb
+      .select(col("label"), assignToNearest(seedCentroids(emb, k)))
+      .groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** (vec_id, label, qx): embeddings quantized to 1e6 fixed point — the
+    * shared exact-arithmetic base of q182/q185. */
+  private def quantizedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT))")
         .as("qx"))
-    val cents: Seq[(Long, Seq[Long])] = emb
-      .orderBy("vec_id").limit(k).select("vec_id", "qx")
+
+  /** The k lowest-id quantized vectors — the reproducible seed set. */
+  private def seedCentroids(emb: DataFrame, k: Int): Seq[(Long, Seq[Long])] =
+    emb.orderBy("vec_id").limit(k).select("vec_id", "qx")
       .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Long](1)))
+
+  /** `cluster_id` column: argmax-dot assignment against literal centroids
+    * — map-only, ties to the smaller centroid id (lexicographic
+    * array_max over (dot, -cid) structs). */
+  private def assignToNearest(cents: Seq[(Long, Seq[Long])]): Column = {
     val scored = cents.map { case (cid, qc) =>
       struct(
         aggregate(zip_with(col("qx"), typedlit(qc), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("dot"),
         lit(-cid).as("ncid"))
     }
+    (-array_max(array(scored: _*)).getField("ncid")).as("cluster_id")
+  }
+
+  /** q185: one Lloyd refinement round over the q182 seeds — the actual
+    * distributed k-means shape: (1) map-only assignment against literal
+    * seed centroids, (2) per-(cluster, dim) integer means via ONE
+    * partial-aggregated shuffle whose reduced size is k·d rows per task
+    * regardless of corpus size, (3) the k·d refined centroid table
+    * (bounded by construction) collected and re-baked as literals for a
+    * second map-only assignment. Two corpus scans, no joins — at 100 TB
+    * each Lloyd iteration costs exactly one scan plus a k·d·partitions
+    * shuffle, which is why Lloyd is THE scalable clustering loop.
+    *
+    * Exactness: sums of 1e6-quantized longs; the refined centroid is a
+    * sign-split truncating integer division (Spark `div` == DuckDB `//`
+    * on the absolute value), so round-2 dots stay exact BIGINTs and the
+    * contingency table is bit-identical across engines. */
+  def kmeansRefine(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = quantizedEmbeddings(spark, dir)
+    val a1 = emb.select(col("qx"), assignToNearest(seedCentroids(emb, k)))
+    val c1rows = a1
+      .select(col("cluster_id"), posexplode(col("qx")).as(Seq("dim", "x")))
+      .groupBy("cluster_id", "dim")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .select(col("cluster_id"), col("dim"),
+        expr("(CASE WHEN sx < 0 THEN -1L ELSE 1L END) * (abs(sx) div n)").as("cx"))
+      .collect()
+    val refined: Seq[(Long, Seq[Long])] = c1rows
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }
     emb
-      .select(col("label"), array_max(array(scored: _*)).as("best"))
-      .select(col("label"), (-col("best.ncid")).as("cluster_id"))
+      .select(col("label"), assignToNearest(refined))
       .groupBy("cluster_id", "label")
       .agg(count(lit(1)).as("n"))
   }

@@ -159,4 +159,26 @@ object SqlDmlQueries {
     }
     t.read()
   }
+
+  /** q186: column defaults end-to-end — evolve a column in, declare its
+    * DEFAULT, and INSERT rows that omit it. Existing rows keep NULL (a
+    * default never rewrites data — Delta's contract and why SET DEFAULT
+    * is safe on a 100 TB table: one metadata commit, zero file IO); the
+    * post-declaration inserts are filled by STOCK Spark insert
+    * resolution reading the relation's CURRENT_DEFAULT field metadata —
+    * the engine adds no insert path of its own. */
+  def sqlColumnDefaults(spark: SparkSession, dir: String): DataFrame = {
+    val t = cached(dir, "sqldef") {
+      val t0 = GraftTable.create(spark, freshDir("sqldef"), Tables.nation(spark, dir))
+      graftView(spark, "graft_sqldef_nation", t0)
+      spark.sql("ALTER TABLE graft_sqldef_nation ADD COLUMNS (status STRING)")
+      spark.sql(
+        "ALTER TABLE graft_sqldef_nation ALTER COLUMN status SET DEFAULT 'active'")
+      spark.sql(
+        """INSERT INTO graft_sqldef_nation (n_nationkey, n_name, n_regionkey)
+          |VALUES (900, 'ATLANTIS', 0), (901, 'LEMURIA', 1)""".stripMargin)
+      t0
+    }
+    t.read()
+  }
 }

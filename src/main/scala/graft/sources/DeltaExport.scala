@@ -185,6 +185,11 @@ object DeltaExport {
     // on tsMs, which graft's own adjusted-timestamp travel also does).
     var ictAdvertised = resumeSnap.flatMap(_.protocol).exists(
       _.writerFeatures.contains("inCommitTimestamp"))
+    // Column defaults: writer-gated; the first SET DEFAULT raises the
+    // protocol in place so the metaData carrying CURRENT_DEFAULT never
+    // precedes its feature advertisement.
+    var defAdvertised = resumeSnap.flatMap(_.protocol).exists(
+      _.writerFeatures.contains("allowColumnDefaults"))
     // Clustering: the declaration is STATE (domain metadata), re-emitted
     // only when it changes; the feature advertisement is sticky.
     var clusterAdvertised = resumeSnap.flatMap(_.protocol).exists(
@@ -459,6 +464,8 @@ object DeltaExport {
         .contains("v2")
       val wantTw = twAdvertised ||
         c.properties.keys.exists(_.startsWith(GraftTable.TypeChangePrefix))
+      val defaultsOn =
+        c.properties.keys.exists(_.startsWith(GraftTable.DefaultPrefix))
       val needProto = c.version == 0L ||
         (dropDv && dvAdvertised) ||
         (curDv.nonEmpty && !dvAdvertised) ||
@@ -466,6 +473,7 @@ object DeltaExport {
         (wantV2 && !v2Advertised) ||
         (wantTw && !twAdvertised) ||
         (ictOn && !ictAdvertised) ||
+        (defaultsOn && !defAdvertised) ||
         (rtActive && !rtAdvertised) ||
         (clusterByOn(c.properties) && !clusterAdvertised) ||
         (cdfUpgrade && !resumeCdfCapable)
@@ -481,6 +489,7 @@ object DeltaExport {
         v2Advertised = wantV2
         twAdvertised = wantTw
         ictAdvertised = ictAdvertised || ictOn
+        defAdvertised = defAdvertised || defaultsOn
         rtAdvertised = rtAdvertised || rtActive
         clusterAdvertised = clusterAdvertised || clusterByOn(c.properties)
       }
@@ -1176,6 +1185,8 @@ object DeltaExport {
         Seq("generatedColumns") else Nil) ++
       (if (props.keys.exists(_.startsWith(GraftTable.IdentitySpecPrefix)))
         Seq("identityColumns") else Nil) ++
+      (if (props.keys.exists(_.startsWith(GraftTable.DefaultPrefix)))
+        Seq("allowColumnDefaults") else Nil) ++
       // Row tracking is writer-gated (plus domainMetadata, which carries
       // its high-water mark) — WRITER features only, never readerFeatures.
       (if (rowTrackingOn(props)) Seq("rowTracking", "domainMetadata") else Nil) ++
@@ -1232,12 +1243,14 @@ object DeltaExport {
     // play ([[writerFeaturesOf]]).
     val ntz = hasNtz(schema)
     val proto =
-      // Row tracking / in-commit timestamps / clustering have no legacy
-      // writer version — they force the feature-listed shape (writer 7).
+      // Row tracking / in-commit timestamps / clustering / column
+      // defaults have no legacy writer version — they force the
+      // feature-listed shape (writer 7).
       // Reader stays at 1 unless NTZ demands 3: readerFeatures exists only
       // on a v3 reader protocol, and writer-only features never appear in it.
       if (ntz || rowTrackingOn(props) || ictOnProps(props) ||
-          clusterByOn(props)) JObject(
+          clusterByOn(props) ||
+          props.keys.exists(_.startsWith(GraftTable.DefaultPrefix))) JObject(
         (List("minReaderVersion" -> (JInt(if (ntz) 3 else 1): JValue),
           "minWriterVersion" -> (JInt(7): JValue)) ++
           (if (ntz)
@@ -1290,7 +1303,15 @@ object DeltaExport {
       case (k, v) if k.startsWith(GraftTable.TypeChangePrefix) =>
         k.stripPrefix(GraftTable.TypeChangePrefix) -> v
     }
-    if (gen.isEmpty && ident.isEmpty && tw.isEmpty) return c.schemaJson
+    // Column defaults: Delta stores the user's DEFAULT SQL verbatim under
+    // CURRENT_DEFAULT field metadata (PROTOCOL.md "Default Columns"),
+    // gated by the allowColumnDefaults writer feature.
+    val defs = c.properties.collect {
+      case (k, v) if k.startsWith(GraftTable.DefaultPrefix) =>
+        k.stripPrefix(GraftTable.DefaultPrefix) -> v
+    }
+    if (gen.isEmpty && ident.isEmpty && tw.isEmpty && defs.isEmpty)
+      return c.schemaJson
     val cmapTw = colMapOfProps(c.properties)
     val schema = DataType.fromJson(c.schemaJson).asInstanceOf[StructType]
     StructType(schema.fields.map { f =>
@@ -1298,6 +1319,7 @@ object DeltaExport {
         .withMetadata(f.metadata)
       gen.get(f.name).foreach(e =>
         b.putString("delta.generationExpression", e))
+      defs.get(f.name).foreach(d => b.putString("CURRENT_DEFAULT", d))
       tw.get(cmapTw.getOrElse(f.name, f.name)).foreach(hist =>
         b.withMetadata(org.apache.spark.sql.types.Metadata.fromJson(
           s"""{"delta.typeChanges":$hist}""")))
@@ -1329,6 +1351,8 @@ object DeltaExport {
       // `delta.clustering` domain metadata, so the graft key is dropped too
       .filterNot(_._1.startsWith(GraftTable.TypeChangePrefix))
       .filterNot(_._1 == GraftTable.ClusterByProp)
+      // defaults live in the schemaString's CURRENT_DEFAULT field metadata
+      .filterNot(_._1.startsWith(GraftTable.DefaultPrefix))
       .map {
         case (k, v) if k.startsWith("constraint.") =>
           s"delta.constraints.${k.stripPrefix("constraint.")}" -> v

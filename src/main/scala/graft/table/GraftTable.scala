@@ -1566,7 +1566,56 @@ final class GraftTable private (
     k.startsWith(ConstraintPrefix) || k.startsWith(TombstoneCoverPrefix) ||
       k.startsWith(DroppedColPrefix) || k.startsWith(GeneratedColPrefix) ||
       k.startsWith(IdentitySpecPrefix) || k.startsWith(IdentityHwmPrefix) ||
-      k.startsWith(GraftTable.ColMapPrefix) || k == GraftTable.ClusterByProp
+      k.startsWith(GraftTable.ColMapPrefix) || k == GraftTable.ClusterByProp ||
+      k.startsWith(GraftTable.DefaultPrefix)
+
+  // ------------------------------------------------------ column defaults
+
+  /** Declared column defaults (logical name → original DEFAULT SQL) —
+    * Delta's `allowColumnDefaults` surface: the default applies to future
+    * INSERTs that omit the column, never to existing rows (they keep
+    * reading NULL), exactly Delta's ALTER COLUMN SET DEFAULT contract. */
+  def columnDefaults: Map[String, String] =
+    log.latest().map(_.properties.collect {
+      case (k, v) if k.startsWith(GraftTable.DefaultPrefix) =>
+        k.stripPrefix(GraftTable.DefaultPrefix) -> v
+    }).getOrElse(Map.empty)
+
+  /** ALTER TABLE … ALTER COLUMN c SET DEFAULT <expr>. The expression must
+    * be constant and castable to the column's type — validated NOW by
+    * actually evaluating it (Delta fails bad defaults at DDL time too;
+    * failing at first INSERT would be far from the mistake). Stored as
+    * the ORIGINAL SQL (the Delta metadata contract: CURRENT_DEFAULT
+    * carries the user's text, re-parsed by each writer), surfaced to
+    * Spark's own INSERT resolution through the relation schema's
+    * `CURRENT_DEFAULT` field metadata — the engine adds no custom insert
+    * path; stock ResolveDefaultColumns does the filling. */
+  def setColumnDefault(name: String, sqlText: String): Commit = this.synchronized {
+    val prev = log.latest().getOrElse(throw new NoSuchElementException(s"no table at $root"))
+    val schema = DataType.fromJson(prev.schemaJson).asInstanceOf[StructType]
+    val f = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name at $root"))
+    // Evaluate once: parses, folds, and casts — any failure is the DDL's.
+    try spark.sql(s"SELECT CAST(($sqlText) AS ${f.dataType.sql})").head()
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"DEFAULT for $name: '$sqlText' is not a constant of ${f.dataType.sql}", e) }
+    commitMetadata { p =>
+      p.copy(version = p.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "SET DEFAULT", metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        properties = p.properties + (GraftTable.DefaultPrefix + name -> sqlText))
+    }
+  }
+
+  /** ALTER TABLE … ALTER COLUMN c DROP DEFAULT (absent default: no-op). */
+  def dropColumnDefault(name: String): Commit = this.synchronized {
+    commitMetadata { p =>
+      p.copy(version = p.version + 1, tsMs = System.currentTimeMillis(),
+        operation = "DROP DEFAULT", metrics = Map.empty, changesDir = None,
+        txnAppId = None, txnBatchId = None,
+        properties = p.properties - (GraftTable.DefaultPrefix + name))
+    }
+  }
 
   /** ALTER TABLE … CLUSTER BY — declare the table's clustering columns
     * (Delta liquid-clustering analogue; reference scope: delta_handler.py
@@ -4253,6 +4302,9 @@ object GraftTable {
     * `delta.clustering` domain metadata (delta.io PROTOCOL.md
     * "Clustered Table") with physical names. */
   private[graft] val ClusterByProp = "graft.clusterBy"
+  /** Column-default declarations: `graft.default.<logical name>` → the
+    * original DEFAULT SQL (Delta's CURRENT_DEFAULT contract). */
+  private[graft] val DefaultPrefix = "graft.default."
 
   /** The clustering columns a property map declares (logical names). */
   private[graft] def clusterColsOf(props: Map[String, String]): Seq[String] =

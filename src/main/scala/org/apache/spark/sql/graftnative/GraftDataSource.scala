@@ -211,7 +211,22 @@ class GraftRelation(val sqlContext: SQLContext, df: DataFrame,
     extends BaseRelation
     with PrunedFilteredScan with InsertableRelation {
 
-  override def schema: StructType = df.schema
+  /** Declared column defaults surface as `CURRENT_DEFAULT` field metadata
+    * so stock Spark's own ResolveDefaultColumns fills INSERTs that omit
+    * the column (or say DEFAULT) — no custom insert path. Existing rows
+    * are untouched: only the insert-resolution rule reads this key. */
+  override def schema: StructType = {
+    val defaults = headTable.map(_._1.columnDefaults).getOrElse(Map.empty)
+    if (defaults.isEmpty) df.schema
+    else StructType(df.schema.fields.map { f =>
+      defaults.get(f.name) match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString("CURRENT_DEFAULT", sql).build())
+        case None => f
+      }
+    })
+  }
   override def needConversion: Boolean = false
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a `USING graft` relation —

@@ -284,6 +284,24 @@ case class GraftOptimizeCommand(
 /** `VACUUM t [RETAIN n HOURS] [DRY RUN]` (S18; default retention 168 h
   * as the reference configures, docker-compose.yml spark-defaults).
   * DRY RUN lists what would be removed without deleting, as in Delta. */
+/** ALTER TABLE … ALTER COLUMN c SET DEFAULT <expr> / DROP DEFAULT —
+  * Delta's column-defaults surface. Each (column, Some(sql)) sets, each
+  * (column, None) drops. */
+case class GraftColumnDefaultCommand(
+    table: GraftTable,
+    changes: Seq[(String, Option[String])]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    changes.foreach {
+      case (col, Some(sql)) => table.setColumnDefault(col, sql)
+      case (col, None) => table.dropColumnDefault(col)
+    }
+    Nil
+  }
+}
+
 /** ALTER TABLE … DROP FEATURE <name> [TRUNCATE HISTORY] — Delta's feature
   * downgrade statement, routed to [[GraftTable.dropFeature]]. */
 case class GraftDropFeatureCommand(

@@ -75,6 +75,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         case None => tt // not graft's — stock resolution (and its errors) apply
       }
 
+    // INSERT INTO a graft relation: swap the (possibly stale) stored
+    // temp-view plan for a FRESHLY resolved relation, so post-creation
+    // DDL — ADD COLUMNS, SET DEFAULT — is visible to the insert. The
+    // fresh relation's schema carries CURRENT_DEFAULT field metadata,
+    // which stock ResolveDefaultColumns reads to fill omitted columns
+    // and DEFAULT keywords; the engine has no insert path of its own.
+    case i: logical.InsertIntoStatement =>
+      i.table match {
+        case u: UnresolvedRelation =>
+          graftTableOf(u.multipartIdentifier) match {
+            case Some(t) =>
+              val fresh = new GraftDataSource().createRelation(
+                session.sqlContext, Map("path" -> t.root))
+              i.copy(table = SubqueryAlias(u.multipartIdentifier.last,
+                LogicalRelation(fresh, isStreaming = false)))
+            case None => i
+          }
+        case _ => i
+      }
+
     case d @ DeleteFromTable(target, cond) =>
       dmlTargetOf(target) match {
         case Some((t, quals)) => GraftDeleteCommand(t, GraftParsed(Option(cond)), quals)
@@ -164,16 +184,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case ac @ logical.AlterColumns(u: UnresolvedTable, specs) =>
       graftTableOf(u.multipartIdentifier) match {
         case Some(t) =>
-          val changes = specs.map { s =>
-            if (s.column.name.length != 1 || s.newDataType.isEmpty ||
-                s.newNullability.nonEmpty || s.newComment.nonEmpty ||
-                s.newPosition.nonEmpty || s.newDefaultExpression.nonEmpty)
-              throw new UnsupportedOperationException(
-                "graft ALTER COLUMN supports only `ALTER COLUMN c TYPE " +
-                  "<wider-type>` on top-level columns (metadata-only widening)")
-            s.column.name.head -> s.newDataType.get
+          def onlyTypeChange(s: logical.AlterColumnSpec): Boolean =
+            s.newDataType.nonEmpty && s.newNullability.isEmpty &&
+              s.newComment.isEmpty && s.newPosition.isEmpty &&
+              s.newDefaultExpression.isEmpty && !s.dropDefault
+          def onlyDefaultChange(s: logical.AlterColumnSpec): Boolean =
+            s.newDataType.isEmpty && s.newNullability.isEmpty &&
+              s.newComment.isEmpty && s.newPosition.isEmpty &&
+              (s.newDefaultExpression.nonEmpty || s.dropDefault)
+          if (specs.forall(s => s.column.name.length == 1 && onlyDefaultChange(s)))
+            GraftColumnDefaultCommand(t, specs.map(s =>
+              (s.column.name.head, s.newDefaultExpression.map(_.originalSQL))))
+          else {
+            val changes = specs.map { s =>
+              if (s.column.name.length != 1 || !onlyTypeChange(s))
+                throw new UnsupportedOperationException(
+                  "graft ALTER COLUMN supports `ALTER COLUMN c TYPE " +
+                    "<wider-type>` (metadata-only widening) and " +
+                    "`ALTER COLUMN c SET/DROP DEFAULT` on top-level columns")
+              s.column.name.head -> s.newDataType.get
+            }
+            GraftWidenColumnCommand(t, changes)
           }
-          GraftWidenColumnCommand(t, changes)
         case None => ac
       }
     // ALTER TABLE … CLUSTER BY (cols) / CLUSTER BY NONE → the clustering

@@ -62,6 +62,39 @@ class CleaningOpsSpec extends SparkSpec {
     assert(got.keys.map(_._1).toSet.size === 8)
   }
 
+  test("kmeansRefine matches a fixed-point Scala Lloyd round") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).map(x => math.floor(x * 1e6).toLong).toArray))
+    val seeds = emb.sortBy(_._1).take(8).map(c => (c._1, c._3))
+    def assign(cents: Array[(Long, Array[Long])], q: Array[Long]): Long =
+      -cents.map { case (cid, qc) =>
+        var dot = 0L; var i = 0
+        while (i < q.length) { dot += q(i) * qc(i); i += 1 }
+        (dot, -cid)
+      }.max._2
+    val a1 = emb.map { case (_, _, q) => (assign(seeds, q), q) }
+    val refined = a1.groupBy(_._1).toArray.map { case (cid, members) =>
+      val d = members.head._2.length
+      val cx = Array.tabulate(d) { i =>
+        val s = members.map(_._2(i)).sum
+        (if (s < 0) -1L else 1L) * (math.abs(s) / members.length)
+      }
+      (cid, cx)
+    }
+    val expect = emb.map { case (_, label, q) => (assign(refined, q), label) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = CorpusQueries.kmeansRefine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+    // refinement actually moved assignments vs the seed round
+    val seedRound = CorpusQueries.centroidAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got !== seedRound)
+  }
+
   test("modelQualityFilter splits and its integer score bounds agree") {
     val rows: Array[Row] = CorpusQueries.modelQualityFilter(spark, sf).collect()
     val verdicts = rows.map(_.getString(1)).toSet
