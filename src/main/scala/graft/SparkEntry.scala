@@ -216,6 +216,7 @@ object SparkEntry {
     "q184_drop_feature"      -> (DeltaBridgeQueries.deltaDropFeature _),
     "q185_kmeans_refine"     -> ((s, d) => CorpusQueries.kmeansRefine(s, d)),
     "q186_column_defaults"   -> (SqlDmlQueries.sqlColumnDefaults _),
+    "q187_winnowing"         -> (CorpusQueries.winnowingFingerprints _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -801,6 +802,45 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // winnowing (MOSS): token-4-gram polynomial hashes, w=5 window
+    // minima with pos-encoded tie-break, posting-list share counts
+    "q187_winnowing" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks) - 3),
+        |      i -> array_to_string(toks[i:i+3], ' ')) AS grams
+        |  FROM t WHERE len(toks) >= 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams, g2 -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, length(g2)),
+        |          j -> CAST(ascii(substring(g2, j, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        |  FROM g),
+        |e AS (
+        |  SELECT doc_id, len(hs) AS n_grams,
+        |    list_transform(generate_series(1, len(hs)),
+        |      i -> hs[i] * 65536 + i) AS enc
+        |  FROM h),
+        |f AS (
+        |  SELECT doc_id, n_grams,
+        |    list_distinct(list_transform(generate_series(1, len(enc) - 4),
+        |      s -> list_min(enc[s:s+4]))) AS fps
+        |  FROM e),
+        |x AS (SELECT doc_id, n_grams, len(fps) AS n_fps,
+        |             unnest(fps) // 65536 AS fp FROM f),
+        |post AS (SELECT fp FROM x GROUP BY fp
+        |         HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT x.doc_id, CAST(any_value(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(any_value(n_fps) AS BIGINT) AS n_fps,
+        |  CAST(sum(CASE WHEN post.fp IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS shared_fps
+        |FROM x LEFT JOIN post USING (fp)
+        |GROUP BY x.doc_id""".stripMargin,
     // column defaults: pre-declaration rows read NULL, post-declaration
     // inserts that omit the column are filled with it
     "q186_column_defaults" ->

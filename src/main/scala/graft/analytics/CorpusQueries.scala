@@ -1464,6 +1464,44 @@ object CorpusQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q187: winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 —
+    * the MOSS scheme): hash every token 4-gram, slide a w=5 window, keep
+    * each window's minimum — the guarantee is that any shared run of
+    * ≥ w+k-1 tokens between two documents shares at least one selected
+    * fingerprint, at ~2/(w+1) the storage of full shingling. The classic
+    * third way between exact substring dedup (q109's contract, heavier)
+    * and MinHash (q25, set-level only, no positions).
+    *
+    * Shape: selection is entirely ROW-LOCAL — gram hashes, window
+    * minima, and the distinct fingerprint set are higher-order-function
+    * passes over each doc's own arrays, so the corpus-wide cost is one
+    * scan; the only shuffle is the fingerprint posting-list group-by,
+    * whose input is the WINNOWED set (~2/(w+1) of all grams — the whole
+    * point of winnowing at 100 TB). Exactness: the polynomial char hash
+    * (base 31 mod 1e9+7, the q22 rolling-hash convention) and the
+    * pos-encoded tie-break (h·2^16+pos keeps min deterministic under
+    * repeated grams) replicate bit-for-bit in the DuckDB oracle. */
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"),
+        graft.text.TextFunctions.winnowPrints(col("text"), k = 4, w = 5).as("fps"))
+      .filter(col("ntok") >= 8)
+      .select(col("doc_id"), (col("ntok") - 3L).as("n_grams"), col("fps"))
+    val fp = perDoc
+      .select(col("doc_id"), col("n_grams"), size(col("fps")).cast("long").as("n_fps"),
+        explode(col("fps")).as("enc"))
+      .select(col("doc_id"), col("n_grams"), col("n_fps"),
+        expr("enc div 65536L").as("fp"))
+    val shared = fp.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("fp"), lit(1L).as("hit"))
+    fp.join(broadcast(shared), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("n_grams")).as("n_grams"),
+        first(col("n_fps")).as("n_fps"),
+        sum(coalesce(col("hit"), lit(0L))).as("shared_fps"))
+  }
+
   /** q183: model-based quality filter — the classifier slot of the
     * pipeline (the fastText/logistic quality gate run after the rule
     * filters), with hand-fixed public weights standing in for learned

@@ -182,4 +182,10 @@ object TextFunctions {
     * transform+slice phrasing is O(tokens²) per row and interpreted. */
   def shingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graftnative.TextExpressions.wordShingles(text, n)
+
+  /** Winnowed fingerprint set (MOSS): distinct per-window minima of
+    * position-encoded token-k-gram hashes. See
+    * [[org.apache.spark.sql.graftnative.WinnowFingerprints]]. */
+  def winnowPrints(text: Column, k: Int, w: Int): Column =
+    org.apache.spark.sql.graftnative.TextExpressions.winnowFingerprints(text, k, w)
 }

@@ -244,9 +244,88 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD'03,
+  * the MOSS scheme) in ONE linear pass per document: token `k`-grams are
+  * hashed with the base-31 mod 1e9+7 polynomial (the repo's portable
+  * rolling-hash convention, replicated verbatim by the DuckDB oracle),
+  * each hash is position-encoded as `h·2^16 + pos` (pos 1-based) so the
+  * per-window minimum breaks ties deterministically toward the leftmost
+  * occurrence, and a sliding window of `w` keeps each window's minimum.
+  * Emits the DISTINCT encoded minima.
+  *
+  * Exists as a native expression because the `functions._` phrasing —
+  * nested transform/aggregate/slice lambdas over aliased arrays — is
+  * re-inlined by projection collapse into an O(grams³)-ish interpreted
+  * tree (observed: one sf0.01 partition pinned a core for 12+ minutes);
+  * here the whole selection is O(text) per row. CodegenFallback as
+  * [[WordShingles]]: the work is real hashing, not dispatch. Guarantee
+  * carried: any shared token run of length ≥ w+k-1 between two docs
+  * shares at least one selected fingerprint. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1, "winnowing needs k >= 1 and w >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  private val Mod = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.trim
+      .split("\\s+").filter(_.nonEmpty)
+    val nGrams = toks.length - k + 1
+    val nWin = nGrams - w + 1
+    if (nWin < 1) return new GenericArrayData(Array.empty[Any])
+    // encoded gram hashes: h·2^16 + (i+1)
+    val enc = new Array[Long](nGrams)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      var h = 0L
+      var c = 0
+      val len = sb.length
+      while (c < len) {
+        // codepoint-stepped to match the oracle's character semantics
+        val cp = sb.codePointAt(c)
+        h = (h * 31 + cp) % Mod
+        c += Character.charCount(cp)
+      }
+      enc(i) = h * 65536L + (i + 1)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < nWin) {
+      var m = enc(s)
+      var j = 1
+      while (j < w) { if (enc(s + j) < m) m = enc(s + j); j += 1 }
+      seen.add(m)
+      s += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(text), n))
+
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, w))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
