@@ -555,12 +555,19 @@ object DeltaExport {
         if (c.operation == "OPTIMIZE" && clusterByOn(c.properties))
           Some("liquidClustering")
         else None
+      // Stats-column budget (delta.dataSkippingStatsColumns /
+      // NumIndexedCols): the mirror's per-add stats JSON honors the same
+      // write-time trim as graft's own dirStats — on a wide table the
+      // stats blob, not the file list, dominates log bytes.
+      val allowedStats = GraftTable.allowedStatsCols(c.properties,
+          schema.fieldNames.toSeq)
+        .map(_.map(n => cmap.getOrElse(n, n)))
       adds.foreach { p =>
         lines += addJson(p, cur(p), physSchema, c.partitionCols, dataChange, conf,
           curDv.get(p),
           if (rtActive) fileRowBase.get(p) else None,
           if (rtActive) fileRowVer.get(p) else None,
-          clusterProvider)
+          clusterProvider, allowedStats)
       }
       removes.foreach { p =>
         val dvField = prevDv.get(p).map(d => "deletionVector" -> dvJson(d)).toList
@@ -1424,11 +1431,13 @@ object DeltaExport {
       dv: Option[DeltaDeletionVectors.Descriptor] = None,
       baseRowId: Option[Long] = None,
       defaultRowCommitVersion: Option[Long] = None,
-      clusteringProvider: Option[String] = None): String = {
+      clusteringProvider: Option[String] = None,
+      allowedStats: Option[Set[String]] = None): String = {
     // A DV'd file's footer stats cover PHYSICAL rows (deleted included):
     // the protocol requires declaring them non-tight, else a metadata-only
     // MIN/MAX answer could come from deleted rows.
-    val stats = fileStatsJson(st, schema, partCols, conf, tight = dv.isEmpty)
+    val stats = fileStatsJson(st, schema, partCols, conf, tight = dv.isEmpty,
+      allowed = allowedStats)
     val fields = List(
       "path" -> (JString(encodePath(rel)): JValue),
       "partitionValues" -> (partitionValuesOf(rel, partCols): JValue),
@@ -1499,7 +1508,8 @@ object DeltaExport {
     */
   private def fileStatsJson(st: FileStatus, schema: StructType,
       partCols: Seq[String], conf: org.apache.hadoop.conf.Configuration,
-      tight: Boolean = true): Option[String] = {
+      tight: Boolean = true,
+      allowed: Option[Set[String]] = None): Option[String] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -1510,6 +1520,7 @@ object DeltaExport {
         val targets: Map[String, DataType] = schema.fields.iterator
           .filterNot(f => partCols.contains(f.name))
           .filter(f => isAtomic(f.dataType))
+          .filter(f => allowed.forall(_.contains(f.name)))
           .map(f => f.name -> f.dataType).toMap
         var rows = 0L
         val mins = scala.collection.mutable.HashMap.empty[String, JValue]

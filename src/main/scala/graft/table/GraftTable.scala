@@ -1704,10 +1704,25 @@ final class GraftTable private (
     val m = DirMeta(m0.stats - RowIdCol, m0.nulls - RowIdCol)
     // Footers speak physical names; skipping metadata is keyed logical.
     val rev = colMapAtHead.collect { case (lg, ph) if lg != ph => ph -> lg }
-    if (rev.isEmpty) m
-    else DirMeta(
-      m.stats.map { case (k, v) => rev.getOrElse(k, k) -> v },
-      m.nulls.map { case (k, v) => rev.getOrElse(k, k) -> v })
+    val logical =
+      if (rev.isEmpty) m
+      else DirMeta(
+        m.stats.map { case (k, v) => rev.getOrElse(k, k) -> v },
+        m.nulls.map { case (k, v) => rev.getOrElse(k, k) -> v })
+    // Delta's stats-column budget, honored at write time: on a 1000-col
+    // table, per-dir (min,max,nulls) triples for every column dominate
+    // commit size and mirror stats JSON — the whole reason Delta defaults
+    // dataSkippingNumIndexedCols to 32. Absent stats are conservatively
+    // "don't prune", so trimming is always CORRECT, only less selective.
+    GraftTable.allowedStatsCols(
+        log.latest().map(_.properties).getOrElse(Map.empty),
+        log.latest().map(c => DataType.fromJson(c.schemaJson)
+          .asInstanceOf[StructType].fieldNames.toSeq).getOrElse(Nil)) match {
+      case None => logical
+      case Some(allowed) => DirMeta(
+        logical.stats.filter { case (k, _) => allowed(k) },
+        logical.nulls.filter { case (k, _) => allowed(k) })
+    }
   }
 
   private def metaFromFooters(dir: String): DirMeta = {
@@ -4305,6 +4320,19 @@ object GraftTable {
   /** Column-default declarations: `graft.default.<logical name>` → the
     * original DEFAULT SQL (Delta's CURRENT_DEFAULT contract). */
   private[graft] val DefaultPrefix = "graft.default."
+
+  /** The set of LOGICAL column names stats are collected for, or None for
+    * "all" (the default). `delta.dataSkippingStatsColumns` (explicit
+    * comma list) wins over `delta.dataSkippingNumIndexedCols` (first N
+    * schema columns in declaration order — Delta's own fallback rule). */
+  private[graft] def allowedStatsCols(props: Map[String, String],
+      schemaCols: Seq[String]): Option[Set[String]] =
+    props.get("delta.dataSkippingStatsColumns") match {
+      case Some(list) =>
+        Some(list.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      case None => props.get("delta.dataSkippingNumIndexedCols").map(n =>
+        schemaCols.take(n.toInt).toSet)
+    }
 
   /** The clustering columns a property map declares (logical names). */
   private[graft] def clusterColsOf(props: Map[String, String]): Seq[String] =
