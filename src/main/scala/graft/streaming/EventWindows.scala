@@ -76,7 +76,24 @@ object EventWindows {
     * `user_id, ts, event_id` (+ `event_type` on the anchor side upstream).
     * Works identically on batch frames (watermark is a no-op there). */
   def intervalJoin(probes: DataFrame, anchors: DataFrame,
-      maxLag: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      maxLag: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    intervalJoinOf(probes, anchors, maxLag, watermark, "inner")
+
+  /** LEFT OUTER stream-stream interval join: every probe survives; one
+    * with no same-user anchor in (p_ts − maxLag, p_ts] emits NULL anchor
+    * columns. The outer semantics are WATERMARK-DRIVEN in streams: the
+    * null row for an unmatched probe can only be emitted once the
+    * anchor-side watermark proves no partner can still arrive, so
+    * results trail the watermark by design (Spark's outer-join contract)
+    * — while a batch run of the same plan emits nulls immediately. State
+    * stays bounded for exactly the inner join's reason: both sides carry
+    * watermarks and the condition bounds event-time distance. */
+  def intervalJoinOuter(probes: DataFrame, anchors: DataFrame,
+      maxLag: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    intervalJoinOf(probes, anchors, maxLag, watermark, "left_outer")
+
+  private def intervalJoinOf(probes: DataFrame, anchors: DataFrame,
+      maxLag: String, watermark: String, joinType: String): DataFrame = {
     val p0 = probes.select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("probe_id"))
     val a0 = anchors.select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("anchor_id"))
     val p = if (p0.isStreaming) p0.withWatermark("p_ts", watermark) else p0
@@ -84,7 +101,8 @@ object EventWindows {
     p.join(a,
       p("user_id") === a("user_id") &&
         a("a_ts") <= p("p_ts") &&
-        a("a_ts") > p("p_ts") - expr(s"INTERVAL $maxLag"))
+        a("a_ts") > p("p_ts") - expr(s"INTERVAL $maxLag"),
+      joinType)
       .select(p("user_id"), col("probe_id"), col("anchor_id"),
         col("p_ts"), col("a_ts"))
   }

@@ -120,6 +120,43 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LEFT OUTER interval join emits null-anchor rows once the watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[JoinEv]
+    val anchors = MemoryStream[JoinEv]
+    val q = EventWindows.intervalJoinOuter(probes.toDF(), anchors.toDF(),
+      "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("ssjo_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      anchors.addData(JoinEv(7L, t("2024-01-01 10:00:00"), 100L))
+      probes.addData(
+        JoinEv(7L, t("2024-01-01 10:30:00"), 200L), // matches anchor 100
+        JoinEv(9L, t("2024-01-01 10:30:00"), 202L)) // no partner ever
+      q.processAllAvailable()
+      // the unmatched probe's null row is withheld until the watermark
+      // proves no partner can arrive — advance both sides well past it
+      anchors.addData(JoinEv(1L, t("2024-01-01 20:00:00"), 900L))
+      probes.addData(JoinEv(1L, t("2024-01-01 20:00:00"), 901L))
+      q.processAllAvailable()
+      anchors.addData(JoinEv(1L, t("2024-01-02 08:00:00"), 910L))
+      probes.addData(JoinEv(1L, t("2024-01-02 08:00:00"), 911L))
+      q.processAllAvailable()
+      val got = spark.table("ssjo_out").collect()
+        .map(r => (r.getAs[Long]("probe_id"),
+          Option(r.getAs[java.lang.Long]("anchor_id")))).toSet
+      assert(got.contains((200L, Some(100L))))
+      assert(got.contains((202L, None)), s"unmatched probe missing: $got")
+    } finally q.stop()
+    // batch phrasing of the same outer join emits the null row immediately
+    val batch = EventWindows.intervalJoinOuter(
+      Seq(JoinEv(9L, t("2024-01-01 10:30:00"), 202L)).toDF(),
+      Seq(JoinEv(7L, t("2024-01-01 10:00:00"), 100L)).toDF())
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        Option(r.getAs[java.lang.Long]("anchor_id"))))
+    assert(batch.toSeq === Seq((202L, None)))
+  }
+
   test("interval join batch phrasing matches the q40 range-join semantics") {
     val probes = Seq(
       JoinEv(7L, t("2024-01-01 10:30:00"), 200L),
