@@ -217,6 +217,7 @@ object SparkEntry {
     "q185_kmeans_refine"     -> ((s, d) => CorpusQueries.kmeansRefine(s, d)),
     "q186_column_defaults"   -> (SqlDmlQueries.sqlColumnDefaults _),
     "q187_winnowing"         -> (CorpusQueries.winnowingFingerprints _),
+    "q188_winnow_pairs"      -> (CorpusQueries.winnowPairs _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -802,6 +803,43 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // MOSS matcher: pairs sharing >= 3 rare winnowed fingerprints
+    // (df capped at 10 before the posting self-join)
+    "q188_winnow_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(toks) - 3),
+        |      i -> array_to_string(toks[i:i+3], ' ')) AS grams
+        |  FROM t WHERE len(toks) >= 8),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(grams, g2 -> list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(generate_series(1, length(g2)),
+        |          j -> CAST(ascii(substring(g2, j, 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        |  FROM g),
+        |e AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(hs)),
+        |      i -> hs[i] * 65536 + i) AS enc
+        |  FROM h),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(enc) - 4),
+        |      s -> list_min(enc[s:s+4]))) AS fps
+        |  FROM e),
+        |x AS (SELECT DISTINCT doc_id, unnest(fps) // 65536 AS fp FROM f),
+        |keep AS (SELECT fp FROM x GROUP BY fp
+        |         HAVING count(*) BETWEEN 2 AND 10)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(count(*) AS BIGINT) AS shared
+        |FROM x a JOIN keep USING (fp) JOIN x b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // winnowing (MOSS): token-4-gram polynomial hashes, w=5 window
     // minima with pos-encoded tie-break, posting-list share counts
     "q187_winnowing" ->

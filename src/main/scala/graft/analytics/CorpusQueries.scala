@@ -1481,12 +1481,17 @@ object CorpusQueries {
     * (base 31 mod 1e9+7, the q22 rolling-hash convention) and the
     * pos-encoded tie-break (h·2^16+pos keeps min deterministic under
     * repeated grams) replicate bit-for-bit in the DuckDB oracle. */
-  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
+  /** (doc_id, n_grams, fps): each doc's winnowed fingerprint array —
+    * shared base of q187/q188. */
+  private def winnowedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("ntok"),
         graft.text.TextFunctions.winnowPrints(col("text"), k = 4, w = 5).as("fps"))
       .filter(col("ntok") >= 8)
       .select(col("doc_id"), (col("ntok") - 3L).as("n_grams"), col("fps"))
+
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = winnowedDocs(spark, dir)
     val fp = perDoc
       .select(col("doc_id"), col("n_grams"), size(col("fps")).cast("long").as("n_fps"),
         explode(col("fps")).as("enc"))
@@ -1500,6 +1505,36 @@ object CorpusQueries {
       .agg(first(col("n_grams")).as("n_grams"),
         first(col("n_fps")).as("n_fps"),
         sum(coalesce(col("hit"), lit(0L))).as("shared_fps"))
+  }
+
+  /** q188: MOSS-style near-dup pair detection over the q187 fingerprints
+    * — the matcher half of winnowing: two docs sharing ≥ 3 selected
+    * fingerprints (each rare enough to be discriminative) are flagged as
+    * a copied-content pair with their overlap count. Observed split on
+    * this corpus: noise pairs share exactly 1 fingerprint, true
+    * near-dups 5+, so the ≥ 3 floor sits in the gap.
+    *
+    * Shape: the pair join runs over POSTING LISTS of the winnowed set
+    * only (~2/(w+1) of all grams), and every fingerprint occurring in
+    * more than 10 docs is dropped as a stop-fingerprint BEFORE the
+    * self-join — the PPJoin frequency-filtering device — so per-key
+    * fan-out is capped at 10² and total pair work is bounded by the
+    * posting-list mass, never corpus². The kept-fingerprint set is
+    * duplication-bounded (not corpus-bounded), hence broadcast. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val x = winnowedDocs(spark, dir)
+      .select(col("doc_id"), explode(col("fps")).as("enc"))
+      .select(col("doc_id"), expr("enc div 65536L").as("fp"))
+      .distinct()
+    val keep = x.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 10)).select("fp")
+    val xa = x.join(broadcast(keep), Seq("fp"))
+    xa.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(xa.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
   }
 
   /** q183: model-based quality filter — the classifier slot of the

@@ -44,6 +44,25 @@ class WinnowingSpec extends SparkSpec {
     assert((fa intersect fb).nonEmpty)
   }
 
+  test("winnowPairs matches a collected posting-list recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.trim.split("\\s+").count(_.nonEmpty) >= 8)
+    val x = docs.flatMap { case (id, t) =>
+      bruteWinnow(t, 4, 5).map(e => (e / 65536L, id)).distinct }
+    val byFp = x.groupBy(_._1).map { case (h, xs) =>
+      h -> xs.map(_._2).distinct.toSeq }
+    val expect = byFp.values.filter(ds => ds.size >= 2 && ds.size <= 10)
+      .flatMap(ds => for (a <- ds; b <- ds if a < b) yield (a, b))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 3)
+    val got = graft.analytics.CorpusQueries.winnowPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expect)
+  }
+
   test("driver query q187 counts agree with a collected recompute") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.Tables.documents(spark, sf)
