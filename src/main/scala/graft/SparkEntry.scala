@@ -218,6 +218,7 @@ object SparkEntry {
     "q186_column_defaults"   -> (SqlDmlQueries.sqlColumnDefaults _),
     "q187_winnowing"         -> (CorpusQueries.winnowingFingerprints _),
     "q188_winnow_pairs"      -> (CorpusQueries.winnowPairs _),
+    "q189_cdc_cascade"       -> (MutationQueries.cascadeDelete _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -803,6 +804,14 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // CDC cascade: orders of CDF-erased customers merge-deleted away.
+    // The oracle must scope erasure to customers that EXIST in the
+    // parent (an order referencing no customer row is untouched).
+    "q189_cdc_cascade" ->
+      """SELECT o.* FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 13 = 0)""".stripMargin,
     // MOSS matcher: pairs sharing >= 3 rare winnowed fingerprints
     // (df capped at 10 before the posting self-join)
     "q188_winnow_pairs" ->

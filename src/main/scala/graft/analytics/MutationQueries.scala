@@ -760,4 +760,32 @@ object MutationQueries {
         sum(when(col("pre_id") === col("post_id"), 1L).otherwise(0L)).as("stable"),
         countDistinct(col("post_id")).as("distinct_ids"))
   }
+
+  /** q189: CDC cascade delete — the GDPR/right-to-erasure propagation
+    * shape: customers are erased from the parent table, the CHANGE FEED
+    * of that commit (not a re-diff of snapshots) names exactly the
+    * erased keys, and the child table consumes the feed as a MERGE
+    * source with a WHEN MATCHED DELETE clause. At 100 TB this is the
+    * only shape that works: the erased-key set flows table-to-table as
+    * a DataFrame through one merge shuffle — never a collected id list
+    * on the driver, never a full parent-vs-child re-join. Returns the
+    * surviving orders. */
+  private def cascadeTables(spark: SparkSession, dir: String): GraftTable =
+    cached(dir, "cascade") {
+      val parent = GraftTable.create(spark, freshDir("cascp"),
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+      val child = GraftTable.create(spark, freshDir("cascc"),
+        Tables.orders(spark, dir))
+      val erasure = parent.delete(pmod(col("c_custkey"), lit(13)) === 0)
+      val erased = parent.readChanges(erasure.version, erasure.version)
+        .filter(col("_change_type") === "delete")
+        .select(col("c_custkey").as("o_custkey"))
+      child.mergeClauses(erased, "o_custkey",
+        matched = Seq(graft.table.MergeClause.Delete()))
+      child
+    }
+
+  def cascadeDelete(spark: SparkSession, dir: String): DataFrame =
+    cascadeTables(spark, dir).read()
 }
