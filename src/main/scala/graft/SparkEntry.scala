@@ -219,6 +219,7 @@ object SparkEntry {
     "q187_winnowing"         -> (CorpusQueries.winnowingFingerprints _),
     "q188_winnow_pairs"      -> (CorpusQueries.winnowPairs _),
     "q189_cdc_cascade"       -> (MutationQueries.cascadeDelete _),
+    "q190_normalized_dedup"  -> (CorpusQueries.normalizedDedup _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -804,6 +805,22 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // normalization-aware exact dedup: variant copies (case/punct) that
+    // raw exact dedup misses collapse after canonicalization
+    "q190_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '!!' FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |                   ' +', ' ', 'g') AS norm
+        |  FROM corpus)
+        |SELECT md5(norm) AS norm_hash, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |       CAST(count(*) AS BIGINT) AS dup_count
+        |FROM n GROUP BY norm HAVING count(*) >= 2""".stripMargin,
     // CDC cascade: orders of CDF-erased customers merge-deleted away.
     // The oracle must scope erasure to customers that EXIST in the
     // parent (an order referencing no customer row is untouched).

@@ -1537,6 +1537,32 @@ object CorpusQueries {
       .filter(col("shared") >= 3)
   }
 
+  /** q190: normalization-aware exact dedup — the cleaning stage raw
+    * exact dedup (q23) misses: casing, punctuation and whitespace
+    * variants of the same document hash differently raw but identically
+    * after canonicalization (lowercase → strip non-alnum → collapse
+    * spaces). The fixture injects a variant copy of every even doc
+    * (upper-cased, '!!' appended — the q111 replica device), so raw
+    * exact dedup finds ZERO groups while the normalized pass must find
+    * exactly one per variant pair. Shape identical to q23: row-local
+    * normalization, hash-keyed pre-shuffle, ONE group-by — at 100 TB
+    * normalization adds zero shuffles to the dedup it feeds. */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(upper(col("text")), lit("!!")).as("text")))
+    corpus
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ").as("norm"))
+      .groupBy(md5(col("norm")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") >= 2)
+  }
+
   /** q183: model-based quality filter — the classifier slot of the
     * pipeline (the fastText/logistic quality gate run after the rule
     * filters), with hand-fixed public weights standing in for learned
