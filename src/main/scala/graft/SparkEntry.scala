@@ -220,6 +220,7 @@ object SparkEntry {
     "q188_winnow_pairs"      -> (CorpusQueries.winnowPairs _),
     "q189_cdc_cascade"       -> (MutationQueries.cascadeDelete _),
     "q190_normalized_dedup"  -> (CorpusQueries.normalizedDedup _),
+    "q191_stitch_detect"     -> (CorpusQueries.stitchDetect _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -805,6 +806,32 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // shard-boundary stitch detection: tail-8 == head-8 equi-join over
+    // parts split with an 8-token overlap
+    "q191_stitch_detect" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 24),
+        |parts AS (
+        |  SELECT doc_id * 10 + 1 AS part_id,
+        |         array_to_string(tk[1 : len(tk)//2 + 4], ' ') AS text
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 2,
+        |         array_to_string(tk[len(tk)//2 - 3 : len(tk)], ' ')
+        |  FROM toks),
+        |p AS (SELECT part_id,
+        |             regexp_split_to_array(trim(text), '\s+') AS tk
+        |      FROM parts),
+        |edge AS (
+        |  SELECT part_id,
+        |    array_to_string(tk[greatest(len(tk)-7, 1) : len(tk)], ' ') AS tail8,
+        |    array_to_string(tk[1:8], ' ') AS head8
+        |  FROM p WHERE len(tk) >= 8)
+        |SELECT a.part_id AS left_id, b.part_id AS right_id
+        |FROM edge a JOIN edge b
+        |  ON a.tail8 = b.head8 AND a.part_id <> b.part_id""".stripMargin,
     // normalization-aware exact dedup: variant copies (case/punct) that
     // raw exact dedup misses collapse after canonicalization
     "q190_normalized_dedup" ->

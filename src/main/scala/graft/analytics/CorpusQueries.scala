@@ -1537,6 +1537,44 @@ object CorpusQueries {
       .filter(col("shared") >= 3)
   }
 
+  /** q191: shard-boundary stitch detection — crawls and shard-split
+    * pipelines emit one logical document as two physical parts whose
+    * windows OVERLAP at the cut (the writer repeats a few tokens so no
+    * content is lost); downstream the parts must be re-stitched or the
+    * overlap double-counts. Detector: a part whose LAST 8 tokens equal
+    * another part's FIRST 8 tokens is a stitch edge. The fixture splits
+    * every ≥24-token doc into two parts sharing an 8-token overlap (the
+    * crawl-shard shape) and the detector must recover exactly those
+    * edges.
+    *
+    * Shape: boundary extraction is row-local (two slices per part); the
+    * match is ONE hash equi-join on the 8-token boundary string — the
+    * key space is boundary-grams, so there is no pair blowup and the
+    * join input is 2 rows per part regardless of document length. At
+    * 100 TB: cost = one scan + one join on short keys. */
+  def stitchDetect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+      .filter(size(col("tk")) >= 24)
+    val parts = toks.select(
+        (col("doc_id") * 10 + 1).as("part_id"),
+        expr("concat_ws(' ', slice(tk, 1, size(tk) div 2 + 4))").as("text"))
+      .unionByName(toks.select(
+        (col("doc_id") * 10 + 2).as("part_id"),
+        expr("concat_ws(' ', slice(tk, size(tk) div 2 - 3, " +
+          "size(tk) - (size(tk) div 2 - 3) + 1))").as("text")))
+    val edge = parts
+      .select(col("part_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col("part_id"),
+        expr("concat_ws(' ', slice(tk, greatest(size(tk) - 7, 1), 8))").as("tail8"),
+        expr("concat_ws(' ', slice(tk, 1, 8))").as("head8"))
+    edge.select(col("part_id").as("left_id"), col("tail8").as("k"))
+      .join(edge.select(col("part_id").as("right_id"), col("head8").as("k")), Seq("k"))
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("right_id"))
+  }
+
   /** q190: normalization-aware exact dedup — the cleaning stage raw
     * exact dedup (q23) misses: casing, punctuation and whitespace
     * variants of the same document hash differently raw but identically

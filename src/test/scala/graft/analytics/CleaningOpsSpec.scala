@@ -95,6 +95,21 @@ class CleaningOpsSpec extends SparkSpec {
     assert(got !== seedRound)
   }
 
+  test("stitchDetect recovers every injected shard-boundary edge") {
+    val eligible = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.trim.split("\\s+").count(_.nonEmpty) >= 24)
+      .map(_._1)
+    val expect = eligible.map(d => (d * 10 + 1, d * 10 + 2)).toSet
+    val got = CorpusQueries.stitchDetect(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every true edge recovered; extras are genuine 8-gram collisions in
+    // the small-vocab corpus (deterministic, also present in the oracle)
+    assert(expect.subsetOf(got))
+    assert(expect.nonEmpty)
+  }
+
   test("modelQualityFilter splits and its integer score bounds agree") {
     val rows: Array[Row] = CorpusQueries.modelQualityFilter(spark, sf).collect()
     val verdicts = rows.map(_.getString(1)).toSet
