@@ -221,6 +221,7 @@ object SparkEntry {
     "q189_cdc_cascade"       -> (MutationQueries.cascadeDelete _),
     "q190_normalized_dedup"  -> (CorpusQueries.normalizedDedup _),
     "q191_stitch_detect"     -> (CorpusQueries.stitchDetect _),
+    "q192_weighted_jaccard"  -> (CorpusQueries.weightedJaccard _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -806,6 +807,39 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // rarity-weighted Jaccard: w(gram) = 1e9 div df; candidates share a
+    // rare gram (2<=df<=10); one IEEE division at publish
+    "q192_weighted_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+        |dfr AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+        |        FROM sh GROUP BY 1),
+        |wt AS (SELECT shingle, 1000000000 // df AS w FROM dfr),
+        |tot AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS tw
+        |        FROM sh JOIN wt USING (shingle) GROUP BY 1),
+        |shr AS (SELECT doc_id, shingle FROM sh JOIN dfr USING (shingle)
+        |        WHERE df BETWEEN 2 AND 10),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM shr a JOIN shr b USING (shingle)
+        |         WHERE a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, CAST(sum(w.w) AS BIGINT) AS iw
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.a_id
+        |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+        |  JOIN wt w ON w.shingle = sa.shingle
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw) AS wjaccard
+        |FROM inter
+        |JOIN tot ta ON ta.doc_id = a_id
+        |JOIN tot tb ON tb.doc_id = b_id
+        |WHERE CAST(iw AS DOUBLE) / (ta.tw + tb.tw - iw) >= 0.2""".stripMargin,
     // shard-boundary stitch detection: tail-8 == head-8 equi-join over
     // parts split with an 8-token overlap
     "q191_stitch_detect" ->

@@ -1537,6 +1537,51 @@ object CorpusQueries {
       .filter(col("shared") >= 3)
   }
 
+  /** q192: rarity-weighted Jaccard near-dup scoring — the production
+    * refinement of q27's uniform Jaccard: every 3-gram carries weight
+    * 1e9 div df, so boilerplate grams (high df) contribute almost
+    * nothing and two docs scoring high must share RARE content — the
+    * discounting real dedup pipelines apply so navigation chrome and
+    * license headers don't glue unrelated pages together.
+    *
+    * Shape: candidates are pairs sharing ≥1 RARE gram (2 ≤ df ≤ 10 —
+    * the stop-gram device, fan-out ≤ df² per gram); the intersection
+    * weight then computes by joining the bounded candidate list back
+    * against both docs' weighted gram sets — pair work never exceeds
+    * candidates × doc-set size, and the full corpus² grid is never
+    * formed. Weights and totals are exact BIGINTs (w ≤ 1e9, ~60 grams
+    * per doc ⇒ totals < 2^53), so the one double division at publish is
+    * IEEE-exact and the 0.2 gate is bit-portable. */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
+    val dfr = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wt = dfr.select(col("shingle"), expr("1000000000L div df").as("w"))
+    val shw = sh.join(wt, Seq("shingle"))
+    val tot = shw.groupBy("doc_id").agg(sum(col("w")).as("tw"))
+    val shr = sh.join(dfr.filter(col("df").between(2, 10)).select("shingle"),
+      Seq("shingle"))
+    val cand = shr.select(col("shingle"), col("doc_id").as("a_id"))
+      .join(shr.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val inter = cand
+      .join(shw.select(col("doc_id").as("a_id"), col("shingle"), col("w")),
+        Seq("a_id"))
+      .join(shw.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("w")).as("iw"))
+    inter
+      .join(tot.select(col("doc_id").as("a_id"), col("tw").as("ta")), Seq("a_id"))
+      .join(tot.select(col("doc_id").as("b_id"), col("tw").as("tb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("iw").cast("double")
+          / (col("ta") + col("tb") - col("iw")).cast("double")).as("wjaccard"))
+      .filter(col("wjaccard") >= 0.2)
+  }
+
   /** q191: shard-boundary stitch detection — crawls and shard-split
     * pipelines emit one logical document as two physical parts whose
     * windows OVERLAP at the cut (the writer repeats a few tokens so no

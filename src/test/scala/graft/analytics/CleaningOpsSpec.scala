@@ -95,6 +95,36 @@ class CleaningOpsSpec extends SparkSpec {
     assert(got !== seedRound)
   }
 
+  test("weightedJaccard matches an all-pairs integer brute force") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(t: String): Set[String] =
+      t.trim.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (g, xs) =>
+      g -> xs.size.toLong }
+    val w = df.map { case (g, d) => g -> 1000000000L / d }
+    val rare = df.filter { case (_, d) => d >= 2 && d <= 10 }.keySet
+    val ids = sets.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      shared = sets(a) intersect sets(b)
+      if shared.exists(rare)
+      iw = shared.iterator.map(w).sum
+      ta = sets(a).iterator.map(w).sum
+      tb = sets(b).iterator.map(w).sum
+      s = iw.toDouble / (ta + tb - iw).toDouble
+      if s >= 0.2
+    } yield (a, b) -> s).toMap
+    val got = CorpusQueries.weightedJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === expect)
+    assert(expect.nonEmpty)
+  }
+
   test("stitchDetect recovers every injected shard-boundary edge") {
     val eligible = graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
