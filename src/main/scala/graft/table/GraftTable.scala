@@ -472,6 +472,27 @@ final class GraftTable private (
     cs.last.version
   }
 
+  /** CDF bounded by TIMESTAMPS (Delta's `startingTimestamp` /
+    * `endingTimestamp`): the start resolves to the FIRST commit at or
+    * after the instant (you want changes "since t", including a commit
+    * stamped exactly t) and the end to the LAST commit at or before it —
+    * both on the same adjusted (monotonicized) clock as [[readAsOf]], so
+    * a timestamp read off [[history]] round-trips. A start beyond the
+    * head is an error, matching delta-spark's
+    * ProvidedTimestampAfterLatestCommit. */
+  def readChangesAsOf(startTsMs: Long, endTsMs: Long = Long.MaxValue): DataFrame =
+    readChanges(changesStartVersionAt(startTsMs),
+      if (endTsMs == Long.MaxValue) Long.MaxValue else versionAsOf(endTsMs))
+
+  /** First version whose adjusted commit ts is ≥ `tsMs`. */
+  def changesStartVersionAt(tsMs: Long): Long = {
+    val cs = commitsAdjusted().filter(_.tsMs >= tsMs)
+    if (cs.isEmpty)
+      throw new NoSuchElementException(
+        s"$root: startingTimestamp $tsMs is after the latest commit")
+    cs.head.version
+  }
+
   /** Commits with timestamps MONOTONICIZED by running max (Delta's
     * adjusted-timestamp rule): concurrent writers' clocks — and rebases
     * that stamp wall time before the version race settles — can record a

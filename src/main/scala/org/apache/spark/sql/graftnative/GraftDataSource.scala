@@ -66,9 +66,24 @@ class GraftDataSource extends RelationProvider
         "are mutually exclusive")
     (versionAsOf, timestampAsOf) match {
       case _ if cdf =>
-        new GraftRelation(sqlContext, t.readChanges(
-          parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
-          parameters.get("endingVersion").map(_.toLong).getOrElse(Long.MaxValue)), None)
+        // Version and timestamp bounds compose like Delta's: a timestamp
+        // resolves to its version on the adjusted clock, then the read is
+        // version-bounded. Mixing both forms for one bound is refused.
+        require(!(parameters.contains("startingVersion") &&
+          parameters.contains("startingTimestamp")),
+          "startingVersion and startingTimestamp are mutually exclusive")
+        require(!(parameters.contains("endingVersion") &&
+          parameters.contains("endingTimestamp")),
+          "endingVersion and endingTimestamp are mutually exclusive")
+        val from = parameters.get("startingVersion").map(_.toLong)
+          .orElse(parameters.get("startingTimestamp")
+            .map(s => t.changesStartVersionAt(parseTsMs(s))))
+          .getOrElse(0L)
+        val to = parameters.get("endingVersion").map(_.toLong)
+          .orElse(parameters.get("endingTimestamp")
+            .map(s => t.versionAsOf(parseTsMs(s))))
+          .getOrElse(Long.MaxValue)
+        new GraftRelation(sqlContext, t.readChanges(from, to), None)
       case _ if history => new GraftRelation(sqlContext, t.history(), None)
       case _ if detail => new GraftRelation(sqlContext, t.detail(), None)
       case (Some(v), _) => new GraftRelation(sqlContext, t.readVersion(v), None)

@@ -278,10 +278,6 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(v).map(_.toString)
       case _ => None
     }
-    def lng(e: Expression): Long = e match {
-      case Literal(v: java.lang.Number, _) => v.longValue
-      case other => bad(s"version argument must be an integer literal, got ${other.sql}")
-    }
     val args = tvf.functionArgs
     if (args.size < 2 || args.size > 3) bad(s"expected 2-3 arguments, got ${args.size}")
     val tname = str(args.head).getOrElse(
@@ -291,9 +287,26 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       catch { case scala.util.control.NonFatal(_) => Seq(tname) }
     graftTableOf(parts) match {
       case Some(t) =>
+        // Delta's table_changes accepts versions (integers) OR commit
+        // timestamps (string/timestamp literals) per bound; a timestamp
+        // start resolves to the first commit at-or-after it, a timestamp
+        // end to the last at-or-before (the adjusted-clock rules).
+        def bound(e: Expression, isStart: Boolean): Long = e match {
+          case Literal(v: java.lang.Number, t2)
+              if !t2.isInstanceOf[org.apache.spark.sql.types.StringType] =>
+            v.longValue
+          case other =>
+            val ts = try evalTsMillis(other) catch {
+              case scala.util.control.NonFatal(_) => bad(
+                s"bound must be an integer version or a timestamp, got ${other.sql}")
+            }
+            if (isStart) t.changesStartVersionAt(ts) else t.versionAsOf(ts)
+        }
         val df =
-          if (args.size == 3) t.readChanges(lng(args(1)), lng(args(2)))
-          else t.readChanges(lng(args(1)))
+          if (args.size == 3)
+            t.readChanges(bound(args(1), isStart = true),
+              bound(args(2), isStart = false))
+          else t.readChanges(bound(args(1), isStart = true))
         SubqueryAlias("table_changes", df.queryExecution.logical)
       case None => tvf
     }

@@ -79,6 +79,43 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getAs[String]("_change_type") == "insert")
   }
 
+  test("CDF timestamp bounds resolve on the adjusted clock (options + table_changes)") {
+    val root = tmpDir("dsv1-cdf-ts")
+    freshRows.write.format("graft").save(root)
+    Seq((4L, "d", 40.0)).toDF("id", "name", "bal")
+      .write.format("graft").mode(SaveMode.Append).save(root)
+    val t = GraftTable.forPath(spark, root)
+    // the adjusted commit instants, read off history (they round-trip)
+    val ts = t.history().orderBy("version")
+      .collect().map(_.getAs[java.sql.Timestamp]("timestamp"))
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    val v1ts = fmt.format(ts(1))
+    // startingTimestamp at v1's instant serves exactly v1's changes
+    val viaOpt = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingTimestamp", v1ts)
+      .load(root).collect()
+    assert(viaOpt.length == 1 && viaOpt(0).getAs[Long]("id") == 4L)
+    // API form with an end bound: the full range reproduces both commits
+    assert(t.readChangesAsOf(ts(0).getTime, ts(1).getTime).count() ==
+      t.readChanges(0, 1).count())
+    // table_changes accepts a timestamp literal where Delta does
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW cdfts_t USING graft OPTIONS (path '$root')")
+    val viaTvf = spark.sql(
+      s"SELECT id FROM table_changes('cdfts_t', '$v1ts')").collect()
+    assert(viaTvf.map(_.getLong(0)).toSeq == Seq(4L))
+    // a start beyond the head refuses (Delta's after-latest-commit error)
+    intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingTimestamp", "2999-01-01 00:00:00").load(root).collect()
+    }
+    // mixing version and timestamp for one bound refuses
+    intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .option("startingVersion", "0").option("startingTimestamp", v1ts)
+        .load(root).collect()
+    }
+  }
+
   test("SQL: CREATE TABLE USING graft OPTIONS(path) reads the table") {
     val root = tmpDir("dsv1-sql")
     freshRows.write.format("graft").save(root)
