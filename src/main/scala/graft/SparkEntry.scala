@@ -222,6 +222,7 @@ object SparkEntry {
     "q190_normalized_dedup"  -> (CorpusQueries.normalizedDedup _),
     "q191_stitch_detect"     -> (CorpusQueries.stitchDetect _),
     "q192_weighted_jaccard"  -> (CorpusQueries.weightedJaccard _),
+    "q193_session_window"    -> (OlapQueries.sessionWindowStats _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -807,6 +808,25 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // native session_window: gap-islands oracle; end = last event + gap
+    "q193_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              IS NULL OR
+        |              ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+        |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // rarity-weighted Jaccard: w(gram) = 1e9 div df; candidates share a
     // rare gram (2<=df<=10); one IEEE division at publish
     "q192_weighted_jaccard" ->
