@@ -1553,9 +1553,16 @@ object CorpusQueries {
     * per doc ⇒ totals < 2^53), so the one double division at publish is
     * IEEE-exact and the 0.2 gate is bit-portable. */
   def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
+    // SEVEN consumers read the exploded gram table (df, weights, totals,
+    // rare filter, candidate join ×2, intersection join ×2) — without
+    // staging, each re-scans and re-explodes the corpus (plan-audited:
+    // 7 parquet scans of documents). The shared real-bytes gate
+    // materializes it once when the corpus is big enough to matter.
+    val sh = Dedup.stageIfLarge(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("text"), 3))).as("shingle")),
+      "wjac_sh")
     val dfr = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wt = dfr.select(col("shingle"), expr("1000000000L div df").as("w"))
     val shw = sh.join(wt, Seq("shingle"))
