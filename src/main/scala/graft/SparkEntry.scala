@@ -223,6 +223,7 @@ object SparkEntry {
     "q191_stitch_detect"     -> (CorpusQueries.stitchDetect _),
     "q192_weighted_jaccard"  -> (CorpusQueries.weightedJaccard _),
     "q193_session_window"    -> (OlapQueries.sessionWindowStats _),
+    "q194_source_diversity"  -> (CorpusQueries.sourceDiversity _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -808,6 +809,24 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // Simpson diversity: log-free (1 - sum p^2), pure rational arithmetic
+    "q194_source_diversity" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(c * c) AS BIGINT) AS s2,
+        |         CAST(count(*) AS BIGINT) AS vocab
+        |  FROM c GROUP BY 1)
+        |SELECT source, n, vocab, s2,
+        |       1.0 - CAST(s2 AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS simpson,
+        |       CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / CAST(s2 AS DOUBLE) AS eff_vocab
+        |FROM agg""".stripMargin,
     // native session_window: gap-islands oracle; end = last event + gap
     "q193_session_window" ->
       """WITH m AS (

@@ -1537,6 +1537,34 @@ object CorpusQueries {
       .filter(col("shared") >= 3)
   }
 
+  /** q194: Simpson diversity / effective vocabulary size per source —
+    * the LOG-FREE diversity diagnostic (Shannon entropy needs libm log,
+    * which is not bit-portable across engines; Gini–Simpson 1 − Σp² and
+    * effective vocab n²/Σc² are pure rational arithmetic). This is the
+    * mode-collapse detector for synthetic/generated sources: a source
+    * whose generator loops emits few distinct tokens at high counts —
+    * Σc² explodes, effective vocab craters — long before eyeballing
+    * catches it. Shape: one explode pass, a (source, token) count
+    * (map-side partials collapse repeats before the shuffle), then a
+    * sources-sized aggregate; integer sums all the way, two IEEE
+    * divisions per SOURCE at publish (operands < 2^53 at gate scale; at
+    * larger corpora publish n and s2 raw and divide downstream in
+    * arbitrary precision). */
+  def sourceDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(expr("split(trim(text), '\\\\s+')")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * col("c")).as("s2"),
+        count(lit(1)).as("vocab"))
+      .select(col("source"), col("n"), col("vocab"), col("s2"),
+        (lit(1.0) - col("s2").cast("double")
+          / (col("n").cast("double") * col("n").cast("double"))).as("simpson"),
+        (col("n").cast("double") * col("n").cast("double")
+          / col("s2").cast("double")).as("eff_vocab"))
+
   /** q192: rarity-weighted Jaccard near-dup scoring — the production
     * refinement of q27's uniform Jaccard: every 3-gram carries weight
     * 1e9 div df, so boilerplate grams (high df) contribute almost

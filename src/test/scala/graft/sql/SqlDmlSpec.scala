@@ -272,7 +272,8 @@ class SqlDmlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       s2.sql("SELECT * FROM table_changes('cdf_t', 'not_a_version')")
     }
-    assert(e.getMessage.contains("integer literal"))
+    // since timestamp bounds became legal, the refusal names both forms
+    assert(e.getMessage.contains("integer version or a timestamp"))
     assert(t.read().count() === 4)
   }
 
