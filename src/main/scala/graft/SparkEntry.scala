@@ -224,6 +224,7 @@ object SparkEntry {
     "q192_weighted_jaccard"  -> (CorpusQueries.weightedJaccard _),
     "q193_session_window"    -> (OlapQueries.sessionWindowStats _),
     "q194_source_diversity"  -> (CorpusQueries.sourceDiversity _),
+    "q195_cluster_capped"    -> (CorpusQueries.clusterCappedSelection _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -809,6 +810,46 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // cluster-capped selection: top ceil(25%) by integer quality within
+    // each q182 cluster; ties on doc_id; cap = (n+3)//4
+    "q195_cluster_capped" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qx
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, qx AS qc FROM q ORDER BY vec_id LIMIT 8),
+        |best AS (
+        |  SELECT vec_id AS doc_id, cid AS cluster_id FROM (
+        |    SELECT q.vec_id, c.cid,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY CAST(list_inner_product(q.qx, c.qc) AS BIGINT)
+        |               DESC, c.cid ASC) AS rn
+        |    FROM q CROSS JOIN c) WHERE rn = 1),
+        |s AS (
+        |  SELECT doc_id,
+        |    least(len(regexp_split_to_array(trim(text), '\s+')), 400) * 1000
+        |    + (1200000 * len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |         t -> t IN ('the','a','an','and','of','to','in')))
+        |       // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+        |    - (900000 * (length(text)
+        |         - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+        |       // greatest(length(text), 1))
+        |    + (40000 * length(regexp_replace(text, '\s+', '', 'g'))
+        |       // greatest(len(regexp_split_to_array(trim(text), '\s+')), 1))
+        |      AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT b.cluster_id, s.doc_id, s.score,
+        |         row_number() OVER (PARTITION BY b.cluster_id
+        |                            ORDER BY s.score DESC, s.doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY b.cluster_id) AS n
+        |  FROM best b JOIN s ON s.doc_id = b.doc_id)
+        |SELECT cluster_id, CAST(any_value(n) AS BIGINT) AS n_members,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(min(score) AS BIGINT) AS cut_score
+        |FROM r WHERE rn <= (n + 3) // 4
+        |GROUP BY cluster_id""".stripMargin,
     // Simpson diversity: log-free (1 - sum p^2), pure rational arithmetic
     "q194_source_diversity" ->
       """WITH tok AS (

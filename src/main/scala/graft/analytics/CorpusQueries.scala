@@ -1537,6 +1537,51 @@ object CorpusQueries {
       .filter(col("shared") >= 3)
   }
 
+  /** q195: cluster-capped quality selection — the "best data under a
+    * diversity constraint" pass (cluster-balanced selection): within
+    * each q182 cluster, keep the top ⌈25%⌉ by the q183 integer quality
+    * score, so no cluster — however large or however high-scoring — can
+    * crowd the mix. Emits per cluster the member count, kept count and
+    * the decision-boundary score (what a re-run must reproduce).
+    *
+    * Exactness: the score is the q183 all-BIGINT fixed point, ranks
+    * break ties on doc_id, and the cap is an integer ceiling
+    * ((n+3) div 4) — bit-identical across engines. Shape: the per-vec
+    * assignment is the q182 map-only literal argmax; the per-cluster
+    * rank serializes each cluster into one window task, fine at k=8
+    * clusters of corpus/k rows each at eval scale — at 100 TB the cut
+    * becomes a THRESHOLD estimated per cluster on a sample, then a
+    * map-side filter (the q165 production note applies verbatim). */
+  def clusterCappedSelection(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantizedEmbeddings(spark, dir)
+    val assigned = emb.select(col("vec_id").as("doc_id"),
+      assignToNearest(seedCentroids(emb, 8)))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(
+          """least(size(split(trim(text), '\\s+')), 400) * 1000
+            |+ (1200000L * size(filter(split(trim(text), '\\s+'),
+            |     t -> t IN ('the','a','an','and','of','to','in')))
+            |   div greatest(size(split(trim(text), '\\s+')), 1))
+            |- (900000L * (length(text)
+            |     - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '')))
+            |   div greatest(length(text), 1))
+            |+ (40000L * length(regexp_replace(text, '\\s+', ''))
+            |   div greatest(size(split(trim(text), '\\s+')), 1))""".stripMargin
+            .replace("\n", " ")).as("score"))
+    val ranked = assigned.join(scored, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+    ranked.filter(col("rn") <= expr("(n + 3) div 4"))
+      .groupBy("cluster_id")
+      .agg(first(col("n")).cast("long").as("n_members"),
+        count(lit(1)).as("n_kept"),
+        min(col("score")).as("cut_score"))
+  }
+
   /** q194: Simpson diversity / effective vocabulary size per source —
     * the LOG-FREE diversity diagnostic (Shannon entropy needs libm log,
     * which is not bit-portable across engines; Gini–Simpson 1 − Σp² and
