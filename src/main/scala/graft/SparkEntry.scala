@@ -225,6 +225,7 @@ object SparkEntry {
     "q193_session_window"    -> (OlapQueries.sessionWindowStats _),
     "q194_source_diversity"  -> (CorpusQueries.sourceDiversity _),
     "q195_cluster_capped"    -> (CorpusQueries.clusterCappedSelection _),
+    "q196_norm_outliers"     -> (CorpusQueries.normOutliers _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -810,6 +811,28 @@ object SparkEntry {
         |  CAST(max(score) AS BIGINT) AS max_score,
         |  CAST(sum(score) AS BIGINT) AS sum_score
         |FROM s GROUP BY 1, 2""".stripMargin,
+    // norm outliers: exact top/bottom 1% by rank on fixed-point norms;
+    // a row in both tails reports as 'high' (rhi wins), as in Spark
+    "q196_norm_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qx
+        |  FROM embeddings),
+        |n2 AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(qx, x -> x * x)) AS BIGINT) AS norm2
+        |  FROM q),
+        |r AS (
+        |  SELECT vec_id, label, norm2,
+        |    row_number() OVER (ORDER BY norm2 DESC, vec_id) AS rhi,
+        |    row_number() OVER (ORDER BY norm2 ASC, vec_id) AS rlo,
+        |    count(*) OVER () AS n
+        |  FROM n2)
+        |SELECT vec_id, label, norm2,
+        |  CASE WHEN rhi <= (n + 99) // 100 THEN 'high' ELSE 'low' END AS tail
+        |FROM r
+        |WHERE rhi <= (n + 99) // 100 OR rlo <= (n + 99) // 100""".stripMargin,
     // cluster-capped selection: top ceil(25%) by integer quality within
     // each q182 cluster; ties on doc_id; cap = (n+3)//4
     "q195_cluster_capped" ->

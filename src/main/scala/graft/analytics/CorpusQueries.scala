@@ -1537,6 +1537,35 @@ object CorpusQueries {
       .filter(col("shared") >= 3)
   }
 
+  /** q196: embedding norm outlier report — corrupt or truncated vectors
+    * (zeroed rows, double-scaled rows, wrong-normalization imports) sit
+    * at the extremes of the norm distribution; an ANN index built over
+    * them skews every neighbor list, so ingest flags the exact top and
+    * bottom 1% BY RANK (integer ceiling, no float quantile) before
+    * indexing. Norms are 1e6 fixed-point squared sums — exact BIGINTs —
+    * and ranks tie-break on vec_id, so the flagged set is bit-identical
+    * across engines. Shape: one map pass for norms; the global rank is
+    * the exact contract at eval scale — at 100 TB the flags become
+    * sampled threshold values applied map-side (the q165/q195 note). */
+  def normOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("norm2").desc, col("vec_id"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("norm2").asc, col("vec_id"))
+    quantizedEmbeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(qx, 0L, (a, x) -> a + x * x)").as("norm2"))
+      .withColumn("rhi", row_number().over(w))
+      .withColumn("rlo", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("rhi") <= expr("(n + 99) div 100") ||
+        col("rlo") <= expr("(n + 99) div 100"))
+      .select(col("vec_id"), col("label"), col("norm2"),
+        when(col("rhi") <= expr("(n + 99) div 100"), lit("high"))
+          .otherwise(lit("low")).as("tail"))
+  }
+
   /** q195: cluster-capped quality selection — the "best data under a
     * diversity constraint" pass (cluster-balanced selection): within
     * each q182 cluster, keep the top ⌈25%⌉ by the q183 integer quality
