@@ -226,6 +226,10 @@ object SparkEntry {
     "q194_source_diversity"  -> (CorpusQueries.sourceDiversity _),
     "q195_cluster_capped"    -> (CorpusQueries.clusterCappedSelection _),
     "q196_norm_outliers"     -> (CorpusQueries.normOutliers _),
+    "q197_convert_dv_mapped" -> (DeltaBridgeQueries.deltaConvertDvMapped _),
+    "q198_blocklist_filter"  -> (CorpusQueries.blocklistFilter _),
+    "q199_cleanup_audit"     -> (CorpusQueries.cleanupTokenDiff _),
+    "q200_minhash_error"     -> (CorpusQueries.minhashErrorReport _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -588,6 +592,73 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // blocklist gate (q198): per-source keep/flag census; 'crash' is
+    // deliberately absent from the corpus (pins the no-match path)
+    "q198_blocklist_filter" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+        |  CAST(count(*) FILTER (flagged) AS BIGINT) AS docs_flagged,
+        |  CAST(count(*) FILTER (NOT flagged) AS BIGINT) AS docs_kept
+        |FROM (
+        |  SELECT source,
+        |    list_has_any(regexp_split_to_array(trim(text), '\s+'),
+        |      ['dup', 'crash']) AS flagged
+        |  FROM documents)
+        |GROUP BY source""".stripMargin,
+    // cleanup audit (q199): per-source token mass across the blocklist
+    // DELETE, reconciled via time travel (v0 = v1 + removed)
+    "q199_cleanup_audit" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n,
+        |    list_contains(regexp_split_to_array(trim(text), '\s+'), 'dup')
+        |      AS hit
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(n) AS BIGINT) AS tokens_v0,
+        |  CAST(coalesce(sum(n) FILTER (NOT hit), 0) AS BIGINT) AS tokens_v1,
+        |  CAST(coalesce(sum(n) FILTER (hit), 0) AS BIGINT) AS tokens_removed
+        |FROM m GROUP BY source""".stripMargin,
+    // MinHash estimator error (q200): md5-hex string-min signatures are
+    // engine-portable; estimate = matched/64 is an exact IEEE rational
+    "q200_minhash_error" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, t,
+        |        unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id,
+        |         CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+        |  FROM common
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5),
+        |sig AS (
+        |  SELECT doc_id, seed,
+        |         min(md5(CAST(seed AS VARCHAR) || ' ' || shingle)) AS sig
+        |  FROM sh, (SELECT unnest(generate_series(0, 63)) AS seed)
+        |  GROUP BY 1, 2)
+        |SELECT p.a_id, p.b_id, p.jaccard,
+        |  CAST(count(*) FILTER (sa.sig = sb.sig) AS BIGINT) AS matched,
+        |  CAST(count(*) FILTER (sa.sig = sb.sig) AS DOUBLE) / 64.0
+        |    AS estimate
+        |FROM pairs p
+        |JOIN sig sa ON sa.doc_id = p.a_id
+        |JOIN sig sb ON sb.doc_id = p.b_id AND sb.seed = sa.seed
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // CONVERT FROM DELTA of a DV'd, column-mapped source (q197): DV
+    // positions translate to graft positional tombstones, physical names
+    // carry into graft.colmap.*; survivors read under the renamed column
+    "q197_convert_dv_mapped" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus AS status, o_totalprice
+        |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin,
     // CONVERT FROM DELTA (q177): in-place adoption of a pure Delta table
     // whose DELETE left dead files on disk — v0 must hold exactly the
     // live snapshot (a glob would resurrect the deleted rows).

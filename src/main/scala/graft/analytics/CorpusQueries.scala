@@ -1792,4 +1792,91 @@ object CorpusQueries {
         min("score").as("min_score"),
         max("score").as("max_score"),
         sum("score").as("sum_score"))
+
+  /** q198: token blocklist filter — the C4 "bad words" gate run before
+    * any compute is spent on a document: docs containing any blocklist
+    * token are flagged, and the report is the per-source keep/flag
+    * census read before committing to the removal. The list here is a
+    * two-token stand-in ('dup' rare, 'crash' absent — the absent term
+    * pins the no-match path); a production list of a few thousand terms
+    * rides the same `arrays_overlap` against a broadcast literal array.
+    * Shape: row-local flagging, one sources-sized group-by — at 100 TB
+    * the gate costs exactly the scan it runs inside. */
+  def blocklistFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        arrays_overlap(split(trim(col("text")), "\\s+"),
+          typedLit(Seq("dup", "crash"))).as("flagged"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_in"),
+        count_if(col("flagged")).as("docs_flagged"),
+        count_if(!col("flagged")).as("docs_kept"))
+
+  private val cleanupRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q199: the cleanup-commit audit — a blocklist DELETE lands on a
+    * graft corpus table, and the report reconciles per-source token mass
+    * across the two versions via time travel (tokens_v0 = tokens_v1 +
+    * tokens_removed is the invariant a release sign-off checks — a
+    * cleanup that silently dropped or duplicated mass fails it). The
+    * fixture builds once per dir; the query itself is two versioned
+    * reads, each one scan + one sources-sized aggregate, joined on the
+    * handful of sources. Deleted-to-zero sources keep a row (v1 mass 0)
+    * — the left join is the audit's point. */
+  def cleanupTokenDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = cleanupRoots.computeIfAbsent(dir, { _ =>
+      val r = graft.Scratch.dir(spark, "cleanup-audit")
+      val t = graft.table.GraftTable.create(spark, r,
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("source")))
+      t.delete(arrays_overlap(split(trim(col("text")), "\\s+"),
+        typedLit(Seq("dup"))))
+      r
+    })
+    val t = graft.table.GraftTable.forPath(spark, root)
+    def mass(df: DataFrame, out: String) =
+      df.select(col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+        .groupBy("source").agg(sum("n").as(out))
+    mass(t.readVersion(0), "tokens_v0")
+      .join(mass(t.read(), "tokens_v1"), Seq("source"), "left")
+      .select(col("source"), col("tokens_v0"),
+        coalesce(col("tokens_v1"), lit(0L)).as("tokens_v1"),
+        (col("tokens_v0") - coalesce(col("tokens_v1"), lit(0L)))
+          .as("tokens_removed"))
+  }
+
+  /** q200: MinHash estimator-error report — for every TRUE near-dup pair
+    * (q27's exact PPJoin pairs at t=0.5), the 64-component signature
+    * estimate of its Jaccard next to the exact value. This is the
+    * "measure, don't guess" calibration for freezing band geometry: the
+    * measured error distribution, not folklore, decides bands×rows
+    * before a corpus-wide LSH rollout. Portability: each component is
+    * min(md5(seed || ' ' || shingle)) — a STRING min over hex, so DuckDB
+    * replays the identical signatures; the estimate matched/64 and the
+    * exact Jaccard are both exact rationals (64 is a power of two, the
+    * division is exact in IEEE), so the hash check is bit-stable.
+    * Shape: signatures are one explode over a 64-element literal seed
+    * array with map-side partial min-agg (k× rows never cross the
+    * shuffle whole — only k mins per doc do); the estimate join fans out
+    * pairs×64, bounded by the true-pair count. */
+  def minhashErrorReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+    val seeds = (0 until 64).map(_.toString)
+    val sig = Dedup.docShingles(docs, 3)
+      .select(col("doc_id"), explode(typedLit(seeds)).as("seed"), col("shingle"))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat_ws(" ", col("seed"), col("shingle")))).as("sig"))
+    pairs
+      .join(sig.select(col("doc_id").as("a_id"), col("seed"),
+        col("sig").as("a_sig")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("seed"),
+        col("sig").as("b_sig")), Seq("b_id", "seed"))
+      .groupBy(col("a_id"), col("b_id"), col("jaccard"))
+      .agg(count_if(col("a_sig") === col("b_sig")).as("matched"))
+      .select(col("a_id"), col("b_id"), col("jaccard"), col("matched"),
+        (col("matched").cast("double") / lit(64.0)).as("estimate"))
+  }
 }

@@ -430,6 +430,36 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q197: CONVERT FROM DELTA of a deletion-vector'd, COLUMN-MAPPED
+    * source — the adoption path modern delta-spark tables increasingly
+    * need (`delta.enableDeletionVectors` and
+    * `delta.columnMapping.mode=name` are common defaults on new tables).
+    * The live DV positions translate into a graft positional-DV dir over
+    * the adopted (renamed-in-place) file identity, and the physicalName
+    * annotations carry into `graft.colmap.*` entries — no byte of data is
+    * rewritten at any table size. The fixture retires its graft log after
+    * export so the adoption sees exactly what a delta-spark user hands
+    * over; the oracle recomputes the survivors under the renamed column. */
+  def deltaConvertDvMapped(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#adopt-dv-mapped", { _ =>
+      val r = Scratch.dir(spark, "delta-adopt-dvm")
+      val orders = Tables.orders(spark, dir)
+      val t = graft.table.GraftTable.create(spark, r,
+        orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+      t.renameColumnMetadataOnly("o_orderstatus", "status")
+      t.deletePositional(col("o_orderkey") % 7 === 0)
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      spark.sql(s"CONVERT TO GRAFT delta.`$r`").collect()
+      r
+    })
+    graft.table.GraftTable.forPath(spark, root).read()
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("status"), col("o_totalprice"))
+  }
+
   private val cdfMvRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q179: an incremental MV maintained EXCLUSIVELY from the mirror's CDF

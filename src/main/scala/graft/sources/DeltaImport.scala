@@ -136,6 +136,30 @@ object DeltaImport {
     case other => other
   }
 
+  /** Top-level logical→physical names of a mapped schema (identity
+    * entries included). [[graft.table.GraftTable.convertFromDelta]] adopts
+    * a mapped table by carrying these into its own `graft.colmap.*`
+    * entries — the SAME birth-stable physical names keep reading the
+    * adopted bytes. */
+  private[graft] def topLevelPhysicalNames(
+      schema: StructType): Map[String, String] =
+    schema.fields.map(f => f.name -> physicalName(f)).toMap
+
+  /** True when any NESTED field carries a physical name differing from
+    * its logical one — graft's mapping is top-level, so such tables are
+    * not adoptable in place. */
+  private[graft] def hasNestedMapping(schema: StructType): Boolean = {
+    def nested(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.exists(f =>
+        physicalName(f) != f.name || nested(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => nested(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        nested(m.keyType) || nested(m.valueType)
+      case _ => false
+    }
+    schema.fields.exists(f => nested(f.dataType))
+  }
+
   /** partitionValues in a column-mapped log are keyed by PHYSICAL name. */
   private def partitionValueOf(pv: Map[String, String], schema: StructType,
       pc: String): Option[String] = {

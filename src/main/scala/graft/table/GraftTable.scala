@@ -2497,21 +2497,29 @@ final class GraftTable private (
     * table. Crash-rerun converges: already-moved files are recognized at
     * their destination and one commit covers them all.
     *
-    * Refused (materialize first, graft-side semantics would silently
-    * diverge otherwise): deletion vectors (positions reference the
-    * original file identity — REORG/purge on the Delta side first) and
-    * column mapping (files carry physical names the adopted flat schema
-    * would misread — read through [[graft.sources.DeltaImport]] and
-    * `create` instead). */
+    * Deletion vectors ADOPT: each live file's recorded positions translate
+    * into a graft positional-DV dir over the adopted file identity — row
+    * indexes are positions within the file and the rename preserves the
+    * bytes, so they stay valid verbatim. Column mapping ADOPTS too: the
+    * Delta schema's top-level `physicalName` annotations carry into
+    * graft's own `graft.colmap.*` entries, so the adopted reads project
+    * files by the SAME birth-stable physical names delta-spark wrote.
+    *
+    * Still refused (read through [[graft.sources.DeltaImport]] and
+    * `create` instead): NESTED column mappings (graft maps top-level
+    * names only) and mapped PARTITIONED tables (partition values live in
+    * physical-named path segments the adopted layout would misread). */
   private[table] def convertFromDeltaInPlace(): Commit = this.synchronized {
     val snap = graft.sources.DeltaImport.snapshot(spark, root)
-    require(snap.files.forall(_.deletionVector.isEmpty),
-      s"convert of Delta table $root: live files carry deletion vectors — " +
-        "purge them on the Delta side first (the positions reference the " +
-        "original file identity)")
-    require(!snap.configuration.get("delta.columnMapping.mode").exists(_ != "none"),
-      s"convert of Delta table $root: column mapping is active — files carry " +
-        "physical column names; read through DeltaImport and create instead")
+    val physMap = graft.sources.DeltaImport.topLevelPhysicalNames(snap.schema)
+      .filter { case (lg, ph) => lg != ph }
+    require(!graft.sources.DeltaImport.hasNestedMapping(snap.schema),
+      s"convert of Delta table $root: nested fields carry physical column " +
+        "names — read through DeltaImport and create instead")
+    require(physMap.isEmpty || snap.partitionColumns.isEmpty,
+      s"convert of Delta table $root: column mapping on a partitioned " +
+        "table — partition values live in physical-named path segments; " +
+        "read through DeltaImport and create instead")
     val convertDir = "data/v00000-convert-delta"
     val rootPath = new Path(root)
     val destRoot = new Path(rootPath, convertDir)
@@ -2519,19 +2527,22 @@ final class GraftTable private (
     val rootAbs = rootPath.toUri.getPath.stripSuffix("/")
     var moved = 0L
     var already = 0L
-    snap.files.foreach { f =>
+    // Graft data dirs are scanned as ONE parquet directory: partition
+    // (`key=value`) segments must survive as directories, every other
+    // intermediate segment would be invisible to the scan — flatten
+    // them into the (globally unique) file name instead. Deterministic,
+    // so a crashed adoption converges on re-run.
+    def destOf(f: graft.sources.DeltaImport.AddFile): (Path, Path) = {
       val src = graft.sources.DeltaImport.resolveFile(root, f.path)
       val rel = src.toUri.getPath.stripPrefix(rootAbs).stripPrefix("/")
-      // Graft data dirs are scanned as ONE parquet directory: partition
-      // (`key=value`) segments must survive as directories, every other
-      // intermediate segment would be invisible to the scan — flatten
-      // them into the (globally unique) file name instead. Deterministic,
-      // so a crashed adoption converges on re-run.
       val segs = rel.split("/")
       val partSegs = segs.dropRight(1).filter(s =>
         s.contains("=") && snap.partitionColumns.contains(s.takeWhile(_ != '=')))
       val flatName = segs.filterNot(partSegs.contains).mkString("__")
-      val dest = new Path(destRoot, (partSegs :+ flatName).mkString("/"))
+      (src, new Path(destRoot, (partSegs :+ flatName).mkString("/")))
+    }
+    snap.files.foreach { f =>
+      val (src, dest) = destOf(f)
       if (fs.exists(dest)) already += 1
       else {
         fs.mkdirs(dest.getParent)
@@ -2541,6 +2552,48 @@ final class GraftTable private (
       }
     }
     require(moved + already > 0, s"Delta table $root has no live files to adopt")
+    // Deletion vectors: decode each DV'd file's recorded positions
+    // (driver-side bitmap read — the metadata cost every Delta reader
+    // pays) and re-record them as a graft positional-DV dir. The file
+    // spelling in the entries comes from the adopted scan's OWN
+    // `_metadata.file_path` (never synthesized), so the read-side
+    // membership filter matches exactly; the scan touches only the DV'd
+    // files, once, at adoption time. Temp-then-rename publish keeps a
+    // crashed adoption convergent.
+    val dvByName: Map[String, Seq[Long]] = {
+      lazy val conf = spark.sessionState.newHadoopConf()
+      snap.files.iterator.flatMap { f =>
+        f.deletionVector.filter(_.cardinality != 0L).map { d =>
+          destOf(f)._2.getName ->
+            graft.sources.DeltaDeletionVectors.readPositions(d, root, conf).toSeq
+        }
+      }.toMap
+    }
+    val dvPositionCount = dvByName.valuesIterator.map(_.size.toLong).sum
+    val convertDvDirs: Seq[String] =
+      if (dvByName.isEmpty) Nil
+      else {
+        val dvDir = "dvs/v00000-convert-delta"
+        val dvPath = new Path(rootPath, dvDir)
+        if (!fs.exists(dvPath)) {
+          val dvFilePaths = snap.files
+            .filter(_.deletionVector.exists(_.cardinality != 0L))
+            .map(f => destOf(f)._2.toString)
+          val entries = spark.read.parquet(dvFilePaths: _*)
+            .select(col("_metadata.file_path").as("file"),
+              col("_metadata.row_index").as("pos"))
+            .filter(array_contains(
+              element_at(typedLit(dvByName),
+                substring_index(col("file"), "/", -1)),
+              col("pos")))
+          val tmp = new Path(rootPath, dvDir + ".inprogress")
+          fs.delete(tmp, true)
+          entries.write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, dvPath)) throw new IllegalStateException(
+            s"convert of Delta table $root: publish of DV dir $dvPath failed")
+        }
+        Seq(dvDir)
+      }
     // The snapshot's schema, shorn of Delta-namespace field metadata (the
     // types — NTZ included — are what graft reads plan with).
     val cleanSchema = StructType(snap.schema.fields.map(_.copy(
@@ -2549,13 +2602,30 @@ final class GraftTable private (
       case (k, v) if k.startsWith("delta.constraints.") =>
         (ConstraintPrefix + k.stripPrefix("delta.constraints.")) -> v
     }
-    val meta = metaFor(convertDir)
+    // A mapped source adopts with graft's own mapping entries — reads
+    // keep projecting files by the birth-stable physical names.
+    val mappingProps: Map[String, String] =
+      if (physMap.isEmpty) Map.empty
+      else Map("graft.columnMapping.mode" -> "name") ++
+        physMap.map { case (lg, ph) => GraftTable.ColMapPrefix + lg -> ph }
+    // Footers speak physical names; commit 0 predates the head mapping
+    // metaFor would consult, so remap the stats keys here.
+    val meta0 = metaFor(convertDir)
+    val physToLogical = physMap.map(_.swap)
+    val meta =
+      if (physMap.isEmpty) meta0
+      else DirMeta(
+        meta0.stats.map { case (k, v) => physToLogical.getOrElse(k, k) -> v },
+        meta0.nulls.map { case (k, v) => physToLogical.getOrElse(k, k) -> v })
     val c = Commit(0L, System.currentTimeMillis(), "CREATE", Seq(convertDir),
       Map("numConvertedFiles" -> (moved + already),
-        "numOutputRows" -> countDir(convertDir)), cleanSchema.json,
+        "numDeletedPositions" -> dvPositionCount,
+        "numOutputRows" -> (countDir(convertDir) - dvPositionCount)),
+      cleanSchema.json,
       partitionCols = snap.partitionColumns,
       dirStats = Map(convertDir -> meta.stats),
-      properties = constraintProps.toMap,
+      properties = constraintProps.toMap ++ mappingProps,
+      dvDirs = convertDvDirs,
       dirNulls = Map(convertDir -> meta.nulls))
     log.commit(c); c
   }
@@ -4124,7 +4194,7 @@ final class GraftTable private (
     * exactly-once replay detection keeps working after a vacuum. Returns
     * the deleted dirs. */
   def vacuum(retentionHours: Double = 168.0, nowMs: Long = System.currentTimeMillis(),
-      dryRun: Boolean = false): Seq[String] =
+      dryRun: Boolean = false, full: Boolean = false): Seq[String] =
     this.synchronized {
       val cutoff = nowMs - (retentionHours * 3600 * 1000).toLong
       val all = log.commits()
@@ -4133,13 +4203,44 @@ final class GraftTable private (
       val keep = all.filter(c => c.version == headVersion || c.tsMs >= cutoff)
       val keepDirs = keep.flatMap(c => c.dataDirs ++ c.tombstoneDirs ++ c.dvDirs).toSet
       val expired = all.filter(c => c.version != headVersion && c.tsMs < cutoff)
+      // FULL mode (Delta's default VACUUM vs its log-only LITE — this
+      // engine's default is the LITE shape because the commit log itemizes
+      // every dir it ever wrote): additionally LIST the table's dir roots
+      // and reclaim UNTRACKED debris — a dir a crashed writer populated but
+      // never committed is referenced by no commit, so the log-driven pass
+      // can never reclaim it, and at 100 TB those leaks are real bytes.
+      // Only dirs older than the cutoff qualify (an in-flight writer's dir
+      // has fresh mtimes — same recency rule Delta's file-level vacuum
+      // uses), and the listing cost is one shallow LIST per dir root.
+      lazy val orphanDirs: Seq[String] = {
+        val tracked = all.flatMap(c =>
+          c.dataDirs ++ c.tombstoneDirs ++ c.dvDirs :+ changesDirOf(c)).toSet
+        def newestMs(p: Path): Long = {
+          val st = fs.getFileStatus(p)
+          if (!st.isDirectory) st.getModificationTime
+          else (st.getModificationTime +: fs.listStatus(p).map(s =>
+            if (s.isDirectory) newestMs(s.getPath) else s.getModificationTime
+          ).toSeq).max
+        }
+        Seq("data", "tombstones", "dvs", "_changes").flatMap { base =>
+          val basePath = new Path(root, base)
+          if (!fs.exists(basePath)) Nil
+          else fs.listStatus(basePath).filter(_.isDirectory).toSeq
+            .map(s => s"$base/${s.getPath.getName}")
+            .filterNot(tracked.contains)
+            .filter(d => newestMs(new Path(root, d)) < cutoff)
+        }
+      }
       if (dryRun) // VACUUM DRY RUN: report the reclaimable dirs, touch nothing
-        return expired.flatMap(c => c.dataDirs ++ c.tombstoneDirs ++ c.dvDirs)
+        return (expired.flatMap(c => c.dataDirs ++ c.tombstoneDirs ++ c.dvDirs)
           .filterNot(keepDirs.contains)
           .filterNot(d => new Path(d).isAbsolute)
           .filter(d => fs.exists(new Path(root, d)))
-          .distinct
+          ++ (if (full) orphanDirs else Nil)).distinct
       val deleted = Seq.newBuilder[String]
+      if (full) orphanDirs.foreach { d =>
+        if (fs.delete(new Path(root, d), true)) deleted += d
+      }
       expired.foreach { c =>
         // Never delete EXTERNAL (absolute) dir references — those are
         // another table's files, present when this table is a shallow

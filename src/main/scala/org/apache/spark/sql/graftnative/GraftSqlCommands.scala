@@ -318,14 +318,15 @@ case class GraftDropFeatureCommand(
 case class GraftVacuumCommand(
     table: GraftTable,
     retainHours: Option[Double],
-    dryRun: Boolean = false) extends LeafRunnableCommand {
+    dryRun: Boolean = false,
+    full: Boolean = false) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("num_deleted_dirs")
 
   override def run(session: SparkSession): Seq[Row] = {
     val removed = retainHours match {
-      case Some(h) => table.vacuum(retentionHours = h, dryRun = dryRun)
-      case None => table.vacuum(dryRun = dryRun)
+      case Some(h) => table.vacuum(retentionHours = h, dryRun = dryRun, full = full)
+      case None => table.vacuum(dryRun = dryRun, full = full)
     }
     Seq(Row(removed.size.toLong))
   }

@@ -390,7 +390,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DetailRe =
     """(?is)^\s*DESC(?:RIBE)?\s+DETAIL\s+(.+?)\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+(.+?)(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+(.+?)(\s+LITE|\s+FULL)?(?:\s+RETAIN\s+([0-9.]+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE\s+(.+?)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val RestoreRe =
@@ -422,8 +422,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case ConvertRe(path) => Some(GraftConvertCommand(path.trim))
       case ConvertDeltaRe(path) => Some(GraftConvertFromDeltaCommand(path.trim))
       case GenerateRe(ident) => graft(ident).map(GraftGenerateManifestCommand)
-      case VacuumRe(ident, hours, dry) => graft(ident).map(t =>
-        GraftVacuumCommand(t, Option(hours).map(_.toDouble), dryRun = dry != null))
+      // Mode tokens follow delta-spark's VACUUM grammar: LITE is this
+      // engine's log-driven default (named for symmetry), FULL adds the
+      // untracked-debris listing pass.
+      case VacuumRe(ident, mode, hours, dry) => graft(ident).map(t =>
+        GraftVacuumCommand(t, Option(hours).map(_.toDouble), dryRun = dry != null,
+          full = Option(mode).exists(_.trim.equalsIgnoreCase("FULL"))))
       case OptimizeRe(ident, where, zcols) => graft(ident).map { t =>
         GraftOptimizeCommand(t,
           GraftParsed(Option(where).map(w => delegate.parseExpression(w.trim))),

@@ -242,6 +242,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(removed === wouldRemove && removed >= 0)
     assert(t.read().count() === 4) // live state untouched
     assert(GraftTable.forPath(s2, root).read().count() === 4)
+    // FULL adds the untracked-debris listing pass (the crashed-writer
+    // leftover no commit references); LITE spells the log-driven default
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s2.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, "data/v00099-crashed")
+    t.read().write.parquet(orphan.toString)
+    s2.sql("VACUUM hist_t LITE RETAIN 0.0 HOURS").collect()
+    assert(fs.exists(orphan))
+    // a fresh orphan survives the recency rule; age it out artificially
+    fs.setTimes(orphan, 1000L, 1000L)
+    fs.listStatus(orphan).foreach(st => fs.setTimes(st.getPath, 1000L, 1000L))
+    val fullRemoved = s2.sql("VACUUM hist_t FULL RETAIN 0.0 HOURS").head().getLong(0)
+    assert(fullRemoved >= 1)
+    assert(!fs.exists(orphan))
+    assert(t.read().count() === 4)
   }
 
   test("table_changes TVF serves the change feed through SQL") {

@@ -90,32 +90,84 @@ class ConvertFromDeltaSpec extends SparkSpec {
     assert(e.getMessage.contains("positive_k"))
   }
 
-  test("deletion vectors and column mapping are refused with guidance") {
-    val (root, _) = {
-      val r = tmpDir("cfd-dv")
-      val t = GraftTable.create(spark, r,
-        (0L until 50L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
-      t.deletePositional(col("k") % 11 === 0L)
-      DeltaExport.exportLog(t)
-      val fs = new org.apache.hadoop.fs.Path(r)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(r, "_graft_log"), true)
-      (r, 0L)
-    }
+  private def retireGraftLog(root: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_graft_log"), true)
+  }
+
+  test("deletion-vector'd source adopts: positions translate to graft DVs") {
+    val root = tmpDir("cfd-dv")
+    val t0 = GraftTable.create(spark, root,
+      (0L until 50L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    t0.append((50L until 80L).map(i => (i, s"s$i")).toDF("k", "s"))
+    t0.deletePositional(col("k") % 11 === 0L)
+    DeltaExport.exportLog(t0)
+    retireGraftLog(root)
+    val liveBefore = DeltaImport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    assert(liveBefore.size === (0L until 80L).count(_ % 11 != 0))
+
+    val t = GraftTable.convertFromDelta(spark, root)
+    assert(t.read().select("k", "s")
+      .as[(Long, String)].collect().toSet === liveBefore)
+    // metadata-only row count subtracts the translated DV positions
+    assert(t.rowCount === liveBefore.size.toLong)
+    // the adopted DVs compose with further mutation
+    t.delete(col("k") >= 70L)
+    assert(t.read().count() ===
+      (0L until 70L).count(_ % 11 != 0).toLong)
+    // rerun convergence: only the existing graft log refuses, not state
+    intercept[IllegalArgumentException](GraftTable.convertFromDelta(spark, root))
+  }
+
+  test("column-mapped source adopts: physical names carry into graft.colmap") {
+    val root = tmpDir("cfd-mapped")
+    val t0 = GraftTable.create(spark, root,
+      (0L until 40L).map(i => (i, s"s$i", i * 2.0)).toDF("k", "s", "v"), Nil)
+    t0.renameColumnMetadataOnly("s", "label")
+    t0.append((40L until 60L).map(i => (i, s"s$i", i * 2.0))
+      .toDF("k", "label", "v"))
+    DeltaExport.exportLog(t0)
+    retireGraftLog(root)
+    val liveBefore = DeltaImport.read(spark, root)
+      .select("k", "label", "v").as[(Long, String, Double)].collect().toSet
+
+    val t = GraftTable.convertFromDelta(spark, root)
+    assert(t.read().columns.toSeq === Seq("k", "label", "v"))
+    assert(t.read().select("k", "label", "v")
+      .as[(Long, String, Double)].collect().toSet === liveBefore)
+    // skipping stats were remapped to LOGICAL keys at adoption
+    assert(t.where(col("k") <= 5L).count() === 6L)
+    // the adopted mapping stays metadata-only for further renames
+    t.renameColumn("label", "tag")
+    assert(t.read().filter(col("tag") === "s7").count() === 1L)
+  }
+
+  test("DV'd AND mapped source adopts with both translated") {
+    val root = tmpDir("cfd-dv-mapped")
+    val t0 = GraftTable.create(spark, root,
+      (0L until 60L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    t0.renameColumnMetadataOnly("s", "label")
+    t0.deletePositional(col("k") % 7 === 0L)
+    DeltaExport.exportLog(t0)
+    retireGraftLog(root)
+    val t = GraftTable.convertFromDelta(spark, root)
+    assert(t.read().count() === (0L until 60L).count(_ % 7 != 0).toLong)
+    assert(t.read().filter(col("label") === "s7").count() === 0L)
+    assert(t.read().filter(col("label") === "s8").count() === 1L)
+  }
+
+  test("mapped PARTITIONED source is refused with guidance") {
+    val root = tmpDir("cfd-mapped-part")
+    val t0 = GraftTable.create(spark, root,
+      (0L until 40L).map(i => (i, s"s$i", i % 4)).toDF("k", "s", "p"),
+      partitionBy = Seq("p"))
+    t0.renameColumnMetadataOnly("s", "label")
+    DeltaExport.exportLog(t0)
+    retireGraftLog(root)
     val e = intercept[IllegalArgumentException](
       GraftTable.convertFromDelta(spark, root))
-    assert(e.getMessage.contains("deletion vectors"))
-
-    val mapped = tmpDir("cfd-mapped")
-    val t2 = GraftTable.create(spark, mapped,
-      (0L until 20L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
-    t2.renameColumnMetadataOnly("s", "label")
-    DeltaExport.exportLog(t2)
-    val fs2 = new org.apache.hadoop.fs.Path(mapped)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs2.delete(new org.apache.hadoop.fs.Path(mapped, "_graft_log"), true)
-    val e2 = intercept[IllegalArgumentException](
-      GraftTable.convertFromDelta(spark, mapped))
-    assert(e2.getMessage.contains("column mapping"))
+    assert(e.getMessage.contains("column mapping on a partitioned"))
   }
 }

@@ -175,6 +175,37 @@ class GraftTableSpec extends SparkSpec {
     intercept[Exception](t.readVersion(0).count())
   }
 
+  test("vacuum FULL reclaims untracked debris; default (lite) never lists") {
+    val dir = tmpDir("gt-vac-full")
+    val t = GraftTable.create(spark, dir, seedCustomers)
+    t.delete($"id" === 1L) // v1 (head)
+    // a crashed writer's leftovers: a populated data dir NO commit references
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(dir, "data/v00099-crashed-write")
+    seedCustomers.write.parquet(orphan.toString)
+    val future = System.currentTimeMillis() + 200L * 3600 * 1000
+    // the log-driven default cannot see it (nothing references it)
+    t.vacuum(retentionHours = 168.0, nowMs = future)
+    assert(fs.exists(orphan))
+    // FULL dry run reports it without touching it
+    val dry = t.vacuum(retentionHours = 168.0, nowMs = future,
+      dryRun = true, full = true)
+    assert(dry.contains("data/v00099-crashed-write"))
+    assert(fs.exists(orphan))
+    // a FRESH orphan (mtime after the cutoff) is an in-flight writer's dir
+    // and must survive a FULL pass
+    val kept = t.vacuum(retentionHours = 168.0,
+      nowMs = System.currentTimeMillis(), full = true)
+    assert(fs.exists(orphan))
+    assert(!kept.contains("data/v00099-crashed-write"))
+    // FULL past the cutoff reclaims it; the head stays intact
+    val deleted = t.vacuum(retentionHours = 168.0, nowMs = future, full = true)
+    assert(deleted.contains("data/v00099-crashed-write"))
+    assert(!fs.exists(orphan))
+    assert(t.read().count() === 2)
+  }
+
   test("time travel returns each version under its own schema") {
     val t = GraftTable.create(spark, tmpDir("gt-schema-tt"), seedCustomers)
     t.merge(Seq((7L, "N", "n@x.com", 7.0, "555"))
