@@ -230,6 +230,8 @@ object SparkEntry {
     "q198_blocklist_filter"  -> (CorpusQueries.blocklistFilter _),
     "q199_cleanup_audit"     -> (CorpusQueries.cleanupTokenDiff _),
     "q200_minhash_error"     -> (CorpusQueries.minhashErrorReport _),
+    "q201_gopher_rules"      -> (CorpusQueries.gopherRules _),
+    "q202_ivf_recall_sweep"  -> (CorpusQueries.ivfRecallSweep _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -592,6 +594,75 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // Gopher rule battery (q201): per-source failure census; all flags
+    // integer-exact (one truncating div per doc)
+    "q201_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS words,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS chars,
+        |    len(list_filter(
+        |      list_distinct(regexp_split_to_array(trim(text), '\s+')),
+        |      t -> t IN ('the','a','and','of','to'))) AS stops
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, words < 30 AS f_words,
+        |    (1000 * chars) // words NOT BETWEEN 4000 AND 5000 AS f_meanlen,
+        |    stops < 2 AS f_stop
+        |  FROM d)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |  CAST(count(*) FILTER (f_words) AS BIGINT) AS fail_words,
+        |  CAST(count(*) FILTER (f_meanlen) AS BIGINT) AS fail_meanlen,
+        |  CAST(count(*) FILTER (f_stop) AS BIGINT) AS fail_stopwords,
+        |  CAST(count(*) FILTER (NOT f_words AND NOT f_meanlen AND NOT f_stop)
+        |    AS BIGINT) AS passed
+        |FROM f GROUP BY source""".stripMargin,
+    // IVF recall sweep (q202): seeded-centroid probe order, exact
+    // fixed-point top-10 vs probed top-10 per nprobe level
+    "q202_ivf_recall_sweep" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qx
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, qx AS qc FROM q ORDER BY vec_id LIMIT 8),
+        |qv AS (SELECT vec_id AS qid, qx AS qq FROM q ORDER BY vec_id LIMIT 1),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT q.vec_id, c.cid,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY CAST(list_inner_product(q.qx, c.qc) AS BIGINT)
+        |          DESC, c.cid ASC) AS rn
+        |    FROM q CROSS JOIN c) WHERE rn = 1),
+        |prank AS (
+        |  SELECT cid, row_number() OVER (
+        |    ORDER BY CAST(list_inner_product(c.qc, qv.qq) AS BIGINT) DESC,
+        |      cid ASC) AS proberank
+        |  FROM c CROSS JOIN qv),
+        |scored AS (
+        |  SELECT q.vec_id,
+        |    CAST(list_inner_product(q.qx, qv.qq) AS BIGINT) AS dot, a.cid
+        |  FROM q CROSS JOIN qv
+        |  JOIN assign a ON a.vec_id = q.vec_id
+        |  WHERE q.vec_id <> qv.qid),
+        |ex AS (
+        |  SELECT vec_id, dot, cid,
+        |    row_number() OVER (ORDER BY dot DESC, vec_id) AS exact_rn
+        |  FROM scored),
+        |lvl AS (
+        |  SELECT e.*, np.nprobe,
+        |    row_number() OVER (PARTITION BY np.nprobe
+        |      ORDER BY e.dot DESC, e.vec_id) AS probed_rn
+        |  FROM ex e
+        |  JOIN prank p ON p.cid = e.cid
+        |  CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS nprobe) np
+        |  WHERE p.proberank <= np.nprobe)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+        |  CAST(count(*) AS BIGINT) AS candidates,
+        |  CAST(count(*) FILTER (probed_rn <= 10 AND exact_rn <= 10)
+        |    AS BIGINT) AS hits,
+        |  CAST(count(*) FILTER (probed_rn <= 10 AND exact_rn <= 10)
+        |    AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM lvl GROUP BY nprobe""".stripMargin,
     // blocklist gate (q198): per-source keep/flag census; 'crash' is
     // deliberately absent from the corpus (pins the no-match path)
     "q198_blocklist_filter" ->

@@ -1847,6 +1847,80 @@ object CorpusQueries {
           .as("tokens_removed"))
   }
 
+  /** q201: Gopher-style rule battery (Rae et al. 2021 §A1.1, the
+    * standard pre-filter rulebook): per-document word-count bound,
+    * fixed-point mean-word-length band, and minimum distinct-stopword
+    * requirement, reported as a per-source failure census — the table
+    * read to see WHICH rule is doing the filtering before a corpus-wide
+    * rollout (a rule failing 90% of one source is usually a tokenizer
+    * or scrape bug, not bad data). Thresholds are corpus-calibrated
+    * stand-ins; the production battery swaps constants, not shape.
+    * Exactness: integer counts and one truncating integer division per
+    * doc (operands non-negative, Spark `div` == DuckDB `//`). Shape:
+    * row-local flags, one sources-sized group-by — the gate costs the
+    * scan it runs inside at any corpus size. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("chars"),
+        size(array_intersect(array_distinct(split(trim(col("text")), "\\s+")),
+          typedLit(Seq("the", "a", "and", "of", "to")))).as("stops"))
+      .select(col("source"),
+        (col("words") < 30L).as("f_words"),
+        (!expr("1000 * chars div words").between(4000L, 5000L)).as("f_meanlen"),
+        (col("stops") < 2).as("f_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        count_if(col("f_words")).as("fail_words"),
+        count_if(col("f_meanlen")).as("fail_meanlen"),
+        count_if(col("f_stop")).as("fail_stopwords"),
+        count_if(!col("f_words") && !col("f_meanlen") && !col("f_stop"))
+          .as("passed"))
+
+  /** q202: IVF recall-vs-nprobe sweep — the tuning table read before
+    * freezing nprobe on an IVF rollout: for the seeded 8-centroid coarse
+    * quantizer (the q182/q195 device) and the lowest-id query vector,
+    * recall@10 of the probed search at nprobe ∈ {1,2,4,8} against the
+    * exact fixed-point top-10. Recall is monotone in nprobe by
+    * construction; the sweep shows WHERE it saturates, which is the
+    * whole decision. Exactness: 1e6-quantized BIGINT dots everywhere
+    * (d=64, |dot| < 2^53), ranks are integer row_numbers with id
+    * tiebreaks, recall = hits/10.0 is one correctly-rounded IEEE divide
+    * of small integers — bit-identical across engines. Shape: map-only
+    * assignment + one global top-k-style window at eval scale; the
+    * production form replaces the windows with the bounded-heap top-k
+    * the ANN queries already use (q28/q44), per probe level. */
+  def ivfRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val emb = quantizedEmbeddings(spark, dir)
+    val cents = seedCentroids(emb, 8)
+    val (qid, qvec) = cents.head // lowest-id vector doubles as the query
+    def dotQuery: Column =
+      aggregate(zip_with(col("qx"), typedlit(qvec), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    // centroid probe order w.r.t. the query — k-sized, driver-computed
+    val probeRank: Map[Long, Long] = cents.map { case (cid, qc) =>
+      cid -> qc.zip(qvec).map { case (a, b) => a * b }.sum
+    }.sortBy { case (cid, d) => (-d, cid) }
+      .zipWithIndex.map { case ((cid, _), i) => cid -> (i + 1).toLong }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+    val scored = emb.filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), dotQuery.as("dot"), assignToNearest(cents))
+      .withColumn("proberank", element_at(typedLit(probeRank), col("cluster_id")))
+      .withColumn("exact_rn", row_number().over(
+        w.orderBy(col("dot").desc, col("vec_id"))))
+    scored
+      .select(col("*"), explode(typedLit(Seq(1L, 2L, 4L, 8L))).as("nprobe"))
+      .filter(col("proberank") <= col("nprobe"))
+      .withColumn("probed_rn", row_number().over(
+        w.partitionBy("nprobe").orderBy(col("dot").desc, col("vec_id"))))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("candidates"),
+        count_if(col("probed_rn") <= 10 && col("exact_rn") <= 10).as("hits"))
+      .select(col("nprobe"), col("candidates"), col("hits"),
+        (col("hits").cast("double") / lit(10.0)).as("recall_at_10"))
+  }
+
   /** q200: MinHash estimator-error report — for every TRUE near-dup pair
     * (q27's exact PPJoin pairs at t=0.5), the 64-component signature
     * estimate of its Jaccard next to the exact value. This is the
