@@ -1937,20 +1937,28 @@ object CorpusQueries {
     * pairs×64, bounded by the true-pair count. */
   def minhashErrorReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+    // The pair table is the dedup RUN's artifact (write-once/read-many,
+    // the q87/q150 contract) — a calibration report must never re-run
+    // the quadratic pipeline it calibrates.
+    val pairs = materializedClusters(spark, dir, "pairs")(
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5))
+    // Signatures only for PAIR MEMBERS (output-bounded — the report's
+    // row count, not the corpus, sizes this), and all 64 components in
+    // ONE hash-agg pass: 64 min() columns per doc, so only k mins per
+    // doc ever cross the shuffle, never the k× exploded shingle rows.
+    val pairIds = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
     val seeds = (0 until 64).map(_.toString)
-    val sig = Dedup.docShingles(docs, 3)
-      .select(col("doc_id"), explode(typedLit(seeds)).as("seed"), col("shingle"))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat_ws(" ", col("seed"), col("shingle")))).as("sig"))
+    val sigCols = seeds.map(s =>
+      min(md5(concat_ws(" ", lit(s), col("shingle")))).as(s"s$s"))
+    val sig = Dedup.docShingles(docs.join(pairIds, Seq("doc_id"), "left_semi"), 3)
+      .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val matched = seeds.map(s =>
+      when(col(s"a.s$s") === col(s"b.s$s"), 1L).otherwise(0L)).reduce(_ + _)
     pairs
-      .join(sig.select(col("doc_id").as("a_id"), col("seed"),
-        col("sig").as("a_sig")), Seq("a_id"))
-      .join(sig.select(col("doc_id").as("b_id"), col("seed"),
-        col("sig").as("b_sig")), Seq("b_id", "seed"))
-      .groupBy(col("a_id"), col("b_id"), col("jaccard"))
-      .agg(count_if(col("a_sig") === col("b_sig")).as("matched"))
-      .select(col("a_id"), col("b_id"), col("jaccard"), col("matched"),
-        (col("matched").cast("double") / lit(64.0)).as("estimate"))
+      .join(sig.as("a"), col("a_id") === col("a.doc_id"))
+      .join(sig.as("b"), col("b_id") === col("b.doc_id"))
+      .select(col("a_id"), col("b_id"), col("jaccard"), matched.as("matched"),
+        (matched.cast("double") / lit(64.0)).as("estimate"))
   }
 }
