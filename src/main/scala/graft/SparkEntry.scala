@@ -232,6 +232,8 @@ object SparkEntry {
     "q200_minhash_error"     -> (CorpusQueries.minhashErrorReport _),
     "q201_gopher_rules"      -> (CorpusQueries.gopherRules _),
     "q202_ivf_recall_sweep"  -> (CorpusQueries.ivfRecallSweep _),
+    "q203_phrase_search"     -> ((s, d) => RetrievalQueries.phraseSearch(s, d)),
+    "q204_foreign_append"    -> (DeltaBridgeQueries.deltaForeignAppend _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -594,6 +596,28 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // foreign append (q204): graft committing into a pure Delta table;
+    // base snapshot ∪ the appended (shifted-key) rows
+    "q204_foreign_append" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
+    // phrase search (q203): positional-index adjacency join; 1-based
+    // first position matches generate_series indexing
+    "q203_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, i FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |    FROM toks)
+        |  WHERE t[i] = 'hash' AND t[i+1] = 'join')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(i) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY doc_id""".stripMargin,
     // Gopher rule battery (q201): per-source failure census; all flags
     // integer-exact (one truncating div per doc)
     "q201_gopher_rules" ->

@@ -460,6 +460,35 @@ object DeltaBridgeQueries {
         col("status"), col("o_totalprice"))
   }
 
+  /** q204: FOREIGN-table append — graft as a Delta WRITER
+    * ([[graft.sources.DeltaExport.appendToForeign]]): new rows commit
+    * into a table no graft log governs, through the optimistic
+    * exclusive-publish protocol delta-spark itself uses (stage once,
+    * re-gate, retry on a lost race). The fixture retires its graft log
+    * after export, so the append sees exactly what a delta-spark user's
+    * live table looks like; the read-back goes through the import bridge
+    * over the foreign log, and the oracle recomputes base ∪ appended from
+    * the source parquet. */
+  def deltaForeignAppend(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#foreign-append", { _ =>
+      val r = Scratch.dir(spark, "delta-foreign-append")
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = graft.table.GraftTable.create(spark, r, orders)
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      graft.sources.DeltaExport.appendToForeign(spark, r,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   private val cdfMvRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q179: an incremental MV maintained EXCLUSIVELY from the mirror's CDF

@@ -220,6 +220,33 @@ object RetrievalQueries {
         ",").as("postings"))
   }
 
+  /** q203: exact-phrase search through a POSITIONAL inverted index — the
+    * retrieval shape q115's doc-level index cannot answer: "hash join"
+    * must match only ADJACENT occurrences. Postings carry (doc_id,
+    * position); the phrase plan is the classic positional-index join —
+    * postings('hash') ⋈ postings('join') ON same doc AND consecutive
+    * positions (each leg pre-shifted so the join key is the phrase START)
+    * — so work is bounded by the queried terms' posting sizes, never the
+    * corpus (the isin filter reaches the scan). Output per matching doc:
+    * adjacent-occurrence count and first (1-based) position, all
+    * integers. At 100 TB positional postings shard exactly like q115's
+    * (term, doc-range) note. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val postings = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col("doc_id"), (col("pos") - i).as("start"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("start")) + 1).cast("long").as("first_pos"))
+  }
+
   /** q166: hard-negative mining for retrieval training (the DPR/Contriever
     * data-prep step): for each anchor document, the query is its first 4
     * tokens, and the negatives are the top BM25-ranked OTHER documents —

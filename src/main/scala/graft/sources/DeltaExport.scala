@@ -1138,6 +1138,267 @@ object DeltaExport {
     else Some(writeCheckpoint(spark, tablePath))
   }
 
+  // ------------------------------------------------ foreign-table appends
+
+  /** Writer features whose APPEND-time obligations this writer discharges
+    * (delta.io PROTOCOL.md "Table Features" — a writer must refuse a table
+    * listing any feature it cannot uphold):
+    * appendOnly (an append is legal by definition); invariants (vacuous
+    * unless a field declares `delta.invariants` metadata — refused below
+    * when present); checkConstraints (every `delta.constraints.*`
+    * predicate validates against the staged rows before the commit
+    * publishes); changeDataFeed (a blind append writes NO cdc action by
+    * protocol — readers synthesize inserts from its dataChange adds);
+    * columnMapping (files are written under physical names, partition
+    * dirs and partitionValues keys physical); timestampNtz/typeWidening
+    * (schema capabilities the staging write and stats harvest honor);
+    * deletionVectors/v2Checkpoint/vacuumProtocolCheck (obligations attach
+    * to deletes / checkpoint writes / vacuum, none of which an append
+    * performs); domainMetadata/clustering (domains ride untouched; an
+    * append to a clustered table is legal unclustered — OPTIMIZE
+    * re-clusters, exactly as in delta-spark); allowColumnDefaults
+    * (defaults fill OMITTED columns; this writer requires the full
+    * schema, so nothing is ever omitted); rowTracking (fresh base row
+    * ids are assigned above the domain high-water mark, which advances
+    * in the same commit); inCommitTimestamp (the commit stamps a
+    * monotonic ICT). Everything else — generatedColumns, identityColumns,
+    * icebergCompat*, … — is refused with the feature named. */
+  private val ForeignAppendFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "columnMapping", "timestampNtz", "typeWidening", "deletionVectors",
+    "v2Checkpoint", "vacuumProtocolCheck", "domainMetadata", "clustering",
+    "allowColumnDefaults", "rowTracking", "inCommitTimestamp")
+
+  /** Append `df` to a FOREIGN Delta table (one no graft log governs) —
+    * graft as a Delta WRITER, closing the bridge's last asymmetry: the
+    * import reads foreign tables, the export mirrors graft tables, and
+    * this commits new rows into a live delta-spark table that other
+    * engines keep reading (reference analogue: the delta-rs writes
+    * `delta_handler.py` performs against its own store).
+    *
+    * Concurrency is delta-spark's own optimistic protocol: the data files
+    * stage ONCE under `_appends/<uuid>/` inside the table root, then the
+    * commit loop re-resolves the snapshot, re-gates, and attempts version
+    * N+1 by EXCLUSIVE publish of `N+1.json`; losing the race re-checks
+    * against the winner's state (a blind append conflicts only with a
+    * schema/partitioning/constraint change — anything else commutes and
+    * is retried at N+2). Typed per-file stats ride each add from the
+    * staged parquet footers, honoring the table's stats budget. Returns
+    * the committed version. */
+  def appendToForeign(spark: SparkSession, tablePath: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+
+    def gate(snap: DeltaImport.Snapshot): Unit = {
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"append to $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry write-time obligations " +
+              "this writer does not implement")
+        }
+      }
+      val badMeta = snap.schema.fields.filter(f =>
+        f.metadata.contains("delta.generationExpression") ||
+          f.metadata.contains("delta.identity.start") ||
+          f.metadata.contains("delta.invariants"))
+      require(badMeta.isEmpty,
+        s"append to $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
+          "declare generated/identity/invariant semantics an appender must " +
+          "compute — write through the owning engine instead")
+      require(!DeltaImport.hasNestedMapping(snap.schema),
+        s"append to $tablePath: nested fields carry physical column names")
+    }
+
+    val snap0 = DeltaImport.snapshot(spark, tablePath)
+    gate(snap0)
+
+    // Align to the snapshot's LOGICAL schema — lossless up-casts only,
+    // full column coverage required (appends never evolve a foreign
+    // schema; defaults therefore never apply).
+    val fields = snap0.schema.fields
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val extra = df.columns.filterNot(c =>
+      fields.exists(_.name.equalsIgnoreCase(c)))
+    require(extra.isEmpty,
+      s"append to $tablePath: unknown column(s) ${extra.mkString(", ")} — " +
+        "foreign appends never evolve the schema")
+    val aligned = df.select(fields.toIndexedSeq.map { f =>
+      val src = byLower.getOrElse(f.name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"append to $tablePath: missing column ${f.name}"))
+      val in = df.schema(src).dataType
+      require(in == f.dataType ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(in, f.dataType),
+        s"append to $tablePath: column $src of type ${in.simpleString} does " +
+          s"not up-cast losslessly to ${f.dataType.simpleString}")
+      col(src).cast(f.dataType).as(f.name)
+    }: _*)
+
+    // Stage under the table root: files are immutable once written; only
+    // the commit decides whether they become part of the table.
+    val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
+    val toPhys = physMapAll.filter { case (l, p) => l != p }
+    val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
+    val physDf = toPhys.foldLeft(aligned) {
+      case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val stageRel = s"_appends/${java.util.UUID.randomUUID()}"
+    val stagePath = new Path(root, stageRel)
+    if (physPartCols.nonEmpty)
+      physDf.write.partitionBy(physPartCols: _*).parquet(stagePath.toString)
+    else physDf.write.parquet(stagePath.toString)
+    def refuse(msg: String): Nothing = {
+      fs.delete(stagePath, true)
+      throw new IllegalArgumentException(msg)
+    }
+
+    // NOT NULL and CHECK constraints validate against the STAGED bytes —
+    // exactly what the commit would make visible (one validation scan).
+    def constraintsOf(cfg: Map[String, String]): Map[String, String] =
+      cfg.collect { case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v }
+    def validate(cfg: Map[String, String]): Unit = {
+      import org.apache.spark.sql.functions.{count_if, expr, coalesce, lit}
+      val stagedPhys = spark.read.option("basePath", stagePath.toString)
+        .parquet(stagePath.toString)
+      val staged = toPhys.foldLeft(stagedPhys) {
+        case (d, (l, p)) => d.withColumnRenamed(p, l) }
+      val nullChecks = fields.toSeq.filterNot(_.nullable)
+        .map(f => count_if(col(f.name).isNull).as(s"null ${f.name}"))
+      val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
+        count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
+          .as(s"constraint $n") }
+      val checks = nullChecks ++ checkChecks
+      if (checks.nonEmpty) {
+        val row = staged.agg(checks.head, checks.tail: _*).collect().head
+        val bad = row.schema.fieldNames.zipWithIndex
+          .filter { case (_, i) => row.getLong(i) > 0 }
+        if (bad.nonEmpty) refuse(
+          s"append to $tablePath violates ${bad.map(_._1).mkString("; ")} " +
+            s"(${bad.map(b => row.getLong(b._2)).mkString(", ")} row(s))")
+      }
+    }
+    validate(snap0.configuration)
+
+    val files = {
+      val it = fs.listFiles(stagePath, true)
+      val b = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
+      }
+      b.result().sortBy(_.getPath.toString)
+    }
+    if (files.isEmpty) { fs.delete(stagePath, true); refuse(
+      s"append to $tablePath: the frame produced no rows to append") }
+    def relOf(st: FileStatus): String = {
+      val base = root.toUri.getPath.stripSuffix("/")
+      st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+    def footerRows(st: FileStatus): Long = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }
+
+    // The winner's ICT (monotonicity floor) when the table stamps ICTs.
+    def prevIctOf(version: Long): Option[Long] = {
+      val p = new Path(logDir, f"$version%020d.json")
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toArray finally in.close()
+      lines.iterator.filter(_.trim.nonEmpty)
+        .map(l => JsonMethods.parse(l) \ "commitInfo" \ "inCommitTimestamp")
+        .collectFirst { case JInt(t) => t.toLong case JLong(t) => t }
+    }
+
+    // Optimistic commit loop: re-resolve, re-gate, publish exclusively.
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = if (attempt == 1) snap0
+        else DeltaImport.snapshot(spark, tablePath)
+      if (attempt > 1) {
+        gate(snap)
+        // A blind append conflicts only with changes to what was already
+        // validated: schema, partitioning, constraints.
+        if (snap.schema.json != snap0.schema.json ||
+            snap.partitionColumns != snap0.partitionColumns) refuse(
+          s"append to $tablePath: the table's schema or partitioning " +
+            "changed mid-append — restage against the new state")
+        if (constraintsOf(snap.configuration) !=
+            constraintsOf(snap0.configuration))
+          validate(snap.configuration)
+      }
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+      val physSchema = StructType(fields.map(f =>
+        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
+          snap.schema.fieldNames.toSeq)
+        .map(_.map(n => physMapAll.getOrElse(n, n)))
+      // Row tracking: fresh ids above the domain's high-water mark.
+      val rtOn = snap.protocol.exists(p =>
+        p.minWriterVersion >= 7 && p.writerFeatures.contains("rowTracking"))
+      val hwm0: Long = snap.domainMetadata.get("delta.rowTracking")
+        .map(cfgJson => (JsonMethods.parse(cfgJson) \ "rowIdHighWaterMark") match {
+          case JInt(t) => t.toLong
+          case JLong(t) => t
+          case _ => -1L
+        }).getOrElse(-1L)
+      var nextBase = hwm0 + 1
+      val lines = Seq.newBuilder[String]
+      var totalRows = 0L
+      var totalBytes = 0L
+      val addLines = files.map { st =>
+        val base = if (rtOn) Some(nextBase) else None
+        val rows = footerRows(st)
+        if (rtOn) nextBase += rows
+        totalRows += rows
+        totalBytes += st.getLen
+        addJson(relOf(st), st, physSchema, physPartCols, dataChange = true,
+          conf, None, base, if (rtOn) Some(v) else None, None, allowedStats)
+      }
+      lines += commitInfoJson(
+        Commit(v, nowMs, "APPEND", Nil,
+          Map("numFiles" -> files.size.toLong, "numOutputRows" -> totalRows,
+            "numOutputBytes" -> totalBytes), snap.schema.json),
+        ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true"))
+          Some(math.max(prevIctOf(snap.version).getOrElse(0L) + 1, nowMs))
+        else None)
+      addLines.foreach(lines += _)
+      if (rtOn && nextBase > hwm0 + 1) {
+        lines += JsonMethods.compact(JObject("domainMetadata" -> JObject(
+          "domain" -> JString("delta.rowTracking"),
+          "configuration" ->
+            JString(s"""{"rowIdHighWaterMark":${nextBase - 1}}"""),
+          "removed" -> JBool(false))))
+      }
+      val target = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      val tmp = new Path(logDir,
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = !fs.exists(target) && fs.rename(tmp, target)
+      if (!won) fs.delete(tmp, false)
+      if (won) return v
+      // lost to a concurrent committer — loop re-resolves and retries
+    }
+    refuse(s"append to $tablePath: lost the commit race 20 times — " +
+      "a writer storm; retry when the table quiesces")
+  }
+
   /** `add.path`/`remove.path` are percent-encoded relative URIs per the
     * Delta protocol (readers open them with `new Path(new URI(p))` —
     * including [[DeltaImport.resolveFile]]); hive-escaped `%XX` in the

@@ -1,0 +1,170 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** Foreign-table appends ([[DeltaExport.appendToForeign]]) — graft as a
+  * Delta WRITER: new rows commit into a table no graft log governs, via
+  * the same optimistic exclusive-publish protocol delta-spark uses.
+  * Fixtures are Delta tables the export bridge wrote, with the graft log
+  * retired so the appender sees exactly a foreign table. */
+class DeltaForeignAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def retire(root: String): Unit = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "_graft_log"), true)
+  }
+
+  test("append commits v+1 with adds + stats; readers see the union") {
+    val root = tmpDir("fap-flat")
+    val t = GraftTable.create(spark, root,
+      (0L until 40L).map(i => (i, s"s$i", i * 2.0)).toDF("k", "s", "v"), Nil)
+    t.append((40L until 60L).map(i => (i, s"s$i", i * 2.0)).toDF("k", "s", "v"))
+    DeltaExport.exportLog(t)
+    retire(root)
+    val before = DeltaImport.latestVersion(spark, root)
+
+    val v = DeltaExport.appendToForeign(spark, root,
+      (60L until 80L).map(i => (i, s"s$i", i * 2.0)).toDF("k", "s", "v"))
+    assert(v === before + 1)
+    assert(DeltaImport.latestVersion(spark, root) === v)
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === 80L)
+    assert(read.filter(col("k") >= 60L).count() === 20L)
+    // per-add stats rode from the staged footers (skipping prunes on k)
+    val pruned = DeltaImport.where(spark, root, col("k") === 70L)
+    assert(pruned.count() === 1L)
+    // a second append stacks
+    val v2 = DeltaExport.appendToForeign(spark, root,
+      Seq((80L, "s80", 160.0)).toDF("k", "s", "v"))
+    assert(v2 === v + 1)
+    assert(DeltaImport.read(spark, root).count() === 81L)
+  }
+
+  test("partitioned append: partition values recover, files under part dirs") {
+    val root = tmpDir("fap-part")
+    val t = GraftTable.create(spark, root,
+      (0L until 40L).map(i => (i, s"s$i", i % 4)).toDF("k", "s", "p"),
+      partitionBy = Seq("p"))
+    DeltaExport.exportLog(t)
+    retire(root)
+    DeltaExport.appendToForeign(spark, root,
+      (40L until 52L).map(i => (i, s"s$i", i % 4)).toDF("k", "s", "p"))
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === 52L)
+    assert(read.filter(col("p") === 2L).count() === 13L)
+    // the appended adds carry partitionValues (file-level pruning works)
+    val snap = DeltaImport.snapshot(spark, root)
+    val appended = snap.files.filter(_.path.startsWith("_appends"))
+    assert(appended.nonEmpty)
+    assert(appended.forall(_.partitionValues.keySet === Set("p")))
+  }
+
+  test("column-mapped append lands under physical names") {
+    val root = tmpDir("fap-mapped")
+    val t = GraftTable.create(spark, root,
+      (0L until 30L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    t.renameColumnMetadataOnly("s", "label")
+    DeltaExport.exportLog(t)
+    retire(root)
+    DeltaExport.appendToForeign(spark, root,
+      Seq((30L, "s30"), (31L, "s31")).toDF("k", "label"))
+    val read = DeltaImport.read(spark, root)
+    assert(read.columns.toSeq === Seq("k", "label"))
+    assert(read.count() === 32L)
+    assert(read.filter(col("label") === "s31").count() === 1L)
+  }
+
+  test("CHECK constraint and NOT NULL violations refuse before committing") {
+    val root = tmpDir("fap-constraint")
+    val t = GraftTable.create(spark, root,
+      (1L until 20L).map(i => (i, i * 2.0)).toDF("k", "v"), Nil)
+    t.addConstraint("positive_k", "k > 0")
+    DeltaExport.exportLog(t)
+    retire(root)
+    val before = DeltaImport.latestVersion(spark, root)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendToForeign(spark, root,
+        Seq((-5L, 1.0)).toDF("k", "v")))
+    assert(e.getMessage.contains("positive_k"))
+    assert(DeltaImport.latestVersion(spark, root) === before)
+    // staging was reaped — no stranded _appends debris
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appendsDir = new Path(root, "_appends")
+    assert(!fs.exists(appendsDir) || fs.listStatus(appendsDir).isEmpty)
+    // schema mismatches refuse too
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.appendToForeign(spark, root,
+        Seq((1L, 1.0, "x")).toDF("k", "v", "extra")))
+    assert(e2.getMessage.contains("extra"))
+  }
+
+  test("generated-column tables are refused with the obligation named") {
+    val root = tmpDir("fap-gen")
+    val t = GraftTable.create(spark, root,
+      Seq((1L, 2L)).toDF("k", "twice"), Nil,
+      generated = Map("twice" -> "k * 2"), identity = Map.empty)
+    DeltaExport.exportLog(t)
+    retire(root)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.appendToForeign(spark, root,
+        Seq((2L, 4L)).toDF("k", "twice")))
+    assert(e.getMessage.contains("generated"))
+  }
+
+  test("row-tracked append assigns ids above the HWM and advances it") {
+    val root = tmpDir("fap-rowtrack")
+    val t = GraftTable.createWithProperties(spark, root,
+      (0L until 25L).map(i => (i, s"s$i")).toDF("k", "s"),
+      Map("graft.rowTracking" -> "true"))
+    DeltaExport.exportLog(t)
+    retire(root)
+    def hwm: Long = (JsonMethods.parse(DeltaImport.snapshot(spark, root)
+      .domainMetadata("delta.rowTracking")) \ "rowIdHighWaterMark") match {
+      case org.json4s.JInt(n) => n.toLong
+      case other => fail(s"unexpected hwm json: $other")
+    }
+    val hwm0 = hwm
+    DeltaExport.appendToForeign(spark, root,
+      (25L until 35L).map(i => (i, s"s$i")).toDF("k", "s"))
+    assert(hwm === hwm0 + 10L)
+    val snap = DeltaImport.snapshot(spark, root)
+    val appended = snap.files.filter(_.path.startsWith("_appends"))
+    assert(appended.nonEmpty)
+    assert(appended.forall(f =>
+      f.baseRowId.exists(_ > hwm0) && f.defaultRowCommitVersion.isDefined))
+    // no id range overlaps a pre-existing file's
+    val ranges = snap.files.map(f => f.baseRowId.get).sorted
+    assert(ranges.distinct === ranges)
+  }
+
+  test("losing the commit race retries at the next version") {
+    val root = tmpDir("fap-race")
+    val t = GraftTable.create(spark, root,
+      (0L until 10L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    DeltaExport.exportLog(t)
+    retire(root)
+    val before = DeltaImport.latestVersion(spark, root)
+    // a rival writer already took version before+1 (a commitInfo-only
+    // commit is protocol-legal)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rival = new Path(root, f"_delta_log/${before + 1}%020d.json")
+    val out = fs.create(rival, false)
+    out.write(("""{"commitInfo":{"timestamp":1,"operation":"WRITE",""" +
+      """"operationParameters":{},"operationMetrics":{}}}""" + "\n")
+      .getBytes("UTF-8"))
+    out.close()
+    val v = DeltaExport.appendToForeign(spark, root,
+      Seq((10L, "s10")).toDF("k", "s"))
+    assert(v === before + 2)
+    assert(DeltaImport.read(spark, root).count() === 11L)
+  }
+}
