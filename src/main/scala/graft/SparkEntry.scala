@@ -234,6 +234,7 @@ object SparkEntry {
     "q202_ivf_recall_sweep"  -> (CorpusQueries.ivfRecallSweep _),
     "q203_phrase_search"     -> ((s, d) => RetrievalQueries.phraseSearch(s, d)),
     "q204_foreign_append"    -> (DeltaBridgeQueries.deltaForeignAppend _),
+    "q205_foreign_delete"    -> (DeltaBridgeQueries.deltaForeignDelete _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -596,6 +597,12 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // foreign DV delete (q205): survivors of the graft positional delete
+    // (%97) minus the foreign-deleted 'F' rows
+    "q205_foreign_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 97 <> 0 AND o_orderstatus <> 'F'""".stripMargin,
     // foreign append (q204): graft committing into a pure Delta table;
     // base snapshot ∪ the appended (shifted-key) rows
     "q204_foreign_append" ->

@@ -489,6 +489,34 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q205: FOREIGN-table DV delete
+    * ([[graft.sources.DeltaExport.deleteFromForeign]]) — the retention/
+    * erasure verb on a shared lakehouse table: rows matching the
+    * predicate are recorded deleted in a pure Delta table via deletion
+    * vectors, no data file rewritten (re-add with a unioned DV,
+    * non-tight stats, cdc actions for the feed). The fixture's graft
+    * prehistory includes a positional delete so the exported protocol
+    * advertises `deletionVectors` — the precondition a real
+    * delta-spark table with `delta.enableDeletionVectors` meets. */
+  def deltaForeignDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#foreign-delete", { _ =>
+      val r = Scratch.dir(spark, "delta-foreign-delete")
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = graft.table.GraftTable.create(spark, r, orders)
+      t.deletePositional(col("o_orderkey") % 97 === 0)
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      graft.sources.DeltaExport.deleteFromForeign(spark, r,
+        col("o_orderstatus") === "F")
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   private val cdfMvRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q179: an incremental MV maintained EXCLUSIVELY from the mirror's CDF

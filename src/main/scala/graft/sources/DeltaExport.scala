@@ -1308,17 +1308,7 @@ object DeltaExport {
       finally r.close()
     }
 
-    // The winner's ICT (monotonicity floor) when the table stamps ICTs.
-    def prevIctOf(version: Long): Option[Long] = {
-      val p = new Path(logDir, f"$version%020d.json")
-      if (!fs.exists(p)) return None
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toArray finally in.close()
-      lines.iterator.filter(_.trim.nonEmpty)
-        .map(l => JsonMethods.parse(l) \ "commitInfo" \ "inCommitTimestamp")
-        .collectFirst { case JInt(t) => t.toLong case JLong(t) => t }
-    }
+    def prevIctOf(version: Long): Option[Long] = lastIctOf(fs, logDir, version)
 
     // Optimistic commit loop: re-resolve, re-gate, publish exclusively.
     var attempt = 0
@@ -1397,6 +1387,204 @@ object DeltaExport {
     }
     refuse(s"append to $tablePath: lost the commit race 20 times — " +
       "a writer storm; retry when the table quiesces")
+  }
+
+  /** The winner's inCommitTimestamp at `version` (monotonicity floor for
+    * the next ICT-stamped commit), if the commit recorded one. */
+  private def lastIctOf(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
+      version: Long): Option[Long] = {
+    val p = new Path(logDir, f"$version%020d.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toArray finally in.close()
+    lines.iterator.filter(_.trim.nonEmpty)
+      .map(l => JsonMethods.parse(l) \ "commitInfo" \ "inCommitTimestamp")
+      .collectFirst { case JInt(t) => t.toLong case JLong(t) => t }
+  }
+
+  /** DELETE from a FOREIGN Delta table by deletion vectors — the writer
+    * verb a retention/erasure job needs on a shared lakehouse table
+    * ([[appendToForeign]] is the other half): rows matching `predicate`
+    * are recorded deleted WITHOUT rewriting any data file, as delta-spark
+    * does with `delta.enableDeletionVectors=true`. Per touched file the
+    * commit re-adds the same path with a DV union-ing the file's previous
+    * positions and the new hits (remove+add, `dataChange=true`, stats
+    * declared non-tight), and a CDF-enabled table gets `cdc` actions
+    * restating the deleted rows. Matching rows are found by ONE scan of
+    * the skipping-pruned candidate files (partition values ride the
+    * broadcast file→value map); positions collect to the driver — the
+    * bitmap cost every DV writer pays, bounded by the delete's own
+    * selectivity. Concurrency: same optimistic loop as appends, but a
+    * lost race only retries when the winner left every touched file
+    * byte-identical (same path, same DV) — anything else refuses with a
+    * re-run message, exactly Delta's conflict rule for row-level ops.
+    * Requires the table to advertise `deletionVectors` (enable it on the
+    * owning engine or run the delete there); refuses `delta.appendOnly`
+    * tables. Returns (committedVersion, rowsDeleted) — a no-match delete
+    * commits nothing and returns the current version. */
+  def deleteFromForeign(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+
+    def gate(snap: DeltaImport.Snapshot): Unit = {
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"delete from $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry write-time obligations " +
+              "this writer does not implement")
+        }
+      }
+      require(!snap.configuration.get("delta.appendOnly").contains("true"),
+        s"delete from $tablePath: the table is append-only (delta.appendOnly)")
+      require(snap.protocol.exists(p =>
+        p.readerFeatures.contains("deletionVectors") ||
+          p.writerFeatures.contains("deletionVectors")),
+        s"delete from $tablePath: the table does not advertise deletion " +
+          "vectors — enable delta.enableDeletionVectors on the owning " +
+          "engine, or run the delete there")
+      require(!DeltaImport.hasNestedMapping(snap.schema),
+        s"delete from $tablePath: nested fields carry physical column names")
+    }
+
+    val snap0 = DeltaImport.snapshot(spark, tablePath)
+    gate(snap0)
+    val FileC = "__graft_foreign_del_file"
+    val PosC = "__graft_foreign_del_pos"
+    val candidates = DeltaSkipping.prune(spark, snap0, predicate)
+    if (candidates.isEmpty) return (snap0.version, 0L)
+    val matchedRows = DeltaImport
+      .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
+      .filter(predicate)
+    val hits: Array[(String, Long)] = matchedRows.select(FileC, PosC)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hits.isEmpty) return (snap0.version, 0L)
+
+    // file_path spelling → the snapshot's log-relative path
+    val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
+      DeltaImport.pathSpellings(tablePath, f.path, conf).map(_ -> f.path)).toMap
+    val newByRel: Map[String, Seq[Long]] = hits.toSeq
+      .groupBy(h => relOfSpelling.getOrElse(h._1,
+        throw new IllegalStateException(
+          s"delete from $tablePath: unmapped file spelling ${h._1}")))
+      .map { case (rel, ps) => rel -> ps.map(_._2) }
+    val byRel: Map[String, DeltaImport.AddFile] =
+      snap0.files.map(f => f.path -> f).toMap
+    val unionByRel: Map[String, Seq[Long]] = newByRel.map { case (rel, ps) =>
+      val old = byRel(rel).deletionVector.filter(_.cardinality != 0L)
+        .map(d => DeltaDeletionVectors.readPositions(d, tablePath, conf).toSeq)
+        .getOrElse(Nil)
+      rel -> (old ++ ps).distinct.sorted
+    }
+    val deletedCount = hits.length.toLong
+    val seed = java.util.UUID.randomUUID().toString
+    val descByRel = DeltaDeletionVectors.writeFile(
+      unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
+
+    // CDF: cdc actions restate the deleted rows (physical names on disk,
+    // partitioned like the table — Delta stamps version/timestamp itself).
+    val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
+    val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
+    val cdfOn = snap0.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val cdcRel = s"_change_data/graft-$seed"
+    if (cdfOn) {
+      val toPhys = physMapAll.filter { case (l, p) => l != p }
+      val deletedPhys = toPhys.foldLeft(
+        matchedRows.drop(FileC, PosC)
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))) {
+        case (d, (l, p)) => d.withColumnRenamed(l, p) }
+      val cdcPath = new Path(root, cdcRel)
+      if (physPartCols.nonEmpty)
+        deletedPhys.write.partitionBy(physPartCols: _*).parquet(cdcPath.toString)
+      else deletedPhys.write.parquet(cdcPath.toString)
+    }
+    def parquetsUnder(p: Path): Seq[FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
+      }
+      b.result().sortBy(_.getPath.toString)
+    }
+    def relOf(st: FileStatus): String = {
+      val base = root.toUri.getPath.stripSuffix("/")
+      st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = if (attempt == 1) snap0
+        else DeltaImport.snapshot(spark, tablePath)
+      if (attempt > 1) {
+        gate(snap)
+        // Row-level ops retry only a TRIVIAL race: the winner must have
+        // left every touched file byte-identical (same path, same DV).
+        val nowByRel = snap.files.map(f => f.path -> f).toMap
+        val touchedChanged = unionByRel.keys.exists { rel =>
+          nowByRel.get(rel).forall(_.deletionVector !=
+            byRel(rel).deletionVector) }
+        if (snap.schema.json != snap0.schema.json ||
+            snap.partitionColumns != snap0.partitionColumns || touchedChanged)
+          throw new IllegalArgumentException(
+            s"delete from $tablePath: a concurrent commit touched the rows " +
+              "being deleted — re-run the delete against the new state")
+      }
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+      val physSchema = StructType(snap0.schema.fields.map(f =>
+        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
+          snap0.schema.fieldNames.toSeq)
+        .map(_.map(n => physMapAll.getOrElse(n, n)))
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(
+        Commit(v, nowMs, "DELETE", Nil,
+          Map("numDeletedRows" -> deletedCount,
+            "numDeletionVectorsAdded" -> unionByRel.size.toLong),
+          snap0.schema.json),
+        ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true"))
+          Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
+            nowMs))
+        else None)
+      unionByRel.keys.toSeq.sorted.foreach { rel =>
+        val prior = byRel(rel)
+        val dvField = prior.deletionVector
+          .map(d => "deletionVector" -> dvJson(d)).toList
+        lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+          "path" -> (JString(encodePath(rel)): JValue),
+          "deletionTimestamp" -> (JLong(nowMs): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++ dvField: _*)))
+        val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, rel))
+        lines += addJson(rel, st, physSchema, physPartCols, dataChange = true,
+          conf, Some(descByRel(rel)), prior.baseRowId,
+          prior.defaultRowCommitVersion, None, allowedStats)
+      }
+      if (cdfOn) parquetsUnder(new Path(root, cdcRel)).foreach { st =>
+        lines += cdcJson(relOf(st), st, physPartCols)
+      }
+      val target = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      val tmp = new Path(logDir,
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = !fs.exists(target) && fs.rename(tmp, target)
+      if (!won) fs.delete(tmp, false)
+      if (won) return (v, deletedCount)
+    }
+    throw new IllegalArgumentException(
+      s"delete from $tablePath: lost the commit race 20 times — " +
+        "a writer storm; retry when the table quiesces")
   }
 
   /** `add.path`/`remove.path` are percent-encoded relative URIs per the

@@ -762,13 +762,48 @@ object DeltaImport {
     subtracted.select(s.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
   }
 
+  /** [[readSnapshot]] restricted to `files`, with the scan's own
+    * `_metadata.file_path` / `_metadata.row_index` kept as (`fileCol`,
+    * `posCol`) and each file's EXISTING deletion vector applied — the
+    * find-the-rows scan a foreign positional DELETE runs
+    * ([[DeltaExport.deleteFromForeign]]). Same single-scan shape as the
+    * snapshot read: partition values ride the broadcast file→value map,
+    * never per-file frames. */
+  private[graft] def readFilesWithPositions(spark: SparkSession, s: Snapshot,
+      files: Seq[AddFile], fileCol: String, posCol: String): DataFrame = {
+    val dataSchema = StructType(
+      s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
+    val dvMap: Map[String, Array[Long]] = {
+      lazy val conf = spark.sessionState.newHadoopConf()
+      files.iterator.flatMap { f =>
+        f.deletionVector.filter(_.cardinality != 0L).toSeq.flatMap { d =>
+          val positions = DeltaDeletionVectors.readPositions(d, s.tablePath, conf)
+          pathSpellings(s.tablePath, f.path, conf).map(_ -> positions)
+        }
+      }.toMap
+    }
+    val metaCols: Seq[(String, DataFrame => org.apache.spark.sql.Column)] =
+      Seq(fileCol -> ((d: DataFrame) => d.col("_metadata.file_path")),
+        posCol -> ((d: DataFrame) => d.col("_metadata.row_index")))
+    val joined = partitionedScan(spark, s.tablePath, s.schema, s.partitionColumns,
+      files.map(f => f -> Nil), dataSchema,
+      (paths, phys) => spark.read.schema(phys).parquet(paths: _*), metaCols)
+    val live =
+      if (dvMap.isEmpty) joined
+      else joined.filter(!org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
+          col(fileCol), col(posCol), dvMap), lit(false)))
+    live.select((s.schema.fieldNames.map(n => col(s"`$n`")) :+
+      col(fileCol) :+ col(posCol)).toIndexedSeq: _*)
+  }
+
   /** Every spelling `_metadata.file_path` may surface for a log-relative
     * file path — the key set for broadcast/driver-side maps keyed on it.
     * Spark renders the column from the LISTED FileStatus path's URI, which
     * percent-encodes characters illegal in a URI (a literal `%` in an
     * on-disk hive-escaped dir name surfaces as `%25`) — hence the
     * re-encoded rendering alongside the raw ones. */
-  private def pathSpellings(tablePath: String, rel: String,
+  private[graft] def pathSpellings(tablePath: String, rel: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
     val p = resolveFile(tablePath, rel)
     val q = p.getFileSystem(conf).makeQualified(p)

@@ -145,6 +145,62 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(ranges.distinct === ranges)
   }
 
+  test("foreign DV delete: hits recorded without rewrites, old DVs union") {
+    val root = tmpDir("fdel-dv")
+    val t = GraftTable.create(spark, root,
+      (0L until 60L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    t.deletePositional(col("k") === 59L) // protocol advertises DVs
+    DeltaExport.exportLog(t)
+    retire(root)
+    val dataFilesBefore = DeltaImport.snapshot(spark, root)
+      .files.map(f => f.path -> f.modificationTime).toMap
+
+    val (v, n) = DeltaExport.deleteFromForeign(spark, root, col("k") % 3 === 0L)
+    assert(n === (0L until 59L).count(_ % 3 == 0))
+    assert(DeltaImport.latestVersion(spark, root) === v)
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === (0L until 59L).count(_ % 3 != 0))
+    assert(read.filter(col("k") === 59L).count() === 0L) // old DV held
+    assert(read.filter(col("k") === 57L).count() === 0L) // new DV held
+    // no data file was rewritten — same paths, same mtimes
+    val after = DeltaImport.snapshot(spark, root)
+    assert(after.files.map(f => f.path -> f.modificationTime).toMap
+      === dataFilesBefore)
+    assert(after.files.exists(_.deletionVector.exists(_.cardinality > 1)))
+    // CDF (always on for exported mirrors) restates the deletes
+    val ch = DeltaImport.readChanges(spark, root, v, v)
+    assert(ch.filter(col("_change_type") === "delete").count() === n)
+    // a second delete unions into fresh DVs
+    val (v2, n2) = DeltaExport.deleteFromForeign(spark, root, col("k") === 1L)
+    assert(v2 === v + 1 && n2 === 1L)
+    assert(DeltaImport.read(spark, root).count() ===
+      (0L until 59L).count(i => i % 3 != 0 && i != 1))
+    // a no-match delete commits nothing
+    val (v3, n3) = DeltaExport.deleteFromForeign(spark, root, col("k") === 1000L)
+    assert(v3 === v2 && n3 === 0L)
+  }
+
+  test("foreign delete refuses non-DV and append-only tables") {
+    val root = tmpDir("fdel-nodv")
+    val t = GraftTable.create(spark, root,
+      (0L until 20L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    DeltaExport.exportLog(t) // no DVs in play — protocol never advertises them
+    retire(root)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.deleteFromForeign(spark, root, col("k") === 1L))
+    assert(e.getMessage.contains("deletion"))
+
+    val root2 = tmpDir("fdel-appendonly")
+    val t2 = GraftTable.createWithProperties(spark, root2,
+      (0L until 20L).map(i => (i, s"s$i")).toDF("k", "s"),
+      Map("delta.appendOnly" -> "true"))
+    DeltaExport.exportLog(t2)
+    retire(root2)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaExport.deleteFromForeign(spark, root2, col("k") === 1L))
+    assert(e2.getMessage.contains("append-only"))
+  }
+
   test("losing the commit race retries at the next version") {
     val root = tmpDir("fap-race")
     val t = GraftTable.create(spark, root,
