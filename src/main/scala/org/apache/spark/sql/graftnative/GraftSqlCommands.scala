@@ -315,6 +315,37 @@ case class GraftDropFeatureCommand(
     Seq(Row(table.dropFeature(feature, truncateHistory).version))
 }
 
+/** `INSERT INTO delta.`path` <query>` — the foreign-writer append verb
+  * ([[graft.sources.DeltaExport.appendToForeign]]): the query's rows
+  * commit into a pure Delta table (one no graft log governs) that other
+  * engines keep reading. Returns the committed Delta version. */
+case class GraftForeignInsertCommand(
+    path: String,
+    query: GraftParsed[LogicalPlan]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.DeltaExport.appendToForeign(session, path,
+      GraftSqlCommands.sourceDf(session, query.value))))
+}
+
+/** `DELETE FROM delta.`path` WHERE cond` — the foreign-writer delete verb
+  * ([[graft.sources.DeltaExport.deleteFromForeign]]): matching rows are
+  * recorded deleted via deletion vectors, no data file rewritten. */
+case class GraftForeignDeleteCommand(
+    path: String,
+    condition: GraftParsed[Expression]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("num_affected_rows")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, n) = graft.sources.DeltaExport.deleteFromForeign(session, path,
+      ExpressionUtils.column(condition.value))
+    Seq(Row(n))
+  }
+}
+
 case class GraftVacuumCommand(
     table: GraftTable,
     retainHours: Option[Double],

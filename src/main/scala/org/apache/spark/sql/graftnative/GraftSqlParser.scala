@@ -403,6 +403,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+delta\s*\.\s*`([^`]+)`\s*;?\s*$""".r
   private val GenerateRe =
     """(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+(.+?)\s*;?\s*$""".r
+  // Foreign-writer verbs: path-addressed `delta.`…`` targets route to the
+  // Delta writer bridge (stock Spark has no `delta` datasource here, so
+  // these statements could never resolve otherwise).
+  private val ForeignDeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+delta\s*\.\s*`([^`]+)`\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val ForeignInsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+delta\s*\.\s*`([^`]+)`\s+(.+?)\s*;?\s*$""".r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
       """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
@@ -421,6 +428,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case DetailRe(ident) => graft(ident).map(GraftDetailCommand)
       case ConvertRe(path) => Some(GraftConvertCommand(path.trim))
       case ConvertDeltaRe(path) => Some(GraftConvertFromDeltaCommand(path.trim))
+      case ForeignDeleteRe(path, cond) => Some(GraftForeignDeleteCommand(
+        path.trim, GraftParsed(delegate.parseExpression(cond.trim))))
+      case ForeignInsertRe(path, query) => Some(GraftForeignInsertCommand(
+        path.trim, GraftParsed(delegate.parsePlan(query.trim))))
       case GenerateRe(ident) => graft(ident).map(GraftGenerateManifestCommand)
       // Mode tokens follow delta-spark's VACUUM grammar: LITE is this
       // engine's log-driven default (named for symmetry), FULL adds the

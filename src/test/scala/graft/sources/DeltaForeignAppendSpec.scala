@@ -201,6 +201,25 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(e2.getMessage.contains("append-only"))
   }
 
+  test("SQL spellings: INSERT INTO / DELETE FROM delta.`path`") {
+    val root = tmpDir("fap-sql")
+    val t = GraftTable.create(spark, root,
+      (0L until 30L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    t.deletePositional(col("k") === 29L) // protocol advertises DVs
+    DeltaExport.exportLog(t)
+    retire(root)
+    val v = spark.sql(
+      s"INSERT INTO delta.`$root` SELECT CAST(100 AS BIGINT) AS k, 's100' AS s")
+      .head().getLong(0)
+    assert(v === DeltaImport.latestVersion(spark, root))
+    assert(DeltaImport.read(spark, root).count() === 30L)
+    val n = spark.sql(s"DELETE FROM delta.`$root` WHERE k % 2 = 0")
+      .head().getLong(0)
+    assert(n === (0L until 29L).count(_ % 2 == 0) + 1) // incl. the k=100 row
+    assert(DeltaImport.read(spark, root)
+      .filter(col("k") % 2 === 0L).count() === 0L)
+  }
+
   test("losing the commit race retries at the next version") {
     val root = tmpDir("fap-race")
     val t = GraftTable.create(spark, root,
