@@ -235,6 +235,7 @@ object SparkEntry {
     "q203_phrase_search"     -> ((s, d) => RetrievalQueries.phraseSearch(s, d)),
     "q204_foreign_append"    -> (DeltaBridgeQueries.deltaForeignAppend _),
     "q205_foreign_delete"    -> (DeltaBridgeQueries.deltaForeignDelete _),
+    "q206_foreign_update"    -> (DeltaBridgeQueries.deltaForeignUpdate _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -597,6 +598,13 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // foreign DV update (q206): 'P' orders re-priced in place on a pure
+    // Delta table; double*2 is exact so the hash compare is stable
+    "q206_foreign_update" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
     // foreign DV delete (q205): survivors of the graft positional delete
     // (%97) minus the foreign-deleted 'F' rows
     "q205_foreign_delete" ->

@@ -517,6 +517,33 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q206: FOREIGN-table DV update
+    * ([[graft.sources.DeltaExport.updateForeign]]) — delta-spark's
+    * DV-update shape on a table graft does not govern: matching rows are
+    * DV-deleted from their files and their updated copies land as new
+    * data files in ONE commit ('P' orders get their price doubled —
+    * ×2 on a double is exact, so the oracle compare is bit-stable).
+    * Same fixture lineage as q205. */
+  def deltaForeignUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#foreign-update", { _ =>
+      val r = Scratch.dir(spark, "delta-foreign-update")
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = graft.table.GraftTable.create(spark, r, orders)
+      t.deletePositional(col("o_orderkey") % 97 === 0)
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      graft.sources.DeltaExport.updateForeign(spark, r,
+        col("o_orderstatus") === "P",
+        Map("o_totalprice" -> (col("o_totalprice") * 2)))
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   private val cdfMvRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q179: an incremental MV maintained EXCLUSIVELY from the mirror's CDF

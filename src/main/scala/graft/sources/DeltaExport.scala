@@ -1587,6 +1587,290 @@ object DeltaExport {
         "a writer storm; retry when the table quiesces")
   }
 
+  /** UPDATE on a FOREIGN Delta table — the third writer verb, in
+    * delta-spark's DV-update shape: matching rows are DV-deleted from
+    * their files (untouched rows never rewrite) and their updated copies
+    * land as NEW data files, both in ONE commit; a CDF-enabled table gets
+    * `update_preimage`/`update_postimage` cdc actions. Assignments cast
+    * to the column's declared type (ANSI mode surfaces overflow loudly);
+    * CHECK / NOT NULL validate against the STAGED updated copies before
+    * the commit publishes. Requires `deletionVectors` advertised (as
+    * [[deleteFromForeign]]); refuses appendOnly tables, partition-column
+    * assignments (rows would cross partitions) and generated/identity/
+    * invariant columns (updated rows are new rows — those obligations
+    * bind). Row-tracked tables: re-adds preserve their baseRowId, updated
+    * copies get FRESH ids above the high-water mark — the protocol-
+    * conformant fresh assignment (id stability across updates needs the
+    * materialized id columns only the owning engine maintains). Returns
+    * (committedVersion, rowsUpdated). */
+  def updateForeign(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): (Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+
+    def gate(snap: DeltaImport.Snapshot): Unit = {
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"update of $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry write-time obligations " +
+              "this writer does not implement")
+        }
+      }
+      require(!snap.configuration.get("delta.appendOnly").contains("true"),
+        s"update of $tablePath: the table is append-only (delta.appendOnly)")
+      require(snap.protocol.exists(p =>
+        p.readerFeatures.contains("deletionVectors") ||
+          p.writerFeatures.contains("deletionVectors")),
+        s"update of $tablePath: the table does not advertise deletion " +
+          "vectors — enable delta.enableDeletionVectors on the owning " +
+          "engine, or run the update there")
+      val badMeta = snap.schema.fields.filter(f =>
+        f.metadata.contains("delta.generationExpression") ||
+          f.metadata.contains("delta.identity.start") ||
+          f.metadata.contains("delta.invariants"))
+      require(badMeta.isEmpty,
+        s"update of $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
+          "declare generated/identity/invariant semantics an updater must " +
+          "compute — write through the owning engine instead")
+      require(!DeltaImport.hasNestedMapping(snap.schema),
+        s"update of $tablePath: nested fields carry physical column names")
+    }
+
+    val snap0 = DeltaImport.snapshot(spark, tablePath)
+    gate(snap0)
+    val fields = snap0.schema.fields
+    assignments.keys.foreach(k => require(
+      fields.exists(_.name.equalsIgnoreCase(k)),
+      s"update of $tablePath: no column named $k"))
+    require(!snap0.partitionColumns.exists(pc =>
+      assignments.keys.exists(_.equalsIgnoreCase(pc))),
+      s"update of $tablePath: assigning a partition column moves rows " +
+        "across partitions — delete + insert through the owning engine")
+
+    val FileC = "__graft_foreign_upd_file"
+    val PosC = "__graft_foreign_upd_pos"
+    val candidates = DeltaSkipping.prune(spark, snap0, predicate)
+    if (candidates.isEmpty) return (snap0.version, 0L)
+    val matchedRows = DeltaImport
+      .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
+      .filter(predicate)
+    val hits: Array[(String, Long)] = matchedRows.select(FileC, PosC)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hits.isEmpty) return (snap0.version, 0L)
+
+    val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
+      DeltaImport.pathSpellings(tablePath, f.path, conf).map(_ -> f.path)).toMap
+    val newByRel: Map[String, Seq[Long]] = hits.toSeq
+      .groupBy(h => relOfSpelling.getOrElse(h._1,
+        throw new IllegalStateException(
+          s"update of $tablePath: unmapped file spelling ${h._1}")))
+      .map { case (rel, ps) => rel -> ps.map(_._2) }
+    val byRel: Map[String, DeltaImport.AddFile] =
+      snap0.files.map(f => f.path -> f).toMap
+    val unionByRel: Map[String, Seq[Long]] = newByRel.map { case (rel, ps) =>
+      val old = byRel(rel).deletionVector.filter(_.cardinality != 0L)
+        .map(d => DeltaDeletionVectors.readPositions(d, tablePath, conf).toSeq)
+        .getOrElse(Nil)
+      rel -> (old ++ ps).distinct.sorted
+    }
+    val updatedCount = hits.length.toLong
+    val seed = java.util.UUID.randomUUID().toString
+    val descByRel = DeltaDeletionVectors.writeFile(
+      unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
+
+    // The updated copies stage exactly like an append.
+    val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
+    val toPhys = physMapAll.filter { case (l, p) => l != p }
+    val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
+    val updated = matchedRows.drop(FileC, PosC).select(
+      fields.toIndexedSeq.map { f =>
+        assignments.collectFirst {
+          case (k, vc) if k.equalsIgnoreCase(f.name) =>
+            vc.cast(f.dataType).as(f.name)
+        }.getOrElse(col(s"`${f.name}`"))
+      }: _*)
+    val physDf = toPhys.foldLeft(updated) {
+      case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val stageRel = s"_appends/$seed"
+    val stagePath = new Path(root, stageRel)
+    if (physPartCols.nonEmpty)
+      physDf.write.partitionBy(physPartCols: _*).parquet(stagePath.toString)
+    else physDf.write.parquet(stagePath.toString)
+    def refuse(msg: String): Nothing = {
+      fs.delete(stagePath, true)
+      throw new IllegalArgumentException(msg)
+    }
+    def constraintsOf(cfg: Map[String, String]): Map[String, String] =
+      cfg.collect { case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v }
+    def stagedLogical(): org.apache.spark.sql.DataFrame = {
+      val stagedPhys = spark.read.option("basePath", stagePath.toString)
+        .parquet(stagePath.toString)
+      toPhys.foldLeft(stagedPhys) {
+        case (d, (l, p)) => d.withColumnRenamed(p, l) }
+    }
+    def validate(cfg: Map[String, String]): Unit = {
+      import org.apache.spark.sql.functions.{count_if, expr, coalesce, lit}
+      val staged = stagedLogical()
+      val nullChecks = fields.toSeq.filterNot(_.nullable)
+        .map(f => count_if(col(s"`${f.name}`").isNull).as(s"null ${f.name}"))
+      val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
+        count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
+          .as(s"constraint $n") }
+      val checks = nullChecks ++ checkChecks
+      if (checks.nonEmpty) {
+        val row = staged.agg(checks.head, checks.tail: _*).collect().head
+        val bad = row.schema.fieldNames.zipWithIndex
+          .filter { case (_, i) => row.getLong(i) > 0 }
+        if (bad.nonEmpty) refuse(
+          s"update of $tablePath violates ${bad.map(_._1).mkString("; ")} " +
+            s"(${bad.map(b => row.getLong(b._2)).mkString(", ")} row(s))")
+      }
+    }
+    validate(snap0.configuration)
+
+    // CDF: pre-images from the matched scan, post-images from the staged
+    // bytes, each under its own subdir of one cdc root.
+    val cdfOn = snap0.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val cdcRel = s"_change_data/graft-$seed"
+    if (cdfOn) {
+      def writeCdc(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
+        val p = new Path(root, s"$cdcRel/$sub")
+        if (physPartCols.nonEmpty)
+          df.write.partitionBy(physPartCols: _*).parquet(p.toString)
+        else df.write.parquet(p.toString)
+      }
+      writeCdc(toPhys.foldLeft(matchedRows.drop(FileC, PosC)
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("update_preimage"))) {
+        case (d, (l, p)) => d.withColumnRenamed(l, p) }, "pre")
+      writeCdc(toPhys.foldLeft(stagedLogical()
+        .withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("update_postimage"))) {
+        case (d, (l, p)) => d.withColumnRenamed(l, p) }, "post")
+    }
+    def parquetsUnder(p: Path): Seq[FileStatus] = {
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
+      }
+      b.result().sortBy(_.getPath.toString)
+    }
+    def relOf(st: FileStatus): String = {
+      val base = root.toUri.getPath.stripSuffix("/")
+      st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+    def footerRows(st: FileStatus): Long = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }
+    val stagedFiles = parquetsUnder(stagePath)
+
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = if (attempt == 1) snap0
+        else DeltaImport.snapshot(spark, tablePath)
+      if (attempt > 1) {
+        gate(snap)
+        val nowByRel = snap.files.map(f => f.path -> f).toMap
+        val touchedChanged = unionByRel.keys.exists { rel =>
+          nowByRel.get(rel).forall(_.deletionVector !=
+            byRel(rel).deletionVector) }
+        if (snap.schema.json != snap0.schema.json ||
+            snap.partitionColumns != snap0.partitionColumns || touchedChanged)
+          refuse(s"update of $tablePath: a concurrent commit touched the " +
+            "rows being updated — re-run the update against the new state")
+        if (constraintsOf(snap.configuration) !=
+            constraintsOf(snap0.configuration))
+          validate(snap.configuration)
+      }
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+      val physSchema = StructType(fields.map(f =>
+        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
+          snap0.schema.fieldNames.toSeq)
+        .map(_.map(n => physMapAll.getOrElse(n, n)))
+      val rtOn = snap.protocol.exists(p =>
+        p.minWriterVersion >= 7 && p.writerFeatures.contains("rowTracking"))
+      val hwm0: Long = snap.domainMetadata.get("delta.rowTracking")
+        .map(cfgJson =>
+          (JsonMethods.parse(cfgJson) \ "rowIdHighWaterMark") match {
+            case JInt(t) => t.toLong
+            case JLong(t) => t
+            case _ => -1L
+          }).getOrElse(-1L)
+      var nextBase = hwm0 + 1
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(
+        Commit(v, nowMs, "UPDATE", Nil,
+          Map("numUpdatedRows" -> updatedCount,
+            "numFiles" -> stagedFiles.size.toLong,
+            "numDeletionVectorsAdded" -> unionByRel.size.toLong),
+          snap0.schema.json),
+        ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true"))
+          Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
+            nowMs))
+        else None)
+      unionByRel.keys.toSeq.sorted.foreach { rel =>
+        val prior = byRel(rel)
+        val dvField = prior.deletionVector
+          .map(d => "deletionVector" -> dvJson(d)).toList
+        lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+          "path" -> (JString(encodePath(rel)): JValue),
+          "deletionTimestamp" -> (JLong(nowMs): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++ dvField: _*)))
+        val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, rel))
+        lines += addJson(rel, st, physSchema, physPartCols, dataChange = true,
+          conf, Some(descByRel(rel)), prior.baseRowId,
+          prior.defaultRowCommitVersion, None, allowedStats)
+      }
+      stagedFiles.foreach { st =>
+        val base = if (rtOn) Some(nextBase) else None
+        if (rtOn) nextBase += footerRows(st)
+        lines += addJson(relOf(st), st, physSchema, physPartCols,
+          dataChange = true, conf, None, base, if (rtOn) Some(v) else None,
+          None, allowedStats)
+      }
+      if (rtOn && nextBase > hwm0 + 1) {
+        lines += JsonMethods.compact(JObject("domainMetadata" -> JObject(
+          "domain" -> JString("delta.rowTracking"),
+          "configuration" ->
+            JString(s"""{"rowIdHighWaterMark":${nextBase - 1}}"""),
+          "removed" -> JBool(false))))
+      }
+      if (cdfOn) parquetsUnder(new Path(root, cdcRel)).foreach { st =>
+        lines += cdcJson(relOf(st), st, physPartCols)
+      }
+      val target = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      val tmp = new Path(logDir,
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = !fs.exists(target) && fs.rename(tmp, target)
+      if (!won) fs.delete(tmp, false)
+      if (won) return (v, updatedCount)
+    }
+    refuse(s"update of $tablePath: lost the commit race 20 times — " +
+      "a writer storm; retry when the table quiesces")
+  }
+
   /** `add.path`/`remove.path` are percent-encoded relative URIs per the
     * Delta protocol (readers open them with `new Path(new URI(p))` —
     * including [[DeltaImport.resolveFile]]); hive-escaped `%XX` in the

@@ -346,6 +346,25 @@ case class GraftForeignDeleteCommand(
   }
 }
 
+/** `UPDATE delta.`path` SET c = e, … [WHERE cond]` — the foreign-writer
+  * DV-update verb ([[graft.sources.DeltaExport.updateForeign]]). */
+case class GraftForeignUpdateCommand(
+    path: String,
+    assignments: GraftParsed[Seq[(String, Expression)]],
+    condition: GraftParsed[Option[Expression]]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs("num_affected_rows")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val cond = condition.value.map(ExpressionUtils.column).getOrElse(lit(true))
+    val assigns = assignments.value
+      .map { case (k, e) => k -> ExpressionUtils.column(e) }.toMap
+    val (_, n) = graft.sources.DeltaExport.updateForeign(
+      session, path, cond, assigns)
+    Seq(Row(n))
+  }
+}
+
 case class GraftVacuumCommand(
     table: GraftTable,
     retainHours: Option[Double],

@@ -112,7 +112,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             }
           }
           GraftUpdateCommand(t, GraftParsed(assigns), GraftParsed(cond), quals)
-        case None => u
+        case None => foreignDeltaPathOf(target) match {
+          // `UPDATE delta.`path` SET … WHERE …` — the foreign writer's
+          // DV-update verb; stock Spark could never resolve the target.
+          case Some(path) =>
+            val assigns = assignments.map { a =>
+              a.key match {
+                case k: UnresolvedAttribute => (k.nameParts.last, a.value)
+                case other => throw new UnsupportedOperationException(
+                  s"foreign SQL UPDATE: unsupported assignment target ${other.sql}")
+              }
+            }
+            GraftForeignUpdateCommand(path, GraftParsed(assigns),
+              GraftParsed(cond))
+          case None => u
+        }
       }
 
     case m: MergeIntoTable =>
@@ -314,6 +328,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   /** The graft table and resolvable qualifiers (alias and/or table name)
     * behind a DML target plan, if it is a graft relation. */
+  /** A path-addressed `delta.`path`` DML target — the foreign writer's
+    * addressing form (never resolvable by stock Spark here). */
+  private def foreignDeltaPathOf(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+        u.multipartIdentifier.head.equalsIgnoreCase("delta") =>
+      Some(u.multipartIdentifier.last)
+    case SubqueryAlias(_, u: UnresolvedRelation)
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("delta") =>
+      Some(u.multipartIdentifier.last)
+    case _ => None
+  }
+
   private def dmlTargetOf(p: LogicalPlan): Option[(GraftTable, Seq[String])] = p match {
     case u: UnresolvedRelation =>
       graftTableOf(u.multipartIdentifier).map((_, Seq(u.multipartIdentifier.last)))

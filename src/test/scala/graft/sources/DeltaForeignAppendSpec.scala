@@ -201,6 +201,59 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(e2.getMessage.contains("append-only"))
   }
 
+  test("foreign DV update: copies land as new files, sources DV'd, CDF images") {
+    val root = tmpDir("fupd-dv")
+    val t = GraftTable.create(spark, root,
+      (0L until 40L).map(i => (i, s"s$i", i * 1.0)).toDF("k", "s", "v"), Nil)
+    t.deletePositional(col("k") === 39L) // protocol advertises DVs
+    DeltaExport.exportLog(t)
+    retire(root)
+    val (v, n) = DeltaExport.updateForeign(spark, root, col("k") % 10 === 0L,
+      Map("v" -> (col("v") + 1000.0)))
+    assert(n === 4L) // 0,10,20,30
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === 39L) // row count unchanged by an update
+    assert(read.filter(col("v") >= 1000.0).count() === 4L)
+    assert(read.filter(col("k") === 10L).select("v").head().getDouble(0)
+      === 1010.0)
+    assert(read.filter(col("k") === 11L).select("v").head().getDouble(0)
+      === 11.0) // untouched rows intact
+    // CDF restates both images
+    val ch = DeltaImport.readChanges(spark, root, v, v)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() === 4L)
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .filter(col("v") >= 1000.0).count() === 4L)
+    // SQL spelling
+    val n2 = spark.sql(s"UPDATE delta.`$root` SET s = 'updated' WHERE k = 1")
+      .head().getLong(0)
+    assert(n2 === 1L)
+    assert(DeltaImport.read(spark, root)
+      .filter(col("s") === "updated").count() === 1L)
+    // a no-match update commits nothing
+    val (v3, n3) = DeltaExport.updateForeign(spark, root,
+      col("k") === 5000L, Map("s" -> col("s")))
+    assert(n3 === 0L && v3 === DeltaImport.latestVersion(spark, root))
+  }
+
+  test("foreign update refuses partition-column assignments") {
+    val root = tmpDir("fupd-part")
+    val t = GraftTable.create(spark, root,
+      (0L until 20L).map(i => (i, s"s$i", i % 4)).toDF("k", "s", "p"),
+      partitionBy = Seq("p"))
+    t.deletePositional(col("k") === 19L)
+    DeltaExport.exportLog(t)
+    retire(root)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.updateForeign(spark, root, col("k") === 1L,
+        Map("p" -> (col("p") + 1))))
+    assert(e.getMessage.contains("partition column"))
+    // non-partition assignment works on the partitioned table
+    val (_, n) = DeltaExport.updateForeign(spark, root, col("k") === 1L,
+      Map("s" -> col("s")))
+    assert(n === 1L)
+    assert(DeltaImport.read(spark, root).count() === 19L)
+  }
+
   test("SQL spellings: INSERT INTO / DELETE FROM delta.`path`") {
     val root = tmpDir("fap-sql")
     val t = GraftTable.create(spark, root,
