@@ -1185,8 +1185,16 @@ object DeltaExport {
     * is retried at N+2). Typed per-file stats ride each add from the
     * staged parquet footers, honoring the table's stats budget. Returns
     * the committed version. */
+  /** `txn = Some((appId, batchVersion))` makes the append EXACTLY-ONCE
+    * per (appId, batchVersion): the commit carries a `SetTransaction`
+    * action, and an append whose batchVersion is already at-or-below the
+    * table's recorded watermark for that appId is a NO-OP returning the
+    * current version — the idempotence contract a `foreachBatch` retry
+    * needs ([[foreachBatchForeign]]). The watermark survives checkpoints
+    * and log compaction (both carry txn state). */
   def appendToForeign(spark: SparkSession, tablePath: String,
-      df: org.apache.spark.sql.DataFrame): Long = {
+      df: org.apache.spark.sql.DataFrame,
+      txn: Option[(String, Long)] = None): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tablePath)
     val fs = root.getFileSystem(conf)
@@ -1216,6 +1224,10 @@ object DeltaExport {
 
     val snap0 = DeltaImport.snapshot(spark, tablePath)
     gate(snap0)
+    def alreadyCommitted(snap: DeltaImport.Snapshot): Boolean =
+      txn.exists { case (app, bv) =>
+        snap.setTransactions.get(app).exists(_ >= bv) }
+    if (alreadyCommitted(snap0)) return snap0.version
 
     // Align to the snapshot's LOGICAL schema — lossless up-casts only,
     // full column coverage required (appends never evolve a foreign
@@ -1318,6 +1330,10 @@ object DeltaExport {
         else DeltaImport.snapshot(spark, tablePath)
       if (attempt > 1) {
         gate(snap)
+        // A rival carrying the SAME (appId, batch) already committed it —
+        // this retry's work is done; reap the unreferenced staging.
+        if (alreadyCommitted(snap)) { fs.delete(stagePath, true)
+          return snap.version }
         // A blind append conflicts only with changes to what was already
         // validated: schema, partitioning, constraints.
         if (snap.schema.json != snap0.schema.json ||
@@ -1373,6 +1389,12 @@ object DeltaExport {
             JString(s"""{"rowIdHighWaterMark":${nextBase - 1}}"""),
           "removed" -> JBool(false))))
       }
+      txn.foreach { case (app, bv) =>
+        lines += JsonMethods.compact(JObject("txn" -> JObject(
+          "appId" -> JString(app),
+          "version" -> JLong(bv),
+          "lastUpdated" -> JLong(nowMs))))
+      }
       val target = new Path(logDir, f"$v%020d.json")
       val content = lines.result().mkString("", "\n", "\n")
       val tmp = new Path(logDir,
@@ -1388,6 +1410,19 @@ object DeltaExport {
     refuse(s"append to $tablePath: lost the commit race 20 times — " +
       "a writer storm; retry when the table quiesces")
   }
+
+  /** A `foreachBatch` function streaming micro-batches into a FOREIGN
+    * Delta table exactly-once: each batch appends through
+    * [[appendToForeign]] with `txn = (appId, batchId)`, so an
+    * at-least-once redelivery after a sink crash is a no-op — the
+    * standard Delta streaming-sink idempotence contract
+    * (delta-spark's `txnAppId`/`txnVersion` write options), here for
+    * tables graft does not govern. Pick one stable `appId` per logical
+    * query (the checkpoint location is the conventional choice). */
+  def foreachBatchForeign(tablePath: String, appId: String)
+      : (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (df, batchId) =>
+      { appendToForeign(df.sparkSession, tablePath, df, Some((appId, batchId))); () }
 
   /** The winner's inCommitTimestamp at `version` (monotonicity floor for
     * the next ICT-stamped commit), if the commit recorded one. */

@@ -79,7 +79,11 @@ object DeltaImport {
         * `delta.rowTracking` carrying the row-id high-water mark. Replayed
         * last-writer-wins, `removed` entries dropped; preserved through
         * checkpoints. */
-      domainMetadata: Map[String, String] = Map.empty)
+      domainMetadata: Map[String, String] = Map.empty,
+      /** SetTransaction state (appId → last version), last-writer-wins —
+        * carried by checkpoints and log compactions, so the exactly-once
+        * check a streaming foreign writer runs survives log cleanup. */
+      setTransactions: Map[String, Long] = Map.empty)
 
   private case class VersionActions(
       version: Long,
@@ -400,6 +404,7 @@ object DeltaImport {
     var meta: Option[(StructType, Seq[String], Map[String, String], String)] = None
     var protocol: Option[Protocol] = None
     var domains = Map.empty[String, String]
+    var txnState = Map.empty[String, Long]
     var version = -1L
 
     // One checkpoint DataFrame's worth of actions folded into the state —
@@ -444,6 +449,11 @@ object DeltaImport {
           .filter(col("domain").isNotNull).collect()
           .foreach(r => domains += r.getString(0) ->
             (if (r.isNullAt(1)) "{}" else r.getString(1)))
+      }
+      if (cols.contains("txn")) {
+        rows.select(col("txn.appId"), col("txn.version"))
+          .filter(col("appId").isNotNull).collect()
+          .foreach(r => txnState += r.getString(0) -> r.getLong(1))
       }
       if (cols.contains("metaData")) {
         val metaFields = rows.schema("metaData").dataType
@@ -536,6 +546,11 @@ object DeltaImport {
                         .extractOrElse[String]("{}")
                     case _ => ()
                   }
+                  (j \ "txn" \ "appId") match {
+                    case JString(app) =>
+                      txnState += app -> longOf(j \ "txn" \ "version")
+                    case _ => ()
+                  }
                   (j \ "sidecar" \ "path") match {
                     case JString(p) => sc += sidecarPath(tablePath, p)
                     case _ => ()
@@ -570,6 +585,7 @@ object DeltaImport {
       a.domains.foreach { case (d, cfg, removed) =>
         if (removed) domains -= d else domains += d -> cfg
       }
+      a.txns.foreach(txnState += _)
     }
     val jsons = jsonVersions(spark, tablePath, version)
       .takeWhile { case (v, _) => versionAsOf.forall(v <= _) }
@@ -634,7 +650,7 @@ object DeltaImport {
     }
     Snapshot(tablePath, version, schema, partCols, conf,
       files.values.toSeq.sortBy(_.path), protocol,
-      Option(tableId).filter(_.nonEmpty), domains)
+      Option(tableId).filter(_.nonEmpty), domains, txnState)
   }
 
   // ------------------------------------------------------------- reads

@@ -273,6 +273,60 @@ class DeltaForeignAppendSpec extends SparkSpec {
       .filter(col("k") % 2 === 0L).count() === 0L)
   }
 
+  test("txn-stamped appends are exactly-once per (appId, batch)") {
+    val root = tmpDir("fap-txn")
+    val t = GraftTable.create(spark, root,
+      (0L until 10L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    DeltaExport.exportLog(t)
+    retire(root)
+    val batch = Seq((10L, "s10"), (11L, "s11")).toDF("k", "s")
+    val v1 = DeltaExport.appendToForeign(spark, root, batch,
+      txn = Some(("q1", 0L)))
+    // redelivery of the SAME batch is a no-op at the current version
+    assert(DeltaExport.appendToForeign(spark, root, batch,
+      txn = Some(("q1", 0L))) === v1)
+    assert(DeltaImport.read(spark, root).count() === 12L)
+    // an older batch id is also a no-op; a newer one commits
+    assert(DeltaExport.appendToForeign(spark, root, batch,
+      txn = Some(("q1", -1L))) === v1)
+    val v2 = DeltaExport.appendToForeign(spark, root,
+      Seq((12L, "s12")).toDF("k", "s"), txn = Some(("q1", 1L)))
+    assert(v2 === v1 + 1)
+    // a DIFFERENT appId is independent
+    val v3 = DeltaExport.appendToForeign(spark, root,
+      Seq((13L, "s13")).toDF("k", "s"), txn = Some(("q2", 0L)))
+    assert(v3 === v2 + 1)
+    assert(DeltaImport.read(spark, root).count() === 14L)
+    // the watermark survives a checkpoint + covered-JSON cleanup
+    DeltaExport.writeCheckpoint(spark, root)
+    assert(DeltaImport.snapshot(spark, root)
+      .setTransactions === Map("q1" -> 1L, "q2" -> 0L))
+  }
+
+  test("foreachBatchForeign streams micro-batches into a foreign table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = tmpDir("fap-stream")
+    val t = GraftTable.create(spark, root,
+      Seq((0L, "seed")).toDF("k", "s"), Nil)
+    DeltaExport.exportLog(t)
+    retire(root)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "s").writeStream
+      .foreachBatch(DeltaExport.foreachBatchForeign(root, "stream-q"))
+      .option("checkpointLocation", tmpDir("fap-stream-ckpt"))
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(DeltaImport.read(spark, root).count() === 4L)
+    assert(DeltaImport.snapshot(spark, root)
+      .setTransactions.get("stream-q").contains(1L))
+  }
+
   test("losing the commit race retries at the next version") {
     val root = tmpDir("fap-race")
     val t = GraftTable.create(spark, root,
