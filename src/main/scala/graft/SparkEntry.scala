@@ -236,6 +236,7 @@ object SparkEntry {
     "q204_foreign_append"    -> (DeltaBridgeQueries.deltaForeignAppend _),
     "q205_foreign_delete"    -> (DeltaBridgeQueries.deltaForeignDelete _),
     "q206_foreign_update"    -> (DeltaBridgeQueries.deltaForeignUpdate _),
+    "q207_foreign_merge"     -> (DeltaBridgeQueries.deltaForeignMerge _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -598,6 +599,18 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // foreign MERGE upsert (q207): survivors keep originals except 'P'
+    // rows (replaced image, incl. previously-deleted 'P' keys re-entering
+    // as inserts) plus the brand-new +20000000 batch
+    "q207_foreign_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderstatus <> 'P'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3
+        |FROM orders WHERE o_orderstatus = 'P'
+        |UNION ALL
+        |SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice
+        |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin,
     // foreign DV update (q206): 'P' orders re-priced in place on a pure
     // Delta table; double*2 is exact so the hash compare is stable
     "q206_foreign_update" ->

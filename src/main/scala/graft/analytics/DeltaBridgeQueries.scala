@@ -544,6 +544,40 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q207: FOREIGN-table MERGE upsert
+    * ([[graft.sources.DeltaExport.mergeForeignUpsert]]) — the CDC apply
+    * onto a pure Delta table: 'P' orders arrive re-priced (matched keys
+    * DV-replaced with their new image), plus a batch of brand-new orders
+    * (inserted); one commit, delta-spark's DV-merge shape. The source
+    * deliberately includes 'P' orders the graft prehistory positionally
+    * deleted — those keys match nothing and must re-enter as inserts,
+    * the oracle's third leg. */
+  def deltaForeignMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#foreign-merge", { _ =>
+      val r = Scratch.dir(spark, "delta-foreign-merge")
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = graft.table.GraftTable.create(spark, r, orders)
+      t.deletePositional(col("o_orderkey") % 97 === 0)
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      val source = orders.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          (col("o_totalprice") * 3).as("o_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") % 31 === 0)
+          .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+            col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice")))
+      graft.sources.DeltaExport.mergeForeignUpsert(spark, r, source,
+        "o_orderkey")
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   private val cdfMvRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q179: an incremental MV maintained EXCLUSIVELY from the mirror's CDF

@@ -1424,6 +1424,354 @@ object DeltaExport {
     (df, batchId) =>
       { appendToForeign(df.sparkSession, tablePath, df, Some((appId, batchId))); () }
 
+  /** MERGE (canonical upsert) into a FOREIGN Delta table — the CDC verb:
+    * `whenMatchedUpdateAll.whenNotMatchedInsertAll` on one equi key,
+    * delta-spark's DV-merge shape. Matched target rows are DV-deleted
+    * from their files and EVERY source row lands in new data files (for
+    * a matched key the new image REPLACES the old — exactly update-all;
+    * an unmatched key is a plain insert), all in ONE commit. A
+    * CDF-enabled table gets update_preimage/update_postimage rows for
+    * matched keys and insert rows for new ones. Source must be unique
+    * per key (delta-spark errors on multiple matches too). The matched
+    * scan joins the table's files against the source's key column —
+    * never a collected key list — and when the source is small its side
+    * broadcasts; with ≤1000 distinct keys the file set additionally
+    * prunes through data skipping. `txn` gives the same exactly-once
+    * contract as [[appendToForeign]], making
+    * `foreachBatch((b, id) => mergeForeignUpsert(…, txn = Some((app, id))))`
+    * a crash-safe streaming CDC apply onto a table graft does not govern.
+    * Requires `deletionVectors` advertised when matches exist; refuses
+    * appendOnly tables and generated/identity/invariant columns.
+    * Returns (committedVersion, matchedCount, insertedCount). */
+  def mergeForeignUpsert(spark: SparkSession, tablePath: String,
+      source: org.apache.spark.sql.DataFrame, key: String,
+      txn: Option[(String, Long)] = None): (Long, Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+
+    def gate(snap: DeltaImport.Snapshot): Unit = {
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"merge into $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry write-time obligations " +
+              "this writer does not implement")
+        }
+      }
+      require(!snap.configuration.get("delta.appendOnly").contains("true"),
+        s"merge into $tablePath: the table is append-only (delta.appendOnly)")
+      val badMeta = snap.schema.fields.filter(f =>
+        f.metadata.contains("delta.generationExpression") ||
+          f.metadata.contains("delta.identity.start") ||
+          f.metadata.contains("delta.invariants"))
+      require(badMeta.isEmpty,
+        s"merge into $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
+          "declare generated/identity/invariant semantics a merger must " +
+          "compute — write through the owning engine instead")
+      require(!DeltaImport.hasNestedMapping(snap.schema),
+        s"merge into $tablePath: nested fields carry physical column names")
+    }
+
+    val snap0 = DeltaImport.snapshot(spark, tablePath)
+    gate(snap0)
+    def alreadyCommitted(snap: DeltaImport.Snapshot): Boolean =
+      txn.exists { case (app, bv) =>
+        snap.setTransactions.get(app).exists(_ >= bv) }
+    if (alreadyCommitted(snap0)) return (snap0.version, 0L, 0L)
+    val fields = snap0.schema.fields
+    require(fields.exists(_.name.equalsIgnoreCase(key)),
+      s"merge into $tablePath: no key column named $key")
+    val keyName = fields.find(_.name.equalsIgnoreCase(key)).get.name
+    // (Partition-keyed merges are fine: new images land in their own
+    // partition dirs, old ones are DV'd in place.)
+
+    // Align the source like an append (full column coverage, lossless).
+    val byLower = source.columns.map(c => c.toLowerCase -> c).toMap
+    val extra = source.columns.filterNot(c =>
+      fields.exists(_.name.equalsIgnoreCase(c)))
+    require(extra.isEmpty,
+      s"merge into $tablePath: unknown column(s) ${extra.mkString(", ")} — " +
+        "foreign merges never evolve the schema")
+    val aligned = source.select(fields.toIndexedSeq.map { f =>
+      val src = byLower.getOrElse(f.name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"merge into $tablePath: missing column ${f.name}"))
+      val in = source.schema(src).dataType
+      require(in == f.dataType ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(in, f.dataType),
+        s"merge into $tablePath: column $src of type ${in.simpleString} does " +
+          s"not up-cast losslessly to ${f.dataType.simpleString}")
+      col(src).cast(f.dataType).as(f.name)
+    }: _*).filter(col(s"`$keyName`").isNotNull)
+
+    // Matched target rows: files joined against the source keys (a small
+    // source broadcasts; a small DISTINCT key set additionally prunes the
+    // file list through data skipping).
+    val FileC = "__graft_foreign_mrg_file"
+    val PosC = "__graft_foreign_mrg_pos"
+    val srcKeys = aligned.select(col(s"`$keyName`")).distinct()
+    val keySample = srcKeys.limit(1001).collect().map(_.get(0))
+    val candidates =
+      if (keySample.length <= 1000)
+        DeltaSkipping.prune(spark, snap0,
+          col(s"`$keyName`").isin(keySample.toIndexedSeq: _*))
+      else snap0.files
+    val matchedRows =
+      if (candidates.isEmpty)
+        None
+      else Some(DeltaImport
+        .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
+        .join(srcKeys, Seq(keyName)))
+    val hits: Array[(String, Long)] = matchedRows
+      .map(_.select(FileC, PosC).collect()
+        .map(r => (r.getString(0), r.getLong(1))))
+      .getOrElse(Array.empty)
+    require(hits.isEmpty || snap0.protocol.exists(p =>
+      p.readerFeatures.contains("deletionVectors") ||
+        p.writerFeatures.contains("deletionVectors")),
+      s"merge into $tablePath: matched rows need deletion vectors — " +
+        "enable delta.enableDeletionVectors on the owning engine")
+    val matchedCount = hits.length.toLong
+
+    val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
+      DeltaImport.pathSpellings(tablePath, f.path, conf).map(_ -> f.path)).toMap
+    val newByRel: Map[String, Seq[Long]] = hits.toSeq
+      .groupBy(h => relOfSpelling.getOrElse(h._1,
+        throw new IllegalStateException(
+          s"merge into $tablePath: unmapped file spelling ${h._1}")))
+      .map { case (rel, ps) => rel -> ps.map(_._2) }
+    val byRel: Map[String, DeltaImport.AddFile] =
+      snap0.files.map(f => f.path -> f).toMap
+    val unionByRel: Map[String, Seq[Long]] = newByRel.map { case (rel, ps) =>
+      val old = byRel(rel).deletionVector.filter(_.cardinality != 0L)
+        .map(d => DeltaDeletionVectors.readPositions(d, tablePath, conf).toSeq)
+        .getOrElse(Nil)
+      rel -> (old ++ ps).distinct.sorted
+    }
+    val seed = java.util.UUID.randomUUID().toString
+    val descByRel =
+      if (unionByRel.isEmpty) Map.empty[String, DeltaDeletionVectors.Descriptor]
+      else DeltaDeletionVectors.writeFile(
+        unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
+
+    // Stage ALL source rows (the matched keys' new images + the inserts).
+    val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
+    val toPhys = physMapAll.filter { case (l, p) => l != p }
+    val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
+    val physDf = toPhys.foldLeft(aligned) {
+      case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val stageRel = s"_appends/$seed"
+    val stagePath = new Path(root, stageRel)
+    if (physPartCols.nonEmpty)
+      physDf.write.partitionBy(physPartCols: _*).parquet(stagePath.toString)
+    else physDf.write.parquet(stagePath.toString)
+    def refuse(msg: String): Nothing = {
+      fs.delete(stagePath, true)
+      throw new IllegalArgumentException(msg)
+    }
+    def constraintsOf(cfg: Map[String, String]): Map[String, String] =
+      cfg.collect { case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v }
+    def stagedLogical(): org.apache.spark.sql.DataFrame = {
+      val stagedPhys = spark.read.option("basePath", stagePath.toString)
+        .parquet(stagePath.toString)
+      toPhys.foldLeft(stagedPhys) {
+        case (d, (l, p)) => d.withColumnRenamed(p, l) }
+    }
+    // Source uniqueness per key (delta-spark's multiple-match error),
+    // checked on the staged bytes alongside constraints/nullability.
+    def validate(cfg: Map[String, String]): Unit = {
+      import org.apache.spark.sql.functions.{count_if, expr, coalesce, lit, count}
+      val staged = stagedLogical()
+      val dup = staged.groupBy(col(s"`$keyName`")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).collect()
+      if (dup.nonEmpty) refuse(
+        s"merge into $tablePath: source has multiple rows for key " +
+          s"${dup.head.get(0)} — deduplicate to latest-per-key first")
+      val nullChecks = fields.toSeq.filterNot(_.nullable)
+        .map(f => count_if(col(s"`${f.name}`").isNull).as(s"null ${f.name}"))
+      val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
+        count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
+          .as(s"constraint $n") }
+      val checks = nullChecks ++ checkChecks
+      if (checks.nonEmpty) {
+        val row = staged.agg(checks.head, checks.tail: _*).collect().head
+        val bad = row.schema.fieldNames.zipWithIndex
+          .filter { case (_, i) => row.getLong(i) > 0 }
+        if (bad.nonEmpty) refuse(
+          s"merge into $tablePath violates ${bad.map(_._1).mkString("; ")} " +
+            s"(${bad.map(b => row.getLong(b._2)).mkString(", ")} row(s))")
+      }
+    }
+    validate(snap0.configuration)
+
+    // CDF: matched keys restate as update pre/post images, fresh keys as
+    // inserts — classified by one join against the matched-key set.
+    val cdfOn = snap0.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val cdcRel = s"_change_data/graft-$seed"
+    if (cdfOn) {
+      import org.apache.spark.sql.functions.lit
+      def writeCdc(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
+        val p = new Path(root, s"$cdcRel/$sub")
+        if (df.isEmpty) return
+        if (physPartCols.nonEmpty)
+          df.write.partitionBy(physPartCols: _*).parquet(p.toString)
+        else df.write.parquet(p.toString)
+      }
+      val matchedKeys = matchedRows.map(_.select(col(s"`$keyName`")).distinct())
+      def phys(df: org.apache.spark.sql.DataFrame) =
+        toPhys.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+      matchedRows.foreach { m =>
+        writeCdc(phys(m.drop(FileC, PosC)
+          .withColumn("_change_type", lit("update_preimage"))), "pre")
+      }
+      matchedKeys match {
+        case Some(mk) =>
+          writeCdc(phys(stagedLogical().join(mk, Seq(keyName))
+            .withColumn("_change_type", lit("update_postimage"))), "post")
+          writeCdc(phys(stagedLogical().join(mk, Seq(keyName), "left_anti")
+            .withColumn("_change_type", lit("insert"))), "ins")
+        case None =>
+          writeCdc(phys(stagedLogical()
+            .withColumn("_change_type", lit("insert"))), "ins")
+      }
+    }
+    def parquetsUnder(p: Path): Seq[FileStatus] = {
+      if (!fs.exists(p)) return Nil
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
+      }
+      b.result().sortBy(_.getPath.toString)
+    }
+    def relOf(st: FileStatus): String = {
+      val base = root.toUri.getPath.stripSuffix("/")
+      st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+    def footerRows(st: FileStatus): Long = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }
+    val stagedFiles = parquetsUnder(stagePath)
+    val stagedRows = stagedFiles.map(footerRows).sum
+    // inserted = source rows whose key matched NOTHING (a key matching
+    // several target rows DV-deletes them all but contributes one image)
+    val matchedKeyCount: Long = matchedRows
+      .map(_.select(col(s"`$keyName`")).distinct().count()).getOrElse(0L)
+    val insertedCount = stagedRows - matchedKeyCount
+
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = if (attempt == 1) snap0
+        else DeltaImport.snapshot(spark, tablePath)
+      if (attempt > 1) {
+        gate(snap)
+        if (alreadyCommitted(snap)) { fs.delete(stagePath, true)
+          return (snap.version, 0L, 0L) }
+        val nowByRel = snap.files.map(f => f.path -> f).toMap
+        val touchedChanged = unionByRel.keys.exists { rel =>
+          nowByRel.get(rel).forall(_.deletionVector !=
+            byRel(rel).deletionVector) }
+        if (snap.schema.json != snap0.schema.json ||
+            snap.partitionColumns != snap0.partitionColumns || touchedChanged)
+          refuse(s"merge into $tablePath: a concurrent commit touched the " +
+            "rows being merged — re-run the merge against the new state")
+        if (constraintsOf(snap.configuration) !=
+            constraintsOf(snap0.configuration))
+          validate(snap.configuration)
+      }
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+      val physSchema = StructType(fields.map(f =>
+        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
+          snap0.schema.fieldNames.toSeq)
+        .map(_.map(n => physMapAll.getOrElse(n, n)))
+      val rtOn = snap.protocol.exists(p =>
+        p.minWriterVersion >= 7 && p.writerFeatures.contains("rowTracking"))
+      val hwm0: Long = snap.domainMetadata.get("delta.rowTracking")
+        .map(cfgJson =>
+          (JsonMethods.parse(cfgJson) \ "rowIdHighWaterMark") match {
+            case JInt(t) => t.toLong
+            case JLong(t) => t
+            case _ => -1L
+          }).getOrElse(-1L)
+      var nextBase = hwm0 + 1
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(
+        Commit(v, nowMs, "MERGE", Nil,
+          Map("numTargetRowsUpdated" -> matchedCount,
+            "numTargetRowsInserted" -> insertedCount,
+            "numTargetFilesAdded" -> stagedFiles.size.toLong,
+            "numDeletionVectorsAdded" -> unionByRel.size.toLong),
+          snap0.schema.json),
+        ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true"))
+          Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
+            nowMs))
+        else None)
+      unionByRel.keys.toSeq.sorted.foreach { rel =>
+        val prior = byRel(rel)
+        val dvField = prior.deletionVector
+          .map(d => "deletionVector" -> dvJson(d)).toList
+        lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+          "path" -> (JString(encodePath(rel)): JValue),
+          "deletionTimestamp" -> (JLong(nowMs): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++ dvField: _*)))
+        val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, rel))
+        lines += addJson(rel, st, physSchema, physPartCols, dataChange = true,
+          conf, Some(descByRel(rel)), prior.baseRowId,
+          prior.defaultRowCommitVersion, None, allowedStats)
+      }
+      stagedFiles.foreach { st =>
+        val base = if (rtOn) Some(nextBase) else None
+        if (rtOn) nextBase += footerRows(st)
+        lines += addJson(relOf(st), st, physSchema, physPartCols,
+          dataChange = true, conf, None, base, if (rtOn) Some(v) else None,
+          None, allowedStats)
+      }
+      if (rtOn && nextBase > hwm0 + 1) {
+        lines += JsonMethods.compact(JObject("domainMetadata" -> JObject(
+          "domain" -> JString("delta.rowTracking"),
+          "configuration" ->
+            JString(s"""{"rowIdHighWaterMark":${nextBase - 1}}"""),
+          "removed" -> JBool(false))))
+      }
+      if (cdfOn) parquetsUnder(new Path(root, cdcRel)).foreach { st =>
+        lines += cdcJson(relOf(st), st, physPartCols)
+      }
+      txn.foreach { case (app, bv) =>
+        lines += JsonMethods.compact(JObject("txn" -> JObject(
+          "appId" -> JString(app),
+          "version" -> JLong(bv),
+          "lastUpdated" -> JLong(nowMs))))
+      }
+      val target = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      val tmp = new Path(logDir,
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = !fs.exists(target) && fs.rename(tmp, target)
+      if (!won) fs.delete(tmp, false)
+      if (won) return (v, matchedCount, insertedCount)
+    }
+    refuse(s"merge into $tablePath: lost the commit race 20 times — " +
+      "a writer storm; retry when the table quiesces")
+  }
+
   /** The winner's inCommitTimestamp at `version` (monotonicity floor for
     * the next ICT-stamped commit), if the commit recorded one. */
   private def lastIctOf(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,

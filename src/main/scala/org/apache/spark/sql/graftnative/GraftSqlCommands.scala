@@ -365,6 +365,24 @@ case class GraftForeignUpdateCommand(
   }
 }
 
+/** `MERGE INTO delta.`path` USING src ON t.k = s.k WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — the foreign-writer CDC
+  * upsert ([[graft.sources.DeltaExport.mergeForeignUpsert]]). */
+case class GraftForeignMergeCommand(
+    path: String,
+    source: LogicalPlan,
+    key: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    GraftSqlCommands.metricAttrs("num_updated_rows", "num_inserted_rows")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, u, i) = graft.sources.DeltaExport.mergeForeignUpsert(
+      session, path, GraftSqlCommands.sourceDf(session, source), key)
+    Seq(Row(u, i))
+  }
+}
+
 case class GraftVacuumCommand(
     table: GraftTable,
     retainHours: Option[Double],

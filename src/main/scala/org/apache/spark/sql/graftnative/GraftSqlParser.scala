@@ -149,7 +149,25 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               GraftParsed(m.notMatchedBySourceActions),
               targetAlias = quals.head, sourceAlias = sourceAliasOf(m.sourceTable))
           }
-        case None => m
+        case None => foreignDeltaPathOf(m.targetTable) match {
+          // `MERGE INTO delta.`path` … WHEN MATCHED THEN UPDATE SET * WHEN
+          // NOT MATCHED THEN INSERT *` — the foreign writer's CDC upsert.
+          case Some(path) =>
+            val (keys, onExtra) = mergeOnOf(m.mergeCondition)
+            val upsertAll = m.notMatchedBySourceActions.isEmpty &&
+              (m.matchedActions match {
+                case Seq(UpdateStarAction(None)) => true; case _ => false }) &&
+              (m.notMatchedActions match {
+                case Seq(InsertStarAction(None)) => true; case _ => false })
+            if (upsertAll && keys.length == 1 && onExtra.isEmpty)
+              GraftForeignMergeCommand(path, m.sourceTable, keys.head)
+            else throw new UnsupportedOperationException(
+              "MERGE INTO delta.`path` supports the canonical upsert only " +
+                "(WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN " +
+                "INSERT *, one bare equi key); run richer clause shapes " +
+                "through the owning engine")
+          case None => m
+        }
       }
 
     // ALTER TABLE family: the stock grammar parses these into v2 nodes

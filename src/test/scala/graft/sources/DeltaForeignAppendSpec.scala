@@ -273,6 +273,64 @@ class DeltaForeignAppendSpec extends SparkSpec {
       .filter(col("k") % 2 === 0L).count() === 0L)
   }
 
+  test("foreign MERGE upsert: matched keys replaced via DV, fresh inserted") {
+    val root = tmpDir("fmrg")
+    val t = GraftTable.create(spark, root,
+      (0L until 30L).map(i => (i, s"s$i", i * 1.0)).toDF("k", "s", "v"), Nil)
+    t.deletePositional(col("k") === 29L) // protocol advertises DVs
+    DeltaExport.exportLog(t)
+    retire(root)
+    val source = Seq((5L, "upd5", 500.0), (10L, "upd10", 1000.0),
+      (100L, "new100", 1.0)).toDF("k", "s", "v")
+    val (v, updated, inserted) =
+      DeltaExport.mergeForeignUpsert(spark, root, source, "k")
+    assert(updated === 2L && inserted === 1L)
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === 30L) // 29 survivors + 1 insert
+    assert(read.filter(col("k") === 5L).select("s").head().getString(0)
+      === "upd5")
+    assert(read.filter(col("k") === 100L).count() === 1L)
+    assert(read.filter(col("k") === 6L).select("s").head().getString(0)
+      === "s6") // untouched
+    // CDF classifies per key
+    val ch = DeltaImport.readChanges(spark, root, v, v)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() === 2L)
+    assert(ch.filter(col("_change_type") === "update_postimage").count() === 2L)
+    assert(ch.filter(col("_change_type") === "insert").count() === 1L)
+    // re-delivery with a txn stamp is a no-op
+    val (v2, u2, i2) = DeltaExport.mergeForeignUpsert(spark, root, source, "k",
+      txn = Some(("cdc-q", 7L)))
+    assert(v2 === v + 1)
+    val (v3, u3, i3) = DeltaExport.mergeForeignUpsert(spark, root, source, "k",
+      txn = Some(("cdc-q", 7L)))
+    assert(v3 === v2 && u3 === 0L && i3 === 0L)
+    // duplicate source keys refuse with the delta-spark remedy
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.mergeForeignUpsert(spark, root,
+        Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("k", "s", "v"), "k"))
+    assert(e.getMessage.contains("multiple rows"))
+    // SQL spelling (canonical upsert)
+    Seq((6L, "sql6", 6.0), (200L, "sql200", 2.0)).toDF("k", "s", "v")
+      .createOrReplaceTempView("fmrg_src")
+    val row = spark.sql(
+      s"""MERGE INTO delta.`$root` t USING fmrg_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(row.getLong(0) === 1L && row.getLong(1) === 1L)
+    assert(DeltaImport.read(spark, root)
+      .filter(col("s") === "sql6").count() === 1L)
+    // an insert-only merge on a DV-less table needs no DV support
+    val root2 = tmpDir("fmrg-nodv")
+    val t2 = GraftTable.create(spark, root2,
+      Seq((1L, "a")).toDF("k", "s"), Nil)
+    DeltaExport.exportLog(t2)
+    retire(root2)
+    val (_, u4, i4) = DeltaExport.mergeForeignUpsert(spark, root2,
+      Seq((2L, "b")).toDF("k", "s"), "k")
+    assert(u4 === 0L && i4 === 1L)
+    assert(DeltaImport.read(spark, root2).count() === 2L)
+  }
+
   test("txn-stamped appends are exactly-once per (appId, batch)") {
     val root = tmpDir("fap-txn")
     val t = GraftTable.create(spark, root,
