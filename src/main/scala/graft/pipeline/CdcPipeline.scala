@@ -229,6 +229,53 @@ object CdcPipeline {
       (): Unit
     }
 
+  /** Apply one parsed micro-batch to a FOREIGN Delta table — CDC
+    * replication onto a shared lakehouse table graft does not govern
+    * (other engines own and keep reading it), through the foreign writer
+    * bridge: winners with op d DV-delete by key
+    * ([[graft.sources.DeltaExport.deleteFromForeign]]), winners with
+    * c/u/r upsert through the foreign DV-merge
+    * ([[graft.sources.DeltaExport.mergeForeignUpsert]]). Idempotence
+    * under at-least-once redelivery: the merge carries the
+    * (appId, batchId) txn stamp, and the delete is naturally idempotent
+    * (already-deleted keys match nothing — a legal no-op even on a
+    * DV-less table). `latestPerKey` keeps one winner per key, so a key
+    * never carries both a delete and an upsert within one batch. */
+  def applyBatchToForeign(spark: SparkSession, table: String,
+      auditRows: DataFrame, tablePath: String, appId: String,
+      batchId: Long): Unit = {
+    val winners = latestPerKey(auditRows, table)
+    val upserts = Parse.typedSnapshotRows(winners, table)
+    // Delete keys are a CDC-batch-bounded driver list (the same bound the
+    // positions collect in the DV writer carries).
+    val deleteKeys = Parse.typedDeleteRows(winners, table)
+      .select(col("id")).collect().map(_.getLong(0))
+    if (deleteKeys.nonEmpty)
+      graft.sources.DeltaExport.deleteFromForeign(spark, tablePath,
+        col("id").isin(deleteKeys.toIndexedSeq: _*))
+    if (!upserts.isEmpty)
+      graft.sources.DeltaExport.mergeForeignUpsert(spark, tablePath,
+        upserts, "id", txn = Some((appId, batchId)))
+    ()
+  }
+
+  /** Streaming CDC apply onto a foreign Delta table: the
+    * [[startSnapshotStream]] shape with [[applyBatchToForeign]] as the
+    * sink. `appId` defaults to the checkpoint identity. */
+  def startForeignApplyStream(spark: SparkSession, cfg: Config,
+      table: String, tablePath: String): StreamingQuery = {
+    val appId = s"${cfg.checkpointRoot}/foreign-$table"
+    Parse.parseDebezium(source(spark, cfg)).writeStream
+      .queryName(s"cdc-foreign-$table")
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/foreign-$table")
+      .trigger(trigger(cfg))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          applyBatchToForeign(spark, table, batch, tablePath, appId, batchId)
+      }
+      .start()
+  }
+
   /** Snapshot stream (S9/ST5): one foreachBatch query maintaining all
     * configured tables, per-batch parse → split by table → merge/delete. */
   def startSnapshotStream(spark: SparkSession, cfg: Config): StreamingQuery =

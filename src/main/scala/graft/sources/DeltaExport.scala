@@ -1440,8 +1440,9 @@ object DeltaExport {
     * contract as [[appendToForeign]], making
     * `foreachBatch((b, id) => mergeForeignUpsert(…, txn = Some((app, id))))`
     * a crash-safe streaming CDC apply onto a table graft does not govern.
-    * Requires `deletionVectors` advertised when matches exist; refuses
-    * appendOnly tables and generated/identity/invariant columns.
+    * A table WITHOUT `deletionVectors` advertised falls back to the
+    * classic rewrite shape (touched files removed, survivors restaged);
+    * refuses appendOnly tables and generated/identity/invariant columns.
     * Returns (committedVersion, matchedCount, insertedCount). */
   def mergeForeignUpsert(spark: SparkSession, tablePath: String,
       source: org.apache.spark.sql.DataFrame, key: String,
@@ -1529,11 +1530,12 @@ object DeltaExport {
       .map(_.select(FileC, PosC).collect()
         .map(r => (r.getString(0), r.getLong(1))))
       .getOrElse(Array.empty)
-    require(hits.isEmpty || snap0.protocol.exists(p =>
+    // With deletionVectors advertised matched rows record as DVs; else
+    // the touched files rewrite to their survivors (delta-spark's own
+    // pre-DV merge shape) — every Delta table is mergeable.
+    val dvSupported = snap0.protocol.exists(p =>
       p.readerFeatures.contains("deletionVectors") ||
-        p.writerFeatures.contains("deletionVectors")),
-      s"merge into $tablePath: matched rows need deletion vectors — " +
-        "enable delta.enableDeletionVectors on the owning engine")
+        p.writerFeatures.contains("deletionVectors"))
     val matchedCount = hits.length.toLong
 
     val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
@@ -1553,7 +1555,8 @@ object DeltaExport {
     }
     val seed = java.util.UUID.randomUUID().toString
     val descByRel =
-      if (unionByRel.isEmpty) Map.empty[String, DeltaDeletionVectors.Descriptor]
+      if (unionByRel.isEmpty || !dvSupported)
+        Map.empty[String, DeltaDeletionVectors.Descriptor]
       else DeltaDeletionVectors.writeFile(
         unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
 
@@ -1561,6 +1564,25 @@ object DeltaExport {
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
     val toPhys = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
+    // Rewrite fallback: the touched files' survivors (rows whose key the
+    // source does NOT carry; old DVs already applied by the scan) stage
+    // as fresh files replacing the removed originals.
+    val survivorStage: Option[Path] =
+      if (dvSupported || unionByRel.isEmpty) None
+      else {
+        val touched = snap0.files.filter(f => unionByRel.contains(f.path))
+        val survivors = DeltaImport
+          .readFilesWithPositions(spark, snap0, touched, FileC, PosC)
+          .join(srcKeys, Seq(keyName), "left_anti")
+          .drop(FileC, PosC)
+        val sp = new Path(root, s"_appends/$seed-survivors")
+        val sPhys = toPhys.foldLeft(survivors) {
+          case (d, (l, p)) => d.withColumnRenamed(l, p) }
+        if (physPartCols.nonEmpty)
+          sPhys.write.partitionBy(physPartCols: _*).parquet(sp.toString)
+        else sPhys.write.parquet(sp.toString)
+        Some(sp)
+      }
     val physDf = toPhys.foldLeft(aligned) {
       case (d, (l, p)) => d.withColumnRenamed(l, p) }
     val stageRel = s"_appends/$seed"
@@ -1663,6 +1685,7 @@ object DeltaExport {
       finally r.close()
     }
     val stagedFiles = parquetsUnder(stagePath)
+    val survivorFiles = survivorStage.map(parquetsUnder).getOrElse(Nil)
     val stagedRows = stagedFiles.map(footerRows).sum
     // inserted = source rows whose key matched NOTHING (a key matching
     // several target rows DV-deletes them all but contributes one image)
@@ -1713,8 +1736,10 @@ object DeltaExport {
         Commit(v, nowMs, "MERGE", Nil,
           Map("numTargetRowsUpdated" -> matchedCount,
             "numTargetRowsInserted" -> insertedCount,
-            "numTargetFilesAdded" -> stagedFiles.size.toLong,
-            "numDeletionVectorsAdded" -> unionByRel.size.toLong),
+            "numTargetFilesAdded" ->
+              (stagedFiles.size + survivorFiles.size).toLong,
+            "numDeletionVectorsAdded" ->
+              (if (dvSupported) unionByRel.size.toLong else 0L)),
           snap0.schema.json),
         ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
             .contains("true"))
@@ -1729,12 +1754,14 @@ object DeltaExport {
           "path" -> (JString(encodePath(rel)): JValue),
           "deletionTimestamp" -> (JLong(nowMs): JValue),
           "dataChange" -> (JBool(true): JValue)) ++ dvField: _*)))
-        val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, rel))
-        lines += addJson(rel, st, physSchema, physPartCols, dataChange = true,
-          conf, Some(descByRel(rel)), prior.baseRowId,
-          prior.defaultRowCommitVersion, None, allowedStats)
+        if (dvSupported) {
+          val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, rel))
+          lines += addJson(rel, st, physSchema, physPartCols, dataChange = true,
+            conf, Some(descByRel(rel)), prior.baseRowId,
+            prior.defaultRowCommitVersion, None, allowedStats)
+        }
       }
-      stagedFiles.foreach { st =>
+      (stagedFiles ++ survivorFiles).foreach { st =>
         val base = if (rtOn) Some(nextBase) else None
         if (rtOn) nextBase += footerRows(st)
         lines += addJson(relOf(st), st, physSchema, physPartCols,
@@ -1802,10 +1829,12 @@ object DeltaExport {
     * lost race only retries when the winner left every touched file
     * byte-identical (same path, same DV) — anything else refuses with a
     * re-run message, exactly Delta's conflict rule for row-level ops.
-    * Requires the table to advertise `deletionVectors` (enable it on the
-    * owning engine or run the delete there); refuses `delta.appendOnly`
-    * tables. Returns (committedVersion, rowsDeleted) — a no-match delete
-    * commits nothing and returns the current version. */
+    * A table WITHOUT `deletionVectors` advertised falls back to
+    * delta-spark's own pre-DV shape — touched files removed, their
+    * survivors restaged (refused only for row-tracked tables, whose ids a
+    * rewrite cannot preserve); refuses `delta.appendOnly` tables. Returns
+    * (committedVersion, rowsDeleted) — a no-match delete commits nothing
+    * and returns the current version. */
   def deleteFromForeign(spark: SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column): (Long, Long) = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1825,12 +1854,6 @@ object DeltaExport {
       }
       require(!snap.configuration.get("delta.appendOnly").contains("true"),
         s"delete from $tablePath: the table is append-only (delta.appendOnly)")
-      require(snap.protocol.exists(p =>
-        p.readerFeatures.contains("deletionVectors") ||
-          p.writerFeatures.contains("deletionVectors")),
-        s"delete from $tablePath: the table does not advertise deletion " +
-          "vectors — enable delta.enableDeletionVectors on the owning " +
-          "engine, or run the delete there")
       require(!DeltaImport.hasNestedMapping(snap.schema),
         s"delete from $tablePath: nested fields carry physical column names")
     }
@@ -1847,6 +1870,13 @@ object DeltaExport {
     val hits: Array[(String, Long)] = matchedRows.select(FileC, PosC)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (hits.isEmpty) return (snap0.version, 0L)
+    // With deletionVectors advertised the hits record as DVs (no file
+    // rewritten); otherwise fall back to delta-spark's own pre-DV shape:
+    // touched files are REMOVED and their surviving rows rewritten —
+    // every Delta table is deletable, DVs just make it cheaper.
+    val dvSupported = snap0.protocol.exists(p =>
+      p.readerFeatures.contains("deletionVectors") ||
+        p.writerFeatures.contains("deletionVectors"))
 
     // file_path spelling → the snapshot's log-relative path
     val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
@@ -1866,19 +1896,21 @@ object DeltaExport {
     }
     val deletedCount = hits.length.toLong
     val seed = java.util.UUID.randomUUID().toString
-    val descByRel = DeltaDeletionVectors.writeFile(
-      unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
+    val descByRel =
+      if (!dvSupported) Map.empty[String, DeltaDeletionVectors.Descriptor]
+      else DeltaDeletionVectors.writeFile(
+        unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
 
     // CDF: cdc actions restate the deleted rows (physical names on disk,
     // partitioned like the table — Delta stamps version/timestamp itself).
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
+    val toPhysAll = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
     val cdfOn = snap0.configuration
       .get("delta.enableChangeDataFeed").contains("true")
     val cdcRel = s"_change_data/graft-$seed"
     if (cdfOn) {
-      val toPhys = physMapAll.filter { case (l, p) => l != p }
-      val deletedPhys = toPhys.foldLeft(
+      val deletedPhys = toPhysAll.foldLeft(
         matchedRows.drop(FileC, PosC)
           .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))) {
         case (d, (l, p)) => d.withColumnRenamed(l, p) }
@@ -1887,7 +1919,34 @@ object DeltaExport {
         deletedPhys.write.partitionBy(physPartCols: _*).parquet(cdcPath.toString)
       else deletedPhys.write.parquet(cdcPath.toString)
     }
+    // Rewrite fallback: without DV support the touched files' SURVIVORS
+    // stage as fresh files (old DVs already applied by the scan; rows the
+    // predicate selects — null included, which never matches — drop out).
+    val survivorStage: Option[Path] =
+      if (dvSupported) None
+      else {
+        // A row-tracked rewrite would need fresh base ids for the
+        // survivor files; such tables should take the DV path.
+        require(!snap0.protocol.exists(p => p.minWriterVersion >= 7 &&
+          p.writerFeatures.contains("rowTracking")),
+          s"delete from $tablePath: the rewrite fallback cannot preserve " +
+            "row tracking — enable delta.enableDeletionVectors instead")
+        val touched = snap0.files.filter(f => unionByRel.contains(f.path))
+        val survivors = DeltaImport
+          .readFilesWithPositions(spark, snap0, touched, FileC, PosC)
+          .filter(!org.apache.spark.sql.functions.coalesce(predicate,
+            org.apache.spark.sql.functions.lit(false)))
+          .drop(FileC, PosC)
+        val sp = new Path(root, s"_appends/$seed-survivors")
+        val physDf = toPhysAll.foldLeft(survivors) {
+          case (d, (l, p)) => d.withColumnRenamed(l, p) }
+        if (physPartCols.nonEmpty)
+          physDf.write.partitionBy(physPartCols: _*).parquet(sp.toString)
+        else physDf.write.parquet(sp.toString)
+        Some(sp)
+      }
     def parquetsUnder(p: Path): Seq[FileStatus] = {
+      if (!fs.exists(p)) return Nil
       val it = fs.listFiles(p, true)
       val b = Seq.newBuilder[FileStatus]
       while (it.hasNext) {
@@ -1915,10 +1974,12 @@ object DeltaExport {
           nowByRel.get(rel).forall(_.deletionVector !=
             byRel(rel).deletionVector) }
         if (snap.schema.json != snap0.schema.json ||
-            snap.partitionColumns != snap0.partitionColumns || touchedChanged)
+            snap.partitionColumns != snap0.partitionColumns || touchedChanged) {
+          survivorStage.foreach(fs.delete(_, true))
           throw new IllegalArgumentException(
             s"delete from $tablePath: a concurrent commit touched the rows " +
               "being deleted — re-run the delete against the new state")
+        }
       }
       val v = snap.version + 1
       val nowMs = System.currentTimeMillis()
@@ -1931,7 +1992,10 @@ object DeltaExport {
       lines += commitInfoJson(
         Commit(v, nowMs, "DELETE", Nil,
           Map("numDeletedRows" -> deletedCount,
-            "numDeletionVectorsAdded" -> unionByRel.size.toLong),
+            "numDeletionVectorsAdded" ->
+              (if (dvSupported) unionByRel.size.toLong else 0L),
+            "numRemovedFiles" ->
+              (if (dvSupported) 0L else unionByRel.size.toLong)),
           snap0.schema.json),
         ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
             .contains("true"))
@@ -1946,11 +2010,17 @@ object DeltaExport {
           "path" -> (JString(encodePath(rel)): JValue),
           "deletionTimestamp" -> (JLong(nowMs): JValue),
           "dataChange" -> (JBool(true): JValue)) ++ dvField: _*)))
-        val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, rel))
-        lines += addJson(rel, st, physSchema, physPartCols, dataChange = true,
-          conf, Some(descByRel(rel)), prior.baseRowId,
-          prior.defaultRowCommitVersion, None, allowedStats)
+        if (dvSupported) {
+          val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, rel))
+          lines += addJson(rel, st, physSchema, physPartCols, dataChange = true,
+            conf, Some(descByRel(rel)), prior.baseRowId,
+            prior.defaultRowCommitVersion, None, allowedStats)
+        }
       }
+      survivorStage.foreach(sp => parquetsUnder(sp).foreach { st =>
+        lines += addJson(relOf(st), st, physSchema, physPartCols,
+          dataChange = true, conf, None, None, None, None, allowedStats)
+      })
       if (cdfOn) parquetsUnder(new Path(root, cdcRel)).foreach { st =>
         lines += cdcJson(relOf(st), st, physPartCols)
       }

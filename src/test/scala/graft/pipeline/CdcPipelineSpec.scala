@@ -298,6 +298,57 @@ class CdcPipelineSpec extends SparkSpec {
     assert(rows.count(_.getAs[Boolean](Scd2.IsCurrent)) === 2) // John v2, New
   }
 
+  test("foreign apply: CDC replicates onto a pure Delta table exactly-once") {
+    val in = tmpDir("cdcf-in")
+    val cfg = CdcPipeline.Config(
+      inputDir = in,
+      tableRoot = tmpDir("cdcf-tables"),
+      checkpointRoot = tmpDir("cdcf-ckpt"),
+      availableNow = true,
+      tables = Seq("customers"))
+    // Seed batch through the NORMAL pipeline: its snapshot table has the
+    // exact typed schema a foreign target carries.
+    writeBatch(in, "batch1.json", Seq(
+      CdcFixtures.record("customers", "c", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 0),
+      CdcFixtures.record("customers", "c", 2,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 1)))
+    CdcPipeline.runOnce(spark, cfg)
+    // The foreign target: the seeded snapshot exported, graft log retired
+    // — a pure Delta table some other engine owns.
+    val froot = CdcPipeline.snapshotPath(cfg, "customers")
+    graft.sources.DeltaExport.exportLog(GraftTable.forPath(spark, froot))
+    val fs = new org.apache.hadoop.fs.Path(froot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(froot, "_graft_log"), true)
+
+    // DML batch applied through the FOREIGN stream (fresh checkpoint so
+    // it reads both batches; latestPerKey resolves chains).
+    writeBatch(in, "batch2.json", Seq(
+      CdcFixtures.record("customers", "u", 1,
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john.doe@new.com")),
+        Some(CdcFixtures.customerJson(1, "John", "Doe", "john@x.com")), off = 2),
+      CdcFixtures.record("customers", "c", 9,
+        Some(CdcFixtures.customerJson(9, "New", "User", "new@x.com")), off = 3),
+      CdcFixtures.record("customers", "d", 2, None,
+        Some(CdcFixtures.customerJson(2, "Jane", "Roe", "jane@x.com")), off = 4)))
+    val cfg2 = cfg.copy(checkpointRoot = tmpDir("cdcf-ckpt2"))
+    val q = CdcPipeline.startForeignApplyStream(spark, cfg2, "customers", froot)
+    q.awaitTermination()
+
+    val read = graft.sources.DeltaImport.read(spark, froot)
+    assert(read.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 9L))
+    assert(read.filter(col("id") === 1L).select("email").as[String].head()
+      === "john.doe@new.com")
+    // exactly-once: redelivering the SAME batch under the same
+    // (appId, batchId) is a no-op at the same version
+    val vBefore = graft.sources.DeltaImport.latestVersion(spark, froot)
+    val audit = GraftTable.forPath(spark, CdcPipeline.auditTablePath(cfg)).read()
+    CdcPipeline.applyBatchToForeign(spark, "customers", audit, froot,
+      s"${cfg2.checkpointRoot}/foreign-customers", 0L)
+    assert(graft.sources.DeltaImport.latestVersion(spark, froot) === vBefore)
+  }
+
   test("delete→re-insert inside one batch resolves to the re-insert") {
     val in = tmpDir("cdc-in2")
     val cfg = CdcPipeline.Config(

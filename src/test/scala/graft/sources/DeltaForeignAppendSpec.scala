@@ -180,15 +180,30 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(v3 === v2 && n3 === 0L)
   }
 
-  test("foreign delete refuses non-DV and append-only tables") {
+  test("DV-less foreign delete/merge fall back to the rewrite shape") {
     val root = tmpDir("fdel-nodv")
     val t = GraftTable.create(spark, root,
       (0L until 20L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
     DeltaExport.exportLog(t) // no DVs in play — protocol never advertises them
     retire(root)
-    val e = intercept[IllegalArgumentException](
-      DeltaExport.deleteFromForeign(spark, root, col("k") === 1L))
-    assert(e.getMessage.contains("deletion"))
+    val pathsBefore = DeltaImport.snapshot(spark, root).files.map(_.path).toSet
+    val (_, n) = DeltaExport.deleteFromForeign(spark, root, col("k") % 4 === 1L)
+    assert(n === 5L)
+    val after = DeltaImport.snapshot(spark, root)
+    assert(DeltaImport.read(spark, root).count() === 15L)
+    assert(after.files.forall(_.deletionVector.isEmpty)) // rewrite, not DVs
+    // touched files were replaced by survivor files under _appends/
+    assert(after.files.exists(f => !pathsBefore.contains(f.path)))
+    // a DV-less MERGE replaces matched images the same way
+    val (_, u, i) = DeltaExport.mergeForeignUpsert(spark, root,
+      Seq((2L, "upd2"), (100L, "new100")).toDF("k", "s"), "k")
+    assert(u === 1L && i === 1L)
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === 16L)
+    assert(read.filter(col("s") === "upd2").count() === 1L)
+    assert(read.filter(col("k") === 3L).count() === 1L) // survivor intact
+    assert(DeltaImport.snapshot(spark, root)
+      .files.forall(_.deletionVector.isEmpty))
 
     val root2 = tmpDir("fdel-appendonly")
     val t2 = GraftTable.createWithProperties(spark, root2,
