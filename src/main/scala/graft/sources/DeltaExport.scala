@@ -1520,12 +1520,16 @@ object DeltaExport {
         DeltaSkipping.prune(spark, snap0,
           col(s"`$keyName`").isin(keySample.toIndexedSeq: _*))
       else snap0.files
+    // The matched scan feeds several jobs (hits collect, CDF pre-images,
+    // matched-key count, survivors) — cache the CDC-batch-bounded result
+    // instead of re-scanning candidates per consumer (ContextCleaner
+    // reclaims the blocks once the frame is unreachable).
     val matchedRows =
       if (candidates.isEmpty)
         None
       else Some(DeltaImport
         .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
-        .join(srcKeys, Seq(keyName)))
+        .join(srcKeys, Seq(keyName)).persist())
     val hits: Array[(String, Long)] = matchedRows
       .map(_.select(FileC, PosC).collect()
         .map(r => (r.getString(0), r.getLong(1))))
@@ -1867,6 +1871,7 @@ object DeltaExport {
     val matchedRows = DeltaImport
       .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
       .filter(predicate)
+      .persist() // consumed by several jobs; batch-bounded, GC-reclaimed
     val hits: Array[(String, Long)] = matchedRows.select(FileC, PosC)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (hits.isEmpty) return (snap0.version, 0L)
@@ -2112,6 +2117,7 @@ object DeltaExport {
     val matchedRows = DeltaImport
       .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
       .filter(predicate)
+      .persist() // consumed by several jobs; batch-bounded, GC-reclaimed
     val hits: Array[(String, Long)] = matchedRows.select(FileC, PosC)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (hits.isEmpty) return (snap0.version, 0L)
