@@ -1411,6 +1411,157 @@ object DeltaExport {
       "a writer storm; retry when the table quiesces")
   }
 
+  /** OPTIMIZE on a FOREIGN Delta table — the maintenance verb completing
+    * the writer set (with [[writeCheckpoint]]/[[maintainCheckpoint]], a
+    * graft process can now fully OPERATE a table it does not own):
+    * small files (< half the target) and DV-carrying files compact into
+    * near-target files with the deletions materialized away, as
+    * `dataChange=false` removes+adds — CDF readers see nothing, exactly
+    * Delta's OPTIMIZE contract. Legal on appendOnly tables (Delta allows
+    * it — no row changes) and on generated/identity columns (rows ride
+    * verbatim); refused on row-tracked tables (compaction cannot
+    * preserve derived ids without the materialized column only the
+    * owning engine maintains). Lost races retry only when the winner
+    * left every selected file untouched. Returns
+    * (committedVersion, filesRemoved, filesAdded) — (currentVersion,
+    * 0, 0) when nothing qualifies. */
+  def optimizeForeign(spark: SparkSession, tablePath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+
+    def gate(snap: DeltaImport.Snapshot): Unit = {
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"optimize of $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry write-time obligations " +
+              "this writer does not implement")
+          require(!p.writerFeatures.contains("rowTracking"),
+            s"optimize of $tablePath: compaction cannot preserve row ids " +
+              "without the materialized id column — run OPTIMIZE on the " +
+              "owning engine")
+        }
+      }
+      require(!DeltaImport.hasNestedMapping(snap.schema),
+        s"optimize of $tablePath: nested fields carry physical column names")
+    }
+
+    val snap0 = DeltaImport.snapshot(spark, tablePath)
+    gate(snap0)
+    val selected = snap0.files.filter(f =>
+      f.size < targetFileBytes / 2 ||
+        f.deletionVector.exists(_.cardinality > 0))
+    // One small clean file is already optimal; one DV'd file still folds.
+    if (selected.isEmpty ||
+        (selected.size == 1 && selected.head.deletionVector.isEmpty))
+      return (snap0.version, 0L, 0L)
+
+    val FileC = "__graft_foreign_opt_file"
+    val PosC = "__graft_foreign_opt_pos"
+    val live = DeltaImport
+      .readFilesWithPositions(spark, snap0, selected, FileC, PosC)
+      .drop(FileC, PosC)
+    val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
+    val toPhys = physMapAll.filter { case (l, p) => l != p }
+    val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
+    val totalBytes = selected.map(_.size).sum
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val physDf = toPhys.foldLeft(live.repartition(nOut)) {
+      case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val seed = java.util.UUID.randomUUID().toString
+    val stagePath = new Path(root, s"_appends/$seed-compact")
+    if (physPartCols.nonEmpty)
+      physDf.write.partitionBy(physPartCols: _*).parquet(stagePath.toString)
+    else physDf.write.parquet(stagePath.toString)
+    def parquetsUnder(p: Path): Seq[FileStatus] = {
+      if (!fs.exists(p)) return Nil
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
+      }
+      b.result().sortBy(_.getPath.toString)
+    }
+    def relOf(st: FileStatus): String = {
+      val base = root.toUri.getPath.stripSuffix("/")
+      st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+    val stagedFiles = parquetsUnder(stagePath)
+    val selectedSet = selected.map(f => f.path -> f).toMap
+
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = if (attempt == 1) snap0
+        else DeltaImport.snapshot(spark, tablePath)
+      if (attempt > 1) {
+        gate(snap)
+        val nowByRel = snap.files.map(f => f.path -> f).toMap
+        val touchedChanged = selectedSet.keys.exists { rel =>
+          nowByRel.get(rel).forall(_.deletionVector !=
+            selectedSet(rel).deletionVector) }
+        if (snap.schema.json != snap0.schema.json ||
+            snap.partitionColumns != snap0.partitionColumns || touchedChanged) {
+          fs.delete(stagePath, true)
+          throw new IllegalArgumentException(
+            s"optimize of $tablePath: a concurrent commit touched the " +
+              "files being compacted — re-run against the new state")
+        }
+      }
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+      val physSchema = StructType(snap0.schema.fields.map(f =>
+        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
+          snap0.schema.fieldNames.toSeq)
+        .map(_.map(n => physMapAll.getOrElse(n, n)))
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(
+        Commit(v, nowMs, "OPTIMIZE", Nil,
+          Map("numRemovedFiles" -> selected.size.toLong,
+            "numAddedFiles" -> stagedFiles.size.toLong,
+            "numDeletionVectorsRemoved" ->
+              selected.count(_.deletionVector.nonEmpty).toLong),
+          snap0.schema.json),
+        ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true"))
+          Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
+            nowMs))
+        else None)
+      selectedSet.keys.toSeq.sorted.foreach { rel =>
+        val dvField = selectedSet(rel).deletionVector
+          .map(d => "deletionVector" -> dvJson(d)).toList
+        lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+          "path" -> (JString(encodePath(rel)): JValue),
+          "deletionTimestamp" -> (JLong(nowMs): JValue),
+          "dataChange" -> (JBool(false): JValue)) ++ dvField: _*)))
+      }
+      stagedFiles.foreach { st =>
+        lines += addJson(relOf(st), st, physSchema, physPartCols,
+          dataChange = false, conf, None, None, None, None, allowedStats)
+      }
+      val target = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      val tmp = new Path(logDir,
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = !fs.exists(target) && fs.rename(tmp, target)
+      if (!won) fs.delete(tmp, false)
+      if (won) return (v, selected.size.toLong, stagedFiles.size.toLong)
+    }
+    fs.delete(stagePath, true)
+    throw new IllegalArgumentException(
+      s"optimize of $tablePath: lost the commit race 20 times — " +
+        "a writer storm; retry when the table quiesces")
+  }
+
   /** A `foreachBatch` function streaming micro-batches into a FOREIGN
     * Delta table exactly-once: each batch appends through
     * [[appendToForeign]] with `txn = (appId, batchId)`, so an

@@ -383,6 +383,21 @@ case class GraftForeignMergeCommand(
   }
 }
 
+/** `OPTIMIZE delta.`path`` — foreign-table compaction
+  * ([[graft.sources.DeltaExport.optimizeForeign]]). */
+case class GraftForeignOptimizeCommand(path: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    GraftSqlCommands.metricAttrs("num_removed_files", "num_added_files")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, removed, added) =
+      graft.sources.DeltaExport.optimizeForeign(session, path)
+    Seq(Row(removed, added))
+  }
+}
+
 case class GraftVacuumCommand(
     table: GraftTable,
     retainHours: Option[Double],

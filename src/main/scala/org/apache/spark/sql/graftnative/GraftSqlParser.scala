@@ -455,6 +455,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)^\s*DELETE\s+FROM\s+delta\s*\.\s*`([^`]+)`\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val ForeignInsertRe =
     """(?is)^\s*INSERT\s+INTO\s+delta\s*\.\s*`([^`]+)`\s+(.+?)\s*;?\s*$""".r
+  private val ForeignPathRe =
+    """(?is)^\s*delta\s*\.\s*`([^`]+)`\s*$""".r
   private val CopyIntoRe =
     ("""(?is)^\s*COPY\s+INTO\s+(\S+)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)""" +
       """(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""").r
@@ -489,7 +491,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           GraftParsed(Option(where).map(w => delegate.parseExpression(w.trim))),
           Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim.stripPrefix("`")
             .stripSuffix("`")).filter(_.nonEmpty))
-      }
+      }.orElse(ident.trim match {
+        // `OPTIMIZE delta.`path`` — compaction of a foreign Delta table
+        // through the writer bridge (plain form only; WHERE/ZORDER stay
+        // owning-engine concerns).
+        case ForeignPathRe(p) if where == null && zcols == null =>
+          Some(GraftForeignOptimizeCommand(p))
+        case _ => None
+      })
       case CopyIntoRe(ident, path, fmt, pat) => graft(ident).map(t =>
         GraftCopyIntoCommand(t, path, fmt.toLowerCase, Option(pat)))
       case DropFeatureRe(ident, feature, trunc) => graft(ident).map(t =>

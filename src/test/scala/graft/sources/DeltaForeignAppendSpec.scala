@@ -346,6 +346,41 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(DeltaImport.read(spark, root2).count() === 2L)
   }
 
+  test("foreign OPTIMIZE compacts small files and materializes DVs away") {
+    val root = tmpDir("fopt")
+    val t = GraftTable.create(spark, root,
+      (0L until 30L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    // several small appends → a small-file tail; a DV'd file to fold
+    (0 until 4).foreach(b => t.append(
+      (30L + b * 5 until 35L + b * 5).map(i => (i, s"s$i")).toDF("k", "s")))
+    t.deletePositional(col("k") % 7 === 0L)
+    DeltaExport.exportLog(t)
+    retire(root)
+    val before = DeltaImport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    val filesBefore = DeltaImport.snapshot(spark, root).files.size
+    val vBefore = DeltaImport.latestVersion(spark, root)
+
+    val removed = spark.sql(s"OPTIMIZE delta.`$root`").head().getLong(0)
+    assert(removed >= 2)
+    val snap = DeltaImport.snapshot(spark, root)
+    assert(snap.version === vBefore + 1)
+    assert(snap.files.size < filesBefore)
+    assert(snap.files.forall(_.deletionVector.isEmpty)) // DVs materialized
+    // byte-identical logical content
+    assert(DeltaImport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().toSet === before)
+    // dataChange=false: the change feed sees NOTHING for the optimize
+    // (the reader's contract for a no-data-change version is a loud
+    // "no change data", exactly as for a graft OPTIMIZE commit)
+    val e = intercept[NoSuchElementException](
+      DeltaImport.readChanges(spark, root, snap.version, snap.version))
+    assert(e.getMessage.contains("no change data"))
+    // an already-compact table is a no-op (one clean file remains)
+    val (v2, r2, _) = DeltaExport.optimizeForeign(spark, root)
+    assert(v2 === snap.version && r2 === 0L)
+  }
+
   test("txn-stamped appends are exactly-once per (appId, batch)") {
     val root = tmpDir("fap-txn")
     val t = GraftTable.create(spark, root,
