@@ -237,6 +237,7 @@ object SparkEntry {
     "q205_foreign_delete"    -> (DeltaBridgeQueries.deltaForeignDelete _),
     "q206_foreign_update"    -> (DeltaBridgeQueries.deltaForeignUpdate _),
     "q207_foreign_merge"     -> (DeltaBridgeQueries.deltaForeignMerge _),
+    "q208_batch_novelty"     -> (CorpusQueries.batchNovelty _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -599,6 +600,37 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // batch novelty (q208): per arriving doc, distinct-3-gram fraction
+    // unseen in the corpus; batch = every 7th doc + 3 stamped fresh tokens
+    "q208_batch_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |cg AS (
+        |  SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, t,
+        |        unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+        |batch AS (
+        |  SELECT doc_id,
+        |    trim(text) || format(' fresh{} tokens{} here{}',
+        |      doc_id, doc_id, doc_id) AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |bt AS (SELECT doc_id,
+        |         regexp_split_to_array(trim(text), '\s+') AS t FROM batch),
+        |bg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, t,
+        |        unnest(generate_series(1, len(t) - 2)) AS i FROM bt)),
+        |novel AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |  FROM bg WHERE shingle NOT IN (SELECT shingle FROM cg)
+        |  GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(any_value(n.n_novel), 0) AS BIGINT) AS n_novel,
+        |  CAST(coalesce(any_value(n.n_novel), 0) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS novelty
+        |FROM bg g LEFT JOIN novel n ON n.doc_id = g.doc_id
+        |GROUP BY g.doc_id""".stripMargin,
     // foreign MERGE upsert (q207): survivors keep originals except 'P'
     // rows (replaced image, incl. previously-deleted 'P' keys re-entering
     // as inserts) plus the brand-new +20000000 batch

@@ -1921,6 +1921,38 @@ object CorpusQueries {
         (col("hits").cast("double") / lit(10.0)).as("recall_at_10"))
   }
 
+  /** q208: incremental batch novelty — for each document of an ARRIVING
+    * batch, the fraction of its distinct 3-grams unseen anywhere in the
+    * existing corpus: the admission diagnostic a continuously-fed corpus
+    * runs before paying ingest cost (a batch whose novelty craters is a
+    * re-crawl; one that spikes is a domain shift worth a quality pass).
+    * The fixture batch reuses every 7th document's text with three
+    * doc-id-stamped fresh tokens appended — known-novel grams with exact
+    * expected counts. Shape: the corpus's distinct-gram table is the
+    * same artifact the q138 incremental-dedup index persists (here
+    * derived in-query at gate scale); the batch side is batch-sized, so
+    * the anti-join shuffles the batch against the gram partitioning —
+    * per-batch cost tracks the batch, the corpus pays once. Novelty =
+    * novel/total is one correctly-rounded IEEE divide of small ints. */
+  def batchNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpusGrams = Dedup.docShingles(docs, 3).select("shingle").distinct()
+    val batch = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"),
+        concat(col("text"),
+          format_string(" fresh%d tokens%d here%d",
+            col("doc_id"), col("doc_id"), col("doc_id"))).as("text"))
+    val batchGrams = Dedup.docShingles(batch, 3)
+    val novel = batchGrams.join(corpusGrams, Seq("shingle"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    batchGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+  }
+
   /** q200: MinHash estimator-error report — for every TRUE near-dup pair
     * (q27's exact PPJoin pairs at t=0.5), the 64-component signature
     * estimate of its Jaccard next to the exact value. This is the

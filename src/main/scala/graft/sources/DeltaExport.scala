@@ -1562,6 +1562,56 @@ object DeltaExport {
         "a writer storm; retry when the table quiesces")
   }
 
+  /** VACUUM on a FOREIGN Delta table — delta-spark's file-level vacuum:
+    * every file under the table root that the CURRENT snapshot does not
+    * reference (data parquet, deletion-vector bins, change-data files,
+    * stranded `_appends/` staging) and whose modification time predates
+    * the retention cutoff is deleted; `_delta_log/` is never touched
+    * (log retention is [[cleanupLog]]'s job). Time travel below the
+    * cutoff stops working afterwards — Delta's documented trade. The
+    * `vacuumProtocolCheck` obligation is discharged by the same writer
+    * gate every foreign verb runs. Returns the deleted relative paths
+    * (report only under `dryRun`). */
+  def vacuumForeign(spark: SparkSession, tablePath: String,
+      retentionHours: Double = 168.0, dryRun: Boolean = false,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val snap = DeltaImport.snapshot(spark, tablePath)
+    snap.protocol.foreach { p =>
+      if (p.minWriterVersion >= 7) {
+        val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+        require(unsupported.isEmpty,
+          s"vacuum of $tablePath: writer feature(s) " +
+            s"${unsupported.mkString(", ")} carry obligations this writer " +
+            "does not implement")
+      }
+    }
+    val cutoff = nowMs - (retentionHours * 3600 * 1000).toLong
+    val rootAbs = root.toUri.getPath.stripSuffix("/")
+    // The keep set: the live snapshot's data files and every deletion-
+    // vector file a live descriptor references.
+    val liveAbs: Set[String] =
+      snap.files.map(f =>
+        DeltaImport.resolveFile(tablePath, f.path).toUri.getPath).toSet ++
+      snap.files.flatMap(_.deletionVector).filter(_.storageType != "i")
+        .map(d => DeltaDeletionVectors.filePathOf(d, tablePath).toUri.getPath)
+    val deleted = Seq.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toUri.getPath
+      val rel = p.stripPrefix(rootAbs).stripPrefix("/")
+      if (!rel.startsWith("_delta_log/") && !liveAbs.contains(p) &&
+          st.getModificationTime < cutoff && st.isFile) {
+        if (dryRun) deleted += rel
+        else if (fs.delete(st.getPath, false)) deleted += rel
+      }
+    }
+    deleted.result()
+  }
+
   /** A `foreachBatch` function streaming micro-batches into a FOREIGN
     * Delta table exactly-once: each batch appends through
     * [[appendToForeign]] with `txn = (appId, batchId)`, so an

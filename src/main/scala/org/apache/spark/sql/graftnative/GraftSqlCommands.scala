@@ -398,6 +398,27 @@ case class GraftForeignOptimizeCommand(path: String)
   }
 }
 
+/** `VACUUM delta.`path` [RETAIN n HOURS] [DRY RUN]` — foreign-table
+  * file-level vacuum ([[graft.sources.DeltaExport.vacuumForeign]]). */
+case class GraftForeignVacuumCommand(
+    path: String,
+    retainHours: Option[Double],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    GraftSqlCommands.metricAttrs("num_deleted_files")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val removed = retainHours match {
+      case Some(h) => graft.sources.DeltaExport.vacuumForeign(
+        session, path, retentionHours = h, dryRun = dryRun)
+      case None => graft.sources.DeltaExport.vacuumForeign(
+        session, path, dryRun = dryRun)
+    }
+    Seq(Row(removed.size.toLong))
+  }
+}
+
 case class GraftVacuumCommand(
     table: GraftTable,
     retainHours: Option[Double],

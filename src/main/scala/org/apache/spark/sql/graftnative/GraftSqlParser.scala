@@ -486,6 +486,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case VacuumRe(ident, mode, hours, dry) => graft(ident).map(t =>
         GraftVacuumCommand(t, Option(hours).map(_.toDouble), dryRun = dry != null,
           full = Option(mode).exists(_.trim.equalsIgnoreCase("FULL"))))
+        .orElse(ident.trim match {
+          // `VACUUM delta.`path`` — file-level vacuum of a foreign Delta
+          // table (delta-spark's own semantics; LITE/FULL modes are graft
+          // spellings and do not apply here).
+          case ForeignPathRe(p) if mode == null =>
+            Some(GraftForeignVacuumCommand(p,
+              Option(hours).map(_.toDouble), dryRun = dry != null))
+          case _ => None
+        })
       case OptimizeRe(ident, where, zcols) => graft(ident).map { t =>
         GraftOptimizeCommand(t,
           GraftParsed(Option(where).map(w => delegate.parseExpression(w.trim))),

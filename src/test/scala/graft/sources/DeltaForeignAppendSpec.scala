@@ -381,6 +381,38 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(v2 === snap.version && r2 === 0L)
   }
 
+  test("foreign VACUUM reclaims superseded files past retention") {
+    val root = tmpDir("fvac")
+    val t = GraftTable.create(spark, root,
+      (0L until 30L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    t.append((30L until 40L).map(i => (i, s"s$i")).toDF("k", "s"))
+    t.deletePositional(col("k") % 9 === 0L)
+    DeltaExport.exportLog(t)
+    retire(root)
+    // compaction supersedes every original data file AND its DV bin
+    DeltaExport.optimizeForeign(spark, root)
+    val before = DeltaImport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().toSet
+
+    val future = System.currentTimeMillis() + 200L * 3600 * 1000
+    // dry run reports without deleting
+    val dry = DeltaExport.vacuumForeign(spark, root, nowMs = future,
+      dryRun = true)
+    assert(dry.nonEmpty)
+    // fresh files survive the recency rule at NOW
+    assert(DeltaExport.vacuumForeign(spark, root).isEmpty)
+    // the real pass past retention reclaims exactly the report
+    val removed = DeltaExport.vacuumForeign(spark, root, nowMs = future)
+    assert(removed.toSet === dry.toSet)
+    assert(removed.exists(_.endsWith(".bin"))) // the superseded DV file
+    // the live snapshot reads byte-identically afterwards
+    assert(DeltaImport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().toSet === before)
+    // SQL spelling
+    assert(spark.sql(s"VACUUM delta.`$root` RETAIN 168 HOURS DRY RUN")
+      .head().getLong(0) === 0L)
+  }
+
   test("txn-stamped appends are exactly-once per (appId, batch)") {
     val root = tmpDir("fap-txn")
     val t = GraftTable.create(spark, root,
