@@ -238,6 +238,7 @@ object SparkEntry {
     "q206_foreign_update"    -> (DeltaBridgeQueries.deltaForeignUpdate _),
     "q207_foreign_merge"     -> (DeltaBridgeQueries.deltaForeignMerge _),
     "q208_batch_novelty"     -> (CorpusQueries.batchNovelty _),
+    "q209_pmi_collocations"  -> (CorpusQueries.pmiCollocations _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -600,6 +601,29 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // PMI collocations (q209): log-free lift ordering in fixed point;
+    // top-50 with full deterministic tiebreak
+    "q209_pmi_collocations" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |    FROM documents)),
+        |dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |          FROM dt GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS x, b.tok AS y, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM dt a JOIN dt b USING (doc_id)
+        |  WHERE a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT x, y, c_xy, fx.c AS c_x, fy.c AS c_y,
+        |  (1000000 * c_xy * n.n_docs) // (fx.c * fy.c) AS lift_fp
+        |FROM pairs
+        |JOIN dfreq fx ON fx.tok = x
+        |JOIN dfreq fy ON fy.tok = y
+        |CROSS JOIN n
+        |ORDER BY lift_fp DESC, x, y LIMIT 50""".stripMargin,
     // batch novelty (q208): per arriving doc, distinct-3-gram fraction
     // unseen in the corpus; batch = every 7th doc + 3 stamped fresh tokens
     "q208_batch_novelty" ->

@@ -1953,6 +1953,39 @@ object CorpusQueries {
           col("n_grams").cast("double")).as("novelty"))
   }
 
+  /** q209: PMI collocation mining — the top token pairs whose
+    * within-document co-occurrence beats independence: the
+    * query-expansion / phrase-vocabulary table (and the "those two
+    * tokens always travel together" template detector). Lift rides
+    * fixed point — 1e6·N·c_xy div (c_x·c_y), all BIGINT (log-free PMI
+    * ordering: log is monotone, so ranking by the ratio IS ranking by
+    * PMI, with no libm portability risk); at web-corpus N the raw
+    * counts publish instead and the division happens downstream in
+    * arbitrary precision. Shape: distinct (doc, token) explode; the
+    * pair fan-out is per-doc distinct-vocabulary², the classic
+    * market-basket bound (cap the per-doc vocab at 100 TB exactly as
+    * q146 bounds its gram fan-out); one vocabulary²-bounded aggregate;
+    * top-50 by a TakeOrderedAndProject heap, never a global sort. */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairs = dt.as("a").join(dt.as("b"), Seq("doc_id"))
+      .filter(col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("x"), col("b.tok").as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 20)
+    pairs
+      .join(dfreq.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(dfreq.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("1000000L * c_xy * n_docs div (c_x * c_y)").as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
   /** q200: MinHash estimator-error report — for every TRUE near-dup pair
     * (q27's exact PPJoin pairs at t=0.5), the 64-component signature
     * estimate of its Jaccard next to the exact value. This is the

@@ -956,6 +956,18 @@ object DeltaImport {
       }
   }
 
+  /** DESCRIBE HISTORY for a FOREIGN Delta table: one row per retained
+    * JSON commit, newest first — version, commit instant (the ICT when
+    * the commit stamped one), operation. Log-sized, never data-sized. */
+  def history(spark: SparkSession, tablePath: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    changesBetween(spark, tablePath, -1L, Long.MaxValue)
+      .map(vc => (vc.version,
+        new java.sql.Timestamp(vc.timestampMs), vc.operation))
+      .sortBy(-_._1)
+      .toDF("version", "timestamp", "operation")
+  }
+
   /** Latest version of the log (−1 when only a checkpoint exists and no
     * JSON tail — checkpointed-only tables still answer via snapshot). */
   def latestVersion(spark: SparkSession, tablePath: String): Long =

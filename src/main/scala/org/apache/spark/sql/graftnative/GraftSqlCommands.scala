@@ -438,6 +438,23 @@ case class GraftVacuumCommand(
 
 /** `DESCRIBE HISTORY t` (S7) — the commit log as a relation, newest
   * first, same shape as [[GraftTable.history]] (which q14 oracles). */
+/** `DESCRIBE HISTORY delta.`path`` — commit history of a FOREIGN Delta
+  * table ([[graft.sources.DeltaImport.history]]), newest first. */
+case class GraftForeignHistoryCommand(path: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = DataTypeUtils.toAttributes(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("timestamp",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("operation",
+        org.apache.spark.sql.types.StringType))))
+
+  override def run(session: SparkSession): Seq[Row] =
+    graft.sources.DeltaImport.history(session, path).collect().toSeq
+}
+
 case class GraftHistoryCommand(table: GraftTable) extends LeafRunnableCommand {
 
   // The history frame is built driver-side from the commit log (one row

@@ -472,6 +472,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       catch { case scala.util.control.NonFatal(_) => None }
     sqlText match {
       case HistoryRe(ident) => graft(ident).map(GraftHistoryCommand)
+        .orElse(ident.trim match {
+          case ForeignPathRe(p) => Some(GraftForeignHistoryCommand(p))
+          case _ => None
+        })
       case DetailRe(ident) => graft(ident).map(GraftDetailCommand)
       case ConvertRe(path) => Some(GraftConvertCommand(path.trim))
       case ConvertDeltaRe(path) => Some(GraftConvertFromDeltaCommand(path.trim))

@@ -379,6 +379,11 @@ class DeltaForeignAppendSpec extends SparkSpec {
     // an already-compact table is a no-op (one clean file remains)
     val (v2, r2, _) = DeltaExport.optimizeForeign(spark, root)
     assert(v2 === snap.version && r2 === 0L)
+    // DESCRIBE HISTORY of the foreign table lists the optimize, newest first
+    val hist = spark.sql(s"DESCRIBE HISTORY delta.`$root`").collect()
+    assert(hist.length === snap.version + 1)
+    assert(hist.head.getAs[Long]("version") === snap.version)
+    assert(hist.head.getAs[String]("operation") === "OPTIMIZE")
   }
 
   test("foreign VACUUM reclaims superseded files past retention") {
