@@ -239,6 +239,7 @@ object SparkEntry {
     "q207_foreign_merge"     -> (DeltaBridgeQueries.deltaForeignMerge _),
     "q208_batch_novelty"     -> (CorpusQueries.batchNovelty _),
     "q209_pmi_collocations"  -> (CorpusQueries.pmiCollocations _),
+    "q210_foreign_restore"   -> (DeltaBridgeQueries.deltaForeignRestore _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -601,6 +602,11 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // foreign RESTORE (q210): the append+delete detour must be invisible
+    // — the read equals the exported snapshot
+    "q210_foreign_restore" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
     // PMI collocations (q209): log-free lift ordering in fixed point;
     // top-50 with full deterministic tiebreak
     "q209_pmi_collocations" ->

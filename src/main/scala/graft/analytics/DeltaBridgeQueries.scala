@@ -578,6 +578,38 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q210: FOREIGN-table RESTORE
+    * ([[graft.sources.DeltaExport.restoreForeign]]) — the undo on a pure
+    * Delta table: after an append and a DV delete through the foreign
+    * verbs, one RESTORE commit rewinds the data to the exported state
+    * (DV transitions included) while history keeps moving forward. The
+    * oracle is simply the exported snapshot — the entire detour must be
+    * invisible. */
+  def deltaForeignRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#foreign-restore", { _ =>
+      val r = Scratch.dir(spark, "delta-foreign-restore")
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = graft.table.GraftTable.create(spark, r, orders)
+      t.deletePositional(col("o_orderkey") % 97 === 0)
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      val v0 = DeltaImport.latestVersion(spark, r)
+      graft.sources.DeltaExport.appendToForeign(spark, r,
+        orders.limit(100)
+          .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
+      graft.sources.DeltaExport.deleteFromForeign(spark, r,
+        col("o_orderstatus") === "F")
+      spark.sql(s"RESTORE TABLE delta.`$r` TO VERSION AS OF $v0").collect()
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   private val cdfMvRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** q179: an incremental MV maintained EXCLUSIVELY from the mirror's CDF

@@ -1562,6 +1562,119 @@ object DeltaExport {
         "a writer storm; retry when the table quiesces")
   }
 
+  /** RESTORE a FOREIGN Delta table to an earlier version — delta-spark's
+    * RESTORE as one commit: files of the target version not in the
+    * current snapshot re-add (their DV descriptors and row-tracking
+    * fields riding verbatim), current files absent from the target
+    * remove, and files present in BOTH but with a different deletion
+    * vector re-add with the target's DV (the remove+add pair Delta uses
+    * for DV changes). Data files must still exist — a restore below the
+    * vacuum horizon refuses with the files named (Delta's own failure
+    * mode). The table's metadata/protocol stay AT HEAD (Delta restores
+    * data, not schema). Returns (committedVersion, filesAdded,
+    * filesRemoved). */
+  def restoreForeign(spark: SparkSession, tablePath: String,
+      versionAsOf: Long): (Long, Long, Long) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+    def gate(snap: DeltaImport.Snapshot): Unit = {
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"restore of $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry obligations this writer " +
+              "does not implement")
+        }
+      }
+      require(!snap.configuration.get("delta.appendOnly").contains("true"),
+        s"restore of $tablePath: the table is append-only (delta.appendOnly)")
+    }
+    val target = DeltaImport.snapshot(spark, tablePath, Some(versionAsOf))
+    val missing = target.files.filterNot(f =>
+      fs.exists(DeltaImport.resolveFile(tablePath, f.path)))
+    require(missing.isEmpty,
+      s"restore of $tablePath to $versionAsOf: data file(s) " +
+        s"${missing.map(_.path).take(5).mkString(", ")} no longer exist " +
+        "(vacuumed) — the version is below the retention horizon")
+
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = DeltaImport.snapshot(spark, tablePath)
+      gate(snap)
+      require(versionAsOf <= snap.version,
+        s"restore of $tablePath: version $versionAsOf is beyond head ${snap.version}")
+      val curByRel = snap.files.map(f => f.path -> f).toMap
+      val tgtByRel = target.files.map(f => f.path -> f).toMap
+      val toAdd = target.files.filter(f => !curByRel.contains(f.path) ||
+        curByRel(f.path).deletionVector != f.deletionVector)
+      val toRemove = snap.files.filter(f => !tgtByRel.contains(f.path))
+      if (toAdd.isEmpty && toRemove.isEmpty) return (snap.version, 0L, 0L)
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+      val physMapAll = DeltaImport.topLevelPhysicalNames(snap.schema)
+      val physSchema = StructType(snap.schema.fields.map(f =>
+        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val physPartCols = snap.partitionColumns.map(c =>
+        physMapAll.getOrElse(c, c))
+      val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
+          snap.schema.fieldNames.toSeq)
+        .map(_.map(n => physMapAll.getOrElse(n, n)))
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(
+        Commit(v, nowMs, "RESTORE", Nil,
+          Map("numRestoredFiles" -> toAdd.size.toLong,
+            "numRemovedFiles" -> toRemove.size.toLong),
+          snap.schema.json),
+        ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true"))
+          Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
+            nowMs))
+        else None)
+      toRemove.sortBy(_.path).foreach { f =>
+        val dvField = f.deletionVector
+          .map(d => "deletionVector" -> dvJson(d)).toList
+        lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+          "path" -> (JString(encodePath(f.path)): JValue),
+          "deletionTimestamp" -> (JLong(nowMs): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++ dvField: _*)))
+      }
+      toAdd.sortBy(_.path).foreach { f =>
+        // A both-sides file changing only its DV removes first (the
+        // remove+add pair Delta writes for DV transitions).
+        if (curByRel.contains(f.path)) {
+          val dvField = curByRel(f.path).deletionVector
+            .map(d => "deletionVector" -> dvJson(d)).toList
+          lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+            "path" -> (JString(encodePath(f.path)): JValue),
+            "deletionTimestamp" -> (JLong(nowMs): JValue),
+            "dataChange" -> (JBool(true): JValue)) ++ dvField: _*)))
+        }
+        val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, f.path))
+        lines += addJson(f.path, st, physSchema, physPartCols,
+          dataChange = true, conf, f.deletionVector, f.baseRowId,
+          f.defaultRowCommitVersion, None, allowedStats)
+      }
+      val targetJson = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      val tmp = new Path(logDir,
+        s".${targetJson.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val won = !fs.exists(targetJson) && fs.rename(tmp, targetJson)
+      if (!won) fs.delete(tmp, false)
+      if (won) return (v, toAdd.size.toLong, toRemove.size.toLong)
+      // lost the race: the diff re-derives against the new head
+    }
+    throw new IllegalArgumentException(
+      s"restore of $tablePath: lost the commit race 20 times — " +
+        "a writer storm; retry when the table quiesces")
+  }
+
   /** VACUUM on a FOREIGN Delta table — delta-spark's file-level vacuum:
     * every file under the table root that the CURRENT snapshot does not
     * reference (data parquet, deletion-vector bins, change-data files,

@@ -419,6 +419,21 @@ case class GraftForeignVacuumCommand(
   }
 }
 
+/** `RESTORE TABLE delta.`path` TO VERSION AS OF n` — foreign-table
+  * restore ([[graft.sources.DeltaExport.restoreForeign]]). */
+case class GraftForeignRestoreCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    GraftSqlCommands.metricAttrs("num_restored_files", "num_removed_files")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (_, added, removed) =
+      graft.sources.DeltaExport.restoreForeign(session, path, version)
+    Seq(Row(added, removed))
+  }
+}
+
 case class GraftVacuumCommand(
     table: GraftTable,
     retainHours: Option[Double],

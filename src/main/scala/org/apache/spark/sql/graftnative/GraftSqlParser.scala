@@ -518,6 +518,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         GraftDropFeatureCommand(t, feature, truncateHistory = trunc != null))
       case RestoreRe(ident, v) => graft(ident).map(t =>
         GraftRestoreCommand(t, Some(v.toLong)))
+        .orElse(ident.trim match {
+          // `RESTORE TABLE delta.`path` TO VERSION AS OF n`
+          case ForeignPathRe(p) =>
+            Some(GraftForeignRestoreCommand(p, v.toLong))
+          case _ => None
+        })
       case RestoreTsRe(ident, ts) => graft(ident).map(t =>
         GraftRestoreCommand(t, None,
           Some(evalTsMillis(delegate.parseExpression(ts.trim)))))

@@ -418,6 +418,41 @@ class DeltaForeignAppendSpec extends SparkSpec {
       .head().getLong(0) === 0L)
   }
 
+  test("foreign RESTORE rewinds data (DV transitions included), not schema") {
+    val root = tmpDir("frst")
+    val t = GraftTable.create(spark, root,
+      (0L until 30L).map(i => (i, s"s$i")).toDF("k", "s"), Nil)
+    t.deletePositional(col("k") === 29L)
+    DeltaExport.exportLog(t)
+    retire(root)
+    val v0 = DeltaImport.latestVersion(spark, root)
+    val expect0 = DeltaImport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    // mutate through the foreign verbs: append + DV delete
+    DeltaExport.appendToForeign(spark, root,
+      Seq((100L, "s100")).toDF("k", "s"))
+    DeltaExport.deleteFromForeign(spark, root, col("k") % 5 === 0L)
+    assert(DeltaImport.read(spark, root)
+      .select("k", "s").collect().length !== expect0.size)
+
+    val row = spark
+      .sql(s"RESTORE TABLE delta.`$root` TO VERSION AS OF $v0").head()
+    assert(row.getLong(0) + row.getLong(1) > 0)
+    assert(DeltaImport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().toSet === expect0)
+    // restore is itself a version — history keeps moving forward
+    assert(DeltaImport.latestVersion(spark, root) === v0 + 3)
+    // restoring to the head state is a no-op
+    val (v2, a2, r2) = DeltaExport.restoreForeign(spark, root, v0 + 3)
+    assert(v2 === v0 + 3 && a2 === 0L && r2 === 0L)
+    // a vacuumed-away version refuses with the horizon message
+    DeltaExport.vacuumForeign(spark, root,
+      nowMs = System.currentTimeMillis() + 200L * 3600 * 1000)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.restoreForeign(spark, root, v0 + 2))
+    assert(e.getMessage.contains("retention horizon"))
+  }
+
   test("txn-stamped appends are exactly-once per (appId, batch)") {
     val root = tmpDir("fap-txn")
     val t = GraftTable.create(spark, root,
