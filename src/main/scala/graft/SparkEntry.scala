@@ -240,6 +240,8 @@ object SparkEntry {
     "q208_batch_novelty"     -> (CorpusQueries.batchNovelty _),
     "q209_pmi_collocations"  -> (CorpusQueries.pmiCollocations _),
     "q210_foreign_restore"   -> (DeltaBridgeQueries.deltaForeignRestore _),
+    "q211_join_key_skew"     -> (OlapQueries.joinKeySkew _),
+    "q212_length_percentiles" -> (CorpusQueries.lengthPercentiles _),
   )
 
   /** q118/q120 share the SCD2 history reconstruction: the CTE set deriving
@@ -602,6 +604,38 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderstatus""".stripMargin,
+    // join-key skew (q211): top-20 heaviest lineitem order keys with
+    // fixed-point share — the pre-salting diagnostic
+    "q211_join_key_skew" ->
+      """WITH c AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+        |SELECT l_orderkey, c, (1000000000 * c) // n.n AS share_fp
+        |FROM c CROSS JOIN n
+        |ORDER BY c DESC, l_orderkey LIMIT 20""".stripMargin,
+    // length percentiles (q212): exact nearest-rank P50/P90/P99 token
+    // counts per source, integer-only with doc-id tiebreak
+    "q212_length_percentiles" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS words
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, words,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY words, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |  CAST(max(CASE WHEN rn = (n*50 + 99) // 100 THEN words END)
+        |    AS BIGINT) AS p50_words,
+        |  CAST(max(CASE WHEN rn = (n*90 + 99) // 100 THEN words END)
+        |    AS BIGINT) AS p90_words,
+        |  CAST(max(CASE WHEN rn = (n*99 + 99) // 100 THEN words END)
+        |    AS BIGINT) AS p99_words
+        |FROM r GROUP BY source""".stripMargin,
     // foreign RESTORE (q210): the append+delete detour must be invisible
     // — the read equals the exported snapshot
     "q210_foreign_restore" ->

@@ -1953,6 +1953,33 @@ object CorpusQueries {
           col("n_grams").cast("double")).as("novelty"))
   }
 
+  /** q212: per-source length percentiles — the packing-length decision
+    * table (choosing max_len for q61's sequence packing is exactly
+    * "what P99 am I willing to truncate at, per source"): exact
+    * NEAREST-RANK P50/P90/P99 of token counts, integer-only (rank
+    * ceil(p·n/100) via `(n·p + 99) div 100`, doc-id tiebreak) — no
+    * interpolated float quantiles, so the cross-engine hash is stable.
+    * Shape: one scan + a per-source window rank; at 100 TB per-source
+    * partitions window independently (sources are the parallel unit),
+    * or swap to the q67 approx sketches when a source outgrows a
+    * partition — this exact form is the calibration run. */
+  def lengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("words"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("source").orderBy(col("words"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w.partitionBy("source")))
+    def pct(p: Int) =
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("words")))
+    d.groupBy("source").agg(
+      max(col("n")).as("n_docs"),
+      pct(50).as("p50_words"),
+      pct(90).as("p90_words"),
+      pct(99).as("p99_words"))
+  }
+
   /** q209: PMI collocation mining — the top token pairs whose
     * within-document co-occurrence beats independence: the
     * query-expansion / phrase-vocabulary table (and the "those two

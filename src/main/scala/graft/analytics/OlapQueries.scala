@@ -500,4 +500,23 @@ object OlapQueries {
         max(o("o_totalprice")).as("max_order"))
       .orderBy(col("segment"))
   }
+
+  /** q211: join-key skew report — the measurement that decides SALTING
+    * before a fact⋈dim join ships (q68/q82 are the remedies; this is the
+    * diagnostic): the top-20 heaviest lineitem order keys with their
+    * row counts and a fixed-point share-of-total (1e9·c div N — one
+    * truncating division per surviving row). One map-side-combinable
+    * hash aggregate + a bounded top-k heap; the share denominator rides
+    * a broadcast one-row aggregate. At 100 TB this IS the skew probe a
+    * salting rollout runs first — a top key at >1% of a trillion rows
+    * names the salt factor. */
+  def joinKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .crossJoin(li.agg(count(lit(1)).as("n")))
+      .select(col("l_orderkey"), col("c"),
+        expr("1000000000L * c div n").as("share_fp"))
+      .orderBy(col("c").desc, col("l_orderkey"))
+      .limit(20)
+  }
 }
