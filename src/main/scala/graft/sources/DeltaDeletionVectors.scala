@@ -119,6 +119,33 @@ object DeltaDeletionVectors {
     buf.array()
   }
 
+  /** Streaming bitmap builder for ONE file's deletion vector — positions
+    * feed in one at a time (any order, duplicates dedup in the
+    * containers), so the distributed DV build never materializes a
+    * per-file position array: an executor task holds compressed bitmaps,
+    * not 8 bytes per deleted row. */
+  final class BitmapBuilder {
+    private val byKey =
+      scala.collection.mutable.TreeMap.empty[Int, RoaringBitmap]
+    def add(p: Long): Unit =
+      byKey.getOrElseUpdate((p >>> 32).toInt, new RoaringBitmap())
+        .add((p & 0xffffffffL).toInt)
+    def cardinality: Long =
+      byKey.valuesIterator.map(_.getLongCardinality).sum
+    /** Portable RoaringBitmapArray bytes — layout identical to
+      * [[serializeBitmap]]. */
+    def serialize(): Array[Byte] = {
+      byKey.valuesIterator.foreach(_.runOptimize())
+      val size = 4 + 8 +
+        byKey.valuesIterator.map(b => 4 + b.serializedSizeInBytes()).sum
+      val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(Magic)
+      buf.putLong(byKey.size.toLong)
+      byKey.foreach { case (k, b) => buf.putInt(k); b.serialize(buf) }
+      buf.array()
+    }
+  }
+
   /** Decode portable RoaringBitmapArray bytes into SORTED 64-bit positions. */
   def deserializeBitmap(bytes: Array[Byte]): Array[Long] = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -191,7 +218,21 @@ object DeltaDeletionVectors {
     * The file name embeds a deterministic UUID derived from `seedName` so
     * an idempotent re-export converges on the same file. */
   def writeFile(dvByKey: Seq[(String, Seq[Long])], tablePath: String,
-      seedName: String, conf: Configuration): Map[String, Descriptor] = {
+      seedName: String, conf: Configuration): Map[String, Descriptor] =
+    writeSerializedFile(dvByKey.map { case (key, positions) =>
+      (key, serializeBitmap(positions), positions.distinct.size.toLong)
+    }, tablePath, seedName, conf)
+
+  /** [[writeFile]]'s core over ALREADY-SERIALIZED bitmaps — the task-side
+    * half of the distributed DV build: each executor task serializes the
+    * bitmaps of the files its shuffle partition owns and writes ONE DV
+    * file; only the (file-count-sized) descriptors travel back to the
+    * driver. Same on-disk layout and write-once deterministic naming, so
+    * an idempotent re-run (task retry included) converges on the same
+    * file. */
+  def writeSerializedFile(entries: Seq[(String, Array[Byte], Long)],
+      tablePath: String, seedName: String,
+      conf: Configuration): Map[String, Descriptor] = {
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft-dv-$seedName".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val bb = ByteBuffer.allocate(16)
@@ -205,14 +246,13 @@ object DeltaDeletionVectors {
     val bytesOut = new java.io.ByteArrayOutputStream()
     bytesOut.write(1) // format version byte
     var offset = 1
-    dvByKey.foreach { case (key, positions) =>
-      val data = serializeBitmap(positions)
+    entries.foreach { case (key, data, cardinality) =>
       val head = ByteBuffer.allocate(4).putInt(data.length).array() // big-endian
       val crc = new CRC32(); crc.update(data)
       val tail = ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
       bytesOut.write(head); bytesOut.write(data); bytesOut.write(tail)
       out += key -> Descriptor("u", encUuid, Some(offset), data.length,
-        positions.distinct.size.toLong)
+        cardinality)
       offset += 4 + data.length + 4
     }
     // Write-once: an existing file at this (deterministic) name is a

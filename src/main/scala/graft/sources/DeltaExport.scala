@@ -1138,6 +1138,71 @@ object DeltaExport {
     else Some(writeCheckpoint(spark, tablePath))
   }
 
+  // ------------------------------------------- foreign commit publication
+
+  /** TEST SEAM — invoked once per publish attempt, after the commit
+    * content is durable in its tmp file and immediately before the
+    * exclusive rename. Race specs use it to stage a RIVAL commit in the
+    * window between snapshot read and publish (the window the optimistic
+    * protocol must survive); production leaves it a no-op. */
+  private[graft] var onBeforeForeignPublish: () => Unit = () => ()
+
+  /** Publish `content` as log file `target` through an atomic
+    * no-overwrite primitive — Delta's LogStore put-if-absent contract
+    * (PROTOCOL.md requires mutual exclusion on `N.json`; delta-spark's
+    * HDFSLogStore implements it as `FileContext.rename(…, Rename.NONE)`,
+    * mirrored here). A plain `!fs.exists(target) && fs.rename(…)` is
+    * check-then-act: POSIX rename(2) silently REPLACES an existing
+    * destination, so two racing writers could both report success with
+    * the later one overwriting an already-committed version. With
+    * Rename.NONE the loser gets FileAlreadyExistsException, reaps its
+    * tmp, and the commit loop re-resolves at N+1. Returns true iff this
+    * writer owns version `target`. */
+  private def publishExclusive(
+      conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, logDir: Path, target: Path,
+      content: String): Boolean = {
+    val tmp = new Path(logDir,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    onBeforeForeignPublish()
+    val qualTarget = fs.makeQualified(target)
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(qualTarget.toUri, conf)
+    val won =
+      try {
+        fc.rename(fs.makeQualified(tmp), qualTarget,
+          org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+            if Option(e.getMessage).exists(_.contains("already exists")) =>
+          false
+      }
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** Post-commit maintenance a Delta writer owes the table: checkpoint
+    * when the JSON tail has reached the table's OWN
+    * `delta.checkpointInterval` (delta-spark's default 10). Batch verbs
+    * call this after every won commit so an API user who never touches
+    * [[maintainCheckpoint]] still leaves a bounded tail. Failures are
+    * swallowed — the commit is already durable, and a checkpoint is a
+    * read optimization any later writer can redo. */
+  private def checkpointIfDue(spark: SparkSession, tablePath: String,
+      cfg: Map[String, String]): Unit =
+    try {
+      val every = cfg.get("delta.checkpointInterval")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ > 0).getOrElse(10)
+      maintainCheckpoint(spark, tablePath, every)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   // ------------------------------------------------ foreign-table appends
 
   /** Writer features whose APPEND-time obligations this writer discharges
@@ -1397,14 +1462,10 @@ object DeltaExport {
       }
       val target = new Path(logDir, f"$v%020d.json")
       val content = lines.result().mkString("", "\n", "\n")
-      val tmp = new Path(logDir,
-        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val won = !fs.exists(target) && fs.rename(tmp, target)
-      if (!won) fs.delete(tmp, false)
-      if (won) return v
+      if (publishExclusive(conf, fs, logDir, target, content)) {
+        checkpointIfDue(spark, tablePath, snap.configuration)
+        return v
+      }
       // lost to a concurrent committer — loop re-resolves and retries
     }
     refuse(s"append to $tablePath: lost the commit race 20 times — " +
@@ -1547,14 +1608,10 @@ object DeltaExport {
       }
       val target = new Path(logDir, f"$v%020d.json")
       val content = lines.result().mkString("", "\n", "\n")
-      val tmp = new Path(logDir,
-        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val won = !fs.exists(target) && fs.rename(tmp, target)
-      if (!won) fs.delete(tmp, false)
-      if (won) return (v, selected.size.toLong, stagedFiles.size.toLong)
+      if (publishExclusive(conf, fs, logDir, target, content)) {
+        checkpointIfDue(spark, tablePath, snap.configuration)
+        return (v, selected.size.toLong, stagedFiles.size.toLong)
+      }
     }
     fs.delete(stagePath, true)
     throw new IllegalArgumentException(
@@ -1660,14 +1717,10 @@ object DeltaExport {
       }
       val targetJson = new Path(logDir, f"$v%020d.json")
       val content = lines.result().mkString("", "\n", "\n")
-      val tmp = new Path(logDir,
-        s".${targetJson.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val won = !fs.exists(targetJson) && fs.rename(tmp, targetJson)
-      if (!won) fs.delete(tmp, false)
-      if (won) return (v, toAdd.size.toLong, toRemove.size.toLong)
+      if (publishExclusive(conf, fs, logDir, targetJson, content)) {
+        checkpointIfDue(spark, tablePath, snap.configuration)
+        return (v, toAdd.size.toLong, toRemove.size.toLong)
+      }
       // lost the race: the diff re-derives against the new head
     }
     throw new IllegalArgumentException(
@@ -1703,13 +1756,50 @@ object DeltaExport {
     }
     val cutoff = nowMs - (retentionHours * 3600 * 1000).toLong
     val rootAbs = root.toUri.getPath.stripSuffix("/")
-    // The keep set: the live snapshot's data files and every deletion-
-    // vector file a live descriptor references.
+    // The keep set: the live snapshot's data files, every deletion-vector
+    // file a live descriptor references, AND — delta-spark's VACUUM rule —
+    // every file referenced by a remove tombstone whose deletionTimestamp
+    // is NEWER than the cutoff. A file written long ago but removed
+    // recently (an OPTIMIZE, RESTORE, or rewrite by any engine) is still
+    // needed by time travel, RESTORE, and in-flight readers of pre-remove
+    // snapshots within the retention window; deleting it on mtime alone
+    // would break them. Tombstones are recovered the way writeCheckpoint
+    // recovers them: the prior checkpoint's remove rows (history the JSON
+    // cleanup may have eaten), then the JSON tail after it.
+    val recentTombAbs: Set[String] = {
+      var tomb = Map.empty[String, Long] // rel path -> deletionTimestamp
+      var dvOfTomb = Map.empty[String, String] // rel path -> DV abs path
+      var priorVersion = -1L
+      DeltaImport.lastCheckpoint(spark, tablePath, Some(snap.version)).foreach {
+        case (pv, parts) =>
+          priorVersion = pv
+          val prior = spark.read.parquet(parts.map(_.toString): _*)
+          if (prior.columns.contains("remove"))
+            prior.select(col("remove.path"), col("remove.deletionTimestamp"))
+              .filter(col("path").isNotNull).collect()
+              .foreach(r => tomb += r.getString(0) ->
+                (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      }
+      DeltaImport.changesBetween(spark, tablePath, priorVersion, snap.version)
+        .foreach { vc =>
+          vc.allRemoves.foreach { r =>
+            tomb += r.path -> vc.timestampMs
+            r.deletionVector.filter(_.storageType != "i").foreach(d =>
+              dvOfTomb += r.path ->
+                DeltaDeletionVectors.filePathOf(d, tablePath).toUri.getPath)
+          }
+        }
+      val recent = tomb.filter { case (_, ts) => ts >= cutoff }.keySet
+      recent.map(rel =>
+        DeltaImport.resolveFile(tablePath, rel).toUri.getPath) ++
+        recent.flatMap(dvOfTomb.get)
+    }
     val liveAbs: Set[String] =
       snap.files.map(f =>
         DeltaImport.resolveFile(tablePath, f.path).toUri.getPath).toSet ++
       snap.files.flatMap(_.deletionVector).filter(_.storageType != "i")
-        .map(d => DeltaDeletionVectors.filePathOf(d, tablePath).toUri.getPath)
+        .map(d => DeltaDeletionVectors.filePathOf(d, tablePath).toUri.getPath) ++
+      recentTombAbs
     val deleted = Seq.newBuilder[String]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
@@ -1844,39 +1934,43 @@ object DeltaExport {
       else Some(DeltaImport
         .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
         .join(srcKeys, Seq(keyName)).persist())
-    val hits: Array[(String, Long)] = matchedRows
-      .map(_.select(FileC, PosC).collect()
-        .map(r => (r.getString(0), r.getLong(1))))
-      .getOrElse(Array.empty)
     // With deletionVectors advertised matched rows record as DVs; else
     // the touched files rewrite to their survivors (delta-spark's own
     // pre-DV merge shape) — every Delta table is mergeable.
     val dvSupported = snap0.protocol.exists(p =>
       p.readerFeatures.contains("deletionVectors") ||
         p.writerFeatures.contains("deletionVectors"))
-    val matchedCount = hits.length.toLong
 
     val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
       DeltaImport.pathSpellings(tablePath, f.path, conf).map(_ -> f.path)).toMap
-    val newByRel: Map[String, Seq[Long]] = hits.toSeq
-      .groupBy(h => relOfSpelling.getOrElse(h._1,
-        throw new IllegalStateException(
-          s"merge into $tablePath: unmapped file spelling ${h._1}")))
-      .map { case (rel, ps) => rel -> ps.map(_._2) }
     val byRel: Map[String, DeltaImport.AddFile] =
       snap0.files.map(f => f.path -> f).toMap
-    val unionByRel: Map[String, Seq[Long]] = newByRel.map { case (rel, ps) =>
-      val old = byRel(rel).deletionVector.filter(_.cardinality != 0L)
-        .map(d => DeltaDeletionVectors.readPositions(d, tablePath, conf).toSeq)
-        .getOrElse(Nil)
-      rel -> (old ++ ps).distinct.sorted
-    }
     val seed = java.util.UUID.randomUUID().toString
-    val descByRel =
-      if (unionByRel.isEmpty || !dvSupported)
-        Map.empty[String, DeltaDeletionVectors.Descriptor]
-      else DeltaDeletionVectors.writeFile(
-        unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
+    // Distributed DV build — matched positions aggregate into per-file
+    // bitmaps on executors ([[buildForeignDvs]]); the rewrite fallback
+    // needs only the touched-file SET. The driver never holds positions.
+    val (touchedRels, descByRel, matchedCount) = matchedRows match {
+      case None =>
+        (Seq.empty[String],
+          Map.empty[String, DeltaDeletionVectors.Descriptor], 0L)
+      case Some(m) if dvSupported =>
+        val built = buildForeignDvs(spark, tablePath, m, FileC, PosC,
+          relOfSpelling,
+          candidates.map(f => f.path ->
+            f.deletionVector.filter(_.cardinality != 0L)).toMap, seed)
+        (built.map(_.rel).sorted,
+          built.map(b => b.rel -> b.desc).toMap,
+          built.map(_.newHits).sum)
+      case Some(m) =>
+        val rels = m.select(FileC).distinct().collect()
+          .map(r => relOfSpelling.getOrElse(r.getString(0),
+            throw new IllegalStateException(
+              s"merge into $tablePath: unmapped file spelling ${r.getString(0)}")))
+          .toSeq.sorted
+        (rels, Map.empty[String, DeltaDeletionVectors.Descriptor],
+          if (rels.isEmpty) 0L else m.count())
+    }
+    val touchedSet = touchedRels.toSet
 
     // Stage ALL source rows (the matched keys' new images + the inserts).
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
@@ -1886,9 +1980,16 @@ object DeltaExport {
     // source does NOT carry; old DVs already applied by the scan) stage
     // as fresh files replacing the removed originals.
     val survivorStage: Option[Path] =
-      if (dvSupported || unionByRel.isEmpty) None
+      if (dvSupported || touchedRels.isEmpty) None
       else {
-        val touched = snap0.files.filter(f => unionByRel.contains(f.path))
+        // Mirror deleteFromForeign: a rewrite assigns FRESH baseRowIds to
+        // survivor files, silently breaking row-id stability for rows the
+        // merge never touched — refuse rather than corrupt.
+        require(!snap0.protocol.exists(p => p.minWriterVersion >= 7 &&
+          p.writerFeatures.contains("rowTracking")),
+          s"merge into $tablePath: the rewrite fallback cannot preserve " +
+            "row tracking — enable delta.enableDeletionVectors instead")
+        val touched = snap0.files.filter(f => touchedSet(f.path))
         val survivors = DeltaImport
           .readFilesWithPositions(spark, snap0, touched, FileC, PosC)
           .join(srcKeys, Seq(keyName), "left_anti")
@@ -2021,13 +2122,26 @@ object DeltaExport {
         if (alreadyCommitted(snap)) { fs.delete(stagePath, true)
           return (snap.version, 0L, 0L) }
         val nowByRel = snap.files.map(f => f.path -> f).toMap
-        val touchedChanged = unionByRel.keys.exists { rel =>
+        val touchedChanged = touchedRels.exists { rel =>
           nowByRel.get(rel).forall(_.deletionVector !=
             byRel(rel).deletionVector) }
+        // A rival blind append carrying any of the source's MERGE KEYS
+        // does not commute: a retried merge would insert a key the rival
+        // just appended, leaving duplicate keys (delta-spark raises
+        // ConcurrentAppendException). With a bounded key set the rival
+        // adds prune against `key isin`; an unbounded set aborts on ANY
+        // rival add — conservative, and a writer storm is re-runnable.
+        val rivalConflicts = {
+          val rivalAdds = snap.files.filterNot(f => byRel.contains(f.path))
+          rivalAdds.nonEmpty && (keySample.length > 1000 ||
+            DeltaSkipping.prune(spark, snap.copy(files = rivalAdds),
+              col(s"`$keyName`").isin(keySample.toIndexedSeq: _*)).nonEmpty)
+        }
         if (snap.schema.json != snap0.schema.json ||
-            snap.partitionColumns != snap0.partitionColumns || touchedChanged)
-          refuse(s"merge into $tablePath: a concurrent commit touched the " +
-            "rows being merged — re-run the merge against the new state")
+            snap.partitionColumns != snap0.partitionColumns ||
+            touchedChanged || rivalConflicts)
+          refuse(s"merge into $tablePath: a concurrent commit touched or " +
+            "added rows being merged — re-run the merge against the new state")
         if (constraintsOf(snap.configuration) !=
             constraintsOf(snap0.configuration))
           validate(snap.configuration)
@@ -2057,14 +2171,14 @@ object DeltaExport {
             "numTargetFilesAdded" ->
               (stagedFiles.size + survivorFiles.size).toLong,
             "numDeletionVectorsAdded" ->
-              (if (dvSupported) unionByRel.size.toLong else 0L)),
+              (if (dvSupported) touchedRels.size.toLong else 0L)),
           snap0.schema.json),
         ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
             .contains("true"))
           Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
             nowMs))
         else None)
-      unionByRel.keys.toSeq.sorted.foreach { rel =>
+      touchedRels.foreach { rel =>
         val prior = byRel(rel)
         val dvField = prior.deletionVector
           .map(d => "deletionVector" -> dvJson(d)).toList
@@ -2104,14 +2218,10 @@ object DeltaExport {
       }
       val target = new Path(logDir, f"$v%020d.json")
       val content = lines.result().mkString("", "\n", "\n")
-      val tmp = new Path(logDir,
-        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val won = !fs.exists(target) && fs.rename(tmp, target)
-      if (!won) fs.delete(tmp, false)
-      if (won) return (v, matchedCount, insertedCount)
+      if (publishExclusive(conf, fs, logDir, target, content)) {
+        checkpointIfDue(spark, tablePath, snap.configuration)
+        return (v, matchedCount, insertedCount)
+      }
     }
     refuse(s"merge into $tablePath: lost the commit race 20 times — " +
       "a writer storm; retry when the table quiesces")
@@ -2129,6 +2239,90 @@ object DeltaExport {
     lines.iterator.filter(_.trim.nonEmpty)
       .map(l => JsonMethods.parse(l) \ "commitInfo" \ "inCommitTimestamp")
       .collectFirst { case JInt(t) => t.toLong case JLong(t) => t }
+  }
+
+  /** One built deletion vector: the file's log-relative path, its new
+    * descriptor (positions = prior DV ∪ this verb's hits), and how many
+    * NEW positions this verb contributed. */
+  private final case class BuiltDv(rel: String,
+      desc: DeltaDeletionVectors.Descriptor, newHits: Long)
+
+  /** DISTRIBUTED per-file DV build for the foreign mutation verbs —
+    * replaces the driver-side collect of every matched (file, pos) pair:
+    * positions shuffle ONCE keyed by file (each file's positions land
+    * whole in one partition, sorted), executors fold them straight into
+    * compressed RoaringBitmaps ([[DeltaDeletionVectors.BitmapBuilder]] —
+    * never an 8-bytes-per-row array), union the file's PRIOR DV there
+    * (descriptors ride a broadcast, bitmap bytes are read task-side), and
+    * each non-empty partition writes ONE DV file; only per-file
+    * DESCRIPTORS return to the driver. Driver memory is file-count-sized
+    * regardless of the predicate's selectivity — a 10% DELETE on a 100 TB
+    * table no longer funnels billions of positions through one driver
+    * array (the shape of graft's native `deletePositionalCore` and of
+    * delta-spark's own DV writer). Task-retry-safe: partition content is
+    * deterministic (hash partition + sort on unique (file,pos)), and the
+    * DV file name derives from (seed, partitionId), so a retried task
+    * converges on the identical file and write-once reuses it. */
+  private def buildForeignDvs(spark: SparkSession, tablePath: String,
+      matched: org.apache.spark.sql.DataFrame, fileCol: String,
+      posCol: String, relOfSpelling: Map[String, String],
+      priorDvByRel: Map[String, Option[DeltaDeletionVectors.Descriptor]],
+      seed: String): Seq[BuiltDv] = {
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val bSpell = spark.sparkContext.broadcast(relOfSpelling)
+    val bPrior = spark.sparkContext.broadcast(priorDvByRel)
+    matched.select(col(fileCol), col(posCol)).as[(String, Long)]
+      .repartition(col(fileCol))
+      .sortWithinPartitions(fileCol, posCol)
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val entries = Seq.newBuilder[(String, Array[Byte], Long)]
+          val newHits = scala.collection.mutable.Map.empty[String, Long]
+          var curSpelling: String = null
+          var rel: String = null
+          var builder: DeltaDeletionVectors.BitmapBuilder = null
+          var hits = 0L
+          def flush(): Unit = if (builder != null) {
+            bPrior.value.getOrElse(rel, None).foreach { d =>
+              DeltaDeletionVectors.readPositions(d, tablePath, hconf.value)
+                .foreach(builder.add)
+            }
+            entries += ((rel, builder.serialize(), builder.cardinality))
+            newHits(rel) = hits
+          }
+          it.foreach { case (f, p) =>
+            if (f != curSpelling) {
+              flush()
+              curSpelling = f
+              rel = bSpell.value.getOrElse(f,
+                throw new IllegalStateException(
+                  s"DV build for $tablePath: unmapped file spelling $f"))
+              builder = new DeltaDeletionVectors.BitmapBuilder
+              hits = 0L
+            }
+            builder.add(p); hits += 1
+          }
+          flush()
+          val built = entries.result()
+          val descs = DeltaDeletionVectors.writeSerializedFile(
+            built, tablePath, s"$seed-p$pid", hconf.value)
+          built.iterator.map { case (r, _, card) =>
+            val d = descs(r)
+            (r, d.pathOrInlineDv, d.offset.getOrElse(1), d.sizeInBytes,
+              card, newHits(r))
+          }
+        }
+      }
+      .collect().toSeq
+      .map { case (r, enc, off, size, card, nh) =>
+        BuiltDv(r,
+          DeltaDeletionVectors.Descriptor("u", enc, Some(off), size, card),
+          nh)
+      }
   }
 
   /** DELETE from a FOREIGN Delta table by deletion vectors — the writer
@@ -2186,9 +2380,6 @@ object DeltaExport {
       .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
       .filter(predicate)
       .persist() // consumed by several jobs; batch-bounded, GC-reclaimed
-    val hits: Array[(String, Long)] = matchedRows.select(FileC, PosC)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    if (hits.isEmpty) return (snap0.version, 0L)
     // With deletionVectors advertised the hits record as DVs (no file
     // rewritten); otherwise fall back to delta-spark's own pre-DV shape:
     // touched files are REMOVED and their surviving rows rewritten —
@@ -2200,25 +2391,33 @@ object DeltaExport {
     // file_path spelling → the snapshot's log-relative path
     val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
       DeltaImport.pathSpellings(tablePath, f.path, conf).map(_ -> f.path)).toMap
-    val newByRel: Map[String, Seq[Long]] = hits.toSeq
-      .groupBy(h => relOfSpelling.getOrElse(h._1,
-        throw new IllegalStateException(
-          s"delete from $tablePath: unmapped file spelling ${h._1}")))
-      .map { case (rel, ps) => rel -> ps.map(_._2) }
     val byRel: Map[String, DeltaImport.AddFile] =
       snap0.files.map(f => f.path -> f).toMap
-    val unionByRel: Map[String, Seq[Long]] = newByRel.map { case (rel, ps) =>
-      val old = byRel(rel).deletionVector.filter(_.cardinality != 0L)
-        .map(d => DeltaDeletionVectors.readPositions(d, tablePath, conf).toSeq)
-        .getOrElse(Nil)
-      rel -> (old ++ ps).distinct.sorted
-    }
-    val deletedCount = hits.length.toLong
     val seed = java.util.UUID.randomUUID().toString
-    val descByRel =
-      if (!dvSupported) Map.empty[String, DeltaDeletionVectors.Descriptor]
-      else DeltaDeletionVectors.writeFile(
-        unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
+    // Touched files and their DVs come back DESCRIPTOR-sized: positions
+    // aggregate into per-file bitmaps on executors ([[buildForeignDvs]]);
+    // the rewrite fallback needs only the touched-file SET (one distinct
+    // over the file column) — the driver never holds row positions.
+    val (touchedRels, descByRel, deletedCount) =
+      if (dvSupported) {
+        val built = buildForeignDvs(spark, tablePath, matchedRows, FileC,
+          PosC, relOfSpelling,
+          candidates.map(f => f.path ->
+            f.deletionVector.filter(_.cardinality != 0L)).toMap, seed)
+        (built.map(_.rel).sorted,
+          built.map(b => b.rel -> b.desc).toMap,
+          built.map(_.newHits).sum)
+      } else {
+        val rels = matchedRows.select(FileC).distinct().collect()
+          .map(r => relOfSpelling.getOrElse(r.getString(0),
+            throw new IllegalStateException(
+              s"delete from $tablePath: unmapped file spelling ${r.getString(0)}")))
+          .toSeq.sorted
+        (rels, Map.empty[String, DeltaDeletionVectors.Descriptor],
+          if (rels.isEmpty) 0L else matchedRows.count())
+      }
+    if (touchedRels.isEmpty) return (snap0.version, 0L)
+    val touchedSet = touchedRels.toSet
 
     // CDF: cdc actions restate the deleted rows (physical names on disk,
     // partitioned like the table — Delta stamps version/timestamp itself).
@@ -2250,7 +2449,7 @@ object DeltaExport {
           p.writerFeatures.contains("rowTracking")),
           s"delete from $tablePath: the rewrite fallback cannot preserve " +
             "row tracking — enable delta.enableDeletionVectors instead")
-        val touched = snap0.files.filter(f => unionByRel.contains(f.path))
+        val touched = snap0.files.filter(f => touchedSet(f.path))
         val survivors = DeltaImport
           .readFilesWithPositions(spark, snap0, touched, FileC, PosC)
           .filter(!org.apache.spark.sql.functions.coalesce(predicate,
@@ -2289,15 +2488,27 @@ object DeltaExport {
         // Row-level ops retry only a TRIVIAL race: the winner must have
         // left every touched file byte-identical (same path, same DV).
         val nowByRel = snap.files.map(f => f.path -> f).toMap
-        val touchedChanged = unionByRel.keys.exists { rel =>
+        val touchedChanged = touchedRels.exists { rel =>
           nowByRel.get(rel).forall(_.deletionVector !=
             byRel(rel).deletionVector) }
+        // A rival BLIND APPEND whose rows match the predicate does not
+        // commute either: a retried DELETE would commit while missing
+        // those rows — delta-spark raises ConcurrentAppendException for
+        // exactly this. Files added since snap0 prune against the
+        // predicate; any possible match aborts with the re-run message
+        // (a file without stats conservatively "may match").
+        val rivalMayMatch = {
+          val rivalAdds = snap.files.filterNot(f => byRel.contains(f.path))
+          rivalAdds.nonEmpty && DeltaSkipping
+            .prune(spark, snap.copy(files = rivalAdds), predicate).nonEmpty
+        }
         if (snap.schema.json != snap0.schema.json ||
-            snap.partitionColumns != snap0.partitionColumns || touchedChanged) {
+            snap.partitionColumns != snap0.partitionColumns ||
+            touchedChanged || rivalMayMatch) {
           survivorStage.foreach(fs.delete(_, true))
           throw new IllegalArgumentException(
-            s"delete from $tablePath: a concurrent commit touched the rows " +
-              "being deleted — re-run the delete against the new state")
+            s"delete from $tablePath: a concurrent commit touched or added " +
+              "rows being deleted — re-run the delete against the new state")
         }
       }
       val v = snap.version + 1
@@ -2312,16 +2523,16 @@ object DeltaExport {
         Commit(v, nowMs, "DELETE", Nil,
           Map("numDeletedRows" -> deletedCount,
             "numDeletionVectorsAdded" ->
-              (if (dvSupported) unionByRel.size.toLong else 0L),
+              (if (dvSupported) touchedRels.size.toLong else 0L),
             "numRemovedFiles" ->
-              (if (dvSupported) 0L else unionByRel.size.toLong)),
+              (if (dvSupported) 0L else touchedRels.size.toLong)),
           snap0.schema.json),
         ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
             .contains("true"))
           Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
             nowMs))
         else None)
-      unionByRel.keys.toSeq.sorted.foreach { rel =>
+      touchedRels.foreach { rel =>
         val prior = byRel(rel)
         val dvField = prior.deletionVector
           .map(d => "deletionVector" -> dvJson(d)).toList
@@ -2345,14 +2556,10 @@ object DeltaExport {
       }
       val target = new Path(logDir, f"$v%020d.json")
       val content = lines.result().mkString("", "\n", "\n")
-      val tmp = new Path(logDir,
-        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val won = !fs.exists(target) && fs.rename(tmp, target)
-      if (!won) fs.delete(tmp, false)
-      if (won) return (v, deletedCount)
+      if (publishExclusive(conf, fs, logDir, target, content)) {
+        checkpointIfDue(spark, tablePath, snap.configuration)
+        return (v, deletedCount)
+      }
     }
     throw new IllegalArgumentException(
       s"delete from $tablePath: lost the commit race 20 times — " +
@@ -2432,29 +2639,21 @@ object DeltaExport {
       .readFilesWithPositions(spark, snap0, candidates, FileC, PosC)
       .filter(predicate)
       .persist() // consumed by several jobs; batch-bounded, GC-reclaimed
-    val hits: Array[(String, Long)] = matchedRows.select(FileC, PosC)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    if (hits.isEmpty) return (snap0.version, 0L)
-
     val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
       DeltaImport.pathSpellings(tablePath, f.path, conf).map(_ -> f.path)).toMap
-    val newByRel: Map[String, Seq[Long]] = hits.toSeq
-      .groupBy(h => relOfSpelling.getOrElse(h._1,
-        throw new IllegalStateException(
-          s"update of $tablePath: unmapped file spelling ${h._1}")))
-      .map { case (rel, ps) => rel -> ps.map(_._2) }
     val byRel: Map[String, DeltaImport.AddFile] =
       snap0.files.map(f => f.path -> f).toMap
-    val unionByRel: Map[String, Seq[Long]] = newByRel.map { case (rel, ps) =>
-      val old = byRel(rel).deletionVector.filter(_.cardinality != 0L)
-        .map(d => DeltaDeletionVectors.readPositions(d, tablePath, conf).toSeq)
-        .getOrElse(Nil)
-      rel -> (old ++ ps).distinct.sorted
-    }
-    val updatedCount = hits.length.toLong
     val seed = java.util.UUID.randomUUID().toString
-    val descByRel = DeltaDeletionVectors.writeFile(
-      unionByRel.toSeq.sortBy(_._1), tablePath, seed, conf)
+    // Distributed DV build — positions never reach the driver (see
+    // [[buildForeignDvs]]); only per-file descriptors come back.
+    val built = buildForeignDvs(spark, tablePath, matchedRows, FileC, PosC,
+      relOfSpelling,
+      candidates.map(f => f.path ->
+        f.deletionVector.filter(_.cardinality != 0L)).toMap, seed)
+    if (built.isEmpty) return (snap0.version, 0L)
+    val touchedRels = built.map(_.rel).sorted
+    val descByRel = built.map(b => b.rel -> b.desc).toMap
+    val updatedCount = built.map(_.newHits).sum
 
     // The updated copies stage exactly like an append.
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
@@ -2559,13 +2758,21 @@ object DeltaExport {
       if (attempt > 1) {
         gate(snap)
         val nowByRel = snap.files.map(f => f.path -> f).toMap
-        val touchedChanged = unionByRel.keys.exists { rel =>
+        val touchedChanged = touchedRels.exists { rel =>
           nowByRel.get(rel).forall(_.deletionVector !=
             byRel(rel).deletionVector) }
+        // Rival blind appends matching the predicate conflict too — a
+        // retried UPDATE would miss their rows (see deleteFromForeign).
+        val rivalMayMatch = {
+          val rivalAdds = snap.files.filterNot(f => byRel.contains(f.path))
+          rivalAdds.nonEmpty && DeltaSkipping
+            .prune(spark, snap.copy(files = rivalAdds), predicate).nonEmpty
+        }
         if (snap.schema.json != snap0.schema.json ||
-            snap.partitionColumns != snap0.partitionColumns || touchedChanged)
-          refuse(s"update of $tablePath: a concurrent commit touched the " +
-            "rows being updated — re-run the update against the new state")
+            snap.partitionColumns != snap0.partitionColumns ||
+            touchedChanged || rivalMayMatch)
+          refuse(s"update of $tablePath: a concurrent commit touched or " +
+            "added rows being updated — re-run the update against the new state")
         if (constraintsOf(snap.configuration) !=
             constraintsOf(snap0.configuration))
           validate(snap.configuration)
@@ -2592,14 +2799,14 @@ object DeltaExport {
         Commit(v, nowMs, "UPDATE", Nil,
           Map("numUpdatedRows" -> updatedCount,
             "numFiles" -> stagedFiles.size.toLong,
-            "numDeletionVectorsAdded" -> unionByRel.size.toLong),
+            "numDeletionVectorsAdded" -> touchedRels.size.toLong),
           snap0.schema.json),
         ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
             .contains("true"))
           Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
             nowMs))
         else None)
-      unionByRel.keys.toSeq.sorted.foreach { rel =>
+      touchedRels.foreach { rel =>
         val prior = byRel(rel)
         val dvField = prior.deletionVector
           .map(d => "deletionVector" -> dvJson(d)).toList
@@ -2631,14 +2838,10 @@ object DeltaExport {
       }
       val target = new Path(logDir, f"$v%020d.json")
       val content = lines.result().mkString("", "\n", "\n")
-      val tmp = new Path(logDir,
-        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val won = !fs.exists(target) && fs.rename(tmp, target)
-      if (!won) fs.delete(tmp, false)
-      if (won) return (v, updatedCount)
+      if (publishExclusive(conf, fs, logDir, target, content)) {
+        checkpointIfDue(spark, tablePath, snap.configuration)
+        return (v, updatedCount)
+      }
     }
     refuse(s"update of $tablePath: lost the commit race 20 times — " +
       "a writer storm; retry when the table quiesces")
