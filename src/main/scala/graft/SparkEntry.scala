@@ -237,6 +237,8 @@ object SparkEntry {
     "q205_foreign_delete"    -> (DeltaBridgeQueries.deltaForeignDelete _),
     "q206_foreign_update"    -> (DeltaBridgeQueries.deltaForeignUpdate _),
     "q207_foreign_merge"     -> (DeltaBridgeQueries.deltaForeignMerge _),
+    "q213_foreign_clause_merge" ->
+      (DeltaBridgeQueries.deltaForeignClauseMerge _),
     "q208_batch_novelty"     -> (CorpusQueries.batchNovelty _),
     "q209_pmi_collocations"  -> (CorpusQueries.pmiCollocations _),
     "q210_foreign_restore"   -> (DeltaBridgeQueries.deltaForeignRestore _),
@@ -695,6 +697,21 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS novelty
         |FROM bg g LEFT JOIN novel n ON n.doc_id = g.doc_id
         |GROUP BY g.doc_id""".stripMargin,
+    // foreign clause MERGE (q213): one commit over a compound key —
+    // %13 keys deleted, 'O' survivors re-priced (×2 exact), 'F' leg
+    // byte-identical (change detection leaves it untouched), fresh +40M
+    // keys inserted
+    "q213_foreign_clause_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 13 <> 0
+        |  AND o_orderstatus <> 'O'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2
+        |FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 13 <> 0
+        |  AND o_orderstatus = 'O'
+        |UNION ALL
+        |SELECT o_orderkey + 40000000, o_custkey, 'N', o_totalprice
+        |FROM orders WHERE o_orderkey % 31 = 0""".stripMargin,
     // foreign MERGE upsert (q207): survivors keep originals except 'P'
     // rows (replaced image, incl. previously-deleted 'P' keys re-entering
     // as inserts) plus the brand-new +20000000 batch

@@ -578,6 +578,62 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q213: FOREIGN-table general clause MERGE
+    * ([[graft.sources.DeltaExport.mergeForeignClauses]]) — the
+    * reference's change-detection CDC merge
+    * (`spark_delta_handler.py:222-236`) against a pure Delta table, in
+    * ONE commit over a COMPOUND key (o_orderkey, o_custkey): delete
+    * markers claim `WHEN MATCHED AND op='del' THEN DELETE`, re-priced
+    * 'O' orders claim `UPDATE SET ALL` only when a column actually
+    * changed, the 'F' leg arrives byte-identical and must stay
+    * physically untouched (no DV bit, no restage — the change-detection
+    * contract), and fresh +40M keys insert. The oracle recomputes the
+    * surviving set from the source parquet and never sees the
+    * machinery. */
+  def deltaForeignClauseMerge(spark: SparkSession, dir: String): DataFrame = {
+    import graft.table.MergeClause
+    val root = exported.computeIfAbsent(dir + "#foreign-clause-merge", { _ =>
+      val r = Scratch.dir(spark, "delta-foreign-clause-merge")
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = graft.table.GraftTable.create(spark, r, orders)
+      t.deletePositional(col("o_orderkey") % 97 === 0)
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      val base = orders.filter(col("o_orderkey") % 97 =!= 0)
+      val source =
+        base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("op", lit("del"))
+          .unionByName(base.filter(col("o_orderkey") % 13 =!= 0 &&
+              col("o_orderstatus") === "O")
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .withColumn("op", lit("upd")))
+          .unionByName(base.filter(col("o_orderkey") % 13 =!= 0 &&
+              col("o_orderstatus") === "F")
+            .withColumn("op", lit("same"))) // unchanged → untouched
+          .unionByName(orders.filter(col("o_orderkey") % 31 === 0)
+            .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+              col("o_custkey"), lit("N").as("o_orderstatus"),
+              col("o_totalprice"))
+            .withColumn("op", lit("ins")))
+      val changed = col("t.o_totalprice") =!= col("s.o_totalprice") ||
+        col("t.o_orderstatus") =!= col("s.o_orderstatus")
+      graft.sources.DeltaExport.mergeForeignClauses(spark, r, source,
+        Seq("o_orderkey", "o_custkey"),
+        matched = Seq(
+          MergeClause.Delete(condition = Some(col("s.op") === "del")),
+          MergeClause.UpdateAll(
+            condition = Some(col("s.op") =!= "del" && changed))),
+        notMatched = Seq(
+          MergeClause.InsertAll(condition = Some(col("s.op") =!= "del"))))
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   /** q210: FOREIGN-table RESTORE
     * ([[graft.sources.DeltaExport.restoreForeign]]) — the undo on a pure
     * Delta table: after an append and a DV delete through the foreign

@@ -231,31 +231,36 @@ object CdcPipeline {
 
   /** Apply one parsed micro-batch to a FOREIGN Delta table — CDC
     * replication onto a shared lakehouse table graft does not govern
-    * (other engines own and keep reading it), through the foreign writer
-    * bridge: winners with op d DV-delete by key
-    * ([[graft.sources.DeltaExport.deleteFromForeign]]), winners with
-    * c/u/r upsert through the foreign DV-merge
-    * ([[graft.sources.DeltaExport.mergeForeignUpsert]]). Idempotence
-    * under at-least-once redelivery: the merge carries the
-    * (appId, batchId) txn stamp, and the delete is naturally idempotent
-    * (already-deleted keys match nothing — a legal no-op even on a
-    * DV-less table). `latestPerKey` keeps one winner per key, so a key
-    * never carries both a delete and an upsert within one batch. */
+    * (other engines own and keep reading it), as ONE clause-merge commit
+    * ([[graft.sources.DeltaExport.mergeForeignClauses]]): winners with op
+    * d claim the `WHEN MATCHED AND is_delete THEN DELETE` clause, winners
+    * with c/u/r claim `UPDATE SET ALL` / `INSERT ALL`. Atomicity and
+    * idempotence come for free from the single commit: the (appId,
+    * batchId) txn stamp covers delete AND upsert together, so readers
+    * never observe a half-applied batch and an at-least-once redelivery
+    * is a watermarked no-op — the two-commit shape this replaced stamped
+    * only the merge half. Delete keys flow through the merge join, never
+    * a collected driver list. `latestPerKey` keeps one winner per key, so
+    * a key never carries both a delete and an upsert within one batch. */
   def applyBatchToForeign(spark: SparkSession, table: String,
       auditRows: DataFrame, tablePath: String, appId: String,
       batchId: Long): Unit = {
+    import graft.table.MergeClause
     val winners = latestPerKey(auditRows, table)
     val upserts = Parse.typedSnapshotRows(winners, table)
-    // Delete keys are a CDC-batch-bounded driver list (the same bound the
-    // positions collect in the DV writer carries).
-    val deleteKeys = Parse.typedDeleteRows(winners, table)
-      .select(col("id")).collect().map(_.getLong(0))
-    if (deleteKeys.nonEmpty)
-      graft.sources.DeltaExport.deleteFromForeign(spark, tablePath,
-        col("id").isin(deleteKeys.toIndexedSeq: _*))
-    if (!upserts.isEmpty)
-      graft.sources.DeltaExport.mergeForeignUpsert(spark, tablePath,
-        upserts, "id", txn = Some((appId, batchId)))
+      .withColumn("__cdc_is_delete", lit(false))
+    val deletes = Parse.typedDeleteRows(winners, table)
+      .withColumn("__cdc_is_delete", lit(true))
+    val source = upserts.unionByName(deletes, allowMissingColumns = true)
+    if (source.isEmpty) return
+    val isDel = col("s.__cdc_is_delete")
+    graft.sources.DeltaExport.mergeForeignClauses(spark, tablePath,
+      source, Seq("id"),
+      matched = Seq(
+        MergeClause.Delete(condition = Some(isDel)),
+        MergeClause.UpdateAll(condition = Some(!isDel))),
+      notMatched = Seq(MergeClause.InsertAll(condition = Some(!isDel))),
+      txn = Some((appId, batchId)))
     ()
   }
 

@@ -2227,6 +2227,579 @@ object DeltaExport {
       "a writer storm; retry when the table quiesces")
   }
 
+  /** General MERGE into a FOREIGN Delta table — delta-spark's full
+    * row-level clause surface over the foreign commit path
+    * ([[graft.table.MergeClause]], the same clause algebra
+    * `GraftTable.mergeClausesOn` runs natively): ordered
+    * `WHEN MATCHED [AND cond] THEN UPDATE SET …` / `UPDATE SET ALL`
+    * (star) / `DELETE`,
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT …/INSERT ALL (star)`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …/DELETE`,
+    * on a COMPOUND equi key. Within each branch the FIRST clause whose
+    * condition holds claims the row; an unclaimed matched row is left
+    * **physically untouched** — no DV bit, no restage — which is exactly
+    * the change-detection MERGE the reference runs
+    * (spark_delta_handler.py:222-236: update only when a column actually
+    * differs): `Update(cond = t.x =!= s.x)` re-records nothing for
+    * unchanged rows. Claimed target rows DV-delete from their files
+    * through the DISTRIBUTED build ([[buildForeignDvs]] — positions never
+    * reach the driver) and their new images (update assignments resolved
+    * over both aliases) stage as new files together with the claimed
+    * inserts, all in ONE commit; a CDF-enabled table gets
+    * update_preimage/update_postimage, delete, and insert rows. The
+    * matched scan prunes through data skipping when every key column has
+    * ≤1000 distinct source values (conjunction of per-key isin bounds);
+    * `notMatchedBySource` clauses force a full-candidate scan — the
+    * whole target is in play, as in delta-spark. Foreign merges never
+    * evolve the schema: assignments and insert columns must bind to
+    * existing target fields (extra SOURCE columns are fine — they feed
+    * clause expressions). Requires `deletionVectors` advertised (the
+    * modern merge shape; [[mergeForeignUpsert]] keeps the pre-DV rewrite
+    * fallback for the canonical upsert). Source must be unique per key
+    * when matched clauses exist. `txn` gives the exactly-once contract of
+    * [[appendToForeign]] — one stamp covering delete and upsert halves of
+    * a CDC batch in one atomic commit. Returns
+    * (committedVersion, rowsUpdated, rowsDeleted, rowsInserted). */
+  def mergeForeignClauses(spark: SparkSession, tablePath: String,
+      source: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      matched: Seq[graft.table.MergeClause] = Nil,
+      notMatched: Seq[graft.table.MergeClause] = Nil,
+      notMatchedBySource: Seq[graft.table.MergeClause] = Nil,
+      targetAlias: String = "t", sourceAlias: String = "s",
+      txn: Option[(String, Long)] = None): (Long, Long, Long, Long) = {
+    import graft.table.MergeClause
+    import org.apache.spark.sql.functions.{lit, when, count}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+
+    require(keys.nonEmpty, s"merge into $tablePath: needs at least one equi key")
+    require(targetAlias != sourceAlias,
+      s"merge into $tablePath: target and source aliases must differ")
+    matched.foreach {
+      case _: MergeClause.InsertAll | _: MergeClause.Insert =>
+        throw new IllegalArgumentException(
+          "MERGE: INSERT is not valid in the WHEN MATCHED branch")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case _: MergeClause.InsertAll | _: MergeClause.Insert => ()
+      case other => throw new IllegalArgumentException(
+        s"MERGE: only INSERT is valid in the WHEN NOT MATCHED branch, got $other")
+    }
+    notMatchedBySource.foreach {
+      case _: MergeClause.Update | _: MergeClause.Delete => ()
+      case other => throw new IllegalArgumentException(
+        "MERGE: only UPDATE SET …/DELETE are valid in the WHEN NOT MATCHED " +
+          s"BY SOURCE branch, got $other")
+    }
+
+    def gate(snap: DeltaImport.Snapshot): Unit = {
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"merge into $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry write-time obligations " +
+              "this writer does not implement")
+        }
+      }
+      require(!snap.configuration.get("delta.appendOnly").contains("true") ||
+        (matched.isEmpty && notMatchedBySource.isEmpty),
+        s"merge into $tablePath: the table is append-only (delta.appendOnly)")
+      val badMeta = snap.schema.fields.filter(f =>
+        f.metadata.contains("delta.generationExpression") ||
+          f.metadata.contains("delta.identity.start") ||
+          f.metadata.contains("delta.invariants"))
+      require(badMeta.isEmpty,
+        s"merge into $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
+          "declare generated/identity/invariant semantics a merger must " +
+          "compute — write through the owning engine instead")
+      require(!DeltaImport.hasNestedMapping(snap.schema),
+        s"merge into $tablePath: nested fields carry physical column names")
+    }
+
+    val snap0 = DeltaImport.snapshot(spark, tablePath)
+    gate(snap0)
+    // With deletionVectors advertised claimed rows record as DVs; else
+    // the touched files rewrite to their survivors (delta-spark's pre-DV
+    // merge shape) — every Delta table takes the full clause surface.
+    val dvSupported = snap0.protocol.exists(p =>
+      p.readerFeatures.contains("deletionVectors") ||
+        p.writerFeatures.contains("deletionVectors"))
+    def alreadyCommitted(snap: DeltaImport.Snapshot): Boolean =
+      txn.exists { case (app, bv) =>
+        snap.setTransactions.get(app).exists(_ >= bv) }
+    if (alreadyCommitted(snap0)) return (snap0.version, 0L, 0L, 0L)
+    val fields = snap0.schema.fields
+    val keyNames = keys.map { k =>
+      require(fields.exists(_.name.equalsIgnoreCase(k)),
+        s"merge into $tablePath: no key column named $k")
+      require(source.columns.exists(_.equalsIgnoreCase(k)),
+        s"merge into $tablePath: source has no key column named $k")
+      fields.find(_.name.equalsIgnoreCase(k)).get.name
+    }
+    // Assignments / explicit inserts must bind to existing target fields.
+    def checkAssigned(cls: Seq[MergeClause]): Unit = cls.foreach {
+      case MergeClause.Update(as, _) => as.keys.foreach(k => require(
+        fields.exists(_.name.equalsIgnoreCase(k)),
+        s"merge into $tablePath: assignment to unknown column $k — " +
+          "foreign merges never evolve the schema"))
+      case MergeClause.Insert(as, _) => as.keys.foreach(k => require(
+        fields.exists(_.name.equalsIgnoreCase(k)),
+        s"merge into $tablePath: insert into unknown column $k — " +
+          "foreign merges never evolve the schema"))
+      case _ => ()
+    }
+    checkAssigned(matched); checkAssigned(notMatched)
+    checkAssigned(notMatchedBySource)
+
+    val FileC = "__graft_foreign_cmg_file"
+    val PosC = "__graft_foreign_cmg_pos"
+    val srcNonNull = keyNames.foldLeft(source) { (d, k) =>
+      d.filter(col(s"`${source.columns.find(_.equalsIgnoreCase(k)).get}`")
+        .isNotNull) }
+    // Candidate files: per-key isin pruning when every key is bounded;
+    // by-source clauses put the WHOLE target in play.
+    val keySamples: Seq[(String, Array[Any])] = keyNames.map { k =>
+      k -> srcNonNull.select(col(s"`$k`")).distinct().limit(1001)
+        .collect().map(_.get(0)) }
+    val candidates =
+      if (notMatchedBySource.nonEmpty || keySamples.exists(_._2.length > 1000))
+        snap0.files
+      else DeltaSkipping.prune(spark, snap0,
+        keySamples.map { case (k, vs) =>
+          col(s"`$k`").isin(vs.toIndexedSeq: _*) }.reduce(_ && _))
+
+    val tgtRows =
+      if (candidates.isEmpty) None
+      else Some(DeltaImport
+        .readFilesWithPositions(spark, snap0, candidates, FileC, PosC))
+    val srcAliased = srcNonNull.alias(sourceAlias)
+    val joinCond = keyNames.map(k =>
+      col(s"$targetAlias.`$k`") === col(s"$sourceAlias.`$k`")).reduce(_ && _)
+    // First-match-wins claim index over a clause branch (-1 = unclaimed).
+    def claimOf(clauses: Seq[MergeClause]): org.apache.spark.sql.Column =
+      clauses.zipWithIndex.reverse.foldLeft(lit(-1)) { case (acc, (c, i)) =>
+        when(c.condition.getOrElse(lit(true)), lit(i)).otherwise(acc) }
+    val ClaimC = "__graft_cmg_claim"
+
+    val matchedFrame = tgtRows.filter(_ => matched.nonEmpty).map { t =>
+      t.alias(targetAlias).join(srcAliased, joinCond, "inner")
+        .withColumn(ClaimC, claimOf(matched)).persist()
+    }
+    val bySourceFrame = tgtRows.filter(_ => notMatchedBySource.nonEmpty).map { t =>
+      t.alias(targetAlias).join(srcAliased, joinCond, "left_anti")
+        .withColumn(ClaimC, claimOf(notMatchedBySource)).persist()
+    }
+    val notMatchedFrame =
+      if (notMatched.isEmpty) None
+      else {
+        val tgtKeys = tgtRows.map(_.select(keyNames.map(k =>
+          col(s"`$k`")): _*).distinct())
+        val base = tgtKeys match {
+          case Some(tk) => srcAliased.join(tk.alias(targetAlias), joinCond,
+            "left_anti")
+          case None => srcNonNull.alias(sourceAlias)
+        }
+        Some(base.withColumn(ClaimC, claimOf(notMatched)).persist())
+      }
+
+    // Source uniqueness per key — delta-spark's multiple-match error —
+    // checked only when a matched row could be claimed twice.
+    if (matched.nonEmpty) {
+      val dup = srcNonNull.groupBy(keyNames.map(k => col(s"`$k`")): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"merge into $tablePath: source has multiple rows for key " +
+          s"${dup.headOption.map(_.toSeq.init.mkString(","))
+            .getOrElse("")} — deduplicate to latest-per-key first")
+    }
+
+    def claimCounts(frame: Option[org.apache.spark.sql.DataFrame],
+        clauses: Seq[MergeClause]): Map[Int, Long] = frame match {
+      case None => Map.empty
+      case Some(f) =>
+        f.filter(col(ClaimC) >= 0).groupBy(ClaimC).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val mCounts = claimCounts(matchedFrame, matched)
+    val bCounts = claimCounts(bySourceFrame, notMatchedBySource)
+    val iCounts = claimCounts(notMatchedFrame, notMatched)
+    def kindTotals(clauses: Seq[MergeClause], counts: Map[Int, Long])
+        : (Long, Long) = // (updates, deletes)
+      clauses.zipWithIndex.foldLeft((0L, 0L)) { case ((u, d), (c, i)) =>
+        c match {
+          case _: MergeClause.Delete => (u, d + counts.getOrElse(i, 0L))
+          case _ => (u + counts.getOrElse(i, 0L), d)
+        }
+      }
+    val (mUpd, mDel) = kindTotals(matched, mCounts)
+    val (bUpd, bDel) = kindTotals(notMatchedBySource, bCounts)
+    val updatedCount = mUpd + bUpd
+    val deletedCount = mDel + bDel
+    val insertedCount = iCounts.values.sum
+    if (updatedCount + deletedCount + insertedCount == 0) {
+      (matchedFrame ++ bySourceFrame ++ notMatchedFrame).foreach(_.unpersist())
+      return (snap0.version, 0L, 0L, 0L)
+    }
+
+    // Claimed target rows → distributed per-file DV build.
+    val relOfSpelling: Map[String, String] = candidates.flatMap(f =>
+      DeltaImport.pathSpellings(tablePath, f.path, conf).map(_ -> f.path)).toMap
+    val byRel: Map[String, DeltaImport.AddFile] =
+      snap0.files.map(f => f.path -> f).toMap
+    val seed = java.util.UUID.randomUUID().toString
+    val claimedTargets: Option[org.apache.spark.sql.DataFrame] = {
+      val parts = (matchedFrame.toSeq ++ bySourceFrame.toSeq).map(f =>
+        f.filter(col(ClaimC) >= 0)
+          .select(col(s"$targetAlias.`$FileC`").as(FileC),
+            col(s"$targetAlias.`$PosC`").as(PosC)))
+      parts.reduceOption(_ unionByName _)
+    }
+    val (touchedRels, descByRel) =
+      if (dvSupported) {
+        val built = claimedTargets.map(ct =>
+          buildForeignDvs(spark, tablePath, ct, FileC, PosC, relOfSpelling,
+            candidates.map(f => f.path ->
+              f.deletionVector.filter(_.cardinality != 0L)).toMap, seed))
+          .getOrElse(Nil)
+        (built.map(_.rel).sorted, built.map(b => b.rel -> b.desc).toMap)
+      } else {
+        val rels = claimedTargets.map(_.select(FileC).distinct().collect()
+          .map(r => relOfSpelling.getOrElse(r.getString(0),
+            throw new IllegalStateException(
+              s"merge into $tablePath: unmapped file spelling " +
+                r.getString(0))))
+          .toSeq.sorted).getOrElse(Nil)
+        (rels, Map.empty[String, DeltaDeletionVectors.Descriptor])
+      }
+    val touchedSet = touchedRels.toSet
+    // Rewrite fallback: the touched files' UNCLAIMED rows (old DVs
+    // already applied by the scan) restage as fresh files replacing the
+    // removed originals — delta-spark's pre-DV merge shape.
+    val survivorStage: Option[Path] =
+      if (dvSupported || touchedRels.isEmpty) None
+      else {
+        require(!snap0.protocol.exists(p => p.minWriterVersion >= 7 &&
+          p.writerFeatures.contains("rowTracking")),
+          s"merge into $tablePath: the rewrite fallback cannot preserve " +
+            "row tracking — enable delta.enableDeletionVectors instead")
+        val touched = snap0.files.filter(f => touchedSet(f.path))
+        val all = DeltaImport
+          .readFilesWithPositions(spark, snap0, touched, FileC, PosC)
+        val survivors = claimedTargets.map(ct =>
+          all.join(ct, Seq(FileC, PosC), "left_anti")).getOrElse(all)
+          .drop(FileC, PosC)
+        val sp = new Path(root, s"_appends/$seed-survivors")
+        val sPhysMap = DeltaImport.topLevelPhysicalNames(snap0.schema)
+          .filter { case (l, p) => l != p }
+        val sPhys = sPhysMap.foldLeft(survivors) {
+          case (d, (l, p)) => d.withColumnRenamed(l, p) }
+        val sPartCols = snap0.partitionColumns.map(c =>
+          DeltaImport.topLevelPhysicalNames(snap0.schema).getOrElse(c, c))
+        if (sPartCols.nonEmpty)
+          sPhys.write.partitionBy(sPartCols: _*).parquet(sp.toString)
+        else sPhys.write.parquet(sp.toString)
+        Some(sp)
+      }
+
+    // New images — one staged write: matched UPDATE claims (assignments
+    // over both aliases), by-source UPDATE claims (target alias only),
+    // and claimed inserts, all projected onto the target schema.
+    def targetImage(frame: org.apache.spark.sql.DataFrame,
+        clauses: Seq[MergeClause], withSource: Boolean)
+        : Option[org.apache.spark.sql.DataFrame] = {
+      val updates = clauses.zipWithIndex.collect {
+        case (MergeClause.UpdateAll(_), i) => (i, None)
+        case (MergeClause.Update(as, _), i) => (i, Some(as))
+      }
+      if (updates.isEmpty) return None
+      Some(updates.map { case (i, as) =>
+        frame.filter(col(ClaimC) === i).select(fields.toIndexedSeq.map { f =>
+          val tcol = col(s"$targetAlias.`${f.name}`")
+          val v = as match {
+            case Some(assign) => assign.collectFirst {
+              case (k, vc) if k.equalsIgnoreCase(f.name) => vc
+            }.getOrElse(tcol)
+            case None => // UPDATE SET * — source value when present
+              if (withSource &&
+                  source.columns.exists(_.equalsIgnoreCase(f.name)))
+                col(s"$sourceAlias.`${f.name}`")
+              else tcol
+          }
+          v.cast(f.dataType).as(f.name)
+        }: _*)
+      }.reduce(_ unionByName _))
+    }
+    def insertImage(frame: org.apache.spark.sql.DataFrame,
+        clauses: Seq[MergeClause]): Option[org.apache.spark.sql.DataFrame] = {
+      val inserts = clauses.zipWithIndex.collect {
+        case (MergeClause.InsertAll(_), i) => (i, None)
+        case (MergeClause.Insert(as, _), i) => (i, Some(as))
+      }
+      if (inserts.isEmpty) return None
+      Some(inserts.map { case (i, as) =>
+        frame.filter(col(ClaimC) === i).select(fields.toIndexedSeq.map { f =>
+          val v = as match {
+            case Some(assign) => assign.collectFirst {
+              case (k, vc) if k.equalsIgnoreCase(f.name) => vc
+            }.getOrElse(lit(null))
+            case None =>
+              if (source.columns.exists(_.equalsIgnoreCase(f.name)))
+                col(s"$sourceAlias.`${f.name}`")
+              else lit(null)
+          }
+          v.cast(f.dataType).as(f.name)
+        }: _*)
+      }.reduce(_ unionByName _))
+    }
+    val images: Seq[org.apache.spark.sql.DataFrame] =
+      matchedFrame.flatMap(f => targetImage(f, matched, withSource = true)).toSeq ++
+      bySourceFrame.flatMap(f =>
+        targetImage(f, notMatchedBySource, withSource = false)).toSeq ++
+      notMatchedFrame.flatMap(f => insertImage(f, notMatched)).toSeq
+
+    val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
+    val toPhys = physMapAll.filter { case (l, p) => l != p }
+    val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
+    val stagePath = new Path(root, s"_appends/$seed")
+    val stagedAny = images.nonEmpty
+    if (stagedAny) {
+      val union = images.reduce(_ unionByName _)
+      val physDf = toPhys.foldLeft(union) {
+        case (d, (l, p)) => d.withColumnRenamed(l, p) }
+      if (physPartCols.nonEmpty)
+        physDf.write.partitionBy(physPartCols: _*).parquet(stagePath.toString)
+      else physDf.write.parquet(stagePath.toString)
+    }
+    def refuse(msg: String): Nothing = {
+      fs.delete(stagePath, true)
+      throw new IllegalArgumentException(msg)
+    }
+    def constraintsOf(cfg: Map[String, String]): Map[String, String] =
+      cfg.collect { case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v }
+    def stagedLogical(): org.apache.spark.sql.DataFrame = {
+      val stagedPhys = spark.read.option("basePath", stagePath.toString)
+        .parquet(stagePath.toString)
+      toPhys.foldLeft(stagedPhys) {
+        case (d, (l, p)) => d.withColumnRenamed(p, l) }
+    }
+    def validate(cfg: Map[String, String]): Unit = {
+      if (!stagedAny) return
+      import org.apache.spark.sql.functions.{count_if, expr, coalesce}
+      val staged = stagedLogical()
+      val nullChecks = fields.toSeq.filterNot(_.nullable)
+        .map(f => count_if(col(s"`${f.name}`").isNull).as(s"null ${f.name}"))
+      val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
+        count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
+          .as(s"constraint $n") }
+      val checks = nullChecks ++ checkChecks
+      if (checks.nonEmpty) {
+        val row = staged.agg(checks.head, checks.tail: _*).collect().head
+        val bad = row.schema.fieldNames.zipWithIndex
+          .filter { case (_, i) => row.getLong(i) > 0 }
+        if (bad.nonEmpty) refuse(
+          s"merge into $tablePath violates ${bad.map(_._1).mkString("; ")} " +
+            s"(${bad.map(b => row.getLong(b._2)).mkString(", ")} row(s))")
+      }
+    }
+    validate(snap0.configuration)
+
+    // CDF rows, classified straight from the claim frames.
+    val cdfOn = snap0.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val cdcRel = s"_change_data/graft-$seed"
+    if (cdfOn) {
+      def phys(df: org.apache.spark.sql.DataFrame) =
+        toPhys.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+      def writeCdc(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
+        if (df.isEmpty) return
+        val p = new Path(root, s"$cdcRel/$sub")
+        if (physPartCols.nonEmpty)
+          df.write.partitionBy(physPartCols: _*).parquet(p.toString)
+        else df.write.parquet(p.toString)
+      }
+      def tgtCols(frame: org.apache.spark.sql.DataFrame) =
+        frame.select(fields.toIndexedSeq.map(f =>
+          col(s"$targetAlias.`${f.name}`").as(f.name)): _*)
+      def claimsOfKind(frame: Option[org.apache.spark.sql.DataFrame],
+          clauses: Seq[MergeClause], wantDelete: Boolean) = frame.map { f =>
+        val idxs = clauses.zipWithIndex.collect {
+          case (_: MergeClause.Delete, i) if wantDelete => i
+          case (c, i) if !wantDelete && !c.isInstanceOf[MergeClause.Delete] => i
+        }
+        f.filter(col(ClaimC).isin(idxs.map(Int.box): _*))
+      }
+      // pre-images: updated rows; delete rows; post-images re-derive from
+      // the update projection (exactly what was staged for those claims)
+      claimsOfKind(matchedFrame, matched, wantDelete = false).foreach(f =>
+        writeCdc(phys(tgtCols(f)
+          .withColumn("_change_type", lit("update_preimage"))), "pre-m"))
+      claimsOfKind(bySourceFrame, notMatchedBySource, wantDelete = false)
+        .foreach(f => writeCdc(phys(tgtCols(f)
+          .withColumn("_change_type", lit("update_preimage"))), "pre-b"))
+      claimsOfKind(matchedFrame, matched, wantDelete = true).foreach(f =>
+        writeCdc(phys(tgtCols(f)
+          .withColumn("_change_type", lit("delete"))), "del-m"))
+      claimsOfKind(bySourceFrame, notMatchedBySource, wantDelete = true)
+        .foreach(f => writeCdc(phys(tgtCols(f)
+          .withColumn("_change_type", lit("delete"))), "del-b"))
+      matchedFrame.flatMap(f => targetImage(f, matched, withSource = true))
+        .foreach(df => writeCdc(phys(
+          df.withColumn("_change_type", lit("update_postimage"))), "post-m"))
+      bySourceFrame.flatMap(f =>
+        targetImage(f, notMatchedBySource, withSource = false))
+        .foreach(df => writeCdc(phys(
+          df.withColumn("_change_type", lit("update_postimage"))), "post-b"))
+      notMatchedFrame.flatMap(f => insertImage(f, notMatched)).foreach(df =>
+        writeCdc(phys(df.withColumn("_change_type", lit("insert"))), "ins"))
+    }
+
+    def parquetsUnder(p: Path): Seq[FileStatus] = {
+      if (!fs.exists(p)) return Nil
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st
+      }
+      b.result().sortBy(_.getPath.toString)
+    }
+    def relOf(st: FileStatus): String = {
+      val base = root.toUri.getPath.stripSuffix("/")
+      st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+    }
+    def footerRows(st: FileStatus): Long = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }
+    val stagedFiles = if (stagedAny) parquetsUnder(stagePath) else Nil
+    val survivorFiles = survivorStage.map(parquetsUnder).getOrElse(Nil)
+    (matchedFrame ++ bySourceFrame ++ notMatchedFrame).foreach(_.unpersist())
+
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = if (attempt == 1) snap0
+        else DeltaImport.snapshot(spark, tablePath)
+      if (attempt > 1) {
+        gate(snap)
+        if (alreadyCommitted(snap)) { fs.delete(stagePath, true)
+          return (snap.version, 0L, 0L, 0L) }
+        val nowByRel = snap.files.map(f => f.path -> f).toMap
+        val touchedChanged = touchedRels.exists { rel =>
+          nowByRel.get(rel).forall(_.deletionVector !=
+            byRel(rel).deletionVector) }
+        // Rival adds conflict unless provably key-disjoint (see
+        // mergeForeignUpsert); by-source clauses read the whole target,
+        // so ANY rival data change conflicts there.
+        val rivalConflicts = {
+          val rivalAdds = snap.files.filterNot(f => byRel.contains(f.path))
+          rivalAdds.nonEmpty && (notMatchedBySource.nonEmpty ||
+            keySamples.exists(_._2.length > 1000) ||
+            DeltaSkipping.prune(spark, snap.copy(files = rivalAdds),
+              keySamples.map { case (k, vs) =>
+                col(s"`$k`").isin(vs.toIndexedSeq: _*) }
+                .reduce(_ && _)).nonEmpty)
+        }
+        if (snap.schema.json != snap0.schema.json ||
+            snap.partitionColumns != snap0.partitionColumns ||
+            touchedChanged || rivalConflicts)
+          refuse(s"merge into $tablePath: a concurrent commit touched or " +
+            "added rows being merged — re-run the merge against the new state")
+        if (constraintsOf(snap.configuration) !=
+            constraintsOf(snap0.configuration))
+          validate(snap.configuration)
+      }
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+      val physSchema = StructType(fields.map(f =>
+        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
+          snap0.schema.fieldNames.toSeq)
+        .map(_.map(n => physMapAll.getOrElse(n, n)))
+      val rtOn = snap.protocol.exists(p =>
+        p.minWriterVersion >= 7 && p.writerFeatures.contains("rowTracking"))
+      val hwm0: Long = snap.domainMetadata.get("delta.rowTracking")
+        .map(cfgJson =>
+          (JsonMethods.parse(cfgJson) \ "rowIdHighWaterMark") match {
+            case JInt(t) => t.toLong
+            case JLong(t) => t
+            case _ => -1L
+          }).getOrElse(-1L)
+      var nextBase = hwm0 + 1
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(
+        Commit(v, nowMs, "MERGE", Nil,
+          Map("numTargetRowsUpdated" -> updatedCount,
+            "numTargetRowsDeleted" -> deletedCount,
+            "numTargetRowsInserted" -> insertedCount,
+            "numTargetFilesAdded" ->
+              (stagedFiles.size + survivorFiles.size).toLong,
+            "numDeletionVectorsAdded" ->
+              (if (dvSupported) touchedRels.size.toLong else 0L)),
+          snap0.schema.json),
+        ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true"))
+          Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
+            nowMs))
+        else None)
+      touchedRels.foreach { rel =>
+        val prior = byRel(rel)
+        val dvField = prior.deletionVector
+          .map(d => "deletionVector" -> dvJson(d)).toList
+        lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+          "path" -> (JString(encodePath(rel)): JValue),
+          "deletionTimestamp" -> (JLong(nowMs): JValue),
+          "dataChange" -> (JBool(true): JValue)) ++ dvField: _*)))
+        if (dvSupported) {
+          val st = fs.getFileStatus(DeltaImport.resolveFile(tablePath, rel))
+          lines += addJson(rel, st, physSchema, physPartCols,
+            dataChange = true, conf, Some(descByRel(rel)), prior.baseRowId,
+            prior.defaultRowCommitVersion, None, allowedStats)
+        }
+      }
+      (stagedFiles ++ survivorFiles).foreach { st =>
+        val base = if (rtOn) Some(nextBase) else None
+        if (rtOn) nextBase += footerRows(st)
+        lines += addJson(relOf(st), st, physSchema, physPartCols,
+          dataChange = true, conf, None, base, if (rtOn) Some(v) else None,
+          None, allowedStats)
+      }
+      if (rtOn && nextBase > hwm0 + 1) {
+        lines += JsonMethods.compact(JObject("domainMetadata" -> JObject(
+          "domain" -> JString("delta.rowTracking"),
+          "configuration" ->
+            JString(s"""{"rowIdHighWaterMark":${nextBase - 1}}"""),
+          "removed" -> JBool(false))))
+      }
+      if (cdfOn) parquetsUnder(new Path(root, cdcRel)).foreach { st =>
+        lines += cdcJson(relOf(st), st, physPartCols)
+      }
+      txn.foreach { case (app, bv) =>
+        lines += JsonMethods.compact(JObject("txn" -> JObject(
+          "appId" -> JString(app),
+          "version" -> JLong(bv),
+          "lastUpdated" -> JLong(nowMs))))
+      }
+      val target = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      if (publishExclusive(conf, fs, logDir, target, content)) {
+        checkpointIfDue(spark, tablePath, snap.configuration)
+        return (v, updatedCount, deletedCount, insertedCount)
+      }
+    }
+    refuse(s"merge into $tablePath: lost the commit race 20 times — " +
+      "a writer storm; retry when the table quiesces")
+  }
+
   /** The winner's inCommitTimestamp at `version` (monotonicity floor for
     * the next ICT-stamped commit), if the commit recorded one. */
   private def lastIctOf(fs: org.apache.hadoop.fs.FileSystem, logDir: Path,

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.{GraftTable, MergeClause}
+
+/** General clause MERGE into a FOREIGN Delta table
+  * ([[DeltaExport.mergeForeignClauses]]) — the full row-level surface
+  * (conditional update / delete clauses, compound keys, by-source
+  * branch) over the foreign commit path, with the change-detection
+  * contract front and center: a matched row no clause claims is left
+  * physically untouched (no DV bit, no restage). */
+class DeltaForeignClauseMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def retire(root: String): Unit = {
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "_graft_log"), true)
+  }
+
+  /** (k1, k2, s, v) rows over a compound key, DV-advertising. */
+  private def fixture(name: String): String = {
+    val root = tmpDir(name)
+    val t = GraftTable.create(spark, root,
+      (0L until 41L).map(i => (i % 5, i / 5, s"s$i", i * 1.0))
+        .toDF("k1", "k2", "s", "v"), Nil)
+    t.deletePositional(col("v") === 40.0) // advertise deletionVectors
+    DeltaExport.exportLog(t)
+    retire(root)
+    root
+  }
+
+  test("update-if-changed + delete clause + compound key, one commit") {
+    val root = fixture("fcm-main")
+    val before = DeltaImport.latestVersion(spark, root)
+    // source: key (1,0)=row6... use exact pairs — (k1,k2) identifies i =
+    // k1 + 5*k2. Unchanged: (0,0) carries the row's own values. Changed:
+    // (1,0) re-prices. Deleted: (2,0). Fresh: (4,9) (i=49, absent).
+    val source = Seq(
+      (0L, 0L, "s0", 0.0, "keep"),     // matched, values identical
+      (1L, 0L, "s1", 100.0, "keep"),   // matched, v differs → update
+      (2L, 0L, "ignored", 0.0, "del"), // matched → delete
+      (4L, 9L, "new49", 49.0, "keep")  // not matched → insert
+    ).toDF("k1", "k2", "s", "v", "op")
+    val changed = col("t.`s`") =!= col("s.`s`") ||
+      col("t.`v`") =!= col("s.`v`")
+    val (v, upd, del, ins) = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k1", "k2"),
+      matched = Seq(
+        MergeClause.Delete(condition = Some(col("s.op") === "del")),
+        MergeClause.Update(
+          Map("s" -> col("s.`s`"), "v" -> col("s.`v`")),
+          condition = Some(changed))),
+      notMatched = Seq(
+        MergeClause.InsertAll(condition = Some(col("s.op") =!= "del"))))
+    assert(v === before + 1) // ONE commit for updates+deletes+inserts
+    assert(upd === 1L && del === 1L && ins === 1L)
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === 40L) // 40 - 1 deleted + 1 inserted
+    assert(read.filter(col("k1") === 1L && col("k2") === 0L)
+      .select("v").head().getDouble(0) === 100.0)
+    assert(read.filter(col("k1") === 2L && col("k2") === 0L).count() === 0L)
+    assert(read.filter(col("s") === "new49").count() === 1L)
+    // the UNCHANGED matched row was not re-recorded: total new DV bits
+    // across the commit = 2 (one update pre-image, one delete)
+    val dvCards = DeltaImport.snapshot(spark, root).files
+      .flatMap(_.deletionVector).map(_.cardinality).sum
+    assert(dvCards === 1L + 2L) // prehistory DV + exactly the 2 claims
+    // CDF classifies per clause
+    val ch = DeltaImport.readChanges(spark, root, v, v)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() === 1L)
+    assert(ch.filter(col("_change_type") === "update_postimage")
+      .filter(col("v") === 100.0).count() === 1L)
+    assert(ch.filter(col("_change_type") === "delete").count() === 1L)
+    assert(ch.filter(col("_change_type") === "insert").count() === 1L)
+  }
+
+  test("clause order: first matching clause wins") {
+    val root = fixture("fcm-order")
+    val source = Seq((3L, 0L, "x", 1.0)).toDF("k1", "k2", "s", "v")
+    val (_, upd, del, _) = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k1", "k2"),
+      matched = Seq(
+        MergeClause.Update(Map("s" -> lit("first")),
+          condition = Some(lit(true))),
+        MergeClause.Delete(condition = Some(lit(true)))))
+    assert(upd === 1L && del === 0L)
+    assert(DeltaImport.read(spark, root)
+      .filter(col("s") === "first").count() === 1L)
+  }
+
+  test("NOT MATCHED BY SOURCE: prune target rows absent from the source") {
+    val root = fixture("fcm-bysrc")
+    // keep only k2 <= 3 (i <= 19): everything else deletes by-source,
+    // except stale rows which instead get flagged
+    val source = (0L until 20L).map(i => (i % 5, i / 5))
+      .toDF("k1", "k2")
+    val (v, upd, del, ins) = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k1", "k2"),
+      notMatchedBySource = Seq(
+        MergeClause.Update(Map("s" -> lit("stale")),
+          condition = Some(col("t.`v`") < 25.0)),
+        MergeClause.Delete()))
+    assert(ins === 0L)
+    assert(upd === 5L)  // i in 20..24 flagged stale
+    assert(del === 15L) // i in 25..39 dropped
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === 25L)
+    assert(read.filter(col("s") === "stale").count() === 5L)
+    assert(v === DeltaImport.latestVersion(spark, root))
+  }
+
+  test("a no-op merge commits nothing; unknown assignment refuses") {
+    val root = fixture("fcm-noop")
+    val head = DeltaImport.latestVersion(spark, root)
+    // all-unchanged source with a change-detection condition → no commit
+    val source = Seq((0L, 0L, "s0", 0.0)).toDF("k1", "k2", "s", "v")
+    val (v, upd, del, ins) = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k1", "k2"),
+      matched = Seq(MergeClause.UpdateAll(
+        condition = Some(col("t.`v`") =!= col("s.`v`")))))
+    assert(v === head && upd + del + ins === 0L)
+    assert(DeltaImport.latestVersion(spark, root) === head)
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.mergeForeignClauses(spark, root, source, Seq("k1", "k2"),
+        matched = Seq(MergeClause.Update(Map("nope" -> lit(1))))))
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("txn stamp makes the whole clause merge exactly-once") {
+    val root = fixture("fcm-txn")
+    val source = Seq((0L, 0L, "updated", 7.0)).toDF("k1", "k2", "s", "v")
+    val clauses = Seq(MergeClause.UpdateAll())
+    val (v1, upd1, _, _) = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k1", "k2"), matched = clauses,
+      txn = Some(("cdc-app", 3L)))
+    assert(upd1 === 1L)
+    // redelivery of the same batch: watermarked no-op
+    val (v2, upd2, _, _) = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k1", "k2"), matched = clauses,
+      txn = Some(("cdc-app", 3L)))
+    assert(v2 === v1 && upd2 === 0L)
+    assert(DeltaImport.read(spark, root)
+      .filter(col("s") === "updated").count() === 1L)
+  }
+}
