@@ -1226,13 +1226,22 @@ object DeltaExport {
     * schema, so nothing is ever omitted); rowTracking (fresh base row
     * ids are assigned above the domain high-water mark, which advances
     * in the same commit); inCommitTimestamp (the commit stamps a
-    * monotonic ICT). Everything else — generatedColumns, identityColumns,
-    * icebergCompat*, … — is refused with the feature named. */
+    * monotonic ICT); generatedColumns (a frame that omits the column gets
+    * it computed from `delta.generationExpression`, a frame that provides
+    * it is validated value-for-value on the staged bytes); identityColumns
+    * (omitted/null values are assigned above the schema's
+    * `delta.identity.highWaterMark` by per-task block reservation, and the
+    * commit re-publishes metaData with the advanced watermark — a rival
+    * identity append moves the watermark, which changes the schema JSON,
+    * so the retry gate's schema check already forces a restage rather
+    * than risking id collisions). Everything else — icebergCompat*, … —
+    * is refused with the feature named. */
   private val ForeignAppendFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "columnMapping", "timestampNtz", "typeWidening", "deletionVectors",
     "v2Checkpoint", "vacuumProtocolCheck", "domainMetadata", "clustering",
-    "allowColumnDefaults", "rowTracking", "inCommitTimestamp")
+    "allowColumnDefaults", "rowTracking", "inCommitTimestamp",
+    "generatedColumns", "identityColumns")
 
   /** Append `df` to a FOREIGN Delta table (one no graft log governs) —
     * graft as a Delta WRITER, closing the bridge's last asymmetry: the
@@ -1276,13 +1285,11 @@ object DeltaExport {
         }
       }
       val badMeta = snap.schema.fields.filter(f =>
-        f.metadata.contains("delta.generationExpression") ||
-          f.metadata.contains("delta.identity.start") ||
-          f.metadata.contains("delta.invariants"))
+        f.metadata.contains("delta.invariants"))
       require(badMeta.isEmpty,
         s"append to $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
-          "declare generated/identity/invariant semantics an appender must " +
-          "compute — write through the owning engine instead")
+          "declare legacy invariants this appender does not validate — " +
+          "write through the owning engine instead")
       require(!DeltaImport.hasNestedMapping(snap.schema),
         s"append to $tablePath: nested fields carry physical column names")
     }
@@ -1295,20 +1302,70 @@ object DeltaExport {
     if (alreadyCommitted(snap0)) return snap0.version
 
     // Align to the snapshot's LOGICAL schema — lossless up-casts only,
-    // full column coverage required (appends never evolve a foreign
-    // schema; defaults therefore never apply).
+    // full column coverage required after generated/identity fill
+    // (appends never evolve a foreign schema; defaults therefore never
+    // apply to this writer, which always materializes every column).
     val fields = snap0.schema.fields
-    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
-    val extra = df.columns.filterNot(c =>
+    // Generated / identity obligations, discharged exactly as the owning
+    // engine would (delta.io PROTOCOL.md "Generated Columns" / "Identity
+    // Columns", the same scheme GraftTable.prepareWrite runs natively):
+    //  - an OMITTED generated column computes from its
+    //    delta.generationExpression (one column expression, no extra
+    //    job); a PROVIDED one is validated value-for-value on the staged
+    //    bytes alongside the CHECK constraints;
+    //  - an omitted-or-null identity value is assigned
+    //    hwm + step·(1 + task-block counter) via
+    //    monotonically_increasing_id — per-task range reservation, no
+    //    shuffle, no driver sequence; explicit non-null values require
+    //    delta.identity.allowExplicitInsert.
+    val genSpecs: Map[String, String] = fields.iterator.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        f.name -> f.metadata.getString("delta.generationExpression")
+    }.toMap
+    val idSpecs: Map[String, (Long, Long, Boolean)] = fields.iterator.collect {
+      case f if f.metadata.contains("delta.identity.start") =>
+        f.name -> ((f.metadata.getLong("delta.identity.start"),
+          if (f.metadata.contains("delta.identity.step"))
+            f.metadata.getLong("delta.identity.step") else 1L,
+          f.metadata.contains("delta.identity.allowExplicitInsert") &&
+            f.metadata.getBoolean("delta.identity.allowExplicitInsert")))
+    }.toMap
+    val idHwm: Map[String, Long] = fields.iterator.collect {
+      case f if idSpecs.contains(f.name) =>
+        f.name -> (if (f.metadata.contains("delta.identity.highWaterMark"))
+          f.metadata.getLong("delta.identity.highWaterMark")
+        else idSpecs(f.name)._1 - idSpecs(f.name)._2)
+    }.toMap
+    val dfGen = genSpecs.foldLeft(df) { case (d, (name, sql)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(name))) d
+      else d.withColumn(name, org.apache.spark.sql.functions.expr(sql))
+    }
+    val dfFilled = idSpecs.foldLeft(dfGen) { case (d, (name, (_, step, allowExplicit))) =>
+      import org.apache.spark.sql.functions.{lit, when, monotonically_increasing_id}
+      val assign = lit(idHwm(name)) +
+        lit(step) * (monotonically_increasing_id() + lit(1L))
+      d.columns.find(_.equalsIgnoreCase(name)) match {
+        case None => d.withColumn(name, assign)
+        case Some(src) =>
+          require(allowExplicit,
+            s"append to $tablePath: identity column $name is GENERATED " +
+              "ALWAYS — omit it and let the writer assign ids")
+          d.withColumn(src,
+            when(col(s"`$src`").isNotNull, col(s"`$src`").cast("long"))
+              .otherwise(assign))
+      }
+    }
+    val byLower = dfFilled.columns.map(c => c.toLowerCase -> c).toMap
+    val extra = dfFilled.columns.filterNot(c =>
       fields.exists(_.name.equalsIgnoreCase(c)))
     require(extra.isEmpty,
       s"append to $tablePath: unknown column(s) ${extra.mkString(", ")} — " +
         "foreign appends never evolve the schema")
-    val aligned = df.select(fields.toIndexedSeq.map { f =>
+    val aligned = dfFilled.select(fields.toIndexedSeq.map { f =>
       val src = byLower.getOrElse(f.name.toLowerCase,
         throw new IllegalArgumentException(
           s"append to $tablePath: missing column ${f.name}"))
-      val in = df.schema(src).dataType
+      val in = dfFilled.schema(src).dataType
       require(in == f.dataType ||
         org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(in, f.dataType),
         s"append to $tablePath: column $src of type ${in.simpleString} does " +
@@ -1349,7 +1406,15 @@ object DeltaExport {
       val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
         count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
           .as(s"constraint $n") }
-      val checks = nullChecks ++ checkChecks
+      // CALLER-provided generated columns must agree with their
+      // expression (null-safe), or data skipping on the materialized
+      // column would lie about the base columns.
+      val genChecks = genSpecs.keySet
+        .filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
+        .toSeq.sorted.map(n =>
+          count_if(!(col(s"`$n`") <=> expr(genSpecs(n))))
+            .as(s"generated $n"))
+      val checks = nullChecks ++ checkChecks ++ genChecks
       if (checks.nonEmpty) {
         val row = staged.agg(checks.head, checks.tail: _*).collect().head
         val bad = row.schema.fieldNames.zipWithIndex
@@ -1360,6 +1425,27 @@ object DeltaExport {
       }
     }
     validate(snap0.configuration)
+    // Advanced identity watermark: the max id the staged bytes carry
+    // (one aggregate over the batch-bounded staging, the cost class of
+    // the validation scan above). The commit re-publishes metaData with
+    // the new delta.identity.highWaterMark so the NEXT writer — any
+    // engine — allocates above it.
+    val newHwms: Map[String, Long] =
+      if (idSpecs.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.max
+        val stagedPhys = spark.read.option("basePath", stagePath.toString)
+          .parquet(stagePath.toString)
+        val staged = toPhys.foldLeft(stagedPhys) {
+          case (d, (l, p)) => d.withColumnRenamed(p, l) }
+        val names = idSpecs.keys.toSeq.sorted
+        val aggs = names.map(n => max(col(s"`$n`")).as(n))
+        val row = staged.agg(aggs.head, aggs.tail: _*).collect().head
+        names.zipWithIndex.flatMap { case (n, i) =>
+          if (row.isNullAt(i)) None
+          else Some(n -> math.max(row.getLong(i), idHwm(n)))
+        }.filter { case (n, h) => h > idHwm(n) }.toMap
+      }
 
     val files = {
       val it = fs.listFiles(stagePath, true)
@@ -1446,6 +1532,31 @@ object DeltaExport {
             .contains("true"))
           Some(math.max(prevIctOf(snap.version).getOrElse(0L) + 1, nowMs))
         else None)
+      // Identity allocation advanced the high-water mark → the commit
+      // re-publishes metaData carrying it (where delta-spark records it,
+      // in the identity field's schema metadata).
+      if (newHwms.nonEmpty) {
+        val newSchema = StructType(snap.schema.fields.map { f =>
+          newHwms.get(f.name) match {
+            case Some(h) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("delta.identity.highWaterMark", h).build())
+            case None => f
+          }
+        })
+        lines += JsonMethods.compact(JObject("metaData" -> JObject(
+          "id" -> JString(snap.tableId.getOrElse(java.util.UUID
+            .nameUUIDFromBytes(tablePath.getBytes(StandardCharsets.UTF_8))
+            .toString)),
+          "format" -> JObject("provider" -> JString("parquet"),
+            "options" -> JObject()),
+          "schemaString" -> JString(newSchema.json),
+          "partitionColumns" -> JArray(
+            snap.partitionColumns.map(JString(_)).toList),
+          "configuration" -> JObject(snap.configuration.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (JString(v): JValue) }: _*))))
+      }
       addLines.foreach(lines += _)
       if (rtOn && nextBase > hwm0 + 1) {
         lines += JsonMethods.compact(JObject("domainMetadata" -> JObject(

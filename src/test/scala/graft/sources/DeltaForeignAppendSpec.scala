@@ -106,17 +106,70 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(e2.getMessage.contains("extra"))
   }
 
-  test("generated-column tables are refused with the obligation named") {
+  test("generated columns: omitted values compute, provided ones validate") {
     val root = tmpDir("fap-gen")
     val t = GraftTable.create(spark, root,
       Seq((1L, 2L)).toDF("k", "twice"), Nil,
       generated = Map("twice" -> "k * 2"), identity = Map.empty)
     DeltaExport.exportLog(t)
     retire(root)
+    // omitted → computed from delta.generationExpression
+    DeltaExport.appendToForeign(spark, root, Seq(2L).toDF("k"))
+    // provided-and-consistent → accepted verbatim
+    DeltaExport.appendToForeign(spark, root, Seq((3L, 6L)).toDF("k", "twice"))
+    val read = DeltaImport.read(spark, root).as[(Long, Long)].collect().toSet
+    assert(read === Set((1L, 2L), (2L, 4L), (3L, 6L)))
+    // provided-and-WRONG → refused with the column named, nothing committed
+    val head = DeltaImport.latestVersion(spark, root)
     val e = intercept[IllegalArgumentException](
       DeltaExport.appendToForeign(spark, root,
-        Seq((2L, 4L)).toDF("k", "twice")))
-    assert(e.getMessage.contains("generated"))
+        Seq((4L, 999L)).toDF("k", "twice")))
+    assert(e.getMessage.contains("generated twice"))
+    assert(DeltaImport.latestVersion(spark, root) === head)
+  }
+
+  test("generated PARTITION column fills and lands in its partition dir") {
+    val root = tmpDir("fap-genpart")
+    val t = GraftTable.create(spark, root,
+      (0L until 12L).map(i => (i, i % 3)).toDF("k", "bucket"),
+      partitionBy = Seq("bucket"),
+      generated = Map("bucket" -> "k % 3"), identity = Map.empty)
+    DeltaExport.exportLog(t)
+    retire(root)
+    DeltaExport.appendToForeign(spark, root,
+      (12L until 18L).map(Tuple1(_)).toDF("k"))
+    val read = DeltaImport.read(spark, root)
+    assert(read.count() === 18L)
+    assert(read.filter(col("bucket") =!= col("k") % 3).count() === 0L)
+    // partition values recovered from the dirs the fill laid out
+    assert(DeltaImport.where(spark, root, col("bucket") === 0L)
+      .filter(col("k") >= 12L).count() === 2L) // 12, 15
+  }
+
+  test("identity columns: ids assigned above the HWM, metaData advances it") {
+    val root = tmpDir("fap-ident")
+    val t = GraftTable.create(spark, root,
+      (0L until 10L).map(i => Tuple1(s"s$i")).toDF("s"), Nil,
+      generated = Map.empty, identity = Map("id" -> (100L, 5L)))
+    DeltaExport.exportLog(t)
+    retire(root)
+    def hwmOf(): Long = DeltaImport.snapshot(spark, root).schema("id")
+      .metadata.getLong("delta.identity.highWaterMark")
+    val hwm0 = hwmOf()
+    DeltaExport.appendToForeign(spark, root,
+      (0 until 7).map(i => Tuple1(s"n$i")).toDF("s"))
+    val read = DeltaImport.read(spark, root).select("id").as[Long]
+      .collect()
+    assert(read.length === 17 && read.distinct.length === 17)
+    // every engine-assigned id sits above the prior watermark and the
+    // re-published metaData carries the new one
+    assert(hwmOf() > hwm0)
+    assert(read.max === hwmOf())
+    // a second append stacks above the advanced mark — still unique
+    DeltaExport.appendToForeign(spark, root,
+      (0 until 4).map(i => Tuple1(s"m$i")).toDF("s"))
+    val all = DeltaImport.read(spark, root).select("id").as[Long].collect()
+    assert(all.length === 21 && all.distinct.length === 21)
   }
 
   test("row-tracked append assigns ids above the HWM and advances it") {
