@@ -187,6 +187,7 @@ object SparkEntry {
     "q155_boilerplate_scrub" -> (CorpusQueries.boilerplateScrub _),
     "q156_dsir_weights"      -> ((s, d) => CorpusQueries.dsirWeights(s, d)),
     "q157_knn_label_purity"  -> (CorpusQueries.knnLabelPurity _),
+    "q214_knn_purity_sampled" -> (CorpusQueries.knnLabelPuritySampled _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
@@ -2625,6 +2626,54 @@ object SparkEntry {
         |    / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS cosine
         |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT a_id, a_label, b_label FROM (
+        |    SELECT a_id, a_label, b_label,
+        |           row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+        |    FROM pairs) WHERE rn <= 10),
+        |votes AS (
+        |  SELECT a_id, a_label, b_label, count(*) AS c
+        |  FROM knn GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT a_id, a_label, b_label AS pred FROM (
+        |    SELECT a_id, a_label, b_label,
+        |           row_number() OVER (PARTITION BY a_id ORDER BY c DESC, b_label) AS rn
+        |    FROM votes) WHERE rn = 1)
+        |SELECT a_label AS label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN pred = a_label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        |       CAST(sum(CASE WHEN pred = a_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
+        |FROM pred GROUP BY a_label""".stripMargin,
+
+    // kNN purity, sampled + LSH-bucketed (q214): queries = vec_id%4=0,
+    // candidates share ANY 4-bit sign band over dims 1-16 (1-based);
+    // signatures, cosines and tie-breaks are the exact q157 arithmetic
+    "q214_knn_purity_sampled" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, label, vec,
+        |    sqrt(list_inner_product(vec, vec)) AS nrm,
+        |    (CASE WHEN vec[1]>=0 THEN 1 ELSE 0 END + CASE WHEN vec[2]>=0 THEN 2 ELSE 0 END
+        |     + CASE WHEN vec[3]>=0 THEN 4 ELSE 0 END + CASE WHEN vec[4]>=0 THEN 8 ELSE 0 END) AS sig0,
+        |    (CASE WHEN vec[5]>=0 THEN 1 ELSE 0 END + CASE WHEN vec[6]>=0 THEN 2 ELSE 0 END
+        |     + CASE WHEN vec[7]>=0 THEN 4 ELSE 0 END + CASE WHEN vec[8]>=0 THEN 8 ELSE 0 END) AS sig1,
+        |    (CASE WHEN vec[9]>=0 THEN 1 ELSE 0 END + CASE WHEN vec[10]>=0 THEN 2 ELSE 0 END
+        |     + CASE WHEN vec[11]>=0 THEN 4 ELSE 0 END + CASE WHEN vec[12]>=0 THEN 8 ELSE 0 END) AS sig2,
+        |    (CASE WHEN vec[13]>=0 THEN 1 ELSE 0 END + CASE WHEN vec[14]>=0 THEN 2 ELSE 0 END
+        |     + CASE WHEN vec[15]>=0 THEN 4 ELSE 0 END + CASE WHEN vec[16]>=0 THEN 8 ELSE 0 END) AS sig3
+        |  FROM v),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM s a JOIN s b ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1
+        |                        OR a.sig2 = b.sig2 OR a.sig3 = b.sig3)
+        |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id),
+        |pairs AS (
+        |  SELECT c.a_id, sa.label AS a_label, c.b_id, sb.label AS b_label,
+        |    list_inner_product(sa.vec, sb.vec) / (sa.nrm * sb.nrm) AS cosine
+        |  FROM cand c
+        |  JOIN s sa ON sa.vec_id = c.a_id
+        |  JOIN s sb ON sb.vec_id = c.b_id),
         |knn AS (
         |  SELECT a_id, a_label, b_label FROM (
         |    SELECT a_id, a_label, b_label,

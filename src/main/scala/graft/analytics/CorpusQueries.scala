@@ -1039,6 +1039,15 @@ object CorpusQueries {
   def knnLabelPurity(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnLabelPurity(Tables.embeddings(spark, dir), k = 10)
 
+  /** q214: kNN label purity, 100 TB SHAPE
+    * ([[graft.sim.Similarity.knnLabelPuritySampled]]) — the same vote as
+    * q157 but over a deterministic 1-in-4 eval sample with banded
+    * sign-LSH candidates joined on an EQUI key: no cross join anywhere
+    * in the plan (spec-asserted), the executable scale path q157's
+    * docstring promises. */
+  def knnLabelPuritySampled(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelPuritySampled(Tables.embeddings(spark, dir), k = 10)
+
   /** q158: exact dedup with the QUALITY-priority keeper policy
     * ([[graft.dedup.Dedup.priorityDedup]]) — canonical copy = cleanest
     * copy, not smallest id. */

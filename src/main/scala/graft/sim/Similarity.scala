@@ -307,4 +307,75 @@ object Similarity {
       .select(col("label"), col("n"), col("correct"),
         (col("correct").cast("double") / col("n")).as("accuracy"))
   }
+
+  /** [[knnLabelPurity]]'s 100 TB shape, EXECUTABLE (not just documented):
+    * the same majority vote, but (a) queries are a deterministic 1-in-
+    * `sampleMod` eval sample (`vec_id % sampleMod == 0` — the production
+    * pipeline swaps in q117's hash-stratified sampler, identical shape),
+    * and (b) neighbor candidates come from a banded sign-LSH EQUI-JOIN,
+    * never a cross join: each of `bands` bands hashes `bits` consecutive
+    * embedding dimensions to their sign pattern (an axis-aligned
+    * sign-random-projection — cosine-close vectors agree on most signs),
+    * candidates are pairs sharing ANY band's pattern, deduped, then
+    * exact-ranked by cosine. Every join is a hash/sort-merge join on the
+    * band signature or on vec_id — the plan contains NO CartesianProduct
+    * and NO BroadcastNestedLoopJoin (spec-asserted), so the shape
+    * survives a corpus that no longer fits a quadratic pair space:
+    * per-band bucket sizes bound the candidate fan-out exactly as in the
+    * minhash-LSH dedup family.
+    *
+    * Deterministic end-to-end — the sample rule, the integer sign
+    * signatures, cosine (q28/q29's IEEE contract), the rank tie-break
+    * (cosine desc, b_id) and the vote tie-break (smaller label) all
+    * reproduce bit-for-bit in the DuckDB oracle. The reported purity is
+    * the purity *within the LSH candidate set*: the eval contract a
+    * production ANN-backed eval actually runs. */
+  def knnLabelPuritySampled(emb: DataFrame, k: Int = 10,
+      sampleMod: Long = 4, bands: Int = 4, bits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+    def sig(j: Int): Column = (0 until bits).map(i =>
+      when(col("vec").getItem(j * bits + i) >= 0d, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+    val signed = v.select(Seq(col("vec_id"), col("label"), col("vec"),
+      col("norm")) ++ (0 until bands).map(j => sig(j).as(s"sig$j")): _*)
+    val a = signed.filter(col("vec_id") % sampleMod === 0).select(
+      Seq(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("vec").as("a_vec"), col("norm").as("a_norm")) ++
+        (0 until bands).map(j => col(s"sig$j").as(s"a_sig$j")): _*)
+    val b = signed.select(
+      Seq(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("vec").as("b_vec"), col("norm").as("b_norm")) ++
+        (0 until bands).map(j => col(s"sig$j").as(s"b_sig$j")): _*)
+    // Candidate pairs: equi-join per band on the signature, union, dedup
+    // — each band join shuffles on a 2^bits-ary key, bounded fan-out.
+    val cand = (0 until bands).map { j =>
+      a.select(col("a_id"), col(s"a_sig$j").as("sig"))
+        .join(b.select(col("b_id"), col(s"b_sig$j").as("sig")), Seq("sig"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }.reduce(_ unionByName _).distinct()
+    val pairs = cand
+      .join(a.select(col("a_id"), col("a_label"), col("a_vec"),
+        col("a_norm")), Seq("a_id"))
+      .join(b.select(col("b_id"), col("b_label"), col("b_vec"),
+        col("b_norm")), Seq("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+          .as("cosine"))
+    val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id"))
+    val votes = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("a_id", "a_label", "b_label").agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("a_id", "a_label")
+      .agg(min(struct((-col("c")).as("nc"), col("b_label").as("lbl"))).as("m"))
+      .select(col("a_id"), col("a_label"), col("m.lbl").as("pred"))
+    pred.groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("a_label"), 1L).otherwise(0L)).as("correct"))
+      .select(col("label"), col("n"), col("correct"),
+        (col("correct").cast("double") / col("n")).as("accuracy"))
+  }
 }

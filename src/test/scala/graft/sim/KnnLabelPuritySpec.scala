@@ -38,4 +38,45 @@ class KnnLabelPuritySpec extends SparkSpec {
   test("every label appears exactly once in the report") {
     assert(byLabel.keySet === Set(0, 1))
   }
+
+  // --- q214: the sampled + LSH-bucketed 100 TB shape -------------------
+
+  /** 16-dim corpus with two sign-separated clusters: label 0 lives in the
+    * all-positive orthant, label 1 in the all-negative one, so every sign
+    * band agrees within a cluster and disagrees across — candidates are
+    * exactly the intra-cluster pairs. Sampled queries (vec_id % 4 == 0)
+    * are 4 (label 0) and 8 (label 1). */
+  private lazy val emb16 = {
+    def v(sign: Double, jitter: Double): Array[Float] =
+      Array.tabulate(16)(i => (sign * (0.5 + jitter * (i + 1) / 100.0)).toFloat)
+    Seq(
+      (1L, v(+1, 0.1), 0), (2L, v(+1, 0.2), 0),
+      (3L, v(+1, 0.3), 0), (4L, v(+1, 0.4), 0),
+      (5L, v(-1, 0.1), 1), (6L, v(-1, 0.2), 1),
+      (7L, v(-1, 0.3), 1), (8L, v(-1, 0.4), 1)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("sampled variant: purity over LSH candidates, sample rows only") {
+    val rows = Similarity.knnLabelPuritySampled(emb16, k = 3)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    // one sampled query per label, each voted pure by its own cluster
+    assert(rows.keySet === Set(0, 1))
+    assert(rows(0).getAs[Long]("n") === 1L)
+    assert(rows(1).getAs[Long]("n") === 1L)
+    assert(rows(0).getAs[Double]("accuracy") === 1.0)
+    assert(rows(1).getAs[Double]("accuracy") === 1.0)
+  }
+
+  test("sampled variant plans NO cartesian/nested-loop join; exact does") {
+    val sampledPlan = Similarity.knnLabelPuritySampled(emb16, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!sampledPlan.contains("CartesianProduct"), sampledPlan)
+    assert(!sampledPlan.contains("BroadcastNestedLoopJoin"), sampledPlan)
+    // contrast: the exact eval IS the quadratic shape (its contract)
+    val exactPlan = Similarity.knnLabelPurity(emb16, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("CartesianProduct") ||
+      exactPlan.contains("BroadcastNestedLoopJoin"))
+  }
 }
