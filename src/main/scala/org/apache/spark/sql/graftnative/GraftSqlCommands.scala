@@ -66,6 +66,40 @@ private[graftnative] object GraftSqlCommands {
     * Delta's deletion-vector write mode as a session switch. */
   def mergeOnRead(session: SparkSession): Boolean =
     session.conf.getOption("spark.graft.sql.mergeOnRead").exists(_.toBoolean)
+
+  /** Parsed `MergeAction` → [[graft.table.MergeClause]], shared by the
+    * native and foreign general-merge commands. Assignment keys may
+    * carry the target alias; values keep their qualifiers (both join
+    * sides are in scope at run time). */
+  def mergeClauseOf(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction,
+      targetAlias: String): graft.table.MergeClause = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, UpdateAction, UpdateStarAction}
+    import graft.table.MergeClause
+    def colOf(e: Expression) = ExpressionUtils.column(e)
+    def assignMap(as: Seq[Assignment]): Map[String, org.apache.spark.sql.Column] =
+      as.map { asg =>
+        val name = asg.key match {
+          case k: UnresolvedAttribute
+              if k.nameParts.length >= 2 &&
+                k.nameParts.head.equalsIgnoreCase(targetAlias) =>
+            k.nameParts.tail.mkString(".")
+          case k: UnresolvedAttribute => k.nameParts.mkString(".")
+          case other => throw new UnsupportedOperationException(
+            s"graft SQL MERGE: unsupported assignment target ${other.sql}")
+        }
+        name -> colOf(asg.value)
+      }.toMap
+    a match {
+      case UpdateStarAction(c) => MergeClause.UpdateAll(c.map(colOf))
+      case UpdateAction(c, as, _) => MergeClause.Update(assignMap(as), c.map(colOf))
+      case DeleteAction(c) => MergeClause.Delete(c.map(colOf))
+      case InsertStarAction(c) => MergeClause.InsertAll(c.map(colOf))
+      case InsertAction(c, as) => MergeClause.Insert(assignMap(as), c.map(colOf))
+      case other => throw new UnsupportedOperationException(
+        s"graft SQL MERGE: unsupported action $other")
+    }
+  }
 }
 
 /** `DELETE FROM t [WHERE cond]`. No condition deletes every row (Delta
@@ -219,34 +253,9 @@ case class GraftMergeClausesCommand(
     "num_affected_rows", "num_updated_rows", "num_deleted_rows", "num_inserted_rows")
 
   override def run(session: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, MergeAction, UpdateAction, UpdateStarAction}
-    import graft.table.MergeClause
     def colOf(e: Expression) = ExpressionUtils.column(e)
-    def assignMap(as: Seq[Assignment]): Map[String, org.apache.spark.sql.Column] =
-      as.map { a =>
-        val name = a.key match {
-          // Keys may carry the target alias/table qualifier; values keep
-          // their qualifiers (both join sides are in scope at run time).
-          case k: UnresolvedAttribute
-              if k.nameParts.length >= 2 &&
-                k.nameParts.head.equalsIgnoreCase(targetAlias) =>
-            k.nameParts.tail.mkString(".")
-          case k: UnresolvedAttribute => k.nameParts.mkString(".")
-          case other => throw new UnsupportedOperationException(
-            s"graft SQL MERGE: unsupported assignment target ${other.sql}")
-        }
-        name -> colOf(a.value)
-      }.toMap
-    def clause(a: MergeAction): MergeClause = a match {
-      case UpdateStarAction(c) => MergeClause.UpdateAll(c.map(colOf))
-      case UpdateAction(c, as, _) => MergeClause.Update(assignMap(as), c.map(colOf))
-      case DeleteAction(c) => MergeClause.Delete(c.map(colOf))
-      case InsertStarAction(c) => MergeClause.InsertAll(c.map(colOf))
-      case InsertAction(c, as) => MergeClause.Insert(assignMap(as), c.map(colOf))
-      case other => throw new UnsupportedOperationException(
-        s"graft SQL MERGE: unsupported action $other")
-    }
+    def clause(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction) =
+      GraftSqlCommands.mergeClauseOf(a, targetAlias)
     val src = GraftSqlCommands.sourceDf(session, sourcePlan)
     val c = table.mergeClausesOn(src, keys, onExtra.value.map(colOf),
       matched = matched.value.map(clause),
@@ -380,6 +389,38 @@ case class GraftForeignMergeCommand(
     val (_, u, i) = graft.sources.DeltaExport.mergeForeignUpsert(
       session, path, GraftSqlCommands.sourceDf(session, source), key)
     Seq(Row(u, i))
+  }
+}
+
+/** General `MERGE INTO delta.`path`` — the full clause surface on a
+  * FOREIGN Delta table ([[graft.sources.DeltaExport.mergeForeignClauses]]):
+  * ordered conditional matched UPDATE/DELETE, guarded INSERT,
+  * NOT MATCHED BY SOURCE, compound equi keys. The same statement a
+  * delta-spark user types today, now executable against a table graft
+  * does not govern. */
+case class GraftForeignMergeClausesCommand(
+    path: String,
+    sourcePlan: LogicalPlan,
+    keys: Seq[String],
+    matched: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
+    notMatched: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
+    notMatchedBySource: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
+    targetAlias: String,
+    sourceAlias: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = GraftSqlCommands.metricAttrs(
+    "num_affected_rows", "num_updated_rows", "num_deleted_rows", "num_inserted_rows")
+
+  override def run(session: SparkSession): Seq[Row] = {
+    def clause(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction) =
+      GraftSqlCommands.mergeClauseOf(a, targetAlias)
+    val (_, upd, del, ins) = graft.sources.DeltaExport.mergeForeignClauses(
+      session, path, GraftSqlCommands.sourceDf(session, sourcePlan), keys,
+      matched = matched.value.map(clause),
+      notMatched = notMatched.value.map(clause),
+      notMatchedBySource = notMatchedBySource.value.map(clause),
+      targetAlias = targetAlias, sourceAlias = sourceAlias)
+    Seq(Row(upd + del + ins, upd, del, ins))
   }
 }
 

@@ -161,11 +161,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
                 case Seq(InsertStarAction(None)) => true; case _ => false })
             if (upsertAll && keys.length == 1 && onExtra.isEmpty)
               GraftForeignMergeCommand(path, m.sourceTable, keys.head)
+            // Every other clause shape — conditional matched UPDATE/
+            // DELETE, guarded INSERT, NOT MATCHED BY SOURCE, compound
+            // keys — runs the foreign general merge. Only a predicated
+            // ON (non-equi residual) remains unsupported there.
+            else if (onExtra.isEmpty)
+              GraftForeignMergeClausesCommand(path, m.sourceTable, keys,
+                GraftParsed(m.matchedActions),
+                GraftParsed(m.notMatchedActions),
+                GraftParsed(m.notMatchedBySourceActions),
+                targetAlias = foreignTargetAliasOf(m.targetTable),
+                sourceAlias = sourceAliasOf(m.sourceTable))
             else throw new UnsupportedOperationException(
-              "MERGE INTO delta.`path` supports the canonical upsert only " +
-                "(WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN " +
-                "INSERT *, one bare equi key); run richer clause shapes " +
-                "through the owning engine")
+              "MERGE INTO delta.`path`: a predicated ON (extra non-equi " +
+                "conjuncts) is not supported on foreign tables — fold the " +
+                "predicate into the clause conditions")
           case None => m
         }
       }
@@ -423,6 +433,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case SubqueryAlias(id, _) => id.name
     case u: UnresolvedRelation => u.multipartIdentifier.last
     case _ => "__graft_src"
+  }
+
+  /** The target alias of a `MERGE INTO delta.`path` [AS t]` statement —
+    * clause conditions reference it; an unaliased target gets a private
+    * alias (its columns then resolve unqualified when unambiguous). */
+  private def foreignTargetAliasOf(p: LogicalPlan): String = p match {
+    case SubqueryAlias(id, _) => id.name
+    case _ => "__graft_tgt"
   }
 
   // ----------------------------------------------- utility statements

@@ -130,6 +130,27 @@ class DeltaForeignClauseMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("SQL spelling: MERGE INTO delta.`path` with conditional clauses") {
+    val root = fixture("fcm-sql")
+    Seq((0L, 0L, "sqlupd", 5.0, "upd"), (2L, 1L, "x", 0.0, "del"))
+      .toDF("k1", "k2", "s", "v", "op")
+      .createOrReplaceTempView("fcm_sql_src")
+    val row = spark.sql(
+      s"""MERGE INTO delta.`$root` AS t USING fcm_sql_src AS s
+         |ON t.k1 = s.k1 AND t.k2 = s.k2
+         |WHEN MATCHED AND s.op = 'del' THEN DELETE
+         |WHEN MATCHED AND t.v <> s.v THEN UPDATE SET s = s.s, v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    // (0,0) re-priced (update), (2,1) = row 7 deleted, nothing inserted
+    assert(row.getLong(1) === 1L) // updated
+    assert(row.getLong(2) === 1L) // deleted
+    assert(row.getLong(3) === 0L) // inserted
+    val read = DeltaImport.read(spark, root)
+    assert(read.filter(col("k1") === 0L && col("k2") === 0L)
+      .select("s").head().getString(0) === "sqlupd")
+    assert(read.filter(col("k1") === 2L && col("k2") === 1L).count() === 0L)
+  }
+
   test("txn stamp makes the whole clause merge exactly-once") {
     val root = fixture("fcm-txn")
     val source = Seq((0L, 0L, "updated", 7.0)).toDF("k1", "k2", "s", "v")
