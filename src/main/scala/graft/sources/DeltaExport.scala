@@ -2371,13 +2371,27 @@ object DeltaExport {
     * [[appendToForeign]] — one stamp covering delete and upsert halves of
     * a CDC batch in one atomic commit. Returns
     * (committedVersion, rowsUpdated, rowsDeleted, rowsInserted). */
+  /** `onExtra` is the compound-ON residual (`ON t.k = s.k AND t.active`):
+    * it joins the MATCH condition itself, so a key-matched pair failing
+    * it surfaces as a target-only row AND a source-only row — Delta's
+    * semantics (the target row reaches NOT MATCHED BY SOURCE, the source
+    * row reaches NOT MATCHED) — while the join still plans on the equi
+    * keys with the residual as a filter, never a cartesian.
+    * Generated/identity tables are writable: update images RECOMPUTE
+    * generated columns over the post-assignment row and keep the
+    * target's identity value; insert images compute generated columns
+    * and allocate identity ids above the schema's high-water mark (the
+    * commit re-publishes metaData with the advanced mark, as appends
+    * do); assigning either kind refuses. */
   def mergeForeignClauses(spark: SparkSession, tablePath: String,
       source: org.apache.spark.sql.DataFrame, keys: Seq[String],
       matched: Seq[graft.table.MergeClause] = Nil,
       notMatched: Seq[graft.table.MergeClause] = Nil,
       notMatchedBySource: Seq[graft.table.MergeClause] = Nil,
       targetAlias: String = "t", sourceAlias: String = "s",
-      txn: Option[(String, Long)] = None): (Long, Long, Long, Long) = {
+      txn: Option[(String, Long)] = None,
+      onExtra: Option[org.apache.spark.sql.Column] = None)
+      : (Long, Long, Long, Long) = {
     import graft.table.MergeClause
     import org.apache.spark.sql.functions.{lit, when, count}
     val conf = spark.sessionState.newHadoopConf()
@@ -2420,13 +2434,11 @@ object DeltaExport {
         (matched.isEmpty && notMatchedBySource.isEmpty),
         s"merge into $tablePath: the table is append-only (delta.appendOnly)")
       val badMeta = snap.schema.fields.filter(f =>
-        f.metadata.contains("delta.generationExpression") ||
-          f.metadata.contains("delta.identity.start") ||
-          f.metadata.contains("delta.invariants"))
+        f.metadata.contains("delta.invariants"))
       require(badMeta.isEmpty,
         s"merge into $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
-          "declare generated/identity/invariant semantics a merger must " +
-          "compute — write through the owning engine instead")
+          "declare legacy invariants this merger does not validate — " +
+          "write through the owning engine instead")
       require(!DeltaImport.hasNestedMapping(snap.schema),
         s"merge into $tablePath: nested fields carry physical column names")
     }
@@ -2451,16 +2463,52 @@ object DeltaExport {
         s"merge into $tablePath: source has no key column named $k")
       fields.find(_.name.equalsIgnoreCase(k)).get.name
     }
+    // Generated / identity declarations (same extraction as the append
+    // path): neither kind is assignable; update images recompute
+    // generated and keep identity; insert images compute generated and
+    // allocate identity above the high-water mark.
+    val genSpecs: Map[String, String] = fields.iterator.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        f.name -> f.metadata.getString("delta.generationExpression")
+    }.toMap
+    val idSpecs: Map[String, (Long, Long, Boolean)] = fields.iterator.collect {
+      case f if f.metadata.contains("delta.identity.start") =>
+        f.name -> ((f.metadata.getLong("delta.identity.start"),
+          if (f.metadata.contains("delta.identity.step"))
+            f.metadata.getLong("delta.identity.step") else 1L,
+          f.metadata.contains("delta.identity.allowExplicitInsert") &&
+            f.metadata.getBoolean("delta.identity.allowExplicitInsert")))
+    }.toMap
+    val idHwm: Map[String, Long] = fields.iterator.collect {
+      case f if idSpecs.contains(f.name) =>
+        f.name -> (if (f.metadata.contains("delta.identity.highWaterMark"))
+          f.metadata.getLong("delta.identity.highWaterMark")
+        else idSpecs(f.name)._1 - idSpecs(f.name)._2)
+    }.toMap
+    val engineMaintained = genSpecs.keySet ++ idSpecs.keySet
     // Assignments / explicit inserts must bind to existing target fields.
     def checkAssigned(cls: Seq[MergeClause]): Unit = cls.foreach {
-      case MergeClause.Update(as, _) => as.keys.foreach(k => require(
-        fields.exists(_.name.equalsIgnoreCase(k)),
-        s"merge into $tablePath: assignment to unknown column $k — " +
-          "foreign merges never evolve the schema"))
-      case MergeClause.Insert(as, _) => as.keys.foreach(k => require(
-        fields.exists(_.name.equalsIgnoreCase(k)),
-        s"merge into $tablePath: insert into unknown column $k — " +
-          "foreign merges never evolve the schema"))
+      case MergeClause.Update(as, _) => as.keys.foreach { k =>
+        require(fields.exists(_.name.equalsIgnoreCase(k)),
+          s"merge into $tablePath: assignment to unknown column $k — " +
+            "foreign merges never evolve the schema")
+        require(!engineMaintained.exists(_.equalsIgnoreCase(k)),
+          s"merge into $tablePath: column $k is generated/identity — its " +
+            "value is engine-maintained, not assignable")
+      }
+      case MergeClause.Insert(as, _) => as.keys.foreach { k =>
+        require(fields.exists(_.name.equalsIgnoreCase(k)),
+          s"merge into $tablePath: insert into unknown column $k — " +
+            "foreign merges never evolve the schema")
+        require(!genSpecs.keys.exists(_.equalsIgnoreCase(k)),
+          s"merge into $tablePath: column $k is generated — omit it and " +
+            "let the merge compute it")
+        idSpecs.foreach { case (n, (_, _, allowExplicit)) =>
+          require(!k.equalsIgnoreCase(n) || allowExplicit,
+            s"merge into $tablePath: identity column $n is GENERATED " +
+              "ALWAYS — omit it and let the merge assign ids")
+        }
+      }
       case _ => ()
     }
     checkAssigned(matched); checkAssigned(notMatched)
@@ -2488,8 +2536,12 @@ object DeltaExport {
       else Some(DeltaImport
         .readFilesWithPositions(spark, snap0, candidates, FileC, PosC))
     val srcAliased = srcNonNull.alias(sourceAlias)
-    val joinCond = keyNames.map(k =>
-      col(s"$targetAlias.`$k`") === col(s"$sourceAlias.`$k`")).reduce(_ && _)
+    // The full MATCH condition: equi keys plus the compound-ON residual
+    // (Catalyst plans the equi keys as the join and the residual as its
+    // filter — never a cartesian).
+    val joinCond = (keyNames.map(k =>
+      col(s"$targetAlias.`$k`") === col(s"$sourceAlias.`$k`")) ++ onExtra)
+      .reduce(_ && _)
     // First-match-wins claim index over a clause branch (-1 = unclaimed).
     def claimOf(clauses: Seq[MergeClause]): org.apache.spark.sql.Column =
       clauses.zipWithIndex.reverse.foldLeft(lit(-1)) { case (acc, (c, i)) =>
@@ -2507,9 +2559,14 @@ object DeltaExport {
     val notMatchedFrame =
       if (notMatched.isEmpty) None
       else {
-        val tgtKeys = tgtRows.map(_.select(keyNames.map(k =>
-          col(s"`$k`")): _*).distinct())
-        val base = tgtKeys match {
+        // Keys-only build side when the ON is pure-equi; a residual may
+        // reference any target column, so it anti-joins the full frame.
+        val tgtSide = tgtRows.map { t =>
+          if (onExtra.isEmpty)
+            t.select(keyNames.map(k => col(s"`$k`")): _*).distinct()
+          else t
+        }
+        val base = tgtSide match {
           case Some(tk) => srcAliased.join(tk.alias(targetAlias), joinCond,
             "left_anti")
           case None => srcNonNull.alias(sourceAlias)
@@ -2619,6 +2676,16 @@ object DeltaExport {
     // New images — one staged write: matched UPDATE claims (assignments
     // over both aliases), by-source UPDATE claims (target alias only),
     // and claimed inserts, all projected onto the target schema.
+    // Generated columns RECOMPUTE over the projected (post-assignment)
+    // image — the materialized invariant keeps holding whatever the
+    // clause wrote; identity columns on update images keep the TARGET
+    // value (engine-maintained, never source-overwritten).
+    def regen(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      genSpecs.foldLeft(df) { case (d, (name, sql)) =>
+        d.withColumn(name, org.apache.spark.sql.functions.expr(sql)
+          .cast(fields.find(_.name == name).get.dataType))
+      }
     def targetImage(frame: org.apache.spark.sql.DataFrame,
         clauses: Seq[MergeClause], withSource: Boolean)
         : Option[org.apache.spark.sql.DataFrame] = {
@@ -2627,7 +2694,7 @@ object DeltaExport {
         case (MergeClause.Update(as, _), i) => (i, Some(as))
       }
       if (updates.isEmpty) return None
-      Some(updates.map { case (i, as) =>
+      Some(regen(updates.map { case (i, as) =>
         frame.filter(col(ClaimC) === i).select(fields.toIndexedSeq.map { f =>
           val tcol = col(s"$targetAlias.`${f.name}`")
           val v = as match {
@@ -2635,14 +2702,14 @@ object DeltaExport {
               case (k, vc) if k.equalsIgnoreCase(f.name) => vc
             }.getOrElse(tcol)
             case None => // UPDATE SET * — source value when present
-              if (withSource &&
+              if (withSource && !engineMaintained.contains(f.name) &&
                   source.columns.exists(_.equalsIgnoreCase(f.name)))
                 col(s"$sourceAlias.`${f.name}`")
               else tcol
           }
           v.cast(f.dataType).as(f.name)
         }: _*)
-      }.reduce(_ unionByName _))
+      }.reduce(_ unionByName _)))
     }
     def insertImage(frame: org.apache.spark.sql.DataFrame,
         clauses: Seq[MergeClause]): Option[org.apache.spark.sql.DataFrame] = {
@@ -2651,20 +2718,43 @@ object DeltaExport {
         case (MergeClause.Insert(as, _), i) => (i, Some(as))
       }
       if (inserts.isEmpty) return None
-      Some(inserts.map { case (i, as) =>
+      // INSERT ALL riding a source-provided identity value needs the
+      // schema's explicit-insert opt-in (as foreign appends require).
+      idSpecs.foreach { case (n, (_, _, allowExplicit)) =>
+        require(allowExplicit ||
+          !(inserts.exists(_._2.isEmpty) &&
+            source.columns.exists(_.equalsIgnoreCase(n))),
+          s"merge into $tablePath: identity column $n is GENERATED " +
+            "ALWAYS — drop it from the source and let the merge assign ids")
+      }
+      val projected = inserts.map { case (i, as) =>
         frame.filter(col(ClaimC) === i).select(fields.toIndexedSeq.map { f =>
           val v = as match {
             case Some(assign) => assign.collectFirst {
               case (k, vc) if k.equalsIgnoreCase(f.name) => vc
             }.getOrElse(lit(null))
             case None =>
-              if (source.columns.exists(_.equalsIgnoreCase(f.name)))
+              if (source.columns.exists(_.equalsIgnoreCase(f.name)) &&
+                  !genSpecs.contains(f.name))
                 col(s"$sourceAlias.`${f.name}`")
               else lit(null)
           }
           v.cast(f.dataType).as(f.name)
         }: _*)
-      }.reduce(_ unionByName _))
+      }.reduce(_ unionByName _)
+      // Identity fill ONCE over the unioned insert frame (ids must be
+      // unique across all insert clauses): omitted/null values allocate
+      // hwm + step·(1 + task-block counter), explicit values ride.
+      val filled = idSpecs.foldLeft(regen(projected)) {
+        case (d, (name, (_, step, _))) =>
+          import org.apache.spark.sql.functions.{monotonically_increasing_id, when}
+          val assign = lit(idHwm(name)) +
+            lit(step) * (monotonically_increasing_id() + lit(1L))
+          d.withColumn(name,
+            when(col(s"`$name`").isNotNull, col(s"`$name`").cast("long"))
+              .otherwise(assign))
+      }
+      Some(filled)
     }
     val images: Seq[org.apache.spark.sql.DataFrame] =
       matchedFrame.flatMap(f => targetImage(f, matched, withSource = true)).toSeq ++
@@ -2718,6 +2808,22 @@ object DeltaExport {
       }
     }
     validate(snap0.configuration)
+    // Advanced identity watermark over the staged bytes (update images
+    // carry existing ids at-or-below the mark, so one global max works);
+    // the commit re-publishes metaData with it, as appends do.
+    val newHwms: Map[String, Long] =
+      if (idSpecs.isEmpty || !stagedAny) Map.empty
+      else {
+        import org.apache.spark.sql.functions.max
+        val staged = stagedLogical()
+        val names = idSpecs.keys.toSeq.sorted
+        val aggs = names.map(n => max(col(s"`$n`")).as(n))
+        val row = staged.agg(aggs.head, aggs.tail: _*).collect().head
+        names.zipWithIndex.flatMap { case (n, i) =>
+          if (row.isNullAt(i)) None
+          else Some(n -> math.max(row.getLong(i), idHwm(n)))
+        }.filter { case (n, h) => h > idHwm(n) }.toMap
+      }
 
     // CDF rows, classified straight from the claim frames.
     val cdfOn = snap0.configuration
@@ -2862,6 +2968,30 @@ object DeltaExport {
           Some(math.max(lastIctOf(fs, logDir, snap.version).getOrElse(0L) + 1,
             nowMs))
         else None)
+      // Identity allocation advanced the high-water mark → re-publish
+      // metaData carrying it (same shape as appendToForeign's).
+      if (newHwms.nonEmpty) {
+        val newSchema = StructType(snap.schema.fields.map { f =>
+          newHwms.get(f.name) match {
+            case Some(h) => f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("delta.identity.highWaterMark", h).build())
+            case None => f
+          }
+        })
+        lines += JsonMethods.compact(JObject("metaData" -> JObject(
+          "id" -> JString(snap.tableId.getOrElse(java.util.UUID
+            .nameUUIDFromBytes(tablePath.getBytes(StandardCharsets.UTF_8))
+            .toString)),
+          "format" -> JObject("provider" -> JString("parquet"),
+            "options" -> JObject()),
+          "schemaString" -> JString(newSchema.json),
+          "partitionColumns" -> JArray(
+            snap.partitionColumns.map(JString(_)).toList),
+          "configuration" -> JObject(snap.configuration.toSeq.sortBy(_._1)
+            .map { case (k, v) => k -> (JString(v): JValue) }: _*))))
+      }
       touchedRels.foreach { rel =>
         val prior = byRel(rel)
         val dvField = prior.deletionVector
@@ -3293,13 +3423,11 @@ object DeltaExport {
           "vectors — enable delta.enableDeletionVectors on the owning " +
           "engine, or run the update there")
       val badMeta = snap.schema.fields.filter(f =>
-        f.metadata.contains("delta.generationExpression") ||
-          f.metadata.contains("delta.identity.start") ||
-          f.metadata.contains("delta.invariants"))
+        f.metadata.contains("delta.invariants"))
       require(badMeta.isEmpty,
         s"update of $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
-          "declare generated/identity/invariant semantics an updater must " +
-          "compute — write through the owning engine instead")
+          "declare legacy invariants this updater does not validate — " +
+          "write through the owning engine instead")
       require(!DeltaImport.hasNestedMapping(snap.schema),
         s"update of $tablePath: nested fields carry physical column names")
     }
@@ -3314,6 +3442,20 @@ object DeltaExport {
       assignments.keys.exists(_.equalsIgnoreCase(pc))),
       s"update of $tablePath: assigning a partition column moves rows " +
         "across partitions — delete + insert through the owning engine")
+    // Generated / identity obligations on the updated copies: a
+    // generated column RECOMPUTES from its expression over the row's
+    // post-assignment values (delta-spark's UPDATE contract — the
+    // materialized invariant must keep holding); identity values ride
+    // verbatim (an update creates no new row). Neither is assignable.
+    val genSpecs: Map[String, String] = fields.iterator.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        f.name -> f.metadata.getString("delta.generationExpression")
+    }.toMap
+    (genSpecs.keySet ++ fields.iterator.collect {
+      case f if f.metadata.contains("delta.identity.start") => f.name
+    }).foreach(n => require(!assignments.keys.exists(_.equalsIgnoreCase(n)),
+      s"update of $tablePath: column $n is generated/identity — its value " +
+        "is engine-maintained, not assignable"))
 
     val FileC = "__graft_foreign_upd_file"
     val PosC = "__graft_foreign_upd_pos"
@@ -3339,17 +3481,22 @@ object DeltaExport {
     val descByRel = built.map(b => b.rel -> b.desc).toMap
     val updatedCount = built.map(_.newHits).sum
 
-    // The updated copies stage exactly like an append.
+    // The updated copies stage exactly like an append; generated columns
+    // recompute over the POST-assignment row.
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
     val toPhys = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
-    val updated = matchedRows.drop(FileC, PosC).select(
+    val assigned = matchedRows.drop(FileC, PosC).select(
       fields.toIndexedSeq.map { f =>
         assignments.collectFirst {
           case (k, vc) if k.equalsIgnoreCase(f.name) =>
             vc.cast(f.dataType).as(f.name)
         }.getOrElse(col(s"`${f.name}`"))
       }: _*)
+    val updated = genSpecs.foldLeft(assigned) { case (d, (name, sql)) =>
+      d.withColumn(name, org.apache.spark.sql.functions.expr(sql)
+        .cast(fields.find(_.name == name).get.dataType))
+    }
     val physDf = toPhys.foldLeft(updated) {
       case (d, (l, p)) => d.withColumnRenamed(l, p) }
     val stageRel = s"_appends/$seed"

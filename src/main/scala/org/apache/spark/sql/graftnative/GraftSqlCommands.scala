@@ -402,6 +402,7 @@ case class GraftForeignMergeClausesCommand(
     path: String,
     sourcePlan: LogicalPlan,
     keys: Seq[String],
+    onExtra: GraftParsed[Option[Expression]],
     matched: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
     notMatched: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
     notMatchedBySource: GraftParsed[Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction]],
@@ -419,7 +420,8 @@ case class GraftForeignMergeClausesCommand(
       matched = matched.value.map(clause),
       notMatched = notMatched.value.map(clause),
       notMatchedBySource = notMatchedBySource.value.map(clause),
-      targetAlias = targetAlias, sourceAlias = sourceAlias)
+      targetAlias = targetAlias, sourceAlias = sourceAlias,
+      onExtra = onExtra.value.map(ExpressionUtils.column))
     Seq(Row(upd + del + ins, upd, del, ins))
   }
 }

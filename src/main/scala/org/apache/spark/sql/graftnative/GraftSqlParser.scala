@@ -163,19 +163,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
               GraftForeignMergeCommand(path, m.sourceTable, keys.head)
             // Every other clause shape — conditional matched UPDATE/
             // DELETE, guarded INSERT, NOT MATCHED BY SOURCE, compound
-            // keys — runs the foreign general merge. Only a predicated
-            // ON (non-equi residual) remains unsupported there.
-            else if (onExtra.isEmpty)
+            // keys, predicated ON — runs the foreign general merge.
+            else
               GraftForeignMergeClausesCommand(path, m.sourceTable, keys,
+                GraftParsed(onExtra),
                 GraftParsed(m.matchedActions),
                 GraftParsed(m.notMatchedActions),
                 GraftParsed(m.notMatchedBySourceActions),
                 targetAlias = foreignTargetAliasOf(m.targetTable),
                 sourceAlias = sourceAliasOf(m.sourceTable))
-            else throw new UnsupportedOperationException(
-              "MERGE INTO delta.`path`: a predicated ON (extra non-equi " +
-                "conjuncts) is not supported on foreign tables — fold the " +
-                "predicate into the clause conditions")
           case None => m
         }
       }

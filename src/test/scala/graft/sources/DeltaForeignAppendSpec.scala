@@ -303,6 +303,29 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(n3 === 0L && v3 === DeltaImport.latestVersion(spark, root))
   }
 
+  test("foreign update on a generated-column table recomputes the column") {
+    val root = tmpDir("fupd-gen")
+    val t = GraftTable.create(spark, root,
+      (0L until 10L).map(i => (i, i * 2)).toDF("k", "twice"), Nil,
+      generated = Map("twice" -> "k * 2"), identity = Map.empty)
+    t.deletePositional(col("k") === 9L) // advertise deletionVectors
+    DeltaExport.exportLog(t)
+    retire(root)
+    val (_, n) = DeltaExport.updateForeign(spark, root, col("k") === 4L,
+      Map("k" -> lit(400L)))
+    assert(n === 1L)
+    val row = DeltaImport.read(spark, root).filter(col("k") === 400L).head()
+    assert(row.getAs[Long]("twice") === 800L) // recomputed, not stale 8
+    // the materialized invariant holds for every committed row
+    assert(DeltaImport.read(spark, root)
+      .filter(col("twice") =!= col("k") * 2).count() === 0L)
+    // engine-maintained columns are not assignable
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.updateForeign(spark, root, col("k") === 1L,
+        Map("twice" -> lit(0L))))
+    assert(e.getMessage.contains("engine-maintained"))
+  }
+
   test("foreign update refuses partition-column assignments") {
     val root = tmpDir("fupd-part")
     val t = GraftTable.create(spark, root,

@@ -151,6 +151,72 @@ class DeltaForeignClauseMergeSpec extends SparkSpec {
     assert(read.filter(col("k1") === 2L && col("k2") === 1L).count() === 0L)
   }
 
+  test("predicated ON: a key-matched pair failing the residual splits " +
+      "into NOT MATCHED and NOT MATCHED BY SOURCE") {
+    val root = fixture("fcm-onextra")
+    // row (0,0) has v=0 (fails t.v >= 1), row (1,0) has v=1 (passes)
+    val source = Seq((0L, 0L, "img0", 50.0), (1L, 0L, "img1", 51.0))
+      .toDF("k1", "k2", "s", "v")
+    val (_, upd, del, ins) = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k1", "k2"),
+      matched = Seq(MergeClause.UpdateAll()),
+      notMatched = Seq(MergeClause.InsertAll()),
+      notMatchedBySource = Seq(MergeClause.Delete(
+        condition = Some(col("t.`k2`") === 0L && col("t.`v`") < 1.0))),
+      onExtra = Some(col("t.`v`") >= 1.0))
+    // (1,0): matched under the full ON → updated.
+    // (0,0): key-matched but v=0 fails the residual → the source row
+    // INSERTS and the target row deletes by-source.
+    assert(upd === 1L && ins === 1L && del === 1L)
+    val read = DeltaImport.read(spark, root)
+    assert(read.filter(col("k1") === 1L && col("k2") === 0L)
+      .select("v").head().getDouble(0) === 51.0)
+    val zz = read.filter(col("k1") === 0L && col("k2") === 0L).collect()
+    assert(zz.length === 1 && zz.head.getAs[Double]("v") === 50.0)
+  }
+
+  test("generated + identity tables take the full clause surface") {
+    val root = tmpDir("fcm-genid")
+    val t = GraftTable.create(spark, root,
+      (0L until 10L).map(i => (i, i * 2)).toDF("k", "twice"), Nil,
+      generated = Map("twice" -> "k * 2"),
+      identity = Map("rid" -> (100L, 5L)))
+    t.deletePositional(col("k") === 9L) // advertise deletionVectors
+    DeltaExport.exportLog(t)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "_graft_log"), true)
+    def hwmOf(): Long = DeltaImport.snapshot(spark, root).schema("rid")
+      .metadata.getLong("delta.identity.highWaterMark")
+    val hwm0 = hwmOf()
+    val rid3 = DeltaImport.read(spark, root)
+      .filter(col("k") === 3L).select("rid").head().getLong(0)
+    // update k=3 → generated `twice` recomputes, identity `rid` rides;
+    // insert k=50 → `twice` computed, `rid` allocated above the mark
+    val source = Seq((3L, 333L), (50L, 555L)).toDF("k", "newk")
+    val (_, upd, _, ins) = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k"),
+      matched = Seq(MergeClause.Update(Map("k" -> col("s.`newk`")))),
+      notMatched = Seq(MergeClause.Insert(Map("k" -> col("s.`k`")))))
+    assert(upd === 1L && ins === 1L)
+    val read = DeltaImport.read(spark, root)
+    val updated = read.filter(col("k") === 333L).head()
+    assert(updated.getAs[Long]("twice") === 666L) // recomputed
+    assert(updated.getAs[Long]("rid") === rid3)   // identity rode
+    val inserted = read.filter(col("k") === 50L).head()
+    assert(inserted.getAs[Long]("twice") === 100L)
+    assert(inserted.getAs[Long]("rid") > hwm0)    // allocated
+    assert(hwmOf() >= inserted.getAs[Long]("rid")) // metaData advanced
+    // ids stay globally unique
+    val ids = read.select("rid").as[Long].collect()
+    assert(ids.distinct.length === ids.length)
+    // engine-maintained columns are not assignable
+    val e = intercept[IllegalArgumentException](
+      DeltaExport.mergeForeignClauses(spark, root, source, Seq("k"),
+        matched = Seq(MergeClause.Update(Map("twice" -> lit(0L))))))
+    assert(e.getMessage.contains("engine-maintained"))
+  }
+
   test("txn stamp makes the whole clause merge exactly-once") {
     val root = fixture("fcm-txn")
     val source = Seq((0L, 0L, "updated", 7.0)).toDF("k1", "k2", "s", "v")
