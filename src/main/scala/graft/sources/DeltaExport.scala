@@ -1186,21 +1186,45 @@ object DeltaExport {
     won
   }
 
+  /** `delta.logRetentionDuration`-style interval ("interval 30 days") →
+    * milliseconds; tolerant of the bare "30 days" spelling. */
+  private[sources] def intervalMs(s: String): Option[Long] = {
+    val Re = """(?i)\s*(?:interval\s+)?(\d+)\s*(week|day|hour|minute|second)s?\s*""".r
+    s match {
+      case Re(n, unit) =>
+        val mult = unit.toLowerCase match {
+          case "week" => 7L * 24 * 3600 * 1000
+          case "day" => 24L * 3600 * 1000
+          case "hour" => 3600L * 1000
+          case "minute" => 60L * 1000
+          case "second" => 1000L
+        }
+        Some(n.toLong * mult)
+      case _ => None
+    }
+  }
+
   /** Post-commit maintenance a Delta writer owes the table: checkpoint
     * when the JSON tail has reached the table's OWN
-    * `delta.checkpointInterval` (delta-spark's default 10). Batch verbs
-    * call this after every won commit so an API user who never touches
+    * `delta.checkpointInterval` (delta-spark's default 10), and — when a
+    * checkpoint lands — expire JSON commits below it past the table's
+    * `delta.logRetentionDuration` (default 30 days), exactly the cleanup
+    * delta-spark runs at checkpoint time. Batch verbs call this after
+    * every won commit so an API user who never touches
     * [[maintainCheckpoint]] still leaves a bounded tail. Failures are
-    * swallowed — the commit is already durable, and a checkpoint is a
-    * read optimization any later writer can redo. */
+    * swallowed — the commit is already durable, and both steps are
+    * maintenance any later writer can redo. */
   private def checkpointIfDue(spark: SparkSession, tablePath: String,
       cfg: Map[String, String]): Unit =
     try {
       val every = cfg.get("delta.checkpointInterval")
         .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
         .filter(_ > 0).getOrElse(10)
-      maintainCheckpoint(spark, tablePath, every)
-      ()
+      maintainCheckpoint(spark, tablePath, every).foreach { _ =>
+        val retention = cfg.get("delta.logRetentionDuration")
+          .flatMap(intervalMs).getOrElse(30L * 24 * 3600 * 1000)
+        cleanupLog(spark, tablePath, retention)
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   // ------------------------------------------------ foreign-table appends
@@ -1992,6 +2016,19 @@ object DeltaExport {
     }
 
     val snap0 = DeltaImport.snapshot(spark, tablePath)
+    // Generated / identity tables take the clause path, whose images
+    // discharge those obligations (generated columns recompute, identity
+    // ids allocate above the high-water mark); the canonical upsert IS
+    // exactly UpdateAll + InsertAll there.
+    if (snap0.schema.fields.exists(f =>
+        f.metadata.contains("delta.generationExpression") ||
+          f.metadata.contains("delta.identity.start"))) {
+      val (v, u, _, i) = mergeForeignClauses(spark, tablePath, source,
+        Seq(key),
+        matched = Seq(graft.table.MergeClause.UpdateAll()),
+        notMatched = Seq(graft.table.MergeClause.InsertAll()), txn = txn)
+      return (v, u, i)
+    }
     gate(snap0)
     def alreadyCommitted(snap: DeltaImport.Snapshot): Boolean =
       txn.exists { case (app, bv) =>

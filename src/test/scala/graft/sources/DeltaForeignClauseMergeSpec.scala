@@ -217,6 +217,33 @@ class DeltaForeignClauseMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("engine-maintained"))
   }
 
+  test("canonical upsert on a generated/identity table delegates to " +
+      "the clause path") {
+    val root = tmpDir("fcm-upsert-gen")
+    val t = GraftTable.create(spark, root,
+      (0L until 10L).map(i => (i, s"s$i", i * 2)).toDF("k", "s", "twice"),
+      Nil, generated = Map("twice" -> "k * 2"),
+      identity = Map("rid" -> (100L, 5L)))
+    t.deletePositional(col("k") === 9L)
+    DeltaExport.exportLog(t)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, "_graft_log"), true)
+    val rid3 = DeltaImport.read(spark, root)
+      .filter(col("k") === 3L).select("rid").head().getLong(0)
+    val (_, u, i) = DeltaExport.mergeForeignUpsert(spark, root,
+      Seq((3L, "upd"), (50L, "new")).toDF("k", "s"), "k")
+    assert(u === 1L && i === 1L)
+    val read = DeltaImport.read(spark, root)
+    val m = read.filter(col("k") === 3L).head()
+    assert(m.getAs[String]("s") === "upd")
+    assert(m.getAs[Long]("twice") === 6L)   // invariant holds
+    assert(m.getAs[Long]("rid") === rid3)   // identity rode
+    val n = read.filter(col("k") === 50L).head()
+    assert(n.getAs[Long]("twice") === 100L) // computed
+    assert(n.getAs[Long]("rid") > rid3)     // allocated fresh
+  }
+
   test("txn stamp makes the whole clause merge exactly-once") {
     val root = fixture("fcm-txn")
     val source = Seq((0L, 0L, "updated", 7.0)).toDF("k1", "k2", "s", "v")

@@ -195,6 +195,33 @@ class DeltaForeignRaceSpec extends SparkSpec {
     assert(rv > v0)
   }
 
+  test("checkpoint-time cleanup expires the JSON tail per the table's " +
+      "own retention") {
+    val root = tmpDir("auto-clean")
+    val t = GraftTable.createWithProperties(spark, root,
+      (0L until 5L).map(i => (i, s"s$i")).toDF("k", "s"),
+      Map("delta.checkpointInterval" -> "5",
+        "delta.logRetentionDuration" -> "interval 0 seconds"))
+    DeltaExport.exportLog(t)
+    fs.delete(new Path(root, "_graft_log"), true)
+    (0 until 12).foreach { i =>
+      DeltaExport.appendToForeign(spark, root,
+        Seq((100L + i, s"a$i")).toDF("k", "s"))
+    }
+    val ckpt = DeltaImport.latestCheckpointVersion(spark, root)
+    assert(ckpt.nonEmpty)
+    // zero retention: every JSON below the checkpoint is expired
+    val logDir = new Path(root, "_delta_log")
+    val jsons = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") &&
+        n.stripSuffix(".json").forall(_.isDigit))
+      .map(_.stripSuffix(".json").toLong)
+    assert(jsons.nonEmpty && jsons.forall(_ >= ckpt.get),
+      s"stale tail below checkpoint ${ckpt.get}: ${jsons.sorted.toSeq}")
+    // cold open reads through the checkpoint alone
+    assert(DeltaImport.read(spark, root).count() === 17L)
+  }
+
   test("batch verbs auto-checkpoint at the table's cadence") {
     val root = foreignTable("auto-ckpt", 10L)
     assert(DeltaImport.latestCheckpointVersion(spark, root).isEmpty)
