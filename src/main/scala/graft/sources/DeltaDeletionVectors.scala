@@ -168,6 +168,37 @@ object DeltaDeletionVectors {
     out.result().sorted
   }
 
+  /** A deletion vector as a MEMBERSHIP STRUCTURE over its serialized
+    * portable bytes: the compressed form travels (driver plan reference,
+    * task deserialization), never an 8-bytes-per-row position array —
+    * the scan-side filter for a billion-deletion table costs what the
+    * roaring bitmaps cost, on both sides. Deserialization is lazy and
+    * per-JVM (`@transient`), lookups are one hash probe + one container
+    * probe. */
+  final class PositionSet(val bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val byKey: java.util.HashMap[Integer, RoaringBitmap] = {
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = buf.getInt
+      require(magic == Magic, s"deletion vector: bad magic $magic")
+      val n = buf.getLong
+      val m = new java.util.HashMap[Integer, RoaringBitmap]()
+      var i = 0L
+      while (i < n) {
+        val key = buf.getInt
+        val rb = new RoaringBitmap()
+        rb.deserialize(buf)
+        buf.position(buf.position() + rb.serializedSizeInBytes())
+        m.put(key, rb)
+        i += 1
+      }
+      m
+    }
+    def contains(p: Long): Boolean = {
+      val rb = byKey.get((p >>> 32).toInt)
+      rb != null && rb.contains((p & 0xffffffffL).toInt)
+    }
+  }
+
   // ------------------------------------------------------------ file IO
 
   /** Absolute path of a `u`/`p` descriptor's DV file. */
@@ -189,8 +220,15 @@ object DeltaDeletionVectors {
 
   /** Read a descriptor's deleted positions (sorted). */
   def readPositions(desc: Descriptor, tablePath: String,
-      conf: Configuration): Array[Long] = desc.storageType match {
-    case "i" => deserializeBitmap(z85Decode(desc.pathOrInlineDv))
+      conf: Configuration): Array[Long] =
+    deserializeBitmap(readBitmapBytes(desc, tablePath, conf))
+
+  /** Read a descriptor's SERIALIZED bitmap bytes (CRC-verified for file
+    * storage) without materializing positions — what [[PositionSet]] and
+    * the scan-side membership filter consume. */
+  def readBitmapBytes(desc: Descriptor, tablePath: String,
+      conf: Configuration): Array[Byte] = desc.storageType match {
+    case "i" => z85Decode(desc.pathOrInlineDv)
     case "u" | "p" =>
       val p = filePathOf(desc, tablePath)
       val fs = p.getFileSystem(conf)
@@ -207,7 +245,7 @@ object DeltaDeletionVectors {
         val crc = new CRC32(); crc.update(data)
         require(storedCrc == crc.getValue.toInt,
           s"$p @$off: CRC mismatch — corrupt deletion vector")
-        deserializeBitmap(data)
+        data
       } finally in.close()
     case other => throw new IllegalArgumentException(
       s"unknown deletion vector storageType '$other'")
@@ -255,11 +293,29 @@ object DeltaDeletionVectors {
         cardinality)
       offset += 4 + data.length + 4
     }
-    // Write-once: an existing file at this (deterministic) name is a
-    // previous identical export — reuse it rather than clobber.
-    if (!fs.exists(target)) {
-      val stream = fs.create(target, false)
-      try stream.write(bytesOut.toByteArray) finally stream.close()
+    // Write-once, CRASH-SAFE: this now also runs inside executor tasks
+    // (the distributed DV build), where a killed attempt must never
+    // leave a truncated file a retry would silently trust. The bytes
+    // land in a tmp sibling and RENAME into place — a file at the
+    // target name is therefore always complete; a pre-existing one of
+    // the wrong length (a pre-atomic writer's crash residue) is
+    // replaced rather than reused.
+    val bytes = bytesOut.toByteArray
+    def complete(): Boolean =
+      try fs.getFileStatus(target).getLen == bytes.length.toLong
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!complete()) {
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+      val stream = fs.create(tmp, false)
+      try stream.write(bytes) finally stream.close()
+      fs.delete(target, false) // wrong-length residue (never a complete file)
+      if (!fs.rename(tmp, target)) {
+        // lost to a concurrent IDENTICAL attempt (same deterministic
+        // bytes) — its complete file serves
+        fs.delete(tmp, false)
+        require(complete(), s"deletion-vector publish failed for $target")
+      }
     }
     out.result()
   }

@@ -679,7 +679,8 @@ object DeltaExport {
     val removeT = StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvT)))
     val txnT = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
@@ -697,7 +698,10 @@ object DeltaExport {
     // the prior checkpoint already folded everything below its version,
     // so a mirror that checkpoints every N commits pays O(N) here, not
     // O(table age).
-    var tomb = Map.empty[String, Long] // path -> deletionTimestamp
+    // path -> (deletionTimestamp, DV the removed add carried) — the DV
+    // rides so VACUUM's tombstone rule can protect the bitmap file too
+    // after the JSON that recorded the remove is cleaned up.
+    var tomb = Map.empty[String, (Long, Option[DeltaDeletionVectors.Descriptor])]
     var txns = Map.empty[String, Long] // appId -> version
     var priorVersion = -1L
     DeltaImport.lastCheckpoint(spark, tablePath, Some(s.version)).foreach {
@@ -705,11 +709,25 @@ object DeltaExport {
         priorVersion = pv
         val prior = spark.read.parquet(parts.map(_.toString): _*)
         val cols = prior.columns.toSet
-        if (cols.contains("remove"))
-          prior.select(col("remove.path"), col("remove.deletionTimestamp"))
-            .filter(col("path").isNotNull).collect()
-            .foreach(r => tomb += r.getString(0) ->
-              (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        if (cols.contains("remove")) {
+          val removeFields = prior.schema("remove").dataType
+            .asInstanceOf[StructType].fieldNames.toSet
+          val hasDv = removeFields.contains("deletionVector")
+          val base = prior.select(Seq(col("remove.path"),
+            col("remove.deletionTimestamp")) ++
+            (if (hasDv) Seq(col("remove.deletionVector")) else Nil): _*)
+          base.filter(col("path").isNotNull).collect().foreach { r =>
+            val dv = if (hasDv && !r.isNullAt(2)) {
+              val d = r.getStruct(2)
+              Some(DeltaDeletionVectors.Descriptor(d.getString(0),
+                d.getString(1),
+                if (d.isNullAt(2)) None else Some(d.getInt(2)),
+                d.getInt(3), d.getLong(4)))
+            } else None
+            tomb += r.getString(0) ->
+              ((if (r.isNullAt(1)) 0L else r.getLong(1), dv))
+          }
+        }
         if (cols.contains("txn"))
           prior.select(col("txn.appId"), col("txn.version"))
             .filter(col("appId").isNotNull).collect()
@@ -717,7 +735,8 @@ object DeltaExport {
               (if (r.isNullAt(1)) 0L else r.getLong(1)))
     }
     DeltaImport.changesBetween(spark, tablePath, priorVersion, s.version).foreach { vc =>
-      vc.allRemoves.foreach(r => tomb += r.path -> vc.timestampMs)
+      vc.allRemoves.foreach(r =>
+        tomb += r.path -> ((vc.timestampMs, r.deletionVector)))
       vc.txns.foreach { case (app, v) => txns += app -> v }
     }
     // Tombstones expire after the deleted-file retention window (Delta's
@@ -729,10 +748,11 @@ object DeltaExport {
       .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000)
     val horizon = System.currentTimeMillis() - retentionMs
     val live = s.files.map(_.path).toSet
-    val tombstones = tomb
-      .filterNot { case (p, _) => live(p) }
-      .filter { case (_, ts) => ts >= horizon }
-      .toSeq.sortBy(_._1)
+    val tombstones: Seq[(String, Long, Option[DeltaDeletionVectors.Descriptor])] =
+      tomb
+        .filterNot { case (p, _) => live(p) }
+        .filter { case (_, (ts, _)) => ts >= horizon }
+        .toSeq.map { case (p, (ts, dv)) => (p, ts, dv) }.sortBy(_._1)
 
     val proto = s.protocol.getOrElse(
       if (hasNtz(s.schema))
@@ -786,8 +806,11 @@ object DeltaExport {
         Seq(Row(null, null, Row(proto.minReaderVersion, proto.minWriterVersion,
           featsOrNull(proto.readerFeatures), featsOrNull(proto.writerFeatures)),
           null, null, null)) ++
-        tombstones.map { case (p, ts) =>
-          Row(null, null, null, Row(p, ts, false), null, null) } ++
+        tombstones.map { case (p, ts, dv) =>
+          Row(null, null, null, Row(p, ts, false,
+            dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+              d.offset.map(Int.box).orNull, d.sizeInBytes,
+              d.cardinality)).orNull), null, null) } ++
         txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, null, null, null, Row(app, v), null) } ++
         s.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
@@ -876,7 +899,8 @@ object DeltaExport {
       fs: org.apache.hadoop.fs.FileSystem, logDir: Path,
       s: DeltaImport.Snapshot, ckptT: StructType,
       addRows: Seq[org.apache.spark.sql.Row],
-      proto: DeltaImport.Protocol, tombstones: Seq[(String, Long)],
+      proto: DeltaImport.Protocol,
+      tombstones: Seq[(String, Long, Option[DeltaDeletionVectors.Descriptor])],
       txns: Map[String, Long], partRows: Int): Long = {
     import org.apache.spark.sql.Row
     val uuid = java.util.UUID.nameUUIDFromBytes(
@@ -942,10 +966,12 @@ object DeltaExport {
         "domain" -> JString(d), "configuration" -> JString(cfg),
         "removed" -> JBool(false))))
     }
-    tombstones.foreach { case (p, ts) =>
-      lines += JsonMethods.compact(JObject("remove" -> JObject(
-        "path" -> JString(p), "deletionTimestamp" -> JLong(ts),
-        "dataChange" -> JBool(false))))
+    tombstones.foreach { case (p, ts, dv) =>
+      lines += JsonMethods.compact(JObject("remove" -> JObject(List(
+        "path" -> (JString(p): JValue),
+        "deletionTimestamp" -> (JLong(ts): JValue),
+        "dataChange" -> (JBool(false): JValue)) ++
+        dv.map(d => "deletionVector" -> dvJson(d)).toList: _*)))
     }
     sidecarNames.foreach { name =>
       val st = fs.getFileStatus(new Path(sidecarDir, name))
@@ -1449,26 +1475,19 @@ object DeltaExport {
       }
     }
     validate(snap0.configuration)
-    // Advanced identity watermark: the max id the staged bytes carry
-    // (one aggregate over the batch-bounded staging, the cost class of
-    // the validation scan above). The commit re-publishes metaData with
-    // the new delta.identity.highWaterMark so the NEXT writer — any
-    // engine — allocates above it.
+    // Advanced identity watermark: the directional extreme of the staged
+    // ids (one aggregate over the batch-bounded staging, the cost class
+    // of the validation scan above). The commit re-publishes metaData
+    // with the new delta.identity.highWaterMark so the NEXT writer —
+    // any engine — allocates past it.
     val newHwms: Map[String, Long] =
       if (idSpecs.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions.max
         val stagedPhys = spark.read.option("basePath", stagePath.toString)
           .parquet(stagePath.toString)
         val staged = toPhys.foldLeft(stagedPhys) {
           case (d, (l, p)) => d.withColumnRenamed(p, l) }
-        val names = idSpecs.keys.toSeq.sorted
-        val aggs = names.map(n => max(col(s"`$n`")).as(n))
-        val row = staged.agg(aggs.head, aggs.tail: _*).collect().head
-        names.zipWithIndex.flatMap { case (n, i) =>
-          if (row.isNullAt(i)) None
-          else Some(n -> math.max(row.getLong(i), idHwm(n)))
-        }.filter { case (n, h) => h > idHwm(n) }.toMap
+        advancedHwms(staged, idSpecs, idHwm)
       }
 
     val files = {
@@ -1909,11 +1928,27 @@ object DeltaExport {
         case (pv, parts) =>
           priorVersion = pv
           val prior = spark.read.parquet(parts.map(_.toString): _*)
-          if (prior.columns.contains("remove"))
-            prior.select(col("remove.path"), col("remove.deletionTimestamp"))
-              .filter(col("path").isNotNull).collect()
-              .foreach(r => tomb += r.getString(0) ->
-                (if (r.isNullAt(1)) 0L else r.getLong(1)))
+          if (prior.columns.contains("remove")) {
+            val hasDv = prior.schema("remove").dataType
+              .asInstanceOf[StructType].fieldNames.contains("deletionVector")
+            val base = prior.select(Seq(col("remove.path"),
+              col("remove.deletionTimestamp")) ++
+              (if (hasDv) Seq(col("remove.deletionVector")) else Nil): _*)
+            base.filter(col("path").isNotNull).collect().foreach { r =>
+              tomb += r.getString(0) ->
+                (if (r.isNullAt(1)) 0L else r.getLong(1))
+              if (hasDv && !r.isNullAt(2)) {
+                val d = r.getStruct(2)
+                if (d.getString(0) != "i")
+                  dvOfTomb += r.getString(0) -> DeltaDeletionVectors
+                    .filePathOf(DeltaDeletionVectors.Descriptor(
+                      d.getString(0), d.getString(1),
+                      if (d.isNullAt(2)) None else Some(d.getInt(2)),
+                      d.getInt(3), d.getLong(4)), tablePath)
+                    .toUri.getPath
+              }
+            }
+          }
       }
       DeltaImport.changesBetween(spark, tablePath, priorVersion, snap.version)
         .foreach { vc =>
@@ -2157,8 +2192,13 @@ object DeltaExport {
     if (physPartCols.nonEmpty)
       physDf.write.partitionBy(physPartCols: _*).parquet(stagePath.toString)
     else physDf.write.parquet(stagePath.toString)
-    def refuse(msg: String): Nothing = {
+    def reapStaging(): Unit = {
       fs.delete(stagePath, true)
+      survivorStage.foreach(fs.delete(_, true))
+      fs.delete(new Path(root, s"_change_data/graft-$seed"), true)
+    }
+    def refuse(msg: String): Nothing = {
+      reapStaging()
       throw new IllegalArgumentException(msg)
     }
     def constraintsOf(cfg: Map[String, String]): Map[String, String] =
@@ -2267,7 +2307,7 @@ object DeltaExport {
         else DeltaImport.snapshot(spark, tablePath)
       if (attempt > 1) {
         gate(snap)
-        if (alreadyCommitted(snap)) { fs.delete(stagePath, true)
+        if (alreadyCommitted(snap)) { reapStaging()
           return (snap.version, 0L, 0L) }
         val nowByRel = snap.files.map(f => f.path -> f).toMap
         val touchedChanged = touchedRels.exists { rel =>
@@ -2622,16 +2662,16 @@ object DeltaExport {
             .getOrElse("")} — deduplicate to latest-per-key first")
     }
 
-    def claimCounts(frame: Option[org.apache.spark.sql.DataFrame],
-        clauses: Seq[MergeClause]): Map[Int, Long] = frame match {
+    def claimCounts(frame: Option[org.apache.spark.sql.DataFrame])
+        : Map[Int, Long] = frame match {
       case None => Map.empty
       case Some(f) =>
         f.filter(col(ClaimC) >= 0).groupBy(ClaimC).count().collect()
           .map(r => r.getInt(0) -> r.getLong(1)).toMap
     }
-    val mCounts = claimCounts(matchedFrame, matched)
-    val bCounts = claimCounts(bySourceFrame, notMatchedBySource)
-    val iCounts = claimCounts(notMatchedFrame, notMatched)
+    val mCounts = claimCounts(matchedFrame)
+    val bCounts = claimCounts(bySourceFrame)
+    val iCounts = claimCounts(notMatchedFrame)
     def kindTotals(clauses: Seq[MergeClause], counts: Map[Int, Long])
         : (Long, Long) = // (updates, deletes)
       clauses.zipWithIndex.foldLeft((0L, 0L)) { case ((u, d), (c, i)) =>
@@ -2645,7 +2685,12 @@ object DeltaExport {
     val updatedCount = mUpd + bUpd
     val deletedCount = mDel + bDel
     val insertedCount = iCounts.values.sum
-    if (updatedCount + deletedCount + insertedCount == 0) {
+    // Zero claims and no txn to record → nothing to commit. With a txn
+    // stamp the merge MUST still commit a (txn-only) version: the
+    // watermark is what makes an at-least-once redelivery a no-op — an
+    // unstamped empty batch re-applied later, after the owning engine
+    // added matching rows, would mutate rows the CDC stream never owned.
+    if (updatedCount + deletedCount + insertedCount == 0 && txn.isEmpty) {
       (matchedFrame ++ bySourceFrame ++ notMatchedFrame).foreach(_.unpersist())
       return (snap0.version, 0L, 0L, 0L)
     }
@@ -2793,35 +2838,66 @@ object DeltaExport {
       }
       Some(filled)
     }
-    val images: Seq[org.apache.spark.sql.DataFrame] =
-      matchedFrame.flatMap(f => targetImage(f, matched, withSource = true)).toSeq ++
-      bySourceFrame.flatMap(f =>
-        targetImage(f, notMatchedBySource, withSource = false)).toSeq ++
-      notMatchedFrame.flatMap(f => insertImage(f, notMatched)).toSeq
+    // Images stage under KIND subdirs (m = matched updates, b = by-source
+    // updates, i = inserts) and every downstream consumer — validation,
+    // watermark, CDF post/insert rows — reads the STAGED BYTES, never a
+    // re-evaluation of the image plan: an identity fill's
+    // monotonically_increasing_id is only stable within one evaluation,
+    // so a second run could stamp CDF rows with ids the table never
+    // committed. Branches whose clauses claimed zero rows skip staging
+    // (no empty part files in the commit).
+    val imageByKind: Seq[(String, org.apache.spark.sql.DataFrame)] =
+      (if (mUpd > 0)
+        matchedFrame.flatMap(f => targetImage(f, matched, withSource = true))
+          .map("m" -> _).toSeq
+      else Nil) ++
+      (if (bUpd > 0)
+        bySourceFrame.flatMap(f =>
+          targetImage(f, notMatchedBySource, withSource = false))
+          .map("b" -> _).toSeq
+      else Nil) ++
+      (if (insertedCount > 0)
+        notMatchedFrame.flatMap(f => insertImage(f, notMatched))
+          .map("i" -> _).toSeq
+      else Nil)
 
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
     val toPhys = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
     val stagePath = new Path(root, s"_appends/$seed")
-    val stagedAny = images.nonEmpty
-    if (stagedAny) {
-      val union = images.reduce(_ unionByName _)
-      val physDf = toPhys.foldLeft(union) {
+    val stagedAny = imageByKind.nonEmpty
+    imageByKind.foreach { case (kind, df) =>
+      val physDf = toPhys.foldLeft(df) {
         case (d, (l, p)) => d.withColumnRenamed(l, p) }
+      val p = new Path(stagePath, kind)
       if (physPartCols.nonEmpty)
-        physDf.write.partitionBy(physPartCols: _*).parquet(stagePath.toString)
-      else physDf.write.parquet(stagePath.toString)
+        physDf.write.partitionBy(physPartCols: _*).parquet(p.toString)
+      else physDf.write.parquet(p.toString)
+    }
+    /** The staged bytes of one kind, PHYSICAL names (absent when the
+      * branch claimed nothing). */
+    def stagedKind(kind: String): Option[org.apache.spark.sql.DataFrame] =
+      imageByKind.collectFirst { case (k, _) if k == kind =>
+        val p = new Path(stagePath, kind)
+        spark.read.option("basePath", p.toString).parquet(p.toString)
+      }
+    // Abort cleanup reaps EVERYTHING this merge staged — the image
+    // files, the rewrite fallback's survivors, and the CDF staging.
+    def reapStaging(): Unit = {
+      fs.delete(stagePath, true)
+      survivorStage.foreach(fs.delete(_, true))
+      fs.delete(new Path(root, s"_change_data/graft-$seed"), true)
     }
     def refuse(msg: String): Nothing = {
-      fs.delete(stagePath, true)
+      reapStaging()
       throw new IllegalArgumentException(msg)
     }
     def constraintsOf(cfg: Map[String, String]): Map[String, String] =
       cfg.collect { case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v }
     def stagedLogical(): org.apache.spark.sql.DataFrame = {
-      val stagedPhys = spark.read.option("basePath", stagePath.toString)
-        .parquet(stagePath.toString)
+      val stagedPhys = imageByKind.map { case (k, _) => stagedKind(k).get }
+        .reduce(_ unionByName _)
       toPhys.foldLeft(stagedPhys) {
         case (d, (l, p)) => d.withColumnRenamed(p, l) }
     }
@@ -2845,22 +2921,12 @@ object DeltaExport {
       }
     }
     validate(snap0.configuration)
-    // Advanced identity watermark over the staged bytes (update images
-    // carry existing ids at-or-below the mark, so one global max works);
-    // the commit re-publishes metaData with it, as appends do.
+    // Advanced identity watermark over the staged bytes (directional —
+    // see [[advancedHwms]]); the commit re-publishes metaData with it,
+    // as appends do.
     val newHwms: Map[String, Long] =
       if (idSpecs.isEmpty || !stagedAny) Map.empty
-      else {
-        import org.apache.spark.sql.functions.max
-        val staged = stagedLogical()
-        val names = idSpecs.keys.toSeq.sorted
-        val aggs = names.map(n => max(col(s"`$n`")).as(n))
-        val row = staged.agg(aggs.head, aggs.tail: _*).collect().head
-        names.zipWithIndex.flatMap { case (n, i) =>
-          if (row.isNullAt(i)) None
-          else Some(n -> math.max(row.getLong(i), idHwm(n)))
-        }.filter { case (n, h) => h > idHwm(n) }.toMap
-      }
+      else advancedHwms(stagedLogical(), idSpecs, idHwm)
 
     // CDF rows, classified straight from the claim frames.
     val cdfOn = snap0.configuration
@@ -2901,15 +2967,15 @@ object DeltaExport {
       claimsOfKind(bySourceFrame, notMatchedBySource, wantDelete = true)
         .foreach(f => writeCdc(phys(tgtCols(f)
           .withColumn("_change_type", lit("delete"))), "del-b"))
-      matchedFrame.flatMap(f => targetImage(f, matched, withSource = true))
-        .foreach(df => writeCdc(phys(
-          df.withColumn("_change_type", lit("update_postimage"))), "post-m"))
-      bySourceFrame.flatMap(f =>
-        targetImage(f, notMatchedBySource, withSource = false))
-        .foreach(df => writeCdc(phys(
-          df.withColumn("_change_type", lit("update_postimage"))), "post-b"))
-      notMatchedFrame.flatMap(f => insertImage(f, notMatched)).foreach(df =>
-        writeCdc(phys(df.withColumn("_change_type", lit("insert"))), "ins"))
+      // Post/insert images restate the STAGED bytes (already physical) —
+      // bit-identical to the committed rows by construction, never a
+      // re-evaluation of the image plan.
+      stagedKind("m").foreach(df => writeCdc(
+        df.withColumn("_change_type", lit("update_postimage")), "post-m"))
+      stagedKind("b").foreach(df => writeCdc(
+        df.withColumn("_change_type", lit("update_postimage")), "post-b"))
+      stagedKind("i").foreach(df => writeCdc(
+        df.withColumn("_change_type", lit("insert")), "ins"))
     }
 
     def parquetsUnder(p: Path): Seq[FileStatus] = {
@@ -2945,7 +3011,7 @@ object DeltaExport {
         else DeltaImport.snapshot(spark, tablePath)
       if (attempt > 1) {
         gate(snap)
-        if (alreadyCommitted(snap)) { fs.delete(stagePath, true)
+        if (alreadyCommitted(snap)) { reapStaging()
           return (snap.version, 0L, 0L, 0L) }
         val nowByRel = snap.files.map(f => f.path -> f).toMap
         val touchedChanged = touchedRels.exists { rel =>
@@ -3090,6 +3156,35 @@ object DeltaExport {
     lines.iterator.filter(_.trim.nonEmpty)
       .map(l => JsonMethods.parse(l) \ "commitInfo" \ "inCommitTimestamp")
       .collectFirst { case JInt(t) => t.toLong case JLong(t) => t }
+  }
+
+  /** Advanced identity watermark over the staged bytes. The mark is
+    * DIRECTIONAL: with a positive step it is the MAX allocated value,
+    * with a negative step (delta-spark's `INCREMENT BY -5`) the MIN —
+    * taking max unconditionally would never advance a descending
+    * sequence and successive writers would re-allocate the same ids.
+    * Update images carry existing ids inside the mark, so one global
+    * directional extreme is correct. */
+  private def advancedHwms(staged: org.apache.spark.sql.DataFrame,
+      idSpecs: Map[String, (Long, Long, Boolean)],
+      idHwm: Map[String, Long]): Map[String, Long] = {
+    if (idSpecs.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{max, min}
+    val names = idSpecs.keys.toSeq.sorted
+    val aggs = names.map(n =>
+      (if (idSpecs(n)._2 >= 0) max(col(s"`$n`"))
+       else min(col(s"`$n`"))).as(n))
+    val row = staged.agg(aggs.head, aggs.tail: _*).collect().head
+    names.zipWithIndex.flatMap { case (n, i) =>
+      if (row.isNullAt(i)) None
+      else {
+        val step = idSpecs(n)._2
+        val cand = row.getLong(i)
+        val cur = idHwm(n)
+        if (if (step >= 0) cand > cur else cand < cur) Some(n -> cand)
+        else None
+      }
+    }.toMap
   }
 
   /** One built deletion vector: the file's log-relative path, its new
@@ -3357,6 +3452,7 @@ object DeltaExport {
             snap.partitionColumns != snap0.partitionColumns ||
             touchedChanged || rivalMayMatch) {
           survivorStage.foreach(fs.delete(_, true))
+          fs.delete(new Path(root, cdcRel), true)
           throw new IllegalArgumentException(
             s"delete from $tablePath: a concurrent commit touched or added " +
               "rows being deleted — re-run the delete against the new state")
@@ -3543,6 +3639,7 @@ object DeltaExport {
     else physDf.write.parquet(stagePath.toString)
     def refuse(msg: String): Nothing = {
       fs.delete(stagePath, true)
+      fs.delete(new Path(root, s"_change_data/graft-$seed"), true)
       throw new IllegalArgumentException(msg)
     }
     def constraintsOf(cfg: Map[String, String]): Map[String, String] =

@@ -746,18 +746,20 @@ object DeltaImport {
     val dataSchema = StructType(s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
     if (s.files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    // Deletion vectors (reader feature `deletionVectors`): decode each
-    // file's recorded positions driver-side (bitmap bytes — the metadata
-    // cost every Delta reader pays) and subtract them as a per-row
-    // (file, row_index) membership FILTER inside the scan, the engine's
-    // own DV read shape ([[org.apache.spark.sql.graftnative.DvExpressions]]
-    // — one hash lookup + binary search, codegen'd, no join).
-    val dvMap: Map[String, Array[Long]] = {
+    // Deletion vectors (reader feature `deletionVectors`): each file's
+    // bitmap rides SERIALIZED (roaring-compressed — never an 8-bytes-
+    // per-row position array, driver or executor) and subtracts as a
+    // per-row (file, row_index) membership FILTER inside the scan, the
+    // engine's own DV read shape
+    // ([[org.apache.spark.sql.graftnative.DvExpressions]] — one hash
+    // probe + one container probe, codegen'd, no join).
+    val dvMap: Map[String, DeltaDeletionVectors.PositionSet] = {
       lazy val conf = spark.sessionState.newHadoopConf()
       s.files.iterator.flatMap { f =>
         f.deletionVector.filter(_.cardinality != 0L).toSeq.flatMap { d =>
-          val positions = DeltaDeletionVectors.readPositions(d, s.tablePath, conf)
-          pathSpellings(s.tablePath, f.path, conf).map(_ -> positions)
+          val set = new DeltaDeletionVectors.PositionSet(
+            DeltaDeletionVectors.readBitmapBytes(d, s.tablePath, conf))
+          pathSpellings(s.tablePath, f.path, conf).map(_ -> set)
         }
       }.toMap
     }
@@ -773,7 +775,7 @@ object DeltaImport {
     val subtracted =
       if (dvMap.isEmpty) joined
       else joined.filter(!org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
+        org.apache.spark.sql.graftnative.DvExpressions.bitmapDeleted(
           col(FileC), col(PosC), dvMap), lit(false)))
     subtracted.select(s.schema.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
   }
@@ -789,12 +791,13 @@ object DeltaImport {
       files: Seq[AddFile], fileCol: String, posCol: String): DataFrame = {
     val dataSchema = StructType(
       s.schema.filterNot(f => s.partitionColumns.contains(f.name)))
-    val dvMap: Map[String, Array[Long]] = {
+    val dvMap: Map[String, DeltaDeletionVectors.PositionSet] = {
       lazy val conf = spark.sessionState.newHadoopConf()
       files.iterator.flatMap { f =>
         f.deletionVector.filter(_.cardinality != 0L).toSeq.flatMap { d =>
-          val positions = DeltaDeletionVectors.readPositions(d, s.tablePath, conf)
-          pathSpellings(s.tablePath, f.path, conf).map(_ -> positions)
+          val set = new DeltaDeletionVectors.PositionSet(
+            DeltaDeletionVectors.readBitmapBytes(d, s.tablePath, conf))
+          pathSpellings(s.tablePath, f.path, conf).map(_ -> set)
         }
       }.toMap
     }
@@ -807,7 +810,7 @@ object DeltaImport {
     val live =
       if (dvMap.isEmpty) joined
       else joined.filter(!org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
+        org.apache.spark.sql.graftnative.DvExpressions.bitmapDeleted(
           col(fileCol), col(posCol), dvMap), lit(false)))
     live.select((s.schema.fieldNames.map(n => col(s"`$n`")) :+
       col(fileCol) :+ col(posCol)).toIndexedSeq: _*)

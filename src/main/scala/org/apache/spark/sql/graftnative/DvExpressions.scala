@@ -63,9 +63,60 @@ case class DvPositionDeleted(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DvPositionDeleted]] over SERIALIZED roaring-bitmap bytes
+  * ([[graft.sources.DeltaDeletionVectors.PositionSet]]): the compressed
+  * form is what rides the plan and the task closure — never an
+  * 8-bytes-per-deleted-row long array — so the scan-side DV filter of a
+  * heavily-deleted 100 TB table costs what the bitmaps cost on the
+  * driver AND the executors. Deserialization happens lazily once per
+  * JVM; the membership test is one hash probe + one roaring container
+  * probe, still inside whole-stage codegen. */
+case class DvBitmapDeleted(left: Expression, right: Expression,
+    dv: Map[String, graft.sources.DeltaDeletionVectors.PositionSet])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_dv_bitmap_deleted"
+
+  @transient private lazy val lookup
+      : java.util.HashMap[UTF8String, graft.sources.DeltaDeletionVectors.PositionSet] = {
+    val m = new java.util.HashMap[
+      UTF8String, graft.sources.DeltaDeletionVectors.PositionSet](dv.size * 2)
+    dv.foreach { case (f, ps) => m.put(UTF8String.fromString(f), ps) }
+    m
+  }
+
+  override def nullSafeEval(file: Any, pos: Any): Any = {
+    val ps = lookup.get(file.asInstanceOf[UTF8String])
+    ps != null && ps.contains(pos.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapRef = ctx.addReferenceObj("dvBitmapLookup", lookup, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, (f, p) => {
+      val ps = ctx.freshName("dvSet")
+      s"""
+         |graft.sources.DeltaDeletionVectors.PositionSet $ps =
+         |  (graft.sources.DeltaDeletionVectors.PositionSet) $mapRef.get($f);
+         |${ev.value} = $ps != null && $ps.contains($p);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvBitmapDeleted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column↔Expression bridge. */
 object DvExpressions {
   def positionDeleted(file: Column, pos: Column, dv: Map[String, Array[Long]]): Column =
     ExpressionUtils.column(DvPositionDeleted(
+      ExpressionUtils.expression(file), ExpressionUtils.expression(pos), dv))
+
+  def bitmapDeleted(file: Column, pos: Column,
+      dv: Map[String, graft.sources.DeltaDeletionVectors.PositionSet]): Column =
+    ExpressionUtils.column(DvBitmapDeleted(
       ExpressionUtils.expression(file), ExpressionUtils.expression(pos), dv))
 }

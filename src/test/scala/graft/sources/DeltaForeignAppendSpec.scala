@@ -172,6 +172,45 @@ class DeltaForeignAppendSpec extends SparkSpec {
     assert(all.length === 21 && all.distinct.length === 21)
   }
 
+  test("DESCENDING identity (negative step) keeps allocating unique ids") {
+    // delta-spark's GENERATED ALWAYS AS IDENTITY (START 100 INCREMENT -5)
+    // — the watermark is directional; taking max would never advance it
+    // and successive appends would re-allocate the same ids. The fixture
+    // is a hand-written foreign log (graft's native identity is
+    // ascending-only).
+    val root = tmpDir("fap-ident-desc")
+    val logDir = new Path(root, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir)
+    val schema = """{"type":"struct","fields":[
+      |{"name":"s","type":"string","nullable":true,"metadata":{}},
+      |{"name":"id","type":"long","nullable":true,"metadata":{
+      |"delta.identity.start":100,"delta.identity.step":-5,
+      |"delta.identity.allowExplicitInsert":false}}]}"""
+      .stripMargin.replaceAll("\n", "")
+    val v0 =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["identityColumns"]}}""" + "\n" +
+      s"""{"metaData":{"id":"desc-ident","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${org.json4s.jackson.JsonMethods
+          .compact(org.json4s.JString(schema))},"partitionColumns":[],""" +
+        """"configuration":{}}}""" + "\n"
+    val out = fs.create(new Path(logDir, f"${0L}%020d.json"), false)
+    out.write(v0.getBytes("UTF-8")); out.close()
+
+    DeltaExport.appendToForeign(spark, root,
+      (0 until 3).map(i => Tuple1(s"a$i")).toDF("s"))
+    DeltaExport.appendToForeign(spark, root,
+      (0 until 3).map(i => Tuple1(s"b$i")).toDF("s"))
+    val ids = DeltaImport.read(spark, root).select("id").as[Long].collect()
+    assert(ids.length === 6 && ids.distinct.length === 6,
+      s"duplicate descending identity ids: ${ids.sorted.toSeq}")
+    assert(ids.max === 100L && ids.forall(i => (100L - i) % 5 == 0))
+    // the re-published watermark is the MIN (directional)
+    assert(DeltaImport.snapshot(spark, root).schema("id")
+      .metadata.getLong("delta.identity.highWaterMark") === ids.min)
+  }
+
   test("row-tracked append assigns ids above the HWM and advances it") {
     val root = tmpDir("fap-rowtrack")
     val t = GraftTable.createWithProperties(spark, root,

@@ -130,6 +130,33 @@ class DeltaForeignClauseMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("a zero-claim batch with a txn stamp still commits the watermark") {
+    val root = fixture("fcm-txn-empty")
+    val head = DeltaImport.latestVersion(spark, root)
+    // batch 5: a delete for a key that does not exist — zero claims, but
+    // the stamp MUST land or a redelivery after the owning engine adds
+    // the key would delete a row the CDC stream never owned
+    val ghost = Seq((99L, 99L)).toDF("k1", "k2")
+    val (v, upd, del, ins) = DeltaExport.mergeForeignClauses(spark, root,
+      ghost, Seq("k1", "k2"),
+      matched = Seq(MergeClause.Delete()),
+      txn = Some(("cdc-app", 5L)))
+    assert(upd + del + ins === 0L)
+    assert(v === head + 1, "txn-only commit must still land")
+    assert(DeltaImport.snapshot(spark, root)
+      .setTransactions.get("cdc-app").contains(5L))
+    // the owning engine now adds the key; the redelivered batch no-ops
+    DeltaExport.appendToForeign(spark, root,
+      Seq((99L, 99L, "late", 1.0)).toDF("k1", "k2", "s", "v"))
+    val (v2, _, del2, _) = DeltaExport.mergeForeignClauses(spark, root,
+      ghost, Seq("k1", "k2"),
+      matched = Seq(MergeClause.Delete()),
+      txn = Some(("cdc-app", 5L)))
+    assert(del2 === 0L && v2 === DeltaImport.latestVersion(spark, root))
+    assert(DeltaImport.read(spark, root)
+      .filter(col("s") === "late").count() === 1L)
+  }
+
   test("SQL spelling: MERGE INTO delta.`path` with conditional clauses") {
     val root = fixture("fcm-sql")
     Seq((0L, 0L, "sqlupd", 5.0, "upd"), (2L, 1L, "x", 0.0, "del"))
