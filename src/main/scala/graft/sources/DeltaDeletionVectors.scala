@@ -168,6 +168,51 @@ object DeltaDeletionVectors {
     out.result().sorted
   }
 
+  private def decodeKeyed(bytes: Array[Byte]): Seq[(Int, RoaringBitmap)] = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getInt
+    require(magic == Magic, s"deletion vector: bad magic $magic")
+    val n = buf.getLong
+    val out = Seq.newBuilder[(Int, RoaringBitmap)]
+    var i = 0L
+    while (i < n) {
+      val key = buf.getInt
+      val rb = new RoaringBitmap()
+      rb.deserialize(buf)
+      buf.position(buf.position() + rb.serializedSizeInBytes())
+      out += key -> rb
+      i += 1
+    }
+    out.result()
+  }
+
+  private def serializeKeyed(byKey: Seq[(Int, RoaringBitmap)]): Array[Byte] = {
+    val size = 4 + 8 + byKey.map { case (_, b) => 4 + b.serializedSizeInBytes() }.sum
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(Magic)
+    buf.putLong(byKey.size.toLong)
+    byKey.foreach { case (k, b) => buf.putInt(k); b.serialize(buf) }
+    buf.array()
+  }
+
+  /** `a \ b` over SERIALIZED portable bytes, computed and returned in
+    * compressed form (None when empty / `a` absent) — the CDF importer's
+    * DV-delta primitive: position-set differences never materialize as
+    * 8-bytes-per-row long arrays, driver or task. */
+  def differenceBytes(a: Option[Array[Byte]],
+      b: Option[Array[Byte]]): Option[Array[Byte]] = {
+    val aKeyed = a.map(decodeKeyed).getOrElse(return None)
+    val bKeyed = b.map(decodeKeyed).getOrElse(Nil).toMap
+    val out = aKeyed.flatMap { case (k, rb) =>
+      val d = bKeyed.get(k) match {
+        case Some(other) => RoaringBitmap.andNot(rb, other)
+        case None => rb
+      }
+      if (d.isEmpty) None else { d.runOptimize(); Some(k -> d) }
+    }
+    if (out.isEmpty) None else Some(serializeKeyed(out))
+  }
+
   /** A deletion vector as a MEMBERSHIP STRUCTURE over its serialized
     * portable bytes: the compressed form travels (driver plan reference,
     * task deserialization), never an 8-bytes-per-row position array —
@@ -309,12 +354,24 @@ object DeltaDeletionVectors {
         s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
       val stream = fs.create(tmp, false)
       try stream.write(bytes) finally stream.close()
-      fs.delete(target, false) // wrong-length residue (never a complete file)
+      // Rename FIRST, never delete-then-rename: a zombie duplicate
+      // attempt must not remove a rival's already-published (possibly
+      // already-committed) complete file. POSIX rename atomically
+      // replaces the destination with IDENTICAL bytes (harmless); an
+      // HDFS-style refusal falls through to the checks below.
       if (!fs.rename(tmp, target)) {
-        // lost to a concurrent IDENTICAL attempt (same deterministic
-        // bytes) — its complete file serves
-        fs.delete(tmp, false)
-        require(complete(), s"deletion-vector publish failed for $target")
+        if (complete()) fs.delete(tmp, false) // rival published — reuse
+        else {
+          // wrong-length residue: only a PRE-atomic writer's crash could
+          // leave one, and such a file is referenced by no commit (its
+          // writer died before committing) — replace it
+          fs.delete(target, false)
+          if (!fs.rename(tmp, target)) {
+            fs.delete(tmp, false)
+            require(complete(),
+              s"deletion-vector publish failed for $target")
+          }
+        }
       }
     }
     out.result()

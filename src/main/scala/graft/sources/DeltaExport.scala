@@ -713,17 +713,25 @@ object DeltaExport {
           val removeFields = prior.schema("remove").dataType
             .asInstanceOf[StructType].fieldNames.toSet
           val hasDv = removeFields.contains("deletionVector")
+          // Leaf fields by NAME — the protocol fixes field names, not
+          // struct field ORDER, and a foreign engine's checkpoint may
+          // order the descriptor differently.
           val base = prior.select(Seq(col("remove.path"),
             col("remove.deletionTimestamp")) ++
-            (if (hasDv) Seq(col("remove.deletionVector")) else Nil): _*)
+            (if (hasDv) Seq(
+              col("remove.deletionVector.storageType"),
+              col("remove.deletionVector.pathOrInlineDv"),
+              col("remove.deletionVector.offset").cast("int"),
+              col("remove.deletionVector.sizeInBytes").cast("int"),
+              col("remove.deletionVector.cardinality").cast("long"))
+            else Nil): _*)
           base.filter(col("path").isNotNull).collect().foreach { r =>
-            val dv = if (hasDv && !r.isNullAt(2)) {
-              val d = r.getStruct(2)
-              Some(DeltaDeletionVectors.Descriptor(d.getString(0),
-                d.getString(1),
-                if (d.isNullAt(2)) None else Some(d.getInt(2)),
-                d.getInt(3), d.getLong(4)))
-            } else None
+            val dv = if (hasDv && !r.isNullAt(2))
+              Some(DeltaDeletionVectors.Descriptor(r.getString(2),
+                r.getString(3),
+                if (r.isNullAt(4)) None else Some(r.getInt(4)),
+                r.getInt(5), r.getLong(6)))
+            else None
             tomb += r.getString(0) ->
               ((if (r.isNullAt(1)) 0L else r.getLong(1), dv))
           }
@@ -1212,23 +1220,24 @@ object DeltaExport {
     won
   }
 
-  /** `delta.logRetentionDuration`-style interval ("interval 30 days") →
-    * milliseconds; tolerant of the bare "30 days" spelling. */
-  private[sources] def intervalMs(s: String): Option[Long] = {
-    val Re = """(?i)\s*(?:interval\s+)?(\d+)\s*(week|day|hour|minute|second)s?\s*""".r
-    s match {
-      case Re(n, unit) =>
-        val mult = unit.toLowerCase match {
-          case "week" => 7L * 24 * 3600 * 1000
-          case "day" => 24L * 3600 * 1000
-          case "hour" => 3600L * 1000
-          case "minute" => 60L * 1000
-          case "second" => 1000L
-        }
-        Some(n.toLong * mult)
-      case _ => None
-    }
-  }
+  /** `delta.logRetentionDuration`-style interval ("interval 30 days",
+    * compound spellings like "interval 45 days 12 hours" included) →
+    * milliseconds, via Spark's own interval parser — a misparse must
+    * yield None (caller falls back to the 30-day default), NEVER a
+    * shorter window than the owner configured, because cleanupLog
+    * deletes history irreversibly. Month/year-bearing intervals are
+    * calendar-ambiguous and also yield None. */
+  private[sources] def intervalMs(s: String): Option[Long] =
+    try {
+      val text = s.trim
+      val spelled = if (text.toLowerCase.startsWith("interval")) text
+        else s"interval $text"
+      val ci = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String
+          .fromString(spelled))
+      if (ci == null || ci.months != 0) None
+      else Some(ci.days * 24L * 3600 * 1000 + ci.microseconds / 1000)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Post-commit maintenance a Delta writer owes the table: checkpoint
     * when the JSON tail has reached the table's OWN
@@ -1931,22 +1940,27 @@ object DeltaExport {
           if (prior.columns.contains("remove")) {
             val hasDv = prior.schema("remove").dataType
               .asInstanceOf[StructType].fieldNames.contains("deletionVector")
+            // Leaf fields by NAME — struct field order is not fixed by
+            // the protocol (see writeCheckpoint's recovery).
             val base = prior.select(Seq(col("remove.path"),
               col("remove.deletionTimestamp")) ++
-              (if (hasDv) Seq(col("remove.deletionVector")) else Nil): _*)
+              (if (hasDv) Seq(
+                col("remove.deletionVector.storageType"),
+                col("remove.deletionVector.pathOrInlineDv"),
+                col("remove.deletionVector.offset").cast("int"),
+                col("remove.deletionVector.sizeInBytes").cast("int"),
+                col("remove.deletionVector.cardinality").cast("long"))
+              else Nil): _*)
             base.filter(col("path").isNotNull).collect().foreach { r =>
               tomb += r.getString(0) ->
                 (if (r.isNullAt(1)) 0L else r.getLong(1))
-              if (hasDv && !r.isNullAt(2)) {
-                val d = r.getStruct(2)
-                if (d.getString(0) != "i")
-                  dvOfTomb += r.getString(0) -> DeltaDeletionVectors
-                    .filePathOf(DeltaDeletionVectors.Descriptor(
-                      d.getString(0), d.getString(1),
-                      if (d.isNullAt(2)) None else Some(d.getInt(2)),
-                      d.getInt(3), d.getLong(4)), tablePath)
-                    .toUri.getPath
-              }
+              if (hasDv && !r.isNullAt(2) && r.getString(2) != "i")
+                dvOfTomb += r.getString(0) -> DeltaDeletionVectors
+                  .filePathOf(DeltaDeletionVectors.Descriptor(
+                    r.getString(2), r.getString(3),
+                    if (r.isNullAt(4)) None else Some(r.getInt(4)),
+                    r.getInt(5), r.getLong(6)), tablePath)
+                  .toUri.getPath
             }
           }
       }
@@ -2053,11 +2067,34 @@ object DeltaExport {
     val snap0 = DeltaImport.snapshot(spark, tablePath)
     // Generated / identity tables take the clause path, whose images
     // discharge those obligations (generated columns recompute, identity
-    // ids allocate above the high-water mark); the canonical upsert IS
-    // exactly UpdateAll + InsertAll there.
+    // ids allocate past the high-water mark); the canonical upsert IS
+    // exactly UpdateAll + InsertAll there. The upsert's OWN contract is
+    // enforced FIRST — full coverage of the ordinary columns and
+    // lossless up-casts — so the same API call stays strict-or-refuse
+    // regardless of table metadata (the clause path alone is lenient:
+    // UpdateAll would silently keep stale values for a missing column).
     if (snap0.schema.fields.exists(f =>
         f.metadata.contains("delta.generationExpression") ||
           f.metadata.contains("delta.identity.start"))) {
+      val engineMaintained = snap0.schema.fields.filter(f =>
+        f.metadata.contains("delta.generationExpression") ||
+          f.metadata.contains("delta.identity.start")).map(_.name).toSet
+      val extra = source.columns.filterNot(c =>
+        snap0.schema.fields.exists(_.name.equalsIgnoreCase(c)))
+      require(extra.isEmpty,
+        s"merge into $tablePath: unknown column(s) ${extra.mkString(", ")} — " +
+          "foreign merges never evolve the schema")
+      snap0.schema.fields.filterNot(f => engineMaintained(f.name)).foreach { f =>
+        val src = source.columns.find(_.equalsIgnoreCase(f.name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"merge into $tablePath: missing column ${f.name}"))
+        val in = source.schema(src).dataType
+        require(in == f.dataType ||
+          org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(in, f.dataType),
+          s"merge into $tablePath: column $src of type ${in.simpleString} " +
+            s"does not up-cast losslessly to ${f.dataType.simpleString}")
+      }
       val (v, u, _, i) = mergeForeignClauses(spark, tablePath, source,
         Seq(key),
         matched = Seq(graft.table.MergeClause.UpdateAll()),
@@ -2875,11 +2912,17 @@ object DeltaExport {
       else physDf.write.parquet(p.toString)
     }
     /** The staged bytes of one kind, PHYSICAL names (absent when the
-      * branch claimed nothing). */
+      * branch claimed nothing). The schema is PINNED — partition values
+      * come back with the table's declared types, not inference's (a
+      * string partition value '00123' must not re-type to int 123 on
+      * its way into the CDF files). */
+    val physReadSchema = StructType(fields.map(f =>
+      f.copy(name = physMapAll.getOrElse(f.name, f.name))))
     def stagedKind(kind: String): Option[org.apache.spark.sql.DataFrame] =
       imageByKind.collectFirst { case (k, _) if k == kind =>
         val p = new Path(stagePath, kind)
-        spark.read.option("basePath", p.toString).parquet(p.toString)
+        spark.read.schema(physReadSchema)
+          .option("basePath", p.toString).parquet(p.toString)
       }
     // Abort cleanup reaps EVERYTHING this merge staged — the image
     // files, the rewrite fallback's survivors, and the CDF staging.

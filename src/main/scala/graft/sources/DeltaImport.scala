@@ -1067,7 +1067,8 @@ object DeltaImport {
     // own position set (keep = the listed positions for diffs, keep = the
     // complement for live-row reads).
     final case class DvEntry(f: AddFile, a: VersionChanges,
-      changeType: String, positions: Array[Long], keep: Boolean)
+      changeType: String, positions: DeltaDeletionVectors.PositionSet,
+      keep: Boolean)
     val IdC = "__graft_delta_cdf_id"
     val CtC = "__graft_delta_cdf_ct"
     val KeepC = "__graft_delta_cdf_keep"
@@ -1077,8 +1078,8 @@ object DeltaImport {
       val dataSchema = StructType(head.schema.filterNot(x =>
         head.partitionColumns.contains(x.name)))
       val indexed = entries.zipWithIndex
-      val posMap: Map[String, Array[Long]] = indexed.map { case (e, i) =>
-        i.toString -> e.positions.sorted }.toMap
+      val posMap: Map[String, DeltaDeletionVectors.PositionSet] =
+        indexed.map { case (e, i) => i.toString -> e.positions }.toMap
       val scan = partitionedScan(spark, head.tablePath, head.schema,
         head.partitionColumns,
         indexed.map { case (e, i) => e.f -> Seq[Any](e.a.version,
@@ -1093,7 +1094,7 @@ object DeltaImport {
           StructField(CtC, StringType),
           StructField(KeepC, org.apache.spark.sql.types.BooleanType)))
       val hit = org.apache.spark.sql.functions.coalesce(
-        org.apache.spark.sql.graftnative.DvExpressions.positionDeleted(
+        org.apache.spark.sql.graftnative.DvExpressions.bitmapDeleted(
           col(IdC).cast(StringType), col(PosC), posMap), lit(false))
       val kept = scan.filter(
         org.apache.spark.sql.functions.when(col(KeepC), hit).otherwise(!hit))
@@ -1106,10 +1107,13 @@ object DeltaImport {
     }
 
     lazy val hConf = spark.sessionState.newHadoopConf()
-    def dvPositions(f: AddFile): Array[Long] =
+    // DV state rides as SERIALIZED bitmap bytes end-to-end: diffs are
+    // roaring andNot in compressed form, the membership filter a
+    // PositionSet — a month of heavy deletes costs bitmap bytes, not
+    // 8 bytes per deleted row, on driver and tasks alike.
+    def dvBytes(f: AddFile): Option[Array[Byte]] =
       f.deletionVector.filter(_.cardinality != 0L)
-        .map(DeltaDeletionVectors.readPositions(_, head.tablePath, hConf))
-        .getOrElse(Array.empty[Long])
+        .map(DeltaDeletionVectors.readBitmapBytes(_, head.tablePath, hConf))
 
     val cdcEntries = Seq.newBuilder[(AddFile, VersionChanges)]
     val insEntries = Seq.newBuilder[(AddFile, VersionChanges)]
@@ -1126,14 +1130,14 @@ object DeltaImport {
         val (dvPairs, realAdds) = a.adds.partition(f => remByPath.contains(f.path))
         val realRemoves = a.removes.filterNot(r => a.adds.exists(_.path == r.path))
         dvPairs.foreach { f =>
-          val oldPs = dvPositions(remByPath(f.path)).toSet
-          val newPs = dvPositions(f).toSet
-          val dels = (newPs -- oldPs).toArray
-          val restores = (oldPs -- newPs).toArray
-          if (dels.nonEmpty)
-            dvEntries += DvEntry(f, a, "delete", dels, keep = true)
-          if (restores.nonEmpty)
-            dvEntries += DvEntry(f, a, "insert", restores, keep = true)
+          val oldB = dvBytes(remByPath(f.path))
+          val newB = dvBytes(f)
+          DeltaDeletionVectors.differenceBytes(newB, oldB).foreach(b =>
+            dvEntries += DvEntry(f, a, "delete",
+              new DeltaDeletionVectors.PositionSet(b), keep = true))
+          DeltaDeletionVectors.differenceBytes(oldB, newB).foreach(b =>
+            dvEntries += DvEntry(f, a, "insert",
+              new DeltaDeletionVectors.PositionSet(b), keep = true))
         }
         // A whole-file add/remove CARRYING a DV with no same-commit
         // counterpart (delta-spark's common shape: a DELETE fully drains
@@ -1143,9 +1147,11 @@ object DeltaImport {
         def route(fls: Seq[AddFile],
             into: scala.collection.mutable.Builder[(AddFile, VersionChanges), Seq[(AddFile, VersionChanges)]],
             changeType: String): Unit = fls.foreach { f =>
-          val ps = dvPositions(f)
-          if (ps.isEmpty) into += ((f, a))
-          else dvEntries += DvEntry(f, a, changeType, ps, keep = false)
+          dvBytes(f) match {
+            case None => into += ((f, a))
+            case Some(b) => dvEntries += DvEntry(f, a, changeType,
+              new DeltaDeletionVectors.PositionSet(b), keep = false)
+          }
         }
         route(realAdds, insEntries, "insert")
         route(realRemoves, delEntries, "delete")

@@ -195,6 +195,20 @@ class DeltaForeignRaceSpec extends SparkSpec {
     assert(rv > v0)
   }
 
+  test("retention interval spellings parse — compound included, " +
+      "calendar-ambiguous refused") {
+    assert(DeltaExport.intervalMs("interval 30 days")
+      .contains(30L * 24 * 3600 * 1000))
+    // compound spellings delta-spark accepts must NOT silently fall back
+    // to the default — cleanup would delete inside the owner's window
+    assert(DeltaExport.intervalMs("interval 45 days 12 hours")
+      .contains(45L * 24 * 3600 * 1000 + 12L * 3600 * 1000))
+    assert(DeltaExport.intervalMs("2 weeks")
+      .contains(14L * 24 * 3600 * 1000))
+    assert(DeltaExport.intervalMs("interval 3 months").isEmpty)
+    assert(DeltaExport.intervalMs("garbage").isEmpty)
+  }
+
   test("checkpoint-time cleanup expires the JSON tail per the table's " +
       "own retention") {
     val root = tmpDir("auto-clean")
