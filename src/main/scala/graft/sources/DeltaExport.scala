@@ -1181,6 +1181,20 @@ object DeltaExport {
     * protocol must survive); production leaves it a no-op. */
   private[graft] var onBeforeForeignPublish: () => Unit = () => ()
 
+  /** Same-JVM publish serialization, one lock per log directory.
+    * `FileContext.rename(Rename.NONE)` is atomic WHERE THE FILESYSTEM
+    * provides it (HDFS rename2; object-store LogStores), but the local
+    * ChecksumFs implements the no-overwrite check as check-then-rename
+    * of the data file and then the crc sidecar — two genuinely
+    * concurrent same-JVM publishers can interleave those renames and
+    * leave a committed `N.json` whose crc belongs to the rival (a
+    * ChecksumException for every reader; caught by the writer-storm
+    * spec). Serializing per-JVM closes the local hole exactly where it
+    * exists; cross-process exclusion remains the FS primitive's job, as
+    * in delta-spark's LogStores. */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Publish `content` as log file `target` through an atomic
     * no-overwrite primitive — Delta's LogStore put-if-absent contract
     * (PROTOCOL.md requires mutual exclusion on `N.json`; delta-spark's
@@ -1190,8 +1204,9 @@ object DeltaExport {
     * destination, so two racing writers could both report success with
     * the later one overwriting an already-committed version. With
     * Rename.NONE the loser gets FileAlreadyExistsException, reaps its
-    * tmp, and the commit loop re-resolves at N+1. Returns true iff this
-    * writer owns version `target`. */
+    * tmp, and the commit loop re-resolves at N+1. Same-JVM racers are
+    * additionally serialized per log directory ([[publishLocks]]).
+    * Returns true iff this writer owns version `target`. */
   private def publishExclusive(
       conf: org.apache.hadoop.conf.Configuration,
       fs: org.apache.hadoop.fs.FileSystem, logDir: Path, target: Path,
@@ -1203,19 +1218,25 @@ object DeltaExport {
     finally out.close()
     onBeforeForeignPublish()
     val qualTarget = fs.makeQualified(target)
-    val fc = org.apache.hadoop.fs.FileContext
-      .getFileContext(qualTarget.toUri, conf)
-    val won =
-      try {
-        fc.rename(fs.makeQualified(tmp), qualTarget,
-          org.apache.hadoop.fs.Options.Rename.NONE)
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException
-            if Option(e.getMessage).exists(_.contains("already exists")) =>
-          false
+    val lock = publishLocks.computeIfAbsent(
+      fs.makeQualified(logDir).toString, _ => new Object)
+    val won = lock.synchronized {
+      if (fs.exists(qualTarget)) false
+      else {
+        val fc = org.apache.hadoop.fs.FileContext
+          .getFileContext(qualTarget.toUri, conf)
+        try {
+          fc.rename(fs.makeQualified(tmp), qualTarget,
+            org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.contains("already exists")) =>
+            false
+        }
       }
+    }
     if (!won) fs.delete(tmp, false)
     won
   }
