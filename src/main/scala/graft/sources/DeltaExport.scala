@@ -61,8 +61,10 @@ import graft.table.{Commit, CommitLog, GraftTable}
   * Scale: export is a driver-side metadata fold (one file listing per
   * immutable data dir, footer reads for new files only) — the cost class
   * of a Delta writer's own commit path. The exceptions are bounded and
-  * per-changed-version only: one small aggregate over the dv dirs of a
-  * DV-changing commit, one rewrite job over the `_changes` rows of a
+  * per-changed-version only: one distributed bitmap build over the dv
+  * dirs of a DV-changing commit ([[buildMirrorDvs]] — positions fold into
+  * RoaringBitmaps on executors, only per-file descriptors reach the
+  * driver), one rewrite job over the `_changes` rows of a
   * CDF-carrying commit, and one covered-prefix rewrite per DISTINCT
   * value-tombstone state (the same job graft's own optimize() remedy
   * would run, executed lazily on the mirror side).
@@ -241,18 +243,10 @@ object DeltaExport {
         catch { case scala.util.control.NonFatal(_) => abs }
       p.stripPrefix(rootPathStr).stripPrefix("/")
     }
-    // Graft's cumulative DV state at a commit, keyed by log-relative path:
-    // one small aggregate over the dv dirs (positions are the same
-    // driver-resident metadata class as Delta's own bitmaps).
-    def dvStateOf(c: Commit): Map[String, Seq[Long]] =
-      if (c.dvDirs.isEmpty) Map.empty
-      else spark.read.parquet(c.dvDirs.map(d => new Path(root, d).toString): _*)
-        .groupBy("file")
-        .agg(org.apache.spark.sql.functions.collect_list("pos").as("ps"))
-        .collect()
-        .map(r => relOfAbsolute(r.getString(0)) ->
-          r.getSeq[Long](1).distinct.sorted.toSeq)
-        .toMap
+    // Graft's cumulative DV state stays DISTRIBUTED: the driver only ever
+    // sees which FILES carry positions (filesNamedIn below) and the built
+    // descriptors ([[buildMirrorDvs]]); the positions themselves shuffle
+    // straight into executor-side bitmaps.
     def filesNamedIn(dirs: Seq[String]): Set[String] =
       if (dirs.isEmpty) Set.empty
       else spark.read.parquet(dirs.map(d => new Path(root, d).toString): _*)
@@ -404,18 +398,15 @@ object DeltaExport {
         if (c.dvDirs.toSet == prevDvDirs.toSet)
           (prevDv.filter { case (k, _) => cur.contains(k) }, Set.empty[String])
         else {
-          val state = dvStateOf(c)
+          val stateKeys = filesNamedIn(c.dvDirs)
           val grewOnly = prevDvDirs.forall(c.dvDirs.contains)
           val candidates =
             if (grewOnly) filesNamedIn(c.dvDirs.filterNot(prevDvDirs.contains))
-            else prevDv.keySet ++ state.keySet
+            else prevDv.keySet ++ stateKeys
           val changed = candidates.filter(cur.contains)
-          val toWrite = changed.toSeq.sorted.flatMap(k =>
-            state.get(k).filter(_.nonEmpty).map(k -> _))
-          val descs =
-            if (toWrite.isEmpty) Map.empty[String, DeltaDeletionVectors.Descriptor]
-            else DeltaDeletionVectors.writeFile(toWrite, table.root,
-              s"v${c.version}", conf)
+          val descs = buildMirrorDvs(spark, table.root,
+            c.dvDirs.map(d => new Path(root, d).toString), rootPathStr,
+            changed.intersect(stateKeys), s"v${c.version}")
           val next = (prevDv -- changed) ++ descs
           (next.filter { case (k, _) => cur.contains(k) },
             changed.filter(k => prevDv.get(k) != next.get(k)))
@@ -3335,6 +3326,83 @@ object DeltaExport {
       }
   }
 
+  /** DISTRIBUTED cumulative-DV build for the MIRROR export — the graft→
+    * Delta twin of [[buildForeignDvs]]: graft's positional-delete state
+    * lives in parquet DV dirs as (file, pos) rows, and the mirror needs
+    * each changed file's FULL position set re-encoded as a Delta `u`
+    * descriptor. Positions never visit the driver: rows are mapped to
+    * log-relative paths, filtered to `wanted` (the changed files visible
+    * in the commit), shuffled ONCE keyed by file (each file's positions
+    * land whole in one partition, sorted), folded straight into
+    * compressed RoaringBitmaps on executors, and each non-empty partition
+    * writes ONE DV file under the table root; only per-file DESCRIPTORS
+    * return. Driver memory is changed-file-count-sized regardless of how
+    * broad the native MoR delete was — a 10% `deletePositional` on a
+    * 100 TB table mirrors as descriptors, not a position array (the same
+    * contract the foreign verbs gained in round 10). Duplicate positions
+    * across DV dirs collapse in the bitmap (add is idempotent), so
+    * cardinality is exact without a pre-distinct. Task-retry-safe for the
+    * same reason as [[buildForeignDvs]]: partition content is
+    * deterministic (hash partition + sort) and the DV file name derives
+    * from (seed, partitionId), so a retry converges on the identical
+    * write-once file. */
+  private def buildMirrorDvs(spark: SparkSession, tableRoot: String,
+      dvDirPaths: Seq[String], rootPathStr: String, wanted: Set[String],
+      seed: String): Map[String, DeltaDeletionVectors.Descriptor] = {
+    if (wanted.isEmpty || dvDirPaths.isEmpty)
+      Map.empty[String, DeltaDeletionVectors.Descriptor]
+    else {
+      import spark.implicits._
+      val hconf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val bWanted = spark.sparkContext.broadcast(wanted)
+      val rootPrefix = rootPathStr
+      spark.read.parquet(dvDirPaths: _*)
+        .select(col("file"), col("pos")).as[(String, Long)]
+        .map { case (abs, pos) =>
+          val p = try Option(new java.net.URI(abs).getPath).getOrElse(abs)
+            catch { case scala.util.control.NonFatal(_) => abs }
+          (p.stripPrefix(rootPrefix).stripPrefix("/"), pos)
+        }
+        .filter(r => bWanted.value.contains(r._1))
+        .toDF("rel", "pos")
+        .repartition(col("rel"))
+        .sortWithinPartitions("rel", "pos")
+        .as[(String, Long)]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val entries = Seq.newBuilder[(String, Array[Byte], Long)]
+            var cur: String = null
+            var builder: DeltaDeletionVectors.BitmapBuilder = null
+            def flush(): Unit = if (builder != null)
+              entries += ((cur, builder.serialize(), builder.cardinality))
+            it.foreach { case (rel, pos) =>
+              if (rel != cur) {
+                flush()
+                cur = rel
+                builder = new DeltaDeletionVectors.BitmapBuilder
+              }
+              builder.add(pos)
+            }
+            flush()
+            val built = entries.result()
+            val descs = DeltaDeletionVectors.writeSerializedFile(
+              built, tableRoot, s"$seed-p$pid", hconf.value)
+            built.iterator.map { case (r, _, card) =>
+              val d = descs(r)
+              (r, d.pathOrInlineDv, d.offset.getOrElse(1), d.sizeInBytes, card)
+            }
+          }
+        }
+        .collect()
+        .map { case (r, enc, off, size, card) =>
+          r -> DeltaDeletionVectors.Descriptor("u", enc, Some(off), size, card)
+        }.toMap
+    }
+  }
+
   /** DELETE from a FOREIGN Delta table by deletion vectors — the writer
     * verb a retention/erasure job needs on a shared lakehouse table
     * ([[appendToForeign]] is the other half): rows matching `predicate`
@@ -3345,9 +3413,11 @@ object DeltaExport {
     * declared non-tight), and a CDF-enabled table gets `cdc` actions
     * restating the deleted rows. Matching rows are found by ONE scan of
     * the skipping-pruned candidate files (partition values ride the
-    * broadcast file→value map); positions collect to the driver — the
-    * bitmap cost every DV writer pays, bounded by the delete's own
-    * selectivity. Concurrency: same optimistic loop as appends, but a
+    * broadcast file→value map); positions fold into bitmaps ON THE
+    * EXECUTORS ([[buildForeignDvs]] — one shuffle keyed by file, DV files
+    * written task-side), so the driver sees only per-file descriptors
+    * regardless of the delete's selectivity. Concurrency: same
+    * optimistic loop as appends, but a
     * lost race only retries when the winner left every touched file
     * byte-identical (same path, same DV) — anything else refuses with a
     * re-run message, exactly Delta's conflict rule for row-level ops.

@@ -1086,4 +1086,54 @@ class DeltaExportSpec extends SparkSpec {
     assert(cold.domainMetadata.contains("delta.rowTracking"))
     assert(deltaRowIds(cold) === graftIds)
   }
+
+  test("mirror DV export is descriptor-sized at the driver (broad delete)") {
+    // A 50% positional delete on a SINGLE-FILE table: 100k positions. The
+    // pre-r11 export collected them all in one task result (~800 KB of
+    // longs); the distributed build returns one ~100-byte descriptor, the
+    // bitmap bytes going straight to a DV file from the task. The max
+    // single-task resultSize observed during exportLog is the regression
+    // tripwire — a reintroduced position collect blows the bound.
+    val root = tmpDir("dexp-dv-payload")
+    val t = GraftTable.create(spark, root,
+      spark.range(200000L).select(col("id").as("k"),
+        (col("id") % 97).as("v")).coalesce(1), Nil)
+    t.deletePositional(col("k") % 2 === 0L)
+
+    val maxResult = new java.util.concurrent.atomic.AtomicLong(0L)
+    val marker = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) maxResult.getAndAccumulate(m.resultSize, math.max)
+        marker.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      DeltaExport.exportLog(t)
+      // The listener bus is async: run a marker job, then wait until the
+      // event counter goes quiet — every export task event (and the
+      // marker's) has then been processed.
+      spark.range(1L).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1L
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val cur = marker.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100)
+      }
+      assert(marker.get() > 0, "listener saw no task events")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(maxResult.get() < 128 * 1024,
+      s"export returned ${maxResult.get()} bytes in one task result — " +
+        "positions are reaching the driver again")
+    val snap = DeltaImport.snapshot(spark, root)
+    assert(snap.files.flatMap(_.deletionVector).map(_.cardinality).sum
+      === 100000L)
+    assert(DeltaImport.read(spark, root).count() === 100000L)
+  }
 }

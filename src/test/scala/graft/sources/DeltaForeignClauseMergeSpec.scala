@@ -78,6 +78,40 @@ class DeltaForeignClauseMergeSpec extends SparkSpec {
     assert(ch.filter(col("_change_type") === "insert").count() === 1L)
   }
 
+  test("identical re-send is a no-op: zero updates, nothing committed") {
+    // The change-detection contract promoted from the r10 probe: a CDC
+    // producer that re-delivers the same batch (at-least-once delivery)
+    // must cost nothing — every matched row compares identical, the
+    // deleted key is gone (and its guarded insert refuses), the inserted
+    // row re-matches with identical values. Zero claims → zero counts AND
+    // no new Delta version.
+    val root = fixture("fcm-resend")
+    val source = Seq(
+      (0L, 0L, "s0", 0.0, "keep"),
+      (1L, 0L, "s1", 100.0, "keep"),
+      (2L, 0L, "ignored", 0.0, "del"),
+      (4L, 9L, "new49", 49.0, "keep")
+    ).toDF("k1", "k2", "s", "v", "op")
+    val changed = col("t.`s`") =!= col("s.`s`") ||
+      col("t.`v`") =!= col("s.`v`")
+    def send() = DeltaExport.mergeForeignClauses(spark, root,
+      source, Seq("k1", "k2"),
+      matched = Seq(
+        MergeClause.Delete(condition = Some(col("s.op") === "del")),
+        MergeClause.Update(
+          Map("s" -> col("s.`s`"), "v" -> col("s.`v`")),
+          condition = Some(changed))),
+      notMatched = Seq(
+        MergeClause.InsertAll(condition = Some(col("s.op") =!= "del"))))
+    val (v1, u1, d1, i1) = send()
+    assert(u1 === 1L && d1 === 1L && i1 === 1L)
+    val (v2, u2, d2, i2) = send()
+    assert(u2 === 0L && d2 === 0L && i2 === 0L,
+      s"identical re-send claimed rows: upd=$u2 del=$d2 ins=$i2")
+    assert(v2 === v1, "identical re-send committed a new version")
+    assert(DeltaImport.read(spark, root).count() === 40L)
+  }
+
   test("clause order: first matching clause wins") {
     val root = fixture("fcm-order")
     val source = Seq((3L, 0L, "x", 1.0)).toDF("k1", "k2", "s", "v")
