@@ -188,6 +188,7 @@ object SparkEntry {
     "q156_dsir_weights"      -> ((s, d) => CorpusQueries.dsirWeights(s, d)),
     "q157_knn_label_purity"  -> (CorpusQueries.knnLabelPurity _),
     "q214_knn_purity_sampled" -> (CorpusQueries.knnLabelPuritySampled _),
+    "q215_lsh_recall_sweep"  -> (CorpusQueries.lshRecallSweep _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
@@ -289,6 +290,57 @@ object SparkEntry {
       |SELECT k, c_name, c_acctbal, c_mktsegment,
       |  TIMESTAMP '1995-01-01 00:00:00', NULL, TRUE FROM base
       |WHERE k NOT IN (SELECT k FROM changed) AND k NOT IN (SELECT k FROM deleted)""".stripMargin
+
+  /** q215's DuckDB oracle, GENERATED per (bands, bits) config — the same
+    * sign-signature, cosine and tie-break arithmetic as q214's oracle;
+    * the exact top-10 baseline (`ex`) is shared by every config, recall
+    * is integer hits over integer exact pairs with one final divide. */
+  private def q215OracleSql: String = {
+    val configs = Seq((2, 4), (4, 4), (8, 4), (8, 8))
+    def sigExpr(j: Int, bits: Int): String =
+      (0 until bits).map(i =>
+        s"CASE WHEN vec[${j * bits + i + 1}]>=0 THEN ${1 << i} ELSE 0 END")
+        .mkString("(", " + ", ")")
+    val cfgCtes = configs.zipWithIndex.map { case ((bands, bits), ci) =>
+      val sigs = (0 until bands)
+        .map(j => s"${sigExpr(j, bits)} AS sig$j").mkString(",\n    ")
+      val onCond = (0 until bands).map(j => s"a.sig$j = b.sig$j")
+        .mkString(" OR ")
+      s"""s$ci AS (
+         |  SELECT vec_id,
+         |    $sigs
+         |  FROM v),
+         |cand$ci AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM s$ci a JOIN s$ci b ON ($onCond)
+         |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id),
+         |hit$ci AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS hits
+         |  FROM ex JOIN cand$ci USING (a_id, b_id))""".stripMargin
+    }.mkString(",\n")
+    val selects = configs.zipWithIndex.map { case ((bands, bits), ci) =>
+      s"""SELECT CAST($bands AS INTEGER) AS bands, CAST($bits AS INTEGER) AS bits,
+         |  base.n_queries, base.exact_pairs, hit$ci.hits,
+         |  CAST(hit$ci.hits AS DOUBLE) / base.exact_pairs AS recall_at_k
+         |FROM base, hit$ci""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+       |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |             list_inner_product(a.vec, b.vec) / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+       |    FROM v a, v b WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= 10),
+       |base AS (
+       |  SELECT CAST(count(DISTINCT a_id) AS BIGINT) AS n_queries,
+       |         CAST(count(*) AS BIGINT) AS exact_pairs FROM ex),
+       |$cfgCtes
+       |$selects""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -2691,6 +2743,11 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN pred = a_label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
         |       CAST(sum(CASE WHEN pred = a_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
         |FROM pred GROUP BY a_label""".stripMargin,
+
+    // LSH candidate recall sweep (q215): exact top-10 of the q214 query
+    // sample, covered-or-not per (bands, bits) config — oracle generated
+    // per config from the same sign/cosine/tie-break arithmetic
+    "q215_lsh_recall_sweep" -> q215OracleSql,
 
     // quality-priority dedup over bag-of-words groups (members genuinely
     // differ there): keeper = highest quality then smallest id; the

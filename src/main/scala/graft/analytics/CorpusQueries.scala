@@ -1048,6 +1048,14 @@ object CorpusQueries {
   def knnLabelPuritySampled(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnLabelPuritySampled(Tables.embeddings(spark, dir), k = 10)
 
+  /** q215: candidate recall of q214's banded sign-LSH vs the exact
+    * neighbor ranks ([[graft.sim.Similarity.lshRecallSweep]]) — recall@10
+    * per (bands, bits), the tuning table that quantifies how much of the
+    * true top-k the sampled eval's candidate generation actually
+    * surfaces (q202's recall-vs-nprobe discipline applied to q214). */
+  def lshRecallSweep(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshRecallSweep(Tables.embeddings(spark, dir), k = 10)
+
   /** q158: exact dedup with the QUALITY-priority keeper policy
     * ([[graft.dedup.Dedup.priorityDedup]]) — canonical copy = cleanest
     * copy, not smallest id. */

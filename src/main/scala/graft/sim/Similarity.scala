@@ -378,4 +378,81 @@ object Similarity {
       .select(col("label"), col("n"), col("correct"),
         (col("correct").cast("double") / col("n")).as("accuracy"))
   }
+
+  /** Candidate recall of [[knnLabelPuritySampled]]'s banded sign-LSH vs
+    * the EXACT neighbor ranks — the measurement that makes the q214 eval
+    * harness honest (q202 set the precedent for IVF): an ANN-backed eval
+    * whose approximation error is unquantified can silently mislead.
+    * For the same deterministic 1-in-`sampleMod` query sample, the exact
+    * top-`k` neighbor pairs (cosine desc, b_id tiebreak — the q157
+    * arithmetic) are computed ONCE, then each (bands, bits) config's
+    * candidate set marks which exact pairs it would have surfaced;
+    * recall@k = covered / exact pairs, per config.
+    *
+    * Plan shape: ONE exact ranking pass (sample × corpus — the bounded
+    * eval-contract baseline, the quadratic side shrunk by the sample),
+    * then a CHAIN of per-config left-semi-style flag joins, each on the
+    * (a_id, b_id) pair key — the exact branch evaluates once, never per
+    * config. The heavy plan collapses to ONE aggregate row (a handful of
+    * counters); the per-config report rows are assembled from that row
+    * driver-side — at 100 TB the executor→driver payload is a dozen
+    * longs. Every figure is integer counts plus one final IEEE divide,
+    * so the DuckDB oracle agrees bit-for-bit. */
+  def lshRecallSweep(emb: DataFrame, k: Int = 10, sampleMod: Long = 4,
+      configs: Seq[(Int, Int)] = Seq((2, 4), (4, 4), (8, 4), (8, 8)))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    val v = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
+    val a = v.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("a_id"), col("vec").as("a_vec"),
+        col("norm").as("a_norm"))
+    val b = v.select(col("vec_id").as("b_id"), col("vec").as("b_vec"),
+      col("norm").as("b_norm"))
+    val w = Window.partitionBy("a_id").orderBy(col("cosine").desc, col("b_id"))
+    val exact = a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a_id"), col("b_id"))
+
+    def sig(j: Int, bits: Int): Column = (0 until bits).map(i =>
+      when(col("vec").getItem(j * bits + i) >= 0d, lit(1 << i))
+        .otherwise(lit(0))).reduce(_ + _)
+    def candidates(bands: Int, bits: Int): DataFrame = {
+      val signed = v.select(Seq(col("vec_id")) ++
+        (0 until bands).map(j => sig(j, bits).as(s"sig$j")): _*)
+      val qs = signed.filter(col("vec_id") % sampleMod === 0)
+      (0 until bands).map { j =>
+        qs.select(col("vec_id").as("a_id"), col(s"sig$j").as("sig"))
+          .join(signed.select(col("vec_id").as("b_id"),
+            col(s"sig$j").as("sig")), Seq("sig"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"))
+      }.reduce(_ unionByName _).distinct()
+    }
+
+    val flagged = configs.zipWithIndex.foldLeft(exact) {
+      case (acc, ((bands, bits), i)) =>
+        acc.join(candidates(bands, bits).withColumn(s"hit$i", lit(1L)),
+          Seq("a_id", "b_id"), "left")
+    }
+    val aggs = Seq(countDistinct(col("a_id")).as("n_queries"),
+      count(lit(1)).as("exact_pairs")) ++
+      configs.indices.map(i =>
+        sum(coalesce(col(s"hit$i"), lit(0L))).as(s"hits$i"))
+    val row = flagged.agg(aggs.head, aggs.tail: _*).collect().head
+    val nQ = row.getLong(0)
+    val nExact = row.getLong(1)
+    import spark.implicits._
+    configs.zipWithIndex.map { case ((bands, bits), i) =>
+      val hits = row.getLong(2 + i)
+      (bands, bits, nQ, nExact, hits, hits.toDouble / nExact)
+    }.toDF("bands", "bits", "n_queries", "exact_pairs", "hits",
+      "recall_at_k")
+      .orderBy(col("bands"), col("bits"))
+  }
 }

@@ -68,6 +68,34 @@ class KnnLabelPuritySpec extends SparkSpec {
     assert(rows(1).getAs[Double]("accuracy") === 1.0)
   }
 
+  // --- q215: candidate recall of the LSH shape vs exact ranks ----------
+
+  test("recall sweep quantifies candidate misses per (bands, bits)") {
+    // A query whose TRUE nearest neighbor flips one sign (different band
+    // signature → not a candidate) while a far same-orthant vector IS a
+    // candidate: the sweep must report the miss, not flatter the LSH.
+    val emb4 = Seq(
+      (0L, Array(0.7f, 0.7f, 0.7f, 0.7f), 0),    // sampled query
+      (1L, Array(0.9f, 0.9f, 0.9f, -0.01f), 0),  // true NN, dim-4 sign flip
+      (2L, Array(0.01f, 0.01f, 0.01f, 0.99f), 0) // same orthant, far
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.lshRecallSweep(emb4, k = 1, configs = Seq((1, 4)))
+      .collect().head
+    assert(r.getAs[Long]("n_queries") === 1L)
+    assert(r.getAs[Long]("exact_pairs") === 1L)
+    assert(r.getAs[Long]("hits") === 0L)
+    assert(r.getAs[Double]("recall_at_k") === 0.0)
+
+    // On the sign-separated corpus every exact neighbor shares every
+    // band, so recall is 1.0 at any config that fits the 16 dims.
+    val full = Similarity.lshRecallSweep(emb16, k = 3,
+      configs = Seq((2, 4), (4, 4))).collect()
+    assert(full.length === 2)
+    assert(full.forall(_.getAs[Long]("n_queries") === 2L))
+    assert(full.forall(_.getAs[Long]("exact_pairs") === 6L))
+    assert(full.forall(_.getAs[Double]("recall_at_k") === 1.0))
+  }
+
   test("sampled variant plans NO cartesian/nested-loop join; exact does") {
     val sampledPlan = Similarity.knnLabelPuritySampled(emb16, k = 3)
       .queryExecution.executedPlan.toString
