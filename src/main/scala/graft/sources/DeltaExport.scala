@@ -1279,9 +1279,10 @@ object DeltaExport {
   /** Writer features whose APPEND-time obligations this writer discharges
     * (delta.io PROTOCOL.md "Table Features" — a writer must refuse a table
     * listing any feature it cannot uphold):
-    * appendOnly (an append is legal by definition); invariants (vacuous
-    * unless a field declares `delta.invariants` metadata — refused below
-    * when present); checkConstraints (every `delta.constraints.*`
+    * appendOnly (an append is legal by definition); invariants (every
+    * `delta.invariants` column expression validates against the staged
+    * rows alongside the CHECK constraints — see [[legacyInvariantsOf]]
+    * for the null convention); checkConstraints (every `delta.constraints.*`
     * predicate validates against the staged rows before the commit
     * publishes); changeDataFeed (a blind append writes NO cdc action by
     * protocol — readers synthesize inserts from its dataChange adds);
@@ -1313,6 +1314,58 @@ object DeltaExport {
     "v2Checkpoint", "vacuumProtocolCheck", "domainMetadata", "clustering",
     "allowColumnDefaults", "rowTracking", "inCommitTimestamp",
     "generatedColumns", "identityColumns")
+
+  /** Legacy column invariants (delta.io PROTOCOL.md "Column Invariants" —
+    * the pre-CHECK-constraints form, writer version 2): a field whose
+    * metadata carries `delta.invariants` holds a JSON document
+    * `{"expression":{"expression":"<sql>"}}` binding that predicate to
+    * every NEW row. Nested fields may declare them too; the stored SQL is
+    * self-contained (it names the full column path), so the walk only has
+    * to COLLECT, not qualify. Returns (declaring field name, predicate
+    * SQL) pairs in schema order.
+    *
+    * Null convention: an invariant is violated when its predicate
+    * evaluates to FALSE **or NULL** — delta-spark's CheckDeltaInvariant
+    * raises on both, which is why writing NULL into an invariant-guarded
+    * nullable column fails over there. That is deliberately STRICTER than
+    * the ANSI unknown-passes rule this writer applies to
+    * `delta.constraints.*`; each form matches its owning engine's
+    * semantics. A malformed invariant document refuses the write (silently
+    * skipping a gate the owning engine would enforce is the one wrong
+    * answer). */
+  private[sources] def legacyInvariantsOf(schema: StructType): Seq[(String, String)] = {
+    def walk(st: StructType): Seq[(String, String)] =
+      st.fields.toSeq.flatMap { f =>
+        val own =
+          if (!f.metadata.contains("delta.invariants")) Nil
+          else {
+            val doc = f.metadata.getString("delta.invariants")
+            JsonMethods.parseOpt(doc)
+              .map(jv => jv \ "expression" \ "expression") match {
+              case Some(JString(sql)) if sql.trim.nonEmpty => Seq(f.name -> sql)
+              case _ => throw new IllegalArgumentException(
+                s"column ${f.name}: malformed delta.invariants document " +
+                  s"(expected {\"expression\":{\"expression\":\"<sql>\"}}): $doc")
+            }
+          }
+        own ++ (f.dataType match {
+          case s: StructType => walk(s)
+          case _ => Nil
+        })
+      }
+    walk(schema)
+  }
+
+  /** One `count_if` aggregate per declared legacy invariant, evaluated on
+    * the staged LOGICAL rows next to the nullability / CHECK-constraint
+    * counters every foreign verb already runs — same single validation
+    * scan, violated-row counts surface in the refusal message. */
+  private def invariantChecks(schema: StructType): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{coalesce, count_if, expr, lit}
+    legacyInvariantsOf(schema).map { case (n, p) =>
+      count_if(!coalesce(expr(p).cast("boolean"), lit(false)))
+        .as(s"invariant $n") }
+  }
 
   /** Append `df` to a FOREIGN Delta table (one no graft log governs) —
     * graft as a Delta WRITER, closing the bridge's last asymmetry: the
@@ -1355,12 +1408,10 @@ object DeltaExport {
               "this writer does not implement")
         }
       }
-      val badMeta = snap.schema.fields.filter(f =>
-        f.metadata.contains("delta.invariants"))
-      require(badMeta.isEmpty,
-        s"append to $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
-          "declare legacy invariants this appender does not validate — " +
-          "write through the owning engine instead")
+      // Legacy `delta.invariants` parse NOW (a malformed document must
+      // refuse before any staging I/O); conforming rows validate against
+      // the staged bytes below, alongside the CHECK constraints.
+      legacyInvariantsOf(snap.schema)
       require(!DeltaImport.hasNestedMapping(snap.schema),
         s"append to $tablePath: nested fields carry physical column names")
     }
@@ -1485,7 +1536,8 @@ object DeltaExport {
         .toSeq.sorted.map(n =>
           count_if(!(col(s"`$n`") <=> expr(genSpecs(n))))
             .as(s"generated $n"))
-      val checks = nullChecks ++ checkChecks ++ genChecks
+      val checks = nullChecks ++ checkChecks ++ genChecks ++
+        invariantChecks(snap0.schema)
       if (checks.nonEmpty) {
         val row = staged.agg(checks.head, checks.tail: _*).collect().head
         val bad = row.schema.fieldNames.zipWithIndex
@@ -2066,12 +2118,12 @@ object DeltaExport {
         s"merge into $tablePath: the table is append-only (delta.appendOnly)")
       val badMeta = snap.schema.fields.filter(f =>
         f.metadata.contains("delta.generationExpression") ||
-          f.metadata.contains("delta.identity.start") ||
-          f.metadata.contains("delta.invariants"))
+          f.metadata.contains("delta.identity.start"))
       require(badMeta.isEmpty,
         s"merge into $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
-          "declare generated/identity/invariant semantics a merger must " +
+          "declare generated/identity semantics a merger must " +
           "compute — write through the owning engine instead")
+      legacyInvariantsOf(snap.schema) // malformed document refuses up front
       require(!DeltaImport.hasNestedMapping(snap.schema),
         s"merge into $tablePath: nested fields carry physical column names")
     }
@@ -2274,7 +2326,7 @@ object DeltaExport {
       val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
         count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
           .as(s"constraint $n") }
-      val checks = nullChecks ++ checkChecks
+      val checks = nullChecks ++ checkChecks ++ invariantChecks(snap0.schema)
       if (checks.nonEmpty) {
         val row = staged.agg(checks.head, checks.tail: _*).collect().head
         val bad = row.schema.fieldNames.zipWithIndex
@@ -2559,12 +2611,7 @@ object DeltaExport {
       require(!snap.configuration.get("delta.appendOnly").contains("true") ||
         (matched.isEmpty && notMatchedBySource.isEmpty),
         s"merge into $tablePath: the table is append-only (delta.appendOnly)")
-      val badMeta = snap.schema.fields.filter(f =>
-        f.metadata.contains("delta.invariants"))
-      require(badMeta.isEmpty,
-        s"merge into $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
-          "declare legacy invariants this merger does not validate — " +
-          "write through the owning engine instead")
+      legacyInvariantsOf(snap.schema) // malformed document refuses up front
       require(!DeltaImport.hasNestedMapping(snap.schema),
         s"merge into $tablePath: nested fields carry physical column names")
     }
@@ -2965,7 +3012,7 @@ object DeltaExport {
       val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
         count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
           .as(s"constraint $n") }
-      val checks = nullChecks ++ checkChecks
+      val checks = nullChecks ++ checkChecks ++ invariantChecks(snap0.schema)
       if (checks.nonEmpty) {
         val row = staged.agg(checks.head, checks.tail: _*).collect().head
         val bad = row.schema.fieldNames.zipWithIndex
@@ -3689,12 +3736,7 @@ object DeltaExport {
         s"update of $tablePath: the table does not advertise deletion " +
           "vectors — enable delta.enableDeletionVectors on the owning " +
           "engine, or run the update there")
-      val badMeta = snap.schema.fields.filter(f =>
-        f.metadata.contains("delta.invariants"))
-      require(badMeta.isEmpty,
-        s"update of $tablePath: column(s) ${badMeta.map(_.name).mkString(", ")} " +
-          "declare legacy invariants this updater does not validate — " +
-          "write through the owning engine instead")
+      legacyInvariantsOf(snap.schema) // malformed document refuses up front
       require(!DeltaImport.hasNestedMapping(snap.schema),
         s"update of $tablePath: nested fields carry physical column names")
     }
@@ -3793,7 +3835,7 @@ object DeltaExport {
       val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
         count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
           .as(s"constraint $n") }
-      val checks = nullChecks ++ checkChecks
+      val checks = nullChecks ++ checkChecks ++ invariantChecks(snap0.schema)
       if (checks.nonEmpty) {
         val row = staged.agg(checks.head, checks.tail: _*).collect().head
         val bad = row.schema.fieldNames.zipWithIndex
