@@ -1177,12 +1177,16 @@ object DeltaExport {
     * provides it (HDFS rename2; object-store LogStores), but the local
     * ChecksumFs implements the no-overwrite check as check-then-rename
     * of the data file and then the crc sidecar — two genuinely
-    * concurrent same-JVM publishers can interleave those renames and
+    * concurrent same-JVM publishers could interleave those renames and
     * leave a committed `N.json` whose crc belongs to the rival (a
     * ChecksumException for every reader; caught by the writer-storm
-    * spec). Serializing per-JVM closes the local hole exactly where it
-    * exists; cross-process exclusion remains the FS primitive's job, as
-    * in delta-spark's LogStores. */
+    * spec). Local publication now goes through [[linkPublish]], whose
+    * link(2) is atomic even cross-process and writes no crc at all; the
+    * lock stays as the cheap first gate (it spares losers a doomed
+    * kernel call) and as the only exclusion on local filesystems without
+    * hard-link support, where [[linkPublish]] falls back to the rename
+    * form. Cross-process exclusion elsewhere remains the FS primitive's
+    * job, as in delta-spark's LogStores. */
   private val publishLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -1190,13 +1194,28 @@ object DeltaExport {
     * no-overwrite primitive — Delta's LogStore put-if-absent contract
     * (PROTOCOL.md requires mutual exclusion on `N.json`; delta-spark's
     * HDFSLogStore implements it as `FileContext.rename(…, Rename.NONE)`,
-    * mirrored here). A plain `!fs.exists(target) && fs.rename(…)` is
-    * check-then-act: POSIX rename(2) silently REPLACES an existing
-    * destination, so two racing writers could both report success with
-    * the later one overwriting an already-committed version. With
-    * Rename.NONE the loser gets FileAlreadyExistsException, reaps its
-    * tmp, and the commit loop re-resolves at N+1. Same-JVM racers are
-    * additionally serialized per log directory ([[publishLocks]]).
+    * mirrored here for remote filesystems). A plain
+    * `!fs.exists(target) && fs.rename(…)` is check-then-act: POSIX
+    * rename(2) silently REPLACES an existing destination, so two racing
+    * writers could both report success with the later one overwriting an
+    * already-committed version. With Rename.NONE the loser gets
+    * FileAlreadyExistsException, reaps its tmp, and the commit loop
+    * re-resolves at N+1.
+    *
+    * On `file:` URIs Rename.NONE itself degrades to an exists-check
+    * followed by rename(2) — atomic within this JVM only (the
+    * [[publishLocks]] serialization), NOT across processes; that gap is
+    * exactly delta-spark's documented LocalLogStore caveat
+    * ("concurrent writes from multiple Spark drivers on a local
+    * filesystem are not guaranteed to be mutually exclusive"). Local
+    * publication therefore goes through [[linkPublish]] instead: POSIX
+    * link(2) fails with EEXIST atomically in the KERNEL when the target
+    * exists, which IS a true cross-process put-if-absent — two graft
+    * writer JVMs racing the same local `_delta_log` exclude each other
+    * for real (DeltaForeignCrossProcessStormSpec drives that). The
+    * residual caveat is a rival NON-graft process (delta-spark itself on
+    * file://) publishing through its non-atomic rename: it can clobber
+    * anyone, including its own kind — nothing this side can close.
     * Returns true iff this writer owns version `target`. */
   private def publishExclusive(
       conf: org.apache.hadoop.conf.Configuration,
@@ -1213,23 +1232,58 @@ object DeltaExport {
       fs.makeQualified(logDir).toString, _ => new Object)
     val won = lock.synchronized {
       if (fs.exists(qualTarget)) false
-      else {
-        val fc = org.apache.hadoop.fs.FileContext
-          .getFileContext(qualTarget.toUri, conf)
-        try {
-          fc.rename(fs.makeQualified(tmp), qualTarget,
-            org.apache.hadoop.fs.Options.Rename.NONE)
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case e: java.io.IOException
-              if Option(e.getMessage).exists(_.contains("already exists")) =>
-            false
-        }
-      }
+      else if ("file" == qualTarget.toUri.getScheme)
+        linkPublish(conf, fs, tmp, qualTarget)
+      else renamePublish(conf, fs, tmp, qualTarget)
     }
-    if (!won) fs.delete(tmp, false)
+    // Rename-won leaves no tmp behind (the rename consumed it); every
+    // other outcome — loss, or a link-win whose extra name is now
+    // redundant — reaps it, crc sidecar included.
+    fs.delete(tmp, false)
     won
+  }
+
+  /** The HDFSLogStore shape: atomic where the filesystem's rename2 is. */
+  private def renamePublish(conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
+      qualTarget: Path): Boolean = {
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(qualTarget.toUri, conf)
+    try {
+      fc.rename(fs.makeQualified(tmp), qualTarget,
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.contains("already exists")) =>
+        false
+    }
+  }
+
+  /** Local-FS put-if-absent via POSIX link(2): hard-linking the durable
+    * tmp to the target raises EEXIST atomically in the kernel when the
+    * target already exists — the no-overwrite primitive local
+    * filesystems genuinely provide cross-process (rename(2) replaces
+    * silently, O_EXCL create isn't stage-then-publish). The linked
+    * target shares the tmp's inode, so the content is already durable
+    * at publish time; it carries no crc sidecar, which ChecksumFs reads
+    * as "unverified", not an error. Filesystems without hard links fall
+    * back to the rename form (same-JVM exclusion still holds via
+    * [[publishLocks]]). */
+  private def linkPublish(conf: org.apache.hadoop.conf.Configuration,
+      fs: org.apache.hadoop.fs.FileSystem, tmp: Path,
+      qualTarget: Path): Boolean = {
+    import java.nio.file.{Files, Paths}
+    try {
+      Files.createLink(Paths.get(qualTarget.toUri.getPath),
+        Paths.get(fs.makeQualified(tmp).toUri.getPath))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case _: UnsupportedOperationException =>
+        renamePublish(conf, fs, tmp, qualTarget)
+    }
   }
 
   /** `delta.logRetentionDuration`-style interval ("interval 30 days",
