@@ -189,6 +189,8 @@ object SparkEntry {
     "q157_knn_label_purity"  -> (CorpusQueries.knnLabelPurity _),
     "q214_knn_purity_sampled" -> (CorpusQueries.knnLabelPuritySampled _),
     "q215_lsh_recall_sweep"  -> (CorpusQueries.lshRecallSweep _),
+    "q216_source_overlap"    -> (CorpusQueries.sourceOverlapMatrix _),
+    "q217_source_overlap_sketch" -> (CorpusQueries.sourceOverlapSketch _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
@@ -340,6 +342,60 @@ object SparkEntry {
        |         CAST(count(*) AS BIGINT) AS exact_pairs FROM ex),
        |$cfgCtes
        |$selects""".stripMargin
+  }
+
+  /** q217's DuckDB oracle: the k-minimum-values sketch rebuilt with the
+    * q26 hex arithmetic (32-bit value from md5's first 8 hex chars —
+    * bit-for-bit the Spark side's conv(substring(md5,1,8),16,10)), the
+    * per-pair union's k smallest via the same row_number ordering, and
+    * the exact Jaccard re-derived with the q216 CTEs for the error
+    * column. */
+  private def q217OracleSql: String = {
+    val half1 =
+      "CAST(list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', " +
+        "substring(md5(shingle), CAST(i + 1 AS INT), 1)) - 1) * pow(16, 7 - i))) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
+       |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+       |hv AS (SELECT DISTINCT source, $half1 AS h FROM sh),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM hv) WHERE rn <= 256),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |contrib AS (
+       |  SELECT src_a, src_b, h, count(*) AS sides FROM (
+       |    SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.source = p.src_a
+       |    UNION ALL
+       |    SELECT p.src_a, p.src_b, s.h FROM pairs p JOIN sk s ON s.source = p.src_b) u
+       |  GROUP BY 1, 2, 3),
+       |est AS (
+       |  SELECT src_a, src_b,
+       |         sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS in_both,
+       |         count(*) AS m
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+       |        FROM contrib) WHERE rn <= 256 GROUP BY 1, 2),
+       |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+       |common AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS c
+       |  FROM sh a JOIN sh b USING (shingle)
+       |  WHERE a.source < b.source GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT src_a, src_b, CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) AS jaccard
+       |  FROM common
+       |  JOIN sz sa ON sa.source = src_a
+       |  JOIN sz sb ON sb.source = src_b)
+       |SELECT e.src_a, e.src_b,
+       |  CAST(in_both AS DOUBLE) / m AS est_jaccard,
+       |  coalesce(x.jaccard, 0.0) AS exact_jaccard,
+       |  abs(CAST(in_both AS DOUBLE) / m - coalesce(x.jaccard, 0.0)) AS abs_err
+       |FROM est e LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+       |ORDER BY 1, 2""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2748,6 +2804,35 @@ object SparkEntry {
     // sample, covered-or-not per (bands, bits) config — oracle generated
     // per config from the same sign/cosine/tie-break arithmetic
     "q215_lsh_recall_sweep" -> q215OracleSql,
+
+    // cross-source shingle overlap matrix (q216): exact distinct-3-shingle
+    // intersection per ordered source pair, with Jaccard and both directed
+    // containments — the q25 shingling and double-division conventions
+    "q216_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
+        |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+        |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS overlap
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT src_a, src_b, overlap,
+        |  CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) AS jaccard,
+        |  CAST(overlap AS DOUBLE) / sa.sz AS containment_a,
+        |  CAST(overlap AS DOUBLE) / sb.sz AS containment_b
+        |FROM common
+        |JOIN sz sa ON sa.source = src_a
+        |JOIN sz sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // KMV-sketch source overlap (q217): per-source k-minimum-values
+    // sketch of 32-bit md5 shingle hashes (q26's portable hex
+    // arithmetic), pair Jaccard estimated as the both-sources fraction
+    // of the union's k smallest, reported against the exact matrix
+    "q217_source_overlap_sketch" -> q217OracleSql,
 
     // quality-priority dedup over bag-of-words groups (members genuinely
     // differ there): keeper = highest quality then smallest id; the
