@@ -189,8 +189,7 @@ object SparkEntry {
     "q157_knn_label_purity"  -> (CorpusQueries.knnLabelPurity _),
     "q214_knn_purity_sampled" -> (CorpusQueries.knnLabelPuritySampled _),
     "q215_lsh_recall_sweep"  -> (CorpusQueries.lshRecallSweep _),
-    "q216_source_overlap"    -> (CorpusQueries.sourceOverlapMatrix _),
-    "q217_source_overlap_sketch" -> (CorpusQueries.sourceOverlapSketch _),
+    "q216_source_overlap_sketch" -> (CorpusQueries.sourceOverlapSketch _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
@@ -344,13 +343,13 @@ object SparkEntry {
        |$selects""".stripMargin
   }
 
-  /** q217's DuckDB oracle: the k-minimum-values sketch rebuilt with the
+  /** q216's DuckDB oracle: the k-minimum-values sketch rebuilt with the
     * q26 hex arithmetic (32-bit value from md5's first 8 hex chars —
     * bit-for-bit the Spark side's conv(substring(md5,1,8),16,10)), the
     * per-pair union's k smallest via the same row_number ordering, and
-    * the exact Jaccard re-derived with the q216 CTEs for the error
+    * the exact Jaccard re-derived with q146's CTEs for the error
     * column. */
-  private def q217OracleSql: String = {
+  private def sketchOverlapOracleSql: String = {
     val half1 =
       "CAST(list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', " +
         "substring(md5(shingle), CAST(i + 1 AS INT), 1)) - 1) * pow(16, 7 - i))) AS BIGINT)"
@@ -2805,34 +2804,11 @@ object SparkEntry {
     // per config from the same sign/cosine/tie-break arithmetic
     "q215_lsh_recall_sweep" -> q215OracleSql,
 
-    // cross-source shingle overlap matrix (q216): exact distinct-3-shingle
-    // intersection per ordered source pair, with Jaccard and both directed
-    // containments — the q25 shingling and double-division conventions
-    "q216_source_overlap" ->
-      """WITH toks AS (
-        |  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
-        |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
-        |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
-        |common AS (
-        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS overlap
-        |  FROM sh a JOIN sh b USING (shingle)
-        |  WHERE a.source < b.source GROUP BY 1, 2)
-        |SELECT src_a, src_b, overlap,
-        |  CAST(overlap AS DOUBLE) / (sa.sz + sb.sz - overlap) AS jaccard,
-        |  CAST(overlap AS DOUBLE) / sa.sz AS containment_a,
-        |  CAST(overlap AS DOUBLE) / sb.sz AS containment_b
-        |FROM common
-        |JOIN sz sa ON sa.source = src_a
-        |JOIN sz sb ON sb.source = src_b
-        |ORDER BY src_a, src_b""".stripMargin,
-
-    // KMV-sketch source overlap (q217): per-source k-minimum-values
+    // KMV-sketch source overlap (q216): per-source k-minimum-values
     // sketch of 32-bit md5 shingle hashes (q26's portable hex
-    // arithmetic), pair Jaccard estimated as the both-sources fraction
-    // of the union's k smallest, reported against the exact matrix
-    "q217_source_overlap_sketch" -> q217OracleSql,
+    // arithmetic), pair Jaccard estimated as the both-sides fraction
+    // of the union's k smallest, reported against q146's exact matrix
+    "q216_source_overlap_sketch" -> sketchOverlapOracleSql,
 
     // quality-priority dedup over bag-of-words groups (members genuinely
     // differ there): keeper = highest quality then smallest id; the

@@ -2071,52 +2071,21 @@ object CorpusQueries {
         (matched.cast("double") / lit(64.0)).as("estimate"))
   }
 
-  /** Cross-source corpus overlap matrix — the dataset-governance question
-    * "how much of source A is already inside source B?" answered EXACTLY:
-    * per ordered source pair, the distinct-3-shingle intersection size
-    * with Jaccard and both directed containments (containment is the
-    * number that decides "drop B, it's a subset" — Jaccard alone hides
-    * asymmetry). Shape: one distinct over (source, shingle) — a single
-    * shuffle keyed by the pair — then an equi-join on shingle whose
-    * fan-out per shingle is bounded by the SOURCE count (each shingle
-    * appears at most once per holding source after the distinct), and
-    * two broadcasts of the S-row size table. At corpus scale the
-    * shingle-string shuffle is the dominant cost; [[sourceOverlapSketch]]
-    * answers the same question from k-sized sketches. */
-  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir).select(col("source"),
-        explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
-      .distinct()
-    val sz = sh.groupBy("source").agg(count(lit(1)).as("sz"))
-    val ov = sh.join(sh.select(col("source").as("src_b"), col("shingle")),
-        Seq("shingle"))
-      .filter(col("source") < col("src_b"))
-      .groupBy(col("source").as("src_a"), col("src_b"))
-      .agg(count(lit(1)).as("overlap"))
-    ov.join(broadcast(sz.select(col("source").as("src_a"),
-        col("sz").as("sz_a"))), Seq("src_a"))
-      .join(broadcast(sz.select(col("source").as("src_b"),
-        col("sz").as("sz_b"))), Seq("src_b"))
-      .select(col("src_a"), col("src_b"), col("overlap"),
-        (col("overlap") / (col("sz_a") + col("sz_b") - col("overlap")))
-          .as("jaccard"),
-        (col("overlap") / col("sz_a")).as("containment_a"),
-        (col("overlap") / col("sz_b")).as("containment_b"))
-      .orderBy("src_a", "src_b")
-  }
-
-  /** [[sourceOverlapMatrix]]'s 100 TB path: a k-minimum-values sketch per
-    * source — the k smallest distinct 32-bit md5 shingle hashes, built by
-    * the row_number-top-k the optimizer lowers to the heap operator, so
-    * sketch construction is one pass and the sketches are k·S values no
-    * matter the corpus size. Each pair's Jaccard is estimated as the
-    * both-sources fraction of the UNION's k smallest values and reported
-    * AGAINST the exact number with the absolute error — the q200/q202
-    * "an estimate carries its own error report" contract. The md5 hash
-    * is portable bit-for-bit to the DuckDB oracle (q26's convention).
-    * The source-pair frame is a crossJoin of the DISTINCT-SOURCE table
-    * only — cardinality = number of corpus sources, a constant at any
-    * corpus size; every per-value step is an equi-join. */
+  /** [[sourceOverlap]] (q146) answers the pairwise-overlap question
+    * EXACTLY by shuffling every distinct (source, shingle) pair — the
+    * right contract, but the shuffle is corpus-sized. This is its 100 TB
+    * path: a k-minimum-values sketch per source — the k smallest
+    * distinct 32-bit md5 shingle hashes, built by the row_number-top-k
+    * the optimizer lowers to the heap operator, so sketch construction
+    * is one pass and the sketches are k·S values no matter the corpus
+    * size. Each pair's Jaccard is estimated as the both-sources fraction
+    * of the UNION's k smallest values and reported AGAINST the exact
+    * q146 number with the absolute error — the q200/q202 "an estimate
+    * carries its own error report" contract. The md5 hash is portable
+    * bit-for-bit to the DuckDB oracle (q26's convention). The
+    * source-pair frame is a crossJoin of the DISTINCT-SOURCE table only
+    * — cardinality = number of corpus sources, a constant at any corpus
+    * size; every per-value step is an equi-join. */
   def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
     val docs = Tables.documents(spark, dir)
@@ -2152,7 +2121,7 @@ object CorpusQueries {
         count(lit(1)).as("m"))
       .select(col("src_a"), col("src_b"),
         (col("in_both").cast("double") / col("m")).as("est_jaccard"))
-    val exact = sourceOverlapMatrix(spark, dir)
+    val exact = sourceOverlap(spark, dir)
       .select(col("src_a"), col("src_b"), col("jaccard").as("exact_jaccard"))
     est.join(exact, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("est_jaccard"),
