@@ -1466,8 +1466,6 @@ object DeltaExport {
       // refuse before any staging I/O); conforming rows validate against
       // the staged bytes below, alongside the CHECK constraints.
       legacyInvariantsOf(snap.schema)
-      require(!DeltaImport.hasNestedMapping(snap.schema),
-        s"append to $tablePath: nested fields carry physical column names")
     }
 
     val snap0 = DeltaImport.snapshot(spark, tablePath)
@@ -1552,10 +1550,8 @@ object DeltaExport {
     // Stage under the table root: files are immutable once written; only
     // the commit decides whether they become part of the table.
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
-    val toPhys = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
-    val physDf = toPhys.foldLeft(aligned) {
-      case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val physDf = DeltaImport.physicalRender(aligned, snap0.schema)
     val stageRel = s"_appends/${java.util.UUID.randomUUID()}"
     val stagePath = new Path(root, stageRel)
     if (physPartCols.nonEmpty)
@@ -1575,8 +1571,7 @@ object DeltaExport {
       import org.apache.spark.sql.functions.{count_if, expr, coalesce, lit}
       val stagedPhys = spark.read.option("basePath", stagePath.toString)
         .parquet(stagePath.toString)
-      val staged = toPhys.foldLeft(stagedPhys) {
-        case (d, (l, p)) => d.withColumnRenamed(p, l) }
+      val staged = DeltaImport.logicalRestore(stagedPhys, snap0.schema)
       val nullChecks = fields.toSeq.filterNot(_.nullable)
         .map(f => count_if(col(f.name).isNull).as(s"null ${f.name}"))
       val checkChecks = constraintsOf(cfg).toSeq.sortBy(_._1).map { case (n, p) =>
@@ -1612,8 +1607,7 @@ object DeltaExport {
       else {
         val stagedPhys = spark.read.option("basePath", stagePath.toString)
           .parquet(stagePath.toString)
-        val staged = toPhys.foldLeft(stagedPhys) {
-          case (d, (l, p)) => d.withColumnRenamed(p, l) }
+        val staged = DeltaImport.logicalRestore(stagedPhys, snap0.schema)
         advancedHwms(staged, idSpecs, idHwm)
       }
 
@@ -1667,8 +1661,7 @@ object DeltaExport {
       }
       val v = snap.version + 1
       val nowMs = System.currentTimeMillis()
-      val physSchema = StructType(fields.map(f =>
-        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val physSchema = DeltaImport.toPhysicalSchema(snap0.schema)
       val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
           snap.schema.fieldNames.toSeq)
         .map(_.map(n => physMapAll.getOrElse(n, n)))
@@ -1788,8 +1781,6 @@ object DeltaExport {
               "owning engine")
         }
       }
-      require(!DeltaImport.hasNestedMapping(snap.schema),
-        s"optimize of $tablePath: nested fields carry physical column names")
     }
 
     val snap0 = DeltaImport.snapshot(spark, tablePath)
@@ -1808,12 +1799,10 @@ object DeltaExport {
       .readFilesWithPositions(spark, snap0, selected, FileC, PosC)
       .drop(FileC, PosC)
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
-    val toPhys = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
     val totalBytes = selected.map(_.size).sum
     val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val physDf = toPhys.foldLeft(live.repartition(nOut)) {
-      case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val physDf = DeltaImport.physicalRender(live.repartition(nOut), snap0.schema)
     val seed = java.util.UUID.randomUUID().toString
     val stagePath = new Path(root, s"_appends/$seed-compact")
     if (physPartCols.nonEmpty)
@@ -1857,8 +1846,7 @@ object DeltaExport {
       }
       val v = snap.version + 1
       val nowMs = System.currentTimeMillis()
-      val physSchema = StructType(snap0.schema.fields.map(f =>
-        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val physSchema = DeltaImport.toPhysicalSchema(snap0.schema)
       val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
           snap0.schema.fieldNames.toSeq)
         .map(_.map(n => physMapAll.getOrElse(n, n)))
@@ -1954,8 +1942,7 @@ object DeltaExport {
       val v = snap.version + 1
       val nowMs = System.currentTimeMillis()
       val physMapAll = DeltaImport.topLevelPhysicalNames(snap.schema)
-      val physSchema = StructType(snap.schema.fields.map(f =>
-        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val physSchema = DeltaImport.toPhysicalSchema(snap.schema)
       val physPartCols = snap.partitionColumns.map(c =>
         physMapAll.getOrElse(c, c))
       val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
@@ -2178,8 +2165,6 @@ object DeltaExport {
           "declare generated/identity semantics a merger must " +
           "compute — write through the owning engine instead")
       legacyInvariantsOf(snap.schema) // malformed document refuses up front
-      require(!DeltaImport.hasNestedMapping(snap.schema),
-        s"merge into $tablePath: nested fields carry physical column names")
     }
 
     val snap0 = DeltaImport.snapshot(spark, tablePath)
@@ -2312,7 +2297,6 @@ object DeltaExport {
 
     // Stage ALL source rows (the matched keys' new images + the inserts).
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
-    val toPhys = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
     // Rewrite fallback: the touched files' survivors (rows whose key the
     // source does NOT carry; old DVs already applied by the scan) stage
@@ -2333,15 +2317,13 @@ object DeltaExport {
           .join(srcKeys, Seq(keyName), "left_anti")
           .drop(FileC, PosC)
         val sp = new Path(root, s"_appends/$seed-survivors")
-        val sPhys = toPhys.foldLeft(survivors) {
-          case (d, (l, p)) => d.withColumnRenamed(l, p) }
+        val sPhys = DeltaImport.physicalRender(survivors, snap0.schema)
         if (physPartCols.nonEmpty)
           sPhys.write.partitionBy(physPartCols: _*).parquet(sp.toString)
         else sPhys.write.parquet(sp.toString)
         Some(sp)
       }
-    val physDf = toPhys.foldLeft(aligned) {
-      case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val physDf = DeltaImport.physicalRender(aligned, snap0.schema)
     val stageRel = s"_appends/$seed"
     val stagePath = new Path(root, stageRel)
     if (physPartCols.nonEmpty)
@@ -2362,8 +2344,7 @@ object DeltaExport {
     def stagedLogical(): org.apache.spark.sql.DataFrame = {
       val stagedPhys = spark.read.option("basePath", stagePath.toString)
         .parquet(stagePath.toString)
-      toPhys.foldLeft(stagedPhys) {
-        case (d, (l, p)) => d.withColumnRenamed(p, l) }
+      DeltaImport.logicalRestore(stagedPhys, snap0.schema)
     }
     // Source uniqueness per key (delta-spark's multiple-match error),
     // checked on the staged bytes alongside constraints/nullability.
@@ -2408,7 +2389,7 @@ object DeltaExport {
       }
       val matchedKeys = matchedRows.map(_.select(col(s"`$keyName`")).distinct())
       def phys(df: org.apache.spark.sql.DataFrame) =
-        toPhys.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+        DeltaImport.physicalRender(df, snap0.schema, keep = Seq("_change_type"))
       matchedRows.foreach { m =>
         writeCdc(phys(m.drop(FileC, PosC)
           .withColumn("_change_type", lit("update_preimage"))), "pre")
@@ -2491,8 +2472,7 @@ object DeltaExport {
       }
       val v = snap.version + 1
       val nowMs = System.currentTimeMillis()
-      val physSchema = StructType(fields.map(f =>
-        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val physSchema = DeltaImport.toPhysicalSchema(snap0.schema)
       val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
           snap0.schema.fieldNames.toSeq)
         .map(_.map(n => physMapAll.getOrElse(n, n)))
@@ -2666,8 +2646,6 @@ object DeltaExport {
         (matched.isEmpty && notMatchedBySource.isEmpty),
         s"merge into $tablePath: the table is append-only (delta.appendOnly)")
       legacyInvariantsOf(snap.schema) // malformed document refuses up front
-      require(!DeltaImport.hasNestedMapping(snap.schema),
-        s"merge into $tablePath: nested fields carry physical column names")
     }
 
     val snap0 = DeltaImport.snapshot(spark, tablePath)
@@ -3012,13 +2990,11 @@ object DeltaExport {
       else Nil)
 
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
-    val toPhys = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
     val stagePath = new Path(root, s"_appends/$seed")
     val stagedAny = imageByKind.nonEmpty
     imageByKind.foreach { case (kind, df) =>
-      val physDf = toPhys.foldLeft(df) {
-        case (d, (l, p)) => d.withColumnRenamed(l, p) }
+      val physDf = DeltaImport.physicalRender(df, snap0.schema)
       val p = new Path(stagePath, kind)
       if (physPartCols.nonEmpty)
         physDf.write.partitionBy(physPartCols: _*).parquet(p.toString)
@@ -3029,8 +3005,7 @@ object DeltaExport {
       * come back with the table's declared types, not inference's (a
       * string partition value '00123' must not re-type to int 123 on
       * its way into the CDF files). */
-    val physReadSchema = StructType(fields.map(f =>
-      f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+    val physReadSchema = DeltaImport.toPhysicalSchema(snap0.schema)
     def stagedKind(kind: String): Option[org.apache.spark.sql.DataFrame] =
       imageByKind.collectFirst { case (k, _) if k == kind =>
         val p = new Path(stagePath, kind)
@@ -3054,8 +3029,7 @@ object DeltaExport {
     def stagedLogical(): org.apache.spark.sql.DataFrame = {
       val stagedPhys = imageByKind.map { case (k, _) => stagedKind(k).get }
         .reduce(_ unionByName _)
-      toPhys.foldLeft(stagedPhys) {
-        case (d, (l, p)) => d.withColumnRenamed(p, l) }
+      DeltaImport.logicalRestore(stagedPhys, snap0.schema)
     }
     def validate(cfg: Map[String, String]): Unit = {
       if (!stagedAny) return
@@ -3090,7 +3064,7 @@ object DeltaExport {
     val cdcRel = s"_change_data/graft-$seed"
     if (cdfOn) {
       def phys(df: org.apache.spark.sql.DataFrame) =
-        toPhys.foldLeft(df) { case (d, (l, p)) => d.withColumnRenamed(l, p) }
+        DeltaImport.physicalRender(df, snap0.schema, keep = Seq("_change_type"))
       def writeCdc(df: org.apache.spark.sql.DataFrame, sub: String): Unit = {
         if (df.isEmpty) return
         val p = new Path(root, s"$cdcRel/$sub")
@@ -3196,8 +3170,7 @@ object DeltaExport {
       }
       val v = snap.version + 1
       val nowMs = System.currentTimeMillis()
-      val physSchema = StructType(fields.map(f =>
-        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val physSchema = DeltaImport.toPhysicalSchema(snap0.schema)
       val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
           snap0.schema.fieldNames.toSeq)
         .map(_.map(n => physMapAll.getOrElse(n, n)))
@@ -3547,8 +3520,6 @@ object DeltaExport {
       }
       require(!snap.configuration.get("delta.appendOnly").contains("true"),
         s"delete from $tablePath: the table is append-only (delta.appendOnly)")
-      require(!DeltaImport.hasNestedMapping(snap.schema),
-        s"delete from $tablePath: nested fields carry physical column names")
     }
 
     val snap0 = DeltaImport.snapshot(spark, tablePath)
@@ -3603,16 +3574,15 @@ object DeltaExport {
     // CDF: cdc actions restate the deleted rows (physical names on disk,
     // partitioned like the table — Delta stamps version/timestamp itself).
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
-    val toPhysAll = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
     val cdfOn = snap0.configuration
       .get("delta.enableChangeDataFeed").contains("true")
     val cdcRel = s"_change_data/graft-$seed"
     if (cdfOn) {
-      val deletedPhys = toPhysAll.foldLeft(
+      val deletedPhys = DeltaImport.physicalRender(
         matchedRows.drop(FileC, PosC)
-          .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))) {
-        case (d, (l, p)) => d.withColumnRenamed(l, p) }
+          .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete")),
+        snap0.schema, keep = Seq("_change_type"))
       val cdcPath = new Path(root, cdcRel)
       if (physPartCols.nonEmpty)
         deletedPhys.write.partitionBy(physPartCols: _*).parquet(cdcPath.toString)
@@ -3637,8 +3607,7 @@ object DeltaExport {
             org.apache.spark.sql.functions.lit(false)))
           .drop(FileC, PosC)
         val sp = new Path(root, s"_appends/$seed-survivors")
-        val physDf = toPhysAll.foldLeft(survivors) {
-          case (d, (l, p)) => d.withColumnRenamed(l, p) }
+        val physDf = DeltaImport.physicalRender(survivors, snap0.schema)
         if (physPartCols.nonEmpty)
           physDf.write.partitionBy(physPartCols: _*).parquet(sp.toString)
         else physDf.write.parquet(sp.toString)
@@ -3695,8 +3664,7 @@ object DeltaExport {
       }
       val v = snap.version + 1
       val nowMs = System.currentTimeMillis()
-      val physSchema = StructType(snap0.schema.fields.map(f =>
-        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val physSchema = DeltaImport.toPhysicalSchema(snap0.schema)
       val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
           snap0.schema.fieldNames.toSeq)
         .map(_.map(n => physMapAll.getOrElse(n, n)))
@@ -3791,8 +3759,6 @@ object DeltaExport {
           "vectors — enable delta.enableDeletionVectors on the owning " +
           "engine, or run the update there")
       legacyInvariantsOf(snap.schema) // malformed document refuses up front
-      require(!DeltaImport.hasNestedMapping(snap.schema),
-        s"update of $tablePath: nested fields carry physical column names")
     }
 
     val snap0 = DeltaImport.snapshot(spark, tablePath)
@@ -3847,7 +3813,6 @@ object DeltaExport {
     // The updated copies stage exactly like an append; generated columns
     // recompute over the POST-assignment row.
     val physMapAll = DeltaImport.topLevelPhysicalNames(snap0.schema)
-    val toPhys = physMapAll.filter { case (l, p) => l != p }
     val physPartCols = snap0.partitionColumns.map(c => physMapAll.getOrElse(c, c))
     val assigned = matchedRows.drop(FileC, PosC).select(
       fields.toIndexedSeq.map { f =>
@@ -3860,8 +3825,7 @@ object DeltaExport {
       d.withColumn(name, org.apache.spark.sql.functions.expr(sql)
         .cast(fields.find(_.name == name).get.dataType))
     }
-    val physDf = toPhys.foldLeft(updated) {
-      case (d, (l, p)) => d.withColumnRenamed(l, p) }
+    val physDf = DeltaImport.physicalRender(updated, snap0.schema)
     val stageRel = s"_appends/$seed"
     val stagePath = new Path(root, stageRel)
     if (physPartCols.nonEmpty)
@@ -3878,8 +3842,7 @@ object DeltaExport {
     def stagedLogical(): org.apache.spark.sql.DataFrame = {
       val stagedPhys = spark.read.option("basePath", stagePath.toString)
         .parquet(stagePath.toString)
-      toPhys.foldLeft(stagedPhys) {
-        case (d, (l, p)) => d.withColumnRenamed(p, l) }
+      DeltaImport.logicalRestore(stagedPhys, snap0.schema)
     }
     def validate(cfg: Map[String, String]): Unit = {
       import org.apache.spark.sql.functions.{count_if, expr, coalesce, lit}
@@ -3913,14 +3876,14 @@ object DeltaExport {
           df.write.partitionBy(physPartCols: _*).parquet(p.toString)
         else df.write.parquet(p.toString)
       }
-      writeCdc(toPhys.foldLeft(matchedRows.drop(FileC, PosC)
+      writeCdc(DeltaImport.physicalRender(matchedRows.drop(FileC, PosC)
         .withColumn("_change_type",
-          org.apache.spark.sql.functions.lit("update_preimage"))) {
-        case (d, (l, p)) => d.withColumnRenamed(l, p) }, "pre")
-      writeCdc(toPhys.foldLeft(stagedLogical()
+          org.apache.spark.sql.functions.lit("update_preimage")),
+        snap0.schema, keep = Seq("_change_type")), "pre")
+      writeCdc(DeltaImport.physicalRender(stagedLogical()
         .withColumn("_change_type",
-          org.apache.spark.sql.functions.lit("update_postimage"))) {
-        case (d, (l, p)) => d.withColumnRenamed(l, p) }, "post")
+          org.apache.spark.sql.functions.lit("update_postimage")),
+        snap0.schema, keep = Seq("_change_type")), "post")
     }
     def parquetsUnder(p: Path): Seq[FileStatus] = {
       val it = fs.listFiles(p, true)
@@ -3974,8 +3937,7 @@ object DeltaExport {
       }
       val v = snap.version + 1
       val nowMs = System.currentTimeMillis()
-      val physSchema = StructType(fields.map(f =>
-        f.copy(name = physMapAll.getOrElse(f.name, f.name))))
+      val physSchema = DeltaImport.toPhysicalSchema(snap0.schema)
       val allowedStats = GraftTable.allowedStatsCols(snap.configuration,
           snap0.schema.fieldNames.toSeq)
         .map(_.map(n => physMapAll.getOrElse(n, n)))

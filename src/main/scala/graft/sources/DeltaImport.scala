@@ -149,9 +149,40 @@ object DeltaImport {
       schema: StructType): Map[String, String] =
     schema.fields.map(f => f.name -> physicalName(f)).toMap
 
+  /** Full PHYSICAL rendering of a logical schema — nested fields
+    * included (the recursive walk reads the same
+    * `delta.columnMapping.physicalName` annotations at every level). */
+  private[graft] def toPhysicalSchema(schema: StructType): StructType =
+    toPhysical(schema).asInstanceOf[StructType]
+
+  /** Render a LOGICAL frame under `schema`'s full physical naming — one
+    * positional struct cast per column (rename-only, free at runtime;
+    * nested renames ride the cast, exactly the inverse of what
+    * [[readLogical]] does on the way in). The staging writes of the
+    * foreign verbs go through this, which is what makes NESTED column
+    * mapping writable: a frame whose inner struct fields still carry
+    * logical names re-renders with the physical ones the table's parquet
+    * must use. `keep` columns (CDF markers, claim scaffolding) pass
+    * through unrenamed. */
+  private[graft] def physicalRender(df: DataFrame, schema: StructType,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select((schema.fields.map { f =>
+      col(s"`${f.name}`").cast(toPhysical(f.dataType)).as(physicalName(f))
+    } ++ keep.map(c => col(s"`$c`"))).toIndexedSeq: _*)
+
+  /** Inverse of [[physicalRender]]: staged physical bytes back under
+    * logical names, for the validation / watermark scans. */
+  private[graft] def logicalRestore(df: DataFrame, schema: StructType,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select((schema.fields.map { f =>
+      col(s"`${physicalName(f)}`").cast(f.dataType).as(f.name)
+    } ++ keep.map(c => col(s"`$c`"))).toIndexedSeq: _*)
+
   /** True when any NESTED field carries a physical name differing from
-    * its logical one — graft's mapping is top-level, so such tables are
-    * not adoptable in place. */
+    * its logical one — graft's own top-level mapping cannot adopt such a
+    * table in place ([[graft.table.GraftTable.convertFromDelta]] refuses
+    * on this); the foreign WRITE verbs handle nested mapping via
+    * [[physicalRender]]. */
   private[graft] def hasNestedMapping(schema: StructType): Boolean = {
     def nested(dt: DataType): Boolean = dt match {
       case s: StructType => s.fields.exists(f =>
