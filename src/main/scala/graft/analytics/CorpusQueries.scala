@@ -2075,17 +2075,20 @@ object CorpusQueries {
     * EXACTLY by shuffling every distinct (source, shingle) pair — the
     * right contract, but the shuffle is corpus-sized. This is its 100 TB
     * path: a k-minimum-values sketch per source — the k smallest
-    * distinct 32-bit md5 shingle hashes, built by the row_number-top-k
-    * the optimizer lowers to the heap operator, so sketch construction
-    * is one pass and the sketches are k·S values no matter the corpus
-    * size. Each pair's Jaccard is estimated as the both-sources fraction
-    * of the UNION's k smallest values and reported AGAINST the exact
-    * q146 number with the absolute error — the q200/q202 "an estimate
-    * carries its own error report" contract. The md5 hash is portable
-    * bit-for-bit to the DuckDB oracle (q26's convention). The
-    * source-pair frame is a crossJoin of the DISTINCT-SOURCE table only
-    * — cardinality = number of corpus sources, a constant at any corpus
-    * size; every per-value step is an equi-join. */
+    * distinct 32-bit md5 shingle hashes, built in ONE distributed pass
+    * by the row_number-top-k the optimizer lowers to the heap operator.
+    * The sketch is k·S values at ANY corpus size, so it collects like a
+    * codebook (the bounded-summary class every sketch op here uses) and
+    * the pair estimation is driver arithmetic re-expressed as one local
+    * frame: each pair's Jaccard ≈ the both-sources fraction of the
+    * UNION's k smallest values, reported AGAINST the exact q146 number
+    * with the absolute error — the q200/q202 "an estimate carries its
+    * own error report" contract. Total corpus cost: one sketch pass +
+    * q146's exact pass (the error column's contract); the earlier
+    * all-DataFrame formulation re-executed the source-distinct and the
+    * sketch subtree once per join arm (plan-audited: four cross
+    * fragments, each with its own corpus scan). The md5 hash is portable
+    * bit-for-bit to the DuckDB oracle (q26's convention). */
   def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
     val k = 256
     val docs = Tables.documents(spark, dir)
@@ -2096,34 +2099,28 @@ object CorpusQueries {
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("h")
-    val sketch = hashed.withColumn("rn", row_number().over(w))
+    val sketches: Map[String, Array[Long]] = hashed
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select("source", "h")
-    val srcs = docs.select("source").distinct()
-    val pairs = srcs.crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
-      .filter(col("source") < col("src_b"))
-      .select(col("source").as("src_a"), col("src_b"))
-    // two equi-joins fan each sketch value out to the pairs its source
-    // belongs to; `sides` = how many of the pair's two sketches hold it
-    val contrib = pairs
-      .join(sketch.withColumnRenamed("source", "src_a"), Seq("src_a"))
-      .select("src_a", "src_b", "h")
-      .unionByName(pairs
-        .join(sketch.withColumnRenamed("source", "src_b"), Seq("src_b"))
-        .select("src_a", "src_b", "h"))
-    val perH = contrib.groupBy("src_a", "src_b", "h")
-      .agg(count(lit(1)).as("sides"))
-    val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy("src_a", "src_b").orderBy("h")
-    val est = perH.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= k)
-      .groupBy("src_a", "src_b").agg(
-        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("in_both"),
-        count(lit(1)).as("m"))
-      .select(col("src_a"), col("src_b"),
-        (col("in_both").cast("double") / col("m")).as("est_jaccard"))
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+    // Pair over EVERY source in the corpus — a zero-shingle source still
+    // pairs (empty sketch, estimate 0) as long as the other side
+    // sketches; only a both-empty union drops the pair.
+    val srcNames = docs.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val estRows = for {
+      a <- srcNames; b <- srcNames if a < b
+      skA = sketches.getOrElse(a, Array.empty[Long]).toSet
+      skB = sketches.getOrElse(b, Array.empty[Long]).toSet
+      unionK = (skA | skB).toSeq.sorted.take(k) if unionK.nonEmpty
+    } yield (a, b,
+      unionK.count(v => skA(v) && skB(v)).toDouble / unionK.size)
+    import spark.implicits._
+    val est = estRows.toDF("src_a", "src_b", "est_jaccard")
     val exact = sourceOverlap(spark, dir)
       .select(col("src_a"), col("src_b"), col("jaccard").as("exact_jaccard"))
-    est.join(exact, Seq("src_a", "src_b"), "left")
+    est.join(broadcast(exact), Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("est_jaccard"),
         coalesce(col("exact_jaccard"), lit(0.0)).as("exact_jaccard"),
         abs(col("est_jaccard") - coalesce(col("exact_jaccard"), lit(0.0)))

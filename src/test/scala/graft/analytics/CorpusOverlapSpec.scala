@@ -71,4 +71,53 @@ class CorpusOverlapSpec extends SparkSpec {
     val totalGrams = corpus.iterator.flatMap(_._3).toSet.size.toLong
     assert(got.values.map(_._1).sum === totalGrams)
   }
+
+  private def md5Half32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  test("sourceOverlapSketch matches the brute-force KMV estimate; plan is sketch-sized") {
+    val k = 256
+    val bySource = corpus.groupBy(_._2).map { case (s, xs) =>
+      s -> xs.iterator.flatMap(_._3).toSet
+    }
+    val sketches: Map[String, Set[Long]] = bySource.map { case (s, grams) =>
+      s -> grams.map(md5Half32).toSeq.distinct.sorted.take(k).toSet
+    }
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+    } yield {
+      val unionK = (sketches(a) | sketches(b)).toSeq.sorted.take(k)
+      val est = unionK.count(v => sketches(a)(v) && sketches(b)(v))
+        .toDouble / unionK.size
+      val shared = (bySource(a) & bySource(b)).size.toLong
+      val exact = if (shared == 0) 0.0
+        else shared.toDouble /
+          (bySource(a).size + bySource(b).size - shared)
+      (a, b) -> ((est, exact))
+    }).toMap
+
+    val df = CorpusQueries.sourceOverlapSketch(spark, sf)
+    val got = df.collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    }.toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (key, (est, exact, err)) =>
+      val (eEst, eExact) = expected(key)
+      assert(est === eEst, s"estimate of $key")
+      assert(exact === eExact, s"exact of $key")
+      assert(err === math.abs(est - exact), s"abs_err of $key")
+    }
+
+    // Plan shape: the ONLY non-equi join is the DISTINCT-SOURCE pair
+    // cross (cardinality = source count, a constant at any corpus size);
+    // every per-value step joins on h or (src_a, src_b).
+    val plan = df.queryExecution.executedPlan.toString
+    val crosses = "CartesianProduct|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).size
+    assert(crosses <= 1, s"expected at most the source-pair cross:\n$plan")
+  }
 }
