@@ -1340,8 +1340,9 @@ object DeltaExport {
     * predicate validates against the staged rows before the commit
     * publishes); changeDataFeed (a blind append writes NO cdc action by
     * protocol — readers synthesize inserts from its dataChange adds);
-    * columnMapping (files are written under physical names, partition
-    * dirs and partitionValues keys physical); timestampNtz/typeWidening
+    * columnMapping (files are written under physical names at EVERY
+    * nesting level — [[DeltaImport.physicalRender]] — partition dirs and
+    * partitionValues keys physical); timestampNtz/typeWidening
     * (schema capabilities the staging write and stats harvest honor);
     * deletionVectors/v2Checkpoint/vacuumProtocolCheck (obligations attach
     * to deletes / checkpoint writes / vacuum, none of which an append
@@ -2135,8 +2136,11 @@ object DeltaExport {
     * a crash-safe streaming CDC apply onto a table graft does not govern.
     * A table WITHOUT `deletionVectors` advertised falls back to the
     * classic rewrite shape (touched files removed, survivors restaged);
-    * refuses appendOnly tables and generated/identity/invariant columns.
-    * Returns (committedVersion, matchedCount, insertedCount). */
+    * refuses appendOnly tables. Generated/identity tables delegate to
+    * the clause path (whose images discharge those obligations); legacy
+    * `delta.invariants` validate on the staged bytes like CHECK
+    * constraints. Returns (committedVersion, matchedCount,
+    * insertedCount). */
   def mergeForeignUpsert(spark: SparkSession, tablePath: String,
       source: org.apache.spark.sql.DataFrame, key: String,
       txn: Option[(String, Long)] = None): (Long, Long, Long) = {
@@ -3723,11 +3727,14 @@ object DeltaExport {
     * `update_preimage`/`update_postimage` cdc actions. Assignments cast
     * to the column's declared type (ANSI mode surfaces overflow loudly);
     * CHECK / NOT NULL validate against the STAGED updated copies before
-    * the commit publishes. Requires `deletionVectors` advertised (as
-    * [[deleteFromForeign]]); refuses appendOnly tables, partition-column
-    * assignments (rows would cross partitions) and generated/identity/
-    * invariant columns (updated rows are new rows — those obligations
-    * bind). Row-tracked tables: re-adds preserve their baseRowId, updated
+    * the commit publishes — legacy `delta.invariants` included (updated
+    * rows are new rows, those obligations bind). Requires
+    * `deletionVectors` advertised (as [[deleteFromForeign]]); refuses
+    * appendOnly tables, partition-column assignments (rows would cross
+    * partitions) and assignments TO generated/identity columns (their
+    * values are engine-computed: generated columns recompute from the
+    * post-assignment row instead). Row-tracked tables: re-adds preserve
+    * their baseRowId, updated
     * copies get FRESH ids above the high-water mark — the protocol-
     * conformant fresh assignment (id stability across updates needs the
     * materialized id columns only the owning engine maintains). Returns
