@@ -239,6 +239,7 @@ object SparkEntry {
     "q204_foreign_append"    -> (DeltaBridgeQueries.deltaForeignAppend _),
     "q205_foreign_delete"    -> (DeltaBridgeQueries.deltaForeignDelete _),
     "q206_foreign_update"    -> (DeltaBridgeQueries.deltaForeignUpdate _),
+    "q217_foreign_properties" -> (DeltaBridgeQueries.deltaForeignProperties _),
     "q207_foreign_merge"     -> (DeltaBridgeQueries.deltaForeignMerge _),
     "q213_foreign_clause_merge" ->
       (DeltaBridgeQueries.deltaForeignClauseMerge _),
@@ -845,6 +846,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey % 97 <> 0 AND o_orderstatus <> 'F'""".stripMargin,
+    // foreign adoption (q217): DV capability granted by ALTER TABLE SET
+    // TBLPROPERTIES on a plain table, then a DV delete of the 'F' rows —
+    // no graft prehistory, so the full base minus the predicate
+    "q217_foreign_properties" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderstatus <> 'F'""".stripMargin,
     // foreign append (q204): graft committing into a pure Delta table;
     // base snapshot ∪ the appended (shifted-key) rows
     "q204_foreign_append" ->

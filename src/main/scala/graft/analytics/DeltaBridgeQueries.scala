@@ -517,6 +517,38 @@ object DeltaBridgeQueries {
         col("o_orderstatus"), col("o_totalprice"))
   }
 
+  /** q217: FOREIGN-table ADOPTION
+    * ([[graft.sources.DeltaExport.setForeignProperties]] via the SQL
+    * `ALTER TABLE delta.`path` SET TBLPROPERTIES` spelling): a Delta
+    * table with NO deletionVectors capability gains it — plus a CHECK
+    * constraint validated against its current rows — through one
+    * property commit that also upgrades the protocol to the features
+    * form, and the DV delete then runs against the upgraded table.
+    * Unlike q205 (whose fixture inherited DV support from graft
+    * prehistory), the capability here is granted by the administrative
+    * verb itself — the path a user takes adopting a table another
+    * engine created. */
+  def deltaForeignProperties(spark: SparkSession, dir: String): DataFrame = {
+    val root = exported.computeIfAbsent(dir + "#foreign-props", { _ =>
+      val r = Scratch.dir(spark, "delta-foreign-props")
+      val orders = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val t = graft.table.GraftTable.create(spark, r, orders)
+      graft.sources.DeltaExport.exportLog(t)
+      val fs = new Path(r).getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new Path(r, "_graft_log"), true) // now a PURE Delta table
+      spark.sql(s"ALTER TABLE delta.`$r` SET TBLPROPERTIES (" +
+        "'delta.enableDeletionVectors' = 'true', " +
+        "'delta.constraints.pricepos' = 'o_totalprice > 0')").collect()
+      graft.sources.DeltaExport.deleteFromForeign(spark, r,
+        col("o_orderstatus") === "F")
+      r
+    })
+    DeltaImport.read(spark, root)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+  }
+
   /** q206: FOREIGN-table DV update
     * ([[graft.sources.DeltaExport.updateForeign]]) — delta-spark's
     * DV-update shape on a table graft does not govern: matching rows are

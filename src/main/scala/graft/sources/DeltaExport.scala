@@ -2105,6 +2105,244 @@ object DeltaExport {
     deleted.result()
   }
 
+  /** Legacy protocol versions imply feature sets (PROTOCOL.md's version
+    * table): an upgrade to the table-features form must RESTATE them
+    * explicitly, or a v7 reader would treat the table as having no
+    * capabilities at all. */
+  private def legacyWriterFeatures(v: Int): Seq[String] = Seq(
+    2 -> Seq("appendOnly", "invariants"),
+    3 -> Seq("checkConstraints"),
+    4 -> Seq("changeDataFeed", "generatedColumns"),
+    5 -> Seq("columnMapping"),
+    6 -> Seq("identityColumns")).filter(_._1 <= v).flatMap(_._2)
+
+  private def legacyReaderFeatures(v: Int): Seq[String] =
+    if (v >= 2) Seq("columnMapping") else Nil
+
+  /** `delta.*` keys this administrator accepts WITHOUT a feature
+    * obligation — plain behavioral knobs the existing verbs already
+    * honor. Everything else delta-prefixed refuses by name (delta-spark
+    * validates unknown delta. keys the same way; silently recording a
+    * property whose obligation nobody discharges would lie to the next
+    * engine). */
+  private val PlainConfigKeys: Set[String] = Set(
+    "delta.checkpointInterval", "delta.logRetentionDuration",
+    "delta.deletedFileRetentionDuration",
+    "delta.dataSkippingNumIndexedCols", "delta.dataSkippingStatsColumns")
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES on a FOREIGN Delta table — the
+    * administrative verb that lets graft ADOPT a plain foreign table
+    * into DV / CDF / ICT / append-only workflows without the owning
+    * engine. delta-spark's AlterTableSetProperties semantics:
+    *
+    *  - `set` merges over the current configuration; `unset` keys drop
+    *    (absent keys are no-ops, the UNSET … IF EXISTS shape);
+    *  - a property that REQUIRES a table feature upgrades the protocol
+    *    in the SAME commit (PROTOCOL.md allows adding features any
+    *    time): enableDeletionVectors → deletionVectors (reader 3 /
+    *    writer 7), enableChangeDataFeed → changeDataFeed,
+    *    enableInCommitTimestamps → inCommitTimestamp (+ the enablement
+    *    version/timestamp provenance properties, and THIS commit already
+    *    stamps an ICT), appendOnly → appendOnly, checkpointPolicy=v2 →
+    *    v2Checkpoint, delta.constraints.* → checkConstraints. A legacy
+    *    protocol upgrading to v7 restates its implied features;
+    *  - NEW `delta.constraints.*` predicates validate against the
+    *    table's CURRENT rows first (one count_if scan per attempt, over
+    *    the snapshot being committed over) — ADD CONSTRAINT refuses with
+    *    the violating row count, exactly like delta-spark;
+    *  - column-mapping mode changes and `delta.enableRowTracking` are
+    *    refused: physical-name assignment and baseRowId backfill are
+    *    rewrite obligations that belong to the owning engine;
+    *  - unknown `delta.*` keys refuse by name; non-delta keys pass
+    *    through verbatim (user metadata).
+    *
+    * Returns the committed version. */
+  def setForeignProperties(spark: SparkSession, tablePath: String,
+      set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+
+    set.keys.foreach { k =>
+      require(!unset.contains(k),
+        s"property change of $tablePath: $k is both set and unset")
+    }
+    unset.foreach { k =>
+      require(!k.startsWith("delta.columnMapping."),
+        s"property change of $tablePath: unsetting $k would orphan the " +
+          "physical names already in the schema — owning-engine territory")
+    }
+    set.foreach { case (k, v) =>
+      val known = PlainConfigKeys(k) ||
+        k.startsWith("delta.constraints.") ||
+        k == "delta.enableDeletionVectors" ||
+        k == "delta.enableChangeDataFeed" ||
+        k == "delta.enableInCommitTimestamps" ||
+        k == "delta.appendOnly" ||
+        k == "delta.checkpointPolicy" ||
+        k == "delta.enableRowTracking" || // refused below, by name
+        k == "delta.columnMapping.mode"   // gate checks it is a no-op
+      require(known || !k.startsWith("delta."),
+        s"property change of $tablePath: $k carries obligations this " +
+          "administrator does not implement — set it through the owning " +
+          "engine")
+      require(k != "delta.checkpointPolicy" || v == "v2" || v == "classic",
+        s"property change of $tablePath: unknown checkpointPolicy $v")
+    }
+    require(!set.get("delta.enableRowTracking").contains("true"),
+      s"property change of $tablePath: row tracking needs a baseRowId " +
+        "backfill only the owning engine can run")
+
+    def gate(snap: DeltaImport.Snapshot): Unit = {
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"property change of $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry write-time obligations " +
+              "this writer does not implement")
+        }
+      }
+      set.get("delta.columnMapping.mode").foreach { m =>
+        require(snap.configuration.get("delta.columnMapping.mode")
+          .getOrElse("none") == m,
+          s"property change of $tablePath: changing the column-mapping " +
+            "mode assigns physical names — owning-engine territory")
+      }
+    }
+
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = DeltaImport.snapshot(spark, tablePath)
+      gate(snap)
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+
+      // New/changed CHECK constraints validate against the CURRENT rows
+      // of the snapshot this commit publishes over (re-run per retry —
+      // a rival append may have introduced a violating row).
+      val newConstraints = set.collect {
+        case (k, p) if k.startsWith("delta.constraints.") &&
+            !snap.configuration.get(k).contains(p) =>
+          k.stripPrefix("delta.constraints.") -> p
+      }.toSeq.sortBy(_._1)
+      if (newConstraints.nonEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, count_if, expr, lit}
+        val cur = DeltaImport.read(spark, snap)
+        val checks = newConstraints.map { case (n, p) =>
+          count_if(!coalesce(expr(p).cast("boolean"), lit(true)))
+            .as(s"constraint $n") }
+        val row = cur.agg(checks.head, checks.tail: _*).collect().head
+        val bad = row.schema.fieldNames.zipWithIndex
+          .filter { case (_, i) => row.getLong(i) > 0 }
+        require(bad.isEmpty,
+          s"property change of $tablePath: existing rows violate " +
+            s"${bad.map(_._1).mkString("; ")} " +
+            s"(${bad.map(b => row.getLong(b._2)).mkString(", ")} row(s))")
+      }
+
+      // Protocol upgrade, if any requested property carries a feature.
+      val curP = snap.protocol.getOrElse(DeltaImport.Protocol(1, 2, Nil, Nil))
+      def writerCovered(f: String): Boolean =
+        if (curP.minWriterVersion >= 7) curP.writerFeatures.contains(f)
+        else legacyWriterFeatures(curP.minWriterVersion).contains(f)
+      def readerCovered(f: String): Boolean =
+        if (curP.minReaderVersion >= 3) curP.readerFeatures.contains(f)
+        else legacyReaderFeatures(curP.minReaderVersion).contains(f)
+      val wantsW = Seq(
+        set.get("delta.enableDeletionVectors").contains("true") ->
+          "deletionVectors",
+        set.get("delta.enableChangeDataFeed").contains("true") ->
+          "changeDataFeed",
+        set.get("delta.enableInCommitTimestamps").contains("true") ->
+          "inCommitTimestamp",
+        set.get("delta.appendOnly").contains("true") -> "appendOnly",
+        set.get("delta.checkpointPolicy").contains("v2") -> "v2Checkpoint",
+        set.keys.exists(_.startsWith("delta.constraints.")) ->
+          "checkConstraints").collect { case (true, f) => f }
+      val wantsR = wantsW.filter(f =>
+        f == "deletionVectors" || f == "v2Checkpoint")
+      val needW = wantsW.filterNot(writerCovered)
+      val needR = wantsR.filterNot(readerCovered)
+      val protoLine: Option[String] =
+        if (needW.isEmpty && needR.isEmpty) None
+        else {
+          val baseW = if (curP.minWriterVersion >= 7) curP.writerFeatures
+            else legacyWriterFeatures(curP.minWriterVersion)
+          val newMr = if (needR.nonEmpty) 3 else curP.minReaderVersion
+          val baseR = if (newMr < 3) Nil
+            else if (curP.minReaderVersion >= 3) curP.readerFeatures
+            else legacyReaderFeatures(curP.minReaderVersion)
+          val wFeats = (baseW ++ needW).distinct.sorted
+          val rFeats = (baseR ++ needR).distinct.sorted
+          Some(JsonMethods.compact(JObject("protocol" -> JObject(List(
+            "minReaderVersion" -> (JInt(newMr): JValue),
+            "minWriterVersion" -> (JInt(7): JValue)) ++
+            (if (newMr >= 3)
+              List("readerFeatures" -> (JArray(
+                rFeats.map(JString(_)).toList): JValue))
+            else Nil) ++
+            List("writerFeatures" -> (JArray(
+              wFeats.map(JString(_)).toList): JValue))))))
+        }
+
+      // ICT enablement provenance (PROTOCOL.md: the enablement commit
+      // records version + timestamp so earlier file-timestamp travel
+      // stays well-defined). This commit itself already stamps an ICT.
+      val enablingIct =
+        set.get("delta.enableInCommitTimestamps").contains("true") &&
+          !snap.configuration.get("delta.enableInCommitTimestamps")
+            .contains("true")
+      val ict: Option[Long] =
+        if (enablingIct ||
+            snap.configuration.get("delta.enableInCommitTimestamps")
+              .contains("true"))
+          Some(math.max(lastIctOf(fs, logDir, snap.version)
+            .getOrElse(0L) + 1, nowMs))
+        else None
+      val ictProps: Map[String, String] =
+        if (!enablingIct) Map.empty
+        else Map(
+          "delta.inCommitTimestampEnablementVersion" -> v.toString,
+          "delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
+
+      val merged = (snap.configuration -- unset) ++ set ++ ictProps
+      if (merged == snap.configuration && protoLine.isEmpty)
+        return snap.version // nothing to change — idempotent no-op
+
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(
+        Commit(v, nowMs, "SET TBLPROPERTIES", Nil,
+          Map("numSetProperties" -> set.size.toLong,
+            "numUnsetProperties" -> unset.size.toLong),
+          snap.schema.json), ict = ict)
+      protoLine.foreach(lines += _)
+      lines += JsonMethods.compact(JObject("metaData" -> JObject(
+        "id" -> JString(snap.tableId.getOrElse(java.util.UUID
+          .nameUUIDFromBytes(tablePath.getBytes(StandardCharsets.UTF_8))
+          .toString)),
+        "format" -> JObject("provider" -> JString("parquet"),
+          "options" -> JObject()),
+        "schemaString" -> JString(snap.schema.json),
+        "partitionColumns" -> JArray(
+          snap.partitionColumns.map(JString(_)).toList),
+        "configuration" -> JObject(merged.toSeq.sortBy(_._1)
+          .map { case (k, x) => k -> (JString(x): JValue) }: _*))))
+      val target = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      if (publishExclusive(conf, fs, logDir, target, content)) {
+        checkpointIfDue(spark, tablePath, merged)
+        return v
+      }
+      // lost to a concurrent committer — loop re-resolves and retries
+    }
+    throw new IllegalArgumentException(
+      s"property change of $tablePath: lost the commit race 20 times — " +
+        "retry when the table quiesces")
+  }
+
   /** A `foreachBatch` function streaming micro-batches into a FOREIGN
     * Delta table exactly-once: each batch appends through
     * [[appendToForeign]] with `txn = (appId, batchId)`, so an

@@ -464,6 +464,24 @@ case class GraftForeignVacuumCommand(
 
 /** `RESTORE TABLE delta.`path` TO VERSION AS OF n` — foreign-table
   * restore ([[graft.sources.DeltaExport.restoreForeign]]). */
+/** `ALTER TABLE delta.`path` SET/UNSET TBLPROPERTIES` — the foreign
+  * adoption verb ([[graft.sources.DeltaExport.setForeignProperties]]):
+  * merges properties, validates new CHECK constraints against current
+  * rows, and upgrades the protocol when a property requires a table
+  * feature. */
+case class GraftForeignSetPropertiesCommand(
+    path: String,
+    props: Map[String, String],
+    unsetKeys: Seq[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    GraftSqlCommands.metricAttrs("version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.DeltaExport.setForeignProperties(
+      session, path, props, unsetKeys)))
+}
+
 case class GraftForeignRestoreCommand(path: String, version: Long)
     extends LeafRunnableCommand {
 

@@ -263,14 +263,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case sp @ logical.SetTableProperties(u: UnresolvedTable, props) =>
       graftTableOf(u.multipartIdentifier) match {
         case Some(t) => GraftSetPropertiesCommand(t, props, Nil)
-        case None => sp
+        case None => foreignIdentPathOf(u.multipartIdentifier) match {
+          // `ALTER TABLE delta.`path` SET TBLPROPERTIES (…)` — foreign
+          // adoption verb (DV/CDF/ICT enablement, constraints, knobs)
+          case Some(p) => GraftForeignSetPropertiesCommand(p, props, Nil)
+          case None => sp
+        }
       }
     case up @ logical.UnsetTableProperties(u: UnresolvedTable, keys, _) =>
       graftTableOf(u.multipartIdentifier) match {
         // absent keys are always a no-op removal, so IF EXISTS needs no
         // special case
         case Some(t) => GraftSetPropertiesCommand(t, Map.empty, keys)
-        case None => up
+        case None => foreignIdentPathOf(u.multipartIdentifier) match {
+          case Some(p) => GraftForeignSetPropertiesCommand(p, Map.empty, keys)
+          case None => up
+        }
       }
     // AddCheckConstraint's child is `Filter(NOT pred, UnresolvedRelation)`
     // (the violation probe the stock analyzer would run) — the table name
@@ -354,6 +362,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * behind a DML target plan, if it is a graft relation. */
   /** A path-addressed `delta.`path`` DML target — the foreign writer's
     * addressing form (never resolvable by stock Spark here). */
+  /** The identifier form of [[foreignDeltaPathOf]], for statements whose
+    * target is an UnresolvedTable rather than a relation. */
+  private def foreignIdentPathOf(ident: Seq[String]): Option[String] =
+    ident match {
+      case Seq(d, path) if d.equalsIgnoreCase("delta") => Some(path)
+      case _ => None
+    }
+
   private def foreignDeltaPathOf(p: LogicalPlan): Option[String] = p match {
     case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
         u.multipartIdentifier.head.equalsIgnoreCase("delta") =>

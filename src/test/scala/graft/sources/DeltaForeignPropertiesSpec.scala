@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.GraftTable
+
+/** ALTER TABLE SET/UNSET TBLPROPERTIES on foreign tables
+  * ([[DeltaExport.setForeignProperties]]) — the adoption verb: a plain
+  * (1,2)-protocol Delta table gains DV / CDF / ICT / append-only
+  * capability through a graft-committed metaData (+ protocol) action,
+  * then the ordinary verbs use it. Fixtures are exported graft tables
+  * with the log retired — NO DV prehistory, so the protocol really is
+  * the legacy form the upgrade must restate. */
+class DeltaForeignPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plainTable(name: String, n: Long = 40L): String = {
+    val root = tmpDir(name)
+    val t = GraftTable.create(spark, root,
+      (0L until n).map(i => (i, i % 7, s"s$i")).toDF("k", "grp", "s"), Nil)
+    DeltaExport.exportLog(t)
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(root, "_graft_log"), true)
+    root
+  }
+
+  test("enabling DVs upgrades the protocol and the DV delete path opens") {
+    val root = plainTable("fp-dv")
+    val p0 = DeltaImport.snapshot(spark, root).protocol
+    assert(!p0.exists(_.writerFeatures.contains("deletionVectors")))
+
+    DeltaExport.setForeignProperties(spark, root,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val snap = DeltaImport.snapshot(spark, root)
+    val p = snap.protocol.get
+    assert(p.minReaderVersion === 3 && p.minWriterVersion === 7)
+    assert(p.readerFeatures.contains("deletionVectors"))
+    assert(p.writerFeatures.contains("deletionVectors"))
+    // the legacy protocol's implied features are RESTATED, not dropped
+    assert(p.writerFeatures.contains("appendOnly") &&
+      p.writerFeatures.contains("invariants"))
+
+    // deletes now record as DVs — the data files stay put
+    val filesBefore = snap.files.map(_.path).toSet
+    val (_, deleted) = DeltaExport.deleteFromForeign(spark, root,
+      col("k") % 4 === 0L)
+    assert(deleted === 10L)
+    val after = DeltaImport.snapshot(spark, root)
+    assert(after.files.map(_.path).toSet === filesBefore,
+      "a DV delete must not rewrite data files")
+    assert(after.files.exists(_.deletionVector.exists(_.cardinality > 0)))
+    assert(DeltaImport.read(spark, root).count() === 30L)
+  }
+
+  test("ADD CONSTRAINT validates current rows; violating constraint refused") {
+    val root = plainTable("fp-constraint")
+    val err = intercept[IllegalArgumentException] {
+      DeltaExport.setForeignProperties(spark, root,
+        Map("delta.constraints.smallk" -> "k < 10"))
+    }
+    assert(err.getMessage.contains("constraint smallk") &&
+      err.getMessage.contains("30 row(s)"))
+    assert(DeltaImport.latestVersion(spark, root) === 0L)
+
+    DeltaExport.setForeignProperties(spark, root,
+      Map("delta.constraints.nonneg" -> "k >= 0"))
+    // the new constraint binds future writes
+    val err2 = intercept[IllegalArgumentException] {
+      DeltaExport.appendToForeign(spark, root,
+        Seq((-1L, 0L, "bad")).toDF("k", "grp", "s"))
+    }
+    assert(err2.getMessage.contains("constraint nonneg"))
+    // dropping it through unset re-opens the gate
+    DeltaExport.setForeignProperties(spark, root, Map.empty,
+      unset = Seq("delta.constraints.nonneg"))
+    DeltaExport.appendToForeign(spark, root,
+      Seq((-1L, 0L, "ok-now")).toDF("k", "grp", "s"))
+    assert(DeltaImport.read(spark, root).count() === 41L)
+  }
+
+  test("enabling CDF makes subsequent deletes produce cdc rows") {
+    val root = plainTable("fp-cdf")
+    DeltaExport.setForeignProperties(spark, root, Map(
+      "delta.enableChangeDataFeed" -> "true",
+      "delta.enableDeletionVectors" -> "true"))
+    val (v, _) = DeltaExport.deleteFromForeign(spark, root, col("k") === 5L)
+    val changes = DeltaImport.readChanges(spark, root, v, v)
+      .select(col("_change_type"), col("k")).as[(String, Long)].collect()
+    assert(changes.toSet === Set(("delete", 5L)))
+  }
+
+  test("enabling ICT records enablement provenance; commits carry ICTs") {
+    val root = plainTable("fp-ict")
+    val v = DeltaExport.setForeignProperties(spark, root,
+      Map("delta.enableInCommitTimestamps" -> "true"))
+    val cfg = DeltaImport.snapshot(spark, root).configuration
+    assert(cfg.get("delta.inCommitTimestampEnablementVersion")
+      .contains(v.toString))
+    assert(cfg.contains("delta.inCommitTimestampEnablementTimestamp"))
+    // a subsequent append stamps a monotonic ICT; timestamp travel to
+    // "now" resolves to the head (ICT-aware rule)
+    DeltaExport.appendToForeign(spark, root,
+      Seq((100L, 0L, "x")).toDF("k", "grp", "s"))
+    val head = DeltaImport.latestVersion(spark, root)
+    assert(DeltaImport.versionAsOfTimestamp(spark, root,
+      System.currentTimeMillis() + 60000) === head)
+  }
+
+  test("appendOnly set through properties blocks deletes; unknown keys refuse") {
+    val root = plainTable("fp-appendonly")
+    DeltaExport.setForeignProperties(spark, root,
+      Map("delta.appendOnly" -> "true"))
+    val err = intercept[IllegalArgumentException] {
+      DeltaExport.deleteFromForeign(spark, root, col("k") === 1L)
+    }
+    assert(err.getMessage.contains("append-only"))
+
+    val err2 = intercept[IllegalArgumentException] {
+      DeltaExport.setForeignProperties(spark, root,
+        Map("delta.enableRowTracking" -> "true"))
+    }
+    assert(err2.getMessage.contains("baseRowId backfill"))
+    val err3 = intercept[IllegalArgumentException] {
+      DeltaExport.setForeignProperties(spark, root,
+        Map("delta.icebergCompatV2" -> "true"))
+    }
+    assert(err3.getMessage.contains("obligations"))
+    val err4 = intercept[IllegalArgumentException] {
+      DeltaExport.setForeignProperties(spark, root,
+        Map("delta.columnMapping.mode" -> "name"))
+    }
+    assert(err4.getMessage.contains("column-mapping"))
+    // non-delta user metadata passes through; idempotent re-set no-ops
+    val v1 = DeltaExport.setForeignProperties(spark, root,
+      Map("team.owner" -> "graft"))
+    val v2 = DeltaExport.setForeignProperties(spark, root,
+      Map("team.owner" -> "graft"))
+    assert(v2 === v1, "identical re-set must be a version no-op")
+    assert(DeltaImport.snapshot(spark, root).configuration
+      .get("team.owner").contains("graft"))
+  }
+}
