@@ -2205,10 +2205,15 @@ object DeltaExport {
         }
       }
       set.get("delta.columnMapping.mode").foreach { m =>
-        require(snap.configuration.get("delta.columnMapping.mode")
-          .getOrElse("none") == m,
-          s"property change of $tablePath: changing the column-mapping " +
-            "mode assigns physical names — owning-engine territory")
+        val cur = snap.configuration.get("delta.columnMapping.mode")
+          .getOrElse("none")
+        // none→name is delta-spark's metadata-only upgrade (physical
+        // names = current names, so existing parquet stays readable);
+        // every other transition rewrites files or re-keys reads by
+        // parquet field ids — owning-engine territory.
+        require(cur == m || (cur == "none" && m == "name"),
+          s"property change of $tablePath: column-mapping mode $cur → $m " +
+            "is not a metadata-only transition — owning-engine territory")
       }
     }
 
@@ -2244,6 +2249,9 @@ object DeltaExport {
       }
 
       // Protocol upgrade, if any requested property carries a feature.
+      // Reader-writer features carry a minimum reader version
+      // (columnMapping reads at legacy reader 2; DV / v2 checkpoints
+      // need the features-form reader 3).
       val curP = snap.protocol.getOrElse(DeltaImport.Protocol(1, 2, Nil, Nil))
       def writerCovered(f: String): Boolean =
         if (curP.minWriterVersion >= 7) curP.writerFeatures.contains(f)
@@ -2251,6 +2259,9 @@ object DeltaExport {
       def readerCovered(f: String): Boolean =
         if (curP.minReaderVersion >= 3) curP.readerFeatures.contains(f)
         else legacyReaderFeatures(curP.minReaderVersion).contains(f)
+      val mappingUpgrade = set.get("delta.columnMapping.mode")
+        .contains("name") && !snap.configuration
+        .get("delta.columnMapping.mode").contains("name")
       val wantsW = Seq(
         set.get("delta.enableDeletionVectors").contains("true") ->
           "deletionVectors",
@@ -2260,10 +2271,12 @@ object DeltaExport {
           "inCommitTimestamp",
         set.get("delta.appendOnly").contains("true") -> "appendOnly",
         set.get("delta.checkpointPolicy").contains("v2") -> "v2Checkpoint",
+        mappingUpgrade -> "columnMapping",
         set.keys.exists(_.startsWith("delta.constraints.")) ->
           "checkConstraints").collect { case (true, f) => f }
-      val wantsR = wantsW.filter(f =>
-        f == "deletionVectors" || f == "v2Checkpoint")
+      val readerMin = Map("deletionVectors" -> 3, "v2Checkpoint" -> 3,
+        "columnMapping" -> 2)
+      val wantsR = wantsW.filter(readerMin.contains)
       val needW = wantsW.filterNot(writerCovered)
       val needR = wantsR.filterNot(readerCovered)
       val protoLine: Option[String] =
@@ -2271,7 +2284,8 @@ object DeltaExport {
         else {
           val baseW = if (curP.minWriterVersion >= 7) curP.writerFeatures
             else legacyWriterFeatures(curP.minWriterVersion)
-          val newMr = if (needR.nonEmpty) 3 else curP.minReaderVersion
+          val newMr = (Seq(curP.minReaderVersion) ++
+            needR.map(readerMin)).max
           val baseR = if (newMr < 3) Nil
             else if (curP.minReaderVersion >= 3) curP.readerFeatures
             else legacyReaderFeatures(curP.minReaderVersion)
@@ -2308,7 +2322,35 @@ object DeltaExport {
           "delta.inCommitTimestampEnablementVersion" -> v.toString,
           "delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
 
-      val merged = (snap.configuration -- unset) ++ set ++ ictProps
+      // Mapping upgrade: annotate EVERY field — nested included — with a
+      // column id and physicalName = its CURRENT name (delta-spark's
+      // none→name upgrade rule: existing parquet keeps reading because
+      // the physical names it already uses become the declared ones),
+      // and record the id high-water mark.
+      val (newSchema, mapProps): (StructType, Map[String, String]) =
+        if (!mappingUpgrade) (snap.schema, Map.empty)
+        else {
+          var nextId = 0L
+          def walk(dt: DataType): DataType = dt match {
+            case s: StructType => StructType(s.fields.map { f =>
+              nextId += 1
+              val m = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("delta.columnMapping.id", nextId)
+                .putString("delta.columnMapping.physicalName", f.name)
+                .build()
+              f.copy(dataType = walk(f.dataType), metadata = m)
+            })
+            case a: ArrayType => a.copy(elementType = walk(a.elementType))
+            case m: MapType =>
+              m.copy(keyType = walk(m.keyType), valueType = walk(m.valueType))
+            case other => other
+          }
+          val annotated = walk(snap.schema).asInstanceOf[StructType]
+          (annotated,
+            Map("delta.columnMapping.maxColumnId" -> nextId.toString))
+        }
+      val merged = (snap.configuration -- unset) ++ set ++ ictProps ++ mapProps
       if (merged == snap.configuration && protoLine.isEmpty)
         return snap.version // nothing to change — idempotent no-op
 
@@ -2317,7 +2359,7 @@ object DeltaExport {
         Commit(v, nowMs, "SET TBLPROPERTIES", Nil,
           Map("numSetProperties" -> set.size.toLong,
             "numUnsetProperties" -> unset.size.toLong),
-          snap.schema.json), ict = ict)
+          newSchema.json), ict = ict)
       protoLine.foreach(lines += _)
       lines += JsonMethods.compact(JObject("metaData" -> JObject(
         "id" -> JString(snap.tableId.getOrElse(java.util.UUID
@@ -2325,7 +2367,7 @@ object DeltaExport {
           .toString)),
         "format" -> JObject("provider" -> JString("parquet"),
           "options" -> JObject()),
-        "schemaString" -> JString(snap.schema.json),
+        "schemaString" -> JString(newSchema.json),
         "partitionColumns" -> JArray(
           snap.partitionColumns.map(JString(_)).toList),
         "configuration" -> JObject(merged.toSeq.sortBy(_._1)
@@ -2340,6 +2382,104 @@ object DeltaExport {
     }
     throw new IllegalArgumentException(
       s"property change of $tablePath: lost the commit race 20 times — " +
+        "retry when the table quiesces")
+  }
+
+  /** `ALTER TABLE delta.`path` RENAME COLUMN from TO to` — the verb the
+    * column-mapping upgrade exists for: a metadata-only logical rename
+    * (the field keeps its id and physicalName, so no data file is
+    * touched and every existing reader of the bytes keeps working —
+    * delta-spark's exact RENAME COLUMN shape). Requires
+    * `delta.columnMapping.mode = name` (enable it first through
+    * [[setForeignProperties]], delta-spark demands the same); top-level
+    * columns only; refuses a rename that would break a CHECK constraint
+    * or another column's generation expression (conservative
+    * word-boundary reference check — delta-spark resolves the
+    * expressions, this writer refuses anything that LOOKS referenced).
+    * Partition columns rename with their metaData entry (the list holds
+    * logical names; directories were always physical). Returns the
+    * committed version. */
+  def renameForeignColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(conf)
+    val logDir = new Path(root, "_delta_log")
+    require(!from.contains(".") && !to.contains("."),
+      s"rename in $tablePath: only top-level columns rename here — " +
+        "nested renames belong to the owning engine")
+
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val snap = DeltaImport.snapshot(spark, tablePath)
+      snap.protocol.foreach { p =>
+        if (p.minWriterVersion >= 7) {
+          val unsupported = p.writerFeatures.filterNot(ForeignAppendFeatures)
+          require(unsupported.isEmpty,
+            s"rename in $tablePath: writer feature(s) " +
+              s"${unsupported.mkString(", ")} carry write-time obligations " +
+              "this writer does not implement")
+        }
+      }
+      require(snap.configuration.get("delta.columnMapping.mode")
+        .contains("name"),
+        s"rename in $tablePath: requires delta.columnMapping.mode=name — " +
+          "enable it first (setForeignProperties), exactly as delta-spark " +
+          "requires")
+      require(snap.schema.fields.exists(_.name == from),
+        s"rename in $tablePath: no column named $from")
+      require(!snap.schema.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"rename in $tablePath: a column named $to already exists")
+      val ref = ("(?i)\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+      snap.configuration.foreach { case (k, p) =>
+        require(!k.startsWith("delta.constraints.") ||
+          ref.findFirstIn(p).isEmpty,
+          s"rename in $tablePath: constraint ${k.stripPrefix(
+            "delta.constraints.")} references $from — drop it first")
+      }
+      snap.schema.fields.foreach { f =>
+        require(!f.metadata.contains("delta.generationExpression") ||
+          ref.findFirstIn(
+            f.metadata.getString("delta.generationExpression")).isEmpty,
+          s"rename in $tablePath: generated column ${f.name} references " +
+            s"$from — owning-engine territory")
+      }
+      val newSchema = StructType(snap.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val newPartCols = snap.partitionColumns.map(c =>
+        if (c == from) to else c)
+      val v = snap.version + 1
+      val nowMs = System.currentTimeMillis()
+      val ict = if (snap.configuration.get("delta.enableInCommitTimestamps")
+          .contains("true"))
+        Some(math.max(lastIctOf(fs, logDir, snap.version)
+          .getOrElse(0L) + 1, nowMs))
+      else None
+      val lines = Seq.newBuilder[String]
+      lines += commitInfoJson(
+        Commit(v, nowMs, "RENAME COLUMN", Nil, Map.empty,
+          newSchema.json), ict = ict)
+      lines += JsonMethods.compact(JObject("metaData" -> JObject(
+        "id" -> JString(snap.tableId.getOrElse(java.util.UUID
+          .nameUUIDFromBytes(tablePath.getBytes(StandardCharsets.UTF_8))
+          .toString)),
+        "format" -> JObject("provider" -> JString("parquet"),
+          "options" -> JObject()),
+        "schemaString" -> JString(newSchema.json),
+        "partitionColumns" -> JArray(newPartCols.map(JString(_)).toList),
+        "configuration" -> JObject(snap.configuration.toSeq.sortBy(_._1)
+          .map { case (k, x) => k -> (JString(x): JValue) }: _*))))
+      val target = new Path(logDir, f"$v%020d.json")
+      val content = lines.result().mkString("", "\n", "\n")
+      if (publishExclusive(conf, fs, logDir, target, content)) {
+        checkpointIfDue(spark, tablePath, snap.configuration)
+        return v
+      }
+      // lost to a concurrent committer — loop re-resolves and retries
+    }
+    throw new IllegalArgumentException(
+      s"rename in $tablePath: lost the commit race 20 times — " +
         "retry when the table quiesces")
   }
 

@@ -482,6 +482,20 @@ case class GraftForeignSetPropertiesCommand(
       session, path, props, unsetKeys)))
 }
 
+/** `ALTER TABLE delta.`path` RENAME COLUMN a TO b` — metadata-only
+  * logical rename on a column-mapped foreign table
+  * ([[graft.sources.DeltaExport.renameForeignColumn]]). */
+case class GraftForeignRenameColumnCommand(
+    path: String, from: String, to: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    GraftSqlCommands.metricAttrs("version")
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.DeltaExport.renameForeignColumn(
+      session, path, from, to)))
+}
+
 case class GraftForeignRestoreCommand(path: String, version: Long)
     extends LeafRunnableCommand {
 

@@ -214,7 +214,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           GraftRenameColumnCommand(t, column.name.head, newName)
         case Some(_) => throw new UnsupportedOperationException(
           "graft RENAME COLUMN supports top-level columns")
-        case None => r
+        case None => foreignIdentPathOf(u.multipartIdentifier) match {
+          // `ALTER TABLE delta.`path` RENAME COLUMN a TO b` — foreign
+          // metadata-only rename (needs columnMapping.mode=name)
+          case Some(p) if column.name.length == 1 =>
+            GraftForeignRenameColumnCommand(p, column.name.head, newName)
+          case Some(_) => throw new UnsupportedOperationException(
+            "foreign RENAME COLUMN supports top-level columns")
+          case None => r
+        }
       }
     // ALTER COLUMN … TYPE: only the pure type-change form routes to the
     // metadata-only widen; any other spec (position/default/comment/

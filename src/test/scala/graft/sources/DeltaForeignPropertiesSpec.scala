@@ -127,11 +127,15 @@ class DeltaForeignPropertiesSpec extends SparkSpec {
         Map("delta.icebergCompatV2" -> "true"))
     }
     assert(err3.getMessage.contains("obligations"))
+    // none→name is the supported metadata-only upgrade; every other
+    // mapping transition (downgrade, id mode) refuses
+    DeltaExport.setForeignProperties(spark, root,
+      Map("delta.columnMapping.mode" -> "name"))
     val err4 = intercept[IllegalArgumentException] {
       DeltaExport.setForeignProperties(spark, root,
-        Map("delta.columnMapping.mode" -> "name"))
+        Map("delta.columnMapping.mode" -> "none"))
     }
-    assert(err4.getMessage.contains("column-mapping"))
+    assert(err4.getMessage.contains("not a metadata-only transition"))
     // non-delta user metadata passes through; idempotent re-set no-ops
     val v1 = DeltaExport.setForeignProperties(spark, root,
       Map("team.owner" -> "graft"))
@@ -140,5 +144,67 @@ class DeltaForeignPropertiesSpec extends SparkSpec {
     assert(v2 === v1, "identical re-set must be a version no-op")
     assert(DeltaImport.snapshot(spark, root).configuration
       .get("team.owner").contains("graft"))
+  }
+
+  test("columnMapping none→name upgrade then RENAME COLUMN, metadata-only") {
+    val root = plainTable("fp-mapping")
+    val filesBefore = DeltaImport.snapshot(spark, root).files
+      .map(f => f.path -> f.modificationTime).toSet
+    spark.sql(s"ALTER TABLE delta.`$root` SET TBLPROPERTIES (" +
+      "'delta.columnMapping.mode' = 'name')").collect()
+    val snap = DeltaImport.snapshot(spark, root)
+    assert(snap.configuration.get("delta.columnMapping.mode")
+      .contains("name"))
+    assert(snap.configuration.contains("delta.columnMapping.maxColumnId"))
+    val p = snap.protocol.get
+    assert(p.minWriterVersion === 7 &&
+      p.writerFeatures.contains("columnMapping"))
+    assert(p.minReaderVersion >= 2)
+    // every field annotated, physical = its pre-upgrade name, so the
+    // existing parquet keeps reading
+    assert(snap.schema.fields.forall(f =>
+      f.metadata.getString("delta.columnMapping.physicalName") === f.name))
+    assert(DeltaImport.read(spark, root).count() === 40L)
+
+    spark.sql(s"ALTER TABLE delta.`$root` RENAME COLUMN k TO key").collect()
+    val renamed = DeltaImport.read(spark, root)
+    assert(renamed.columns.contains("key") && !renamed.columns.contains("k"))
+    assert(renamed.count() === 40L)
+    // metadata-only: not one data file touched across upgrade + rename
+    assert(DeltaImport.snapshot(spark, root).files
+      .map(f => f.path -> f.modificationTime).toSet === filesBefore)
+    // the renamed column keeps its physical name (the old logical one)
+    assert(DeltaImport.snapshot(spark, root).schema("key")
+      .metadata.getString("delta.columnMapping.physicalName") === "k")
+    // writes under the NEW logical name round-trip
+    DeltaExport.appendToForeign(spark, root,
+      Seq((1000L, 0L, "new")).toDF("key", "grp", "s"))
+    assert(DeltaImport.read(spark, root)
+      .filter(col("key") === 1000L).count() === 1L)
+  }
+
+  test("rename refusals: no mapping, referenced by constraint, collision") {
+    val root = plainTable("fp-rename-refuse")
+    val err = intercept[IllegalArgumentException] {
+      DeltaExport.renameForeignColumn(spark, root, "k", "key")
+    }
+    assert(err.getMessage.contains("columnMapping.mode=name"))
+
+    DeltaExport.setForeignProperties(spark, root, Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.constraints.kpos" -> "k >= 0"))
+    val err2 = intercept[IllegalArgumentException] {
+      DeltaExport.renameForeignColumn(spark, root, "k", "key")
+    }
+    assert(err2.getMessage.contains("constraint kpos"))
+    val err3 = intercept[IllegalArgumentException] {
+      DeltaExport.renameForeignColumn(spark, root, "grp", "s")
+    }
+    assert(err3.getMessage.contains("already exists"))
+    // dropping the constraint unblocks the rename
+    DeltaExport.setForeignProperties(spark, root, Map.empty,
+      unset = Seq("delta.constraints.kpos"))
+    DeltaExport.renameForeignColumn(spark, root, "k", "key")
+    assert(DeltaImport.read(spark, root).columns.contains("key"))
   }
 }
