@@ -496,6 +496,26 @@ case class GraftForeignRenameColumnCommand(
       session, path, from, to)))
 }
 
+/** `SHOW TBLPROPERTIES delta.`path`` — the foreign table's current
+  * configuration, straight off the snapshot's metaData. */
+case class GraftForeignShowPropertiesCommand(
+    path: String, key: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val props = graft.sources.DeltaImport
+      .snapshot(session, path).configuration
+    key match {
+      case Some(k) => Seq(Row(k, props.getOrElse(k,
+        s"Table delta.`$path` does not have property: $k")))
+      case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
 case class GraftForeignRestoreCommand(path: String, version: Long)
     extends LeafRunnableCommand {
 

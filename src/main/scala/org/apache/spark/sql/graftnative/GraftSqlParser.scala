@@ -296,7 +296,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView, key, _) =>
       graftTableOf(u.multipartIdentifier) match {
         case Some(t) => GraftShowPropertiesCommand(t, key)
-        case None => sh
+        case None => foreignIdentPathOf(u.multipartIdentifier) match {
+          // `SHOW TBLPROPERTIES delta.`path`` — the foreign table's live
+          // configuration (pairs with the foreign SET TBLPROPERTIES verb)
+          case Some(p) => GraftForeignShowPropertiesCommand(p, key)
+          case None => sh
+        }
       }
     case ac: logical.AddCheckConstraint =>
       val rel = ac.child.collectFirst { case u: UnresolvedRelation => u }

@@ -146,6 +146,18 @@ class DeltaForeignPropertiesSpec extends SparkSpec {
       .get("team.owner").contains("graft"))
   }
 
+  test("SHOW TBLPROPERTIES delta.`path` lists the live configuration") {
+    val root = plainTable("fp-show")
+    DeltaExport.setForeignProperties(spark, root,
+      Map("team.owner" -> "graft"))
+    val rows = spark.sql(s"SHOW TBLPROPERTIES delta.`$root`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.get("team.owner").contains("graft"))
+    val one = spark.sql(
+      s"SHOW TBLPROPERTIES delta.`$root` ('team.owner')").collect()
+    assert(one.length === 1 && one.head.getString(1) === "graft")
+  }
+
   test("columnMapping none→name upgrade then RENAME COLUMN, metadata-only") {
     val root = plainTable("fp-mapping")
     val filesBefore = DeltaImport.snapshot(spark, root).files
