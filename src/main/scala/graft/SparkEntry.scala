@@ -345,15 +345,19 @@ object SparkEntry {
   }
 
   /** q216's DuckDB oracle: the k-minimum-values sketch rebuilt with the
-    * q26 hex arithmetic (32-bit value from md5's first 8 hex chars —
-    * bit-for-bit the Spark side's conv(substring(md5,1,8),16,10)), the
+    * q26 hex arithmetic widened to 60 bits (md5's first 15 hex chars,
+    * assembled as hi28·2³² + lo32 — each half's digit-sum stays within
+    * exact-double range, the combined value is BIGINT-safe, and the
+    * result is bit-for-bit the Spark side's
+    * conv(substring(md5,1,7))·2³² + conv(substring(md5,8,8))), the
     * per-pair union's k smallest via the same row_number ordering, and
     * the exact Jaccard re-derived with q146's CTEs for the error
     * column. */
   private def sketchOverlapOracleSql: String = {
-    val half1 =
-      "CAST(list_sum(list_transform(range(8), i -> (strpos('0123456789abcdef', " +
-        "substring(md5(shingle), CAST(i + 1 AS INT), 1)) - 1) * pow(16, 7 - i))) AS BIGINT)"
+    def hexPart(start: Int, len: Int): String =
+      s"CAST(list_sum(list_transform(range($len), i -> (strpos('0123456789abcdef', " +
+        s"substring(md5(shingle), CAST(i + $start AS INT), 1)) - 1) * pow(16, ${len - 1} - i))) AS BIGINT)"
+    val half1 = s"(${hexPart(1, 7)} * 4294967296 + ${hexPart(8, 8)})"
     s"""WITH toks AS (
        |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |sh AS (
@@ -2813,9 +2817,10 @@ object SparkEntry {
     "q215_lsh_recall_sweep" -> q215OracleSql,
 
     // KMV-sketch source overlap (q216): per-source k-minimum-values
-    // sketch of 32-bit md5 shingle hashes (q26's portable hex
-    // arithmetic), pair Jaccard estimated as the both-sides fraction
-    // of the union's k smallest, reported against q146's exact matrix
+    // sketch of 60-bit md5 shingle hashes (q26's portable hex
+    // arithmetic, widened so the estimator stays unsaturated at
+    // trillion-shingle corpora), pair Jaccard estimated as the
+    // both-sides fraction of the union's k smallest vs q146's exact matrix
     "q216_source_overlap_sketch" -> sketchOverlapOracleSql,
 
     // quality-priority dedup over bag-of-words groups (members genuinely

@@ -2075,7 +2075,7 @@ object CorpusQueries {
     * EXACTLY by shuffling every distinct (source, shingle) pair — the
     * right contract, but the shuffle is corpus-sized. This is its 100 TB
     * path: a k-minimum-values sketch per source — the k smallest
-    * distinct 32-bit md5 shingle hashes, built in ONE distributed pass
+    * distinct 60-bit md5 shingle hashes, built in ONE distributed pass
     * by the row_number-top-k the optimizer lowers to the heap operator.
     * The sketch is k·S values at ANY corpus size, so it collects like a
     * codebook (the bounded-summary class every sketch op here uses) and
@@ -2087,21 +2087,51 @@ object CorpusQueries {
     * q146's exact pass (the error column's contract); the earlier
     * all-DataFrame formulation re-executed the source-distinct and the
     * sketch subtree once per join arm (plan-audited: four cross
-    * fragments, each with its own corpus scan). The md5 hash is portable
-    * bit-for-bit to the DuckDB oracle (q26's convention). */
-  def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
-    val k = 256
-    val docs = Tables.documents(spark, dir)
+    * fragments, each with its own corpus scan).
+    *
+    * Hash width: a KMV estimator is only unbiased while the hash space
+    * is SPARSE relative to the distinct count — once distinct shingles
+    * approach the space size, every source's hash set blankets the
+    * space, every per-source sketch converges to the same k smallest
+    * integers, and est_jaccard silently → 1.0 for every pair. A 32-bit
+    * hash saturates at ~4×10⁹ distinct shingles, i.e. exactly the
+    * 100 TB corpora this path exists for. The hash here is therefore
+    * 60-bit: md5's first 15 hex chars, assembled as
+    * hi28·2³² + lo32 so each half stays within exact-double range for
+    * the DuckDB oracle while the combined value stays BIGINT-safe.
+    * Saturation bound: ~2⁶⁰ ≈ 1.2×10¹⁸ distinct shingles — four orders
+    * of magnitude past a 100 TB corpus (~10¹³–10¹⁴ shingles), and the
+    * expected k-th-minimum spacing keeps collisions negligible
+    * (k²/2⁶¹ per sketch). KmvSketchSpec demonstrates the failure
+    * mode empirically: the same estimator in a deliberately small space
+    * reports near-1.0 Jaccard for disjoint sets while the 60-bit hash
+    * stays calibrated. */
+  /** q216's sketch stage as a DataFrame: per source, the k smallest
+    * distinct 60-bit shingle hashes. Exposed (package-private) so
+    * KmvSketchSpec can pin the physical plan — the row_number ≤ k
+    * idiom here MUST lower to the heap operator (no per-source global
+    * sort), or the "one distributed pass" claim regresses silently. */
+  private[analytics] def kmvSketchStage(docs: DataFrame, k: Int): DataFrame = {
     val hashed = docs.select(col("source"),
         explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
       .select(col("source"),
-        conv(substring(md5(col("shingle")), 1, 8), 16, 10).cast("long").as("h"))
+        (conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long") *
+          lit(4294967296L) +
+          conv(substring(md5(col("shingle")), 8, 8), 16, 10).cast("long")).as("h"))
       .distinct()
+    // nulls-last spelling: h is never null (md5 of a non-null shingle)
+    // but carries a nullable flag, and the heap rewrite only fires on
+    // nulls-last order — plain asc would keep the full per-source sort.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("h")
-    val sketches: Map[String, Array[Long]] = hashed
-      .withColumn("rn", row_number().over(w))
+      .partitionBy("source").orderBy(asc_nulls_last("h"))
+    hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select("source", "h")
+  }
+
+  def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val docs = Tables.documents(spark, dir)
+    val sketches: Map[String, Array[Long]] = kmvSketchStage(docs, k)
       .collect().groupBy(_.getString(0))
       .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
     // Pair over EVERY source in the corpus — a zero-shingle source still
