@@ -293,43 +293,85 @@ object SparkEntry {
       |  TIMESTAMP '1995-01-01 00:00:00', NULL, TRUE FROM base
       |WHERE k NOT IN (SELECT k FROM changed) AND k NOT IN (SELECT k FROM deleted)""".stripMargin
 
+  /** Centered sign arithmetic shared by the q214/q215 oracles — the
+    * DuckDB mirror of Similarity.signPivots/centeredSig: per-dimension
+    * fixed-point sums (exact BIGINTs, order-independent) as the pivot,
+    * bit_d = floor(vec[d]·1e6)·n >= s_d. A raw `vec[d] >= 0` sign
+    * degenerates on all-positive embeddings (every vector in one bucket
+    * per band). */
+  private def pivotCte(maxDim: Int): String = {
+    val sums = (1 to maxDim).map(d =>
+      s"sum(CAST(floor(vec[$d] * 1000000.0) AS BIGINT)) AS s$d")
+      .mkString(",\n    ")
+    s"""ctr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    $sums
+       |  FROM v)""".stripMargin
+  }
+
+  private def centeredSigExpr(j: Int, bits: Int): String =
+    (0 until bits).map { i =>
+      val d = j * bits + i + 1
+      s"CASE WHEN CAST(floor(vec[$d] * 1000000.0) AS BIGINT) * ctr.n >= ctr.s$d THEN ${1 << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
   /** q215's DuckDB oracle, GENERATED per (bands, bits) config — the same
-    * sign-signature, cosine and tie-break arithmetic as q214's oracle;
-    * the exact top-10 baseline (`ex`) is shared by every config, recall
-    * is integer hits over integer exact pairs with one final divide. */
+    * centered-sign, cosine and tie-break arithmetic as q214's oracle;
+    * the exact top-10 baseline (`ex`) is shared by every config. Recall
+    * figures are integer counts with one final divide; `candidates` is
+    * the pre-dedup band-join fan-out from per-bucket counts
+    * (Σ qc·(ac−1)); min/p10 are the per-query recall floor and the
+    * ⌈n_q/10⌉-th smallest per-query recall. */
   private def q215OracleSql: String = {
     val configs = Seq((2, 4), (4, 4), (8, 4), (8, 8))
-    def sigExpr(j: Int, bits: Int): String =
-      (0 until bits).map(i =>
-        s"CASE WHEN vec[${j * bits + i + 1}]>=0 THEN ${1 << i} ELSE 0 END")
-        .mkString("(", " + ", ")")
+    val maxDim = configs.map { case (b, bt) => b * bt }.max
     val cfgCtes = configs.zipWithIndex.map { case ((bands, bits), ci) =>
       val sigs = (0 until bands)
-        .map(j => s"${sigExpr(j, bits)} AS sig$j").mkString(",\n    ")
+        .map(j => s"${centeredSigExpr(j, bits)} AS sig$j").mkString(",\n    ")
       val onCond = (0 until bands).map(j => s"a.sig$j = b.sig$j")
         .mkString(" OR ")
+      val fanArms = (0 until bands).map(j =>
+        s"SELECT count(*) FILTER (WHERE vec_id % 4 = 0) AS qc, count(*) AS ac FROM s$ci GROUP BY sig$j")
+        .mkString("\n    UNION ALL\n    ")
       s"""s$ci AS (
          |  SELECT vec_id,
          |    $sigs
-         |  FROM v),
+         |  FROM v, ctr),
          |cand$ci AS (
          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
          |  FROM s$ci a JOIN s$ci b ON ($onCond)
          |  WHERE a.vec_id % 4 = 0 AND a.vec_id <> b.vec_id),
+         |perq$ci AS (
+         |  SELECT ex.a_id, CAST(count(*) AS BIGINT) AS ex_a,
+         |         CAST(sum(CASE WHEN c.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS h
+         |  FROM ex LEFT JOIN cand$ci c ON ex.a_id = c.a_id AND ex.b_id = c.b_id
+         |  GROUP BY ex.a_id),
          |hit$ci AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS hits
-         |  FROM ex JOIN cand$ci USING (a_id, b_id))""".stripMargin
+         |  SELECT CAST(sum(h) AS BIGINT) AS hits,
+         |         min(CAST(h AS DOUBLE) / ex_a) AS min_recall
+         |  FROM perq$ci),
+         |p10_$ci AS (
+         |  SELECT r AS p10_recall FROM (
+         |    SELECT CAST(h AS DOUBLE) / ex_a AS r,
+         |           row_number() OVER (ORDER BY CAST(h AS DOUBLE) / ex_a) AS rn,
+         |           count(*) OVER () AS nq
+         |    FROM perq$ci) WHERE rn = (nq + 9) // 10),
+         |fan$ci AS (
+         |  SELECT CAST(sum(qc * (ac - 1)) AS BIGINT) AS candidates FROM (
+         |    $fanArms))""".stripMargin
     }.mkString(",\n")
     val selects = configs.zipWithIndex.map { case ((bands, bits), ci) =>
       s"""SELECT CAST($bands AS INTEGER) AS bands, CAST($bits AS INTEGER) AS bits,
-         |  base.n_queries, base.exact_pairs, hit$ci.hits,
-         |  CAST(hit$ci.hits AS DOUBLE) / base.exact_pairs AS recall_at_k
-         |FROM base, hit$ci""".stripMargin
+         |  base.n_queries, base.exact_pairs, hit$ci.hits, fan$ci.candidates,
+         |  CAST(hit$ci.hits AS DOUBLE) / base.exact_pairs AS recall_at_k,
+         |  hit$ci.min_recall, p10_$ci.p10_recall
+         |FROM base, hit$ci, fan$ci, p10_$ci""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH v AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
        |    sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
        |  FROM embeddings),
+       |${pivotCte(maxDim)},
        |ex AS (
        |  SELECT a_id, b_id FROM (
        |    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -2764,24 +2806,19 @@ object SparkEntry {
         |FROM pred GROUP BY a_label""".stripMargin,
 
     // kNN purity, sampled + LSH-bucketed (q214): queries = vec_id%4=0,
-    // candidates share ANY 4-bit sign band over dims 1-16 (1-based);
-    // signatures, cosines and tie-breaks are the exact q157 arithmetic
+    // candidates share ANY 4-bit MEAN-CENTERED sign band over dims 1-16
+    // (fixed-point pivots — raw signs degenerate on all-positive
+    // embeddings); cosines and tie-breaks are the exact q157 arithmetic
     "q214_knn_purity_sampled" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
         |  FROM embeddings),
+        |${pivotCte(16)},
         |s AS (
         |  SELECT vec_id, label, vec,
         |    sqrt(list_inner_product(vec, vec)) AS nrm,
-        |    (CASE WHEN vec[1]>=0 THEN 1 ELSE 0 END + CASE WHEN vec[2]>=0 THEN 2 ELSE 0 END
-        |     + CASE WHEN vec[3]>=0 THEN 4 ELSE 0 END + CASE WHEN vec[4]>=0 THEN 8 ELSE 0 END) AS sig0,
-        |    (CASE WHEN vec[5]>=0 THEN 1 ELSE 0 END + CASE WHEN vec[6]>=0 THEN 2 ELSE 0 END
-        |     + CASE WHEN vec[7]>=0 THEN 4 ELSE 0 END + CASE WHEN vec[8]>=0 THEN 8 ELSE 0 END) AS sig1,
-        |    (CASE WHEN vec[9]>=0 THEN 1 ELSE 0 END + CASE WHEN vec[10]>=0 THEN 2 ELSE 0 END
-        |     + CASE WHEN vec[11]>=0 THEN 4 ELSE 0 END + CASE WHEN vec[12]>=0 THEN 8 ELSE 0 END) AS sig2,
-        |    (CASE WHEN vec[13]>=0 THEN 1 ELSE 0 END + CASE WHEN vec[14]>=0 THEN 2 ELSE 0 END
-        |     + CASE WHEN vec[15]>=0 THEN 4 ELSE 0 END + CASE WHEN vec[16]>=0 THEN 8 ELSE 0 END) AS sig3
-        |  FROM v),
+        |    ${(0 until 4).map(j => s"${centeredSigExpr(j, 4)} AS sig$j").mkString(",\n    ")}
+        |  FROM v, ctr),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM s a JOIN s b ON (a.sig0 = b.sig0 OR a.sig1 = b.sig1

@@ -308,14 +308,53 @@ object Similarity {
         (col("correct").cast("double") / col("n")).as("accuracy"))
   }
 
+  /** Per-dimension MEAN-CENTERED sign pivots for the banded sign-LSH
+    * family (q214/q215). Raw axis-aligned signs (`x_d >= 0`) degenerate
+    * on non-centered embeddings: encoder families that emit all-positive
+    * coordinates put EVERY vector in bucket 2^bits−1 of every band, and
+    * the "bounded fan-out" equi-join silently becomes the full quadratic
+    * pair space. Centering by the per-dimension corpus mean restores
+    * ~50/50 bit balance for any coordinate distribution.
+    *
+    * Exactness contract: the pivot test must reproduce bit-for-bit in
+    * the DuckDB oracle, and a floating-point mean does not (summation
+    * order). So the test is pure integer arithmetic in the repo's
+    * fixed-point idiom: with q_d(x) = floor(x_d·1e6) as BIGINT,
+    * s_d = Σ_corpus q_d and n = |corpus|,
+    *
+    *   bit_d(x) = q_d(x) · n >= s_d      (⇔ q_d(x) >= mean(q_d))
+    *
+    * — order-independent, overflow-safe (|q_d| ≤ ~2²⁴ for unit-scale
+    * embeddings, so q_d·n stays in BIGINT to n ~ 10¹¹ rows), and
+    * identical on both engines. The (s_d, n) row is one tiny aggregate
+    * (≤ maxDim+1 longs — codebook-class) collected and inlined as
+    * literals so the candidate joins stay pure equi-joins: a 1-row
+    * crossJoin would plan a BroadcastNestedLoopJoin, which the q214 spec
+    * forbids in this plan. */
+  private def signPivots(v: DataFrame, maxDim: Int): (Array[Long], Long) = {
+    val aggs = (0 until maxDim).map(d =>
+      sum(floor(col("vec").getItem(d) * lit(1000000.0d))).as(s"s$d")) :+
+      count(lit(1)).as("n")
+    val row = v.agg(aggs.head, aggs.tail: _*).collect().head
+    (Array.tabulate(maxDim)(d => row.getLong(d)), row.getLong(maxDim))
+  }
+
+  /** One band's centered sign signature over `bits` consecutive dims. */
+  private def centeredSig(j: Int, bits: Int, piv: Array[Long], n: Long): Column =
+    (0 until bits).map { i =>
+      val d = j * bits + i
+      when(floor(col("vec").getItem(d) * lit(1000000.0d)) * lit(n) >= lit(piv(d)),
+        lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** [[knnLabelPurity]]'s 100 TB shape, EXECUTABLE (not just documented):
     * the same majority vote, but (a) queries are a deterministic 1-in-
     * `sampleMod` eval sample (`vec_id % sampleMod == 0` — the production
     * pipeline swaps in q117's hash-stratified sampler, identical shape),
     * and (b) neighbor candidates come from a banded sign-LSH EQUI-JOIN,
     * never a cross join: each of `bands` bands hashes `bits` consecutive
-    * embedding dimensions to their sign pattern (an axis-aligned
-    * sign-random-projection — cosine-close vectors agree on most signs),
+    * embedding dimensions to their MEAN-CENTERED sign pattern (see
+    * [[signPivots]] — raw signs degenerate on all-positive embeddings),
     * candidates are pairs sharing ANY band's pattern, deduped, then
     * exact-ranked by cosine. Every join is a hash/sort-merge join on the
     * band signature or on vec_id — the plan contains NO CartesianProduct
@@ -325,20 +364,20 @@ object Similarity {
     * minhash-LSH dedup family.
     *
     * Deterministic end-to-end — the sample rule, the integer sign
-    * signatures, cosine (q28/q29's IEEE contract), the rank tie-break
-    * (cosine desc, b_id) and the vote tie-break (smaller label) all
-    * reproduce bit-for-bit in the DuckDB oracle. The reported purity is
-    * the purity *within the LSH candidate set*: the eval contract a
-    * production ANN-backed eval actually runs. */
+    * signatures (fixed-point pivots, integer compare), cosine (q28/q29's
+    * IEEE contract), the rank tie-break (cosine desc, b_id) and the vote
+    * tie-break (smaller label) all reproduce bit-for-bit in the DuckDB
+    * oracle. The reported purity is the purity *within the LSH candidate
+    * set*: the eval contract a production ANN-backed eval actually
+    * runs. */
   def knnLabelPuritySampled(emb: DataFrame, k: Int = 10,
       sampleMod: Long = 4, bands: Int = 4, bits: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = emb.select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("vec"))
       .withColumn("norm", sqrt(dot(col("vec"), col("vec"))))
-    def sig(j: Int): Column = (0 until bits).map(i =>
-      when(col("vec").getItem(j * bits + i) >= 0d, lit(1 << i))
-        .otherwise(lit(0))).reduce(_ + _)
+    val (piv, n) = signPivots(v, bands * bits)
+    def sig(j: Int): Column = centeredSig(j, bits, piv, n)
     val signed = v.select(Seq(col("vec_id"), col("label"), col("vec"),
       col("norm")) ++ (0 until bands).map(j => sig(j).as(s"sig$j")): _*)
     val a = signed.filter(col("vec_id") % sampleMod === 0).select(
@@ -393,11 +432,22 @@ object Similarity {
     * eval-contract baseline, the quadratic side shrunk by the sample),
     * then a CHAIN of per-config left-semi-style flag joins, each on the
     * (a_id, b_id) pair key — the exact branch evaluates once, never per
-    * config. The heavy plan collapses to ONE aggregate row (a handful of
-    * counters); the per-config report rows are assembled from that row
-    * driver-side — at 100 TB the executor→driver payload is a dozen
-    * longs. Every figure is integer counts plus one final IEEE divide,
-    * so the DuckDB oracle agrees bit-for-bit. */
+    * config, and the per-query tally frame it collapses to (one row per
+    * sampled query) is persisted so the min/p10 derivations never re-run
+    * it. Executor→driver payload stays a handful of scalars per config.
+    * Every figure is integer counts plus one final IEEE divide, so the
+    * DuckDB oracle agrees bit-for-bit.
+    *
+    * Three columns exist purely for honesty-at-scale:
+    *  - `candidates` — the total band-join fan-out (pre-dedup pair count,
+    *    self-matches excluded), computed from per-bucket counts WITHOUT
+    *    materializing pairs (Σ_bands Σ_buckets qc·(ac−1)). A degenerate
+    *    signature (every vector in one bucket) is invisible in recall —
+    *    recall reads 1.0 — but explodes this number to ~sample×corpus.
+    *  - `min_recall` / `p10_recall` — per-query recall floor and 10th
+    *    percentile (rank ⌈n_q/10⌉ of the ascending per-query recalls):
+    *    pooled recall hides tail starvation, a handful of queries with
+    *    zero candidates in every band vanish into the average. */
   def lshRecallSweep(emb: DataFrame, k: Int = 10, sampleMod: Long = 4,
       configs: Seq[(Int, Int)] = Seq((2, 4), (4, 4), (8, 4), (8, 8)))
       : DataFrame = {
@@ -419,9 +469,9 @@ object Similarity {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"))
 
-    def sig(j: Int, bits: Int): Column = (0 until bits).map(i =>
-      when(col("vec").getItem(j * bits + i) >= 0d, lit(1 << i))
-        .otherwise(lit(0))).reduce(_ + _)
+    val maxDim = configs.map { case (bands, bits) => bands * bits }.max
+    val (piv, n) = signPivots(v, maxDim)
+    def sig(j: Int, bits: Int): Column = centeredSig(j, bits, piv, n)
     def candidates(bands: Int, bits: Int): DataFrame = {
       val signed = v.select(Seq(col("vec_id")) ++
         (0 until bands).map(j => sig(j, bits).as(s"sig$j")): _*)
@@ -440,19 +490,50 @@ object Similarity {
         acc.join(candidates(bands, bits).withColumn(s"hit$i", lit(1L)),
           Seq("a_id", "b_id"), "left")
     }
-    val aggs = Seq(countDistinct(col("a_id")).as("n_queries"),
-      count(lit(1)).as("exact_pairs")) ++
-      configs.indices.map(i =>
-        sum(coalesce(col(s"hit$i"), lit(0L))).as(s"hits$i"))
-    val row = flagged.agg(aggs.head, aggs.tail: _*).collect().head
+    // Per-query tallies: one row per sampled query (eval-sample-sized,
+    // the bounded frame everything below derives from).
+    val pqAggs = count(lit(1)).as("ex_a") +:
+      configs.indices.map(i => sum(coalesce(col(s"hit$i"), lit(0L))).as(s"h$i"))
+    val perQ = flagged.groupBy("a_id").agg(pqAggs.head, pqAggs.tail: _*)
+      .persist()
+    val topAggs = Seq(count(lit(1)).as("n_queries"),
+      sum(col("ex_a")).as("exact_pairs")) ++
+      configs.indices.flatMap(i => Seq(
+        sum(col(s"h$i")).as(s"hits$i"),
+        min(col(s"h$i").cast("double") / col("ex_a")).as(s"min$i")))
+    val row = perQ.agg(topAggs.head, topAggs.tail: _*).collect().head
     val nQ = row.getLong(0)
     val nExact = row.getLong(1)
+    // p10 = the ⌈n_q/10⌉-th smallest per-query recall: orderBy+limit
+    // plans as TakeOrderedAndProject — no global sort materializes.
+    val ceilIdx = math.max(1L, (nQ + 9) / 10).toInt
+    val p10s = configs.indices.map { i =>
+      perQ.select((col(s"h$i").cast("double") / col("ex_a")).as("r"))
+        .orderBy(col("r")).limit(ceilIdx)
+        .agg(max(col("r"))).collect().head.getDouble(0)
+    }
+    // Candidate fan-out per config from bucket counts alone — one corpus
+    // pass for ALL configs (explode over Σ bands signature structs),
+    // grouped on the bounded (cfg, band, sig) domain.
+    val fanStructs = configs.zipWithIndex.flatMap { case ((bands, bits), ci) =>
+      (0 until bands).map(j =>
+        struct(lit(ci).as("cfg"), lit(j).as("band"), sig(j, bits).as("sg")))
+    }
+    val fan = v.select(col("vec_id"), explode(array(fanStructs: _*)).as("x"))
+      .groupBy(col("x.cfg").as("cfg"), col("x.band"), col("x.sg"))
+      .agg(sum(when(col("vec_id") % sampleMod === 0, 1L).otherwise(0L)).as("qc"),
+        count(lit(1)).as("ac"))
+      .groupBy("cfg").agg(sum(col("qc") * (col("ac") - lit(1L))).as("candidates"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    perQ.unpersist(false)
     import spark.implicits._
     configs.zipWithIndex.map { case ((bands, bits), i) =>
-      val hits = row.getLong(2 + i)
-      (bands, bits, nQ, nExact, hits, hits.toDouble / nExact)
+      val hits = row.getLong(2 + 2 * i)
+      val minR = row.getDouble(3 + 2 * i)
+      (bands, bits, nQ, nExact, hits, fan.getOrElse(i, 0L),
+        hits.toDouble / nExact, minR, p10s(i))
     }.toDF("bands", "bits", "n_queries", "exact_pairs", "hits",
-      "recall_at_k")
+      "candidates", "recall_at_k", "min_recall", "p10_recall")
       .orderBy(col("bands"), col("bits"))
   }
 }

@@ -96,6 +96,59 @@ class KnnLabelPuritySpec extends SparkSpec {
     assert(full.forall(_.getAs[Double]("recall_at_k") === 1.0))
   }
 
+  test("recall sweep surfaces per-query floor and candidate fan-out") {
+    val r = Similarity.lshRecallSweep(emb16, k = 3, configs = Seq((2, 4)))
+      .collect().head
+    // both sampled queries find all 3 exact neighbors → floor = pooled
+    assert(r.getAs[Double]("min_recall") === 1.0)
+    assert(r.getAs[Double]("p10_recall") === 1.0)
+    // fan-out = pre-dedup band-join pairs: each cluster is one bucket per
+    // band (4 members, 1 sampled) → per band Σ qc·(ac−1) = 2·(1·3) = 6,
+    // × 2 bands = 12
+    assert(r.getAs[Long]("candidates") === 12L)
+  }
+
+  // --- centering: the all-positive-orthant degeneracy ------------------
+
+  /** Axis-aligned signs put EVERY all-positive vector in bucket 2^bits−1
+    * of every band — the equi-join silently becomes the quadratic pair
+    * space. Mean-centered signs split each dimension at its corpus mean,
+    * so structure inside the positive orthant is still discriminated. */
+  test("all-positive embeddings: centered signs keep buckets bounded") {
+    val allPos = Seq(
+      (0L, Array(0.9f, 0.1f, 0.9f, 0.1f), 0),
+      (1L, Array(0.1f, 0.9f, 0.1f, 0.9f), 1),
+      (2L, Array(0.9f, 0.9f, 0.1f, 0.1f), 2),
+      (3L, Array(0.1f, 0.1f, 0.9f, 0.9f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.lshRecallSweep(allPos, k = 1, sampleMod = 1,
+      configs = Seq((1, 4))).collect().head
+    // raw signs: one bucket of 4 → fan-out 4·3 = 12; centered: every
+    // vector gets a distinct signature → zero candidate pairs, and the
+    // report SAYS so (recall 0, candidates 0) instead of flattering
+    assert(r.getAs[Long]("candidates") === 0L)
+    assert(r.getAs[Long]("hits") === 0L)
+    assert(r.getAs[Double]("min_recall") === 0.0)
+  }
+
+  test("all-positive embeddings: centering still finds in-orthant clusters") {
+    // two tight clusters INSIDE the positive orthant; raw signs cannot
+    // tell them apart (single bucket), centered signs give one bucket
+    // per cluster → intra-cluster candidates only, perfect recall
+    def va(j: Float) = Array(0.9f + j, 0.9f + j, 0.1f + j, 0.1f + j)
+    def vb(j: Float) = Array(0.1f + j, 0.1f + j, 0.9f + j, 0.9f + j)
+    val clustered = Seq(
+      (0L, va(0.00f), 0), (1L, va(0.01f), 0),
+      (2L, vb(0.00f), 1), (3L, vb(0.01f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.lshRecallSweep(clustered, k = 1, sampleMod = 1,
+      configs = Seq((1, 4))).collect().head
+    assert(r.getAs[Double]("recall_at_k") === 1.0)
+    assert(r.getAs[Double]("min_recall") === 1.0)
+    // 2 buckets of 2, every vector sampled → Σ qc·(ac−1) = 2·(2·1) = 4
+    assert(r.getAs[Long]("candidates") === 4L)
+  }
+
   test("sampled variant plans NO cartesian/nested-loop join; exact does") {
     val sampledPlan = Similarity.knnLabelPuritySampled(emb16, k = 3)
       .queryExecution.executedPlan.toString
