@@ -27,6 +27,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    candidates to residual host warmth the loadavg gate can't see).
   *    min(sweep, fresh) is committed; only fresh values ≤ sweep are
   *    recorded under "refined" (a higher fresh value is noise).
+  *  - Drift refine: the top-10-by-sweep cutoff let 1.5-2.6 s warm-host
+  *    victims just below it carry 3-4× inflation into committed
+  *    artifacts (r11: q209/q76/q183). The artifact now carries a
+  *    per-query best-known map ("best" — the running min of committed
+  *    values at the same SF), and any query whose sweep reads ≥1.5× its
+  *    best-known (and ≥0.3 s absolute) joins the fresh-JVM refine set
+  *    alongside the top-10.
+  *  - Statistic provenance (per-query, mechanical): a query listed in
+  *    "refined" committed its fresh-JVM min-of-≥5; every other query
+  *    committed its sweep median-of-`runs`. The artifact names both
+  *    rules ("stat_sweep"/"stat_refined") so consumers compare
+  *    like-for-like instead of guessing which statistic a number is.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -88,10 +100,36 @@ object Bench {
     // refreshed values are recorded separately so the artifact shows what
     // was re-measured.
     val isChild = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val outPath = java.nio.file.Paths.get(outFile)
+    // Best-known per-query committed values at THIS SF from the prior
+    // artifact ("best" once present, else its committed "queries") — the
+    // drift-refine baseline.
+    val prior: Map[String, Double] =
+      if (isChild) Map.empty
+      else try {
+        if (!java.nio.file.Files.exists(outPath)) Map.empty
+        else {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+          if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
+          else {
+            val b = parseObj(txt, "best")
+            if (b.nonEmpty) b else parseObj(txt, "queries")
+          }
+        }
+      } catch { case _: Throwable => Map.empty }
     val refined: Map[String, Double] =
       if (isChild) Map.empty
       else {
-        val top = sweep.toSeq.sortBy(-_._2).filter(_._2 >= 1.0).take(10).map(_._1)
+        val topTen = sweep.toSeq.sortBy(-_._2).filter(_._2 >= 1.0)
+          .take(10).map(_._1)
+        // Drift suspects: ≥1.5× the best-known committed value and ≥0.3 s
+        // absolute — warm-host inflation just below the top-10 cutoff
+        // (the committed number is what the gate reads; see scaladoc).
+        val drift = sweep.toSeq.filter { case (k, v) =>
+          v >= 0.3 && prior.get(k).exists(b => v >= 1.5 * b) }.map(_._1)
+        val top = (topTen ++ drift).distinct.take(25)
         if (top.isEmpty) Map.empty
         else {
           // The r8 refine ran the child WHILE the 151-query parent JVM was
@@ -132,12 +170,18 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val host = s""""host_cpus":$hostCpus,"loadavg_start":${fmt(loadStart)},""" +
       s""""loadavg_end":${fmt(loadEnd)},"contended":$contended,""" +
+      s""""stat_sweep":"median-of-$runs","stat_refined":"fresh-jvm-min-of-5+",""" +
       s""""refined":$refinedJson"""
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val outPath = java.nio.file.Paths.get(outFile)
+    // Running per-query minimum of committed values at this SF — next
+    // round's drift-refine baseline.
+    val best = results.map { case (k, v) =>
+      k -> math.min(v, prior.getOrElse(k, v)) }
+    val bestJson = best.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     try {
       val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-        s""""n":${results.size},"sf":"$sfDir",$host,"queries":$qs}"""
+        s""""n":${results.size},"sf":"$sfDir",$host,"queries":$qs,""" +
+        s""""best":$bestJson}"""
       if (contended && java.nio.file.Files.exists(outPath))
         System.err.println(s"[bench] host contended at start " +
           s"(loadavg $loadStart / $hostCpus cpus): keeping existing $outFile")
@@ -152,6 +196,24 @@ object Bench {
     * every row, so nothing upstream can be pruned away. */
   private def execute(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
+
+  /** The flat {"name":number,…} object under `key` in a prior artifact
+    * line — regex-scoped to the object's braces, no JSON lib needed for
+    * the shapes Bench itself writes. */
+  private def parseObj(json: String, key: String): Map[String, Double] = {
+    val start = json.indexOf("\"" + key + "\":{")
+    if (start < 0) Map.empty
+    else {
+      val open = json.indexOf('{', start)
+      val close = json.indexOf('}', open)
+      if (close < 0) Map.empty
+      else {
+        val kv = """"([^"]+)":([0-9.eE+-]+)""".r
+        kv.findAllMatchIn(json.substring(open + 1, close))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+  }
 
   /** Poll until the system load average drops below 0.25×cpus (the level
     * at which a fresh-JVM measurement reflects the engine rather than the

@@ -1283,6 +1283,14 @@ object DeltaExport {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: UnsupportedOperationException =>
         renamePublish(conf, fs, tmp, qualTarget)
+      // FileSystemException (EPERM/ENOTSUP) is how link-incapable MOUNTS
+      // fail (vfat/exfat, some NFS exports) when the provider itself
+      // implements createLink — same degradation as the provider-level
+      // UnsupportedOperationException: fall back to the rename shape
+      // rather than failing the commit. FileAlreadyExistsException (a
+      // subclass) stays "lost the race" above.
+      case _: java.nio.file.FileSystemException =>
+        renamePublish(conf, fs, tmp, qualTarget)
     }
   }
 
@@ -1387,7 +1395,10 @@ object DeltaExport {
     * `delta.constraints.*`; each form matches its owning engine's
     * semantics. A malformed invariant document refuses the write (silently
     * skipping a gate the owning engine would enforce is the one wrong
-    * answer). */
+    * answer), and so does an invariant declared on a struct field nested
+    * inside an array/map element — per-element invariants cannot be
+    * validated as a row predicate, so neither collecting nor skipping
+    * them would be honest. */
   private[sources] def legacyInvariantsOf(schema: StructType): Seq[(String, String)] = {
     def walk(st: StructType): Seq[(String, String)] =
       st.fields.toSeq.flatMap { f =>
@@ -1405,7 +1416,37 @@ object DeltaExport {
           }
         own ++ (f.dataType match {
           case s: StructType => walk(s)
-          case _ => Nil
+          // An invariant declared on a struct field nested inside an
+          // array/map element is NOT expressible as the row-level
+          // predicate this writer validates with (one value per row vs
+          // many elements per row) — delta-spark enforces those
+          // per-element during its own writes. Collecting it here would
+          // produce an unresolvable expr; skipping it would silently
+          // drop a gate the owning engine enforces (the one wrong
+          // answer). Refuse the write instead.
+          case other =>
+            def refuseIn(dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+              case s: StructType =>
+                val nested = walk(s)
+                if (nested.nonEmpty) throw new IllegalArgumentException(
+                  s"column ${f.name}: delta.invariants declared inside an " +
+                    s"array/map element (${nested.map(_._1).mkString(", ")}) " +
+                    "— per-element invariants are enforced by the owning " +
+                    "engine at its own writes and cannot be validated as a " +
+                    "row predicate here; drop the invariant or write " +
+                    "through the owning engine")
+              case a: org.apache.spark.sql.types.ArrayType => refuseIn(a.elementType)
+              case m: org.apache.spark.sql.types.MapType =>
+                refuseIn(m.keyType); refuseIn(m.valueType)
+              case _ => ()
+            }
+            other match {
+              case a: org.apache.spark.sql.types.ArrayType => refuseIn(a.elementType)
+              case m: org.apache.spark.sql.types.MapType =>
+                refuseIn(m.keyType); refuseIn(m.valueType)
+              case _ => ()
+            }
+            Nil
         })
       }
     walk(schema)
@@ -2392,10 +2433,12 @@ object DeltaExport {
     * delta-spark's exact RENAME COLUMN shape). Requires
     * `delta.columnMapping.mode = name` (enable it first through
     * [[setForeignProperties]], delta-spark demands the same); top-level
-    * columns only; refuses a rename that would break a CHECK constraint
-    * or another column's generation expression (conservative
-    * word-boundary reference check — delta-spark resolves the
-    * expressions, this writer refuses anything that LOOKS referenced).
+    * columns only; refuses a rename that would break a CHECK constraint,
+    * another column's generation expression, or a legacy
+    * `delta.invariants` predicate (conservative word-boundary reference
+    * check — delta-spark resolves the expressions, this writer refuses
+    * anything that LOOKS referenced; an un-rewritten invariant would
+    * brick every subsequent validated write).
     * Partition columns rename with their metaData entry (the list holds
     * logical names; directories were always physical). Returns the
     * committed version. */
@@ -2444,6 +2487,19 @@ object DeltaExport {
             f.metadata.getString("delta.generationExpression")).isEmpty,
           s"rename in $tablePath: generated column ${f.name} references " +
             s"$from — owning-engine territory")
+      }
+      // Legacy delta.invariants documents keep their SQL verbatim through
+      // a rename — and every subsequent foreign write re-evaluates them
+      // (invariantChecks), so a rename that leaves an invariant pointing
+      // at the old name bricks the table: each later append/merge/update
+      // fails with an unresolved-column error while other engines see
+      // inconsistent metadata. Same word-boundary guard as constraints:
+      // drop the invariant first.
+      legacyInvariantsOf(snap.schema).foreach { case (col, sql) =>
+        require(ref.findFirstIn(sql).isEmpty,
+          s"rename in $tablePath: legacy invariant on $col references " +
+            s"$from — drop it first (the invariant SQL is not rewritten " +
+            "by a rename and would brick every subsequent write)")
       }
       val newSchema = StructType(snap.schema.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))

@@ -375,21 +375,32 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * behind a DML target plan, if it is a graft relation. */
   /** A path-addressed `delta.`path`` DML target — the foreign writer's
     * addressing form (never resolvable by stock Spark here). */
+  /** delta-spark's isPathIdentifier guard: `delta.`x`` is a FOREIGN
+    * path address only when x actually looks like a filesystem path (a
+    * '/' somewhere — absolute, relative-with-dirs, or scheme://). A bare
+    * name like `delta.events` is a table in a catalog database that
+    * happens to be called "delta" — stock Spark's fall-through must keep
+    * resolving it, not get hijacked into treating "events" as a path. */
+  private def looksLikePath(s: String): Boolean = s.contains("/")
+
   /** The identifier form of [[foreignDeltaPathOf]], for statements whose
     * target is an UnresolvedTable rather than a relation. */
   private def foreignIdentPathOf(ident: Seq[String]): Option[String] =
     ident match {
-      case Seq(d, path) if d.equalsIgnoreCase("delta") => Some(path)
+      case Seq(d, path) if d.equalsIgnoreCase("delta") &&
+          looksLikePath(path) => Some(path)
       case _ => None
     }
 
   private def foreignDeltaPathOf(p: LogicalPlan): Option[String] = p match {
     case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-        u.multipartIdentifier.head.equalsIgnoreCase("delta") =>
+        u.multipartIdentifier.head.equalsIgnoreCase("delta") &&
+        looksLikePath(u.multipartIdentifier.last) =>
       Some(u.multipartIdentifier.last)
     case SubqueryAlias(_, u: UnresolvedRelation)
         if u.multipartIdentifier.length == 2 &&
-          u.multipartIdentifier.head.equalsIgnoreCase("delta") =>
+          u.multipartIdentifier.head.equalsIgnoreCase("delta") &&
+          looksLikePath(u.multipartIdentifier.last) =>
       Some(u.multipartIdentifier.last)
     case _ => None
   }

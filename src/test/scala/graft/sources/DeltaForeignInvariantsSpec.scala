@@ -119,6 +119,60 @@ class DeltaForeignInvariantsSpec extends SparkSpec {
     assert(!fs.exists(new Path(root, "_appends")))
   }
 
+  test("rename refused while a legacy invariant references the column") {
+    // An invariant document keeps its SQL verbatim through a rename; since
+    // every foreign write re-evaluates invariants, renaming v would leave
+    // `v > 0` unresolvable and brick all subsequent writes.
+    val root = fixture("inv-rename")
+    DeltaExport.appendToForeign(spark, root, Seq((1L, 10L)).toDF("k", "v"))
+    DeltaExport.setForeignProperties(spark, root,
+      Map("delta.columnMapping.mode" -> "name"))
+    val err = intercept[IllegalArgumentException] {
+      DeltaExport.renameForeignColumn(spark, root, "v", "val")
+    }
+    assert(err.getMessage.contains("legacy invariant on v"))
+    // a column the invariant does NOT reference still renames, and the
+    // invariant keeps validating writes afterwards
+    DeltaExport.renameForeignColumn(spark, root, "k", "kk")
+    DeltaExport.appendToForeign(spark, root, Seq((2L, 20L)).toDF("kk", "v"))
+    val err2 = intercept[IllegalArgumentException] {
+      DeltaExport.appendToForeign(spark, root, Seq((3L, -3L)).toDF("kk", "v"))
+    }
+    assert(err2.getMessage.contains("invariant v"))
+  }
+
+  test("invariant inside an array element struct refuses the write") {
+    // Not expressible as a row predicate (many elements per row) — the
+    // owning engine enforces it per-element at its own writes; both
+    // collecting and skipping would be wrong, so the write refuses.
+    val root = tmpDir("inv-array")
+    val logDir = new Path(root, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir)
+    val schema = ("""{"type":"struct","fields":[""" +
+      """{"name":"k","type":"long","nullable":false,"metadata":{}},""" +
+      """{"name":"arr","type":{"type":"array","elementType":""" +
+      """{"type":"struct","fields":[{"name":"x","type":"long",""" +
+      """"nullable":true,"metadata":{"delta.invariants":""" +
+      """"{\"expression\":{\"expression\":\"x > 0\"}}"}}]},""" +
+      """"containsNull":true},"nullable":true,"metadata":{}}]}""")
+    val v0 =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        s"""{"metaData":{"id":"array-inv","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":${org.json4s.jackson.JsonMethods
+          .compact(org.json4s.JString(schema))},"partitionColumns":[],""" +
+        """"configuration":{}}}""" + "\n"
+    val out = fs.create(new Path(logDir, f"${0L}%020d.json"), false)
+    out.write(v0.getBytes("UTF-8")); out.close()
+
+    val err = intercept[IllegalArgumentException] {
+      DeltaExport.appendToForeign(spark, root,
+        Seq((1L, Seq(Tuple1(1L)))).toDF("k", "arr"))
+    }
+    assert(err.getMessage.contains("array/map element"))
+    assert(!fs.exists(new Path(root, "_appends")))
+  }
+
   test("feature-form table (minWriterVersion 7, invariants listed) accepted") {
     val root = tmpDir("inv-feature")
     val logDir = new Path(root, "_delta_log")

@@ -172,4 +172,34 @@ class SqlAlterSpec extends SparkSpec {
       s2.sql("ALTER TABLE plain_alter ADD COLUMNS (c INT)").collect()
     }
   }
+
+  test("a catalog database named 'delta' is not hijacked as a path") {
+    // delta.`x` is the FOREIGN path address only when x looks like a
+    // path ('/'-bearing) — delta-spark's isPathIdentifier rule. A bare
+    // two-part name must keep resolving through the session catalog, or
+    // tables in a database that happens to be called "delta" become
+    // unreachable (their name would be read as a filesystem path).
+    s2.sql("CREATE DATABASE IF NOT EXISTS delta")
+    try {
+      s2.sql("CREATE TABLE delta.plainevents (k BIGINT, s STRING) USING parquet")
+      s2.sql("INSERT INTO delta.plainevents VALUES (1, 'a'), (2, 'b')")
+      assert(s2.sql("SELECT count(*) FROM delta.plainevents")
+        .head().getLong(0) === 2L)
+      // the verbs the parser extension intercepts for delta.`path`
+      // targets all fall through to stock Spark on the catalog table
+      s2.sql("ALTER TABLE delta.plainevents SET TBLPROPERTIES ('team.owner' = 'x')")
+      val props = s2.sql("SHOW TBLPROPERTIES delta.plainevents").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("team.owner").contains("x"))
+      // DML interception: stock Spark refuses UPDATE on v1 parquet — the
+      // error must be Spark's own (catalog resolution), never a foreign
+      // _delta_log path probe against a "plainevents" filesystem path
+      val err = intercept[Exception] {
+        s2.sql("UPDATE delta.plainevents SET s = 'c' WHERE k = 1").collect()
+      }
+      assert(!err.getMessage.contains("_delta_log"), err.getMessage)
+    } finally {
+      s2.sql("DROP DATABASE IF EXISTS delta CASCADE")
+    }
+  }
 }
