@@ -190,6 +190,8 @@ object SparkEntry {
     "q214_knn_purity_sampled" -> (CorpusQueries.knnLabelPuritySampled _),
     "q215_lsh_recall_sweep"  -> (CorpusQueries.lshRecallSweep _),
     "q216_source_overlap_sketch" -> (CorpusQueries.sourceOverlapSketch _),
+    "q218_source_cardinality_sketch" -> (CorpusQueries.sourceCardinalitySketch _),
+    "q219_sampled_percentiles" -> (CorpusQueries.sampledLengthPercentiles _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
@@ -395,21 +397,29 @@ object SparkEntry {
     * per-pair union's k smallest via the same row_number ordering, and
     * the exact Jaccard re-derived with q146's CTEs for the error
     * column. */
-  private def sketchOverlapOracleSql: String = {
+  /** Shared q216/q218 oracle prefix: distinct (source, 3-shingle) pairs,
+    * their 60-bit md5 hashes (hi28·2³² + lo32 — each half's digit-sum
+    * stays exact-double, the combined value BIGINT-safe), and the
+    * per-source k-minimum-values sketch. */
+  private def kmvSketchCtes(k: Int): String = {
     def hexPart(start: Int, len: Int): String =
       s"CAST(list_sum(list_transform(range($len), i -> (strpos('0123456789abcdef', " +
         s"substring(md5(shingle), CAST(i + $start AS INT), 1)) - 1) * pow(16, ${len - 1} - i))) AS BIGINT)"
-    val half1 = s"(${hexPart(1, 7)} * 4294967296 + ${hexPart(8, 8)})"
-    s"""WITH toks AS (
+    val h60 = s"(${hexPart(1, 7)} * 4294967296 + ${hexPart(8, 8)})"
+    s"""toks AS (
        |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
        |sh AS (
        |  SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
        |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
-       |hv AS (SELECT DISTINCT source, $half1 AS h FROM sh),
+       |hv AS (SELECT DISTINCT source, $h60 AS h FROM sh),
        |sk AS (
        |  SELECT source, h FROM (
        |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-       |    FROM hv) WHERE rn <= 256),
+       |    FROM hv) WHERE rn <= $k)""".stripMargin
+  }
+
+  private def sketchOverlapOracleSql: String = {
+    s"""WITH ${kmvSketchCtes(256)},
        |srcs AS (SELECT DISTINCT source FROM documents),
        |pairs AS (
        |  SELECT a.source AS src_a, b.source AS src_b
@@ -442,6 +452,72 @@ object SparkEntry {
        |  abs(CAST(in_both AS DOUBLE) / m - coalesce(x.jaccard, 0.0)) AS abs_err
        |FROM est e LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q218's DuckDB oracle: per-source distinct-shingle cardinality from
+    * the same sketch CTEs as q216 — exact when the sketch is
+    * unsaturated (m < k), else the k-th-minimum estimator (k−1)·2⁶⁰/h_k
+    * (255·2⁶⁰ is exactly representable as a double, one IEEE divide),
+    * next to the exact distinct count with relative error. */
+  private def cardinalitySketchOracleSql: String =
+    s"""WITH ${kmvSketchCtes(256)},
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS m, max(h) AS hk
+       |        FROM sk GROUP BY source),
+       |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM sh GROUP BY source),
+       |est AS (
+       |  SELECT ex.source, ex.n_exact,
+       |    CASE WHEN a.m < 256 THEN CAST(a.m AS DOUBLE)
+       |         ELSE CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+       |              / CAST(a.hk AS DOUBLE) END AS est_distinct
+       |  FROM ex LEFT JOIN agg a ON a.source = ex.source)
+       |SELECT source, n_exact, est_distinct,
+       |  abs(est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+       |FROM est ORDER BY source""".stripMargin
+
+  /** q219's DuckDB oracle: q212's exact nearest-rank percentile
+    * arithmetic twice — full corpus and the deterministic 1-in-4 md5
+    * doc_id sample (q59's hex-bucket spelling) — joined with absolute
+    * error columns; a source whose sample came up empty reports NULL
+    * sampled figures on both engines. */
+  private def sampledPercentilesOracleSql: String = {
+    val bucket =
+      """CAST(list_sum(list_transform(range(8),
+        |      i -> (strpos('0123456789abcdef',
+        |              substring(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+        |           * pow(16, 7 - i))) AS BIGINT)""".stripMargin
+    def pcts(src: String, suffix: String, nName: String) =
+      s"""SELECT source, CAST(max(n) AS BIGINT) AS $nName,
+         |  CAST(max(CASE WHEN rn = (n*50 + 99) // 100 THEN words END)
+         |    AS BIGINT) AS p50_$suffix,
+         |  CAST(max(CASE WHEN rn = (n*90 + 99) // 100 THEN words END)
+         |    AS BIGINT) AS p90_$suffix,
+         |  CAST(max(CASE WHEN rn = (n*99 + 99) // 100 THEN words END)
+         |    AS BIGINT) AS p99_$suffix
+         |FROM (SELECT source, words,
+         |        row_number() OVER (PARTITION BY source
+         |                           ORDER BY words, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM $src) GROUP BY source""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS words
+       |  FROM documents),
+       |samp AS (
+       |  SELECT source, doc_id, words FROM d
+       |  WHERE $bucket % 4 = 0),
+       |ex AS (${pcts("d", "words", "n_docs")}),
+       |sa AS (${pcts("samp", "sample", "n_sample")})
+       |SELECT ex.source, ex.n_docs,
+       |  CAST(coalesce(sa.n_sample, 0) AS BIGINT) AS n_sample,
+       |  ex.p50_words, sa.p50_sample, ex.p90_words, sa.p90_sample,
+       |  ex.p99_words, sa.p99_sample,
+       |  abs(sa.p50_sample - ex.p50_words) AS err_p50,
+       |  abs(sa.p90_sample - ex.p90_words) AS err_p90,
+       |  abs(sa.p99_sample - ex.p99_words) AS err_p99
+       |FROM ex LEFT JOIN sa ON sa.source = ex.source
+       |ORDER BY ex.source""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2859,6 +2935,15 @@ object SparkEntry {
     // trillion-shingle corpora), pair Jaccard estimated as the
     // both-sides fraction of the union's k smallest vs q146's exact matrix
     "q216_source_overlap_sketch" -> sketchOverlapOracleSql,
+
+    // KMV cardinality (q218): per-source distinct-shingle count from the
+    // q216 sketch — exact under k, (k-1)*2^60/h_k above — with relative
+    // error vs the exact distinct count
+    "q218_source_cardinality_sketch" -> cardinalitySketchOracleSql,
+
+    // sampled percentiles (q219): q212's nearest-rank arithmetic over a
+    // deterministic 1-in-4 md5 sample, absolute error vs exact per source
+    "q219_sampled_percentiles" -> sampledPercentilesOracleSql,
 
     // quality-priority dedup over bag-of-words groups (members genuinely
     // differ there): keeper = highest quality then smallest id; the

@@ -2157,4 +2157,88 @@ object CorpusQueries {
           .as("abs_err"))
       .orderBy("src_a", "src_b")
   }
+
+  /** q218: per-source distinct-shingle CARDINALITY from the q216 KMV
+    * sketch — the other classic question the same k·S-value summary
+    * answers ("how much unique content does each source contribute"
+    * next to q216's "how much do they share"). The k-th-minimum
+    * estimator: if the sketch holds fewer than k values the count is
+    * EXACT (the sketch IS the distinct set); otherwise
+    * n̂ = (k−1)·M / h_k with M = 2⁶⁰ the hash-space size and h_k the
+    * k-th smallest hash — uniform hashes are order statistics, so the
+    * k-th minimum sits at ≈ k·M/n. Every row reports the estimate NEXT
+    * TO the exact distinct count with the relative error (the
+    * q200/q202/q216 contract). One sketch pass (the SAME heap-lowered
+    * [[kmvSketchStage]] q216 uses — at 100 TB the two queries share the
+    * pass) + one exact pass for the error column. Determinism: the
+    * estimator is a handful of IEEE ops on exact integers ((k−1)·2⁶⁰ is
+    * a 255·2⁶⁰ double, exactly representable), so DuckDB reproduces it
+    * bit-for-bit. */
+  def sourceCardinalitySketch(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val M = 1152921504606846976L // 2^60, the h-space size
+    val docs = Tables.documents(spark, dir)
+    val sk = kmvSketchStage(docs, k)
+      .groupBy("source").agg(count(lit(1)).as("m"), max(col("h")).as("hk"))
+    val exact = docs.select(col("source"),
+        explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    exact.join(sk, Seq("source"), "left")
+      .select(col("source"), col("n_exact"),
+        when(col("m") < k, col("m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(M.toDouble) /
+            col("hk").cast("double")).as("est_distinct"))
+      .withColumn("rel_err",
+        abs(col("est_distinct") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"))
+      .orderBy("source")
+  }
+
+  /** q219: [[lengthPercentiles]]' (q212) 100 TB path — the same exact
+    * nearest-rank P50/P90/P99 arithmetic over a DETERMINISTIC 1-in-4
+    * md5 hash sample of documents (q59's bucket convention; production
+    * dials the rate to taste), each sampled figure reported NEXT TO the
+    * full-corpus exact value with the absolute error. This is the
+    * calibration table for replacing q212's full window rank with a
+    * sampled one when a source outgrows a partition: the error columns
+    * — not folklore about sample sizes — say whether the cheap path is
+    * good enough for the packing-length decision q212 feeds. A source
+    * whose sample came up EMPTY reports NULL sampled figures (visible,
+    * never silently dropped — the q215 tail-starvation rule). Shape:
+    * the window ranks run over the SAMPLE (1/4 the rows; at production
+    * rates, orders of magnitude less), the exact side is q212
+    * verbatim. */
+  def sampledLengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame) = df
+      .withColumn("rn", row_number().over(
+        w.partitionBy("source").orderBy(col("words"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w.partitionBy("source")))
+    def pct(p: Int) =
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("words")))
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("words"))
+    val exact = ranked(d).groupBy("source").agg(
+      max(col("n")).as("n_docs"),
+      pct(50).as("p50_words"), pct(90).as("p90_words"),
+      pct(99).as("p99_words"))
+    val sampled = ranked(d.filter(
+        pmod(SamplingQueries.md5Bucket32(col("doc_id")), lit(4L)) === 0L))
+      .groupBy("source").agg(
+        max(col("n")).as("n_sample"),
+        pct(50).as("p50_sample"), pct(90).as("p90_sample"),
+        pct(99).as("p99_sample"))
+    exact.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_sample"), lit(0L)).as("n_sample"),
+        col("p50_words"), col("p50_sample"),
+        col("p90_words"), col("p90_sample"),
+        col("p99_words"), col("p99_sample"),
+        abs(col("p50_sample") - col("p50_words")).as("err_p50"),
+        abs(col("p90_sample") - col("p90_words")).as("err_p90"),
+        abs(col("p99_sample") - col("p99_words")).as("err_p99"))
+      .orderBy("source")
+  }
 }
