@@ -192,6 +192,7 @@ object SparkEntry {
     "q216_source_overlap_sketch" -> (CorpusQueries.sourceOverlapSketch _),
     "q218_source_cardinality_sketch" -> (CorpusQueries.sourceCardinalitySketch _),
     "q219_sampled_percentiles" -> (CorpusQueries.sampledLengthPercentiles _),
+    "q220_vocab_growth"      -> (CorpusQueries.vocabGrowth _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
@@ -2944,6 +2945,26 @@ object SparkEntry {
     // sampled percentiles (q219): q212's nearest-rank arithmetic over a
     // deterministic 1-in-4 md5 sample, absolute error vs exact per source
     "q219_sampled_percentiles" -> sampledPercentilesOracleSql,
+
+    // vocabulary growth (q220): distinct tokens over doubling doc_id
+    // prefixes from each token's first-occurrence doc (min-aggregate)
+    "q220_vocab_growth" ->
+      """WITH fs AS (
+        |  SELECT tok, min(doc_id) AS first_doc FROM (
+        |    SELECT doc_id,
+        |      unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+        |    FROM documents) GROUP BY tok),
+        |cuts AS (SELECT CAST(pow(2, i) AS BIGINT) AS prefix_docs
+        |         FROM range(21) t(i)),
+        |v AS (
+        |  SELECT c.prefix_docs,
+        |    CAST(count(*) FILTER (WHERE fs.first_doc < c.prefix_docs)
+        |      AS BIGINT) AS vocab
+        |  FROM cuts c CROSS JOIN fs GROUP BY c.prefix_docs)
+        |SELECT prefix_docs, vocab,
+        |  vocab - coalesce(lag(vocab) OVER (ORDER BY prefix_docs), 0)
+        |    AS new_tokens
+        |FROM v ORDER BY prefix_docs""".stripMargin,
 
     // quality-priority dedup over bag-of-words groups (members genuinely
     // differ there): keeper = highest quality then smallest id; the

@@ -2209,6 +2209,38 @@ object CorpusQueries {
     * the window ranks run over the SAMPLE (1/4 the rows; at production
     * rates, orders of magnitude less), the exact side is q212
     * verbatim. */
+  /** q220: vocabulary growth curve (Heaps' law table) — distinct-token
+    * count over doc_id-prefixes of doubling size, with the per-doubling
+    * novel-token delta. The tokenizer/vocab-size planning table ("does
+    * the vocabulary keep growing or has the corpus saturated"), and a
+    * dedup-pressure diagnostic (a flattening curve at small prefixes
+    * means later documents add no new content). Shape: ONE groupBy
+    * computes each token's first-occurrence doc_id (min — the
+    * commutative aggregate, no ordering shuffle), then all 21 cutoffs
+    * (2⁰..2²⁰ — literal, so the oracle is static SQL; production
+    * extends the list) fold in ONE conditional-sum pass over the
+    * first-occurrence table; the curve itself is 21 driver-side rows.
+    * No global sort, no per-prefix rescan — at 100 TB the cost is one
+    * token explode + two hash aggregates. Cutoffs beyond the corpus
+    * repeat the full vocabulary (new_tokens 0), deterministically on
+    * both engines. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val firstSeen = docs.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      .groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+    val cuts = (0 to 20).map(1L << _)
+    val aggs = cuts.map(c =>
+      sum(when(col("first_doc") < c, 1L).otherwise(0L)).as(s"v$c"))
+    val row = firstSeen.agg(aggs.head, aggs.tail: _*).collect().head
+    import spark.implicits._
+    cuts.zipWithIndex.map { case (c, i) =>
+      val v = row.getLong(i)
+      val prev = if (i == 0) 0L else row.getLong(i - 1)
+      (c, v, v - prev)
+    }.toDF("prefix_docs", "vocab", "new_tokens").orderBy("prefix_docs")
+  }
+
   def sampledLengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     def ranked(df: DataFrame) = df
