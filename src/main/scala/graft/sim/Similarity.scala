@@ -433,10 +433,11 @@ object Similarity {
     * then a CHAIN of per-config left-semi-style flag joins, each on the
     * (a_id, b_id) pair key — the exact branch evaluates once, never per
     * config, and the per-query tally frame it collapses to (one row per
-    * sampled query) is persisted so the min/p10 derivations never re-run
-    * it. Executor→driver payload stays a handful of scalars per config.
-    * Every figure is integer counts plus one final IEEE divide, so the
-    * DuckDB oracle agrees bit-for-bit.
+    * sampled query) carries its min/p10 derivations as in-plan window
+    * ranks, so the whole report is ONE aggregate job plus the fan-out
+    * pass. Executor→driver payload stays a handful of scalars per
+    * config. Every figure is integer counts plus one final IEEE divide,
+    * so the DuckDB oracle agrees bit-for-bit.
     *
     * Three columns exist purely for honesty-at-scale:
     *  - `candidates` — the total band-join fan-out (pre-dedup pair count,
@@ -490,28 +491,38 @@ object Similarity {
         acc.join(candidates(bands, bits).withColumn(s"hit$i", lit(1L)),
           Seq("a_id", "b_id"), "left")
     }
-    // Per-query tallies: one row per sampled query (eval-sample-sized,
-    // the bounded frame everything below derives from).
+    // Per-query tallies (one row per sampled query), then EVERYTHING —
+    // pooled counts, per-config min, and the ⌈n_q/10⌉-th smallest
+    // per-query recall — in ONE job: per-config ascending ranks and the
+    // sample size ride in-plan windows, the final aggregate picks the
+    // rank-matching value. The rank windows are global (single
+    // partition), bounded by the same eval contract that makes the
+    // exact baseline feasible: the tally frame is one narrow row per
+    // sampled query. (An earlier shape ran one TakeOrdered job per
+    // config plus a separate min aggregate — 5 extra job launches whose
+    // scheduling+codegen overhead tripled the query's wall at bench
+    // scale for zero added information.)
     val pqAggs = count(lit(1)).as("ex_a") +:
       configs.indices.map(i => sum(coalesce(col(s"hit$i"), lit(0L))).as(s"h$i"))
     val perQ = flagged.groupBy("a_id").agg(pqAggs.head, pqAggs.tail: _*)
-      .persist()
+    val wAll = Window.partitionBy()
+    val ranked = perQ.select(
+      Seq(col("ex_a"), count(lit(1)).over(wAll).as("nq")) ++
+        configs.indices.flatMap { i =>
+          val r = col(s"h$i").cast("double") / col("ex_a")
+          Seq(col(s"h$i"), r.as(s"r$i"),
+            row_number().over(Window.orderBy(r.asc_nulls_last)).as(s"rn$i"))
+        }: _*)
     val topAggs = Seq(count(lit(1)).as("n_queries"),
       sum(col("ex_a")).as("exact_pairs")) ++
       configs.indices.flatMap(i => Seq(
         sum(col(s"h$i")).as(s"hits$i"),
-        min(col(s"h$i").cast("double") / col("ex_a")).as(s"min$i")))
-    val row = perQ.agg(topAggs.head, topAggs.tail: _*).collect().head
+        min(col(s"r$i")).as(s"min$i"),
+        max(when(col(s"rn$i") === expr("(nq + 9) div 10"), col(s"r$i")))
+          .as(s"p10$i")))
+    val row = ranked.agg(topAggs.head, topAggs.tail: _*).collect().head
     val nQ = row.getLong(0)
     val nExact = row.getLong(1)
-    // p10 = the ⌈n_q/10⌉-th smallest per-query recall: orderBy+limit
-    // plans as TakeOrderedAndProject — no global sort materializes.
-    val ceilIdx = math.max(1L, (nQ + 9) / 10).toInt
-    val p10s = configs.indices.map { i =>
-      perQ.select((col(s"h$i").cast("double") / col("ex_a")).as("r"))
-        .orderBy(col("r")).limit(ceilIdx)
-        .agg(max(col("r"))).collect().head.getDouble(0)
-    }
     // Candidate fan-out per config from bucket counts alone — one corpus
     // pass for ALL configs (explode over Σ bands signature structs),
     // grouped on the bounded (cfg, band, sig) domain.
@@ -525,13 +536,13 @@ object Similarity {
         count(lit(1)).as("ac"))
       .groupBy("cfg").agg(sum(col("qc") * (col("ac") - lit(1L))).as("candidates"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    perQ.unpersist(false)
     import spark.implicits._
     configs.zipWithIndex.map { case ((bands, bits), i) =>
-      val hits = row.getLong(2 + 2 * i)
-      val minR = row.getDouble(3 + 2 * i)
+      val hits = row.getLong(2 + 3 * i)
+      val minR = row.getDouble(3 + 3 * i)
+      val p10R = row.getDouble(4 + 3 * i)
       (bands, bits, nQ, nExact, hits, fan.getOrElse(i, 0L),
-        hits.toDouble / nExact, minR, p10s(i))
+        hits.toDouble / nExact, minR, p10R)
     }.toDF("bands", "bits", "n_queries", "exact_pairs", "hits",
       "candidates", "recall_at_k", "min_recall", "p10_recall")
       .orderBy(col("bands"), col("bits"))
