@@ -193,6 +193,7 @@ object SparkEntry {
     "q218_source_cardinality_sketch" -> (CorpusQueries.sourceCardinalitySketch _),
     "q219_sampled_percentiles" -> (CorpusQueries.sampledLengthPercentiles _),
     "q220_vocab_growth"      -> (CorpusQueries.vocabGrowth _),
+    "q221_token_freq_sketch" -> (CorpusQueries.tokenFreqSketch _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
@@ -2945,6 +2946,39 @@ object SparkEntry {
     // sampled percentiles (q219): q212's nearest-rank arithmetic over a
     // deterministic 1-in-4 md5 sample, absolute error vs exact per source
     "q219_sampled_percentiles" -> sampledPercentilesOracleSql,
+
+    // count-min frequency sketch (q221): depth=4 × width=1024 commutative
+    // bucket counts (md5(salt:token) — q59's hex arithmetic), estimate =
+    // min over salts, reported for the exact top-50 with overestimate
+    "q221_token_freq_sketch" -> {
+      val h32 =
+        """CAST(list_sum(list_transform(range(8),
+          |        i -> (strpos('0123456789abcdef',
+          |                substring(md5(CAST(salt AS VARCHAR) || ':' || tok), CAST(i + 1 AS INT), 1)) - 1)
+          |             * pow(16, 7 - i))) AS BIGINT)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |salts AS (SELECT unnest([0, 1, 2, 3]) AS salt),
+         |cells AS (
+         |  SELECT salt, $h32 % 1024 AS bucket,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM toks, salts GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+         |  FROM toks GROUP BY tok
+         |  ORDER BY exact_count DESC, tok LIMIT 50),
+         |probes AS (
+         |  SELECT tok, exact_count, salt, $h32 % 1024 AS bucket
+         |  FROM top, salts),
+         |est AS (
+         |  SELECT p.tok, p.exact_count, min(c.c) AS est_count
+         |  FROM probes p JOIN cells c ON c.salt = p.salt AND c.bucket = p.bucket
+         |  GROUP BY 1, 2)
+         |SELECT tok, exact_count, est_count,
+         |  est_count - exact_count AS overestimate
+         |FROM est ORDER BY exact_count DESC, tok""".stripMargin
+    },
 
     // vocabulary growth (q220): distinct tokens over doubling doc_id
     // prefixes from each token's first-occurrence doc (min-aggregate)

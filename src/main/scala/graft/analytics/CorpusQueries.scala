@@ -2195,6 +2195,52 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** q221: count-min token-frequency sketch with its error report — the
+    * FREQUENCY member of the bounded-summary family (KMV q216/q218
+    * answers overlap/cardinality; this answers "how often", the
+    * heavy-hitters / stop-word / tokenizer-pruning question, without a
+    * vocabulary-sized state). The sketch is depth×width counters
+    * (4×1024 here) — each token increments one bucket per salt
+    * (md5(salt:token) mod width, q59's portable hex arithmetic), and a
+    * token's estimate is the MIN over salts of its buckets' counts:
+    * ≥ exact always (CMS never under-counts), within N/width with
+    * probability 1−(1/2)^depth. Unlike Misra-Gries/SpaceSaving the
+    * result is ORDER-INDEPENDENT — counts are commutative sums — so
+    * the estimate is deterministic under any partitioning and the
+    * DuckDB oracle reproduces it exactly. Report: the exact top-50
+    * tokens with estimate and overestimate (the q200/q202/q216
+    * error-report contract). Shape: one token pass fans depth rows per
+    * token into a (salt, bucket)-grouped count — 4096 cells at ANY
+    * corpus size — and the top-50 join probes those cells; the exact
+    * side is the calibration baseline, priced separately at scale. */
+  def tokenFreqSketch(spark: SparkSession, dir: String): DataFrame = {
+    val width = 1024
+    val depth = 4
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+    def bucketOf(saltCol: Column, tokCol: Column): Column =
+      pmod(SamplingQueries.md5Bucket32(
+        concat_ws(":", saltCol.cast("string"), tokCol)), lit(width.toLong))
+    val cells = toks
+      .select(col("tok"), explode(array((0 until depth).map(lit): _*)).as("salt"))
+      .select(col("salt"), bucketOf(col("salt"), col("tok")).as("bucket"))
+      .groupBy("salt", "bucket").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("tok")).limit(50)
+    val probes = top.select(Seq(col("tok"), col("exact_count")) ++
+      (0 until depth).map(s => bucketOf(lit(s), col("tok")).as(s"b$s")): _*)
+    val est = (0 until depth).foldLeft(probes) { (acc, s) =>
+      acc.join(broadcast(cells.filter(col("salt") === s)
+          .select(col("bucket").as(s"b$s"), col("c").as(s"c$s"))),
+        Seq(s"b$s"))
+    }
+    est.select(col("tok"), col("exact_count"),
+        (0 until depth).map(s => col(s"c$s")).reduce(least(_, _)).as("est_count"))
+      .withColumn("overestimate", col("est_count") - col("exact_count"))
+      .orderBy(col("exact_count").desc, col("tok"))
+  }
+
   /** q219: [[lengthPercentiles]]' (q212) 100 TB path — the same exact
     * nearest-rank P50/P90/P99 arithmetic over a DETERMINISTIC 1-in-4
     * md5 hash sample of documents (q59's bucket convention; production
