@@ -194,6 +194,7 @@ object SparkEntry {
     "q219_sampled_percentiles" -> (CorpusQueries.sampledLengthPercentiles _),
     "q220_vocab_growth"      -> (CorpusQueries.vocabGrowth _),
     "q221_token_freq_sketch" -> (CorpusQueries.tokenFreqSketch _),
+    "q222_source_containment_sketch" -> (CorpusQueries.sourceContainmentSketch _),
     "q158_priority_dedup"    -> (CorpusQueries.priorityDedup _),
     "q159_row_tracking"      -> (MutationQueries.rowTrackingStability _),
     "q160_threshold_sweep"   -> (CorpusQueries.dedupThresholdSweep _),
@@ -2946,6 +2947,41 @@ object SparkEntry {
     // sampled percentiles (q219): q212's nearest-rank arithmetic over a
     // deterministic 1-in-4 md5 sample, absolute error vs exact per source
     "q219_sampled_percentiles" -> sampledPercentilesOracleSql,
+
+    // directional containment (q222): common-threshold KMV rule — with
+    // t = min(max skA, max skB) both sketches are exhaustive below t, so
+    // |skA∩skB ≤ t| / |skA ≤ t| estimates |A∩B|/|A|; exact + abs error
+    "q222_source_containment_sketch" ->
+      s"""WITH ${kmvSketchCtes(256)},
+         |mx AS (SELECT source, max(h) AS mx FROM sk GROUP BY source),
+         |prs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, LEAST(a.mx, b.mx) AS t
+         |  FROM mx a JOIN mx b ON a.source <> b.source),
+         |den AS (
+         |  SELECT p.src_a, p.src_b, CAST(count(*) AS BIGINT) AS na
+         |  FROM prs p JOIN sk s ON s.source = p.src_a AND s.h <= p.t
+         |  GROUP BY 1, 2),
+         |num AS (
+         |  SELECT p.src_a, p.src_b, CAST(count(*) AS BIGINT) AS both
+         |  FROM prs p
+         |  JOIN sk x ON x.source = p.src_a AND x.h <= p.t
+         |  JOIN sk y ON y.source = p.src_b AND y.h = x.h
+         |  GROUP BY 1, 2),
+         |szc AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY source),
+         |cmn AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS c
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.source <> b.source GROUP BY 1, 2)
+         |SELECT d.src_a, d.src_b,
+         |  CAST(coalesce(n.both, 0) AS DOUBLE) / d.na AS est_containment,
+         |  coalesce(CAST(c.c AS DOUBLE) / z.sz, 0.0) AS exact_containment,
+         |  abs(CAST(coalesce(n.both, 0) AS DOUBLE) / d.na -
+         |      coalesce(CAST(c.c AS DOUBLE) / z.sz, 0.0)) AS abs_err
+         |FROM den d
+         |LEFT JOIN num n ON n.src_a = d.src_a AND n.src_b = d.src_b
+         |LEFT JOIN cmn c ON c.src_a = d.src_a AND c.src_b = d.src_b
+         |JOIN szc z ON z.source = d.src_a
+         |ORDER BY 1, 2""".stripMargin,
 
     // count-min frequency sketch (q221): depth=4 × width=1024 commutative
     // bucket counts (md5(salt:token) — q59's hex arithmetic), estimate =

@@ -2195,6 +2195,57 @@ object CorpusQueries {
       .orderBy("source")
   }
 
+  /** q222: directional source CONTAINMENT from the q216 KMV sketches —
+    * the asymmetric question q216's Jaccard cannot answer: "what
+    * fraction of A's content is inside B" (containment ≈ 1 with small
+    * Jaccard = A is a subset source — drop it, don't just dedup it;
+    * the dataset-curation decision the pairwise matrix feeds). The
+    * estimator is the common-threshold rule: with t = min(max(skA),
+    * max(skB)), both sketches are exhaustive below t (each holds ALL
+    * its source's hashes ≤ its own max), so
+    * est = |{h ≤ t : h ∈ skA ∧ h ∈ skB}| / |{h ∈ skA : h ≤ t}| is a
+    * uniform-sample estimate of |A∩B|/|A| — pure integer counting plus
+    * one IEEE divide, bit-portable. One sketch pass (shared with
+    * q216/q218 at scale) + the exact pass for the error column (the
+    * family contract); every ORDERED pair reports estimate, exact, and
+    * absolute error. */
+  def sourceContainmentSketch(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val docs = Tables.documents(spark, dir)
+    val sketches: Map[String, Array[Long]] = kmvSketchStage(docs, k)
+      .collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+    val srcs = sketches.keys.toSeq.sorted
+    val estRows = for { a <- srcs; b <- srcs if a != b } yield {
+      val (skA, skB) = (sketches(a), sketches(b))
+      val t = math.min(skA.last, skB.last)
+      val sbSet = skB.toSet
+      val saT = skA.filter(_ <= t)
+      val both = saT.count(sbSet)
+      (a, b, both.toDouble / saT.length)
+    }
+    import spark.implicits._
+    val est = estRows.toDF("src_a", "src_b", "est_containment")
+    val sh = docs.select(col("source"),
+      explode(array_distinct(shingles(col("text"), 3))).as("shingle")).distinct()
+    val sz = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = common
+      .join(sz.withColumnRenamed("source", "src_a"), Seq("src_a"))
+      .select(col("src_a"), col("src_b"),
+        (col("c").cast("double") / col("sz").cast("double"))
+          .as("exact_containment"))
+    est.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("est_containment"),
+        coalesce(col("exact_containment"), lit(0.0)).as("exact_containment"),
+        abs(col("est_containment") -
+          coalesce(col("exact_containment"), lit(0.0))).as("abs_err"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q221: count-min token-frequency sketch with its error report — the
     * FREQUENCY member of the bounded-summary family (KMV q216/q218
     * answers overlap/cardinality; this answers "how often", the
