@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftnative
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, AttributeReference, CreateNamedStruct, Descending, EqualTo, ExprId, Expression, LessThan, LessThanOrEqual, Literal, NullsLast, RowNumber, SortOrder, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, ExprId, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -19,14 +19,16 @@ import org.apache.spark.sql.types.IntegerType
   * InferWindowGroupLimit only PREFILTERS and still sorts + runs the window;
   * this removes both.)
   *
-  * Fires only when the rewrite is semantics-preserving:
-  *  - the filter is `rn <= k` / `rn < k` / `rn = 1` on the row_number
-  *    output, and nothing downstream reads `rn` (the outer Project must
-  *    reference only the window child's columns);
-  *  - all sort keys share one direction, so the lexicographic struct
-  *    ordering the heap uses equals the multi-column window order;
-  *  - null ordering is nulls-last (descending default, or explicit),
-  *    matching the heap's null ranking.
+  * Fires only when the rewrite is semantics-preserving: the filter is
+  * `rn <= k` / `rn < k` / `rn = 1` on the row_number output, and nothing
+  * downstream reads `rn` (the outer Project must reference only the window
+  * child's columns). The full `Seq[SortOrder]` — mixed directions and
+  * explicit null orderings included — is handed to the heap, whose
+  * per-field lexicographic comparator reproduces the window sort order
+  * exactly (the first-cut operator could only encode uniform-direction
+  * nulls-last orders as a struct, which silently excluded every
+  * `(score DESC, id ASC)` ranking — the dominant kNN/ANN shape here —
+  * from the rewrite).
   * Ties beyond the sort keys are tie-broken arbitrarily by BOTH phrasings
   * (row_number over a non-unique order is not contractually deterministic);
   * supply a unique tiebreak where exact row identity matters.
@@ -40,25 +42,6 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** One SortOrder equivalent to the (uniform-direction, nulls-last)
-    * multi-column window order: single key as-is, several keys as a
-    * lexicographically-ordered struct. */
-  private def combinedOrder(orderSpec: Seq[SortOrder]): Option[SortOrder] = {
-    if (orderSpec.isEmpty) return None
-    val dir = orderSpec.head.direction
-    val uniform = orderSpec.forall(_.direction == dir)
-    val nullsLast = orderSpec.forall(s =>
-      s.nullOrdering == NullsLast || !s.child.nullable)
-    if (!uniform || !nullsLast) None
-    else if (orderSpec.length == 1) Some(orderSpec.head)
-    else {
-      val struct = CreateNamedStruct(orderSpec.zipWithIndex.flatMap {
-        case (s, i) => Seq(Literal(s"c$i"), s.child)
-      })
-      Some(SortOrder(struct, dir))
-    }
-  }
-
   private def rewrite(
       outer: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
       cond: Expression,
@@ -67,14 +50,14 @@ object TopKRewrite extends Rule[LogicalPlan] {
     // authoritative (the WindowSpecDefinition inside the expression mirrors
     // them post-analysis).
     case Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _: WindowSpecDefinition), _)),
-        partitionSpec, orderSpec, child, _) if partitionSpec.nonEmpty =>
+        partitionSpec, orderSpec, child, _)
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
       for {
         k <- limitOf(cond, alias.exprId)
-        so <- combinedOrder(orderSpec)
         // downstream must not read rn, and keys must be plain child columns
         if outer.forall(_.references.subsetOf(child.outputSet))
         if partitionSpec.forall(_.references.subsetOf(child.outputSet))
-        if so.child.references.subsetOf(child.outputSet)
+        if orderSpec.forall(_.child.references.subsetOf(child.outputSet))
         if k >= 1
       } yield {
         // extraOptimizations run after the main batches, so Spark's
@@ -97,12 +80,13 @@ object TopKRewrite extends Rule[LogicalPlan] {
         // the order expression read.
         val needed = org.apache.spark.sql.catalyst.expressions.AttributeSet(
           outer.flatMap(_.references) ++
-            partitionSpec.flatMap(_.references) ++ so.child.references)
+            partitionSpec.flatMap(_.references) ++
+            orderSpec.flatMap(_.child.references))
         val pruned =
           if (needed.size < source.output.size)
             Project(source.output.filter(needed.contains), source)
           else source
-        Project(outer, TopKPerKeyNode(k, partitionSpec, so, pruned))
+        Project(outer, TopKPerKeyNode(k, partitionSpec, orderSpec, pruned))
       }
     case _ => None
   }

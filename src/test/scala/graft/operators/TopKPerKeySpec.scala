@@ -53,4 +53,46 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"bounded-heap operator must not sort:\n$plan")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("partial heap pass runs below the exchange (map-side combine shape)") {
+    val o = Tables.orders(spark, dir)
+    val plan = GraftOps.topKPerKey(o, Seq("o_custkey"),
+        col("o_totalprice"), k = 3)
+      .queryExecution.executedPlan.toString
+    // two heap operators — partial (pre-exchange) and final — so the
+    // shuffle carries per-map-partition top-ks, not every input row
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("partial key cap preserves results (overflow passthrough)") {
+    // Cap the partial pass at ONE tracked key per partition: rows of
+    // every other key must flow through to the final pass untouched and
+    // the answer must stay exact.
+    spark.conf.set("spark.graft.topk.partialMaxKeys", "1")
+    try {
+      val df = Seq((1L, 5.0), (2L, 9.0), (1L, 1.0), (3L, 2.0), (2L, 7.0),
+          (3L, 8.0), (1L, 3.0))
+        .toDF("k", "v").coalesce(1)
+      val got = GraftOps.topKPerKey(df, Seq("k"), col("v"), k = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === Set((1L, 5.0), (2L, 9.0), (3L, 8.0)))
+    } finally spark.conf.unset("spark.graft.topk.partialMaxKeys")
+  }
+
+  test("mixed-direction multi-column order equals the window phrasing") {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val expected = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    GraftOps.enableTopKRewrite(spark)
+    val q = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val got = q.select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
 }

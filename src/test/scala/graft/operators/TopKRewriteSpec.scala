@@ -62,11 +62,22 @@ class TopKRewriteSpec extends SparkSpec {
     assert(q.collect().length === 5)
   }
 
-  test("no rewrite for rank-sensitive conditions or mixed sort directions") {
-    GraftOps.enableTopKRewrite(spark)
+  test("mixed sort directions rewrite and match the window rows") {
+    // The (score DESC, id ASC) ranking is the dominant kNN/ANN shape
+    // (q157/q214/q215); the generalized per-field comparator must
+    // reproduce the window order exactly.
     val w = Window.partitionBy("k").orderBy(desc("v"), asc("id"))
+    val expected = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn").collect().toSet
+    GraftOps.enableTopKRewrite(spark)
     val mixed = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
-    assert(!mixed.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val physical = mixed.queryExecution.executedPlan.toString
+    assert(physical.contains("TopKPerKey"), s"no heap operator in:\n$physical")
+    assert(mixed.collect().toSet === expected)
+  }
+
+  test("no rewrite for rank-sensitive conditions (rn = 2)") {
+    GraftOps.enableTopKRewrite(spark)
     val w2 = Window.partitionBy("k").orderBy(desc("v"), desc("id"))
     val rn2 = df.withColumn("rn", row_number().over(w2)).filter(col("rn") === 2).drop("rn")
     assert(!rn2.queryExecution.executedPlan.toString.contains("TopKPerKey"))
@@ -85,14 +96,26 @@ class TopKRewriteSpec extends SparkSpec {
     assert(q.collect().toSet === topkIdiom(2).collect().toSet)
   }
 
-  test("nullable ascending order does not rewrite (null ranking differs)") {
+  test("nullable ascending order rewrites and honors nulls-first") {
     GraftOps.enableTopKRewrite(spark)
     val withNulls = Seq(("a", 1L, Some(2.0)), ("a", 2L, None), ("a", 3L, Some(1.0)))
       .toDF("k", "id", "v")
     val w = Window.partitionBy("k").orderBy(asc("v"))
     val q = withNulls.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1).drop("rn")
-    assert(!q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
-    // asc + default NullsFirst: the null row ranks first
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    // asc + default NullsFirst: the null row ranks first — the heap's
+    // per-field comparator must follow the SortOrder's null ordering,
+    // not a blanket nulls-last rule
     assert(q.collect().map(_.getLong(1)).toSeq === Seq(2L))
+  }
+
+  test("explicit nulls-last ascending rewrites and ranks nulls last") {
+    GraftOps.enableTopKRewrite(spark)
+    val withNulls = Seq(("a", 1L, Some(2.0)), ("a", 2L, None), ("a", 3L, Some(1.0)))
+      .toDF("k", "id", "v")
+    val w = Window.partitionBy("k").orderBy(asc_nulls_last("v"))
+    val q = withNulls.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(q.collect().map(_.getLong(1)).toSet === Set(3L, 1L))
   }
 }
