@@ -430,14 +430,18 @@ object Similarity {
     *
     * Plan shape: ONE exact ranking pass (sample × corpus — the bounded
     * eval-contract baseline, the quadratic side shrunk by the sample),
-    * then a CHAIN of per-config left-semi-style flag joins, each on the
-    * (a_id, b_id) pair key — the exact branch evaluates once, never per
-    * config, and the per-query tally frame it collapses to (one row per
-    * sampled query) carries its min/p10 derivations as in-plan window
-    * ranks, so the whole report is ONE aggregate job plus the fan-out
-    * pass. Executor→driver payload stays a handful of scalars per
-    * config. Every figure is integer counts plus one final IEEE divide,
-    * so the DuckDB oracle agrees bit-for-bit.
+    * then one flag join per bits-FAMILY on the (a_id, b_id) pair key:
+    * configs sharing a bits width nest (band j is the same signature for
+    * every band count), so each family runs its band joins ONCE at the
+    * family's largest band count, aggregates each pair's smallest
+    * matching band index, and every member config's hit flag is just
+    * `min_band < its band count` — the exact branch evaluates once,
+    * never per config, and the per-query tally frame it collapses to
+    * (one row per sampled query) carries its min/p10 derivations as
+    * in-plan window ranks, so the whole report is ONE aggregate job plus
+    * the fan-out pass. Executor→driver payload stays a handful of
+    * scalars per config. Every figure is integer counts plus one final
+    * IEEE divide, so the DuckDB oracle agrees bit-for-bit.
     *
     * Three columns exist purely for honesty-at-scale:
     *  - `candidates` — the total band-join fan-out (pre-dedup pair count,
@@ -473,23 +477,34 @@ object Similarity {
     val maxDim = configs.map { case (bands, bits) => bands * bits }.max
     val (piv, n) = signPivots(v, maxDim)
     def sig(j: Int, bits: Int): Column = centeredSig(j, bits, piv, n)
-    def candidates(bands: Int, bits: Int): DataFrame = {
+    // Configs sharing a bits width NEST: band j of (2,4) is band j of
+    // (8,4) (centeredSig depends only on (j, bits)), so candidates(b,4)
+    // = {pairs whose smallest matching band index < b}. One union of
+    // maxBands band joins per bits-FAMILY + one min(band) aggregate
+    // therefore serves every config in the family — for the default
+    // sweep that is 16 band joins + 2 pair aggregates + 2 flag joins
+    // where the per-config phrasing ran 22 joins + 4 distincts + 4 flag
+    // joins (the candidate stage was ~70% of this query's wall).
+    val families: Seq[(Int, Int)] = configs.groupBy(_._2).toSeq
+      .map { case (bits, cfgs) => (bits, cfgs.map(_._1).max) }
+      .sortBy(_._1)
+    def familyPairs(bits: Int, maxBands: Int): DataFrame = {
       val signed = v.select(Seq(col("vec_id")) ++
-        (0 until bands).map(j => sig(j, bits).as(s"sig$j")): _*)
+        (0 until maxBands).map(j => sig(j, bits).as(s"sig$j")): _*)
       val qs = signed.filter(col("vec_id") % sampleMod === 0)
-      (0 until bands).map { j =>
+      (0 until maxBands).map { j =>
         qs.select(col("vec_id").as("a_id"), col(s"sig$j").as("sig"))
           .join(signed.select(col("vec_id").as("b_id"),
             col(s"sig$j").as("sig")), Seq("sig"))
           .filter(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"))
-      }.reduce(_ unionByName _).distinct()
+          .select(col("a_id"), col("b_id"), lit(j).as("band"))
+      }.reduce(_ unionByName _)
+        .groupBy("a_id", "b_id").agg(min(col("band")).as(s"mb$bits"))
     }
 
-    val flagged = configs.zipWithIndex.foldLeft(exact) {
-      case (acc, ((bands, bits), i)) =>
-        acc.join(candidates(bands, bits).withColumn(s"hit$i", lit(1L)),
-          Seq("a_id", "b_id"), "left")
+    val flagged = families.foldLeft(exact) {
+      case (acc, (bits, maxBands)) =>
+        acc.join(familyPairs(bits, maxBands), Seq("a_id", "b_id"), "left")
     }
     // Per-query tallies (one row per sampled query), then EVERYTHING —
     // pooled counts, per-config min, and the ⌈n_q/10⌉-th smallest
@@ -502,8 +517,11 @@ object Similarity {
     // config plus a separate min aggregate — 5 extra job launches whose
     // scheduling+codegen overhead tripled the query's wall at bench
     // scale for zero added information.)
+    // A config's hit flag = "smallest matching band index < its band
+    // count" (null mb → no band matched → otherwise(0)).
     val pqAggs = count(lit(1)).as("ex_a") +:
-      configs.indices.map(i => sum(coalesce(col(s"hit$i"), lit(0L))).as(s"h$i"))
+      configs.zipWithIndex.map { case ((bands, bits), i) =>
+        sum(when(col(s"mb$bits") < bands, 1L).otherwise(0L)).as(s"h$i") }
     val perQ = flagged.groupBy("a_id").agg(pqAggs.head, pqAggs.tail: _*)
     val wAll = Window.partitionBy()
     val ranked = perQ.select(
@@ -524,18 +542,26 @@ object Similarity {
     val nQ = row.getLong(0)
     val nExact = row.getLong(1)
     // Candidate fan-out per config from bucket counts alone — one corpus
-    // pass for ALL configs (explode over Σ bands signature structs),
-    // grouped on the bounded (cfg, band, sig) domain.
-    val fanStructs = configs.zipWithIndex.flatMap { case ((bands, bits), ci) =>
-      (0 until bands).map(j =>
-        struct(lit(ci).as("cfg"), lit(j).as("band"), sig(j, bits).as("sg")))
+    // pass for ALL configs, sharing bands the family way: structs are
+    // emitted per (bits, band) — 16 for the default sweep, not 22 —
+    // grouped on the bounded (bits, band, sig) domain, and each config's
+    // fan-out is the driver-side sum of its own bands' per-band totals
+    // (a dozen longs; identical value to the per-config grouping, since
+    // the config sum distributes over its bands).
+    val fanStructs = families.flatMap { case (bits, maxBands) =>
+      (0 until maxBands).map(j =>
+        struct(lit(bits).as("bits"), lit(j).as("band"), sig(j, bits).as("sg")))
     }
-    val fan = v.select(col("vec_id"), explode(array(fanStructs: _*)).as("x"))
-      .groupBy(col("x.cfg").as("cfg"), col("x.band"), col("x.sg"))
+    val fanBands = v.select(col("vec_id"), explode(array(fanStructs: _*)).as("x"))
+      .groupBy(col("x.bits").as("bits"), col("x.band").as("band"), col("x.sg"))
       .agg(sum(when(col("vec_id") % sampleMod === 0, 1L).otherwise(0L)).as("qc"),
         count(lit(1)).as("ac"))
-      .groupBy("cfg").agg(sum(col("qc") * (col("ac") - lit(1L))).as("candidates"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .groupBy("bits", "band")
+      .agg(sum(col("qc") * (col("ac") - lit(1L))).as("cands"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val fan = configs.zipWithIndex.map { case ((bands, bits), i) =>
+      i -> (0 until bands).map(j => fanBands.getOrElse((bits, j), 0L)).sum
+    }.toMap
     import spark.implicits._
     configs.zipWithIndex.map { case ((bands, bits), i) =>
       val hits = row.getLong(2 + 3 * i)
