@@ -516,17 +516,22 @@ object Dedup {
       val folded = labels.union(neighborMin)
         .groupBy("node").agg(min("lbl").as("lbl"))
       // pointer jump: every label IS a node id, so looking the label up in
-      // the same table and adopting ITS label halves remaining chain depth
+      // the same table and adopting ITS label halves remaining chain depth.
+      // The change flag rides INSIDE the staged write (one extra join
+      // against the prior labels in the same DAG) so convergence below is
+      // a single-column scan of the parquet just written — the earlier
+      // shape re-joined the two staged label tables as a separate job
+      // every round just to ask "did anything change".
       val updated = stage(
         folded.join(
             folded.select(col("node").as("lbl"), col("lbl").as("parent_lbl")),
             Seq("lbl"), "left")
-          .select(col("node"), coalesce(col("parent_lbl"), col("lbl")).as("lbl")),
+          .select(col("node"), coalesce(col("parent_lbl"), col("lbl")).as("lbl"))
+          .join(labels.select(col("node"), col("lbl").as("prev")), "node")
+          .select(col("node"), col("lbl"), (col("lbl") =!= col("prev")).as("chg")),
         "cc-labels")
-      done = updated
-        .join(labels.withColumnRenamed("lbl", "prev"), "node")
-        .filter(col("lbl") =!= col("prev")).isEmpty
-      labels = updated
+      done = updated.filter(col("chg")).isEmpty
+      labels = updated.select("node", "lbl")
       round += 1
     }
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
