@@ -156,13 +156,25 @@ object Views {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val n = Tables.nation(spark, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    // Aggregate-below-join (the q3/q4 shape, optimization round 12): the
+    // fact table collapses to one (count, exact-decimal sum) row per
+    // orderkey BEFORE the join chain, so the o⋈c⋈n joins carry |orders|
+    // rows instead of |lineitem| and the per-nation regroup sums the
+    // partial decimal sums — exact under decimal associativity, same
+    // doubles out (orders is unique on o_orderkey, inner joins drop the
+    // same rows either way). At 100 TB the fact crosses the network once
+    // at three-column width; join-then-group shuffled every lineitem row
+    // through two joins at full width.
+    val la = l.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__s"))
+    la.join(o, la("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("nation"))
       .agg(
-        count(lit(1)).as("lineitem_count"),
-        moneySum(col("l_extendedprice")).as("gross_revenue"))
+        sum(col("__n")).as("lineitem_count"),
+        sum(col("__s")).cast(DoubleType).as("gross_revenue"))
       .orderBy(desc("gross_revenue"), col("nation"))
   }
 
