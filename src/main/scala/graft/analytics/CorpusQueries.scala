@@ -1692,6 +1692,11 @@ object CorpusQueries {
       .join(shr.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    // NOTE (optimization round 12): substituting the raw gram table for
+    // shw on the b-side (it only needs (doc_id, shingle)) was MEASURED
+    // 0.8 s SLOWER at sf0.1 — the two shw arms share one exchange
+    // (ReuseExchange on the identical sh⋈wt subtree), and a differing
+    // b-side subtree re-executes the scan+explode instead. Kept as-is.
     val inter = cand
       .join(shw.select(col("doc_id").as("a_id"), col("shingle"), col("w")),
         Seq("a_id"))
@@ -1727,19 +1732,24 @@ object CorpusQueries {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
       .filter(size(col("tk")) >= 24)
+    // Parts stay TOKEN ARRAYS end-to-end: the earlier phrasing rebuilt
+    // each part's text (concat_ws) only for the next select to re-trim
+    // and re-split it back into the same tokens — two corpus-sized
+    // string passes for nothing (tokens from a \s+ split carry no
+    // whitespace, so rebuild→re-split is the identity on them; the
+    // boundary keys below are byte-identical).
     val parts = toks.select(
         (col("doc_id") * 10 + 1).as("part_id"),
-        expr("concat_ws(' ', slice(tk, 1, size(tk) div 2 + 4))").as("text"))
+        expr("slice(tk, 1, size(tk) div 2 + 4)").as("pt"))
       .unionByName(toks.select(
         (col("doc_id") * 10 + 2).as("part_id"),
-        expr("concat_ws(' ', slice(tk, size(tk) div 2 - 3, " +
-          "size(tk) - (size(tk) div 2 - 3) + 1))").as("text")))
+        expr("slice(tk, size(tk) div 2 - 3, " +
+          "size(tk) - (size(tk) div 2 - 3) + 1)").as("pt")))
     val edge = parts
-      .select(col("part_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
-      .filter(size(col("tk")) >= 8)
+      .filter(size(col("pt")) >= 8)
       .select(col("part_id"),
-        expr("concat_ws(' ', slice(tk, greatest(size(tk) - 7, 1), 8))").as("tail8"),
-        expr("concat_ws(' ', slice(tk, 1, 8))").as("head8"))
+        expr("concat_ws(' ', slice(pt, greatest(size(pt) - 7, 1), 8))").as("tail8"),
+        expr("concat_ws(' ', slice(pt, 1, 8))").as("head8"))
     edge.select(col("part_id").as("left_id"), col("tail8").as("k"))
       .join(edge.select(col("part_id").as("right_id"), col("head8").as("k")), Seq("k"))
       .filter(col("left_id") =!= col("right_id"))
@@ -2127,6 +2137,13 @@ object CorpusQueries {
     hashed.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k).select("source", "h")
   }
+
+  /** Plan-audit surface (PlanProbe): the q216/q218/q222 sketch stage at
+    * the production k, for committing `.explain("formatted")` evidence —
+    * the sketch is collected inside those queries, so their outer plans
+    * show only the local result frame. */
+  private[graft] def kmvSketchStageFor(spark: SparkSession, dir: String): DataFrame =
+    kmvSketchStage(Tables.documents(spark, dir), 256)
 
   def sourceOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
     val k = 256

@@ -22,7 +22,13 @@ object PlanProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
-      graft.SparkEntry.queries.get(name) match {
+      // Stage surfaces for queries that collect internally (their outer
+      // plan is just the local result frame).
+      if (name == "q216_sketch_stage") {
+        println(s"=== $name ===")
+        graft.analytics.CorpusQueries.kmvSketchStageFor(spark, sfDir)
+          .explain("formatted")
+      } else graft.SparkEntry.queries.get(name) match {
         case None => println(s"=== $name: no such query ===")
         case Some(fn) =>
           println(s"=== $name ===")
