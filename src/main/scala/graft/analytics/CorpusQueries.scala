@@ -1692,11 +1692,22 @@ object CorpusQueries {
       .join(shr.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    // NOTE (optimization round 12): substituting the raw gram table for
-    // shw on the b-side (it only needs (doc_id, shingle)) was MEASURED
-    // 0.8 s SLOWER at sf0.1 — the two shw arms share one exchange
-    // (ReuseExchange on the identical sh⋈wt subtree), and a differing
-    // b-side subtree re-executes the scan+explode instead. Kept as-is.
+    // NOTE (optimization round 12): two reworks of this stage were built
+    // and MEASURED SLOWER at sf0.1, so the explode-join shape stands:
+    //  (a) substituting the raw gram table for shw on the b-side (it only
+    //      needs (doc_id, shingle)) was +0.8 s — the two shw arms share
+    //      one exchange (ReuseExchange on the identical sh⋈wt subtree)
+    //      and a differing b-side subtree re-executes the scan+explode;
+    //  (b) the verifyJaccard move — per-doc sorted weighted-gram arrays
+    //      (sort_array(collect_list(struct))) + a codegen'd merge kernel
+    //      summing weights, totals riding the same join — was +1.3 s
+    //      (4.2 → 5.5 fresh-JVM min-of-5): the array-building aggregate
+    //      is referenced by BOTH pair sides, and an aggregate (unlike an
+    //      exchange) is duplicated per reference, so the collect+sort ran
+    //      twice and cost more than the |cand|×|doc| fan-out it saved at
+    //      this candidate density. At higher candidate density the fan-out
+    //      side grows as |cand| while the array side stays corpus-linear,
+    //      so revisit only with a measured staging point for the arrays.
     val inter = cand
       .join(shw.select(col("doc_id").as("a_id"), col("shingle"), col("w")),
         Seq("a_id"))

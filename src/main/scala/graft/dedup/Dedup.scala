@@ -171,7 +171,18 @@ object Dedup {
     * row's bound is exact-or-above and always survives. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val sh0 = docShingleHashes(docs, n)
+    // The set size rides from the PRE-explode array (`size` is row-local on
+    // the scan), so the prefix stage below needs only the row_number window
+    // — the earlier `count(*) over (partition by doc_id)` was a second
+    // Window pass (its own sort) over the full corpus-sized gram table just
+    // to recompute a number the array already knew. sz is constant per doc
+    // (RLE-friendly in the staged parquet); results are unchanged.
+    val sh0 = docs
+      .select(col("doc_id"),
+        array_distinct(transform(
+          TextFunctions.shingles(col("text"), n),
+          x => xxhash64(x))).as("hs"))
+      .select(col("doc_id"), size(col("hs")).as("sz"), explode(col("hs")).as("h"))
     val shLarge = stagedBytesEstimate(sh0) >=
       stageThreshold(docs.sparkSession)
     val sh = if (shLarge) stage(sh0, "jaccard") else sh0
@@ -198,7 +209,6 @@ object Dedup {
     // reuse across the two broadcast sides).
     val prefix = stageIfLarge(sh.join(dfreq, "h")
       .withColumn("rn", row_number().over(w.orderBy("df", "h")))
-      .withColumn("sz", count(lit(1)).over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select("h", "doc_id", "sz", "rn"), "jacprefix")
     // groupBy instead of distinct: same single shuffle dedups the pairs.
