@@ -489,8 +489,17 @@ object Similarity {
       .map { case (bits, cfgs) => (bits, cfgs.map(_._1).max) }
       .sortBy(_._1)
     def familyPairs(bits: Int, maxBands: Int): DataFrame = {
-      val signed = v.select(Seq(col("vec_id")) ++
-        (0 until maxBands).map(j => sig(j, bits).as(s"sig$j")): _*)
+      // Size-gated staging (the shared dedup gate): every band join reads
+      // this projection on BOTH sides — 2×maxBands legs — and each leg is
+      // its own scan of the embedding table. Below the gate (bench scale)
+      // the legs are cheap column-pruned scans of a small parquet and one
+      // DAG; at corpus scale the staged signature table turns 2×maxBands
+      // corpus scans + sign-projection recomputations into ONE pass plus
+      // cheap two-column scans of the (vec_id, sigs) parquet.
+      val signed = graft.dedup.Dedup.stageIfLarge(
+        v.select(Seq(col("vec_id")) ++
+          (0 until maxBands).map(j => sig(j, bits).as(s"sig$j")): _*),
+        s"lsh-signed-$bits")
       val qs = signed.filter(col("vec_id") % sampleMod === 0)
       (0 until maxBands).map { j =>
         qs.select(col("vec_id").as("a_id"), col(s"sig$j").as("sig"))
