@@ -763,6 +763,17 @@ object CorpusQueries {
     sourceOverlap(Tables.documents(spark, dir))
 
   def sourceOverlap(docs: DataFrame): DataFrame = {
+    // NOTE (optimization round 12): the per-gram collect_set shape —
+    // group grams once into sorted source sets, emit a ≤ b pairs
+    // row-locally (diagonal = sizes), one corpus shuffle instead of the
+    // self-join's three — was built and MEASURED SLOWER here and in
+    // q216/q222 (0.93→1.25, 2.05→2.60, 1.94→2.32 s fresh-JVM min-of-5 at
+    // sf0.1): on this vocabulary-dense corpus every gram's set spans most
+    // sources, so the interpreted nested-lambda pair fan-out
+    // (flatten(transform(slice))) per gram cost more than the two
+    // codegen'd hash-join shuffles it removed. Revisit only with a
+    // codegen'd pair-expansion expression and a corpus where network
+    // dominates CPU.
     val sh = docs
       .select(col("source"), explode(shingles(col("text"), 3)).as("shingle"))
       .distinct()
