@@ -56,6 +56,30 @@ class DedupSpec extends SparkSpec {
     gotVals.foreach { case (k, v) => assert(math.abs(v - bruteJaccard(3)(k)) < 1e-12) }
   }
 
+  test("ngramJaccardPairs plans exactly one Window pass (prefix stage)") {
+    // Optimization-round-12 shape pin: the per-doc set size rides from the
+    // pre-explode array, so the prefix stage needs only the row_number
+    // window — a regression to the count(*)-over-doc_id phrasing doubles
+    // the Window/Sort passes over the corpus-sized gram table. Below the
+    // staging gate the whole pipeline is one plan, so the window count is
+    // directly countable on the executed plan.
+    // Below the staging gate the candidate self-join carries the prefix
+    // subtree once per side (documented trade), so count DISTINCT window
+    // computations, not occurrences: one row_number pass — the old shape
+    // carried a second count(*)-over-doc_id Window (two distinct specs).
+    val plan = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .queryExecution.optimizedPlan
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val distinctSpecs = windows
+      .map(w => (w.windowExpressions.map(_.sql), w.orderSpec.map(_.sql)))
+      .distinct
+    assert(windows.nonEmpty && distinctSpecs.size === 1,
+      s"expected one distinct Window pass in the PPJoin plan, got " +
+        s"${distinctSpecs.size} distinct of ${windows.size} total")
+  }
+
   test("minhashNearDups finds the exact and near duplicates") {
     val got = Dedup.minhashNearDups(docs, n = 3, k = 32, bands = 8, threshold = 0.3)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
