@@ -1716,9 +1716,14 @@ object CorpusQueries {
     //      is referenced by BOTH pair sides, and an aggregate (unlike an
     //      exchange) is duplicated per reference, so the collect+sort ran
     //      twice and cost more than the |cand|×|doc| fan-out it saved at
-    //      this candidate density. At higher candidate density the fan-out
-    //      side grows as |cand| while the array side stays corpus-linear,
-    //      so revisit only with a measured staging point for the arrays.
+    //      this candidate density;
+    //  (c) shape (b) with the array table FORCE-staged to scratch parquet
+    //      (aggregate runs once) was STILL +0.9 s (4.03 → 4.96 at equal
+    //      load): the staging barrier + collect+sort aggregate +
+    //      array-typed parquet round-trip exceed the fan-out cost here.
+    //      At higher candidate density the fan-out side grows as |cand|
+    //      while the array side stays corpus-linear — revisit only at a
+    //      measured candidate-density crossover, not below it.
     val inter = cand
       .join(shw.select(col("doc_id").as("a_id"), col("shingle"), col("w")),
         Seq("a_id"))
