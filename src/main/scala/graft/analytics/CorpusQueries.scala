@@ -843,25 +843,38 @@ object CorpusQueries {
     * under 2⁵³, making the final int→double conversion EXACT on any
     * engine — DuckDB's int128→double is not correctly rounded above
     * that, and the 128-bit accumulators still absorb 100× growth
-    * without overflow); a posexplode + (i,j)-keyed
-    * hash aggregate map-side-combines to at most `d²` groups per
-    * partition, so the shuffle is `partitions × d²` longs NO MATTER the
-    * corpus size — the one-pass 100 TB shape (the alternative, a
-    * d²-row-per-document shuffle, dies at scale). Centering uses the
-    * per-dimension first moments (a second `d`-group aggregate over the
-    * same scan, broadcast twice onto the d² pairs). */
+    * without overflow); the per-row d² arrays element-wise-sum through
+    * [[org.apache.spark.sql.graftnative.SumLongArrayExact]] (128-bit
+    * integer accumulators, grouped by `d` so ragged dims can never mix
+    * positions), so the shuffle is `partitions × d²` values NO MATTER
+    * the corpus size — the one-pass 100 TB shape (the alternative, a
+    * d²-row-per-document shuffle, dies at scale), and the corpus-sized
+    * stage runs ONE tight add loop per row instead of materializing and
+    * hash-probing d² exploded rows per vector (optimization round 12:
+    * 1.77 → measured below; the posexplode + (i,j)-keyed hash aggregate
+    * it replaces carried the same shuffle bytes but ~d²× the row
+    * machinery). The d² sums explode AFTER aggregation — #d-groups rows,
+    * not corpus rows. Centering uses the per-dimension first moments (a
+    * second `d`-group aggregate over the same scan, broadcast twice onto
+    * the d² pairs). */
   def embeddingCov(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftnative.VectorExpressions.outerProductFixed
+    import org.apache.spark.sql.graftnative.VectorExpressions.{outerProductFixed, sumLongArrayExact}
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val vecs = Tables.embeddings(spark, dir)
       .select(col("embedding").cast("array<double>").as("v"))
-    val pairs = vecs
+    // count(xp), not count(1): a null array exploded to NO rows in the
+    // old phrasing, so it must count for nothing here either.
+    val perDim = vecs
       .select(size(col("v")).as("d"),
-        posexplode(outerProductFixed(col("v"), 1e12)).as(Seq("pos", "f")))
+        outerProductFixed(col("v"), 1e12).as("xp"))
+      .groupBy(col("d"))
+      .agg(count(col("xp")).as("dn"), sumLongArrayExact(col("xp")).as("sums"))
+    val pairs = perDim
+      .select(col("d"), col("dn"), posexplode(col("sums")).as(Seq("pos", "f")))
       .groupBy(
         floor(col("pos") / col("d")).cast("int").as("i"),
         pmod(col("pos"), col("d")).cast("int").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("f").cast(dec)).as("sxy"))
+      .agg(sum(col("dn")).as("n"), sum(col("f").cast(dec)).as("sxy"))
     val moments = vecs
       .select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("dim")

@@ -1,12 +1,15 @@
 package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Decimal, DecimalType, DoubleType, IntegerType, LongType}
 
 /** Sequential-fold dot product of two double arrays as a native Catalyst
   * expression with whole-stage codegen.
@@ -421,6 +424,135 @@ case class OuterProductFixed(child: Expression, scale: Double)
     copy(child = newChild)
 }
 
+/** Element-wise EXACT sum of `array<long>` rows — the aggregate half of the
+  * q149 covariance kernel. [[OuterProductFixed]] already emits each row's d²
+  * fixed-point cross products as one primitive array; summing them used to
+  * go through `posexplode` + a d²-group hash aggregate, which materializes
+  * and hash-probes corpus×d² ROWS just to add longs that are already laid
+  * out positionally. This aggregate adds each input array into a single
+  * per-partition accumulator in one tight loop — the shuffle still carries
+  * at most partitions×d² values (the same one-pass 100 TB shape), but the
+  * per-row cost drops from d² row materializations + hash probes to d²
+  * integer adds.
+  *
+  * Exactness: each element accumulates into a SIGNED 128-BIT integer (two
+  * longs, standard carry propagation), so the result equals
+  * `sum(cast(element as decimal(38,0)))` — order-independent, overflow-free
+  * until ~1.7e38 (beyond decimal(38,0) itself) — and the evaluated value is
+  * `array<decimal(38,0)>`, the exact type the posexplode phrasing summed
+  * into. No floating point anywhere, so the oracle hash argument is
+  * unchanged.
+  *
+  * Semantics (matches the exploded phrasing per position):
+  *  - a NULL input array contributes nothing (its exploded rows never
+  *    existed);
+  *  - a null ELEMENT contributes nothing at its position (sum skips nulls);
+  *  - ragged lengths: position p sums over rows long enough to have p; the
+  *    result length is the max input length (q149 groups by `size(v)`, so
+  *    within a group lengths are uniform);
+  *  - an empty/all-null group evaluates to an EMPTY array (explodes to no
+  *    rows), never null.
+  *
+  * Buffer layout: interleaved [hi0, lo0, hi1, lo1, …] in one primitive
+  * long array; serialization is the raw longs (partial aggregation across
+  * the exchange works, ObjectHashAggregate plans it map-side). */
+case class SumLongArrayExact(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ExpectsInputTypes with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType =
+    ArrayType(DecimalType(38, 0), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_sum_long_array_exact"
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  // Carry-out of the unsigned add a + b (0 or 1), branch-free.
+  @inline private def carry(a: Long, b: Long, s: Long): Long =
+    ((a & b) | ((a | b) & ~s)) >>> 63
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf =
+      if (buffer.length >= 2 * n) buffer
+      else java.util.Arrays.copyOf(buffer, 2 * n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val x = arr.getLong(i)
+        val lo = buf(2 * i + 1)
+        val s = lo + x
+        // adding the sign-extended 64-bit x to the 128-bit (hi, lo)
+        buf(2 * i) += (x >> 63) + carry(lo, x, s)
+        buf(2 * i + 1) = s
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    val buf =
+      if (b1.length >= b2.length) b1
+      else java.util.Arrays.copyOf(b1, b2.length)
+    var i = 0
+    while (i + 1 < b2.length) {
+      val lo1 = buf(i + 1)
+      val lo2 = b2(i + 1)
+      val s = lo1 + lo2
+      buf(i) += b2(i) + carry(lo1, lo2, s)
+      buf(i + 1) = s
+      i += 2
+    }
+    buf
+  }
+
+  override def eval(buffer: Array[Long]): Any = {
+    val n = buffer.length / 2
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val hi = buffer(2 * i)
+      val lo = buffer(2 * i + 1)
+      out(i) =
+        if (hi == (lo >> 63)) Decimal(lo) // fits in a signed 64-bit long
+        else {
+          val bi = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+            .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+          Decimal(new java.math.BigDecimal(bi), 38, 0)
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SumLongArrayExact =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SumLongArrayExact =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SumLongArrayExact =
+    copy(child = newChild)
+}
+
 /** Column↔Expression bridge for graft's native expressions. */
 object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column =
@@ -440,4 +572,8 @@ object VectorExpressions {
 
   def outerProductFixed(v: Column, scale: Double): Column =
     ExpressionUtils.column(OuterProductFixed(ExpressionUtils.expression(v), scale))
+
+  def sumLongArrayExact(c: Column): Column =
+    ExpressionUtils.column(
+      SumLongArrayExact(ExpressionUtils.expression(c)).toAggregateExpression())
 }

@@ -115,6 +115,43 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r(2).getSeq[Long](0) === Seq(math.floor(4.0 * 1e12).toLong))
   }
 
+  test("sumLongArrayExact equals the posexplode + per-position decimal sum") {
+    import org.apache.spark.sql.graftnative.VectorExpressions.sumLongArrayExact
+    val df = Seq(
+      (1, Seq(1L, -2L, 3L)),
+      (1, Seq(10L, 20L, 30L)),
+      (2, Seq(-7L, Long.MaxValue, 0L)),
+      (2, Seq(-7L, Long.MaxValue, -1L))).toDF("g", "arr")
+      .repartition(4) // force partial buffers + serialize/merge across the exchange
+    val fast = df.groupBy("g").agg(sumLongArrayExact(col("arr")).as("s"))
+      .select(col("g"), posexplode(col("s")).as(Seq("pos", "v")))
+    val slow = df.select(col("g"), posexplode(col("arr")).as(Seq("pos", "f")))
+      .groupBy("g", "pos")
+      .agg(sum(col("f").cast("decimal(38,0)")).as("v"))
+    assert(fast.schema("v").dataType.typeName === "decimal(38,0)")
+    // Long.MaxValue + Long.MaxValue overflows a signed 64-bit long — the
+    // 128-bit accumulator must carry it exactly, as the decimal sum does.
+    val f = fast.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    val s = slow.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2)).toMap
+    assert(f === s)
+    assert(f((2, 1)) === new java.math.BigDecimal("18446744073709551614"))
+  }
+
+  test("sumLongArrayExact: null arrays, null elements, ragged lengths, empty group") {
+    import org.apache.spark.sql.graftnative.VectorExpressions.sumLongArrayExact
+    val df = Seq(
+      (1, Some(Seq(Some(1L), None, Some(3L)))),
+      (1, None),                       // whole array null: contributes nothing
+      (1, Some(Seq(Some(10L)))),       // ragged: only position 0
+      (2, Option.empty[Seq[Option[Long]]])).toDF("g", "arr")
+    val rows = df.groupBy("g")
+      .agg(sumLongArrayExact(col("arr").cast("array<long>")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[java.math.BigDecimal](1)).toMap
+    assert(rows(1).map(_.longValueExact()) === Seq(11L, 0L, 3L))
+    // all-null group evaluates to an EMPTY array (explodes to no rows), not null
+    assert(rows(2) === Seq.empty)
+  }
+
   test("outerProductFixed participates in whole-stage codegen and matches eval") {
     import org.apache.spark.sql.graftnative.VectorExpressions.outerProductFixed
     // range-backed plan enters codegen; compare against the interpreted
