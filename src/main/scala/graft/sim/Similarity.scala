@@ -388,14 +388,21 @@ object Similarity {
       Seq(col("vec_id").as("b_id"), col("label").as("b_label"),
         col("vec").as("b_vec"), col("norm").as("b_norm")) ++
         (0 until bands).map(j => col(s"sig$j").as(s"b_sig$j")): _*)
-    // Candidate pairs: equi-join per band on the signature, union, dedup
-    // — each band join shuffles on a 2^bits-ary key, bounded fan-out.
-    val cand = (0 until bands).map { j =>
-      a.select(col("a_id"), col(s"a_sig$j").as("sig"))
-        .join(b.select(col("b_id"), col(s"b_sig$j").as("sig")), Seq("sig"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"))
-    }.reduce(_ unionByName _).distinct()
+    // Candidate pairs: both sides explode to (id, band, sig) rows and ONE
+    // composite-key equi-join + pair distinct replaces the per-band
+    // join/union/dedup chain (the q215 collapse, optimization round 12) —
+    // the shuffle key domain (bands × 2^bits values) is the union of the
+    // per-band domains, so per-key fan-out stays bounded exactly as
+    // before and the plan still contains no CartesianProduct.
+    def bandRows(df: DataFrame, idFrom: String, idAs: String): DataFrame =
+      df.select(col(idFrom).as(idAs), explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"), col(s"${idFrom.take(1)}_sig$j").as("sg"))): _*))
+        .as("x"))
+        .select(col(idAs), col("x.band").as("band"), col("x.sg").as("sg"))
+    val cand = bandRows(a, "a_id", "a_id")
+      .join(bandRows(b, "b_id", "b_id"), Seq("band", "sg"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
     val pairs = cand
       .join(a.select(col("a_id"), col("a_label"), col("a_vec"),
         col("a_norm")), Seq("a_id"))
@@ -453,6 +460,73 @@ object Similarity {
     *    percentile (rank ⌈n_q/10⌉ of the ascending per-query recalls):
     *    pooled recall hides tail starvation, a handful of queries with
     *    zero candidates in every band vanish into the average. */
+  /** q215's candidate stage: per-family smallest-matching-band-index per
+    * candidate pair (`mbs`), plus the exploded (id, bits, band, sg)
+    * signature frame the fan-out pass reuses (`allE`).
+    *
+    * Configs sharing a bits width NEST: band j of (2,4) is band j of
+    * (8,4) (centeredSig depends only on (j, bits)), so candidates(b,4)
+    * = {pairs whose smallest matching band index < b}. And the families
+    * themselves collapse further (optimization round 12, second step):
+    * every (bits, band) leg is the SAME equi-join modulo its key, so
+    * both sides explode their signatures to (id, bits, band, sg) rows
+    * and ONE composite-key join replaces the per-leg joins — for the
+    * default sweep that is 1 join + 1 pair aggregate + 1 flag join
+    * where the family phrasing ran 16 band joins + 2 pair aggregates +
+    * 2 flag joins (4.93 → 2.22 s at sf0.1 fresh-JVM min-of-5; the
+    * per-config phrasing before it ran 22 joins + 4 distincts + 4 flag
+    * joins). Per-family min-band falls out of the one aggregate as
+    * conditional mins; the key domain (Σ 2^bits per band: 2,176 keys
+    * for the default sweep) is a superset union of the per-leg domains,
+    * so the fan-out per key only shrinks. Exposed package-private so
+    * PlanProbe/specs can pin the one-join plan shape (the outer q215
+    * frame is a collected local result). */
+  private[graft] def lshCandidateStage(v: DataFrame, sampleMod: Long,
+      configs: Seq[(Int, Int)]): (DataFrame, DataFrame) = {
+    val maxDim = configs.map { case (bands, bits) => bands * bits }.max
+    val (piv, n) = signPivots(v, maxDim)
+    def sig(j: Int, bits: Int): Column = centeredSig(j, bits, piv, n)
+    val families: Seq[(Int, Int)] = configs.groupBy(_._2).toSeq
+      .map { case (bits, cfgs) => (bits, cfgs.map(_._1).max) }
+      .sortBy(_._1)
+    // Size-gated staging (the shared dedup gate): both join sides and
+    // the fan-out pass read this projection — 3 legs, each its own scan
+    // of the embedding table plus a sign-projection recompute. Below the
+    // gate (bench scale) the legs are cheap column-pruned scans of a
+    // small parquet and one DAG; at corpus scale ONE staged pass feeds
+    // all three.
+    val wide = graft.dedup.Dedup.stageIfLarge(
+      v.select(col("vec_id") +: families.flatMap { case (bits, maxBands) =>
+        (0 until maxBands).map(j => sig(j, bits).as(s"s_${bits}_$j"))
+      }: _*), "lsh-signed")
+    def explodedSigs(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), explode(array(families.flatMap {
+        case (bits, maxBands) => (0 until maxBands).map(j =>
+          struct(lit(bits).as("bits"), lit(j).as("band"),
+            col(s"s_${bits}_$j").as("sg")))
+      }: _*)).as("x"))
+        .select(col(idAs), col("x.bits").as("bits"), col("x.band").as("band"),
+          col("x.sg").as("sg"))
+    val allE = explodedSigs(wide, "b_id")
+    val mbAggs = families.map { case (bits, _) =>
+      min(when(col("bits") === bits, col("band"))).as(s"mb$bits") }
+    val mbs = explodedSigs(wide.filter(col("vec_id") % sampleMod === 0), "a_id")
+      .join(allE, Seq("bits", "band", "sg"))
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(mbAggs.head, mbAggs.tail: _*)
+    (mbs, allE)
+  }
+
+  /** q215's candidate stage at the production configs over the given data
+    * dir — the PlanProbe surface for committing plan evidence. */
+  private[graft] def lshCandidateStageFor(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    lshCandidateStage(
+      graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("vec")),
+      4, Seq((2, 4), (4, 4), (8, 4), (8, 8)))._1
+
   def lshRecallSweep(emb: DataFrame, k: Int = 10, sampleMod: Long = 4,
       configs: Seq[(Int, Int)] = Seq((2, 4), (4, 4), (8, 4), (8, 8)))
       : DataFrame = {
@@ -474,47 +548,8 @@ object Similarity {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("a_id"), col("b_id"))
 
-    val maxDim = configs.map { case (bands, bits) => bands * bits }.max
-    val (piv, n) = signPivots(v, maxDim)
-    def sig(j: Int, bits: Int): Column = centeredSig(j, bits, piv, n)
-    // Configs sharing a bits width NEST: band j of (2,4) is band j of
-    // (8,4) (centeredSig depends only on (j, bits)), so candidates(b,4)
-    // = {pairs whose smallest matching band index < b}. One union of
-    // maxBands band joins per bits-FAMILY + one min(band) aggregate
-    // therefore serves every config in the family — for the default
-    // sweep that is 16 band joins + 2 pair aggregates + 2 flag joins
-    // where the per-config phrasing ran 22 joins + 4 distincts + 4 flag
-    // joins (the candidate stage was ~70% of this query's wall).
-    val families: Seq[(Int, Int)] = configs.groupBy(_._2).toSeq
-      .map { case (bits, cfgs) => (bits, cfgs.map(_._1).max) }
-      .sortBy(_._1)
-    def familyPairs(bits: Int, maxBands: Int): DataFrame = {
-      // Size-gated staging (the shared dedup gate): every band join reads
-      // this projection on BOTH sides — 2×maxBands legs — and each leg is
-      // its own scan of the embedding table. Below the gate (bench scale)
-      // the legs are cheap column-pruned scans of a small parquet and one
-      // DAG; at corpus scale the staged signature table turns 2×maxBands
-      // corpus scans + sign-projection recomputations into ONE pass plus
-      // cheap two-column scans of the (vec_id, sigs) parquet.
-      val signed = graft.dedup.Dedup.stageIfLarge(
-        v.select(Seq(col("vec_id")) ++
-          (0 until maxBands).map(j => sig(j, bits).as(s"sig$j")): _*),
-        s"lsh-signed-$bits")
-      val qs = signed.filter(col("vec_id") % sampleMod === 0)
-      (0 until maxBands).map { j =>
-        qs.select(col("vec_id").as("a_id"), col(s"sig$j").as("sig"))
-          .join(signed.select(col("vec_id").as("b_id"),
-            col(s"sig$j").as("sig")), Seq("sig"))
-          .filter(col("a_id") =!= col("b_id"))
-          .select(col("a_id"), col("b_id"), lit(j).as("band"))
-      }.reduce(_ unionByName _)
-        .groupBy("a_id", "b_id").agg(min(col("band")).as(s"mb$bits"))
-    }
-
-    val flagged = families.foldLeft(exact) {
-      case (acc, (bits, maxBands)) =>
-        acc.join(familyPairs(bits, maxBands), Seq("a_id", "b_id"), "left")
-    }
+    val (mbs, allE) = lshCandidateStage(v, sampleMod, configs)
+    val flagged = exact.join(mbs, Seq("a_id", "b_id"), "left")
     // Per-query tallies (one row per sampled query), then EVERYTHING —
     // pooled counts, per-config min, and the ⌈n_q/10⌉-th smallest
     // per-query recall — in ONE job: per-config ascending ranks and the
@@ -551,19 +586,16 @@ object Similarity {
     val nQ = row.getLong(0)
     val nExact = row.getLong(1)
     // Candidate fan-out per config from bucket counts alone — one corpus
-    // pass for ALL configs, sharing bands the family way: structs are
-    // emitted per (bits, band) — 16 for the default sweep, not 22 —
-    // grouped on the bounded (bits, band, sig) domain, and each config's
-    // fan-out is the driver-side sum of its own bands' per-band totals
-    // (a dozen longs; identical value to the per-config grouping, since
-    // the config sum distributes over its bands).
-    val fanStructs = families.flatMap { case (bits, maxBands) =>
-      (0 until maxBands).map(j =>
-        struct(lit(bits).as("bits"), lit(j).as("band"), sig(j, bits).as("sg")))
-    }
-    val fanBands = v.select(col("vec_id"), explode(array(fanStructs: _*)).as("x"))
-      .groupBy(col("x.bits").as("bits"), col("x.band").as("band"), col("x.sg"))
-      .agg(sum(when(col("vec_id") % sampleMod === 0, 1L).otherwise(0L)).as("qc"),
+    // pass for ALL configs, sharing bands the family way: the SAME
+    // exploded (id, bits, band, sg) frame the candidate join consumes —
+    // 16 structs for the default sweep, not 22 — grouped on the bounded
+    // (bits, band, sig) domain, and each config's fan-out is the
+    // driver-side sum of its own bands' per-band totals (a dozen longs;
+    // identical value to the per-config grouping, since the config sum
+    // distributes over its bands).
+    val fanBands = allE
+      .groupBy(col("bits"), col("band"), col("sg"))
+      .agg(sum(when(col("b_id") % sampleMod === 0, 1L).otherwise(0L)).as("qc"),
         count(lit(1)).as("ac"))
       .groupBy("bits", "band")
       .agg(sum(col("qc") * (col("ac") - lit(1L))).as("cands"))

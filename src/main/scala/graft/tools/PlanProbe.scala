@@ -28,6 +28,10 @@ object PlanProbe {
         println(s"=== $name ===")
         graft.analytics.CorpusQueries.kmvSketchStageFor(spark, sfDir)
           .explain("formatted")
+      } else if (name == "q215_candidate_stage") {
+        println(s"=== $name ===")
+        graft.sim.Similarity.lshCandidateStageFor(spark, sfDir)
+          .explain("formatted")
       } else graft.SparkEntry.queries.get(name) match {
         case None => println(s"=== $name: no such query ===")
         case Some(fn) =>

@@ -149,6 +149,24 @@ class KnnLabelPuritySpec extends SparkSpec {
     assert(r.getAs[Long]("candidates") === 4L)
   }
 
+  test("q215 candidate stage plans ONE composite-key join, not per-band joins") {
+    // Optimization-round-12 shape pin: both sides explode to
+    // (id, bits, band, sg) rows and a single equi-join on the composite
+    // key replaces the 16 per-band joins — a regression to per-leg joins
+    // multiplies the join count back out.
+    import org.apache.spark.sql.functions.col
+    val v = emb16.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("vec"))
+    // two bits-families (4 and 8), four (bits, band) legs in 16 dims
+    val (mbs, _) = Similarity.lshCandidateStage(
+      v, 4, Seq((1, 4), (2, 4), (2, 8)))
+    val joins = mbs.queryExecution.optimizedPlan.collectWithSubqueries {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size === 1,
+      s"expected ONE candidate join, got ${joins.size}")
+  }
+
   test("sampled variant plans NO cartesian/nested-loop join; exact does") {
     val sampledPlan = Similarity.knnLabelPuritySampled(emb16, k = 3)
       .queryExecution.executedPlan.toString
